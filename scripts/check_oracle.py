@@ -38,8 +38,21 @@ for q in qdirs:
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         print(f"FAIL {q}: columns {gcols} vs oracle {ecols}"); fails += 1; continue
-    g = got[gcols].sort_values(gcols, kind="mergesort").reset_index(drop=True)
-    e = exp[ecols].sort_values(ecols, kind="mergesort").reset_index(drop=True)
+    # Sort rows for comparison on hashable, non-float columns (floats may
+    # differ by ulps between engines; arrays aren't hashable). Every query
+    # carries a unique key among these columns.
+    def sortable(df):
+        return [c for c in gcols
+                if df[c].dtype.kind not in "f" and
+                   not df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                                 type(v).__name__ == "ndarray").any()]
+    keys = sortable(got) or gcols
+    try:
+        g = got[gcols].sort_values(keys, kind="mergesort").reset_index(drop=True)
+        e = exp[ecols].sort_values(keys, kind="mergesort").reset_index(drop=True)
+    except TypeError:
+        g = got[gcols].iloc[got[gcols].astype(str).apply(tuple, axis=1).argsort()].reset_index(drop=True)
+        e = exp[ecols].iloc[exp[ecols].astype(str).apply(tuple, axis=1).argsort()].reset_index(drop=True)
     if len(g) != len(e):
         print(f"FAIL {q}: rowcount {len(g)} vs oracle {len(e)}"); fails += 1; continue
     bad = None

@@ -24,9 +24,26 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg"            -> (RelationalQueries.q1Agg _),
-    "q2_filter_project" -> (RelationalQueries.q2FilterProject _),
-    "q3_case_label"     -> (RelationalQueries.q3CaseLabel _),
+    "q1_agg"             -> (RelationalQueries.q1Agg _),
+    "q2_filter_project"  -> (RelationalQueries.q2FilterProject _),
+    "q3_case_label"      -> (RelationalQueries.q3CaseLabel _),
+    "q4_explode"         -> (RelationalQueries.q4Explode _),
+    "q5_nest_roundtrip"  -> (RelationalQueries.q5NestRoundtrip _),
+    "q6_dedup_keepfirst" -> (RelationalQueries.q6DedupKeepFirst _),
+    "q7_dedup_removeall" -> (RelationalQueries.q7DedupRemoveAll _),
+    "q8_dedup_nullmask"  -> (RelationalQueries.q8DedupNullMask _),
+    "q9_dupe_audit"      -> (RelationalQueries.q9DupeAudit _),
+    "q10_union_all"      -> (RelationalQueries.q10UnionAll _),
+    "q11_union_distinct" -> (RelationalQueries.q11UnionDistinct _),
+    "q12_join_broadcast" -> (RelationalQueries.q12JoinBroadcast _),
+    "q13_join_semi"      -> (RelationalQueries.q13JoinSemi _),
+    "q14_daily_series"   -> (RelationalQueries.q14DailySeries _),
+    "q15_ols_daily"      -> (RelationalQueries.q15OlsDaily _),
+    "q16_topn"           -> (RelationalQueries.q16TopN _),
+    "q17_window_rank"    -> (RelationalQueries.q17WindowRank _),
+    "q18_conditional_agg" -> (RelationalQueries.q18ConditionalAgg _),
+    "q19_having_element" -> (RelationalQueries.q19HavingElement _),
+    "q20_flow_ledger"    -> (RelationalQueries.q20FlowLedger _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -29,5 +29,162 @@ object Oracle {
         |       count(*) AS n
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q4_explode" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |) GROUP BY token HAVING count(*) > 10""".stripMargin,
+
+    "q5_nest_roundtrip" ->
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+
+    "q6_dedup_keepfirst" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn = 1""".stripMargin,
+
+    "q7_dedup_removeall" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+        |         count(*) OVER (PARTITION BY l_orderkey) AS key_cnt
+        |  FROM lineitem
+        |) WHERE key_cnt = 1""".stripMargin,
+
+    "q8_dedup_nullmask" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CASE WHEN rn > 1 THEN NULL ELSE l_quantity END AS l_quantity
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |         row_number() OVER (PARTITION BY l_partkey, l_suppkey
+        |                            ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem
+        |)""".stripMargin,
+
+    "q9_dupe_audit" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS occurrence_count
+        |FROM lineitem
+        |GROUP BY l_partkey, l_suppkey
+        |HAVING count(*) > 1
+        |ORDER BY occurrence_count DESC, l_partkey, l_suppkey""".stripMargin,
+
+    "q10_union_all" ->
+      """SELECT event_id, 'input' AS type, -value AS val
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, 'output' AS type, value AS val
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q11_union_distinct" ->
+      """SELECT c_nationkey AS nkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nkey FROM supplier""".stripMargin,
+
+    "q12_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q13_join_semi" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q14_daily_series" ->
+      """WITH buys AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS buy_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), clicks AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |)
+        |SELECT buys.day AS day, buy_value, click_value
+        |FROM buys JOIN clicks ON buys.day = clicks.day""".stripMargin,
+
+    "q15_ols_daily" ->
+      """WITH buys AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS buy_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), clicks AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), xy AS (
+        |  SELECT ln(buy_value) AS x, ln(click_value) AS y
+        |  FROM buys JOIN clicks ON buys.day = clicks.day
+        |), m AS (
+        |  SELECT covar_pop(y, x) AS sxy, var_pop(x) AS sxx, var_pop(y) AS syy,
+        |         avg(x) AS mx, avg(y) AS my, count(*) AS n
+        |  FROM xy
+        |)
+        |SELECT round(sxy / sxx, 6) AS slope,
+        |       round(my - (sxy / sxx) * mx, 6) AS intercept,
+        |       round(pow(sxy, 2) / (sxx * syy), 6) AS r2,
+        |       round(sqrt(syy * (1 - pow(sxy, 2) / (sxx * syy))), 6) AS rmse,
+        |       n
+        |FROM m""".stripMargin,
+
+    "q16_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q17_window_rank" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_shipdate FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem
+        |) WHERE rn <= 3""".stripMargin,
+
+    "q18_conditional_agg" ->
+      """SELECT user_id,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |       COALESCE(array_agg(event_id ORDER BY event_id)
+        |                FILTER (WHERE event_type = 'error'), []) AS error_ids
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q19_having_element" ->
+      """SELECT l_orderkey, r_cnt, a_cnt, r_parts, a_parts FROM (
+        |  SELECT l_orderkey,
+        |         count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS r_cnt,
+        |         count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS a_cnt,
+        |         COALESCE(array_agg(l_partkey ORDER BY l_partkey)
+        |                  FILTER (WHERE l_returnflag = 'R'), []) AS r_parts,
+        |         COALESCE(array_agg(l_partkey ORDER BY l_partkey)
+        |                  FILTER (WHERE l_returnflag = 'A'), []) AS a_parts
+        |  FROM lineitem GROUP BY l_orderkey
+        |) WHERE (r_cnt = 1 AND a_cnt = 1 AND r_parts[1] != a_parts[1])
+        |     OR (r_cnt > 1 AND a_cnt = 1)""".stripMargin,
+
+    "q20_flow_ledger" ->
+      """WITH flows AS (
+        |  SELECT l_orderkey, 'input' AS type,
+        |         -CAST(l_extendedprice / 100000000.0 AS DECIMAL(28,10)) AS val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'output' AS type,
+        |         CAST(l_extendedprice / 100000000.0 AS DECIMAL(28,10)) AS val
+        |  FROM lineitem
+        |)
+        |SELECT date_trunc('day', o_orderdate) AS day, type, n_name AS location,
+        |       CAST(sum(val) AS DOUBLE) AS flow, count(*) AS n_legs
+        |FROM flows
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 }

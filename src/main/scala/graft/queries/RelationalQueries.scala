@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Relational operator battery — one named query per operator family in
@@ -66,4 +67,276 @@ object RelationalQueries {
         col("event_type"))
       .groupBy(col("kind"), col("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** q4_explode — UNNEST/lateral flatten of an array column (SURVEY E1;
+    * btcolap.sql:52-53): tokenize documents and count token frequency.
+    * The filter after explode keeps output bounded; Catalyst pushes the
+    * projection below the Generate node so only `text` is scanned.
+    */
+  def q4Explode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 10)
+
+  /** q5_nest_roundtrip — re-nest with ARRAY_AGG then flatten again
+    * (SURVEY E2/E3; btcolap.sql:226-229 + 242-244): group lineitem rows
+    * into an array-of-struct per order (the shape of
+    * `transactions.inputs`), then double-explode back out. The oracle is
+    * the identity projection — proving explode∘nest ≡ id as a multiset.
+    */
+  def q5NestRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_partkey"), col("l_quantity"))).as("legs"))
+      .select(col("l_orderkey"), explode(col("legs")).as("leg"))
+      .select(col("l_orderkey"), col("leg.l_partkey").as("l_partkey"),
+              col("leg.l_quantity").as("l_quantity"))
+
+  /** q6_dedup_keepfirst — D1 keep-first window dedup (btcolap.sql:1-15,
+    * SURVEY W1): one row per customer — their earliest order, with a
+    * deterministic orderkey tiebreak (the reference's ORDER BY was
+    * arbitrary; the oracle harness needs determinism, SURVEY §7.3).
+    */
+  def q6DedupKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+  }
+
+  /** q7_dedup_removeall — D2 remove-ALL-duplicated-keys semantics
+    * (btcolap.sql:289-298): every order with more than one lineitem
+    * vanishes entirely (NOT keep-first — the regression-prone variant,
+    * SURVEY §7.3). A window count avoids the reference's self-join; at
+    * scale this is one shuffle on the key instead of two.
+    */
+  def q7DedupRemoveAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+    Tables.lineitem(spark, sfDir)
+      .withColumn("key_cnt", count(lit(1)).over(w))
+      .filter(col("key_cnt") === 1)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+              col("l_quantity"))
+  }
+
+  /** q8_dedup_nullmask — D3 windowed CASE NULL-masking (dupedeleter
+    * .sql:1-15): keep every row but null the measure on duplicates of
+    * the key so later SUMs don't double-count. Row count is preserved.
+    */
+  def q8DedupNullMask(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        when(col("rn") > 1, lit(null)).otherwise(col("l_quantity")).as("l_quantity"))
+  }
+
+  /** q9_dupe_audit — D4 duplicate-audit invariant query (btcolap
+    * .sql:17-31): GROUP BY key HAVING COUNT(*)>1 ORDER BY count DESC.
+    */
+  def q9DupeAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("occurrence_count"))
+      .filter(col("occurrence_count") > 1)
+      .orderBy(desc("occurrence_count"), col("l_partkey"), col("l_suppkey"))
+
+  /** q10_union_all — O4 bag union of signed in/out legs (btcolap
+    * .sql:136-140): purchases as positive flow, errors as negated flow,
+    * with literal type tags. unionByName guards against positional
+    * drift (SURVEY §7.3).
+    */
+  def q10UnionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val inLeg = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), lit("input").as("type"),
+              (-col("value")).as("val"))
+    val outLeg = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), lit("output").as("type"),
+              col("value").as("val"))
+    inLeg.unionByName(outLeg)
+  }
+
+  /** q11_union_distinct — O5/D5 set-semantics union (btcolap.sql:280,308). */
+  def q11UnionDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nkey"))
+      .unionByName(
+        Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nkey")))
+      .distinct()
+
+  /** q12_join_broadcast — J1/J4 dimension-enrichment joins (btcolap
+    * .sql:429-430): fact → nation → region with explicit broadcast()
+    * hints. At 100 TB the fact side never shuffles for these joins —
+    * both dims ship to every executor.
+    */
+  def q12JoinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+           moneySum(col("c_acctbal")).as("sum_bal"))
+
+  /** q13_join_semi — J6 IN-subquery as a left-semi join (btcolap
+    * .sql:3-15): orders whose customer is in the BUILDING segment.
+    * Semi-join never widens rows, and Spark broadcasts the filtered
+    * key set.
+    */
+  def q13JoinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val buildingCust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    Tables.orders(spark, sfDir)
+      .join(broadcast(buildingCust), col("o_custkey") === col("c_custkey"),
+            "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           moneySum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Daily purchase/click series used by q14/q15 — the reference's
+    * daily-aggregate + inner-merge shape (btc_logregression_pre.py:14-49,
+    * SURVEY A1/A2/J5).
+    */
+  private[graft] def dailySeries(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def daily(t: String, alias: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(moneySum(col("value")).as(alias))
+    daily("purchase", "buy_value").join(daily("click", "click_value"), Seq("day"))
+  }
+
+  /** q14_daily_series — A2 time-bucketed aggregation + J5 cross-series
+    * inner join on the day bucket.
+    */
+  def q14DailySeries(spark: SparkSession, sfDir: String): DataFrame =
+    dailySeries(spark, sfDir)
+
+  /** q15_ols_daily — M1/M2 closed-form log-log OLS with diagnostics
+    * (btc_logregression_pre.py:77-117): slope, intercept, R², RMSE and n
+    * computed in ONE aggregate pass via population moments — no collect,
+    * no iteration, scales to any number of days. Results rounded to 6dp
+    * since Spark and DuckDB accumulate moments in different orders.
+    */
+  def q15OlsDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = dailySeries(spark, sfDir)
+      .select(log(col("buy_value")).as("x"), log(col("click_value")).as("y"))
+    d.agg(
+        covar_pop(col("y"), col("x")).as("sxy"),
+        var_pop(col("x")).as("sxx"),
+        var_pop(col("y")).as("syy"),
+        avg(col("x")).as("mx"),
+        avg(col("y")).as("my"),
+        count(lit(1)).as("n"))
+      .select(
+        round(col("sxy") / col("sxx"), 6).as("slope"),
+        round(col("my") - (col("sxy") / col("sxx")) * col("mx"), 6).as("intercept"),
+        round(pow(col("sxy"), 2) / (col("sxx") * col("syy")), 6).as("r2"),
+        round(sqrt(col("syy") * (lit(1) - pow(col("sxy"), 2) / (col("sxx") * col("syy")))), 6).as("rmse"),
+        col("n"))
+  }
+
+  /** q16_topn — O1/O2/O3 deterministic global top-k: full ORDER BY before
+    * LIMIT (the reference's bare LIMIT 10 at btcolap.sql:153 is
+    * nondeterministic — SURVEY §7.3). Spark plans this as TakeOrdered
+    * (per-partition heap + merge), no global sort materialization.
+    */
+  def q16TopN(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** q17_window_rank — W1/W2 ROW_NUMBER per partition with full
+    * deterministic tiebreak; top-3 lineitems per supplier by ship date.
+    */
+  def q17WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+              col("l_linenumber"), col("l_shipdate"))
+  }
+
+  /** q18_conditional_agg — A3/A4/P8 conditional count + conditional
+    * ARRAY_AGG IGNORE NULLS (btcolap.sql:224-227). collect_list drops
+    * the CASE's nulls exactly like IGNORE NULLS; sort_array makes the
+    * array deterministic under parallel aggregation.
+    */
+  def q18ConditionalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        sort_array(collect_list(when(col("event_type") === "error",
+                                     col("event_id")))).as("error_ids"))
+
+  /** q19_having_element — A6/P11 multi-key group + compound HAVING with
+    * array element access (btcolap.sql:229-231): per order, flag-R vs
+    * flag-A legs must be a 1:1 pair with differing first parts, or a
+    * many:1 fan-in. try_element_at ≡ DuckDB's arr[i] (NULL past the end,
+    * never an ANSI error).
+    */
+  def q19HavingElement(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(when(col("l_returnflag") === "R", 1)).as("r_cnt"),
+        count(when(col("l_returnflag") === "A", 1)).as("a_cnt"),
+        sort_array(collect_list(when(col("l_returnflag") === "R", col("l_partkey")))).as("r_parts"),
+        sort_array(collect_list(when(col("l_returnflag") === "A", col("l_partkey")))).as("a_parts"))
+      .filter(
+        (col("r_cnt") === 1 && col("a_cnt") === 1 &&
+          try_element_at(col("r_parts"), lit(1)) =!= try_element_at(col("a_parts"), lit(1))) ||
+        (col("r_cnt") > 1 && col("a_cnt") === 1))
+      .select(col("l_orderkey"), col("r_cnt"), col("a_cnt"),
+              col("r_parts"), col("a_parts"))
+
+  /** q20_flow_ledger — the reference's full flow-ledger pipeline shape
+    * (btcolap.sql:316-451) on the synthetic star schema: two signed
+    * legs from the fact, UNION ALL, date-split filter, dimension
+    * enrichment via broadcast, daily aggregation by flow direction and
+    * location. This is EP1 end-to-end in one declarative plan — at
+    * scale: one shuffle for the fact join on orderkey (or none if
+    * co-bucketed), broadcasts for the dims, partial aggs before the
+    * final small shuffle.
+    */
+  def q20FlowLedger(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    // satoshi→BTC-style scaling: /1e8 lands exactly on the 10dp decimal grid
+    val scaled = (col("l_extendedprice") / lit(1e8)).cast("decimal(28,10)")
+    val inLeg = li.select(col("l_orderkey"), lit("input").as("type"),
+                          (-scaled).as("val"))
+    val outLeg = li.select(col("l_orderkey"), lit("output").as("type"),
+                           scaled.as("val"))
+    val flows = inLeg.unionByName(outLeg)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name").as("location"))
+    flows
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
+               col("type"), col("location"))
+      .agg(sum(col("val")).cast("double").as("flow"),
+           count(lit(1)).as("n_legs"))
+  }
 }
