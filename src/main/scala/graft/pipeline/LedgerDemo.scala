@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model.{Transaction, TxLeg}
+import graft.ops.{DailyAgg, Enrich, Flows}
+import graft.analytics.Ols
+
+/** Runnable demonstration of the domain pipeline at its package
+  * boundary: mini blockchain → BtcPipeline.run → located ledgers →
+  * daily series → OLS. Usage: scripts/run_main.sh graft.pipeline.LedgerDemo [outDir]
+  */
+object LedgerDemo {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("ledger_demo").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val txs = Seq(
+      Transaction("tx1", t("2021-09-20 10:00:00"), 1L, 1L, 1L,
+        Seq(TxLeg(Seq("addrA"), BigDecimal(150000000L))),
+        Seq(TxLeg(Seq("addrB"), BigDecimal(149000000L)))),
+      Transaction("tx2", t("2021-09-26 12:00:00"), 2L, 1L, 1L,
+        Seq(TxLeg(Seq("addrB"), BigDecimal(50000000L))),
+        Seq(TxLeg(Seq("addrC"), BigDecimal(49000000L))))
+    ).toDF()
+    val flatIn = txs.select($"block_timestamp", $"hash".as("transaction_hash"),
+      $"block_number", explode($"inputs.addresses").as("addresses"))
+    val flatOut = txs.select($"block_timestamp", $"hash".as("transaction_hash"),
+      $"block_number", explode($"outputs.addresses").as("addresses"))
+    val book = Seq(("exchA", "addrA"), ("exchB", "addrC")).toDF("wallet", "address")
+    val dimPath = java.nio.file.Files.createTempFile("wallet_loc", ".ndjson")
+    java.nio.file.Files.writeString(dimPath,
+      "{\"wallet\":\"exchA\",\"location\":\"China\"}\n" +
+      "{\"wallet\":\"exchB\",\"location\":\"Russia\",\"Unnamed: 2\":\"junk\"}\n")
+    val dim = Enrich.loadWalletLocation(spark, dimPath.toString)
+
+    val (pre, post) = new BtcPipeline(spark, outDir).run(txs, flatIn, flatOut, book, dim)
+    println(s"== pre ledger (${pre.count()} rows) ==");  pre.show(false)
+    println(s"== post ledger (${post.count()} rows) =="); post.show(false)
+
+    val flow = Flows.simpleFlow(txs)
+    val merged = DailyAgg.merge(
+      DailyAgg.dailyFlow(flow.filter($"type" === "input"), negate = true, "x"),
+      DailyAgg.dailyFlow(flow.filter($"type" === "output"), negate = false, "y"))
+    println("== daily series =="); merged.orderBy("date").show(false)
+    println(s"== OLS == ${Ols.fit(merged, "x", "y")}")
+    println(s"OUTDIR=$outDir")
+    spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+class OlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact fit on a perfect line: slope/intercept recovered, r2=1, rmse=0") {
+    val df = (1 to 20).map(i => (i.toDouble, 3.5 * i + 2.0)).toDF("x", "y")
+    val fit = Ols.fit(df, "x", "y")
+    assert(math.abs(fit.slope - 3.5) < 1e-9)
+    assert(math.abs(fit.intercept - 2.0) < 1e-9)
+    assert(math.abs(fit.r2 - 1.0) < 1e-12)
+    assert(fit.rmse < 1e-9)
+    assert(fit.n == 20)
+  }
+
+  test("log-log fit recovers a power law y = c * x^k") {
+    val (k, c) = (1.7, 4.2)
+    val df = (1 to 50).map { i =>
+      val x = i * 10.0; (x, c * math.pow(x, k))
+    }.toDF("x", "y")
+    val fit = Ols.fit(df, "x", "y", logLog = true)
+    assert(math.abs(fit.slope - k) < 1e-9)          // exponent
+    assert(math.abs(fit.intercept - math.log(c)) < 1e-9)
+  }
+
+  test("noisy fit matches closed-form computed locally; dropna applied") {
+    val xs = (1 to 100).map(_.toDouble)
+    val ys = xs.map(x => 2.0 * x + 5.0 + math.sin(x) * 10.0)
+    val rows = xs.zip(ys).map { case (x, y) => (Some(x), Some(y)) } :+
+      ((None: Option[Double], Some(1.0))) // null row dropped
+    val df = rows.toDF("x", "y")
+    val fit = Ols.fit(df, "x", "y")
+    val n = xs.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / n
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum / n
+    assert(fit.n == n)
+    assert(math.abs(fit.slope - sxy / sxx) < 1e-9)
+    assert(fit.tStat > 10) // strongly significant slope on near-linear data
+  }
+
+  test("withPrediction emits yhat and residual") {
+    val df = (1 to 10).map(i => (i.toDouble, 2.0 * i)).toDF("x", "y")
+    val fit = Ols.fit(df, "x", "y")
+    val out = Ols.withPrediction(df, "x", "y", fit)
+    assert(out.columns.toSet == Set("x", "y", "yhat", "residual"))
+    assert(out.selectExpr("max(abs(residual))").head().getDouble(0) < 1e-9)
+  }
+
+  test("M3 stratifiedSample caps rows per quantile bin deterministically") {
+    val df = (1 to 1000).map(i => (i, i.toDouble)).toDF("id", "v")
+    val out = Ols.stratifiedSample(df, "v", bins = 20, capPerBin = 5)
+    assert(out.count() == 100) // 20 bins × 5
+    val out2 = Ols.stratifiedSample(df, "v", bins = 20, capPerBin = 5)
+    assert(out.select("id").as[Int].collect().sorted.toSeq ==
+           out2.select("id").as[Int].collect().sorted.toSeq)
+  }
+}
