@@ -44,6 +44,18 @@ object SparkEntry {
     "q18_conditional_agg" -> (RelationalQueries.q18ConditionalAgg _),
     "q19_having_element" -> (RelationalQueries.q19HavingElement _),
     "q20_flow_ledger"    -> (RelationalQueries.q20FlowLedger _),
+    "t1_dedup_exact"     -> (TrainingQueries.t1DedupExact _),
+    "t2_dedup_minhash"   -> (TrainingQueries.t2DedupMinhash _),
+    "t3_dedup_simhash"   -> (TrainingQueries.t3DedupSimhash _),
+    "t4_ngram_jaccard"   -> (TrainingQueries.t4NgramJaccard _),
+    "t5_embed_topk"      -> (TrainingQueries.t5EmbedTopK _),
+    "t6_embed_ann"       -> (TrainingQueries.t6EmbedAnn _),
+    "t7_embed_neardup"   -> (TrainingQueries.t7EmbedNearDup _),
+    "t8_langid"          -> (TrainingQueries.t8LangId _),
+    "t9_quality"         -> (TrainingQueries.t9Quality _),
+    "t10_tokens"         -> (TrainingQueries.t10Tokens _),
+    "t11_fingerprint"    -> (TrainingQueries.t11Fingerprint _),
+    "t12_multimodal"     -> (TrainingQueries.t12Multimodal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding-vector math (SURVEY.md §7.4
+  * extension surface). A tight primitive-array loop per row — no object
+  * churn, no lambda-expression interpretation overhead like the
+  * `aggregate`/`zip_with` composition would have, and usable over both
+  * FLOAT and DOUBLE array columns. CodegenFallback is acceptable here:
+  * the loop body dominates cost, not the call boundary.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  protected def toDoubles(e: Expression, v: Any): Array[Double] =
+    elemType(e) match {
+      case FloatType =>
+        val f = v.asInstanceOf[ArrayData].toFloatArray()
+        val out = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+        out
+      case DoubleType => v.asInstanceOf[ArrayData].toDoubleArray()
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+}
+
+/** cosine(a, b) = a·b / (|a| |b|); NaN when either norm is zero. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = toDoubles(left, a)
+    val y = toDoubles(right, b)
+    require(x.length == y.length, s"dim mismatch: ${x.length} vs ${y.length}")
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Plain dot product. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = toDoubles(left, a)
+    val y = toDoubles(right, b)
+    require(x.length == y.length, s"dim mismatch: ${x.length} vs ${y.length}")
+    var dot = 0.0; var i = 0
+    while (i < x.length) { dot += x(i) * y(i); i += 1 }
+    dot
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Signed-random-projection (hyperplane) LSH signature: bit j of the
+  * result is the sign of vec · g_j, where g_j is a deterministic
+  * pseudo-random hyperplane derived from (seed, j, dim index) via
+  * splitmix64 — reproducible across executors with no broadcast state.
+  * Cosine-similar vectors agree on most bits (P[bit match] = 1 - θ/π).
+  */
+case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  require(numBits >= 1 && numBits <= 64, "numBits in [1,64]")
+  override def dataType: DataType = LongType
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  /** uniform in [-1, 1) — a symmetric weight is enough for sign-LSH. */
+  private def weight(j: Int, d: Int): Double =
+    splitmix64(seed * 0x100000001b3L + j.toLong * 0x1000193L + d).toDouble /
+      9.223372036854776e18
+
+  override def nullSafeEval(v: Any): Any = {
+    val elemT = child.dataType.asInstanceOf[ArrayType].elementType
+    val arr = v.asInstanceOf[ArrayData]
+    val x: Array[Double] = elemT match {
+      case FloatType  => arr.toFloatArray().map(_.toDouble)
+      case DoubleType => arr.toDoubleArray()
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+    var sig = 0L
+    var j = 0
+    while (j < numBits) {
+      var dot = 0.0; var d = 0
+      while (d < x.length) { dot += x(d) * weight(j, d); d += 1 }
+      if (dot >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object VectorFunctions {
+  import ColumnOps._
+  def cosine_sim(a: Column, b: Column): Column =
+    toColumn(CosineSimilarity(toExpr(a), toExpr(b)))
+  def dot_product(a: Column, b: Column): Column =
+    toColumn(DotProduct(toExpr(a), toExpr(b)))
+  def hyperplane_sig(v: Column, numBits: Int, seed: Long = 42L): Column =
+    toColumn(HyperplaneSignature(toExpr(v), numBits, seed))
+}

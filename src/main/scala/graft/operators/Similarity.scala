@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Baseline: brute-force cosine top-k — exact, one pass over the corpus
+  * per query batch (queries broadcast; no shuffle of the corpus side).
+  * Scale path: hyperplane-LSH bucketing — each vector lands in a
+  * prefix bucket; candidate generation joins on bucket equality and
+  * only candidates get exact scoring. Recall is tunable via
+  * bits/tables; the plumbing mirrors an IVF coarse quantizer with
+  * hash-defined centroids (no training pass needed, fully
+  * deterministic).
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * `queries`: (qid, qvec). Corpus never shuffles — queries broadcast
+    * to every corpus partition; the window's per-qid partition carries
+    * only corpus_size × |queries| scored rows, cut to k by rank.
+    * At very large corpus × query products, prefer `lshTopK`.
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"),
+              round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Approximate top-k via hyperplane-LSH bucketing: vectors sharing a
+    * signature prefix in ANY of `tables` independent hash tables become
+    * candidates; exact cosine ranks them. Multi-table OR-construction
+    * recovers recall lost to unlucky cuts.
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String, pfx: String) = {
+      val sigs = (0 until tables).map(t =>
+        hyperplane_sig(col(vec), bits, seed = 42L + t))
+      df.select(col(id).as(s"${pfx}id"), col(vec).as(s"${pfx}vec"),
+          posexplode(array(sigs: _*)).as(Seq("table", s"${pfx}bucket")))
+    }
+    val c = bucketed(corpus, idCol, vecCol, "c_")
+    val q = bucketed(queries, qidCol, qvecCol, "q_")
+    val cands = c.join(broadcast(q),
+        col("c_bucket") === col("q_bucket") &&
+        c("table") === q("table") &&
+        col("c_id") =!= col("q_id"))
+      .select(col("q_id").as("qid"), col("q_vec").as("qvec"),
+              col("c_id").as("id"), col("c_vec").as("vec"))
+      .dropDuplicates("qid", "id")
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"),
+              round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup modality):
+    * hyperplane-LSH candidates (full-signature buckets, multi-table),
+    * verified by exact cosine ≥ threshold.
+    */
+  def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, bits: Int = 16,
+                     tables: Int = 4): DataFrame = {
+    val sigs = (0 until tables).map(t =>
+      hyperplane_sig(col(vecCol), bits, seed = 42L + t))
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array(sigs: _*)).as(Seq("table", "bucket")))
+    b.as("l").join(b.as("r"),
+        col("l.table") === col("r.table") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("l.vec").as("vec_a"),
+              col("r.id").as("id_b"), col("r.vec").as("vec_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

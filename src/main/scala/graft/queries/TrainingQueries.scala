@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** Training-data-pipeline operators as oracle-checkable queries over the
+  * driver's `documents` and `embeddings` tables. Hash-based operators
+  * (MinHash/SimHash/LSH) have no DuckDB-expressible oracle — the driver
+  * records a rows-only check for those; deterministic seeds make them
+  * reproducible run-to-run regardless.
+  */
+object TrainingQueries {
+
+  /** t1_dedup_exact — exact text dedup: one surviving doc per distinct
+    * body (min doc_id), plus the duplicate count.
+    */
+  def t1DedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), length(col("text")).as("text_len"))
+
+  /** t2_dedup_minhash — MinHash+LSH near-dup pairs verified at
+    * Jaccard ≥ 0.8 (shingle 3-grams, 64 hashes × 16 bands).
+    */
+  def t2DedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    TextDedup.minhashNearDups(Tables.documents(spark, sfDir),
+      "text", "doc_id", threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** t3_dedup_simhash — SimHash fingerprints + exact Hamming-≤3 pairs
+    * via the pigeonhole chunk join.
+    */
+  def t3DedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    TextDedup.simhashNearDups(Tables.documents(spark, sfDir),
+      "text", "doc_id", maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** t4_ngram_jaccard — shared-rare-shingle candidates with exact
+    * n-gram Jaccard ≥ 0.5.
+    */
+  def t4NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
+      "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 20)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** t5_embed_topk — exact brute-force cosine top-5 neighbors for the
+    * first 10 vectors (deterministic query set). DuckDB oracle uses
+    * list_cosine_similarity over DOUBLE[] — both engines accumulate
+    * sequentially; results rounded to 6dp.
+    */
+  def t5EmbedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** t6_embed_ann — the same top-k via hyperplane-LSH buckets (the
+    * scale path). No SQL oracle (hash-derived buckets); rows-only.
+    */
+  def t6EmbedAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, bits = 8, tables = 8)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** t7_embed_neardup — embedding-cosine near-duplicate pairs via LSH
+    * candidates + exact verification. The synthetic embeddings are
+    * near-orthogonal (max pairwise cosine ≈ 0.51), so the demo
+    * threshold is 0.4 with wide-recall LSH params (4 bits × 16 tables
+    * ≈ 93% pair recall at that similarity); a production near-dup pass
+    * at ≥0.95 would use more bits and fewer tables.
+    */
+  def t7EmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosineNearDups(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** t8_langid — heuristic language ID; distribution by predicted vs
+    * labeled language (the labels are synthetic — the oracle-free check
+    * is determinism + the contingency shape).
+    */
+  def t8LangId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("predicted", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** t9_quality — length/punct/stopword quality metrics per doc. */
+  def t9Quality(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityMetrics(Tables.documents(spark, sfDir), "text")
+      .select(col("doc_id"), col("n_chars_m").as("n_chars_measured"),
+        col("n_tokens"), col("avg_token_len"),
+        col("punct_ratio"), col("stopword_ratio"))
+
+  /** t10_tokens — whitespace + BPE-ish regex token counts. */
+  def t10Tokens(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(spark, sfDir), "text")
+      .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"))
+
+  /** t11_fingerprint — rolling-hash + xxhash64 document fingerprints;
+    * duplicate-fingerprint audit folded in (fingerprint collision ⇒
+    * candidate exact dup).
+    */
+  def t11Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(spark, sfDir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** t12_multimodal — binary media plumbing end-to-end: synthesize
+    * binary rows from documents, batch-decode (stub codec), aggregate
+    * decoded metadata per media type.
+    */
+  def t12Multimodal(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val media = Multimodal.synthesize(Tables.documents(spark, sfDir), "doc_id", "text")
+    Multimodal.decodeAll(media).toDF()
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("byte_len")).as("total_bytes"),
+           max(col("width")).as("max_width"),
+           max(col("duration_ms")).as("max_duration_ms"))
+      .orderBy(col("media_type"))
+  }
+}

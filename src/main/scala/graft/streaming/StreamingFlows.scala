@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming ingest — the reference's stated-but-unbuilt
+  * fourth stage (README.md:3: Bitcoin Core + BitcoinETL streaming in
+  * place of BigQuery; SURVEY.md §2.10/§7.5). The batch operators in
+  * graft.ops are all DataFrame→DataFrame and stateless per-row, so they
+  * compose unchanged onto a readStream frame; this module adds the
+  * stateful pieces: watermarked windowed aggregation and
+  * within-watermark dedup.
+  */
+object StreamingFlows {
+
+  /** File-based streaming source (the BitcoinETL-drop-directory shape):
+    * new parquet files under `dir` become micro-batches.
+    */
+  def source(spark: SparkSession, dir: String, schema: StructType,
+             globFilter: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    globFilter.fold(r)(g => r.option("pathGlobFilter", g)).parquet(dir)
+  }
+
+  /** Daily flow aggregation as a streaming query: the batch
+    * `groupBy(date_trunc)` becomes a watermarked 1-day window —
+    * late rows beyond the watermark drop, state is bounded.
+    */
+  def dailyFlowAgg(stream: DataFrame, tsCol: String, typeCol: String,
+                   valCol: String, watermark: String = "1 day"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day").as("day_window"), col(typeCol))
+      .agg(sum(col(valCol)).as("total"), count(lit(1)).as("n"))
+      .select(col("day_window.start").as("day"), col(typeCol),
+              col("total"), col("n"))
+
+  /** Streaming D1 dedup: drop duplicate keys arriving within the
+    * watermark horizon (SURVEY §7.5 — `dropDuplicatesWithinWatermark`
+    * is the streaming analog of keep-first).
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String, watermark: String,
+                     keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Run a streaming frame to a named in-memory sink, processing
+    * everything currently available, then stop. Returns the result
+    * table. (Local harness: AvailableNow ≡ batch-complete semantics.)
+    */
+  def runAvailableNow(spark: SparkSession, streamed: DataFrame,
+                      name: String, outputMode: String = "append",
+                      timeoutMs: Long = 120000): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(timeoutMs)
+    if (q.isActive) q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim native expression: exact values on known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(-1.0f, -1.0f), -1.0),
+      (Array(3.0f, 4.0f), Array(6.0f, 8.0f), 1.0)
+    ).toDF("a", "b", "expected")
+    val out = df.select(cosine_sim($"a", $"b").as("c"), $"expected")
+      .as[(Double, Double)].collect()
+    out.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12) }
+  }
+
+  test("dot_product on double arrays") {
+    val d = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+      .select(dot_product($"a", $"b")).as[Double].head()
+    assert(d == 32.0)
+  }
+
+  private def corpus = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f)),   // near 2
+    (4L, Array(-1.0f, 0.0f, 0.0f)),  // anti of 0
+    (5L, Array(1.0f, 0.0f, 0.0f))    // exact dup of 0
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by exact cosine, excludes self") {
+    val queries = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3)
+      .select("rank", "id").as[(Int, Long)].collect().toMap
+    assert(out(1) == 5L) // identical vector first
+    assert(out(2) == 1L) // then the near one
+    assert(!out.values.toSet.contains(0L)) // self excluded
+  }
+
+  test("lshTopK finds identical and near vectors (same-bucket guarantee for dups)") {
+    val queries = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.lshTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, bits = 4, tables = 8)
+      .select("rank", "id").as[(Int, Long)].collect().toMap
+    assert(out(1) == 5L) // identical vector always shares every bucket
+  }
+
+  test("cosineNearDups verifies candidates with exact cosine") {
+    val out = Similarity.cosineNearDups(corpus, "vec_id", "embedding",
+        threshold = 0.99, bits = 4, tables = 8)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((0L, 5L)))
+    assert(out.find(r => (r._1, r._2) == ((0L, 5L))).get._3 == 1.0)
+    assert(!pairs.contains((0L, 4L))) // anti-parallel never passes
+  }
+
+  test("hyperplane signature is deterministic and seed-sensitive") {
+    val sigs = corpus.select($"vec_id",
+        hyperplane_sig($"embedding", 16, 42L).as("s1"),
+        hyperplane_sig($"embedding", 16, 42L).as("s2"),
+        hyperplane_sig($"embedding", 16, 43L).as("s3"))
+      .as[(Long, Long, Long, Long)].collect()
+    sigs.foreach { case (_, s1, s2, _) => assert(s1 == s2) }
+    assert(sigs.exists { case (_, s1, _, s3) => s1 != s3 })
+    // identical vectors → identical signatures
+    val m = sigs.map(s => s._1 -> s._2).toMap
+    assert(m(0L) == m(5L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                     // exact dup of 0
+    (2L, base + " tonight"),                        // near dup of 0/1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox sleeps under the lazy dog again and again today") // near dup, one word changed
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per distinct text") {
+    val out = TextDedup.exact(docs, "text", "doc_id")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 2L, 3L, 4L)) // 1 collapsed into 0
+  }
+
+  test("shingles produce overlapping word k-grams; short docs fall back to whole text") {
+    val sh = docs.filter($"doc_id" === 0)
+      .select(TextDedup.shingles($"text", 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh.head == "the quick brown")
+    assert(sh(1) == "quick brown fox")
+    assert(sh.size == base.split(" ").length - 2)
+    val short = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+      .select(TextDedup.shingles($"text", 5).as("sh")).as[Seq[String]].head()
+    assert(short == Seq("tiny doc"))
+  }
+
+  test("minhash near-dups: exact+near pairs found, dissimilar not paired") {
+    val pairs = TextDedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))       // identical: jaccard 1.0
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc stays out
+  }
+
+  test("minhash jaccard on identical docs is exactly 1.0") {
+    val j = TextDedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.9)
+      .filter($"id_a" === 0 && $"id_b" === 1)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs share a fingerprint; near-dups within Hamming 3") {
+    val sh = TextDedup.simhash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    val pairs = TextDedup.simhashNearDups(docs, "text", "doc_id", maxDist = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((0L, 1L)))
+    assert(pairs.find(p => (p._1, p._2) == ((0L, 1L))).get._3 == 0)
+    assert(!pairSet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard pairs with hand-checked similarity") {
+    val out = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleK = 3, minJaccard = 0.3, maxDf = 10)
+    val m = out.as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(m((0L, 1L)) == 1.0)
+    // doc4 swaps words 4-5 of 13 ("jumps over"→"sleeps under"): shingle
+    // starts {2,3,4,5} break → |∩|=7 of 11 each, |∪|=15 → 7/15
+    assert(math.abs(m((0L, 4L)) - 7.0 / 15.0) < 1e-6)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamingFlowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming daily agg over the events drop-dir matches the batch result") {
+    val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = StreamingFlows.source(spark, sfDir, batchRaw.schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val agg = StreamingFlows.dailyFlowAgg(stream, "ts", "event_type", "value")
+    val got = StreamingFlows.runAvailableNow(spark, agg, "daily_stream")
+      .select($"day", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    // Append mode emits only windows FINALIZED by the watermark: a day
+    // window emits once watermark (= max ts - 1 day) passes its end, so
+    // the final two days are legitimately withheld at end-of-stream.
+    val maxTs = graft.Tables.events(spark, sfDir)
+      .agg(max($"ts")).head().getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(
+      maxTs.toInstant.minus(java.time.Duration.ofDays(1)))
+    val expected = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter(date_add($"day", 1).cast("timestamp") <= lit(cutoff))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = StreamingFlows.source(spark, sfDir, batchRaw.schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val dedup = StreamingFlows.streamingDedup(stream, "ts", "1 day", Seq("user_id"))
+    val got = StreamingFlows.runAvailableNow(spark, dedup, "dedup_stream")
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(got.count() == users) // one survivor per user
+  }
+}
