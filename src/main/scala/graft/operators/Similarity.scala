@@ -55,13 +55,18 @@ object Similarity {
     }
     val c = bucketed(corpus, idCol, vecCol, "c_")
     val q = bucketed(queries, qidCol, qvecCol, "q_")
-    val cands = c.join(broadcast(q),
+    // candidate (qid, id) pairs dedup as bare ids — vectors rejoin
+    // AFTER the distinct so no shuffle ever carries embeddings
+    val candIds = c.drop("c_vec").join(broadcast(q.drop("q_vec")),
         col("c_bucket") === col("q_bucket") &&
         c("table") === q("table") &&
         col("c_id") =!= col("q_id"))
-      .select(col("q_id").as("qid"), col("q_vec").as("qvec"),
-              col("c_id").as("id"), col("c_vec").as("vec"))
+      .select(col("q_id").as("qid"), col("c_id").as("id"))
       .dropDuplicates("qid", "id")
+    val cands = candIds
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+      .join(broadcast(queries.select(col(qidCol).as("qid"),
+                                     col(qvecCol).as("qvec"))), "qid")
       .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("id"))
     cands.withColumn("rank", row_number().over(w))
@@ -79,15 +84,19 @@ object Similarity {
                      tables: Int = 4): DataFrame = {
     val sigs = (0 until tables).map(t =>
       hyperplane_sig(col(vecCol), bits, seed = 42L + t))
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val b = corpus.select(col(idCol).as("id"),
       posexplode(array(sigs: _*)).as(Seq("table", "bucket")))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // id-only candidate generation + distinct, then two vector joins —
+    // the (potentially quadratic) bucket join never moves embeddings
     b.as("l").join(b.as("r"),
         col("l.table") === col("r.table") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("l.vec").as("vec_a"),
-              col("r.id").as("id_b"), col("r.vec").as("vec_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.toDF("id_a", "vec_a"), "id_a")
+      .join(vecs.toDF("id_b", "vec_b"), "id_b")
       .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

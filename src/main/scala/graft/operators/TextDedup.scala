@@ -48,14 +48,27 @@ object TextDedup {
       .drop("__rn", "__digest")
   }
 
-  /** MinHash signature as ARRAY<LONG>: element i = min over shingles of
-    * xxhash64(shingle, i) — seeding by index replaces the classic
-    * (a·x+b) mod p permutation family and stays overflow-safe under
-    * ANSI mode.
+  /** MinHash signatures as 64 aggregate columns folded into ARRAY<LONG>:
+    * explode to one row per (doc, shingle), then min(xxhash64(sh, i))
+    * per permutation inside ONE codegen'd partial-aggregating groupBy.
+    * Seeding xxhash64 by index replaces the classic (a·x+b) mod p
+    * permutation family and stays overflow-safe under ANSI mode.
+    *
+    * (The tempting array-expression form — transform(seq, i ->
+    * array_min(transform(shingles, ...))) — lets Catalyst's projection
+    * collapse inline the shingle construction into every lambda
+    * evaluation: O(bands × hashes) recomputation per doc. The
+    * explode→agg shape computes each shingle exactly once and shuffles
+    * only partial minima.)
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        shingleK: Int, numHashes: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleK)).as("sh"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))))
+    exploded.groupBy(col("id"))
+      .agg(array(mins: _*).as("sig"))
+  }
 
   /** Candidate near-dup pairs via banded LSH over the MinHash signature:
     * docs sharing any band bucket pair up. numHashes = bands × rowsPerBand.
@@ -65,9 +78,7 @@ object TextDedup {
                         shingleK: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sig = minhashSignatures(docs, textCol, idCol, shingleK, numHashes)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b)))
@@ -80,6 +91,17 @@ object TextDedup {
       .distinct()
   }
 
+  /** Distinct shingle-HASH set per doc: Jaccard over 8-byte hashes is
+    * identical to Jaccard over the strings (collisions aside) and makes
+    * the verification intersect/union long-typed — no string compares,
+    * no string shuffles.
+    */
+  private def hashedShingleSets(docs: DataFrame, textCol: String,
+                                idCol: String, shingleK: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      array_distinct(transform(shingles(col(textCol), shingleK),
+        s => xxhash64(s))).as("sh"))
+
   /** MinHash+LSH near-dup pairs, verified: candidates whose exact
     * shingle-set Jaccard ≥ threshold. The verify join re-reads only the
     * candidate docs (semi-joined), so verification cost is proportional
@@ -89,8 +111,7 @@ object TextDedup {
                       threshold: Double, shingleK: Int = 3,
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(docs, textCol, idCol, shingleK, numHashes, bands)
-    val sets = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    val sets = hashedShingleSets(docs, textCol, idCol, shingleK)
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -140,14 +161,20 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.5,
                         maxDf: Int = 10): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
-    val posting = sets.select(col("id"), explode(col("sh")).as("shingle"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
-    val cands = posting.as("l").join(posting.as("r"),
-        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val sets = hashedShingleSets(docs, textCol, idCol, shingleK)
+    // posting-list candidate generation: ONE groupBy(shingle-hash)
+    // shuffle, df cap applied on the grouped list, pairs expanded
+    // in-array — no window pass, no self-join (which would shuffle the
+    // posting list twice and re-scan the corpus)
+    val posting = sets.select(col("id"), explode(col("sh")).as("shash"))
+    val grouped = posting.groupBy(col("shash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+    val cands = grouped
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

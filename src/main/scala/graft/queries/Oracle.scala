@@ -187,6 +187,12 @@ object Oracle {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    "q21_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(props->>'k' AS INT)) AS sum_k,
+        |       max(CAST(props->>'k' AS INT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "t1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
         |       length(text) AS text_len

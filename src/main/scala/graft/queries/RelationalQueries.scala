@@ -339,4 +339,18 @@ object RelationalQueries {
       .agg(sum(col("val")).cast("double").as("flow"),
            count(lit(1)).as("n_legs"))
   }
+
+  /** q21_json_extract — JSON field extraction from a string column (the
+    * NDJSON surface, SURVEY S3/§1.4): pull `k` out of events.props and
+    * aggregate. get_json_object evaluates per-row with no shuffle;
+    * the DuckDB twin is props->>'k'.
+    */
+  def q21JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k_val")).as("sum_k"),
+           max(col("k_val")).as("max_k"))
 }

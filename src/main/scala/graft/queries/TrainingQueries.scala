@@ -42,8 +42,11 @@ object TrainingQueries {
     * n-gram Jaccard ≥ 0.5.
     */
   def t4NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    // maxDf=10: the synthetic corpus has a ~40-word vocabulary, so
+    // 3-gram shingles collide heavily — candidate pairs scale ~df² per
+    // shingle and the df cap is the knob that keeps this linear-ish
     TextDedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
-      "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 20)
+      "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 10)
       .orderBy(col("id_a"), col("id_b"))
 
   /** t5_embed_topk — exact brute-force cosine top-5 neighbors for the
@@ -114,6 +117,17 @@ object TrainingQueries {
   def t11Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(spark, sfDir), "text", "doc_id")
       .orderBy(col("doc_id"))
+
+  /** t13_stratified_sample — M3 percentile-bin downsampling
+    * (btc_logregression_pre.py:53-70): 20 quantile bins over o_totalprice,
+    * ≤25 rows per bin, deterministic (hash-ordered cap). Rows-only check:
+    * the sample membership is hash-derived.
+    */
+  def t13StratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.Ols.stratifiedSample(
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+        "o_totalprice", bins = 20, capPerBin = 25)
+      .orderBy(col("o_orderkey"))
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
