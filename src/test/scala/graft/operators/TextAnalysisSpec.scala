@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the language with the strongest marker evidence") {
+    val docs = Seq(
+      (0L, "the house of a cat and a dog is warm"),       // en stopwords
+      (1L, "el perro de la casa y que bonito"),            // es stopwords
+      (2L, "le chat et la maison de un homme"),            // fr stopwords
+      (3L, "der hund und die katze das ist schön"),        // de stopwords + umlaut
+      (4L, "这是一个中文文档"),                              // zh charset
+      (5L, "xyzzy plugh qwfp")                             // no evidence
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en"); assert(out(1L) == "es"); assert(out(2L) == "fr")
+    assert(out(3L) == "de"); assert(out(4L) == "zh"); assert(out(5L) == "und")
+  }
+
+  test("qualityMetrics: hand-computed ratios") {
+    val docs = Seq((0L, "the cat, the hat!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityMetrics(docs, "text")
+      .select("n_chars_m", "n_tokens", "punct_ratio", "stopword_ratio")
+      .head()
+    assert(r.getInt(0) == 17)
+    assert(r.getInt(1) == 4)
+    assert(r.getDouble(2) == math.rint(2.0 / 17 * 1e6) / 1e6) // ',' and '!'
+    assert(r.getDouble(3) == 0.5)                             // 2× 'the' of 4
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish pieces") {
+    val docs = Seq((0L, "hello world42 x-y")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs, "text")
+      .select("ws_tokens", "bpeish_tokens").head()
+    assert(r.getInt(0) == 3)
+    // hello | world | 42 | x | - | y
+    assert(r.getInt(1) == 6)
+  }
+
+  test("rolling hash: deterministic, matches the closed-form polynomial") {
+    val out = Seq(("ab", 0L)).toDF("s", "ignore")
+      .select(TextFunctions.rolling_hash($"s", base = 31L)).as[Long].head()
+    assert(out == 'a'.toLong * 31 + 'b'.toLong)
+    // order sensitivity: "ab" != "ba"
+    val ba = Seq(("ba", 0L)).toDF("s", "ignore")
+      .select(TextFunctions.rolling_hash($"s", base = 31L)).as[Long].head()
+    assert(out != ba)
+  }
+
+  test("fingerprints join: identical texts share both hashes") {
+    val docs = Seq((0L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(docs, "text", "doc_id").collect()
+    val m = fp.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(0L) == m(1L))
+    assert(m(0L) != m(2L))
+  }
+}
