@@ -53,6 +53,33 @@ object LedgerDemo {
       DailyAgg.dailyFlow(flow.filter($"type" === "output"), negate = false, "y"))
     println("== daily series =="); merged.orderBy("date").show(false)
     println(s"== OLS == ${Ols.fit(merged, "x", "y")}")
+
+    // EP2 read path: cohort analysis — a denser synthetic ledger (the
+    // 2-tx pipeline ledger has no day carrying both series; the inner
+    // day-merge correctly yields nothing there)
+    val base = java.time.LocalDate.parse("2021-09-10")
+    val denseLedger = (0 until 28).flatMap { d =>
+      val day = java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay.plusHours(6))
+      val x = 5.0 + d
+      Seq((day, s"cx$d", "input", "China", "exchA", s"a$d", -x),
+          (day, s"cy$d", "output", "Russia", "exchB", s"b$d", 3.0 * math.pow(x, 1.2)))
+    }.toDF("block_timestamp", "txid", "type", "location", "wallet", "addr", "val")
+    val (cPre, cPost) = graft.analytics.CohortAnalysis.prePost(
+      denseLedger, "2021-09-24", outLocation = "China", inLocationNot = "China",
+      minFlow = 0.0)
+    println(s"== cohort pre  == n=${cPre.fit.n} slope=${cPre.fit.slope} r2=${cPre.fit.r2}")
+    println(s"== cohort post == n=${cPost.fit.n} slope=${cPost.fit.slope} r2=${cPost.fit.r2}")
+    cPre.daily.orderBy("date").show(5, truncate = false)
+
+    // Bucketed CTAS + shuffle-free aggregation on the bucket key
+    val bucketedLedger = graft.io.Writers.bucketed(
+      denseLedger, "demo_ledger_bucketed", numBuckets = 4, Seq("txid"))
+    val perTx = bucketedLedger.groupBy("txid").agg(sum("val").as("net"))
+    perTx.collect()
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(perTx.queryExecution.executedPlan.toString).length
+    println(s"== bucketed ledger == rows=${bucketedLedger.count()} " +
+      s"groupBy-shuffles=$shuffles (expect 0)")
     println(s"OUTDIR=$outDir")
     spark.stop()
   }
