@@ -129,6 +129,25 @@ object TrainingQueries {
         "o_totalprice", bins = 20, capPerBin = 25)
       .orderBy(col("o_orderkey"))
 
+  /** t14_streaming_daily — the Structured Streaming ingest path (the
+    * reference's roadmap stage, README.md:3) run to completion with an
+    * AvailableNow trigger: watermarked 1-day windowed aggregation over
+    * the events drop-directory, materialized to a memory sink. Only
+    * watermark-finalized windows emit (append mode), so the result is
+    * the batch daily aggregate minus the trailing unfinalized day(s) —
+    * deterministic, rows-only checked.
+    */
+  def t14StreamingDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val agg = StreamingFlows.dailyFlowAgg(stream, "ts", "event_type", "value")
+    StreamingFlows.runAvailableNow(spark, agg, s"t14_daily_${System.nanoTime}")
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.
