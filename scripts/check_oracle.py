@@ -38,13 +38,15 @@ for q in qdirs:
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         print(f"FAIL {q}: columns {gcols} vs oracle {ecols}"); fails += 1; continue
-    # Sort rows for comparison on hashable, non-float columns (floats may
-    # differ by ulps between engines; arrays aren't hashable). Every query
-    # carries a unique key among these columns.
+    # Sort rows for comparison on every non-array column. Float columns
+    # participate too: raw passthrough floats are bit-identical across
+    # engines (needed when the non-float columns aren't a unique key,
+    # e.g. q5's duplicate (orderkey, partkey) pairs), and computed float
+    # aggregates only ever differ by ulps on rows whose non-float group
+    # keys are already unique.
     def sortable(df):
         return [c for c in gcols
-                if df[c].dtype.kind not in "f" and
-                   not df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                if not df[c].map(lambda v: isinstance(v, (list, tuple)) or
                                  type(v).__name__ == "ndarray").any()]
     keys = sortable(got) or gcols
     try:

@@ -32,6 +32,9 @@ object Tables {
     * CAST(ts AS TIMESTAMP).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // defensive: the flag is a runtime SQL conf and the caller's session
+    // (e.g. the driver's own smoke harness) may not have set it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))

@@ -38,8 +38,11 @@ object CohortAnalysis {
     val inflow = DailyAgg.dailyFlow(
       ledger.filter(col("type") === "output" && col("location") =!= inLocationNot),
       negate = false, as = "inflow")
+    // minFlow thresholds the OUTFLOW series only (reference parity:
+    // df[df.txid_input > 1], pre.py:28); inflow just needs to be in the
+    // log domain (> 0) for the fit.
     val merged = DailyAgg.merge(outflow, inflow)
-      .filter(col("outflow") > minFlow && col("inflow") > minFlow)
+      .filter(col("outflow") > minFlow && col("inflow") > 0.0)
     val fit = Ols.fit(merged, "outflow", "inflow", logLog = true)
     val withPred =
       if (fit.n >= 2)

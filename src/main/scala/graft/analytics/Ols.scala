@@ -44,7 +44,9 @@ object Ols {
         count(lit(1)).as("n"))
       .head()
     val n = m.getLong(5)
-    if (n < 2 || m.isNullAt(0))
+    // degenerate inputs: no rows, a single row, or constant x (sxx = 0,
+    // vertical-line fit) — report NaN rather than Infinity artifacts
+    if (n < 2 || m.isNullAt(0) || m.getDouble(1) == 0.0)
       return Fit(Double.NaN, Double.NaN, Double.NaN, Double.NaN, n,
                  Double.NaN, Double.NaN)
     val (sxy, sxx, syy) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
@@ -55,7 +57,9 @@ object Ols {
     // SSE = n * var(y) * (1 - r2); rmse over n (population form)
     val sse = n * syy * (1 - r2)
     val rmse = math.sqrt(sse / n)
-    val seSlope = math.sqrt((sse / (n - 2)) / (n * sxx))
+    // slope std error needs n-2 residual dof — undefined for n == 2
+    val seSlope =
+      if (n > 2) math.sqrt((sse / (n - 2)) / (n * sxx)) else Double.NaN
     Fit(slope, intercept, r2, rmse, n, seSlope, slope / seSlope)
   }
 
@@ -69,14 +73,22 @@ object Ols {
 
   /** M3 — stratified percentile-bin downsampling ("smart_sampling",
     * btc_logregression_pre.py:53-70): `bins` quantile bins over
-    * `orderCol`, keep at most `capPerBin` rows per bin. The reference
-    * used pandas + RNG; here: ntile window + deterministic hash-ordered
-    * row_number cap — reproducible and fully distributed.
+    * `orderCol`, keep at most `capPerBin` rows per bin, with a
+    * deterministic hash-ordered cap. Reproducible and distributed:
+    * bin boundaries come from approxQuantile (a tiny driver-side
+    * result), and rows bucket by comparing against the broadcast
+    * boundary array — no global-window single-partition funnel (a bare
+    * ntile(n).over(Window.orderBy(...)) would pull every row through
+    * one task).
     */
   def stratifiedSample(df: DataFrame, orderCol: String, bins: Int,
-                       capPerBin: Int): DataFrame = {
+                       capPerBin: Int,
+                       quantileError: Double = 1e-4): DataFrame = {
+    val probes = (1 until bins).map(_.toDouble / bins).toArray
+    val bounds = df.stat.approxQuantile(orderCol, probes, quantileError)
+    val boundsCol = array(bounds.map(lit): _*)
     val binned = df.withColumn("__bin",
-      ntile(bins).over(Window.orderBy(col(orderCol))))
+      size(filter(boundsCol, b => b <= col(orderCol).cast("double"))))
     val w = Window.partitionBy(col("__bin"))
       .orderBy(xxhash64(struct(df.columns.map(col): _*)))
     binned.withColumn("__rn", row_number().over(w))

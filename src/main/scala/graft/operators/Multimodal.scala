@@ -68,7 +68,8 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 16,
                    stride: Int = 4): DataFrame = {
     val df = media.toDF()
-    df.filter(col("media_type") === "video")
+    df.filter(col("media_type") === "video" &&
+              length(col("media")) >= frameBytes) // too short ⇒ zero frames
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), greatest(lit(0),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -36,16 +35,20 @@ object TextDedup {
   }
 
   /** Exact dedup (hash-groupBy): one representative row per distinct
-    * text — deterministically the smallest `idCol`. Grouping happens on
-    * the 128-bit digest so the shuffle carries ids+hashes, never
-    * document bodies.
+    * text — deterministically the smallest `idCol`. The dedup decision
+    * aggregates (digest → min id) over ids+hashes only; retrieving the
+    * surviving rows is then a semi-join of the corpus against the
+    * (small) survivor id set, which AQE broadcasts when it fits —
+    * document bodies never ride the dedup shuffle. (A window over the
+    * digest would exchange every full row instead.)
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
-    docs.withColumn("__digest", md5(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__digest")
+    val survivors = docs
+      .select(col(idCol), md5(col(textCol)).as("__digest"))
+      .groupBy(col("__digest"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(survivors, Seq(idCol), "left_semi")
   }
 
   /** MinHash signatures as 64 aggregate columns folded into ARRAY<LONG>:
@@ -138,9 +141,12 @@ object TextDedup {
                       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
+    // Scala shifts are mod 64: 1L << 64 == 1L, which would zero the
+    // mask and cross-product the whole corpus for maxDist = 0
+    val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
     val sh = simhash(docs, textCol, idCol)
     val chunkCols = (0 until chunks).map(c =>
-      shiftright(col("simhash"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+      shiftright(col("simhash"), c * bitsPer).bitwiseAND(lit(chunkMask)))
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
     chunked.as("l").join(chunked.as("r"),

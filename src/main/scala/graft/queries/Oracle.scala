@@ -123,6 +123,7 @@ object Oracle {
         |), xy AS (
         |  SELECT ln(buy_value) AS x, ln(click_value) AS y
         |  FROM buys JOIN clicks ON buys.day = clicks.day
+        |  WHERE buy_value > 0 AND click_value > 0
         |), m AS (
         |  SELECT covar_pop(y, x) AS sxy, var_pop(x) AS sxx, var_pop(y) AS syy,
         |         avg(x) AS mx, avg(y) AS my, count(*) AS n

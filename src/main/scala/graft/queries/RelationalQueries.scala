@@ -210,10 +210,12 @@ object RelationalQueries {
   private[graft] def dailySeries(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     def daily(t: String, alias: String) =
-      ev.filter(col("event_type") === t)
-        .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(moneySum(col("value")).as(alias))
-    daily("purchase", "buy_value").join(daily("click", "click_value"), Seq("day"))
+      graft.ops.DailyAgg.daily(
+        ev.filter(col("event_type") === t), "ts",
+        moneySum(col("value")).as(alias))
+    graft.ops.DailyAgg.merge(
+        daily("purchase", "buy_value"), daily("click", "click_value"))
+      .withColumnRenamed("date", "day")
   }
 
   /** q14_daily_series — A2 time-bucketed aggregation + J5 cross-series
@@ -229,7 +231,10 @@ object RelationalQueries {
     * since Spark and DuckDB accumulate moments in different orders.
     */
   def q15OlsDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    // log-domain guard (≤0 sums would make ln null here and an error in
+    // DuckDB, and desync n from the null-skipping moment aggregates)
     val d = dailySeries(spark, sfDir)
+      .filter(col("buy_value") > 0.0 && col("click_value") > 0.0)
       .select(log(col("buy_value")).as("x"), log(col("click_value")).as("y"))
     d.agg(
         covar_pop(col("y"), col("x")).as("sxy"),
