@@ -75,21 +75,46 @@ object Similarity {
               round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (the fifth dedup modality):
-    * hyperplane-LSH candidates (full-signature buckets, multi-table),
-    * verified by exact cosine ≥ threshold.
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup modality).
+    *
+    * Two-stage, because real training corpora are dominated by EXACT
+    * duplicate vectors and flat LSH on them is quadratic (every copy of
+    * a hot vector lands in the same bucket — a 10×-replicated corpus
+    * turned the naive form into billions of candidate rows):
+    *
+    *  1. collapse identical vectors into clusters (hash of the vector
+    *     bytes; representative = min id) and emit (rep, member) pairs —
+    *     identical vectors have cosine exactly 1.0;
+    *  2. run hyperplane-LSH + exact-cosine verification over the
+    *     DISTINCT representatives only.
+    *
+    * Cross-cluster pairs are reported rep-to-rep (cluster-collapsed),
+    * which is the scale-correct answer shape: expanding them to all
+    * member combinations is a trivial join the caller can do, but its
+    * size is the product of cluster sizes.
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 16,
                      tables: Int = 4): DataFrame = {
+    val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val keyed = ids.withColumn("ckey", xxhash64(col("vec")))
+    val reps = keyed.groupBy(col("ckey"))
+      .agg(min(col("id")).as("id"), min_by(col("vec"), col("id")).as("vec"))
+    // stage 1: identical-vector membership pairs (rep id is the min, so
+    // rep < member always; cosine of identical vectors is exactly 1)
+    val memberPairs = keyed
+      .join(reps.select(col("ckey"), col("id").as("rep_id")), "ckey")
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"),
+              lit(1.0).as("cosine"))
+    // stage 2: LSH over distinct representatives; id-only candidate
+    // dedup, vectors rejoin after the distinct
     val sigs = (0 until tables).map(t =>
-      hyperplane_sig(col(vecCol), bits, seed = 42L + t))
-    val b = corpus.select(col(idCol).as("id"),
+      hyperplane_sig(col("vec"), bits, seed = 42L + t))
+    val b = reps.select(col("id"),
       posexplode(array(sigs: _*)).as(Seq("table", "bucket")))
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // id-only candidate generation + distinct, then two vector joins —
-    // the (potentially quadratic) bucket join never moves embeddings
-    b.as("l").join(b.as("r"),
+    val vecs = reps.select(col("id"), col("vec"))
+    val repPairs = b.as("l").join(b.as("r"),
         col("l.table") === col("r.table") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
@@ -99,6 +124,8 @@ object Similarity {
       .join(vecs.toDF("id_b", "vec_b"), "id_b")
       .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    memberPairs.unionByName(repPairs)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -28,10 +28,12 @@ object TextAnalysis {
   def langScores(text: Column): Seq[(String, Column)] = {
     val toks = split(lower(text), "\\s+")
     stopwords.toSeq.map { case (lang, words) =>
+      // count marker hits by probing the (tiny) marker array against the
+      // token array — no per-language distinct-set materialization
       val stopHits =
         if (words.isEmpty) lit(0)
-        else size(array_intersect(array_distinct(toks),
-                                  array(words.map(lit): _*)))
+        else words.map(w => when(array_contains(toks, w), 1).otherwise(0))
+               .reduce(_ + _)
       val charBoost = lang match {
         case "zh" => when(text.rlike("[\\u4e00-\\u9fff]"), 10).otherwise(0)
         case "de" => when(text.rlike("[äöüß]"), 2).otherwise(0)

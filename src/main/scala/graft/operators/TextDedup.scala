@@ -185,6 +185,10 @@ object TextDedup {
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      // size prefilter: J(A,B) ≥ t forces t·|B| ≤ |A| and t·|A| ≤ |B| —
+      // rejects most candidate pairs before the set intersection runs
+      .filter(size(col("sh_a")).cast("double") >= lit(minJaccard) * size(col("sh_b")) &&
+              size(col("sh_b")).cast("double") >= lit(minJaccard) * size(col("sh_a")))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))))

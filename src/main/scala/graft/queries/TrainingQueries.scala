@@ -26,27 +26,36 @@ object TrainingQueries {
     * Jaccard ≥ 0.8 (shingle 3-grams, 64 hashes × 16 bands).
     */
   def t2DedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
-    TextDedup.minhashNearDups(Tables.documents(spark, sfDir),
-      "text", "doc_id", threshold = 0.8)
+    // exact-dedup first: near-dup detection runs on distinct texts —
+    // the production composition (dup-heavy corpora would otherwise
+    // spend the whole budget re-verifying identical copies)
+    TextDedup.minhashNearDups(
+        TextDedup.exact(Tables.documents(spark, sfDir), "text", "doc_id"),
+        "text", "doc_id", threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
   /** t3_dedup_simhash — SimHash fingerprints + exact Hamming-≤3 pairs
     * via the pigeonhole chunk join.
     */
   def t3DedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    TextDedup.simhashNearDups(Tables.documents(spark, sfDir),
-      "text", "doc_id", maxDist = 3)
+    // exact-dedup first (see t2): identical texts share a fingerprint,
+    // so dup clusters would otherwise emit all C(k,2) Hamming-0 pairs
+    TextDedup.simhashNearDups(
+        TextDedup.exact(Tables.documents(spark, sfDir), "text", "doc_id"),
+        "text", "doc_id", maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** t4_ngram_jaccard — shared-rare-shingle candidates with exact
     * n-gram Jaccard ≥ 0.5.
     */
   def t4NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    // maxDf=10: the synthetic corpus has a ~40-word vocabulary, so
-    // 3-gram shingles collide heavily — candidate pairs scale ~df² per
-    // shingle and the df cap is the knob that keeps this linear-ish
-    TextDedup.ngramJaccardPairs(Tables.documents(spark, sfDir),
-      "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 10)
+    // exact-dedup first (see t2); maxDf=10 because the synthetic corpus
+    // has a ~40-word vocabulary, so 3-gram shingles collide heavily —
+    // candidate pairs scale ~df² per shingle and the df cap is the knob
+    // that keeps this linear-ish
+    TextDedup.ngramJaccardPairs(
+        TextDedup.exact(Tables.documents(spark, sfDir), "text", "doc_id"),
+        "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 10)
       .orderBy(col("id_a"), col("id_b"))
 
   /** t5_embed_topk — exact brute-force cosine top-5 neighbors for the
