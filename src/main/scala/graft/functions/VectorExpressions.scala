@@ -1,24 +1,32 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for embedding-vector math (SURVEY.md §7.4
-  * extension surface). A tight primitive-array loop per row — no object
-  * churn, no lambda-expression interpretation overhead like the
-  * `aggregate`/`zip_with` composition would have, and usable over both
-  * FLOAT and DOUBLE array columns. CodegenFallback is acceptable here:
-  * the loop body dominates cost, not the call boundary.
+  * extension surface). A tight primitive loop per row — no object churn,
+  * no lambda-expression interpretation overhead like the
+  * `aggregate`/`zip_with` composition would have — over both FLOAT and
+  * DOUBLE array columns. Full `doGenCode` so the loop inlines into the
+  * surrounding whole-stage-codegen span instead of breaking it
+  * (CodegenFallback would force interpreted eval with boxing at every
+  * call boundary).
   */
-abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Java ArrayData getter for this side's element type. */
+  protected def getter(e: Expression): String = elemType(e) match {
+    case FloatType  => "getFloat"
+    case DoubleType => "getDouble"
+    case t => throw new IllegalArgumentException(s"unsupported element type $t")
+  }
 
   protected def toDoubles(e: Expression, v: Any): Array[Double] =
     elemType(e) match {
@@ -47,6 +55,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot, nx, ny, x, y) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("dot"), ctx.freshName("nx"), ctx.freshName("ny"),
+        ctx.freshName("x"), ctx.freshName("y"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("dim mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = (double) $a.${getter(left)}($i);
+         |  final double $y = (double) $b.${getter(right)}($i);
+         |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -62,6 +91,24 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < x.length) { dot += x(i) * y(i); i += 1 }
     dot
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot) =
+        (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("dot"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("dim mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.${getter(left)}($i)) * ((double) $b.${getter(right)}($i));
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -61,6 +61,25 @@ object Multimodal {
     }
   }
 
+  /** Resize (stub): recompute target metadata preserving aspect ratio —
+    * the longest side shrinks to `maxSide`, never upscaling. A real
+    * implementation would transform pixels in the same mapPartitions
+    * shape as decodeAll; the metadata contract is what downstream
+    * consumers depend on.
+    */
+  def resize(decoded: Dataset[DecodedMedia], maxSide: Int): Dataset[DecodedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val longest = math.max(d.width, d.height)
+      if (longest <= maxSide || longest == 0) d
+      else {
+        val scale = maxSide.toDouble / longest
+        d.copy(width = math.max(1, math.round(d.width * scale).toInt),
+               height = math.max(1, math.round(d.height * scale).toInt))
+      }
+    }
+  }
+
   /** Frame sampling for video-typed rows: every `stride`-th fixed-size
     * byte window as one "frame" (a real implementation samples decoded
     * frames; the slicing/explode plumbing is identical).

@@ -37,6 +37,26 @@ class MultimodalSpec extends SparkSpec {
     assert(image.feature.length == 8)
   }
 
+  test("resize: aspect-preserving shrink, never upscales") {
+    implicit val s = spark
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    val decoded = Multimodal.decodeAll(media)
+    val resized = Multimodal.resize(decoded, maxSide = 100).collect()
+    resized.filter(_.media_type != "audio").foreach { d =>
+      assert(math.max(d.width, d.height) <= 100)
+      assert(d.width >= 1 && d.height >= 1)
+    }
+    // audio rows (0×0) pass through untouched
+    assert(resized.filter(_.media_type == "audio").forall(d => d.width == 0))
+    // aspect ratio approximately preserved for the shrunk rows
+    val orig = decoded.collect().map(d => d.doc_id -> d).toMap
+    resized.filter(d => math.max(orig(d.doc_id).width, orig(d.doc_id).height) > 100)
+      .foreach { d =>
+        val o = orig(d.doc_id)
+        assert(math.abs(d.width.toDouble / d.height - o.width.toDouble / o.height) < 0.1)
+      }
+  }
+
   test("sampleFrames: video rows explode into byte-window frames") {
     implicit val s = spark
     val media = Multimodal.synthesize(docs, "doc_id", "text")
