@@ -47,6 +47,7 @@ object SparkEntry {
     "q21_json_extract"   -> (RelationalQueries.q21JsonExtract _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
+    "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),
     "t1_dedup_exact"     -> (TrainingQueries.t1DedupExact _),
     "t2_dedup_minhash"   -> (TrainingQueries.t2DedupMinhash _),
     "t3_dedup_simhash"   -> (TrainingQueries.t3DedupSimhash _),

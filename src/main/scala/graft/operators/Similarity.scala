@@ -75,6 +75,61 @@ object Similarity {
               round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path: partition the corpus into `nlist` cells around centroid
+    * vectors, probe only the `nprobe` cells nearest each query, score
+    * candidates exactly.
+    *
+    * Centroids are a deterministic hash-sample of corpus vectors (no
+    * training pass, reproducible across runs/executors); a production
+    * build would Lloyd-iterate them but the cell/probe plumbing is
+    * identical. Cell assignment is an argmax over `nlist` codegen'd
+    * cosine expressions — one corpus scan, no shuffle; the probe join
+    * broadcasts the (qid, cell) pairs so the corpus shuffles once at
+    * most (by cell) regardless of query count.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    // deterministic centroid sample: the nlist corpus vectors with the
+    // smallest vector-hash (tiny collect; nlist rows)
+    val centroids: Array[Seq[Float]] = corpus
+      .select(col(vecCol).as("vec"))
+      .orderBy(xxhash64(col("vec")), col(vecCol).cast("string"))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](0))
+    def centCol(c: Seq[Float]) = typedLit(c)
+    // argmax over per-centroid cosine via array_max on (sim, idx)
+    // structs — linear expression size (a reduceLeft of when(...) would
+    // duplicate the accumulated subtree per step: 2^nlist nodes)
+    def cellOf(vec: org.apache.spark.sql.Column) =
+      array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine_sim(vec, centCol(c)).as("s"), lit(i).as("i")) }: _*))
+        .getField("i")
+    // top-nprobe cells per query (queries are small; computed the same way)
+    def probeCells(qvec: org.apache.spark.sql.Column) = {
+      val sims = centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine_sim(qvec, centCol(c)).as("s"), lit(i).as("i")) }
+      slice(reverse(array_sort(array(sims: _*))), 1, nprobe)
+    }
+    val cells = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", cellOf(col("vec")))
+    val probes = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+              explode(probeCells(col(qvecCol))).as("probe"))
+      .select(col("qid"), col("qvec"), col("probe.i").as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"),
+              round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality).
     *
     * Two-stage, because real training corpora are dominated by EXACT

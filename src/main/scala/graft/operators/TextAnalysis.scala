@@ -49,9 +49,13 @@ object TextAnalysis {
     * evidence. Deterministic tie-break by language code.
     */
   def langId(text: Column): Column = {
+    // array_max argmax on (score, lang) structs — linear expression
+    // size (a when(...)-chain reduce duplicates the accumulated subtree
+    // per step). Struct ordering compares score then lang, so tied
+    // scores deterministically take the later language code.
     val scores = langScores(text).sortBy(_._1)
-    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
-      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    val best = array_max(array(scores.map { case (lang, s) =>
+      struct(s.as("s"), lit(lang).as("l")) }: _*))
     when(best.getField("s") <= 0, "und").otherwise(best.getField("l"))
   }
 

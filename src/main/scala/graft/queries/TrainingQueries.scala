@@ -84,6 +84,19 @@ object TrainingQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** t15_embed_ivf — the IVF coarse-quantizer ANN path: 16 hash-sampled
+    * centroid cells, probe the 4 nearest per query, exact-cosine rank.
+    * Rows-only (cell membership is hash-derived) but deterministic.
+    */
+  def t15EmbedIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 4)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** t7_embed_neardup — embedding-cosine near-duplicate pairs via LSH
     * candidates + exact verification. The synthetic embeddings are
     * near-orthogonal (max pairwise cosine ≈ 0.51), so the demo

@@ -55,6 +55,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) == 5L) // identical vector always shares every bucket
   }
 
+  test("ivfTopK: identical vector always found (same cell as its query)") {
+    val queries = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, nlist = 3, nprobe = 2)
+      .select("rank", "id").as[(Int, Long)].collect().toMap
+    assert(out(1) == 5L) // the duplicate of vector 0 ranks first
+    assert(!out.values.toSet.contains(0L))
+  }
+
   test("cosineNearDups verifies candidates with exact cosine") {
     val out = Similarity.cosineNearDups(corpus, "vec_id", "embedding",
         threshold = 0.99, bits = 4, tables = 8)
