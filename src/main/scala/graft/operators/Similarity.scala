@@ -91,12 +91,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Row
-    // deterministic centroid sample: the nlist corpus vectors with the
-    // smallest vector-hash (tiny collect; nlist rows)
+    // deterministic centroid sample: the nlist DISTINCT corpus vectors
+    // with the smallest vector-hash (tiny collect; nlist rows). Without
+    // distinct, a hot duplicated vector could supply every centroid and
+    // collapse the index to one cell.
     val centroids: Array[Seq[Float]] = corpus
       .select(col(vecCol).as("vec"))
-      .orderBy(xxhash64(col("vec")), col(vecCol).cast("string"))
+      .distinct()
+      .orderBy(xxhash64(col("vec")), col("vec").cast("string"))
       .limit(nlist)
       .collect()
       .map(_.getSeq[Float](0))
@@ -152,13 +154,16 @@ object Similarity {
                      threshold: Double, bits: Int = 16,
                      tables: Int = 4): DataFrame = {
     val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val keyed = ids.withColumn("ckey", xxhash64(col("vec")))
-    val reps = keyed.groupBy(col("ckey"))
-      .agg(min(col("id")).as("id"), min_by(col("vec"), col("id")).as("vec"))
+    // group by the vector VALUE (arrays group fine; ~hundreds of bytes
+    // per key) — grouping by a 64-bit vector hash would merge colliding
+    // distinct vectors into false dup pairs at billion-row scale
+    val reps = ids.groupBy(col("vec")).agg(min(col("id")).as("id"))
     // stage 1: identical-vector membership pairs (rep id is the min, so
-    // rep < member always; cosine of identical vectors is exactly 1)
-    val memberPairs = keyed
-      .join(reps.select(col("ckey"), col("id").as("rep_id")), "ckey")
+    // rep < member always; cosine of identical vectors is exactly 1).
+    // NOTE: reps is referenced by both stages — callers running this
+    // repeatedly over one corpus should persist the corpus projection.
+    val memberPairs = ids
+      .join(reps.select(col("vec"), col("id").as("rep_id")), "vec")
       .filter(col("id") =!= col("rep_id"))
       .select(col("rep_id").as("id_a"), col("id").as("id_b"),
               lit(1.0).as("cosine"))

@@ -46,7 +46,8 @@ object TextAnalysis {
   }
 
   /** Predicted language column: argmax of langScores, 'und' when no
-    * evidence. Deterministic tie-break by language code.
+    * evidence. Tied scores deterministically take the LATER language
+    * code (struct-ordering comparison on (score, lang)).
     */
   def langId(text: Column): Column = {
     // array_max argmax on (score, lang) structs — linear expression

@@ -94,6 +94,20 @@ object TextDedup {
       .distinct()
   }
 
+  /** Exact-duplicate clusters as (rep, member) pairs: for every doc
+    * whose text equals another's, one row pairing it with the cluster
+    * representative (min id). Near-dup pipelines that exact-dedup first
+    * union these back in so collapsed duplicates — the strongest
+    * near-dups — still appear in the pair output.
+    */
+  def exactClusters(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), md5(col(textCol)).as("__digest"))
+    val reps = keyed.groupBy(col("__digest")).agg(min(col("id")).as("rep_id"))
+    keyed.join(reps, "__digest")
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+  }
+
   /** Distinct shingle-HASH set per doc: Jaccard over 8-byte hashes is
     * identical to Jaccard over the strings (collisions aside) and makes
     * the verification intersect/union long-typed — no string compares,

@@ -26,14 +26,11 @@ case class SmallDimBroadcast(thresholdBytes: Long) extends Rule[LogicalPlan] {
   private def small(p: LogicalPlan): Boolean =
     p.stats.sizeInBytes >= 0 && p.stats.sizeInBytes <= thresholdBytes
 
-  private def hinted(p: LogicalPlan): Boolean = p match {
-    case ResolvedHint(_, hint) => hint.strategy.isDefined
-    case _ => false
-  }
-
+  // (user hints are already merged into Join.hint before optimizer
+  // rules run — EliminateResolvedHint is first — so matching
+  // JoinHint.NONE is the complete "no existing hint" guard)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, _: InnerLike, _, JoinHint.NONE)
-        if !hinted(left) && !hinted(right) =>
+    case j @ Join(left, right, _: InnerLike, _, JoinHint.NONE) =>
       if (small(right))
         j.copy(hint = JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
       else if (small(left))

@@ -25,38 +25,56 @@ object TrainingQueries {
   /** t2_dedup_minhash — MinHash+LSH near-dup pairs verified at
     * Jaccard ≥ 0.8 (shingle 3-grams, 64 hashes × 16 bands).
     */
-  def t2DedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+  def t2DedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     // exact-dedup first: near-dup detection runs on distinct texts —
     // the production composition (dup-heavy corpora would otherwise
-    // spend the whole budget re-verifying identical copies)
-    TextDedup.minhashNearDups(
-        TextDedup.exact(Tables.documents(spark, sfDir), "text", "doc_id"),
-        "text", "doc_id", threshold = 0.8)
+    // spend the whole budget re-verifying identical copies). The
+    // collapsed exact-dup pairs union back in at jaccard 1.0 so they
+    // stay in the output contract.
+    val docs = Tables.documents(spark, sfDir)
+    val exactPairs = TextDedup.exactClusters(docs, "text", "doc_id")
+      .withColumn("jaccard", lit(1.0))
+    exactPairs.unionByName(
+        TextDedup.minhashNearDups(
+          TextDedup.exact(docs, "text", "doc_id"),
+          "text", "doc_id", threshold = 0.8))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** t3_dedup_simhash — SimHash fingerprints + exact Hamming-≤3 pairs
     * via the pigeonhole chunk join.
     */
-  def t3DedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+  def t3DedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     // exact-dedup first (see t2): identical texts share a fingerprint,
-    // so dup clusters would otherwise emit all C(k,2) Hamming-0 pairs
-    TextDedup.simhashNearDups(
-        TextDedup.exact(Tables.documents(spark, sfDir), "text", "doc_id"),
-        "text", "doc_id", maxDist = 3)
+    // so dup clusters would otherwise emit all C(k,2) Hamming-0 pairs;
+    // collapsed pairs return as Hamming 0.
+    val docs = Tables.documents(spark, sfDir)
+    val exactPairs = TextDedup.exactClusters(docs, "text", "doc_id")
+      .withColumn("hamming", lit(0))
+    exactPairs.unionByName(
+        TextDedup.simhashNearDups(
+          TextDedup.exact(docs, "text", "doc_id"),
+          "text", "doc_id", maxDist = 3))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** t4_ngram_jaccard — shared-rare-shingle candidates with exact
     * n-gram Jaccard ≥ 0.5.
     */
-  def t4NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+  def t4NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // exact-dedup first (see t2); maxDf=10 because the synthetic corpus
     // has a ~40-word vocabulary, so 3-gram shingles collide heavily —
     // candidate pairs scale ~df² per shingle and the df cap is the knob
     // that keeps this linear-ish
-    TextDedup.ngramJaccardPairs(
-        TextDedup.exact(Tables.documents(spark, sfDir), "text", "doc_id"),
-        "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 10)
+    val docs = Tables.documents(spark, sfDir)
+    val exactPairs = TextDedup.exactClusters(docs, "text", "doc_id")
+      .withColumn("jaccard", lit(1.0))
+    exactPairs.unionByName(
+        TextDedup.ngramJaccardPairs(
+          TextDedup.exact(docs, "text", "doc_id"),
+          "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 10))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** t5_embed_topk — exact brute-force cosine top-5 neighbors for the
     * first 10 vectors (deterministic query set). DuckDB oracle uses
