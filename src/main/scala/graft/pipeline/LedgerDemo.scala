@@ -14,11 +14,11 @@ object LedgerDemo {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("ledger_demo").toString)
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = graft.GraftSession.builder("ledger-demo", Some("local[4]"))
       .config("spark.ui.enabled", "false")
+      // keep catalog tables (the bucketed CTAS below) out of the repo cwd
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("demo_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
