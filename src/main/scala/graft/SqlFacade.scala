@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-string surface (SURVEY.md §1.4: the reference's "API" is SQL text
+  * executed on a connection — btc_logregression_pre.py:14-26). Register
+  * the synthetic tables as temp views and any reference-shaped query
+  * runs verbatim through `spark.sql`; Catalyst plans it identically to
+  * the DataFrame forms (SqlFacadeSpec asserts result equality).
+  */
+object SqlFacade {
+
+  /** Register every table under `sfDir` as a session temp view. */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    Tables.all.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, sfDir)
+               else Tables.load(spark, sfDir, t)
+      df.createOrReplaceTempView(t)
+    }
+
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+
+  /** The daily-flow analysis query (btcolap.sql:453-463 ≡ the flagship
+    * entry) in SQL form.
+    */
+  val dailyFlowSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+      |FROM events
+      |WHERE ts > TIMESTAMP '2024-01-01' AND event_type = 'purchase'
+      |GROUP BY 1 ORDER BY day""".stripMargin
+}
