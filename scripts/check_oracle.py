@@ -21,6 +21,10 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 qdirs = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
 fails = 0
+# a query that errored writes no output dir — that's a FAIL, not a skip
+for q in sorted(set(oracle) - set(qdirs)):
+    print(f"FAIL {q}: query produced no output (errored in Verify)")
+    fails += 1
 for q in qdirs:
     files = glob.glob(os.path.join(out, q, "*.parquet"))
     if not files:

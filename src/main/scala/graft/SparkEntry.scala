@@ -45,6 +45,9 @@ object SparkEntry {
     "q19_having_element" -> (RelationalQueries.q19HavingElement _),
     "q20_flow_ledger"    -> (RelationalQueries.q20FlowLedger _),
     "q21_json_extract"   -> (RelationalQueries.q21JsonExtract _),
+    "q22_count_distinct" -> (RelationalQueries.q22CountDistinct _),
+    "q23_rollup"         -> (RelationalQueries.q23Rollup _),
+    "q24_setops"         -> (RelationalQueries.q24SetOps _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
     "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),

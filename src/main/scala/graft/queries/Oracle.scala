@@ -194,6 +194,34 @@ object Oracle {
         |       max(CAST(props->>'k' AS INT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "q22_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS distinct_parts,
+        |       count(DISTINCT l_suppkey) AS distinct_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q23_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       GROUPING(l_returnflag) AS g_flag,
+        |       GROUPING(l_linestatus) AS g_status,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q24_setops" ->
+      """SELECT nkey, 'both' AS side FROM (
+        |  SELECT c_nationkey AS nkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS nkey FROM supplier
+        |)
+        |UNION ALL
+        |SELECT nkey, 'cust_only' AS side FROM (
+        |  SELECT c_nationkey AS nkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey AS nkey FROM supplier
+        |)""".stripMargin,
+
     "t1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
         |       length(text) AS text_len

@@ -345,6 +345,50 @@ object RelationalQueries {
            count(lit(1)).as("n_legs"))
   }
 
+  /** q22_count_distinct — distinct aggregates (SURVEY §2.6 notes the
+    * reference never uses COUNT(DISTINCT); a complete engine needs it).
+    * Spark plans distinct-agg as a two-stage expand+aggregate; the
+    * approximate HLL variant is also exercised (not oracle-compared —
+    * engines' sketches differ — but bounds-checked in the spec).
+    */
+  def q22CountDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** q23_rollup — hierarchical subtotals (SURVEY §2.6 "absent:
+    * grouping sets/cube/rollup" — provided for completeness): per
+    * (returnflag, linestatus), per returnflag, and grand total in one
+    * pass. The grouping-id column disambiguates subtotal levels exactly
+    * as DuckDB's GROUPING() does.
+    */
+  def q23Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** q24_setops — INTERSECT/EXCEPT set semantics (SURVEY §2.8 absent
+    * list): nations having customers but no suppliers, and vice versa,
+    * tagged and unioned.
+    */
+  def q24SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val custNations = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").as("nkey"))
+    val suppNations = Tables.supplier(spark, sfDir)
+      .select(col("s_nationkey").as("nkey"))
+    val both = custNations.intersect(suppNations)
+      .select(col("nkey"), lit("both").as("side"))
+    val custOnly = custNations.except(suppNations)
+      .select(col("nkey"), lit("cust_only").as("side"))
+    both.unionByName(custOnly)
+  }
+
   /** q21_json_extract — JSON field extraction from a string column (the
     * NDJSON surface, SURVEY S3/§1.4): pull `k` out of events.props and
     * aggregate. get_json_object evaluates per-row with no shuffle;
