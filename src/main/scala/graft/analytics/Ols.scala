@@ -86,11 +86,11 @@ object Ols {
                        quantileError: Double = 1e-4): DataFrame = {
     val probes = (1 until bins).map(_.toDouble / bins).toArray
     val bounds = df.stat.approxQuantile(orderCol, probes, quantileError)
-    val boundsCol = array(bounds.map(lit): _*)
+    val boundsCol = array(bounds.toIndexedSeq.map(lit): _*)
     val binned = df.withColumn("__bin",
       size(filter(boundsCol, b => b <= col(orderCol).cast("double"))))
     val w = Window.partitionBy(col("__bin"))
-      .orderBy(xxhash64(struct(df.columns.map(col): _*)))
+      .orderBy(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)))
     binned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= capPerBin)
       .drop("__bin", "__rn")

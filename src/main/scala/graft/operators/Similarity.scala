@@ -107,12 +107,12 @@ object Similarity {
     // structs — linear expression size (a reduceLeft of when(...) would
     // duplicate the accumulated subtree per step: 2^nlist nodes)
     def cellOf(vec: org.apache.spark.sql.Column) =
-      array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      array_max(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
         struct(cosine_sim(vec, centCol(c)).as("s"), lit(i).as("i")) }: _*))
         .getField("i")
     // top-nprobe cells per query (queries are small; computed the same way)
     def probeCells(qvec: org.apache.spark.sql.Column) = {
-      val sims = centroids.zipWithIndex.map { case (c, i) =>
+      val sims = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
         struct(cosine_sim(qvec, centCol(c)).as("s"), lit(i).as("i")) }
       slice(reverse(array_sort(array(sims: _*))), 1, nprobe)
     }

@@ -21,7 +21,7 @@ object Skew {
     * idempotency in exchange-reuse corners).
     */
   def saltCol(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)).cast("int")
+    pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int")
 
   /** Inner equi-join `large ⋈ small` on `key`, salted `salts` ways. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
