@@ -48,6 +48,7 @@ object SparkEntry {
     "q22_count_distinct" -> (RelationalQueries.q22CountDistinct _),
     "q23_rollup"         -> (RelationalQueries.q23Rollup _),
     "q24_setops"         -> (RelationalQueries.q24SetOps _),
+    "q25_asof"           -> (RelationalQueries.q25AsOf _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
     "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),

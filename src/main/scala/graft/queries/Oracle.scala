@@ -222,6 +222,15 @@ object Oracle {
         |  SELECT s_nationkey AS nkey FROM supplier
         |)""".stripMargin,
 
+    "q25_asof" ->
+      """SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND c.ts >= p.pts""".stripMargin,
+
     "t1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
         |       length(text) AS text_len

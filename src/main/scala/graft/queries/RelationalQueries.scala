@@ -389,6 +389,24 @@ object RelationalQueries {
     both.unionByName(custOnly)
   }
 
+  /** q25_asof — backward as-of join (beyond parity; SURVEY §2.5 absent
+    * list): for each click event, the most recent purchase value by the
+    * same user at or before the click. Composed from union + windowed
+    * last(ignoreNulls) — one key shuffle; DuckDB's native ASOF JOIN is
+    * the oracle.
+    */
+  def q25AsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+    graft.ops.AsOfJoin.backward(clicks, purchases, "user_id", "ts", "pts",
+        valueCols = Seq("value"))
+      .select(col("event_id"), col("user_id"),
+              col("asof_value").as("last_purchase_value"))
+  }
+
   /** q21_json_extract — JSON field extraction from a string column (the
     * NDJSON surface, SURVEY S3/§1.4): pull `k` out of events.props and
     * aggregate. get_json_object evaluates per-row with no shuffle;
