@@ -49,6 +49,7 @@ object SparkEntry {
     "q23_rollup"         -> (RelationalQueries.q23Rollup _),
     "q24_setops"         -> (RelationalQueries.q24SetOps _),
     "q25_asof"           -> (RelationalQueries.q25AsOf _),
+    "q26_range_join"     -> (RelationalQueries.q26RangeJoin _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
     "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),

@@ -231,6 +231,17 @@ object Oracle {
         |      FROM events WHERE event_type = 'purchase') p
         |ON c.user_id = p.user_id AND c.ts >= p.pts""".stripMargin,
 
+    "q26_range_join" ->
+      """SELECT e.event_id, count(*) AS n_nearby,
+        |       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS nearby_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+        |      FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) pts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id
+        | AND abs(epoch_us(e.ts) - epoch_us(p.pts)) <= CAST(3600 AS BIGINT) * 1000000
+        |GROUP BY e.event_id""".stripMargin,
+
     "t1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
         |       length(text) AS text_len

@@ -407,6 +407,24 @@ object RelationalQueries {
               col("asof_value").as("last_purchase_value"))
   }
 
+  /** q26_range_join — interval join (beyond parity): errors paired with
+    * purchases by the same user within ±1 hour, aggregated per error.
+    * Binned equi-join plan (ops.RangeJoin) — the DuckDB oracle states
+    * the same semantics as a plain inequality join.
+    */
+  def q26RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+    graft.ops.RangeJoin.withinTolerance(errors, purchases, Seq("user_id"),
+        "ts", "pts", toleranceSec = 3600)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby"),
+           moneySum(col("value")).as("nearby_value"))
+  }
+
   /** q21_json_extract — JSON field extraction from a string column (the
     * NDJSON surface, SURVEY S3/§1.4): pull `k` out of events.props and
     * aggregate. get_json_object evaluates per-row with no shuffle;
