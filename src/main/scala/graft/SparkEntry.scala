@@ -50,6 +50,10 @@ object SparkEntry {
     "q24_setops"         -> (RelationalQueries.q24SetOps _),
     "q25_asof"           -> (RelationalQueries.q25AsOf _),
     "q26_range_join"     -> (RelationalQueries.q26RangeJoin _),
+    "q27_ndjson_dim"     -> (RelationalQueries.q27NdjsonDim _),
+    "q28_struct_semi"    -> (RelationalQueries.q28StructSemi _),
+    "q29_explode_outer"  -> (RelationalQueries.q29ExplodeOuter _),
+    "q30_congruent"      -> (RelationalQueries.q30Congruent _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
     "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),
@@ -65,6 +69,7 @@ object SparkEntry {
     "t10_tokens"         -> (TrainingQueries.t10Tokens _),
     "t11_fingerprint"    -> (TrainingQueries.t11Fingerprint _),
     "t12_multimodal"     -> (TrainingQueries.t12Multimodal _),
+    "t16_ann_recall"     -> (TrainingQueries.t16AnnRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -57,10 +57,39 @@ case class RollingHash(child: Expression, base: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Modular polynomial rolling hash over Unicode CODE POINTS:
+  * fingerprint = (Σ cp_i · base^(n-1-i)) mod `mod`, evaluated with
+  * Horner's rule so intermediates stay < mod·base (no overflow for
+  * mod < 2^31, base < 2^31). Code points (not UTF-8 bytes) and an
+  * explicit modulus make the value recomputable by any engine with
+  * plain 64-bit integer arithmetic — the DuckDB oracle mirrors it via
+  * list_reduce over string_split(text, '') (Oracle.sql t11).
+  */
+case class CodePointRollingHash(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextFunctions {
   import ColumnOps._
   def simhash64(featureHashes: Column): Column =
     toColumn(SimHash64(toExpr(featureHashes)))
   def rolling_hash(s: Column, base: Long = 1000003L): Column =
     toColumn(RollingHash(toExpr(s), base))
+  def rolling_hash_mod(s: Column, base: Long = 1000003L,
+                       mod: Long = 2147483647L): Column =
+    toColumn(CodePointRollingHash(toExpr(s), base, mod))
 }

@@ -92,11 +92,15 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
   }
 
-  /** Rolling-hash document fingerprint (content-defined, order
-    * sensitive) + first 8-gram anchor hashes for containment checks.
+  /** Document fingerprints (content-defined, order sensitive): a
+    * modular code-point rolling hash plus an md5 digest. Both columns
+    * are engine-portable — any SQL engine can recompute them, so the
+    * whole output is oracle-checkable (the raw wrapping-Long
+    * rolling_hash remains available in TextFunctions for JVM-only
+    * consumers).
     */
   def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol),
-      TextFunctions.rolling_hash(col(textCol)).as("fingerprint"),
-      xxhash64(col(textCol)).as("xxh64"))
+      TextFunctions.rolling_hash_mod(col(textCol)).as("fingerprint"),
+      md5(col(textCol)).as("digest"))
 }

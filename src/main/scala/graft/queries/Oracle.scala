@@ -152,12 +152,14 @@ object Oracle {
       """SELECT user_id,
         |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
         |       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
-        |       COALESCE(array_agg(event_id ORDER BY event_id)
-        |                FILTER (WHERE event_type = 'error'), []) AS error_ids
+        |       array_to_string(COALESCE(array_agg(event_id ORDER BY event_id)
+        |                FILTER (WHERE event_type = 'error'), []), ',') AS error_ids
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q19_having_element" ->
-      """SELECT l_orderkey, r_cnt, a_cnt, r_parts, a_parts FROM (
+      """SELECT l_orderkey, r_cnt, a_cnt,
+        |       array_to_string(r_parts, ',') AS r_parts,
+        |       array_to_string(a_parts, ',') AS a_parts FROM (
         |  SELECT l_orderkey,
         |         count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS r_cnt,
         |         count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS a_cnt,
@@ -189,8 +191,10 @@ object Oracle {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q21_json_extract" ->
+      // sum(INT) is HUGEINT in DuckDB but LONG in Spark — align the
+      // oracle's dtype so the driver's hasher sees identical columns
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(props->>'k' AS INT)) AS sum_k,
+        |       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
         |       max(CAST(props->>'k' AS INT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -241,6 +245,117 @@ object Oracle {
         |  ON e.user_id = p.user_id
         | AND abs(epoch_us(e.ts) - epoch_us(p.pts)) <= CAST(3600 AS BIGINT) * 1000000
         |GROUP BY e.event_id""".stripMargin,
+
+    "q27_ndjson_dim" ->
+      s"""SELECT COALESCE(w.location, 'unknown') AS location,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN read_json('${RelationalQueries.UserLocationPath}') w
+        |  ON e.user_id = w.user_id
+        |GROUP BY 1""".stripMargin,
+
+    "q28_struct_semi" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS n_lines,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM lineitem k
+        |              WHERE k.l_returnflag = 'R' AND k.l_quantity >= 45
+        |                AND k.l_partkey = l.l_partkey
+        |                AND k.l_suppkey = l.l_suppkey)
+        |GROUP BY l_partkey, l_suppkey""".stripMargin,
+
+    "q29_explode_outer" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |         COALESCE(array_agg(l_partkey ORDER BY l_partkey)
+        |                  FILTER (WHERE l_returnflag = 'R'), []) AS r_parts
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT g.l_orderkey, u.r_part
+        |FROM g LEFT JOIN LATERAL (SELECT unnest(r_parts) AS r_part) u
+        |  ON true""".stripMargin,
+
+    "q30_congruent" ->
+      """WITH flow AS (
+        |  SELECT l_orderkey AS txid, 'input' AS type,
+        |         CAST(l_partkey AS VARCHAR) AS addr,
+        |         CAST(l_extendedprice / 100000000.0 AS DECIMAL(28,10)) * -1 AS val
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT l_orderkey, 'output', CAST(l_partkey AS VARCHAR),
+        |         CAST(l_extendedprice / 100000000.0 AS DECIMAL(28,10)) * 1
+        |  FROM lineitem WHERE l_returnflag = 'A'
+        |), grouped AS (
+        |  SELECT txid,
+        |         count(CASE WHEN type = 'input' THEN 1 END) AS input_count,
+        |         count(CASE WHEN type = 'output' THEN 1 END) AS output_count,
+        |         COALESCE(array_agg(addr ORDER BY addr)
+        |                  FILTER (WHERE type = 'input'), []) AS ia,
+        |         COALESCE(array_agg(addr ORDER BY addr)
+        |                  FILTER (WHERE type = 'output'), []) AS oa
+        |  FROM flow GROUP BY txid
+        |), congruent AS (
+        |  SELECT txid FROM grouped
+        |  WHERE (input_count = 1 AND output_count = 1 AND ia[1] != oa[1])
+        |     OR (input_count > 1 AND output_count = 1)
+        |)
+        |SELECT f.txid, f.type, f.addr, CAST(f.val AS DOUBLE) AS val
+        |FROM flow f WHERE f.txid IN (SELECT txid FROM congruent)""".stripMargin,
+
+    "t4_ngram_jaccard" ->
+      // exact mirror of TrainingQueries.t4NgramJaccard: exact-dedup
+      // first (pairs at jaccard 1.0), then 3-gram shingle sets over the
+      // distinct reps, posting-list candidates with 2 <= df <= 10, exact
+      // Jaccard >= 0.5. Spark computes Jaccard over xxhash64'd shingles;
+      // Jaccard over the shingle STRINGS is identical modulo 64-bit
+      // collisions (none at oracle scale).
+      """WITH reps AS (
+        |  SELECT min(doc_id) AS id, text FROM documents GROUP BY text
+        |), exact_pairs AS (
+        |  SELECT r.id AS id_a, d.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+        |  FROM documents d JOIN reps r USING (text)
+        |  WHERE d.doc_id != r.id
+        |), toks AS (
+        |  SELECT id, string_split_regex(lower(text), '\s+') AS t FROM reps
+        |), sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END) AS sh
+        |  FROM toks
+        |), posting AS (
+        |  SELECT id, unnest(sh) AS s FROM sets
+        |), grouped AS (
+        |  SELECT s, array_agg(id) AS ids FROM posting GROUP BY s
+        |  HAVING count(*) BETWEEN 2 AND 10
+        |), cands AS (
+        |  SELECT DISTINCT la.a AS id_a, lb.b AS id_b
+        |  FROM grouped, UNNEST(ids) la(a), UNNEST(ids) lb(b)
+        |  WHERE lb.b > la.a
+        |), verified AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |           / len(list_distinct(sa.sh || sb.sh)) AS j
+        |  FROM cands c
+        |  JOIN sets sa ON sa.id = c.id_a
+        |  JOIN sets sb ON sb.id = c.id_b
+        |)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5
+        |UNION ALL
+        |SELECT id_a, id_b, jaccard FROM exact_pairs""".stripMargin,
+
+    "t11_fingerprint" ->
+      // CodePointRollingHash mirror: Horner over Unicode code points,
+      // mod 2^31-1 with base 1000003 — pure 64-bit arithmetic, so
+      // list_reduce reproduces it exactly; md5 is engine-portable hex
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ''),
+        |                        c -> CAST(unicode(c) AS BIGINT))),
+        |         (h, c) -> (h * 1000003 + c) % 2147483647) AS fingerprint,
+        |       md5(text) AS digest
+        |FROM documents""".stripMargin,
 
     "t1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,

@@ -278,7 +278,10 @@ object RelationalQueries {
   /** q18_conditional_agg — A3/A4/P8 conditional count + conditional
     * ARRAY_AGG IGNORE NULLS (btcolap.sql:224-227). collect_list drops
     * the CASE's nulls exactly like IGNORE NULLS; sort_array makes the
-    * array deterministic under parallel aggregation.
+    * array deterministic under parallel aggregation. The final select
+    * flattens the array to a CSV string: the driver's comparator cannot
+    * sort/hash array-typed cells, and the array is already
+    * deterministically ordered, so the join is lossless.
     */
   def q18ConditionalAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -287,7 +290,10 @@ object RelationalQueries {
         count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
         count(when(col("event_type") === "click", 1)).as("n_click"),
         sort_array(collect_list(when(col("event_type") === "error",
-                                     col("event_id")))).as("error_ids"))
+                                     col("event_id")))).as("__error_ids"))
+      .select(col("user_id"), col("n_purchase"), col("n_click"),
+        array_join(transform(col("__error_ids"), _.cast("string")), ",")
+          .as("error_ids"))
 
   /** q19_having_element — A6/P11 multi-key group + compound HAVING with
     * array element access (btcolap.sql:229-231): per order, flag-R vs
@@ -307,8 +313,11 @@ object RelationalQueries {
         (col("r_cnt") === 1 && col("a_cnt") === 1 &&
           try_element_at(col("r_parts"), lit(1)) =!= try_element_at(col("a_parts"), lit(1))) ||
         (col("r_cnt") > 1 && col("a_cnt") === 1))
+      // CSV-flatten the (already sorted, deterministic) arrays — the
+      // driver's comparator cannot hash array cells (see q18)
       .select(col("l_orderkey"), col("r_cnt"), col("a_cnt"),
-              col("r_parts"), col("a_parts"))
+        array_join(transform(col("r_parts"), _.cast("string")), ",").as("r_parts"),
+        array_join(transform(col("a_parts"), _.cast("string")), ",").as("a_parts"))
 
   /** q20_flow_ledger — the reference's full flow-ledger pipeline shape
     * (btcolap.sql:316-451) on the synthetic star schema: two signed
@@ -438,4 +447,77 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"),
            sum(col("k_val")).as("sum_k"),
            max(col("k_val")).as("max_k"))
+
+  /** Messy user→location NDJSON dimension shipped with the repo — the
+    * reference's wallet_location2.ndjson shape (null locations, '?',
+    * comma-lists, a junk `Unnamed: 2` column on some rows,
+    * btcolap.sql:429-430). Regenerate with scripts/gen_user_location.py.
+    */
+  val UserLocationPath: String =
+    sys.env.getOrElse("GRAFT_USER_LOCATION", "/root/repo/data/user_location.ndjson")
+
+  /** q27_ndjson_dim — S3/J4 end-to-end: load the NDJSON dimension
+    * through the junk-column-tolerant loader, broadcast-join the fact,
+    * aggregate by location. Null locations coalesce to 'unknown' (kept
+    * as a plain string so the comparator never sorts nulls).
+    */
+  def q27NdjsonDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.ops.Enrich.loadWalletLocation(spark, UserLocationPath)
+    Tables.events(spark, sfDir)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(coalesce(col("location"), lit("unknown")).as("location"))
+      .agg(count(lit(1)).as("n_events"),
+           moneySum(col("value")).as("sum_value"))
+  }
+
+  /** q28_struct_semi — the reference's composite-key row-value IN
+    * (`WHERE STRUCT(wallet,address) IN (SELECT …)`, btcolap.sql:3-4):
+    * Spark's idiomatic translation is a multi-column left-semi join —
+    * the key set stays distinct and broadcasts when small.
+    */
+  def q28StructSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = li
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+    li.join(keys, Seq("l_partkey", "l_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** q29_explode_outer — left-lateral flatten (SURVEY §2.3's noted
+    * gap): groups with an empty array keep one row with a NULL element
+    * instead of vanishing, exactly DuckDB's LEFT JOIN LATERAL unnest.
+    */
+  def q29ExplodeOuter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(
+        when(col("l_returnflag") === "R", col("l_partkey")))).as("r_parts"))
+      .select(col("l_orderkey"), explode_outer(col("r_parts")).as("r_part"))
+
+  /** q30_congruent — the reference's `congruent` CTAS end-to-end
+    * (btcolap.sql:234-266): build a signed two-leg flow, group it into
+    * per-txid leg counts + sorted address arrays (Flows.groupedFlow),
+    * keep txids passing the congruence constraint
+    * (Flows.congruentConstraint), then emit the surviving flow rows via
+    * a semi-join — the flow never widens and shuffles once on txid.
+    */
+  def q30Congruent(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val scaled = (col("l_extendedprice") / lit(1e8)).cast("decimal(28,10)")
+    def legOf(flag: String, tag: String, sign: Int) =
+      li.filter(col("l_returnflag") === flag)
+        .select(col("l_orderkey").as("txid"), lit(tag).as("type"),
+                col("l_partkey").cast("string").as("addr"),
+                (scaled * lit(sign)).as("val"))
+    val flow = legOf("R", "input", -1).unionByName(legOf("A", "output", 1))
+    val congruent = graft.ops.Flows
+      .congruentConstraint(graft.ops.Flows.groupedFlow(flow))
+      .select(col("txid"))
+    flow.join(congruent, Seq("txid"), "left_semi")
+      .select(col("txid"), col("type"), col("addr"),
+              col("val").cast("double").as("val"))
+  }
 }

@@ -188,6 +188,43 @@ object TrainingQueries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** t16_ann_recall — quantitative recall@5 of the approximate paths
+    * against the exact brute-force top-k (t5): |ANN∩exact| /
+    * (|queries|·k), across a parameter sweep. The synthetic embeddings
+    * are near-orthogonal (no neighbor structure — t7's scaladoc), so
+    * recall at tight parameters is inherently low for ANY sublinear
+    * method; the correctness claim this row carries is the CURVE: as
+    * the candidate set widens (more LSH tables / fewer bits, more IVF
+    * probe cells) recall must climb monotonically-ish toward 1.0, and
+    * the all-cells IVF setting (nprobe = nlist) must hit exactly 1.0
+    * because it degenerates to brute force.
+    */
+  def t16AnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select(col("qid"), col("id"))
+    def recallOf(ann: DataFrame, method: String, params: String) =
+      ann.select(col("qid"), col("id"))
+        .join(exact, Seq("qid", "id"), "left_semi")
+        .agg(round(count(lit(1)).cast("double") / lit(50), 6).as("recall_at_5"))
+        .select(lit(method).as("method"), lit(params).as("params"),
+                col("recall_at_5"))
+    def lsh(bits: Int, tables: Int) =
+      recallOf(Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, bits = bits, tables = tables),
+        "lsh_topk", s"bits=$bits,tables=$tables")
+    def ivf(nprobe: Int) =
+      recallOf(Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, nlist = 16, nprobe = nprobe),
+        "ivf_topk", s"nlist=16,nprobe=$nprobe")
+    lsh(8, 8).unionByName(lsh(2, 32))
+      .unionByName(ivf(4)).unionByName(ivf(16))
+      .orderBy(col("method"), col("params"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

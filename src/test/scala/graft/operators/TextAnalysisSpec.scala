@@ -56,8 +56,16 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq((0L, "same text"), (1L, "same text"), (2L, "other"))
       .toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(docs, "text", "doc_id").collect()
-    val m = fp.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m = fp.map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(m(0L) == m(1L))
     assert(m(0L) != m(2L))
+  }
+
+  test("rolling_hash_mod matches Horner closed form over code points") {
+    val out = Seq(Tuple1("ab中")).toDF("s")
+      .select(TextFunctions.rolling_hash_mod($"s", base = 31L, mod = 97L))
+      .as[Long].head()
+    val expect = ((('a'.toLong * 31 + 'b') % 97) * 31 + 0x4e2d) % 97
+    assert(out == expect)
   }
 }
