@@ -73,26 +73,44 @@ object Ols {
 
   /** M3 — stratified percentile-bin downsampling ("smart_sampling",
     * btc_logregression_pre.py:53-70): `bins` quantile bins over
-    * `orderCol`, keep at most `capPerBin` rows per bin, with a
-    * deterministic hash-ordered cap. Reproducible and distributed:
-    * bin boundaries come from approxQuantile (a tiny driver-side
-    * result), and rows bucket by comparing against the broadcast
-    * boundary array — no global-window single-partition funnel (a bare
-    * ntile(n).over(Window.orderBy(...)) would pull every row through
-    * one task).
+    * `orderCol`, keep the `capPerBin` rows with the smallest row-hash
+    * per bin — a deterministic, order-free sample. Distributed at any
+    * scale:
+    *
+    *  - bin boundaries come from approxQuantile (tiny driver result),
+    *    rows bucket by comparing against the broadcast boundary array
+    *    (a bare ntile(n).over(Window.orderBy(...)) would pull every row
+    *    through ONE task);
+    *  - the per-bin cap is TWO-LEVEL: first cap per (bin, salt) — the
+    *    salt spreads each bin over `salts` partitions so no task ever
+    *    sees more than ~N/(bins·salts) rows — then re-cap the
+    *    ≤ capPerBin·salts survivors per bin. Because both levels order
+    *    by the same key, the final set is exactly the global per-bin
+    *    top-capPerBin (every globally-surviving row survives its salt
+    *    group), so the two-level form is a pure plan change: a
+    *    single-window Window.partitionBy(bin) with bins = 20 would
+    *    funnel the whole dataset through ≤ 20 tasks at any input size.
     */
   def stratifiedSample(df: DataFrame, orderCol: String, bins: Int,
                        capPerBin: Int,
-                       quantileError: Double = 1e-4): DataFrame = {
+                       quantileError: Double = 1e-4,
+                       salts: Int = 64): DataFrame = {
     val probes = (1 until bins).map(_.toDouble / bins).toArray
     val bounds = df.stat.approxQuantile(orderCol, probes, quantileError)
     val boundsCol = array(bounds.toIndexedSeq.map(lit): _*)
+    val rowHash = xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))
     val binned = df.withColumn("__bin",
-      size(filter(boundsCol, b => b <= col(orderCol).cast("double"))))
-    val w = Window.partitionBy(col("__bin"))
-      .orderBy(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)))
-    binned.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= capPerBin)
-      .drop("__bin", "__rn")
+        size(filter(boundsCol, b => b <= col(orderCol).cast("double"))))
+      .withColumn("__h", rowHash)
+      .withColumn("__salt", pmod(col("__h"), lit(salts)))
+    val wSalted = Window.partitionBy(col("__bin"), col("__salt"))
+      .orderBy(col("__h"))
+    val wBin = Window.partitionBy(col("__bin")).orderBy(col("__h"))
+    binned
+      .withColumn("__rn1", row_number().over(wSalted))
+      .filter(col("__rn1") <= capPerBin)
+      .withColumn("__rn2", row_number().over(wBin))
+      .filter(col("__rn2") <= capPerBin)
+      .drop("__bin", "__h", "__salt", "__rn1", "__rn2")
   }
 }

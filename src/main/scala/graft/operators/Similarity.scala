@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 import graft.functions.VectorFunctions._
+import graft.functions.TopKFunctions.top_k_by_score
 
 /** Similarity search over an embedding column (ARRAY<FLOAT>).
   *
@@ -18,11 +19,32 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Cut `scored` (qid, id, cosine) to the top k per qid via the
+    * native bounded-heap aggregate: partial aggregation caps each map
+    * partition's shuffle contribution at k entries per qid, so there is
+    * no per-qid window funnel — a hot query (or a hot LSH bucket) costs
+    * O(candidates) map-side scoring but only O(partitions·k) shuffle.
+    * Requires an integral id (the heap stores (double, long) pairs);
+    * the id is cast back to `idType` on output so schemas are unchanged.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int, idType: DataType): DataFrame = {
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"partial top-k requires an integral id column, got $idType")
+    scored
+      .groupBy(col("qid"))
+      .agg(top_k_by_score(col("cosine"), col("id").cast("long"), k).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+              col("e.id").cast(idType).as("id"),
+              round(col("e.score"), 6).as("cosine"))
+  }
+
   /** Exact cosine top-k neighbors for each query vector.
-    * `queries`: (qid, qvec). Corpus never shuffles — queries broadcast
-    * to every corpus partition; the window's per-qid partition carries
-    * only corpus_size × |queries| scored rows, cut to k by rank.
-    * At very large corpus × query products, prefer `lshTopK`.
+    * `queries`: (qid, qvec). Corpus never shuffles for the scoring —
+    * queries broadcast to every corpus partition — and the rank cut is
+    * the partial top-k aggregate, so the only shuffle is
+    * O(partitions · |queries| · k). At very large corpus × query
+    * products the scoring itself is the cost; prefer `lshTopK`/`ivfTopK`.
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
@@ -31,12 +53,7 @@ object Similarity {
       .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))))
       .filter(col("id") =!= col("qid"))
       .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(desc("cosine"), col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"),
-              round(col("cosine"), 6).as("cosine"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** Approximate top-k via hyperplane-LSH bucketing: vectors sharing a
@@ -68,11 +85,9 @@ object Similarity {
       .join(broadcast(queries.select(col(qidCol).as("qid"),
                                      col(qvecCol).as("qvec"))), "qid")
       .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"),
-              round(col("cosine"), 6).as("cosine"))
+    // partial top-k: a hot bucket inflates candidate count but never
+    // funnels — see topKPerQuery
+    topKPerQuery(cands, k, corpus.schema(idCol).dataType)
   }
 
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
@@ -125,11 +140,7 @@ object Similarity {
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"),
-              round(col("cosine"), 6).as("cosine"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality).

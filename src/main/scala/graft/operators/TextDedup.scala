@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import graft.functions.TopKFunctions.top_k_by_score
 
 /** Document deduplication for training-data pipelines, scaled for the
   * 100 TB case:
@@ -73,26 +74,75 @@ object TextDedup {
       .agg(array(mins: _*).as("sig"))
   }
 
-  /** Candidate near-dup pairs via banded LSH over the MinHash signature:
-    * docs sharing any band bucket pair up. numHashes = bands × rowsPerBand.
-    * Returns (id_a, id_b) with id_a < id_b, distinct.
+  /** Occupancy-capped bucket posting lists: group `keyed` (id + the
+    * given bucket-key columns) by bucket, keeping at most maxBucket+1
+    * member ids per bucket via the bounded saturating collector
+    * (top_k_by_score with a constant score — the agg buffer never holds
+    * more than maxBucket+1 entries even for a billion-doc bucket), then
+    * DROP saturated buckets: a bucket over the cap would contribute
+    * O(occupancy²) candidate pairs — the quadratic blow-up a big
+    * near-dup cluster (template spam) causes in any flat LSH join.
+    * Dropped buckets are auditable via [[overflowBuckets]].
     */
-  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
-                        shingleK: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16): DataFrame = {
+  private def cappedBuckets(keyed: DataFrame, bucketCols: Seq[String],
+                            maxBucket: Int): DataFrame = {
+    val idType = keyed.schema("id").dataType
+    keyed.groupBy(bucketCols.map(col): _*)
+      .agg(top_k_by_score(lit(0.0), col("id").cast("long"), maxBucket + 1)
+        .as("members"))
+      .withColumn("ids",
+        transform(col("members"), _.getField("id").cast(idType)))
+      .filter(size(col("ids")).between(2, maxBucket))
+  }
+
+  /** All in-bucket pairs (id_a < id_b), expanded in-array — no
+    * self-join: one shuffle (the bucket groupBy), pair fan-out bounded
+    * by maxBucket² per bucket.
+    */
+  private def bucketPairs(keyed: DataFrame, bucketCols: Seq[String],
+                          maxBucket: Int): DataFrame =
+    cappedBuckets(keyed, bucketCols, maxBucket)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+  /** Audit for the occupancy cap: the buckets whose membership exceeds
+    * maxBucket (and therefore contribute no candidate pairs), with
+    * their sizes. Run it when a corpus' recall matters more than its
+    * worst cluster's cost; at pipeline scale this is a tiny aggregate.
+    */
+  def overflowBuckets(docs: DataFrame, textCol: String, idCol: String,
+                      shingleK: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, maxBucket: Int = 200): DataFrame =
+    mBanded(docs, textCol, idCol, shingleK, numHashes, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occupancy"))
+      .filter(col("occupancy") > maxBucket)
+
+  /** (id, band, bucket) rows for the banded MinHash signature. */
+  private def mBanded(docs: DataFrame, textCol: String, idCol: String,
+                      shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(docs, textCol, idCol, shingleK, numHashes)
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b)))
         .as(Seq("band", "bucket")))
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-        col("l.bucket") === col("r.bucket") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
   }
+
+  /** Candidate near-dup pairs via banded LSH over the MinHash signature:
+    * docs sharing any band bucket pair up. numHashes = bands × rowsPerBand.
+    * Returns (id_a, id_b) with id_a < id_b, distinct. Buckets with more
+    * than maxBucket members are dropped (see [[cappedBuckets]]) — the
+    * guard that keeps a mega near-dup cluster from going quadratic.
+    */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleK: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, maxBucket: Int = 200): DataFrame =
+    bucketPairs(mBanded(docs, textCol, idCol, shingleK, numHashes, bands),
+      Seq("band", "bucket"), maxBucket)
 
   /** Exact-duplicate clusters as (rep, member) pairs: for every doc
     * whose text equals another's, one row pairing it with the cluster
@@ -126,8 +176,10 @@ object TextDedup {
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double, shingleK: Int = 3,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(docs, textCol, idCol, shingleK, numHashes, bands)
+                      numHashes: Int = 64, bands: Int = 16,
+                      maxBucket: Int = 200): DataFrame = {
+    val cands = minhashCandidates(docs, textCol, idCol, shingleK, numHashes,
+      bands, maxBucket)
     val sets = hashedShingleSets(docs, textCol, idCol, shingleK)
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -152,7 +204,7 @@ object TextDedup {
     * without O(n²) comparisons.
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3, maxBucket: Int = 200): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     // Scala shifts are mod 64: 1L << 64 == 1L, which would zero the
@@ -161,15 +213,16 @@ object TextDedup {
     val sh = simhash(docs, textCol, idCol)
     val chunkCols = (0 until chunks).map(c =>
       shiftright(col("simhash"), c * bitsPer).bitwiseAND(lit(chunkMask)))
-    val chunked = sh.select(col("id"), col("simhash"),
+    val chunked = sh.select(col("id"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
-    chunked.as("l").join(chunked.as("r"),
-        col("l.chunk") === col("r.chunk") &&
-        col("l.ckey") === col("r.ckey") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
-      .distinct()
+    // id-only capped-bucket pairs (no self-join, occupancy bounded);
+    // fingerprints rejoin on the candidate set only, so no chunk join
+    // ever carries them and a hot chunk key cannot go quadratic
+    bucketPairs(chunked, Seq("chunk", "ckey"), maxBucket)
+      .join(sh.toDF("id_a", "sim_a"), "id_a")
+      .join(sh.toDF("id_b", "sim_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

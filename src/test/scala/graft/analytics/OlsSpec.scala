@@ -57,4 +57,24 @@ class OlsSpec extends SparkSpec {
     assert(out.select("id").as[Int].collect().sorted.toSeq ==
            out2.select("id").as[Int].collect().sorted.toSeq)
   }
+
+  test("M3 two-level cap selects exactly the global per-bin top-cap (salt count irrelevant)") {
+    val df = (1 to 2000).map(i => (i, (i % 997).toDouble)).toDF("id", "v")
+    // different salt counts (1 = the old single-window plan) must agree:
+    // both levels order by the same hash, so salting is plan-only
+    val sampled = Seq(1, 4, 64).map(s =>
+      Ols.stratifiedSample(df, "v", bins = 10, capPerBin = 7, salts = s)
+        .select("id").as[Int].collect().sorted.toSeq)
+    assert(sampled.distinct.size == 1)
+  }
+
+  test("M3 plan shape: the wide exchange is salted, not bins-only") {
+    val df = (1 to 1000).map(i => (i, i.toDouble)).toDF("id", "v")
+    val plan = Ols.stratifiedSample(df, "v", bins = 20, capPerBin = 5)
+      .queryExecution.executedPlan.toString
+    // the first (full-data) window partitions by (__bin, __salt); only
+    // the capped survivors flow through the per-bin re-cap window
+    assert(plan.contains("__salt"),
+      s"expected a salted first-level window in:\n$plan")
+  }
 }

@@ -75,6 +75,54 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 4L))) // anti-parallel never passes
   }
 
+  test("topKPerQuery matches the windowed rank formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // many queries × whole corpus — the shapes the window form ranked
+    val queries = corpus.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3)
+    // reference: the classic window top-k over the same scored rows
+    val scored = corpus.select($"vec_id".as("id"), $"embedding".as("vec"))
+      .join(broadcast(queries))
+      .filter($"id" =!= $"qid")
+      .withColumn("cosine", cosine_sim($"vec", $"qvec"))
+    val w = Window.partitionBy($"qid").orderBy(desc("cosine"), $"id")
+    val ref = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"id", round($"cosine", 6).as("cosine"))
+    val got = out.orderBy("qid", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val want = ref.orderBy("qid", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("top-k plan is a partial aggregate, not a per-qid window exchange") {
+    val queries = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val plan = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topkbyscore"),
+      s"expected the TopKByScore partial aggregate in:\n$plan")
+    assert(!plan.contains("Window"),
+      s"expected no window operator in:\n$plan")
+  }
+
+  test("top_k_by_score: bounded, best-first, smallest-id tiebreak, k > group size") {
+    import graft.functions.TopKFunctions.top_k_by_score
+    val df = Seq(
+      ("a", 0.9, 7L), ("a", 0.9, 3L), ("a", 0.5, 1L), ("a", 0.99, 9L),
+      ("b", 0.1, 2L)
+    ).toDF("g", "s", "i")
+    val out = df.groupBy($"g")
+      .agg(top_k_by_score($"s", $"i", 3).as("t"))
+      .select($"g", $"t".cast("array<struct<score:double,id:long>>"))
+      .as[(String, Seq[(Double, Long)])].collect().toMap
+    assert(out("a") == Seq((0.99, 9L), (0.9, 3L), (0.9, 7L))) // ties: id asc
+    assert(out("b") == Seq((0.1, 2L)))                        // k > size
+  }
+
   test("hyperplane signature is deterministic and seed-sensitive") {
     val sigs = corpus.select($"vec_id",
         hyperplane_sig($"embedding", 16, 42L).as("s1"),

@@ -60,6 +60,33 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairSet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("bucket cap: a 1k-doc NEAR-dup (not exact-dup) cluster cannot blow up the candidate join") {
+    // 1000 distinct-but-near-identical docs (template spam): every doc
+    // shares most shingles, so flat LSH would put the whole cluster in
+    // one bucket per band → ~500k candidate pairs per band. The cap
+    // drops saturated buckets instead; the run must stay small and the
+    // overflow must be auditable.
+    val spam = (0 until 1000).map(i => (i.toLong, s"$base variant number $i"))
+      .toDF("doc_id", "text")
+    val capped = TextDedup.minhashCandidates(spam, "text", "doc_id",
+      maxBucket = 50)
+    // every emitted pair respects the cap's pair bound: each surviving
+    // bucket contributes at most C(50,2) pairs
+    val n = capped.count()
+    assert(n < 16 * 50 * 49 / 2, s"candidate count $n suggests an uncapped bucket")
+    // the audit surface reports the dropped hot buckets
+    val overflow = TextDedup.overflowBuckets(spam, "text", "doc_id",
+      maxBucket = 50)
+    assert(overflow.count() > 0)
+    assert(overflow.agg(max($"occupancy")).as[Long].head() > 50)
+    // and on the ordinary corpus the cap changes nothing
+    val before = TextDedup.minhashCandidates(docs, "text", "doc_id",
+      maxBucket = 200).as[(Long, Long)].collect().toSet
+    val tight = TextDedup.minhashCandidates(docs, "text", "doc_id",
+      maxBucket = 5).as[(Long, Long)].collect().toSet
+    assert(before == tight)
+  }
+
   test("ngram jaccard pairs with hand-checked similarity") {
     val out = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
       shingleK = 3, minJaccard = 0.3, maxDf = 10)
