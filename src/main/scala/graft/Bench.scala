@@ -12,6 +12,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: pay one-time session costs (codegen compiler init,
+    // datasource/parquet footer setup) outside any query's measurement
+    // — otherwise whichever query iterates first absorbs ~4s of JVM
+    // warm-up and the per-query numbers are incomparable across rounds
+    spark.range(1000).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
+      .format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every projected column (count() lets

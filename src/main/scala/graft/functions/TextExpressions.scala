@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -57,6 +57,154 @@ case class RollingHash(child: Expression, base: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** DISTINCT xxhash64 values (seed 42) of the word k-shingles of a
+  * text, sorted ascending — one native pass per row.
+  *
+  * Semantics mirror the composable Catalyst form
+  * `array_distinct(transform(shingles(text, k), s -> xxhash64(s)))`
+  * bit-for-bit (spec-pinned): lowercase via UTF8String.toLowerCase
+  * (what Lower does), tokens via Pattern.split(.., -1) on \s+ (what
+  * StringSplit does), each window joined with single spaces, hashed
+  * with the same XXH64 primitive at Spark's default seed. Texts with
+  * fewer than k tokens fall back to one whole-text shingle; sets are
+  * distinct because every consumer is set-shaped (Jaccard, MinHash —
+  * min over duplicates equals min over distinct).
+  *
+  * Why native: the lambda form builds every shingle through
+  * slice → GenericArrayData → array_join → UTF8String concat per
+  * window, interpreted per element — profiled at ~7s for 5k docs at
+  * sf0.1, the single hottest span in both dedup pipelines. Here token
+  * bytes are materialized once per row and each window is assembled
+  * into a reused scratch buffer and hashed in place: no per-shingle
+  * object churn, same values.
+  */
+case class HashedShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = ws.split(v.asInstanceOf[UTF8String].toLowerCase.toString, -1)
+    val bytes = new Array[Array[Byte]](toks.length)
+    var i = 0
+    var maxWindow = 0
+    while (i < toks.length) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val n = toks.length
+    val eff = if (n < k) n else k // short text → one whole-text shingle
+    val count = if (n < k) 1 else n - k + 1
+    i = 0
+    while (i < count) {
+      var len = eff - 1 // separator spaces
+      var j = 0
+      while (j < eff) { len += bytes(i + j).length; j += 1 }
+      if (len > maxWindow) maxWindow = len
+      i += 1
+    }
+    val scratch = new Array[Byte](math.max(maxWindow, 1))
+    val hashes = new Array[Long](count)
+    i = 0
+    while (i < count) {
+      var pos = 0
+      var j = 0
+      while (j < eff) {
+        if (j > 0) { scratch(pos) = ' '; pos += 1 }
+        val b = bytes(i + j)
+        System.arraycopy(b, 0, scratch, pos, b.length)
+        pos += b.length
+        j += 1
+      }
+      hashes(i) = XXH64.hashUnsafeBytes(scratch,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      i += 1
+    }
+    // distinct via sort + in-place dedup (ascending, deterministic)
+    java.util.Arrays.sort(hashes)
+    var w = 0
+    i = 0
+    while (i < hashes.length) {
+      if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** One-pass MinHash signature over pre-hashed shingles (the
+  * [[HashedShingles]] output): element j of the result is min over
+  * shingle base-hashes of `hashInt(j, base)` — bit-exact with the SQL
+  * form `min(xxhash64(sh, lit(j)))` over exploded shingle STRINGS,
+  * because xxhash64(sh, j) folds its children left-to-right: the
+  * string at seed 42 (exactly a HashedShingles element), then the
+  * literal int j mixed into that base. Evaluating natively makes the
+  * signature a PER-ROW map:
+  *
+  *  - no explode: the |docs|·|shingles| intermediate row set never
+  *    exists, and no shuffle of partial minima is needed — the old
+  *    explode → groupBy(id).agg(64 × min) shape was itself the
+  *    workaround for Catalyst's projection collapse inlining the
+  *    shingle construction into every per-hash lambda (O(hashes)
+  *    recompute); a native expression evaluates its child once.
+  *  - cheaper arithmetic: each shingle is string-hashed ONCE (in
+  *    HashedShingles) and the per-permutation values are single int
+  *    mixes of that base, instead of numHashes full string hashes.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1, "numHashes must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val bases = v.asInstanceOf[ArrayData].toLongArray()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < bases.length) {
+      val base = bases(s)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashInt(j, base)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Intersection size of two SORTED long arrays (the HashedShingles
+  * shape) by linear merge — no per-row hash-set allocation, unlike
+  * Catalyst's ArrayIntersect/ArrayUnion pair, which this replaces in
+  * the Jaccard verification hot path (|∪| follows for free as
+  * |a| + |b| - |∩| on distinct inputs). Inputs MUST be sorted distinct;
+  * both producers in this codebase are.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var n = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { n += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Modular polynomial rolling hash over Unicode CODE POINTS:
   * fingerprint = (Σ cp_i · base^(n-1-i)) mod `mod`, evaluated with
   * Horner's rule so intermediates stay < mod·base (no overflow for
@@ -92,4 +240,10 @@ object TextFunctions {
   def rolling_hash_mod(s: Column, base: Long = 1000003L,
                        mod: Long = 2147483647L): Column =
     toColumn(CodePointRollingHash(toExpr(s), base, mod))
+  def hashed_shingles(text: Column, k: Int): Column =
+    toColumn(HashedShingles(toExpr(text), k))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def minhash_sig(hashedShingles: Column, numHashes: Int): Column =
+    toColumn(MinHashSignature(toExpr(hashedShingles), numHashes))
 }

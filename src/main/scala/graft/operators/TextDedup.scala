@@ -52,27 +52,23 @@ object TextDedup {
     docs.join(survivors, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signatures as 64 aggregate columns folded into ARRAY<LONG>:
-    * explode to one row per (doc, shingle), then min(xxhash64(sh, i))
-    * per permutation inside ONE codegen'd partial-aggregating groupBy.
-    * Seeding xxhash64 by index replaces the classic (a·x+b) mod p
-    * permutation family and stays overflow-safe under ANSI mode.
-    *
-    * (The tempting array-expression form — transform(seq, i ->
-    * array_min(transform(shingles, ...))) — lets Catalyst's projection
-    * collapse inline the shingle construction into every lambda
-    * evaluation: O(bands × hashes) recomputation per doc. The
-    * explode→agg shape computes each shingle exactly once and shuffles
-    * only partial minima.)
+  /** MinHash signatures as ARRAY<LONG>, one per doc, via the native
+    * one-pass [[graft.functions.MinHashSignature]] expression: NO
+    * explode, NO shuffle — the signature is a per-row map over the
+    * shingle array, hashing each shingle string once and deriving all
+    * numHashes permutation values from that base hash. Seeding by index
+    * replaces the classic (a·x+b) mod p permutation family and stays
+    * overflow-safe under ANSI mode. Values are bit-exact with the
+    * explode → groupBy(id).agg(min(xxhash64(sh, i))…) formulation this
+    * replaces (spec-pinned), which cost a |docs|·|shingles| row blowup
+    * plus a 64-partial-minima shuffle at every call.
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        shingleK: Int, numHashes: Int): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleK)).as("sh"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))))
-    exploded.groupBy(col("id"))
-      .agg(array(mins: _*).as("sig"))
-  }
+                        shingleK: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextFunctions.minhash_sig(
+        TextFunctions.hashed_shingles(col(textCol), shingleK), numHashes)
+        .as("sig"))
 
   /** Occupancy-capped bucket posting lists: group `keyed` (id + the
     * given bucket-key columns) by bucket, keeping at most maxBucket+1
@@ -161,13 +157,14 @@ object TextDedup {
   /** Distinct shingle-HASH set per doc: Jaccard over 8-byte hashes is
     * identical to Jaccard over the strings (collisions aside) and makes
     * the verification intersect/union long-typed — no string compares,
-    * no string shuffles.
+    * no string shuffles. Native one-pass construction (HashedShingles):
+    * the lambda form `array_distinct(transform(shingles(..), xxhash64))`
+    * was the hottest span in both dedup pipelines.
     */
   private def hashedShingleSets(docs: DataFrame, textCol: String,
                                 idCol: String, shingleK: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), shingleK),
-        s => xxhash64(s))).as("sh"))
+      TextFunctions.hashed_shingles(col(textCol), shingleK).as("sh"))
 
   /** MinHash+LSH near-dup pairs, verified: candidates whose exact
     * shingle-set Jaccard ≥ threshold. The verify join re-reads only the
@@ -184,11 +181,18 @@ object TextDedup {
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", jaccardOfSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact Jaccard of two sorted-distinct hash sets via one linear
+    * merge (|∪| = |a| + |b| - |∩|) — the array_intersect/array_union
+    * pair costs a per-row hash-set build each.
+    */
+  private def jaccardOfSorted(a: Column, b: Column): Column = {
+    val inter = TextFunctions.sorted_intersect_count(a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
   }
 
   /** 64-bit SimHash fingerprint per document over token hashes. */
@@ -256,9 +260,7 @@ object TextDedup {
       // rejects most candidate pairs before the set intersection runs
       .filter(size(col("sh_a")).cast("double") >= lit(minJaccard) * size(col("sh_b")) &&
               size(col("sh_b")).cast("double") >= lit(minJaccard) * size(col("sh_a")))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", jaccardOfSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

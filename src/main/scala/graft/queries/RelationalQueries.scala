@@ -370,17 +370,25 @@ object RelationalQueries {
 
   /** q23_rollup — hierarchical subtotals (SURVEY §2.6 "absent:
     * grouping sets/cube/rollup" — provided for completeness): per
-    * (returnflag, linestatus), per returnflag, and grand total in one
-    * pass. The grouping-id column disambiguates subtotal levels exactly
-    * as DuckDB's GROUPING() does.
+    * (returnflag, linestatus), per returnflag, and grand total. The
+    * grouping-id column disambiguates subtotal levels exactly as
+    * DuckDB's GROUPING() does.
+    *
+    * Pre-aggregate BEFORE the rollup: a bare rollup Expands every fact
+    * row ×(levels+1) and shuffles the multiplied set; since SUM/COUNT
+    * are algebraic, collapsing to the finest grouping first (|groups| ≈
+    * 6 here, bounded at any scale) and rolling THAT up is equivalent —
+    * the Expand runs over the group count, not the row count.
     */
   def q23Rollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("__sq"), count(lit(1)).as("__n"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping(col("l_returnflag")).as("g_flag"),
         grouping(col("l_linestatus")).as("g_status"),
-        sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        sum(col("__sq")).as("sum_qty"), sum(col("__n")).as("n"))
 
   /** q24_setops — INTERSECT/EXCEPT set semantics (SURVEY §2.8 absent
     * list): nations having customers but no suppliers, and vice versa,

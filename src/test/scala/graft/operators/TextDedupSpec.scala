@@ -33,6 +33,33 @@ class TextDedupSpec extends SparkSpec {
     assert(short == Seq("tiny doc"))
   }
 
+  test("native minhash signature is bit-exact with the explode+agg SQL formulation") {
+    val n = 16
+    val native = TextDedup.minhashSignatures(docs, "text", "doc_id",
+        shingleK = 3, numHashes = n)
+      .as[(Long, Seq[Long])].collect().toMap
+    val exploded = docs.select($"doc_id".as("id"),
+        explode(TextDedup.shingles($"text", 3)).as("sh"))
+      .groupBy($"id")
+      .agg(array((0 until n).map(i => min(xxhash64($"sh", lit(i)))): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == exploded)
+  }
+
+  test("native hashed shingles = sorted distinct xxhash64 of the string shingles") {
+    // includes multi-space + tab separators and a short (< k tokens) doc
+    val tricky = docs.unionByName(Seq(
+      (10L, "spaced  out\ttokens  here"), (11L, "tiny doc")).toDF("doc_id", "text"))
+    val native = tricky.select($"doc_id",
+        graft.functions.TextFunctions.hashed_shingles($"text", 3).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composed = tricky.select($"doc_id",
+        array_sort(array_distinct(transform(
+          TextDedup.shingles(lower($"text"), 3), s => xxhash64(s)))).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == composed)
+  }
+
   test("minhash near-dups: exact+near pairs found, dissimilar not paired") {
     val pairs = TextDedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
