@@ -54,6 +54,8 @@ object SparkEntry {
     "q28_struct_semi"    -> (RelationalQueries.q28StructSemi _),
     "q29_explode_outer"  -> (RelationalQueries.q29ExplodeOuter _),
     "q30_congruent"      -> (RelationalQueries.q30Congruent _),
+    "q31_window_frames"  -> (RelationalQueries.q31WindowFrames _),
+    "q32_percentiles"    -> (RelationalQueries.q32Percentiles _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
     "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),

@@ -163,7 +163,7 @@ object Similarity {
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 16,
-                     tables: Int = 4): DataFrame = {
+                     tables: Int = 4, maxBucket: Int = 2000): DataFrame = {
     val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // group by the vector VALUE (arrays group fine; ~hundreds of bytes
     // per key) — grouping by a 64-bit vector hash would merge colliding
@@ -178,19 +178,16 @@ object Similarity {
       .filter(col("id") =!= col("rep_id"))
       .select(col("rep_id").as("id_a"), col("id").as("id_b"),
               lit(1.0).as("cosine"))
-    // stage 2: LSH over distinct representatives; id-only candidate
-    // dedup, vectors rejoin after the distinct
+    // stage 2: LSH over distinct representatives; id-only capped-bucket
+    // pairs (Buckets.pairs — exact dups are already collapsed, but a
+    // large NEAR-dup vector cluster still shares buckets and would go
+    // quadratic in a flat self-join), vectors rejoin after the distinct
     val sigs = (0 until tables).map(t =>
       hyperplane_sig(col("vec"), bits, seed = 42L + t))
     val b = reps.select(col("id"),
       posexplode(array(sigs: _*)).as(Seq("table", "bucket")))
     val vecs = reps.select(col("id"), col("vec"))
-    val repPairs = b.as("l").join(b.as("r"),
-        col("l.table") === col("r.table") &&
-        col("l.bucket") === col("r.bucket") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val repPairs = Buckets.pairs(b, Seq("table", "bucket"), maxBucket)
       .join(vecs.toDF("id_a", "vec_a"), "id_a")
       .join(vecs.toDF("id_b", "vec_b"), "id_b")
       .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.functions.TopKFunctions.top_k_by_score
+
 
 /** Document deduplication for training-data pipelines, scaled for the
   * 100 TB case:
@@ -70,40 +70,6 @@ object TextDedup {
         TextFunctions.hashed_shingles(col(textCol), shingleK), numHashes)
         .as("sig"))
 
-  /** Occupancy-capped bucket posting lists: group `keyed` (id + the
-    * given bucket-key columns) by bucket, keeping at most maxBucket+1
-    * member ids per bucket via the bounded saturating collector
-    * (top_k_by_score with a constant score — the agg buffer never holds
-    * more than maxBucket+1 entries even for a billion-doc bucket), then
-    * DROP saturated buckets: a bucket over the cap would contribute
-    * O(occupancy²) candidate pairs — the quadratic blow-up a big
-    * near-dup cluster (template spam) causes in any flat LSH join.
-    * Dropped buckets are auditable via [[overflowBuckets]].
-    */
-  private def cappedBuckets(keyed: DataFrame, bucketCols: Seq[String],
-                            maxBucket: Int): DataFrame = {
-    val idType = keyed.schema("id").dataType
-    keyed.groupBy(bucketCols.map(col): _*)
-      .agg(top_k_by_score(lit(0.0), col("id").cast("long"), maxBucket + 1)
-        .as("members"))
-      .withColumn("ids",
-        transform(col("members"), _.getField("id").cast(idType)))
-      .filter(size(col("ids")).between(2, maxBucket))
-  }
-
-  /** All in-bucket pairs (id_a < id_b), expanded in-array — no
-    * self-join: one shuffle (the bucket groupBy), pair fan-out bounded
-    * by maxBucket² per bucket.
-    */
-  private def bucketPairs(keyed: DataFrame, bucketCols: Seq[String],
-                          maxBucket: Int): DataFrame =
-    cappedBuckets(keyed, bucketCols, maxBucket)
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(filter(col("ids"), b => b > a),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-
   /** Audit for the occupancy cap: the buckets whose membership exceeds
     * maxBucket (and therefore contribute no candidate pairs), with
     * their sizes. Run it when a corpus' recall matters more than its
@@ -131,13 +97,13 @@ object TextDedup {
   /** Candidate near-dup pairs via banded LSH over the MinHash signature:
     * docs sharing any band bucket pair up. numHashes = bands × rowsPerBand.
     * Returns (id_a, id_b) with id_a < id_b, distinct. Buckets with more
-    * than maxBucket members are dropped (see [[cappedBuckets]]) — the
+    * than maxBucket members are dropped (see [[Buckets.capped]]) — the
     * guard that keeps a mega near-dup cluster from going quadratic.
     */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, maxBucket: Int = 200): DataFrame =
-    bucketPairs(mBanded(docs, textCol, idCol, shingleK, numHashes, bands),
+    Buckets.pairs(mBanded(docs, textCol, idCol, shingleK, numHashes, bands),
       Seq("band", "bucket"), maxBucket)
 
   /** Exact-duplicate clusters as (rep, member) pairs: for every doc
@@ -222,7 +188,7 @@ object TextDedup {
     // id-only capped-bucket pairs (no self-join, occupancy bounded);
     // fingerprints rejoin on the candidate set only, so no chunk join
     // ever carries them and a hot chunk key cannot go quadratic
-    bucketPairs(chunked, Seq("chunk", "ckey"), maxBucket)
+    Buckets.pairs(chunked, Seq("chunk", "ckey"), maxBucket)
       .join(sh.toDF("id_a", "sim_a"), "id_a")
       .join(sh.toDF("id_b", "sim_b"), "id_b")
       .select(col("id_a"), col("id_b"),

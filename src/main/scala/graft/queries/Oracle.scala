@@ -303,6 +303,24 @@ object Oracle {
         |SELECT f.txid, f.type, f.addr, CAST(f.val AS DOUBLE) AS val
         |FROM flow f WHERE f.txid IN (SELECT txid FROM congruent)""".stripMargin,
 
+    "q31_window_frames" ->
+      """SELECT user_id, event_id, value,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       round(avg(value) OVER (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_7
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+
+    "q32_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "t4_ngram_jaccard" ->
       // exact mirror of TrainingQueries.t4NgramJaccard: exact-dedup
       // first (pairs at jaccard 1.0), then 3-gram shingle sets over the

@@ -505,6 +505,38 @@ object RelationalQueries {
         when(col("l_returnflag") === "R", col("l_partkey")))).as("r_parts"))
       .select(col("l_orderkey"), explode_outer(col("r_parts")).as("r_part"))
 
+  /** q31_window_frames — analytic window functions with explicit
+    * frames (SURVEY §2.7 notes the reference uses only ROW_NUMBER; lag
+    * and rolling frames are the first things a real series analysis
+    * adds): per user, each purchase with the previous purchase value
+    * and a trailing 7-row moving average. Partitioned by user — the
+    * window never funnels, regardless of event count.
+    */
+  def q31WindowFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        round(avg(col("value")).over(w.rowsBetween(-6, 0)), 6).as("avg_7"))
+  }
+
+  /** q32_percentiles — exact interpolated percentiles (SURVEY §2.6
+    * absent list): median and p90 per group. Spark's percentile and
+    * DuckDB's quantile_cont share the linear-interpolation definition;
+    * at cluster scale the approx_percentile sketch is the cheap
+    * substitute (bounds-checked in the spec, not oracle-compared —
+    * sketches differ across engines).
+    */
+  def q32Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+        round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99_price"))
+
   /** q30_congruent — the reference's `congruent` CTAS end-to-end
     * (btcolap.sql:234-266): build a signed two-leg flow, group it into
     * per-txid leg counts + sorted address arrays (Flows.groupedFlow),

@@ -24,4 +24,16 @@ class QueriesSmokeSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
+
+  test("approx_percentile (the cluster-scale substitute for q32) lands near the exact value") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+    val r = li.agg(
+        percentile(col("l_quantity"), lit(0.5)).as("exact"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("approx"))
+      .head()
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(exact - approx) <= 0.05 * math.max(1.0, exact),
+      s"approx $approx too far from exact $exact")
+  }
 }
