@@ -6,47 +6,126 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque BINARY
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The decode step is a STUB (this environment ships no image/audio
-  * codecs): `FakeCodec` derives deterministic pseudo-metadata and
-  * pseudo-features from the bytes. Everything around it — the schema,
-  * the typed Dataset, the batched mapPartitions shape (the Scala analog
-  * of a Pandas-UDF `mapInPandas`: decode amortized over a batch, one
-  * output row per input row), and the partition-preserving layout — is
-  * real and is what a production codec would drop into.
+  * The decode step is REAL for three container formats whose structure
+  * is pure header arithmetic (no codec libraries exist in this
+  * environment, so formats were chosen to be fully decodable with
+  * plain byte reads):
+  *
+  *  - BMP  (image): magic "BM", BITMAPINFOHEADER width/height
+  *  - WAV  (audio): RIFF/WAVE chunk walk — channels, sample rate,
+  *                  duration from the data-chunk size
+  *  - Y4M  (video): YUV4MPEG2 ASCII header — width/height/fps,
+  *                  duration from the frame count
+  *
+  * Unrecognized payloads degrade to byte-level metadata (length +
+  * histogram feature) with zeroed dimensions — the honest answer for
+  * bytes no available codec understands. Everything around the codec —
+  * the schema, the typed Dataset, the batched mapPartitions shape (the
+  * Scala analog of a Pandas-UDF `mapInPandas`: per-batch amortized
+  * setup, one output row per input row), and the partition-preserving
+  * layout — is exactly what a heavier codec (JPEG/MP4 via a native
+  * lib) would drop into.
   */
 object Multimodal {
 
   /** An opaque media row: bytes + declared type. */
   case class MediaRecord(doc_id: Long, media_type: String, media: Array[Byte])
 
-  /** Decoded metadata + a small feature vector. */
+  /** Decoded metadata + a small feature vector (8-bin byte histogram
+    * of the payload — cheap, deterministic, and a real reduction a
+    * curation pipeline can cluster/filter on).
+    */
   case class DecodedMedia(
       doc_id: Long, media_type: String, byte_len: Int,
       width: Int, height: Int, duration_ms: Int,
+      channels: Int, sample_rate: Int,
       feature: Array[Float])
 
-  /** Deterministic stand-in for a real decoder. A production pipeline
-    * replaces `decode` with e.g. an image library call; signature and
-    * batch usage stay identical.
-    */
-  object FakeCodec {
-    def decode(r: MediaRecord): DecodedMedia = {
-      var h = 1125899906842597L // deterministic FNV-ish fold of the bytes
+  /** Header-arithmetic decoders for BMP / WAV / Y4M. */
+  object Codec {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+      b.length >= o + s.length &&
+        s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+    /** 8-bin byte histogram over the whole payload, L1-normalized. */
+    private def histogram(b: Array[Byte]): Array[Float] = {
+      val h = new Array[Int](8)
       var i = 0
-      while (i < r.media.length) { h = h * 31 + (r.media(i) & 0xff); i += 1 }
-      def field(salt: Int, mod: Int): Int = {
-        val x = h ^ (salt.toLong * 0x9e3779b97f4a7c15L)
-        (((x % mod) + mod) % mod).toInt
-      }
-      val isVideoOrAudio = r.media_type == "video" || r.media_type == "audio"
-      DecodedMedia(
-        doc_id = r.doc_id, media_type = r.media_type,
-        byte_len = r.media.length,
-        width = if (r.media_type == "audio") 0 else 64 + field(1, 1856),
-        height = if (r.media_type == "audio") 0 else 64 + field(2, 1016),
-        duration_ms = if (isVideoOrAudio) 1000 + field(3, 600000) else 0,
-        feature = Array.tabulate(8)(j => field(10 + j, 1000) / 1000.0f))
+      while (i < b.length) { h((b(i) & 0xff) >>> 5) += 1; i += 1 }
+      val n = math.max(1, b.length)
+      h.map(_.toFloat / n)
     }
+
+    private def decodeBmp(r: MediaRecord): Option[DecodedMedia] = {
+      val b = r.media
+      if (!ascii(b, 0, "BM") || b.length < 26) return None
+      Some(DecodedMedia(r.doc_id, r.media_type, b.length,
+        width = le32(b, 18), height = math.abs(le32(b, 22)),
+        duration_ms = 0, channels = 0, sample_rate = 0,
+        feature = histogram(b)))
+    }
+
+    private def decodeWav(r: MediaRecord): Option[DecodedMedia] = {
+      val b = r.media
+      if (!ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
+      var (pos, channels, rate, byteRate, dataLen) = (12, 0, 0, 0, -1)
+      while (pos + 8 <= b.length) { // chunk walk: id(4) size(4) payload
+        val size = le32(b, pos + 4)
+        if (ascii(b, pos, "fmt ") && pos + 16 <= b.length) {
+          channels = le16(b, pos + 10)
+          rate = le32(b, pos + 12)
+          byteRate = le32(b, pos + 16)
+        } else if (ascii(b, pos, "data")) dataLen = size
+        pos += 8 + size + (size & 1) // chunks are 2-byte aligned
+      }
+      if (rate <= 0 || byteRate <= 0 || dataLen < 0) None
+      else Some(DecodedMedia(r.doc_id, r.media_type, b.length,
+        width = 0, height = 0,
+        duration_ms = (dataLen.toLong * 1000 / byteRate).toInt,
+        channels = channels, sample_rate = rate,
+        feature = histogram(b)))
+    }
+
+    private val y4mParam = """([WHF])(\d+)(?::(\d+))?""".r
+    private def decodeY4m(r: MediaRecord): Option[DecodedMedia] = {
+      val b = r.media
+      if (!ascii(b, 0, "YUV4MPEG2")) return None
+      val nl = b.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(b, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+      var (w, h, fnum, fden) = (0, 0, 25, 1)
+      y4mParam.findAllMatchIn(header).foreach { m =>
+        m.group(1) match {
+          case "W" => w = m.group(2).toInt
+          case "H" => h = m.group(2).toInt
+          case "F" => fnum = m.group(2).toInt
+            fden = Option(m.group(3)).map(_.toInt).getOrElse(1)
+        }
+      }
+      if (w <= 0 || h <= 0 || fnum <= 0) return None
+      val frameSize = 6 + w * h * 3 / 2 // "FRAME\n" + C420 planes
+      val frames = (b.length - nl - 1) / frameSize
+      Some(DecodedMedia(r.doc_id, r.media_type, b.length,
+        width = w, height = h,
+        duration_ms = (frames.toLong * 1000 * fden / fnum).toInt,
+        channels = 0, sample_rate = 0,
+        feature = histogram(b)))
+    }
+
+    /** Unknown bytes: byte-level metadata only — zero dimensions, real
+      * length + histogram. */
+    private def fallback(r: MediaRecord): DecodedMedia =
+      DecodedMedia(r.doc_id, r.media_type, r.media.length,
+        0, 0, 0, 0, 0, histogram(r.media))
+
+    def decode(r: MediaRecord): DecodedMedia =
+      decodeBmp(r).orElse(decodeWav(r)).orElse(decodeY4m(r))
+        .getOrElse(fallback(r))
   }
 
   /** Batched decode over partitions — the `mapInPandas` shape: group the
@@ -57,15 +136,15 @@ object Multimodal {
   def decodeAll(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch => batch.map(FakeCodec.decode) }
+      it.grouped(batchSize).flatMap { batch => batch.map(Codec.decode) }
     }
   }
 
-  /** Resize (stub): recompute target metadata preserving aspect ratio —
-    * the longest side shrinks to `maxSide`, never upscaling. A real
-    * implementation would transform pixels in the same mapPartitions
-    * shape as decodeAll; the metadata contract is what downstream
-    * consumers depend on.
+  /** Resize: recompute target metadata preserving aspect ratio — the
+    * longest side shrinks to `maxSide`, never upscaling. (Pixel
+    * transformation would run in the same mapPartitions shape as
+    * decodeAll; the metadata contract is what downstream consumers
+    * depend on.)
     */
   def resize(decoded: Dataset[DecodedMedia], maxSide: Int): Dataset[DecodedMedia] = {
     import decoded.sparkSession.implicits._
@@ -81,8 +160,9 @@ object Multimodal {
   }
 
   /** Frame sampling for video-typed rows: every `stride`-th fixed-size
-    * byte window as one "frame" (a real implementation samples decoded
-    * frames; the slicing/explode plumbing is identical).
+    * byte window as one "frame" — the generic slicing/explode plumbing
+    * for opaque payloads (a format-aware sampler would compute Y4M
+    * frame offsets the way Codec.decodeY4m does and slice those).
     */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 16,
                    stride: Int = 4): DataFrame = {
@@ -98,16 +178,64 @@ object Multimodal {
           .as(Seq("frame_idx", "frame")))
   }
 
-  /** Synthesize a media table from any text corpus (for tests/benches):
-    * bytes = utf8(text), type cycles by id. */
+  /** Synthesize a media table from any text corpus (tests/benches):
+    * REAL container bytes — a 24bpp BMP, a PCM-16 mono WAV, or a C420
+    * Y4M — with deterministic text-derived dimensions and the text's
+    * bytes cycled through the payload, so the decoded metadata is
+    * checkable end-to-end. Type cycles by id.
+    */
   def synthesize(docs: DataFrame, idCol: String, textCol: String)
                 (implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(
-        col(idCol).cast("long").as("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col(idCol) % 3 + 1).cast("int")).as("media_type"),
-        encode(col(textCol), "UTF-8").as("media"))
-      .as[MediaRecord]
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        id % 3 match {
+          case 0 => MediaRecord(id, "image",
+            SynthMedia.bmp(4 + (t.length % 13), 2 + (t.length % 7), t))
+          case 1 => MediaRecord(id, "audio",
+            SynthMedia.wav(sampleRate = 8000, nSamples = 400 + t.length, t))
+          case _ => MediaRecord(id, "video",
+            SynthMedia.y4m(w = 4 + 2 * (t.length % 5), h = 4 + 2 * (t.length % 3),
+              fps = 25, frames = 1 + t.length % 40, t))
+        }
+      }
+  }
+
+  /** Byte-level writers for the three supported containers. */
+  private[operators] object SynthMedia {
+    private def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte)
+    private def payload(fill: Array[Byte], n: Int): Array[Byte] =
+      Array.tabulate(n)(i => if (fill.isEmpty) 0.toByte else fill(i % fill.length))
+
+    def bmp(w: Int, h: Int, fill: Array[Byte]): Array[Byte] = {
+      val rowBytes = (w * 3 + 3) / 4 * 4 // 24bpp rows pad to 4 bytes
+      val dataSize = rowBytes * h
+      "BM".getBytes ++ le32(54 + dataSize) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(dataSize) ++ le32(2835) ++ le32(2835) ++
+        le32(0) ++ le32(0) ++ payload(fill, dataSize)
+    }
+
+    def wav(sampleRate: Int, nSamples: Int, fill: Array[Byte]): Array[Byte] = {
+      val dataSize = nSamples * 2 // PCM16 mono
+      val byteRate = sampleRate * 2
+      "RIFF".getBytes ++ le32(36 + dataSize) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(sampleRate) ++ le32(byteRate) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(dataSize) ++ payload(fill, dataSize)
+    }
+
+    def y4m(w: Int, h: Int, fps: Int, frames: Int, fill: Array[Byte]): Array[Byte] = {
+      val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420\n".getBytes
+      val planeBytes = w * h * 3 / 2
+      val frame = "FRAME\n".getBytes
+      (0 until frames).foldLeft(header)((acc, _) =>
+        acc ++ frame ++ payload(fill, planeBytes))
+    }
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.operators.Multimodal.{Codec, MediaRecord, SynthMedia}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -13,47 +14,75 @@ class MultimodalSpec extends SparkSpec {
     (3L, "another image")
   ).toDF("doc_id", "text")
 
-  test("synthesize: binary column + cycling media type") {
+  private def len(id: Long) =
+    docs.filter($"doc_id" === id).select("text").as[String].head()
+      .getBytes("UTF-8").length
+
+  test("codec: BMP/WAV/Y4M headers decode to exact metadata; garbage falls back") {
+    val bmp = Codec.decode(MediaRecord(1, "image", SynthMedia.bmp(13, 7, "x".getBytes)))
+    assert(bmp.width == 13 && bmp.height == 7 && bmp.duration_ms == 0)
+    val wav = Codec.decode(MediaRecord(2, "audio",
+      SynthMedia.wav(sampleRate = 8000, nSamples = 4000, "y".getBytes)))
+    assert(wav.sample_rate == 8000 && wav.channels == 1)
+    assert(wav.duration_ms == 500) // 4000 samples at 8 kHz
+    val y4m = Codec.decode(MediaRecord(3, "video",
+      SynthMedia.y4m(w = 6, h = 4, fps = 25, frames = 50, "z".getBytes)))
+    assert(y4m.width == 6 && y4m.height == 4)
+    assert(y4m.duration_ms == 2000) // 50 frames at 25 fps
+    val junk = Codec.decode(MediaRecord(4, "image", Array[Byte](1, 2, 3)))
+    assert(junk.width == 0 && junk.duration_ms == 0 && junk.byte_len == 3)
+    assert(junk.feature.length == 8)
+  }
+
+  test("synthesize: real container bytes + cycling media type") {
     implicit val s = spark
     val media = Multimodal.synthesize(docs, "doc_id", "text").collect()
     assert(media.map(_.media_type).toSeq.sorted ==
       Seq("audio", "image", "image", "video"))
-    assert(new String(media.find(_.doc_id == 0).get.media, "UTF-8")
-      == "an image document body")
+    val img = media.find(_.doc_id == 0).get.media
+    assert(img(0) == 'B'.toByte && img(1) == 'M'.toByte)
+    val aud = media.find(_.doc_id == 1).get.media
+    assert(new String(aud.take(4), "UTF-8") == "RIFF")
+    val vid = media.find(_.doc_id == 2).get.media
+    assert(new String(vid.take(9), "UTF-8") == "YUV4MPEG2")
   }
 
-  test("decodeAll: deterministic stub metadata, one output row per input") {
+  test("decodeAll: real metadata round-trips from synthesize, one row per input") {
     implicit val s = spark
     val media = Multimodal.synthesize(docs, "doc_id", "text")
     val d1 = Multimodal.decodeAll(media, batchSize = 2).collect().sortBy(_.doc_id)
     val d2 = Multimodal.decodeAll(media, batchSize = 64).collect().sortBy(_.doc_id)
     assert(d1.length == 4)
     assert(d1.map(_.width).toSeq == d2.map(_.width).toSeq) // batch size can't change results
-    val audio = d1.find(_.media_type == "audio").get
-    assert(audio.width == 0 && audio.duration_ms > 0)
     val image = d1.find(_.doc_id == 0).get
-    assert(image.width >= 64 && image.height >= 64 && image.duration_ms == 0)
-    assert(image.byte_len == "an image document body".length)
-    assert(image.feature.length == 8)
+    assert(image.width == 4 + len(0) % 13 && image.height == 2 + len(0) % 7)
+    assert(image.duration_ms == 0)
+    val audio = d1.find(_.doc_id == 1).get
+    assert(audio.sample_rate == 8000 && audio.channels == 1 && audio.width == 0)
+    assert(audio.duration_ms == (400 + len(1)) * 1000 / 8000)
+    val video = d1.find(_.doc_id == 2).get
+    assert(video.width == 4 + 2 * (len(2) % 5) && video.height == 4 + 2 * (len(2) % 3))
+    assert(video.duration_ms == (1 + len(2) % 40) * 1000 / 25)
+    assert(d1.forall(_.feature.length == 8))
   }
 
   test("resize: aspect-preserving shrink, never upscales") {
     implicit val s = spark
     val media = Multimodal.synthesize(docs, "doc_id", "text")
     val decoded = Multimodal.decodeAll(media)
-    val resized = Multimodal.resize(decoded, maxSide = 100).collect()
+    val resized = Multimodal.resize(decoded, maxSide = 8).collect()
     resized.filter(_.media_type != "audio").foreach { d =>
-      assert(math.max(d.width, d.height) <= 100)
+      assert(math.max(d.width, d.height) <= 8)
       assert(d.width >= 1 && d.height >= 1)
     }
     // audio rows (0×0) pass through untouched
     assert(resized.filter(_.media_type == "audio").forall(d => d.width == 0))
     // aspect ratio approximately preserved for the shrunk rows
     val orig = decoded.collect().map(d => d.doc_id -> d).toMap
-    resized.filter(d => math.max(orig(d.doc_id).width, orig(d.doc_id).height) > 100)
+    resized.filter(d => math.max(orig(d.doc_id).width, orig(d.doc_id).height) > 8)
       .foreach { d =>
         val o = orig(d.doc_id)
-        assert(math.abs(d.width.toDouble / d.height - o.width.toDouble / o.height) < 0.1)
+        assert(math.abs(d.width.toDouble / d.height - o.width.toDouble / o.height) < 0.5)
       }
   }
 
