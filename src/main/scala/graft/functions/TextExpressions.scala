@@ -2,91 +2,30 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expressions for document fingerprinting. */
-
-/** 64-bit SimHash over pre-hashed features: each feature hash votes ±1
-  * per bit position; the sign of the per-bit sum becomes the output bit.
-  * Near-duplicate documents land within a small Hamming distance.
-  * Input: ARRAY<LONG> of feature (token/shingle) hashes.
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(v: Any): Any = {
-    val hashes = v.asInstanceOf[ArrayData].toLongArray()
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < hashes.length) {
-      val h = hashes(i)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
-    sig
-  }
-  override protected def withNewChildInternal(c: Expression) = copy(child = c)
-}
-
-/** Polynomial rolling hash of a string (Rabin-Karp form): fingerprint =
-  * Σ c_i · base^(n-1-i) in Long arithmetic (wrapping — deterministic on
-  * the JVM). One pass, O(length), no allocation.
-  */
-case class RollingHash(child: Expression, base: Long)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) { h = h * base + (bytes(i) & 0xff); i += 1 }
-    h
-  }
-  override protected def withNewChildInternal(c: Expression) = copy(child = c)
-}
-
-/** DISTINCT xxhash64 values (seed 42) of the word k-shingles of a
-  * text, sorted ascending — one native pass per row.
+/** Native Catalyst expressions for document fingerprinting.
   *
-  * Semantics mirror the composable Catalyst form
-  * `array_distinct(transform(shingles(text, k), s -> xxhash64(s)))`
-  * bit-for-bit (spec-pinned): lowercase via UTF8String.toLowerCase
-  * (what Lower does), tokens via Pattern.split(.., -1) on \s+ (what
-  * StringSplit does), each window joined with single spaces, hashed
-  * with the same XXH64 primitive at Spark's default seed. Texts with
-  * fewer than k tokens fall back to one whole-text shingle; sets are
-  * distinct because every consumer is set-shaped (Jaccard, MinHash —
-  * min over duplicates equals min over distinct).
-  *
-  * Why native: the lambda form builds every shingle through
-  * slice → GenericArrayData → array_join → UTF8String concat per
-  * window, interpreted per element — profiled at ~7s for 5k docs at
-  * sf0.1, the single hottest span in both dedup pipelines. Here token
-  * bytes are materialized once per row and each window is assembled
-  * into a reused scratch buffer and hashed in place: no per-shingle
-  * object churn, same values.
+  * Each expression's kernel lives as a static method on [[TextKernels]]
+  * (a standalone Scala object → JVM static forwarders), and `doGenCode`
+  * emits a plain static call: the heavy loop runs as compiled JVM code
+  * either way, and the expression participates in whole-stage codegen
+  * instead of breaking the span the way CodegenFallback does (fallback
+  * forces the surrounding operators into interpreted per-row eval with
+  * boxing at every boundary).
   */
-case class HashedShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k >= 1, "k must be >= 1")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+object TextKernels {
 
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = ws.split(v.asInstanceOf[UTF8String].toLowerCase.toString, -1)
+  /** Kernel for [[HashedShingles]]: sorted distinct xxhash64 (seed 42)
+    * of the lowercased word k-shingles of `text`.
+    */
+  def hashedShingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = ws.split(text.toLowerCase.toString, -1)
     val bytes = new Array[Array[Byte]](toks.length)
     var i = 0
     var maxWindow = 0
@@ -132,6 +71,142 @@ case class HashedShingles(child: Expression, k: Int)
     }
     new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
   }
+
+  /** Kernel for [[MinHashSignature]]: per permutation j, min over
+    * shingle base-hashes of hashInt(j, base).
+    */
+  def minhashSig(bases: ArrayData, numHashes: Int): ArrayData = {
+    val b = bases.toLongArray()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < b.length) {
+      val base = b(s)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashInt(j, base)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Kernel for [[SortedIntersectCount]]: linear merge. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    var i = 0; var j = 0; var n = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { n += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Kernel for [[SimHash64]]: per-bit ±1 votes from feature hashes. */
+  def simhash64(v: ArrayData): Long = {
+    val hashes = v.toLongArray()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** Kernel for [[RollingHash]]: wrapping-Long polynomial over UTF-8
+    * bytes. */
+  def rollingHash(v: UTF8String, base: Long): Long = {
+    val bytes = v.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * base + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
+  /** Kernel for [[CodePointRollingHash]]: Horner mod `mod` over Unicode
+    * code points. */
+  def codePointRollingHash(v: UTF8String, base: Long, mod: Long): Long = {
+    val s = v.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** 64-bit SimHash over pre-hashed features: each feature hash votes ±1
+  * per bit position; the sign of the per-bit sum becomes the output bit.
+  * Near-duplicate documents land within a small Hamming distance.
+  * Input: ARRAY<LONG> of feature (token/shingle) hashes.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.simhash64($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Polynomial rolling hash of a string (Rabin-Karp form): fingerprint =
+  * Σ c_i · base^(n-1-i) in Long arithmetic (wrapping — deterministic on
+  * the JVM). One pass, O(length), no allocation.
+  */
+case class RollingHash(child: Expression, base: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.rollingHash(v.asInstanceOf[UTF8String], base)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.rollingHash($c, ${base}L);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** DISTINCT xxhash64 values (seed 42) of the word k-shingles of a
+  * text, sorted ascending — one native pass per row.
+  *
+  * Semantics mirror the composable Catalyst form
+  * `array_distinct(transform(shingles(text, k), s -> xxhash64(s)))`
+  * bit-for-bit (spec-pinned): lowercase via UTF8String.toLowerCase
+  * (what Lower does), tokens via Pattern.split(.., -1) on \s+ (what
+  * StringSplit does), each window joined with single spaces, hashed
+  * with the same XXH64 primitive at Spark's default seed. Texts with
+  * fewer than k tokens fall back to one whole-text shingle; sets are
+  * distinct because every consumer is set-shaped (Jaccard, MinHash —
+  * min over duplicates equals min over distinct).
+  *
+  * Why native: the lambda form builds every shingle through
+  * slice → GenericArrayData → array_join → UTF8String concat per
+  * window, interpreted per element — profiled at ~7s for 5k docs at
+  * sf0.1, the single hottest span in both dedup pipelines. The kernel
+  * materializes token bytes once per row and assembles each window in
+  * a reused scratch buffer, hashing in place.
+  */
+case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.hashedShingles(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.hashedShingles($c, $k);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -155,26 +230,14 @@ case class HashedShingles(child: Expression, k: Int)
   *    mixes of that base, instead of numHashes full string hashes.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes >= 1, "numHashes must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def nullSafeEval(v: Any): Any = {
-    val bases = v.asInstanceOf[ArrayData].toLongArray()
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var s = 0
-    while (s < bases.length) {
-      val base = bases(s)
-      var j = 0
-      while (j < numHashes) {
-        val h = XXH64.hashInt(j, base)
-        if (h < mins(j)) mins(j) = h
-        j += 1
-      }
-      s += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minhashSig(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.minhashSig($c, $numHashes);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -186,21 +249,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * both producers in this codebase are.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = IntegerType
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toLongArray()
-    val y = b.asInstanceOf[ArrayData].toLongArray()
-    var i = 0; var j = 0; var n = 0
-    while (i < x.length && j < y.length) {
-      if (x(i) == y(j)) { n += 1; i += 1; j += 1 }
-      else if (x(i) < y(j)) i += 1
-      else j += 1
-    }
-    n
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersectCount(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.sortedIntersectCount($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -214,20 +270,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * list_reduce over string_split(text, '') (Oracle.sql t11).
   */
 case class CodePointRollingHash(child: Expression, base: Long, mod: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h = (h * base + cp) % mod
-      i += Character.charCount(cp)
-    }
-    h
-  }
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.codePointRollingHash(v.asInstanceOf[UTF8String], base, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.codePointRollingHash($c, ${base}L, ${mod}L);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

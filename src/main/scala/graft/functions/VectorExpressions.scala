@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -113,18 +113,10 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Signed-random-projection (hyperplane) LSH signature: bit j of the
-  * result is the sign of vec · g_j, where g_j is a deterministic
-  * pseudo-random hyperplane derived from (seed, j, dim index) via
-  * splitmix64 — reproducible across executors with no broadcast state.
-  * Cosine-similar vectors agree on most bits (P[bit match] = 1 - θ/π).
+/** Static kernel for [[HyperplaneSignature]] — standalone object so
+  * generated code can call it as a plain JVM static method.
   */
-case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
-  require(numBits >= 1 && numBits <= 64, "numBits in [1,64]")
-  override def dataType: DataType = LongType
-
+object VectorKernels {
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -132,28 +124,59 @@ case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
     x ^ (x >>> 31)
   }
   /** uniform in [-1, 1) — a symmetric weight is enough for sign-LSH. */
-  private def weight(j: Int, d: Int): Double =
+  private def weight(seed: Long, j: Int, d: Int): Double =
     splitmix64(seed * 0x100000001b3L + j.toLong * 0x1000193L + d).toDouble /
       9.223372036854776e18
 
-  override def nullSafeEval(v: Any): Any = {
-    val elemT = child.dataType.asInstanceOf[ArrayType].elementType
-    val arr = v.asInstanceOf[ArrayData]
-    val x: Array[Double] = elemT match {
-      case FloatType  => arr.toFloatArray().map(_.toDouble)
-      case DoubleType => arr.toDoubleArray()
-      case t => throw new IllegalArgumentException(s"unsupported element type $t")
-    }
+  def hyperplaneSig(arr: ArrayData, numBits: Int, seed: Long,
+                    floatElems: Boolean): Long = {
+    val x: Array[Double] =
+      if (floatElems) {
+        val f = arr.toFloatArray()
+        val out = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+        out
+      } else arr.toDoubleArray()
     var sig = 0L
     var j = 0
     while (j < numBits) {
       var dot = 0.0; var d = 0
-      while (d < x.length) { dot += x(d) * weight(j, d); d += 1 }
+      while (d < x.length) { dot += x(d) * weight(seed, j, d); d += 1 }
       if (dot >= 0) sig |= (1L << j)
       j += 1
     }
     sig
   }
+}
+
+/** Signed-random-projection (hyperplane) LSH signature: bit j of the
+  * result is the sign of vec · g_j, where g_j is a deterministic
+  * pseudo-random hyperplane derived from (seed, j, dim index) via
+  * splitmix64 — reproducible across executors with no broadcast state.
+  * Cosine-similar vectors agree on most bits (P[bit match] = 1 - θ/π).
+  * Codegen emits a static kernel call so the expression stays inside
+  * the whole-stage span.
+  */
+case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numBits >= 1 && numBits <= 64, "numBits in [1,64]")
+  override def dataType: DataType = LongType
+
+  private def floatElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.hyperplaneSig(v.asInstanceOf[ArrayData], numBits, seed, floatElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.hyperplaneSig($c, $numBits, ${seed}L, $floatElems);")
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

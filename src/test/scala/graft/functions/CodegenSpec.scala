@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Guards the codegen path of every native expression: generating an
+  * UnsafeProjection compiles the emitted Java directly (no interpreted
+  * fallback at this API level), so a static-call kernel that Janino
+  * cannot resolve fails HERE instead of silently degrading the whole
+  * stage to interpreted eval in production plans.
+  */
+class CodegenSpec extends SparkSpec {
+
+  test("text expressions compile under codegen and agree with interpreted eval") {
+    val text = BoundReference(0, StringType, nullable = true)
+    val sh = HashedShingles(text, 3)
+    val exprs = Seq(sh, MinHashSignature(sh, 8), SimHash64(sh),
+      RollingHash(text, 31L), CodePointRollingHash(text, 31L, 97L),
+      SortedIntersectCount(sh, sh))
+    val proj = GenerateUnsafeProjection.generate(exprs) // throws on Janino failure
+    val input = InternalRow(UTF8String.fromString("the quick brown fox jumps"))
+    val row = proj(input)
+    // codegen result == interpreted result, field by field
+    assert(row.getArray(0).toLongArray().toSeq ==
+      exprs(0).eval(input).asInstanceOf[GenericArrayData].toLongArray().toSeq)
+    assert(row.getArray(1).toLongArray().toSeq ==
+      exprs(1).eval(input).asInstanceOf[GenericArrayData].toLongArray().toSeq)
+    (2 until 5).foreach { i =>
+      assert(row.getLong(i) == exprs(i).eval(input).asInstanceOf[Long])
+    }
+    assert(row.getInt(5) == row.getArray(0).numElements()) // self-intersection
+  }
+
+  test("vector expressions compile under codegen and agree with interpreted eval") {
+    val vec = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val exprs = Seq(HyperplaneSignature(vec, 16, 42L),
+      CosineSimilarity(vec, vec), DotProduct(vec, vec))
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    val input = InternalRow(new GenericArrayData(Array(0.5, -1.5, 2.0)))
+    val row = proj(input)
+    assert(row.getLong(0) == exprs(0).eval(input).asInstanceOf[Long])
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12) // cos(v, v) = 1
+    assert(row.getDouble(2) == 0.25 + 2.25 + 4.0)
+  }
+}
