@@ -332,11 +332,6 @@ object RelationalQueries {
     val li = Tables.lineitem(spark, sfDir)
     // satoshi→BTC-style scaling: /1e8 lands exactly on the 10dp decimal grid
     val scaled = (col("l_extendedprice") / lit(1e8)).cast("decimal(28,10)")
-    val inLeg = li.select(col("l_orderkey"), lit("input").as("type"),
-                          (-scaled).as("val"))
-    val outLeg = li.select(col("l_orderkey"), lit("output").as("type"),
-                           scaled.as("val"))
-    val flows = inLeg.unionByName(outLeg)
     val ord = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
@@ -344,14 +339,28 @@ object RelationalQueries {
       .select(col("c_custkey"), col("c_nationkey"))
     val nat = Tables.nation(spark, sfDir)
       .select(col("n_nationkey"), col("n_name").as("location"))
-    flows
+    // The reference's shape is UNION ALL of two signed legs, then join +
+    // enrich + aggregate. Both legs share the join key and differ only
+    // in sign/tag, so the Spark-first plan joins and aggregates the fact
+    // ONCE and defers leg expansion until after the aggregate — the
+    // dominant shuffle (fact ⋈ orders) and the partial agg each see half
+    // the rows, and the algebra is exact: sum over input legs of -val is
+    // the negated sum, leg counts are equal. (An optimizer cannot derive
+    // this rewrite; it is the kind of push-down the query author owns.)
+    li.select(col("l_orderkey"), scaled.as("val"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
-               col("type"), col("location"))
-      .agg(sum(col("val")).cast("double").as("flow"),
-           count(lit(1)).as("n_legs"))
+               col("location"))
+      .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+      .select(col("day"), col("location"),
+        explode(array(
+          struct(lit("input").as("type"), (-col("s")).as("s")),
+          struct(lit("output").as("type"), col("s").as("s")))).as("leg"),
+        col("n"))
+      .select(col("day"), col("leg.type").as("type"), col("location"),
+              col("leg.s").cast("double").as("flow"), col("n").as("n_legs"))
   }
 
   /** q22_count_distinct — distinct aggregates (SURVEY §2.6 notes the
