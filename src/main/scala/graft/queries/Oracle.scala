@@ -363,6 +363,52 @@ object Oracle {
         |UNION ALL
         |SELECT id_a, id_b, jaccard FROM exact_pairs""".stripMargin,
 
+    "t8_langid" ->
+      // full DuckDB mirror of TextAnalysis.langId: per-language stopword
+      // hits + character-class boosts, argmax via list_max over
+      // (score, lang) structs — lexicographic struct ordering breaks
+      // ties toward the later language code exactly like Spark's
+      // array_max(struct(...)). (The synthetic corpus' text is mostly
+      // English-ish regardless of its lang label; the oracle verifies
+      // the ENGINE computes the heuristic exactly.)
+      """WITH toks AS (
+        |  SELECT lang, text, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents
+        |), scored AS (
+        |  SELECT lang,
+        |    struct_pack(s := CASE WHEN regexp_matches(text, '[äöüß]') THEN 2 ELSE 0 END
+        |      + (CASE WHEN list_contains(t,'der') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'die') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'das') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'und') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'ist') THEN 1 ELSE 0 END), l := 'de') AS de,
+        |    struct_pack(s := (CASE WHEN list_contains(t,'the') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'a') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'of') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'and') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'is') THEN 1 ELSE 0 END), l := 'en') AS en,
+        |    struct_pack(s := CASE WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 2 ELSE 0 END
+        |      + (CASE WHEN list_contains(t,'el') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'la') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'de') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'que') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'y') THEN 1 ELSE 0 END), l := 'es') AS es,
+        |    struct_pack(s := CASE WHEN regexp_matches(text, '[àâçéèêëîïôûù]') THEN 2 ELSE 0 END
+        |      + (CASE WHEN list_contains(t,'le') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'la') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'de') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'et') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(t,'un') THEN 1 ELSE 0 END), l := 'fr') AS fr,
+        |    struct_pack(s := CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 10 ELSE 0 END,
+        |                l := 'zh') AS zh
+        |  FROM toks
+        |), best AS (
+        |  SELECT lang, list_max([de, en, es, fr, zh]) AS b FROM scored
+        |)
+        |SELECT lang, CASE WHEN b.s <= 0 THEN 'und' ELSE b.l END AS predicted,
+        |       count(*) AS n
+        |FROM best GROUP BY 1, 2""".stripMargin,
+
     "t11_fingerprint" ->
       // CodePointRollingHash mirror: Horner over Unicode code points,
       // mod 2^31-1 with base 1000003 — pure 64-bit arithmetic, so
