@@ -233,9 +233,15 @@ object Multimodal {
     def y4m(w: Int, h: Int, fps: Int, frames: Int, fill: Array[Byte]): Array[Byte] = {
       val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420\n".getBytes
       val planeBytes = w * h * 3 / 2
-      val frame = "FRAME\n".getBytes
-      (0 until frames).foldLeft(header)((acc, _) =>
-        acc ++ frame ++ payload(fill, planeBytes))
+      val frame = "FRAME\n".getBytes ++ payload(fill, planeBytes)
+      val out = new Array[Byte](header.length + frames * frame.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = 0
+      while (i < frames) {
+        System.arraycopy(frame, 0, out, header.length + i * frame.length, frame.length)
+        i += 1
+      }
+      out
     }
   }
 }
