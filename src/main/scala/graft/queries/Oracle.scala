@@ -363,6 +363,56 @@ object Oracle {
         |UNION ALL
         |SELECT id_a, id_b, jaccard FROM exact_pairs""".stripMargin,
 
+    "t12_multimodal" ->
+      // closed-form replay of synthesize → decode → aggregate: the
+      // synthesized BMP/WAV/Y4M containers are deterministic functions
+      // of the text's UTF-8 byte length, so DuckDB can predict the
+      // decoded byte_len/width/duration exactly — if the codec
+      // misparsed any header, these numbers would not reproduce
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 54 + ((3 * (4 + L % 13) + 3) // 4) * 4 * (2 + L % 7)
+        |      WHEN 1 THEN 44 + 2 * (400 + L)
+        |      ELSE length('YUV4MPEG2 W' || (4 + 2 * (L % 5)) || ' H' ||
+        |                  (4 + 2 * (L % 3)) || ' F25:1 Ip A1:1 C420') + 1
+        |           + (1 + L % 40) *
+        |             (6 + ((4 + 2 * (L % 5)) * (4 + 2 * (L % 3)) * 3) // 2)
+        |    END AS byte_len,
+        |    CASE doc_id % 3 WHEN 0 THEN 4 + L % 13 WHEN 1 THEN 0
+        |         ELSE 4 + 2 * (L % 5) END AS width,
+        |    CASE doc_id % 3 WHEN 0 THEN 0
+        |      WHEN 1 THEN (2 * (400 + L) * 1000) // 16000
+        |      ELSE ((1 + L % 40) * 1000) // 25 END AS duration_ms
+        |  FROM d
+        |)
+        |SELECT media_type, count(*) AS n,
+        |       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        |       max(width) AS max_width, max(duration_ms) AS max_duration_ms
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "t14_streaming_daily" ->
+      // replay of the streaming append-mode contract in plain SQL: a
+      // 1-day tumbling window is finalized iff its end <= watermark =
+      // max(event time) - 1 day; the single-file AvailableNow source
+      // processes in one batch, so no row is late-dropped and the
+      // emitted set is exactly the finalized daily aggregate
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |), wm AS (
+        |  SELECT max(ts) - INTERVAL 1 DAY AS w FROM e
+        |)
+        |SELECT date_trunc('day', ts) AS day, event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       count(*) AS n
+        |FROM e
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        |GROUP BY 1, 2""".stripMargin,
+
     "t8_langid" ->
       // full DuckDB mirror of TextAnalysis.langId: per-language stopword
       // hits + character-class boosts, argmax via list_max over

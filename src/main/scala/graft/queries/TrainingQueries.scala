@@ -183,8 +183,14 @@ object TrainingQueries {
     val stream = StreamingFlows.source(spark, sfDir, schema,
         globFilter = Some("events.parquet"))
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // decimal money-sum convention (see RelationalQueries.moneySum) so
+      // the emitted totals are exact and the DuckDB oracle can replay
+      // the watermark semantics: append mode emits exactly the windows
+      // with end <= max(event time) - delay, which is plain SQL
+      .withColumn("value", col("value").cast("decimal(18,2)"))
     val agg = StreamingFlows.dailyFlowAgg(stream, "ts", "event_type", "value")
     StreamingFlows.runAvailableNow(spark, agg, s"t14_daily_${System.nanoTime}")
+      .withColumn("total", col("total").cast("double"))
       .orderBy(col("day"), col("event_type"))
   }
 
