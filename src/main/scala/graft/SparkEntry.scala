@@ -56,6 +56,7 @@ object SparkEntry {
     "q30_congruent"      -> (RelationalQueries.q30Congruent _),
     "q31_window_frames"  -> (RelationalQueries.q31WindowFrames _),
     "q32_percentiles"    -> (RelationalQueries.q32Percentiles _),
+    "q33_asof_native"    -> (RelationalQueries.q33AsOfNative _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
     "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),

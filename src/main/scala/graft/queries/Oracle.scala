@@ -303,6 +303,17 @@ object Oracle {
         |SELECT f.txid, f.type, f.addr, CAST(f.val AS DOUBLE) AS val
         |FROM flow f WHERE f.txid IN (SELECT txid FROM congruent)""".stripMargin,
 
+    "q33_asof_native" ->
+      // identical semantics to q25 (the composed form) — the custom
+      // physical operator must reproduce DuckDB's native ASOF exactly
+      """SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND c.ts >= p.pts""".stripMargin,
+
     "q31_window_frames" ->
       """SELECT user_id, event_id, value,
         |       lag(value, 1) OVER w AS prev_value,

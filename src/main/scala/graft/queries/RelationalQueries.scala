@@ -514,6 +514,25 @@ object RelationalQueries {
         when(col("l_returnflag") === "R", col("l_partkey")))).as("r_parts"))
       .select(col("l_orderkey"), explode_outer(col("r_parts")).as("r_part"))
 
+  /** q33_asof_native — the SAME backward as-of semantics as q25, but
+    * through the custom whole-operator plan (AsOfJoinNode →
+    * AsOfJoinStrategy → AsOfJoinExec; build-spec extension tier (c)):
+    * children clustered+sorted by Catalyst's EnsureRequirements, one
+    * streaming merge per partition, no union padding and no window
+    * state. Oracle: DuckDB's native ASOF LEFT JOIN — same as q25's.
+    */
+  def q33AsOfNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+    graft.plans.NativeAsOfJoin.backward(clicks, purchases, "user_id",
+        "ts", "pts", valueCols = Seq("value"))
+      .select(col("event_id"), col("user_id"),
+              col("asof_value").as("last_purchase_value"))
+  }
+
   /** q31_window_frames — analytic window functions with explicit
     * frames (SURVEY §2.7 notes the reference uses only ROW_NUMBER; lag
     * and rolling frames are the first things a real series analysis
