@@ -90,49 +90,82 @@ object Similarity {
     topKPerQuery(cands, k, corpus.schema(idCol).dataType)
   }
 
+  /** Argmax cell id over per-centroid cosine via array_max on
+    * (sim, idx) structs — linear expression size (a reduceLeft of
+    * when(...) would duplicate the accumulated subtree per step:
+    * 2^nlist nodes).
+    */
+  private def cellOf(vec: Column, centroids: Array[Seq[Double]]): Column =
+    array_max(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(cosine_sim(vec, typedLit(c)).as("s"), lit(i).as("i")) }: _*))
+      .getField("i")
+
+  /** One-or-more Lloyd iterations over cosine cells, fully
+    * distributed: assign every vector to its argmax-cosine cell (one
+    * scan, no shuffle beyond the per-(cell, dim) partial means), take
+    * the per-cell mean vector as the new centroid. The mean needs no
+    * normalization — cosine is scale-invariant in the centroid — and
+    * a cell that loses all members keeps its previous centroid. The
+    * driver only ever holds nlist × dim partial means (~1k values).
+    */
+  private[operators] def refineCentroids(vecs: DataFrame,
+      centroids: Array[Seq[Double]], iters: Int): Array[Seq[Double]] = {
+    var cents = centroids
+    for (_ <- 0 until iters) {
+      val dims = vecs
+        .select(cellOf(col("vec"), cents).as("cell"),
+                posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = dims.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i).fold(old) { rows =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     * path: partition the corpus into `nlist` cells around centroid
     * vectors, probe only the `nprobe` cells nearest each query, score
     * candidates exactly.
     *
-    * Centroids are a deterministic hash-sample of corpus vectors (no
-    * training pass, reproducible across runs/executors); a production
-    * build would Lloyd-iterate them but the cell/probe plumbing is
-    * identical. Cell assignment is an argmax over `nlist` codegen'd
-    * cosine expressions — one corpus scan, no shuffle; the probe join
-    * broadcasts the (qid, cell) pairs so the corpus shuffles once at
-    * most (by cell) regardless of query count.
+    * Centroids seed from a deterministic hash-sample of corpus vectors
+    * (reproducible across runs/executors) and are optionally
+    * Lloyd-refined for `refineIters` distributed passes. Cell
+    * assignment is an argmax over `nlist` codegen'd cosine expressions
+    * — one corpus scan, no shuffle; the probe join broadcasts the
+    * (qid, cell) pairs so the corpus shuffles once at most (by cell)
+    * regardless of query count.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              refineIters: Int = 0): DataFrame = {
     // deterministic centroid sample: the nlist DISTINCT corpus vectors
     // with the smallest vector-hash (tiny collect; nlist rows). Without
     // distinct, a hot duplicated vector could supply every centroid and
     // collapse the index to one cell.
-    val centroids: Array[Seq[Float]] = corpus
+    val seeds: Array[Seq[Double]] = corpus
       .select(col(vecCol).as("vec"))
       .distinct()
       .orderBy(xxhash64(col("vec")), col("vec").cast("string"))
       .limit(nlist)
       .collect()
-      .map(_.getSeq[Float](0))
-    def centCol(c: Seq[Float]) = typedLit(c)
-    // argmax over per-centroid cosine via array_max on (sim, idx)
-    // structs — linear expression size (a reduceLeft of when(...) would
-    // duplicate the accumulated subtree per step: 2^nlist nodes)
-    def cellOf(vec: org.apache.spark.sql.Column) =
-      array_max(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        struct(cosine_sim(vec, centCol(c)).as("s"), lit(i).as("i")) }: _*))
-        .getField("i")
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val centroids = refineCentroids(
+      corpus.select(col(vecCol).as("vec")), seeds, refineIters)
     // top-nprobe cells per query (queries are small; computed the same way)
-    def probeCells(qvec: org.apache.spark.sql.Column) = {
+    def probeCells(qvec: Column) = {
       val sims = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        struct(cosine_sim(qvec, centCol(c)).as("s"), lit(i).as("i")) }
+        struct(cosine_sim(qvec, typedLit(c)).as("s"), lit(i).as("i")) }
       slice(reverse(array_sort(array(sims: _*))), 1, nprobe)
     }
     val cells = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", cellOf(col("vec")))
+      .withColumn("cell", cellOf(col("vec"), centroids))
     val probes = queries
       .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
               explode(probeCells(col(qvecCol))).as("probe"))

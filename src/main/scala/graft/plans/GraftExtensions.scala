@@ -39,10 +39,16 @@ case class SmallDimBroadcast(thresholdBytes: Long) extends Rule[LogicalPlan] {
   }
 }
 
-/** `.withExtensions(new GraftExtensions)` at session build time. */
+/** `.withExtensions(new GraftExtensions)` at session build time:
+  * installs the broadcast-hint rule and the native as-of join
+  * strategy, so library users get the whole extension surface from
+  * one hook.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SmallDimBroadcast(GraftExtensions.DefaultThreshold))
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -65,6 +65,48 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.values.toSet.contains(0L))
   }
 
+  test("Lloyd refinement pulls centroids onto direction clusters") {
+    // three tight direction clusters; seeds are hash-sampled so at
+    // least one cluster may start without its own centroid — after two
+    // refinement passes each cluster's members share a cell
+    val rnd = new scala.util.Random(7)
+    def around(base: Array[Float]) = base.map(v => v + rnd.nextFloat() * 0.05f)
+    val bases = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val rows = for {
+      (b, c) <- bases.zipWithIndex; i <- 0 until 20
+    } yield (c.toLong * 100 + i, around(b))
+    val df = rows.toDF("vec_id", "embedding")
+    val seeds = Similarity.refineCentroids(
+      df.select($"embedding".as("vec")),
+      bases.map(_.map(_.toDouble).toSeq).toArray, iters = 0)
+    val refined = Similarity.refineCentroids(
+      df.select($"embedding".as("vec")),
+      // deliberately bad seeds: all three near cluster 0
+      Array(Seq(1.0, 0.0, 0.0), Seq(0.9, 0.1, 0.0), Seq(0.9, 0.0, 0.1)),
+      iters = 3)
+    // after refinement, the three centroids point at distinct clusters:
+    // each base direction has some centroid with cosine > 0.95
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    bases.foreach { b =>
+      val bd = b.map(_.toDouble).toSeq
+      assert(refined.exists(c => cos(c, bd) > 0.95),
+        s"no refined centroid near ${bd}: ${refined.toSeq}")
+    }
+    assert(seeds.length == 3) // iters = 0 is identity
+  }
+
+  test("ivfTopK with refinement still retrieves the identical vector") {
+    val queries = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, nlist = 3, nprobe = 2, refineIters = 2)
+      .select("rank", "id").as[(Int, Long)].collect().toMap
+    assert(out(1) == 5L)
+  }
+
   test("cosineNearDups verifies candidates with exact cosine") {
     val out = Similarity.cosineNearDups(corpus, "vec_id", "embedding",
         threshold = 0.99, bits = 4, tables = 8)

@@ -69,4 +69,36 @@ class InvariantSpec extends SparkSpec {
     assert(da.unionByName(db).count() == a.size + b.size)
     assert(da.unionByName(db).distinct().count() == (a ++ b).distinct.size)
   }
+
+  test("top_k_by_score property: equals local sortBy(-score, id).take(k) per group") {
+    import graft.functions.TopKFunctions.top_k_by_score
+    samples(5).foreach { rows =>
+      val df = rows.toDF("k", "v")
+        .select(col("k"), col("v").cast("double").as("s"),
+                monotonically_increasing_id().as("i"))
+      val local = df.select("k", "s", "i").as[(String, Double, Long)]
+        .collect().groupBy(_._1).map { case (k, g) =>
+          k -> g.map(t => (t._2, t._3)).sortBy(p => (-p._1, p._2)).take(3).toSeq
+        }
+      val agg = df.groupBy(col("k"))
+        .agg(top_k_by_score(col("s"), col("i"), 3).as("t"))
+        .select(col("k"), col("t").cast("array<struct<s:double,i:long>>"))
+        .as[(String, Seq[(Double, Long)])].collect().toMap
+      assert(agg == local)
+    }
+  }
+
+  test("sorted_intersect_count property: equals set-intersection size") {
+    import graft.functions.TextFunctions.sorted_intersect_count
+    val gen = Gen.listOfN(40, Gen.chooseNum(0L, 30L))
+    (1 to 5).foreach { i =>
+      val a = gen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val b = gen.apply(Gen.Parameters.default, Seed(i.toLong + 100)).get
+      val out = Seq((a.distinct.sorted, b.distinct.sorted))
+        .toDF("a", "b")
+        .select(sorted_intersect_count(col("a"), col("b")))
+        .as[Int].head()
+      assert(out == (a.toSet & b.toSet).size)
+    }
+  }
 }
