@@ -49,9 +49,19 @@ case class TopKByScore(
   /** PriorityQueue dequeues its greatest element; order it so the
     * "greatest" is the WORST kept pair (lowest score, then largest id)
     * — one dequeue after each over-capacity insert restores the bound.
+    * Scores compare via java.lang.Double.compare so NaN ranks as the
+    * GREATEST score (= best, kept), exactly matching the descending
+    * row_number window this aggregate replaces (Spark sorts NaN above
+    * every double); an Ordering.by(-score) would negate NaN into the
+    * worst slot and silently drop zero-norm-cosine rows.
     */
   private val worstFirst: Ordering[(Double, Long)] =
-    Ordering.by(p => (-p._1, p._2))
+    new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // higher score = less worse
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(worstFirst)
@@ -77,7 +87,8 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val best = buf.toArray.sortBy(p => (-p._1, p._2))
+    // ascending in worstFirst = least-worst first = best-first, NaN-safe
+    val best = buf.toArray.sorted(worstFirst)
     new GenericArrayData(best.map(p => InternalRow(p._1, p._2)))
   }
 

@@ -74,16 +74,21 @@ object Multimodal {
       val b = r.media
       if (!ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
       var (pos, channels, rate, byteRate, dataLen) = (12, 0, 0, 0, -1)
-      while (pos + 8 <= b.length) { // chunk walk: id(4) size(4) payload
+      var ok = true
+      while (ok && pos + 8 <= b.length) { // chunk walk: id(4) size(4) payload
         val size = le32(b, pos + 4)
-        if (ascii(b, pos, "fmt ") && pos + 16 <= b.length) {
-          channels = le16(b, pos + 10)
-          rate = le32(b, pos + 12)
-          byteRate = le32(b, pos + 16)
-        } else if (ascii(b, pos, "data")) dataLen = size
-        pos += 8 + size + (size & 1) // chunks are 2-byte aligned
+        if (size < 0) ok = false // corrupt size: would loop or walk backwards
+        else {
+          // fmt fields read through pos+19 (byteRate is 4 bytes at +16)
+          if (ascii(b, pos, "fmt ") && pos + 20 <= b.length) {
+            channels = le16(b, pos + 10)
+            rate = le32(b, pos + 12)
+            byteRate = le32(b, pos + 16)
+          } else if (ascii(b, pos, "data")) dataLen = size
+          pos += 8 + size + (size & 1) // chunks are 2-byte aligned
+        }
       }
-      if (rate <= 0 || byteRate <= 0 || dataLen < 0) None
+      if (!ok || rate <= 0 || byteRate <= 0 || dataLen < 0) None
       else Some(DecodedMedia(r.doc_id, r.media_type, b.length,
         width = 0, height = 0,
         duration_ms = (dataLen.toLong * 1000 / byteRate).toInt,
@@ -98,21 +103,26 @@ object Multimodal {
       val nl = b.indexOf('\n'.toByte)
       if (nl < 0) return None
       val header = new String(b, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
-      var (w, h, fnum, fden) = (0, 0, 25, 1)
+      // parse via Long with explicit bounds: a crafted "W9999999999" or
+      // a W×H product that overflows int must fall back, not throw
+      var (w, h, fnum, fden) = (0L, 0L, 25L, 1L)
+      def num(s: String): Long =
+        try s.toLong catch { case _: NumberFormatException => -1L }
       y4mParam.findAllMatchIn(header).foreach { m =>
         m.group(1) match {
-          case "W" => w = m.group(2).toInt
-          case "H" => h = m.group(2).toInt
-          case "F" => fnum = m.group(2).toInt
-            fden = Option(m.group(3)).map(_.toInt).getOrElse(1)
+          case "W" => w = num(m.group(2))
+          case "H" => h = num(m.group(2))
+          case "F" => fnum = num(m.group(2))
+            fden = Option(m.group(3)).map(num).getOrElse(1L)
         }
       }
-      if (w <= 0 || h <= 0 || fnum <= 0) return None
+      if (w <= 0 || h <= 0 || fnum <= 0 || fden <= 0 ||
+          w > 65536 || h > 65536) return None
       val frameSize = 6 + w * h * 3 / 2 // "FRAME\n" + C420 planes
       val frames = (b.length - nl - 1) / frameSize
       Some(DecodedMedia(r.doc_id, r.media_type, b.length,
-        width = w, height = h,
-        duration_ms = (frames.toLong * 1000 * fden / fnum).toInt,
+        width = w.toInt, height = h.toInt,
+        duration_ms = (frames * 1000 * fden / fnum).toInt,
         channels = 0, sample_rate = 0,
         feature = histogram(b)))
     }
@@ -124,7 +134,11 @@ object Multimodal {
         0, 0, 0, 0, 0, histogram(r.media))
 
     def decode(r: MediaRecord): DecodedMedia =
-      decodeBmp(r).orElse(decodeWav(r)).orElse(decodeY4m(r))
+      // belt-and-braces: any decoder surprise on corrupt bytes degrades
+      // to the fallback instead of failing the task — one bad record
+      // must never kill a decode job
+      (try decodeBmp(r).orElse(decodeWav(r)).orElse(decodeY4m(r))
+       catch { case _: RuntimeException => None })
         .getOrElse(fallback(r))
   }
 

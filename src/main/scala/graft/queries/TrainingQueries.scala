@@ -212,10 +212,14 @@ object TrainingQueries {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", k = 5)
       .select(col("qid"), col("id"))
+    // denominator = |exact top-k set|, not a hardcoded queries×k — on a
+    // fixture with fewer queries or a smaller corpus the nprobe=nlist
+    // invariant (recall exactly 1.0) must still hold
+    val denom = exact.count()
     def recallOf(ann: DataFrame, method: String, params: String) =
       ann.select(col("qid"), col("id"))
         .join(exact, Seq("qid", "id"), "left_semi")
-        .agg(round(count(lit(1)).cast("double") / lit(50), 6).as("recall_at_5"))
+        .agg(round(count(lit(1)).cast("double") / lit(denom), 6).as("recall_at_5"))
         .select(lit(method).as("method"), lit(params).as("params"),
                 col("recall_at_5"))
     def lsh(bits: Int, tables: Int) =

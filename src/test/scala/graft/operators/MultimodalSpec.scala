@@ -34,6 +34,26 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.feature.length == 8)
   }
 
+  test("codec: corrupt containers degrade to fallback instead of hanging or throwing") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // WAV with a negative chunk size (would loop forever / walk backwards)
+    val evilWav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(-8) ++ Array.fill[Byte](16)(0)
+    val w = Codec.decode(MediaRecord(1, "audio", evilWav))
+    assert(w.sample_rate == 0 && w.duration_ms == 0)
+    // WAV truncated inside the fmt fields (byteRate read would overrun)
+    val shortWav = "RIFF".getBytes ++ le32(20) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ Array.fill[Byte](7)(1)
+    val s = Codec.decode(MediaRecord(2, "audio", shortWav))
+    assert(s.duration_ms == 0)
+    // Y4M with an int-overflowing dimension and a non-numeric width
+    Seq("YUV4MPEG2 W2 H2147483646 F25:1\nFRAME\n",
+        "YUV4MPEG2 W9999999999 H4 F25:1\nFRAME\n").foreach { hdr =>
+      val y = Codec.decode(MediaRecord(3, "video", hdr.getBytes))
+      assert(y.width == 0 && y.duration_ms == 0)
+    }
+  }
+
   test("synthesize: real container bytes + cycling media type") {
     implicit val s = spark
     val media = Multimodal.synthesize(docs, "doc_id", "text").collect()

@@ -139,6 +139,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("topKPerQuery NaN handling matches the window form (zero-norm vector ranks first)") {
+    import org.apache.spark.sql.expressions.Window
+    // cosine with a zero-norm vector is NaN; Spark's descending sort
+    // ranks NaN above every double, so the window form put it at rank 1
+    // — the heap must agree
+    val withZero = corpus.unionByName(
+      Seq((6L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val queries = withZero.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Similarity.bruteForceTopK(withZero, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3)
+      .orderBy("rank").select("rank", "id").as[(Int, Long)].collect().toSeq
+    val scored = withZero.select($"vec_id".as("id"), $"embedding".as("vec"))
+      .join(broadcast(queries)).filter($"id" =!= $"qid")
+      .withColumn("cosine", cosine_sim($"vec", $"qvec"))
+    val w = Window.partitionBy($"qid").orderBy(desc("cosine"), $"id")
+    val want = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3).orderBy("rank")
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.head._2 == 6L) // the NaN row leads, as it always did
+  }
+
   test("top-k plan is a partial aggregate, not a per-qid window exchange") {
     val queries = corpus.filter($"vec_id" === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))

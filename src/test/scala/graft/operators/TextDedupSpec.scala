@@ -114,6 +114,14 @@ class TextDedupSpec extends SparkSpec {
     assert(before == tight)
   }
 
+  test("capped buckets reject non-integral ids loudly (no silent empty posting lists)") {
+    val stringIds = Seq(("doc-1", base), ("doc-2", base)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.minhashCandidates(stringIds, "text", "doc_id").collect()
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("ngram jaccard pairs with hand-checked similarity") {
     val out = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
       shingleK = 3, minJaccard = 0.3, maxDf = 10)
