@@ -57,6 +57,8 @@ object SparkEntry {
     "q31_window_frames"  -> (RelationalQueries.q31WindowFrames _),
     "q32_percentiles"    -> (RelationalQueries.q32Percentiles _),
     "q33_asof_native"    -> (RelationalQueries.q33AsOfNative _),
+    "q34_topk_ties"      -> (RelationalQueries.q34TopKTies _),
+    "q35_offset"         -> (RelationalQueries.q35Offset _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
     "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),

@@ -303,6 +303,22 @@ object Oracle {
         |SELECT f.txid, f.type, f.addr, CAST(f.val AS DOUBLE) AS val
         |FROM flow f WHERE f.txid IN (SELECT txid FROM congruent)""".stripMargin,
 
+    "q34_topk_ties" ->
+      """SELECT l_returnflag, rnk, count(*) AS n_tied,
+        |       min(l_orderkey) AS min_key
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey,
+        |         rank() OVER (PARTITION BY l_returnflag
+        |                      ORDER BY l_quantity DESC) AS rnk
+        |  FROM lineitem
+        |) WHERE rnk <= 3
+        |GROUP BY l_returnflag, rnk""".stripMargin,
+
+    "q35_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 10""".stripMargin,
+
     "q33_asof_native" ->
       // identical semantics to q25 (the composed form) — the custom
       // physical operator must reproduce DuckDB's native ASOF exactly

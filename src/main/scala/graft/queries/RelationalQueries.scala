@@ -514,6 +514,31 @@ object RelationalQueries {
         when(col("l_returnflag") === "R", col("l_partkey")))).as("r_parts"))
       .select(col("l_orderkey"), explode_outer(col("r_parts")).as("r_part"))
 
+  /** q34_topk_ties — rank() top-k WITH ties (SURVEY §2.8 absent list):
+    * unlike row_number, every row tied at a kept rank survives;
+    * aggregated per (flag, rank) so the tie widths are the checked
+    * signal.
+    */
+  def q34TopKTies(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(desc("l_quantity"))
+    Tables.lineitem(spark, sfDir)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .groupBy(col("l_returnflag"), col("rnk"))
+      .agg(count(lit(1)).as("n_tied"), min(col("l_orderkey")).as("min_key"))
+  }
+
+  /** q35_offset — offset pagination (SURVEY §2.8 absent list): page 2
+    * of a deterministic total order. Spark plans the offset into the
+    * TakeOrdered boundary — no full sort materialization.
+    */
+  def q35Offset(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .offset(10).limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
   /** q33_asof_native — the SAME backward as-of semantics as q25, but
     * through the custom whole-operator plan (AsOfJoinNode →
     * AsOfJoinStrategy → AsOfJoinExec; build-spec extension tier (c)):
