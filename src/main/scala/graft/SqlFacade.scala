@@ -10,13 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlFacade {
 
-  /** Register every table under `sfDir` as a session temp view. */
-  def registerTables(spark: SparkSession, sfDir: String): Unit =
+  /** Register every table under `sfDir` as a session temp view, plus
+    * the engine's native SQL functions (cosine_sim, minhash_sig,
+    * top_k_by_score, …) and optimizer/planner extensions.
+    */
+  def registerTables(spark: SparkSession, sfDir: String): Unit = {
+    graft.plans.GraftExtensions.install(spark)
     Tables.all.foreach { t =>
       val df = if (t == "events") Tables.events(spark, sfDir)
                else Tables.load(spark, sfDir, t)
       df.createOrReplaceTempView(t)
     }
+  }
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 

@@ -2,6 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.InnerLike
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -40,24 +42,61 @@ case class SmallDimBroadcast(thresholdBytes: Long) extends Rule[LogicalPlan] {
 }
 
 /** `.withExtensions(new GraftExtensions)` at session build time:
-  * installs the broadcast-hint rule and the native as-of join
-  * strategy, so library users get the whole extension surface from
-  * one hook.
+  * installs the broadcast-hint rule, the native as-of join strategy,
+  * and the engine's native expressions as SQL functions — so both the
+  * DataFrame and the `spark.sql(...)` surfaces get the whole extension
+  * set from one hook.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SmallDimBroadcast(GraftExtensions.DefaultThreshold))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    GraftExtensions.sqlFunctions.foreach(e.injectFunction)
   }
 }
 
 object GraftExtensions {
+  import graft.functions._
+
   /** 1 MiB: conservatively tiny — nothing this size can hurt an executor. */
   val DefaultThreshold: Long = 1L << 20
 
-  /** Install on an already-running session (extraOptimizations is the
-    * supported live hook; builder extensions can't be added
-    * retroactively).
+  private def fn(name: String, arity: Int,
+                 build: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+     new ExpressionInfo("graft.functions", name),
+     (args: Seq[Expression]) => {
+       require(args.length == arity, s"$name expects $arity arguments")
+       build(args)
+     })
+  // literal int/long parameters arrive as foldable expressions
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+  private def longArg(e: Expression): Long =
+    e.eval().asInstanceOf[Number].longValue()
+
+  /** The native expressions, SQL-registrable: injected at build time
+    * by [[GraftExtensions]], or live via [[install]].
+    */
+  val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    fn("cosine_sim", 2, a => CosineSimilarity(a(0), a(1))),
+    fn("dot_product", 2, a => DotProduct(a(0), a(1))),
+    fn("hyperplane_sig", 3,
+      a => HyperplaneSignature(a(0), intArg(a(1)), longArg(a(2)))),
+    fn("simhash64", 1, a => SimHash64(a(0))),
+    fn("rolling_hash_mod", 3,
+      a => CodePointRollingHash(a(0), longArg(a(1)), longArg(a(2)))),
+    fn("hashed_shingles", 2, a => HashedShingles(a(0), intArg(a(1)))),
+    fn("minhash_sig", 2, a => MinHashSignature(a(0), intArg(a(1)))),
+    fn("sorted_intersect_count", 2, a => SortedIntersectCount(a(0), a(1))),
+    fn("top_k_by_score", 3,
+      a => TopKByScore(a(0), a(1), intArg(a(2))).toAggregateExpression()))
+
+  /** Install on an already-running session: the optimizer rule via
+    * extraOptimizations, the as-of strategy via extraStrategies, and
+    * the SQL functions straight into the session's function registry
+    * (builder extensions can't be added retroactively).
     */
   def install(spark: SparkSession,
               thresholdBytes: Long = DefaultThreshold): Unit = {
@@ -65,5 +104,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(rule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ rule
+    AsOfJoinStrategy.install(spark)
+    sqlFunctions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graftshim.Bridge.registerFunction(spark, id, info, builder)
+    }
   }
 }

@@ -51,4 +51,32 @@ class GraftExtensionsSpec extends SparkSpec {
           .filterNot(_.isInstanceOf[SmallDimBroadcast])
     }
   }
+  test("native expressions are callable from SQL after live install") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS c,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       rolling_hash_mod('ab', 31L, 97L) AS rh,
+        |       size(hashed_shingles('the quick brown fox jumps', 3)) AS nsh,
+        |       sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS ic
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) == (('a'.toLong * 31 + 'b') % 97))
+    assert(r.getInt(3) == 3)
+    assert(r.getInt(4) == 2)
+  }
+
+  test("top_k_by_score aggregate works through SQL") {
+    GraftExtensions.install(spark)
+    Seq(("a", 0.5, 1L), ("a", 0.9, 2L), ("a", 0.7, 3L), ("b", 0.1, 4L))
+      .toDF("g", "s", "i").createOrReplaceTempView("tk")
+    val out = spark.sql(
+      "SELECT g, top_k_by_score(s, i, 2) AS t FROM tk GROUP BY g")
+      .selectExpr("g", "transform(t, e -> e.id) AS ids")
+      .as[(String, Seq[Long])].collect().toMap
+    assert(out("a") == Seq(2L, 3L))
+    assert(out("b") == Seq(4L))
+  }
+
 }
