@@ -42,7 +42,11 @@ private[graft] object Buckets {
   /** All in-bucket candidate pairs (id_a < id_b, distinct), expanded
     * in-array from the capped posting lists — no self-join: one shuffle
     * (the bucket groupBy), pair fan-out bounded by maxBucket² per
-    * bucket.
+    * bucket. NOTE the memory contract: the Generate evaluates one full
+    * pair array per bucket row (≈ maxBucket²/2 × 16 B — 320 KB at the
+    * 200 default, 2 MB at 500), so caps in the low hundreds are the
+    * intended operating range; a larger cap should raise executor
+    * memory headroom along with it.
     */
   def pairs(keyed: DataFrame, bucketCols: Seq[String],
             maxBucket: Int): DataFrame =

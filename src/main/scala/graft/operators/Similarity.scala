@@ -196,7 +196,7 @@ object Similarity {
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 16,
-                     tables: Int = 4, maxBucket: Int = 2000): DataFrame = {
+                     tables: Int = 4, maxBucket: Int = 500): DataFrame = {
     val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // group by the vector VALUE (arrays group fine; ~hundreds of bytes
     // per key) — grouping by a 64-bit vector hash would merge colliding
