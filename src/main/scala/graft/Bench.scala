@@ -20,19 +20,27 @@ object Bench {
       .format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
       .format("noop").mode("overwrite").save()
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every projected column (count() lets
       // Catalyst prune unreferenced projections, under-measuring
       // expression-heavy queries) without paying any write cost
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a crashed query must not masquerade as a fast one: record it
+        // and keep its (misleading) elapsed time out of the totals
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.view.filterKeys(k => !failed.contains(k)).toMap
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop","failed":$fs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

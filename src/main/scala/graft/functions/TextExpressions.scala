@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -155,8 +155,10 @@ object TextKernels {
   * Near-duplicate documents land within a small Hamming distance.
   * Input: ARRAY<LONG> of feature (token/shingle) hashes.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(LongType))
   override def nullSafeEval(v: Any): Any =
     TextKernels.simhash64(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -169,8 +171,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * Σ c_i · base^(n-1-i) in Long arithmetic (wrapping — deterministic on
   * the JVM). One pass, O(length), no allocation.
   */
-case class RollingHash(child: Expression, base: Long) extends UnaryExpression {
+case class RollingHash(child: Expression, base: Long) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
   override def nullSafeEval(v: Any): Any =
     TextKernels.rollingHash(v.asInstanceOf[UTF8String], base)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -199,9 +203,11 @@ case class RollingHash(child: Expression, base: Long) extends UnaryExpression {
   * materializes token bytes once per row and assembles each window in
   * a reused scratch buffer, hashing in place.
   */
-case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
+case class HashedShingles(child: Expression, k: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
   require(k >= 1, "k must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
   override def nullSafeEval(v: Any): Any =
     TextKernels.hashedShingles(v.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -230,9 +236,10 @@ case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
   *    mixes of that base, instead of numHashes full string hashes.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(numHashes >= 1, "numHashes must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(LongType))
   override def nullSafeEval(v: Any): Any =
     TextKernels.minhashSig(v.asInstanceOf[ArrayData], numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -249,8 +256,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * both producers in this codebase are.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = IntegerType
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def nullSafeEval(a: Any, b: Any): Any =
     TextKernels.sortedIntersectCount(a.asInstanceOf[ArrayData],
       b.asInstanceOf[ArrayData])
@@ -270,8 +280,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * list_reduce over string_split(text, '') (Oracle.sql t11).
   */
 case class CodePointRollingHash(child: Expression, base: Long, mod: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
   override def nullSafeEval(v: Any): Any =
     TextKernels.codePointRollingHash(v.asInstanceOf[UTF8String], base, mod)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

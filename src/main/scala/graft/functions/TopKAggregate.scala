@@ -34,8 +34,15 @@ case class TopKByScore(
     score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
-    with BinaryLike[Expression] {
+    with BinaryLike[Expression]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(k >= 1, "k must be >= 1")
+
+  /** Declared input types: SQL-surface calls with e.g. an INT score or
+    * id implicitly cast instead of dying with a ClassCastException in
+    * update() on the executors.
+    */
+  override def inputTypes = Seq(DoubleType, LongType)
 
   override def left: Expression = score
   override def right: Expression = id

@@ -15,8 +15,19 @@ import org.apache.spark.sql.types._
   * (CodegenFallback would force interpreted eval with boxing at every
   * call boundary).
   */
-abstract class VectorBinaryExpression extends BinaryExpression {
+abstract class VectorBinaryExpression extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
+
+  /** Declared input types → misuse through the SQL registry fails at
+    * analysis (or implicitly casts, e.g. ARRAY<INT> → ARRAY<DOUBLE>)
+    * instead of crashing executors mid-job. (TypeCollection is
+    * private[sql]; the shim exports the float-or-double-array
+    * collection.)
+    */
+  override def inputTypes =
+    Seq(org.apache.spark.sql.graftshim.Bridge.vectorArrayType,
+        org.apache.spark.sql.graftshim.Bridge.vectorArrayType)
 
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -159,9 +170,12 @@ object VectorKernels {
   * the whole-stage span.
   */
 case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(numBits >= 1 && numBits <= 64, "numBits in [1,64]")
   override def dataType: DataType = LongType
+  override def inputTypes =
+    Seq(org.apache.spark.sql.graftshim.Bridge.vectorArrayType)
 
   private def floatElems: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType match {

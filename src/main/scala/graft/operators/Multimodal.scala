@@ -134,11 +134,18 @@ object Multimodal {
         0, 0, 0, 0, 0, histogram(r.media))
 
     def decode(r: MediaRecord): DecodedMedia =
-      // belt-and-braces: any decoder surprise on corrupt bytes degrades
-      // to the fallback instead of failing the task — one bad record
-      // must never kill a decode job
-      (try decodeBmp(r).orElse(decodeWav(r)).orElse(decodeY4m(r))
-       catch { case _: RuntimeException => None })
+      // dispatch on the DECLARED media type — sniffing all magics in a
+      // fixed order would let e.g. an unknown audio codec whose frame
+      // header happens to start "BM" decode as a garbage image; an
+      // undeclared/unknown type still gets the sniff. Any decoder
+      // surprise on corrupt bytes degrades to the fallback — one bad
+      // record must never kill a decode job.
+      (try r.media_type match {
+        case "image" => decodeBmp(r)
+        case "audio" => decodeWav(r)
+        case "video" => decodeY4m(r)
+        case _ => decodeBmp(r).orElse(decodeWav(r)).orElse(decodeY4m(r))
+      } catch { case _: RuntimeException => None })
         .getOrElse(fallback(r))
   }
 

@@ -205,21 +205,15 @@ object TextDedup {
                         shingleK: Int = 3, minJaccard: Double = 0.5,
                         maxDf: Int = 10): DataFrame = {
     val sets = hashedShingleSets(docs, textCol, idCol, shingleK)
-    // posting-list candidate generation: ONE groupBy(shingle-hash)
-    // shuffle, df cap applied on the grouped list, pairs expanded
-    // in-array — no window pass, no self-join (which would shuffle the
-    // posting list twice and re-scan the corpus)
+    // posting-list candidate generation through the shared capped
+    // buckets: ONE groupBy(shingle-hash) shuffle with a SATURATING
+    // collector (a stop-phrase shingle shared by a million docs fills
+    // a maxDf+1 buffer, not a million-element collect_list, before the
+    // df cap drops it), pairs expanded in-array — no window pass, no
+    // self-join (which would shuffle the posting list twice and
+    // re-scan the corpus)
     val posting = sets.select(col("id"), explode(col("sh")).as("shash"))
-    val grouped = posting.groupBy(col("shash"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
-    val cands = grouped
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(filter(col("ids"), b => b > a),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-    cands
+    Buckets.pairs(posting, Seq("shash"), maxDf)
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       // size prefilter: J(A,B) ≥ t forces t·|B| ≤ |A| and t·|A| ≤ |B| —

@@ -30,24 +30,33 @@ object AsOfJoin {
                leftTs: String, rightTs: String,
                valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toIndexedSeq
+    // The right-side payload rides as ONE struct column: a right row's
+    // struct is non-null even when every field inside is null, so
+    // last(ignoreNulls) tracks the latest matched ROW — carrying bare
+    // value columns instead would skip a matched row's legitimately
+    // NULL value (returning a stale older value) and, with several
+    // valueCols, could stitch fields from different right rows into a
+    // row that never existed.
+    val payload = struct(valueCols.map(col): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(name = c)))
     // union schema: key, __ts, __side, left cols (null on right rows),
-    // value cols (null on left rows)
+    // __v payload struct (null on left rows)
     val l = left.select(
       col(key).as("__key") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
-        (leftCols.map(c => col(c)) ++
-         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c"))): _*)
+        (leftCols.map(c => col(c)) :+
+         lit(null).cast(payloadType).as("__v")): _*)
     val r = right.select(
       col(key).as("__key") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-         valueCols.map(c => col(c).as(s"__v_$c"))): _*)
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+         payload.as("__v")): _*)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(leftCols.map(c => col(c)) ++
-              valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+              valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

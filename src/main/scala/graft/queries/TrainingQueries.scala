@@ -209,9 +209,13 @@ object TrainingQueries {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // persisted: the exact set is the comparison baseline for four ANN
+    // legs plus the denominator count — without the cache one action
+    // recomputes the brute-force scoring five times (it is 50 rows)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", k = 5)
       .select(col("qid"), col("id"))
+      .persist()
     // denominator = |exact top-k set|, not a hardcoded queries×k — on a
     // fixture with fewer queries or a smaller corpus the nprobe=nlist
     // invariant (recall exactly 1.0) must still hold

@@ -58,8 +58,15 @@ object StreamingFlows {
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(timeoutMs)
-    if (q.isActive) q.stop()
+    val finished = q.awaitTermination(timeoutMs)
+    if (!finished) {
+      // a partially-filled sink silently masquerading as the complete
+      // result is worse than failing — stop and say so
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query $name did not finish within ${timeoutMs}ms; " +
+        "partial sink contents discarded")
+    }
     spark.table(name)
   }
 }

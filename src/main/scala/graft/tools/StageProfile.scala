@@ -38,22 +38,11 @@ object StageProfile {
     time("t4 sets")(sets)
     val posting = sets.select(col("id"), explode(col("sh")).as("shash"))
     time("t4 posting")(posting)
-    val grouped = posting.groupBy(col("shash"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= 10)
-    time("t4 grouped")(grouped)
-    val cands = grouped
-      .select(explode(flatten(transform(col("ids"), a =>
-        transform(filter(col("ids"), b => b > a),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-    time("t4 cands (pre-distinct)")(cands)
-    val candsD = cands.distinct()
-    time("t4 cands distinct")(candsD)
+    val cands = graft.operators.Buckets.pairs(posting, Seq("shash"), 10)
+    time("t4 cands")(cands)
     time("t4 full")(TextDedup.ngramJaccardPairs(deduped, "text", "doc_id",
       shingleK = 3, minJaccard = 0.5, maxDf = 10))
-    println("cands=" + candsD.count() +
-      " grouped=" + grouped.count() + " sets=" + sets.count())
+    println("cands=" + cands.count() + " sets=" + sets.count())
 
     // t2 internals
     time("t2 signatures")(TextDedup.minhashSignatures(deduped, "text", "doc_id", 3, 64))

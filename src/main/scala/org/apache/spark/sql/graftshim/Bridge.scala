@@ -23,6 +23,14 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** FLOAT[] -or- DOUBLE[] input-type constraint for the vector
+    * expressions (TypeCollection is private[sql]).
+    */
+  val vectorArrayType: org.apache.spark.sql.types.AbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+
   /** Register a SQL function on a LIVE session — sessionState is
     * private[sql], so the registry hook has to live in this namespace.
     */
