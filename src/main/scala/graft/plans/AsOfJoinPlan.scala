@@ -152,6 +152,20 @@ object NativeAsOfJoin {
                leftTs: String, rightTs: String,
                valueCols: Seq[String]): DataFrame = {
     val spark = left.sparkSession
+    // the merge kernel is long-keyed; a string key would ANSI-throw in
+    // the cast below at runtime — reject it at build time instead
+    // (hashing the key is NOT an option: a 64-bit hash collision would
+    // silently merge distinct keys). Non-integral keys → the composed
+    // graft.ops.AsOfJoin, which is key-type generic.
+    Seq(left, right).foreach { df =>
+      val t = df.schema(key).dataType
+      require(Seq[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(t),
+        s"native as-of join requires an integral key, got $t for '$key' — " +
+        "use graft.ops.AsOfJoin.backward for other key types")
+    }
     AsOfJoinStrategy.install(spark)
     def tsNorm(df: DataFrame, c: String) = df.schema(c).dataType match {
       case TimestampType | LongType => col(c)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -32,5 +33,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == Some(30.0)) // equal timestamps match (>= semantics)
     assert(out(5L) == None)       // no purchases for u3
     assert(out.size == 5)         // every left row survives
+  }
+
+  test("matched row's NULL value is returned as NULL, never a stale older value") {
+    // ASOF semantics pick the latest ROW; its value being NULL must not
+    // fall through to an earlier row's value, and with two value
+    // columns the output must never stitch fields of different rows
+    val clicks = Seq((1L, "u1", t("2024-01-01 12:00:00"))).toDF("click_id", "user", "cts")
+    val purchases = Seq(
+      ("u1", t("2024-01-01 10:00:00"), Some(5.0), Some("early")),
+      ("u1", t("2024-01-01 11:00:00"), None: Option[Double], Some("late"))
+    ).toDF("user", "pts", "amount", "tag")
+    val r = AsOfJoin.backward(clicks, purchases, "user", "cts", "pts",
+        valueCols = Seq("amount", "tag"))
+      .select("asof_amount", "asof_tag")
+      .as[(Option[Double], Option[String])].head()
+    assert(r == ((None, Some("late")))) // the 11:00 row, exactly as stored
+    // the native operator agrees (long-keyed variant of the same data —
+    // it rejects non-integral keys by contract)
+    val clicksL = clicks.withColumn("uid", lit(1L))
+    val purchasesL = purchases.withColumn("uid", lit(1L))
+    val n = graft.plans.NativeAsOfJoin.backward(clicksL, purchasesL, "uid",
+        "cts", "pts", valueCols = Seq("amount", "tag"))
+      .select("asof_amount", "asof_tag")
+      .as[(Option[Double], Option[String])].head()
+    assert(n == ((None, Some("late"))))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.NativeAsOfJoin.backward(clicks, purchases, "user",
+        "cts", "pts", valueCols = Seq("amount"))
+    }
+    assert(e.getMessage.contains("integral key"))
   }
 }
