@@ -59,6 +59,8 @@ object SparkEntry {
     "q33_asof_native"    -> (RelationalQueries.q33AsOfNative _),
     "q34_topk_ties"      -> (RelationalQueries.q34TopKTies _),
     "q35_offset"         -> (RelationalQueries.q35Offset _),
+    "q36_pivot"          -> (RelationalQueries.q36Pivot _),
+    "q37_unpivot"        -> (RelationalQueries.q37Unpivot _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
     "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),

@@ -319,6 +319,33 @@ object Oracle {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10 OFFSET 10""".stripMargin,
 
+    "q36_pivot" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q37_unpivot" ->
+      """WITH wide AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, event_type, sum_value FROM (
+        |  SELECT day, 'click' AS event_type, click AS sum_value FROM wide
+        |  UNION ALL SELECT day, 'error', error FROM wide
+        |  UNION ALL SELECT day, 'purchase', purchase FROM wide
+        |  UNION ALL SELECT day, 'signup', signup FROM wide
+        |  UNION ALL SELECT day, 'view', view FROM wide
+        |) WHERE sum_value IS NOT NULL""".stripMargin,
+
     "q33_asof_native" ->
       // identical semantics to q25 (the composed form) — the custom
       // physical operator must reproduce DuckDB's native ASOF exactly

@@ -539,6 +539,28 @@ object RelationalQueries {
       .offset(10).limit(10)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** q36_pivot — wide daily matrix: one column of summed value per
+    * event type (the OLAP cross-tab). The pivot values are DECLARED —
+    * an unlisted-values pivot costs an extra distinct scan and makes
+    * the output schema data-dependent, which no 100 TB pipeline wants.
+    * Spark plans this as ONE aggregate with per-bucket conditional
+    * sums, exactly the CASE-WHEN form the oracle states.
+    */
+  def q36Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(moneySum(col("value")))
+
+  /** q37_unpivot — long form back out of the wide daily matrix (melt):
+    * the inverse of q36, via the typed unpivot API. Null cells drop,
+    * matching the SQL UNION-ALL form with IS NOT NULL.
+    */
+  def q37Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    q36Pivot(spark, sfDir)
+      .unpivot(Array(col("day")), "event_type", "sum_value")
+      .filter(col("sum_value").isNotNull)
+
   /** q33_asof_native — the SAME backward as-of semantics as q25, but
     * through the custom whole-operator plan (AsOfJoinNode →
     * AsOfJoinStrategy → AsOfJoinExec; build-spec extension tier (c)):
