@@ -61,6 +61,7 @@ object SparkEntry {
     "q35_offset"         -> (RelationalQueries.q35Offset _),
     "q36_pivot"          -> (RelationalQueries.q36Pivot _),
     "q37_unpivot"        -> (RelationalQueries.q37Unpivot _),
+    "q38_sessionize"     -> (RelationalQueries.q38Sessionize _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
     "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),

@@ -319,6 +319,32 @@ object Oracle {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10 OFFSET 10""".stripMargin,
 
+    "q38_sessionize" ->
+      // gaps-and-islands mirror of session_window: sessions MERGE while
+      // an event lands at or before the previous event + gap (Spark's
+      // boundary is inclusive — spec-pinned), so a new session opens
+      // only when the gap STRICTLY exceeds 1 hour; session end = last
+      // event + gap
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP)) AS prev
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR ts - prev > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM o
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 1 HOUR AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+
     "q36_pivot" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,

@@ -539,6 +539,24 @@ object RelationalQueries {
       .offset(10).limit(10)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** q38_sessionize — gap-based event sessionization
+    * (session_window): consecutive events of a user belong to one
+    * session while each starts strictly before the previous event's
+    * time + gap; the session's end is last-event + gap. The canonical
+    * user-journey / training-data-curation operator. Spark plans this
+    * as a single aggregation with session merging — one shuffle on the
+    * user key; the DuckDB oracle is the classic gaps-and-islands form
+    * (lag + running break count), which states identical semantics.
+    */
+  def q38Sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** q36_pivot — wide daily matrix: one column of summed value per
     * event type (the OLAP cross-tab). The pivot values are DECLARED —
     * an unlisted-values pivot costs an extra distinct scan and makes

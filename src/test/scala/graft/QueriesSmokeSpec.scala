@@ -36,4 +36,22 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(math.abs(exact - approx) <= 0.05 * math.max(1.0, exact),
       s"approx $approx too far from exact $exact")
   }
+  test("session_window boundary is INCLUSIVE: exactly-gap event merges; one tick past splits") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def plusMs(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    val hour = 3600000L
+    // +0 and exactly +1h merge (inclusive boundary — the q38 oracle's
+    // strictly-greater break mirrors this); +1h+1ms past that splits
+    val ev = Seq((1L, t0), (1L, plusMs(hour)), (1L, plusMs(2 * hour + 1)))
+      .toDF("user_id", "ts")
+    val sessions = ev.groupBy(session_window($"ts", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("s"), $"n")
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+    assert(sessions.map(_._2).toSeq == Seq(2L, 1L))
+    assert(sessions(1)._1 == plusMs(2 * hour + 1))
+  }
+
 }
