@@ -62,6 +62,8 @@ object SparkEntry {
     "q36_pivot"          -> (RelationalQueries.q36Pivot _),
     "q37_unpivot"        -> (RelationalQueries.q37Unpivot _),
     "q38_sessionize"     -> (RelationalQueries.q38Sessionize _),
+    "q39_cube"           -> (RelationalQueries.q39Cube _),
+    "t17_streaming_dedup" -> (TrainingQueries.t17StreamingDedup _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
     "t15_embed_ivf"      -> (TrainingQueries.t15EmbedIvf _),

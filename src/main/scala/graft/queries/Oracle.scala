@@ -319,6 +319,20 @@ object Oracle {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10 OFFSET 10""".stripMargin,
 
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       GROUPING(l_returnflag) AS g_flag,
+        |       GROUPING(l_linestatus) AS g_status,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "t17_streaming_dedup" ->
+      // the deterministic contract of single-batch streaming dedup:
+      // the surviving key set = the distinct keys
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q38_sessionize" ->
       // gaps-and-islands mirror of session_window: sessions MERGE while
       // an event lands at or before the previous event + gap (Spark's

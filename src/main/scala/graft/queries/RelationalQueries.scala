@@ -539,6 +539,21 @@ object RelationalQueries {
       .offset(10).limit(10)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** q39_cube — full cross-dimensional subtotals (CUBE completes the
+    * grouping-sets family next to q23's ROLLUP), pre-aggregated before
+    * the Expand exactly like q23: the ×4 row multiplication runs over
+    * |groups|, not |rows|.
+    */
+  def q39Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("__sq"), count(lit(1)).as("__n"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        sum(col("__sq")).as("sum_qty"), sum(col("__n")).as("n"))
+
   /** q38_sessionize — gap-based event sessionization
     * (session_window): consecutive events of a user belong to one
     * session while each starts strictly before the previous event's

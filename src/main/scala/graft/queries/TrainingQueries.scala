@@ -194,6 +194,29 @@ object TrainingQueries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** t17_streaming_dedup — the streaming keep-first dedup surface
+    * (dropDuplicatesWithinWatermark) run to completion: one row
+    * survives per (user_id, event_type) key, aggregated to per-type
+    * distinct-user counts. The single-file AvailableNow source
+    * processes in one batch, so the dedup state never expires mid-run
+    * and the kept KEY SET is exactly the distinct keys — deterministic
+    * and SQL-checkable even though which duplicate survives is not.
+    */
+  def t17StreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val deduped = StreamingFlows.streamingDedup(stream, "ts", "1 day",
+      Seq("user_id", "event_type"))
+    StreamingFlows.runAvailableNow(spark, deduped,
+        s"t17_dedup_${System.nanoTime}")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** t16_ann_recall — quantitative recall@5 of the approximate paths
     * against the exact brute-force top-k (t5): |ANN∩exact| /
     * (|queries|·k), across a parameter sweep. The synthetic embeddings
