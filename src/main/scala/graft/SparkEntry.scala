@@ -63,6 +63,10 @@ object SparkEntry {
     "q37_unpivot"        -> (RelationalQueries.q37Unpivot _),
     "q38_sessionize"     -> (RelationalQueries.q38Sessionize _),
     "q39_cube"           -> (RelationalQueries.q39Cube _),
+    "q40_scd2"           -> (RelationalQueries.q40Scd2 _),
+    "q41_tfidf"          -> (RelationalQueries.q41TfIdf _),
+    "q42_profile"        -> (RelationalQueries.q42Profile _),
+    "q43_skew_salted"    -> (RelationalQueries.q43SkewSalted _),
     "t17_streaming_dedup" -> (TrainingQueries.t17StreamingDedup _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),
@@ -80,6 +84,11 @@ object SparkEntry {
     "t11_fingerprint"    -> (TrainingQueries.t11Fingerprint _),
     "t12_multimodal"     -> (TrainingQueries.t12Multimodal _),
     "t16_ann_recall"     -> (TrainingQueries.t16AnnRecall _),
+    "t18_cluster"        -> (TrainingQueries.t18Cluster _),
+    "t19_redact"         -> (TrainingQueries.t19Redact _),
+    "t20_quantize"       -> (TrainingQueries.t20Quantize _),
+    "t21_lsh_recall"     -> (TrainingQueries.t21LshRecall _),
+    "t22_streaming_join" -> (TrainingQueries.t22StreamingJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected-components clustering over near-duplicate pair sets — the
+  * step that turns pairwise similarity output (TextDedup / Similarity
+  * pairs) into actionable dedup groups: every document gets the minimum
+  * reachable id as its canonical representative, and "keep one per
+  * component" becomes a trivial filter.
+  *
+  * Algorithm: distributed min-label propagation with pointer jumping.
+  * Each round does
+  *
+  *   1. propagate — label(v) ← min(label(v), min over neighbors u of
+  *      label(u)): one shuffle (groupBy v);
+  *   2. hop — label(v) ← label(label(v)): a self-join that squares the
+  *      distance a label travels per round (path doubling).
+  *
+  * Plain propagation needs O(diameter) rounds — a 1M-doc chain of
+  * near-dups (template spam with drifting boilerplate) would need 1M
+  * jobs. With the hop step the round count is O(log diameter), the
+  * shape that survives 100 TB: each round is a bounded number of
+  * key-partitioned shuffles, and per-round state is one (id, label)
+  * row per node — never the edge set squared.
+  *
+  * Iteration plumbing: every round materializes through persist +
+  * localCheckpoint(eager) so the logical plan stays O(1) deep instead
+  * of growing by two joins per round (Catalyst re-analyzes the whole
+  * lineage each action otherwise); on a cluster with a checkpoint dir
+  * configured, `checkpoint()` would add executor-loss resilience — the
+  * local variant keeps this operator usable without one.
+  */
+object Clustering {
+
+  /** Components of the undirected graph given by `edges` (any extra
+    * columns are ignored). Output: (id, component) for every id
+    * appearing in `edges`, component = min id reachable. Nodes absent
+    * from `edges` are their own components — callers wanting singleton
+    * rows join this result back to the full corpus (see
+    * `labelCorpus`).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+    // undirected: each edge contributes both directions; self-loops are
+    // harmless (min with own label) but distinct trims the fan-in
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // 1. propagate: min label over self + in-neighbors
+      val propagated = und
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr"))
+        .join(labels, "id")
+        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+      // 2. hop: label(v) <- label(label(v)) — labels are node ids, so
+      // the label table maps them too (path doubling)
+      val hopped = propagated.as("a")
+        .join(propagated.select(col("id").as("label"),
+                                col("label").as("hop")), Seq("label"), "left")
+        .select(col("id"),
+                least(col("label"), coalesce(col("hop"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // min-label propagation is monotone (labels only decrease), so
+      // the label sum is a strictly decreasing convergence witness —
+      // one cheap agg action per round instead of a change-count join
+      val before = labels.agg(sum("label")).as[Long].head()
+      val after = hopped.agg(sum("label")).as[Long].head()
+      labels = hopped
+      converged = before == after
+      round += 1
+    }
+    und.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+        "raise maxRounds (each round doubles reachable distance, so this " +
+        "graph has astronomical effective diameter)")
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Component label for EVERY row of `corpus`: docs in some near-dup
+    * pair get their component's min id, untouched docs label themselves.
+    * Output: corpus key column + `component` + `is_rep` (the row to keep
+    * in a keep-one-per-cluster dedup).
+    */
+  def labelCorpus(corpus: DataFrame, idCol: String,
+                  edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val comps = connectedComponents(edges, srcCol, dstCol)
+      .withColumnRenamed("id", idCol)
+    corpus.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+              coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("is_rep", col(idCol) === col("component"))
+  }
+}

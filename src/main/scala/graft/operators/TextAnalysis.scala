@@ -92,6 +92,36 @@ object TextAnalysis {
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
   }
 
+  /** PII redaction patterns — deliberately restricted to regex syntax
+    * with identical semantics in Java's engine and RE2-family engines
+    * (character classes + bounded/greedy quantifiers, no backrefs or
+    * lookaround), so a SQL engine can replay the redaction exactly
+    * (oracle t19). Greedy-only patterns match the same spans under
+    * Java's leftmost-first and RE2's leftmost-longest rules.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumberRunPattern = "[0-9]{3,}"
+
+  /** Redact emails then digit runs (order matters: email local parts
+    * contain digits — masking emails first keeps one `<EMAIL>` token
+    * instead of `<NUM>`-riddled fragments). Pure per-row codegen'd
+    * regexp_replace — one scan at any corpus size.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      NumberRunPattern, "<NUM>")
+
+  /** Count of redactable spans, for audit columns next to the redacted
+    * text: emails on the raw text, digit runs AFTER email masking (so
+    * digits inside a masked email aren't double-counted).
+    */
+  def piiCounts(text: Column): (Column, Column) = {
+    val emailsMasked = regexp_replace(text, EmailPattern, "<EMAIL>")
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+     size(regexp_extract_all(emailsMasked, lit(NumberRunPattern), lit(0))))
+  }
+
   /** Document fingerprints (content-defined, order sensitive): a
     * modular code-point rolling hash plus an md5 digest. Both columns
     * are engine-portable — any SQL engine can recompute them, so the

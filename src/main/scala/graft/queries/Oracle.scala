@@ -600,6 +600,199 @@ object Oracle {
         |             / len(string_split_regex(text, '\s+')), 6) AS stopword_ratio
         |FROM documents""".stripMargin,
 
+    "q40_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events
+        |), m AS (
+        |  SELECT *, lag(event_type) OVER w AS prev,
+        |         row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), c AS (
+        |  -- rn = 1 opens explicitly: lag() = NULL is ambiguous between
+        |  -- "first row" and "previous attr was NULL"
+        |  SELECT * FROM m WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER w AS valid_to,
+        |       (lead(ts) OVER w) IS NULL AS is_current
+        |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q41_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms
+        |  WHERE length(term) > 0 GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored
+        |)
+        |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "q42_profile" ->
+      """SELECT 'o_orderkey' AS col_name,
+        |       count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |       count(DISTINCT o_orderkey) AS n_distinct,
+        |       CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+        |       CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(CASE WHEN o_custkey IS NULL THEN 1 END),
+        |       count(DISTINCT o_custkey),
+        |       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |       count(DISTINCT o_orderstatus),
+        |       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+        |       count(DISTINCT o_totalprice),
+        |       CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |       CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(CASE WHEN o_orderdate IS NULL THEN 1 END),
+        |       count(DISTINCT o_orderdate),
+        |       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        |       count(DISTINCT o_orderpriority),
+        |       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders""".stripMargin,
+
+    "q43_skew_salted" ->
+      // the plain (unsalted) join+rollup — the salted physical rewrite
+      // must produce byte-identical results
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "t18_cluster" ->
+      // connected components by recursive reachability over the SAME
+      // pair set the Spark side clusters (the t4 contract: exact-dup
+      // pairs + df-capped 3-gram Jaccard >= 0.5 pairs); component =
+      // min reachable doc_id, singletons label themselves
+      """WITH RECURSIVE reps AS (
+        |  SELECT min(doc_id) AS id, text FROM documents GROUP BY text
+        |), exact_pairs AS (
+        |  SELECT r.id AS id_a, d.doc_id AS id_b
+        |  FROM documents d JOIN reps r USING (text)
+        |  WHERE d.doc_id != r.id
+        |), toks AS (
+        |  SELECT id, string_split_regex(lower(text), '\s+') AS t FROM reps
+        |), sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END) AS sh
+        |  FROM toks
+        |), posting AS (
+        |  SELECT id, unnest(sh) AS s FROM sets
+        |), grouped AS (
+        |  SELECT s, array_agg(id) AS ids FROM posting GROUP BY s
+        |  HAVING count(*) BETWEEN 2 AND 10
+        |), cands AS (
+        |  SELECT DISTINCT la.a AS id_a, lb.b AS id_b
+        |  FROM grouped, UNNEST(ids) la(a), UNNEST(ids) lb(b)
+        |  WHERE lb.b > la.a
+        |), near_pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cands c
+        |  JOIN sets sa ON sa.id = c.id_a
+        |  JOIN sets sb ON sb.id = c.id_b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |          / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM exact_pairs
+        |  UNION SELECT id_a, id_b FROM near_pairs
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |)
+        |SELECT id AS doc_id, min(r) AS component,
+        |       min(r) = id AS is_rep
+        |FROM reach GROUP BY id""".stripMargin,
+
+    "t19_redact" ->
+      // rebuild the identical PII-enriched input, replay the identical
+      // (Java/RE2-portable) redaction regexes
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com call 555-'
+        |              || CAST((doc_id * 7919) % 10000 AS VARCHAR) AS s
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, s,
+        |         regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                        '<EMAIL>', 'g') AS masked
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(masked, '[0-9]{3,}', '<NUM>', 'g') AS redacted,
+        |       len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(masked, '[0-9]{3,}')) AS n_num_runs
+        |FROM r""".stripMargin,
+
+    "t20_quantize" ->
+      // fixed-order IEEE-double replay of the quantization formula:
+      // same ops, same order => identical bits before the final round
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), b AS (
+        |  SELECT vec_id, v, list_min(v) AS lo,
+        |         (list_max(v) - list_min(v)) / 255.0 AS scale
+        |  FROM v
+        |), q AS (
+        |  SELECT vec_id, v, lo, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |         ELSE list_transform(v,
+        |                x -> CAST(floor((x - lo) / scale + 0.5) AS INT)) END AS codes
+        |  FROM b
+        |), e AS (
+        |  SELECT vec_id, lo, scale, codes,
+        |    list_transform(range(len(v)),
+        |                   i -> pow(v[i+1] - (lo + codes[i+1] * scale), 2)) AS sq_err,
+        |    len(v) AS n
+        |  FROM q
+        |)
+        |SELECT vec_id, round(lo, 6) AS lo, round(scale, 6) AS scale_q,
+        |       array_to_string(codes, ',') AS codes_csv,
+        |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), sq_err),
+        |                         (a, b) -> a + b) / n, 9) AS mse
+        |FROM e""".stripMargin,
+
+    "t22_streaming_join" ->
+      // batch replay of the stream-stream interval join: single-batch
+      // AvailableNow emits every match (no late rows), so the streaming
+      // result IS the batch interval join
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id, p.value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.pts >= c.ts - INTERVAL 1 HOUR AND p.pts <= c.ts""".stripMargin,
+
     "t10_tokens" ->
       """SELECT doc_id,
         |       len(string_split_regex(text, '\s+')) AS ws_tokens,

@@ -554,6 +554,56 @@ object RelationalQueries {
         grouping(col("l_linestatus")).as("g_status"),
         sum(col("__sq")).as("sum_qty"), sum(col("__n")).as("n"))
 
+  /** q40_scd2 — slowly-changing-dimension type-2 build from the events
+    * change log: per user, collapse consecutive identical event_type
+    * values and stamp [valid_from, valid_to) validity intervals + a
+    * current flag (ops/Scd2). One window spec reused by both passes —
+    * one shuffle, no funnel.
+    */
+  def q40Scd2(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Scd2.build(
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        "user_id", "event_type", "ts", Seq("event_id"))
+      .select(col("user_id"), col("event_type"),
+              col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+
+  /** q41_tfidf — corpus TF-IDF top-3 terms per document
+    * (operators/CorpusStats): tf and df aggregations, a key-partitioned
+    * term join (a web-scale vocabulary does not broadcast), and a
+    * per-doc top-k window over high-cardinality doc_id partitions.
+    */
+  def q41TfIdf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.CorpusStats.tfIdfTopTerms(
+        Tables.documents(spark, sfDir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  /** q42_profile — one-pass column profiling of the orders table
+    * (ops/Profiling): null/distinct/min/max per column, unpivoted to
+    * one row per column.
+    */
+  def q42Profile(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.profile(Tables.orders(spark, sfDir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+      .orderBy(col("col_name"))
+
+  /** q43_skew_salted — the skew-mitigation join path (ops/Skew) under
+    * an oracle: orders ⋈ customer salted 8 ways (hot-customer
+    * insurance), then the segment rollup. The oracle is the PLAIN
+    * join+group — salting must be a pure physical rewrite with zero
+    * semantic drift, and this row proves it on real data.
+    */
+  def q43SkewSalted(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Skew.saltedJoin(
+        Tables.orders(spark, sfDir).withColumn("c_custkey", col("o_custkey")),
+        Tables.customer(spark, sfDir), "c_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+
   /** q38_sessionize — gap-based event sessionization
     * (session_window): consecutive events of a user belong to one
     * session while each starts strictly before the previous event's

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Clustering, Multimodal, Quantization, Similarity, TextAnalysis, TextDedup}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -260,6 +260,112 @@ object TrainingQueries {
     lsh(8, 8).unionByName(lsh(2, 32))
       .unionByName(ivf(4)).unionByName(ivf(16))
       .orderBy(col("method"), col("params"))
+  }
+
+  /** t18_cluster — connected-components dedup clustering: the t4
+    * near-dup pair set (exact-dup pairs at jaccard 1.0 + df-capped
+    * 3-gram Jaccard ≥ 0.5 pairs) becomes per-document canonical
+    * components via distributed min-label propagation with pointer
+    * jumping; every doc gets its component's min doc_id and a keep-flag.
+    * Oracle: DuckDB recursive CTE over the same pair set.
+    */
+  def t18Cluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactPairs = TextDedup.exactClusters(docs, "text", "doc_id")
+    val nearPairs = TextDedup.ngramJaccardPairs(
+        TextDedup.exact(docs, "text", "doc_id"),
+        "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 10)
+      .select(col("id_a"), col("id_b"))
+    Clustering.labelCorpus(docs, "doc_id",
+        exactPairs.unionByName(nearPairs), "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** t19_redact — PII scrubbing over a deterministically PII-enriched
+    * corpus (the synthetic docs carry no emails/phones, so the query
+    * appends a reproducible contact suffix derived from doc_id — the
+    * DuckDB oracle rebuilds the identical input and replays the same
+    * redaction regexes).
+    */
+  def t19Redact(spark: SparkSession, sfDir: String): DataFrame = {
+    val piiful = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com call 555-"),
+      ((col("doc_id") * 7919) % 10000).cast("string"))
+    val (nEmails, nNums) = TextAnalysis.piiCounts(piiful)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalysis.redactPii(piiful).as("redacted"),
+        nEmails.as("n_emails"), nNums.as("n_num_runs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t20_quantize — int8 scalar quantization of the embedding corpus
+    * with per-vector reconstruction MSE (fixed-order double arithmetic;
+    * the DuckDB oracle replays the formula bit-for-bit).
+    */
+  def t20Quantize(spark: SparkSession, sfDir: String): DataFrame =
+    Quantization.int8Quantize(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  /** t21_lsh_recall — quantitative candidate recall of the MinHash+LSH
+    * near-dup path against the df-capped exact-Jaccard pair set (the t4
+    * contract) at the same 0.5 threshold — the t16-style self-check for
+    * the text-dedup family. Both pipelines verify candidates with exact
+    * Jaccard, so precision is 1.0 by construction and the interesting
+    * number is how many true pairs LSH banding surfaces. Rows-only
+    * (MinHash is not SQL-expressible), deterministic seeds.
+    */
+  def t21LshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val deduped = TextDedup.exact(docs, "text", "doc_id")
+    val exact = TextDedup.ngramJaccardPairs(deduped, "text", "doc_id",
+        shingleK = 3, minJaccard = 0.5, maxDf = 10)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    val lsh = TextDedup.minhashNearDups(deduped, "text", "doc_id",
+        threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    val common = lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
+  /** t22_streaming_join — stream-stream interval join (the remaining
+    * major Structured Streaming surface after windowed aggs, dedup and
+    * mapGroupsWithState): clicks join purchases by user within the
+    * preceding hour, both sides watermarked so join state expires.
+    * Single-batch AvailableNow processes everything with no late rows,
+    * so the emitted pairs are exactly the batch interval join — plain
+    * SQL for the oracle.
+    */
+  def t22StreamingJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src() = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user_id"), col("ts").as("pts"),
+              col("value"))
+      .withWatermark("pts", "1 hour")
+    val joined = StreamingFlows.intervalJoin(clicks, purchases,
+        "user_id", "p_user_id", "cts", "pts", "1 HOUR")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+              col("value"))
+    StreamingFlows.runAvailableNow(spark, joined,
+        s"t22_join_${System.nanoTime}")
+      .orderBy(col("click_id"), col("purchase_id"))
   }
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize

@@ -46,6 +46,25 @@ object StreamingFlows {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: `left` rows match `right` rows with
+    * the same `key` whose event time falls in
+    * [leftTime - before, leftTime]. Both sides carry watermarks, and
+    * the two-sided time bound lets Spark expire join state on BOTH
+    * sides — the configuration where stream-stream inner join state
+    * stays bounded forever (an unbounded-range join would buffer one
+    * side indefinitely). Callers pass pre-watermarked frames with
+    * distinct column names.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   before: String): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $before") &&
+        col(rightTime) <= col(leftTime),
+      "inner")
+
   /** Run a streaming frame to a named in-memory sink, processing
     * everything currently available, then stop. Returns the result
     * table. (Local harness: AvailableNow ≡ batch-complete semantics.)

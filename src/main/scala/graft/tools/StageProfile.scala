@@ -32,6 +32,19 @@ object StageProfile {
     val docs = graft.Tables.documents(spark, sfDir)
     val deduped = TextDedup.exact(docs, "text", "doc_id")
 
+    // t9 internals: one metric column at a time over the raw docs
+    val t = col("text")
+    val toks = split(t, "\\s+")
+    time("t9 base scan")(docs)
+    time("t9 n_chars")(docs.withColumn("m", length(t)))
+    time("t9 n_tokens")(docs.withColumn("m", size(toks)))
+    time("t9 punct_ratio")(docs.withColumn("m",
+      (length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("double") / length(t)))
+    time("t9 stopword_ratio")(docs.withColumn("m",
+      size(filter(transform(toks, lower _),
+        w => array_contains(array(Seq("the", "a", "of", "and", "is").map(lit): _*), w)))))
+    time("t9 full")(graft.operators.TextAnalysis.qualityMetrics(docs, "text"))
+
     // t4 internals, mirrored stage by stage
     val sets = deduped.select(col("doc_id").as("id"),
       graft.functions.TextFunctions.hashed_shingles(col("text"), 3).as("sh"))
@@ -50,6 +63,17 @@ object StageProfile {
     time("t2 full")(TextDedup.minhashNearDups(deduped, "text", "doc_id", threshold = 0.8))
     println("t2 cands=" +
       TextDedup.minhashCandidates(deduped, "text", "doc_id").count())
+
+    // t7 internals
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val ids = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val reps = ids.groupBy(col("vec")).agg(min(col("id")).as("id"))
+    time("t7 reps")(reps)
+    time("t7 memberPairs")(ids
+      .join(reps.select(col("vec"), col("id").as("rep_id")), "vec")
+      .filter(col("id") =!= col("rep_id")))
+    time("t7 full")(graft.operators.Similarity.cosineNearDups(
+      emb, "vec_id", "embedding", threshold = 0.95))
     spark.stop()
   }
 }

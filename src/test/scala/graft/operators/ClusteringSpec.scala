@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)], maxRounds: Int = 50) =
+    Clustering.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b", maxRounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("path + clique + isolated edge resolve to min-id components") {
+    val got = comps(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // path
+      (10L, 11L), (11L, 12L), (10L, 12L),     // triangle
+      (20L, 21L)))                            // isolated edge
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicate and reversed edges do not change the answer") {
+    val got = comps(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("pointer jumping: a 64-node chain converges in O(log n) rounds") {
+    // plain min-label propagation moves the label one hop per round and
+    // would need 63 rounds end-to-end; with the hop step the reachable
+    // distance grows multiplicatively, so 10 rounds must suffice —
+    // convergence failure throws
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = comps(chain, maxRounds = 10)
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("non-convergence throws instead of returning partial labels") {
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      comps(chain, maxRounds = 2)
+    }
+  }
+
+  test("labelCorpus labels pair members and singletons, flags reps") {
+    val corpus = Seq(1L, 2L, 3L, 7L, 9L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Clustering.labelCorpus(corpus, "doc_id", edges, "id_a", "id_b")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true), (9L, 9L, true)))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana"),
+    (2L, "apple"),
+    (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("tf-idf matches hand computation; rarity outranks frequency") {
+    val got = CorpusStats.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+      .as[(Long, Int, String, Double)].collect().toSet
+    val ln3 = math.log(3.0)
+    val ln15 = math.log(1.5) // apple: df=2, N=3
+    assert(got == Set(
+      (1L, 1, "banana", r6(ln3)),   // tf=1 × ln(3/1) beats...
+      (1L, 2, "apple", r6(ln15)),   // ...tf=1 × ln(3/2)
+      (2L, 1, "apple", r6(ln15)),
+      (3L, 1, "cherry", r6(3 * ln3))))
+  }
+
+  test("top-k cuts at k and breaks rounded-score ties by term") {
+    val tied = Seq((1L, "beta alpha gamma delta")).toDF("doc_id", "text")
+    val got = CorpusStats.tfIdfTopTerms(tied, "doc_id", "text", k = 3)
+      .orderBy($"rnk").as[(Long, Int, String, Double)].collect().toSeq
+    // all four terms score identically (tf=1, df=1, N=1 → ln(1)=0):
+    // ranking must be alphabetical and stop at k=3
+    assert(got.map(_._3) == Seq("alpha", "beta", "delta"))
+    assert(got.forall(_._4 == 0.0))
+  }
+
+  test("case folding and multi-space tokenization") {
+    val messy = Seq((1L, "Apple  APPLE apple"), (2L, "pear")).toDF("doc_id", "text")
+    val got = CorpusStats.tfIdfTopTerms(messy, "doc_id", "text", k = 1)
+      .as[(Long, Int, String, Double)].collect()
+      .map { case (d, _, t, s) => (d, (t, s)) }.toMap
+    assert(got(1L)._1 == "apple")
+    assert(got(1L)._2 == r6(3 * math.log(2.0)))
+  }
+}
