@@ -89,6 +89,7 @@ object SparkEntry {
     "t20_quantize"       -> (TrainingQueries.t20Quantize _),
     "t21_lsh_recall"     -> (TrainingQueries.t21LshRecall _),
     "t22_streaming_join" -> (TrainingQueries.t22StreamingJoin _),
+    "t23_streaming_upsert" -> (TrainingQueries.t23StreamingUpsert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -54,6 +54,10 @@ object Clustering {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // label sums only decrease (min-propagation is monotone): carrying
+    // the previous round's sum makes convergence one agg action per
+    // round instead of re-aggregating the old label table
+    var prevSum = labels.agg(sum("label")).as[Long].head()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -72,13 +76,10 @@ object Clustering {
         .select(col("id"),
                 least(col("label"), coalesce(col("hop"), col("label"))).as("label"))
         .localCheckpoint(true)
-      // min-label propagation is monotone (labels only decrease), so
-      // the label sum is a strictly decreasing convergence witness —
-      // one cheap agg action per round instead of a change-count join
-      val before = labels.agg(sum("label")).as[Long].head()
       val after = hopped.agg(sum("label")).as[Long].head()
       labels = hopped
-      converged = before == after
+      converged = prevSum == after
+      prevSum = after
       round += 1
     }
     und.unpersist()

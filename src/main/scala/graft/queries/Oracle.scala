@@ -793,6 +793,17 @@ object Oracle {
         |  ON c.user_id = p.user_id
         | AND p.pts >= c.ts - INTERVAL 1 HOUR AND p.pts <= c.ts""".stripMargin,
 
+    "t23_streaming_upsert" ->
+      // keep-latest is order-independent, so the incremental foreachBatch
+      // merge must land exactly on the batch keep-latest window
+      """SELECT user_id, event_type AS last_type,
+        |       CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
     "t10_tokens" ->
       """SELECT doc_id,
         |       len(string_split_regex(text, '\s+')) AS ws_tokens,

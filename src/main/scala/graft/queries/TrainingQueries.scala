@@ -368,6 +368,33 @@ object TrainingQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** t23_streaming_upsert — foreachBatch incremental MERGE: the events
+    * stream splits into 4 ts-ranged files consumed one per micro-batch
+    * (maxFilesPerTrigger=1), and each batch upserts into a
+    * latest-row-per-user state table. The final state is
+    * order-independent ("latest" is decided by (ts, event_id), not
+    * arrival), so the batch SQL keep-latest window is an exact oracle.
+    */
+  def t23StreamingUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.UpsertSink
+    val work = java.nio.file.Files.createTempDirectory("t23_upsert").toString
+    val ev = Tables.events(spark, sfDir)
+    // 4 range-partitioned files => 4 micro-batches; written ts is
+    // TIMESTAMP(MICROS), so the streaming schema needs no nanos shim
+    ev.repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(s"$work/in")
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$work/in")
+    UpsertSink.runLatestPerKey(spark, stream,
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        stateBase = s"$work/state")
+      .select(col("user_id"), col("event_type").as("last_type"),
+              col("ts").as("last_ts"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** foreachBatch upsert sink — the incremental-materialized-view
+  * pattern: each micro-batch MERGEs into a keyed state table so the
+  * sink always holds the latest row per key. This is what a Delta/
+  * Iceberg `MERGE INTO` does per batch; on plain parquet it becomes
+  * copy-on-write versions (state_v{batch}), which is also the
+  * time-travel-friendly layout.
+  *
+  * Correctness is ORDER-INDEPENDENT: "latest" is decided by the data
+  * (`orderCols`, e.g. ts desc + id desc), not by arrival order, so any
+  * batch split of the same rows converges to the same state — the
+  * property that makes the sink safe under source reordering/replay.
+  *
+  * Scale shape: per batch, one window over (key) on state ∪ batch.
+  * State never exceeds |distinct keys| rows; the window partitions by
+  * key (high cardinality — no funnel). At warehouse scale the same
+  * foreachBatch body targets a real MERGE-capable table format.
+  */
+object UpsertSink {
+
+  /** Run `stream` to completion (AvailableNow), merging each batch into
+    * the latest-per-key state under `stateBase`; returns the final
+    * state. `orderCols` must totally order rows within a key.
+    */
+  def runLatestPerKey(spark: SparkSession, stream: DataFrame,
+                      keys: Seq[String], orderCols: Seq[String],
+                      stateBase: String, timeoutMs: Long = 120000): DataFrame = {
+    val schema = stream.schema
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev =
+          if (version < 0) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.schema(schema).parquet(s"$stateBase/state_v$version")
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(orderCols.map(c => col(c).desc): _*)
+        prev.unionByName(batch)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+          .write.mode("overwrite").parquet(s"$stateBase/state_v$batchId")
+        version = batchId
+      }
+      .start()
+    val finished = q.awaitTermination(timeoutMs)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"upsert stream did not finish within ${timeoutMs}ms")
+    }
+    require(version >= 0, "stream produced no batches")
+    spark.read.schema(schema).parquet(s"$stateBase/state_v$version")
+  }
+}
