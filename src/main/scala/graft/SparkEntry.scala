@@ -67,6 +67,9 @@ object SparkEntry {
     "q41_tfidf"          -> (RelationalQueries.q41TfIdf _),
     "q42_profile"        -> (RelationalQueries.q42Profile _),
     "q43_skew_salted"    -> (RelationalQueries.q43SkewSalted _),
+    "q44_anti_join"      -> (RelationalQueries.q44AntiJoin _),
+    "q45_full_outer"     -> (RelationalQueries.q45FullOuter _),
+    "q46_scalar_subquery" -> (RelationalQueries.q46ScalarSubquery _),
     "t17_streaming_dedup" -> (TrainingQueries.t17StreamingDedup _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),

@@ -681,6 +681,39 @@ object Oracle {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
+    "q44_anti_join" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey
+        |                    AND l.l_quantity >= 49)
+        |GROUP BY p_brand""".stripMargin,
+
+    "q45_full_outer" ->
+      """WITH buys AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS buy_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), clicks AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |)
+        |SELECT COALESCE(buys.day, clicks.day) AS day, buy_value, click_value
+        |FROM buys FULL OUTER JOIN clicks ON buys.day = clicks.day""".stripMargin,
+
+    "q46_scalar_subquery" ->
+      // the 1.5×avg threshold is a double computed from 2-decimal
+      // prices: engine summation order can move it ulps, but prices
+      // are >= 0.01 apart so no row straddles the gap
+      """SELECT l_returnflag, count(*) AS n_pricey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_extendedprice >
+        |      (SELECT 1.5 * avg(l_extendedprice) FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
+
     "t18_cluster" ->
       // connected components by recursive reachability over the SAME
       // pair set the Spark side clusters (the t4 contract: exact-dup

@@ -604,6 +604,58 @@ object RelationalQueries {
            moneySum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("c_mktsegment"))
 
+  /** q44_anti_join — left anti join (NOT EXISTS): parts that never
+    * shipped a near-full-quantity line (l_quantity ≥ 49), rolled up by
+    * brand (~30% of parts qualify at every SF — non-trivial both ways).
+    * Completes the join-kind matrix next to inner/semi/outer; the
+    * filter pushes into the build side before the anti join, and only
+    * the key column of the probe side rides the shuffle.
+    */
+  def q44AntiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir)
+              .filter(col("l_quantity") >= 49)
+              .select(col("l_partkey").as("p_partkey")),
+            Seq("p_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+           moneySum(col("p_retailprice")).as("sum_retail"))
+      .orderBy(col("p_brand"))
+
+  /** q45_full_outer — full outer daily-series merge: the q14 join kept
+    * only days with BOTH purchase and click activity; the full variant
+    * keeps every day, null-filling the absent side (COALESCE'd day key).
+    */
+  def q45FullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    def daily(t: String, alias: String) =
+      Tables.events(spark, sfDir)
+        .filter(col("event_type") === t)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(moneySum(col("value")).as(alias))
+    val buys = daily("purchase", "buy_value")
+    val clicks = daily("click", "click_value")
+    buys.join(clicks, Seq("day"), "full_outer")
+      .select(col("day"), col("buy_value"), col("click_value"))
+      .orderBy(col("day"))
+  }
+
+  /** q46_scalar_subquery — aggregate scalar subquery in a predicate:
+    * lineitems priced above 1.5× the global average. Catalyst plans the
+    * scalar as its own tiny job and folds the result into the main
+    * scan's filter — the subquery never joins row-by-row.
+    */
+  def q46ScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("q46_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n_pricey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM q46_lineitem
+        |WHERE l_extendedprice >
+        |      (SELECT 1.5 * avg(l_extendedprice) FROM q46_lineitem)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** q38_sessionize — gap-based event sessionization
     * (session_window): consecutive events of a user belong to one
     * session while each starts strictly before the previous event's
