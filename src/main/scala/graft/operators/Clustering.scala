@@ -51,6 +51,14 @@ object Clustering {
     val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+    // empty edge set: no nodes, so the fixpoint is the empty labeling
+    // (and the sum-based convergence probe below would NPE on the NULL
+    // sum of zero rows)
+    if (und.isEmpty) {
+      und.unpersist()
+      return e.select(col("src").as("id"), col("src").as("component"))
+        .limit(0)
+    }
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

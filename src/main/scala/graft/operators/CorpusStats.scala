@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: tokenize → groupBy(doc, term) [shuffle 1, partial
   * map-side combine] → groupBy(term) for df [shuffle 2, |vocab| rows]
-  * → tf ⋈ df on term [shuffle 3 — NOT broadcast: a web-scale vocab is
-  * itself huge, so the join stays a key-partitioned hash join] →
-  * per-doc top-k window (doc_id is high-cardinality, so the window
-  * partitions spread — no funnel). The corpus size N rides along as a
-  * broadcast single-row frame, never a driver-side collect.
+  * → tf ⋈ df on term → per-doc top-k window (doc_id is
+  * high-cardinality, so the window partitions spread — no funnel).
+  * The tf ⋈ df strategy is deliberately left to Catalyst/AQE: on a
+  * small vocabulary it broadcasts (the committed sf0.01 plan does),
+  * while a web-scale vocabulary exceeds the broadcast threshold and
+  * falls back to the key-partitioned hash join — neither case needs a
+  * hint. The corpus size N rides along as a broadcast single-row
+  * frame, never a driver-side collect.
   */
 object CorpusStats {
 

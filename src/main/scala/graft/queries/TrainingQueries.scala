@@ -328,10 +328,16 @@ object TrainingQueries {
         threshold = 0.5)
       .select(col("id_a"), col("id_b"))
       .persist()
-    val common = lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+    // materialize the three tiny counts eagerly so both cached pair
+    // sets can unpersist before the next driver query runs (a leaked
+    // persist pins executor storage for the rest of the battery)
+    val nExact = exact.count()
+    val nLsh = lsh.count()
+    val nCommon = lsh.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+    exact.unpersist()
+    lsh.unpersist()
+    import spark.implicits._
+    Seq((nExact, nLsh, nCommon)).toDF("n_exact", "n_lsh", "n_common")
       .select(col("n_exact"), col("n_lsh"), col("n_common"),
         round(col("n_common").cast("double") / col("n_exact"), 6).as("recall"))
   }

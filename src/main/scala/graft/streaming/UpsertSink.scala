@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -17,10 +16,11 @@ import org.apache.spark.sql.streaming.Trigger
   * batch split of the same rows converges to the same state — the
   * property that makes the sink safe under source reordering/replay.
   *
-  * Scale shape: per batch, one window over (key) on state ∪ batch.
-  * State never exceeds |distinct keys| rows; the window partitions by
-  * key (high cardinality — no funnel). At warehouse scale the same
-  * foreachBatch body targets a real MERGE-capable table format.
+  * Scale shape: per batch, one keep-first window (the shared
+  * Dedup.keepFirst operator) over state ∪ batch. State never exceeds
+  * |distinct keys| rows; the window partitions by key (high
+  * cardinality — no funnel). At warehouse scale the same foreachBatch
+  * body targets a real MERGE-capable table format.
   */
 object UpsertSink {
 
@@ -41,12 +41,8 @@ object UpsertSink {
           if (version < 0) spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           else spark.read.schema(schema).parquet(s"$stateBase/state_v$version")
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(orderCols.map(c => col(c).desc): _*)
-        prev.unionByName(batch)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__rn")
+        graft.ops.Dedup.keepFirst(prev.unionByName(batch), keys,
+            orderCols.map(c => col(c).desc))
           .write.mode("overwrite").parquet(s"$stateBase/state_v$batchId")
         version = batchId
       }

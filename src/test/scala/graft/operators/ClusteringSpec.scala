@@ -44,6 +44,15 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("empty edge set: empty components; labelCorpus yields all singletons") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clustering.connectedComponents(empty, "id_a", "id_b").isEmpty)
+    val corpus = Seq(1L, 2L).toDF("doc_id")
+    val got = Clustering.labelCorpus(corpus, "doc_id", empty, "id_a", "id_b")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 2L, true)))
+  }
+
   test("labelCorpus labels pair members and singletons, flags reps") {
     val corpus = Seq(1L, 2L, 3L, 7L, 9L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
