@@ -93,6 +93,7 @@ object SparkEntry {
     "t21_lsh_recall"     -> (TrainingQueries.t21LshRecall _),
     "t22_streaming_join" -> (TrainingQueries.t22StreamingJoin _),
     "t23_streaming_upsert" -> (TrainingQueries.t23StreamingUpsert _),
+    "t24_stateful_balance" -> (TrainingQueries.t24StatefulBalance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -837,6 +837,16 @@ object Oracle {
         |  FROM events
         |) WHERE rn = 1""".stripMargin,
 
+    "t24_stateful_balance" ->
+      // the final stateful snapshot per wallet = plain batch aggregate;
+      // both engines' double sums drift only ~1e-12 from the same true
+      // value, so the 2dp round lands identically
+      """SELECT CAST(user_id AS VARCHAR) AS wallet,
+        |       round(sum(value), 2) AS net_r,
+        |       count(*) AS n_events,
+        |       max(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "t10_tokens" ->
       """SELECT doc_id,
         |       len(string_split_regex(text, '\s+')) AS ws_tokens,

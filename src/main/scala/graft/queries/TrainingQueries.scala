@@ -401,6 +401,40 @@ object TrainingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** t24_stateful_balance — the flatMapGroupsWithState surface as a
+    * driver query: per-user running balances accumulate across 4
+    * micro-batches (state survives batch boundaries — the thing
+    * windowed aggregation can't express), then the final snapshot per
+    * user is taken (max n_events — the counter is strictly monotone
+    * per wallet). The snapshot equals plain per-user SUM/COUNT/MAX, so
+    * it is exactly SQL-checkable; net rounds to 2dp because the
+    * state's double accumulation order is batch-dependent (true sum
+    * fixed, fp drift ~1e-12 — far from any 2dp boundary).
+    */
+  def t24StatefulBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StatefulFlows
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("t24_state").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(s"$work/in")
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$work/in")
+      .select(col("user_id").cast("string").as("wallet"),
+              col("ts"), col("value"))
+      .as[StatefulFlows.FlowEvent]
+    val balances = StatefulFlows.runningBalances(stream).toDF()
+    val emitted = graft.streaming.StreamingFlows.runAvailableNow(spark,
+      balances, s"t24_bal_${System.nanoTime}")
+    graft.ops.Dedup.keepFirst(emitted, Seq("wallet"),
+        Seq(col("n_events").desc))
+      .select(col("wallet"), round(col("net"), 2).as("net_r"),
+              col("n_events"), col("last_ts"))
+      .orderBy(col("wallet"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.
