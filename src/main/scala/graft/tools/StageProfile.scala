@@ -64,6 +64,21 @@ object StageProfile {
     println("t2 cands=" +
       TextDedup.minhashCandidates(deduped, "text", "doc_id").count())
 
+    // t18 internals: pair generation vs the iterative CC rounds
+    val exactPairs = TextDedup.exactClusters(docs, "text", "doc_id")
+    val nearPairs = TextDedup.ngramJaccardPairs(deduped, "text", "doc_id",
+      shingleK = 3, minJaccard = 0.5, maxDf = 10)
+      .select(col("id_a"), col("id_b"))
+    val edges = exactPairs.unionByName(nearPairs)
+    time("t18 edges")(edges)
+    val edgesP = edges.persist()
+    edgesP.count()
+    time("t18 cc only")(
+      graft.operators.Clustering.connectedComponents(edgesP, "id_a", "id_b"))
+    time("t18 full")(graft.operators.Clustering.labelCorpus(
+      docs, "doc_id", edges, "id_a", "id_b"))
+    edgesP.unpersist()
+
     // t7 internals
     val emb = graft.Tables.embeddings(spark, sfDir)
     val ids = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
