@@ -193,6 +193,14 @@ object Similarity {
     * which is the scale-correct answer shape: expanding them to all
     * member combinations is a trivial join the caller can do, but its
     * size is the product of cluster sizes.
+    *
+    * The rep table (a full groupBy over the corpus) feeds stage 1 once
+    * and stage 2 three times, so it is persisted for the duration of
+    * the call and the RESULT is materialized (eager localCheckpoint)
+    * before the cache is released — one corpus aggregation total,
+    * instead of one per downstream reference. The returned frame is
+    * therefore backed by checkpoint blocks sized to the PAIR OUTPUT
+    * (small — rep-collapsed near-dup pairs), never the corpus.
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 16,
@@ -201,32 +209,36 @@ object Similarity {
     // group by the vector VALUE (arrays group fine; ~hundreds of bytes
     // per key) — grouping by a 64-bit vector hash would merge colliding
     // distinct vectors into false dup pairs at billion-row scale
-    val reps = ids.groupBy(col("vec")).agg(min(col("id")).as("id"))
-    // stage 1: identical-vector membership pairs (rep id is the min, so
-    // rep < member always; cosine of identical vectors is exactly 1).
-    // NOTE: reps is referenced by both stages — callers running this
-    // repeatedly over one corpus should persist the corpus projection.
-    val memberPairs = ids
-      .join(reps.select(col("vec"), col("id").as("rep_id")), "vec")
-      .filter(col("id") =!= col("rep_id"))
-      .select(col("rep_id").as("id_a"), col("id").as("id_b"),
-              lit(1.0).as("cosine"))
-    // stage 2: LSH over distinct representatives; id-only capped-bucket
-    // pairs (Buckets.pairs — exact dups are already collapsed, but a
-    // large NEAR-dup vector cluster still shares buckets and would go
-    // quadratic in a flat self-join), vectors rejoin after the distinct
-    val sigs = (0 until tables).map(t =>
-      hyperplane_sig(col("vec"), bits, seed = 42L + t))
-    val b = reps.select(col("id"),
-      posexplode(array(sigs: _*)).as(Seq("table", "bucket")))
-    val vecs = reps.select(col("id"), col("vec"))
-    val repPairs = Buckets.pairs(b, Seq("table", "bucket"), maxBucket)
-      .join(vecs.toDF("id_a", "vec_a"), "id_a")
-      .join(vecs.toDF("id_b", "vec_b"), "id_b")
-      .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
-    memberPairs.unionByName(repPairs)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    val reps = ids.groupBy(col("vec")).agg(min(col("id")).as("id")).persist()
+    try {
+      // eager: downstream references must all hit the cache (lazy
+      // persist + concurrent stages can double-compute partitions)
+      reps.count()
+      // stage 1: identical-vector membership pairs (rep id is the min,
+      // so rep < member always; cosine of identical vectors is exactly 1)
+      val memberPairs = ids
+        .join(reps.select(col("vec"), col("id").as("rep_id")), "vec")
+        .filter(col("id") =!= col("rep_id"))
+        .select(col("rep_id").as("id_a"), col("id").as("id_b"),
+                lit(1.0).as("cosine"))
+      // stage 2: LSH over distinct representatives; id-only capped-bucket
+      // pairs (Buckets.pairs — exact dups are already collapsed, but a
+      // large NEAR-dup vector cluster still shares buckets and would go
+      // quadratic in a flat self-join), vectors rejoin after the distinct
+      val sigs = (0 until tables).map(t =>
+        hyperplane_sig(col("vec"), bits, seed = 42L + t))
+      val b = reps.select(col("id"),
+        posexplode(array(sigs: _*)).as(Seq("table", "bucket")))
+      val vecs = reps.select(col("id"), col("vec"))
+      val repPairs = Buckets.pairs(b, Seq("table", "bucket"), maxBucket)
+        .join(vecs.toDF("id_a", "vec_a"), "id_a")
+        .join(vecs.toDF("id_b", "vec_b"), "id_b")
+        .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+      memberPairs.unionByName(repPairs)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .localCheckpoint(true)
+    } finally reps.unpersist()
   }
 }

@@ -65,6 +65,23 @@ object StreamingFlows {
         col(rightTime) <= col(leftTime),
       "inner")
 
+  /** Run `body` with the session's shuffle-partition count (which also
+    * sets a stateful query's state-partition count — fixed at the
+    * query's FIRST start for its whole life) temporarily set to `n`,
+    * restoring the previous value after. State partitioning is a
+    * per-query sizing decision: every micro-batch commits one
+    * state-store delta per partition, so a low-cardinality keyed stream
+    * on a wide session default pays batches × partitions tiny commits
+    * for rows that fit in a handful of stores. Size to expected key
+    * cardinality / executor count, not to the batch-shuffle default.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming frame to a named in-memory sink, processing
     * everything currently available, then stop. Returns the result
     * table. (Local harness: AvailableNow ≡ batch-complete semantics.)

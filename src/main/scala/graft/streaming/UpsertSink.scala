@@ -27,12 +27,23 @@ object UpsertSink {
   /** Run `stream` to completion (AvailableNow), merging each batch into
     * the latest-per-key state under `stateBase`; returns the final
     * state. `orderCols` must totally order rows within a key.
+    *
+    * `keepVersions` bounds the copy-on-write history: after each
+    * successful write, state versions older than the newest
+    * `keepVersions` are deleted — without a cap a long-running stream
+    * accumulates batches × |distinct keys| rows of dead state. Minimum
+    * 2 (the new version plus the one it was derived from, so a crash
+    * mid-write never strands the stream without a readable parent).
     */
   def runLatestPerKey(spark: SparkSession, stream: DataFrame,
                       keys: Seq[String], orderCols: Seq[String],
-                      stateBase: String, timeoutMs: Long = 120000): DataFrame = {
+                      stateBase: String, timeoutMs: Long = 120000,
+                      keepVersions: Int = 2): DataFrame = {
+    require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
     val schema = stream.schema
     @volatile var version = -1L
+    // foreachBatch bodies run sequentially, so plain mutable state is safe
+    val written = scala.collection.mutable.Queue.empty[Long]
     val q = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -45,6 +56,13 @@ object UpsertSink {
             orderCols.map(c => col(c).desc))
           .write.mode("overwrite").parquet(s"$stateBase/state_v$batchId")
         version = batchId
+        written.enqueue(batchId)
+        while (written.size > keepVersions) {
+          val old = new org.apache.hadoop.fs.Path(
+            s"$stateBase/state_v${written.dequeue()}")
+          old.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(old, true)
+        }
       }
       .start()
     val finished = q.awaitTermination(timeoutMs)

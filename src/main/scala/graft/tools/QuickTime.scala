@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a subset of SparkEntry.queries by name (same session
+  * config + warm-up discipline as graft.Bench, noop sink) so a single
+  * query can be iterated on without paying the full battery.
+  *
+  * Usage: scripts/run_main.sh graft.tools.QuickTime t7_embed_neardup t23_streaming_upsert
+  * (SPARK_GRAFT_SF_DIR selects the scale factor; defaults to sf0.1.)
+  */
+object QuickTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
+      .format("noop").mode("overwrite").save()
+    graft.queries.TrainingQueries.prewarmFixtures(spark, sfDir)
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq
+    names.foreach { name =>
+      graft.SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[quicktime] unknown query: $name")
+        case Some(fn) =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          println(f"[quicktime] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
