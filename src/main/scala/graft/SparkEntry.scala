@@ -94,6 +94,8 @@ object SparkEntry {
     "t22_streaming_join" -> (TrainingQueries.t22StreamingJoin _),
     "t23_streaming_upsert" -> (TrainingQueries.t23StreamingUpsert _),
     "t24_stateful_balance" -> (TrainingQueries.t24StatefulBalance _),
+    "t25_minhash_precision" -> (TrainingQueries.t25MinhashPrecision _),
+    "t26_neardup_exact"  -> (TrainingQueries.t26NearDupExact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

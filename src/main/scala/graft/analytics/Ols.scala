@@ -95,6 +95,8 @@ object Ols {
                        capPerBin: Int,
                        quantileError: Double = 1e-4,
                        salts: Int = 64): DataFrame = {
+    // scale path — see stratifiedSampleExact for the oracle-checkable
+    // exact-binning variant used at verification scale.
     val probes = (1 until bins).map(_.toDouble / bins).toArray
     val bounds = df.stat.approxQuantile(orderCol, probes, quantileError)
     val boundsCol = array(bounds.toIndexedSeq.map(lit): _*)
@@ -112,5 +114,33 @@ object Ols {
       .withColumn("__rn2", row_number().over(wBin))
       .filter(col("__rn2") <= capPerBin)
       .drop("__bin", "__h", "__salt", "__rn1", "__rn2")
+  }
+
+  /** M3, exact-binning variant — the oracle-checkable form of
+    * `stratifiedSample`: equi-height bins come from `ntile(bins)` over
+    * a TOTAL order (`orderCol`, tie-broken by the unique `keyCol`), and
+    * the per-bin cap keeps the `capPerBin` rows with the smallest
+    * `md5(keyCol)` — every ingredient (ntile, md5 over a decimal-string
+    * key, row_number) evaluates identically in any ANSI engine, so an
+    * external SQL oracle can replay membership EXACTLY. This is what
+    * `approxQuantile` boundaries + xxhash64 row hashes (engine-local)
+    * structurally cannot offer.
+    *
+    * Deliberately NOT the scale path: a global ntile is a
+    * single-partition window funnel. Use it at verification scale
+    * (where exactness is the point) and `stratifiedSample` — identical
+    * semantics up to boundary placement, distributed plan — at corpus
+    * scale.
+    */
+  def stratifiedSampleExact(df: DataFrame, orderCol: String,
+                            keyCol: String, bins: Int,
+                            capPerBin: Int): DataFrame = {
+    val wNtile = Window.orderBy(col(orderCol), col(keyCol))
+    val wBin = Window.partitionBy(col("__bin"))
+      .orderBy(md5(col(keyCol).cast("string")))
+    df.withColumn("__bin", ntile(bins).over(wNtile))
+      .withColumn("__rn", row_number().over(wBin))
+      .filter(col("__rn") <= capPerBin)
+      .drop("__bin", "__rn")
   }
 }

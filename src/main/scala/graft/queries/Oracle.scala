@@ -565,6 +565,45 @@ object Oracle {
         |       md5(text) AS digest
         |FROM documents""".stripMargin,
 
+    "t25_minhash_precision" ->
+      // the invariant IS the oracle: zero violations of "every emitted
+      // LSH pair has true string-shingle Jaccard >= 0.8 and reports it"
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+
+    "t26_neardup_exact" ->
+      """WITH ids AS (
+        |  SELECT vec_id AS id, embedding AS vec
+        |  FROM embeddings WHERE vec_id < 500
+        |), reps AS (
+        |  SELECT min(id) AS id, vec FROM ids GROUP BY vec
+        |), member_pairs AS (
+        |  SELECT r.id AS id_a, i.id AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+        |  FROM ids i JOIN reps r USING (vec) WHERE i.id != r.id
+        |), rep_pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         list_cosine_similarity(CAST(a.vec AS DOUBLE[]),
+        |                                CAST(b.vec AS DOUBLE[])) AS c
+        |  FROM reps a JOIN reps b ON a.id < b.id
+        |)
+        |SELECT id_a, id_b, round(c, 6) AS cosine
+        |FROM rep_pairs WHERE c >= 0.4
+        |UNION ALL
+        |SELECT id_a, id_b, cosine FROM member_pairs""".stripMargin,
+
+    "t13_sample" ->
+      """WITH binned AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        |  FROM orders
+        |), capped AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         row_number() OVER (
+        |           PARTITION BY bin
+        |           ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rn
+        |  FROM binned
+        |)
+        |SELECT o_orderkey, o_totalprice FROM capped WHERE rn <= 25""".stripMargin,
+
     "t1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
         |       length(text) AS text_len

@@ -159,14 +159,17 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
 
   /** t13_stratified_sample — M3 percentile-bin downsampling
-    * (btc_logregression_pre.py:53-70): 20 quantile bins over o_totalprice,
-    * ≤25 rows per bin, deterministic (hash-ordered cap). Rows-only check:
-    * the sample membership is hash-derived.
+    * (btc_logregression_pre.py:53-70): 20 equi-height bins over
+    * o_totalprice, ≤25 rows per bin, deterministic (md5-keyed cap).
+    * Runs the EXACT-binning variant so a SQL oracle replays bin
+    * membership and the cap verbatim; the distributed approx-boundary
+    * path (`Ols.stratifiedSample`) is the scale default, spec-checked
+    * in OlsSpec.
     */
   def t13StratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
-    graft.analytics.Ols.stratifiedSample(
+    graft.analytics.Ols.stratifiedSampleExact(
         Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
-        "o_totalprice", bins = 20, capPerBin = 25)
+        "o_totalprice", "o_orderkey", bins = 20, capPerBin = 25)
       .orderBy(col("o_orderkey"))
 
   /** t14_streaming_daily — the Structured Streaming ingest path (the
@@ -478,6 +481,79 @@ object TrainingQueries {
       .select(col("wallet"), round(col("net"), 2).as("net_r"),
               col("n_events"), col("last_ts"))
       .orderBy(col("wallet"))
+  }
+
+  /** t25_minhash_precision — oracle-checked invariant twin for the
+    * rows-only t2: every pair the MinHash+LSH path emits must (a) have
+    * TRUE 3-gram Jaccard ≥ the 0.8 threshold and (b) report a jaccard
+    * equal to the true one. "True" means recomputed from the raw
+    * shingle STRINGS — an independent route from the operator's
+    * xxhash64'd shingle sets, so a hash collision inflating a Jaccard
+    * (the one failure mode hashed verification cannot see) lands here
+    * as a violation. Output: the violation count, which the SQL oracle
+    * pins at exactly 0. Cost is |emitted pairs| — shingle sets are only
+    * built for documents appearing in some pair.
+    */
+  def t25MinhashPrecision(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val deduped = TextDedup.exact(docs, "text", "doc_id")
+    val lsh = TextDedup.minhashNearDups(deduped, "text", "doc_id",
+        threshold = 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // raw-string shingle sets, same tokenization as the hashed kernel:
+    // lower, split on \s+, 3-gram windows, short docs = one whole-text
+    // shingle
+    val toks = split(lower(col("text")), "\\s+")
+    val shingles = array_distinct(
+      when(size(toks) < 3, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(0), size(toks) - 3),
+          i => array_join(slice(toks, i + 1, lit(3)), " "))))
+    val pairDocs = lsh.select(col("id_a").as("doc_id"))
+      .unionByName(lsh.select(col("id_b").as("doc_id")))
+      .distinct()
+    val sets = deduped.join(pairDocs, "doc_id")
+      .select(col("doc_id"), shingles.as("sh"))
+    lsh
+      .join(sets.toDF("id_a", "sh_a"), "id_a")
+      .join(sets.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("jaccard_true",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard_true") < 0.8 ||
+              round(col("jaccard"), 6) =!= round(col("jaccard_true"), 6))
+      .agg(count(lit(1)).as("n_violations"))
+  }
+
+  /** t26_neardup_exact — full-oracle twin for the rows-only t7: the
+    * brute-force form of rep-collapsed embedding near-dup pairs over a
+    * BOUNDED deterministic slice (vec_id < 500, so the all-pairs cost
+    * is fixed at any SF). Identical output contract to cosineNearDups
+    * — stage-1 identical-vector member pairs at cosine 1.0, stage-2
+    * rep-to-rep pairs ≥ threshold — but candidates come from the
+    * exhaustive cross join instead of LSH buckets, which plain SQL can
+    * replay verbatim. SimilaritySpec separately pins the LSH path's
+    * output ⊆ this exact pair set.
+    */
+  def t26NearDupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val reps = ids.groupBy(col("vec")).agg(min(col("id")).as("id"))
+    val memberPairs = ids
+      .join(reps.select(col("vec"), col("id").as("rep_id")), "vec")
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"),
+              lit(1.0).as("cosine"))
+    val a = reps.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = reps.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val repPairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine_sim(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    memberPairs.unionByName(repPairs)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize

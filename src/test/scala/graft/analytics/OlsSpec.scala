@@ -68,6 +68,27 @@ class OlsSpec extends SparkSpec {
     assert(sampled.distinct.size == 1)
   }
 
+  test("M3 exact variant: ntile bins + md5-keyed cap match a local reference") {
+    val df = (1 to 1000).map(i => (i.toLong, (i % 321).toDouble)).toDF("id", "v")
+    val out = Ols.stratifiedSampleExact(df, "v", "id", bins = 10, capPerBin = 8)
+      .select("id").as[Long].collect().sorted.toSeq
+    // local replay: total order (v, id), ntile(10) = first (n mod 10)
+    // bins get ceil(n/10) rows, md5(id-string) picks the per-bin keep set
+    val rows = (1 to 1000).map(i => (i.toLong, (i % 321).toDouble))
+      .sortBy { case (id, v) => (v, id) }
+    val base = rows.size / 10
+    val extra = rows.size % 10
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0 until 10).flatMap { b =>
+      val start = b * base + math.min(b, extra)
+      val size = base + (if (b < extra) 1 else 0)
+      rows.slice(start, start + size).map(_._1)
+        .sortBy(id => md5hex(id.toString)).take(8)
+    }.sorted
+    assert(out == expected)
+  }
+
   test("M3 plan shape: the wide exchange is salted, not bins-only") {
     val df = (1 to 1000).map(i => (i, i.toDouble)).toDF("id", "v")
     val plan = Ols.stratifiedSample(df, "v", bins = 20, capPerBin = 5)

@@ -117,6 +117,37 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 4L))) // anti-parallel never passes
   }
 
+  test("cosineNearDups output is a subset of the brute-force exact pair set (t26 contract)") {
+    val n = 60
+    val vecs = (0L until n).map { i =>
+      // 6 direction clusters with per-member jitter + exact dups every 10th
+      val base = (i % 6).toInt
+      val arr = Array.tabulate(4)(d =>
+        (if (d == base % 4) 1.0f else 0.1f * ((base + d) % 3)) +
+          (if (i >= 10 && i % 10 == 0) 0f else 0.01f * (i % 7)))
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    val lsh = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.8, bits = 4, tables = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // brute-force exact: rep-collapse identical vectors, all rep pairs >= 0.8
+    val ids = vecs.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val reps = ids.groupBy($"vec").agg(min($"id").as("id"))
+    val members = ids.join(reps.select($"vec", $"id".as("rep_id")), "vec")
+      .filter($"id" =!= $"rep_id")
+      .select($"rep_id".as("id_a"), $"id".as("id_b"))
+    val a = reps.select($"id".as("id_a"), $"vec".as("vec_a"))
+    val b = reps.select($"id".as("id_b"), $"vec".as("vec_b"))
+    val exact = a.join(b, $"id_a" < $"id_b")
+      .filter(cosine_sim($"vec_a", $"vec_b") >= 0.8)
+      .select($"id_a", $"id_b")
+      .unionByName(members)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty, "fixture should produce at least one near-dup pair")
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted pairs outside the exact set: ${lsh -- exact}")
+  }
+
   test("topKPerQuery matches the windowed rank formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     // many queries × whole corpus — the shapes the window form ranked
