@@ -41,9 +41,17 @@ object StageProfile {
     time("t9 punct_ratio")(docs.withColumn("m",
       (length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("double") / length(t)))
     time("t9 stopword_ratio")(docs.withColumn("m",
-      size(filter(transform(toks, lower _),
-        w => array_contains(array(Seq("the", "a", "of", "and", "is").map(lit): _*), w)))))
+      graft.operators.TextAnalysis.stopwordRatio(t)))
     time("t9 full")(graft.operators.TextAnalysis.qualityMetrics(docs, "text"))
+
+    // q42 internals: exact count_distinct (one Expand branch per
+    // column: rows×6 before partial agg) vs the HLL approx variant —
+    // the documented 100 TB swap, quantified on the biggest local table
+    val lin = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val pcols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_linestatus", "l_extendedprice")
+    time("profile exact (lineitem)")(graft.ops.Profiling.profile(lin, pcols))
+    time("profile approx (lineitem)")(graft.ops.Profiling.profileApprox(lin, pcols))
 
     // t4 internals, mirrored stage by stage
     val sets = deduped.select(col("doc_id").as("id"),

@@ -27,6 +27,36 @@ class ProfilingSpec extends SparkSpec {
     assert(got.length == 1)
   }
 
+  test("profileApprox: same schema, HLL distincts within documented rsd bounds") {
+    val wide = (1 to 5000).map(i => (i.toLong, (i % 937).toString))
+      .toDF("id", "mod")
+    val exact = Profiling.profile(wide, Seq("id", "mod"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = Profiling.profileApprox(wide, Seq("id", "mod"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // everything but the distinct estimate matches exactly
+    for (c <- Seq("id", "mod")) {
+      assert(approx(c)._2 == exact(c)._2)
+      assert(approx(c)._4 == exact(c)._4 && approx(c)._5 == exact(c)._5)
+      // HLL at rsd=0.05: allow a generous 5-sigma band
+      val (est, truth) = (approx(c)._3.toDouble, exact(c)._3.toDouble)
+      assert(math.abs(est - truth) <= 0.25 * truth,
+        s"$c: approx distinct $est vs exact $truth")
+    }
+  }
+
+  test("hostile column names (quotes, backticks, dots) profile fine") {
+    val hostile = Seq((1L, "x"), (2L, "y"), (2L, null))
+      .toDF("a'b`c", "d.e\"f")
+    val got = Profiling.profile(hostile, Seq("a'b`c", "d.e\"f"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a'b`c") == ("a'b`c", 0L, 2L, "1", "2"))
+    assert(got("d.e\"f") == ("d.e\"f", 1L, 2L, "x", "y"))
+  }
+
   test("empty input: zero counts, null min/max") {
     val got = Profiling.profile(df.filter(lit(false)), Seq("k", "s"))
       .as[(String, Long, Long, Option[String], Option[String])]
