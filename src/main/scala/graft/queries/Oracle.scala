@@ -565,6 +565,25 @@ object Oracle {
         |       md5(text) AS digest
         |FROM documents""".stripMargin,
 
+    "q47_delete_merge" ->
+      // replay of the DELETE + MERGE sequence as pure SQL: survivors of
+      // the delete, minus keys the merge updates, plus the update rows
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders
+        |), survivors AS (
+        |  SELECT * FROM base
+        |  WHERE NOT coalesce(o_orderstatus = 'F', false)
+        |), updates AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderstatus = 'P'
+        |)
+        |SELECT * FROM survivors
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |UNION ALL
+        |SELECT * FROM updates""".stripMargin,
+
     "t25_minhash_precision" ->
       // the invariant IS the oracle: zero violations of "every emitted
       // LSH pair has true string-shingle Jaccard >= 0.8 and reports it"

@@ -770,4 +770,28 @@ object RelationalQueries {
       .select(col("txid"), col("type"), col("addr"),
               col("val").cast("double").as("val"))
   }
+
+  /** q47_delete_merge — the S6 mutable-table surface as a driver query
+    * (the reference DELETEs rows of a live table in place,
+    * btcolap.sql:1-15, 289-298; MERGE is the companion verb the same
+    * layout must support): materialize an orders snapshot as a
+    * versioned-parquet MutableTable, DELETE WHERE status = 'F', then
+    * MERGE doubled-price 'P' rows (matched keys update in place,
+    * unmatched insert). The final state is plain SQL over the source
+    * table — an exact oracle — and the table's version history stays
+    * pruned to the retention cap while the verbs run.
+    */
+  def q47DeleteMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"${graft.io.TempDirs.create("q47_table")}/t"
+    val snap = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus"), col("o_totalprice"))
+    val t = graft.io.MutableTable.create(spark, base, snap)
+    t.deleteWhere(col("o_orderstatus") === "F")
+    t.upsert(
+      snap.filter(col("o_orderstatus") === "P")
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      keys = Seq("o_orderkey"))
+    t.read().orderBy(col("o_orderkey"))
+  }
 }

@@ -1,0 +1,83 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MutableTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  test("deleteWhere removes TRUE rows only; NULL predicate keeps the row") {
+    val base = freshBase("mt_delete")
+    val t = MutableTable.create(spark, base, Seq(
+      (1L, Some("F")), (2L, Some("O")), (3L, None)).toDF("k", "status"))
+    t.deleteWhere($"status" === "F")
+    val got = t.read().as[(Long, Option[String])].collect().toSet
+    // row 3's predicate is NULL — SQL DELETE keeps it
+    assert(got == Set((2L, Some("O")), (3L, None)))
+  }
+
+  test("upsert: matched keys replaced, unmatched inserted") {
+    val base = freshBase("mt_upsert")
+    val t = MutableTable.create(spark, base,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "x"))
+    t.upsert(Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("k", "s", "x"),
+      keys = Seq("k"))
+    val got = t.read().as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("mergeLatest is order-independent across split batches") {
+    val base1 = freshBase("mt_merge1")
+    val base2 = freshBase("mt_merge2")
+    val rows = Seq((1L, "v1", 1L), (1L, "v2", 2L), (2L, "w1", 5L))
+    val Seq(b1, b2) = Seq(rows.take(1), rows.drop(1))
+      .map(_.toDF("k", "s", "ord"))
+    val fwd = MutableTable.init(spark, base1, b1.schema)
+      .mergeLatest(b1, Seq("k"), Seq("ord"))
+      .mergeLatest(b2, Seq("k"), Seq("ord"))
+      .read().as[(Long, String, Long)].collect().toSet
+    val rev = MutableTable.init(spark, base2, b1.schema)
+      .mergeLatest(b2, Seq("k"), Seq("ord"))
+      .mergeLatest(b1, Seq("k"), Seq("ord"))
+      .read().as[(Long, String, Long)].collect().toSet
+    assert(fwd == rev)
+    assert(fwd == Set((1L, "v2", 2L), (2L, "w1", 5L)))
+  }
+
+  test("retention prunes old versions; surviving versions time-travel") {
+    val base = freshBase("mt_retain")
+    val t = MutableTable.create(spark, base,
+      (1L to 5L).toDF("k"), keepVersions = 2)
+    t.deleteWhere($"k" > 4)   // v1
+    t.deleteWhere($"k" > 3)   // v2 — v0 pruned
+    assert(t.currentVersion == 2)
+    val dirs = new java.io.File(base).list().count(_.matches("v\\d+"))
+    assert(dirs == 2)
+    assert(t.readVersion(1).count() == 4)
+    assert(t.read().count() == 3)
+  }
+
+  test("delete-to-empty survives the round trip (schema sidecar)") {
+    val base = freshBase("mt_empty")
+    val t = MutableTable.create(spark, base, Seq((1L, "a")).toDF("k", "s"))
+    t.deleteWhere(lit(true))
+    val empty = t.read()
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("k", "s"))
+    // and the table stays usable: upsert into the empty state
+    t.upsert(Seq((7L, "z")).toDF("k", "s"), Seq("k"))
+    assert(t.read().as[(Long, String)].collect().toSeq == Seq((7L, "z")))
+  }
+
+  test("create refuses to clobber an existing table; open finds it") {
+    val base = freshBase("mt_create")
+    MutableTable.create(spark, base, Seq((1L, "a")).toDF("k", "s"))
+    intercept[IllegalArgumentException] {
+      MutableTable.create(spark, base, Seq((2L, "b")).toDF("k", "s"))
+    }
+    assert(MutableTable.open(spark, base).read().count() == 1)
+  }
+}

@@ -26,10 +26,11 @@ class UpsertSinkSpec extends SparkSpec {
       .select($"user_id", $"event_type")
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "b"), (2L, "y"), (3L, "z")))
-    // the copy-on-write layout kept one state version per batch
+    // copy-on-write versions exist but history is PRUNED to the
+    // retention cap (init + 5 batches would otherwise leave 6 dirs)
     val versions = new java.io.File(s"$work/state").list()
-      .count(_.startsWith("state_v"))
-    assert(versions > 1, s"expected multiple micro-batches, saw $versions")
+      .count(_.matches("v\\d+"))
+    assert(versions == 2, s"expected exactly keepVersions=2 dirs, saw $versions")
   }
 
   test("single-key stream of updates keeps only the newest row") {
