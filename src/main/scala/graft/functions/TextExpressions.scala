@@ -21,6 +21,38 @@ object TextKernels {
 
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
+  /** Kernel for [[BpeishTokenCount]]: one pass over the UTF-8 bytes.
+    * States track whether the previous byte extended an ASCII letter
+    * or digit run; every other non-whitespace code point counts at its
+    * first byte (UTF-8 continuation bytes 0x80-0xBF are skipped, so a
+    * multi-byte glyph counts exactly once).
+    */
+  def bpeishCount(text: UTF8String): Int = {
+    val n = text.numBytes
+    var i = 0
+    var count = 0
+    var state = 0 // 0 = none, 1 = in letter run, 2 = in digit run
+    while (i < n) {
+      val b = text.getByte(i) & 0xff
+      if (b < 0x80) {
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+          if (state != 1) { count += 1; state = 1 }
+        } else if (b >= '0' && b <= '9') {
+          if (state != 2) { count += 1; state = 2 }
+        } else {
+          state = 0
+          // Java regex \s (no UNICODE flag) = space + 0x09..0x0D
+          if (!(b == ' ' || (b >= 0x09 && b <= 0x0d))) count += 1
+        }
+      } else {
+        state = 0
+        if (b >= 0xc0) count += 1 // lead byte of a multi-byte code point
+      }
+      i += 1
+    }
+    count
+  }
+
   /** Kernel for [[HashedShingles]]: sorted distinct xxhash64 (seed 42)
     * of the lowercased word k-shingles of `text`.
     */
@@ -279,6 +311,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * plain 64-bit integer arithmetic — the DuckDB oracle mirrors it via
   * list_reduce over string_split(text, '') (Oracle.sql t11).
   */
+/** Count of BPE-ish pre-tokenization pieces — single pass over the
+  * UTF-8 bytes, no match materialization. Equivalent by construction
+  * to `size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))`
+  * under Java regex semantics (\s = ASCII [ \t\n\x0B\f\r]; non-ASCII
+  * whitespace is an "other glyph"): ASCII letter runs and digit runs
+  * count once, every other non-\s CODE POINT counts individually
+  * (multi-byte sequences count at their lead byte). The regex form
+  * allocates one string per matched piece — this kernel replaces it in
+  * tokenCounts (spec-pinned equivalent, incl. unicode + property
+  * tests).
+  */
+case class BpeishTokenCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.bpeishCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.bpeishCount($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class CodePointRollingHash(child: Expression, base: Long, mod: Long)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
@@ -304,6 +359,8 @@ object TextFunctions {
     toColumn(HashedShingles(toExpr(text), k))
   def sorted_intersect_count(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def bpeish_token_count(text: Column): Column =
+    toColumn(BpeishTokenCount(toExpr(text)))
   def minhash_sig(hashedShingles: Column, numHashes: Int): Column =
     toColumn(MinHashSignature(toExpr(hashedShingles), numHashes))
 }

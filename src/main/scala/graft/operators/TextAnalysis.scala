@@ -89,15 +89,17 @@ object TextAnalysis {
       .withColumn("stopword_ratio", stopwordRatio(t))
   }
 
-  /** Token counts: whitespace tokens + BPE-ish regex pieces (letter
-    * runs / digit runs / single other-glyphs — the pre-tokenization
-    * most BPE vocabularies assume).
+  /** Token counts: whitespace tokens + BPE-ish pieces (letter runs /
+    * digit runs / single other-glyphs — the pre-tokenization most BPE
+    * vocabularies assume). The piece count runs through the native
+    * single-pass kernel (TextExpressions.BpeishTokenCount) rather than
+    * `size(regexp_extract_all(...))` — same value (spec-pinned against
+    * the regex form), but no per-match string materialization.
     */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("ws_tokens", size(split(t, "\\s+")))
-      .withColumn("bpeish_tokens",
-        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+      .withColumn("bpeish_tokens", TextFunctions.bpeish_token_count(t))
   }
 
   /** PII redaction patterns — deliberately restricted to regex syntax

@@ -21,7 +21,7 @@ class CodegenSpec extends SparkSpec {
     val sh = HashedShingles(text, 3)
     val exprs = Seq(sh, MinHashSignature(sh, 8), SimHash64(sh),
       RollingHash(text, 31L), CodePointRollingHash(text, 31L, 97L),
-      SortedIntersectCount(sh, sh))
+      SortedIntersectCount(sh, sh), BpeishTokenCount(text))
     val proj = GenerateUnsafeProjection.generate(exprs) // throws on Janino failure
     val input = InternalRow(UTF8String.fromString("the quick brown fox jumps"))
     val row = proj(input)
@@ -34,6 +34,7 @@ class CodegenSpec extends SparkSpec {
       assert(row.getLong(i) == exprs(i).eval(input).asInstanceOf[Long])
     }
     assert(row.getInt(5) == row.getArray(0).numElements()) // self-intersection
+    assert(row.getInt(6) == exprs(6).eval(input).asInstanceOf[Int])
   }
 
   test("vector expressions compile under codegen and agree with interpreted eval") {

@@ -42,6 +42,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(1) == 6)
   }
 
+  test("bpeish kernel == regex form on edge cases (unicode, runs, whitespace zoo)") {
+    val cases = Seq(
+      "", " ", "\t\n\f\r ", "abc", "abc123", "a1b2c3",
+      "hello, world! 42", "¡héllo wörld!", "汉字 test 123",
+      "a.b.c", "...", "a  b\t\tc", "ABCdef GHI", "123 456",
+      "x y",            // non-breaking space is NOT Java \s
+      "émile—naïve… 3.14",   // multi-byte glyphs count once each
+      "😀ok😀") // supplementary (4-byte) code points
+    import spark.implicits._
+    val df = cases.toDF("text")
+    val got = df.select(
+        graft.functions.TextFunctions.bpeish_token_count(col("text")).as("k"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("r"))
+      .as[(Int, Int)].collect()
+    cases.zip(got).foreach { case (s, (k, r)) =>
+      assert(k == r, s"kernel $k != regex $r on ${s.map(_.toInt)}")
+    }
+  }
+
+  test("bpeish kernel == regex form on 500 random unicode-ish strings") {
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.frequency(
+      6 -> org.scalacheck.Gen.alphaNumChar,
+      2 -> org.scalacheck.Gen.oneOf(' ', '\t', '\n', '.', ',', '!', '-'),
+      1 -> org.scalacheck.Gen.oneOf('é', 'ß', '汉', ' ', '→')))
+      .map(_.mkString)
+    val seed = org.scalacheck.rng.Seed(20260812L)
+    val strings = Iterator.iterate(seed)(_.next)
+      .take(500)
+      .flatMap(s => gen.apply(org.scalacheck.Gen.Parameters.default, s))
+      .toSeq
+    import spark.implicits._
+    val got = strings.toDF("text").select(
+        col("text"),
+        graft.functions.TextFunctions.bpeish_token_count(col("text")).as("k"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("r"))
+      .as[(String, Int, Int)].collect()
+    got.foreach { case (s, k, r) =>
+      assert(k == r, s"kernel $k != regex $r on ${s.map(_.toInt)}")
+    }
+  }
+
   test("rolling hash: deterministic, matches the closed-form polynomial") {
     val out = Seq(("ab", 0L)).toDF("s", "ignore")
       .select(TextFunctions.rolling_hash($"s", base = 31L)).as[Long].head()
