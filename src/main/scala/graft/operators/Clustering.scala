@@ -24,14 +24,32 @@ import org.apache.spark.sql.functions._
   * key-partitioned shuffles, and per-round state is one (id, label)
   * row per node — never the edge set squared.
   *
-  * Iteration plumbing: every round materializes through persist +
-  * localCheckpoint(eager) so the logical plan stays O(1) deep instead
-  * of growing by two joins per round (Catalyst re-analyzes the whole
-  * lineage each action otherwise); on a cluster with a checkpoint dir
-  * configured, `checkpoint()` would add executor-loss resilience — the
-  * local variant keeps this operator usable without one.
+  * Iteration plumbing: every round materializes into an explicitly
+  * persisted InternalRow RDD (lineage truncates to an O(1)-deep
+  * LogicalRDD — Catalyst would otherwise re-analyze a plan growing by
+  * two joins per round) and the SUPERSEDED round's RDD is unpersisted
+  * as soon as the new round lands, so a long run pins exactly one
+  * round of (id, label) state, not all of them. The RETURNED frame is
+  * still backed by its persisted RDD — callers keep zero-recompute
+  * reuse and pay |nodes| rows of block storage until the session drops
+  * it. On a cluster with a checkpoint dir configured, `checkpoint()`
+  * would add executor-loss resilience — the in-memory variant keeps
+  * this operator usable without one.
   */
 object Clustering {
+
+  /** Materialize `df` into a persisted (memory-and-disk) InternalRow
+    * RDD: returns the re-wrapped frame plus a release handle for the
+    * backing blocks. Rows are copied — the unsafe-row buffers under
+    * toRdd are reused per partition.
+    */
+  private def materialize(df: DataFrame): (DataFrame, () => Unit) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = org.apache.spark.sql.graftshim.Bridge
+      .internalCreateDataFrame(df.sparkSession, rdd, df.schema)
+    (out, () => { rdd.unpersist(blocking = false); () })
+  }
 
   /** Components of the undirected graph given by `edges` (any extra
     * columns are ignored). Output: (id, component) for every id
@@ -59,13 +77,17 @@ object Clustering {
       return e.select(col("src").as("id"), col("src").as("component"))
         .limit(0)
     }
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    // label sums only decrease (min-propagation is monotone): carrying
-    // the previous round's sum makes convergence one agg action per
-    // round instead of re-aggregating the old label table
-    var prevSum = labels.agg(sum("label")).as[Long].head()
+    var (labels, release) = materialize(
+      und.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+    // label sums only decrease (min-propagation is monotone), so
+    // sum-equality across rounds ⟺ no label changed. The sum runs in
+    // DECIMAL(38,0): a Long sum of up-to-2^63 ids overflows around
+    // 10^18-node graphs — wrapping could falsely signal convergence
+    // (or throw under ANSI mode); 38 digits holds 10^12 max-valued ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -78,15 +100,16 @@ object Clustering {
         .select(col("id"), least(col("label"), col("nbr")).as("label"))
       // 2. hop: label(v) <- label(label(v)) — labels are node ids, so
       // the label table maps them too (path doubling)
-      val hopped = propagated.as("a")
+      val (hopped, releaseNew) = materialize(propagated.as("a")
         .join(propagated.select(col("id").as("label"),
                                 col("label").as("hop")), Seq("label"), "left")
         .select(col("id"),
-                least(col("label"), coalesce(col("hop"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val after = hopped.agg(sum("label")).as[Long].head()
+                least(col("label"), coalesce(col("hop"), col("label"))).as("label")))
+      val after = labelSum(hopped) // materializes hopped's RDD
+      release() // superseded round's blocks go away NOW, not at GC
       labels = hopped
-      converged = prevSum == after
+      release = releaseNew
+      converged = prevSum.compareTo(after) == 0
       prevSum = after
       round += 1
     }

@@ -31,6 +31,18 @@ object Bridge {
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
 
+  /** Wrap an InternalRow RDD as a DataFrame (private[sql]
+    * internalCreateDataFrame) — lets iterative operators materialize a
+    * round into an explicitly persisted RDD they can UNPERSIST later,
+    * which Dataset.localCheckpoint does not expose (its blocks are only
+    * reclaimed lazily by the ContextCleaner after GC).
+    */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register a SQL function on a LIVE session — sessionState is
     * private[sql], so the registry hook has to live in this namespace.
     */
