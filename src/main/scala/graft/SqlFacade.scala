@@ -25,6 +25,15 @@ object SqlFacade {
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 
+  /** Run a query written in the reference's BigQuery dialect: the
+    * scoped textual translation (BigQueryDialect — backticked paths,
+    * OFFSET/ORDINAL subscripts, ARRAY_AGG IGNORE NULLS, comma-lateral
+    * UNNEST) bridges the constructs Spark's parser rejects; everything
+    * else flows through `spark.sql` untouched.
+    */
+  def bigQuerySql(spark: SparkSession, query: String): DataFrame =
+    spark.sql(BigQueryDialect.translate(query))
+
   /** The daily-flow analysis query (btcolap.sql:453-463 ≡ the flagship
     * entry) in SQL form.
     */

@@ -1,0 +1,131 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.TrainingQueries
+import graft.operators.TextDedup
+
+/** Scale-stress evidence for the dedup/ANN family: builds a 10×
+  * "sf1" corpus from sf0.1 — each document/vector replicated into 5
+  * EXACT copies plus 5 near-duplicate variants (the dup-heavy shape
+  * real training corpora have, i.e. the worst case for bucketed pair
+  * generation) — then runs the driver queries t1–t7/t15/t18 verbatim
+  * on both corpora and prints a markdown table of wall times, output
+  * rows, and the audit quantities the caps are supposed to bound
+  * (LSH candidate-pair counts, saturated-bucket counts).
+  *
+  * The claim under test: every pair generator routes through capped
+  * bucket posting lists, so 10× rows cost ~10×-ish work — never the
+  * quadratic blowup a flat bucket self-join would give on 10-member
+  * dup clusters.
+  *
+  *   bash scripts/run_main.sh graft.tools.ScaleStress [baseSfDir]
+  */
+object ScaleStress {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** 10× corpus: ids shift to id*10+k; k<5 exact copies, k≥5 variants.
+    * Document variants append a per-k suffix (near-dup texts); vector
+    * variants k=5,6 rescale (cosine exactly 1, bytes differ — defeats
+    * the exact-collapse, exercises LSH), k≥7 perturb dimension 0
+    * (cosine ≈ 0.999…).
+    */
+  private def build10x(spark: SparkSession, base: String, out: String): Unit = {
+    val k = col("k")
+    val docs = graft.Tables.documents(spark, base)
+      .crossJoin(spark.range(10).toDF("k"))
+      .select(
+        (col("doc_id") * 10 + k).as("doc_id"),
+        when(k < 5, col("text"))
+          .otherwise(concat(col("text"), lit(" variant "), k)).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+    docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    val emb = graft.Tables.embeddings(spark, base)
+      .crossJoin(spark.range(10).toDF("k"))
+      .select(
+        (col("vec_id") * 10 + k).as("vec_id"),
+        when(k < 5, col("embedding"))
+          .when(k < 7, transform(col("embedding"),
+            x => (x * (lit(1.0f) + k.cast("float") / 100f)).cast("float")))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x + when(i === 0, (k.cast("float") - 6f) / 500f).otherwise(0f))
+              .cast("float")))
+          .as("embedding"),
+        col("label"))
+    emb.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+
+    val big = graft.io.TempDirs.create("graft_sf1").toString
+    val (_, tBuild) = timed(build10x(spark, base, big))
+    val nDocs = spark.read.parquet(s"$big/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$big/embeddings.parquet").count()
+    println(f"built 10x corpus: $nDocs docs, $nVecs vectors in $tBuild%.1f s -> $big")
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "t1_dedup_exact"   -> (TrainingQueries.t1DedupExact _),
+      "t2_dedup_minhash" -> (TrainingQueries.t2DedupMinhash _),
+      "t3_dedup_simhash" -> (TrainingQueries.t3DedupSimhash _),
+      "t4_ngram_jaccard" -> (TrainingQueries.t4NgramJaccard _),
+      "t5_embed_topk"    -> (TrainingQueries.t5EmbedTopK _),
+      "t6_embed_ann"     -> (TrainingQueries.t6EmbedAnn _),
+      "t7_embed_neardup" -> (TrainingQueries.t7EmbedNearDup _),
+      "t15_embed_ivf"    -> (TrainingQueries.t15EmbedIvf _),
+      "t18_cluster"      -> (TrainingQueries.t18Cluster _))
+
+    println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
+    println("|---|---|---|---|---|---|")
+    for ((name, fn) <- queries) {
+      // warm pass: per-query codegen/datasource init would otherwise
+      // land entirely on the small-corpus timing and flatter the ratio
+      fn(spark, base).write.format("noop").mode("overwrite").save()
+      val (rowsS, tS) = timed {
+        val df = fn(spark, base)
+        val n = df.count(); df.write.format("noop").mode("overwrite").save(); n
+      }
+      val (rowsB, tB) = timed {
+        val df = fn(spark, big)
+        val n = df.count(); df.write.format("noop").mode("overwrite").save(); n
+      }
+      println(f"| $name | $tS%.2f | $rowsS | $tB%.2f | $rowsB | ${tB / tS}%.1f× |")
+    }
+
+    // audit quantities: the bounded candidate/bucket counts behind the
+    // linear-ish growth
+    println("\n| audit | sf0.1 | 10x |")
+    println("|---|---|---|")
+    def both(f: String => Long): (Long, Long) = (f(base), f(big))
+    val (cS, cB) = both { d =>
+      val docs = TextDedup.exact(graft.Tables.documents(spark, d), "text", "doc_id")
+      TextDedup.minhashCandidates(docs, "text", "doc_id").count()
+    }
+    println(s"| minhash LSH candidate pairs | $cS | $cB |")
+    val (oS, oB) = both { d =>
+      val docs = TextDedup.exact(graft.Tables.documents(spark, d), "text", "doc_id")
+      TextDedup.overflowBuckets(docs, "text", "doc_id").count()
+    }
+    println(s"| saturated (dropped) minhash buckets | $oS | $oB |")
+    spark.stop()
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pattern-by-pattern coverage of the reference's BigQuery dialect
+  * subset (btcolap.sql) — each rewrite unit-tested on the literal
+  * construct shape, then the composed forms run end-to-end against the
+  * equivalent DataFrame plan.
+  */
+class BigQueryDialectSpec extends SparkSpec {
+  import spark.implicits._
+  import BigQueryDialect._
+
+  test("backticked project paths collapse to the last component") {
+    assert(rewriteBackticks(
+      "FROM `bigquery-public-data.crypto_bitcoin.transactions` AS tx") ==
+      "FROM `transactions` AS tx")
+    assert(rewriteBackticks("FROM `plain` x") == "FROM `plain` x")
+  }
+
+  test("OFFSET is 0-based passthrough, ORDINAL shifts to 0-based") {
+    assert(rewriteOffsets("a[OFFSET(0)] != b[OFFSET(0)]") ==
+      "a[0] != b[0]")
+    assert(rewriteOffsets("a[ OFFSET( i + 1 ) ]") == "a[i + 1 ]")
+    assert(rewriteOffsets("a[ORDINAL(3)]") == "a[(3) - 1]")
+  }
+
+  test("IGNORE NULLS dropped inside ARRAY_AGG only; window IGNORE NULLS survives") {
+    val in = "SELECT ARRAY_AGG(CASE WHEN x > 0 THEN y END IGNORE NULLS) AS a, " +
+      "lead(y) IGNORE NULLS OVER (ORDER BY x) AS nxt FROM t"
+    val out = rewriteArrayAggIgnoreNulls(in)
+    assert(out.contains("ARRAY_AGG(CASE WHEN x > 0 THEN y END) AS a"))
+    assert(out.contains("lead(y) IGNORE NULLS OVER"))
+  }
+
+  test("comma UNNEST + implicit array-field segments become LATERAL VIEWs after joins") {
+    val in = """SELECT tx.txid, input_addr
+      |FROM transactions AS tx,
+      |  tx.inputs AS input,
+      |  UNNEST(input.addresses) AS input_addr
+      |JOIN txid_filter ON txid_filter.hash = tx.txid
+      |WHERE tx.txid > 0""".stripMargin
+    val out = rewriteLaterals(in)
+    assert(out.contains("JOIN txid_filter ON txid_filter.hash = tx.txid"))
+    val joinAt = out.indexOf("JOIN txid_filter")
+    val lat1 = out.indexOf("LATERAL VIEW explode(tx.inputs)")
+    val lat2 = out.indexOf("LATERAL VIEW explode(input.addresses)")
+    assert(lat1 > joinAt && lat2 > lat1,
+      s"laterals must follow joins in order:\n$out")
+    assert(out.contains("AS input ") && out.contains("AS input_addr"))
+  }
+
+  test("plain comma cross-joins are left alone") {
+    val in = "SELECT * FROM a, b WHERE a.k = b.k"
+    assert(rewriteLaterals(in) == "SELECT * FROM a, b WHERE a.k = b.k")
+  }
+
+  test("end-to-end: reference-shaped correlated UNNEST query matches the DataFrame plan") {
+    val tx = Seq(
+      (1L, Seq((Seq("a1", "a2"), 100L), (Seq("a3"), 50L))),
+      (2L, Seq((Seq("b1"), 10L))),
+      (3L, Seq.empty[(Seq[String], Long)]))
+      .toDF("txid", "raw")
+      .select($"txid", transform($"raw",
+        s => struct(s.getField("_1").as("addresses"),
+                    s.getField("_2").as("value"))).as("inputs"))
+    tx.createOrReplaceTempView("bq_transactions")
+    Seq(1L, 3L).toDF("hash").createOrReplaceTempView("bq_filter")
+
+    val got = SqlFacade.bigQuerySql(spark,
+      """SELECT tx.txid, input_addr AS addr, -input.value / 100000000 AS val
+        |FROM `some-project.some_dataset.bq_transactions` AS tx,
+        |  tx.inputs AS input,
+        |  UNNEST(input.addresses) AS input_addr
+        |JOIN bq_filter ON bq_filter.hash = tx.txid
+        |WHERE tx.txid > 0""".stripMargin)
+      .as[(Long, String, Double)].collect().toSet
+
+    val expected = tx.join(Seq(1L, 3L).toDF("hash"),
+        $"hash" === $"txid")
+      .filter($"txid" > 0)
+      .select($"txid", explode($"inputs").as("input"))
+      .select($"txid", explode($"input.addresses").as("addr"),
+              (-$"input.value" / 100000000d).as("val"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == expected)
+    assert(got == Set((1L, "a1", -0.000001), (1L, "a2", -0.000001),
+                      (1L, "a3", -0.0000005)))
+  }
+
+  test("end-to-end: the congruent HAVING pattern (ARRAY_AGG IGNORE NULLS + OFFSET)") {
+    Seq(
+      (10L, "input", Some("x")), (10L, "output", Some("y")),
+      (11L, "input", Some("x")), (11L, "output", Some("x")), // same addr — excluded
+      (12L, "input", Some("p")), (12L, "input", Some("q")), (12L, "output", Some("r")),
+      (13L, "output", Some("z")), (13L, "output", None))
+      .toDF("txid", "type", "addr").createOrReplaceTempView("bq_flow")
+    val got = SqlFacade.bigQuerySql(spark,
+      """SELECT txid,
+        |  COUNT(CASE WHEN type = 'input' THEN 1 END) AS input_count,
+        |  COUNT(CASE WHEN type = 'output' THEN 1 END) AS output_count,
+        |  ARRAY_AGG(CASE WHEN type = 'input' THEN addr END IGNORE NULLS) AS ia,
+        |  ARRAY_AGG(CASE WHEN type = 'output' THEN addr END IGNORE NULLS) AS oa
+        |FROM bq_flow
+        |GROUP BY txid
+        |HAVING (input_count = 1 AND output_count = 1 AND ia[OFFSET(0)] != oa[OFFSET(0)])
+        |    OR (input_count > 1 AND output_count = 1)""".stripMargin)
+      .select($"txid").as[Long].collect().toSet
+    assert(got == Set(10L, 12L))
+  }
+}
