@@ -57,8 +57,8 @@ object BigQueryDialect {
   private[graft] def rewriteOffsets(sql: String): String =
     Ordinal.replaceAllIn(
       Offset.replaceAllIn(sql,
-        m => java.util.regex.Matcher.quoteReplacement(s"[${m.group(1)}]")),
-      m => java.util.regex.Matcher.quoteReplacement(s"[(${m.group(1)}) - 1]"))
+        m => java.util.regex.Matcher.quoteReplacement(s"[${m.group(1).trim}]")),
+      m => java.util.regex.Matcher.quoteReplacement(s"[(${m.group(1).trim}) - 1]"))
 
   // ── shared scanning helpers (string-literal + paren aware) ────────
 
@@ -170,8 +170,10 @@ object BigQueryDialect {
             end = j; found = true
           } else j += 1
         }
-        val region = sql.substring(i + 4, end)
-        out.append("FROM ")
+        // recurse first: subqueries inside this region carry their own
+        // FROM clauses (each recursion strips one nesting level)
+        val region = rewriteLaterals(sql.substring(i + 4, end))
+        out.append("FROM")
         out.append(rewriteFromRegion(region, () => { viewN += 1; viewN }))
         i = end
       } else { out.append(sql.charAt(i)); i += 1 }
@@ -229,16 +231,19 @@ object BigQueryDialect {
     val joins = new StringBuilder(baseJoins)
     val laterals = new StringBuilder
     val rest = new StringBuilder
+    var rewrote = false
     segs.drop(1).foreach { seg =>
       val (rel, joinText) = splitJoin(seg)
-      joins.append(joinText)
+      if (joinText.nonEmpty) joins.append(' ').append(joinText)
       parseUnnest(rel) match {
         case Some((expr, alias, tail)) =>
+          rewrote = true
           laterals.append(
             s" LATERAL VIEW explode($expr) __uv${nextId()} AS $alias")
           rest.append(tail)
         case None => rel match {
           case PathSeg(path, alias, tail) =>
+            rewrote = true
             laterals.append(
               s" LATERAL VIEW explode($path) __uv${nextId()} AS $alias")
             rest.append(tail)
@@ -248,6 +253,7 @@ object BigQueryDialect {
         }
       }
     }
-    s"$base${rest.toString}${joins.toString}${laterals.toString} "
+    if (!rewrote) region
+    else s"$base${rest.toString} ${joins.toString}${laterals.toString} "
   }
 }

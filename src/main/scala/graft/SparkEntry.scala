@@ -71,6 +71,7 @@ object SparkEntry {
     "q45_full_outer"     -> (RelationalQueries.q45FullOuter _),
     "q46_scalar_subquery" -> (RelationalQueries.q46ScalarSubquery _),
     "q47_delete_merge"   -> (RelationalQueries.q47DeleteMerge _),
+    "q48_bq_dialect"     -> (RelationalQueries.q48BqDialect _),
     "t17_streaming_dedup" -> (TrainingQueries.t17StreamingDedup _),
     "t13_sample"         -> (TrainingQueries.t13StratifiedSample _),
     "t14_streaming_daily" -> (TrainingQueries.t14StreamingDaily _),

@@ -584,6 +584,23 @@ object Oracle {
         |UNION ALL
         |SELECT * FROM updates""".stripMargin,
 
+    "q48_bq_dialect" ->
+      // ANSI replay of the BigQuery-dialect congruent HAVING: branch-1
+      // arrays have exactly one element, so OFFSET(0) = min()
+      """WITH g AS (
+        |  SELECT l_orderkey AS txid,
+        |         count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS input_count,
+        |         count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS output_count,
+        |         min(CASE WHEN l_returnflag = 'R'
+        |             THEN CAST(l_partkey AS VARCHAR) END) AS first_in,
+        |         min(CASE WHEN l_returnflag = 'A'
+        |             THEN CAST(l_partkey AS VARCHAR) END) AS first_out
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT txid, input_count, output_count FROM g
+        |WHERE (input_count = 1 AND output_count = 1 AND first_in != first_out)
+        |   OR (input_count > 1 AND output_count = 1)""".stripMargin,
+
     "t25_minhash_precision" ->
       // the invariant IS the oracle: zero violations of "every emitted
       // LSH pair has true string-shingle Jaccard >= 0.8 and reports it"

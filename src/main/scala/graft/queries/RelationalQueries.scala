@@ -794,4 +794,34 @@ object RelationalQueries {
       keys = Seq("o_orderkey"))
     t.read().orderBy(col("o_orderkey"))
   }
+
+  /** q48_bq_dialect — the reference's congruent-HAVING query SHAPE
+    * (btcolap.sql:219-230: conditional counts + ARRAY_AGG ... IGNORE
+    * NULLS + `arr[OFFSET(0)]` inequality in HAVING) pasted in BigQuery
+    * dialect and run through the textual translation layer
+    * (SqlFacade.bigQuerySql / BigQueryDialect) — proving the SQL-string
+    * surface accepts the reference's own syntax, not just ANSI. The
+    * outer projection drops the arrays: branch-1 groups have 1-element
+    * arrays (OFFSET(0) deterministic), branch 2 never consults them,
+    * so the emitted scalars are engine-exact for the oracle.
+    */
+  def q48BqDialect(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.bigQuerySql(spark,
+      """SELECT txid, input_count, output_count FROM (
+        |  SELECT l_orderkey AS txid,
+        |    COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS input_count,
+        |    COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS output_count,
+        |    ARRAY_AGG(CASE WHEN l_returnflag = 'R'
+        |              THEN CAST(l_partkey AS STRING) END IGNORE NULLS) AS ia,
+        |    ARRAY_AGG(CASE WHEN l_returnflag = 'A'
+        |              THEN CAST(l_partkey AS STRING) END IGNORE NULLS) AS oa
+        |  FROM `some-project.btc_data.lineitem`
+        |  GROUP BY l_orderkey
+        |  HAVING (input_count = 1 AND output_count = 1
+        |          AND ia[OFFSET(0)] != oa[OFFSET(0)])
+        |      OR (input_count > 1 AND output_count = 1)
+        |)
+        |ORDER BY txid""".stripMargin)
+  }
 }

@@ -21,7 +21,7 @@ class BigQueryDialectSpec extends SparkSpec {
   test("OFFSET is 0-based passthrough, ORDINAL shifts to 0-based") {
     assert(rewriteOffsets("a[OFFSET(0)] != b[OFFSET(0)]") ==
       "a[0] != b[0]")
-    assert(rewriteOffsets("a[ OFFSET( i + 1 ) ]") == "a[i + 1 ]")
+    assert(rewriteOffsets("a[ OFFSET( i + 1 ) ]") == "a[i + 1]")
     assert(rewriteOffsets("a[ORDINAL(3)]") == "a[(3) - 1]")
   }
 
@@ -48,6 +48,12 @@ class BigQueryDialectSpec extends SparkSpec {
     assert(lat1 > joinAt && lat2 > lat1,
       s"laterals must follow joins in order:\n$out")
     assert(out.contains("AS input ") && out.contains("AS input_addr"))
+  }
+
+  test("laterals inside a subquery are rewritten too (recursion)") {
+    val in = "SELECT * FROM (SELECT id FROM t, UNNEST(t.arr) AS x) s WHERE s.id > 0"
+    val out = rewriteLaterals(in)
+    assert(out.matches("(?s).*FROM t\\s+LATERAL VIEW explode\\(t.arr\\).*"), out)
   }
 
   test("plain comma cross-joins are left alone") {
