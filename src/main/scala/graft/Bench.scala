@@ -1,28 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warm-up: pay one-time session costs (codegen compiler init,
-    // datasource/parquet footer setup) outside any query's measurement
-    // — otherwise whichever query iterates first absorbs ~4s of JVM
-    // warm-up and the per-query numbers are incomparable across rounds
-    spark.range(1000).selectExpr("sum(id)").write
-      .format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
-      .format("noop").mode("overwrite").save()
-    // shared streaming fixtures (t23/t24) are one-time session setup,
-    // not operator work — build them outside any query's measurement
-    graft.queries.TrainingQueries.prewarmFixtures(spark, sfDir)
+    val spark = GraftSession.toolSession(defaultCpus = "4")
+    // warm-up: one-time session costs (codegen/datasource init) plus
+    // the shared streaming fixtures stay outside any query's timing —
+    // but a warm-up failure must not kill the battery: the affected
+    // queries (t23/t24) will fail and be recorded individually
+    GraftSession.warmUp(spark, sfDir)
+    try graft.queries.TrainingQueries.prewarmFixtures(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] fixture prewarm failed: ${e.getMessage}")
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -11,26 +11,33 @@ package graft
   *  2. `arr[OFFSET(n)]` / `arr[ORDINAL(n)]` (btcolap.sql:230)
   *     → Spark's 0-based `arr[n]` / `arr[n - 1]`;
   *  3. `ARRAY_AGG(expr IGNORE NULLS)` (btcolap.sql:226-227) → the
-  *     `IGNORE NULLS` token is dropped inside ARRAY_AGG calls only —
-  *     Spark's array_agg/collect_list drops NULLs by construction,
-  *     which IS BigQuery's IGNORE NULLS semantics (window-function
-  *     IGNORE NULLS, e.g. in lead/lag, is left untouched: Spark
-  *     supports it natively);
+  *     top-level `IGNORE NULLS` token of the ARRAY_AGG call is dropped
+  *     — Spark's array_agg/collect_list drops NULLs by construction,
+  *     which IS BigQuery's IGNORE NULLS semantics. Window-function
+  *     IGNORE NULLS (e.g. in lead/lag — including one NESTED inside an
+  *     ARRAY_AGG argument) is left untouched: Spark supports it
+  *     natively, and the scanner only strips the token at the call's
+  *     own nesting depth;
   *  4. comma-lateral FROM segments — both the explicit
   *     `, UNNEST(x.arr) AS a` and the implicit array-field form
   *     `, tx.inputs AS input` (btcolap.sql:109-111) → chained
-  *     `LATERAL VIEW explode(...)` clauses. Spark's grammar attaches
-  *     LATERAL VIEWs after ALL join relations of the FROM clause, so
-  *     the rewriter hoists any JOIN text trailing a lateral segment
-  *     ahead of the generated views (the views may reference earlier
-  *     view aliases; the JOINs, by BigQuery scoping, cannot reference
-  *     laterals that follow them in text — and could not in Spark
-  *     either).
+  *     `LATERAL VIEW explode(...)` clauses. A dotted segment only
+  *     counts as an implicit lateral when its FIRST path component is
+  *     an alias introduced earlier in the same FROM clause (BigQuery's
+  *     own scoping rule) — `dataset.table t` comma segments stay plain
+  *     cross joins. Spark's grammar attaches LATERAL VIEWs after ALL
+  *     join relations of the FROM clause, so the rewriter hoists any
+  *     JOIN text trailing a lateral segment ahead of the generated
+  *     views; subqueries are handled by recursion.
+  *
+  * String literals — single- or double-quoted, with backslash escapes
+  * — are never rewritten: every pass either maps only the text between
+  * literals or scans with a literal-aware cursor.
   *
   * This is a deliberately SCOPED translator — a token scanner with
   * paren tracking, not a SQL parser: enough for every query in the
   * reference corpus (spec-pinned pattern by pattern), not a general
-  * BigQuery front end. Quoted strings are never rewritten.
+  * BigQuery front end.
   */
 object BigQueryDialect {
 
@@ -38,46 +45,62 @@ object BigQueryDialect {
     rewriteLaterals(rewriteArrayAggIgnoreNulls(
       rewriteOffsets(rewriteBackticks(sql))))
 
-  // ── 1. backticked paths ────────────────────────────────────────────
+  // ── string-literal infrastructure ─────────────────────────────────
 
-  private val Backticked = "`([^`]+)`".r
+  private def isQuote(c: Char) = c == '\'' || c == '"'
 
-  private[graft] def rewriteBackticks(sql: String): String =
-    Backticked.replaceAllIn(sql, m => {
-      val inner = m.group(1)
-      val last = inner.substring(inner.lastIndexOf('.') + 1)
-      java.util.regex.Matcher.quoteReplacement(s"`$last`")
-    })
+  /** Index just past the end of the string literal starting at `at`
+    * (which must hold a quote char). Backslash escapes the next char.
+    */
+  private def literalEnd(s: String, at: Int): Int = {
+    val q = s.charAt(at)
+    var i = at + 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == q) return i + 1
+      else i += 1
+    }
+    s.length
+  }
 
-  // ── 2. OFFSET / ORDINAL subscripts ────────────────────────────────
+  /** Apply `f` to every maximal run of text OUTSIDE string literals,
+    * passing literals through verbatim.
+    */
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var chunk = i
+    while (i < sql.length) {
+      if (isQuote(sql.charAt(i))) {
+        out.append(f(sql.substring(chunk, i)))
+        val stop = literalEnd(sql, i)
+        out.append(sql.substring(i, stop))
+        i = stop
+        chunk = i
+      } else i += 1
+    }
+    out.append(f(sql.substring(chunk)))
+    out.toString
+  }
 
-  private val Offset = """\[\s*OFFSET\s*\(([^)\]]+)\)\s*\]""".r
-  private val Ordinal = """\[\s*ORDINAL\s*\(([^)\]]+)\)\s*\]""".r
-
-  private[graft] def rewriteOffsets(sql: String): String =
-    Ordinal.replaceAllIn(
-      Offset.replaceAllIn(sql,
-        m => java.util.regex.Matcher.quoteReplacement(s"[${m.group(1).trim}]")),
-      m => java.util.regex.Matcher.quoteReplacement(s"[(${m.group(1).trim}) - 1]"))
-
-  // ── shared scanning helpers (string-literal + paren aware) ────────
-
-  /** Index just past the close paren matching the open paren at `open`. */
+  /** Index just past the close paren matching the open paren at `open`,
+    * literal-aware.
+    */
   private def matchParen(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < s.length) {
-      s.charAt(i) match {
-        case '(' => depth += 1
-        case ')' =>
+      val c = s.charAt(i)
+      if (isQuote(c)) i = literalEnd(s, i)
+      else {
+        if (c == '(') depth += 1
+        else if (c == ')') {
           depth -= 1
           if (depth == 0) return i + 1
-        case '\'' =>
-          i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1
-        case _ =>
+        }
+        i += 1
       }
-      i += 1
     }
     s.length
   }
@@ -90,25 +113,86 @@ object BigQueryDialect {
       (i == 0 || !isWordChar(s.charAt(i - 1))) &&
       (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length)))
 
+  // ── 1. backticked paths ────────────────────────────────────────────
+
+  private val Backticked = "`([^`]+)`".r
+
+  private[graft] def rewriteBackticks(sql: String): String =
+    mapOutsideLiterals(sql)(Backticked.replaceAllIn(_, m => {
+      val inner = m.group(1)
+      val last = inner.substring(inner.lastIndexOf('.') + 1)
+      java.util.regex.Matcher.quoteReplacement(s"`$last`")
+    }))
+
+  // ── 2. OFFSET / ORDINAL subscripts ────────────────────────────────
+
+  private val Offset = """\[\s*OFFSET\s*\(([^)\]]+)\)\s*\]""".r
+  private val Ordinal = """\[\s*ORDINAL\s*\(([^)\]]+)\)\s*\]""".r
+
+  private[graft] def rewriteOffsets(sql: String): String =
+    mapOutsideLiterals(sql) { chunk =>
+      Ordinal.replaceAllIn(
+        Offset.replaceAllIn(chunk,
+          m => java.util.regex.Matcher.quoteReplacement(s"[${m.group(1).trim}]")),
+        m => java.util.regex.Matcher.quoteReplacement(s"[(${m.group(1).trim}) - 1]"))
+    }
+
   // ── 3. ARRAY_AGG(... IGNORE NULLS) ────────────────────────────────
+
+  /** Remove ` IGNORE NULLS` occurring at the CALL's own depth (depth 1
+    * relative to its open paren), outside literals — nested calls keep
+    * theirs.
+    */
+  private def stripTopLevelIgnoreNulls(call: String): String = {
+    val out = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < call.length) {
+      val c = call.charAt(i)
+      if (isQuote(c)) {
+        val stop = literalEnd(call, i)
+        out.append(call.substring(i, stop)); i = stop
+      } else if (c == '(') { depth += 1; out.append(c); i += 1 }
+      else if (c == ')') { depth -= 1; out.append(c); i += 1 }
+      else if (depth == 1 && wordAt(call, i, "IGNORE")) {
+        val m = """(?s)^IGNORE\s+NULLS""".r.findFirstIn(call.substring(i))
+        m match {
+          // a window function's IGNORE NULLS also sits at depth 1
+          // (between lead(x) and OVER) — the OVER lookahead keeps it
+          case Some(tok) if !isFollowedByOver(call, i + tok.length) =>
+            // drop the token plus the whitespace that preceded it
+            while (out.nonEmpty && out.last.isWhitespace)
+              out.setLength(out.length - 1)
+            i += tok.length
+          case _ => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private def isFollowedByOver(s: String, from: Int): Boolean = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    wordAt(s, i, "OVER")
+  }
 
   private[graft] def rewriteArrayAggIgnoreNulls(sql: String): String = {
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {
-      if (wordAt(sql, i, "ARRAY_AGG")) {
+      val c = sql.charAt(i)
+      if (isQuote(c)) {
+        val stop = literalEnd(sql, i)
+        out.append(sql.substring(i, stop)); i = stop
+      } else if (wordAt(sql, i, "ARRAY_AGG")) {
         val open = sql.indexOf('(', i + "ARRAY_AGG".length)
         if (open >= 0 && sql.substring(i + "ARRAY_AGG".length, open).trim.isEmpty) {
           val end = matchParen(sql, open)
-          val call = sql.substring(i, end)
-          out.append(call.replaceAll("(?i)\\s+IGNORE\\s+NULLS", ""))
+          out.append(stripTopLevelIgnoreNulls(sql.substring(i, end)))
           i = end
-        } else { out.append(sql.charAt(i)); i += 1 }
-      } else if (sql.charAt(i) == '\'') {
-        val close = sql.indexOf('\'', i + 1)
-        val stop = if (close < 0) sql.length else close + 1
-        out.append(sql.substring(i, stop)); i = stop
-      } else { out.append(sql.charAt(i)); i += 1 }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
     }
     out.toString
   }
@@ -136,6 +220,18 @@ object BigQueryDialect {
   private val PathSeg =
     """(?s)^\s*([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)+)\s+(?:(?i:AS)\s+)?([A-Za-z_][\w]*)\s*(.*)$""".r
 
+  /** Trailing alias of a plain relation segment: `tbl`, `tbl a`,
+    * `tbl AS a`, `` `tbl` AS a `` — the identifier the correlated form
+    * would reference.
+    */
+  private val RelAlias =
+    """(?s)^.*?([A-Za-z_][\w]*)\s*$""".r
+
+  private def aliasOf(rel: String): Option[String] = rel.trim match {
+    case RelAlias(a) => Some(a)
+    case _ => None
+  }
+
   private def parseAlias(s: String): Option[(String, String)] = {
     val m = """(?s)^\s*(?:(?i:AS)\s+)?([A-Za-z_][\w]*)\s*(.*)$""".r
     s match {
@@ -149,9 +245,9 @@ object BigQueryDialect {
     var i = 0
     var viewN = 0
     while (i < sql.length) {
-      if (sql.charAt(i) == '\'') {
-        val close = sql.indexOf('\'', i + 1)
-        val stop = if (close < 0) sql.length else close + 1
+      val c = sql.charAt(i)
+      if (isQuote(c)) {
+        val stop = literalEnd(sql, i)
         out.append(sql.substring(i, stop)); i = stop
       } else if (wordAt(sql, i, "FROM")) {
         // FROM region: up to the next top-level clause keyword or
@@ -161,10 +257,10 @@ object BigQueryDialect {
         var end = sql.length
         var found = false
         while (j < sql.length && !found) {
-          val c = sql.charAt(j)
-          if (c == '\'') { j = matchQuote(sql, j) }
-          else if (c == '(') { depth += 1; j += 1 }
-          else if (c == ')') {
+          val ch = sql.charAt(j)
+          if (isQuote(ch)) { j = literalEnd(sql, j) }
+          else if (ch == '(') { depth += 1; j += 1 }
+          else if (ch == ')') {
             if (depth == 0) { end = j; found = true } else { depth -= 1; j += 1 }
           } else if (depth == 0 && clauseEnders.exists(wordAt(sql, j, _))) {
             end = j; found = true
@@ -176,35 +272,31 @@ object BigQueryDialect {
         out.append("FROM")
         out.append(rewriteFromRegion(region, () => { viewN += 1; viewN }))
         i = end
-      } else { out.append(sql.charAt(i)); i += 1 }
+      } else { out.append(c); i += 1 }
     }
     out.toString
-  }
-
-  private def matchQuote(s: String, at: Int): Int = {
-    val close = s.indexOf('\'', at + 1)
-    if (close < 0) s.length else close + 1
   }
 
   /** Split the FROM region on top-level commas, convert lateral
     * segments, and re-emit as base + hoisted JOIN text + LATERAL VIEWs.
     */
   private def rewriteFromRegion(region: String, nextId: () => Int): String = {
-    // top-level comma split (paren + quote aware)
+    // top-level comma split (paren + literal aware)
     val segs = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var start = 0
     var i = 0
     while (i < region.length) {
-      region.charAt(i) match {
-        case '\'' => i = matchQuote(region, i) - 1
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ',' if depth == 0 =>
+      val c = region.charAt(i)
+      if (isQuote(c)) i = literalEnd(region, i)
+      else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 0) {
           segs += region.substring(start, i); start = i + 1
-        case _ =>
+        }
+        i += 1
       }
-      i += 1
     }
     segs += region.substring(start)
     if (segs.length == 1) return region
@@ -214,20 +306,24 @@ object BigQueryDialect {
       var d = 0
       var k = 0
       while (k < seg.length) {
-        seg.charAt(k) match {
-          case '\'' => k = matchQuote(seg, k) - 1
-          case '(' => d += 1
-          case ')' => d -= 1
-          case _ if d == 0 && joinStarters.exists(wordAt(seg, k, _)) =>
+        val c = seg.charAt(k)
+        if (isQuote(c)) k = literalEnd(seg, k)
+        else {
+          if (c == '(') d += 1
+          else if (c == ')') d -= 1
+          else if (d == 0 && joinStarters.exists(wordAt(seg, k, _)))
             return (seg.substring(0, k), seg.substring(k))
-          case _ =>
+          k += 1
         }
-        k += 1
       }
       (seg, "")
     }
 
     val (base, baseJoins) = splitJoin(segs.head)
+    // aliases visible to later correlated segments: the base relation's
+    // alias plus every lateral alias introduced so far
+    val known = scala.collection.mutable.Set.empty[String]
+    aliasOf(base).foreach(known += _)
     val joins = new StringBuilder(baseJoins)
     val laterals = new StringBuilder
     val rest = new StringBuilder
@@ -238,17 +334,22 @@ object BigQueryDialect {
       parseUnnest(rel) match {
         case Some((expr, alias, tail)) =>
           rewrote = true
+          known += alias
           laterals.append(
             s" LATERAL VIEW explode($expr) __uv${nextId()} AS $alias")
           rest.append(tail)
         case None => rel match {
-          case PathSeg(path, alias, tail) =>
+          case PathSeg(path, alias, tail)
+              if known.contains(path.takeWhile(_ != '.')) =>
+            // correlated array field: first component is a FROM alias
             rewrote = true
+            known += alias
             laterals.append(
               s" LATERAL VIEW explode($path) __uv${nextId()} AS $alias")
             rest.append(tail)
           case _ =>
-            // genuine cross-join segment: keep it a comma relation
+            // genuine relation (e.g. dataset.table t): keep the comma
+            aliasOf(rel).foreach(known += _)
             rest.append(", ").append(rel)
         }
       }

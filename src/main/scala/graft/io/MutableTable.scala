@@ -64,6 +64,12 @@ final class MutableTable private (spark: SparkSession, base: String,
 
   /** Read a specific surviving version (time travel within the
     * retention window).
+    *
+    * NOTE: the returned frame is LAZY and reads the version directory
+    * on each action — retention deletes that directory once
+    * `keepVersions` further mutations land, after which held frames
+    * fail with a missing-file error. Consume (or persist) a read
+    * before mutating that many more times, or raise `keepVersions`.
     */
   def readVersion(v: Long): DataFrame = {
     val schemaFile = new Path(s"${dirOf(v)}/$SchemaFile")
@@ -158,6 +164,20 @@ object MutableTable {
            keepVersions: Int = 2): MutableTable = {
     val t = new MutableTable(spark, base, keepVersions)
     t.currentVersion // asserts existence
+    t
+  }
+
+  /** Open the table at `base` if one exists, otherwise create it empty
+    * with `schema` — the restart-friendly bootstrap (a stream resuming
+    * over its previous state dir keeps converging: every verb here is
+    * order-independent or idempotent at the version level).
+    */
+  def openOrInit(spark: SparkSession, base: String,
+                 schema: StructType, keepVersions: Int = 2): MutableTable = {
+    val t = new MutableTable(spark, base, keepVersions)
+    if (t.versionsOnDisk.isEmpty) t.writeVersion(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), 0L)
     t
   }
 }

@@ -38,7 +38,11 @@ object UpsertSink {
                       stateBase: String, timeoutMs: Long = 120000,
                       keepVersions: Int = 2): DataFrame = {
     require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
-    val table = MutableTable.init(spark, stateBase, stream.schema, keepVersions)
+    // openOrInit: a rerun over a surviving state dir resumes merging
+    // into it (mergeLatest is order-independent, so replayed rows
+    // converge) instead of failing on the existing-table guard
+    val table = MutableTable.openOrInit(spark, stateBase, stream.schema,
+      keepVersions)
     @volatile var batches = 0L
     val q = stream.writeStream
       .outputMode("append")

@@ -12,19 +12,8 @@ import org.apache.spark.sql.SparkSession
 object QuickTime {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000).selectExpr("sum(id)").write
-      .format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).write
-      .format("noop").mode("overwrite").save()
+    val spark = graft.GraftSession.toolSession(defaultCpus = "32")
+    graft.GraftSession.warmUp(spark, sfDir)
     graft.queries.TrainingQueries.prewarmFixtures(spark, sfDir)
     val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq
     names.foreach { name =>

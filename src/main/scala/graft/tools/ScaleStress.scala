@@ -65,17 +65,8 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000).selectExpr("sum(id)").write
-      .format("noop").mode("overwrite").save()
+    val spark = graft.GraftSession.toolSession(defaultCpus = "32")
+    graft.GraftSession.warmUp(spark, base)
 
     val big = graft.io.TempDirs.create("graft_sf1").toString
     val (_, tBuild) = timed(build10x(spark, base, big))

@@ -18,16 +18,8 @@ object StageProfile {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(10).write.format("noop").mode("overwrite").save()
+    val spark = graft.GraftSession.toolSession(defaultCpus = "32")
+    graft.GraftSession.warmUp(spark, sfDir)
 
     val docs = graft.Tables.documents(spark, sfDir)
     val deduped = TextDedup.exact(docs, "text", "doc_id")

@@ -50,6 +50,36 @@ class BigQueryDialectSpec extends SparkSpec {
     assert(out.contains("AS input ") && out.contains("AS input_addr"))
   }
 
+  test("string literals are never rewritten (backticks, OFFSET, IGNORE NULLS)") {
+    val in = "SELECT 'see `proj.ds.tbl` now', \"use a[OFFSET(0)]\", " +
+      "ARRAY_AGG(coalesce(s, 'x IGNORE NULLS y') IGNORE NULLS) FROM t"
+    val out = translate(in)
+    assert(out.contains("'see `proj.ds.tbl` now'"))
+    assert(out.contains("\"use a[OFFSET(0)]\""))
+    assert(out.contains("'x IGNORE NULLS y'"))
+    assert(out.contains("ARRAY_AGG(coalesce(s, 'x IGNORE NULLS y'))"))
+  }
+
+  test("only the ARRAY_AGG's own IGNORE NULLS is stripped, not a nested window's") {
+    val in = "ARRAY_AGG(lead(a) IGNORE NULLS OVER (ORDER BY t) IGNORE NULLS)"
+    assert(rewriteArrayAggIgnoreNulls(in) ==
+      "ARRAY_AGG(lead(a) IGNORE NULLS OVER (ORDER BY t))")
+  }
+
+  test("paren inside a double-quoted literal does not desync the call scanner") {
+    val in = "SELECT ARRAY_AGG(IF(x = \")\", a, b) IGNORE NULLS) FROM t"
+    assert(translate(in) == "SELECT ARRAY_AGG(IF(x = \")\", a, b)) FROM t")
+  }
+
+  test("schema-qualified comma cross-joins keep their commas (only FROM-alias paths lateralize)") {
+    val in = "SELECT * FROM ds.orders o, ds.customers c WHERE o.k = c.k"
+    assert(rewriteLaterals(in) == in)
+    // but a path rooted at an earlier alias IS a correlated lateral
+    val lat = rewriteLaterals(
+      "SELECT * FROM ds.orders o, o.items item WHERE item.x > 0")
+    assert(lat.contains("LATERAL VIEW explode(o.items)"), lat)
+  }
+
   test("laterals inside a subquery are rewritten too (recursion)") {
     val in = "SELECT * FROM (SELECT id FROM t, UNNEST(t.arr) AS x) s WHERE s.id > 0"
     val out = rewriteLaterals(in)
