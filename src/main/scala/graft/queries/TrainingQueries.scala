@@ -556,6 +556,24 @@ object TrainingQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** t27_simhash_members — oracle-checked invariant twin for the
+    * rows-only t3: every exact-duplicate pair (SQL-derivable from text
+    * equality) MUST appear in t3's output with Hamming distance 0 —
+    * identical texts share a fingerprint by construction, so a missing
+    * or nonzero row means the fingerprint kernel or the pigeonhole
+    * join dropped a guaranteed pair. Output: violation count, oracle
+    * pins 0. (The LSH-found remainder of t3 has no SQL oracle — this
+    * covers the half that does.)
+    */
+  def t27SimhashMembers(spark: SparkSession, sfDir: String): DataFrame = {
+    val t3 = t3DedupSimhash(spark, sfDir)
+    val exactPairs = TextDedup.exactClusters(
+      Tables.documents(spark, sfDir), "text", "doc_id")
+    exactPairs
+      .join(t3.filter(col("hamming") === 0), Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.
