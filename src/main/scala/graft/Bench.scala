@@ -6,11 +6,12 @@ object Bench {
     // warm-up: one-time session costs (codegen/datasource init) plus
     // the shared streaming fixtures stay outside any query's timing —
     // but a warm-up failure must not kill the battery: the affected
-    // queries (t23/t24) will fail and be recorded individually
-    GraftSession.warmUp(spark, sfDir)
-    try graft.queries.TrainingQueries.prewarmFixtures(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] fixture prewarm failed: ${e.getMessage}")
+    // queries will fail and be recorded individually
+    try {
+      GraftSession.warmUp(spark, sfDir)
+      graft.queries.TrainingQueries.prewarmFixtures(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>

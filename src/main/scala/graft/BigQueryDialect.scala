@@ -64,36 +64,62 @@ object BigQueryDialect {
     s.length
   }
 
-  /** Apply `f` to every maximal run of text OUTSIDE string literals,
-    * passing literals through verbatim.
+  /** If position `i` starts an opaque span — string literal, `--` line
+    * comment, or backtick-quoted identifier — return the index just
+    * past its end; otherwise -1. Opaque spans are never scanned for
+    * syntax: an apostrophe inside a comment or a paren inside a
+    * backticked name must not desync the cursors.
+    */
+  private def opaqueEnd(s: String, i: Int): Int = {
+    val c = s.charAt(i)
+    if (isQuote(c)) literalEnd(s, i)
+    else if (c == '`') {
+      val close = s.indexOf('`', i + 1)
+      if (close < 0) s.length else close + 1
+    } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+      val nl = s.indexOf('\n', i)
+      if (nl < 0) s.length else nl + 1
+    } else -1
+  }
+
+  /** Apply `f` to every maximal run of text OUTSIDE string literals and
+    * comments, passing those through verbatim. Backtick-quoted
+    * identifiers stay INSIDE the mapped chunks (rewriteBackticks needs
+    * to see them) but are skipped atomically, so quotes within them
+    * don't open phantom literals.
     */
   private def mapOutsideLiterals(sql: String)(f: String => String): String = {
     val out = new StringBuilder
     var i = 0
-    var chunk = i
+    var chunk = 0
     while (i < sql.length) {
-      if (isQuote(sql.charAt(i))) {
-        out.append(f(sql.substring(chunk, i)))
-        val stop = literalEnd(sql, i)
-        out.append(sql.substring(i, stop))
-        i = stop
-        chunk = i
-      } else i += 1
+      val c = sql.charAt(i)
+      if (c == '`') i = opaqueEnd(sql, i) // stays part of the chunk
+      else {
+        val stop = opaqueEnd(sql, i)
+        if (stop >= 0) {
+          out.append(f(sql.substring(chunk, i)))
+          out.append(sql.substring(i, stop))
+          i = stop
+          chunk = i
+        } else i += 1
+      }
     }
     out.append(f(sql.substring(chunk)))
     out.toString
   }
 
   /** Index just past the close paren matching the open paren at `open`,
-    * literal-aware.
+    * literal/comment/backtick-aware.
     */
   private def matchParen(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (isQuote(c)) i = literalEnd(s, i)
+      val stop = opaqueEnd(s, i)
+      if (stop >= 0) i = stop
       else {
+        val c = s.charAt(i)
         if (c == '(') depth += 1
         else if (c == ')') {
           depth -= 1
@@ -149,8 +175,8 @@ object BigQueryDialect {
     var i = 0
     while (i < call.length) {
       val c = call.charAt(i)
-      if (isQuote(c)) {
-        val stop = literalEnd(call, i)
+      val stop = opaqueEnd(call, i)
+      if (stop >= 0) {
         out.append(call.substring(i, stop)); i = stop
       } else if (c == '(') { depth += 1; out.append(c); i += 1 }
       else if (c == ')') { depth -= 1; out.append(c); i += 1 }
@@ -182,9 +208,9 @@ object BigQueryDialect {
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (isQuote(c)) {
-        val stop = literalEnd(sql, i)
-        out.append(sql.substring(i, stop)); i = stop
+      val stop0 = opaqueEnd(sql, i)
+      if (stop0 >= 0) {
+        out.append(sql.substring(i, stop0)); i = stop0
       } else if (wordAt(sql, i, "ARRAY_AGG")) {
         val open = sql.indexOf('(', i + "ARRAY_AGG".length)
         if (open >= 0 && sql.substring(i + "ARRAY_AGG".length, open).trim.isEmpty) {
@@ -227,10 +253,33 @@ object BigQueryDialect {
   private val RelAlias =
     """(?s)^.*?([A-Za-z_][\w]*)\s*$""".r
 
+  /** Backticked relation with NO explicit alias — BigQuery treats the
+    * last path component as the implicit referenceable alias.
+    */
+  private val BacktickedRel =
+    """(?s)^.*`([^`]+)`\s*$""".r
+
   private def aliasOf(rel: String): Option[String] = rel.trim match {
     case RelAlias(a) => Some(a)
+    case BacktickedRel(inner) =>
+      Some(inner.substring(inner.lastIndexOf('.') + 1))
     case _ => None
   }
+
+  /** Aliases introduced by the JOIN clauses of `joinText` — each
+    * `JOIN rel [AS] alias ON` (alias falling back to the relation's
+    * last name component) is referenceable by later comma segments.
+    */
+  private val JoinAlias =
+    """(?is)JOIN\s+(`[^`]+`|[\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?""".r
+
+  private def joinAliases(joinText: String): Seq[String] =
+    JoinAlias.findAllMatchIn(joinText).map { m =>
+      Option(m.group(2)).getOrElse {
+        val rel = m.group(1).stripPrefix("`").stripSuffix("`")
+        rel.substring(rel.lastIndexOf('.') + 1)
+      }
+    }.toSeq
 
   private def parseAlias(s: String): Option[(String, String)] = {
     val m = """(?s)^\s*(?:(?i:AS)\s+)?([A-Za-z_][\w]*)\s*(.*)$""".r
@@ -246,9 +295,9 @@ object BigQueryDialect {
     var viewN = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (isQuote(c)) {
-        val stop = literalEnd(sql, i)
-        out.append(sql.substring(i, stop)); i = stop
+      val stop0 = opaqueEnd(sql, i)
+      if (stop0 >= 0) {
+        out.append(sql.substring(i, stop0)); i = stop0
       } else if (wordAt(sql, i, "FROM")) {
         // FROM region: up to the next top-level clause keyword or
         // unbalanced close paren (subquery end)
@@ -258,7 +307,8 @@ object BigQueryDialect {
         var found = false
         while (j < sql.length && !found) {
           val ch = sql.charAt(j)
-          if (isQuote(ch)) { j = literalEnd(sql, j) }
+          val os = opaqueEnd(sql, j)
+          if (os >= 0) { j = os }
           else if (ch == '(') { depth += 1; j += 1 }
           else if (ch == ')') {
             if (depth == 0) { end = j; found = true } else { depth -= 1; j += 1 }
@@ -288,7 +338,8 @@ object BigQueryDialect {
     var i = 0
     while (i < region.length) {
       val c = region.charAt(i)
-      if (isQuote(c)) i = literalEnd(region, i)
+      val stop = opaqueEnd(region, i)
+      if (stop >= 0) i = stop
       else {
         if (c == '(') depth += 1
         else if (c == ')') depth -= 1
@@ -307,7 +358,8 @@ object BigQueryDialect {
       var k = 0
       while (k < seg.length) {
         val c = seg.charAt(k)
-        if (isQuote(c)) k = literalEnd(seg, k)
+        val stop = opaqueEnd(seg, k)
+        if (stop >= 0) k = stop
         else {
           if (c == '(') d += 1
           else if (c == ')') d -= 1
@@ -320,10 +372,14 @@ object BigQueryDialect {
     }
 
     val (base, baseJoins) = splitJoin(segs.head)
-    // aliases visible to later correlated segments: the base relation's
-    // alias plus every lateral alias introduced so far
+    // aliases visible to later correlated segments (case-insensitive,
+    // as in BigQuery): the base relation's, each JOIN's (explicit or
+    // the relation's implicit last-component alias), each earlier
+    // comma relation's, and each earlier lateral's
     val known = scala.collection.mutable.Set.empty[String]
-    aliasOf(base).foreach(known += _)
+    def learn(a: String): Unit = { known += a.toLowerCase; () }
+    aliasOf(base).foreach(learn)
+    joinAliases(baseJoins).foreach(learn)
     val joins = new StringBuilder(baseJoins)
     val laterals = new StringBuilder
     val rest = new StringBuilder
@@ -334,25 +390,28 @@ object BigQueryDialect {
       parseUnnest(rel) match {
         case Some((expr, alias, tail)) =>
           rewrote = true
-          known += alias
+          learn(alias)
           laterals.append(
             s" LATERAL VIEW explode($expr) __uv${nextId()} AS $alias")
           rest.append(tail)
         case None => rel match {
           case PathSeg(path, alias, tail)
-              if known.contains(path.takeWhile(_ != '.')) =>
+              if known.contains(path.takeWhile(_ != '.').toLowerCase) =>
             // correlated array field: first component is a FROM alias
             rewrote = true
-            known += alias
+            learn(alias)
             laterals.append(
               s" LATERAL VIEW explode($path) __uv${nextId()} AS $alias")
             rest.append(tail)
           case _ =>
             // genuine relation (e.g. dataset.table t): keep the comma
-            aliasOf(rel).foreach(known += _)
+            aliasOf(rel).foreach(learn)
             rest.append(", ").append(rel)
         }
       }
+      // join aliases become visible only AFTER this segment (the join
+      // text trails the relation; BigQuery scoping is left-to-right)
+      if (joinText.nonEmpty) joinAliases(joinText).foreach(learn)
     }
     if (!rewrote) region
     else s"$base${rest.toString} ${joins.toString}${laterals.toString} "

@@ -98,7 +98,7 @@ object SparkEntry {
     "t24_stateful_balance" -> (TrainingQueries.t24StatefulBalance _),
     "t25_minhash_precision" -> (TrainingQueries.t25MinhashPrecision _),
     "t26_neardup_exact"  -> (TrainingQueries.t26NearDupExact _),
-    "t27_simhash_members" -> (TrainingQueries.t27SimhashMembers _),
+    "t27_simhash_recovery" -> (TrainingQueries.t27SimhashRecovery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

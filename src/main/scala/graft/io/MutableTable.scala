@@ -175,9 +175,7 @@ object MutableTable {
   def openOrInit(spark: SparkSession, base: String,
                  schema: StructType, keepVersions: Int = 2): MutableTable = {
     val t = new MutableTable(spark, base, keepVersions)
-    if (t.versionsOnDisk.isEmpty) t.writeVersion(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), 0L)
-    t
+    if (t.versionsOnDisk.isEmpty) init(spark, base, schema, keepVersions)
+    else t
   }
 }

@@ -606,7 +606,7 @@ object Oracle {
       // LSH pair has true string-shingle Jaccard >= 0.8 and reports it"
       "SELECT CAST(0 AS BIGINT) AS n_violations",
 
-    "t27_simhash_members" ->
+    "t27_simhash_recovery" ->
       // zero violations of "every exact-dup pair appears in t3 with
       // Hamming 0"
       "SELECT CAST(0 AS BIGINT) AS n_violations",

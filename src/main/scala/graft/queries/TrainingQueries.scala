@@ -556,21 +556,30 @@ object TrainingQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** t27_simhash_members — oracle-checked invariant twin for the
-    * rows-only t3: every exact-duplicate pair (SQL-derivable from text
-    * equality) MUST appear in t3's output with Hamming distance 0 —
-    * identical texts share a fingerprint by construction, so a missing
-    * or nonzero row means the fingerprint kernel or the pigeonhole
-    * join dropped a guaranteed pair. Output: violation count, oracle
-    * pins 0. (The LSH-found remainder of t3 has no SQL oracle — this
-    * covers the half that does.)
+  /** t27_simhash_recovery — oracle-checked invariant for the rows-only
+    * t3, via an INDEPENDENT route (not the exact-collapse union t3
+    * itself performs): plant synthetic exact duplicates (a copy of
+    * every doc_id < 100 at id+1000000) in a corpus slice and run the
+    * RAW SimHash pigeonhole pipeline over it with no exact-dedup
+    * pre-pass. Identical texts hash to identical fingerprints, so the
+    * chunk join MUST recover every planted pair at Hamming 0 — if the
+    * SimHash64 kernel lost determinism or the pigeonhole banding/
+    * bucket join dropped pairs, planted duplicates go missing and the
+    * count goes nonzero. Oracle pins violations at 0.
     */
-  def t27SimhashMembers(spark: SparkSession, sfDir: String): DataFrame = {
-    val t3 = t3DedupSimhash(spark, sfDir)
-    val exactPairs = TextDedup.exactClusters(
-      Tables.documents(spark, sfDir), "text", "doc_id")
-    exactPairs
-      .join(t3.filter(col("hamming") === 0), Seq("id_a", "id_b"), "left_anti")
+  def t27SimhashRecovery(spark: SparkSession, sfDir: String): DataFrame = {
+    val slice = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val copies = slice.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val found = TextDedup.simhashNearDups(
+        slice.unionByName(copies), "text", "doc_id", maxDist = 3)
+      .filter(col("hamming") === 0)
+    val planted = slice.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("id_a"),
+              (col("doc_id") + 1000000).as("id_b"))
+    planted.join(found, Seq("id_a", "id_b"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
   }
 

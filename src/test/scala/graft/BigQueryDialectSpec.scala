@@ -80,6 +80,33 @@ class BigQueryDialectSpec extends SparkSpec {
     assert(lat.contains("LATERAL VIEW explode(o.items)"), lat)
   }
 
+  test("join-introduced aliases are lateral roots for later segments") {
+    val out = rewriteLaterals(
+      "SELECT * FROM ds.orders o JOIN ds.users u ON o.uid = u.id, " +
+      "u.addresses addr WHERE addr.x > 0")
+    assert(out.contains("LATERAL VIEW explode(u.addresses)"), out)
+    assert(out.contains("JOIN ds.users u ON o.uid = u.id"), out)
+  }
+
+  test("backticked base with no alias exposes its last component (BigQuery implicit alias)") {
+    val out = rewriteLaterals(
+      "SELECT * FROM `tx`, tx.inputs AS input WHERE input.v > 0")
+    assert(out.contains("LATERAL VIEW explode(tx.inputs)"), out)
+  }
+
+  test("alias matching is case-insensitive") {
+    val out = rewriteLaterals(
+      "SELECT * FROM ds.orders Tx, tx.inputs AS input WHERE 1=1")
+    assert(out.contains("LATERAL VIEW explode(tx.inputs)"), out)
+  }
+
+  test("an apostrophe inside a -- comment does not open a phantom literal") {
+    val in = "SELECT\n  -- the user's first item\n  items[OFFSET(0)] AS first\nFROM t"
+    val out = translate(in)
+    assert(out.contains("items[0] AS first"), out)
+    assert(out.contains("-- the user's first item"), out)
+  }
+
   test("laterals inside a subquery are rewritten too (recursion)") {
     val in = "SELECT * FROM (SELECT id FROM t, UNNEST(t.arr) AS x) s WHERE s.id > 0"
     val out = rewriteLaterals(in)
