@@ -3,15 +3,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.toolSession(defaultCpus = "4")
-    // warm-up: one-time session costs (codegen/datasource init) plus
-    // the shared streaming fixtures stay outside any query's timing —
-    // but a warm-up failure must not kill the battery: the affected
-    // queries will fail and be recorded individually
-    try {
-      GraftSession.warmUp(spark, sfDir)
-      graft.queries.TrainingQueries.prewarmFixtures(spark, sfDir)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    // warm-up: one-time session costs (codegen/datasource init) stay
+    // outside any query's timing. warmUp failing means the sfDir
+    // itself is broken — fail LOUDLY rather than emit a silently
+    // cold-skewed benchmark; only the streaming-fixture prewarm is
+    // tolerated (its consumers t23/t24 then fail individually and land
+    // in the recorded `failed` list).
+    GraftSession.warmUp(spark, sfDir)
+    try graft.queries.TrainingQueries.prewarmFixtures(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] fixture prewarm failed: ${e.getMessage}")
     }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>

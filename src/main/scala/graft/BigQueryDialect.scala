@@ -266,20 +266,77 @@ object BigQueryDialect {
     case _ => None
   }
 
-  /** Aliases introduced by the JOIN clauses of `joinText` — each
-    * `JOIN rel [AS] alias ON` (alias falling back to the relation's
-    * last name component) is referenceable by later comma segments.
+  /** Remove `--` line comments (outside string literals), keeping the
+    * terminating newline so tokens don't glue together. Used on FROM
+    * regions that are being rewritten — alias/segment parsing must not
+    * read comment prose as SQL.
     */
-  private val JoinAlias =
-    """(?is)JOIN\s+(`[^`]+`|[\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?""".r
+  private def stripLineComments(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isQuote(c) || c == '`') {
+        val stop = opaqueEnd(s, i)
+        out.append(s.substring(i, stop)); i = stop
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        val nl = s.indexOf('\n', i)
+        i = if (nl < 0) s.length else nl // keep the newline itself
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
-  private def joinAliases(joinText: String): Seq[String] =
-    JoinAlias.findAllMatchIn(joinText).map { m =>
-      Option(m.group(2)).getOrElse {
-        val rel = m.group(1).stripPrefix("`").stripSuffix("`")
-        rel.substring(rel.lastIndexOf('.') + 1)
-      }
-    }.toSeq
+  /** Aliases introduced by the JOIN clauses of `joinText` — each
+    * `JOIN rel [AS] alias` (alias falling back to the relation's last
+    * name component; none for a subquery join without one) is
+    * referenceable by later comma segments. A small scanner, not a
+    * regex: handles `JOIN (subquery) s`, `USING (...)` (which is NOT
+    * an alias), and ignores words merely ending in "join".
+    */
+  private def joinAliases(joinText: String): Seq[String] = {
+    val found = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < joinText.length) {
+      val stop = opaqueEnd(joinText, i)
+      if (stop >= 0) i = stop
+      else if (wordAt(joinText, i, "JOIN")) {
+        var j = i + 4
+        while (j < joinText.length && joinText.charAt(j).isWhitespace) j += 1
+        // relation: parenthesized subquery, backticked path, or dotted name
+        var relLast: Option[String] = None
+        if (j < joinText.length && joinText.charAt(j) == '(') {
+          j = matchParen(joinText, j)
+        } else {
+          val start = j
+          while (j < joinText.length &&
+                 (isWordChar(joinText.charAt(j)) ||
+                  joinText.charAt(j) == '.' || joinText.charAt(j) == '`')) j += 1
+          val rel = joinText.substring(start, j)
+            .replace("`", "")
+          if (rel.nonEmpty)
+            relLast = Some(rel.substring(rel.lastIndexOf('.') + 1))
+        }
+        // optional [AS] alias — but ON/USING/join-keywords end the relation
+        var k = j
+        while (k < joinText.length && joinText.charAt(k).isWhitespace) k += 1
+        if (wordAt(joinText, k, "AS")) {
+          k += 2
+          while (k < joinText.length && joinText.charAt(k).isWhitespace) k += 1
+        }
+        val aStart = k
+        while (k < joinText.length && isWordChar(joinText.charAt(k))) k += 1
+        val word = joinText.substring(aStart, k)
+        val isKeyword = Seq("ON", "USING", "JOIN", "INNER", "LEFT", "RIGHT",
+          "FULL", "CROSS", "LATERAL", "WHERE").exists(_.equalsIgnoreCase(word))
+        if (word.nonEmpty && !isKeyword && word.headOption.exists(ch =>
+              ch.isLetter || ch == '_')) found += word
+        else relLast.foreach(found += _)
+        i = j
+      } else i += 1
+    }
+    found.toSeq
+  }
 
   private def parseAlias(s: String): Option[(String, String)] = {
     val m = """(?s)^\s*(?:(?i:AS)\s+)?([A-Za-z_][\w]*)\s*(.*)$""".r
@@ -351,6 +408,14 @@ object BigQueryDialect {
     }
     segs += region.substring(start)
     if (segs.length == 1) return region
+    // a region being rewritten drops its -- comments: alias and
+    // segment parsing below must not read comment prose as SQL, and
+    // re-emitting segments out of order would misattach them anyway
+    if (region.contains("--")) {
+      val stripped = stripLineComments(region)
+      if (stripped != region)
+        return rewriteFromRegion(stripped, nextId)
+    }
 
     /** Split a segment into (relation part, trailing JOIN text). */
     def splitJoin(seg: String): (String, String) = {

@@ -607,8 +607,9 @@ object Oracle {
       "SELECT CAST(0 AS BIGINT) AS n_violations",
 
     "t27_simhash_recovery" ->
-      // zero violations of "every exact-dup pair appears in t3 with
-      // Hamming 0"
+      // zero violations of "every PLANTED duplicate is recovered at
+      // Hamming 0 by the raw pigeonhole pipeline (no exact-collapse
+      // pre-pass)"
       "SELECT CAST(0 AS BIGINT) AS n_violations",
 
     "t26_neardup_exact" ->

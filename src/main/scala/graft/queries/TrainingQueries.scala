@@ -573,8 +573,12 @@ object TrainingQueries {
       .select(col("doc_id"), col("text"))
     val copies = slice.filter(col("doc_id") < 100)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    // maxBucket > |slice| (300 ids): no chunk bucket can saturate, so
+    // the capped generator's drop-and-audit path can never silently
+    // delete a planted pair and masquerade as a kernel bug
     val found = TextDedup.simhashNearDups(
-        slice.unionByName(copies), "text", "doc_id", maxDist = 3)
+        slice.unionByName(copies), "text", "doc_id", maxDist = 3,
+        maxBucket = 500)
       .filter(col("hamming") === 0)
     val planted = slice.filter(col("doc_id") < 100)
       .select(col("doc_id").as("id_a"),

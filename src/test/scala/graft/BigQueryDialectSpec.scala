@@ -100,6 +100,28 @@ class BigQueryDialectSpec extends SparkSpec {
     assert(out.contains("LATERAL VIEW explode(tx.inputs)"), out)
   }
 
+  test("USING joins and subquery joins learn the right aliases (not 'USING')") {
+    // USING is not an alias; the implicit alias is the relation's last name
+    val out1 = rewriteLaterals(
+      "SELECT * FROM a JOIN ds.events USING (id), events.tags tag WHERE 1=1")
+    assert(out1.contains("LATERAL VIEW explode(events.tags)"), out1)
+    // subquery join with explicit alias
+    val out2 = rewriteLaterals(
+      "SELECT * FROM a JOIN (SELECT id, arr FROM b) s ON a.id = s.id, " +
+      "s.arr item WHERE 1=1")
+    assert(out2.contains("LATERAL VIEW explode(s.arr)"), out2)
+    // a word merely ending in 'join' must not learn phantom aliases
+    val out3 = rewriteLaterals(
+      "SELECT * FROM a, b WHERE a.rejoin = b.k")
+    assert(out3 == "SELECT * FROM a, b WHERE a.rejoin = b.k")
+  }
+
+  test("a -- comment trailing a FROM relation does not corrupt alias learning") {
+    val out = rewriteLaterals(
+      "SELECT * FROM ds.orders o -- main table\n, o.items item WHERE item.x > 0")
+    assert(out.contains("LATERAL VIEW explode(o.items)"), out)
+  }
+
   test("an apostrophe inside a -- comment does not open a phantom literal") {
     val in = "SELECT\n  -- the user's first item\n  items[OFFSET(0)] AS first\nFROM t"
     val out = translate(in)
