@@ -99,6 +99,7 @@ object SparkEntry {
     "t25_minhash_precision" -> (TrainingQueries.t25MinhashPrecision _),
     "t26_neardup_exact"  -> (TrainingQueries.t26NearDupExact _),
     "t27_simhash_recovery" -> (TrainingQueries.t27SimhashRecovery _),
+    "t28_decontaminate"  -> (TrainingQueries.t28Decontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

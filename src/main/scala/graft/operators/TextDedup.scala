@@ -224,4 +224,36 @@ object TextDedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Benchmark decontamination — the curation step every training
+    * pipeline runs before an eval: flag training documents sharing at
+    * least `minShared` distinct word k-shingles with ANY document of an
+    * evaluation set. Output: (train_id, eval_id, n_shared) per
+    * contaminated (train, eval) pair.
+    *
+    * Scale shape: the EVAL side is small by nature (benchmarks are
+    * thousands of docs, the corpus is billions), so its exploded
+    * (shingle, eval_id) posting list broadcasts and the train side
+    * costs ONE scan + one partial-aggregated groupBy — the corpus
+    * never self-joins and no shuffle carries shingle sets. A
+    * stop-shingle shared by every train doc fans out by at most
+    * |eval docs containing it|, bounded by the eval set's size. Shingle
+    * sets are distinct hashes (HashedShingles), so the count is the
+    * DISTINCT overlap, matching the string-set definition modulo
+    * 64-bit collisions.
+    */
+  def contaminationPairs(train: DataFrame, eval: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleK: Int = 3, minShared: Int = 5): DataFrame = {
+    val trainPosting = hashedShingleSets(train, textCol, idCol, shingleK)
+      .select(col("id").as("train_id"), explode(col("sh")).as("shash"))
+    val evalPosting = hashedShingleSets(eval, textCol, idCol, shingleK)
+      .select(col("id").as("eval_id"), explode(col("sh")).as("shash"))
+    trainPosting
+      .join(broadcast(evalPosting), "shash")
+      .filter(col("train_id") =!= col("eval_id"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -632,6 +632,30 @@ object Oracle {
         |UNION ALL
         |SELECT id_a, id_b, cosine FROM member_pairs""".stripMargin,
 
+    "t28_decontaminate" ->
+      // string-shingle replay of the hashed-shingle overlap count
+      // (identical modulo 64-bit collisions — none at oracle scale)
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END) AS sh
+        |  FROM toks
+        |), train AS (
+        |  SELECT doc_id AS train_id, unnest(sh) AS s FROM sets
+        |), ev AS (
+        |  SELECT doc_id AS eval_id, unnest(sh) AS s FROM sets
+        |  WHERE doc_id % 97 = 0
+        |)
+        |SELECT train_id, eval_id, count(*) AS n_shared
+        |FROM train JOIN ev USING (s)
+        |WHERE train_id != eval_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

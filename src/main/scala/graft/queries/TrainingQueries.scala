@@ -587,6 +587,24 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n_violations"))
   }
 
+  /** t28_decontaminate — benchmark decontamination: training docs
+    * sharing ≥ 2 distinct 3-gram shingles with any doc of the eval set
+    * (the synthetic corpus's random texts overlap sparsely — max
+    * observed overlap is 4 — so 2 is the meaningful threshold here;
+    * a real corpus would use tens)
+    * (deterministic cohort: doc_id ≡ 0 mod 97). Exact DuckDB oracle via
+    * the t4 string-shingle machinery; the operator's broadcast-eval /
+    * one-train-scan shape is the 100 TB-correct plan (the corpus never
+    * self-joins).
+    */
+  def t28Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    TextDedup.contaminationPairs(docs, evalSet, "text", "doc_id",
+        shingleK = 3, minShared = 2)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

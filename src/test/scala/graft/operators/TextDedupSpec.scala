@@ -132,4 +132,23 @@ class TextDedupSpec extends SparkSpec {
     // starts {2,3,4,5} break → |∩|=7 of 11 each, |∪|=15 → 7/15
     assert(math.abs(m((0L, 4L)) - 7.0 / 15.0) < 1e-6)
   }
+
+  test("contaminationPairs counts distinct shared shingles vs the eval set") {
+    // eval = doc 0; doc 1 is an exact copy (11 shared shingles), doc 4
+    // shares 7 (the jaccard test's hand count), doc 3 shares none
+    val evalSet = docs.filter($"doc_id" === 0)
+    val out = TextDedup.contaminationPairs(docs, evalSet, "text", "doc_id",
+        shingleK = 3, minShared = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(out((1L, 0L)) == 11L)
+    assert(out((4L, 0L)) == 7L)
+    assert(!out.contains((3L, 0L)))
+    assert(!out.contains((0L, 0L))) // an eval doc never flags itself
+    // raising the threshold past doc 4's overlap drops it
+    val strict = TextDedup.contaminationPairs(docs, evalSet, "text", "doc_id",
+        shingleK = 3, minShared = 8)
+      .select($"train_id").as[Long].collect().toSet
+    assert(strict == Set(1L, 2L)) // doc 2 appends one word: 11+ shared
+  }
 }
