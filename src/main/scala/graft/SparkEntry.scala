@@ -100,6 +100,7 @@ object SparkEntry {
     "t26_neardup_exact"  -> (TrainingQueries.t26NearDupExact _),
     "t27_simhash_recovery" -> (TrainingQueries.t27SimhashRecovery _),
     "t28_decontaminate"  -> (TrainingQueries.t28Decontaminate _),
+    "t29_mixture"        -> (TrainingQueries.t29Mixture _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

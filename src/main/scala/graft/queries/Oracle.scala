@@ -656,6 +656,20 @@ object Oracle {
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
 
+    "t29_mixture" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM ranked
+        |WHERE rn <= CASE
+        |  WHEN source IN ('src0','src1','src2','src3','src4') THEN 10
+        |  WHEN source IN ('src5','src6','src7','src8','src9') THEN 5
+        |  ELSE 2 END""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

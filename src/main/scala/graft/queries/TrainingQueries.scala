@@ -605,6 +605,23 @@ object TrainingQueries {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** t29_mixture — corpus mixing: hold each source to a target row
+    * budget (sources 0-4 keep 10 docs, 5-9 keep 5, the rest 2) with
+    * the deterministic smallest-md5 selection. Runs the SALTED
+    * two-level scale plan — selection is identical to the
+    * single-window form (spec-asserted), so the SQL oracle replays
+    * membership exactly.
+    */
+  def t29Mixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val quotas =
+      (0 to 4).map(i => s"src$i" -> 10).toMap ++
+      (5 to 9).map(i => s"src$i" -> 5).toMap
+    graft.ops.Mixing.sampleQuotas(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "source", "doc_id", quotas, defaultQuota = 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

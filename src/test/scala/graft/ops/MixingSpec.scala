@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (1 to 600).map(i =>
+    (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+
+  test("per-group quotas honored; unlisted groups take the default") {
+    val out = Mixing.sampleQuotas(corpus, "grp", "id",
+      Map("g0" -> 10, "g1" -> 25), defaultQuota = 5)
+    val counts = out.groupBy($"grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("g0" -> 10L, "g1" -> 25L, "g2" -> 5L))
+  }
+
+  test("quota larger than the group keeps the whole group") {
+    val out = Mixing.sampleQuotas(corpus, "grp", "id",
+      Map("g0" -> 10000), defaultQuota = 1)
+    val counts = out.groupBy($"grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("g0") == 200L && counts("g1") == 1L && counts("g2") == 1L)
+  }
+
+  test("salted two-level cap selects exactly the single-window set") {
+    val picks = Seq(1, 4, 64).map(s =>
+      Mixing.sampleQuotas(corpus, "grp", "id",
+          Map("g0" -> 7, "g2" -> 13), defaultQuota = 3, salts = s)
+        .select($"id").as[Long].collect().sorted.toSeq)
+    assert(picks.distinct.size == 1)
+  }
+
+  test("selection matches the md5-order reference computed locally") {
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (1 to 600).map(i => (i.toLong, s"g${i % 3}"))
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        rows.sortBy(r => md5hex(r._1.toString)).take(4).map(_._1)
+      }.toSet
+    val got = Mixing.sampleQuotas(corpus, "grp", "id", Map.empty, 4)
+      .select($"id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+}
