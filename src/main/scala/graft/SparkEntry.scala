@@ -101,6 +101,7 @@ object SparkEntry {
     "t27_simhash_recovery" -> (TrainingQueries.t27SimhashRecovery _),
     "t28_decontaminate"  -> (TrainingQueries.t28Decontaminate _),
     "t29_mixture"        -> (TrainingQueries.t29Mixture _),
+    "t30_quality_flags"  -> (TrainingQueries.t30QualityFlags _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

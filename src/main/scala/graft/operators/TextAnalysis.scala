@@ -89,6 +89,55 @@ object TextAnalysis {
       .withColumn("stopword_ratio", stopwordRatio(t))
   }
 
+  /** Gopher/C4-style heuristic quality flags — the rule battery
+    * curation pipelines apply before expensive stages: token-count
+    * bounds, mean-word-length bounds, symbol density, and
+    * within-document repetition (duplicate-bigram fraction — boilerplate
+    * and template spam repeat themselves locally). Every column is a
+    * per-row codegen'd expression (one scan at any corpus size) built
+    * from engine-portable pieces, so the whole output is
+    * oracle-checkable; thresholds are parameters, defaults roughly in
+    * the published ranges scaled to short synthetic docs.
+    */
+  def qualityFlags(df: DataFrame, textCol: String,
+                   minTokens: Int = 5, maxTokens: Int = 10000,
+                   minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                   maxSymbolRatio: Double = 0.3,
+                   maxDupBigramFrac: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    val toks = split(lower(t), "\\s+")
+    val nTokens = size(toks)
+    val nChars = length(t)
+    val meanLen = (nChars - (nTokens - 1)).cast("double") / nTokens
+    // symbols = chars REMAINING after deleting everything that is not
+    // a symbol... inverted forms pass a consistent-on-both-sides
+    // oracle while meaning the opposite — count symbols by deleting
+    // them and diffing
+    val symbolRatio =
+      (nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", "")))
+        .cast("double") / nChars
+    // adjacent-token bigrams; a doc of < 2 tokens has no bigrams and
+    // counts as non-repetitive
+    val bigrams = transform(sequence(lit(0), nTokens - 2), i =>
+      concat(try_element_at(toks, i + 1), lit(" "),
+             try_element_at(toks, i + 2)))
+    val dupFrac = when(nTokens < 2, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(bigrams)).cast("double") / (nTokens - 1))
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("mean_word_len", round(meanLen, 6))
+      .withColumn("symbol_ratio", round(symbolRatio, 6))
+      .withColumn("dup_bigram_frac", round(dupFrac, 6))
+      .withColumn("ok_word_count", nTokens.between(minTokens, maxTokens))
+      .withColumn("ok_mean_len", meanLen.between(minMeanLen, maxMeanLen))
+      .withColumn("ok_symbols", symbolRatio <= maxSymbolRatio)
+      .withColumn("ok_repetition", dupFrac <= maxDupBigramFrac)
+      .withColumn("keep",
+        nTokens.between(minTokens, maxTokens) &&
+          meanLen.between(minMeanLen, maxMeanLen) &&
+          symbolRatio <= maxSymbolRatio && dupFrac <= maxDupBigramFrac)
+  }
+
   /** Token counts: whitespace tokens + BPE-ish pieces (letter runs /
     * digit runs / single other-glyphs — the pre-tokenization most BPE
     * vocabularies assume). The piece count runs through the native

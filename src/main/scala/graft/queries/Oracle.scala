@@ -670,6 +670,40 @@ object Oracle {
         |  WHEN source IN ('src5','src6','src7','src8','src9') THEN 5
         |  ELSE 2 END""".stripMargin,
 
+    "t30_quality_flags" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         string_split_regex(lower(text), '\s+') AS toks,
+        |         length(text) AS n_chars,
+        |         length(text) -
+        |           length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_sym
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |         len(toks) AS n_tokens,
+        |         CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_len,
+        |         CAST(n_sym AS DOUBLE) / n_chars AS sym_ratio,
+        |         CASE WHEN len(toks) < 2 THEN 0.0
+        |              ELSE 1.0 - CAST(len(list_distinct(
+        |                     list_transform(range(len(toks) - 1),
+        |                       i -> toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+        |                   / (len(toks) - 1)
+        |         END AS dup_frac
+        |  FROM b
+        |)
+        |SELECT doc_id, n_tokens,
+        |       round(mean_len, 6) AS mean_word_len,
+        |       round(sym_ratio, 6) AS symbol_ratio,
+        |       round(dup_frac, 6) AS dup_bigram_frac,
+        |       n_tokens BETWEEN 5 AND 10000 AS ok_word_count,
+        |       mean_len BETWEEN 2.0 AND 12.0 AS ok_mean_len,
+        |       sym_ratio <= 0.3 AS ok_symbols,
+        |       dup_frac <= 0.3 AS ok_repetition,
+        |       (n_tokens BETWEEN 5 AND 10000)
+        |         AND (mean_len BETWEEN 2.0 AND 12.0)
+        |         AND sym_ratio <= 0.3 AND dup_frac <= 0.3 AS keep
+        |FROM m""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

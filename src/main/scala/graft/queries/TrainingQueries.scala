@@ -622,6 +622,18 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t30_quality_flags — the Gopher/C4-style heuristic rule battery
+    * (token bounds, mean word length, symbol density, duplicate-bigram
+    * repetition) over the corpus, fully oracle-replayed in SQL.
+    */
+  def t30QualityFlags(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityFlags(Tables.documents(spark, sfDir), "text")
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("symbol_ratio"), col("dup_bigram_frac"),
+        col("ok_word_count"), col("ok_mean_len"), col("ok_symbols"),
+        col("ok_repetition"), col("keep"))
+      .orderBy(col("doc_id"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

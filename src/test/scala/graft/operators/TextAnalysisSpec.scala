@@ -85,6 +85,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("qualityFlags: hand-computed repetition, symbols, and bounds") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b"),                  // bigrams: ab,ba,ab,ba,ab → 2/5 distinct
+      (1L, "clean readable prose about engines and planners today"),
+      (2L, "#### $$$$ %%%% @@@@"),          // symbol-heavy
+      (3L, "hi")                            // below min token count; no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFlags(docs, "text")
+      .select($"doc_id", $"dup_bigram_frac", $"symbol_ratio",
+              $"ok_repetition", $"ok_symbols", $"ok_word_count", $"keep")
+      .as[(Long, Double, Double, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(math.abs(out(0L)._2 - (1.0 - 2.0 / 5.0)) < 1e-9)
+    assert(!out(0L)._4 && !out(0L)._7)      // repetitive → dropped
+    assert(out(1L)._4 && out(1L)._5 && out(1L)._7) // clean doc keeps
+    assert(out(2L)._3 > 0.3 && !out(2L)._5) // symbols over budget
+    assert(out(3L)._2 == 0.0 && !out(3L)._6) // no bigrams; too short
+  }
+
   test("rolling hash: deterministic, matches the closed-form polynomial") {
     val out = Seq(("ab", 0L)).toDF("s", "ignore")
       .select(TextFunctions.rolling_hash($"s", base = 31L)).as[Long].head()
