@@ -104,16 +104,10 @@ object Ols {
     val binned = df.withColumn("__bin",
         size(filter(boundsCol, b => b <= col(orderCol).cast("double"))))
       .withColumn("__h", rowHash)
-      .withColumn("__salt", pmod(col("__h"), lit(salts)))
-    val wSalted = Window.partitionBy(col("__bin"), col("__salt"))
-      .orderBy(col("__h"))
-    val wBin = Window.partitionBy(col("__bin")).orderBy(col("__h"))
-    binned
-      .withColumn("__rn1", row_number().over(wSalted))
-      .filter(col("__rn1") <= capPerBin)
-      .withColumn("__rn2", row_number().over(wBin))
-      .filter(col("__rn2") <= capPerBin)
-      .drop("__bin", "__h", "__salt", "__rn1", "__rn2")
+    graft.ops.Sampling.saltedCap(binned, Seq(col("__bin")),
+        orderBy = col("__h"), saltBy = col("__h"),
+        cap = lit(capPerBin), salts = salts)
+      .drop("__bin", "__h")
   }
 
   /** M3, exact-binning variant — the oracle-checkable form of

@@ -89,6 +89,17 @@ object TextAnalysis {
       .withColumn("stopword_ratio", stopwordRatio(t))
   }
 
+  /** Ratio of `textCol`'s characters removed by deleting everything
+    * matching `charClass` — shared delete-and-diff shape for the
+    * punctuation/symbol density metrics. 0.0 on empty text (a
+    * curation operator must not DIVIDE_BY_ZERO under ANSI mode on the
+    * empty docs every web corpus contains).
+    */
+  private def removedCharRatio(t: Column, charClass: String): Column =
+    when(length(t) === 0, lit(0.0)).otherwise(
+      (length(t) - length(regexp_replace(t, charClass, "")))
+        .cast("double") / length(t))
+
   /** Gopher/C4-style heuristic quality flags — the rule battery
     * curation pipelines apply before expensive stages: token-count
     * bounds, mean-word-length bounds, symbol density, and
@@ -98,6 +109,12 @@ object TextAnalysis {
     * from engine-portable pieces, so the whole output is
     * oracle-checkable; thresholds are parameters, defaults roughly in
     * the published ranges scaled to short synthetic docs.
+    *
+    * Definitions are multilingual- and whitespace-robust: tokens come
+    * from the TRIMMED text (no phantom empty edge tokens), mean word
+    * length averages ACTUAL token lengths (repeated separators don't
+    * distort it), and "symbol" means not-a-letter/digit by UNICODE
+    * class — CJK and accented characters are letters, not symbols.
     */
   def qualityFlags(df: DataFrame, textCol: String,
                    minTokens: Int = 5, maxTokens: Int = 10000,
@@ -105,17 +122,12 @@ object TextAnalysis {
                    maxSymbolRatio: Double = 0.3,
                    maxDupBigramFrac: Double = 0.3): DataFrame = {
     val t = col(textCol)
-    val toks = split(lower(t), "\\s+")
+    val toks = split(trim(lower(t)), "\\s+")
     val nTokens = size(toks)
-    val nChars = length(t)
-    val meanLen = (nChars - (nTokens - 1)).cast("double") / nTokens
-    // symbols = chars REMAINING after deleting everything that is not
-    // a symbol... inverted forms pass a consistent-on-both-sides
-    // oracle while meaning the opposite — count symbols by deleting
-    // them and diffing
-    val symbolRatio =
-      (nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", "")))
-        .cast("double") / nChars
+    val meanLen = when(nTokens === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0), (acc, x) => acc + length(x))
+        .cast("double") / nTokens)
+    val symbolRatio = removedCharRatio(t, "[^\\p{L}\\p{N}\\s]")
     // adjacent-token bigrams; a doc of < 2 tokens has no bigrams and
     // counts as non-repetitive. DISTINCT bigram count comes from the
     // native one-pass shingle kernel (sorted distinct xxhash64 of word
@@ -125,7 +137,7 @@ object TextAnalysis {
     // string modulo 64-bit collisions (none at oracle scale)
     val dupFrac = when(nTokens < 2, lit(0.0))
       .otherwise(lit(1.0) -
-        size(TextFunctions.hashed_shingles(t, 2)).cast("double") /
+        size(TextFunctions.hashed_shingles(trim(t), 2)).cast("double") /
           (nTokens - 1))
     df.withColumn("n_tokens", nTokens)
       .withColumn("mean_word_len", round(meanLen, 6))
@@ -135,10 +147,11 @@ object TextAnalysis {
       .withColumn("ok_mean_len", meanLen.between(minMeanLen, maxMeanLen))
       .withColumn("ok_symbols", symbolRatio <= maxSymbolRatio)
       .withColumn("ok_repetition", dupFrac <= maxDupBigramFrac)
+      // the summary references the flag COLUMNS — restating the four
+      // predicates would let a threshold tweak desynchronize them
       .withColumn("keep",
-        nTokens.between(minTokens, maxTokens) &&
-          meanLen.between(minMeanLen, maxMeanLen) &&
-          symbolRatio <= maxSymbolRatio && dupFrac <= maxDupBigramFrac)
+        col("ok_word_count") && col("ok_mean_len") &&
+          col("ok_symbols") && col("ok_repetition"))
   }
 
   /** Token counts: whitespace tokens + BPE-ish pieces (letter runs /

@@ -241,17 +241,25 @@ object TextDedup {
     * sets are distinct hashes (HashedShingles), so the count is the
     * DISTINCT overlap, matching the string-set definition modulo
     * 64-bit collisions.
+    *
+    * `excludeSameId` suppresses pairs where train and eval carry the
+    * SAME id — set it only when the eval set is a subset of the
+    * training corpus sharing its id space (t28's shape). For an
+    * external benchmark with its own ids it must stay false: an id
+    * coincidence across two independent datasets is not a self-pair,
+    * and dropping it would ship real contamination.
     */
   def contaminationPairs(train: DataFrame, eval: DataFrame,
                          textCol: String, idCol: String,
-                         shingleK: Int = 3, minShared: Int = 5): DataFrame = {
+                         shingleK: Int = 3, minShared: Int = 5,
+                         excludeSameId: Boolean = false): DataFrame = {
     val trainPosting = hashedShingleSets(train, textCol, idCol, shingleK)
       .select(col("id").as("train_id"), explode(col("sh")).as("shash"))
     val evalPosting = hashedShingleSets(eval, textCol, idCol, shingleK)
       .select(col("id").as("eval_id"), explode(col("sh")).as("shash"))
-    trainPosting
-      .join(broadcast(evalPosting), "shash")
-      .filter(col("train_id") =!= col("eval_id"))
+    val joined = trainPosting.join(broadcast(evalPosting), "shash")
+    (if (excludeSameId) joined.filter(col("train_id") =!= col("eval_id"))
+     else joined)
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus mixing — deterministic per-group quota resampling, the
@@ -30,19 +29,13 @@ object Mixing {
   def sampleQuotas(df: DataFrame, groupCol: String, keyCol: String,
                    quotas: Map[String, Int], defaultQuota: Int,
                    salts: Int = 64): DataFrame = {
-    require(salts >= 1, s"salts must be >= 1, got $salts")
     val quota =
       if (quotas.isEmpty) lit(defaultQuota)
       else coalesce(element_at(typedLit(quotas), col(groupCol)),
                     lit(defaultQuota))
-    val h = md5(col(keyCol).cast("string"))
-    val wSalted = Window.partitionBy(col(groupCol), col("__salt")).orderBy(h)
-    val wGroup = Window.partitionBy(col(groupCol)).orderBy(h)
-    df.withColumn("__salt", pmod(xxhash64(col(keyCol)), lit(salts)))
-      .withColumn("__rn1", row_number().over(wSalted))
-      .filter(col("__rn1") <= quota)
-      .withColumn("__rn2", row_number().over(wGroup))
-      .filter(col("__rn2") <= quota)
-      .drop("__salt", "__rn1", "__rn2")
+    Sampling.saltedCap(df, Seq(col(groupCol)),
+      orderBy = md5(col(keyCol).cast("string")),
+      saltBy = xxhash64(col(keyCol)),
+      cap = quota, salts = salts)
   }
 }

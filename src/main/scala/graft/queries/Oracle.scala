@@ -673,16 +673,19 @@ object Oracle {
     "t30_quality_flags" ->
       """WITH b AS (
         |  SELECT doc_id,
-        |         string_split_regex(lower(text), '\s+') AS toks,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks,
         |         length(text) AS n_chars,
         |         length(text) -
-        |           length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_sym
+        |           length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS n_sym
         |  FROM documents
         |), m AS (
         |  SELECT doc_id,
         |         len(toks) AS n_tokens,
-        |         CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_len,
-        |         CAST(n_sym AS DOUBLE) / n_chars AS sym_ratio,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+        |                     AS DOUBLE) / len(toks) END AS mean_len,
+        |         CASE WHEN n_chars = 0 THEN 0.0
+        |              ELSE CAST(n_sym AS DOUBLE) / n_chars END AS sym_ratio,
         |         CASE WHEN len(toks) < 2 THEN 0.0
         |              ELSE 1.0 - CAST(len(list_distinct(
         |                     list_transform(range(len(toks) - 1),

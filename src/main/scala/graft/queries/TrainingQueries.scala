@@ -601,7 +601,7 @@ object TrainingQueries {
     val docs = Tables.documents(spark, sfDir)
     val evalSet = docs.filter(col("doc_id") % 97 === 0)
     TextDedup.contaminationPairs(docs, evalSet, "text", "doc_id",
-        shingleK = 3, minShared = 2)
+        shingleK = 3, minShared = 2, excludeSameId = true)
       .orderBy(col("train_id"), col("eval_id"))
   }
 

@@ -91,18 +91,28 @@ class TextAnalysisSpec extends SparkSpec {
       (0L, "a b a b a b"),                  // bigrams: ab,ba,ab,ba,ab → 2/5 distinct
       (1L, "clean readable prose about engines and planners today"),
       (2L, "#### $$$$ %%%% @@@@"),          // symbol-heavy
-      (3L, "hi")                            // below min token count; no bigrams
+      (3L, "hi"),                           // below min token count; no bigrams
+      (4L, " padded   prose  with messy   spacing around here "),
+      (5L, "汉字 漢字 中文 文字 汉语")       // unicode letters are NOT symbols
     ).toDF("doc_id", "text")
     val out = TextAnalysis.qualityFlags(docs, "text")
       .select($"doc_id", $"dup_bigram_frac", $"symbol_ratio",
-              $"ok_repetition", $"ok_symbols", $"ok_word_count", $"keep")
-      .as[(Long, Double, Double, Boolean, Boolean, Boolean, Boolean)]
+              $"ok_repetition", $"ok_symbols", $"ok_word_count", $"keep",
+              $"n_tokens", $"mean_word_len")
+      .as[(Long, Double, Double, Boolean, Boolean, Boolean, Boolean, Int, Double)]
       .collect().map(r => r._1 -> r).toMap
     assert(math.abs(out(0L)._2 - (1.0 - 2.0 / 5.0)) < 1e-9)
     assert(!out(0L)._4 && !out(0L)._7)      // repetitive → dropped
     assert(out(1L)._4 && out(1L)._5 && out(1L)._7) // clean doc keeps
     assert(out(2L)._3 > 0.3 && !out(2L)._5) // symbols over budget
     assert(out(3L)._2 == 0.0 && !out(3L)._6) // no bigrams; too short
+    // messy whitespace: no phantom edge tokens, true mean token length
+    assert(out(4L)._8 == 7)
+    assert(math.abs(out(4L)._9 - 37.0 / 7.0) < 1e-6) // Σ|tok| = 37
+    assert(out(4L)._7)
+    // CJK: zero symbols, 5 two-char tokens, mean exactly at the bound
+    assert(out(5L)._3 == 0.0 && out(5L)._5)
+    assert(out(5L)._8 == 5 && out(5L)._9 == 2.0 && out(5L)._7)
   }
 
   test("rolling hash: deterministic, matches the closed-form polynomial") {

@@ -138,7 +138,7 @@ class TextDedupSpec extends SparkSpec {
     // shares 7 (the jaccard test's hand count), doc 3 shares none
     val evalSet = docs.filter($"doc_id" === 0)
     val out = TextDedup.contaminationPairs(docs, evalSet, "text", "doc_id",
-        shingleK = 3, minShared = 5)
+        shingleK = 3, minShared = 5, excludeSameId = true)
       .as[(Long, Long, Long)].collect()
       .map(r => ((r._1, r._2), r._3)).toMap
     assert(out((1L, 0L)) == 11L)
@@ -147,7 +147,7 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.contains((0L, 0L))) // an eval doc never flags itself
     // raising the threshold past doc 4's overlap drops it
     val strict = TextDedup.contaminationPairs(docs, evalSet, "text", "doc_id",
-        shingleK = 3, minShared = 8)
+        shingleK = 3, minShared = 8, excludeSameId = true)
       .select($"train_id").as[Long].collect().toSet
     assert(strict == Set(1L, 2L)) // doc 2 appends one word: 11+ shared
   }
