@@ -102,6 +102,7 @@ object SparkEntry {
     "t28_decontaminate"  -> (TrainingQueries.t28Decontaminate _),
     "t29_mixture"        -> (TrainingQueries.t29Mixture _),
     "t30_quality_flags"  -> (TrainingQueries.t30QualityFlags _),
+    "t31_dup_spans"      -> (TrainingQueries.t31DupSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

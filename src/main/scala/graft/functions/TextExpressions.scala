@@ -104,6 +104,36 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
   }
 
+  /** Kernel for [[ShingleStrings]]: the word k-shingles of `text` as
+    * strings — NON-distinct, in document order (position i = the
+    * shingle starting at token i), lowercased, space-joined. Same
+    * tokenization as [[hashedShingles]] (Pattern.split on \s+ of the
+    * lowercased text, limit -1; fewer than k tokens → one whole-text
+    * shingle), so `xxhash64(shingle_strings(t,k)[i])` is always a
+    * member of `hashed_shingles(t, k)`.
+    */
+  def shingleStrings(text: UTF8String, k: Int): ArrayData = {
+    val toks = ws.split(text.toLowerCase.toString, -1)
+    val n = toks.length
+    val eff = if (n < k) n else k
+    val count = if (n < k) 1 else n - k + 1
+    val out = new Array[AnyRef](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < eff) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Kernel for [[MinHashSignature]]: per permutation j, min over
     * shingle base-hashes of hashInt(j, base).
     */
@@ -248,6 +278,27 @@ case class HashedShingles(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Word k-shingle STRINGS of a text — non-distinct, in document order,
+  * lowercased (see [[TextKernels.shingleStrings]]). The composable
+  * Catalyst form (`transform(sequence(..), i -> array_join(slice(toks,
+  * i+1, k), " "))`) re-evaluates the token split inside every lambda
+  * element once projection collapse inlines it — the same interpreted
+  * hotspot that motivated [[HashedShingles]]; this keeps span
+  * regeneration (duplicate-span dedup's retrieval stage) native.
+  */
+case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.shingleStrings(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleStrings($c, $k);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** One-pass MinHash signature over pre-hashed shingles (the
   * [[HashedShingles]] output): element j of the result is min over
   * shingle base-hashes of `hashInt(j, base)` — bit-exact with the SQL
@@ -357,6 +408,8 @@ object TextFunctions {
     toColumn(CodePointRollingHash(toExpr(s), base, mod))
   def hashed_shingles(text: Column, k: Int): Column =
     toColumn(HashedShingles(toExpr(text), k))
+  def shingle_strings(text: Column, k: Int): Column =
+    toColumn(ShingleStrings(toExpr(text), k))
   def sorted_intersect_count(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
   def bpeish_token_count(text: Column): Column =

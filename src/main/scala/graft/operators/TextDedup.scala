@@ -225,6 +225,57 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Duplicate-span detection — the substring-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., 2022), re-expressed for Spark: find every k-token
+    * span that occurs in at least `minDocs` DISTINCT documents, with
+    * its exact document and occurrence counts. (The paper builds a
+    * suffix array; the distributed shape below finds the same
+    * fixed-length repeated spans with two scans and hash-sized
+    * shuffles.)
+    *
+    * Scale shape, two stages:
+    *
+    *  1. survivor discovery over HASHES only — explode the per-doc
+    *     DISTINCT shingle-hash sets ([[graft.functions.HashedShingles]],
+    *     8 bytes per span) and count docs per hash. Nothing wider than
+    *     (hash, id) ever shuffles, and partial aggregation collapses
+    *     each map partition's postings before the exchange.
+    *  2. span-string regeneration for CANDIDATE DOCS only — semi-join
+    *     the corpus to docs containing ≥1 surviving hash, re-emit their
+    *     spans as strings ([[graft.functions.ShingleStrings]], native —
+    *     the composable lambda form re-evaluates the token split per
+    *     element), keep spans whose hash survived, then regroup BY THE
+    *     SPAN STRING with exact distinct-doc and occurrence counts.
+    *
+    * Stage 1 is conservative (a 64-bit collision can only ADD a
+    * candidate, never drop one — hash doc-counts dominate string
+    * doc-counts), and stage 2's string-level regroup + re-filter makes
+    * the final output exact, not exact-modulo-collisions: at 100 TB the
+    * expensive corpus-wide shuffle carries 8-byte hashes, and span
+    * text only ever shuffles for documents that contain a repeat.
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int = 6, minDocs: Int = 2): DataFrame = {
+    val posting = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.hashed_shingles(col(textCol), k)).as("shash"))
+    val survivors = posting
+      .groupBy(col("shash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minDocs)
+      .select(col("shash"))
+    val candidateDocs = posting.join(survivors, "shash")
+      .select(col("id").as(idCol)).distinct()
+    docs.join(candidateDocs, Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.shingle_strings(col(textCol), k)).as("span"))
+      .join(survivors, xxhash64(col("span")) === col("shash"), "left_semi")
+      .groupBy(col("span"))
+      .agg(count_distinct(col("id")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Benchmark decontamination — the curation step every training
     * pipeline runs before an eval: flag training documents sharing at
     * least `minShared` distinct word k-shingles with ANY document of an

@@ -707,6 +707,29 @@ object Oracle {
         |         AND sym_ratio <= 0.3 AND dup_frac <= 0.3 AS keep
         |FROM m""".stripMargin,
 
+    // exact mirror of TextDedup.duplicateSpans (t31): every 6-token
+    // span in >= 2 distinct docs, by direct string regrouping — the
+    // operator's hash pre-filter is a plan optimization, not a
+    // semantic one (string-level regroup + re-filter make it exact).
+    // Span construction matches the t4 shingle idiom; list slices
+    // clamp, so the short-doc whole-text shingle falls out of t[i+1:i+6].
+    "t31_dup_spans" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(
+        |           range(CASE WHEN len(t) < 6 THEN 1 ELSE len(t) - 5 END),
+        |           i -> array_to_string(t[i+1:i+6], ' '))) AS span
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |        FROM documents)
+        |)
+        |SELECT span,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM sp
+        |GROUP BY span
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY span""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -634,6 +634,17 @@ object TrainingQueries {
         col("ok_repetition"), col("keep"))
       .orderBy(col("doc_id"))
 
+  /** t31_dup_spans — substring-level dedup (Lee et al. 2022 shape):
+    * every 6-token span occurring in ≥ 2 distinct documents, with
+    * exact doc/occurrence counts. Hash-only survivor pass, span text
+    * regenerated just for candidate docs, final regroup by the string —
+    * so the output is exact and the DuckDB oracle replays it directly.
+    */
+  def t31DupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    TextDedup.duplicateSpans(Tables.documents(spark, sfDir), "text", "doc_id",
+        k = 6, minDocs = 2)
+      .orderBy(col("span"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.
