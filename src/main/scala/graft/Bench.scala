@@ -2,7 +2,9 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.toolSession(defaultCpus = "4")
+    // local[32] is the benchmark contract; SPARK_GRAFT_CPUS overrides
+    // for dev boxes with fewer cores.
+    val spark = GraftSession.toolSession(defaultCpus = "32")
     // warm-up: one-time session costs (codegen/datasource init) stay
     // outside any query's timing. warmUp failing means the sfDir
     // itself is broken — fail LOUDLY rather than emit a silently
@@ -30,11 +32,14 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val ok = results.view.filterKeys(k => !failed.contains(k)).toMap
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the one-line JSON short enough to
+    // survive log-tail capture intact (sub-ms digits are noise anyway)
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop","failed":$fs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sink":"noop","failed":$fs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -259,11 +259,18 @@ object BigQueryDialect {
   private val BacktickedRel =
     """(?s)^.*`([^`]+)`\s*$""".r
 
-  private def aliasOf(rel: String): Option[String] = rel.trim match {
-    case RelAlias(a) => Some(a)
-    case BacktickedRel(inner) =>
-      Some(inner.substring(inner.lastIndexOf('.') + 1))
-    case _ => None
+  private def aliasOf(rel: String): Option[String] = {
+    val t = rel.trim
+    // a parenthesized subquery with no explicit alias introduces no
+    // referenceable alias — matching RelAlias against its body would
+    // learn a phantom name from the subquery's own text
+    if (t.endsWith(")")) None
+    else t match {
+      case RelAlias(a) => Some(a)
+      case BacktickedRel(inner) =>
+        Some(inner.substring(inner.lastIndexOf('.') + 1))
+      case _ => None
+    }
   }
 
   /** Remove `--` line comments (outside string literals), keeping the
@@ -436,12 +443,36 @@ object BigQueryDialect {
       (seg, "")
     }
 
+    /** Bare identifiers in `s` (outside literals/backticks) that are
+      * not field accesses (not preceded by `.`), lowercased.
+      */
+    def bareIdents(s: String): Set[String] = {
+      val found = scala.collection.mutable.Set.empty[String]
+      var k = 0
+      var prev = ' '
+      while (k < s.length) {
+        val stop = opaqueEnd(s, k)
+        if (stop >= 0) { prev = s.charAt(stop - 1); k = stop }
+        else {
+          val c = s.charAt(k)
+          if ((c.isLetter || c == '_') && !isWordChar(prev) && prev != '.') {
+            val st = k
+            while (k < s.length && isWordChar(s.charAt(k))) k += 1
+            found += s.substring(st, k).toLowerCase
+            prev = s.charAt(k - 1)
+          } else { prev = c; k += 1 }
+        }
+      }
+      found.toSet
+    }
+
     val (base, baseJoins) = splitJoin(segs.head)
     // aliases visible to later correlated segments (case-insensitive,
     // as in BigQuery): the base relation's, each JOIN's (explicit or
     // the relation's implicit last-component alias), each earlier
     // comma relation's, and each earlier lateral's
     val known = scala.collection.mutable.Set.empty[String]
+    val lateralAliases = scala.collection.mutable.Set.empty[String]
     def learn(a: String): Unit = { known += a.toLowerCase; () }
     aliasOf(base).foreach(learn)
     joinAliases(baseJoins).foreach(learn)
@@ -456,6 +487,7 @@ object BigQueryDialect {
         case Some((expr, alias, tail)) =>
           rewrote = true
           learn(alias)
+          lateralAliases += alias.toLowerCase
           laterals.append(
             s" LATERAL VIEW explode($expr) __uv${nextId()} AS $alias")
           rest.append(tail)
@@ -465,6 +497,7 @@ object BigQueryDialect {
             // correlated array field: first component is a FROM alias
             rewrote = true
             learn(alias)
+            lateralAliases += alias.toLowerCase
             laterals.append(
               s" LATERAL VIEW explode($path) __uv${nextId()} AS $alias")
             rest.append(tail)
@@ -479,6 +512,20 @@ object BigQueryDialect {
       if (joinText.nonEmpty) joinAliases(joinText).foreach(learn)
     }
     if (!rewrote) region
-    else s"$base${rest.toString} ${joins.toString}${laterals.toString} "
+    else {
+      // hoisted JOIN text runs BEFORE the LATERAL VIEWs in the emitted
+      // SQL, so an ON clause referencing a lateral alias (legal in
+      // BigQuery: FROM t, UNNEST(t.arr) x JOIN u ON u.k = x.k) would
+      // fail resolution with an opaque error — reject it clearly
+      val clash = bareIdents(joins.toString).intersect(lateralAliases)
+      if (clash.nonEmpty)
+        throw new IllegalArgumentException(
+          "unsupported BigQuery construct: JOIN text references lateral " +
+          s"alias(es) ${clash.toSeq.sorted.mkString(", ")} — a JOIN whose " +
+          "ON clause uses an UNNEST alias cannot be hoisted ahead of the " +
+          "LATERAL VIEW; rewrite the join as a comma/CROSS JOIN segment " +
+          "before the UNNEST, or filter in WHERE instead")
+      s"$base${rest.toString} ${joins.toString}${laterals.toString} "
+    }
   }
 }

@@ -43,7 +43,25 @@ final class MutableTable private (spark: SparkSession, base: String,
   private def fs = new Path(base)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Committed versions only. The `_schema.json` sidecar is the COMMIT
+    * MARKER: `writeVersion` writes parquet first and the sidecar last,
+    * so a crash between the two leaves a v-dir without one — a partial
+    * write that must not become `currentVersion` (readers would fail on
+    * it, and a resuming stream would lose its readable parent state).
+    */
   private def versionsOnDisk: Seq[Long] = {
+    val dir = new Path(base)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .filter(s => fs.exists(new Path(s.getPath, SchemaFile)))
+      .map(_.getPath.getName)
+      .collect { case VersionDir(n) => n.toLong }
+      .sorted
+  }
+
+  /** All vN dirs, committed or not — for pruning partial writes. */
+  private def versionDirsOnDisk: Seq[Long] = {
     val dir = new Path(base)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
@@ -88,10 +106,13 @@ final class MutableTable private (spark: SparkSession, base: String,
     df.write.mode("overwrite").parquet(dirOf(v))
     val out = fs.create(new Path(s"${dirOf(v)}/$SchemaFile"), true)
     try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
-    // prune history beyond the newest keepVersions
-    val vs = versionsOnDisk
-    vs.dropRight(keepVersions).foreach(old =>
-      fs.delete(new Path(dirOf(old)), true))
+    // prune history beyond the newest keepVersions, plus any abandoned
+    // partial writes (v-dirs without the commit sidecar) older than the
+    // version just committed — single-writer, so nothing else owns them
+    val committed = versionsOnDisk
+    val keep = committed.takeRight(keepVersions).toSet
+    versionDirsOnDisk.filter(d => d < v && !keep.contains(d))
+      .foreach(old => fs.delete(new Path(dirOf(old)), true))
   }
 
   private def mutate(f: DataFrame => DataFrame): this.type = {
@@ -109,12 +130,17 @@ final class MutableTable private (spark: SparkSession, base: String,
   /** MERGE: `updates` replace current rows sharing their `keys`
     * (WHEN MATCHED THEN UPDATE) and append otherwise (WHEN NOT MATCHED
     * THEN INSERT). Updates must be key-unique and share the table
-    * schema.
+    * schema. The key match is NULL-SAFE (`<=>`): a NULL-keyed update
+    * replaces the NULL-keyed current row rather than silently
+    * appending a duplicate on every call (the plain-equality anti-join
+    * would never match NULL keys).
     */
   def upsert(updates: DataFrame, keys: Seq[String]): this.type =
-    mutate(cur => cur
-      .join(updates.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(updates))
+    mutate { cur =>
+      val upd = updates.select(keys.map(col): _*)
+      val cond = keys.map(k => cur(k) <=> upd(k)).reduce(_ && _)
+      cur.join(upd, cond, "left_anti").unionByName(updates)
+    }
 
   /** Order-independent merge: keep the greatest-`orderCols` row per
     * key over current ∪ updates — `orderCols` must totally order rows

@@ -135,6 +135,32 @@ class BigQueryDialectSpec extends SparkSpec {
     assert(out.matches("(?s).*FROM t\\s+LATERAL VIEW explode\\(t.arr\\).*"), out)
   }
 
+  test("unaliased parenthesized subquery learns NO phantom alias") {
+    // without the guard, RelAlias would match 'flows' INSIDE the
+    // subquery text, making 'flows.legs x' lateralize when it is
+    // actually a schema-qualified cross-join relation
+    val in = "FROM (SELECT 1 AS k FROM flows), flows.legs x"
+    assert(rewriteLaterals(in) == in)
+  }
+
+  test("JOIN ON referencing a lateral alias fails with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      rewriteLaterals(
+        "FROM t, UNNEST(t.arr) x JOIN u ON u.k = x.k WHERE 1=1")
+    }
+    assert(e.getMessage.contains("lateral alias"))
+    assert(e.getMessage.contains("x"))
+  }
+
+  test("JOIN ON a non-lateral alias still hoists fine alongside laterals") {
+    val out = rewriteLaterals(
+      "FROM t, UNNEST(t.arr) x JOIN u ON u.k = t.k")
+    assert(out.contains("JOIN u ON u.k = t.k"))
+    assert(out.contains("LATERAL VIEW explode(t.arr)"))
+    // and the lateral view text comes after the hoisted join
+    assert(out.indexOf("LATERAL VIEW") > out.indexOf("JOIN u"))
+  }
+
   test("plain comma cross-joins are left alone") {
     val in = "SELECT * FROM a, b WHERE a.k = b.k"
     assert(rewriteLaterals(in) == "SELECT * FROM a, b WHERE a.k = b.k")

@@ -72,6 +72,34 @@ class MutableTableSpec extends SparkSpec {
     assert(t.read().as[(Long, String)].collect().toSeq == Seq((7L, "z")))
   }
 
+  test("upsert: NULL-keyed update replaces the NULL-keyed row (null-safe match)") {
+    val base = freshBase("mt_nullkey")
+    val t = MutableTable.create(spark, base, Seq(
+      (Some(1L), "a"), (None, "orphan")).toDF("k", "s"))
+    t.upsert(Seq((Option.empty[Long], "fixed")).toDF("k", "s"), Seq("k"))
+    t.upsert(Seq((Option.empty[Long], "fixed2")).toDF("k", "s"), Seq("k"))
+    // plain-equality anti-join would append a new NULL row per call;
+    // null-safe match keeps exactly one
+    val got = t.read().as[(Option[Long], String)].collect().toSet
+    assert(got == Set((Some(1L), "a"), (None, "fixed2")))
+  }
+
+  test("partial version (no _schema.json sidecar) is not current and is pruned") {
+    val base = freshBase("mt_crash")
+    val t = MutableTable.create(spark, base, Seq((1L, "a")).toDF("k", "s"))
+    t.deleteWhere(lit(false)) // v1 committed
+    // simulate a crash mid-writeVersion: v2 has parquet but no sidecar
+    val v2 = new java.io.File(s"$base/v2"); v2.mkdirs()
+    java.nio.file.Files.writeString(v2.toPath.resolve("part-0.parquet"), "junk")
+    val reopened = MutableTable.open(spark, base)
+    assert(reopened.currentVersion == 1L) // falls back to last COMMITTED
+    assert(reopened.read().count() == 1)
+    // the next mutation commits v2 cleanly over the partial dir
+    reopened.upsert(Seq((2L, "b")).toDF("k", "s"), Seq("k"))
+    assert(reopened.currentVersion == 2L)
+    assert(reopened.read().count() == 2)
+  }
+
   test("create refuses to clobber an existing table; open finds it") {
     val base = freshBase("mt_create")
     MutableTable.create(spark, base, Seq((1L, "a")).toDF("k", "s"))
