@@ -103,6 +103,7 @@ object SparkEntry {
     "t29_mixture"        -> (TrainingQueries.t29Mixture _),
     "t30_quality_flags"  -> (TrainingQueries.t30QualityFlags _),
     "t31_dup_spans"      -> (TrainingQueries.t31DupSpans _),
+    "t32_pack"           -> (TrainingQueries.t32Pack _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — batch construction for training pipelines: pack
+  * documents into fixed-budget bins (token/char budget per training
+  * sequence) so short documents share a sequence instead of wasting
+  * pad tokens.
+  *
+  * The packing discipline is GREEDY CONTIGUOUS within deterministic
+  * shards: documents are sharded by `id % shards`, ordered by id within
+  * the shard, and each document joins the current bin unless that would
+  * push the bin over `budget` (then it starts the next bin). A document
+  * larger than the whole budget gets a bin of its own. This is the
+  * streaming-friendly discipline real packers use (first-fit against
+  * one open bin): one sequential pass, O(1) state, and — unlike
+  * best-fit/FFD over the whole corpus — it needs no global sort by
+  * size, so the answer is a pure function of (id order, weights) and
+  * replays exactly in SQL (recursive CTE) for the oracle.
+  *
+  * Scale shape: the shard is the parallel unit — `repartition(shard)`
+  * hash-routes each shard to one task, `sortWithinPartitions` gives the
+  * in-shard id order via the shuffle's own sort machinery (no in-memory
+  * group materialization — a shard streams through the packer iterator
+  * at O(1) memory, so shards can be arbitrarily large), and the greedy
+  * scan itself is a `mapPartitions` that resets at shard boundaries.
+  * At 100 TB, `shards` is sized to executor count × a small factor;
+  * packing quality is unaffected by shard count (bins never cross
+  * shards by construction).
+  */
+object Packing {
+
+  /** Pack `docs` into bins of at most `budget` total `weightCol`
+    * (where any single overweight doc occupies its own bin).
+    *
+    * Returns (shard, bin, doc_id, weight) — bin numbering restarts at 0
+    * per shard; (shard, bin) is the packed-sequence key.
+    *
+    * `idCol` must be integral (it defines both the shard and the
+    * in-shard order); `weightCol` must be non-negative and integral
+    * (token or character counts).
+    */
+  def packGreedy(docs: DataFrame, idCol: String, weightCol: String,
+                 budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"),
+              col(idCol).cast("long").as("doc_id"),
+              col(weightCol).cast("long").as("weight"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // a partition holds whole shards (hash-routed), sorted by
+        // (shard, id): scan sequentially, resetting per shard
+        var curShard = -1L
+        var bin = 0L
+        var fill = 0L
+        it.map { case (shard, id, w) =>
+          require(w >= 0, s"negative weight $w for doc $id")
+          if (shard != curShard) { curShard = shard; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + w > budget) { bin += 1; fill = 0L }
+          fill += w
+          (shard, bin, id, w)
+        }
+      }
+      .toDF("shard", "bin", "doc_id", "weight")
+  }
+
+  /** Per-bin packing summary: how full each packed sequence is —
+    * (shard, bin, n_docs, bin_weight, fill_frac). The padding-waste
+    * audit a packing run ships with.
+    */
+  def packStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("weight")).as("bin_weight"))
+      .withColumn("fill_frac",
+        round(least(col("bin_weight") / budget.toDouble, lit(1.0)), 6))
+}

@@ -730,6 +730,23 @@ object Oracle {
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY span""".stripMargin,
 
+    "t32_pack" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, CAST(length(text) AS BIGINT) AS w,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack AS (
+        |  SELECT shard, doc_id, w, rn, CAST(0 AS BIGINT) AS bin, w AS fill
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.doc_id, d.w, d.rn,
+        |         CASE WHEN p.fill + d.w > 2048 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.fill + d.w > 2048 THEN d.w ELSE p.fill + d.w END
+        |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+        |)
+        |SELECT shard, bin, doc_id, w AS weight FROM pack
+        |ORDER BY shard, bin, doc_id""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Clustering, Multimodal, Quantization, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Clustering, Multimodal, Packing, Quantization, Similarity, TextAnalysis, TextDedup}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -644,6 +644,19 @@ object TrainingQueries {
     TextDedup.duplicateSpans(Tables.documents(spark, sfDir), "text", "doc_id",
         k = 6, minDocs = 2)
       .orderBy(col("span"))
+
+  /** t32_pack — sequence packing: greedy contiguous char-budget
+    * packing of the corpus into 2048-char training sequences over 8
+    * deterministic shards. The discipline (one open bin per shard,
+    * id order) is a pure function of (id, length), so the DuckDB
+    * oracle replays bin assignment exactly via a recursive CTE.
+    */
+  def t32Pack(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("w"))
+    Packing.packGreedy(docs, "doc_id", "w", budget = 2048L, shards = 8)
+      .orderBy(col("shard"), col("bin"), col("doc_id"))
+  }
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
