@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * Algorithm: distributed min-label propagation with pointer jumping.
   * Each round does
   *
-  *   1. propagate — label(v) ← min(label(v), min over neighbors u of
-  *      label(u)): one shuffle (groupBy v);
-  *   2. hop — label(v) ← label(label(v)): a self-join that squares the
-  *      distance a label travels per round (path doubling).
+  *   1. hop — label(v) ← label(label(v)): a self-join that squares the
+  *      distance a label travels per round (path doubling; skipped on
+  *      round 0 where label = id makes it the identity);
+  *   2. propagate — label(v) ← min over u ∈ neighbors(v) ∪ {v} of
+  *      label(u): one join + one groupBy (the edge set carries a
+  *      self-loop per node, so the node's own label rides the same
+  *      aggregate instead of needing a second merge join).
   *
   * Plain propagation needs O(diameter) rounds — a 1M-doc chain of
   * near-dups (template spam with drifting boilerplate) would need 1M
@@ -62,11 +65,24 @@ object Clustering {
                           maxRounds: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // edge projection computed ONCE, eagerly: the union below references
+    // it four times (both directions + a self-loop per endpoint), and
+    // callers typically pass an expensive un-persisted pair pipeline as
+    // `edges` (t18 hands in the full n-gram Jaccard run) — without the
+    // eager cache each union branch would re-run that pipeline, and a
+    // lazy persist lets the branches' parallel tasks race past the cache
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
-    // undirected: each edge contributes both directions; self-loops are
-    // harmless (min with own label) but distinct trims the fan-in
+      .persist()
+    e.count()
+    // undirected: each edge contributes both directions, PLUS a
+    // self-loop per node — the self-loop folds "min with own label"
+    // into the neighbor-min aggregate, so each propagate round is one
+    // join + one groupBy instead of two joins (the old second join
+    // merged the node's own label back in); distinct trims the fan-in
     val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(e.select(col("src"), col("src").as("dst")))
+      .unionByName(e.select(col("dst").as("src"), col("dst")))
       .distinct()
       .persist()
     // empty edge set: no nodes, so the fixpoint is the empty labeling
@@ -74,7 +90,9 @@ object Clustering {
     // sum of zero rows)
     if (und.isEmpty) {
       und.unpersist()
-      return e.select(col("src").as("id"), col("src").as("component"))
+      e.unpersist()
+      return edges.select(col(srcCol).cast("long").as("id"),
+                          col(srcCol).cast("long").as("component"))
         .limit(0)
     }
     var (labels, release) = materialize(
@@ -88,27 +106,46 @@ object Clustering {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
+    // that first action read every und partition (labels is the distinct
+    // of und's src), so the und cache is complete — the raw edge
+    // projection behind it can go now
+    e.unpersist()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // 1. propagate: min label over self + in-neighbors
+      // 1. hop: label(v) <- label(label(v)) — labels are node ids, so
+      // the label table maps them too (path doubling). The self-join
+      // reads the MATERIALIZED previous round twice (cache hits — the
+      // old shape hopped the un-materialized propagate output and
+      // computed its whole subtree once per join side), and round 0
+      // skips it outright (label = id makes the hop the identity).
+      val base =
+        if (round == 0) labels
+        else labels
+          .join(labels.select(col("id").as("label"), col("label").as("hop")),
+                Seq("label"), "left")
+          .select(col("id"),
+                  least(col("label"), coalesce(col("hop"), col("label"))).as("label"))
+      // 2. propagate: min label over self + neighbors — the self-loops
+      // in `und` carry the node's own label into the aggregate, so no
+      // second join is needed, and `base` is referenced exactly once
       val propagated = und
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(base.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nbr"))
-        .join(labels, "id")
-        .select(col("id"), least(col("label"), col("nbr")).as("label"))
-      // 2. hop: label(v) <- label(label(v)) — labels are node ids, so
-      // the label table maps them too (path doubling)
-      val (hopped, releaseNew) = materialize(propagated.as("a")
-        .join(propagated.select(col("id").as("label"),
-                                col("label").as("hop")), Seq("label"), "left")
-        .select(col("id"),
-                least(col("label"), coalesce(col("hop"), col("label"))).as("label")))
-      val after = labelSum(hopped) // materializes hopped's RDD
+        .agg(min(col("label")).as("label"))
+      val (next, releaseNew) = materialize(propagated)
+      val tR = System.nanoTime()
+      val after = labelSum(next) // the round's ONE action: computes the
+                                 // persisted RDD and the convergence sum
+      if (sys.props.contains("graft.cc.debug"))
+        println(f"[cc] round $round ${(System.nanoTime() - tR) / 1e9}%.2f s sum=$after")
       release() // superseded round's blocks go away NOW, not at GC
-      labels = hopped
+      labels = next
       release = releaseNew
+      // labels only decrease through hop and propagate, so an unchanged
+      // sum means BOTH steps were the identity — on a symmetric graph a
+      // propagate fixpoint has constant labels per component (for every
+      // edge u~v both label(u) >= label(v) and vice versa), i.e. done
       converged = prevSum.compareTo(after) == 0
       prevSum = after
       round += 1

@@ -215,27 +215,52 @@ object Similarity {
       // persist + concurrent stages can double-compute partitions)
       reps.count()
       // stage 1: identical-vector membership pairs (rep id is the min,
-      // so rep < member always; cosine of identical vectors is exactly 1)
+      // so rep < member always; cosine of identical vectors is exactly 1).
+      // The join is keyed on xxhash64(vec) — an 8-byte shuffle/sort key —
+      // with an exact vec-equality re-check inside the hash bucket, so no
+      // shuffle machinery ever partitions or sort-merges on the float
+      // array itself; a 64-bit collision between distinct vectors is
+      // filtered by the re-check instead of forging a cosine-1.0 pair
       val memberPairs = ids
-        .join(reps.select(col("vec"), col("id").as("rep_id")), "vec")
-        .filter(col("id") =!= col("rep_id"))
+        .withColumn("h", xxhash64(col("vec")))
+        .join(reps.select(xxhash64(col("vec")).as("h"),
+                          col("vec").as("rep_vec"), col("id").as("rep_id")),
+              Seq("h"))
+        .filter(col("vec") === col("rep_vec") && col("id") =!= col("rep_id"))
         .select(col("rep_id").as("id_a"), col("id").as("id_b"),
                 lit(1.0).as("cosine"))
-      // stage 2: LSH over distinct representatives; id-only capped-bucket
-      // pairs (Buckets.pairs — exact dups are already collapsed, but a
-      // large NEAR-dup vector cluster still shares buckets and would go
-      // quadratic in a flat self-join), vectors rejoin after the distinct
+      // stage 2: LSH over distinct representatives. Bucket occupancy is
+      // still capped through the shared saturating collector
+      // (Buckets.capped — exact dups are already collapsed, but a large
+      // NEAR-dup vector cluster still shares buckets and would go
+      // quadratic in a flat self-join); vectors then rejoin at
+      // MEMBERSHIP cardinality (N·tables rows — linear in the corpus)
+      // and pairs are expanded, cosine-scored, and threshold-filtered
+      // inside one codegen stage, so only VERIFIED pairs ever reach the
+      // dedup shuffle. The old shape (id-only pairs → distinct → two
+      // vector rejoins) shuffled at candidate-pair cardinality, which
+      // at wide-recall params is orders of magnitude above the survivor
+      // count (sf0.1: 1.28M candidates → 882 survivors).
       val sigs = (0 until tables).map(t =>
         hyperplane_sig(col("vec"), bits, seed = 42L + t))
       val b = reps.select(col("id"),
         posexplode(array(sigs: _*)).as(Seq("table", "bucket")))
       val vecs = reps.select(col("id"), col("vec"))
-      val repPairs = Buckets.pairs(b, Seq("table", "bucket"), maxBucket)
-        .join(vecs.toDF("id_a", "vec_a"), "id_a")
-        .join(vecs.toDF("id_b", "vec_b"), "id_b")
-        .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
+      val bucketMembers = Buckets.capped(b, Seq("table", "bucket"), maxBucket)
+        .select(col("table"), col("bucket"), explode(col("ids")).as("id"))
+        .join(vecs, "id")
+        // bounded regroup: ids came from capped posting lists, so the
+        // collect_list buffer never exceeds maxBucket (id, vec) structs
+        .groupBy(col("table"), col("bucket"))
+        .agg(collect_list(struct(col("id"), col("vec"))).as("m"))
+      val repPairs = bucketMembers
+        .select(explode(col("m")).as("a"), col("m"))
+        .select(col("a"), explode(col("m")).as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .withColumn("cosine", cosine_sim(col("a.vec"), col("b.vec")))
         .filter(col("cosine") >= threshold)
-        .select(col("id_a"), col("id_b"), col("cosine"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+        .dropDuplicates("id_a", "id_b")
       memberPairs.unionByName(repPairs)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .localCheckpoint(true)
