@@ -30,6 +30,49 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val gateFailures = qualityGate(spark, outDir)
     spark.stop()
+    if (gateFailures.nonEmpty) {
+      gateFailures.foreach(f => System.err.println(s"[verify] GATE FAIL: $f"))
+      sys.exit(1)
+    }
+  }
+
+  /** Enforced quality floors for the approximate paths whose driver rows
+    * are `no_oracle`: the cross-check queries that JUSTIFY those rows
+    * (t16 ANN recall, t21 LSH candidate recall, t25/t27 violation
+    * counts) must actually hold, not just be reported. Reads back the
+    * parquet this run just wrote, so the gate checks exactly what the
+    * driver will record. Returns human-readable failure strings; empty
+    * means the gate passed.
+    */
+  private def qualityGate(spark: SparkSession, outDir: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    def rows(name: String) =
+      try Right(spark.read.parquet(s"$outDir/$name").collect())
+      catch { case e: Throwable => Left(s"$name unreadable: ${e.getMessage}") }
+    val checks = Seq[(String, Either[String, Boolean])](
+      // nprobe = nlist degenerates to brute force: recall must be exactly 1
+      "t16 ivf nprobe=16 recall == 1.0" -> rows("t16_ann_recall").map(
+        _.exists(r => r.getAs[String]("method") == "ivf_topk" &&
+          r.getAs[String]("params").contains("nprobe=16") &&
+          r.getAs[Double]("recall_at_5") == 1.0)),
+      // wide-recall LSH setting: pinned floor 0.9
+      "t16 lsh bits=2,tables=32 recall >= 0.9" -> rows("t16_ann_recall").map(
+        _.exists(r => r.getAs[String]("method") == "lsh_topk" &&
+          r.getAs[String]("params") == "bits=2,tables=32" &&
+          r.getAs[Double]("recall_at_5") >= 0.9)),
+      // MinHash banding at the default params must surface >= 90% of the
+      // df-capped exact-Jaccard pair set
+      "t21 lsh candidate recall >= 0.9" -> rows("t21_lsh_recall").map(
+        _.exists(r => r.getAs[Double]("recall") >= 0.9)),
+      "t25 minhash precision violations == 0" -> rows("t25_minhash_precision")
+        .map(_.exists(r => r.getAs[Long]("n_violations") == 0L)),
+      "t27 simhash recovery violations == 0" -> rows("t27_simhash_recovery")
+        .map(_.exists(r => r.getAs[Long]("n_violations") == 0L)))
+    checks.collect {
+      case (desc, Left(err)) => s"$desc — $err"
+      case (desc, Right(false)) => desc
+    }
   }
 }

@@ -71,6 +71,91 @@ object Packing {
       .toDF("shard", "bin", "doc_id", "weight")
   }
 
+  /** First-fit-decreasing packing within each shard — the opt-in
+    * bin-QUALITY variant: documents are sorted by weight descending
+    * (id tiebreak) inside the shard and each one lands in the FIRST
+    * open bin with room, so small documents backfill the gaps big ones
+    * leave and the per-bin fill fraction beats the greedy contiguous
+    * scan. The tradeoffs real packers weigh against that quality win:
+    * bin membership is no longer contiguous in id order (worse for
+    * curriculum-style orderings), and the scan keeps a list of open
+    * bins instead of one.
+    *
+    * The open-bin list is BOUNDED at `maxOpenBins`: when it
+    * overflows, the fullest open bin closes (it can accept the fewest
+    * future docs — weights only decrease, so closing it first costs
+    * the least fill). That keeps per-task state at O(maxOpenBins)
+    * regardless of shard size — the same O(1)-memory discipline as
+    * the greedy scan, paid for with a bounded deviation from true FFD
+    * on adversarial weight mixes.
+    *
+    * Output contract matches [[packGreedy]]: (shard, bin, doc_id,
+    * weight), bin numbering restarting at 0 per shard, deterministic
+    * (a pure function of the shard's (weight desc, id) order).
+    */
+  def packFirstFitDecreasing(docs: DataFrame, idCol: String, weightCol: String,
+                             budget: Long, shards: Int,
+                             maxOpenBins: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(maxOpenBins > 0, s"maxOpenBins must be positive, got $maxOpenBins")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"),
+              col(idCol).cast("long").as("doc_id"),
+              col(weightCol).cast("long").as("weight"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("weight").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = -1L
+        var nextBin = 0L
+        // open bins as parallel arrays (binId, fill), small and scanned
+        // linearly — maxOpenBins is tens, not thousands
+        val binIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { case (shard, id, w) =>
+          require(w >= 0, s"negative weight $w for doc $id")
+          if (shard != curShard) {
+            curShard = shard; nextBin = 0L; binIds.clear(); fills.clear()
+          }
+          var i = 0
+          while (i < binIds.length && fills(i) + w > budget) i += 1
+          val bin = if (i < binIds.length) {
+            fills(i) += w
+            val b = binIds(i)
+            // a bin filled to the brim can't take any more — close it
+            if (fills(i) >= budget) { binIds.remove(i); fills.remove(i) }
+            b
+          } else {
+            val b = nextBin
+            nextBin += 1
+            // an at-or-over-budget doc fills its bin outright; only
+            // bins with remaining room join the open list
+            if (w < budget) {
+              binIds += b
+              fills += w
+              if (binIds.length > maxOpenBins) {
+                // close the fullest open bin (least future capacity)
+                var maxI = 0
+                var j = 1
+                while (j < fills.length) {
+                  if (fills(j) > fills(maxI)) maxI = j
+                  j += 1
+                }
+                binIds.remove(maxI)
+                fills.remove(maxI)
+              }
+            }
+            b
+          }
+          (shard, bin, id, w)
+        }
+      }
+      .toDF("shard", "bin", "doc_id", "weight")
+  }
+
   /** Per-bin packing summary: how full each packed sequence is —
     * (shard, bin, n_docs, bin_weight, fill_frac). The padding-waste
     * audit a packing run ships with.

@@ -732,7 +732,8 @@ object Oracle {
 
     "t32_pack" ->
       """WITH RECURSIVE docs AS (
-        |  SELECT doc_id % 8 AS shard, doc_id, CAST(length(text) AS BIGINT) AS w,
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS w,
         |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
         |  FROM documents
         |), pack AS (

@@ -416,7 +416,7 @@ object TrainingQueries {
     ()
   }
 
-  private def rangedEventsFixture(spark: SparkSession, sfDir: String): String =
+  private[graft] def rangedEventsFixture(spark: SparkSession, sfDir: String): String =
     eventFixtures.getOrElseUpdate(sfDir, {
       val in = s"${graft.io.TempDirs.create("graft_events4")}/in"
       Tables.events(spark, sfDir)
@@ -470,16 +470,23 @@ object TrainingQueries {
               col("ts"), col("value"))
       .as[StatefulFlows.FlowEvent]
     val balances = StatefulFlows.runningBalances(stream).toDF()
-    // 8 state partitions: plenty for ~150 wallet keys — see
-    // StreamingFlows.withStatePartitions
-    val emitted = graft.streaming.StreamingFlows.withStatePartitions(spark, 8) {
+    // 4 state partitions: plenty for ~150 wallet keys, and every batch
+    // commits one state-store delta per partition — see
+    // StreamingFlows.withStatePartitions (T24Profile measured 4 a hair
+    // under 8; the per-batch floor is addBatch + 3 checkpoint fsyncs)
+    val emitted = graft.streaming.StreamingFlows.withStatePartitions(spark, 4) {
       graft.streaming.StreamingFlows.runAvailableNow(spark,
         balances, s"t24_bal_${System.nanoTime}")
     }
-    graft.ops.Dedup.keepFirst(emitted, Seq("wallet"),
-        Seq(col("n_events").desc))
-      .select(col("wallet"), round(col("net"), 2).as("net_r"),
-              col("n_events"), col("last_ts"))
+    // final snapshot per wallet = the max-n_events emission (the counter
+    // is strictly monotone per wallet, so (wallet, n_events) is unique):
+    // a max_by aggregate — partial agg crushes the 4-rows-per-wallet
+    // input map-side, where the old window+filter shape sorted it
+    emitted.groupBy(col("wallet"))
+      .agg(max_by(struct(col("net"), col("n_events"), col("last_ts")),
+                  col("n_events")).as("s"))
+      .select(col("wallet"), round(col("s.net"), 2).as("net_r"),
+              col("s.n_events").as("n_events"), col("s.last_ts").as("last_ts"))
       .orderBy(col("wallet"))
   }
 
@@ -645,15 +652,19 @@ object TrainingQueries {
         k = 6, minDocs = 2)
       .orderBy(col("span"))
 
-  /** t32_pack — sequence packing: greedy contiguous char-budget
-    * packing of the corpus into 2048-char training sequences over 8
-    * deterministic shards. The discipline (one open bin per shard,
-    * id order) is a pure function of (id, length), so the DuckDB
-    * oracle replays bin assignment exactly via a recursive CTE.
+  /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
+    * packing of the corpus into 2048-token training sequences over 8
+    * deterministic shards, weighted by the native BPE-ish token
+    * counter (the same kernel t10 exercises — real packers budget in
+    * tokens, not characters). The discipline (one open bin per shard,
+    * id order) is a pure function of (id, token count), so the DuckDB
+    * oracle replays bin assignment exactly via a recursive CTE with
+    * the equivalent regexp token count as the weight.
     */
   def t32Pack(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), length(col("text")).as("w"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.bpeish_token_count(col("text")).as("w"))
     Packing.packGreedy(docs, "doc_id", "w", budget = 2048L, shards = 8)
       .orderBy(col("shard"), col("bin"), col("doc_id"))
   }

@@ -50,6 +50,68 @@ class PackingSpec extends SparkSpec {
     assert(packed.select("doc_id").distinct().count() == 500)
   }
 
+  private def packFfd(rows: Seq[(Long, Long)], budget: Long, shards: Int,
+                      maxOpenBins: Int = 64) =
+    Packing.packFirstFitDecreasing(rows.toDF("id", "w"), "id", "w",
+        budget, shards, maxOpenBins)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .sortBy(t => (t._1, t._2, t._3))
+
+  test("FFD backfills gaps the greedy scan wastes") {
+    // weights desc: 6,5,4,3,2 at budget 10 -> FFD: [6,4] [5,3,2] = 2 bins;
+    // greedy in id order (6,5,4,3,2) -> [6] [5,4] [3,2] = 3 bins
+    val rows = Seq((0L, 6L), (1L, 5L), (2L, 4L), (3L, 3L), (4L, 2L))
+    val ffd = packFfd(rows, budget = 10, shards = 1)
+    assert(ffd.map(_._2).distinct.size == 2)
+    assert(pack(rows, budget = 10, shards = 1).map(_._2).distinct.size == 3)
+    assert(ffd.map { case (_, bin, id, _) => id -> bin }.toMap ==
+      Map(0L -> 0L, 2L -> 0L, 1L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("FFD: no bin exceeds budget, every doc packed exactly once") {
+    val rows = (0L until 500L).map(i => (i, (i * 37 % 120) + 1))
+    val packed = Packing.packFirstFitDecreasing(rows.toDF("id", "w"),
+      "id", "w", budget = 256, shards = 8)
+    val over = Packing.packStats(packed, 256)
+      .filter(col("bin_weight") > 256 && col("n_docs") > 1)
+    assert(over.count() == 0)
+    assert(packed.count() == 500)
+    assert(packed.select("doc_id").distinct().count() == 500)
+  }
+
+  test("FFD needs no more bins than greedy on the same corpus") {
+    val rows = (0L until 500L).map(i => (i, (i * 37 % 120) + 1))
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "bin").distinct().count()
+    val g = bins(Packing.packGreedy(rows.toDF("id", "w"), "id", "w", 256, 8))
+    val f = bins(Packing.packFirstFitDecreasing(rows.toDF("id", "w"),
+      "id", "w", 256, 8))
+    assert(f <= g, s"FFD used $f bins vs greedy $g")
+  }
+
+  test("FFD oversize docs close immediately and never block the open list") {
+    // open-bin cap of 1: the oversize doc must not evict the usable bin
+    val rows = Seq((0L, 50L), (1L, 4L), (2L, 4L), (3L, 4L))
+    val got = packFfd(rows, budget = 10, shards = 1, maxOpenBins = 1)
+    // desc order: 50 (own bin, closed), then 4,4 share a bin, 4 overflows
+    val byId = got.map { case (_, bin, id, _) => id -> bin }.toMap
+    assert(byId(0L) != byId(1L))
+    assert(byId(1L) == byId(2L))
+    assert(byId(3L) != byId(1L))
+  }
+
+  test("FFD bounded open-bin list still packs when the cap saturates") {
+    // many half-full bins force evictions at maxOpenBins=2; correctness
+    // (coverage + budget) must survive the quality loss
+    val rows = (0L until 40L).map(i => (i, 6L)) // budget 10: one per bin... 6+6>10
+    val packed = Packing.packFirstFitDecreasing(rows.toDF("id", "w"),
+      "id", "w", budget = 10, shards = 2, maxOpenBins = 2)
+    assert(packed.count() == 40)
+    val over = Packing.packStats(packed, 10)
+      .filter(col("bin_weight") > 10 && col("n_docs") > 1)
+    assert(over.count() == 0)
+  }
+
   test("packStats reports fill fractions capped at 1") {
     val packed = Packing.packGreedy(
       Seq((0L, 50L), (1L, 4L), (2L, 4L)).toDF("id", "w"), "id", "w",
