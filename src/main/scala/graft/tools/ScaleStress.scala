@@ -83,7 +83,14 @@ object ScaleStress {
       "t6_embed_ann"     -> (TrainingQueries.t6EmbedAnn _),
       "t7_embed_neardup" -> (TrainingQueries.t7EmbedNearDup _),
       "t15_embed_ivf"    -> (TrainingQueries.t15EmbedIvf _),
-      "t18_cluster"      -> (TrainingQueries.t18Cluster _))
+      "t18_cluster"      -> (TrainingQueries.t18Cluster _),
+      // round-4/5 additions: decontamination (broadcast eval posting),
+      // quality flags (per-row codegen), duplicate spans (the posting
+      // explode is the heaviest new shuffle), token-budget packing
+      "t28_decontaminate" -> (TrainingQueries.t28Decontaminate _),
+      "t30_quality_flags" -> (TrainingQueries.t30QualityFlags _),
+      "t31_dup_spans"    -> (TrainingQueries.t31DupSpans _),
+      "t32_pack"         -> (TrainingQueries.t32Pack _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")
@@ -117,6 +124,27 @@ object ScaleStress {
       TextDedup.overflowBuckets(docs, "text", "doc_id").count()
     }
     println(s"| saturated (dropped) minhash buckets | $oS | $oB |")
+    // t31 internals: the survivor pass shuffles 8-byte hashes only and
+    // span text regenerates for candidate docs alone — these two counts
+    // are what keeps its posting-explode shuffle linear-ish
+    import graft.functions.TextFunctions
+    val (shS, shB) = both { d =>
+      graft.Tables.documents(spark, d)
+        .select(col("doc_id").as("id"),
+          explode(TextFunctions.hashed_shingles(col("text"), 6)).as("shash"))
+        .groupBy(col("shash")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).count()
+    }
+    println(s"| t31 surviving span hashes | $shS | $shB |")
+    val (cdS, cdB) = both { d =>
+      val posting = graft.Tables.documents(spark, d)
+        .select(col("doc_id").as("id"),
+          explode(TextFunctions.hashed_shingles(col("text"), 6)).as("shash"))
+      val survivors = posting.groupBy(col("shash"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("shash"))
+      posting.join(survivors, "shash").select(col("id")).distinct().count()
+    }
+    println(s"| t31 candidate docs (span text regenerated) | $cdS | $cdB |")
     spark.stop()
   }
 }
