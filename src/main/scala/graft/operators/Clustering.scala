@@ -65,24 +65,22 @@ object Clustering {
                           maxRounds: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // edge projection computed ONCE, eagerly: the union below references
-    // it four times (both directions + a self-loop per endpoint), and
-    // callers typically pass an expensive un-persisted pair pipeline as
-    // `edges` (t18 hands in the full n-gram Jaccard run) — without the
-    // eager cache each union branch would re-run that pipeline, and a
-    // lazy persist lets the branches' parallel tasks race past the cache
+    // undirected: each edge contributes both directions, PLUS a
+    // self-loop per endpoint — the self-loop folds "min with own label"
+    // into the neighbor-min aggregate, so each propagate round is one
+    // join + one groupBy instead of two joins; distinct trims the
+    // fan-in. The 4-way expansion is a single in-stage explode (NOT a
+    // 4-branch union): callers typically pass an expensive un-persisted
+    // pair pipeline as `edges` (t18 hands in the full n-gram Jaccard
+    // run), and a union would re-run it once per branch
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
-      .persist()
-    e.count()
-    // undirected: each edge contributes both directions, PLUS a
-    // self-loop per node — the self-loop folds "min with own label"
-    // into the neighbor-min aggregate, so each propagate round is one
-    // join + one groupBy instead of two joins (the old second join
-    // merged the node's own label back in); distinct trims the fan-in
-    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .unionByName(e.select(col("src"), col("src").as("dst")))
-      .unionByName(e.select(col("dst").as("src"), col("dst")))
+    val und = e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")),
+        struct(col("src"), col("src").as("dst")),
+        struct(col("dst").as("src"), col("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
       .persist()
     // empty edge set: no nodes, so the fixpoint is the empty labeling
@@ -90,14 +88,16 @@ object Clustering {
     // sum of zero rows)
     if (und.isEmpty) {
       und.unpersist()
-      e.unpersist()
       return edges.select(col(srcCol).cast("long").as("id"),
                           col(srcCol).cast("long").as("component"))
         .limit(0)
     }
+    // initial labels = round 0's propagate, for free: with label = id
+    // the propagate aggregate is just min(src) per dst, and the
+    // self-loops put every node in the dst column — one groupBy, same
+    // shuffle the old distinct-nodes init paid, one round saved
     var (labels, release) = materialize(
-      und.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+      und.groupBy(col("dst").as("id")).agg(min(col("src")).as("label")))
     // label sums only decrease (min-propagation is monotone), so
     // sum-equality across rounds ⟺ no label changed. The sum runs in
     // DECIMAL(38,0): a Long sum of up-to-2^63 ids overflows around
@@ -106,10 +106,6 @@ object Clustering {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
-    // that first action read every und partition (labels is the distinct
-    // of und's src), so the und cache is complete — the raw edge
-    // projection behind it can go now
-    e.unpersist()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -117,15 +113,12 @@ object Clustering {
       // the label table maps them too (path doubling). The self-join
       // reads the MATERIALIZED previous round twice (cache hits — the
       // old shape hopped the un-materialized propagate output and
-      // computed its whole subtree once per join side), and round 0
-      // skips it outright (label = id makes the hop the identity).
-      val base =
-        if (round == 0) labels
-        else labels
-          .join(labels.select(col("id").as("label"), col("label").as("hop")),
-                Seq("label"), "left")
-          .select(col("id"),
-                  least(col("label"), coalesce(col("hop"), col("label"))).as("label"))
+      // computed its whole subtree once per join side).
+      val base = labels
+        .join(labels.select(col("id").as("label"), col("label").as("hop")),
+              Seq("label"), "left")
+        .select(col("id"),
+                least(col("label"), coalesce(col("hop"), col("label"))).as("label"))
       // 2. propagate: min label over self + neighbors — the self-loops
       // in `und` carry the node's own label into the aggregate, so no
       // second join is needed, and `base` is referenced exactly once
