@@ -104,6 +104,7 @@ object SparkEntry {
     "t30_quality_flags"  -> (TrainingQueries.t30QualityFlags _),
     "t31_dup_spans"      -> (TrainingQueries.t31DupSpans _),
     "t32_pack"           -> (TrainingQueries.t32Pack _),
+    "t33_chunk"          -> (TrainingQueries.t33Chunk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -208,4 +208,41 @@ object TextAnalysis {
     df.select(col(idCol),
       TextFunctions.rolling_hash_mod(col(textCol)).as("fingerprint"),
       md5(col(textCol)).as("digest"))
+
+  /** Token-window chunking — the context-construction step between
+    * curation and embedding/training: each document splits into
+    * windows of `chunkTokens` whitespace tokens advancing by `stride`
+    * tokens (stride < chunkTokens ⇒ overlapping windows, the shape
+    * retrieval pipelines use so no sentence straddles a boundary
+    * unseen). A document of n tokens yields
+    * 1 + ceil((n - chunkTokens) / stride) chunks (min 1 — short docs
+    * are one whole-text chunk); the last chunk may be short rather
+    * than dropped, so every token lands in at least one chunk.
+    *
+    * Output: (id, chunk_id, chunk_text, n_tokens) — one row per
+    * window, chunk_id 0-based in document order.
+    *
+    * Scale shape: pure per-row expressions (split + sequence +
+    * transform + posexplode) — one scan, no shuffle, codegen end to
+    * end; output size is input tokens × (chunkTokens/stride) by
+    * construction, the caller's chosen duplication factor. Exactly
+    * replayable in SQL (list slicing), so it oracle-checks.
+    */
+  def tokenChunks(df: DataFrame, textCol: String, idCol: String,
+                  chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    val toks = split(col(textCol), "\\s+")
+    val n = size(toks)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(toks, i * stride + 1, lit(chunkTokens))))
+          .as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("c"), " ").as("chunk_text"),
+        size(col("c")).as("n_tokens"))
+  }
 }

@@ -748,6 +748,30 @@ object Oracle {
         |SELECT shard, bin, doc_id, w AS weight FROM pack
         |ORDER BY shard, bin, doc_id""".stripMargin,
 
+    // exact mirror of TextAnalysis.tokenChunks (t33): 16-token windows
+    // advancing by 12, 1 + ceil((n-16)/12) windows (min 1), DuckDB's
+    // inclusive 1-based list slice toks[s : s+15] = Spark's
+    // slice(toks, s, 16) — both clamp at the end of the list
+    "t33_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |         unnest(range(CASE WHEN len(toks) <= 16 THEN 1
+        |           ELSE CAST(ceil((len(toks) - 16)::DOUBLE / 12) AS INT) + 1
+        |           END)) AS chunk_id,
+        |         toks
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |       array_to_string(toks[chunk_id*12+1 : chunk_id*12+16], ' ')
+        |         AS chunk_text,
+        |       CAST(len(toks[chunk_id*12+1 : chunk_id*12+16]) AS INT)
+        |         AS n_tokens
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -669,6 +669,17 @@ object TrainingQueries {
       .orderBy(col("shard"), col("bin"), col("doc_id"))
   }
 
+  /** t33_chunk — token-window chunking (the context-construction step
+    * between curation and embedding): 16-token windows advancing by 12
+    * (overlapping), short docs one whole-text chunk, trailing partial
+    * windows kept. Pure per-row expressions, no shuffle; the DuckDB
+    * oracle replays the window arithmetic with list slicing.
+    */
+  def t33Chunk(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenChunks(Tables.documents(spark, sfDir), "text", "doc_id",
+        chunkTokens = 16, stride = 12)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

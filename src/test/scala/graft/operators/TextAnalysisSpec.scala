@@ -141,4 +141,55 @@ class TextAnalysisSpec extends SparkSpec {
     val expect = ((('a'.toLong * 31 + 'b') % 97) * 31 + 0x4e2d) % 97
     assert(out == expect)
   }
+
+  test("tokenChunks: hand-computed windows, overlap, and trailing chunk") {
+    // 10 tokens, chunk 4, stride 3: starts at 0,3,6 -> 1+ceil(6/3)=3
+    // chunks; last chunk is the full 4 (tokens 7-10)
+    val text = (1 to 10).map("w" + _).mkString(" ")
+    val got = TextAnalysis.tokenChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id", 4, 3)
+      .as[(Long, Int, String, Int)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4),
+      (1L, 1, "w4 w5 w6 w7", 4),
+      (1L, 2, "w7 w8 w9 w10", 4)))
+  }
+
+  test("tokenChunks: trailing partial window is kept, not dropped") {
+    // 9 tokens, chunk 4, stride 3: starts 0,3,6 -> chunk 2 has 3 tokens
+    val text = (1 to 9).map("w" + _).mkString(" ")
+    val got = TextAnalysis.tokenChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id", 4, 3)
+      .as[(Long, Int, String, Int)].collect().sortBy(_._2).toSeq
+    assert(got.last == (1L, 2, "w7 w8 w9", 3))
+    assert(got.map(_._4).sum >= 9) // every token lands in >= 1 chunk
+  }
+
+  test("tokenChunks: short doc is one whole-text chunk") {
+    val got = TextAnalysis.tokenChunks(
+        Seq((7L, "just three tokens")).toDF("doc_id", "text"),
+        "text", "doc_id", 16, 12)
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(got == Seq((7L, 0, "just three tokens", 3)))
+  }
+
+  test("tokenChunks: exact-fit doc yields exactly one chunk") {
+    val text = (1 to 4).map("w" + _).mkString(" ")
+    val got = TextAnalysis.tokenChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id", 4, 3)
+      .collect()
+    assert(got.length == 1)
+  }
+
+  test("tokenChunks: every token position is covered at stride < chunk") {
+    // n=11, chunk 5, stride 2: starts 0,2,4,6 -> 1+ceil(6/2)=4 chunks,
+    // last start 6 covers tokens 7..11 — union covers 1..11
+    val text = (1 to 11).map("w" + _).mkString(" ")
+    val got = TextAnalysis.tokenChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id", 5, 2)
+      .as[(Long, Int, String, Int)].collect().toSeq
+    val covered = got.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 11).map("w" + _).toSet)
+    assert(got.length == 4)
+  }
 }
