@@ -105,6 +105,9 @@ object SparkEntry {
     "t31_dup_spans"      -> (TrainingQueries.t31DupSpans _),
     "t32_pack"           -> (TrainingQueries.t32Pack _),
     "t33_chunk"          -> (TrainingQueries.t33Chunk _),
+    "t34_split"          -> (TrainingQueries.t34Split _),
+    "t35_collapse"       -> (TrainingQueries.t35Collapse _),
+    "t36_lm_score"       -> (TrainingQueries.t36LmScore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -48,4 +48,59 @@ object CorpusStats {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
   }
+
+  /** Per-document fluency scoring under a corpus-trained bigram
+    * language model — the CCNet-style "perplexity filter" shape:
+    * train counts on the corpus itself, score every document by its
+    * average negative log-likelihood, and let the caller threshold the
+    * tail (gibberish and boilerplate score high, typical prose low).
+    * Probabilities are add-k smoothed: P(w2|w1) = (c(w1,w2) + k) /
+    * (c(w1,·) + k·V) with V the distinct-token vocabulary size.
+    *
+    * Output: (doc_id, n_bigrams, avg_nll) for every document with ≥ 2
+    * tokens — avg_nll = −Σ log P / n over the document's bigrams,
+    * rounded to 6dp (the per-term doubles are bit-identical across
+    * engines; only the Σ order varies, at ~1e-15 relative error
+    * against a 1e-6 rounding grid).
+    *
+    * Scale shape: bigram instances never ride a join — documents
+    * reduce to (doc, bigram, n) first [shuffle 1, map-side combine],
+    * the model is two aggregations of that [|bigram vocab| and
+    * |vocab| rows], and scoring re-joins on the bigram key [key-
+    * partitioned; Catalyst broadcasts when the model is small]. V
+    * rides along as a broadcast single-row frame, like tfIdf's N. The
+    * same counts table serves any number of scoring passes.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be positive, got $addK")
+    val toksRaw = split(lower(col(textCol)), "\\s+")
+    val toks = filter(toksRaw, x => length(x) > 0)
+    val n = size(col("t"))
+    // bigrams as "w1 w2" strings (zip of the n−1 prefix with the n−1
+    // suffix): a flat join key — no struct comparators on the shuffle
+    val tokenized = docs
+      .select(col(idCol).as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = tokenized.select(col("doc_id"),
+      explode(zip_with(slice(col("t"), lit(1), n - 1),
+                       slice(col("t"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).as("b"))
+    val perDoc = bg.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val cnt = perDoc.groupBy(col("b")).agg(sum(col("n")).as("c"))
+    val ctx = cnt.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("c")).as("cc"))
+    val vocab = tokenized.select(explode(col("t")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    perDoc.join(cnt, "b")
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+           round(-sum(col("n") *
+               log((col("c") + addK) / (col("cc") + lit(addK) * col("v")))) /
+             sum(col("n")), 6).as("avg_nll"))
+  }
 }

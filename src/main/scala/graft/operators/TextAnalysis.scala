@@ -228,6 +228,46 @@ object TextAnalysis {
     * construction, the caller's chosen duplication factor. Exactly
     * replayable in SQL (list slicing), so it oracle-checks.
     */
+  /** Within-document repetition removal: collapse every run of
+    * consecutive identical tokens to a single occurrence — the cheap
+    * intra-doc cleanup (stutter, boilerplate echo, generation loops)
+    * that runs before corpus-level dedup ever sees the text. Reports
+    * the audit stats curation pipelines threshold on (tokens before /
+    * after, longest run).
+    *
+    * Output: (id, n_tokens, n_after, max_run, clean_text).
+    *
+    * Scale shape: every column is a per-row expression — an indexed
+    * `filter` keeps run heads (a token whose predecessor differs), and
+    * one ordered `aggregate` fold carries (prev, run, best) for the
+    * longest-run stat — so the whole operator is one scan, no shuffle,
+    * at any corpus size. The DuckDB oracle recomputes it through an
+    * INDEPENDENT formulation (gaps-and-islands over position windows),
+    * so agreement checks the semantics, not the transcription.
+    */
+  def collapseRuns(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    // run heads: index 0, or differs from predecessor. `get` is 0-based
+    // and NULL out of range, so the i=0 probe never trips ANSI bounds;
+    // <=> makes the NULL compare false rather than NULL.
+    val heads = filter(toks, (x, i) => (i === 0) || !(x <=> get(toks, i - 1)))
+    val zero = struct(lit(null).cast("string").as("prev"),
+                      lit(0).as("run"), lit(0).as("best"))
+    val longest = aggregate(toks, zero,
+      (s, x) => {
+        val run = when(s.getField("prev") <=> x, s.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+               greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    df.select(col(idCol),
+      size(toks).as("n_tokens"),
+      size(heads).as("n_after"),
+      longest.as("max_run"),
+      array_join(heads, " ").as("clean_text"))
+  }
+
   def tokenChunks(df: DataFrame, textCol: String, idCol: String,
                   chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")

@@ -772,6 +772,93 @@ object Oracle {
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // exact mirror of Splits.assignArithmetic (t34): Knuth mod-prime
+    // multiplicative hash into [0,1000), 800/100/100 cumulative cuts —
+    // pure BIGINT arithmetic with no 64-bit wraparound, so any engine
+    // reproduces the assignment bit for bit
+    "t34_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000
+        |           AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 800 THEN 'train'
+        |            WHEN bucket < 900 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // independent formulation of TextAnalysis.collapseRuns (t35):
+    // where Spark keeps run heads with an indexed per-row lambda, the
+    // oracle finds runs by gaps-and-islands (position minus per-token
+    // rank is constant within a run of equal tokens) — agreement
+    // checks the semantics, not a transcription
+    "t35_collapse" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |         unnest(range(1, len(t) + 1)) AS p
+        |  FROM toks
+        |), grp AS (
+        |  SELECT doc_id, tok, p,
+        |         p - row_number() OVER (PARTITION BY doc_id, tok ORDER BY p)
+        |           AS g
+        |  FROM pos
+        |), runs AS (
+        |  SELECT doc_id, tok, min(p) AS start_p, count(*) AS run_len
+        |  FROM grp GROUP BY doc_id, tok, g
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_after,
+        |         CAST(max(run_len) AS INT) AS max_run,
+        |         string_agg(tok, ' ' ORDER BY start_p) AS clean_text
+        |  FROM runs GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+        |       a.n_after, a.max_run, a.clean_text
+        |FROM toks t JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // exact mirror of CorpusStats.bigramLmScore (t36): corpus-trained
+    // add-0.5-smoothed bigram LM, per-doc average negative
+    // log-likelihood. Counts are exact integers; the per-term doubles
+    // are bit-identical, only the sum order differs (~1e-15 relative
+    // vs the 1e-6 rounding grid)
+    "t36_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, t FROM toks WHERE len(t) >= 2
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(t) - 1),
+        |                               i -> t[i+1] || ' ' || t[i+2])) AS b
+        |  FROM dt
+        |), per_doc AS (
+        |  SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b
+        |), cnt AS (
+        |  SELECT b, CAST(sum(n) AS BIGINT) AS c FROM per_doc GROUP BY b
+        |), ctx AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS cc
+        |  FROM cnt GROUP BY 1
+        |), vocab AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM dt)
+        |)
+        |SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_bigrams,
+        |       round(-sum(p.n * ln((c.c + 0.5) / (x.cc + 0.5 * vocab.v)))
+        |             / sum(p.n), 6) AS avg_nll
+        |FROM per_doc p
+        |JOIN cnt c USING (b)
+        |JOIN ctx x ON split_part(p.b, ' ', 1) = x.w1
+        |CROSS JOIN vocab
+        |GROUP BY p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Clustering, Multimodal, Packing, Quantization, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Clustering, CorpusStats, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -679,6 +679,37 @@ object TrainingQueries {
     TextAnalysis.tokenChunks(Tables.documents(spark, sfDir), "text", "doc_id",
         chunkTokens = 16, stride = 12)
       .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** t34_split — deterministic train/val/test assignment (80/10/10)
+    * over the documents table via the oracle-reproducible arithmetic
+    * hash: a pure per-row label, zero shuffles before the final
+    * ordered output. The xxhash64 production path is spec-covered
+    * (proportions, disjointness, salt independence) — its hash isn't
+    * reproducible outside the JVM, so the oracle pins this path.
+    */
+  def t34Split(spark: SparkSession, sfDir: String): DataFrame =
+    Splits.assignArithmetic(Tables.documents(spark, sfDir), "doc_id")
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** t35_collapse — within-document repetition removal: collapse runs
+    * of consecutive identical tokens, with the audit stats pipelines
+    * threshold on. Per-row expressions only; the DuckDB oracle
+    * recomputes it through gaps-and-islands windows (an independent
+    * formulation of the same semantics).
+    */
+  def t35Collapse(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.collapseRuns(Tables.documents(spark, sfDir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** t36_lm_score — CCNet-style fluency filter: train a bigram LM on
+    * the corpus itself (two aggregations), score every document by
+    * average negative log-likelihood via a key-partitioned join of
+    * per-doc bigram counts against the model.
+    */
+  def t36LmScore(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.bigramLmScore(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate

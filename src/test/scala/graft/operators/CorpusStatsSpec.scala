@@ -44,4 +44,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1L)._1 == "apple")
     assert(got(1L)._2 == r6(3 * math.log(2.0)))
   }
+
+  test("bigramLmScore: hand-computed smoothed NLL on a tiny corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // corpus: c(a b)=3, c(b a)=1; contexts c(a·)=3, c(b·)=1; V={a,b}=2
+    val pAB = (3 + 0.5) / (3 + 0.5 * 2)   // P(b|a) = 0.875
+    val pBA = (1 + 0.5) / (1 + 0.5 * 2)   // P(a|b) = 0.75
+    assert(got(1L) == ((1L, 3L,
+      r6(-(2 * math.log(pAB) + math.log(pBA)) / 3))))
+    assert(got(2L) == ((2L, 1L, r6(-math.log(pAB)))))
+    assert(!got.contains(3L))             // < 2 tokens: no bigrams, no row
+  }
+
+  test("bigramLmScore: rarer continuations score strictly worse") {
+    // 'x y' appears 9×, 'x z' once — P(z|x) < P(y|x), so the doc made
+    // of the rare bigram must carry the higher (worse) NLL
+    val docs = ((1 to 9).map(i => (i.toLong, "x y")) :+ (10L, "x z")).toDF("doc_id", "text")
+    val got = CorpusStats.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(10L) > got(1L))
+    assert(got(1L) == got(9L))            // identical docs score identically
+  }
 }

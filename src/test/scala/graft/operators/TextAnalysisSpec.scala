@@ -192,4 +192,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(covered == (1 to 11).map("w" + _).toSet)
     assert(got.length == 4)
   }
+
+  test("collapseRuns: hand-computed collapse, counts, and longest run") {
+    val docs = Seq((1L, "a a b a a a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.collapseRuns(docs, "text", "doc_id")
+      .as[(Long, Int, Int, Int, String)].head()
+    assert(r == ((1L, 7, 4, 3, "a b a c")))
+  }
+
+  test("collapseRuns: run-free text passes through untouched") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.collapseRuns(docs, "text", "doc_id")
+      .as[(Long, Int, Int, Int, String)].head()
+    assert(r == ((1L, 3, 3, 1, "x y z")))
+  }
+
+  test("collapseRuns: single-token doc and idempotence") {
+    val docs = Seq((1L, "solo"), (2L, "b b b b")).toDF("doc_id", "text")
+    val once = TextAnalysis.collapseRuns(docs, "text", "doc_id")
+      .select($"doc_id", $"clean_text".as("text"))
+    // collapsing already-collapsed text changes nothing
+    val twice = TextAnalysis.collapseRuns(once, "text", "doc_id")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(twice(1L) == ((1L, 1, 1, 1, "solo")))
+    assert(twice(2L) == ((2L, 1, 1, 1, "b")))
+  }
 }
