@@ -228,6 +228,24 @@ object TextAnalysis {
     * construction, the caller's chosen duplication factor. Exactly
     * replayable in SQL (list slicing), so it oracle-checks.
     */
+  def tokenChunks(df: DataFrame, textCol: String, idCol: String,
+                  chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    val toks = split(col(textCol), "\\s+")
+    val n = size(toks)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(toks, i * stride + 1, lit(chunkTokens))))
+          .as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("c"), " ").as("chunk_text"),
+        size(col("c")).as("n_tokens"))
+  }
+
   /** Within-document repetition removal: collapse every run of
     * consecutive identical tokens to a single occurrence — the cheap
     * intra-doc cleanup (stutter, boilerplate echo, generation loops)
@@ -266,23 +284,5 @@ object TextAnalysis {
       size(heads).as("n_after"),
       longest.as("max_run"),
       array_join(heads, " ").as("clean_text"))
-  }
-
-  def tokenChunks(df: DataFrame, textCol: String, idCol: String,
-                  chunkTokens: Int, stride: Int): DataFrame = {
-    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
-    require(stride > 0 && stride <= chunkTokens,
-      s"stride must be in [1, chunkTokens], got $stride")
-    val toks = split(col(textCol), "\\s+")
-    val n = size(toks)
-    val nChunks = when(n <= chunkTokens, lit(1))
-      .otherwise(ceil((n - chunkTokens).cast("double") / stride).cast("int") + 1)
-    df.select(col(idCol),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => slice(toks, i * stride + 1, lit(chunkTokens))))
-          .as(Seq("chunk_id", "c")))
-      .select(col(idCol), col("chunk_id"),
-        array_join(col("c"), " ").as("chunk_text"),
-        size(col("c")).as("n_tokens"))
   }
 }
