@@ -108,6 +108,7 @@ object SparkEntry {
     "t34_split"          -> (TrainingQueries.t34Split _),
     "t35_collapse"       -> (TrainingQueries.t35Collapse _),
     "t36_lm_score"       -> (TrainingQueries.t36LmScore _),
+    "t37_incr_dedup"     -> (TrainingQueries.t37IncrDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

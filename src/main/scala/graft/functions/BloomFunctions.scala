@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Column wrappers over Spark's own Catalyst Bloom-filter expressions
+  * (the machinery behind runtime row-group filtering, exposed here for
+  * data-pipeline use): a serialized-sketch aggregate and its membership
+  * probe. Both operate on 64-bit hashes (pair with `xxhash64`), so the
+  * sketch build shuffles 8-byte values and the probe is a codegen'd
+  * per-row bit test.
+  *
+  * `might_contain` requires its sketch operand to be CONSTANT (Catalyst
+  * rejects a per-row bloom column), so the intended flow is: aggregate
+  * the history side to ONE serialized-sketch row, collect it — a
+  * bounded driver boundary, the sketch is `numBits/8` bytes regardless
+  * of corpus size — and probe via a binary literal embedded in the
+  * plan. Size the sketch to stay shippable: ~1.2 GB bounds a billion
+  * items at 1% fpp; relax fpp before growing past what task broadcast
+  * comfortably carries.
+  */
+object BloomFunctions {
+  import ColumnOps._
+
+  /** Aggregate a LONG hash column into one serialized Bloom sketch
+    * (binary). `expectedItems` + `fpp` pick the optimal bit count.
+    */
+  def bloom_agg(hashCol: Column, expectedItems: Long,
+                fpp: Double = 0.01): Column = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    toColumn(new BloomFilterAggregate(toExpr(hashCol),
+        Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** Per-row membership probe of a LONG hash column against a
+    * serialized sketch (as produced by [[bloom_agg]] and collected).
+    * False positives at the sketch's fpp; NEVER false negatives.
+    */
+  def might_contain(sketch: Array[Byte], hashCol: Column): Column =
+    toColumn(BloomFilterMightContain(Literal(sketch, BinaryType),
+                                     toExpr(hashCol)))
+}

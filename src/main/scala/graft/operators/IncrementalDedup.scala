@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.BloomFunctions
+
+/** Incremental (cross-snapshot) deduplication — the daily-refresh
+  * shape: a new batch arrives and must drop every document already in
+  * the accumulated history WITHOUT re-shuffling the history per batch.
+  *
+  * The history compresses to one Bloom sketch over 8-byte text
+  * digests — built once per snapshot (an 8-byte-per-row aggregate
+  * scan), collected as a bounded binary (`numBits/8` bytes no matter
+  * how many rows), and probed per-row in the batch as a codegen'd bit
+  * test. The probe splits the batch:
+  *
+  *   - bloom-negative rows are DEFINITELY new (no false negatives) —
+  *     they pass through touching no join at all;
+  *   - bloom-positive rows (true dups + the fpp sliver) verify against
+  *     the history by an anti-join keyed on the 8-byte digest with a
+  *     full-text equality re-check — only this small fraction of the
+  *     batch, and only the digest-matched slice of history, ride the
+  *     verify join.
+  *
+  * Final semantics are EXACT text-level set difference (the digest is
+  * a router, never the verdict — a 64-bit collision is caught by the
+  * text re-check), so the whole operator oracle-checks against a plain
+  * NOT IN. At warehouse scale the history side of the verify join
+  * comes from a digest-bucketed table so the per-batch cost is the
+  * batch scan + the sketch probe, not a history shuffle.
+  */
+object IncrementalDedup {
+
+  /** Rows of `batch` whose `textCol` value appears nowhere in
+    * `history`'s `textCol`. `expectedItems` sizes the sketch (pass the
+    * history row count or a safe upper bound); `fpp` trades sketch
+    * bytes for verify-join traffic.
+    */
+  def newDocs(batch: DataFrame, history: DataFrame, textCol: String,
+              expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val dig = xxhash64(col(textCol))
+    val sketch = history
+      .agg(BloomFunctions.bloom_agg(dig, expectedItems, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // the aggregate yields NULL over an empty history — every batch
+    // row is then new (a NULL sketch would otherwise NULL the probe
+    // predicate and silently drop the whole batch)
+    if (sketch == null) return batch
+    val definitelyNew = batch.filter(!BloomFunctions.might_contain(sketch, dig))
+    val maybeDup = batch.filter(BloomFunctions.might_contain(sketch, dig))
+    val hist = history
+      .select(dig.as("__h"), col(textCol).as("__t")).distinct()
+    val verifiedNew = maybeDup.join(hist,
+      dig === col("__h") && col(textCol) === col("__t"), "left_anti")
+    definitelyNew.unionByName(verifiedNew)
+  }
+}

@@ -859,6 +859,16 @@ object Oracle {
         |GROUP BY p.doc_id
         |ORDER BY p.doc_id""".stripMargin,
 
+    // exact mirror of IncrementalDedup semantics (t37): the Bloom
+    // sketch + digest anti-join is a routing strategy, never the
+    // verdict — the result is plain text-level set difference
+    "t37_incr_dedup" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id >= 200
+        |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 300)
+        |ORDER BY doc_id""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

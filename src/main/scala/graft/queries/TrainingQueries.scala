@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Clustering, CorpusStats, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup}
+import graft.operators.{Clustering, CorpusStats, IncrementalDedup, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -710,6 +710,26 @@ object TrainingQueries {
   def t36LmScore(spark: SparkSession, sfDir: String): DataFrame =
     CorpusStats.bigramLmScore(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** t37_incr_dedup — incremental dedup of a new batch against an
+    * accumulated history snapshot, modeling a re-delivered shard:
+    * history is docs 0-299, the batch is docs 200+ (so a third of the
+    * batch is yesterday's tail arriving again and must drop). The
+    * history compresses to one collected Bloom sketch over text
+    * digests, bloom-negative batch rows pass through join-free, and
+    * only the bloom-positive sliver rides the exact verify anti-join.
+    * Final semantics are exact text set-difference — the oracle is a
+    * plain NOT IN.
+    */
+  def t37IncrDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    IncrementalDedup.newDocs(
+        batch = docs.filter(col("doc_id") >= 200),
+        history = docs.filter(col("doc_id") < 300),
+        textCol = "text", expectedItems = 1L << 20)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate

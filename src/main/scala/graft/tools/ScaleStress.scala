@@ -90,7 +90,15 @@ object ScaleStress {
       "t28_decontaminate" -> (TrainingQueries.t28Decontaminate _),
       "t30_quality_flags" -> (TrainingQueries.t30QualityFlags _),
       "t31_dup_spans"    -> (TrainingQueries.t31DupSpans _),
-      "t32_pack"         -> (TrainingQueries.t32Pack _))
+      "t32_pack"         -> (TrainingQueries.t32Pack _),
+      // round-6 additions: chunking (per-row generate, output grows
+      // with the duplication factor), split assignment (pure per-row
+      // label), run collapse (per-row lambdas), bigram-LM scoring
+      // (the count-reduce-then-join shape under a 10× bigram load)
+      "t33_chunk"        -> (TrainingQueries.t33Chunk _),
+      "t34_split"        -> (TrainingQueries.t34Split _),
+      "t35_collapse"     -> (TrainingQueries.t35Collapse _),
+      "t36_lm_score"     -> (TrainingQueries.t36LmScore _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")
