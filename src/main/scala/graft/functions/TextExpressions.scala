@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -51,6 +51,38 @@ object TextKernels {
       i += 1
     }
     count
+  }
+
+  /** Kernel for [[CollapseRunsExpr]]: one tokenizing pass computing
+    * (n_tokens, n_after, max_run, clean_text) under the corpus
+    * whitespace contract (`\s+` split, limit -1 — identical token
+    * boundaries to `split(text, "\\s+")`, including the empty edge
+    * tokens padded/leading whitespace produces).
+    */
+  def collapseRuns(text: UTF8String): GenericInternalRow = {
+    val toks = ws.split(text.toString, -1)
+    val n = toks.length
+    val sb = new java.lang.StringBuilder
+    var nAfter = 0
+    var maxRun = 0
+    var run = 0
+    var prev: String = null
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      if (prev != null && t == prev) run += 1
+      else {
+        run = 1
+        if (nAfter > 0) sb.append(' ')
+        sb.append(t)
+        nAfter += 1
+      }
+      if (run > maxRun) maxRun = run
+      prev = t
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, nAfter, maxRun,
+      UTF8String.fromString(sb.toString)))
   }
 
   /** Kernel for [[HashedShingles]]: sorted distinct xxhash64 (seed 42)
@@ -397,6 +429,30 @@ case class CodePointRollingHash(child: Expression, base: Long, mod: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** One-pass consecutive-duplicate-run statistics of a text — the
+  * kernel behind `TextAnalysis.collapseRuns`. Returns the whole stat
+  * struct from a single tokenizing scan; the lambda composition
+  * (indexed `filter` + ordered `aggregate` fold) computes the same
+  * values but runs interpreted per element — 6.2 s for 5k docs at
+  * sf0.1, the known interpreted-lambda trap — where this kernel stays
+  * inside whole-stage codegen.
+  */
+case class CollapseRunsExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_after", IntegerType, nullable = false),
+    StructField("max_run", IntegerType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.collapseRuns(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.collapseRuns($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextFunctions {
   import ColumnOps._
   def simhash64(featureHashes: Column): Column =
@@ -416,4 +472,6 @@ object TextFunctions {
     toColumn(BpeishTokenCount(toExpr(text)))
   def minhash_sig(hashedShingles: Column, numHashes: Int): Column =
     toColumn(MinHashSignature(toExpr(hashedShingles), numHashes))
+  def collapse_runs(text: Column): Column =
+    toColumn(CollapseRunsExpr(toExpr(text)))
 }

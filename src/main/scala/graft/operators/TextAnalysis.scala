@@ -255,15 +255,33 @@ object TextAnalysis {
     *
     * Output: (id, n_tokens, n_after, max_run, clean_text).
     *
-    * Scale shape: every column is a per-row expression — an indexed
-    * `filter` keeps run heads (a token whose predecessor differs), and
-    * one ordered `aggregate` fold carries (prev, run, best) for the
-    * longest-run stat — so the whole operator is one scan, no shuffle,
-    * at any corpus size. The DuckDB oracle recomputes it through an
-    * INDEPENDENT formulation (gaps-and-islands over position windows),
-    * so agreement checks the semantics, not the transcription.
+    * Scale shape: one scan, no shuffle, at any corpus size — the whole
+    * stat struct comes from the native one-pass kernel
+    * (TextExpressions.CollapseRunsExpr), which stays inside
+    * whole-stage codegen; the equivalent lambda composition (indexed
+    * `filter` for run heads + ordered `aggregate` fold for the longest
+    * run, kept below as [[collapseRunsLambda]] and spec-pinned against
+    * the kernel) runs interpreted per element and was 6.2 s for 5k
+    * docs at sf0.1 — the known interpreted-lambda trap. The DuckDB
+    * oracle recomputes the semantics through a THIRD formulation
+    * (gaps-and-islands over position windows), so agreement checks the
+    * semantics, not the transcription.
     */
   def collapseRuns(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val s = TextFunctions.collapse_runs(col(textCol))
+    df.select(col(idCol),
+      s.getField("n_tokens").as("n_tokens"),
+      s.getField("n_after").as("n_after"),
+      s.getField("max_run").as("max_run"),
+      s.getField("clean_text").as("clean_text"))
+  }
+
+  /** The declarative-lambda formulation of [[collapseRuns]] — same
+    * output, interpreted evaluation. Retained as the semantic
+    * reference the kernel is spec-pinned against.
+    */
+  def collapseRunsLambda(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame = {
     val toks = split(col(textCol), "\\s+")
     // run heads: index 0, or differs from predecessor. `get` is 0-based
     // and NULL out of range, so the i=0 probe never trips ANSI bounds;

@@ -207,6 +207,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == ((1L, 3, 3, 1, "x y z")))
   }
 
+  test("collapseRuns kernel == lambda formulation on edge-case zoo and random docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "bb", "ccc", "a", "bb")  // repeats make runs likely
+    val random = (0 until 200).map { i =>
+      (100L + i, (0 until (1 + rnd.nextInt(30)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val zoo = Seq(
+      (0L, ""), (1L, " "), (2L, "  x"), (3L, "x  "), (4L, "x  x"),
+      (5L, "x\ty\ty"), (6L, "a a a a a a a a"), (7L, "Ab ab AB ab"))
+    val docs = (zoo ++ random).toDF("doc_id", "text")
+    val k = TextAnalysis.collapseRuns(docs, "text", "doc_id")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    val l = TextAnalysis.collapseRunsLambda(docs, "text", "doc_id")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(k == l)
+  }
+
   test("collapseRuns: single-token doc and idempotence") {
     val docs = Seq((1L, "solo"), (2L, "b b b b")).toDF("doc_id", "text")
     val once = TextAnalysis.collapseRuns(docs, "text", "doc_id")
