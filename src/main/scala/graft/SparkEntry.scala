@@ -109,6 +109,7 @@ object SparkEntry {
     "t35_collapse"       -> (TrainingQueries.t35Collapse _),
     "t36_lm_score"       -> (TrainingQueries.t36LmScore _),
     "t37_incr_dedup"     -> (TrainingQueries.t37IncrDedup _),
+    "t38_canonical"      -> (TrainingQueries.t38Canonical _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -90,6 +90,8 @@ object GraftExtensions {
     fn("hashed_shingles", 2, a => HashedShingles(a(0), intArg(a(1)))),
     fn("minhash_sig", 2, a => MinHashSignature(a(0), intArg(a(1)))),
     fn("sorted_intersect_count", 2, a => SortedIntersectCount(a(0), a(1))),
+    fn("collapse_runs", 1, a => CollapseRunsExpr(a(0))),
+    fn("bpeish_token_count", 1, a => BpeishTokenCount(a(0))),
     fn("top_k_by_score", 3,
       a => TopKByScore(a(0), a(1), intArg(a(2))).toAggregateExpression()))
 

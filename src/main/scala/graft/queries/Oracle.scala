@@ -5,6 +5,56 @@ package graft.queries
   * Spark side exactly (the driver sorts columns by name before hashing).
   */
 object Oracle {
+
+  /** Shared recursive-reachability prefix for t18/t38: connected
+    * components over the SAME pair set the Spark side clusters (the
+    * t4 contract: exact-dup pairs + df-capped 3-gram Jaccard >= 0.5
+    * pairs); component = min reachable doc_id, singletons label
+    * themselves.
+    */
+  private val ClusterReachCte: String =
+    """WITH RECURSIVE reps AS (
+      |  SELECT min(doc_id) AS id, text FROM documents GROUP BY text
+      |), exact_pairs AS (
+      |  SELECT r.id AS id_a, d.doc_id AS id_b
+      |  FROM documents d JOIN reps r USING (text)
+      |  WHERE d.doc_id != r.id
+      |), toks AS (
+      |  SELECT id, string_split_regex(lower(text), '\s+') AS t FROM reps
+      |), sets AS (
+      |  SELECT id, list_distinct(
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(range(len(t) - 2),
+      |                        i -> array_to_string(t[i+1:i+3], ' ')) END) AS sh
+      |  FROM toks
+      |), posting AS (
+      |  SELECT id, unnest(sh) AS s FROM sets
+      |), grouped AS (
+      |  SELECT s, array_agg(id) AS ids FROM posting GROUP BY s
+      |  HAVING count(*) BETWEEN 2 AND 10
+      |), cands AS (
+      |  SELECT DISTINCT la.a AS id_a, lb.b AS id_b
+      |  FROM grouped, UNNEST(ids) la(a), UNNEST(ids) lb(b)
+      |  WHERE lb.b > la.a
+      |), near_pairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cands c
+      |  JOIN sets sa ON sa.id = c.id_a
+      |  JOIN sets sb ON sb.id = c.id_b
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |          / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM exact_pairs
+      |  UNION SELECT id_a, id_b FROM near_pairs
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+      |)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1033,54 +1083,27 @@ object Oracle {
         |GROUP BY l_returnflag""".stripMargin,
 
     "t18_cluster" ->
-      // connected components by recursive reachability over the SAME
-      // pair set the Spark side clusters (the t4 contract: exact-dup
-      // pairs + df-capped 3-gram Jaccard >= 0.5 pairs); component =
-      // min reachable doc_id, singletons label themselves
-      """WITH RECURSIVE reps AS (
-        |  SELECT min(doc_id) AS id, text FROM documents GROUP BY text
-        |), exact_pairs AS (
-        |  SELECT r.id AS id_a, d.doc_id AS id_b
-        |  FROM documents d JOIN reps r USING (text)
-        |  WHERE d.doc_id != r.id
-        |), toks AS (
-        |  SELECT id, string_split_regex(lower(text), '\s+') AS t FROM reps
-        |), sets AS (
-        |  SELECT id, list_distinct(
-        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(range(len(t) - 2),
-        |                        i -> array_to_string(t[i+1:i+3], ' ')) END) AS sh
-        |  FROM toks
-        |), posting AS (
-        |  SELECT id, unnest(sh) AS s FROM sets
-        |), grouped AS (
-        |  SELECT s, array_agg(id) AS ids FROM posting GROUP BY s
-        |  HAVING count(*) BETWEEN 2 AND 10
-        |), cands AS (
-        |  SELECT DISTINCT la.a AS id_a, lb.b AS id_b
-        |  FROM grouped, UNNEST(ids) la(a), UNNEST(ids) lb(b)
-        |  WHERE lb.b > la.a
-        |), near_pairs AS (
-        |  SELECT c.id_a, c.id_b
-        |  FROM cands c
-        |  JOIN sets sa ON sa.id = c.id_a
-        |  JOIN sets sb ON sb.id = c.id_b
-        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        |          / len(list_distinct(sa.sh || sb.sh)) >= 0.5
-        |), pairs AS (
-        |  SELECT id_a, id_b FROM exact_pairs
-        |  UNION SELECT id_a, id_b FROM near_pairs
-        |), edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
-        |)
-        |SELECT id AS doc_id, min(r) AS component,
+      (ClusterReachCte + "\n" +
+      """SELECT id AS doc_id, min(r) AS component,
         |       min(r) = id AS is_rep
-        |FROM reach GROUP BY id""".stripMargin,
+        |FROM reach GROUP BY id""".stripMargin),
+
+    // t38: the APPLY step over the same components — one canonical
+    // survivor per cluster (longest text, doc_id tie-break) + size
+    "t38_canonical" ->
+      (ClusterReachCte + ",\n" +
+      """labeled AS (
+        |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        |), ranked AS (
+        |  SELECT l.component, d.doc_id, d.n_chars,
+        |         count(*) OVER (PARTITION BY l.component) AS cluster_size,
+        |         row_number() OVER (PARTITION BY l.component
+        |                            ORDER BY d.n_chars DESC, d.doc_id)
+        |           AS rn
+        |  FROM labeled l JOIN documents d USING (doc_id)
+        |)
+        |SELECT component, doc_id AS canonical_id, n_chars, cluster_size
+        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin),
 
     "t19_redact" ->
       // rebuild the identical PII-enriched input, replay the identical

@@ -284,6 +284,33 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t38_canonical — the APPLY step after near-dup clustering: per
+    * connected component (same pair contract as t18), elect one
+    * canonical survivor — longest text wins, doc_id breaks ties — and
+    * report the cluster size. One partial-aggregable groupBy (min of
+    * an ordered (neg-length, id) struct rides the map-side combine),
+    * no window — a billion-member cluster never funnels through one
+    * task's sort.
+    */
+  def t38Canonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactPairs = TextDedup.exactClusters(docs, "text", "doc_id")
+    val nearPairs = TextDedup.ngramJaccardPairs(
+        TextDedup.exact(docs, "text", "doc_id"),
+        "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 10)
+      .select(col("id_a"), col("id_b"))
+    Clustering.labelCorpus(docs, "doc_id",
+        exactPairs.unionByName(nearPairs), "id_a", "id_b")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+           min(struct((-col("n_chars")).as("neg"),
+                      col("doc_id").as("id"))).as("best"))
+      .select(col("component"), col("best.id").as("canonical_id"),
+              (-col("best.neg")).as("n_chars"), col("cluster_size"))
+      .orderBy(col("component"))
+  }
+
   /** t19_redact — PII scrubbing over a deterministically PII-enriched
     * corpus (the synthetic docs carry no emails/phones, so the query
     * appends a reproducible contact suffix derived from doc_id — the

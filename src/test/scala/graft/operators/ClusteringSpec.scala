@@ -62,4 +62,27 @@ class ClusteringSpec extends SparkSpec {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (7L, 7L, true), (9L, 9L, true)))
   }
+
+  test("canonical election: longest text wins its cluster, doc_id breaks ties") {
+    // cluster {1,2,3} linked by edges; doc 2 is longest; docs 4,5 are
+    // singletons; 6 and 7 tie on length -> lower doc_id wins
+    val docs = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "a"),
+      (4L, "bbb"), (5L, "c"), (6L, "dd"), (7L, "dd")
+    ).map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val edges = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("id_a", "id_b")
+    val labeled = Clustering.labelCorpus(docs, "doc_id", edges, "id_a", "id_b")
+    val got = labeled
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .groupBy($"component")
+      .agg(count(lit(1)).as("cluster_size"),
+           min(struct((-$"n_chars").as("neg"), $"doc_id".as("id"))).as("best"))
+      .select($"component", $"best.id".as("canonical_id"), $"cluster_size")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((2L, 3L)))   // doc 2 (len 4) beats 1 and 3
+    assert(got(4L) == ((4L, 1L)))
+    assert(got(5L) == ((5L, 1L)))
+    assert(got(6L) == ((6L, 2L)))   // 6 and 7 tie at len 2 -> min id
+  }
 }
