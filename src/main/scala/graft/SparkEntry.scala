@@ -110,6 +110,7 @@ object SparkEntry {
     "t36_lm_score"       -> (TrainingQueries.t36LmScore _),
     "t37_incr_dedup"     -> (TrainingQueries.t37IncrDedup _),
     "t38_canonical"      -> (TrainingQueries.t38Canonical _),
+    "t39_stream_dedup"   -> (TrainingQueries.t39StreamDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -45,4 +45,20 @@ object BloomFunctions {
   def might_contain(sketch: Array[Byte], hashCol: Column): Column =
     toColumn(BloomFilterMightContain(Literal(sketch, BinaryType),
                                      toExpr(hashCol)))
+
+  /** Union two serialized sketches (same expectedItems/fpp build
+    * parameters — enforced by the underlying compatibility check).
+    * Null-tolerant so a running sketch can fold in per-batch sketches
+    * where either side may be empty-input null.
+    */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a == null) return b
+    if (b == null) return a
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
 }

@@ -28,24 +28,32 @@ import graft.functions.BloomFunctions
   * NOT IN. At warehouse scale the history side of the verify join
   * comes from a digest-bucketed table so the per-batch cost is the
   * batch scan + the sketch probe, not a history shuffle.
+  *
+  * A continuously-ingesting caller (streaming/IngestDedup) maintains
+  * the sketch ACROSS batches instead of rebuilding it: [[sketchOf]]
+  * each batch's survivors and [[graft.functions.BloomFunctions.merge]]
+  * into the running sketch — the history is scanned exactly once over
+  * its lifetime.
   */
 object IncrementalDedup {
 
-  /** Rows of `batch` whose `textCol` value appears nowhere in
-    * `history`'s `textCol`. `expectedItems` sizes the sketch (pass the
-    * history row count or a safe upper bound); `fpp` trades sketch
-    * bytes for verify-join traffic.
+  /** Serialized Bloom sketch over `textCol`'s xxhash64 digests — null
+    * when `df` is empty (Spark's bloom aggregate over zero rows).
     */
-  def newDocs(batch: DataFrame, history: DataFrame, textCol: String,
-              expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val dig = xxhash64(col(textCol))
-    val sketch = history
-      .agg(BloomFunctions.bloom_agg(dig, expectedItems, fpp).as("bf"))
+  def sketchOf(df: DataFrame, textCol: String, expectedItems: Long,
+               fpp: Double = 0.01): Array[Byte] =
+    df.agg(BloomFunctions.bloom_agg(xxhash64(col(textCol)),
+                                    expectedItems, fpp).as("bf"))
       .head().getAs[Array[Byte]](0)
-    // the aggregate yields NULL over an empty history — every batch
-    // row is then new (a NULL sketch would otherwise NULL the probe
-    // predicate and silently drop the whole batch)
+
+  /** The probe + verify core: rows of `batch` whose `textCol` does not
+    * appear in `history`, given `sketch` already covers every history
+    * text (null sketch = empty history = whole batch passes).
+    */
+  def filterNew(batch: DataFrame, history: DataFrame, textCol: String,
+                sketch: Array[Byte]): DataFrame = {
     if (sketch == null) return batch
+    val dig = xxhash64(col(textCol))
     val definitelyNew = batch.filter(!BloomFunctions.might_contain(sketch, dig))
     val maybeDup = batch.filter(BloomFunctions.might_contain(sketch, dig))
     val hist = history
@@ -54,4 +62,14 @@ object IncrementalDedup {
       dig === col("__h") && col(textCol) === col("__t"), "left_anti")
     definitelyNew.unionByName(verifiedNew)
   }
+
+  /** Rows of `batch` whose `textCol` value appears nowhere in
+    * `history`'s `textCol`. `expectedItems` sizes the sketch (pass the
+    * history row count or a safe upper bound); `fpp` trades sketch
+    * bytes for verify-join traffic.
+    */
+  def newDocs(batch: DataFrame, history: DataFrame, textCol: String,
+              expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    filterNew(batch, history, textCol,
+      sketchOf(history, textCol, expectedItems, fpp))
 }

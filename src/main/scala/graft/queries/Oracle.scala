@@ -919,6 +919,23 @@ object Oracle {
         |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 300)
         |ORDER BY doc_id""".stripMargin,
 
+    // t39: batch replay of the streaming keep-first ingest dedup —
+    // rebuild the doubled stream input, keep the min-doc_id row per
+    // distinct text (ranged ascending batches make first-arrival =
+    // global min id)
+    "t39_stream_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang, source, n_chars
+        |  FROM documents
+        |)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM all_docs d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY text) m
+        |  USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -428,6 +428,7 @@ object TrainingQueries {
     */
   def prewarmFixtures(spark: SparkSession, sfDir: String): Unit = {
     rangedEventsFixture(spark, sfDir)
+    rangedDocsFixture(spark, sfDir)
     import graft.streaming.{StatefulFlows, StreamingFlows}
     import spark.implicits._
     val tiny = s"${graft.io.TempDirs.create("graft_warm")}/in"
@@ -442,6 +443,49 @@ object TrainingQueries {
       s"warmup_state_${System.nanoTime}")
     ()
   }
+
+  /** 4 doc_id-ranged parquet files over documents ∪ an id-shifted
+    * copy (doc_id + 100000, same text) — consumed one file per
+    * micro-batch by t39, so the copy rows arrive in later batches
+    * than their originals and must drop as already-seen.
+    *
+    * Arrival order MUST be the range order (t39's keep-first survivor
+    * is arrival-defined, unlike t23's order-independent keep-latest),
+    * and FileStreamSource orders files by (modification time, path) —
+    * a single multi-task write stamps mod times by task completion,
+    * which is arbitrary. So each range is written separately, its data
+    * file renamed into the stream dir, and its mod time pinned to an
+    * explicitly ascending value.
+    */
+  private[graft] def rangedDocsFixture(spark: SparkSession, sfDir: String): String =
+    docFixtures.getOrElseUpdate(sfDir, {
+      val in = s"${graft.io.TempDirs.create("graft_docs4")}/in"
+      new java.io.File(in).mkdirs()
+      val docs = Tables.documents(spark, sfDir)
+      val doubled = docs
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + 100000))
+      val bounds = Seq(
+        (Long.MinValue, 250L), (250L, 100000L),
+        (100000L, 100250L), (100250L, Long.MaxValue))
+      val t0 = System.currentTimeMillis()
+      bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val tmp = s"$in/_tmp$i"
+        doubled.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dest = new java.io.File(s"$in/batch-$i.parquet")
+        require(part.renameTo(dest), s"rename $part -> $dest failed")
+        require(dest.setLastModified(t0 + i * 60000L),
+          s"setLastModified failed for $dest")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      in
+    })
+
+  private val docFixtures =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   private[graft] def rangedEventsFixture(spark: SparkSession, sfDir: String): String =
     eventFixtures.getOrElseUpdate(sfDir, {
@@ -754,6 +798,28 @@ object TrainingQueries {
         batch = docs.filter(col("doc_id") >= 200),
         history = docs.filter(col("doc_id") < 300),
         textCol = "text", expectedItems = 1L << 20)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t39_stream_dedup — continuous keep-first ingest dedup: the
+    * doubled corpus (originals + id-shifted copies) streams in 4
+    * doc_id-ranged micro-batches; each batch collapses within itself,
+    * drops texts the state already holds (running Bloom sketch + exact
+    * verify — the state is never rescanned for membership), and
+    * appends survivors. Final state = exactly the min-doc_id document
+    * per distinct text, which is what the oracle computes in batch.
+    */
+  def t39StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.IngestDedup
+    val docs = Tables.documents(spark, sfDir)
+    val work = graft.io.TempDirs.create("t39_ingest").toString
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(rangedDocsFixture(spark, sfDir))
+    IngestDedup.runKeepFirst(spark, stream, "text", "doc_id",
+        s"$work/state", expectedItems = 1L << 20)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
