@@ -98,7 +98,11 @@ object ScaleStress {
       "t33_chunk"        -> (TrainingQueries.t33Chunk _),
       "t34_split"        -> (TrainingQueries.t34Split _),
       "t35_collapse"     -> (TrainingQueries.t35Collapse _),
-      "t36_lm_score"     -> (TrainingQueries.t36LmScore _))
+      "t36_lm_score"     -> (TrainingQueries.t36LmScore _),
+      // bloom prefilter + verify sliver; canonical election on top of
+      // the t18 component pipeline
+      "t37_incr_dedup"   -> (TrainingQueries.t37IncrDedup _),
+      "t38_canonical"    -> (TrainingQueries.t38Canonical _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")
