@@ -111,6 +111,7 @@ object SparkEntry {
     "t37_incr_dedup"     -> (TrainingQueries.t37IncrDedup _),
     "t38_canonical"      -> (TrainingQueries.t38Canonical _),
     "t39_stream_dedup"   -> (TrainingQueries.t39StreamDedup _),
+    "t40_domain_filter"  -> (TrainingQueries.t40DomainFilter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -936,6 +936,26 @@ object Oracle {
         |  USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // exact mirror of t40: rebuild the deterministic URL enrichment,
+    // extract the host with the same portable regex, flag against the
+    // same blocklist, audit per (domain, blocked)
+    "t40_domain_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |         'https://' || source || '.example.org/' || lang || '/'
+        |           || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, n_chars,
+        |         regexp_extract(url, '^https?://([^/:?#]+)', 1) AS domain
+        |  FROM u
+        |)
+        |SELECT domain,
+        |       domain IN ('src7.example.org', 'src13.example.org',
+        |                  'src19.example.org') AS blocked,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

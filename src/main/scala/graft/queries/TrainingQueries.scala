@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Clustering, CorpusStats, IncrementalDedup, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup}
+import graft.operators.{Clustering, CorpusStats, IncrementalDedup, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -822,6 +822,27 @@ object TrainingQueries {
         s"$work/state", expectedItems = 1L << 20)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+  }
+
+  /** t40_domain_filter — C4-style provenance filtering: the corpus
+    * carries no URLs, so each doc gets a deterministic source URL
+    * (derived from its source/lang/doc_id — the t19 enrichment
+    * pattern, replayed identically by the oracle), the domain is
+    * regex-extracted, flagged against a blocklist, and audited per
+    * (domain, blocked). Extraction + flag are per-row expressions;
+    * the audit is one partial-aggregable groupBy.
+    */
+  def t40DomainFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val blocklist = Seq("src7.example.org", "src13.example.org",
+                        "src19.example.org")
+    val withUrl = Tables.documents(spark, sfDir)
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.org/"),
+               col("lang"), lit("/"), col("doc_id")))
+    UrlOps.flagBlocked(withUrl, "url", blocklist)
+      .groupBy(col("domain"), col("blocked"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("domain"))
   }
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
