@@ -209,7 +209,8 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("collapseRuns kernel == lambda formulation on edge-case zoo and random docs") {
     val rnd = new scala.util.Random(7)
-    val vocab = Seq("a", "bb", "ccc", "a", "bb")  // repeats make runs likely
+    // repeats make runs likely; multi-byte tokens pin UTF-8 handling
+    val vocab = Seq("a", "bb", "ccc", "a", "bb", "日本語", "héllo", "日本語")
     val random = (0 until 200).map { i =>
       (100L + i, (0 until (1 + rnd.nextInt(30)))
         .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
