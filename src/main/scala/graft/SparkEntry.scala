@@ -112,6 +112,9 @@ object SparkEntry {
     "t38_canonical"      -> (TrainingQueries.t38Canonical _),
     "t39_stream_dedup"   -> (TrainingQueries.t39StreamDedup _),
     "t40_domain_filter"  -> (TrainingQueries.t40DomainFilter _),
+    "t41_line_filter"    -> (TrainingQueries.t41LineFilter _),
+    "t42_line_dedup"     -> (TrainingQueries.t42LineDedup _),
+    "t43_bow_score"      -> (TrainingQueries.t43BowScore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -242,6 +242,66 @@ object TextKernels {
     }
     h
   }
+
+  /** Deterministic pseudo-weight for hash bucket `b` of the hashed
+    * bag-of-words classifier: a fixed Knuth-multiplicative scramble
+    * mapped onto [-0.5, 0.5) — any engine (and the DuckDB oracle)
+    * reproduces it with three integer ops and a divide.
+    */
+  def bowWeight(b: Long): Double =
+    ((b * 2654435761L) % 1000003L) / 1000003.0 - 0.5
+
+  /** Kernel for [[HashedBowScoreExpr]]: one pass over the UTF-8 bytes
+    * computing (n_tokens, mean bucket weight) of the hashed
+    * bag-of-words linear model. Tokens are maximal non-`\s` runs
+    * (Java regex semantics: ASCII space + 0x09..0x0D); each token
+    * hashes to `sum(codePoint * 1-based-codepoint-index) mod buckets`
+    * — portable arithmetic a SQL oracle replays exactly — and the
+    * token stream never materializes (no split array, no per-token
+    * strings).
+    */
+  def hashedBowStats(text: UTF8String, buckets: Int): GenericInternalRow = {
+    val n = text.numBytes
+    var i = 0
+    var inTok = false
+    var pos = 0L   // 1-based code-point index within the current token
+    var h = 0L
+    var count = 0
+    var sum = 0.0
+    while (i < n) {
+      val b0 = text.getByte(i) & 0xff
+      var cp = b0
+      var step = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; step = 2 }
+        else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; step = 3 }
+        else { cp = b0 & 0x07; step = 4 }
+        var j = 1
+        while (j < step && i + j < n) {
+          cp = (cp << 6) | (text.getByte(i + j) & 0x3f)
+          j += 1
+        }
+      }
+      if (cp == ' ' || (cp >= 0x09 && cp <= 0x0d)) {
+        if (inTok) {
+          sum += bowWeight(((h % buckets) + buckets) % buckets)
+          count += 1
+          inTok = false; h = 0L; pos = 0L
+        }
+      } else {
+        inTok = true
+        pos += 1
+        h += cp.toLong * pos
+      }
+      i += step
+    }
+    if (inTok) {
+      sum += bowWeight(((h % buckets) + buckets) % buckets)
+      count += 1
+    }
+    new GenericInternalRow(Array[Any](count,
+      if (count == 0) 0.0 else sum / count))
+  }
 }
 
 /** 64-bit SimHash over pre-hashed features: each feature hash votes ±1
@@ -453,6 +513,31 @@ case class CollapseRunsExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** One-pass hashed bag-of-words linear-classifier statistics — the
+  * kernel behind `TextAnalysis.bowQualityScore` (fastText-shaped
+  * model-based quality filtering). Returns (n_tokens, mean bucket
+  * weight) from a single scan; the model is the deterministic
+  * `TextKernels.bowWeight` table over `buckets` hash buckets, so a
+  * SQL oracle reproduces every value with plain arithmetic. Swapping
+  * in trained weights changes `bowWeight` only — the Spark plumbing
+  * (per-row scan, codegen'd expression, no shuffle) is the production
+  * shape.
+  */
+case class HashedBowScoreExpr(child: Expression, buckets: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("mean_w", DoubleType, nullable = false)))
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.hashedBowStats(v.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.hashedBowStats($c, $buckets);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextFunctions {
   import ColumnOps._
   def simhash64(featureHashes: Column): Column =
@@ -474,4 +559,6 @@ object TextFunctions {
     toColumn(MinHashSignature(toExpr(hashedShingles), numHashes))
   def collapse_runs(text: Column): Column =
     toColumn(CollapseRunsExpr(toExpr(text)))
+  def hashed_bow_stats(text: Column, buckets: Int): Column =
+    toColumn(HashedBowScoreExpr(toExpr(text), buckets))
 }

@@ -303,4 +303,32 @@ object TextAnalysis {
       longest.as("max_run"),
       array_join(heads, " ").as("clean_text"))
   }
+
+  /** Model-based quality scoring (fastText / DCLM-classifier shape):
+    * hash each token into one of `buckets` feature buckets, average
+    * the bucket weights, squash through a sigmoid — the linear
+    * text-classifier score production pipelines threshold on to keep
+    * or drop documents. The weight table here is the deterministic
+    * `TextKernels.bowWeight` scramble (so the DuckDB oracle reproduces
+    * every score with plain arithmetic); a trained model swaps that
+    * one function and keeps the identical Spark plan.
+    *
+    * Output: (id, n_tokens, score, keep) — score rounded to 6 dp,
+    * keep = mean weight >= 0 (i.e. score >= 0.5). A tokenless
+    * document scores exactly 0.5 and is kept.
+    *
+    * Scale shape: one codegen'd per-row scan
+    * (TextExpressions.HashedBowScoreExpr — the token stream never
+    * materializes), no shuffle at any corpus size.
+    */
+  def bowQualityScore(df: DataFrame, textCol: String, idCol: String,
+                      buckets: Int = 64): DataFrame = {
+    val s = TextFunctions.hashed_bow_stats(col(textCol), buckets)
+    df.select(col(idCol), s.as("s"))
+      .select(col(idCol),
+        col("s").getField("n_tokens").as("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("s").getField("mean_w"))), 6)
+          .as("score"),
+        (col("s").getField("mean_w") >= 0.0).as("keep"))
+  }
 }

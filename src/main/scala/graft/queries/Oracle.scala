@@ -956,6 +956,101 @@ object Oracle {
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
 
+    // exact mirror of t41 (LineOps.c4LineFilter): same 8-token
+    // pseudo-line split, same per-line word-count + terminal-word
+    // predicate, same >=2-surviving-lines document rule
+    "t41_line_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id,
+        |         list_transform(range(CAST(ceil(len(t) / 8.0) AS BIGINT)),
+        |                        i -> array_to_string(t[i*8+1 : i*8+8], ' '))
+        |           AS lines
+        |  FROM toks
+        |), k AS (
+        |  SELECT doc_id, lines,
+        |         list_filter(lines, l ->
+        |           len(string_split(l, ' ')) >= 5 AND
+        |           list_contains(['value','table','row','scan','data','join'],
+        |                         list_extract(string_split(l, ' '), -1))) AS kept
+        |  FROM ln
+        |)
+        |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+        |       CAST(len(kept) AS INT) AS n_kept,
+        |       len(kept) >= 2 AS doc_kept,
+        |       coalesce(array_to_string(kept, ' '), '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // exact mirror of t42 (LineOps.crossDocLineDedup) semantics: the
+    // xxhash64 prefilter is a routing strategy, never the verdict —
+    // the result is plain line-frequency set difference (drop lines in
+    // more than 2 distinct docs), reassembled in line order
+    "t42_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id,
+        |         list_transform(range(CAST(ceil(len(t) / 8.0) AS BIGINT)),
+        |                        i -> array_to_string(t[i*8+1 : i*8+8], ' '))
+        |           AS lines
+        |  FROM toks
+        |), l AS (
+        |  SELECT doc_id, unnest(lines) AS line,
+        |         unnest(range(len(lines))) AS line_no
+        |  FROM ln
+        |), dup AS (
+        |  SELECT line FROM l GROUP BY line
+        |  HAVING count(DISTINCT doc_id) > 2
+        |), kept AS (
+        |  SELECT doc_id, line, line_no FROM l
+        |  WHERE line NOT IN (SELECT line FROM dup)
+        |)
+        |SELECT n.doc_id, CAST(len(n.lines) AS INT) AS n_lines,
+        |       CAST(count(k.line) AS INT) AS n_kept,
+        |       coalesce(string_agg(k.line, ' ' ORDER BY k.line_no), '')
+        |         AS clean_text
+        |FROM ln n LEFT JOIN kept k USING (doc_id)
+        |GROUP BY n.doc_id, n.lines
+        |ORDER BY n.doc_id""".stripMargin,
+
+    // exact mirror of t43 (TextAnalysis.bowQualityScore): same
+    // positional code-point token hash into 64 buckets, same
+    // Knuth-scramble weight table, same mean + sigmoid — replayed in
+    // plain SQL arithmetic (per-term doubles are bit-identical; only
+    // the sum order differs, ~1e-16 vs the 1e-6 rounding grid)
+    "t43_bow_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(t) AS tok FROM toks
+        |), h AS (
+        |  SELECT doc_id,
+        |         list_sum(list_transform(range(1, len(tok) + 1),
+        |           i -> ascii(substr(tok, CAST(i AS INT), 1)) * i)) % 64 AS b
+        |  FROM tok
+        |), w AS (
+        |  SELECT doc_id,
+        |         ((b * 2654435761) % 1000003) / 1000003.0 - 0.5 AS wt
+        |  FROM h
+        |), s AS (
+        |  SELECT doc_id, sum(wt) / count(*) AS m,
+        |         CAST(count(*) AS INT) AS n_tokens
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(s.n_tokens, 0) AS n_tokens,
+        |       round(1.0 / (1.0 + exp(-coalesce(s.m, 0.0))), 6) AS score,
+        |       coalesce(s.m, 0.0) >= 0.0 AS keep
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Clustering, CorpusStats, IncrementalDedup, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Clustering, CorpusStats, IncrementalDedup, LineOps, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -844,6 +844,40 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("domain"))
   }
+
+  /** t41_line_filter — C4-style per-line quality filtering over
+    * deterministic 8-token pseudo-lines: a line survives with >= 5
+    * words and a terminal-vocabulary last word; a document survives
+    * with >= 2 surviving lines. Pure per-row expression work — one
+    * scan, no shuffle.
+    */
+  def t41LineFilter(spark: SparkSession, sfDir: String): DataFrame =
+    LineOps.c4LineFilter(Tables.documents(spark, sfDir),
+        "doc_id", "text", lineLen = 8, minWords = 5,
+        terminals = Seq("value", "table", "row", "scan", "data", "join"),
+        minKeptLines = 2)
+      .orderBy(col("doc_id"))
+
+  /** t42_line_dedup — RefinedWeb-style cross-document line dedup:
+    * drop every 8-token pseudo-line that occurs in more than 2
+    * distinct documents (corpus boilerplate), reassemble survivors in
+    * order. Corpus-wide frequency rides 8-byte hashes; only
+    * threshold-crossing buckets re-check by string.
+    */
+  def t42LineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    LineOps.crossDocLineDedup(Tables.documents(spark, sfDir),
+        "doc_id", "text", lineLen = 8, maxDocs = 2)
+      .orderBy(col("doc_id"))
+
+  /** t43_bow_score — hashed bag-of-words linear classifier score
+    * (fastText-shaped model-based quality filter) over 64 feature
+    * buckets with the deterministic weight table; one codegen'd
+    * per-row scan.
+    */
+  def t43BowScore(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bowQualityScore(Tables.documents(spark, sfDir),
+        "text", "doc_id", buckets = 64)
+      .orderBy(col("doc_id"))
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate

@@ -237,4 +237,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twice(1L) == ((1L, 1, 1, 1, "solo")))
     assert(twice(2L) == ((2L, 1, 1, 1, "b")))
   }
+
+  /** Reference implementation of the hashed-BoW stats the native kernel
+    * must match: regex split, per-token positional code-point sum mod
+    * buckets, mean of the Knuth-scramble weights.
+    */
+  private def bowRef(text: String, buckets: Int): (Int, Double) = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) (0, 0.0)
+    else {
+      val ws = toks.map { t =>
+        val cps = t.codePoints().toArray
+        val h = cps.zipWithIndex.map { case (cp, i) => cp.toLong * (i + 1) }.sum
+        graft.functions.TextKernels.bowWeight(((h % buckets) + buckets) % buckets)
+      }
+      (toks.length, ws.sum / toks.length)
+    }
+  }
+
+  test("bowQualityScore: kernel matches the reference formulation") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("key", "agg", "row", "scan", "日本語", "héllo", "x", "value42")
+    val random = (0 until 200).map { i =>
+      (100L + i, (0 until (1 + rnd.nextInt(25)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val zoo = Seq((0L, ""), (1L, "  "), (2L, " a  b "), (3L, "a\tb\rc\nd"))
+    val docs = (zoo ++ random).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        graft.functions.TextFunctions.hashed_bow_stats($"text", 64).as("s"))
+      .select($"doc_id", $"s.n_tokens", $"s.mean_w")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    for ((id, n, m) <- got) {
+      val text = (zoo ++ random).find(_._1 == id).get._2
+      val (rn, rm) = bowRef(text, 64)
+      assert(n == rn, s"n_tokens mismatch for doc $id")
+      assert(math.abs(m - rm) < 1e-12, s"mean_w mismatch for doc $id")
+    }
+  }
+
+  test("bowQualityScore: output shape, bounds, and empty-doc neutrality") {
+    val docs = Seq((0L, "key agg row"), (1L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bowQualityScore(docs, "text", "doc_id")
+      .as[(Long, Int, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    val (_, n0, s0, _) = out(0L)
+    assert(n0 == 3 && s0 > 0.0 && s0 < 1.0)
+    // tokenless doc: neutral score, kept
+    assert(out(1L) == ((1L, 0, 0.5, true)))
+  }
 }
