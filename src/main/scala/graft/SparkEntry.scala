@@ -115,6 +115,8 @@ object SparkEntry {
     "t41_line_filter"    -> (TrainingQueries.t41LineFilter _),
     "t42_line_dedup"     -> (TrainingQueries.t42LineDedup _),
     "t43_bow_score"      -> (TrainingQueries.t43BowScore _),
+    "t44_stream_sessions" -> (TrainingQueries.t44StreamSessions _),
+    "t45_line_dedup_doc" -> (TrainingQueries.t45LineDedupDoc _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -71,6 +71,27 @@ object LineOps {
         array_join(kept, " ").as("clean_text"))
   }
 
+  /** Within-document line deduplication: keep the FIRST occurrence of
+    * each distinct line inside a document, preserving order — the
+    * intra-doc cleanup for repeated boilerplate blocks (headers
+    * re-inserted by extraction, pagination echoes) that is cheaper
+    * than, and runs before, the corpus-wide [[crossDocLineDedup]].
+    * `array_distinct` keeps first-occurrence order by contract, so the
+    * whole operator is one per-row expression — no shuffle, any corpus
+    * size.
+    *
+    * Output: (id, n_lines, n_unique, clean_text).
+    */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String, textCol: String,
+                          lineLen: Int): DataFrame = {
+    val lines = lineArray(col(textCol), lineLen)
+    val uniq = array_distinct(lines)
+    df.select(col(idCol),
+      size(lines).as("n_lines"),
+      size(uniq).as("n_unique"),
+      array_join(uniq, " ").as("clean_text"))
+  }
+
   /** Cross-document line deduplication (RefinedWeb / CCNet shape):
     * remove every line that occurs in more than `maxDocs` distinct
     * documents — corpus-wide boilerplate — and reassemble each

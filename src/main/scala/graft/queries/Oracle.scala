@@ -1051,6 +1051,70 @@ object Oracle {
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // replay of t44's TWO contracts in plain SQL: q38's
+    // gaps-and-islands session semantics (inclusive merge boundary,
+    // end = last event + gap) plus the append-mode watermark rule (a
+    // session emits iff its end <= max(event time) - 2 hours; the
+    // single-file AvailableNow source processes in one batch, so no
+    // row is late-dropped)
+    "t44_stream_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP)) AS prev
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR ts - prev > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM o
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m
+        |), s AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |         max(ts) + INTERVAL 1 HOUR AS session_end,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM g GROUP BY user_id, sess
+        |), wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS w FROM events
+        |)
+        |SELECT user_id, session_start, session_end, n_events, sum_value
+        |FROM s WHERE session_end <= (SELECT w FROM wm)
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // exact mirror of t45 (LineOps.dedupLinesWithinDoc): keep the
+    // min-position occurrence of each distinct line per document
+    // (matching array_distinct's keep-first contract), reassemble in
+    // first-occurrence order
+    "t45_line_dedup_doc" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id,
+        |         list_transform(range(CAST(ceil(len(t) / 8.0) AS BIGINT)),
+        |                        i -> array_to_string(t[i*8+1 : i*8+8], ' '))
+        |           AS lines
+        |  FROM toks
+        |), l AS (
+        |  SELECT doc_id, unnest(lines) AS line,
+        |         unnest(range(len(lines))) AS line_no
+        |  FROM ln
+        |), first_pos AS (
+        |  SELECT doc_id, line, min(line_no) AS p
+        |  FROM l GROUP BY doc_id, line
+        |)
+        |SELECT n.doc_id, CAST(len(n.lines) AS INT) AS n_lines,
+        |       CAST(count(f.line) AS INT) AS n_unique,
+        |       coalesce(string_agg(f.line, ' ' ORDER BY f.p), '')
+        |         AS clean_text
+        |FROM ln n LEFT JOIN first_pos f USING (doc_id)
+        |GROUP BY n.doc_id, n.lines
+        |ORDER BY n.doc_id""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -879,6 +879,39 @@ object TrainingQueries {
         "text", "doc_id", buckets = 64)
       .orderBy(col("doc_id"))
 
+  /** t45_line_dedup_doc — within-document line dedup (keep first
+    * occurrence, order preserved) over the same 8-token pseudo-lines;
+    * one per-row expression, no shuffle.
+    */
+  def t45LineDedupDoc(spark: SparkSession, sfDir: String): DataFrame =
+    LineOps.dedupLinesWithinDoc(Tables.documents(spark, sfDir),
+        "doc_id", "text", lineLen = 8)
+      .orderBy(col("doc_id"))
+
+  /** t44_stream_sessions — streaming session-window aggregation run to
+    * completion: per-user sessions with a 1-hour merge gap under a
+    * 2-hour watermark, append mode emitting exactly the sessions whose
+    * end the final watermark passed. The DuckDB oracle replays both
+    * the gaps-and-islands session semantics (q38's formulation) and
+    * the append-mode watermark contract in plain SQL.
+    */
+  def t44StreamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // decimal money-sum convention (RelationalQueries.moneySum): the
+      // emitted totals are exact, so the oracle compare is exact
+      .withColumn("value", col("value").cast("decimal(18,2)"))
+    val sess = StreamingFlows.sessionAgg(stream, "ts", "user_id", "value",
+      gap = "1 hour", watermark = "2 hours")
+    StreamingFlows.runAvailableNow(spark, sess,
+        s"t44_sessions_${System.nanoTime}")
+      .withColumn("sum_value", col("sum_value").cast("double"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

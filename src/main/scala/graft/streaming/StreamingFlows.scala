@@ -37,6 +37,25 @@ object StreamingFlows {
       .select(col("day_window.start").as("day"), col(typeCol),
               col("total"), col("n"))
 
+  /** Watermarked session-window aggregation — the streaming form of
+    * the batch gaps-and-islands sessionization (q38): events for a key
+    * merge into one session while each lands within `gap` of the
+    * session so far, and session end = last event + gap. Append mode
+    * emits a session only once the watermark passes its end, then
+    * drops its state — so state is bounded by (keys with an open
+    * session) × session width, never by stream length.
+    */
+  def sessionAgg(stream: DataFrame, tsCol: String, keyCol: String,
+                 valCol: String, gap: String = "1 hour",
+                 watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valCol)).as("sum_value"))
+      .select(col(keyCol),
+              col("sw").getField("start").as("session_start"),
+              col("sw").getField("end").as("session_end"),
+              col("n_events"), col("sum_value"))
+
   /** Streaming D1 dedup: drop duplicate keys arriving within the
     * watermark horizon (SURVEY §7.5 — `dropDuplicatesWithinWatermark`
     * is the streaming analog of keep-first).

@@ -102,7 +102,14 @@ object ScaleStress {
       // bloom prefilter + verify sliver; canonical election on top of
       // the t18 component pipeline
       "t37_incr_dedup"   -> (TrainingQueries.t37IncrDedup _),
-      "t38_canonical"    -> (TrainingQueries.t38Canonical _))
+      "t38_canonical"    -> (TrainingQueries.t38Canonical _),
+      // line-level curation: per-row C4 filter, cross-doc line dedup
+      // (the exact-copy-heavy 10× corpus is its worst case — every
+      // line of every duplicated doc crosses the frequency threshold),
+      // and the one-pass hashed-BoW classifier
+      "t41_line_filter"  -> (TrainingQueries.t41LineFilter _),
+      "t42_line_dedup"   -> (TrainingQueries.t42LineDedup _),
+      "t43_bow_score"    -> (TrainingQueries.t43BowScore _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")

@@ -71,6 +71,20 @@ class LineOpsSpec extends SparkSpec {
     assert(out(3) == ((3L, 2, 1, "x y")))
   }
 
+  test("dedupLinesWithinDoc: first occurrence survives, order preserved") {
+    val docs = Seq(
+      // lines (len 2): "a b","c d","a b","e f" -> "a b","c d","e f"
+      (0L, "a b c d a b e f"),
+      (1L, "x y x y x y"),
+      (2L, "solo")
+    ).toDF("doc_id", "text")
+    val out = LineOps.dedupLinesWithinDoc(docs, "doc_id", "text", lineLen = 2)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((0L, 4, 3, "a b c d e f")))
+    assert(out(1) == ((1L, 3, 1, "x y")))
+    assert(out(2) == ((2L, 1, 1, "solo")))
+  }
+
   test("crossDocLineDedup: line order preserved through reassembly") {
     // no duplicates at all -> clean_text must equal the line-joined input
     val docs = (0L until 5L).map(i =>

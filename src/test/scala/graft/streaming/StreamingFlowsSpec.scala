@@ -45,4 +45,36 @@ class StreamingFlowsSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(got.count() == users) // one survivor per user
   }
+
+  test("streaming session windows emit exactly the watermark-finalized " +
+       "batch sessions") {
+    val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = StreamingFlows.source(spark, sfDir, batchRaw.schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("value", $"value".cast("decimal(18,2)"))
+    val sess = StreamingFlows.sessionAgg(stream, "ts", "user_id", "value",
+      gap = "1 hour", watermark = "2 hours")
+    val got = StreamingFlows.runAvailableNow(spark, sess, "session_stream")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+
+    // batch replay: same session_window groupBy, then the append-mode
+    // contract — only sessions whose end <= max(ts) - 2h are finalized
+    val events = graft.Tables.events(spark, sfDir)
+    val maxTs = events.agg(max($"ts")).head().getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(
+      maxTs.toInstant.minus(java.time.Duration.ofHours(2)))
+    val expected = events
+      .groupBy(session_window($"ts", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start", $"session_window.end",
+              $"n_events")
+      .filter($"session_window.end" <= lit(cutoff))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
