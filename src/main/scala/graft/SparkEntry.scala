@@ -117,6 +117,8 @@ object SparkEntry {
     "t43_bow_score"      -> (TrainingQueries.t43BowScore _),
     "t44_stream_sessions" -> (TrainingQueries.t44StreamSessions _),
     "t45_line_dedup_doc" -> (TrainingQueries.t45LineDedupDoc _),
+    "t46_semdedup"       -> (TrainingQueries.t46Semdedup _),
+    "t47_semdedup_check" -> (TrainingQueries.t47SemdedupCheck _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

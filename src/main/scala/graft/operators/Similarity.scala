@@ -202,6 +202,85 @@ object Similarity {
     * therefore backed by checkpoint blocks sized to the PAIR OUTPUT
     * (small — rep-collapsed near-dup pairs), never the corpus.
     */
+  /** Cell assignment for [[semDedup]]: deterministic k-means over the
+    * corpus vectors — seeds are the `nlist` distinct vectors with the
+    * smallest hash (reproducible across runs/executors, as in
+    * `ivfTopK`), optionally Lloyd-refined. Output: (id, vec, cell);
+    * one corpus scan, no shuffle (the refine passes aggregate
+    * per-(cell, dim) partial means only).
+    */
+  private[graft] def semCells(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, refineIters: Int): DataFrame = {
+    val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val seeds: Array[Seq[Double]] = ids
+      .select(col("vec")).distinct()
+      .orderBy(xxhash64(col("vec")), col("vec").cast("string"))
+      .limit(nlist).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val cents = refineCentroids(ids.select(col("vec")), seeds, refineIters)
+    ids.select(col("id"), col("vec"), cellOf(col("vec"), cents).as("cell"))
+  }
+
+  /** SemDeDup (the Abbas et al. 2023 shape): semantic deduplication by
+    * k-means clustering + within-cluster cosine thresholding — the
+    * embedding-space analog of near-dup text removal, used to prune
+    * semantically redundant documents before training. A document is
+    * removed iff some SMALLER-id document in its cell has cosine >=
+    * `threshold` with it (the greedy low-index-keeps form production
+    * SemDeDup implementations use — no transitive closure, so the
+    * whole operator is one pair generation + one min aggregate);
+    * `keeper_id` is the smallest such neighbor. The guarantee, pinned
+    * by the t47 audit: no two SURVIVORS in the same cell have cosine
+    * >= threshold — in particular identical vectors (same cell by
+    * construction, cosine exactly 1) always collapse to their min id.
+    * In a chain a–b–c where a–c is below threshold, b's keeper is a
+    * and c's keeper is b (itself removed): greedy keeps ONE doc per
+    * similarity chain, and keeper chains bottom out at a survivor.
+    *
+    * Output: (removed_id, keeper_id, cell) — one row per REMOVED
+    * document; survivors are the corpus minus removed_ids.
+    * Cross-cluster near dups are deliberately missed (that is
+    * SemDeDup's approximation).
+    *
+    * Scale shape: no all-pairs anywhere — pair generation is bounded
+    * by maxBucket² per cell (cells ride the shared capped posting
+    * lists; size `nlist` ∝ corpus / target-cell-size so cells stay
+    * under the cap), and the only full-corpus shuffle is the cell
+    * groupBy at membership cardinality. No iterative stage at all.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nlist: Int = 16, refineIters: Int = 1,
+               maxBucket: Int = 2000): DataFrame =
+    semDedupFromCells(semCells(corpus, idCol, vecCol, nlist, refineIters),
+      threshold, maxBucket)
+
+  /** The pair-generation + greedy-removal stage of [[semDedup]] over a
+    * precomputed (id, vec, cell) frame — shared with the t47 audit so
+    * the audit checks EXACTLY the cells the mapping used.
+    */
+  private[graft] def semDedupFromCells(cells: DataFrame, threshold: Double,
+                                       maxBucket: Int): DataFrame = {
+    // within-cell pairs through the capped posting lists, scored and
+    // thresholded inside one codegen stage (cosineNearDups stage-2
+    // shape with the cell as the bucket)
+    val bucketMembers = Buckets.capped(
+        cells.select(col("id"), col("cell")), Seq("cell"), maxBucket)
+      .select(col("cell"), explode(col("ids")).as("id"))
+      .join(cells.select(col("id"), col("vec")), "id")
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("m"))
+    bucketMembers
+      .select(col("cell"), explode(col("m")).as("a"), col("m"))
+      .select(col("cell"), col("a"), explode(col("m")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(cosine_sim(col("a.vec"), col("b.vec")) >= threshold)
+      // b has a smaller in-cell neighbor above threshold → b removed,
+      // kept by its smallest such neighbor
+      .groupBy(col("b.id").as("removed_id"), col("cell"))
+      .agg(min(col("a.id")).as("keeper_id"))
+      .select(col("removed_id"), col("keeper_id"), col("cell"))
+  }
+
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 16,
                      tables: Int = 4, maxBucket: Int = 500): DataFrame = {

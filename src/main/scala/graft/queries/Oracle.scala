@@ -662,6 +662,12 @@ object Oracle {
       // pre-pass)"
       "SELECT CAST(0 AS BIGINT) AS n_violations",
 
+    "t47_semdedup_check" ->
+      // zero violations of SemDeDup's structural contract: keepers are
+      // never removed, keeper id < removed id (min-id election), and
+      // identical-vector groups never keep two survivors
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+
     "t26_neardup_exact" ->
       """WITH ids AS (
         |  SELECT vec_id AS id, embedding AS vec

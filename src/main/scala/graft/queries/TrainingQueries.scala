@@ -879,6 +879,56 @@ object TrainingQueries {
         "text", "doc_id", buckets = 64)
       .orderBy(col("doc_id"))
 
+  /** t46_semdedup — SemDeDup semantic deduplication over the
+    * embeddings table: deterministic k-means cells + greedy
+    * within-cell cosine >= 0.4 removal (the t7 family threshold).
+    * Output is the removed→keeper mapping; rows-only checked (kmeans +
+    * capped cells are not SQL-expressible), with the structural
+    * guarantees pinned at zero violations by t47.
+    */
+  def t46Semdedup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", threshold = 0.4, nlist = 8, refineIters = 1)
+      .orderBy(col("removed_id"))
+
+  /** t47_semdedup_check — the quantitative cross-check justifying
+    * t46's rows-only row, over EXACTLY the cells the mapping used:
+    * (a) every keeper id is strictly below its removed id, (b) the
+    * core SemDeDup guarantee — no two SURVIVORS in the same cell have
+    * cosine >= threshold (exhaustive within-cell survivor pair
+    * recheck), and (c) no two documents with IDENTICAL embeddings
+    * both survive. The SQL oracle pins the violation count at 0.
+    */
+  def t47SemdedupCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val emb = Tables.embeddings(spark, sfDir)
+    // one deterministic cell assignment shared by mapping and audit;
+    // eager checkpoint so the audit's several passes don't re-run the
+    // kmeans collects
+    val cells = Similarity.semCells(emb, "vec_id", "embedding",
+      nlist = 8, refineIters = 1).localCheckpoint(true)
+    val m = Similarity.semDedupFromCells(cells, threshold = 0.4,
+      maxBucket = 2000)
+    val a = m.filter(col("keeper_id") >= col("removed_id"))
+      .agg(count(lit(1)).as("n"))
+    val survivors = cells.join(m.select(col("removed_id").as("id")),
+      Seq("id"), "left_anti")
+    val b = survivors
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("sm"))
+      .select(explode(col("sm")).as("x"), col("sm"))
+      .select(col("x"), explode(col("sm")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .filter(cosine_sim(col("x.vec"), col("y.vec")) >= 0.4)
+      .agg(count(lit(1)).as("n"))
+    val c = survivors.groupBy(col("vec"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > 1)
+      .agg(count(lit(1)).as("n"))
+    a.unionByName(b).unionByName(c)
+      .agg(sum(col("n")).cast("long").as("n_violations"))
+  }
+
   /** t45_line_dedup_doc — within-document line dedup (keep first
     * occurrence, order preserved) over the same 8-token pseudo-lines;
     * one per-row expression, no shuffle.

@@ -231,4 +231,34 @@ class SimilaritySpec extends SparkSpec {
     val m = sigs.map(s => s._1 -> s._2).toMap
     assert(m(0L) == m(5L))
   }
+
+  test("semDedup: exact dups always collapse, near groups keep min id") {
+    // clusters: {0, 1(near), 5(exact dup of 0)}, {2, 3(near)}, {4 alone}
+    val removed = Similarity.semDedup(corpus, "vec_id", "embedding",
+        threshold = 0.9, nlist = 3, refineIters = 1)
+      .select("removed_id", "keeper_id").as[(Long, Long)].collect().toMap
+    // 5 is an exact dup of 0 — same cell by construction, cosine 1, so
+    // it is removed whatever the clustering, kept by min neighbor 0
+    assert(removed.contains(5L) && removed(5L) == 0L)
+    // greedy election: keeper id always strictly below removed id
+    for ((r, k) <- removed) assert(k < r)
+    // no same-cell survivor pair above threshold: on this corpus, the
+    // survivors of every cell are mutually dissimilar
+    assert(!removed.contains(4L)) // 4 is nobody's near-dup
+    // deterministic: a second run produces the identical mapping
+    val again = Similarity.semDedup(corpus, "vec_id", "embedding",
+        threshold = 0.9, nlist = 3, refineIters = 1)
+      .select("removed_id", "keeper_id").as[(Long, Long)].collect().toMap
+    assert(removed == again)
+  }
+
+  test("semDedup: one cell makes greedy removal exhaustive") {
+    // nlist=1 puts every vector in one cell: removal must equal the
+    // brute-force greedy rule (removed iff SOME smaller id has cosine
+    // >= threshold; keeper = the smallest such id)
+    val removed = Similarity.semDedup(corpus, "vec_id", "embedding",
+        threshold = 0.9, nlist = 1, refineIters = 0)
+      .select("removed_id", "keeper_id").as[(Long, Long)].collect().toMap
+    assert(removed == Map(1L -> 0L, 3L -> 2L, 5L -> 0L))
+  }
 }
