@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for embedding-vector math (SURVEY.md §7.4
@@ -159,6 +159,107 @@ object VectorKernels {
     }
     sig
   }
+
+  /** Kernel for [[ArgmaxCellExpr]]: index of the max-cosine centroid
+    * for one vector — ties take the LARGER index and NaN compares
+    * greatest, matching Spark's struct-ordering `array_max` over
+    * (sim, idx) structs (the expression-tree form this kernel
+    * replaces). One primitive double loop over an nlist × dim matrix;
+    * cosine arithmetic matches [[CosineSimilarity]] exactly.
+    */
+  def argmaxCell(v: ArrayData, cents: Array[Array[Double]],
+                 floatElems: Boolean): Int = {
+    val x: Array[Double] =
+      if (floatElems) {
+        val f = v.toFloatArray()
+        val out = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+        out
+      } else v.toDoubleArray()
+    var best = Double.NegativeInfinity
+    var idx = 0
+    var c = 0
+    while (c < cents.length) {
+      val y = cents(c)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var d = 0
+      while (d < x.length) {
+        dot += x(d) * y(d); nx += x(d) * x(d); ny += y(d) * y(d); d += 1
+      }
+      val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (java.lang.Double.compare(s, best) >= 0) { best = s; idx = c }
+      c += 1
+    }
+    idx
+  }
+
+  /** Kernel for [[SemDedupCellExpr]]: greedy within-cell SemDeDup over
+    * one cell's member array — members scan in ascending id order, and
+    * each member is removed by the FIRST (= smallest-id) earlier member
+    * whose cosine clears `threshold`. Per-pair arithmetic is identical
+    * to [[CosineSimilarity]] (same accumulation order, so audits that
+    * recompute `cosine_sim` see bit-equal values; per-member norm terms
+    * are hoisted — the same double each pair would recompute). No pair
+    * rows ever materialize: the O(sz²)-worst-case loop runs inside one
+    * expression eval over the already-capped member array, and the
+    * ascending scan breaks at the first keeper, so dup-heavy cells run
+    * far below sz².
+    */
+  def semDedupCell(members: ArrayData, threshold: Double,
+                   floatElems: Boolean): ArrayData = {
+    val n = members.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val row = members.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val a = row.getArray(1)
+      vecs(i) =
+        if (floatElems) {
+          val f = a.toFloatArray()
+          val out = new Array[Double](f.length)
+          var d = 0
+          while (d < f.length) { out(d) = f(d).toDouble; d += 1 }
+          out
+        } else a.toDoubleArray()
+      i += 1
+    }
+    val order = Array.range(0, n).sortBy(ids(_))
+    val norms = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val x = vecs(i)
+      var nx = 0.0; var d = 0
+      while (d < x.length) { nx += x(d) * x(d); d += 1 }
+      norms(i) = math.sqrt(nx)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var bi = 1
+    while (bi < n) {
+      val b = order(bi)
+      val y = vecs(b)
+      var ai = 0
+      var found = false
+      while (ai < bi && !found) {
+        val a = order(ai)
+        val x = vecs(a)
+        if (x.length != y.length)
+          throw new IllegalArgumentException(
+            s"dim mismatch: ${x.length} vs ${y.length}")
+        var dot = 0.0; var d = 0
+        while (d < x.length) { dot += x(d) * y(d); d += 1 }
+        if (dot / (norms(a) * norms(b)) >= threshold) {
+          out += new GenericInternalRow(Array[Any](ids(b), ids(a)))
+          found = true
+        }
+        ai += 1
+      }
+      bi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Signed-random-projection (hyperplane) LSH signature: bit j of the
@@ -194,6 +295,87 @@ case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Argmax-cosine cell assignment against a FIXED centroid matrix (the
+  * k-means/IVF assign step). The matrix rides the expression as a
+  * codegen reference object, so assignment is one primitive
+  * nlist × dim loop per row — where the expression-tree form (an
+  * `array_max` over nlist per-centroid `cosine_sim` subtrees) grows
+  * the generated code linearly in nlist and fell off a cliff at
+  * nlist ≈ 80 (540 s for a 20k-row assign; docs/PERF_NOTES.md).
+  */
+case class ArgmaxCellExpr(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  override def dataType: DataType = IntegerType
+  override def inputTypes =
+    Seq(org.apache.spark.sql.graftshim.Bridge.vectorArrayType)
+
+  private def floatElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.argmaxCell(v.asInstanceOf[ArrayData], centroids, floatElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.argmaxCell($c, $ref, $floatElems);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Greedy within-cell SemDeDup over a collected member array
+  * (ARRAY<STRUCT<id, vec>>) → ARRAY<STRUCT<removed_id, keeper_id>> —
+  * the whole quadratic pair stage of `Similarity.semDedup` as ONE
+  * expression eval per cell row. The row-level alternative (explode ×
+  * explode × cosine filter × min groupBy) materializes two full
+  * vectors per candidate pair: minutes of row churn on dup-heavy
+  * cells where this kernel's break-at-first-keeper scan takes
+  * seconds (docs/PERF_NOTES.md).
+  */
+case class SemDedupCellExpr(child: Expression, threshold: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("removed_id", LongType, nullable = false),
+    StructField("keeper_id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(f0, f1)), _)
+        if f0.dataType == LongType &&
+           (f1.dataType == ArrayType(FloatType, false) ||
+            f1.dataType == ArrayType(FloatType, true) ||
+            f1.dataType == ArrayType(DoubleType, false) ||
+            f1.dataType == ArrayType(DoubleType, true)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected ARRAY<STRUCT<BIGINT, ARRAY<FLOAT|DOUBLE>>>, got $t")
+    }
+
+  private def floatElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType].fields(1).dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.semDedupCell(v.asInstanceOf[ArrayData], threshold, floatElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.semDedupCell($c, $threshold, $floatElems);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorFunctions {
   import ColumnOps._
   def cosine_sim(a: Column, b: Column): Column =
@@ -202,4 +384,8 @@ object VectorFunctions {
     toColumn(DotProduct(toExpr(a), toExpr(b)))
   def hyperplane_sig(v: Column, numBits: Int, seed: Long = 42L): Column =
     toColumn(HyperplaneSignature(toExpr(v), numBits, seed))
+  def sem_dedup_cell(members: Column, threshold: Double): Column =
+    toColumn(SemDedupCellExpr(toExpr(members), threshold))
+  def argmax_cell(v: Column, centroids: Array[Array[Double]]): Column =
+    toColumn(ArgmaxCellExpr(toExpr(v), centroids))
 }

@@ -90,15 +90,18 @@ object Similarity {
     topKPerQuery(cands, k, corpus.schema(idCol).dataType)
   }
 
-  /** Argmax cell id over per-centroid cosine via array_max on
-    * (sim, idx) structs — linear expression size (a reduceLeft of
-    * when(...) would duplicate the accumulated subtree per step:
-    * 2^nlist nodes).
+  /** Argmax cell id over per-centroid cosine — one native kernel call
+    * per row with the centroid matrix as a codegen reference object
+    * (ties → larger index, NaN greatest, matching the array_max
+    * struct-ordering form it replaces). The expression-tree form
+    * (array_max over nlist cosine subtrees) grows generated code
+    * linearly in nlist and collapsed at the adaptive nlist≈80 of the
+    * 10× stress corpus — 540 s for a 20k-row assign vs sub-second for
+    * the kernel (docs/PERF_NOTES.md).
     */
   private def cellOf(vec: Column, centroids: Array[Seq[Double]]): Column =
-    array_max(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(cosine_sim(vec, typedLit(c)).as("s"), lit(i).as("i")) }: _*))
-      .getField("i")
+    graft.functions.VectorFunctions.argmax_cell(
+      vec, centroids.map(_.toArray))
 
   /** One-or-more Lloyd iterations over cosine cells, fully
     * distributed: assign every vector to its argmax-cosine cell (one
@@ -256,13 +259,17 @@ object Similarity {
 
   /** The pair-generation + greedy-removal stage of [[semDedup]] over a
     * precomputed (id, vec, cell) frame — shared with the t47 audit so
-    * the audit checks EXACTLY the cells the mapping used.
+    * the audit checks EXACTLY the cells the mapping used. The whole
+    * quadratic stage runs inside ONE native kernel eval per cell row
+    * (`sem_dedup_cell`): the row-level form (explode × explode ×
+    * cosine filter × min groupBy) materialized two full vectors per
+    * candidate pair and cost minutes on dup-heavy cells where the
+    * kernel's break-at-first-keeper scan costs seconds
+    * (docs/PERF_NOTES.md).
     */
   private[graft] def semDedupFromCells(cells: DataFrame, threshold: Double,
                                        maxBucket: Int): DataFrame = {
-    // within-cell pairs through the capped posting lists, scored and
-    // thresholded inside one codegen stage (cosineNearDups stage-2
-    // shape with the cell as the bucket)
+    import graft.functions.VectorFunctions.sem_dedup_cell
     val bucketMembers = Buckets.capped(
         cells.select(col("id"), col("cell")), Seq("cell"), maxBucket)
       .select(col("cell"), explode(col("ids")).as("id"))
@@ -270,15 +277,11 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("id"), col("vec"))).as("m"))
     bucketMembers
-      .select(col("cell"), explode(col("m")).as("a"), col("m"))
-      .select(col("cell"), col("a"), explode(col("m")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .filter(cosine_sim(col("a.vec"), col("b.vec")) >= threshold)
-      // b has a smaller in-cell neighbor above threshold → b removed,
-      // kept by its smallest such neighbor
-      .groupBy(col("b.id").as("removed_id"), col("cell"))
-      .agg(min(col("a.id")).as("keeper_id"))
-      .select(col("removed_id"), col("keeper_id"), col("cell"))
+      .select(col("cell"),
+        explode(sem_dedup_cell(col("m"), threshold)).as("r"))
+      .select(col("r").getField("removed_id").as("removed_id"),
+              col("r").getField("keeper_id").as("keeper_id"),
+              col("cell"))
   }
 
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,

@@ -886,10 +886,25 @@ object TrainingQueries {
     * capped cells are not SQL-expressible), with the structural
     * guarantees pinned at zero violations by t47.
     */
-  def t46Semdedup(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.semDedup(Tables.embeddings(spark, sfDir),
-        "vec_id", "embedding", threshold = 0.4, nlist = 8, refineIters = 1)
+  def t46Semdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.semDedup(emb, "vec_id", "embedding", threshold = 0.4,
+        nlist = semNlist(emb), refineIters = 1)
       .orderBy(col("removed_id"))
+  }
+
+  /** nlist sizing for the SemDeDup queries: cells target ~250 members.
+    * Two failure modes bound the choice from both sides: a fixed nlist
+    * saturates EVERY cell once the corpus outgrows nlist × maxBucket
+    * (saturated cells drop — silently deduping nothing), and oversized
+    * cells explode the pair stage quadratically (each pair row carries
+    * two vectors; ~500-member cells on the 10× stress corpus cost
+    * minutes, ~250 keeps pair count — and therefore time — linear in
+    * the corpus). The count is one cheap job; production callers would
+    * size from known corpus stats instead.
+    */
+  private def semNlist(emb: DataFrame): Int =
+    math.max(8, math.ceil(emb.count() / 250.0).toInt)
 
   /** t47_semdedup_check — the quantitative cross-check justifying
     * t46's rows-only row, over EXACTLY the cells the mapping used:
@@ -906,7 +921,7 @@ object TrainingQueries {
     // eager checkpoint so the audit's several passes don't re-run the
     // kmeans collects
     val cells = Similarity.semCells(emb, "vec_id", "embedding",
-      nlist = 8, refineIters = 1).localCheckpoint(true)
+      nlist = semNlist(emb), refineIters = 1).localCheckpoint(true)
     val m = Similarity.semDedupFromCells(cells, threshold = 0.4,
       maxBucket = 2000)
     val a = m.filter(col("keeper_id") >= col("removed_id"))

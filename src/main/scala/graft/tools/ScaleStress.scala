@@ -109,7 +109,11 @@ object ScaleStress {
       // and the one-pass hashed-BoW classifier
       "t41_line_filter"  -> (TrainingQueries.t41LineFilter _),
       "t42_line_dedup"   -> (TrainingQueries.t42LineDedup _),
-      "t43_bow_score"    -> (TrainingQueries.t43BowScore _))
+      "t43_bow_score"    -> (TrainingQueries.t43BowScore _),
+      // SemDeDup: the 10× corpus replicates every vector into exact +
+      // rescaled + perturbed variants, so cells fill with real
+      // near-dup mass — the worst case for within-cell pair generation
+      "t46_semdedup"     -> (TrainingQueries.t46Semdedup _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")
@@ -164,6 +168,17 @@ object ScaleStress {
       posting.join(survivors, "shash").select(col("id")).distinct().count()
     }
     println(s"| t31 candidate docs (span text regenerated) | $cdS | $cdB |")
+    // t46: saturated kmeans cells would silently dedup nothing — prove
+    // the adaptive nlist keeps every cell under the pair-generation cap
+    val (scS, scB) = both { d =>
+      val emb = graft.Tables.embeddings(spark, d)
+      val nlist = math.max(8, math.ceil(emb.count() / 500.0).toInt)
+      graft.operators.Similarity
+        .semCells(emb, "vec_id", "embedding", nlist, refineIters = 1)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 2000).count()
+    }
+    println(s"| t46 saturated (dropped) kmeans cells | $scS | $scB |")
     spark.stop()
   }
 }

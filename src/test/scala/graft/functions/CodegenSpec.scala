@@ -48,4 +48,29 @@ class CodegenSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-12) // cos(v, v) = 1
     assert(row.getDouble(2) == 0.25 + 2.25 + 4.0)
   }
+
+  test("SemDedupCellExpr compiles under codegen; greedy mapping is exact") {
+    val memberType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(DoubleType, containsNull = false),
+        nullable = false))), containsNull = false)
+    val members = BoundReference(0, memberType, nullable = true)
+    val expr = SemDedupCellExpr(members, threshold = 0.9)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    // ids deliberately out of order: 7 ∥ 3 (cosine 1), 5 orthogonal
+    def m(id: Long, v: Array[Double]) =
+      InternalRow(id, new GenericArrayData(v))
+    val input = InternalRow(new GenericArrayData(Array[Any](
+      m(7L, Array(2.0, 0.0)), m(3L, Array(1.0, 0.0)), m(5L, Array(0.0, 1.0)))))
+    val row = proj(input)
+    val got = row.getArray(0)
+    assert(got.numElements() == 1)
+    assert(got.getStruct(0, 2).getLong(0) == 7L) // removed
+    assert(got.getStruct(0, 2).getLong(1) == 3L) // keeper = smaller id
+    // codegen == interpreted
+    val interp = expr.eval(input).asInstanceOf[GenericArrayData]
+    assert(interp.numElements() == 1 &&
+      interp.getStruct(0, 2).getLong(0) == 7L &&
+      interp.getStruct(0, 2).getLong(1) == 3L)
+  }
 }
