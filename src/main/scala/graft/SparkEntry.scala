@@ -119,6 +119,7 @@ object SparkEntry {
     "t45_line_dedup_doc" -> (TrainingQueries.t45LineDedupDoc _),
     "t46_semdedup"       -> (TrainingQueries.t46Semdedup _),
     "t47_semdedup_check" -> (TrainingQueries.t47SemdedupCheck _),
+    "t48_pipeline"       -> (TrainingQueries.t48Pipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1121,6 +1121,83 @@ object Oracle {
         |GROUP BY n.doc_id, n.lines
         |ORDER BY n.doc_id""".stripMargin,
 
+    // full CTE replay of t48's four-stage curation pipeline: C4 line
+    // filter (t41 logic) → exact dedup on clean text → shingle
+    // decontamination vs the mod-97 eval cohort (t28 logic, withheld
+    // cohort dropped too) → per-source mixture quotas (t29 logic);
+    // output is the per-stage audit ledger
+    "t48_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id,
+        |         list_transform(range(CAST(ceil(len(t) / 8.0) AS BIGINT)),
+        |                        i -> array_to_string(t[i*8+1 : i*8+8], ' '))
+        |           AS lines
+        |  FROM toks
+        |), k AS (
+        |  SELECT doc_id,
+        |         list_filter(lines, l ->
+        |           len(string_split(l, ' ')) >= 5 AND
+        |           list_contains(['value','table','row','scan','data','join'],
+        |                         list_extract(string_split(l, ' '), -1))) AS kept
+        |  FROM ln
+        |), s1 AS (
+        |  SELECT doc_id,
+        |         coalesce(array_to_string(kept, ' '), '') AS clean_text
+        |  FROM k WHERE len(kept) >= 2
+        |), s2 AS (
+        |  SELECT min(doc_id) AS doc_id, clean_text
+        |  FROM s1 GROUP BY clean_text
+        |), ctoks AS (
+        |  SELECT doc_id, string_split_regex(lower(clean_text), '\s+') AS t
+        |  FROM s2
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END) AS sh
+        |  FROM ctoks
+        |), tr AS (
+        |  SELECT doc_id AS train_id, unnest(sh) AS s FROM sets
+        |), ev AS (
+        |  SELECT doc_id AS eval_id, unnest(sh) AS s FROM sets
+        |  WHERE doc_id % 97 = 0
+        |), cont AS (
+        |  SELECT DISTINCT train_id AS doc_id FROM (
+        |    SELECT train_id, eval_id FROM tr JOIN ev USING (s)
+        |    WHERE train_id != eval_id
+        |    GROUP BY 1, 2 HAVING count(*) >= 2)
+        |), s3 AS (
+        |  SELECT doc_id FROM s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |    AND doc_id % 97 != 0
+        |), ranked AS (
+        |  SELECT s3.doc_id, d.source,
+        |         row_number() OVER (
+        |           PARTITION BY d.source
+        |           ORDER BY md5(CAST(s3.doc_id AS VARCHAR))) AS rn
+        |  FROM s3 JOIN documents d USING (doc_id)
+        |), s4 AS (
+        |  SELECT doc_id FROM ranked
+        |  WHERE rn <= CASE
+        |    WHEN source IN ('src0','src1','src2','src3','src4') THEN 10
+        |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 5
+        |    ELSE 2 END
+        |)
+        |SELECT 1 AS step, 'line_filter' AS stage,
+        |       (SELECT count(*) FROM documents) AS docs_in,
+        |       (SELECT count(*) FROM s1) AS docs_out
+        |UNION ALL SELECT 2, 'exact_dedup',
+        |       (SELECT count(*) FROM s1), (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'decontaminate',
+        |       (SELECT count(*) FROM s2), (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'mixture',
+        |       (SELECT count(*) FROM s3), (SELECT count(*) FROM s4)
+        |ORDER BY step""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

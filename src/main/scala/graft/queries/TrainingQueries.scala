@@ -953,6 +953,54 @@ object TrainingQueries {
         "doc_id", "text", lineLen = 8)
       .orderBy(col("doc_id"))
 
+  /** t48_pipeline — the operators COMPOSED as a real curation run:
+    * C4 line filtering → exact dedup on the cleaned text →
+    * benchmark decontamination (withhold the doc_id ≡ 0 mod 97 eval
+    * cohort and drop training docs sharing ≥ 2 shingles with it) →
+    * per-source mixture quotas. Output is the per-stage audit ledger
+    * (step, stage, docs_in, docs_out) a pipeline owner actually reads;
+    * the DuckDB oracle replays all four stages as one CTE chain. Every
+    * stage keeps its operator's scale shape — the audit counts are
+    * aggregates, never a driver funnel.
+    */
+  def t48Pipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = LineOps.c4LineFilter(docs, "doc_id", "text",
+        lineLen = 8, minWords = 5,
+        terminals = Seq("value", "table", "row", "scan", "data", "join"),
+        minKeptLines = 2)
+      .filter(col("doc_kept"))
+      .select(col("doc_id"), col("clean_text"))
+    val s2 = s1.groupBy(col("clean_text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("clean_text"))
+    val evalSet = s2.filter(col("doc_id") % 97 === 0)
+    val contaminated = TextDedup.contaminationPairs(s2, evalSet,
+        "clean_text", "doc_id", shingleK = 3, minShared = 2,
+        excludeSameId = true)
+      .select(col("train_id").as("doc_id")).distinct()
+    val s3 = s2
+      .join(contaminated.unionByName(evalSet.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    val quotas =
+      (0 to 4).map(i => s"src$i" -> 10).toMap ++
+      (5 to 9).map(i => s"src$i" -> 5).toMap
+    val s4 = graft.ops.Mixing.sampleQuotas(
+      s3.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source")),
+      "source", "doc_id", quotas, defaultQuota = 2)
+    def stage(step: Int, name: String, in: DataFrame, out: DataFrame) =
+      in.agg(count(lit(1)).as("docs_in"))
+        .crossJoin(out.agg(count(lit(1)).as("docs_out")))
+        .select(lit(step).as("step"), lit(name).as("stage"),
+                col("docs_in"), col("docs_out"))
+    stage(1, "line_filter", docs, s1)
+      .unionByName(stage(2, "exact_dedup", s1, s2))
+      .unionByName(stage(3, "decontaminate", s2, s3))
+      .unionByName(stage(4, "mixture", s3, s4))
+      .orderBy(col("step"))
+  }
+
   /** t44_stream_sessions — streaming session-window aggregation run to
     * completion: per-user sessions with a 1-hour merge gap under a
     * 2-hour watermark, append mode emitting exactly the sessions whose
