@@ -69,6 +69,11 @@ object Verify {
       "t25 minhash precision violations == 0" -> rows("t25_minhash_precision")
         .map(_.exists(r => r.getAs[Long]("n_violations") == 0L)),
       "t27 simhash recovery violations == 0" -> rows("t27_simhash_recovery")
+        .map(_.exists(r => r.getAs[Long]("n_violations") == 0L)),
+      // SemDeDup structural contract (keeper<removed, no same-cell
+      // survivor pair above threshold, identical vectors collapse) —
+      // the cross-check justifying t46's rows-only row
+      "t47 semdedup violations == 0" -> rows("t47_semdedup_check")
         .map(_.exists(r => r.getAs[Long]("n_violations") == 0L)))
     checks.collect {
       case (desc, Left(err)) => s"$desc — $err"
