@@ -27,12 +27,33 @@ object BloomFunctions {
 
   /** Aggregate a LONG hash column into one serialized Bloom sketch
     * (binary). `expectedItems` + `fpp` pick the optimal bit count.
+    *
+    * Spark's BloomFilterAggregate SILENTLY clamps both parameters to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` /
+    * `.maxNumItems` (defaults 67,108,864 bits = 8 MB / 4M items) —
+    * past that, the sketch saturates and fpp degrades toward 1 with no
+    * error, which would quietly erase the bloom-negative fast path of
+    * IncrementalDedup/IngestDedup at exactly the scales it exists for.
+    * This wrapper fails fast instead: raise those confs alongside the
+    * sketch size (the ~1.2 GB-per-billion-items guidance above assumes
+    * you have).
     */
   def bloom_agg(hashCol: Column, expectedItems: Long,
                 fpp: Double = 0.01): Column = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxBits = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val maxItems = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    require(numBits <= maxBits && expectedItems <= maxItems,
+      s"sketch for $expectedItems items at fpp=$fpp needs $numBits bits, but " +
+      s"Spark clamps to maxNumItems=$maxItems/maxNumBits=$maxBits and the " +
+      "sketch would silently saturate (fpp → 1). Raise " +
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits or " +
+      "relax fpp/expectedItems.")
     toColumn(new BloomFilterAggregate(toExpr(hashCol),
         Literal(expectedItems), Literal(numBits))
       .toAggregateExpression())

@@ -182,6 +182,9 @@ object VectorKernels {
     var c = 0
     while (c < cents.length) {
       val y = cents(c)
+      if (x.length != y.length)
+        throw new IllegalArgumentException(
+          s"dim mismatch: ${x.length} vs centroid $c of ${y.length}")
       var dot = 0.0; var nx = 0.0; var ny = 0.0; var d = 0
       while (d < x.length) {
         dot += x(d) * y(d); nx += x(d) * x(d); ny += y(d) * y(d); d += 1

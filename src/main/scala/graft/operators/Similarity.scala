@@ -148,17 +148,7 @@ object Similarity {
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               refineIters: Int = 0): DataFrame = {
-    // deterministic centroid sample: the nlist DISTINCT corpus vectors
-    // with the smallest vector-hash (tiny collect; nlist rows). Without
-    // distinct, a hot duplicated vector could supply every centroid and
-    // collapse the index to one cell.
-    val seeds: Array[Seq[Double]] = corpus
-      .select(col(vecCol).as("vec"))
-      .distinct()
-      .orderBy(xxhash64(col("vec")), col("vec").cast("string"))
-      .limit(nlist)
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble))
+    val seeds = seedCentroids(corpus.select(col(vecCol).as("vec")), nlist)
     val centroids = refineCentroids(
       corpus.select(col(vecCol).as("vec")), seeds, refineIters)
     // top-nprobe cells per query (queries are small; computed the same way)
@@ -205,21 +195,38 @@ object Similarity {
     * therefore backed by checkpoint blocks sized to the PAIR OUTPUT
     * (small — rep-collapsed near-dup pairs), never the corpus.
     */
+  /** Deterministic centroid seeds shared by [[ivfTopK]] and
+    * [[semCells]]: the `nlist` DISTINCT vectors with the smallest
+    * vector-hash (tiny collect; nlist rows; reproducible across
+    * runs/executors). Without distinct, a hot duplicated vector could
+    * supply every centroid and collapse the index to one cell. Handles
+    * FLOAT and DOUBLE element types.
+    */
+  private def seedCentroids(vecs: DataFrame, nlist: Int): Array[Seq[Double]] =
+    vecs.select(col("vec"))
+      .distinct()
+      .orderBy(xxhash64(col("vec")), col("vec").cast("string"))
+      .limit(nlist)
+      .collect()
+      .map { r =>
+        r.getSeq[Any](0).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case x => throw new IllegalArgumentException(
+            s"unsupported vector element ${x.getClass}")
+        }
+      }
+
   /** Cell assignment for [[semDedup]]: deterministic k-means over the
-    * corpus vectors — seeds are the `nlist` distinct vectors with the
-    * smallest hash (reproducible across runs/executors, as in
-    * `ivfTopK`), optionally Lloyd-refined. Output: (id, vec, cell);
-    * one corpus scan, no shuffle (the refine passes aggregate
-    * per-(cell, dim) partial means only).
+    * corpus vectors — seeds from [[seedCentroids]], optionally
+    * Lloyd-refined. Output: (id, vec, cell); one corpus scan, no
+    * shuffle (the refine passes aggregate per-(cell, dim) partial
+    * means only).
     */
   private[graft] def semCells(corpus: DataFrame, idCol: String,
       vecCol: String, nlist: Int, refineIters: Int): DataFrame = {
     val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val seeds: Array[Seq[Double]] = ids
-      .select(col("vec")).distinct()
-      .orderBy(xxhash64(col("vec")), col("vec").cast("string"))
-      .limit(nlist).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble))
+    val seeds = seedCentroids(ids.select(col("vec")), nlist)
     val cents = refineCentroids(ids.select(col("vec")), seeds, refineIters)
     ids.select(col("id"), col("vec"), cellOf(col("vec"), cents).as("cell"))
   }

@@ -903,7 +903,7 @@ object TrainingQueries {
     * the corpus). The count is one cheap job; production callers would
     * size from known corpus stats instead.
     */
-  private def semNlist(emb: DataFrame): Int =
+  private[graft] def semNlist(emb: DataFrame): Int =
     math.max(8, math.ceil(emb.count() / 250.0).toInt)
 
   /** t47_semdedup_check — the quantitative cross-check justifying
@@ -965,15 +965,21 @@ object TrainingQueries {
     */
   def t48Pipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // each stage feeds BOTH the next stage and two audit counts, and
+    // the lineages nest (s4 ⊃ s3 ⊃ s2 ⊃ s1) — without eager
+    // materialization the line filter would recompute ~8× and the
+    // contamination join ~3× per run (t47/cosineNearDups precedent)
     val s1 = LineOps.c4LineFilter(docs, "doc_id", "text",
         lineLen = 8, minWords = 5,
         terminals = Seq("value", "table", "row", "scan", "data", "join"),
         minKeptLines = 2)
       .filter(col("doc_kept"))
       .select(col("doc_id"), col("clean_text"))
+      .localCheckpoint(true)
     val s2 = s1.groupBy(col("clean_text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("clean_text"))
+      .localCheckpoint(true)
     val evalSet = s2.filter(col("doc_id") % 97 === 0)
     val contaminated = TextDedup.contaminationPairs(s2, evalSet,
         "clean_text", "doc_id", shingleK = 3, minShared = 2,
@@ -982,6 +988,7 @@ object TrainingQueries {
     val s3 = s2
       .join(contaminated.unionByName(evalSet.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val quotas =
       (0 to 4).map(i => s"src$i" -> 10).toMap ++
       (5 to 9).map(i => s"src$i" -> 5).toMap

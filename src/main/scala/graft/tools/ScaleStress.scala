@@ -172,7 +172,9 @@ object ScaleStress {
     // the adaptive nlist keeps every cell under the pair-generation cap
     val (scS, scB) = both { d =>
       val emb = graft.Tables.embeddings(spark, d)
-      val nlist = math.max(8, math.ceil(emb.count() / 500.0).toInt)
+      // the EXACT nlist the t46/t47 queries run with — auditing any
+      // other cell layout would prove nothing about production cells
+      val nlist = TrainingQueries.semNlist(emb)
       graft.operators.Similarity
         .semCells(emb, "vec_id", "embedding", nlist, refineIters = 1)
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
