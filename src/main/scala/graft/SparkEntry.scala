@@ -120,6 +120,7 @@ object SparkEntry {
     "t46_semdedup"       -> (TrainingQueries.t46Semdedup _),
     "t47_semdedup_check" -> (TrainingQueries.t47SemdedupCheck _),
     "t48_pipeline"       -> (TrainingQueries.t48Pipeline _),
+    "t49_token_mixture"  -> (TrainingQueries.t49TokenMixture _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus mixing — deterministic per-group quota resampling, the
@@ -37,5 +38,38 @@ object Mixing {
       orderBy = md5(col(keyCol).cast("string")),
       saltBy = xxhash64(col(keyCol)),
       cap = quota, salts = salts)
+  }
+
+  /** Mixture under a WEIGHT budget rather than a row count — the form
+    * real mixing uses (budgets are tokens, not documents): per group,
+    * rank rows by the same deterministic smallest-md5(key) order as
+    * [[sampleQuotas]] and keep the maximal prefix whose cumulative
+    * weight stays within `budgets(group)` (`defaultBudget` for
+    * unlisted groups). Weights must be non-negative, so the running
+    * sum is monotone and `cum <= budget` IS the greedy prefix.
+    *
+    * Scale note: the cumulative sum is inherently order-dependent, so
+    * this runs ONE window per group (a shuffle partitioned by group) —
+    * fine while no single group is petabyte-hot. For a dominant
+    * source, compose with [[sampleQuotas]] first (quota ≈ budget /
+    * min expected weight) so the salted two-level cap trims the group
+    * to a bounded candidate set BEFORE the exact budget window; the
+    * md5 orders agree, so pre-capping at any quota ≥ the final kept
+    * count does not change the selection.
+    */
+  def sampleWeightBudget(df: DataFrame, groupCol: String, keyCol: String,
+                         weight: Column, budgets: Map[String, Long],
+                         defaultBudget: Long): DataFrame = {
+    val budget =
+      if (budgets.isEmpty) lit(defaultBudget)
+      else coalesce(element_at(typedLit(budgets), col(groupCol)),
+                    lit(defaultBudget))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("wt", weight)
+      .withColumn("cum", sum(col("wt")).over(w))
+      .filter(col("cum") <= budget)
+      .drop("cum")
   }
 }

@@ -1198,6 +1198,31 @@ object Oracle {
         |       (SELECT count(*) FROM s3), (SELECT count(*) FROM s4)
         |ORDER BY step""".stripMargin,
 
+    // exact mirror of t49 (Mixing.sampleWeightBudget): same md5 order
+    // per source, same BPE-ish token weight (regexp replay of the
+    // native counter, as t10), greedy prefix under the budget via a
+    // monotone running sum
+    "t49_token_mixture" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR))
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM w
+        |)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE cum <= CASE
+        |  WHEN source IN ('src0','src1','src2','src3','src4') THEN 4000
+        |  WHEN source IN ('src5','src6','src7','src8','src9') THEN 2000
+        |  ELSE 800 END
+        |ORDER BY doc_id""".stripMargin,
+
     "t13_sample" ->
       """WITH binned AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -953,6 +953,27 @@ object TrainingQueries {
         "doc_id", "text", lineLen = 8)
       .orderBy(col("doc_id"))
 
+  /** t49_token_mixture — corpus mixing under per-source TOKEN budgets
+    * (the form real mixing uses: budgets are tokens, not documents):
+    * rank each source's docs by the deterministic md5 order and keep
+    * the maximal prefix whose cumulative BPE-ish token count fits the
+    * budget. Exact oracle — the native token counter replays in SQL as
+    * a regexp, the cumsum as a window.
+    */
+  def t49TokenMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.bpeish_token_count
+    val budgets =
+      (0 to 4).map(i => s"src$i" -> 4000L).toMap ++
+      (5 to 9).map(i => s"src$i" -> 2000L).toMap
+    graft.ops.Mixing.sampleWeightBudget(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id", bpeish_token_count(col("text")),
+        budgets, defaultBudget = 800L)
+      .select(col("doc_id"), col("source"), col("wt").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t48_pipeline — the operators COMPOSED as a real curation run:
     * C4 line filtering → exact dedup on the cleaned text →
     * benchmark decontamination (withhold the doc_id ≡ 0 mod 97 eval

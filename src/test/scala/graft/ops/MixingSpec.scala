@@ -44,4 +44,27 @@ class MixingSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet
     assert(got == expected)
   }
+
+  test("weight-budget selection is the greedy md5-order prefix") {
+    val weighted = corpus.withColumn("w", ($"id" % 7 + 1).cast("int"))
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (1 to 600).map(i => (i.toLong, s"g${i % 3}", i % 7 + 1))
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(r => md5hex(r._1.toString)).takeWhile { r =>
+          cum += r._3; cum <= 40L
+        }.map(_._1)
+      }.toSet
+    val got = Mixing.sampleWeightBudget(weighted, "grp", "id", $"w",
+        Map.empty, defaultBudget = 40L)
+      .select($"id").as[Long].collect().toSet
+    assert(got == expected)
+    // per-group kept weight never exceeds the budget
+    val sums = Mixing.sampleWeightBudget(weighted, "grp", "id", $"w",
+        Map("g0" -> 15L), defaultBudget = 40L)
+      .groupBy($"grp").agg(sum($"wt").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(sums("g0") <= 15L && sums("g1") <= 40L && sums("g2") <= 40L)
+  }
 }
