@@ -113,7 +113,10 @@ object ScaleStress {
       // SemDeDup: the 10× corpus replicates every vector into exact +
       // rescaled + perturbed variants, so cells fill with real
       // near-dup mass — the worst case for within-cell pair generation
-      "t46_semdedup"     -> (TrainingQueries.t46Semdedup _))
+      "t46_semdedup"     -> (TrainingQueries.t46Semdedup _),
+      // token-budget mixture: one window per source; budgets bound the
+      // SELECTED mass, so output stays ~constant while input grows 10×
+      "t49_token_mixture" -> (TrainingQueries.t49TokenMixture _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")
