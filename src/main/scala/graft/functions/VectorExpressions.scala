@@ -196,6 +196,47 @@ object VectorKernels {
     idx
   }
 
+  /** Kernel for [[ArgmaxCellsExpr]] — same argmax/tie/NaN semantics as
+    * [[argmaxCell]] but the centroid matrix arrives as a COLUMN value
+    * (ARRAY<ARRAY<DOUBLE>>) instead of a codegen reference object, so
+    * different rows can score against different matrices. This is the
+    * within-coarse-cell assign of the two-level quantizer: the fine
+    * centroids ride a DataFrame keyed by coarse cell and join to the
+    * vectors, never the driver.
+    */
+  def argmaxCellCol(v: ArrayData, cents: ArrayData,
+                    floatElems: Boolean): Int = {
+    val x: Array[Double] =
+      if (floatElems) {
+        val f = v.toFloatArray()
+        val out = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+        out
+      } else v.toDoubleArray()
+    val n = cents.numElements()
+    if (n == 0)
+      throw new IllegalArgumentException("argmax over an empty centroid list")
+    var best = Double.NegativeInfinity
+    var idx = 0
+    var c = 0
+    while (c < n) {
+      val y = cents.getArray(c)
+      if (x.length != y.numElements())
+        throw new IllegalArgumentException(
+          s"dim mismatch: ${x.length} vs centroid $c of ${y.numElements()}")
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var d = 0
+      while (d < x.length) {
+        val yd = y.getDouble(d)
+        dot += x(d) * yd; nx += x(d) * x(d); ny += yd * yd; d += 1
+      }
+      val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (java.lang.Double.compare(s, best) >= 0) { best = s; idx = c }
+      c += 1
+    }
+    idx
+  }
+
   /** Kernel for [[SemDedupCellExpr]]: greedy within-cell SemDeDup over
     * one cell's member array — members scan in ascending id order, and
     * each member is removed by the FIRST (= smallest-id) earlier member
@@ -306,13 +347,19 @@ case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
   * the generated code linearly in nlist and fell off a cliff at
   * nlist ≈ 80 (540 s for a 20k-row assign; docs/PERF_NOTES.md).
   */
-case class ArgmaxCellExpr(child: Expression, centroids: Array[Array[Double]])
+case class ArgmaxCellExpr(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(centroids.nonEmpty, "centroids must be non-empty")
   override def dataType: DataType = IntegerType
   override def inputTypes =
     Seq(org.apache.spark.sql.graftshim.Bridge.vectorArrayType)
+
+  // constructor keeps Seq (structural equals → semanticEquals and
+  // common-subexpression elimination work); the kernel's primitive
+  // matrix materializes lazily, once per (de)serialized instance
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
 
   private def floatElems: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType match {
@@ -322,15 +369,49 @@ case class ArgmaxCellExpr(child: Expression, centroids: Array[Array[Double]])
     }
 
   override def nullSafeEval(v: Any): Any =
-    VectorKernels.argmaxCell(v.asInstanceOf[ArrayData], centroids, floatElems)
+    VectorKernels.argmaxCell(v.asInstanceOf[ArrayData], matrix, floatElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val ref = ctx.addReferenceObj("centroids", matrix, "double[][]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.VectorKernels.argmaxCell($c, $ref, $floatElems);")
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Argmax-cosine cell assignment against a PER-ROW centroid matrix
+  * (ARRAY<ARRAY<DOUBLE>>) — the fine-assign step of the two-level
+  * quantizer, where each coarse cell carries its own fine-centroid
+  * array and the matrix arrives via a join rather than the driver.
+  * Same tie (larger index) and NaN (greatest) semantics as
+  * [[ArgmaxCellExpr]].
+  */
+case class ArgmaxCellsExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes =
+    Seq(org.apache.spark.sql.graftshim.Bridge.vectorArrayType,
+        ArrayType(ArrayType(DoubleType)))
+
+  private def floatElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+  override def nullSafeEval(v: Any, cents: Any): Any =
+    VectorKernels.argmaxCellCol(v.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], floatElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.VectorKernels.argmaxCellCol($v, $c, $floatElems);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** Greedy within-cell SemDeDup over a collected member array
@@ -389,6 +470,9 @@ object VectorFunctions {
     toColumn(HyperplaneSignature(toExpr(v), numBits, seed))
   def sem_dedup_cell(members: Column, threshold: Double): Column =
     toColumn(SemDedupCellExpr(toExpr(members), threshold))
-  def argmax_cell(v: Column, centroids: Array[Array[Double]]): Column =
-    toColumn(ArgmaxCellExpr(toExpr(v), centroids))
+  def argmax_cell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    toColumn(ArgmaxCellExpr(toExpr(v),
+      centroids.map(_.toIndexedSeq).toIndexedSeq))
+  def argmax_cells(v: Column, centroids: Column): Column =
+    toColumn(ArgmaxCellsExpr(toExpr(v), toExpr(centroids)))
 }

@@ -19,6 +19,14 @@ import graft.functions.TopKFunctions.top_k_by_score
   */
 object Similarity {
 
+  /** Default within-cell pair-generation cap for [[semDedup]] — the
+    * SINGLE source of truth shared by the operator default, the t47
+    * survivor audit, and the ScaleStress saturation audit, so a cap
+    * change can never leave an audit silently checking the wrong
+    * threshold.
+    */
+  val DefaultSemDedupBucket = 2000
+
   /** Cut `scored` (qid, id, cosine) to the top k per qid via the
     * native bounded-heap aggregate: partial aggregation caps each map
     * partition's shuffle contribution at k entries per qid, so there is
@@ -100,8 +108,7 @@ object Similarity {
     * the kernel (docs/PERF_NOTES.md).
     */
   private def cellOf(vec: Column, centroids: Array[Seq[Double]]): Column =
-    graft.functions.VectorFunctions.argmax_cell(
-      vec, centroids.map(_.toArray))
+    graft.functions.VectorFunctions.argmax_cell(vec, centroids.toIndexedSeq)
 
   /** One-or-more Lloyd iterations over cosine cells, fully
     * distributed: assign every vector to its argmax-cosine cell (one
@@ -217,18 +224,109 @@ object Similarity {
         }
       }
 
-  /** Cell assignment for [[semDedup]]: deterministic k-means over the
-    * corpus vectors — seeds from [[seedCentroids]], optionally
-    * Lloyd-refined. Output: (id, vec, cell); one corpus scan, no
-    * shuffle (the refine passes aggregate per-(cell, dim) partial
-    * means only).
+  /** Cell assignment for [[semDedup]]: deterministic TWO-LEVEL k-means
+    * over the corpus vectors — the hierarchical quantizer that keeps
+    * the design sub-quadratic when `nlist` grows with the corpus
+    * (nlist ∝ N/target-cell-size, so a flat assign would be
+    * O(N · nlist · dim) = O(N²·dim/target) with an nlist × dim driver
+    * matrix: a 100 TB scale-killer).
+    *
+    *  - COARSE level: ~√nlist centroids, seeded from [[seedCentroids]]
+    *    and Lloyd-refined on the driver. The driver matrix is
+    *    √nlist × dim — bounded forever (nlist = 4×10⁸ → 2×10⁴ coarse
+    *    centroids ≈ 5 MB at dim 32).
+    *  - FINE level: per-coarse-cell centroids live in a DATAFRAME
+    *    (coarse, fine, cent), never the driver. Fine seeding, Lloyd
+    *    refinement, and the final assign all key on the coarse cell:
+    *    the centroid table groups to one ARRAY<ARRAY<DOUBLE>> row per
+    *    coarse cell and JOINS to the vectors (AQE broadcasts it while
+    *    it fits; at extreme nlist it degrades to one corpus shuffle by
+    *    coarse id — still linear), with the within-level argmax in the
+    *    native `argmax_cells` kernel.
+    *
+    * Assign cost: O(N · (√nlist + fine-per-coarse) · dim) ≈
+    * O(N · 2√nlist · dim) — vs the flat form's O(N · nlist · dim).
+    * Fine-cell COUNT per coarse cell is proportional to coarse-cell
+    * occupancy (skewed coarse cells get more fine cells, target
+    * members-per-fine-cell stays ~N/nlist), capped at 4× the average
+    * so one pathological coarse cell can never rebuild the flat
+    * matrix inside a single row.
+    *
+    * Output: (id, vec, cell) with cell = coarse << 32 | fine (LONG) —
+    * identical vectors always share a cell (assignment is a pure
+    * function of the vector), which [[semDedup]]'s exact-dup guarantee
+    * rests on. The fine-centroid table is eagerly checkpointed, so
+    * downstream re-references of the returned frame recompute only the
+    * scan + two argmax kernels + the centroid join, never the k-means.
     */
   private[graft] def semCells(corpus: DataFrame, idCol: String,
       vecCol: String, nlist: Int, refineIters: Int): DataFrame = {
+    import graft.functions.VectorFunctions.argmax_cells
+    import org.apache.spark.sql.expressions.Window
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val seeds = seedCentroids(ids.select(col("vec")), nlist)
-    val cents = refineCentroids(ids.select(col("vec")), seeds, refineIters)
-    ids.select(col("id"), col("vec"), cellOf(col("vec"), cents).as("cell"))
+    val coarseN = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val coarseSeeds = seedCentroids(ids.select(col("vec")), coarseN)
+    val coarseCents =
+      refineCentroids(ids.select(col("vec")), coarseSeeds, refineIters)
+    val withCoarse = ids
+      .withColumn("coarse", cellOf(col("vec"), coarseCents))
+      .persist()
+    try {
+      // group the fine-centroid table to one (coarse, cents[][]) row
+      // per coarse cell for the assign joins, fine index = array slot
+      def centArr(fine: DataFrame): DataFrame = fine
+        .groupBy(col("coarse"))
+        .agg(array_sort(collect_list(struct(col("fine"), col("cent"))))
+          .as("fs"))
+        .select(col("coarse"), transform(col("fs"), _.getField("cent"))
+          .as("cents"))
+      // per-coarse fine-cell count ∝ occupancy (skew-adaptive), ≥ 1,
+      // ≤ 4× the even split
+      val avgFine = math.max(1, math.ceil(nlist.toDouble / coarseN).toInt)
+      val counts = withCoarse.groupBy(col("coarse")).agg(count(lit(1)).as("cnt"))
+      val nFine = counts
+        .crossJoin(counts.agg(sum(col("cnt")).as("total")))
+        .select(col("coarse"),
+          least(lit(4 * avgFine), greatest(lit(1),
+            ceil(col("cnt") * nlist / col("total")).cast("int"))).as("n_fine"))
+      // deterministic fine seeds: per coarse cell, the n_fine DISTINCT
+      // vectors with the smallest vector hash (same rationale as
+      // seedCentroids, but as a window — no driver collect)
+      val seedW = Window.partitionBy(col("coarse"))
+        .orderBy(xxhash64(col("vec")), col("vec").cast("string"))
+      var fine = withCoarse.select(col("coarse"), col("vec")).distinct()
+        .withColumn("rn", row_number().over(seedW))
+        .join(nFine, "coarse")
+        .filter(col("rn") <= col("n_fine"))
+        .select(col("coarse"), (col("rn") - 1).as("fine"),
+                col("vec").cast("array<double>").as("cent"))
+        .localCheckpoint(true)
+      // distributed Lloyd over the fine level: assign via the coarse
+      // join + argmax kernel, re-center per (coarse, fine, dim), keep
+      // the old centroid for a fine cell that lost all members (the
+      // refineCentroids convention)
+      for (_ <- 0 until refineIters) {
+        val means = withCoarse.join(centArr(fine), "coarse")
+          .select(col("coarse"),
+                  argmax_cells(col("vec"), col("cents")).as("fine"),
+                  posexplode(col("vec")).as(Seq("d", "x")))
+          .groupBy(col("coarse"), col("fine"), col("d"))
+          .agg(avg(col("x")).as("m"))
+          .groupBy(col("coarse"), col("fine"))
+          .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+          .select(col("coarse"), col("fine"),
+                  transform(col("dm"), _.getField("m")).as("cent2"))
+        fine = fine.join(means, Seq("coarse", "fine"), "left")
+          .select(col("coarse"), col("fine"),
+                  coalesce(col("cent2"), col("cent")).as("cent"))
+          .localCheckpoint(true)
+      }
+      withCoarse.join(centArr(fine), "coarse")
+        .select(col("id"), col("vec"),
+          (shiftleft(col("coarse").cast("long"), 32) +
+           argmax_cells(col("vec"), col("cents"))).as("cell"))
+    } finally withCoarse.unpersist()
   }
 
   /** SemDeDup (the Abbas et al. 2023 shape): semantic deduplication by
@@ -260,7 +358,7 @@ object Similarity {
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int = 16, refineIters: Int = 1,
-               maxBucket: Int = 2000): DataFrame =
+               maxBucket: Int = DefaultSemDedupBucket): DataFrame =
     semDedupFromCells(semCells(corpus, idCol, vecCol, nlist, refineIters),
       threshold, maxBucket)
 

@@ -20,7 +20,7 @@ object Oracle {
       |  FROM documents d JOIN reps r USING (text)
       |  WHERE d.doc_id != r.id
       |), toks AS (
-      |  SELECT id, string_split_regex(lower(text), '\s+') AS t FROM reps
+      |  SELECT id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t FROM reps
       |), sets AS (
       |  SELECT id, list_distinct(
       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -479,7 +479,7 @@ object Oracle {
         |  FROM documents d JOIN reps r USING (text)
         |  WHERE d.doc_id != r.id
         |), toks AS (
-        |  SELECT id, string_split_regex(lower(text), '\s+') AS t FROM reps
+        |  SELECT id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t FROM reps
         |), sets AS (
         |  SELECT id, list_distinct(
         |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -566,7 +566,7 @@ object Oracle {
       // English-ish regardless of its lang label; the oracle verifies
       // the ENGINE computes the heuristic exactly.)
       """WITH toks AS (
-        |  SELECT lang, text, string_split_regex(lower(text), '\s+') AS t
+        |  SELECT lang, text, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t
         |  FROM documents
         |), scored AS (
         |  SELECT lang,
@@ -692,7 +692,7 @@ object Oracle {
       // string-shingle replay of the hashed-shingle overlap count
       // (identical modulo 64-bit collisions — none at oracle scale)
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t
         |  FROM documents
         |), sets AS (
         |  SELECT doc_id, list_distinct(
@@ -729,7 +729,7 @@ object Oracle {
     "t30_quality_flags" ->
       """WITH b AS (
         |  SELECT doc_id,
-        |         string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks,
         |         length(text) AS n_chars,
         |         length(text) -
         |           length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS n_sym
@@ -775,7 +775,7 @@ object Oracle {
         |         unnest(list_transform(
         |           range(CASE WHEN len(t) < 6 THEN 1 ELSE len(t) - 5 END),
         |           i -> array_to_string(t[i+1:i+6], ' '))) AS span
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t
         |        FROM documents)
         |)
         |SELECT span,
@@ -810,7 +810,7 @@ object Oracle {
     // slice(toks, s, 16) — both clamp at the end of the list
     "t33_chunk" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  SELECT doc_id, string_split_regex(text, '[ \t\n\x0B\f\r]+') AS toks
         |  FROM documents
         |), c AS (
         |  SELECT doc_id,
@@ -852,7 +852,7 @@ object Oracle {
     // checks the semantics, not a transcription
     "t35_collapse" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |  SELECT doc_id, string_split_regex(text, '[ \t\n\x0B\f\r]+') AS t FROM documents
         |), pos AS (
         |  SELECT doc_id, unnest(t) AS tok,
         |         unnest(range(1, len(t) + 1)) AS p
@@ -884,7 +884,7 @@ object Oracle {
     "t36_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
         |                     x -> x <> '') AS t
         |  FROM documents
         |), dt AS (
@@ -968,7 +968,7 @@ object Oracle {
     "t41_line_filter" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
         |  FROM documents
         |), ln AS (
         |  SELECT doc_id,
@@ -997,7 +997,7 @@ object Oracle {
     "t42_line_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
         |  FROM documents
         |), ln AS (
         |  SELECT doc_id,
@@ -1032,7 +1032,7 @@ object Oracle {
     "t43_bow_score" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
         |  FROM documents
         |), tok AS (
         |  SELECT doc_id, unnest(t) AS tok FROM toks
@@ -1097,7 +1097,7 @@ object Oracle {
     "t45_line_dedup_doc" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
         |  FROM documents
         |), ln AS (
         |  SELECT doc_id,
@@ -1129,7 +1129,7 @@ object Oracle {
     "t48_pipeline" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
         |  FROM documents
         |), ln AS (
         |  SELECT doc_id,
@@ -1262,14 +1262,14 @@ object Oracle {
     "t9_quality" ->
       """SELECT doc_id,
         |       length(text) AS n_chars_measured,
-        |       len(string_split_regex(text, '\s+')) AS n_tokens,
-        |       round(CAST(length(text) - (len(string_split_regex(text, '\s+')) - 1) AS DOUBLE)
-        |             / len(string_split_regex(text, '\s+')), 6) AS avg_token_len,
+        |       len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS n_tokens,
+        |       round(CAST(length(text) - (len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) - 1) AS DOUBLE)
+        |             / len(string_split_regex(text, '[ \t\n\x0B\f\r]+')), 6) AS avg_token_len,
         |       round(CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
         |             / length(text), 6) AS punct_ratio,
-        |       round(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |       round(CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
         |                       w -> list_contains(['the','a','of','and','is'], w))) AS DOUBLE)
-        |             / len(string_split_regex(text, '\s+')), 6) AS stopword_ratio
+        |             / len(string_split_regex(text, '[ \t\n\x0B\f\r]+')), 6) AS stopword_ratio
         |FROM documents""".stripMargin,
 
     "q40_scd2" ->
@@ -1292,7 +1292,7 @@ object Oracle {
 
     "q41_tfidf" ->
       """WITH terms AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM terms
@@ -1494,7 +1494,7 @@ object Oracle {
 
     "t10_tokens" ->
       """SELECT doc_id,
-        |       len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |       len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
         |FROM documents""".stripMargin,
   )

@@ -902,6 +902,15 @@ object TrainingQueries {
     * minutes, ~250 keeps pair count — and therefore time — linear in
     * the corpus). The count is one cheap job; production callers would
     * size from known corpus stats instead.
+    *
+    * nlist-growth math (why growing nlist with the corpus is now safe):
+    * semCells is a TWO-LEVEL quantizer, so the assign is
+    * O(N · 2√nlist · dim) and the driver holds only the √nlist coarse
+    * matrix. With nlist = N/250: at N = 10¹¹, nlist = 4×10⁸ → 2×10⁴
+    * coarse centroids (≈5 MB driver matrix at dim 32) and ≈2×10⁴
+    * fine centroids per coarse cell living in a DataFrame — the flat
+    * form's O(N·nlist·dim) = O(N²·dim/250) scan and ~200 GB driver
+    * matrix never materialize.
     */
   private[graft] def semNlist(emb: DataFrame): Int =
     math.max(8, math.ceil(emb.count() / 250.0).toInt)
@@ -916,19 +925,29 @@ object TrainingQueries {
     */
   def t47SemdedupCheck(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
+    val maxBucket = Similarity.DefaultSemDedupBucket
     val emb = Tables.embeddings(spark, sfDir)
     // one deterministic cell assignment shared by mapping and audit;
     // eager checkpoint so the audit's several passes don't re-run the
     // kmeans collects
     val cells = Similarity.semCells(emb, "vec_id", "embedding",
       nlist = semNlist(emb), refineIters = 1).localCheckpoint(true)
-    val m = Similarity.semDedupFromCells(cells, threshold = 0.4,
-      maxBucket = 2000)
+    val m = Similarity.semDedupFromCells(cells, threshold = 0.4, maxBucket)
     val a = m.filter(col("keeper_id") >= col("removed_id"))
       .agg(count(lit(1)).as("n"))
     val survivors = cells.join(m.select(col("removed_id").as("id")),
       Seq("id"), "left_anti")
+    // the exhaustive pair recheck is bounded the same way the mapping
+    // stage is: a cell whose SURVIVOR count exceeds the production cap
+    // is itself a violation (the mapping could not have deduped it) and
+    // is excluded from the explode — so a saturated cell fails the
+    // audit loudly instead of sending a quadratic Generate after it
+    val oversized = survivors.groupBy(col("cell"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxBucket)
+    val d = oversized.agg(count(lit(1)).as("n"))
     val b = survivors
+      .join(oversized.select(col("cell")), Seq("cell"), "left_anti")
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("id"), col("vec"))).as("sm"))
       .select(explode(col("sm")).as("x"), col("sm"))
@@ -940,7 +959,7 @@ object TrainingQueries {
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > 1)
       .agg(count(lit(1)).as("n"))
-    a.unionByName(b).unionByName(c)
+    a.unionByName(b).unionByName(c).unionByName(d)
       .agg(sum(col("n")).cast("long").as("n_violations"))
   }
 

@@ -181,7 +181,8 @@ object ScaleStress {
       graft.operators.Similarity
         .semCells(emb, "vec_id", "embedding", nlist, refineIters = 1)
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 2000).count()
+        .filter(col("n") > graft.operators.Similarity.DefaultSemDedupBucket)
+        .count()
     }
     println(s"| t46 saturated (dropped) kmeans cells | $scS | $scB |")
     spark.stop()

@@ -252,6 +252,54 @@ class SimilaritySpec extends SparkSpec {
     assert(removed == again)
   }
 
+  test("argmax_cells (column matrix) matches argmax_cell (reference matrix) semantics") {
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(1.0, 0.0, 0.0))
+    val df = corpus.select($"vec_id",
+      argmax_cell($"embedding", cents).as("fixed"),
+      argmax_cells($"embedding",
+        typedLit(cents.map(_.toArray).toArray)).as("dynamic"))
+    val rows = df.as[(Long, Int, Int)].collect()
+    rows.foreach { case (id, f, d) => assert(f == d, s"mismatch for $id") }
+    // ties take the LARGER index (centroids 0 and 2 are identical):
+    // vector 0 = (1,0,0) is equidistant to cells 0 and 2 → cell 2
+    assert(rows.find(_._1 == 0L).get._3 == 2)
+  }
+
+  test("semCells two-level invariants: identical vectors share a cell; cells bounded") {
+    // a corpus big enough that coarse (√nlist) and fine levels both
+    // engage: 40 direction clusters + planted exact dups
+    val rows = (0 until 400).map { i =>
+      val g = i % 40
+      val a = 0.15 * g
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        ((i / 40) * 0.001f)))
+    } ++ Seq((400L, Array(math.cos(0.0).toFloat, math.sin(0.0).toFloat, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cells = Similarity.semCells(df, "vec_id", "embedding",
+        nlist = 16, refineIters = 1)
+      .select($"id", $"cell").as[(Long, Long)].collect().toMap
+    assert(cells.size == 401)
+    // 400 is an exact dup of 0 (assignment is a pure function of vec)
+    assert(cells(400L) == cells(0L))
+    // determinism
+    val again = Similarity.semCells(df, "vec_id", "embedding",
+        nlist = 16, refineIters = 1)
+      .select($"id", $"cell").as[(Long, Long)].collect().toMap
+    assert(cells == again)
+    // the quantizer actually splits the corpus into multiple cells on
+    // both levels: more distinct cells than coarse slots (√16 = 4)
+    assert(cells.values.toSet.size > 4,
+      s"expected fine-level splitting, got cells ${cells.values.toSet}")
+  }
+
+  test("ArgmaxCellExpr equals is structural (CSE-compatible)") {
+    import graft.functions.ArgmaxCellExpr
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val c1 = ArgmaxCellExpr(Literal(1), Vector(Vector(1.0, 0.0)))
+    val c2 = ArgmaxCellExpr(Literal(1), Vector(Vector(1.0, 0.0)))
+    assert(c1 == c2, "structurally identical instances must be equal")
+  }
+
   test("semDedup: one cell makes greedy removal exhaustive") {
     // nlist=1 puts every vector in one cell: removal must equal the
     // brute-force greedy rule (removed iff SOME smaller id has cosine

@@ -67,4 +67,18 @@ class MixingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(sums("g0") <= 15L && sums("g1") <= 40L && sums("g2") <= 40L)
   }
+
+  test("weight-budget rejects negative weights loudly") {
+    val weighted = corpus.withColumn("w",
+      when($"id" === 17, -3).otherwise(1).cast("int"))
+    val e = intercept[Exception] {
+      Mixing.sampleWeightBudget(weighted, "grp", "id", $"w",
+        Map.empty, defaultBudget = 1000L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("negative weight")),
+      s"expected the guard message, got: ${messages(e)}")
+  }
 }
