@@ -16,30 +16,54 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] fixture prewarm failed: ${e.getMessage}")
     }
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // two full passes, report the per-query MIN: a single pass is at
+    // the mercy of machine contention (round 6's record showed 10-24x
+    // phantom regressions on untouched queries), and min-of-two warm
+    // passes tracks the steady state the way QuickTime does.
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    var everFailed = Set.empty[String]
+    var succeeded = Set.empty[String]
+    for (p <- 1 to passes; (name, fn) <- SparkEntry.queries) {
       val t0 = System.nanoTime()
       // noop sink: materializes every projected column (count() lets
       // Catalyst prune unreferenced projections, under-measuring
       // expression-heavy queries) without paying any write cost
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        succeeded += name
+      } catch { case e: Throwable =>
         // a crashed query must not masquerade as a fast one: record it
         // and keep its (misleading) elapsed time out of the totals
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        everFailed += name
+        System.err.println(s"[bench] $name FAILED (pass $p): ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val ok = results.view.filterKeys(k => !failed.contains(k)).toMap
+    // failed = queries that never succeeded in any pass
+    val failed = (everFailed -- succeeded).toList.sorted
+    val ok = SparkEntry.queries.keys.filter(best.contains)
     // millisecond precision keeps the one-line JSON short enough to
     // survive log-tail capture intact (sub-ms digits are noise anyway)
     def f(v: Double): String = "%.3f".format(v)
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    val qs = ok.map(k => s"\"" + k + "\":" + f(best(k)))
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sink":"noop","failed":$fs,"queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(best(_)).sum
+    val json =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sink":"noop","passes":$passes,"failed":$fs,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line is log-tail-captured by the round driver and has
+    // been truncated before (round 6 lost ~15 entries and the total);
+    // the file copy is the durable record
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

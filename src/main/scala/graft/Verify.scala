@@ -62,6 +62,26 @@ object Verify {
         _.exists(r => r.getAs[String]("method") == "lsh_topk" &&
           r.getAs[String]("params") == "bits=2,tables=32" &&
           r.getAs[Double]("recall_at_5") >= 0.9)),
+      // the PRODUCTION serving point (ivfTopK defaults nlist=16,
+      // nprobe=4), not just the degenerate all-cells setting: floor
+      // pinned from the recorded sweep (0.54 on the near-orthogonal
+      // synthetic corpus — see t16AnnRecall's scaladoc for why tight
+      // params are inherently low here)
+      "t16 ivf nlist=16,nprobe=4 recall >= 0.5" -> rows("t16_ann_recall").map(
+        _.exists(r => r.getAs[String]("method") == "ivf_topk" &&
+          r.getAs[String]("params") == "nlist=16,nprobe=4" &&
+          r.getAs[Double]("recall_at_5") >= 0.5)),
+      // widening the probe set must not lose recall (curve sanity)
+      "t16 ivf recall(nprobe=16) >= recall(nprobe=4)" ->
+        rows("t16_ann_recall").map { rs =>
+          def recall(p: String) = rs.find(r =>
+            r.getAs[String]("method") == "ivf_topk" &&
+            r.getAs[String]("params") == p).map(_.getAs[Double]("recall_at_5"))
+          (recall("nlist=16,nprobe=16"), recall("nlist=16,nprobe=4")) match {
+            case (Some(wide), Some(tight)) => wide >= tight
+            case _ => false
+          }
+        },
       // MinHash banding at the default params must surface >= 90% of the
       // df-capped exact-Jaccard pair set
       "t21 lsh candidate recall >= 0.9" -> rows("t21_lsh_recall").map(

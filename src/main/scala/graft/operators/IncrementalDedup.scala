@@ -46,6 +46,36 @@ object IncrementalDedup {
                                     expectedItems, fpp).as("bf"))
       .head().getAs[Array[Byte]](0)
 
+  /** Driver-memory bytes ONE sketch at these parameters costs —
+    * optimalNumOfBits/8 ≈ expectedItems · ln(1/fpp) / (8·ln²2), i.e.
+    * ~1.2 bytes/item at fpp 1e-2 (1.2 GB per 10⁹ distinct texts).
+    * Callers that HOLD a sketch across batches (streaming/IngestDedup)
+    * additionally pay this transiently a second time per merge (the
+    * incoming per-batch sketch is a full-size twin until the fold
+    * completes) — budget 2× this value and see IngestDedup's
+    * `maxSketchBytes` cap for the enforced ceiling.
+    */
+  def sketchBytes(expectedItems: Long, fpp: Double = 0.01): Long =
+    org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp) / 8
+
+  /** EXACT set-difference with no sketch at all — every batch row
+    * rides the verify anti-join (digest-keyed, text-equality
+    * re-checked). Same answer as [[filterNew]], none of the
+    * bloom-negative fast path: the fallback when `expectedItems` would
+    * cost more driver sketch memory than the caller caps at. At
+    * warehouse scale the history side is a digest-bucketed table, so
+    * this stays a batch-sized probe, not a history shuffle.
+    */
+  def filterNewExact(batch: DataFrame, history: DataFrame,
+                     textCol: String): DataFrame = {
+    val dig = xxhash64(col(textCol))
+    val hist = history
+      .select(dig.as("__h"), col(textCol).as("__t")).distinct()
+    batch.join(hist,
+      dig === col("__h") && col(textCol) === col("__t"), "left_anti")
+  }
+
   /** The probe + verify core: rows of `batch` whose `textCol` does not
     * appear in `history`, given `sketch` already covers every history
     * text (null sketch = empty history = whole batch passes).

@@ -27,6 +27,16 @@ object Similarity {
     */
   val DefaultSemDedupBucket = 2000
 
+  /** Largest cell count [[semCells]] assigns in ONE level with a
+    * driver-held centroid matrix. Below this, nlist is a constant
+    * w.r.t. corpus size — the assign is O(N · nlist · dim), linear in
+    * N, and the driver matrix is bounded at MaxDriverNlist × dim — so
+    * the two-level machinery would only add fixed job overhead. Above
+    * it (which is where nlist ∝ corpus/target-cell-size lands for any
+    * large corpus), the hierarchical quantizer takes over.
+    */
+  val MaxDriverNlist = 64
+
   /** Cut `scored` (qid, id, cosine) to the top k per qid via the
     * native bounded-heap aggregate: partial aggregation caps each map
     * partition's shuffle contribution at k entries per qid, so there is
@@ -224,10 +234,12 @@ object Similarity {
         }
       }
 
-  /** Cell assignment for [[semDedup]]: deterministic TWO-LEVEL k-means
-    * over the corpus vectors — the hierarchical quantizer that keeps
-    * the design sub-quadratic when `nlist` grows with the corpus
-    * (nlist ∝ N/target-cell-size, so a flat assign would be
+  /** Cell assignment for [[semDedup]]: deterministic k-means over the
+    * corpus vectors — single-level while nlist ≤ [[MaxDriverNlist]]
+    * (constant nlist ⇒ linear assign, bounded driver matrix), and a
+    * TWO-LEVEL hierarchical quantizer above it. The two-level form is
+    * what keeps the design sub-quadratic when `nlist` grows with the
+    * corpus (nlist ∝ N/target-cell-size, so a flat assign would be
     * O(N · nlist · dim) = O(N²·dim/target) with an nlist × dim driver
     * matrix: a 100 TB scale-killer).
     *
@@ -265,6 +277,16 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     val ids = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // single level while the whole matrix fits the driver bound: below
+    // MaxDriverNlist the flat assign is already linear in N with
+    // bounded driver state, and the fine level's extra jobs (seed
+    // window, per-level checkpoints, centroid join) are pure overhead
+    if (nlist <= MaxDriverNlist) {
+      val seeds = seedCentroids(ids.select(col("vec")), nlist)
+      val cents = refineCentroids(ids.select(col("vec")), seeds, refineIters)
+      return ids.select(col("id"), col("vec"),
+        cellOf(col("vec"), cents).cast("long").as("cell"))
+    }
     val coarseN = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
     val coarseSeeds = seedCentroids(ids.select(col("vec")), coarseN)
     val coarseCents =

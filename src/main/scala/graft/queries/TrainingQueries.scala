@@ -904,7 +904,8 @@ object TrainingQueries {
     * size from known corpus stats instead.
     *
     * nlist-growth math (why growing nlist with the corpus is now safe):
-    * semCells is a TWO-LEVEL quantizer, so the assign is
+    * above Similarity.MaxDriverNlist, semCells is a TWO-LEVEL
+    * quantizer, so the assign is
     * O(N · 2√nlist · dim) and the driver holds only the √nlist coarse
     * matrix. With nlist = N/250: at N = 10¹¹, nlist = 4×10⁸ → 2×10⁴
     * coarse centroids (≈5 MB driver matrix at dim 32) and ≈2×10⁴
@@ -1005,48 +1006,49 @@ object TrainingQueries {
     */
   def t48Pipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // each stage feeds BOTH the next stage and two audit counts, and
-    // the lineages nest (s4 ⊃ s3 ⊃ s2 ⊃ s1) — without eager
-    // materialization the line filter would recompute ~8× and the
-    // contamination join ~3× per run (t47/cosineNearDups precedent)
-    val s1 = LineOps.c4LineFilter(docs, "doc_id", "text",
-        lineLen = 8, minWords = 5,
-        terminals = Seq("value", "table", "row", "scan", "data", "join"),
-        minKeptLines = 2)
-      .filter(col("doc_kept"))
-      .select(col("doc_id"), col("clean_text"))
-      .localCheckpoint(true)
-    val s2 = s1.groupBy(col("clean_text"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("clean_text"))
-      .localCheckpoint(true)
-    val evalSet = s2.filter(col("doc_id") % 97 === 0)
-    val contaminated = TextDedup.contaminationPairs(s2, evalSet,
-        "clean_text", "doc_id", shingleK = 3, minShared = 2,
-        excludeSameId = true)
-      .select(col("train_id").as("doc_id")).distinct()
-    val s3 = s2
-      .join(contaminated.unionByName(evalSet.select(col("doc_id"))),
-        Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    val quotas =
-      (0 to 4).map(i => s"src$i" -> 10).toMap ++
-      (5 to 9).map(i => s"src$i" -> 5).toMap
-    val s4 = graft.ops.Mixing.sampleQuotas(
-      s3.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .select(col("doc_id"), col("source")),
-      "source", "doc_id", quotas, defaultQuota = 2)
-    def stage(step: Int, name: String, in: DataFrame, out: DataFrame) =
-      in.agg(count(lit(1)).as("docs_in"))
-        .crossJoin(out.agg(count(lit(1)).as("docs_out")))
-        .select(lit(step).as("step"), lit(name).as("stage"),
-                col("docs_in"), col("docs_out"))
-    stage(1, "line_filter", docs, s1)
-      .unionByName(stage(2, "exact_dedup", s1, s2))
-      .unionByName(stage(3, "decontaminate", s2, s3))
-      .unionByName(stage(4, "mixture", s3, s4))
-      .orderBy(col("step"))
+    graft.pipeline.Curation.run(docs, t48Stages(docs)).ledger
   }
+
+  /** The four t48 stages as [[graft.pipeline.Curation.Stage]]s — the
+    * runner owns eager inter-stage materialization (the stage
+    * lineages nest; without it the line filter recomputed ~8× and the
+    * contamination join ~3× per run — t47/cosineNearDups precedent)
+    * and the audit-ledger aggregation. `docs` rides in only for the
+    * mixture stage's source lookup.
+    */
+  private def t48Stages(docs: DataFrame)
+      : Seq[graft.pipeline.Curation.Stage] = Seq(
+    "line_filter" -> { (in: DataFrame) =>
+      LineOps.c4LineFilter(in, "doc_id", "text",
+          lineLen = 8, minWords = 5,
+          terminals = Seq("value", "table", "row", "scan", "data", "join"),
+          minKeptLines = 2)
+        .filter(col("doc_kept"))
+        .select(col("doc_id"), col("clean_text"))
+    },
+    "exact_dedup" -> { (in: DataFrame) =>
+      in.groupBy(col("clean_text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("clean_text"))
+    },
+    "decontaminate" -> { (in: DataFrame) =>
+      val evalSet = in.filter(col("doc_id") % 97 === 0)
+      val contaminated = TextDedup.contaminationPairs(in, evalSet,
+          "clean_text", "doc_id", shingleK = 3, minShared = 2,
+          excludeSameId = true)
+        .select(col("train_id").as("doc_id")).distinct()
+      in.join(contaminated.unionByName(evalSet.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    },
+    "mixture" -> { (in: DataFrame) =>
+      val quotas =
+        (0 to 4).map(i => s"src$i" -> 10).toMap ++
+        (5 to 9).map(i => s"src$i" -> 5).toMap
+      graft.ops.Mixing.sampleQuotas(
+        in.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("doc_id"), col("source")),
+        "source", "doc_id", quotas, defaultQuota = 2)
+    })
 
   /** t44_stream_sessions — streaming session-window aggregation run to
     * completion: per-user sessions with a 1-hour merge gap under a

@@ -32,19 +32,41 @@ object IngestDedup {
     * into the state table under `stateBase`; returns the final state.
     * `expectedItems` sizes the sketch for the total distinct-text
     * count the state may reach.
+    *
+    * DRIVER-MEMORY CONTRACT: the running sketch lives on the driver at
+    * `IncrementalDedup.sketchBytes(expectedItems, fpp)` bytes
+    * (~1.2 B/item at fpp 1e-2 — 1.2 GB per 10⁹ distinct texts), and
+    * each batch's fold transiently holds a second full-size sketch, so
+    * the peak is 2× that. `maxSketchBytes` caps it: when the sized
+    * sketch would exceed the cap, the operator does NOT silently
+    * saturate — it drops the bloom fast path entirely and runs every
+    * batch through the exact verify anti-join
+    * ([[IncrementalDedup.filterNewExact]]), which is the identical
+    * answer at per-batch join cost (at warehouse scale, against a
+    * digest-bucketed state table). Results are byte-identical either
+    * way; the sketch is an optimization, never the verdict.
     */
   def runKeepFirst(spark: SparkSession, stream: DataFrame,
                    textCol: String, idCol: String, stateBase: String,
                    expectedItems: Long, fpp: Double = 0.01,
                    timeoutMs: Long = 120000,
-                   keepVersions: Int = 2): DataFrame = {
+                   keepVersions: Int = 2,
+                   maxSketchBytes: Long = 256L << 20): DataFrame = {
     require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
     val table = MutableTable.openOrInit(spark, stateBase, stream.schema,
       keepVersions)
+    val useSketch =
+      IncrementalDedup.sketchBytes(expectedItems, fpp) <= maxSketchBytes
+    if (!useSketch)
+      System.err.println(s"[ingest-dedup] sketch for $expectedItems items " +
+        s"at fpp=$fpp exceeds maxSketchBytes=$maxSketchBytes; running " +
+        "exact-verify-only (same results, no bloom fast path)")
     // resuming over surviving state: seed the sketch from it (one
     // scan) so replays of already-absorbed texts drop correctly
     @volatile var sketch: Array[Byte] =
-      IncrementalDedup.sketchOf(table.read(), textCol, expectedItems, fpp)
+      if (useSketch)
+        IncrementalDedup.sketchOf(table.read(), textCol, expectedItems, fpp)
+      else null
     @volatile var batches = 0L
     val q = stream.writeStream
       .outputMode("append")
@@ -52,13 +74,18 @@ object IngestDedup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val firstInBatch = Dedup.keepFirst(batch, Seq(textCol),
           Seq(col(idCol).asc))
-        val survivors = IncrementalDedup
-          .filterNew(firstInBatch, table.read(), textCol, sketch)
+        val survivors = (if (useSketch)
+            IncrementalDedup.filterNew(firstInBatch, table.read(), textCol,
+              sketch)
+          else
+            IncrementalDedup.filterNewExact(firstInBatch, table.read(),
+              textCol))
           .localCheckpoint()  // upsert + sketch both consume it; and it
                               // must not lazily re-read state mid-mutation
         table.upsert(survivors, Seq(textCol))
-        sketch = BloomFunctions.merge(sketch,
-          IncrementalDedup.sketchOf(survivors, textCol, expectedItems, fpp))
+        if (useSketch)
+          sketch = BloomFunctions.merge(sketch,
+            IncrementalDedup.sketchOf(survivors, textCol, expectedItems, fpp))
         batches += 1
         ()
       }

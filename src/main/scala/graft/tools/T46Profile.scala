@@ -56,9 +56,11 @@ object T46Profile {
         .agg(max(col("sz")).as("max"), expr("percentile(sz, 0.9)").as("p90"),
              count(lit(1)).as("cells")).show()
       time("capped posting")(
-        Buckets.capped(cells.select(col("id"), col("cell")), Seq("cell"), 2000))
+        Buckets.capped(cells.select(col("id"), col("cell")), Seq("cell"),
+          Similarity.DefaultSemDedupBucket))
       val bucketMembers = Buckets.capped(
-          cells.select(col("id"), col("cell")), Seq("cell"), 2000)
+          cells.select(col("id"), col("cell")), Seq("cell"),
+          Similarity.DefaultSemDedupBucket)
         .select(col("cell"), explode(col("ids")).as("id"))
         .join(cells.select(col("id"), col("vec")), "id")
         .groupBy(col("cell"))
@@ -73,7 +75,7 @@ object T46Profile {
         pairs.filter(cosine_sim(col("a.vec"), col("b.vec")) >= 0.4)
           .select(col("a.id"), col("b.id")))
       time("full semDedupFromCells")(
-        Similarity.semDedupFromCells(cells, 0.4, 2000))
+        Similarity.semDedupFromCells(cells, 0.4, Similarity.DefaultSemDedupBucket))
     }
     spark.stop()
   }

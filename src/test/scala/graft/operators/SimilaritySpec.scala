@@ -275,20 +275,22 @@ class SimilaritySpec extends SparkSpec {
         ((i / 40) * 0.001f)))
     } ++ Seq((400L, Array(math.cos(0.0).toFloat, math.sin(0.0).toFloat, 0.0f)))
     val df = rows.toDF("vec_id", "embedding")
+    // nlist above MaxDriverNlist so the TWO-LEVEL path engages
+    val nlist = Similarity.MaxDriverNlist + 36
     val cells = Similarity.semCells(df, "vec_id", "embedding",
-        nlist = 16, refineIters = 1)
+        nlist, refineIters = 1)
       .select($"id", $"cell").as[(Long, Long)].collect().toMap
     assert(cells.size == 401)
     // 400 is an exact dup of 0 (assignment is a pure function of vec)
     assert(cells(400L) == cells(0L))
     // determinism
     val again = Similarity.semCells(df, "vec_id", "embedding",
-        nlist = 16, refineIters = 1)
+        nlist, refineIters = 1)
       .select($"id", $"cell").as[(Long, Long)].collect().toMap
     assert(cells == again)
     // the quantizer actually splits the corpus into multiple cells on
-    // both levels: more distinct cells than coarse slots (√16 = 4)
-    assert(cells.values.toSet.size > 4,
+    // both levels: more distinct cells than coarse slots (√100 = 10)
+    assert(cells.values.toSet.size > 10,
       s"expected fine-level splitting, got cells ${cells.values.toSet}")
   }
 

@@ -48,6 +48,31 @@ class IngestDedupSpec extends SparkSpec {
     assert(second == first)
   }
 
+  test("sketch cap falls back to exact-verify-only with identical results") {
+    // maxSketchBytes = 0 forces the no-sketch path; the final state
+    // must be byte-identical to the sketched run on the same input
+    val work = java.nio.file.Files.createTempDirectory("ingest_spec4").toString
+    docsDf(Seq((1L, "alpha"), (5L, "alpha"), (2L, "beta")))
+      .coalesce(1).write.parquet(s"$work/in/b=0")
+    docsDf(Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma")))
+      .coalesce(1).write.parquet(s"$work/in/b=1")
+    def run(state: String, cap: Long) = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$work/in/b=*")
+      IngestDedup.runKeepFirst(spark, stream, "text", "doc_id",
+          s"$work/$state", expectedItems = 100L, maxSketchBytes = cap)
+        .as[(Long, String)].collect().toSet
+    }
+    val sketched = run("state_sketch", 256L << 20)
+    val exactOnly = run("state_exact", 0L)
+    assert(exactOnly == Set((1L, "alpha"), (2L, "beta"), (12L, "gamma")))
+    assert(exactOnly == sketched)
+    // the documented ceiling formula is what the cap compares against
+    assert(graft.operators.IncrementalDedup.sketchBytes(100L) > 0L)
+  }
+
   test("state holds exactly one row per distinct text under heavy dup load") {
     val work = java.nio.file.Files.createTempDirectory("ingest_spec3").toString
     val rows = (0L until 300L).map(i => (i, s"t${i % 25}"))  // 25 texts × 12 copies
