@@ -192,7 +192,13 @@ object TrainingQueries {
       // with end <= max(event time) - delay, which is plain SQL
       .withColumn("value", col("value").cast("decimal(18,2)"))
     val agg = StreamingFlows.dailyFlowAgg(stream, "ts", "event_type", "value")
-    StreamingFlows.runAvailableNow(spark, agg, s"t14_daily_${System.nanoTime}")
+    // ~180 (day, type) keys of state: the session's 32-partition batch
+    // default would commit 32 state-store deltas per micro-batch for
+    // state that fits in a handful of stores (T24Profile methodology)
+    StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, agg,
+        s"t14_daily_${System.nanoTime}")
+    }
       .withColumn("total", col("total").cast("double"))
       .orderBy(col("day"), col("event_type"))
   }
@@ -401,8 +407,9 @@ object TrainingQueries {
               col("value"))
     // stream-stream join keeps FOUR state stores per partition (keyed +
     // keyWithIndex, each side) — size partitions to join-state volume,
-    // not the session's batch-shuffle default
-    StreamingFlows.withStatePartitions(spark, 8) {
+    // not the session's batch-shuffle default (4 parts × 4 stores = 16
+    // store commits/batch; 8 parts re-measured +0.8 s warm, r7)
+    StreamingFlows.withStatePartitions(spark, 4) {
       StreamingFlows.runAvailableNow(spark, joined,
         s"t22_join_${System.nanoTime}")
     }.orderBy(col("click_id"), col("purchase_id"))
