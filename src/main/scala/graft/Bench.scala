@@ -21,7 +21,8 @@ object Bench {
     // phantom regressions on untouched queries), and min-of-two warm
     // passes tracks the steady state the way QuickTime does.
     val passes = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+        .flatMap(_.toIntOption).getOrElse(2))
     val best = scala.collection.mutable.Map.empty[String, Double]
     var everFailed = Set.empty[String]
     var succeeded = Set.empty[String]

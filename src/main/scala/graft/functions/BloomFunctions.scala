@@ -38,6 +38,22 @@ object BloomFunctions {
     * sketch size (the ~1.2 GB-per-billion-items guidance above assumes
     * you have).
     */
+  /** Whether [[bloom_agg]] at these parameters passes Spark's runtime
+    * bloom-filter conf clamp (maxNumBits/maxNumItems) — the SAME check
+    * bloom_agg enforces, exposed so callers with a fallback path (e.g.
+    * IngestDedup's exact-verify-only mode) can choose it up front
+    * instead of crashing on the first sketch build.
+    */
+  def fitsRuntimeCaps(expectedItems: Long, fpp: Double = 0.01): Boolean = {
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxBits = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val maxItems = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    numBits <= maxBits && expectedItems <= maxItems
+  }
+
   def bloom_agg(hashCol: Column, expectedItems: Long,
                 fpp: Double = 0.01): Column = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")

@@ -70,8 +70,12 @@ object IncrementalDedup {
   def filterNewExact(batch: DataFrame, history: DataFrame,
                      textCol: String): DataFrame = {
     val dig = xxhash64(col(textCol))
-    val hist = history
-      .select(dig.as("__h"), col(textCol).as("__t")).distinct()
+    // no distinct on the history side: left_anti ignores right-side
+    // multiplicity, and this runs PER BATCH on the hot path — a
+    // distinct would re-shuffle the ever-growing history every batch
+    // (IngestDedup's state table is one-row-per-text by construction
+    // anyway; a dup-heavy generic history can pre-distinct once)
+    val hist = history.select(dig.as("__h"), col(textCol).as("__t"))
     batch.join(hist,
       dig === col("__h") && col(textCol) === col("__t"), "left_anti")
   }

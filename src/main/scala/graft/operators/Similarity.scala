@@ -291,9 +291,14 @@ object Similarity {
     val coarseSeeds = seedCentroids(ids.select(col("vec")), coarseN)
     val coarseCents =
       refineCentroids(ids.select(col("vec")), coarseSeeds, refineIters)
-    val withCoarse = ids
-      .withColumn("coarse", cellOf(col("vec"), coarseCents))
-      .persist()
+    val withCoarse0 = ids.withColumn("coarse", cellOf(col("vec"), coarseCents))
+    // null vectors get a null cell in BOTH paths: the single-level
+    // kernel yields null naturally, but here a null coarse key would
+    // silently drop the row at the centroid joins — route them around
+    // the fine level instead so the two paths agree on cardinality
+    val nullVec = withCoarse0.filter(col("vec").isNull)
+      .select(col("id"), col("vec"), lit(null).cast("long").as("cell"))
+    val withCoarse = withCoarse0.filter(col("vec").isNotNull).persist()
     try {
       // group the fine-centroid table to one (coarse, cents[][]) row
       // per coarse cell for the assign joins, fine index = array slot
@@ -307,11 +312,14 @@ object Similarity {
       // ≤ 4× the even split
       val avgFine = math.max(1, math.ceil(nlist.toDouble / coarseN).toInt)
       val counts = withCoarse.groupBy(col("coarse")).agg(count(lit(1)).as("cnt"))
+      // divide BEFORE multiplying: cnt * nlist in Long overflows at
+      // exactly the design target (cnt ~ 10^10 rows × nlist ~ 4×10^8);
+      // cnt/total is double division, so the product stays a double
       val nFine = counts
         .crossJoin(counts.agg(sum(col("cnt")).as("total")))
         .select(col("coarse"),
           least(lit(4 * avgFine), greatest(lit(1),
-            ceil(col("cnt") * nlist / col("total")).cast("int"))).as("n_fine"))
+            ceil(col("cnt") / col("total") * nlist).cast("int"))).as("n_fine"))
       // deterministic fine seeds: per coarse cell, the n_fine DISTINCT
       // vectors with the smallest vector hash (same rationale as
       // seedCentroids, but as a window — no driver collect)
@@ -348,6 +356,7 @@ object Similarity {
         .select(col("id"), col("vec"),
           (shiftleft(col("coarse").cast("long"), 32) +
            argmax_cells(col("vec"), col("cents"))).as("cell"))
+        .unionByName(nullVec)
     } finally withCoarse.unpersist()
   }
 

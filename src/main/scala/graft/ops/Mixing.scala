@@ -68,14 +68,18 @@ object Mixing {
       .orderBy(md5(col(keyCol).cast("string")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("wt", weight)
-      // a negative weight would make the running sum non-monotone and
-      // `cum <= budget` keep a NON-prefix subset — fail loudly instead
-      // (the Buckets.capped id-type-guard convention)
+      // a negative weight would make the running sum non-monotone (a
+      // NON-prefix subset passes `cum <= budget`), and a NULL weight
+      // rides free (window sum skips nulls, so its cum repeats the
+      // previous row's) — fail loudly on both (the Buckets.capped
+      // id-type-guard convention)
       .withColumn("wt",
-        when(col("wt") < 0, raise_error(concat(
-          lit("sampleWeightBudget: negative weight "),
-          col("wt").cast("string"), lit(" for key "),
-          col(keyCol).cast("string")))).otherwise(col("wt")))
+        when(col("wt").isNull || col("wt") < 0, raise_error(concat(
+            lit("sampleWeightBudget: null or negative weight "),
+            coalesce(col("wt").cast("string"), lit("null")),
+            lit(" for key "),
+            coalesce(col(keyCol).cast("string"), lit("null")))))
+          .otherwise(col("wt")))
       .withColumn("cum", sum(col("wt")).over(w))
       .filter(col("cum") <= budget)
       .drop("cum")

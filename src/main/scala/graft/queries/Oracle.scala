@@ -732,7 +732,7 @@ object Oracle {
         |         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks,
         |         length(text) AS n_chars,
         |         length(text) -
-        |           length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS n_sym
+        |           length(regexp_replace(text, '[^\p{L}\p{N} \t\n\x0B\f\r]', '', 'g')) AS n_sym
         |  FROM documents
         |), m AS (
         |  SELECT doc_id,
@@ -789,7 +789,7 @@ object Oracle {
     "t32_pack" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id % 8 AS shard, doc_id,
-        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS w,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS w,
         |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
         |  FROM documents
         |), pack AS (
@@ -1206,7 +1206,7 @@ object Oracle {
       """WITH w AS (
         |  SELECT doc_id, source,
         |         CAST(len(regexp_extract_all(text,
-        |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens
+        |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS INT) AS n_tokens
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, source, n_tokens,
@@ -1495,7 +1495,7 @@ object Oracle {
     "t10_tokens" ->
       """SELECT doc_id,
         |       len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS ws_tokens,
-        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS bpeish_tokens
         |FROM documents""".stripMargin,
   )
 }

@@ -37,10 +37,13 @@ object IngestDedup {
     * `IncrementalDedup.sketchBytes(expectedItems, fpp)` bytes
     * (~1.2 B/item at fpp 1e-2 — 1.2 GB per 10⁹ distinct texts), and
     * each batch's fold transiently holds a second full-size sketch, so
-    * the peak is 2× that. `maxSketchBytes` caps it: when the sized
-    * sketch would exceed the cap, the operator does NOT silently
-    * saturate — it drops the bloom fast path entirely and runs every
-    * batch through the exact verify anti-join
+    * the PEAK is 2× the cap — `maxSketchBytes` bounds ONE sketch;
+    * provision the driver for twice it. The bloom path engages only
+    * when the sized sketch fits BOTH the cap and Spark's runtime
+    * bloom-filter conf clamp (`BloomFunctions.fitsRuntimeCaps` — past
+    * the clamp bloom_agg fails fast rather than silently saturating);
+    * otherwise the operator drops the bloom fast path entirely and
+    * runs every batch through the exact verify anti-join
     * ([[IncrementalDedup.filterNewExact]]), which is the identical
     * answer at per-batch join cost (at warehouse scale, against a
     * digest-bucketed state table). Results are byte-identical either
@@ -56,7 +59,8 @@ object IngestDedup {
     val table = MutableTable.openOrInit(spark, stateBase, stream.schema,
       keepVersions)
     val useSketch =
-      IncrementalDedup.sketchBytes(expectedItems, fpp) <= maxSketchBytes
+      IncrementalDedup.sketchBytes(expectedItems, fpp) <= maxSketchBytes &&
+      BloomFunctions.fitsRuntimeCaps(expectedItems, fpp)
     if (!useSketch)
       System.err.println(s"[ingest-dedup] sketch for $expectedItems items " +
         s"at fpp=$fpp exceeds maxSketchBytes=$maxSketchBytes; running " +

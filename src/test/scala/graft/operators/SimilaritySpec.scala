@@ -292,6 +292,16 @@ class SimilaritySpec extends SparkSpec {
     // both levels: more distinct cells than coarse slots (√100 = 10)
     assert(cells.values.toSet.size > 10,
       s"expected fine-level splitting, got cells ${cells.values.toSet}")
+    // a null vector is kept with a null cell (same as the single-level
+    // path), not silently dropped at the centroid joins
+    val withNull = rows.toDF("vec_id", "embedding")
+      .unionByName(Seq((999L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val nulled = Similarity.semCells(withNull, "vec_id", "embedding",
+        nlist, refineIters = 1)
+      .select($"id", $"cell").collect()
+    assert(nulled.length == 402)
+    assert(nulled.find(_.getLong(0) == 999L).exists(_.isNullAt(1)))
   }
 
   test("ArgmaxCellExpr equals is structural (CSE-compatible)") {

@@ -68,17 +68,26 @@ class MixingSpec extends SparkSpec {
     assert(sums("g0") <= 15L && sums("g1") <= 40L && sums("g2") <= 40L)
   }
 
-  test("weight-budget rejects negative weights loudly") {
-    val weighted = corpus.withColumn("w",
-      when($"id" === 17, -3).otherwise(1).cast("int"))
-    val e = intercept[Exception] {
-      Mixing.sampleWeightBudget(weighted, "grp", "id", $"w",
-        Map.empty, defaultBudget = 1000L).count()
-    }
+  test("weight-budget rejects negative and null weights loudly") {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("negative weight")),
-      s"expected the guard message, got: ${messages(e)}")
+    val negative = corpus.withColumn("w",
+      when($"id" === 17, -3).otherwise(1).cast("int"))
+    val e1 = intercept[Exception] {
+      Mixing.sampleWeightBudget(negative, "grp", "id", $"w",
+        Map.empty, defaultBudget = 1000L).count()
+    }
+    assert(messages(e1).exists(_.contains("negative weight")),
+      s"expected the guard message, got: ${messages(e1)}")
+    // a NULL weight would ride free (window sum skips nulls) — guarded
+    val withNull = corpus.withColumn("w",
+      when($"id" === 17, lit(null)).otherwise(lit(1)).cast("int"))
+    val e2 = intercept[Exception] {
+      Mixing.sampleWeightBudget(withNull, "grp", "id", $"w",
+        Map.empty, defaultBudget = 1000L).count()
+    }
+    assert(messages(e2).exists(_.contains("null or negative weight")),
+      s"expected the guard message, got: ${messages(e2)}")
   }
 }
