@@ -39,13 +39,22 @@ object Curation {
   /** Run `stages` in order over `input`. Every stage output is
     * eagerly materialized before the next stage (and the ledger)
     * consumes it; `docs_in` of stage 1 counts the raw input.
+    *
+    * `materialize` is the stage boundary: the default eager
+    * `localCheckpoint` fits a single-session run; a warehouse-scale
+    * pipeline passes a real table write-and-read-back (e.g.
+    * `df => { df.write.parquet(p); spark.read.parquet(p) }`) so stage
+    * outputs survive the session and downstream stages read columnar
+    * storage instead of checkpoint blocks.
     */
-  def run(input: DataFrame, stages: Seq[Stage]): CurationRun = {
+  def run(input: DataFrame, stages: Seq[Stage],
+          materialize: DataFrame => DataFrame =
+            _.localCheckpoint(true)): CurationRun = {
     require(stages.nonEmpty, "curation pipeline needs at least one stage")
     var cur = input
     val ledgers = stages.zipWithIndex.map { case ((name, f), i) =>
       val in = cur
-      val out = f(in).localCheckpoint(true)
+      val out = materialize(f(in))
       cur = out
       in.agg(count(lit(1)).as("docs_in"))
         .crossJoin(out.agg(count(lit(1)).as("docs_out")))

@@ -55,4 +55,15 @@ class CurationSpec extends SparkSpec {
       Curation.run(corpus, Seq.empty)
     }
   }
+
+  test("custom materializer runs once per stage (warehouse write-table hook)") {
+    var calls = 0
+    val run = Curation.run(corpus, stages, df => { calls += 1; df })
+    run.ledger.collect()
+    assert(calls == stages.size)
+    // identity materializer changes no results, only the boundary
+    assert(run.output.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      Curation.run(corpus, stages).output
+        .select($"doc_id").as[Long].collect().sorted.toSeq)
+  }
 }
