@@ -121,6 +121,7 @@ object SparkEntry {
     "t47_semdedup_check" -> (TrainingQueries.t47SemdedupCheck _),
     "t48_pipeline"       -> (TrainingQueries.t48Pipeline _),
     "t49_token_mixture"  -> (TrainingQueries.t49TokenMixture _),
+    "t50_span_scrub"     -> (TrainingQueries.t50SpanScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

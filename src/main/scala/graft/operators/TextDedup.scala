@@ -276,6 +276,68 @@ object TextDedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Duplicate-span REMOVAL — the apply step of [[duplicateSpans]]
+    * (Lee et al. 2022's "deduplicating training data" substring form):
+    * every token position covered by ANY k-token span occurring in
+    * ≥ `minDocs` distinct documents is masked, and each document
+    * reassembles from its surviving tokens in order. Output one row
+    * per input document: (id, n_tokens, n_kept, clean_text) — spans
+    * are defined on the lowercased `\s+` token stream (the shingle
+    * kernels' tokenization), so `clean_text` is the lowercased
+    * reassembly.
+    *
+    * Scale shape (the t31/t42 conventions combined): stage 1 counts
+    * span HASHES — the corpus-wide shuffle carries 8 bytes per
+    * window; only windows whose hash survives the count regenerate
+    * their strings, and the exact verdict (≥ minDocs DISTINCT docs)
+    * is taken on span STRINGS among that candidate set, so a 64-bit
+    * collision can promote a candidate but never force a removal.
+    * The position mask and reassembly are per-document (the
+    * collect_list is bounded by document length, same contract as
+    * crossDocLineDedup's reassembly); documents with no duplicated
+    * span ride through the anti-join untouched.
+    */
+  def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int = 6, minDocs: Int = 2): DataFrame = {
+    val spans = docs.select(col(idCol).as("id"),
+      posexplode(TextFunctions.shingle_strings(col(textCol), k))
+        .as(Seq("pos", "span")))
+    // stage 1: hash prefilter — per-doc-distinct hashes counted across
+    // docs; 8-byte shuffle only
+    val hashSurv = spans
+      .select(col("id"), xxhash64(col("span")).as("shash")).dropDuplicates()
+      .groupBy(col("shash")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minDocs)
+      .select(col("shash"))
+    // stage 2: exact string verdict over the hash-bounded candidates
+    val cand = spans.join(hashSurv,
+      xxhash64(col("span")) === col("shash"), "left_semi")
+    val bad = cand.select(col("id"), col("span")).dropDuplicates()
+      .groupBy(col("span")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("span"))
+    val covered = cand.join(bad, Seq("span"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("ti"))
+      .dropDuplicates()
+    // same tokenization as the shingle kernels: lowercased \s+ split,
+    // limit -1
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(lower(col(textCol)), "\\s+", -1)).as(Seq("ti", "tok")))
+    val kept = toks.join(covered, Seq("id", "ti"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(transform(
+             array_sort(collect_list(struct(col("ti"), col("tok")))),
+             _.getField("tok")), " ").as("clean_text"))
+    docs.select(col(idCol).as("id"),
+        size(split(lower(col(textCol)), "\\s+", -1)).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Benchmark decontamination — the curation step every training
     * pipeline runs before an eval: flag training documents sharing at
     * least `minShared` distinct word k-shingles with ANY document of an

@@ -763,6 +763,45 @@ object Oracle {
         |         AND sym_ratio <= 0.3 AND dup_frac <= 0.3 AS keep
         |FROM m""".stripMargin,
 
+    // exact mirror of t50 (TextDedup.removeDuplicateSpans): same
+    // 6-token windows as t31, distinct-doc span counts, covered
+    // token-position mask (pos..pos+5 of every bad window), ordered
+    // reassembly of surviving tokens. The operator's hash prefilter is
+    // a plan optimization — its verdict is string-level, as here.
+    "t50_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t
+        |  FROM documents
+        |), spans AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |         array_to_string(t[i+1 : i+6], ' ') AS span
+        |  FROM toks,
+        |       UNNEST(range(CASE WHEN len(t) < 6 THEN 1 ELSE len(t) - 5 END)) u(i)
+        |), bad AS (
+        |  SELECT span FROM (SELECT DISTINCT doc_id, span FROM spans) d
+        |  GROUP BY span HAVING count(*) >= 2
+        |), covered AS (
+        |  SELECT DISTINCT doc_id, ti FROM (
+        |    SELECT s.doc_id, CAST(unnest(range(s.pos, s.pos + 6)) AS INT) AS ti
+        |    FROM spans s JOIN bad USING (span))
+        |), tok AS (
+        |  SELECT doc_id, CAST(i AS INT) AS ti, t[i+1] AS tok
+        |  FROM toks, UNNEST(range(len(t))) u(i)
+        |), kept AS (
+        |  SELECT k.doc_id, k.ti, k.tok
+        |  FROM tok k LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.ti = c.ti
+        |  WHERE c.doc_id IS NULL
+        |)
+        |SELECT t.doc_id,
+        |       CAST(len(t.t) AS INT) AS n_tokens,
+        |       CAST(coalesce(kc.n, 0) AS INT) AS n_kept,
+        |       coalesce(kc.txt, '') AS clean_text
+        |FROM toks t
+        |LEFT JOIN (SELECT doc_id, count(*) AS n,
+        |                  array_to_string(list(tok ORDER BY ti), ' ') AS txt
+        |           FROM kept GROUP BY doc_id) kc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // exact mirror of TextDedup.duplicateSpans (t31): every 6-token
     // span in >= 2 distinct docs, by direct string regrouping — the
     // operator's hash pre-filter is a plan optimization, not a

@@ -730,6 +730,18 @@ object TrainingQueries {
         k = 6, minDocs = 2)
       .orderBy(col("span"))
 
+  /** t50_span_scrub — the APPLY step of t31 (Lee et al. substring
+    * dedup): every token position covered by a 6-token span occurring
+    * in ≥ 2 distinct docs is removed and documents reassemble from
+    * their surviving tokens in order. Exact oracle: the DuckDB replay
+    * rebuilds the same lowercased windows, the distinct-doc span
+    * counts, the covered-position mask, and the ordered reassembly.
+    */
+  def t50SpanScrub(spark: SparkSession, sfDir: String): DataFrame =
+    TextDedup.removeDuplicateSpans(Tables.documents(spark, sfDir),
+        "text", "doc_id", k = 6, minDocs = 2)
+      .orderBy(col("doc_id"))
+
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
     * packing of the corpus into 2048-token training sequences over 8
     * deterministic shards, weighted by the native BPE-ish token

@@ -116,7 +116,11 @@ object ScaleStress {
       "t46_semdedup"     -> (TrainingQueries.t46Semdedup _),
       // token-budget mixture: one window per source; budgets bound the
       // SELECTED mass, so output stays ~constant while input grows 10×
-      "t49_token_mixture" -> (TrainingQueries.t49TokenMixture _))
+      "t49_token_mixture" -> (TrainingQueries.t49TokenMixture _),
+      // duplicate-span removal: the 10× corpus's exact copies make
+      // EVERY span of every replicated doc a cross-doc duplicate — the
+      // worst case for the covered-position mask and reassembly
+      "t50_span_scrub"   -> (TrainingQueries.t50SpanScrub _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")

@@ -133,6 +133,40 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(m((0L, 4L)) - 7.0 / 15.0) < 1e-6)
   }
 
+  test("removeDuplicateSpans masks covered positions, keeps the rest in order") {
+    // k=3, minDocs=2: docs 10 and 11 share the 3-token span "a b c"
+    // (positions 1-3 in doc 10, 0-2 in doc 11); doc 12 is untouched
+    val corpus = Seq(
+      (10L, "x a b c y z q"),    // tokens 1..3 covered → keep x y z q
+      (11L, "a b c d e"),        // tokens 0..2 covered → keep d e
+      (12L, "p q r s t")         // no shared span → unchanged
+    ).toDF("doc_id", "text")
+    val out = TextDedup.removeDuplicateSpans(corpus, "text", "doc_id",
+        k = 3, minDocs = 2)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) == ((7, 4, "x y z q")))
+    assert(out(11L) == ((5, 2, "d e")))
+    assert(out(12L) == ((5, 5, "p q r s t")))
+    // a span repeated WITHIN one doc only does not count as duplicated
+    val within = Seq(
+      (20L, "m n o m n o"),      // "m n o" twice in the SAME doc
+      (21L, "u v w x y")
+    ).toDF("doc_id", "text")
+    val out2 = TextDedup.removeDuplicateSpans(within, "text", "doc_id",
+        k = 3, minDocs = 2)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out2(20L) == "m n o m n o")
+    // full scrub: identical short docs empty out entirely
+    val dup = Seq((30L, "a b c"), (31L, "a b c")).toDF("doc_id", "text")
+    val out3 = TextDedup.removeDuplicateSpans(dup, "text", "doc_id",
+        k = 6, minDocs = 2)  // < k tokens → whole-text shingle
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out3(30L) == ((0, "")) && out3(31L) == ((0, "")))
+  }
+
   test("contaminationPairs counts distinct shared shingles vs the eval set") {
     // eval = doc 0; doc 1 is an exact copy (11 shared shingles), doc 4
     // shares 7 (the jaccard test's hand count), doc 3 shares none
