@@ -122,6 +122,7 @@ object SparkEntry {
     "t48_pipeline"       -> (TrainingQueries.t48Pipeline _),
     "t49_token_mixture"  -> (TrainingQueries.t49TokenMixture _),
     "t50_span_scrub"     -> (TrainingQueries.t50SpanScrub _),
+    "t51_vocab"          -> (TrainingQueries.t51Vocab _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -103,4 +103,50 @@ object CorpusStats {
                log((col("c") + addK) / (col("cc") + lit(addK) * col("v")))) /
              sum(col("n")), 6).as("avg_nll"))
   }
+
+  /** Corpus vocabulary statistics — the profiling step that precedes
+    * tokenizer training: the `topK` most frequent tokens with
+    * occurrence counts, document frequencies, and the CUMULATIVE
+    * corpus coverage of the rank prefix (the "how many merges until
+    * X% of tokens are covered" curve tokenizer builders read).
+    * Ordering is (count desc, token asc) so the cut and the coverage
+    * curve are identical in any engine.
+    *
+    * Output: (rank, token, n_occurrences, n_docs, cum_coverage) —
+    * cum_coverage = cumulative occurrences of ranks 1..r over TOTAL
+    * corpus occurrences (all tokens, not just the top-K), 6dp.
+    *
+    * Scale shape: token counts reduce map-side [shuffle 1]; document
+    * frequencies reduce the per-doc-DISTINCT posting the same way
+    * [shuffle 2]; the top-K cut is a distributed TakeOrdered (never a
+    * global sort of the vocabulary), and the cumulative window runs
+    * over the K cut rows only — the one global-window funnel is K
+    * rows wide by construction. Total occurrences ride along as a
+    * broadcast single-row frame (the tfIdf N convention).
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toksRaw = split(lower(col(textCol)), "\\s+")
+    val toks = filter(toksRaw, x => length(x) > 0)
+    val posting = docs.select(col(idCol).as("doc_id"),
+      explode(toks).as("token"))
+    val counts = posting.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val docFreq = posting.dropDuplicates("doc_id", "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_occurrences")).as("__total"))
+    val top = counts
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(topK)
+    val w = Window.orderBy(col("n_occurrences").desc, col("token").asc)
+    top.join(docFreq, "token")
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(w).as("rank"),
+        col("token"), col("n_occurrences"), col("n_docs"),
+        round(sum(col("n_occurrences")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / col("__total"), 6).as("cum_coverage"))
+  }
 }

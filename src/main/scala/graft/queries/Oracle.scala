@@ -763,6 +763,38 @@ object Oracle {
         |         AND sym_ratio <= 0.3 AND dup_frac <= 0.3 AS keep
         |FROM m""".stripMargin,
 
+    // exact mirror of t51 (CorpusStats.vocabulary): token counts,
+    // per-doc-distinct document frequency, the deterministic
+    // (count desc, token) top-100 cut, and the cumulative-coverage
+    // window over the cut rows against the TOTAL occurrence count
+    "t51_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents
+        |), posting AS (
+        |  SELECT doc_id, unnest(t) AS token FROM toks
+        |), counts AS (
+        |  SELECT token, count(*) AS n_occurrences FROM posting GROUP BY token
+        |), df AS (
+        |  SELECT token, count(*) AS n_docs
+        |  FROM (SELECT DISTINCT doc_id, token FROM posting) GROUP BY token
+        |), total AS (
+        |  SELECT sum(n_occurrences) AS tot FROM counts
+        |), top AS (
+        |  SELECT token, n_occurrences FROM counts
+        |  ORDER BY n_occurrences DESC, token LIMIT 100
+        |)
+        |SELECT CAST(row_number() OVER
+        |         (ORDER BY n_occurrences DESC, token) AS INT) AS rank,
+        |       token, n_occurrences, n_docs,
+        |       round(sum(n_occurrences) OVER
+        |               (ORDER BY n_occurrences DESC, token
+        |                ROWS UNBOUNDED PRECEDING) / tot, 6) AS cum_coverage
+        |FROM top JOIN df USING (token), total
+        |ORDER BY rank""".stripMargin,
+
     // exact mirror of t50 (TextDedup.removeDuplicateSpans): same
     // 6-token windows as t31, distinct-doc span counts, covered
     // token-position mask (pos..pos+5 of every bad window), ordered

@@ -742,6 +742,17 @@ object TrainingQueries {
         "text", "doc_id", k = 6, minDocs = 2)
       .orderBy(col("doc_id"))
 
+  /** t51_vocab — corpus vocabulary statistics (the tokenizer-training
+    * precursor): top-100 tokens by occurrence count with document
+    * frequency and cumulative corpus coverage. Exact oracle: counts,
+    * the deterministic (count desc, token) cut, and the coverage
+    * window all replay in SQL.
+    */
+  def t51Vocab(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.vocabulary(Tables.documents(spark, sfDir),
+        "doc_id", "text", topK = 100)
+      .orderBy(col("rank"))
+
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
     * packing of the corpus into 2048-token training sequences over 8
     * deterministic shards, weighted by the native BPE-ish token

@@ -59,6 +59,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!got.contains(3L))             // < 2 tokens: no bigrams, no row
   }
 
+  test("vocabulary: counts, doc frequency, deterministic cut, coverage curve") {
+    // cherry 3 occurrences / 1 doc, apple 2 / 2, banana 1 / 1; total 6
+    val got = CorpusStats.vocabulary(docs, "doc_id", "text", topK = 2)
+      .as[(Int, String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 2) // topK cut
+    assert(got(0) == ((1, "cherry", 3L, 1L, r6(3.0 / 6))))
+    assert(got(1) == ((2, "apple", 2L, 2L, r6(5.0 / 6))))
+    // ties break on token asc: equal counts order alphabetically
+    val tied = Seq((1L, "b a"), (2L, "a b")).toDF("doc_id", "text")
+    val t2 = CorpusStats.vocabulary(tied, "doc_id", "text", topK = 2)
+      .as[(Int, String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(t2.map(_._2).toSeq == Seq("a", "b"))
+    // coverage of the full vocabulary reaches exactly 1
+    assert(t2.last._5 == 1.0)
+  }
+
   test("bigramLmScore: rarer continuations score strictly worse") {
     // 'x y' appears 9×, 'x z' once — P(z|x) < P(y|x), so the doc made
     // of the rare bigram must carry the higher (worse) NLL
