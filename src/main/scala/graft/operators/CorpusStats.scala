@@ -74,8 +74,7 @@ object CorpusStats {
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     addK: Double = 0.5): DataFrame = {
     require(addK > 0, s"addK must be positive, got $addK")
-    val toksRaw = split(lower(col(textCol)), "\\s+")
-    val toks = filter(toksRaw, x => length(x) > 0)
+    val toks = filter(TextDedup.tokens(col(textCol)), x => length(x) > 0)
     val n = size(col("t"))
     // bigrams as "w1 w2" strings (zip of the n−1 prefix with the n−1
     // suffix): a flat join key — no struct comparators on the shuffle
@@ -127,8 +126,8 @@ object CorpusStats {
   def vocabulary(docs: DataFrame, idCol: String, textCol: String,
                  topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val toksRaw = split(lower(col(textCol)), "\\s+")
-    val toks = filter(toksRaw, x => length(x) > 0)
+    // the shared corpus tokenization (TextDedup.tokens), empties dropped
+    val toks = filter(TextDedup.tokens(col(textCol)), x => length(x) > 0)
     val posting = docs.select(col(idCol).as("doc_id"),
       explode(toks).as("token"))
     val counts = posting.groupBy(col("token"))

@@ -299,13 +299,18 @@ object TextDedup {
     */
   def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
                            k: Int = 6, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     val spans = docs.select(col(idCol).as("id"),
       posexplode(TextFunctions.shingle_strings(col(textCol), k))
         .as(Seq("pos", "span")))
-    // stage 1: hash prefilter — per-doc-distinct hashes counted across
-    // docs; 8-byte shuffle only
-    val hashSurv = spans
-      .select(col("id"), xxhash64(col("span")).as("shash")).dropDuplicates()
+    // stage 1: hash prefilter — the hashed_shingles kernel is already
+    // per-doc-distinct AND seed-42-xxhash64 of the same span strings
+    // (duplicateSpans' contract), so distinct-doc counting needs ONE
+    // 8-byte-hash shuffle, no (id, hash) dropDuplicates exchange
+    val hashSurv = docs
+      .select(explode(TextFunctions.hashed_shingles(col(textCol), k))
+        .as("shash"))
       .groupBy(col("shash")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minDocs)
       .select(col("shash"))
@@ -320,22 +325,23 @@ object TextDedup {
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("ti"))
       .dropDuplicates()
-    // same tokenization as the shingle kernels: lowercased \s+ split,
-    // limit -1
+    // same tokenization as the shingle kernels (TextDedup.tokens:
+    // lowercased \s+ split, limit -1); ONE pass over the token stream
+    // computes n_tokens, n_kept, and the ordered reassembly — marking
+    // covered positions via left join instead of anti-joining and then
+    // re-scanning the corpus for totals
     val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(lower(col(textCol)), "\\s+", -1)).as(Seq("ti", "tok")))
-    val kept = toks.join(covered, Seq("id", "ti"), "left_anti")
+      posexplode(tokens(col(textCol))).as(Seq("ti", "tok")))
+    toks.join(covered.withColumn("__c", lit(1)), Seq("id", "ti"), "left")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+           count(when(col("__c").isNull, 1)).cast("int").as("n_kept"),
            array_join(transform(
-             array_sort(collect_list(struct(col("ti"), col("tok")))),
+             array_sort(collect_list(
+               when(col("__c").isNull, struct(col("ti"), col("tok"))))),
              _.getField("tok")), " ").as("clean_text"))
-    docs.select(col(idCol).as("id"),
-        size(split(lower(col(textCol)), "\\s+", -1)).as("n_tokens"))
-      .join(kept, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_kept"),
+              col("clean_text"))
   }
 
   /** Benchmark decontamination — the curation step every training

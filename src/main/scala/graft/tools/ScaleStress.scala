@@ -120,7 +120,11 @@ object ScaleStress {
       // duplicate-span removal: the 10× corpus's exact copies make
       // EVERY span of every replicated doc a cross-doc duplicate — the
       // worst case for the covered-position mask and reassembly
-      "t50_span_scrub"   -> (TrainingQueries.t50SpanScrub _))
+      "t50_span_scrub"   -> (TrainingQueries.t50SpanScrub _),
+      // vocabulary stats: two corpus-wide count shuffles; the 10× dup
+      // corpus multiplies occurrences, not vocabulary, so the counts
+      // tables stay vocab-sized
+      "t51_vocab"        -> (TrainingQueries.t51Vocab _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")
