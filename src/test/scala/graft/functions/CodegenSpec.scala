@@ -49,6 +49,33 @@ class CodegenSpec extends SparkSpec {
     assert(row.getDouble(2) == 0.25 + 2.25 + 4.0)
   }
 
+  test("argmax cell expressions compile under codegen; ties take the larger index") {
+    val vec = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val cents = BoundReference(1,
+      ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false), nullable = true)
+    // centroids 0 and 2 identical → the tie must resolve to index 2 in
+    // BOTH the reference-object and column-matrix forms
+    val matrix = Vector(Vector(1.0, 0.0), Vector(0.0, 1.0), Vector(1.0, 0.0))
+    val exprs = Seq(ArgmaxCellExpr(vec, matrix), ArgmaxCellsExpr(vec, cents))
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    val input = InternalRow(
+      new GenericArrayData(Array(3.0, 0.1)),
+      new GenericArrayData(matrix.map(c =>
+        new GenericArrayData(c.toArray)).toArray[Any]))
+    val row = proj(input)
+    assert(row.getInt(0) == 2 && row.getInt(1) == 2)
+    // codegen == interpreted, both forms
+    assert(exprs(0).eval(input) == 2 && exprs(1).eval(input) == 2)
+    // a vector nearest centroid 1 picks it in both forms
+    val input2 = InternalRow(
+      new GenericArrayData(Array(0.1, 5.0)),
+      new GenericArrayData(matrix.map(c =>
+        new GenericArrayData(c.toArray)).toArray[Any]))
+    val row2 = proj(input2)
+    assert(row2.getInt(0) == 1 && row2.getInt(1) == 1)
+  }
+
   test("SemDedupCellExpr compiles under codegen; greedy mapping is exact") {
     val memberType = ArrayType(StructType(Seq(
       StructField("id", LongType, nullable = false),
