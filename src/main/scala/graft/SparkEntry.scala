@@ -123,6 +123,7 @@ object SparkEntry {
     "t49_token_mixture"  -> (TrainingQueries.t49TokenMixture _),
     "t50_span_scrub"     -> (TrainingQueries.t50SpanScrub _),
     "t51_vocab"          -> (TrainingQueries.t51Vocab _),
+    "t52_ppl_band"       -> (TrainingQueries.t52PplBand _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -103,6 +103,43 @@ object CorpusStats {
              sum(col("n")), 6).as("avg_nll"))
   }
 
+  /** CCNet-style perplexity-band selection — the SELECTION step the
+    * LM score exists for: score every document with the corpus-trained
+    * bigram model ([[bigramLmScore]]), cut the score distribution at
+    * the `cuts` exact percentiles, and label each document head /
+    * middle / tail (most → least fluent) with a keep flag at
+    * head+middle (the CCNet default: drop the worst-perplexity tail,
+    * keep the rest).
+    *
+    * Scale shape: band assignment is threshold COMPARISON against two
+    * exact-percentile aggregates riding a broadcast single-row frame —
+    * never an ntile/global-rank window over the corpus (the
+    * quantile-by-sorting form funnels every row through one ordering;
+    * thresholds keep the pass per-row). The scored frame is consumed
+    * twice (thresholds + labeling), so it materializes eagerly once.
+    *
+    * Output: (doc_id, n_bigrams, avg_nll, band, keep) for every
+    * document with ≥ 2 tokens.
+    */
+  def perplexityBands(docs: DataFrame, idCol: String, textCol: String,
+                      addK: Double = 0.5,
+                      cuts: (Double, Double) = (1.0 / 3, 2.0 / 3))
+      : DataFrame = {
+    require(cuts._1 > 0 && cuts._1 < cuts._2 && cuts._2 < 1,
+      s"cuts must satisfy 0 < lo < hi < 1, got $cuts")
+    val scored = bigramLmScore(docs, idCol, textCol, addK)
+      .localCheckpoint(true)
+    val thr = scored.agg(
+      percentile(col("avg_nll"), lit(cuts._1)).as("__p_lo"),
+      percentile(col("avg_nll"), lit(cuts._2)).as("__p_hi"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        when(col("avg_nll") <= col("__p_lo"), "head")
+          .when(col("avg_nll") <= col("__p_hi"), "middle")
+          .otherwise("tail").as("band"),
+        (col("avg_nll") <= col("__p_hi")).as("keep"))
+  }
+
   /** Corpus vocabulary statistics — the profiling step that precedes
     * tokenizer training: the `topK` most frequent tokens with
     * occurrence counts, document frequencies, and the CUMULATIVE

@@ -986,6 +986,56 @@ object Oracle {
         |GROUP BY p.doc_id
         |ORDER BY p.doc_id""".stripMargin,
 
+    // exact mirror of t52 (CorpusStats.perplexityBands): t36's scored
+    // frame (same CTEs verbatim), quantile_cont thresholds at the
+    // exact double literals of 1.0/3 and 2.0/3 (both engines
+    // interpolate at index q*(n-1)), and the same <=-comparison band
+    // labels over the 6dp-rounded scores
+    "t52_ppl_band" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, t FROM toks WHERE len(t) >= 2
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(t) - 1),
+        |                               i -> t[i+1] || ' ' || t[i+2])) AS b
+        |  FROM dt
+        |), per_doc AS (
+        |  SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b
+        |), cnt AS (
+        |  SELECT b, CAST(sum(n) AS BIGINT) AS c FROM per_doc GROUP BY b
+        |), ctx AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS cc
+        |  FROM cnt GROUP BY 1
+        |), vocab AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM dt)
+        |), scored AS (
+        |  SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_bigrams,
+        |         round(-sum(p.n * ln((c.c + 0.5) / (x.cc + 0.5 * vocab.v)))
+        |               / sum(p.n), 6) AS avg_nll
+        |  FROM per_doc p
+        |  JOIN cnt c USING (b)
+        |  JOIN ctx x ON split_part(p.b, ' ', 1) = x.w1
+        |  CROSS JOIN vocab
+        |  GROUP BY p.doc_id
+        |), thr AS (
+        |  SELECT quantile_cont(avg_nll, 0.3333333333333333) AS p_lo,
+        |         quantile_cont(avg_nll, 0.6666666666666666) AS p_hi
+        |  FROM scored
+        |)
+        |SELECT s.doc_id, s.n_bigrams, s.avg_nll,
+        |       CASE WHEN s.avg_nll <= t.p_lo THEN 'head'
+        |            WHEN s.avg_nll <= t.p_hi THEN 'middle'
+        |            ELSE 'tail' END AS band,
+        |       s.avg_nll <= t.p_hi AS keep
+        |FROM scored s, thr t
+        |ORDER BY s.doc_id""".stripMargin,
+
     // exact mirror of IncrementalDedup semantics (t37): the Bloom
     // sketch + digest anti-join is a routing strategy, never the
     // verdict — the result is plain text-level set difference

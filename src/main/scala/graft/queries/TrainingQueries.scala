@@ -753,6 +753,16 @@ object TrainingQueries {
         "doc_id", "text", topK = 100)
       .orderBy(col("rank"))
 
+  /** t52_ppl_band — CCNet-style perplexity-band selection: bigram-LM
+    * scores (t36's model) cut at the exact 1/3 and 2/3 percentiles,
+    * head/middle/tail labels, keep = not-tail. Exact oracle: the t36
+    * score CTE plus quantile_cont thresholds and the same comparison.
+    */
+  def t52PplBand(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.perplexityBands(Tables.documents(spark, sfDir),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
     * packing of the corpus into 2048-token training sequences over 8
     * deterministic shards, weighted by the native BPE-ish token

@@ -124,7 +124,10 @@ object ScaleStress {
       // vocabulary stats: two corpus-wide count shuffles; the 10× dup
       // corpus multiplies occurrences, not vocabulary, so the counts
       // tables stay vocab-sized
-      "t51_vocab"        -> (TrainingQueries.t51Vocab _))
+      "t51_vocab"        -> (TrainingQueries.t51Vocab _),
+      // perplexity banding: t36's scored frame + two percentile
+      // aggregates; band assignment is per-row threshold comparison
+      "t52_ppl_band"     -> (TrainingQueries.t52PplBand _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")

@@ -75,6 +75,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(t2.last._5 == 1.0)
   }
 
+  test("perplexityBands: thresholds split fluent from rare, keep drops the tail") {
+    // 9 identical fluent docs + 1 rare-bigram doc: the rare doc scores
+    // strictly worse (bigramLmScore spec) so it must be the tail and
+    // the only keep=false row
+    val docs = ((1 to 9).map(i => (i.toLong, "x y")) :+ (10L, "x z"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.perplexityBands(docs, "doc_id", "text")
+      .select($"doc_id", $"band", $"keep")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == (("tail", false)))
+    (1L to 9L).foreach(i => assert(got(i)._1 != "tail" && got(i)._2))
+    // cut validation fails loudly
+    intercept[IllegalArgumentException] {
+      CorpusStats.perplexityBands(docs, "doc_id", "text",
+        cuts = (0.8, 0.2))
+    }
+  }
+
   test("bigramLmScore: rarer continuations score strictly worse") {
     // 'x y' appears 9×, 'x z' once — P(z|x) < P(y|x), so the doc made
     // of the rare bigram must carry the higher (worse) NLL
