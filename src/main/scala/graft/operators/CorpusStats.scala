@@ -129,9 +129,17 @@ object CorpusStats {
       s"cuts must satisfy 0 < lo < hi < 1, got $cuts")
     val scored = bigramLmScore(docs, idCol, textCol, addK)
       .localCheckpoint(true)
+    // ONE percentile aggregate for both cuts (a single distinct-score
+    // buffer + sort, not two), thresholds rounded to 6dp — the corpus
+    // convention — because exact-percentile implementations differ by
+    // an ulp at tied-value knots (Spark's equal-key shortcut returns
+    // the tied value exactly; an unconditional interpolation like
+    // DuckDB's lands one ulp off), and band labels compare exactly
     val thr = scored.agg(
-      percentile(col("avg_nll"), lit(cuts._1)).as("__p_lo"),
-      percentile(col("avg_nll"), lit(cuts._2)).as("__p_hi"))
+        percentile(col("avg_nll"),
+          array(lit(cuts._1), lit(cuts._2))).as("__p"))
+      .select(round(col("__p").getItem(0), 6).as("__p_lo"),
+              round(col("__p").getItem(1), 6).as("__p_hi"))
     scored.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
         when(col("avg_nll") <= col("__p_lo"), "head")

@@ -1024,8 +1024,8 @@ object Oracle {
         |  CROSS JOIN vocab
         |  GROUP BY p.doc_id
         |), thr AS (
-        |  SELECT quantile_cont(avg_nll, 0.3333333333333333) AS p_lo,
-        |         quantile_cont(avg_nll, 0.6666666666666666) AS p_hi
+        |  SELECT round(quantile_cont(avg_nll, 0.3333333333333333), 6) AS p_lo,
+        |         round(quantile_cont(avg_nll, 0.6666666666666666), 6) AS p_hi
         |  FROM scored
         |)
         |SELECT s.doc_id, s.n_bigrams, s.avg_nll,
