@@ -124,6 +124,7 @@ object SparkEntry {
     "t50_span_scrub"     -> (TrainingQueries.t50SpanScrub _),
     "t51_vocab"          -> (TrainingQueries.t51Vocab _),
     "t52_ppl_band"       -> (TrainingQueries.t52PplBand _),
+    "t53_ml_select"      -> (TrainingQueries.t53MlSelect _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,6 +146,86 @@ object CorpusStats {
           .when(col("avg_nll") <= col("__p_hi"), "middle")
           .otherwise("tail").as("band"),
         (col("avg_nll") <= col("__p_hi")).as("keep"))
+  }
+
+  /** Moore–Lewis cross-entropy difference selection (Moore & Lewis
+    * 2010) — the classic domain-targeted data-selection step: train
+    * one bigram LM on an IN-DOMAIN slice of the corpus and one on the
+    * whole corpus, score every document under both, and keep the
+    * documents whose cross-entropy difference
+    * `ced = H_in(d) − H_gen(d)` is ≤ 0 (they look more like the
+    * target domain than like average corpus text). Both models use
+    * the t36 smoothing: P(w2|w1) = (c + k) / (c(w1·) + k·V); bigrams
+    * or contexts unseen by the in-domain model fall back to the
+    * smoothed floor via count 0 (never a NULL or a crash).
+    *
+    * Output: (doc_id, n_bigrams, nll_in, nll_gen, ced, keep) for
+    * every document with ≥ 2 tokens — both NLLs rounded to 6dp, ced
+    * recomputed from the ROUNDED scores and rounded again so every
+    * engine replaying the arithmetic lands on the same grid, keep =
+    * ced ≤ 0. A NULL `inDomain` verdict counts as out-of-domain.
+    *
+    * Scale shape: THREE corpus-sized passes total. The corpus reduces
+    * ONCE to per-(doc, bigram) instance counts [one shuffle, map-side
+    * combine; materialized eagerly]; ONE aggregation of that frame
+    * builds BOTH models as a single combined count table (c_all
+    * unconditional, c_in summed under the in-domain flag — unseen
+    * in-domain keys are 0-filled here, so scoring needs no outer
+    * joins); contexts and both vocabularies derive from the combined
+    * table, which is |bigram vocab|-sized, never corpus-sized (every
+    * token of a ≥2-token doc rides in some bigram — no second corpus
+    * pass). ONE scoring pass computes BOTH NLLs: inner joins on the
+    * flat bigram/context keys [key-partitioned; Catalyst broadcasts
+    * while the models are small], both Vs riding one broadcast
+    * single-row frame, one per-doc aggregate emitting both sums.
+    */
+  def crossEntropySelect(docs: DataFrame, idCol: String, textCol: String,
+                         inDomain: Column, addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be positive, got $addK")
+    val toks = filter(TextDedup.tokens(col(textCol)), x => length(x) > 0)
+    val n = size(col("t"))
+    val tokenized = docs
+      .select(col(idCol).as("doc_id"), inDomain.as("__in"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = tokenized.select(col("doc_id"), col("__in"),
+      explode(zip_with(slice(col("t"), lit(1), n - 1),
+                       slice(col("t"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).as("b"))
+    val perDoc = bg.groupBy(col("doc_id"), col("__in"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // both models in one combined table: a NULL __in verdict is
+    // excluded from c_in by `when` (out-of-domain), and keys the
+    // in-domain slice never saw carry c_in = 0 — the smoothed floor
+    // (k / k·V) then falls out of the one scoring formula
+    val cnt = perDoc.groupBy(col("b")).agg(
+        sum(col("n")).as("c_all"),
+        coalesce(sum(when(col("__in"), col("n"))), lit(0L)).as("c_in"))
+      .localCheckpoint(true)
+    val ctx = cnt.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("c_all")).as("cc_all"), sum(col("c_in")).as("cc_in"))
+    val vocab = cnt
+      .select(explode(split(col("b"), " ")).as("tok"), col("c_in"))
+      .agg(count_distinct(col("tok")).as("v_all"),
+           count_distinct(when(col("c_in") > 0, col("tok"))).as("v_in"))
+    perDoc
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(cnt, Seq("b"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        round(-sum(col("n") *
+            log((col("c_in") + addK) /
+                (col("cc_in") + lit(addK) * col("v_in")))) /
+          sum(col("n")), 6).as("nll_in"),
+        round(-sum(col("n") *
+            log((col("c_all") + addK) /
+                (col("cc_all") + lit(addK) * col("v_all")))) /
+          sum(col("n")), 6).as("nll_gen"))
+      .withColumn("ced", round(col("nll_in") - col("nll_gen"), 6))
+      .withColumn("keep", col("ced") <= 0.0)
   }
 
   /** Corpus vocabulary statistics — the profiling step that precedes

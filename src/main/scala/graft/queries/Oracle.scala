@@ -1036,6 +1036,69 @@ object Oracle {
         |FROM scored s, thr t
         |ORDER BY s.doc_id""".stripMargin,
 
+    // exact mirror of t53 (CorpusStats.crossEntropySelect): the t36
+    // model CTEs twice — once filtered to the English slice (scoring
+    // LEFT-joins it, coalescing unseen bigrams/contexts to count 0)
+    // and once over the whole corpus — then the Moore–Lewis rounded
+    // cross-entropy difference and its keep verdict
+    "t53_ml_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS in_dom,
+        |         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, in_dom, t FROM toks WHERE len(t) >= 2
+        |), bg AS (
+        |  SELECT doc_id, in_dom,
+        |         unnest(list_transform(range(len(t) - 1),
+        |                               i -> t[i+1] || ' ' || t[i+2])) AS b
+        |  FROM dt
+        |), per_doc AS (
+        |  SELECT doc_id, in_dom, b, count(*) AS n FROM bg GROUP BY 1, 2, 3
+        |), cnt_in AS (
+        |  SELECT b, CAST(sum(n) AS BIGINT) AS c
+        |  FROM per_doc WHERE in_dom GROUP BY b
+        |), ctx_in AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS cc
+        |  FROM cnt_in GROUP BY 1
+        |), v_in AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM dt WHERE in_dom)
+        |), cnt_all AS (
+        |  SELECT b, CAST(sum(n) AS BIGINT) AS c FROM per_doc GROUP BY b
+        |), ctx_all AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS cc
+        |  FROM cnt_all GROUP BY 1
+        |), v_all AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM dt)
+        |), s_in AS (
+        |  SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_bigrams,
+        |         round(-sum(p.n * ln((coalesce(c.c, 0) + 0.5)
+        |                 / (coalesce(x.cc, 0) + 0.5 * v_in.v))) / sum(p.n), 6)
+        |           AS nll_in
+        |  FROM per_doc p
+        |  LEFT JOIN cnt_in c USING (b)
+        |  LEFT JOIN ctx_in x ON split_part(p.b, ' ', 1) = x.w1
+        |  CROSS JOIN v_in
+        |  GROUP BY p.doc_id
+        |), s_all AS (
+        |  SELECT p.doc_id,
+        |         round(-sum(p.n * ln((c.c + 0.5)
+        |                 / (x.cc + 0.5 * v_all.v))) / sum(p.n), 6) AS nll_gen
+        |  FROM per_doc p
+        |  JOIN cnt_all c USING (b)
+        |  JOIN ctx_all x ON split_part(p.b, ' ', 1) = x.w1
+        |  CROSS JOIN v_all
+        |  GROUP BY p.doc_id
+        |)
+        |SELECT i.doc_id, i.n_bigrams, i.nll_in, a.nll_gen,
+        |       round(i.nll_in - a.nll_gen, 6) AS ced,
+        |       round(i.nll_in - a.nll_gen, 6) <= 0.0 AS keep
+        |FROM s_in i JOIN s_all a USING (doc_id)
+        |ORDER BY i.doc_id""".stripMargin,
+
     // exact mirror of IncrementalDedup semantics (t37): the Bloom
     // sketch + digest anti-join is a routing strategy, never the
     // verdict — the result is plain text-level set difference

@@ -763,6 +763,19 @@ object TrainingQueries {
         "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** t53_ml_select — Moore–Lewis cross-entropy difference selection:
+    * a bigram LM trained on the English slice vs one trained on the
+    * whole corpus, every document scored under both, keep = the
+    * cross-entropy difference ≤ 0 (the document looks more in-domain
+    * than average). Exact oracle: two replays of the t36 model CTEs
+    * (one filtered to the slice, with LEFT-join + coalesce-0 for
+    * unseen keys) and the same rounded-difference arithmetic.
+    */
+  def t53MlSelect(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.crossEntropySelect(Tables.documents(spark, sfDir),
+        "doc_id", "text", inDomain = col("lang") === "en")
+      .orderBy(col("doc_id"))
+
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
     * packing of the corpus into 2048-token training sequences over 8
     * deterministic shards, weighted by the native BPE-ish token

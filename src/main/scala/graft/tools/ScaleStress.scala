@@ -127,7 +127,12 @@ object ScaleStress {
       "t51_vocab"        -> (TrainingQueries.t51Vocab _),
       // perplexity banding: t36's scored frame + two percentile
       // aggregates; band assignment is per-row threshold comparison
-      "t52_ppl_band"     -> (TrainingQueries.t52PplBand _))
+      "t52_ppl_band"     -> (TrainingQueries.t52PplBand _),
+      // Moore–Lewis selection: ONE corpus reduction feeding two models
+      // and two left-join scoring passes; the 10× corpus multiplies
+      // counts, not the bigram vocabulary, so the model joins stay
+      // vocab-sized while the scored frame grows linearly
+      "t53_ml_select"    -> (TrainingQueries.t53MlSelect _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")

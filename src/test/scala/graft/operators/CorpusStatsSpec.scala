@@ -94,6 +94,45 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("crossEntropySelect: hand-computed Moore–Lewis difference") {
+    // in-domain model (docs 1,2): c(x y)=2, c(x·)=2, V={x,y}=2
+    // general model: c(x y)=2, c(p q)=2, c(p·)=2, V=4
+    val c = Seq((1L, "x y"), (2L, "x y"), (3L, "p q"), (4L, "p q"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.crossEntropySelect(c, "doc_id", "text",
+        inDomain = $"doc_id" <= 2)
+      .as[(Long, Long, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val in1  = r6(-math.log((2 + 0.5) / (2 + 0.5 * 2))) // P_in(y|x)
+    val gen1 = r6(-math.log((2 + 0.5) / (2 + 0.5 * 4)))
+    val in3  = r6(-math.log(0.5 / (0.5 * 2)))           // unseen: k/(kV)
+    val gen3 = r6(-math.log((2 + 0.5) / (2 + 0.5 * 4)))
+    // the English-looking doc is kept (ced < 0), the out-domain doc
+    // scores WORSE under the in-domain model and is dropped
+    assert(got(1L) == ((1L, 1L, in1, gen1, r6(in1 - gen1), true)))
+    assert(got(2L) == ((2L, 1L, in1, gen1, r6(in1 - gen1), true)))
+    assert(got(3L) == ((3L, 1L, in3, gen3, r6(in3 - gen3), false)))
+    assert(got(4L) == got(3L).copy(_1 = 4L))
+    assert(r6(in1 - gen1) < 0 && r6(in3 - gen3) > 0)
+  }
+
+  test("crossEntropySelect: NULL in-domain verdict counts as out-of-domain") {
+    val c = Seq((1L, "x y", "en"), (2L, "x y", null), (3L, "x z", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusStats.crossEntropySelect(c, "doc_id", "text",
+        inDomain = $"lang" === "en")
+      .as[(Long, Long, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 2 (NULL lang) must NOT have trained the in-domain model:
+    // its text equals doc 1's, so its scores match doc 1's exactly,
+    // and P_in(y|x) reflects ONE in-domain 'x y' — which differs from
+    // P_gen(y|x) (two of three) — i.e. ced(1) ≠ 0 proves the slice
+    // really excluded doc 2
+    assert(got(2L)._3 == got(1L)._3 && got(2L)._4 == got(1L)._4)
+    assert(got(1L)._5 != 0.0)
+    assert(got.size == 3)
+  }
+
   test("bigramLmScore: rarer continuations score strictly worse") {
     // 'x y' appears 9×, 'x z' once — P(z|x) < P(y|x), so the doc made
     // of the rare bigram must carry the higher (worse) NLL
