@@ -125,6 +125,7 @@ object SparkEntry {
     "t51_vocab"          -> (TrainingQueries.t51Vocab _),
     "t52_ppl_band"       -> (TrainingQueries.t52PplBand _),
     "t53_ml_select"      -> (TrainingQueries.t53MlSelect _),
+    "t54_dsir"           -> (TrainingQueries.t54Dsir _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -251,6 +251,64 @@ object TextKernels {
   def bowWeight(b: Long): Double =
     ((b * 2654435761L) % 1000003L) / 1000003.0 - 0.5
 
+  /** Kernel for [[HashedNgramCountsExpr]]: one pass over the UTF-8
+    * bytes producing the `buckets`-length count vector of hashed
+    * unigram AND bigram token features — the DSIR feature map (Xie et
+    * al. 2023 shape). Tokens are maximal non-`\s` runs; a token
+    * hashes to `sum(codePoint * 1-based-codepoint-index) mod buckets`
+    * (the t43 convention a SQL oracle replays with plain arithmetic),
+    * and a bigram hashes AS IF the two tokens were joined by a single
+    * space — `prevH + 32·(prevLen+1) + (prevLen+1)·Σcp + curH` —
+    * computed incrementally from per-token partial sums, so neither
+    * the token stream nor any joined string ever materializes.
+    */
+  def hashedNgramCounts(text: UTF8String, buckets: Int): ArrayData = {
+    val counts = new Array[Long](buckets)
+    val n = text.numBytes
+    var i = 0
+    var inTok = false
+    var pos = 0L    // 1-based code-point index within the current token
+    var h = 0L      // Σ cp·pos of the current token
+    var plain = 0L  // Σ cp of the current token
+    var hasPrev = false
+    var prevH = 0L; var prevLen = 0L
+    def endToken(): Unit = {
+      counts((((h % buckets) + buckets) % buckets).toInt) += 1
+      if (hasPrev) {
+        val bg = prevH + 32L * (prevLen + 1) + (prevLen + 1) * plain + h
+        counts((((bg % buckets) + buckets) % buckets).toInt) += 1
+      }
+      hasPrev = true; prevH = h; prevLen = pos
+      inTok = false; pos = 0L; h = 0L; plain = 0L
+    }
+    while (i < n) {
+      val b0 = text.getByte(i) & 0xff
+      var cp = b0
+      var step = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; step = 2 }
+        else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; step = 3 }
+        else { cp = b0 & 0x07; step = 4 }
+        var j = 1
+        while (j < step && i + j < n) {
+          cp = (cp << 6) | (text.getByte(i + j) & 0x3f)
+          j += 1
+        }
+      }
+      if (cp == ' ' || (cp >= 0x09 && cp <= 0x0d)) {
+        if (inTok) endToken()
+      } else {
+        inTok = true
+        pos += 1
+        h += cp.toLong * pos
+        plain += cp.toLong
+      }
+      i += step
+    }
+    if (inTok) endToken()
+    new GenericArrayData(counts)
+  }
+
   /** Kernel for [[HashedBowScoreExpr]]: one pass over the UTF-8 bytes
     * computing (n_tokens, mean bucket weight) of the hashed
     * bag-of-words linear model. Tokens are maximal non-`\s` runs
@@ -513,6 +571,28 @@ case class CollapseRunsExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** One-pass hashed unigram+bigram feature counts — the DSIR feature
+  * map (`Importance.dsirWeights`): ARRAY<LONG> of length `buckets`
+  * holding how many token unigrams and adjacent-pair bigrams of the
+  * document hash into each bucket. The hash is the portable t43
+  * convention (Σ codePoint · 1-based-index mod buckets; bigrams hash
+  * the space-joined pair), so a SQL oracle replays every count with
+  * plain arithmetic, while this kernel needs ONE scan and zero
+  * intermediate strings per row.
+  */
+case class HashedNgramCountsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.hashedNgramCounts(v.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.hashedNgramCounts($c, $buckets);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** One-pass hashed bag-of-words linear-classifier statistics — the
   * kernel behind `TextAnalysis.bowQualityScore` (fastText-shaped
   * model-based quality filtering). Returns (n_tokens, mean bucket
@@ -561,4 +641,6 @@ object TextFunctions {
     toColumn(CollapseRunsExpr(toExpr(text)))
   def hashed_bow_stats(text: Column, buckets: Int): Column =
     toColumn(HashedBowScoreExpr(toExpr(text), buckets))
+  def hashed_ngram_counts(text: Column, buckets: Int): Column =
+    toColumn(HashedNgramCountsExpr(toExpr(text), buckets))
 }

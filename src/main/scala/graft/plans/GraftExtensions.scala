@@ -92,6 +92,8 @@ object GraftExtensions {
     fn("sorted_intersect_count", 2, a => SortedIntersectCount(a(0), a(1))),
     fn("collapse_runs", 1, a => CollapseRunsExpr(a(0))),
     fn("bpeish_token_count", 1, a => BpeishTokenCount(a(0))),
+    fn("hashed_ngram_counts", 2,
+      a => HashedNgramCountsExpr(a(0), intArg(a(1)))),
     fn("top_k_by_score", 3,
       a => TopKByScore(a(0), a(1), intArg(a(2))).toAggregateExpression()))
 

@@ -1099,6 +1099,61 @@ object Oracle {
         |FROM s_in i JOIN s_all a USING (doc_id)
         |ORDER BY i.doc_id""".stripMargin,
 
+    // exact mirror of t54 (Importance.dsirWeights): every unigram and
+    // space-joined bigram hashed with the t43 positional-codepoint
+    // arithmetic, 64-bucket target-vs-corpus counts, 6dp-rounded
+    // per-bucket log ratios (rounded BEFORE the per-doc dot product,
+    // matching the engine's driver-rounded literal vector), and the
+    // rounded 0.75-quantile keep threshold over ALL documents
+    // (featureless docs score 0)
+    "t54_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, tgt, unnest(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, tgt,
+        |         unnest(list_transform(range(len(t) - 1),
+        |                               i -> t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks
+        |), feat AS (
+        |  SELECT doc_id, tgt,
+        |         list_sum(list_transform(range(1, len(g) + 1),
+        |           i -> ascii(substr(g, CAST(i AS INT), 1)) * i)) % 64 AS b
+        |  FROM grams
+        |), per_doc AS (
+        |  SELECT doc_id, b, count(*) AS n FROM feat GROUP BY 1, 2
+        |), bkt AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS c_all,
+        |         CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS c_tgt
+        |  FROM feat GROUP BY b
+        |), tot AS (
+        |  SELECT CAST(sum(c_all) AS DOUBLE) AS t_all,
+        |         CAST(sum(c_tgt) AS DOUBLE) AS t_tgt
+        |  FROM bkt
+        |), lr AS (
+        |  SELECT b, round(ln((c_tgt + 0.5) / (t_tgt + 0.5 * 64))
+        |               - ln((c_all + 0.5) / (t_all + 0.5 * 64)), 6) AS w
+        |  FROM bkt CROSS JOIN tot
+        |), s AS (
+        |  SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_feats,
+        |         round(sum(p.n * lr.w), 6) AS logw
+        |  FROM per_doc p JOIN lr USING (b)
+        |  GROUP BY p.doc_id
+        |), sc AS (
+        |  SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats,
+        |         coalesce(s.logw, 0.0) AS logw
+        |  FROM documents d LEFT JOIN s USING (doc_id)
+        |), thr AS (
+        |  SELECT round(quantile_cont(logw, 0.75), 6) AS q FROM sc
+        |)
+        |SELECT sc.doc_id, sc.n_feats, sc.logw, sc.logw >= thr.q AS keep
+        |FROM sc, thr
+        |ORDER BY sc.doc_id""".stripMargin,
+
     // exact mirror of IncrementalDedup semantics (t37): the Bloom
     // sketch + digest anti-join is a routing strategy, never the
     // verdict — the result is plain text-level set difference

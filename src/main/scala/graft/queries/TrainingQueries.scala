@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Clustering, CorpusStats, IncrementalDedup, LineOps, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Clustering, CorpusStats, Importance, IncrementalDedup, LineOps, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -774,6 +774,19 @@ object TrainingQueries {
   def t53MlSelect(spark: SparkSession, sfDir: String): DataFrame =
     CorpusStats.crossEntropySelect(Tables.documents(spark, sfDir),
         "doc_id", "text", inDomain = col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  /** t54_dsir — DSIR hashed n-gram importance weighting: one-pass
+    * native feature counts (unigram+bigram, t43 hash convention), a
+    * 64-bucket target-vs-corpus model fitted in one bounded aggregate,
+    * per-doc log importance ratios via a map-side dot product, keep =
+    * top quartile. Exact oracle: the SQL replay hashes every feature
+    * with plain arithmetic, joins the 64-row log-ratio table, and
+    * applies the same rounded quantile threshold.
+    */
+  def t54Dsir(spark: SparkSession, sfDir: String): DataFrame =
+    Importance.dsirWeights(Tables.documents(spark, sfDir), "doc_id", "text",
+        target = col("lang") === "en")
       .orderBy(col("doc_id"))
 
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget

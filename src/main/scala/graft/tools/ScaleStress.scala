@@ -132,7 +132,11 @@ object ScaleStress {
       // and two left-join scoring passes; the 10× corpus multiplies
       // counts, not the bigram vocabulary, so the model joins stay
       // vocab-sized while the scored frame grows linearly
-      "t53_ml_select"    -> (TrainingQueries.t53MlSelect _))
+      "t53_ml_select"    -> (TrainingQueries.t53MlSelect _),
+      // DSIR weighting: per-row kernel scan + a bounded 64-row model
+      // aggregate + map-side scoring — the whole pipeline should scale
+      // at the scan rate, with the percentile the only corpus-wide agg
+      "t54_dsir"         -> (TrainingQueries.t54Dsir _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")

@@ -21,7 +21,8 @@ class CodegenSpec extends SparkSpec {
     val sh = HashedShingles(text, 3)
     val exprs = Seq(sh, MinHashSignature(sh, 8), SimHash64(sh),
       RollingHash(text, 31L), CodePointRollingHash(text, 31L, 97L),
-      SortedIntersectCount(sh, sh), BpeishTokenCount(text))
+      SortedIntersectCount(sh, sh), BpeishTokenCount(text),
+      HashedNgramCountsExpr(text, 64))
     val proj = GenerateUnsafeProjection.generate(exprs) // throws on Janino failure
     val input = InternalRow(UTF8String.fromString("the quick brown fox jumps"))
     val row = proj(input)
@@ -35,6 +36,9 @@ class CodegenSpec extends SparkSpec {
     }
     assert(row.getInt(5) == row.getArray(0).numElements()) // self-intersection
     assert(row.getInt(6) == exprs(6).eval(input).asInstanceOf[Int])
+    assert(row.getArray(7).toLongArray().toSeq ==
+      exprs(7).eval(input).asInstanceOf[GenericArrayData].toLongArray().toSeq)
+    assert(row.getArray(7).toLongArray().sum == 9L) // 5 unigrams + 4 bigrams
   }
 
   test("vector expressions compile under codegen and agree with interpreted eval") {
