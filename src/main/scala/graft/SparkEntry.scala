@@ -126,6 +126,7 @@ object SparkEntry {
     "t52_ppl_band"       -> (TrainingQueries.t52PplBand _),
     "t53_ml_select"      -> (TrainingQueries.t53MlSelect _),
     "t54_dsir"           -> (TrainingQueries.t54Dsir _),
+    "t55_bpe"            -> (TrainingQueries.t55Bpe _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -94,7 +94,23 @@ object Verify {
       // survivor pair above threshold, identical vectors collapse) —
       // the cross-check justifying t46's rows-only row
       "t47 semdedup violations == 0" -> rows("t47_semdedup_check")
-        .map(_.exists(r => r.getAs[Long]("n_violations") == 0L)))
+        .map(_.exists(r => r.getAs[Long]("n_violations") == 0L)),
+      // BPE merge-apply contract — the cross-check justifying t55's
+      // rows-only row: steps contiguous from 1, merged = left||right,
+      // every pass merged something (0 < applied ≤ pair_count — the
+      // strict inequality holds because the winning pair must occur),
+      // and NO (left,right) adjacency survives its own merge pass
+      "t55 bpe merge contract holds" -> rows("t55_bpe").map { rs =>
+        rs.nonEmpty &&
+        rs.map(_.getAs[Int]("step")).sorted.toSeq == (1 to rs.length) &&
+        rs.forall { r =>
+          r.getAs[String]("merged") ==
+            r.getAs[String]("left") + r.getAs[String]("right") &&
+          r.getAs[Long]("applied") > 0L &&
+          r.getAs[Long]("applied") <= r.getAs[Long]("pair_count") &&
+          r.getAs[Long]("residual_pairs") == 0L
+        }
+      })
     checks.collect {
       case (desc, Left(err)) => s"$desc — $err"
       case (desc, Right(false)) => desc

@@ -309,6 +309,34 @@ object TextKernels {
     new GenericArrayData(counts)
   }
 
+  /** Kernel for [[BpeMergeExpr]]: one left-to-right pass over a symbol
+    * sequence replacing every NON-OVERLAPPING adjacent occurrence of
+    * (`left`, `right`) with the concatenated symbol — the classic BPE
+    * merge-apply rule (Sennrich et al. 2016): after the pass, no
+    * (`left`, `right`) adjacency can remain (each is either merged or
+    * its left symbol was consumed by the previous merge — the
+    * invariant the t55 audit pins at zero).
+    */
+  def bpeMergeApply(syms: ArrayData, left: UTF8String,
+                    right: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new Array[AnyRef](n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && cur.equals(left) &&
+          syms.getUTF8String(i + 1).equals(right)) {
+        out(w) = UTF8String.concat(left, right)
+        w += 1; i += 2
+      } else {
+        out(w) = cur
+        w += 1; i += 1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
   /** Kernel for [[HashedBowScoreExpr]]: one pass over the UTF-8 bytes
     * computing (n_tokens, mean bucket weight) of the hashed
     * bag-of-words linear model. Tokens are maximal non-`\s` runs
@@ -571,6 +599,35 @@ case class CollapseRunsExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** BPE merge application over a symbol-sequence column — one merge
+  * rule per expression instance (the learner drives one pass per
+  * learned rule), replacing non-overlapping left-to-right adjacent
+  * (`left`, `right`) occurrences with the joined symbol. The rule
+  * strings ride as codegen reference objects, so the per-row pass
+  * stays inside whole-stage codegen with zero per-row allocation
+  * beyond the output array.
+  */
+case class BpeMergeExpr(child: Expression, left: String, right: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(left.nonEmpty && right.nonEmpty,
+    "merge symbols must be non-empty")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(StringType))
+  @transient private lazy val l = UTF8String.fromString(left)
+  @transient private lazy val r = UTF8String.fromString(right)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.bpeMergeApply(v.asInstanceOf[ArrayData], l, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLeft", l,
+      "org.apache.spark.unsafe.types.UTF8String")
+    val rRef = ctx.addReferenceObj("bpeRight", r,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.bpeMergeApply($c, $lRef, $rRef);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** One-pass hashed unigram+bigram feature counts — the DSIR feature
   * map (`Importance.dsirWeights`): ARRAY<LONG> of length `buckets`
   * holding how many token unigrams and adjacent-pair bigrams of the
@@ -643,4 +700,6 @@ object TextFunctions {
     toColumn(HashedBowScoreExpr(toExpr(text), buckets))
   def hashed_ngram_counts(text: Column, buckets: Int): Column =
     toColumn(HashedNgramCountsExpr(toExpr(text), buckets))
+  def bpe_merge(syms: Column, left: String, right: String): Column =
+    toColumn(BpeMergeExpr(toExpr(syms), left, right))
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Distributed BPE merge learning (Sennrich et al. 2016) — the actual
+  * tokenizer-training step the t51 vocabulary statistics are the
+  * precursor for: represent every distinct word as a character symbol
+  * sequence, repeatedly count adjacent symbol pairs weighted by word
+  * frequency, merge the most frequent pair corpus-wide, and record
+  * the learned rule table.
+  *
+  * Scale shape: the corpus reduces ONCE to word frequencies [the only
+  * corpus-sized shuffle, map-side combined]; every round after that
+  * works on the VOCABULARY-sized symbol table — pair counting is an
+  * explode + map-side-combined groupBy of that table, the winning
+  * pair is a 1-row distributed TakeOrdered collect (the bounded
+  * driver state: one rule per round, like the k-means centroid
+  * collects), and merge application is a per-row native kernel pass
+  * [[graft.functions.BpeMergeExpr]] with no shuffle. Each round
+  * materializes eagerly (bounded rounds, the t18 connected-components
+  * discipline), so round r never replays rounds 1..r−1's lineage.
+  */
+object Bpe {
+
+  /** Learn `numMerges` merge rules from the corpus (lowercase
+    * whitespace tokenization — the shared corpus contract). Output,
+    * one row per learned rule in order:
+    * (step, left, right, merged, pair_count, applied, residual_pairs)
+    * where `pair_count` is the weighted adjacent-pair count that won
+    * the round (ties broken (count desc, left, right) so any engine
+    * replaying the rule sequence picks the same rules), `applied` is
+    * the weighted number of merges actually performed (overlapping
+    * runs like "a a a" count 2 pairs but merge once — so applied ≤
+    * pair_count), and `residual_pairs` is the weighted count of
+    * (left, right) adjacencies REMAINING after the pass — exactly 0
+    * by the merge-apply contract, which the t55 audit gate enforces.
+    * Stops early if the vocabulary runs out of adjacent pairs.
+    */
+  def learnMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = filter(TextDedup.tokens(col(textCol)), x => length(x) > 0)
+    var words = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+      .localCheckpoint(true)
+    def pairsOf(s: org.apache.spark.sql.Column) =
+      zip_with(slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))
+    // two actions per round (the TakeOrdered pair collect + the eager
+    // checkpoint, which AQE-coalesces the tiny vocab frame before the
+    // next round plans over it), plus a SINGLE end-of-run stats job
+    // unioning every round's audit aggregates over the cached round
+    // frames — a per-round stats action would add a third job of pure
+    // fixed overhead to this vocabulary-sized loop
+    val staged = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, DataFrame)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val top = words
+        .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        val merged = words
+          .select(col("freq"), size(col("syms")).as("len0"),
+            TextFunctions.bpe_merge(col("syms"), l, r).as("syms"))
+          .localCheckpoint(true)
+        staged += ((step, l, r, top(0).getLong(2), merged))
+        words = merged.select(col("freq"), col("syms"))
+        step += 1
+      }
+    }
+    if (staged.isEmpty)
+      return Seq.empty[(Int, String, String, String, Long, Long, Long)]
+        .toDF("step", "left", "right", "merged", "pair_count",
+          "applied", "residual_pairs")
+    val stats = staged.map { case (s, l, r, _, m) =>
+      m.agg(
+        sum(col("freq") * (col("len0") - size(col("syms")))).as("applied"),
+        sum(col("freq") * aggregate(
+          zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
+                   slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => when(a === l && b === r, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x)).as("residual"))
+        .select(lit(s).as("step"), col("applied"), col("residual"))
+    }.reduce(_ unionByName _).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    staged.toSeq.map { case (s, l, r, c, _) =>
+      (s, l, r, l + r, c, stats(s)._1, stats(s)._2)
+    }.toDF("step", "left", "right", "merged", "pair_count",
+      "applied", "residual_pairs")
+  }
+}

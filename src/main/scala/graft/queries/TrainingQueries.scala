@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Clustering, CorpusStats, Importance, IncrementalDedup, LineOps, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Bpe, Clustering, CorpusStats, Importance, IncrementalDedup, LineOps, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -788,6 +788,21 @@ object TrainingQueries {
     Importance.dsirWeights(Tables.documents(spark, sfDir), "doc_id", "text",
         target = col("lang") === "en")
       .orderBy(col("doc_id"))
+
+  /** t55_bpe — distributed BPE merge learning (the tokenizer-training
+    * step t51's vocabulary statistics precede): 12 merge rules learned
+    * over the corpus word frequencies, each round a vocabulary-sized
+    * pair count + a 1-row TakeOrdered collect + a native per-row
+    * merge-apply pass. Rows-only (the iterative argmax is not
+    * SQL-expressible); the Verify quality gate enforces the
+    * merge-apply contract on the output — residual (left,right)
+    * adjacencies exactly 0 after every pass, 0 < applied ≤
+    * pair_count, contiguous steps, merged = left||right — and BpeSpec
+    * pins the exact rule sequence on a hand-computed corpus.
+    */
+  def t55Bpe(spark: SparkSession, sfDir: String): DataFrame =
+    Bpe.learnMerges(Tables.documents(spark, sfDir), "text", numMerges = 12)
+      .orderBy(col("step"))
 
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
     * packing of the corpus into 2048-token training sequences over 8

@@ -136,7 +136,11 @@ object ScaleStress {
       // DSIR weighting: per-row kernel scan + a bounded 64-row model
       // aggregate + map-side scoring — the whole pipeline should scale
       // at the scan rate, with the percentile the only corpus-wide agg
-      "t54_dsir"         -> (TrainingQueries.t54Dsir _))
+      "t54_dsir"         -> (TrainingQueries.t54Dsir _),
+      // BPE merge learning: after the one corpus-sized word count,
+      // every round is vocabulary-sized — the 10× corpus multiplies
+      // frequencies, not the vocabulary, so round cost stays flat
+      "t55_bpe"          -> (TrainingQueries.t55Bpe _))
 
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")

@@ -41,6 +41,21 @@ class CodegenSpec extends SparkSpec {
     assert(row.getArray(7).toLongArray().sum == 9L) // 5 unigrams + 4 bigrams
   }
 
+  test("BpeMergeExpr compiles under codegen and agrees with interpreted eval") {
+    val arr = BoundReference(0, ArrayType(StringType), nullable = true)
+    val e = BpeMergeExpr(arr, "a", "b")
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val input = InternalRow(new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), UTF8String.fromString("b"),
+      UTF8String.fromString("a"))))
+    val row = proj(input)
+    val interp = e.eval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(row.getArray(0).numElements() == 2) // [ab, a]
+    assert((0 until 2).forall(i =>
+      row.getArray(0).getUTF8String(i) == interp.getUTF8String(i)))
+  }
+
   test("vector expressions compile under codegen and agree with interpreted eval") {
     val vec = BoundReference(0, ArrayType(DoubleType), nullable = true)
     val exprs = Seq(HyperplaneSignature(vec, 16, 42L),
