@@ -325,8 +325,13 @@ object TextKernels {
     var i = 0
     while (i < n) {
       val cur = syms.getUTF8String(i)
-      if (i + 1 < n && cur.equals(left) &&
-          syms.getUTF8String(i + 1).equals(right)) {
+      // a null symbol (legal per the input type) can never match a
+      // rule side — it passes through unmerged instead of NPEing
+      val merges = cur != null && i + 1 < n && cur.equals(left) && {
+        val nxt = syms.getUTF8String(i + 1)
+        nxt != null && nxt.equals(right)
+      }
+      if (merges) {
         out(w) = UTF8String.concat(left, right)
         w += 1; i += 2
       } else {
@@ -611,7 +616,8 @@ case class BpeMergeExpr(child: Expression, left: String, right: String)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(left.nonEmpty && right.nonEmpty,
     "merge symbols must be non-empty")
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null elements pass through unmerged, so the output preserves them
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def inputTypes = Seq(ArrayType(StringType))
   @transient private lazy val l = UTF8String.fromString(left)
   @transient private lazy val r = UTF8String.fromString(right)

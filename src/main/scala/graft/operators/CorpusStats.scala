@@ -71,22 +71,37 @@ object CorpusStats {
     * rides along as a broadcast single-row frame, like tfIdf's N. The
     * same counts table serves any number of scoring passes.
     */
+  /** Shared front-end of the bigram-LM operators and their profiling
+    * harness (one definition, so the profiler always times the SAME
+    * reduction the queries run): tokenized docs (≥ 2 tokens, extra
+    * tag columns riding along) and the per-(doc[, tags], bigram)
+    * instance counts. Bigrams are "w1 w2" strings (zip of the n−1
+    * prefix with the n−1 suffix): a flat join key — no struct
+    * comparators on the shuffle.
+    */
+  private[graft] def bigramPerDoc(docs: DataFrame, idCol: String,
+      textCol: String, extra: Seq[(String, Column)] = Nil)
+      : (DataFrame, DataFrame) = {
+    val toks = filter(TextDedup.tokens(col(textCol)), x => length(x) > 0)
+    val n = size(col("t"))
+    val tokenized = docs
+      .select((col(idCol).as("doc_id") +:
+        extra.map { case (nm, c) => c.as(nm) }) :+ toks.as("t"): _*)
+      .filter(size(col("t")) >= 2)
+    val keyCols = col("doc_id") +: extra.map { case (nm, _) => col(nm) }
+    val bg = tokenized.select(keyCols :+
+      explode(zip_with(slice(col("t"), lit(1), n - 1),
+                       slice(col("t"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).as("b"): _*)
+    val perDoc = bg.groupBy(keyCols :+ col("b"): _*)
+      .agg(count(lit(1)).as("n"))
+    (tokenized, perDoc)
+  }
+
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     addK: Double = 0.5): DataFrame = {
     require(addK > 0, s"addK must be positive, got $addK")
-    val toks = filter(TextDedup.tokens(col(textCol)), x => length(x) > 0)
-    val n = size(col("t"))
-    // bigrams as "w1 w2" strings (zip of the n−1 prefix with the n−1
-    // suffix): a flat join key — no struct comparators on the shuffle
-    val tokenized = docs
-      .select(col(idCol).as("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 2)
-    val bg = tokenized.select(col("doc_id"),
-      explode(zip_with(slice(col("t"), lit(1), n - 1),
-                       slice(col("t"), lit(2), n - 1),
-        (a, b) => concat_ws(" ", a, b))).as("b"))
-    val perDoc = bg.groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("n"))
+    val (tokenized, perDoc) = bigramPerDoc(docs, idCol, textCol)
     val cnt = perDoc.groupBy(col("b")).agg(sum(col("n")).as("c"))
     val ctx = cnt.groupBy(substring_index(col("b"), " ", 1).as("w1"))
       .agg(sum(col("c")).as("cc"))
@@ -182,17 +197,8 @@ object CorpusStats {
   def crossEntropySelect(docs: DataFrame, idCol: String, textCol: String,
                          inDomain: Column, addK: Double = 0.5): DataFrame = {
     require(addK > 0, s"addK must be positive, got $addK")
-    val toks = filter(TextDedup.tokens(col(textCol)), x => length(x) > 0)
-    val n = size(col("t"))
-    val tokenized = docs
-      .select(col(idCol).as("doc_id"), inDomain.as("__in"), toks.as("t"))
-      .filter(size(col("t")) >= 2)
-    val bg = tokenized.select(col("doc_id"), col("__in"),
-      explode(zip_with(slice(col("t"), lit(1), n - 1),
-                       slice(col("t"), lit(2), n - 1),
-        (a, b) => concat_ws(" ", a, b))).as("b"))
-    val perDoc = bg.groupBy(col("doc_id"), col("__in"), col("b"))
-      .agg(count(lit(1)).as("n"))
+    val perDoc = bigramPerDoc(docs, idCol, textCol,
+        extra = Seq("__in" -> inDomain))._2
       .localCheckpoint(true)
     // both models in one combined table: a NULL __in verdict is
     // excluded from c_in by `when` (out-of-domain), and keys the
@@ -208,6 +214,13 @@ object CorpusStats {
       .select(explode(split(col("b"), " ")).as("tok"), col("c_in"))
       .agg(count_distinct(col("tok")).as("v_all"),
            count_distinct(when(col("c_in") > 0, col("tok"))).as("v_in"))
+      // a predicate matching zero scoreable documents gives V_in = 0,
+      // so every in-domain probability is (0+k)/(0+k·0) = Inf and the
+      // WHOLE corpus comes back ced = −Inf, keep = true — the opposite
+      // of a selection; fail loudly instead
+      .withColumn("v_in",
+        when(col("v_in") > 0, col("v_in")).otherwise(raise_error(lit(
+          "crossEntropySelect: inDomain matches no document with >= 2 tokens"))))
     perDoc
       .withColumn("w1", substring_index(col("b"), " ", 1))
       .join(cnt, Seq("b"))

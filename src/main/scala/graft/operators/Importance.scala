@@ -49,8 +49,13 @@ object Importance {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     require(keepQuantile > 0 && keepQuantile < 1,
       s"keepQuantile must be in (0, 1), got $keepQuantile")
+    // NULL text = featureless (all-zero counts, logw 0), matching the
+    // oracle's LEFT-join + coalesce-0 coverage of every document —
+    // without the coalesce the kernel would null-propagate and drop
+    // the row from the percentile the keep threshold rides on
     val feats = docs.select(col(idCol).as("doc_id"), target.as("__tgt"),
-        TextFunctions.hashed_ngram_counts(col(textCol), buckets).as("f"))
+        TextFunctions.hashed_ngram_counts(
+          coalesce(col(textCol), lit("")), buckets).as("f"))
       .localCheckpoint(true)
     // a NULL target verdict counts as out-of-domain (excluded by
     // `when`); posexplode emits every bucket of every row, so the

@@ -22,17 +22,10 @@ object T53Profile {
     graft.GraftSession.warmUp(spark, sfDir)
     val docs = graft.Tables.documents(spark, sfDir)
 
-    val toks = filter(TextDedup.tokens(col("text")), x => length(x) > 0)
-    val n = size(col("t"))
-    def perDoc = docs
-      .select(col("doc_id"), (col("lang") === "en").as("__in"), toks.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("__in"),
-        explode(zip_with(slice(col("t"), lit(1), n - 1),
-                         slice(col("t"), lit(2), n - 1),
-          (a, b) => concat_ws(" ", a, b))).as("b"))
-      .groupBy(col("doc_id"), col("__in"), col("b"))
-      .agg(count(lit(1)).as("n"))
+    // the SAME reduction the operator runs (shared front-end, so the
+    // profiler can never drift from the production pipeline)
+    def perDoc = CorpusStats.bigramPerDoc(docs, "doc_id", "text",
+      extra = Seq("__in" -> (col("lang") === "en")))._2
     def cnt = perDoc.groupBy(col("b")).agg(
       sum(col("n")).as("c_all"),
       coalesce(sum(when(col("__in"), col("n"))), lit(0L)).as("c_in"))

@@ -45,4 +45,11 @@ class BpeSpec extends SparkSpec {
       .as[Seq[String]].collect().head
     assert(got == Seq("ab", "ab", "b"))
   }
+
+  test("bpe_merge column: null symbols pass through unmerged") {
+    val got = Seq(Seq("a", null, "a", "b")).toDF("syms")
+      .select(graft.functions.TextFunctions.bpe_merge($"syms", "a", "b").as("m"))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("a", null, "ab"))
+  }
 }

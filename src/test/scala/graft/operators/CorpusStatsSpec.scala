@@ -133,6 +133,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("crossEntropySelect: empty in-domain slice fails loudly, not keep-all") {
+    // V_in = 0 would make every in-domain probability Inf and ced =
+    // -Inf corpus-wide (keep = true everywhere) — must throw instead
+    val c = Seq((1L, "x y"), (2L, "p q")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      CorpusStats.crossEntropySelect(c, "doc_id", "text",
+        inDomain = $"doc_id" < 0).collect()
+    }
+    assert(e.getMessage.contains("inDomain matches no document"))
+  }
+
   test("bigramLmScore: rarer continuations score strictly worse") {
     // 'x y' appears 9×, 'x z' once — P(z|x) < P(y|x), so the doc made
     // of the rare bigram must carry the higher (worse) NLL
