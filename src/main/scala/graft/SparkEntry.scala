@@ -127,6 +127,7 @@ object SparkEntry {
     "t53_ml_select"      -> (TrainingQueries.t53MlSelect _),
     "t54_dsir"           -> (TrainingQueries.t54Dsir _),
     "t55_bpe"            -> (TrainingQueries.t55Bpe _),
+    "t56_dense_ids"      -> (TrainingQueries.t56DenseIds _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

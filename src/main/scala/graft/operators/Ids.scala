@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic dense global id assignment — the scalable form of
+  * `row_number() OVER (ORDER BY ...)`. Training pipelines need stable
+  * contiguous sample ids (shard manifests, curriculum order, resume
+  * points), but the obvious global-window rank funnels the entire
+  * corpus through ONE partition, and
+  * `monotonically_increasing_id()` is neither dense nor stable across
+  * retries.
+  */
+object Ids {
+
+  /** `idColName` = the 0-based dense global rank of `orderCols`.
+    *
+    * Scale shape: range-repartition on the order key [one shuffle,
+    * parallelism = partition count], count rows per partition [the
+    * bounded driver state: one long per partition], broadcast the
+    * prefix offsets back as a map literal, and add a WITHIN-partition
+    * row_number — every window partition is exactly one data
+    * partition (range partitions are key-ordered, so offset +
+    * local rank = global rank), and the per-partition sorts run in
+    * parallel instead of funneling.
+    *
+    * The range boundaries Spark samples are not reproducible across
+    * jobs, so the partitioned frame materializes eagerly ONCE — the
+    * count job and the final pass read the SAME cached partitions —
+    * and the OUTPUT is deterministic wherever the boundaries fell,
+    * because the offsets correct any imbalance. Callers must pass a
+    * total order (include a unique tiebreak column): with ties the
+    * within-tie order would be partition-placement-dependent.
+    *
+    * The plan carries one more exchange than strictly necessary (the
+    * window hash-partitions on `__pid`, which the cached frame is
+    * already grouped by — Catalyst cannot see that equivalence), but
+    * BOTH exchanges are balanced full-width shuffles; the shape this
+    * operator exists to avoid is the one-partition sort the naive
+    * global window degenerates to.
+    */
+  def denseIds(df: DataFrame, idColName: String, orderCols: Seq[Column],
+               numPartitions: Option[Int] = None): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val parted = numPartitions
+      .map(n => df.repartitionByRange(n, orderCols: _*))
+      .getOrElse(df.repartitionByRange(orderCols: _*))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty)
+      return parted.drop("__pid").withColumn(idColName, lit(0L))
+    var acc = 0L
+    val offsets: Map[Int, Long] = counts.keys.toSeq.sorted.map { p =>
+      val entry = p -> acc
+      acc += counts(p)
+      entry
+    }.toMap
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    parted
+      .withColumn(idColName,
+        element_at(typedLit(offsets), col("__pid")) +
+          row_number().over(w).cast("long") - 1L)
+      .drop("__pid")
+  }
+}

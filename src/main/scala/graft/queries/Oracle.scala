@@ -1154,6 +1154,17 @@ object Oracle {
         |FROM sc, thr
         |ORDER BY sc.doc_id""".stripMargin,
 
+    // exact mirror of t56 (Ids.denseIds): the engine computes the
+    // dense rank via range partitions + broadcast offsets + local
+    // windows; the oracle states the SEMANTICS directly as the global
+    // row_number over the same total order
+    "t56_dense_ids" ->
+      """SELECT doc_id, lang, n_chars,
+        |       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |            - 1 AS BIGINT) AS sample_id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // exact mirror of IncrementalDedup semantics (t37): the Bloom
     // sketch + digest anti-join is a routing strategy, never the
     // verdict — the result is plain text-level set difference

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Clustering, CorpusStats, Importance, IncrementalDedup, LineOps, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Bpe, Clustering, CorpusStats, Ids, Importance, IncrementalDedup, LineOps, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -803,6 +803,19 @@ object TrainingQueries {
   def t55Bpe(spark: SparkSession, sfDir: String): DataFrame =
     Bpe.learnMerges(Tables.documents(spark, sfDir), "text", numMerges = 12)
       .orderBy(col("step"))
+
+  /** t56_dense_ids — deterministic dense global sample ids in
+    * length-curriculum order (n_chars desc, doc_id tiebreak) WITHOUT
+    * a global-window funnel: range repartition, per-partition counts
+    * → broadcast prefix offsets, within-partition rank (each window
+    * partition = one data partition, sorts run in parallel). Exact
+    * oracle: row_number() over the same total order, minus 1.
+    */
+  def t56DenseIds(spark: SparkSession, sfDir: String): DataFrame =
+    Ids.denseIds(Tables.documents(spark, sfDir), "sample_id",
+        orderCols = Seq(col("n_chars").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_id"))
+      .orderBy(col("doc_id"))
 
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
     * packing of the corpus into 2048-token training sequences over 8

@@ -65,6 +65,10 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional second arg: comma-separated query names — run only
+    // those (cheap single-operator evidence refresh; audits skipped)
+    val only: Option[Set[String]] =
+      args.lift(1).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = graft.GraftSession.toolSession(defaultCpus = "32")
     graft.GraftSession.warmUp(spark, base)
 
@@ -140,11 +144,15 @@ object ScaleStress {
       // BPE merge learning: after the one corpus-sized word count,
       // every round is vocabulary-sized — the 10× corpus multiplies
       // frequencies, not the vocabulary, so round cost stays flat
-      "t55_bpe"          -> (TrainingQueries.t55Bpe _))
+      "t55_bpe"          -> (TrainingQueries.t55Bpe _),
+      // dense global ids: range shuffle + parallel per-partition
+      // sorts — should scale at the sort rate with NO funnel partition
+      "t56_dense_ids"    -> (TrainingQueries.t56DenseIds _))
 
+    val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")
-    for ((name, fn) <- queries) {
+    for ((name, fn) <- selected) {
       // warm pass: per-query codegen/datasource init would otherwise
       // land entirely on the small-corpus timing and flatter the ratio
       fn(spark, base).write.format("noop").mode("overwrite").save()
@@ -160,7 +168,8 @@ object ScaleStress {
     }
 
     // audit quantities: the bounded candidate/bucket counts behind the
-    // linear-ish growth
+    // linear-ish growth (skipped on subset runs)
+    if (only.nonEmpty) { spark.stop(); return }
     println("\n| audit | sf0.1 | 10x |")
     println("|---|---|---|")
     def both(f: String => Long): (Long, Long) = (f(base), f(big))

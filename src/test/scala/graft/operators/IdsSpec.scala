@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class IdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("denseIds equals the global rank across many input partitions") {
+    // 7919 is coprime with 1000, so v is a bijection of k — a total
+    // order with values scattered across 13 input partitions
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("v", ($"k" * 7919) % 1000)
+      .repartition(13)
+    val got = Ids.denseIds(df, "id", Seq($"v".asc, $"k".asc),
+        numPartitions = Some(7))
+      .select($"v", $"k", $"id").collect()
+    val sorted = got.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(sorted.map(_.getLong(2)).toSeq == (0L until 1000L).toSeq)
+    assert(got.map(_.getLong(2)).toSet.size == 1000) // dense, no gaps
+  }
+
+  test("denseIds: descending order, empty frame, arg guard") {
+    val df = Seq((1L, 10L), (2L, 30L), (3L, 20L)).toDF("id0", "n")
+    val got = Ids.denseIds(df, "rank", Seq($"n".desc, $"id0".asc))
+      .select($"id0", $"rank").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 0L, 3L -> 1L, 1L -> 2L))
+    val empty = Ids.denseIds(df.filter($"n" > 100), "rank", Seq($"n".asc))
+    assert(empty.count() == 0 && empty.columns.contains("rank"))
+    intercept[IllegalArgumentException] {
+      Ids.denseIds(df, "rank", Seq.empty)
+    }
+  }
+}
