@@ -128,6 +128,8 @@ object SparkEntry {
     "t54_dsir"           -> (TrainingQueries.t54Dsir _),
     "t55_bpe"            -> (TrainingQueries.t55Bpe _),
     "t56_dense_ids"      -> (TrainingQueries.t56DenseIds _),
+    "t57_pq_topk"        -> (TrainingQueries.t57PqTopK _),
+    "t58_pq_check"       -> (TrainingQueries.t58PqCheck _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -95,6 +95,21 @@ object Verify {
       // the cross-check justifying t46's rows-only row
       "t47 semdedup violations == 0" -> rows("t47_semdedup_check")
         .map(_.exists(r => r.getAs[Long]("n_violations") == 0L)),
+      // PQ contract — the cross-check justifying t57's rows-only row:
+      // a full codebook must reconstruct every vector exactly, the ADC
+      // kernel must be bit-equal to the exact cosine under exact
+      // reconstruction, and the production m=8,ksub=16 setting must
+      // hold its pinned recall floor (near-orthogonal synthetic corpus
+      // — see t16's rationale for why tight-param floors sit low)
+      "t58 pq roundtrip violations == 0" -> rows("t58_pq_check").map(
+        _.exists(r => r.getAs[String]("check") == "roundtrip_violations" &&
+          r.getAs[Double]("value") == 0.0)),
+      "t58 pq adc identity mismatches == 0" -> rows("t58_pq_check").map(
+        _.exists(r => r.getAs[String]("check") == "adc_mismatches" &&
+          r.getAs[Double]("value") == 0.0)),
+      "t58 pq recall(m=8,ksub=16,rerank=8) >= 0.7" -> rows("t58_pq_check").map(
+        _.exists(r => r.getAs[String]("check") == "recall_at_5" &&
+          r.getAs[Double]("value") >= 0.7)),
       // BPE merge-apply contract — the cross-check justifying t55's
       // rows-only row: steps contiguous from 1, merged = left||right,
       // every pass merged something (0 < applied ≤ pair_count — the

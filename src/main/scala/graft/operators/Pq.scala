@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{pq_adc, pq_decode, pq_encode}
+
+/** Product quantization (Jégou et al. 2011) — the compression layer of
+  * a 100 TB similarity index. Vectors split into `m` contiguous
+  * subvectors; each subspace gets its own `ksub`-codeword L2 k-means
+  * codebook; a vector stores as `m` small codes (8-32× smaller than
+  * the raw floats). Queries score against the COMPRESSED corpus via
+  * asymmetric distance (exact query × reconstructed corpus cosine) —
+  * at scale the corpus scan is IO-bound, so the compression ratio is
+  * the speedup, and the raw vectors never need to be resident.
+  *
+  * Codebook size is ksub × dim doubles TOTAL (m × ksub × dim/m) —
+  * driver-bounded and independent of corpus size, the same pattern as
+  * the IVF centroid matrix ([[Similarity.MaxDriverNlist]] rationale).
+  * All training passes are distributed aggregates; the driver only
+  * ever holds the codebook.
+  */
+object Pq {
+
+  /** Subvector slices of `vecCol` as (subspace index, ARRAY<DOUBLE>)
+    * rows — the shared front-end of seeding, refinement, and audits.
+    */
+  private def subvectors(vecs: DataFrame, vecCol: String, m: Int,
+                         dsub: Int): DataFrame =
+    vecs.select(posexplode(array((0 until m).map(i =>
+        slice(col(vecCol), i * dsub + 1, dsub).cast("array<double>")): _*))
+      .as(Seq("m_idx", "sub")))
+
+  /** Train an m × ksub × (dim/m) codebook: per subspace, deterministic
+    * hash-ordered distinct seeds (the [[Similarity]] seeding rationale
+    * — a hot duplicated subvector can never supply every codeword),
+    * then `iters` distributed Lloyd passes (assign via one
+    * [[graft.functions.PqEncodeExpr]] kernel scan, re-center via one
+    * per-(subspace, code, dim) aggregate; a codeword that loses all
+    * members keeps its previous value). A subspace with fewer than
+    * `ksub` DISTINCT subvectors trains a smaller codebook — with every
+    * distinct subvector a codeword, encoding is exact by construction
+    * (the t58 gate pins this).
+    *
+    * Driver state per pass: the codebook itself (ksub × dim doubles)
+    * — never corpus-sized.
+    */
+  def trainCodebook(vecs: DataFrame, vecCol: String, m: Int, ksub: Int,
+                    iters: Int = 1): Array[Array[Array[Double]]] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    val dimRow = vecs.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head()
+    val dim = dimRow.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val sub = subvectors(vecs.select(col(vecCol)).filter(col(vecCol).isNotNull),
+      vecCol, m, dsub)
+    val seedW = Window.partitionBy(col("m_idx"))
+      .orderBy(xxhash64(col("sub")), col("sub").cast("string"))
+    val seeds = sub.distinct()
+      .withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= ksub)
+      .select(col("m_idx"), col("rn"), col("sub"))
+      .collect()
+    var codebook: Array[Array[Array[Double]]] =
+      (0 until m).map { mi =>
+        seeds.filter(_.getInt(0) == mi).sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toArray)
+      }.toArray
+    require(codebook.forall(_.nonEmpty), "a subspace trained zero codewords")
+    for (_ <- 0 until iters) {
+      val cb = codebook.map(_.map(_.toSeq).toSeq).toSeq
+      val means = vecs.select(col(vecCol))
+        .filter(col(vecCol).isNotNull)
+        .select(pq_encode(col(vecCol), cb).as("codes"), col(vecCol))
+        .select(col("codes"), posexplode(array((0 until m).map(i =>
+            slice(col(vecCol), i * dsub + 1, dsub).cast("array<double>")): _*))
+          .as(Seq("m_idx", "sub")))
+        .select(col("m_idx"),
+          element_at(col("codes"), col("m_idx") + 1).as("code"),
+          posexplode(col("sub")).as(Seq("d", "x")))
+        .groupBy(col("m_idx"), col("code"), col("d"))
+        .agg(avg(col("x")).as("mu"))
+        .collect()
+      val byCell = means.groupBy(r => (r.getInt(0), r.getShort(1).toInt))
+      codebook = codebook.zipWithIndex.map { case (words, mi) =>
+        words.zipWithIndex.map { case (old, w) =>
+          byCell.get((mi, w)).fold(old) { rows =>
+            rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+          }
+        }
+      }
+    }
+    codebook
+  }
+
+  private def toSeqs(cb: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
+    cb.map(_.map(_.toSeq).toSeq).toSeq
+
+  /** (idCol, codes ARRAY<SMALLINT>) — the compressed index frame. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             codebook: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(idCol),
+      pq_encode(col(vecCol), toSeqs(codebook)).as("codes"))
+
+  /** Reconstruction (ARRAY<DOUBLE>) of a codes column. */
+  def decode(codes: Column, codebook: Array[Array[Array[Double]]]): Column =
+    pq_decode(codes, toSeqs(codebook))
+
+  /** Approximate top-k over the COMPRESSED corpus: train (or accept) a
+    * codebook, encode once, broadcast the queries, score every
+    * (code row, query) with the ADC kernel, cut with the bounded-heap
+    * partial top-k (no per-query funnel — see
+    * [[Similarity.topKPerQuery]]). The corpus never shuffles: scoring
+    * is map-side against broadcast queries, and only
+    * O(partitions · |queries| · k · rerank) heap entries reach the
+    * final shuffle.
+    *
+    * `rerank` > 1 is the standard ADC+R design (Jégou et al. 2011
+    * §VI): the compressed scan shortlists k·rerank candidates per
+    * query, then ONLY those rows' raw vectors are fetched (semi-join
+    * on id — bounded by |queries|·k·rerank, never corpus-sized) and
+    * re-scored with the exact cosine. At 100 TB the corpus scan still
+    * reads nothing but codes — the rerank fetch is a point lookup set,
+    * so quantization error stops costing recall without giving back
+    * the compression.
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 1,
+             rerank: Int = 1,
+             codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    val cb = codebook.getOrElse(
+      trainCodebook(corpus.select(col(vecCol)), vecCol, m, ksub, iters))
+    val codes = encode(corpus, idCol, vecCol, cb)
+      .select(col(idCol).as("id"), col("codes"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val scored = codes
+      .join(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine", pq_adc(col("codes"), col("qvec"), toSeqs(cb)))
+    val idType = corpus.schema(idCol).dataType
+    if (rerank == 1) Similarity.topKPerQuery(scored, k, idType)
+    else {
+      // candidate pairs ride a BROADCAST of the shortlist back over the
+      // corpus scan: the raw-vector read prunes map-side to the
+      // |queries|·k·rerank candidate set — no corpus shuffle, no
+      // per-query funnel
+      val shortlist = Similarity.topKPerQuery(scored, k * rerank, idType)
+        .select(col("qid").as("sq"), col("id").as("sid"))
+      val exact = corpus
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .join(broadcast(shortlist), col("id") === col("sid"))
+        .join(broadcast(q), col("sq") === col("qid"))
+        .withColumn("cosine",
+          graft.functions.VectorFunctions.cosine_sim(col("vec"), col("qvec")))
+        .select(col("qid"), col("id"), col("cosine"))
+      Similarity.topKPerQuery(exact, k, idType)
+    }
+  }
+}

@@ -45,7 +45,7 @@ object Similarity {
     * Requires an integral id (the heap stores (double, long) pairs);
     * the id is cast back to `idType` on output so schemas are unchanged.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int, idType: DataType): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int, idType: DataType): DataFrame = {
     require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"partial top-k requires an integral id column, got $idType")
     scored

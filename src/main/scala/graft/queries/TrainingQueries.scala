@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Clustering, CorpusStats, Ids, Importance, IncrementalDedup, LineOps, Multimodal, Packing, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Bpe, Clustering, CorpusStats, Ids, Importance, IncrementalDedup, LineOps, Multimodal, Packing, Pq, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -816,6 +816,88 @@ object TrainingQueries {
         orderCols = Seq(col("n_chars").desc, col("doc_id").asc))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_id"))
       .orderBy(col("doc_id"))
+
+  /** t57_pq_topk — product-quantization ANN with exact rerank (Jégou
+    * et al. 2011, ADC+R): an m=8 × ksub=16 codebook (one distributed
+    * Lloyd pass) compresses each 64-dim float vector to 8 smallint
+    * codes (32× smaller), the compressed corpus scores against
+    * broadcast queries via the asymmetric-distance cosine kernel and
+    * shortlists k·8 candidates per query with the bounded-heap partial
+    * top-k; only the shortlist's raw vectors are re-read (broadcast
+    * candidate join — map-side prune, no corpus shuffle) and re-scored
+    * with the exact cosine. rows-only driver row; t58 is the enforced
+    * cross-check (roundtrip exactness, ADC identity, pinned recall
+    * floor at THIS setting).
+    */
+  def t57PqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Pq.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 5, m = 8, ksub = 16, iters = 1, rerank = 8)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** t58_pq_check — the enforced PQ contract harness (the cross-check
+    * justifying t57's rows-only row), three (check, value) rows:
+    *
+    *  - `roundtrip_violations`: with a FULL codebook (ksub ≥ distinct
+    *    subvectors per subspace, iters=0 so seeding IS the codebook)
+    *    every distinct subvector is a codeword, so decode∘encode must
+    *    reproduce every vector EXACTLY — count of rows where it
+    *    doesn't. Gate: == 0.
+    *  - `adc_mismatches`: under that exact reconstruction the ADC
+    *    kernel's subspace-by-subspace accumulation is index-for-index
+    *    the [[graft.functions.CosineSimilarity]] loop, so the score
+    *    must be BIT-equal to the exact cosine on every (row, query)
+    *    pair. Gate: == 0.
+    *  - `recall_at_5`: the t57 production setting (m=8, ksub=16,
+    *    rerank=8) against the brute-force exact top-5, t16-style
+    *    semi-join recall. Gate: pinned floor 0.7 (measured 0.76; the
+    *    recorded sweep on this near-orthogonal corpus: no rerank 0.18,
+    *    rerank=4 0.46, rerank=8 0.76 — ksub=32/iters=2 buys nothing
+    *    over finer reranking because quantization error, not codebook
+    *    resolution, dominates noise-margin neighbor order; see t16's
+    *    rationale for why tight-param floors sit low here).
+    */
+  def t58PqCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).persist()
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nDistinct = emb.select(col("embedding")).distinct().count().toInt
+    val full = Pq.trainCodebook(emb, "embedding", m = 8,
+      ksub = nDistinct, iters = 0)
+    // eagerly materialized: the full-codebook encode is the audit's
+    // dominant cost (every distinct subvector is a codeword, so one
+    // pq_encode scan is |corpus| × |corpus| subvector distances) and
+    // BOTH contract legs read it — a lazy cache would let the legs
+    // race the population inside the one action and pay it twice
+    val encoded = Pq.encode(emb, "vec_id", "embedding", full)
+      .join(emb, Seq("vec_id"))
+      .localCheckpoint(true)
+    val roundtrip = encoded
+      .filter(Pq.decode(col("codes"), full) =!=
+        col("embedding").cast("array<double>"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("roundtrip_violations").as("check"), col("value"))
+    val adc = encoded
+      .join(broadcast(queries))
+      .filter(graft.functions.VectorFunctions.pq_adc(col("codes"),
+          col("qvec"), full.map(_.map(_.toSeq).toSeq).toSeq) =!=
+        graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("qvec")))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("adc_mismatches").as("check"), col("value"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select(col("qid"), col("id")).persist()
+    val denom = exact.count()
+    val recall = t57PqTopK(spark, sfDir)
+      .select(col("qid"), col("id"))
+      .join(exact, Seq("qid", "id"), "left_semi")
+      .agg(round(count(lit(1)).cast("double") / lit(denom), 6).as("value"))
+      .select(lit("recall_at_5").as("check"), col("value"))
+    roundtrip.unionByName(adc).unionByName(recall).orderBy(col("check"))
+  }
 
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
     * packing of the corpus into 2048-token training sequences over 8

@@ -147,7 +147,12 @@ object ScaleStress {
       "t55_bpe"          -> (TrainingQueries.t55Bpe _),
       // dense global ids: range shuffle + parallel per-partition
       // sorts — should scale at the sort rate with NO funnel partition
-      "t56_dense_ids"    -> (TrainingQueries.t56DenseIds _))
+      "t56_dense_ids"    -> (TrainingQueries.t56DenseIds _),
+      // PQ ANN: train (distributed Lloyd over 10× subvectors) + encode
+      // + ADC scan + broadcast rerank — everything corpus-sized is a
+      // map-side scan; the near-dup-heavy 10× corpus stresses the
+      // shortlist heap with tied scores
+      "t57_pq_topk"      -> (TrainingQueries.t57PqTopK _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

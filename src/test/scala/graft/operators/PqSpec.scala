@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim vectors, m=2 subspaces of 2 dims each; each subspace has
+  // exactly 2 distinct subvectors → ksub=2 makes encoding exact
+  private def corpus = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+    (1L, Array(1.0f, 0.0f, 2.0f, 0.0f)),
+    (2L, Array(0.0f, 3.0f, 0.0f, 1.0f)),
+    (3L, Array(0.0f, 3.0f, 2.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("trainCodebook: full codebook makes every distinct subvector a codeword") {
+    val cb = Pq.trainCodebook(corpus, "embedding", m = 2, ksub = 4)
+    assert(cb.length == 2)
+    // only 2 distinct subvectors per subspace exist → smaller codebook
+    assert(cb.forall(_.length == 2))
+    assert(cb.forall(_.forall(_.length == 2)))
+    val sub0 = cb(0).map(_.toSeq).toSet
+    assert(sub0 == Set(Seq(1.0, 0.0), Seq(0.0, 3.0)))
+  }
+
+  test("encode/decode roundtrip is exact with a full codebook") {
+    val cb = Pq.trainCodebook(corpus, "embedding", m = 2, ksub = 4)
+    val bad = Pq.encode(corpus, "vec_id", "embedding", cb)
+      .join(corpus, Seq("vec_id"))
+      .withColumn("recon", Pq.decode(col("codes"), cb))
+      .filter(col("recon") =!= col("embedding").cast("array<double>"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("ADC cosine is bit-equal to exact cosine under exact reconstruction") {
+    val cb = Pq.trainCodebook(corpus, "embedding", m = 2, ksub = 4)
+    val q = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val mismatches = Pq.encode(corpus, "vec_id", "embedding", cb)
+      .join(corpus, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("adc", pq_adc(col("codes"), col("qvec"), cb.map(_.map(_.toSeq).toSeq).toSeq))
+      .withColumn("exact", cosine_sim(col("embedding"), col("qvec")))
+      .filter(col("adc") =!= col("exact"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("pqTopK with a full codebook matches bruteForceTopK exactly") {
+    val q = corpus.filter($"vec_id" <= 1)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val cb = Pq.trainCodebook(corpus, "embedding", m = 2, ksub = 4)
+    val pq = Pq.pqTopK(corpus, "vec_id", "embedding", q, "qid", "qvec",
+        k = 3, codebook = Some(cb))
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", k = 3)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(pq == exact)
+  }
+
+  test("pqTopK rerank path matches exact top-k on a full codebook") {
+    val q = corpus.filter($"vec_id" <= 1)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val cb = Pq.trainCodebook(corpus, "embedding", m = 2, ksub = 4)
+    val pq = Pq.pqTopK(corpus, "vec_id", "embedding", q, "qid", "qvec",
+        k = 2, rerank = 2, codebook = Some(cb))
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", k = 2)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(pq == exact)
+  }
+
+  test("Lloyd refinement recenters codewords to member means") {
+    // one subspace (m=1), 4 points on a line; ksub=2 seeds then one
+    // Lloyd pass must land centroids on the two cluster means
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.2f, 0.0f)),
+      (2L, Array(10.0f, 0.0f)), (3L, Array(10.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Pq.trainCodebook(pts, "embedding", m = 1, ksub = 2, iters = 3)
+    val words = cb(0).map(_(0)).sorted.toSeq
+    // float32 inputs: 0.2f as double is 0.2000000029…, so the mean
+    // lands within float precision of 0.1, not double precision
+    assert(math.abs(words(0) - 0.1) < 1e-6)
+    assert(math.abs(words(1) - 10.1) < 1e-6)
+  }
+
+  test("trainCodebook rejects a dim not divisible by m") {
+    intercept[IllegalArgumentException] {
+      Pq.trainCodebook(corpus, "embedding", m = 3, ksub = 2)
+    }
+  }
+
+  test("compression shape: codes are one short per subspace") {
+    val cb = Pq.trainCodebook(corpus, "embedding", m = 2, ksub = 2)
+    val row = Pq.encode(corpus, "vec_id", "embedding", cb)
+      .select("codes").as[Seq[Short]].head()
+    assert(row.length == 2)
+  }
+}
