@@ -130,6 +130,7 @@ object SparkEntry {
     "t56_dense_ids"      -> (TrainingQueries.t56DenseIds _),
     "t57_pq_topk"        -> (TrainingQueries.t57PqTopK _),
     "t58_pq_check"       -> (TrainingQueries.t58PqCheck _),
+    "t59_upsample"       -> (TrainingQueries.t59Upsample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

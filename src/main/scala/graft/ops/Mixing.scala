@@ -84,4 +84,51 @@ object Mixing {
       .filter(col("cum") <= budget)
       .drop("cum")
   }
+
+  /** Fractional-EPOCH upsampling — the other half of mixture design:
+    * where [[sampleQuotas]] caps dominant sources DOWN, this repeats
+    * prized sources UP by a real-valued epoch weight (the "Wikipedia
+    * × 3.2" convention in LLM data recipes). A source with weight w
+    * emits ⌊w⌋ full copies of every row (epoch = 0..⌊w⌋−1) plus one
+    * PARTIAL epoch (epoch = ⌊w⌋) holding the ⌊frac(w)·|group|⌋
+    * smallest-md5(key) rows — the same deterministic order as the
+    * quota/budget samplers, so one md5 rank drives all three and the
+    * whole output replays in any engine.
+    *
+    * Scale shape: full copies are a pure per-row explode (no shuffle
+    * — a row's repeat count depends only on its own group column);
+    * group sizes come from one map-side-combined count aggregate
+    * broadcast back; the partial-epoch selection rides the salted
+    * two-level cap, so no single task ever sees a whole source.
+    */
+  def upsampleEpochs(df: DataFrame, groupCol: String, keyCol: String,
+                     weights: Map[String, Double], defaultWeight: Double,
+                     salts: Int = 64): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      s"upsampleEpochs: epoch weights must be non-negative, got " +
+        (weights.filter(_._2 < 0) ++
+          (if (defaultWeight < 0) Map("default" -> defaultWeight) else Map())))
+    val w =
+      if (weights.isEmpty) lit(defaultWeight)
+      else coalesce(element_at(typedLit(weights), col(groupCol)),
+                    lit(defaultWeight))
+    // ⌊w⌋ full copies: explode a 0..⌊w⌋−1 sequence (empty for w < 1 —
+    // explode drops the row, which IS the semantics)
+    val full = df
+      .withColumn("epoch", explode(
+        when(floor(w) >= 1, sequence(lit(0), floor(w).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))))
+    // partial epoch: the ⌊frac(w)·|group|⌋-row md5 prefix of the group
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val partial = Sampling.saltedCap(
+        df.join(broadcast(counts), Seq(groupCol)),
+        Seq(col(groupCol)),
+        orderBy = md5(col(keyCol).cast("string")),
+        saltBy = xxhash64(col(keyCol)),
+        cap = floor((w - floor(w)) * col("__n")).cast("int"),
+        salts = salts)
+      .withColumn("epoch", floor(w).cast("int"))
+      .drop("__n")
+    full.unionByName(partial.select(full.columns.map(col).toSeq: _*))
+  }
 }

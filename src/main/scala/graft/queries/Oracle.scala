@@ -1452,6 +1452,33 @@ object Oracle {
     // per source, same BPE-ish token weight (regexp replay of the
     // native counter, as t10), greedy prefix under the budget via a
     // monotone running sum
+    "t59_upsample" ->
+      """WITH n AS (
+        |  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT d.doc_id, d.source, n.cnt,
+        |         CASE d.source
+        |           WHEN 'src0' THEN CAST(2.5 AS DOUBLE)
+        |           WHEN 'src1' THEN CAST(1.25 AS DOUBLE)
+        |           WHEN 'src2' THEN CAST(0.4 AS DOUBLE)
+        |           ELSE CAST(1.0 AS DOUBLE) END AS wt
+        |  FROM documents d JOIN n USING (source)
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM w
+        |), fulle AS (
+        |  SELECT doc_id, source,
+        |         CAST(unnest(range(0, CAST(floor(wt) AS BIGINT))) AS INT) AS epoch
+        |  FROM r
+        |), part AS (
+        |  SELECT doc_id, source, CAST(floor(wt) AS INT) AS epoch
+        |  FROM r WHERE rn <= floor((wt - floor(wt)) * cnt)
+        |)
+        |SELECT * FROM fulle UNION ALL SELECT * FROM part
+        |ORDER BY doc_id, epoch""".stripMargin,
+
     "t49_token_mixture" ->
       """WITH w AS (
         |  SELECT doc_id, source,

@@ -899,6 +899,20 @@ object TrainingQueries {
     roundtrip.unionByName(adc).unionByName(recall).orderBy(col("check"))
   }
 
+  /** t59_upsample — fractional-epoch source upsampling (the "×2.5
+    * epochs of src0" mixture convention): ⌊w⌋ full copies per row
+    * plus a partial epoch of the ⌊frac(w)·|source|⌋ smallest-md5
+    * rows. Exact oracle: the full copies replay as unnest(range(⌊w⌋))
+    * and the partial epoch as the same md5-rank window cut.
+    */
+  def t59Upsample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Mixing.upsampleEpochs(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "source", "doc_id",
+        weights = Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.4),
+        defaultWeight = 1.0)
+      .orderBy(col("doc_id"), col("epoch"))
+
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
     * packing of the corpus into 2048-token training sequences over 8
     * deterministic shards, weighted by the native BPE-ish token

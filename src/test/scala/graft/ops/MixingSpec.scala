@@ -90,4 +90,38 @@ class MixingSpec extends SparkSpec {
     assert(messages(e2).exists(_.contains("null or negative weight")),
       s"expected the guard message, got: ${messages(e2)}")
   }
+
+  test("upsampleEpochs emits floor(w) full epochs plus the md5-prefix partial") {
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // g0: 2.5 epochs of 200 rows -> 400 full + 100 partial;
+    // g1: 0.3 epochs -> 60 partial only; g2: default 1.0 -> 200 full
+    val out = Mixing.upsampleEpochs(corpus, "grp", "id",
+        Map("g0" -> 2.5, "g1" -> 0.3), defaultWeight = 1.0)
+      .select($"id", $"grp", $"epoch")
+      .as[(Long, String, Int)].collect()
+    val byGroup = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGroup == Map("g0" -> 500, "g1" -> 60, "g2" -> 200))
+    // every full epoch holds the WHOLE group, each exactly once
+    val g0Epochs = out.filter(_._2 == "g0").groupBy(_._3).view
+      .mapValues(_.map(_._1).toSet).toMap
+    assert(g0Epochs(0).size == 200 && g0Epochs(0) == g0Epochs(1))
+    // the partial epoch is the frac(w)*|g| smallest-md5 prefix
+    val g0Ids = (1 to 600).filter(_ % 3 == 0).map(_.toLong)
+    assert(g0Epochs(2) ==
+      g0Ids.sortBy(i => md5hex(i.toString)).take(100).toSet)
+    // epochs are dense from 0 within every group
+    assert(out.filter(_._2 == "g1").map(_._3).toSet == Set(0))
+    assert(out.filter(_._2 == "g2").map(_._3).toSet == Set(0))
+  }
+
+  test("upsampleEpochs rejects negative weights and drops w=0 groups") {
+    intercept[IllegalArgumentException] {
+      Mixing.upsampleEpochs(corpus, "grp", "id", Map("g0" -> -1.0), 1.0)
+    }
+    val out = Mixing.upsampleEpochs(corpus, "grp", "id",
+      Map("g0" -> 0.0), defaultWeight = 1.0)
+    assert(out.filter($"grp" === "g0").count() == 0L)
+    assert(out.count() == 400L)
+  }
 }
