@@ -24,21 +24,37 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark only
-    * reads as a raw long (spark.sql.legacy.parquet.nanosAsLong=true, set
-    * in Verify/Bench). Convert to a microsecond TimestampType here with
-    * integer division (ns epoch values overflow double precision, so no
-    * float math). The DuckDB oracle applies the same truncation via
+  /** Normalize an events `ts` column to a microsecond TimestampType
+    * regardless of which physical encoding the driver generated:
+    *  - parquet TIMESTAMP(NANOS) reads as a raw long under
+    *    spark.sql.legacy.parquet.nanosAsLong → integer-divide to micros
+    *    (ns epoch values overflow double precision, so no float math);
+    *  - parquet timestamp[us] with no zone reads as TIMESTAMP_NTZ →
+    *    reinterpret in the session zone (UTC everywhere in this engine,
+    *    so the cast is value-preserving and matches DuckDB's naive
+    *    TIMESTAMP reading of the same file);
+    *  - TIMESTAMP is already canonical.
+    * The DuckDB oracle applies the same normalization via
     * CAST(ts AS TIMESTAMP).
     */
+  def normalizedTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType         => expr("timestamp_micros(ts DIV 1000)")
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalArgumentException(
+        s"unexpected events.ts type $other")
+    }
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // defensive: the flag is a runtime SQL conf and the caller's session
     // (e.g. the driver's own smoke harness) may not have set it
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.withColumn("ts", normalizedTs(raw.schema("ts").dataType))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

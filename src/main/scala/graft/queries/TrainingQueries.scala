@@ -185,7 +185,7 @@ object TrainingQueries {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = StreamingFlows.source(spark, sfDir, schema,
         globFilter = Some("events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
       // decimal money-sum convention (see RelationalQueries.moneySum) so
       // the emitted totals are exact and the DuckDB oracle can replay
       // the watermark semantics: append mode emits exactly the windows
@@ -216,7 +216,7 @@ object TrainingQueries {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = StreamingFlows.source(spark, sfDir, schema,
         globFilter = Some("events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
     val deduped = StreamingFlows.streamingDedup(stream, "ts", "1 day",
       Seq("user_id", "event_type"))
     StreamingFlows.runAvailableNow(spark, deduped,
@@ -391,7 +391,7 @@ object TrainingQueries {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def src() = StreamingFlows.source(spark, sfDir, schema,
         globFilter = Some("events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
     val clicks = src().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
               col("ts").as("cts"))
@@ -1252,7 +1252,7 @@ object TrainingQueries {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = StreamingFlows.source(spark, sfDir, schema,
         globFilter = Some("events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
       // decimal money-sum convention (RelationalQueries.moneySum): the
       // emitted totals are exact, so the oracle compare is exact
       .withColumn("value", col("value").cast("decimal(18,2)"))

@@ -12,7 +12,7 @@ class StreamingFlowsSpec extends SparkSpec {
     val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
     val stream = StreamingFlows.source(spark, sfDir, batchRaw.schema,
         globFilter = Some("events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizedTs(batchRaw.schema("ts").dataType))
     val agg = StreamingFlows.dailyFlowAgg(stream, "ts", "event_type", "value")
     val got = StreamingFlows.runAvailableNow(spark, agg, "daily_stream")
       .select($"day", $"event_type", $"n")
@@ -38,7 +38,7 @@ class StreamingFlowsSpec extends SparkSpec {
     val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
     val stream = StreamingFlows.source(spark, sfDir, batchRaw.schema,
         globFilter = Some("events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizedTs(batchRaw.schema("ts").dataType))
     val dedup = StreamingFlows.streamingDedup(stream, "ts", "1 day", Seq("user_id"))
     val got = StreamingFlows.runAvailableNow(spark, dedup, "dedup_stream")
     val users = spark.read.parquet(s"$sfDir/events.parquet")
@@ -51,7 +51,7 @@ class StreamingFlowsSpec extends SparkSpec {
     val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
     val stream = StreamingFlows.source(spark, sfDir, batchRaw.schema,
         globFilter = Some("events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizedTs(batchRaw.schema("ts").dataType))
       .withColumn("value", $"value".cast("decimal(18,2)"))
     val sess = StreamingFlows.sessionAgg(stream, "ts", "user_id", "value",
       gap = "1 hour", watermark = "2 hours")

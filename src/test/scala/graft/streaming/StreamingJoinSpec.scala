@@ -12,7 +12,7 @@ class StreamingJoinSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def src() = StreamingFlows.source(spark, sfDir, schema,
         globFilter = Some("events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
     val clicks = src().filter($"event_type" === "click")
       .select($"event_id".as("click_id"), $"user_id", $"ts".as("cts"))
       .withWatermark("cts", "1 hour")
