@@ -131,6 +131,7 @@ object SparkEntry {
     "t57_pq_topk"        -> (TrainingQueries.t57PqTopK _),
     "t58_pq_check"       -> (TrainingQueries.t58PqCheck _),
     "t59_upsample"       -> (TrainingQueries.t59Upsample _),
+    "t60_embed_decontam" -> (TrainingQueries.t60EmbedDecontam _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -204,6 +204,41 @@ object VectorKernels {
     * centroids ride a DataFrame keyed by coarse cell and join to the
     * vectors, never the driver.
     */
+  /** Max cosine against a fixed matrix — the scoring twin of
+    * [[argmaxCell]]: the same primitive rows × dim loop, returning the
+    * best similarity itself instead of its index (NaN compares
+    * greatest, matching argmaxCell's ordering). Backs the broadcast
+    * side of embedding-space decontamination, where only "how close is
+    * the closest eval vector" matters, not which one.
+    */
+  def maxCellCosine(v: ArrayData, cents: Array[Array[Double]],
+                    floatElems: Boolean): Double = {
+    val x: Array[Double] =
+      if (floatElems) {
+        val f = v.toFloatArray()
+        val out = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+        out
+      } else v.toDoubleArray()
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val y = cents(c)
+      if (x.length != y.length)
+        throw new IllegalArgumentException(
+          s"dim mismatch: ${x.length} vs centroid $c of ${y.length}")
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var d = 0
+      while (d < x.length) {
+        dot += x(d) * y(d); nx += x(d) * x(d); ny += y(d) * y(d); d += 1
+      }
+      val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (java.lang.Double.compare(s, best) >= 0) best = s
+      c += 1
+    }
+    best
+  }
+
   def argmaxCellCol(v: ArrayData, cents: ArrayData,
                     floatElems: Boolean): Int = {
     val x: Array[Double] =
@@ -496,6 +531,46 @@ case class ArgmaxCellExpr(child: Expression, centroids: Seq[Seq[Double]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Max cosine against a FIXED vector matrix (the scoring twin of
+  * [[ArgmaxCellExpr]] — same codegen reference-object shape, returning
+  * the best similarity instead of its index). Backs embedding-space
+  * benchmark decontamination: the eval matrix rides the expression, so
+  * scoring a corpus row against every eval vector is one primitive
+  * loop with no join and no per-eval expression growth.
+  */
+case class MaxCellCosineExpr(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  override def dataType: DataType = DoubleType
+  override def inputTypes =
+    Seq(org.apache.spark.sql.graftshim.Bridge.vectorArrayType)
+
+  // constructor keeps Seq (structural equals → semanticEquals and
+  // common-subexpression elimination work); the kernel's primitive
+  // matrix materializes lazily, once per (de)serialized instance
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  private def floatElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.maxCellCosine(v.asInstanceOf[ArrayData], matrix, floatElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.maxCellCosine($c, $ref, $floatElems);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Argmax-cosine cell assignment against a PER-ROW centroid matrix
   * (ARRAY<ARRAY<DOUBLE>>) — the fine-assign step of the two-level
   * quantizer, where each coarse cell carries its own fine-centroid
@@ -705,6 +780,9 @@ object VectorFunctions {
       centroids.map(_.toIndexedSeq).toIndexedSeq))
   def argmax_cells(v: Column, centroids: Column): Column =
     toColumn(ArgmaxCellsExpr(toExpr(v), toExpr(centroids)))
+  def max_cell_cosine(v: Column, centroids: Seq[Seq[Double]]): Column =
+    toColumn(MaxCellCosineExpr(toExpr(v),
+      centroids.map(_.toIndexedSeq).toIndexedSeq))
   private def deepIndexed(cb: Seq[Seq[Seq[Double]]]) =
     cb.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
   def pq_encode(v: Column, codebook: Seq[Seq[Seq[Double]]]): Column =

@@ -430,6 +430,54 @@ object Similarity {
               col("cell"))
   }
 
+  /** Embedding-space benchmark decontamination — the semantic
+    * complement of the n-gram overlap check (TextDedup.decontaminate):
+    * a corpus row is contaminated iff its embedding's max cosine
+    * against ANY eval-benchmark vector reaches `threshold`. Catches
+    * paraphrased/reformatted eval leakage that exact n-gram overlap
+    * misses.
+    *
+    * Scale shape: eval benchmarks are the SMALL side (10²–10⁵ rows)
+    * while the corpus is the 100 TB side — so the eval matrix is
+    * collected to the driver (bounded by `maxEval`, fail-fast on
+    * overflow) and ships into the native `max_cell_cosine` kernel as a
+    * codegen reference object. The whole operator is then ONE corpus
+    * scan: no join, no shuffle, no per-eval-row expression growth. For
+    * eval sets beyond the literal bound, compose `lshTopK`/`pqTopK`
+    * candidate generation instead — same output contract.
+    *
+    * The flag derives from the 6dp-ROUNDED score (the cross-engine
+    * comparison convention), so engine ulp drift can never flip it.
+    * Output: (idCol, max_eval_cos, contaminated) — one row per corpus
+    * row.
+    */
+  def decontaminateByEmbedding(corpus: DataFrame, idCol: String,
+      vecCol: String, evalVecs: DataFrame, evalVecCol: String,
+      threshold: Double, maxEval: Int = 100000): DataFrame = {
+    val rows = evalVecs.select(col(evalVecCol).as("vec"))
+      .filter(col("vec").isNotNull)
+      .limit(maxEval + 1).collect()
+    require(rows.nonEmpty, "decontaminateByEmbedding: empty eval set")
+    require(rows.length <= maxEval,
+      s"decontaminateByEmbedding: eval set exceeds maxEval=$maxEval " +
+        "(driver-literal bound); use the LSH/IVF/PQ candidate paths " +
+        "for large eval sets")
+    val matrix: Seq[Seq[Double]] = rows.toSeq.map { r =>
+      r.getSeq[Any](0).map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case x => throw new IllegalArgumentException(
+          s"unsupported vector element ${x.getClass}")
+      }
+    }
+    corpus
+      .select(col(idCol), col(vecCol).as("vec"))
+      .withColumn("max_eval_cos",
+        round(graft.functions.VectorFunctions.max_cell_cosine(col("vec"), matrix), 6))
+      .select(col(idCol), col("max_eval_cos"),
+              (col("max_eval_cos") >= threshold).as("contaminated"))
+  }
+
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 16,
                      tables: Int = 4, maxBucket: Int = 500): DataFrame = {

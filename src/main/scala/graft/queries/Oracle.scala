@@ -1519,6 +1519,21 @@ object Oracle {
         |       length(text) AS text_len
         |FROM documents GROUP BY text""".stripMargin,
 
+    "t60_embed_decontam" ->
+      """WITH ev AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |), co AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 <> 0
+        |)
+        |SELECT c.vec_id,
+        |       round(max(list_cosine_similarity(c.v, ev.v)), 6) AS max_eval_cos,
+        |       round(max(list_cosine_similarity(c.v, ev.v)), 6) >= 0.45
+        |         AS contaminated
+        |FROM co c CROSS JOIN ev
+        |GROUP BY c.vec_id""".stripMargin,
+
     "t5_embed_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

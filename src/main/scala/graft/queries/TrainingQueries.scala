@@ -913,6 +913,27 @@ object TrainingQueries {
         defaultWeight = 1.0)
       .orderBy(col("doc_id"), col("epoch"))
 
+  /** t60_embed_decontam — benchmark decontamination in EMBEDDING space
+    * (the semantic complement of t28's n-gram overlap): eval set =
+    * every 20th embedding (vec_id % 20 = 0, a deterministic stand-in
+    * for a held-out benchmark), corpus = the rest; a corpus vector is
+    * contaminated iff its max cosine against any eval vector reaches
+    * 0.45. The eval matrix broadcasts inside the native
+    * `max_cell_cosine` kernel — one corpus scan, no join, no shuffle
+    * (see Similarity.decontaminateByEmbedding's scale contract). The
+    * DuckDB oracle replays the max exactly via list_cosine_similarity
+    * over the same cross product, both engines flagging on the
+    * 6dp-rounded score.
+    */
+  def t60EmbedDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.decontaminateByEmbedding(
+        emb.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 20 === 0), "embedding",
+        threshold = 0.45)
+      .orderBy(col("vec_id"))
+  }
+
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
     * packing of the corpus into 2048-token training sequences over 8
     * deterministic shards, weighted by the native BPE-ish token

@@ -95,6 +95,19 @@ class CodegenSpec extends SparkSpec {
     assert(row2.getInt(0) == 1 && row2.getInt(1) == 1)
   }
 
+  test("MaxCellCosineExpr compiles under codegen; returns the best cosine") {
+    val vec = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val matrix = Vector(Vector(1.0, 0.0), Vector(0.0, 1.0))
+    val expr = MaxCellCosineExpr(vec, matrix)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val input = InternalRow(new GenericArrayData(Array(3.0, 4.0)))
+    val row = proj(input)
+    // max(cos vs x-axis, cos vs y-axis) = max(0.6, 0.8) = 0.8
+    assert(math.abs(row.getDouble(0) - 0.8) < 1e-12)
+    // codegen == interpreted
+    assert(math.abs(expr.eval(input).asInstanceOf[Double] - 0.8) < 1e-12)
+  }
+
   test("SemDedupCellExpr compiles under codegen; greedy mapping is exact") {
     val memberType = ArrayType(StructType(Seq(
       StructField("id", LongType, nullable = false),

@@ -46,6 +46,33 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.values.toSet.contains(0L)) // self excluded
   }
 
+  test("decontaminateByEmbedding flags max-cosine reach, flag from rounded score") {
+    val eval = Seq((100L, Array(1.0f, 0.0f, 0.0f)),
+                   (101L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.decontaminateByEmbedding(
+        corpus, "vec_id", "embedding", eval, "embedding", threshold = 0.9)
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 6)
+    assert(out(0L) == ((1.0, true)))     // identical to eval 100
+    assert(out(5L) == ((1.0, true)))     // identical to eval 100
+    assert(out(1L)._1 > 0.9 && out(1L)._2)  // near eval 100
+    assert(out(4L) == ((-0.0, false)) || out(4L) == ((0.0, false))) // anti of 100, orthogonal to 101
+    assert(!out(2L)._2)                  // orthogonal to both
+    // max semantics: vec 3 is closest to NEITHER eval axis strongly
+    assert(out(3L)._1 < 0.9 && !out(3L)._2)
+  }
+
+  test("decontaminateByEmbedding fails fast on an eval set above maxEval") {
+    val eval = Seq((100L, Array(1.0f, 0.0f, 0.0f)),
+                   (101L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.decontaminateByEmbedding(
+        corpus, "vec_id", "embedding", eval, "embedding",
+        threshold = 0.9, maxEval = 1)
+    }
+    assert(e.getMessage.contains("maxEval"))
+  }
+
   test("lshTopK finds identical and near vectors (same-bucket guarantee for dups)") {
     val queries = corpus.filter($"vec_id" === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
