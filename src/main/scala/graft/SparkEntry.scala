@@ -132,6 +132,8 @@ object SparkEntry {
     "t58_pq_check"       -> (TrainingQueries.t58PqCheck _),
     "t59_upsample"       -> (TrainingQueries.t59Upsample _),
     "t60_embed_decontam" -> (TrainingQueries.t60EmbedDecontam _),
+    "t61_char_entropy"   -> (TrainingQueries.t61CharEntropy _),
+    "t62_url_canon"      -> (TrainingQueries.t62UrlCanon _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

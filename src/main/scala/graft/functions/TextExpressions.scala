@@ -393,6 +393,74 @@ object TextKernels {
     new GenericInternalRow(Array[Any](count,
       if (count == 0) 0.0 else sum / count))
   }
+
+  /** Kernel for [[CharEntropyExpr]]: one pass over the UTF-8 bytes,
+    * decoding code points (same decoder as [[hashedBowStats]]) into a
+    * frequency table — a dense 128-slot array for ASCII plus a spill
+    * map for the rest — then emits Shannon entropy in bits, the
+    * distinct-code-point count, and the modal code point's frequency
+    * share: the low-entropy / low-diversity signals quality filters
+    * cut on (repeated-char garbage scores near 0 bits; natural English
+    * sits around 4). Empty text → (0.0, 0, 0.0).
+    */
+  def charEntropy(text: UTF8String): GenericInternalRow = {
+    val n = text.numBytes
+    val ascii = new Array[Int](128)
+    var other: java.util.HashMap[Integer, Integer] = null
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = text.getByte(i) & 0xff
+      var cp = b0
+      var step = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; step = 2 }
+        else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; step = 3 }
+        else { cp = b0 & 0x07; step = 4 }
+        var j = 1
+        while (j < step && i + j < n) {
+          cp = (cp << 6) | (text.getByte(i + j) & 0x3f)
+          j += 1
+        }
+      }
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Integer]()
+        other.merge(cp, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      }
+      total += 1
+      i += step
+    }
+    if (total == 0)
+      return new GenericInternalRow(Array[Any](0.0, 0, 0.0))
+    val t = total.toDouble
+    val ln2 = math.log(2.0)
+    var ent = 0.0
+    var uniq = 0
+    var maxN = 0
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0) {
+        uniq += 1
+        if (k > maxN) maxN = k
+        val p = k / t
+        ent -= p * (math.log(p) / ln2)
+      }
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val k = it.next().intValue()
+        uniq += 1
+        if (k > maxN) maxN = k
+        val p = k / t
+        ent -= p * (math.log(p) / ln2)
+      }
+    }
+    new GenericInternalRow(Array[Any](ent, uniq, maxN / t))
+  }
 }
 
 /** 64-bit SimHash over pre-hashed features: each feature hash votes ±1
@@ -666,6 +734,28 @@ case class HashedNgramCountsExpr(child: Expression, buckets: Int)
   * (per-row scan, codegen'd expression, no shuffle) is the production
   * shape.
   */
+/** Character-distribution profile of a document in one pass: Shannon
+  * entropy (bits), distinct code points, and the modal code point's
+  * share. The explode-and-groupBy formulation shuffles one row per
+  * CHARACTER (a 100 TB corpus → quadrillions of rows); this kernel
+  * keeps the whole histogram row-local, so the operator has no shuffle
+  * at all.
+  */
+case class CharEntropyExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = StructType(Seq(
+    StructField("entropy", DoubleType, nullable = false),
+    StructField("unique_chars", IntegerType, nullable = false),
+    StructField("top_char_ratio", DoubleType, nullable = false)))
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.charEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.charEntropy($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class HashedBowScoreExpr(child: Expression, buckets: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -704,6 +794,8 @@ object TextFunctions {
     toColumn(CollapseRunsExpr(toExpr(text)))
   def hashed_bow_stats(text: Column, buckets: Int): Column =
     toColumn(HashedBowScoreExpr(toExpr(text), buckets))
+  def char_entropy(text: Column): Column =
+    toColumn(CharEntropyExpr(toExpr(text)))
   def hashed_ngram_counts(text: Column, buckets: Int): Column =
     toColumn(HashedNgramCountsExpr(toExpr(text), buckets))
   def bpe_merge(syms: Column, left: String, right: String): Column =

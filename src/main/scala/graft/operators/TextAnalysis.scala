@@ -321,6 +321,27 @@ object TextAnalysis {
     * (TextExpressions.HashedBowScoreExpr — the token stream never
     * materializes), no shuffle at any corpus size.
     */
+  /** Character-distribution quality profile (one native kernel pass,
+    * no shuffle — see CharEntropyExpr): Shannon entropy in bits,
+    * distinct code points, and the modal character's share. Low
+    * entropy / high modal share is the classic repeated-character
+    * garbage signal; `lowQuality` flags docs under `minEntropy` bits
+    * or over `maxTopRatio` modal share, both judged on the 6dp-rounded
+    * values so engine ulp drift can't flip the flag.
+    */
+  def charEntropyProfile(df: DataFrame, textCol: String, idCol: String,
+                         minEntropy: Double = 2.0,
+                         maxTopRatio: Double = 0.5): DataFrame = {
+    val s = TextFunctions.char_entropy(col(textCol))
+    df.select(col(idCol), s.as("s"))
+      .select(col(idCol),
+        round(col("s").getField("entropy"), 6).as("entropy"),
+        col("s").getField("unique_chars").as("unique_chars"),
+        round(col("s").getField("top_char_ratio"), 6).as("top_char_ratio"))
+      .withColumn("low_quality",
+        col("entropy") < minEntropy || col("top_char_ratio") > maxTopRatio)
+  }
+
   def bowQualityScore(df: DataFrame, textCol: String, idCol: String,
                       buckets: Int = 64): DataFrame = {
     val s = TextFunctions.hashed_bow_stats(col(textCol), buckets)

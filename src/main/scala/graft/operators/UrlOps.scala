@@ -39,6 +39,61 @@ object UrlOps {
       .withColumn("blocked", domain.isin(blocklist: _*))
   }
 
+  /** Canonicalize a URL for URL-level deduplication (the CCNet/C4
+    * provenance-dedup step): two requests that differ only in
+    * tracking noise must map to one key. Steps, in order:
+    *
+    *  1. drop the fragment (`#...`);
+    *  2. lowercase the scheme and authority (never the path/query);
+    *  3. drop an explicit default port (`:80` for http, `:443` for
+    *     https);
+    *  4. drop tracking query parameters (`utm_*`, `ref`, `fbclid`,
+    *     `gclid`), preserving the relative order of the survivors;
+    *  5. drop trailing slashes from the path.
+    *
+    * Everything is built from portable regex (character classes only —
+    * no lookaround, so Java and RE2-family engines agree) plus an
+    * array filter over the split query string, all per-row codegen'd
+    * expressions: one scan, no shuffle, no UDF.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val head = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(head),
+      noFrag.substr(length(head) + lit(1), length(noFrag)))
+    // the host class excludes ':' and the port anchors at the
+    // authority boundary, so ':8080' can never half-match ':80'
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]*):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/:?#]*):80([/?#].*)?$", "$1$2")
+    val qPos = instr(noPort, "?")
+    val path = when(qPos > 0, noPort.substr(lit(1), qPos - 1)).otherwise(noPort)
+    val query = when(qPos > 0, noPort.substr(qPos + 1, length(noPort)))
+      .otherwise(lit(""))
+    val kept = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike("^(utm_[^=&]*|ref|fbclid|gclid)=")), "&")
+    val pathClean = regexp_replace(path, "/+$", "")
+    when(kept === "", pathClean)
+      .otherwise(concat(pathClean, lit("?"), kept))
+  }
+
+  /** URL-level keep-first dedup on the canonical key: adds
+    * `canon_url` and `keep` (true for the smallest id per canonical
+    * URL). One hash shuffle on the canonical-key aggregate — the
+    * per-row canonicalization never shuffles.
+    */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String,
+                          idCol: String): DataFrame = {
+    val withCanon = df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+    withCanon.join(
+      withCanon.groupBy(col("canon_url"))
+        .agg(min(col(idCol)).as("__first")),
+      Seq("canon_url"))
+      .withColumn("keep", col(idCol) === col("__first"))
+      .drop("__first")
+  }
+
   /** The same flag against a blocklist TABLE (one `domain` column) —
     * broadcast left join, the path for blocklists too large for a
     * plan literal but far under executor memory (a 10M-domain list is

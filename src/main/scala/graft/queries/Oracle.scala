@@ -1519,6 +1519,81 @@ object Oracle {
         |       length(text) AS text_len
         |FROM documents GROUP BY text""".stripMargin,
 
+    "t61_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0
+        |), f AS (
+        |  SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2
+        |), t AS (
+        |  SELECT doc_id, CAST(sum(n) AS DOUBLE) AS tot FROM f GROUP BY 1
+        |), p AS (
+        |  SELECT f.doc_id,
+        |         round(-sum((n / tot) * log2(n / tot)), 6) AS entropy,
+        |         CAST(count(*) AS INTEGER) AS unique_chars,
+        |         round(max(n) / first(tot), 6) AS top_char_ratio
+        |  FROM f JOIN t USING (doc_id) GROUP BY f.doc_id
+        |)
+        |SELECT doc_id, entropy, unique_chars, top_char_ratio,
+        |       (entropy < 3.9 OR top_char_ratio > 0.2) AS low_quality
+        |FROM p
+        |UNION ALL
+        |SELECT doc_id, 0.0, 0, 0.0, true
+        |FROM documents WHERE length(text) = 0""".stripMargin,
+
+    "t62_url_canon" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 4 AS INTEGER)
+        |           WHEN 0 THEN 'HTTPS://Example.ORG:443/' || source || '/p'
+        |             || (doc_id % 100) || '/?utm_source=rss&ref=tw#top'
+        |           WHEN 1 THEN 'https://example.org/' || source || '/p'
+        |             || (doc_id % 100) || '?utm_campaign=x&id=7&fbclid=abc'
+        |           WHEN 2 THEN 'http://Example.org:80/' || source || '/p'
+        |             || (doc_id % 100) || '/#sec'
+        |           ELSE 'http://example.org/' || source || '/p'
+        |             || (doc_id % 100) || '?gclid=z&id=7&b=2'
+        |         END AS url
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf FROM d
+        |), s2 AS (
+        |  SELECT doc_id, url,
+        |         lower(regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*'))
+        |           || substr(nf, length(
+        |                regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1)
+        |           AS lw
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(lw,
+        |           '^(https://[^/:?#]*):443([/?#].*)?$', '\1\2'),
+        |           '^(http://[^/:?#]*):80([/?#].*)?$', '\1\2') AS np
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT doc_id, url,
+        |         CASE WHEN instr(np, '?') > 0
+        |              THEN substr(np, 1, instr(np, '?') - 1) ELSE np END AS path,
+        |         CASE WHEN instr(np, '?') > 0
+        |              THEN substr(np, instr(np, '?') + 1) ELSE '' END AS q
+        |  FROM s3
+        |), s5 AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(path, '/+$', '') AS pathc,
+        |         coalesce(list_aggregate(list_filter(string_split(q, '&'),
+        |           p -> NOT regexp_matches(p, '^(utm_[^=&]*|ref|fbclid|gclid)=')),
+        |           'string_agg', '&'), '') AS kept
+        |  FROM s4
+        |), c AS (
+        |  SELECT doc_id, url,
+        |         CASE WHEN kept = '' THEN pathc
+        |              ELSE pathc || '?' || kept END AS canon_url
+        |  FROM s5
+        |)
+        |SELECT doc_id, url, canon_url,
+        |       doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
+        |FROM c""".stripMargin,
+
     "t60_embed_decontam" ->
       """WITH ev AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS v

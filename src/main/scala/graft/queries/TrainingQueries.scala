@@ -934,6 +934,49 @@ object TrainingQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** t61_char_entropy — character-distribution quality profile:
+    * Shannon entropy over code points, distinct-char count, and modal
+    * char share per document, with the low-entropy/high-modal-share
+    * garbage flag. One native kernel pass, zero shuffle (the
+    * explode-per-character formulation the DuckDB oracle uses would
+    * shuffle one row per character at corpus scale). Flag judged on
+    * the 6dp-rounded values in both engines.
+    */
+  def t61CharEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.charEntropyProfile(
+        Tables.documents(spark, sfDir), "text", "doc_id",
+        minEntropy = 3.9, maxTopRatio = 0.2)
+      .orderBy(col("doc_id"))
+
+  /** t62_url_canon — URL canonicalization + URL-level keep-first dedup
+    * (the CCNet/C4 provenance-dedup step): synthesize deliberately
+    * messy URLs from doc fields (uppercase authority, explicit default
+    * ports, tracking params, fragments, trailing slashes — five docs
+    * share each underlying resource), canonicalize, and keep the
+    * smallest doc_id per canonical key. Canonicalization is per-row
+    * codegen'd expressions; the only shuffle is the canonical-key min
+    * aggregate. The DuckDB oracle replays the synthesis and every
+    * canonicalization step with its own regex engine (portable
+    * patterns — no lookaround).
+    */
+  def t62UrlCanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val base = concat(col("source"), lit("/p"), col("doc_id") % 100)
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://Example.ORG:443/"), base,
+               lit("/?utm_source=rss&ref=tw#top")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://example.org/"), base,
+               lit("?utm_campaign=x&id=7&fbclid=abc")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("http://Example.org:80/"), base, lit("/#sec")))
+      .otherwise(
+        concat(lit("http://example.org/"), base, lit("?gclid=z&id=7&b=2")))
+    UrlOps.dedupByCanonicalUrl(docs.withColumn("url", url), "url", "doc_id")
+      .select(col("doc_id"), col("url"), col("canon_url"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t32_pack — sequence packing: greedy contiguous TOKEN-budget
     * packing of the corpus into 2048-token training sequences over 8
     * deterministic shards, weighted by the native BPE-ish token

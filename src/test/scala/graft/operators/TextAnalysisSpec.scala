@@ -285,4 +285,47 @@ class TextAnalysisSpec extends SparkSpec {
     // tokenless doc: neutral score, kept
     assert(out(1L) == ((1L, 0, 0.5, true)))
   }
+
+  test("charEntropyProfile: hand-computed entropy, uniqueness, modal share") {
+    val docs = Seq(
+      (0L, "aaaa"),        // one symbol: 0 bits, modal share 1
+      (1L, "abab"),        // two equiprobable: 1 bit, share 0.5
+      (2L, "abcd"),        // four equiprobable: 2 bits, share 0.25
+      (3L, ""),            // empty: all-zero profile
+      (4L, "héé")          // multibyte: p(h)=1/3, p(é)=2/3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropyProfile(docs, "text", "doc_id",
+        minEntropy = 1.5, maxTopRatio = 0.6)
+      .as[(Long, Double, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((0.0, 1, 1.0, true)))
+    assert(out(1L) == ((1.0, 2, 0.5, true)))      // entropy below 1.5
+    assert(out(2L) == ((2.0, 4, 0.25, false)))
+    assert(out(3L) == ((0.0, 0, 0.0, true)))
+    val h = -(1.0 / 3) * (math.log(1.0 / 3) / math.log(2)) -
+      (2.0 / 3) * (math.log(2.0 / 3) / math.log(2))
+    assert(out(4L)._1 == math.rint(h * 1e6) / 1e6)
+    assert(out(4L)._2 == 2)
+    assert(out(4L)._4)                            // share 2/3 > 0.6
+  }
+
+  test("charEntropyProfile kernel == explode-groupBy formulation on real docs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val kernel = TextAnalysis.charEntropyProfile(docs, "text", "doc_id")
+      .select($"doc_id", $"entropy", $"unique_chars", $"top_char_ratio")
+    val counts = docs.filter(length($"text") > 0)
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .filter($"c" =!= "")
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy($"doc_id").agg(sum($"n").cast("double").as("tot"))
+    val ref = counts.join(tot, "doc_id")
+      .groupBy($"doc_id")
+      .agg(round(-sum(($"n" / $"tot") * log2($"n" / $"tot")), 6)
+        .as("entropy_ref"))
+    // spot-check entropy against an independent Spark formulation
+    val joined = kernel.join(ref, "doc_id")
+      .select($"entropy", $"entropy_ref").as[(Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (k, r) => assert(math.abs(k - r) <= 1e-6) }
+  }
 }

@@ -38,4 +38,53 @@ class UrlOpsSpec extends SparkSpec {
     assert(lit == joined)
     assert(lit.filter(_._3).map(_._1) == Set(2L, 3L))
   }
+
+  test("canonicalizeUrl: each normalization step, alone and composed") {
+    val cases = Seq(
+      // fragment
+      "https://a.org/x#frag"                 -> "https://a.org/x",
+      // scheme+host lowercase, path case preserved
+      "HTTPS://A.ORG/Path"                   -> "https://a.org/Path",
+      // default ports dropped; non-default kept
+      "https://a.org:443/x"                  -> "https://a.org/x",
+      "http://a.org:80/x"                    -> "http://a.org/x",
+      "http://a.org:8080/x"                  -> "http://a.org:8080/x",
+      // tracking params dropped, survivor order preserved
+      "https://a.org/x?utm_source=f&id=1&b=2" -> "https://a.org/x?id=1&b=2",
+      "https://a.org/x?ref=tw"               -> "https://a.org/x",
+      "https://a.org/x?fbclid=1&gclid=2"     -> "https://a.org/x",
+      // a param merely CONTAINING a tracked name survives
+      "https://a.org/x?xref=1&myutm_a=2"     -> "https://a.org/x?xref=1&myutm_a=2",
+      // trailing slashes
+      "https://a.org/x/"                     -> "https://a.org/x",
+      "https://a.org/"                       -> "https://a.org",
+      // everything at once
+      "HTTP://A.Org:80/P/?utm_a=1&id=9#z"    -> "http://a.org/P?id=9"
+    )
+    val df = cases.zipWithIndex.map { case ((u, e), i) => (i.toLong, u, e) }
+      .toDF("id", "url", "expected")
+    val out = df.select($"id",
+        UrlOps.canonicalizeUrl($"url").as("canon"), $"expected")
+      .as[(Long, String, String)].collect()
+    out.foreach { case (id, got, want) =>
+      assert(got == want, s"case $id: $got != $want")
+    }
+  }
+
+  test("dedupByCanonicalUrl keeps the smallest id per canonical key") {
+    val df = Seq(
+      (10L, "https://a.org/x?utm_s=1"),
+      (3L,  "HTTPS://A.ORG/x#f"),
+      (7L,  "https://a.org/x/"),
+      (5L,  "https://a.org/y")
+    ).toDF("doc_id", "url")
+    val out = UrlOps.dedupByCanonicalUrl(df, "url", "doc_id")
+      .select($"doc_id", $"canon_url", $"keep")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(out == Set(
+      (10L, "https://a.org/x", false),
+      (3L,  "https://a.org/x", true),
+      (7L,  "https://a.org/x", false),
+      (5L,  "https://a.org/y", true)))
+  }
 }
