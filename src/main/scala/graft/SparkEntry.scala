@@ -134,6 +134,7 @@ object SparkEntry {
     "t60_embed_decontam" -> (TrainingQueries.t60EmbedDecontam _),
     "t61_char_entropy"   -> (TrainingQueries.t61CharEntropy _),
     "t62_url_canon"      -> (TrainingQueries.t62UrlCanon _),
+    "t63_stream_enrich"  -> (TrainingQueries.t63StreamEnrich _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -557,6 +557,25 @@ object Oracle {
         |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
         |GROUP BY 1, 2""".stripMargin,
 
+    "t63_stream_enrich" ->
+      // t14's append-mode replay with a stream-static dimension join:
+      // finalized = window end <= max(event time) - 1 day; the
+      // broadcast join itself is stateless so plain SQL JOIN replays it
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+        |), j AS (
+        |  SELECT e.ts, c.c_mktsegment, e.value
+        |  FROM e JOIN customer c ON e.user_id = c.c_custkey
+        |), wm AS (
+        |  SELECT max(ts) - INTERVAL 1 DAY AS w FROM e
+        |)
+        |SELECT date_trunc('day', ts) AS day, c_mktsegment,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       count(*) AS n
+        |FROM j
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        |GROUP BY 1, 2""".stripMargin,
+
     "t8_langid" ->
       // full DuckDB mirror of TextAnalysis.langId: per-language stopword
       // hits + character-class boosts, argmax via list_max over

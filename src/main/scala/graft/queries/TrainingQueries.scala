@@ -934,6 +934,44 @@ object TrainingQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** t63_stream_enrich — stream-static broadcast enrichment feeding a
+    * watermarked windowed aggregate: the events stream joins the
+    * static customer dimension per micro-batch (stateless broadcast
+    * hash join — no join state ever accumulates), then aggregates
+    * daily totals per market segment under a 1-day watermark. The
+    * oracle replays the append-mode contract exactly like t14's —
+    * emitted windows are precisely those with end <= max(ts) - 1 day —
+    * with the dimension join as a plain SQL join.
+    */
+  def t63StreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+      .withColumn("value", col("value").cast("decimal(18,2)"))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    // watermark BEFORE the join: event-time progress must track ALL
+    // arriving events (the oracle's max(ts) is over the full stream),
+    // not just the rows that survived the dimension match
+    val agg = StreamingFlows
+      .enrichWithDim(stream.withWatermark("ts", "1 day"), dim,
+        "user_id", "c_custkey")
+      .groupBy(window(col("ts"), "1 day").as("day_window"),
+               col("c_mktsegment"))
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+      .select(col("day_window.start").as("day"), col("c_mktsegment"),
+              col("total"), col("n"))
+    // ~150 (day, segment) keys of state — same sizing rationale as t14
+    StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, agg,
+        s"t63_enrich_${System.nanoTime}")
+    }
+      .withColumn("total", col("total").cast("double"))
+      .orderBy(col("day"), col("c_mktsegment"))
+  }
+
   /** t61_char_entropy — character-distribution quality profile:
     * Shannon entropy over code points, distinct-char count, and modal
     * char share per document, with the low-entropy/high-modal-share

@@ -65,6 +65,20 @@ object StreamingFlows {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static dimension enrichment — the streaming form of the J4
+    * broadcast enrich: each micro-batch inner-joins the (small) static
+    * dimension with a broadcast hash join, so the stream side never
+    * shuffles for the join and NO join state accumulates across
+    * batches (stream-static inner joins are stateless by
+    * construction — only downstream stateful operators hold state).
+    * The static plan is re-resolved per micro-batch; at cluster scale
+    * keep the dimension broadcast-sized or pre-materialize a compact
+    * projection of it, exactly as here.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "inner")
+
   /** Stream-stream interval join: `left` rows match `right` rows with
     * the same `key` whose event time falls in
     * [leftTime - before, leftTime]. Both sides carry watermarks, and

@@ -34,6 +34,38 @@ class StreamingFlowsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static enrichment agg matches the batch join result " +
+       "minus unfinalized windows") {
+    val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = StreamingFlows.source(spark, sfDir, batchRaw.schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(batchRaw.schema("ts").dataType))
+      .withColumn("value", $"value".cast("decimal(18,2)"))
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    val agg = StreamingFlows
+      .enrichWithDim(stream.withWatermark("ts", "1 day"), dim,
+        "user_id", "c_custkey")
+      .groupBy(window($"ts", "1 day").as("w"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("day"), $"c_mktsegment", $"n")
+    val got = StreamingFlows.runAvailableNow(spark, agg, "enrich_stream")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    val events = graft.Tables.events(spark, sfDir)
+    val maxTs = events.agg(max($"ts")).head().getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(
+      maxTs.toInstant.minus(java.time.Duration.ofDays(1)))
+    val expected = events
+      .join(dim, $"user_id" === $"c_custkey")
+      .groupBy(date_trunc("day", $"ts").as("day"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .filter(date_add($"day", 1).cast("timestamp") <= lit(cutoff))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
     val stream = StreamingFlows.source(spark, sfDir, batchRaw.schema,
