@@ -135,6 +135,7 @@ object SparkEntry {
     "t61_char_entropy"   -> (TrainingQueries.t61CharEntropy _),
     "t62_url_canon"      -> (TrainingQueries.t62UrlCanon _),
     "t63_stream_enrich"  -> (TrainingQueries.t63StreamEnrich _),
+    "t64_pagerank"       -> (TrainingQueries.t64PageRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for provenance curation. PageRank-style domain
+  * authority is a classic corpus-quality prior (a page linked from
+  * many reputable hosts is likelier to be worth training on), used to
+  * re-weight or threshold crawl data by registrable domain.
+  *
+  * Scale shape of [[pageRank]]: everything is edge-relation algebra —
+  * no adjacency lists materialize, no per-node driver state. The
+  * normalized edge table (contribution factor w/out-weight folded in)
+  * is computed ONCE and persisted; each iteration is then one join of
+  * the rank table to the edges plus one sum-by-destination, i.e. two
+  * hash shuffles at edge cardinality per round with map-side partial
+  * aggregation. Iterations are a FIXED count (the form an exact SQL
+  * oracle can replay); convergence-driven stopping would add the same
+  * 1-value probe Clustering.connectedComponents uses. On a cluster,
+  * pre-partitioning edges and ranks on the join key turns the per-round
+  * rank join into a co-located join; the rank table is node-sized (far
+  * under edge cardinality), so AQE typically broadcasts it while it
+  * fits.
+  */
+object Graph {
+
+  /** Weighted PageRank over `edges` (srcCol, dstCol, weightCol) for a
+    * fixed `iters` rounds at damping `d`:
+    *
+    *   pr₀(v)    = 1/N
+    *   prₖ₊₁(v) = (1-d)/N + d · Σ_{u→v} prₖ(u) · w(u,v)/outw(u)
+    *
+    * Nodes are the union of sources and destinations; a node with no
+    * in-links settles at (1-d)/N. Dangling nodes (no out-links) leak
+    * their mass — the PageRank variant exact SQL replays (adding the
+    * dangling redistribution term needs one extra per-round aggregate,
+    * not a different shape). N reaches the plan as a literal from one
+    * bounded count action (a single long on the driver).
+    *
+    * Output: (node, pagerank) with pagerank rounded to 6dp.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iters: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping >= 0 && damping <= 1,
+      s"damping must be in [0, 1], got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(weightCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    try {
+      val n = nodes.count().toDouble
+      // fold the out-weight normalization into the edge table once:
+      // per-round work then never recomputes degrees
+      val normEdges = e
+        .join(e.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
+        .select(col("src"), col("dst"), (col("w") / col("ow")).as("f"))
+        .persist()
+      try {
+        normEdges.count() // eager: every round must hit the cache
+        var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+        for (_ <- 0 until iters) {
+          val contrib = normEdges
+            .join(ranks, col("src") === col("node"))
+            .groupBy(col("dst"))
+            .agg(sum(col("pr") * col("f")).as("s"))
+          ranks = nodes
+            .join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit((1 - damping) / n) +
+                lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+          // pin each round: without this the final plan re-derives every
+          // previous round per downstream reference
+          ranks = ranks.localCheckpoint(true)
+        }
+        ranks.select(col("node"), round(col("pr"), 6).as("pagerank"))
+      } finally normEdges.unpersist()
+    } finally nodes.unpersist()
+  }
+}

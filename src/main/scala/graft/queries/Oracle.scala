@@ -557,6 +557,46 @@ object Oracle {
         |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
         |GROUP BY 1, 2""".stripMargin,
 
+    "t64_pagerank" ->
+      // exact replay of the fixed-iteration weighted PageRank: one CTE
+      // per round, same uniform init, damping, and left-join
+      // no-inbound handling as Graph.pageRank
+      """WITH edges AS (
+        |  SELECT source AS src,
+        |         'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst,
+        |         CAST(count(*) AS DOUBLE) AS w
+        |  FROM documents GROUP BY 1, 2
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges
+        |    UNION SELECT dst AS node FROM edges)
+        |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |ne AS (
+        |  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS f
+        |  FROM edges
+        |), r0 AS (
+        |  SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn
+        |), r1 AS (
+        |  SELECT node, (1 - 0.85) / n + 0.85 * coalesce(c.s, 0) AS pr
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (SELECT dst, sum(r0.pr * f) AS s FROM ne
+        |             JOIN r0 ON ne.src = r0.node GROUP BY dst) c
+        |    ON nodes.node = c.dst
+        |), r2 AS (
+        |  SELECT node, (1 - 0.85) / n + 0.85 * coalesce(c.s, 0) AS pr
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (SELECT dst, sum(r1.pr * f) AS s FROM ne
+        |             JOIN r1 ON ne.src = r1.node GROUP BY dst) c
+        |    ON nodes.node = c.dst
+        |), r3 AS (
+        |  SELECT node, (1 - 0.85) / n + 0.85 * coalesce(c.s, 0) AS pr
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (SELECT dst, sum(r2.pr * f) AS s FROM ne
+        |             JOIN r2 ON ne.src = r2.node GROUP BY dst) c
+        |    ON nodes.node = c.dst
+        |)
+        |SELECT node, round(pr, 6) AS pagerank FROM r3""".stripMargin,
+
     "t63_stream_enrich" ->
       // t14's append-mode replay with a stream-static dimension join:
       // finalized = window end <= max(event time) - 1 day; the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Clustering, CorpusStats, Ids, Importance, IncrementalDedup, LineOps, Multimodal, Packing, Pq, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Bpe, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, LineOps, Multimodal, Packing, Pq, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -932,6 +932,23 @@ object TrainingQueries {
         emb.filter(col("vec_id") % 20 === 0), "embedding",
         threshold = 0.45)
       .orderBy(col("vec_id"))
+  }
+
+  /** t64_pagerank — domain-authority prior: weighted PageRank over a
+    * source-level link graph synthesized deterministically from the
+    * corpus (each document contributes one link from its source to
+    * `src((doc_id*7+3) % 20)`; multi-edges aggregate to weights — self
+    * links included, the general case). Fixed 3 iterations at damping
+    * 0.85 so the DuckDB oracle can replay every round as a CTE chain
+    * exactly. See Graph.pageRank for the per-round shuffle shape.
+    */
+  def t64PageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.documents(spark, sfDir)
+      .select(col("source").as("src"),
+        concat(lit("src"), (col("doc_id") * 7 + 3) % 20).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    Graph.pageRank(edges, "src", "dst", "w", iters = 3, damping = 0.85)
+      .orderBy(col("node"))
   }
 
   /** t63_stream_enrich — stream-static broadcast enrichment feeding a

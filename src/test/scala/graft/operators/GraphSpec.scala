@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hand-computed single iteration on a 3-node graph") {
+    // A→B, A→C, B→C, C→A (unit weights); N=3, pr0=1/3, d=0.85
+    //   contrib: B ← A/2 = 1/6; C ← A/2 + B = 1/2; A ← C = 1/3
+    //   pr1 = 0.05 + 0.85·contrib
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L),
+                    ("B", "C", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.pageRank(edges, "src", "dst", "w", iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(out("A") == 0.333333)
+    assert(out("B") == 0.191667)
+    assert(out("C") == 0.475)
+    // no dangling nodes → mass conserved (up to rounding)
+    assert(math.abs(out.values.sum - 1.0) < 1e-5)
+  }
+
+  test("pageRank: node without in-links settles at (1-d)/N; dangling mass leaks") {
+    val edges = Seq(("A", "B", 1L)).toDF("src", "dst", "w")
+    val out = Graph.pageRank(edges, "src", "dst", "w", iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(out("A") == 0.075)            // no in-links: (1-0.85)/2
+    assert(out("B") == 0.5)              // 0.075 + 0.85 · 0.5
+  }
+
+  test("pageRank: multi-iteration matches an independent power iteration") {
+    val edgeList = Seq(("A", "C", 2.0), ("B", "C", 1.0), ("C", "A", 1.0),
+                       ("A", "B", 1.0), ("B", "A", 1.0))
+    val out = Graph.pageRank(edgeList.map { case (s, d, w) => (s, d, w.toLong) }
+        .toDF("src", "dst", "w"), "src", "dst", "w", iters = 10)
+      .as[(String, Double)].collect().toMap
+    // reference: plain in-memory power iteration, same fixed-point form
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outw = edgeList.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 0 until 10) {
+      val contrib = edgeList.groupBy(_._2).view.mapValues(
+        _.map(e => pr(e._1) * e._3 / outw(e._1)).sum).toMap
+      pr = nodes.map(v =>
+        v -> (0.15 / nodes.size + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(out(v) - math.rint(pr(v) * 1e6) / 1e6) <= 1e-6,
+        s"$v: ${out(v)} vs ${pr(v)}")
+    }
+    assert(math.abs(out.values.sum - 1.0) < 1e-5)
+  }
+
+  test("pageRank: weights matter — doubling an edge weight shifts mass") {
+    val base = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "A", 1L),
+                   ("C", "A", 1L)).toDF("src", "dst", "w")
+    val skew = Seq(("A", "B", 3L), ("A", "C", 1L), ("B", "A", 1L),
+                   ("C", "A", 1L)).toDF("src", "dst", "w")
+    val b = Graph.pageRank(base, "src", "dst", "w", iters = 3)
+      .as[(String, Double)].collect().toMap
+    val s = Graph.pageRank(skew, "src", "dst", "w", iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(b("B") == b("C"))             // symmetric weights tie
+    assert(s("B") > s("C"))              // skewed weight breaks it
+  }
+}
