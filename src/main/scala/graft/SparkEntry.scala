@@ -136,6 +136,8 @@ object SparkEntry {
     "t62_url_canon"      -> (TrainingQueries.t62UrlCanon _),
     "t63_stream_enrich"  -> (TrainingQueries.t63StreamEnrich _),
     "t64_pagerank"       -> (TrainingQueries.t64PageRank _),
+    "t65_heavy_hitters"  -> (TrainingQueries.t65HeavyHitters _),
+    "t66_hh_check"       -> (TrainingQueries.t66HhCheck _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -286,4 +286,26 @@ object CorpusStats {
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           / col("__total"), 6).as("cum_coverage"))
   }
+
+  /** Bounded-memory frequent-token summary (Misra–Gries, merged as a
+    * native partial aggregate — see functions.MisraGriesTokens for the
+    * contract and why the shuffle is O(partitions × capacity) instead
+    * of the exact groupBy's every-distinct-token). Output: one row per
+    * summary entry, estimate-descending rank. The estimates are
+    * partition-layout-dependent (any MG merge order is), so this is a
+    * gate-checked sketch, not an oracle-matched exact answer —
+    * [[vocabulary]] is the exact path when a full shuffle is
+    * affordable.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   capacity: Int): DataFrame = {
+    val toks = filter(TextDedup.tokens(col(textCol)), x => length(x) > 0)
+    docs.select(toks.as("t"))
+      .agg(graft.functions.HeavyHitterFunctions
+        .misra_gries(col("t"), capacity).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).as("rank"),
+              col("e").getField("token").as("token"),
+              col("e").getField("est").as("est"))
+  }
 }

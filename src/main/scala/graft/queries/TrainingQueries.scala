@@ -951,6 +951,53 @@ object TrainingQueries {
       .orderBy(col("node"))
   }
 
+  /** t65_heavy_hitters — bounded-memory frequent tokens via the native
+    * Misra–Gries partial aggregate (capacity 16 < the corpus' distinct
+    * vocabulary, so the decrement/merge-reduction paths genuinely
+    * exercise). Rows-only driver record — MG estimates are
+    * partition-layout-dependent — justified by the ENFORCED t66 gate:
+    * the sketch's theoretical contract is machine-checked every run.
+    */
+  def t65HeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.heavyHitters(Tables.documents(spark, sfDir), "text",
+        capacity = 16)
+      .orderBy(col("rank"))
+
+  /** t66_hh_check — the Misra–Gries contract, checked against the
+    * exact token counts (capacity k = 16, N = total tokens,
+    * err = N/(k+1)): every token with true count > err is present;
+    * no estimate exceeds its true count; no estimate sits more than
+    * err below it; the summary never exceeds k entries. All four
+    * violation counts must be 0 — Verify fails the round otherwise.
+    */
+  def t66HhCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val capacity = 16
+    val docs = Tables.documents(spark, sfDir)
+    val sketch = CorpusStats.heavyHitters(docs, "text", capacity)
+      .localCheckpoint(true) // referenced by three checks — compute once
+    val toks = filter(TextDedup.tokens(col("text")), x => length(x) > 0)
+    val exact = docs.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("true_n"))
+    val err = exact.agg((sum(col("true_n")) / (capacity + 1)).as("err"))
+    val j = exact
+      .join(sketch.select(col("token"), col("est")), Seq("token"), "left")
+      .crossJoin(broadcast(err))
+    def violations(name: String, cond: org.apache.spark.sql.Column) =
+      j.filter(cond).agg(count(lit(1)).cast("double").as("value"))
+        .select(lit(name).as("check"), col("value"))
+    violations("guarantee_violations",
+        col("true_n") > col("err") && col("est").isNull)
+      .unionByName(violations("overestimate_violations",
+        col("est").isNotNull && col("est") > col("true_n")))
+      .unionByName(violations("underestimate_violations",
+        col("est").isNotNull && col("est") < col("true_n") - col("err")))
+      .unionByName(sketch
+        .agg(greatest(lit(0.0),
+          (count(lit(1)) - capacity).cast("double")).as("value"))
+        .select(lit("size_overflow").as("check"), col("value")))
+      .orderBy(col("check"))
+  }
+
   /** t63_stream_enrich — stream-static broadcast enrichment feeding a
     * watermarked windowed aggregate: the events stream joins the
     * static customer dimension per micro-batch (stateless broadcast
