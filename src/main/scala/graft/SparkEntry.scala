@@ -138,6 +138,7 @@ object SparkEntry {
     "t64_pagerank"       -> (TrainingQueries.t64PageRank _),
     "t65_heavy_hitters"  -> (TrainingQueries.t65HeavyHitters _),
     "t66_hh_check"       -> (TrainingQueries.t66HhCheck _),
+    "t67_ngram_novelty"  -> (TrainingQueries.t67NgramNovelty _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

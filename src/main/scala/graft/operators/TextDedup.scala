@@ -132,6 +132,35 @@ object TextDedup {
     docs.select(col(idCol).as("id"),
       TextFunctions.hashed_shingles(col(textCol), shingleK).as("sh"))
 
+  /** Per-document n-gram novelty against a reference corpus — the
+    * memorization-risk metric decontamination pipelines report: for
+    * each target document, the fraction of its DISTINCT k-token
+    * shingles that already occur anywhere in `reference` (coverage
+    * 1.0 = nothing new; `high_overlap` flags docs at/above `flagAt`,
+    * judged on the 6dp-rounded value in both engines).
+    *
+    * Scale shape: both sides reduce to 8-byte shingle hashes — the
+    * reference collapses to DISTINCT hashes (one shuffle at
+    * reference-shingle cardinality), the target posting joins on the
+    * hash (no strings ever cross the wire), and the per-doc fraction
+    * is one partial-aggregable groupBy at target-shingle cardinality.
+    */
+  def ngramNovelty(target: DataFrame, reference: DataFrame,
+                   textCol: String, idCol: String, shingleK: Int = 3,
+                   flagAt: Double = 0.5): DataFrame = {
+    val refSh = hashedShingleSets(reference, textCol, idCol, shingleK)
+      .select(explode(col("sh")).as("shash")).distinct()
+    val tgt = hashedShingleSets(target, textCol, idCol, shingleK)
+      .select(col("id"), explode(col("sh")).as("shash"))
+    tgt.join(refSh.withColumn("__seen", lit(1L)), Seq("shash"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_seen"),
+        round(col("n_seen") / col("n_shingles"), 6).as("coverage"))
+      .withColumn("high_overlap", col("coverage") >= flagAt)
+  }
+
   /** MinHash+LSH near-dup pairs, verified: candidates whose exact
     * shingle-set Jaccard ≥ threshold. The verify join re-reads only the
     * candidate docs (semi-joined), so verification cost is proportional

@@ -1600,6 +1600,41 @@ object Oracle {
         |SELECT doc_id, 0.0, 0, 0.0, true
         |FROM documents WHERE length(text) = 0""".stripMargin,
 
+    "t67_ngram_novelty" ->
+      // string-shingle replay of the hashed-shingle coverage join
+      // (identical modulo 64-bit collisions — none at oracle scale);
+      // split arithmetic replays t34's buckets
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |         ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000
+        |           AS bucket
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, bucket,
+        |         string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t
+        |  FROM b
+        |), sets AS (
+        |  SELECT doc_id, bucket, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END) AS sh
+        |  FROM toks
+        |), ref AS (
+        |  SELECT DISTINCT unnest(sh) AS s FROM sets WHERE bucket < 800
+        |), tgt AS (
+        |  SELECT doc_id, unnest(sh) AS s FROM sets
+        |  WHERE bucket >= 800 AND bucket < 900
+        |), j AS (
+        |  SELECT t.doc_id, count(*) AS n_shingles, count(r.s) AS n_seen
+        |  FROM tgt t LEFT JOIN ref r ON t.s = r.s
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_shingles, n_seen,
+        |       round(n_seen / CAST(n_shingles AS DOUBLE), 6) AS coverage,
+        |       round(n_seen / CAST(n_shingles AS DOUBLE), 6) >= 0.5
+        |         AS high_overlap
+        |FROM j""".stripMargin,
+
     "t62_url_canon" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -951,6 +951,23 @@ object TrainingQueries {
       .orderBy(col("node"))
   }
 
+  /** t67_ngram_novelty — train/val n-gram overlap (memorization-risk
+    * coverage): for every VAL-split document (t34's arithmetic
+    * buckets), the fraction of its distinct 3-token shingles already
+    * present anywhere in the TRAIN split. 8-byte-hash join in the
+    * engine; the oracle replays split arithmetic + string shingles
+    * (identical modulo 64-bit collisions — none at oracle scale,
+    * the t28 convention).
+    */
+  def t67NgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = Splits.assignArithmetic(Tables.documents(spark, sfDir), "doc_id")
+    TextDedup.ngramNovelty(
+        target = split.filter(col("split") === "val"),
+        reference = split.filter(col("split") === "train"),
+        textCol = "text", idCol = "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** t65_heavy_hitters — bounded-memory frequent tokens via the native
     * Misra–Gries partial aggregate (capacity 16 < the corpus' distinct
     * vocabulary, so the decrement/merge-reduction paths genuinely

@@ -152,7 +152,24 @@ object ScaleStress {
       // + ADC scan + broadcast rerank — everything corpus-sized is a
       // map-side scan; the near-dup-heavy 10× corpus stresses the
       // shortlist heap with tied scores
-      "t57_pq_topk"      -> (TrainingQueries.t57PqTopK _))
+      "t57_pq_topk"      -> (TrainingQueries.t57PqTopK _),
+      // round-7 additions: embedding decontamination (broadcast eval
+      // matrix in one kernel scan — pure map-side; the 10× corpus
+      // multiplies BOTH sides of the mod-20 split), char entropy +
+      // URL canonicalization (per-row kernels/expressions; t62 adds
+      // one canonical-key agg shuffle), PageRank (edge table grows
+      // 10× in weight mass but the node set stays source-sized, so
+      // per-round joins stay tiny), Misra–Gries (partial-agg shuffle
+      // bounded at capacity entries per partition regardless of rows)
+      "t60_embed_decontam" -> (TrainingQueries.t60EmbedDecontam _),
+      "t61_char_entropy" -> (TrainingQueries.t61CharEntropy _),
+      "t62_url_canon"    -> (TrainingQueries.t62UrlCanon _),
+      "t64_pagerank"     -> (TrainingQueries.t64PageRank _),
+      "t65_heavy_hitters" -> (TrainingQueries.t65HeavyHitters _),
+      // train/val shingle coverage: the 10× corpus multiplies both
+      // split sides; reference distinct-hash set grows with the
+      // variant shingles, the join stays 8-byte-keyed
+      "t67_ngram_novelty" -> (TrainingQueries.t67NgramNovelty _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

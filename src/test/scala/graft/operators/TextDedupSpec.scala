@@ -185,4 +185,29 @@ class TextDedupSpec extends SparkSpec {
       .select($"train_id").as[Long].collect().toSet
     assert(strict == Set(1L, 2L)) // doc 2 appends one word: 11+ shared
   }
+
+  test("ngramNovelty: coverage fractions on planted overlap") {
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      // every trigram of a reference substring → coverage 1.0
+      (1L, "quick brown fox jumps"),
+      // entirely novel text → coverage 0.0
+      (2L, "completely fresh words appearing nowhere else"),
+      // half old, half new: trigrams of "brown fox jumps crazy new"
+      // = {brown fox jumps (seen), fox jumps crazy, jumps crazy new}
+      (3L, "brown fox jumps crazy new"),
+      // < 3 tokens: whole text is the single shingle, unseen
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.ngramNovelty(target, reference, "text", "doc_id")
+      .select($"doc_id", $"n_shingles", $"n_seen", $"coverage", $"high_overlap")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0, true)))
+    assert(out(2L) == ((4L, 0L, 0.0, false))) // 6 tokens → 4 trigrams
+    assert(out(3L) == ((3L, 1L, 0.333333, false)))
+    assert(out(4L) == ((1L, 0L, 0.0, false)))
+  }
 }
