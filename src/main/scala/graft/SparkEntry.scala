@@ -139,6 +139,7 @@ object SparkEntry {
     "t65_heavy_hitters"  -> (TrainingQueries.t65HeavyHitters _),
     "t66_hh_check"       -> (TrainingQueries.t66HhCheck _),
     "t67_ngram_novelty"  -> (TrainingQueries.t67NgramNovelty _),
+    "t68_bpe_encode"     -> (TrainingQueries.t68BpeEncode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

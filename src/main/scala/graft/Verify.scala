@@ -116,6 +116,16 @@ object Verify {
       "t66 misra-gries contract violations == 0" -> rows("t66_hh_check")
         .map(rs => rs.length == 4 &&
           rs.forall(_.getAs[Double]("value") == 0.0)),
+      // BPE encode contract — the cross-check justifying t68's
+      // rows-only row: every document's encoded symbols concatenate
+      // back to its exact token stream, and symbol counts sit between
+      // word count and char count
+      "t68 bpe encode roundtrip + bounds hold" -> rows("t68_bpe_encode")
+        .map(rs => rs.nonEmpty && rs.forall { r =>
+          r.getAs[Boolean]("roundtrip_ok") &&
+          r.getAs[Int]("n_words") <= r.getAs[Int]("n_bpe_tokens") &&
+          r.getAs[Int]("n_bpe_tokens") <= r.getAs[Int]("n_chars")
+        }),
       // BPE merge-apply contract — the cross-check justifying t55's
       // rows-only row: steps contiguous from 1, merged = left||right,
       // every pass merged something (0 < applied ≤ pair_count — the

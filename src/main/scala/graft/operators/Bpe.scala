@@ -103,4 +103,43 @@ object Bpe {
     }.toDF("step", "left", "right", "merged", "pair_count",
       "applied", "residual_pairs")
   }
+
+  /** ENCODE (the apply step [[learnMerges]] trains for): tokenize each
+    * document, split every token into character symbols, and apply the
+    * learned merge rules IN ORDER — one [[graft.functions.BpeMergeExpr]]
+    * kernel pass per rule, nested inside a per-token `transform`, so
+    * the whole encode is a single shuffle-free projection over the
+    * corpus regardless of rule count (rules are vocabulary-sized
+    * driver state, exactly like the k-means centroid literals).
+    *
+    * Output per document: symbol/word/char counts, the compression
+    * ratio tokenizer reports quote (chars per BPE symbol), and
+    * `roundtrip_ok` — whether the concatenated encoded symbols
+    * reproduce the concatenated tokens EXACTLY. Merges only ever glue
+    * adjacent symbols of one token, so a correct encoder can never
+    * fail this; the t68 gate enforces zero violations, which is what
+    * justifies the rows-only driver record (replaying every merge pass
+    * in SQL is not reasonably expressible).
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             rules: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.Column
+    val toksCol = filter(TextDedup.tokens(col(textCol)), x => length(x) > 0)
+    val charsOf = (t: Column) =>
+      transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1)))
+    var enc: Column = transform(toksCol, t => charsOf(t))
+    rules.foreach { case (l, r) =>
+      enc = transform(enc, s => TextFunctions.bpe_merge(s, l, r))
+    }
+    docs.select(col(idCol), toksCol.as("toks"), enc.as("enc"))
+      .select(col(idCol),
+        size(col("toks")).as("n_words"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (a, x) => a + x).as("n_chars"),
+        size(flatten(col("enc"))).as("n_bpe_tokens"),
+        (array_join(flatten(col("enc")), "") ===
+          array_join(col("toks"), "")).as("roundtrip_ok"))
+      .withColumn("compression",
+        round(col("n_chars") / col("n_bpe_tokens"), 6))
+  }
 }

@@ -951,6 +951,25 @@ object TrainingQueries {
       .orderBy(col("node"))
   }
 
+  /** t68_bpe_encode — the tokenizer APPLY step: learn 12 BPE merge
+    * rules from the corpus (t55's deterministic, tie-broken training),
+    * then encode every document with them — one shuffle-free
+    * projection with a nested merge-kernel pass per rule. Rows-only
+    * driver record (merge-pass replay is not reasonably
+    * SQL-expressible) justified by the ENFORCED gate: every document's
+    * encoded symbols must concatenate back to its exact token stream,
+    * n_words ≤ n_bpe_tokens ≤ n_chars, zero violations.
+    */
+  def t68BpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val rules = Bpe.learnMerges(docs, "text", numMerges = 12)
+      .orderBy(col("step"))
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    Bpe.encode(docs, "doc_id", "text", rules)
+      .orderBy(col("doc_id"))
+  }
+
   /** t67_ngram_novelty — train/val n-gram overlap (memorization-risk
     * coverage): for every VAL-split document (t34's arithmetic
     * buckets), the fraction of its distinct 3-token shingles already

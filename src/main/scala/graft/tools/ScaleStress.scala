@@ -169,7 +169,11 @@ object ScaleStress {
       // train/val shingle coverage: the 10× corpus multiplies both
       // split sides; reference distinct-hash set grows with the
       // variant shingles, the join stays 8-byte-keyed
-      "t67_ngram_novelty" -> (TrainingQueries.t67NgramNovelty _))
+      "t67_ngram_novelty" -> (TrainingQueries.t67NgramNovelty _),
+      // BPE train + encode: learning stays vocabulary-sized after the
+      // one word-count shuffle (t55's property), the encode is a
+      // shuffle-free projection with one kernel pass per rule
+      "t68_bpe_encode"   -> (TrainingQueries.t68BpeEncode _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

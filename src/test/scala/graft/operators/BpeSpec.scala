@@ -52,4 +52,36 @@ class BpeSpec extends SparkSpec {
       .as[Seq[String]].collect().head
     assert(got == Seq("a", null, "ab"))
   }
+
+  test("encode: hand-checked merges, counts, and roundtrip") {
+    val docs = Seq((1L, "abab ab"), (2L, "xyz")).toDF("doc_id", "text")
+    // rules in order: (a,b) → "ab"; ("ab","ab") → "abab"
+    val out = Bpe.encode(docs, "doc_id", "text",
+        rules = Seq(("a", "b"), ("ab", "ab")))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens",
+              $"roundtrip_ok")
+      .as[(Long, Int, Int, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: "abab" → a b a b → ab ab → abab (1 sym); "ab" → ab (1 sym)
+    assert(out(1L) == ((2, 6, 2, true)))
+    // doc 2: no rule applies → 3 char symbols
+    assert(out(2L) == ((1, 3, 3, true)))
+  }
+
+  test("encode with rules learned by learnMerges roundtrips a real slice") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rules = Bpe.learnMerges(docs, "text", numMerges = 6)
+      .orderBy($"step").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    assert(rules.nonEmpty)
+    val enc = Bpe.encode(docs, "doc_id", "text", rules)
+    val bad = enc.filter(!$"roundtrip_ok" ||
+      $"n_bpe_tokens" > $"n_chars" || $"n_words" > $"n_bpe_tokens").count()
+    assert(bad == 0L)
+    // merges actually compress: total symbols strictly under total chars
+    import org.apache.spark.sql.functions.sum
+    val (syms, chars) = enc.agg(sum($"n_bpe_tokens"), sum($"n_chars"))
+      .as[(Long, Long)].head()
+    assert(syms < chars)
+  }
 }
