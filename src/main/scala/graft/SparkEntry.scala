@@ -140,6 +140,7 @@ object SparkEntry {
     "t66_hh_check"       -> (TrainingQueries.t66HhCheck _),
     "t67_ngram_novelty"  -> (TrainingQueries.t67NgramNovelty _),
     "t68_bpe_encode"     -> (TrainingQueries.t68BpeEncode _),
+    "t69_length_buckets" -> (TrainingQueries.t69LengthBuckets _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

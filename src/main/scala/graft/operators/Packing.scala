@@ -166,4 +166,52 @@ object Packing {
            sum(col("weight")).as("bin_weight"))
       .withColumn("fill_frac",
         round(least(col("bin_weight") / budget.toDouble, lit(1.0)), 6))
+
+  /** Length-bucketed batching — the other batch-construction
+    * discipline (dynamic batching): group similarly-sized documents so
+    * each batch pads to its own bucket's max instead of the corpus
+    * max. Bucket edges are exact weight percentiles computed in ONE
+    * percentile aggregate and broadcast as a 1-row frame (the t52
+    * threshold-comparison pattern — never an ntile/global-rank window,
+    * which would funnel the corpus through one task); assignment is a
+    * per-row threshold CASE. Edges round to 6dp before comparison —
+    * exact-percentile implementations differ by an ulp at tied-value
+    * knots, and bucket labels must compare exactly across engines.
+    *
+    * Output: per bucket — doc count, weight min/max/sum, the padding
+    * waste a max-padded batch of that bucket pays
+    * (n_docs · max_w − sum_w), and its ratio. The corpus-wide waste
+    * without bucketing is the degenerate numBuckets = 1 row.
+    */
+  def lengthBuckets(docs: DataFrame, idCol: String, weightCol: String,
+                    numBuckets: Int): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val w = docs.select(col(idCol), col(weightCol).cast("long").as("w"))
+    val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val bucketed =
+      if (qs.isEmpty) w.withColumn("bucket", lit(0))
+      else {
+        val thr = w.agg(percentile(col("w"),
+            array(qs.map(lit): _*)).as("__p"))
+          .select((0 until qs.size).map(i =>
+            round(col("__p").getItem(i), 6).as(s"__q$i")): _*)
+        val b = qs.indices.foldLeft(lit(numBuckets - 1)) { (acc, i) =>
+          // first threshold the weight fits under wins; fold from the
+          // highest down so lower buckets override
+          when(col("w") <= col(s"__q${qs.size - 1 - i}"),
+               qs.size - 1 - i).otherwise(acc)
+        }
+        w.crossJoin(broadcast(thr)).withColumn("bucket", b)
+      }
+    bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("w")).as("min_w"),
+           max(col("w")).as("max_w"),
+           sum(col("w")).as("sum_w"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_w") - col("sum_w"))
+      .withColumn("waste_ratio",
+        round(col("padding_waste") /
+          (col("n_docs") * col("max_w")).cast("double"), 6))
+  }
 }

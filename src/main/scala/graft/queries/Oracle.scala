@@ -1600,6 +1600,37 @@ object Oracle {
         |SELECT doc_id, 0.0, 0, 0.0, true
         |FROM documents WHERE length(text) = 0""".stripMargin,
 
+    "t69_length_buckets" ->
+      // portable regexp token count (the t49/t32 replay) + exact
+      // quartile edges via quantile_cont, both 6dp-aligned with
+      // Spark's percentile (see t52's tied-value-knot note)
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT)
+        |           AS w
+        |  FROM documents
+        |), e AS (
+        |  SELECT round(quantile_cont(w, 0.25), 6) AS q0,
+        |         round(quantile_cont(w, 0.5), 6) AS q1,
+        |         round(quantile_cont(w, 0.75), 6) AS q2
+        |  FROM w
+        |), b AS (
+        |  SELECT doc_id, w,
+        |         CASE WHEN w <= q0 THEN 0
+        |              WHEN w <= q1 THEN 1
+        |              WHEN w <= q2 THEN 2
+        |              ELSE 3 END AS bucket
+        |  FROM w CROSS JOIN e
+        |)
+        |SELECT bucket, count(*) AS n_docs,
+        |       min(w) AS min_w, max(w) AS max_w,
+        |       CAST(sum(w) AS BIGINT) AS sum_w,
+        |       CAST(count(*) * max(w) - sum(w) AS BIGINT) AS padding_waste,
+        |       round(CAST(count(*) * max(w) - sum(w) AS DOUBLE)
+        |             / CAST(count(*) * max(w) AS DOUBLE), 6) AS waste_ratio
+        |FROM b GROUP BY bucket""".stripMargin,
+
     "t67_ngram_novelty" ->
       // string-shingle replay of the hashed-shingle coverage join
       // (identical modulo 64-bit collisions — none at oracle scale);

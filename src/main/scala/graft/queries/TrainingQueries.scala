@@ -951,6 +951,22 @@ object TrainingQueries {
       .orderBy(col("node"))
   }
 
+  /** t69_length_buckets — dynamic-batching precursor: quartile
+    * length-bucket the corpus by BPE-ish token count and report each
+    * bucket's padding waste (vs padding every batch to the bucket
+    * max). Edges are one exact-percentile aggregate broadcast as a
+    * 1-row frame (t52's threshold pattern — no global-rank window);
+    * the oracle replays the token count via the portable regexp and
+    * the edges via quantile_cont, both 6dp-aligned.
+    */
+  def t69LengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.bpeish_token_count(col("text")).as("w"))
+    Packing.lengthBuckets(docs, "doc_id", "w", numBuckets = 4)
+      .orderBy(col("bucket"))
+  }
+
   /** t68_bpe_encode — the tokenizer APPLY step: learn 12 BPE merge
     * rules from the corpus (t55's deterministic, tie-broken training),
     * then encode every document with them — one shuffle-free

@@ -173,7 +173,11 @@ object ScaleStress {
       // BPE train + encode: learning stays vocabulary-sized after the
       // one word-count shuffle (t55's property), the encode is a
       // shuffle-free projection with one kernel pass per rule
-      "t68_bpe_encode"   -> (TrainingQueries.t68BpeEncode _))
+      "t68_bpe_encode"   -> (TrainingQueries.t68BpeEncode _),
+      // one percentile aggregate + per-row threshold CASE + a
+      // 4-group aggregate — everything after the token-count scan is
+      // constant-sized
+      "t69_length_buckets" -> (TrainingQueries.t69LengthBuckets _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

@@ -121,4 +121,26 @@ class PackingSpec extends SparkSpec {
     assert(stats.map(s => (s._2, s._3, s._4, s._5)).toSeq ==
       Seq((0L, 1L, 50L, 1.0), (1L, 2L, 8L, 0.8)))
   }
+
+  test("lengthBuckets: quartile edges, per-bucket waste, single-bucket degenerate") {
+    // weights 1..8: quartile edges 2.75 / 4.5 / 6.25 → buckets
+    // {1,2} {3,4} {5,6} {7,8}
+    val docs = (1L to 8L).map(i => (i, i)).toDF("doc_id", "w")
+    val out = Packing.lengthBuckets(docs, "doc_id", "w", numBuckets = 4)
+      .orderBy($"bucket")
+      .as[(Int, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) == Seq(
+      (0, 2L, 1L, 2L, 3L, 1L),    // waste: 2·2 − 3 = 1
+      (1, 2L, 3L, 4L, 7L, 1L),
+      (2, 2L, 5L, 6L, 11L, 1L),
+      (3, 2L, 7L, 8L, 15L, 1L)))
+    assert(out.forall(r => r._7 == math.rint(
+      r._6.toDouble / (r._2 * r._4) * 1e6) / 1e6))
+    // numBuckets = 1: the whole corpus pads to the global max
+    val one = Packing.lengthBuckets(docs, "doc_id", "w", numBuckets = 1)
+      .as[(Int, Long, Long, Long, Long, Long, Double)].collect()
+    assert(one.toSeq == Seq((0, 8L, 1L, 8L, 36L, 28L, 0.4375)))
+    // bucketing strictly reduces total waste vs the single bucket
+    assert(out.map(_._6).sum < 28L)
+  }
 }
