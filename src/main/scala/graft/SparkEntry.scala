@@ -141,6 +141,7 @@ object SparkEntry {
     "t67_ngram_novelty"  -> (TrainingQueries.t67NgramNovelty _),
     "t68_bpe_encode"     -> (TrainingQueries.t68BpeEncode _),
     "t69_length_buckets" -> (TrainingQueries.t69LengthBuckets _),
+    "t70_k_anonymity"    -> (TrainingQueries.t70KAnonymity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

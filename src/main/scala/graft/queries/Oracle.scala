@@ -1600,6 +1600,12 @@ object Oracle {
         |SELECT doc_id, 0.0, 0, 0.0, true
         |FROM documents WHERE length(text) = 0""".stripMargin,
 
+    "t70_k_anonymity" ->
+      """SELECT doc_id, lang, source,
+        |       count(*) OVER (PARTITION BY lang, source) AS group_size,
+        |       count(*) OVER (PARTITION BY lang, source) >= 5 AS kept
+        |FROM documents""".stripMargin,
+
     "t69_length_buckets" ->
       // portable regexp token count (the t49/t32 replay) + exact
       // quartile edges via quantile_cont, both 6dp-aligned with

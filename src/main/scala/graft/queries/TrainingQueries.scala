@@ -951,6 +951,22 @@ object TrainingQueries {
       .orderBy(col("node"))
   }
 
+  /** t70_k_anonymity — group-level privacy beyond t19's per-string
+    * PII redaction: suppress rows whose (lang, source)
+    * quasi-identifier combination occurs fewer than k=5 times. One
+    * map-side-combinable count on the quasi key joined back on the
+    * same key (AQE broadcasts the group-cardinality count table) —
+    * never a corpus window. Exact count-window oracle.
+    */
+  def t70KAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Privacy.kAnonymize(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("source")),
+        Seq("lang", "source"), k = 5)
+      .select(col("doc_id"), col("lang"), col("source"),
+              col("group_size"), col("kept"))
+      .orderBy(col("doc_id"))
+
   /** t69_length_buckets — dynamic-batching precursor: quartile
     * length-bucket the corpus by BPE-ish token count and report each
     * bucket's padding waste (vs padding every batch to the bucket
