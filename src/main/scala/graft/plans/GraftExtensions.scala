@@ -95,7 +95,12 @@ object GraftExtensions {
     fn("hashed_ngram_counts", 2,
       a => HashedNgramCountsExpr(a(0), intArg(a(1)))),
     fn("top_k_by_score", 3,
-      a => TopKByScore(a(0), a(1), intArg(a(2))).toAggregateExpression()))
+      a => TopKByScore(a(0), a(1), intArg(a(2))).toAggregateExpression()),
+    fn("char_entropy", 1, a => CharEntropyExpr(a(0))),
+    fn("hashed_bow_stats", 2,
+      a => HashedBowScoreExpr(a(0), intArg(a(1)))),
+    fn("misra_gries", 2,
+      a => MisraGriesTokens(a(0), intArg(a(1))).toAggregateExpression()))
 
   /** Install on an already-running session: the optimizer rule via
     * extraOptimizations, the as-of strategy via extraStrategies, and

@@ -79,4 +79,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out("b") == Seq(4L))
   }
 
+  test("round-7 kernels reachable through SQL: char_entropy, bow stats, misra_gries") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT char_entropy('abab').entropy AS e,
+        |       char_entropy('abab').unique_chars AS u,
+        |       hashed_bow_stats('a b c', 64).n_tokens AS nt
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getInt(1) == 2)
+    assert(r.getInt(2) == 3)
+    Seq(Seq("a", "b", "a"), Seq("a", "c")).toDF("toks")
+      .createOrReplaceTempView("mg")
+    val hh = spark.sql(
+      "SELECT misra_gries(toks, 10) AS s FROM mg")
+      .selectExpr("transform(s, e -> concat(e.token, ':', e.est)) AS x")
+      .as[Seq[String]].head()
+    assert(hh == Seq("a:3", "b:1", "c:1"))
+  }
+
 }
