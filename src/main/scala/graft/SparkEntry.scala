@@ -142,6 +142,8 @@ object SparkEntry {
     "t68_bpe_encode"     -> (TrainingQueries.t68BpeEncode _),
     "t69_length_buckets" -> (TrainingQueries.t69LengthBuckets _),
     "t70_k_anonymity"    -> (TrainingQueries.t70KAnonymity _),
+    "t71_stream_hh"      -> (TrainingQueries.t71StreamHh _),
+    "t72_stream_hh_check" -> (TrainingQueries.t72StreamHhCheck _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -110,6 +110,12 @@ object Verify {
       "t58 pq recall(m=8,ksub=16,rerank=8) >= 0.7" -> rows("t58_pq_check").map(
         _.exists(r => r.getAs[String]("check") == "recall_at_5" &&
           r.getAs[Double]("value") >= 0.7)),
+      // STREAMING Misra–Gries contract — justifies t71's rows-only
+      // row: the sketch maintained in streaming aggregation state
+      // satisfies presence/bounds/capacity per finalized window
+      "t72 streaming mg contract violations == 0" -> rows("t72_stream_hh_check")
+        .map(rs => rs.length == 4 &&
+          rs.forall(_.getAs[Double]("value") == 0.0)),
       // Misra–Gries contract — the cross-check justifying t65's
       // rows-only row: presence of every >N/(k+1) token, two-sided
       // estimate bounds, and the capacity cap, all zero-violation

@@ -951,6 +951,84 @@ object TrainingQueries {
       .orderBy(col("node"))
   }
 
+  /** Shared by t71/t72: per finalized 1-day window, the Misra–Gries
+    * event-type summary maintained INSIDE the streaming aggregation
+    * state (the TypedImperativeAggregate buffer serializes into the
+    * state store and merges across shuffle partials — the
+    * bounded-memory form a real stream keeps when the key domain is
+    * unbounded). Capacity 4 < the 6 event types, so decrement pressure
+    * genuinely exercises in streaming state.
+    */
+  private def streamHhRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+    val agg = stream.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(graft.functions.HeavyHitterFunctions
+             .misra_gries(array(col("event_type")), 4).as("hh"),
+           count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day"), col("n_events"),
+              posexplode(col("hh")).as(Seq("pos", "e")))
+      .select(col("day"), col("n_events"), (col("pos") + 1).as("rank"),
+              col("e").getField("token").as("event_type"),
+              col("e").getField("est").as("est"))
+    StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, agg,
+        s"t71_hh_${System.nanoTime}")
+    }
+  }
+
+  /** t71_stream_hh — the windowed heavy-hitter summary itself.
+    * Rows-only driver record (MG estimates are merge-order-dependent),
+    * justified by the ENFORCED t72 gate.
+    */
+  def t71StreamHh(spark: SparkSession, sfDir: String): DataFrame =
+    streamHhRun(spark, sfDir).orderBy(col("day"), col("rank"))
+
+  /** t72_stream_hh_check — the MG contract of a fresh t71 run checked
+    * against exact per-finalized-window counts (batch replay of the
+    * append-mode watermark, t14's convention): per window with N
+    * events and capacity k=4 — every event type with true count >
+    * N/(k+1) present; no estimate above true; none more than N/(k+1)
+    * below; ≤ k entries per window. All zero — Verify enforces.
+    */
+  def t72StreamHhCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val capacity = 4
+    val sketch = streamHhRun(spark, sfDir).localCheckpoint(true)
+    val events = Tables.events(spark, sfDir)
+    val maxTs = broadcast(events.agg(max(col("ts")).as("__max")))
+    val finalized = events.crossJoin(maxTs)
+      .filter(date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY") <=
+              col("__max") - expr("INTERVAL 1 DAY"))
+    val exact = finalized
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+               col("event_type"))
+      .agg(count(lit(1)).as("true_n"))
+    val totals = exact.groupBy(col("day"))
+      .agg((sum(col("true_n")) / (capacity + 1)).as("err"))
+    val j = exact.join(totals, "day")
+      .join(sketch.select(col("day"), col("event_type"), col("est")),
+            Seq("day", "event_type"), "left")
+    def violations(name: String, cond: org.apache.spark.sql.Column) =
+      j.filter(cond).agg(count(lit(1)).cast("double").as("value"))
+        .select(lit(name).as("check"), col("value"))
+    violations("guarantee_violations",
+        col("true_n") > col("err") && col("est").isNull)
+      .unionByName(violations("overestimate_violations",
+        col("est").isNotNull && col("est") > col("true_n")))
+      .unionByName(violations("underestimate_violations",
+        col("est").isNotNull && col("est") < col("true_n") - col("err")))
+      .unionByName(sketch.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(when(col("n") > capacity, lit(1))
+          .otherwise(lit(0))), lit(0)).cast("double").as("value"))
+        .select(lit("capacity_violations").as("check"), col("value")))
+      .orderBy(col("check"))
+  }
+
   /** t70_k_anonymity — group-level privacy beyond t19's per-string
     * PII redaction: suppress rows whose (lang, source)
     * quasi-identifier combination occurs fewer than k=5 times. One
