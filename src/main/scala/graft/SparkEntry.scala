@@ -144,6 +144,7 @@ object SparkEntry {
     "t70_k_anonymity"    -> (TrainingQueries.t70KAnonymity _),
     "t71_stream_hh"      -> (TrainingQueries.t71StreamHh _),
     "t72_stream_hh_check" -> (TrainingQueries.t72StreamHhCheck _),
+    "t73_epoch_shuffle"  -> (TrainingQueries.t73EpochShuffle _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -40,6 +40,28 @@ object Ids {
     * operator exists to avoid is the one-partition sort the naive
     * global window degenerates to.
     */
+  /** Deterministic per-epoch training order: epoch `e`'s permutation
+    * is the dense rank of `md5(e:id)` (id tiebreak) — a different,
+    * reproducible global shuffle per epoch, the property epoch
+    * reshuffling needs (same data, new order, any worker can recompute
+    * its shard's order without coordination). Each epoch rides
+    * [[denseIds]], so the "global sort" is a range repartition +
+    * parallel in-partition ranks with one long of driver state per
+    * partition — never a single-task window.
+    *
+    * Output: one row per (row, epoch) — (original columns, epoch,
+    * epoch_pos), epoch_pos dense in [0, N) within each epoch.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    (0 until epochs).map { e =>
+      denseIds(df.withColumn("epoch", lit(e)), "epoch_pos",
+        Seq(md5(concat(lit(e.toString), lit(":"),
+              col(idCol).cast("string"))),
+            col(idCol)))
+    }.reduce(_ unionByName _)
+  }
+
   def denseIds(df: DataFrame, idColName: String, orderCols: Seq[Column],
                numPartitions: Option[Int] = None): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")

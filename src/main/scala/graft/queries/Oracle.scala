@@ -1600,6 +1600,15 @@ object Oracle {
         |SELECT doc_id, 0.0, 0, 0.0, true
         |FROM documents WHERE length(text) = 0""".stripMargin,
 
+    "t73_epoch_shuffle" ->
+      """SELECT doc_id, e.epoch,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY e.epoch
+        |         ORDER BY md5(e.epoch || ':' || CAST(doc_id AS VARCHAR)),
+        |                  doc_id) - 1 AS BIGINT) AS epoch_pos
+        |FROM documents
+        |CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e""".stripMargin,
+
     "t70_k_anonymity" ->
       """SELECT doc_id, lang, source,
         |       count(*) OVER (PARTITION BY lang, source) AS group_size,

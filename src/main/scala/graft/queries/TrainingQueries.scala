@@ -951,6 +951,19 @@ object TrainingQueries {
       .orderBy(col("node"))
   }
 
+  /** t73_epoch_shuffle — deterministic per-epoch training order: two
+    * epochs of md5-seeded global permutations, each a dense rank via
+    * the range-partition + offset machinery (no single-task window —
+    * see Ids.denseIds). Exact oracle: row_number over the same md5
+    * ordering per epoch.
+    */
+  def t73EpochShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Ids.epochShuffle(
+        Tables.documents(spark, sfDir).select(col("doc_id")),
+        "doc_id", epochs = 2)
+      .select(col("doc_id"), col("epoch"), col("epoch_pos"))
+      .orderBy(col("epoch"), col("epoch_pos"))
+
   /** Shared by t71/t72: per finalized 1-day window, the Misra–Gries
     * event-type summary maintained INSIDE the streaming aggregation
     * state (the TypedImperativeAggregate buffer serializes into the

@@ -30,4 +30,24 @@ class IdsSpec extends SparkSpec {
       Ids.denseIds(df, "rank", Seq.empty)
     }
   }
+
+  test("epochShuffle: dense per-epoch permutations, distinct across epochs, reproducible") {
+    val df = (0L until 100L).toDF("id")
+    val out = Ids.epochShuffle(df, "id", epochs = 3)
+      .as[(Long, Int, Long)].collect()
+    val byEpoch = out.groupBy(_._2)
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    byEpoch.values.foreach { rows =>
+      // every epoch is a dense permutation of [0, N)
+      assert(rows.map(_._3).sorted.toSeq == (0L until 100L))
+      assert(rows.map(_._1).sorted.toSeq == (0L until 100L))
+    }
+    // different epochs produce different orders
+    def orderOf(e: Int) = byEpoch(e).sortBy(_._3).map(_._1).toSeq
+    assert(orderOf(0) != orderOf(1) && orderOf(1) != orderOf(2))
+    // and the order is a pure function of (epoch, id): re-running agrees
+    val again = Ids.epochShuffle(df, "id", epochs = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(out.toSet == again.toSet)
+  }
 }
