@@ -177,7 +177,11 @@ object ScaleStress {
       // one percentile aggregate + per-row threshold CASE + a
       // 4-group aggregate — everything after the token-count scan is
       // constant-sized
-      "t69_length_buckets" -> (TrainingQueries.t69LengthBuckets _))
+      "t69_length_buckets" -> (TrainingQueries.t69LengthBuckets _),
+      // group-count + same-key join back (quasi-key cardinality table)
+      "t70_k_anonymity"  -> (TrainingQueries.t70KAnonymity _),
+      // two epochs of range-repartition dense ranks — the sort rate
+      "t73_epoch_shuffle" -> (TrainingQueries.t73EpochShuffle _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
