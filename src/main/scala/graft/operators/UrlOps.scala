@@ -80,18 +80,19 @@ object UrlOps {
 
   /** URL-level keep-first dedup on the canonical key: adds
     * `canon_url` and `keep` (true for the smallest id per canonical
-    * URL). One hash shuffle on the canonical-key aggregate — the
-    * per-row canonicalization never shuffles.
+    * URL). A min-over-window on the canonical key — ONE hash shuffle,
+    * and the regex-chain canonicalization is computed once (the
+    * groupBy-and-join-back form evaluated it on both join inputs —
+    * measured 1.9 s vs 1.0 s warm at sf0.1). The window partitions on
+    * the high-cardinality canonical key, so there is no funnel; the
+    * per-row canonicalization itself never shuffles.
     */
   def dedupByCanonicalUrl(df: DataFrame, urlCol: String,
                           idCol: String): DataFrame = {
-    val withCanon = df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
-    withCanon.join(
-      withCanon.groupBy(col("canon_url"))
-        .agg(min(col(idCol)).as("__first")),
-      Seq("canon_url"))
-      .withColumn("keep", col(idCol) === col("__first"))
-      .drop("__first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon_url"))
+    df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
   }
 
   /** The same flag against a blocklist TABLE (one `domain` column) —
