@@ -145,6 +145,7 @@ object SparkEntry {
     "t71_stream_hh"      -> (TrainingQueries.t71StreamHh _),
     "t72_stream_hh_check" -> (TrainingQueries.t72StreamHhCheck _),
     "t73_epoch_shuffle"  -> (TrainingQueries.t73EpochShuffle _),
+    "t74_compress_ratio" -> (TrainingQueries.t74CompressRatio _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

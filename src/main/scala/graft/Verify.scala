@@ -110,6 +110,14 @@ object Verify {
       "t58 pq recall(m=8,ksub=16,rerank=8) >= 0.7" -> rows("t58_pq_check").map(
         _.exists(r => r.getAs[String]("check") == "recall_at_5" &&
           r.getAs[Double]("value") >= 0.7)),
+      // DEFLATE codec contract — justifies t74's rows-only row: the
+      // zlib roundtrip must reproduce every document byte-exactly,
+      // with size fields sane (deflated > 0 whenever raw > 0)
+      "t74 deflate roundtrip + size sanity hold" -> rows("t74_compress_ratio")
+        .map(rs => rs.nonEmpty && rs.forall { r =>
+          r.getAs[Boolean]("roundtrip_ok") &&
+          (r.getAs[Int]("n_bytes") == 0 || r.getAs[Int]("n_deflated") > 0)
+        }),
       // STREAMING Misra–Gries contract — justifies t71's rows-only
       // row: the sketch maintained in streaming aggregation state
       // satisfies presence/bounds/capacity per finalized window

@@ -394,6 +394,47 @@ object TextKernels {
       if (count == 0) 0.0 else sum / count))
   }
 
+  /** Kernel for [[CompressionProfileExpr]]: DEFLATE the UTF-8 bytes at
+    * the default level and report (n_bytes, n_deflated, roundtrip_ok)
+    * where roundtrip_ok = INFLATE(DEFLATE(text)) reproduces the input
+    * exactly — the self-check that gates the operator (no SQL engine
+    * can replay zlib, but a codec that round-trips and reports sizes
+    * is verifiable without one). zlib output is deterministic for a
+    * fixed input/level/strategy, so the ratio is reproducible across
+    * runs and engines running this kernel.
+    */
+  def deflateProfile(text: UTF8String): GenericInternalRow = {
+    val bytes = text.getBytes
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    d.setInput(bytes)
+    d.finish()
+    var buf = new Array[Byte](math.max(64, bytes.length / 2))
+    var n = 0
+    while (!d.finished()) {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      n += d.deflate(buf, n, buf.length - n)
+    }
+    d.end()
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(buf, 0, n)
+    // +1 spare byte: lets inflate() both signal stream end on empty
+    // input and detect an over-long stream (m > n_bytes ⇒ not ok)
+    val out = new Array[Byte](bytes.length + 1)
+    var m = 0
+    var ok = true
+    try {
+      while (ok && !inf.finished()) {
+        val r = inf.inflate(out, m, out.length - m)
+        m += r
+        if (r == 0 && !inf.finished()) ok = false // truncated/corrupt
+      }
+    } catch { case _: java.util.zip.DataFormatException => ok = false }
+    inf.end()
+    ok = ok && m == bytes.length &&
+      java.util.Arrays.equals(out, 0, m, bytes, 0, bytes.length)
+    new GenericInternalRow(Array[Any](bytes.length, n, ok))
+  }
+
   /** Kernel for [[CharEntropyExpr]]: one pass over the UTF-8 bytes,
     * decoding code points (same decoder as [[hashedBowStats]]) into a
     * frequency table — a dense 128-slot array for ASCII plus a spill
@@ -734,6 +775,29 @@ case class HashedNgramCountsExpr(child: Expression, buckets: Int)
   * (per-row scan, codegen'd expression, no shuffle) is the production
   * shape.
   */
+/** DEFLATE-compressibility profile — the "too compressible =
+  * boilerplate/repetition" quality heuristic (RefinedWeb/Gopher
+  * family): highly repetitive text deflates far below natural prose.
+  * One JNI-zlib pass per row, no cross-row state, no shuffle. The
+  * per-row Deflater/Inflater allocation is the cost of statelessness;
+  * it is still far cheaper than the explode-based repetition metrics
+  * it complements (t35's collapse stats).
+  */
+case class CompressionProfileExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("n_deflated", IntegerType, nullable = false),
+    StructField("roundtrip_ok", BooleanType, nullable = false)))
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.deflateProfile(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.deflateProfile($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Character-distribution profile of a document in one pass: Shannon
   * entropy (bits), distinct code points, and the modal code point's
   * share. The explode-and-groupBy formulation shuffles one row per
@@ -796,6 +860,8 @@ object TextFunctions {
     toColumn(HashedBowScoreExpr(toExpr(text), buckets))
   def char_entropy(text: Column): Column =
     toColumn(CharEntropyExpr(toExpr(text)))
+  def compression_profile(text: Column): Column =
+    toColumn(CompressionProfileExpr(toExpr(text)))
   def hashed_ngram_counts(text: Column, buckets: Int): Column =
     toColumn(HashedNgramCountsExpr(toExpr(text), buckets))
   def bpe_merge(syms: Column, left: String, right: String): Column =

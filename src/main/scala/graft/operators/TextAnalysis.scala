@@ -342,6 +342,29 @@ object TextAnalysis {
         col("entropy") < minEntropy || col("top_char_ratio") > maxTopRatio)
   }
 
+  /** DEFLATE-compressibility quality signal (one zlib pass per row —
+    * see CompressionProfileExpr): `ratio` = deflated/raw bytes; text
+    * far below natural-prose ratios is repetitive boilerplate.
+    * `too_compressible` flags ratio < `flagBelow` on the 6dp-rounded
+    * value; empty docs get ratio 0 and are NOT flagged (nothing to
+    * judge). `roundtrip_ok` reports the codec self-check the t74 gate
+    * enforces corpus-wide.
+    */
+  def compressionRatio(df: DataFrame, textCol: String, idCol: String,
+                       flagBelow: Double = 0.4): DataFrame = {
+    val p = TextFunctions.compression_profile(col(textCol))
+    df.select(col(idCol), p.as("p"))
+      .select(col(idCol),
+        col("p").getField("n_bytes").as("n_bytes"),
+        col("p").getField("n_deflated").as("n_deflated"),
+        when(col("p").getField("n_bytes") === 0, 0.0)
+          .otherwise(round(col("p").getField("n_deflated") /
+            col("p").getField("n_bytes").cast("double"), 6)).as("ratio"),
+        col("p").getField("roundtrip_ok").as("roundtrip_ok"))
+      .withColumn("too_compressible",
+        col("n_bytes") > 0 && col("ratio") < flagBelow)
+  }
+
   def bowQualityScore(df: DataFrame, textCol: String, idCol: String,
                       buckets: Int = 64): DataFrame = {
     val s = TextFunctions.hashed_bow_stats(col(textCol), buckets)

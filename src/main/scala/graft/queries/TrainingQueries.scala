@@ -951,6 +951,18 @@ object TrainingQueries {
       .orderBy(col("node"))
   }
 
+  /** t74_compress_ratio — DEFLATE-compressibility quality signal (the
+    * "too compressible = boilerplate" heuristic): deflated/raw byte
+    * ratio per document, flagged below 0.4. No SQL engine replays
+    * zlib, so the driver row is rows-only — justified by the ENFORCED
+    * gate: INFLATE(DEFLATE(text)) must reproduce every document
+    * byte-exactly and sizes must be positive-sane, zero violations.
+    */
+  def t74CompressRatio(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.compressionRatio(
+        Tables.documents(spark, sfDir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** t73_epoch_shuffle — deterministic per-epoch training order: two
     * epochs of md5-seeded global permutations, each a dense rank via
     * the range-partition + offset machinery (no single-task window —

@@ -181,7 +181,9 @@ object ScaleStress {
       // group-count + same-key join back (quasi-key cardinality table)
       "t70_k_anonymity"  -> (TrainingQueries.t70KAnonymity _),
       // two epochs of range-repartition dense ranks — the sort rate
-      "t73_epoch_shuffle" -> (TrainingQueries.t73EpochShuffle _))
+      "t73_epoch_shuffle" -> (TrainingQueries.t73EpochShuffle _),
+      // per-row zlib pass, no cross-row state
+      "t74_compress_ratio" -> (TrainingQueries.t74CompressRatio _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

@@ -309,6 +309,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L)._4)                            // share 2/3 > 0.6
   }
 
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    val docs = Seq(
+      (0L, "spam " * 400),                                   // pure repetition
+      (1L, (0 until 400).map(i => java.lang.Long.toString(
+        i * 2654435761L % 999999999999L, 36)).mkString(" ")), // varied
+      (2L, ""),                                              // empty
+      (3L, "short")                                          // tiny
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(docs, "text", "doc_id")
+      .as[(Long, Int, Int, Double, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // every roundtrip must succeed
+    assert(out.values.forall(_._4))
+    assert(out(0L)._3 < 0.05 && out(0L)._5)          // repetition: tiny ratio, flagged
+    assert(out(1L)._3 > 3 * out(0L)._3 && !out(1L)._5) // varied text much less compressible
+    assert(out(2L) == ((0, 8, 0.0, true, false)))    // empty: zlib header only, unflagged
+    assert(out(3L)._1 == 5 && out(3L)._3 > 1.0)      // tiny doc: overhead dominates
+    // determinism: the deflated size is a pure function of the text
+    val again = TextAnalysis.compressionRatio(docs, "text", "doc_id")
+      .as[(Long, Int, Int, Double, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out == again)
+  }
+
   test("charEntropyProfile kernel == explode-groupBy formulation on real docs") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val kernel = TextAnalysis.charEntropyProfile(docs, "text", "doc_id")
