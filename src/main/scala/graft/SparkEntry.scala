@@ -146,6 +146,7 @@ object SparkEntry {
     "t72_stream_hh_check" -> (TrainingQueries.t72StreamHhCheck _),
     "t73_epoch_shuffle"  -> (TrainingQueries.t73EpochShuffle _),
     "t74_compress_ratio" -> (TrainingQueries.t74CompressRatio _),
+    "t75_margin_mine"    -> (TrainingQueries.t75MarginMine _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -478,6 +478,55 @@ object Similarity {
               (col("max_eval_cos") >= threshold).as("contaminated"))
   }
 
+  /** Margin-based pair mining (the LASER/CCMatrix bitext-mining
+    * shape): for every source vector, its best target by MARGIN score
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNNk(x) + avgNNk(y)) / 2)
+    *
+    * where avgNNk(v) is the mean cosine of v's k nearest neighbors on
+    * the OTHER side — the normalization that suppresses hubs (vectors
+    * close to everything) which raw cosine mining pairs with half the
+    * corpus. Output: one row per source with its argmax-margin target,
+    * cosine, margin (6dp), and `accepted` = margin ≥ threshold on the
+    * rounded value.
+    *
+    * Scale shape: two bounded-heap top-k passes ([[bruteForceTopK]] —
+    * the partial aggregate caps shuffle at O(partitions·k) per side;
+    * swap in `lshTopK`/`pqTopK` for the candidate pass at extreme
+    * scale), the per-vector NNk means reduce map-side, and the margin
+    * join keys on the candidate pairs (source-count cardinality).
+    */
+  def marginMine(src: DataFrame, sIdCol: String, sVecCol: String,
+                 tgt: DataFrame, tIdCol: String, tVecCol: String,
+                 k: Int = 4, threshold: Double = 1.0): DataFrame = {
+    val s = src.select(col(sIdCol).as("src_id"), col(sVecCol).as("svec"))
+    val t = tgt.select(col(tIdCol).as("tgt_id"), col(tVecCol).as("tvec"))
+    // forward top-k: for each source, its k nearest targets
+    val fwd = bruteForceTopK(t, "tgt_id", "tvec", s, "src_id", "svec", k)
+      .select(col("qid").as("src_id"), col("id").as("tgt_id"),
+              col("cosine"))
+      .localCheckpoint(true) // feeds candidates AND the source NNk mean
+    val avgS = fwd.groupBy(col("src_id"))
+      .agg(avg(col("cosine")).as("avg_s"))
+    // backward top-k: each target's k nearest sources → its NNk mean
+    val avgT = bruteForceTopK(s, "src_id", "svec", t, "tgt_id", "tvec", k)
+      .groupBy(col("qid").as("tgt_id"))
+      .agg(avg(col("cosine")).as("avg_t"))
+    val scored = fwd
+      .join(avgS, "src_id")
+      .join(avgT, "tgt_id")
+      .withColumn("margin",
+        round(col("cosine") / ((col("avg_s") + col("avg_t")) / 2), 6))
+    // argmax margin per source (margin desc, target-id tiebreak)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("src_id"), col("tgt_id"), col("cosine"),
+              col("margin"), (col("margin") >= threshold).as("accepted"))
+  }
+
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bits: Int = 16,
                      tables: Int = 4, maxBucket: Int = 500): DataFrame = {

@@ -1600,6 +1600,47 @@ object Oracle {
         |SELECT doc_id, 0.0, 0, 0.0, true
         |FROM documents WHERE length(text) = 0""".stripMargin,
 
+    "t75_margin_mine" ->
+      // raw cosine ranks the top-k (the heap selects on unrounded
+      // scores — the t5 convention), the 6dp-ROUNDED cosine feeds the
+      // NNk means and the margin (Spark's top-k output is rounded)
+      """WITH s AS (
+        |  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0
+        |), t AS (
+        |  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 <> 0
+        |), x AS (
+        |  SELECT src_id, tgt_id,
+        |         list_cosine_similarity(s.v, t.v) AS c,
+        |         round(list_cosine_similarity(s.v, t.v), 6) AS rc
+        |  FROM s CROSS JOIN t
+        |), fwd AS (
+        |  SELECT src_id, tgt_id, rc, row_number() OVER (
+        |    PARTITION BY src_id ORDER BY c DESC, tgt_id) AS r
+        |  FROM x
+        |), avs AS (
+        |  SELECT src_id, avg(rc) AS avg_s FROM fwd WHERE r <= 4 GROUP BY 1
+        |), bwd AS (
+        |  SELECT tgt_id, rc, row_number() OVER (
+        |    PARTITION BY tgt_id ORDER BY c DESC, src_id) AS r
+        |  FROM x
+        |), avt AS (
+        |  SELECT tgt_id, avg(rc) AS avg_t FROM bwd WHERE r <= 4 GROUP BY 1
+        |), m AS (
+        |  SELECT f.src_id, f.tgt_id, f.rc,
+        |         round(f.rc / ((avg_s + avg_t) / 2), 6) AS margin
+        |  FROM fwd f JOIN avs USING (src_id) JOIN avt USING (tgt_id)
+        |  WHERE f.r <= 4
+        |), best AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+        |  FROM m
+        |)
+        |SELECT src_id, tgt_id, rc AS cosine, margin,
+        |       margin >= 1.0 AS accepted
+        |FROM best WHERE rn = 1""".stripMargin,
+
     "t73_epoch_shuffle" ->
       """SELECT doc_id, e.epoch,
         |       CAST(row_number() OVER (

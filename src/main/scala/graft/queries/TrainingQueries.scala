@@ -951,6 +951,23 @@ object TrainingQueries {
       .orderBy(col("node"))
   }
 
+  /** t75_margin_mine — margin-based pair mining (the LASER/CCMatrix
+    * bitext-mining shape) between the even- and odd-id halves of the
+    * embedding table: per source, the argmax-margin target with
+    * hub-suppressing NNk normalization (see Similarity.marginMine).
+    * Side ids are disjoint by the parity split (the top-k pass treats
+    * equal ids as self-matches). Exact oracle: DuckDB replays raw-
+    * cosine ranking, 6dp-rounded scoring, and both NNk means.
+    */
+  def t75MarginMine(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.marginMine(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        k = 4, threshold = 1.0)
+      .orderBy(col("src_id"))
+  }
+
   /** t74_compress_ratio — DEFLATE-compressibility quality signal (the
     * "too compressible = boilerplate" heuristic): deflated/raw byte
     * ratio per document, flagged below 0.4. No SQL engine replays

@@ -62,6 +62,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L)._1 < 0.9 && !out(3L)._2)
   }
 
+  test("marginMine: hub suppression beats raw cosine; identical pair accepted") {
+    // hub h sits close to BOTH sources; t is close only to src a, with
+    // a LOWER raw cosine to a than h has. Margin normalization must
+    // still pick t for a: h's inflated NNk mean deflates its margin.
+    val srcs = Seq((0L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val h = Array(0.70710678f, 0.70710678f, 0f)
+    val t = Array(0.65f, 0f, 0.75993421f)
+    val tgts = Seq((1L, h), (3L, t)).toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(srcs, "vec_id", "embedding",
+        tgts, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == 3L)            // t despite cos(a,t) < cos(a,h)
+    assert(out(0L)._4 > 1.0 && out(0L)._5)
+    assert(out(2L)._2 == 1L)            // b's only close target is the hub
+
+    // identical vectors: margin >= 1, accepted
+    val s2 = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val t2 = Seq((1L, Array(1f, 0f, 0f)), (3L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val m2 = Similarity.marginMine(s2, "vec_id", "embedding",
+        t2, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    assert(m2._2 == 1L && m2._3 == 1.0 && m2._5)
+  }
+
   test("decontaminateByEmbedding fails fast on an eval set above maxEval") {
     val eval = Seq((100L, Array(1.0f, 0.0f, 0.0f)),
                    (101L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
