@@ -183,7 +183,10 @@ object ScaleStress {
       // two epochs of range-repartition dense ranks — the sort rate
       "t73_epoch_shuffle" -> (TrainingQueries.t73EpochShuffle _),
       // per-row zlib pass, no cross-row state
-      "t74_compress_ratio" -> (TrainingQueries.t74CompressRatio _))
+      "t74_compress_ratio" -> (TrainingQueries.t74CompressRatio _),
+      // two bounded-heap top-k passes + NNk means + candidate join;
+      // the 10× corpus multiplies both parity sides
+      "t75_margin_mine"  -> (TrainingQueries.t75MarginMine _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
