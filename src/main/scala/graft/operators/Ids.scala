@@ -40,28 +40,6 @@ object Ids {
     * operator exists to avoid is the one-partition sort the naive
     * global window degenerates to.
     */
-  /** Deterministic per-epoch training order: epoch `e`'s permutation
-    * is the dense rank of `md5(e:id)` (id tiebreak) — a different,
-    * reproducible global shuffle per epoch, the property epoch
-    * reshuffling needs (same data, new order, any worker can recompute
-    * its shard's order without coordination). Each epoch rides
-    * [[denseIds]], so the "global sort" is a range repartition +
-    * parallel in-partition ranks with one long of driver state per
-    * partition — never a single-task window.
-    *
-    * Output: one row per (row, epoch) — (original columns, epoch,
-    * epoch_pos), epoch_pos dense in [0, N) within each epoch.
-    */
-  def epochShuffle(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
-    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
-    (0 until epochs).map { e =>
-      denseIds(df.withColumn("epoch", lit(e)), "epoch_pos",
-        Seq(md5(concat(lit(e.toString), lit(":"),
-              col(idCol).cast("string"))),
-            col(idCol)))
-    }.reduce(_ unionByName _)
-  }
-
   def denseIds(df: DataFrame, idColName: String, orderCols: Seq[Column],
                numPartitions: Option[Int] = None): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
@@ -87,4 +65,52 @@ object Ids {
           row_number().over(w).cast("long") - 1L)
       .drop("__pid")
   }
+
+  /** Deterministic per-epoch training order: epoch `e`'s permutation
+    * is the dense rank of `md5(e:id)` (id tiebreak) — a different,
+    * reproducible global shuffle per epoch, the property epoch
+    * reshuffling needs (same data, new order, any worker can recompute
+    * its shard's order without coordination). Each epoch rides
+    * [[denseIds]], so the "global sort" is a range repartition +
+    * parallel in-partition ranks with one long of driver state per
+    * partition — never a single-task window.
+    *
+    * Output is the PROJECTED permutation table — one (id, epoch,
+    * epoch_pos) row per (row, epoch), epoch_pos dense in [0, N) within
+    * each epoch. Consumers only need the order; materializing `epochs`
+    * full copies of a 100 TB corpus just to carry a rank is epochs×
+    * write amplification, so the payload columns stay behind and the
+    * caller joins the permutation back on `idCol` when (and only
+    * when) it actually re-materializes an epoch. [[epochShuffleRows]]
+    * keeps the old full-row form for small frames where the join
+    * round-trip costs more than the copies.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    (0 until epochs).map { e =>
+      denseIds(
+        df.select(col(idCol)).withColumn("epoch", lit(e)),
+        "epoch_pos", epochOrder(idCol, e))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[epochShuffle]] carrying EVERY input column through each epoch —
+    * the convenience form for small/dimension-sized frames. At corpus
+    * scale prefer the projected default: this one writes `epochs` full
+    * copies of the input.
+    */
+  def epochShuffleRows(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    (0 until epochs).map { e =>
+      denseIds(df.withColumn("epoch", lit(e)),
+        "epoch_pos", epochOrder(idCol, e))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The shared epoch-`e` permutation key: md5 of "e:id" with the id
+    * itself as the total-order tiebreak (denseIds requires one).
+    */
+  private def epochOrder(idCol: String, e: Int): Seq[Column] =
+    Seq(md5(concat(lit(e.toString), lit(":"), col(idCol).cast("string"))),
+        col(idCol))
 }

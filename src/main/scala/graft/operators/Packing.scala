@@ -210,8 +210,13 @@ object Packing {
            sum(col("w")).as("sum_w"))
       .withColumn("padding_waste",
         col("n_docs") * col("max_w") - col("sum_w"))
+      // a bucket whose max weight is 0 (all-empty docs) has 0 waste of
+      // a 0 budget: define the ratio as 0 rather than 0/0 (NULL in
+      // Spark but NaN in an unguarded oracle CAST division)
       .withColumn("waste_ratio",
-        round(col("padding_waste") /
-          (col("n_docs") * col("max_w")).cast("double"), 6))
+        when(col("max_w") > 0,
+          round(col("padding_waste") /
+            (col("n_docs") * col("max_w")).cast("double"), 6))
+          .otherwise(lit(0.0)))
   }
 }

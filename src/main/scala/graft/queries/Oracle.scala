@@ -1683,8 +1683,10 @@ object Oracle {
         |       min(w) AS min_w, max(w) AS max_w,
         |       CAST(sum(w) AS BIGINT) AS sum_w,
         |       CAST(count(*) * max(w) - sum(w) AS BIGINT) AS padding_waste,
-        |       round(CAST(count(*) * max(w) - sum(w) AS DOUBLE)
-        |             / CAST(count(*) * max(w) AS DOUBLE), 6) AS waste_ratio
+        |       CASE WHEN max(w) > 0 THEN
+        |         round(CAST(count(*) * max(w) - sum(w) AS DOUBLE)
+        |               / CAST(count(*) * max(w) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS waste_ratio
         |FROM b GROUP BY bucket""".stripMargin,
 
     "t67_ngram_novelty" ->

@@ -50,4 +50,25 @@ class IdsSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
     assert(out.toSet == again.toSet)
   }
+
+  test("epochShuffle projects payload away; epochShuffleRows carries it; same permutation") {
+    val df = (0L until 50L).map(i => (i, s"payload$i")).toDF("id", "text")
+    val proj = Ids.epochShuffle(df, "id", epochs = 2)
+    // the permutation table never carries payload columns — that is
+    // the epochs× write-amplification the projected form exists to avoid
+    assert(proj.columns.toSeq == Seq("id", "epoch", "epoch_pos"))
+    val full = Ids.epochShuffleRows(df, "id", epochs = 2)
+    assert(full.columns.toSet == Set("id", "text", "epoch", "epoch_pos"))
+    val p = proj.as[(Long, Int, Long)].collect().toSet
+    val f = full.select($"id", $"epoch", $"epoch_pos")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(p == f) // identical permutation either way
+    // joining the permutation back reconstructs the full-row form
+    val rejoined = proj.join(df, "id")
+      .select($"id", $"text", $"epoch", $"epoch_pos")
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(rejoined ==
+      full.select($"id", $"text", $"epoch", $"epoch_pos")
+        .as[(Long, String, Int, Long)].collect().toSet)
+  }
 }

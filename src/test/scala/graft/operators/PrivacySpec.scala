@@ -39,4 +39,29 @@ class PrivacySpec extends SparkSpec {
     val out = Privacy.kAnonymize(rows, Seq("lang", "source"), k = 1)
     assert(out.filter(!$"kept").count() == 0L)
   }
+
+  test("NULL quasi keys form their own groups — never dropped") {
+    val withNulls = Seq(
+      (1L, Some("en"), Some("a")), (2L, Some("en"), Some("a")),
+      (3L, None, Some("a")), (4L, None, Some("a")),  // null lang group of 2
+      (5L, None, None)                               // all-null singleton
+    ).toDF("id", "lang", "source")
+    val out = Privacy.kAnonymize(withNulls, Seq("lang", "source"), k = 2)
+    // every input row survives the size join (a plain equi-join would
+    // silently drop ids 3-5)
+    assert(out.count() == 5L)
+    val got = out.select($"id", $"group_size", $"kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, true), (2L, 2L, true),
+      (3L, 2L, true), (4L, 2L, true),
+      (5L, 1L, false)))
+    // the audit sees the NULL groups too, from the count table alone
+    val audit = Privacy.kAnonymityAudit(withNulls, Seq("lang", "source"), 2)
+      .select($"group_size", $"kept", $"n_rows", $"suppressed_share")
+      .as[(Long, Boolean, Long, Double)].collect()
+    assert(audit.length == 3)
+    assert(audit.map(_._3).sum == 5L)
+    assert(math.abs(audit.filterNot(_._2).map(_._4).sum - 0.2) < 1e-9)
+  }
 }
