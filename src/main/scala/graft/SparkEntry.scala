@@ -147,6 +147,11 @@ object SparkEntry {
     "t73_epoch_shuffle"  -> (TrainingQueries.t73EpochShuffle _),
     "t74_compress_ratio" -> (TrainingQueries.t74CompressRatio _),
     "t75_margin_mine"    -> (TrainingQueries.t75MarginMine _),
+    "t76_margin_ann_check" -> (TrainingQueries.t76MarginAnnCheck _),
+    "t77_ivfpq_topk"     -> (TrainingQueries.t77IvfPqTopK _),
+    "t78_ivfpq_check"    -> (TrainingQueries.t78IvfPqCheck _),
+    "t79_pagerank_dangling" -> (TrainingQueries.t79PagerankDangling _),
+    "t80_ivf_clustered_recall" -> (TrainingQueries.t80IvfClusteredRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -66,7 +66,9 @@ object Verify {
       // nprobe=4), not just the degenerate all-cells setting: floor
       // pinned from the recorded sweep (0.54 on the near-orthogonal
       // synthetic corpus — see t16AnnRecall's scaladoc for why tight
-      // params are inherently low here)
+      // params are inherently low here; the STRONG serving-point
+      // contract is the t80 gate below — same setting, >= 0.7 on a
+      // corpus with real cluster structure)
       "t16 ivf nlist=16,nprobe=4 recall >= 0.5" -> rows("t16_ann_recall").map(
         _.exists(r => r.getAs[String]("method") == "ivf_topk" &&
           r.getAs[String]("params") == "nlist=16,nprobe=4" &&
@@ -140,6 +142,42 @@ object Verify {
           r.getAs[Int]("n_words") <= r.getAs[Int]("n_bpe_tokens") &&
           r.getAs[Int]("n_bpe_tokens") <= r.getAs[Int]("n_chars")
         }),
+      // marginMine's pluggable ANN candidate path (t76): the
+      // brute-force baseline must accept pairs (else the recall row is
+      // vacuous), the wide-recall LSH provider must recover >= 0.9 of
+      // the brute-force-accepted pairs, and margins on pairs both
+      // paths mined must agree within 0.05 (measured at sf0.01:
+      // recall 1.0, drift 0.0 — the floors leave honest headroom)
+      "t76 margin bf_accepted > 0" -> rows("t76_margin_ann_check").map(
+        _.exists(r => r.getAs[String]("check") == "bf_accepted" &&
+          r.getAs[Double]("value") > 0)),
+      "t76 margin ann pair recall >= 0.9" -> rows("t76_margin_ann_check").map(
+        _.exists(r => r.getAs[String]("check") == "pair_recall" &&
+          r.getAs[Double]("value") >= 0.9)),
+      "t76 margin drift <= 0.05" -> rows("t76_margin_ann_check").map(
+        _.exists(r => r.getAs[String]("check") == "margin_drift_max" &&
+          r.getAs[Double]("value") <= 0.05)),
+      // IVF-PQ contract (t78, justifying t77's rows-only row): pinned
+      // recall floor at the t77 production setting (measured 0.62 on
+      // the near-orthogonal corpus — see t16's rationale; the
+      // structured-corpus contract is t80), plus the PRUNE WITNESS:
+      // the probed-cell ADC scan must stay near nprobe/nlist = 0.5 of
+      // the full scan (0.55 allows cell-size skew), proving the cell
+      // join prunes rather than decorates
+      "t78 ivfpq recall >= 0.55" -> rows("t78_ivfpq_check").map(
+        _.exists(r => r.getAs[String]("check") == "recall_at_5" &&
+          r.getAs[Double]("value") >= 0.55)),
+      "t78 ivfpq scan_fraction <= 0.55" -> rows("t78_ivfpq_check").map(
+        _.exists(r => r.getAs[String]("check") == "scan_fraction" &&
+          r.getAs[Double]("value") <= 0.55)),
+      // the IVF serving point (nlist=16, nprobe=4) on a corpus with
+      // REAL neighbor structure (eight blended clusters — t80): >= 0.7,
+      // the floor the PQ gate pins, where t16's 0.5 on the
+      // near-orthogonal corpus is honest but weak (measured 1.0)
+      "t80 ivf clustered recall >= 0.7" -> rows("t80_ivf_clustered_recall")
+        .map(_.exists(r =>
+          r.getAs[String]("check") == "recall_at_5_nlist16_nprobe4" &&
+          r.getAs[Double]("value") >= 0.7)),
       // BPE merge-apply contract — the cross-check justifying t55's
       // rows-only row: steps contiguous from 1, merged = left||right,
       // every pass merged something (0 < applied ≤ pair_count — the

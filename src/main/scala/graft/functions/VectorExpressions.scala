@@ -239,6 +239,67 @@ object VectorKernels {
     best
   }
 
+  /** Kernel for [[TopCellsExpr]]: indices of the `nprobe` max-cosine
+    * centroids for one vector, best first — [[argmaxCell]] generalized
+    * from top-1 to top-n. Ordering matches the expression-tree form it
+    * replaces (`slice(reverse(array_sort(array(struct(sim, idx)))))`):
+    * descending by (sim, idx) with NaN comparing greatest, so ties
+    * take the LARGER index first. Selection is nprobe passes of
+    * argmax over the scored array — O(nlist·(dim + nprobe)) per row,
+    * constant generated code size, vs the array_sort form whose
+    * generated method grows linearly in nlist and blows the JIT/64KB
+    * limits at index-quality nlist (the same collapse the corpus-side
+    * assign hit at nlist≈80 — docs/PERF_NOTES.md).
+    */
+  def topCells(v: ArrayData, cents: Array[Array[Double]], nprobe: Int,
+               floatElems: Boolean): ArrayData = {
+    val x: Array[Double] =
+      if (floatElems) {
+        val f = v.toFloatArray()
+        val out = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+        out
+      } else v.toDoubleArray()
+    val n = cents.length
+    val sims = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val y = cents(c)
+      if (x.length != y.length)
+        throw new IllegalArgumentException(
+          s"dim mismatch: ${x.length} vs centroid $c of ${y.length}")
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var d = 0
+      while (d < x.length) {
+        dot += x(d) * y(d); nx += x(d) * x(d); ny += y(d) * y(d); d += 1
+      }
+      sims(c) = dot / (math.sqrt(nx) * math.sqrt(ny))
+      c += 1
+    }
+    val m = math.min(nprobe, n)
+    val out = new Array[Any](m)
+    val taken = new Array[Boolean](n)
+    var p = 0
+    while (p < m) {
+      var best = Double.NegativeInfinity
+      var idx = -1
+      c = 0
+      while (c < n) {
+        // >= : ties (and NaN, comparing greatest) take the larger index,
+        // matching the reversed-array_sort struct ordering
+        if (!taken(c) && (idx < 0 ||
+            java.lang.Double.compare(sims(c), best) >= 0)) {
+          best = sims(c); idx = c
+        }
+        c += 1
+      }
+      taken(idx) = true
+      out(p) = idx
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def argmaxCellCol(v: ArrayData, cents: ArrayData,
                     floatElems: Boolean): Int = {
     val x: Array[Double] =
@@ -531,6 +592,51 @@ case class ArgmaxCellExpr(child: Expression, centroids: Seq[Seq[Double]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Top-`nprobe` cell indices by cosine against a FIXED centroid matrix
+  * (best first) — [[ArgmaxCellExpr]] generalized from top-1 to top-n:
+  * the probe-selection step of an IVF query. Same reference-object
+  * shape, so generated code stays CONSTANT-size in nlist; the
+  * expression-tree alternative (`slice(reverse(array_sort(array(nlist
+  * struct-cosine exprs))))`) regrows codegen linearly in nlist — the
+  * exact shape whose corpus-side twin collapsed at nlist≈80
+  * (docs/PERF_NOTES.md) — and index-quality nlist is in the thousands.
+  * Ordering is identical to that form: descending (sim, idx), NaN
+  * greatest, ties → larger index first.
+  */
+case class TopCellsExpr(child: Expression, centroids: Seq[Seq[Double]],
+                        nprobe: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes =
+    Seq(org.apache.spark.sql.graftshim.Bridge.vectorArrayType)
+
+  // Seq constructor for structural equals (CSE/canonicalization — see
+  // ArgmaxCellExpr); the primitive matrix materializes lazily
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  private def floatElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.topCells(v.asInstanceOf[ArrayData], matrix, nprobe, floatElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.topCells($c, $ref, $nprobe, $floatElems);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Max cosine against a FIXED vector matrix (the scoring twin of
   * [[ArgmaxCellExpr]] — same codegen reference-object shape, returning
   * the best similarity instead of its index). Backs embedding-space
@@ -780,6 +886,9 @@ object VectorFunctions {
       centroids.map(_.toIndexedSeq).toIndexedSeq))
   def argmax_cells(v: Column, centroids: Column): Column =
     toColumn(ArgmaxCellsExpr(toExpr(v), toExpr(centroids)))
+  def top_cells(v: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    toColumn(TopCellsExpr(toExpr(v),
+      centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
   def max_cell_cosine(v: Column, centroids: Seq[Seq[Double]]): Column =
     toColumn(MaxCellCosineExpr(toExpr(v),
       centroids.map(_.toIndexedSeq).toIndexedSeq))

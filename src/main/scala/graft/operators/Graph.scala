@@ -28,20 +28,31 @@ object Graph {
     * fixed `iters` rounds at damping `d`:
     *
     *   pr₀(v)    = 1/N
-    *   prₖ₊₁(v) = (1-d)/N + d · Σ_{u→v} prₖ(u) · w(u,v)/outw(u)
+    *   prₖ₊₁(v) = (1-d)/N + d · (Σ_{u→v} prₖ(u) · w(u,v)/outw(u)
+    *                              [+ danglingₖ/N])
     *
     * Nodes are the union of sources and destinations; a node with no
-    * in-links settles at (1-d)/N. Dangling nodes (no out-links) leak
-    * their mass — the PageRank variant exact SQL replays (adding the
-    * dangling redistribution term needs one extra per-round aggregate,
-    * not a different shape). N reaches the plan as a literal from one
-    * bounded count action (a single long on the driver).
+    * in-links settles at (1-d)/N. Dangling nodes (no out-links) have
+    * no contribution row: with `redistributeDangling = false` their
+    * mass LEAKS each round (Σpr decays below 1 — the simpler variant a
+    * plain SQL CTE chain replays), and with `true` the classic
+    * correction applies — their total mass `danglingₖ` (one extra
+    * per-round 1-value aggregate, broadcast back as a 1-row frame,
+    * never driver-collected) spreads uniformly inside the damping
+    * term, so Σpr stays exactly 1 every round (GraphSpec pins
+    * conservation to 1 ± 1e-9). Web crawl graphs are dangling-HEAVY
+    * (most URLs have no outgoing edges in-corpus), so the leaky
+    * variant systematically understates authority mass; prefer
+    * redistribution for the domain-quality prior. N reaches the plan
+    * as a literal from one bounded count action (a single long on the
+    * driver).
     *
     * Output: (node, pagerank) with pagerank rounded to 6dp.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int = 3,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping >= 0 && damping <= 1,
       s"damping must be in [0, 1], got $damping")
@@ -59,22 +70,46 @@ object Graph {
         .persist()
       try {
         normEdges.count() // eager: every round must hit the cache
+        // the dangling set is fixed across rounds: nodes with no
+        // out-edges (node-cardinality, computed once)
+        lazy val dangling = nodes
+          .join(normEdges.select(col("src")).distinct(),
+            col("node") === col("src"), "left_anti")
+          .persist()
+        if (redistributeDangling) dangling.count()
         var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
-        for (_ <- 0 until iters) {
-          val contrib = normEdges
-            .join(ranks, col("src") === col("node"))
-            .groupBy(col("dst"))
-            .agg(sum(col("pr") * col("f")).as("s"))
-          ranks = nodes
-            .join(contrib, col("node") === col("dst"), "left")
-            .select(col("node"),
-              (lit((1 - damping) / n) +
-                lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
-          // pin each round: without this the final plan re-derives every
-          // previous round per downstream reference
-          ranks = ranks.localCheckpoint(true)
-        }
-        ranks.select(col("node"), round(col("pr"), 6).as("pagerank"))
+        try {
+          for (_ <- 0 until iters) {
+            val contrib = normEdges
+              .join(ranks, col("src") === col("node"))
+              .groupBy(col("dst"))
+              .agg(sum(col("pr") * col("f")).as("s"))
+            val base = nodes
+              .join(contrib, col("node") === col("dst"), "left")
+            ranks =
+              if (!redistributeDangling)
+                base.select(col("node"),
+                  (lit((1 - damping) / n) +
+                    lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+              else {
+                // one 1-value aggregate per round: the mass parked on
+                // dangling nodes, rejoined as a broadcast 1-row frame
+                val dm = dangling
+                  .join(ranks.withColumnRenamed("node", "__rn"),
+                    col("node") === col("__rn"))
+                  .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+                base.crossJoin(broadcast(dm))
+                  .select(col("node"),
+                    (lit((1 - damping) / n) +
+                      lit(damping) * (coalesce(col("s"), lit(0.0)) +
+                        col("__dm") / lit(n))).as("pr"))
+              }
+            // pin each round: without this the final plan re-derives
+            // every previous round per downstream reference
+            ranks = ranks.localCheckpoint(true)
+          }
+          ranks.select(col("node"), round(col("pr"), 6).as("pagerank"))
+        } finally if (redistributeDangling) dangling.unpersist()
       } finally normEdges.unpersist()
     } finally nodes.unpersist()
   }

@@ -59,6 +59,100 @@ object IncrementalDedup {
     org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp) / 8
 
+  /** Per-shard sketch capacity when the digest space splits into
+    * `nShards` hash ranges: an even split plus 50% headroom for hash
+    * imbalance (xxhash64 is near-uniform, so real skew is a few
+    * percent; the headroom keeps per-shard fpp at or under the
+    * nominal setting instead of degrading when a shard runs slightly
+    * over its even share).
+    */
+  def perShardItems(expectedItems: Long, nShards: Int): Long = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // one shard = the whole digest space: no imbalance, no headroom —
+    // identical sizing to the historical single-sketch path
+    if (nShards == 1) math.max(1L, expectedItems)
+    else math.max(1L, math.ceil(expectedItems.toDouble / nShards * 1.5).toLong)
+  }
+
+  /** Total driver bytes a sharded sketch set costs: nShards sketches
+    * of [[perShardItems]] capacity ≈ 1.5 × the monolithic sketch
+    * (the headroom is the only overhead — bloom bits are linear in
+    * capacity). Each INDIVIDUAL sketch is total/nShards: that is what
+    * must fit Spark's runtime bloom clamp (default 8 MB/4M items per
+    * sketch), which is the wall the monolithic sketch hits first.
+    */
+  def shardedSketchBytes(expectedItems: Long, nShards: Int,
+                         fpp: Double = 0.01): Long =
+    nShards * sketchBytes(perShardItems(expectedItems, nShards), fpp)
+
+  /** The shard a text digest routes to — THE routing function: build
+    * ([[shardedSketchOf]]) and probe ([[filterNewSharded]]) must agree
+    * on it, so it lives in exactly one place.
+    */
+  private def shardCol(dig: org.apache.spark.sql.Column, nShards: Int) =
+    pmod(dig, lit(nShards.toLong)).cast("int")
+
+  /** One Bloom sketch per digest-hash range: index i covers texts with
+    * pmod(xxhash64(text), nShards) = i; an empty shard stays null
+    * (= definitely-new on probe). One distributed aggregate builds all
+    * shards; the driver collects nShards bounded binaries.
+    */
+  def shardedSketchOf(df: DataFrame, textCol: String, expectedItems: Long,
+                      fpp: Double = 0.01,
+                      nShards: Int): Array[Array[Byte]] = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val dig = xxhash64(col(textCol))
+    val per = perShardItems(expectedItems, nShards)
+    val rows = df.groupBy(shardCol(dig, nShards).as("__s"))
+      .agg(BloomFunctions.bloom_agg(dig, per, fpp).as("bf"))
+      .collect()
+    val out = new Array[Array[Byte]](nShards)
+    rows.foreach(r => out(r.getInt(0)) = r.getAs[Array[Byte]](1))
+    out
+  }
+
+  /** Element-wise union of two sharded sketch sets (same build
+    * parameters — the underlying merge enforces compatibility).
+    * Null-tolerant per shard and per set.
+    */
+  def mergeSharded(a: Array[Array[Byte]],
+                   b: Array[Array[Byte]]): Array[Array[Byte]] = {
+    if (a == null) return b
+    if (b == null) return a
+    require(a.length == b.length,
+      s"shard counts differ: ${a.length} vs ${b.length}")
+    a.zip(b).map { case (x, y) => BloomFunctions.merge(x, y) }
+  }
+
+  /** [[filterNew]] against a SHARDED sketch set: the probe routes each
+    * row to its digest-range shard and bit-tests only that shard's
+    * sketch — a guarded chain of Spark-native bloom probes (generated
+    * code grows linearly in nShards, so IngestDedup bounds the count;
+    * every branch is one bit test, and exactly one branch runs per
+    * row). Same exactness contract as [[filterNew]]: the sketch only
+    * routes; bloom-positive rows still verify against the history by
+    * the digest-keyed text-equality anti-join.
+    */
+  def filterNewSharded(batch: DataFrame, history: DataFrame, textCol: String,
+                       sketches: Array[Array[Byte]]): DataFrame = {
+    if (sketches == null || sketches.forall(_ == null)) return batch
+    val dig = xxhash64(col(textCol))
+    val shard = shardCol(dig, sketches.length)
+    val probe = sketches.zipWithIndex.foldLeft(lit(false)) {
+      case (acc, (null, _)) => acc // empty shard: definitely new
+      case (acc, (sk, i)) =>
+        when(shard === i, BloomFunctions.might_contain(sk, dig))
+          .otherwise(acc)
+    }
+    val definitelyNew = batch.filter(!probe)
+    val maybeDup = batch.filter(probe)
+    val hist = history
+      .select(dig.as("__h"), col(textCol).as("__t")).distinct()
+    val verifiedNew = maybeDup.join(hist,
+      dig === col("__h") && col(textCol) === col("__t"), "left_anti")
+    definitelyNew.unionByName(verifiedNew)
+  }
+
   /** EXACT set-difference with no sketch at all — every batch row
     * rides the verify anti-join (digest-keyed, text-equality
     * re-checked). Same answer as [[filterNew]], none of the

@@ -140,13 +140,24 @@ object Pq {
       .join(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .withColumn("cosine", pq_adc(col("codes"), col("qvec"), toSeqs(cb)))
+    cutAndRerank(corpus, idCol, vecCol, q, scored, k, rerank)
+  }
+
+  /** The shared tail of every PQ serving path: cut `scored`
+    * (qid, id, cosine over ADC) to k·rerank with the bounded-heap
+    * partial top-k, then (rerank > 1 — the ADC+R design, Jégou et al.
+    * 2011 §VI) re-score ONLY the shortlist's raw vectors with the
+    * exact cosine. The shortlist rides back over the corpus scan as a
+    * broadcast, so the raw-vector read prunes map-side to the
+    * |queries|·k·rerank candidate set — no corpus shuffle, no
+    * per-query funnel.
+    */
+  private def cutAndRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                           q: DataFrame, scored: DataFrame,
+                           k: Int, rerank: Int): DataFrame = {
     val idType = corpus.schema(idCol).dataType
     if (rerank == 1) Similarity.topKPerQuery(scored, k, idType)
     else {
-      // candidate pairs ride a BROADCAST of the shortlist back over the
-      // corpus scan: the raw-vector read prunes map-side to the
-      // |queries|·k·rerank candidate set — no corpus shuffle, no
-      // per-query funnel
       val shortlist = Similarity.topKPerQuery(scored, k * rerank, idType)
         .select(col("qid").as("sq"), col("id").as("sid"))
       val exact = corpus
@@ -159,4 +170,104 @@ object Pq {
       Similarity.topKPerQuery(exact, k, idType)
     }
   }
+
+  /** IVF-PQ — the standard 100 TB serving layout (FAISS `IVFx,PQy`):
+    * the corpus is assigned ONCE to `nlist` coarse cells and stored as
+    * (id, cell, codes) — compressed codes partitioned by cell — so a
+    * query's ADC scan reads only its `nprobe` probed cells instead of
+    * the whole corpus. [[pqTopK]] alone compresses the scan 8-32× but
+    * still touches every row per query batch; the cell prune multiplies
+    * that by nprobe/nlist (nprobe=4 of nlist=16 → ~25% of the corpus,
+    * and at index-quality nlist in the thousands → well under 1%).
+    *
+    * The coarse quantizer is [[Similarity.trainCentroids]] (same
+    * deterministic seeding as [[Similarity.ivfTopK]] — identical
+    * parameters partition identically), probe selection is the
+    * constant-codegen `top_cells` kernel, cell assignment the
+    * `argmax_cell` kernel; both matrices are driver-bounded reference
+    * objects (nlist × dim and ksub × dim), independent of corpus size.
+    * Recall at a given (nprobe, rerank) is gated like plain PQ
+    * (the t78 harness pins the production-setting floor).
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int, nlist: Int = 16, nprobe: Int = 4,
+                refineIters: Int = 0, m: Int = 8, ksub: Int = 16,
+                iters: Int = 1, rerank: Int = 1,
+                codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
+    val centroids = Similarity.trainCentroids(
+      corpus.select(col(vecCol).as("vec")), nlist, refineIters)
+    val cents = centroids.map(_.toIndexedSeq).toIndexedSeq
+    val cb = codebook.getOrElse(
+      trainCodebook(corpus.select(col(vecCol)), vecCol, m, ksub, iters))
+    // the persisted-index shape: assign + encode in ONE corpus scan;
+    // at warehouse scale this frame is the stored table (partitioned /
+    // bucketed by cell), written once and served many times
+    val index = corpus.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.argmax_cell(col(vecCol), cents)
+        .as("cell"),
+      pq_encode(col(vecCol), toSeqs(cb)).as("codes"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val probes = q.select(col("qid"), col("qvec"),
+      explode(graft.functions.VectorFunctions.top_cells(
+        col("qvec"), cents, nprobe)).as("cell"))
+    // the join on cell IS the scan prune: only probed cells' code rows
+    // ever reach the ADC kernel
+    val scored = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine", pq_adc(col("codes"), col("qvec"), toSeqs(cb)))
+    cutAndRerank(corpus, idCol, vecCol, q, scored, k, rerank)
+  }
+
+  /** Prune accounting for [[ivfPqTopK]] — the witness that the cell
+    * join actually cuts the ADC scan: (check, value) rows for
+    * `scanned_rows` (code rows reaching the ADC kernel = Σ over
+    * queries of their probed cells' populations), `full_scan_rows`
+    * (what [[pqTopK]] would score: |corpus| · |queries|), and
+    * `scan_fraction` (their ratio — ≈ nprobe/nlist under balanced
+    * cells). Uses the same deterministic centroid training as
+    * [[ivfPqTopK]], so the cells audited are the cells served.
+    */
+  def ivfPqScanAudit(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     nlist: Int = 16, nprobe: Int = 4,
+                     refineIters: Int = 0): DataFrame = {
+    val centroids = Similarity.trainCentroids(
+      corpus.select(col(vecCol).as("vec")), nlist, refineIters)
+    val cents = centroids.map(_.toIndexedSeq).toIndexedSeq
+    val cellSizes = corpus
+      .select(graft.functions.VectorFunctions.argmax_cell(col(vecCol), cents)
+        .as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+    val probes = queries.select(
+      explode(graft.functions.VectorFunctions.top_cells(
+        col(qvecCol), cents, nprobe)).as("cell"))
+    val scanned = probes.join(cellSizes, Seq("cell"))
+      .agg(coalesce(sum(col("cn")), lit(0L)).cast("double").as("scanned"))
+    val full = corpus.agg(count(lit(1)).as("nc"))
+      .crossJoin(queries.agg(count(lit(1)).as("nq")))
+      .select((col("nc") * col("nq")).cast("double").as("full"))
+    scanned.crossJoin(full)
+      .select(
+        array(
+          struct(lit("scanned_rows").as("check"), col("scanned").as("value")),
+          struct(lit("full_scan_rows").as("check"), col("full").as("value")),
+          struct(lit("scan_fraction").as("check"),
+            round(col("scanned") / col("full"), 6).as("value"))).as("rs"))
+      .select(explode(col("rs")).as("r"))
+      .select(col("r.check").as("check"), col("r.value").as("value"))
+  }
+
+  /** [[pqTopK]] at fixed compression parameters as a
+    * [[Similarity.TopKProvider]] — the drop-in approximate candidate
+    * pass for [[Similarity.marginMine]] at extreme scale.
+    */
+  def pqProvider(m: Int = 8, ksub: Int = 16, iters: Int = 1,
+                 rerank: Int = 1): Similarity.TopKProvider =
+    (corpus, idCol, vecCol, queries, qidCol, qvecCol, k) =>
+      pqTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
+        m, ksub, iters, rerank)
 }

@@ -168,18 +168,19 @@ object Similarity {
     val seeds = seedCentroids(corpus.select(col(vecCol).as("vec")), nlist)
     val centroids = refineCentroids(
       corpus.select(col(vecCol).as("vec")), seeds, refineIters)
-    // top-nprobe cells per query (queries are small; computed the same way)
-    def probeCells(qvec: Column) = {
-      val sims = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        struct(cosine_sim(qvec, typedLit(c)).as("s"), lit(i).as("i")) }
-      slice(reverse(array_sort(array(sims: _*))), 1, nprobe)
-    }
     val cells = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", cellOf(col("vec"), centroids))
+    // top-nprobe cells per query via the native kernel — the
+    // expression-tree form (array_sort over nlist struct-cosine
+    // subtrees) regrows generated code linearly in nlist; fine at
+    // nlist=16, but index-quality nlist is in the thousands and the
+    // corpus-side twin of that shape already collapsed at nlist≈80
+    // (docs/PERF_NOTES.md). The kernel is one constant-size call.
     val probes = queries
       .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
-              explode(probeCells(col(qvecCol))).as("probe"))
-      .select(col("qid"), col("qvec"), col("probe.i").as("cell"))
+              explode(graft.functions.VectorFunctions.top_cells(
+                col(qvecCol), centroids.map(_.toIndexedSeq).toIndexedSeq,
+                nprobe)).as("cell"))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
@@ -233,6 +234,16 @@ object Similarity {
             s"unsupported vector element ${x.getClass}")
         }
       }
+
+  /** Deterministic coarse-quantizer training — hash-ordered distinct
+    * seeds + `refineIters` distributed Lloyd passes — shared by
+    * [[ivfTopK]] and [[Pq.ivfPqTopK]] so both index layouts partition
+    * the space identically at the same parameters. `vecs` must be a
+    * single-column frame named `vec`.
+    */
+  private[operators] def trainCentroids(vecs: DataFrame, nlist: Int,
+      refineIters: Int): Array[Seq[Double]] =
+    refineCentroids(vecs, seedCentroids(vecs, nlist), refineIters)
 
   /** Cell assignment for [[semDedup]]: deterministic k-means over the
     * corpus vectors — single-level while nlist ≤ [[MaxDriverNlist]]
@@ -466,9 +477,19 @@ object Similarity {
       r.getSeq[Any](0).map {
         case f: java.lang.Float  => f.toDouble
         case d: java.lang.Double => d.doubleValue()
+        case null => throw new IllegalArgumentException(
+          "decontaminateByEmbedding: NULL element inside an eval vector")
         case x => throw new IllegalArgumentException(
           s"unsupported vector element ${x.getClass}")
       }
+    }
+    // a zero-norm eval vector's cosine is NaN against EVERY corpus row,
+    // and NaN compares greatest in the kernel — one bad eval row would
+    // flag the whole corpus contaminated; fail fast instead
+    matrix.zipWithIndex.foreach { case (v, i) =>
+      require(v.exists(_ != 0.0),
+        s"decontaminateByEmbedding: eval vector $i has zero norm " +
+          "(cosine undefined — drop or fix it before decontamination)")
     }
     corpus
       .select(col(idCol), col(vecCol).as("vec"))
@@ -477,6 +498,22 @@ object Similarity {
       .select(col(idCol), col("max_eval_cos"),
               (col("max_eval_cos") >= threshold).as("contaminated"))
   }
+
+  /** A pluggable neighbor-list provider for [[marginMine]]:
+    * (corpus, idCol, vecCol, queries, qidCol, qvecCol, k) → a frame
+    * with at least (qid, id, cosine) — the [[bruteForceTopK]] output
+    * contract (rank is ignored). [[lshProvider]] and
+    * [[graft.operators.Pq.pqProvider]] are the drop-in approximate
+    * implementations for extreme scale.
+    */
+  type TopKProvider =
+    (DataFrame, String, String, DataFrame, String, String, Int) => DataFrame
+
+  /** [[lshTopK]] at fixed (bits, tables) as a [[TopKProvider]]. */
+  def lshProvider(bits: Int = 12, tables: Int = 4): TopKProvider =
+    (corpus, idCol, vecCol, queries, qidCol, qvecCol, k) =>
+      lshTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
+        bits, tables)
 
   /** Margin-based pair mining (the LASER/CCMatrix bitext-mining
     * shape): for every source vector, its best target by MARGIN score
@@ -490,26 +527,36 @@ object Similarity {
     * cosine, margin (6dp), and `accepted` = margin ≥ threshold on the
     * rounded value.
     *
-    * Scale shape: two bounded-heap top-k passes ([[bruteForceTopK]] —
-    * the partial aggregate caps shuffle at O(partitions·k) per side;
-    * swap in `lshTopK`/`pqTopK` for the candidate pass at extreme
-    * scale), the per-vector NNk means reduce map-side, and the margin
-    * join keys on the candidate pairs (source-count cardinality).
+    * `topK` is the candidate/neighbor pass, PLUGGABLE because it is
+    * the one compute-quadratic leg of the default: [[bruteForceTopK]]
+    * scores every (source, target) pair — O(N·M·dim) both directions —
+    * which is exact but a 100 TB scale-killer. Swapping in
+    * [[lshProvider]] / [[Pq.pqProvider]] makes the candidate pass
+    * sub-quadratic, and the NNk means then come from the provider's
+    * APPROXIMATE neighbor lists exactly as production LASER/CCMatrix
+    * mining does (means over FAISS shortlists, not exact top-k).
+    * Margins mine over provider candidates only.
+    *
+    * Scale shape: two bounded-heap top-k passes (the partial aggregate
+    * caps shuffle at O(partitions·k) per side regardless of provider),
+    * the per-vector NNk means reduce map-side, and the margin join
+    * keys on the candidate pairs (source-count cardinality).
     */
   def marginMine(src: DataFrame, sIdCol: String, sVecCol: String,
                  tgt: DataFrame, tIdCol: String, tVecCol: String,
-                 k: Int = 4, threshold: Double = 1.0): DataFrame = {
+                 k: Int = 4, threshold: Double = 1.0,
+                 topK: TopKProvider = bruteForceTopK): DataFrame = {
     val s = src.select(col(sIdCol).as("src_id"), col(sVecCol).as("svec"))
     val t = tgt.select(col(tIdCol).as("tgt_id"), col(tVecCol).as("tvec"))
     // forward top-k: for each source, its k nearest targets
-    val fwd = bruteForceTopK(t, "tgt_id", "tvec", s, "src_id", "svec", k)
+    val fwd = topK(t, "tgt_id", "tvec", s, "src_id", "svec", k)
       .select(col("qid").as("src_id"), col("id").as("tgt_id"),
               col("cosine"))
       .localCheckpoint(true) // feeds candidates AND the source NNk mean
     val avgS = fwd.groupBy(col("src_id"))
       .agg(avg(col("cosine")).as("avg_s"))
     // backward top-k: each target's k nearest sources → its NNk mean
-    val avgT = bruteForceTopK(s, "src_id", "svec", t, "tgt_id", "tvec", k)
+    val avgT = topK(s, "src_id", "svec", t, "tgt_id", "tvec", k)
       .groupBy(col("qid").as("tgt_id"))
       .agg(avg(col("cosine")).as("avg_t"))
     val scored = fwd

@@ -597,6 +597,65 @@ object Oracle {
         |)
         |SELECT node, round(pr, 6) AS pagerank FROM r3""".stripMargin,
 
+    "t79_pagerank_dangling" ->
+      // t64's CTE chain plus the dangling-mass correction: per round,
+      // the scalar mass on no-out-link nodes (NOT IN distinct src)
+      // spreads uniformly inside the damping term — same init/damping/
+      // left-join handling as Graph.pageRank(redistributeDangling=true)
+      """WITH edges AS (
+        |  SELECT source AS src,
+        |         'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst,
+        |         CAST(count(*) AS DOUBLE) AS w
+        |  FROM documents GROUP BY 1, 2
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges
+        |    UNION SELECT dst AS node FROM edges)
+        |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |ne AS (
+        |  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS f
+        |  FROM edges
+        |), dang AS (
+        |  SELECT node FROM nodes
+        |  WHERE node NOT IN (SELECT DISTINCT src FROM edges)
+        |), r0 AS (
+        |  SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn
+        |), d0 AS (
+        |  SELECT coalesce(sum(pr), 0) AS dm FROM r0
+        |  WHERE node IN (SELECT node FROM dang)
+        |), r1 AS (
+        |  SELECT node,
+        |         (1 - 0.85) / n +
+        |           0.85 * (coalesce(c.s, 0) + (SELECT dm FROM d0) / n) AS pr
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (SELECT dst, sum(r0.pr * f) AS s FROM ne
+        |             JOIN r0 ON ne.src = r0.node GROUP BY dst) c
+        |    ON nodes.node = c.dst
+        |), d1 AS (
+        |  SELECT coalesce(sum(pr), 0) AS dm FROM r1
+        |  WHERE node IN (SELECT node FROM dang)
+        |), r2 AS (
+        |  SELECT node,
+        |         (1 - 0.85) / n +
+        |           0.85 * (coalesce(c.s, 0) + (SELECT dm FROM d1) / n) AS pr
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (SELECT dst, sum(r1.pr * f) AS s FROM ne
+        |             JOIN r1 ON ne.src = r1.node GROUP BY dst) c
+        |    ON nodes.node = c.dst
+        |), d2 AS (
+        |  SELECT coalesce(sum(pr), 0) AS dm FROM r2
+        |  WHERE node IN (SELECT node FROM dang)
+        |), r3 AS (
+        |  SELECT node,
+        |         (1 - 0.85) / n +
+        |           0.85 * (coalesce(c.s, 0) + (SELECT dm FROM d2) / n) AS pr
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (SELECT dst, sum(r2.pr * f) AS s FROM ne
+        |             JOIN r2 ON ne.src = r2.node GROUP BY dst) c
+        |    ON nodes.node = c.dst
+        |)
+        |SELECT node, round(pr, 6) AS pagerank FROM r3""".stripMargin,
+
     "t63_stream_enrich" ->
       // t14's append-mode replay with a stream-static dimension join:
       // finalized = window end <= max(event time) - 1 day; the

@@ -968,6 +968,159 @@ object TrainingQueries {
       .orderBy(col("src_id"))
   }
 
+  /** t76_margin_ann_check — the enforced contract for marginMine's
+    * PLUGGABLE candidate pass (the scale path that replaces t75's
+    * compute-quadratic brute-force default): mine the same split with
+    * the wide-recall LSH provider (bits=2, tables=32 — the t16 setting
+    * whose candidate recall ≥ 0.9 is already gated) and compare to
+    * brute-force mining. Three (check, value) rows:
+    *
+    *  - `bf_accepted`: accepted pairs under brute force (sanity > 0 —
+    *    an empty baseline would make the recall row vacuous);
+    *  - `pair_recall`: fraction of brute-force-ACCEPTED pairs the ANN
+    *    path also accepts — the mining-level recall floor;
+    *  - `margin_drift_max`: max |margin_ann − margin_bf| over pairs
+    *    both paths mined. NNk means on the ANN path come from the
+    *    provider's approximate neighbor lists (the production
+    *    LASER/CCMatrix shape — means over FAISS shortlists), so
+    *    margins drift only where those lists diverge; the gate bounds
+    *    that drift.
+    */
+  def t76MarginAnnCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 =!= 0)
+    def mine(topK: Similarity.TopKProvider) =
+      Similarity.marginMine(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 4, threshold = 1.0, topK = topK)
+    // each side feeds 2-3 comparisons: eager-pin so neither mining run
+    // recomputes per aggregate
+    val bf = mine(Similarity.bruteForceTopK).localCheckpoint(true)
+    val ann = mine(Similarity.lshProvider(bits = 2, tables = 32))
+      .localCheckpoint(true)
+    val bfAcc = bf.filter(col("accepted"))
+      .select(col("src_id"), col("tgt_id"))
+    val annAcc = ann.filter(col("accepted"))
+      .select(col("src_id"), col("tgt_id"))
+    val nBf = bfAcc.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("bf_accepted").as("check"), col("value"))
+    val recall = annAcc.join(bfAcc, Seq("src_id", "tgt_id"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("hit"))
+      .crossJoin(bfAcc.agg(count(lit(1)).cast("double").as("den")))
+      .select(lit("pair_recall").as("check"),
+              round(col("hit") / col("den"), 6).as("value"))
+    val drift = bf
+      .select(col("src_id"), col("tgt_id"), col("margin").as("m_bf"))
+      .join(ann.select(col("src_id"), col("tgt_id"),
+        col("margin").as("m_ann")), Seq("src_id", "tgt_id"))
+      .agg(coalesce(max(abs(col("m_ann") - col("m_bf"))), lit(0.0))
+        .as("value"))
+      .select(lit("margin_drift_max").as("check"), col("value"))
+    nBf.unionByName(recall).unionByName(drift).orderBy(col("check"))
+  }
+
+  /** t77_ivfpq_topk — the IVF-PQ serving layout (FAISS `IVF16,PQ8`
+    * shape): corpus assigned once to 16 coarse cells and stored as
+    * (id, cell, codes); a query ADC-scans only its 8 probed cells'
+    * codes, shortlists k·8, and reranks the shortlist's raw vectors
+    * exactly. The cell prune multiplies t57's 32× compression win by
+    * nprobe/nlist of the scan (t78 audits the fraction and pins the
+    * recall floor). Rows-only driver row; t78 is the enforced
+    * cross-check.
+    */
+  def t77IvfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Pq.ivfPqTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 5, nlist = 16, nprobe = 8, m = 8, ksub = 16, iters = 1,
+        rerank = 8)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** t78_ivfpq_check — the enforced IVF-PQ contract (cross-check
+    * justifying t77's rows-only row): recall@5 of the t77 production
+    * setting vs the exact brute-force top-5 (t16-style semi-join),
+    * plus the PRUNE WITNESS — `scanned_rows` (code rows the probed
+    * cells actually feed the ADC kernel), `full_scan_rows` (what plain
+    * PQ scores: |corpus|·|queries|), `scan_fraction` (their ratio;
+    * the gate pins it ≤ nprobe/nlist + skew headroom, proving the cell
+    * join prunes the scan rather than decorating it).
+    */
+  def t78IvfPqCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select(col("qid"), col("id")).persist()
+    val denom = exact.count()
+    val recall = t77IvfPqTopK(spark, sfDir)
+      .select(col("qid"), col("id"))
+      .join(exact, Seq("qid", "id"), "left_semi")
+      .agg(round(count(lit(1)).cast("double") / lit(denom), 6).as("value"))
+      .select(lit("recall_at_5").as("check"), col("value"))
+    val audit = Pq.ivfPqScanAudit(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", nlist = 16, nprobe = 8)
+    recall.unionByName(audit).orderBy(col("check"))
+  }
+
+  /** t79_pagerank_dangling — t64's domain-authority graph under the
+    * dangling-mass-REDISTRIBUTING PageRank variant (the production
+    * choice for crawl graphs, where most URLs have no out-links
+    * in-corpus and the leaky variant systematically understates
+    * authority mass): each round, the mass parked on no-out-link nodes
+    * spreads uniformly inside the damping term, so Σpr stays exactly 1
+    * (GraphSpec pins conservation; the DuckDB oracle replays the same
+    * per-round dangling scalar in its CTE chain).
+    */
+  def t79PagerankDangling(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.documents(spark, sfDir)
+      .select(col("source").as("src"),
+        concat(lit("src"), (col("doc_id") * 7 + 3) % 20).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    Graph.pageRank(edges, "src", "dst", "w", iters = 3, damping = 0.85,
+        redistributeDangling = true)
+      .orderBy(col("node"))
+  }
+
+  /** t80_ivf_clustered_recall — the IVF serving-point recall contract
+    * on a corpus that actually HAS neighbor structure: the synthetic
+    * embeddings are near-orthogonal (t7/t16 scaladoc — max pairwise
+    * cosine ≈ 0.51), so t16's production-setting floor (nlist=16,
+    * nprobe=4 ≥ 0.5) is honest there but weak as a user contract.
+    * Here each vector blends 85/15 toward its (vec_id mod 8) center —
+    * eight well-separated clusters, the shape real embedding corpora
+    * have — and the SAME production setting must hold ≥ 0.7 (the
+    * floor the PQ gate already pins). One (check, value) row.
+    */
+  def t80IvfClusteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centers = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c"), col("embedding").as("cvec"))
+    val clustered = emb
+      .join(broadcast(centers), (col("vec_id") % 8) === col("c"))
+      .select(col("vec_id"),
+        zip_with(col("cvec"), col("embedding"),
+          (a, b) => a * lit(0.85) + b * lit(0.15)).as("embedding"))
+      // both the exact baseline and the IVF path scan this twice; the
+      // blend is cheap but the pin keeps the two paths reading
+      // IDENTICAL vectors (bitwise), which the recall join assumes
+      .localCheckpoint(true)
+    val queries = clustered.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select(col("qid"), col("id")).persist()
+    val denom = exact.count()
+    Similarity.ivfTopK(clustered, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 4)
+      .select(col("qid"), col("id"))
+      .join(exact, Seq("qid", "id"), "left_semi")
+      .agg(round(count(lit(1)).cast("double") / lit(denom), 6).as("value"))
+      .select(lit("recall_at_5_nlist16_nprobe4").as("check"), col("value"))
+  }
+
   /** t74_compress_ratio — DEFLATE-compressibility quality signal (the
     * "too compressible = boilerplate" heuristic): deflated/raw byte
     * ratio per document, flagged below 0.4. No SQL engine replays
@@ -1551,6 +1704,17 @@ object TrainingQueries {
   def t48Pipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     graft.pipeline.Curation.run(docs, t48Stages(docs)).ledger
+  }
+
+  /** t48's pipeline with a caller-supplied stage materializer — the
+    * warehouse form (stage boundary = real table write instead of
+    * localCheckpoint) ScaleStress measures; the ledger contract is
+    * identical by construction.
+    */
+  def t48PipelineMaterialized(spark: SparkSession, sfDir: String,
+      materialize: DataFrame => DataFrame): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.pipeline.Curation.run(docs, t48Stages(docs), materialize).ledger
   }
 
   /** The four t48 stages as [[graft.pipeline.Curation.Stage]]s — the

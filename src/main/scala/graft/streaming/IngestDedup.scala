@@ -28,26 +28,43 @@ import org.apache.spark.sql.functions.col
   */
 object IngestDedup {
 
+  /** Generated-code bound for the sharded probe: the membership test is
+    * a guarded chain of one bloom bit-test per shard, so code size is
+    * linear in the shard count — 64 keeps the method far under JIT
+    * limits while covering 64 × the per-sketch runtime clamp (256M
+    * distinct texts at the default 4M-item clamp; raise the clamp confs
+    * alongside `maxSketchBytes` to go further).
+    */
+  val MaxShards = 64
+
   /** Run `stream` to completion (AvailableNow), keep-first-deduping
     * into the state table under `stateBase`; returns the final state.
     * `expectedItems` sizes the sketch for the total distinct-text
     * count the state may reach.
     *
-    * DRIVER-MEMORY CONTRACT: the running sketch lives on the driver at
-    * `IncrementalDedup.sketchBytes(expectedItems, fpp)` bytes
-    * (~1.2 B/item at fpp 1e-2 — 1.2 GB per 10⁹ distinct texts), and
-    * each batch's fold transiently holds a second full-size sketch, so
-    * the PEAK is 2× the cap — `maxSketchBytes` bounds ONE sketch;
-    * provision the driver for twice it. The bloom path engages only
-    * when the sized sketch fits BOTH the cap and Spark's runtime
-    * bloom-filter conf clamp (`BloomFunctions.fitsRuntimeCaps` — past
-    * the clamp bloom_agg fails fast rather than silently saturating);
-    * otherwise the operator drops the bloom fast path entirely and
-    * runs every batch through the exact verify anti-join
-    * ([[IncrementalDedup.filterNewExact]]), which is the identical
-    * answer at per-batch join cost (at warehouse scale, against a
-    * digest-bucketed state table). Results are byte-identical either
-    * way; the sketch is an optimization, never the verdict.
+    * SKETCH SHARDING: one monolithic sketch hits Spark's runtime
+    * bloom clamp (default 8 MB/4M items PER SKETCH) long before driver
+    * memory is a problem, so past it the membership state shards by
+    * digest hash range — [[IncrementalDedup.shardedSketchOf]] builds
+    * one clamp-sized sketch per range in a single distributed
+    * aggregate, and the probe routes each row to its range's sketch.
+    * The shard count is the smallest n ≤ [[MaxShards]] whose per-shard
+    * capacity fits the runtime clamp with the TOTAL under
+    * `maxSketchBytes`.
+    *
+    * DRIVER-MEMORY CONTRACT, per shard count n (see
+    * [[IncrementalDedup.shardedSketchBytes]]): resident =
+    * n × sketchBytes(expectedItems·1.5/n) ≈ 1.5 × the monolithic
+    * sketch (the 1.5 is hash-imbalance headroom), capped at
+    * `maxSketchBytes`; each batch's fold transiently holds a second
+    * same-size set, so the PEAK is 2× that — provision the driver for
+    * twice the cap, exactly as before. n = 1 degrades to the plain
+    * single-sketch path. Only when even [[MaxShards]] shards cannot
+    * satisfy both bounds does the operator drop the bloom fast path
+    * and run every batch through the exact verify anti-join
+    * ([[IncrementalDedup.filterNewExact]]) — the identical answer at
+    * per-batch join cost. Results are byte-identical on every path;
+    * the sketch is an optimization, never the verdict.
     */
   def runKeepFirst(spark: SparkSession, stream: DataFrame,
                    textCol: String, idCol: String, stateBase: String,
@@ -58,18 +75,22 @@ object IngestDedup {
     require(keepVersions >= 2, s"keepVersions must be >= 2, got $keepVersions")
     val table = MutableTable.openOrInit(spark, stateBase, stream.schema,
       keepVersions)
-    val useSketch =
-      IncrementalDedup.sketchBytes(expectedItems, fpp) <= maxSketchBytes &&
-      BloomFunctions.fitsRuntimeCaps(expectedItems, fpp)
-    if (!useSketch)
-      System.err.println(s"[ingest-dedup] sketch for $expectedItems items " +
-        s"at fpp=$fpp exceeds maxSketchBytes=$maxSketchBytes; running " +
+    val nShards = pickShards(expectedItems, fpp, maxSketchBytes)
+    if (nShards == 0)
+      System.err.println(s"[ingest-dedup] no shard count <= $MaxShards fits " +
+        s"$expectedItems items at fpp=$fpp under maxSketchBytes=" +
+        s"$maxSketchBytes and the runtime bloom clamp; running " +
         "exact-verify-only (same results, no bloom fast path)")
+    else if (nShards > 1)
+      System.err.println(s"[ingest-dedup] sharding the sketch $nShards ways " +
+        s"(${IncrementalDedup.shardedSketchBytes(expectedItems, nShards, fpp)} " +
+        "total bytes; each shard under the runtime bloom clamp)")
     // resuming over surviving state: seed the sketch from it (one
     // scan) so replays of already-absorbed texts drop correctly
-    @volatile var sketch: Array[Byte] =
-      if (useSketch)
-        IncrementalDedup.sketchOf(table.read(), textCol, expectedItems, fpp)
+    @volatile var sketch: Array[Array[Byte]] =
+      if (nShards > 0)
+        IncrementalDedup.shardedSketchOf(table.read(), textCol,
+          expectedItems, fpp, nShards)
       else null
     @volatile var batches = 0L
     val q = stream.writeStream
@@ -78,18 +99,19 @@ object IngestDedup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val firstInBatch = Dedup.keepFirst(batch, Seq(textCol),
           Seq(col(idCol).asc))
-        val survivors = (if (useSketch)
-            IncrementalDedup.filterNew(firstInBatch, table.read(), textCol,
-              sketch)
+        val survivors = (if (nShards > 0)
+            IncrementalDedup.filterNewSharded(firstInBatch, table.read(),
+              textCol, sketch)
           else
             IncrementalDedup.filterNewExact(firstInBatch, table.read(),
               textCol))
           .localCheckpoint()  // upsert + sketch both consume it; and it
                               // must not lazily re-read state mid-mutation
         table.upsert(survivors, Seq(textCol))
-        if (useSketch)
-          sketch = BloomFunctions.merge(sketch,
-            IncrementalDedup.sketchOf(survivors, textCol, expectedItems, fpp))
+        if (nShards > 0)
+          sketch = IncrementalDedup.mergeSharded(sketch,
+            IncrementalDedup.shardedSketchOf(survivors, textCol,
+              expectedItems, fpp, nShards))
         batches += 1
         ()
       }
@@ -103,4 +125,18 @@ object IngestDedup {
     require(batches > 0, "stream produced no batches")
     table.read()
   }
+
+  /** Smallest shard count in [1, MaxShards] whose per-shard sketch
+    * fits the runtime bloom clamp with the total under
+    * `maxSketchBytes`; 0 when none does (→ exact-verify-only). n = 1
+    * is the plain single-sketch fast path, preferred when it fits.
+    */
+  private[streaming] def pickShards(expectedItems: Long, fpp: Double,
+                                    maxSketchBytes: Long): Int =
+    (1 to MaxShards).find { n =>
+      val per = IncrementalDedup.perShardItems(expectedItems, n)
+      BloomFunctions.fitsRuntimeCaps(per, fpp) &&
+      IncrementalDedup.shardedSketchBytes(expectedItems, n, fpp) <=
+        maxSketchBytes
+    }.getOrElse(0)
 }

@@ -186,7 +186,27 @@ object ScaleStress {
       "t74_compress_ratio" -> (TrainingQueries.t74CompressRatio _),
       // two bounded-heap top-k passes + NNk means + candidate join;
       // the 10× corpus multiplies both parity sides
-      "t75_margin_mine"  -> (TrainingQueries.t75MarginMine _))
+      "t75_margin_mine"  -> (TrainingQueries.t75MarginMine _),
+      // round-8: the ANN-backed margin-mining candidate pass at
+      // production-ish LSH params (bits=10 → 1024 buckets/table):
+      // candidate work is the bucket-intersection fraction (~4/1024 of
+      // the cross product) instead of t75's full N·M scoring — the
+      // sub-quadratic evidence for the pluggable provider
+      "t75_margin_ann_b10t4" -> ((s: SparkSession, d: String) => {
+        val emb = graft.Tables.embeddings(s, d)
+        graft.operators.Similarity.marginMine(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          k = 4, threshold = 1.0,
+          topK = graft.operators.Similarity.lshProvider(bits = 10, tables = 4))
+      }),
+      // IVF-PQ serving: coarse assign + encode are one corpus scan,
+      // the ADC scan reads only probed cells (t78 audits the
+      // fraction), rerank is a broadcast point-lookup set
+      "t77_ivfpq_topk"   -> (TrainingQueries.t77IvfPqTopK _),
+      // dangling-mass PageRank: one extra 1-value aggregate per round
+      // over the node-sized rank table — edge-shuffle cost unchanged
+      "t79_pagerank_dangling" -> (TrainingQueries.t79PagerankDangling _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
@@ -257,6 +277,49 @@ object ScaleStress {
         .count()
     }
     println(s"| t46 saturated (dropped) kmeans cells | $scS | $scB |")
+    // t78: the IVF-PQ prune witness at both scales — scanned ADC rows
+    // must track the probed fraction (~nprobe/nlist), NOT the corpus ×
+    // query cross product, as the corpus grows
+    def scanAudit(d: String): Map[String, Double] = {
+      val emb = graft.Tables.embeddings(spark, d)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.operators.Pq.ivfPqScanAudit(emb, "vec_id", "embedding",
+          qs, "qid", "qvec", nlist = 16, nprobe = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val (paS, paB) = (scanAudit(base), scanAudit(big))
+    println(s"| t78 ivfpq scanned ADC rows | ${paS("scanned_rows").toLong} " +
+      s"| ${paB("scanned_rows").toLong} |")
+    println(s"| t78 ivfpq scan fraction | ${paS("scan_fraction")} " +
+      s"| ${paB("scan_fraction")} |")
+    // t48 with a REAL table-write materializer (the warehouse stage
+    // boundary the Curation runner exists to swap in): ledger must
+    // match the localCheckpoint form at both scales; the time delta is
+    // the parquet write+read of each stage output
+    def curationRun(d: String, tag: String): (Long, Double, Double) = {
+      val ckpt = timed {
+        TrainingQueries.t48Pipeline(spark, d).collect()
+      }
+      val matDir = graft.io.TempDirs.create(s"graft_cur_$tag").toString
+      var stage = 0
+      val tbl = timed {
+        TrainingQueries.t48PipelineMaterialized(spark, d, df => {
+          stage += 1
+          val p = s"$matDir/stage$stage"
+          df.write.mode("overwrite").parquet(p)
+          spark.read.parquet(p)
+        }).collect()
+      }
+      require(ckpt._1.map(_.toString).toSeq == tbl._1.map(_.toString).toSeq,
+        s"table-write ledger diverged from localCheckpoint ledger at $d")
+      (ckpt._1.length.toLong, ckpt._2, tbl._2)
+    }
+    val (rowsS2, ckS, twS) = curationRun(base, "s")
+    val (rowsB2, ckB, twB) = curationRun(big, "b")
+    println(f"| t48 curation ledger rows (ckpt == table-write) | $rowsS2 | $rowsB2 |")
+    println(f"| t48 curation s (ckpt / table-write) | $ckS%.2f / $twS%.2f " +
+      f"| $ckB%.2f / $twB%.2f |")
     spark.stop()
   }
 }

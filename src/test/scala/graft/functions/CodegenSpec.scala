@@ -95,6 +95,28 @@ class CodegenSpec extends SparkSpec {
     assert(row2.getInt(0) == 1 && row2.getInt(1) == 1)
   }
 
+  test("TopCellsExpr compiles under codegen; ordering matches the array_sort form") {
+    val vec = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    // centroids 0 and 3 identical (tie), 1 nearest, 2 orthogonal-ish:
+    // descending (sim, idx) with ties taking the LARGER index first
+    val matrix = Vector(Vector(1.0, 0.0), Vector(3.0, 0.4),
+                        Vector(0.0, 1.0), Vector(1.0, 0.0))
+    val expr = TopCellsExpr(vec, matrix, nprobe = 3)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val input = InternalRow(new GenericArrayData(Array(3.0, 0.1)))
+    val row = proj(input)
+    // cos vs (1,0) ≈ 0.99944 (cells 0 and 3 tie → 3 first, then 0),
+    // vs (3,0.4) ≈ 0.99508, vs (0,1) ≈ 0.0333
+    assert(row.getArray(0).toIntArray().toSeq == Seq(3, 0, 1))
+    // codegen == interpreted
+    assert(expr.eval(input).asInstanceOf[GenericArrayData]
+      .toIntArray().toSeq == Seq(3, 0, 1))
+    // nprobe > nlist degenerates to all cells, still ordered
+    val all = TopCellsExpr(vec, matrix, nprobe = 10)
+    assert(all.eval(input).asInstanceOf[GenericArrayData]
+      .toIntArray().toSeq == Seq(3, 0, 1, 2))
+  }
+
   test("MaxCellCosineExpr compiles under codegen; returns the best cosine") {
     val vec = BoundReference(0, ArrayType(DoubleType), nullable = true)
     val matrix = Vector(Vector(1.0, 0.0), Vector(0.0, 1.0))

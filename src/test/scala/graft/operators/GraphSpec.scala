@@ -52,6 +52,32 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out.values.sum - 1.0) < 1e-5)
   }
 
+  test("pageRank redistributeDangling: mass conserved every round; leaky variant loses it") {
+    // B and C are dangling (no out-links) — the crawl-graph shape
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L)).toDF("src", "dst", "w")
+    for (iters <- 1 to 3) {
+      val sum = Graph.pageRank(edges, "src", "dst", "w", iters = iters,
+          redistributeDangling = true)
+        .agg(org.apache.spark.sql.functions.sum($"pagerank"))
+        .as[Double].head()
+      // Σpr = 1 every round (± 6dp output rounding across 3 nodes)
+      assert(math.abs(sum - 1.0) < 3e-6, s"iters=$iters: $sum")
+    }
+    val leaky = Graph.pageRank(edges, "src", "dst", "w", iters = 3)
+      .agg(org.apache.spark.sql.functions.sum($"pagerank"))
+      .as[Double].head()
+    assert(leaky < 0.9) // 2/3 of the mass parks on dangling nodes and decays
+    // hand-check one round: pr0 = 1/3 each; dangling mass = 2/3
+    //   contrib: B ← A/2, C ← A/2
+    //   pr1(A) = 0.05 + 0.85·(0 + (2/3)/3)          = 0.238889
+    //   pr1(B) = 0.05 + 0.85·(1/6 + (2/3)/3)        = 0.380556
+    val one = Graph.pageRank(edges, "src", "dst", "w", iters = 1,
+        redistributeDangling = true)
+      .as[(String, Double)].collect().toMap
+    assert(one("A") == 0.238889)
+    assert(one("B") == 0.380556 && one("C") == 0.380556)
+  }
+
   test("pageRank: weights matter — doubling an edge weight shifts mass") {
     val base = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "A", 1L),
                    ("C", "A", 1L)).toDF("src", "dst", "w")

@@ -76,6 +76,50 @@ class PqSpec extends SparkSpec {
     assert(pq == exact)
   }
 
+  test("ivfPqTopK: nprobe = nlist + full codebook degenerates to brute force") {
+    val q = corpus.filter($"vec_id" <= 1)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val cb = Pq.trainCodebook(corpus, "embedding", m = 2, ksub = 4)
+    val got = Pq.ivfPqTopK(corpus, "vec_id", "embedding", q, "qid", "qvec",
+        k = 3, nlist = 2, nprobe = 2, codebook = Some(cb))
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", k = 3)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(got == exact)
+    // rerank path too
+    val rr = Pq.ivfPqTopK(corpus, "vec_id", "embedding", q, "qid", "qvec",
+        k = 2, nlist = 2, nprobe = 2, rerank = 2, codebook = Some(cb))
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val exact2 = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", k = 2)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(rr == exact2)
+  }
+
+  test("ivfPqTopK prunes the scan: nprobe < nlist reads only probed cells") {
+    val q = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val audit = Pq.ivfPqScanAudit(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", nlist = 2, nprobe = 1)
+      .as[(String, Double)].collect().toMap
+    assert(audit("full_scan_rows") == 4.0)      // 4 corpus rows × 1 query
+    assert(audit("scanned_rows") < 4.0)         // the probe prunes
+    assert(audit("scanned_rows") > 0.0)
+    assert(audit("scan_fraction") ==
+      math.rint(audit("scanned_rows") / 4.0 * 1e6) / 1e6)
+    // the pruned serving path still returns k rows per query — the
+    // probed cell must contain the query's own neighborhood
+    val cb = Pq.trainCodebook(corpus, "embedding", m = 2, ksub = 4)
+    val served = Pq.ivfPqTopK(corpus, "vec_id", "embedding", q, "qid",
+        "qvec", k = 1, nlist = 2, nprobe = 1, codebook = Some(cb))
+      .select("qid", "id").as[(Long, Long)].collect()
+    assert(served.nonEmpty)
+    assert(Pq.ivfPqScanAudit(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", nlist = 2, nprobe = 2)
+      .as[(String, Double)].collect().toMap.apply("scan_fraction") == 1.0)
+  }
+
   test("Lloyd refinement recenters codewords to member means") {
     // one subspace (m=1), 4 points on a line; ksub=2 seeds then one
     // Lloyd pass must land centroids on the two cluster means

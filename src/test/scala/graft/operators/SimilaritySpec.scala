@@ -89,6 +89,61 @@ class SimilaritySpec extends SparkSpec {
     assert(m2._2 == 1L && m2._3 == 1.0 && m2._5)
   }
 
+  test("marginMine: pluggable provider drives the candidate pass") {
+    val srcs = Seq((0L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val tgts = Seq((1L, Array(0.9f, 0.1f, 0f)), (3L, Array(0.1f, 0.9f, 0f)),
+                   (5L, Array(0.7f, 0.7f, 0f))).toDF("vec_id", "embedding")
+    val default = Similarity.marginMine(srcs, "vec_id", "embedding",
+        tgts, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+    // explicitly passing bruteForceTopK is the identity
+    val explicit = Similarity.marginMine(srcs, "vec_id", "embedding",
+        tgts, "vec_id", "embedding", k = 2,
+        topK = Similarity.bruteForceTopK)
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+    assert(default == explicit)
+    // a provider that returns exhaustive candidate lists (LSH at 1 bit
+    // × 8 tables on a tiny corpus ⇒ recall 1) reproduces brute-force
+    // mining exactly — the ANN-path parity contract t76 gates at scale
+    val lsh = Similarity.marginMine(srcs, "vec_id", "embedding",
+        tgts, "vec_id", "embedding", k = 2,
+        topK = Similarity.lshProvider(bits = 1, tables = 8))
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+    assert(lsh == default)
+    // a provider that WITHHOLDS target 1 proves candidates come from
+    // the provider, not from any internal scoring: src 0 must pair
+    // with 5 (its best remaining target)
+    val restricted: Similarity.TopKProvider =
+      (corpus, idCol, vecCol, queries, qidCol, qvecCol, k) =>
+        Similarity.bruteForceTopK(
+          corpus.filter(col(idCol) =!= 1L), idCol, vecCol,
+          queries, qidCol, qvecCol, k)
+    val out = Similarity.marginMine(srcs, "vec_id", "embedding",
+        tgts, "vec_id", "embedding", k = 2, topK = restricted)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(!out.values.toSet.contains(1L))
+    assert(out(0L) == 5L)
+  }
+
+  test("decontaminateByEmbedding rejects zero-norm and null-element eval vectors") {
+    val zero = Seq((100L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.decontaminateByEmbedding(
+        corpus, "vec_id", "embedding", zero, "embedding", threshold = 0.9)
+    }
+    assert(e.getMessage.contains("zero norm"))
+    val withNullElem = Seq((100L, Array[java.lang.Float](1.0f, null, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.decontaminateByEmbedding(
+        corpus, "vec_id", "embedding", withNullElem, "embedding",
+        threshold = 0.9)
+    }
+    assert(e2.getMessage.contains("NULL element"))
+  }
+
   test("decontaminateByEmbedding fails fast on an eval set above maxEval") {
     val eval = Seq((100L, Array(1.0f, 0.0f, 0.0f)),
                    (101L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")

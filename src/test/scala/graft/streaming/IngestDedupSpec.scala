@@ -73,6 +73,47 @@ class IngestDedupSpec extends SparkSpec {
     assert(graft.operators.IncrementalDedup.sketchBytes(100L) > 0L)
   }
 
+  test("forced sharded sketch converges to the same state table") {
+    // expectedItems past Spark's per-sketch runtime clamp (4M items
+    // default) forces the sharded path: 10M · 1.5 headroom / n ≤ 4M
+    // needs n ≥ 4 shards — pickShards must find it, and the final
+    // state must be identical to the single-sketch run
+    assert(IngestDedup.pickShards(100L, 0.01, 256L << 20) == 1)
+    val forced = IngestDedup.pickShards(10000000L, 0.01, 256L << 20)
+    assert(forced > 1, s"expected a multi-shard pick, got $forced")
+    assert(IngestDedup.pickShards(10000000L, 0.01, 0L) == 0) // cap → exact-only
+    val work = java.nio.file.Files.createTempDirectory("ingest_spec5").toString
+    docsDf(Seq((1L, "alpha"), (5L, "alpha"), (2L, "beta")))
+      .coalesce(1).write.parquet(s"$work/in/b=0")
+    docsDf(Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma")))
+      .coalesce(1).write.parquet(s"$work/in/b=1")
+    def run(state: String, items: Long) = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$work/in/b=*")
+      IngestDedup.runKeepFirst(spark, stream, "text", "doc_id",
+          s"$work/$state", expectedItems = items)
+        .as[(Long, String)].collect().toSet
+    }
+    val single = run("state_single", 100L)        // n = 1 path
+    val sharded = run("state_sharded", 10000000L) // forced n >= 4 path
+    assert(sharded == Set((1L, "alpha"), (2L, "beta"), (12L, "gamma")))
+    assert(sharded == single)
+    // replay over the sharded state: the resumed sharded sketch seeds
+    // from the surviving table and the state must not grow
+    val replay = run("state_sharded", 10000000L)
+    assert(replay == sharded)
+    // documented memory math: sharded total ≈ 1.5× the monolithic
+    // sketch, each shard under the clamp
+    import graft.operators.IncrementalDedup
+    val total = IncrementalDedup.shardedSketchBytes(10000000L, forced)
+    val mono = IncrementalDedup.sketchBytes(10000000L)
+    assert(total >= mono && total <= (mono * 1.6).toLong)
+    assert(graft.functions.BloomFunctions.fitsRuntimeCaps(
+      IncrementalDedup.perShardItems(10000000L, forced)))
+  }
+
   test("state holds exactly one row per distinct text under heavy dup load") {
     val work = java.nio.file.Files.createTempDirectory("ingest_spec3").toString
     val rows = (0L until 300L).map(i => (i, s"t${i % 25}"))  // 25 texts × 12 copies
