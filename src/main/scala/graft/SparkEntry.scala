@@ -152,6 +152,8 @@ object SparkEntry {
     "t78_ivfpq_check"    -> (TrainingQueries.t78IvfPqCheck _),
     "t79_pagerank_dangling" -> (TrainingQueries.t79PagerankDangling _),
     "t80_ivf_clustered_recall" -> (TrainingQueries.t80IvfClusteredRecall _),
+    "t81_ivfpq_append"   -> (TrainingQueries.t81IvfPqAppend _),
+    "t82_temperature_mix" -> (TrainingQueries.t82TemperatureMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -178,6 +178,17 @@ object Verify {
         .map(_.exists(r =>
           r.getAs[String]("check") == "recall_at_5_nlist16_nprobe4" &&
           r.getAs[Double]("value") >= 0.7)),
+      // IVF-PQ index APPEND contract (t81): appending a new batch to a
+      // fixed index must assign bit-identically to a full-corpus build
+      // (pure per-row assignment — batch boundaries can never leak),
+      // and the appended index must serve at the same pinned floor as
+      // t78 (measured 0.62 with centroids trained on 6/7 of the data)
+      "t81 append parity violations == 0" -> rows("t81_ivfpq_append").map(
+        _.exists(r => r.getAs[String]("check") == "append_parity_violations" &&
+          r.getAs[Double]("value") == 0.0)),
+      "t81 appended-index recall >= 0.55" -> rows("t81_ivfpq_append").map(
+        _.exists(r => r.getAs[String]("check") == "recall_at_5" &&
+          r.getAs[Double]("value") >= 0.55)),
       // BPE merge-apply contract — the cross-check justifying t55's
       // rows-only row: steps contiguous from 1, merged = left||right,
       // every pass merged something (0 < applied ≤ pair_count — the

@@ -195,31 +195,82 @@ object Pq {
                 refineIters: Int = 0, m: Int = 8, ksub: Int = 16,
                 iters: Int = 1, rerank: Int = 1,
                 codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
-    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
-    require(nprobe >= 1 && nprobe <= nlist,
-      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
-    val centroids = Similarity.trainCentroids(
+    val (cents, cb) = codebook match {
+      case Some(c) => (ivfPqTrainCentroids(corpus, vecCol, nlist,
+        refineIters), c)
+      case None => ivfPqTrain(corpus, vecCol, nlist, refineIters, m,
+        ksub, iters)
+    }
+    ivfPqServe(ivfPqIndex(corpus, idCol, vecCol, cents, cb),
+      corpus, idCol, vecCol, queries, qidCol, qvecCol,
+      k, nprobe, rerank, cents, cb)
+  }
+
+  /** The coarse half of [[ivfPqTrain]] (exposed so a caller supplying
+    * its own codebook still trains centroids identically).
+    */
+  def ivfPqTrainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+                          refineIters: Int = 0): Array[Seq[Double]] =
+    Similarity.trainCentroids(
       corpus.select(col(vecCol).as("vec")), nlist, refineIters)
+
+  /** Train the two driver-bounded halves of an IVF-PQ index — the
+    * coarse centroid matrix (nlist × dim) and the PQ codebook
+    * (ksub × dim). Both are pure functions of the training corpus
+    * under deterministic seeding, so any later caller holding them can
+    * extend the index without touching the original data.
+    */
+  def ivfPqTrain(corpus: DataFrame, vecCol: String, nlist: Int = 16,
+                 refineIters: Int = 0, m: Int = 8, ksub: Int = 16,
+                 iters: Int = 1)
+      : (Array[Seq[Double]], Array[Array[Array[Double]]]) =
+    (ivfPqTrainCentroids(corpus, vecCol, nlist, refineIters),
+     trainCodebook(corpus.select(col(vecCol)), vecCol, m, ksub, iters))
+
+  /** (id, cell, codes) index rows for `corpus` under a FIXED index —
+    * the build AND the APPEND path (the FAISS `add()` contract):
+    * assignment is a pure per-row function of (vector, centroids,
+    * codebook), independent of partitioning and of every other row, so
+    * extending a served index with a new ingest batch is exactly this
+    * over the batch, unioned (or appended to the stored cell-bucketed
+    * table) — no retraining, no touching existing rows. One scan, two
+    * kernel calls per row, both matrices codegen reference objects.
+    * The t81 gate pins the contract: appended rows must be bit-equal
+    * to what a full-corpus build assigns them.
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Seq[Double]],
+                 codebook: Array[Array[Array[Double]]]): DataFrame = {
     val cents = centroids.map(_.toIndexedSeq).toIndexedSeq
-    val cb = codebook.getOrElse(
-      trainCodebook(corpus.select(col(vecCol)), vecCol, m, ksub, iters))
-    // the persisted-index shape: assign + encode in ONE corpus scan;
-    // at warehouse scale this frame is the stored table (partitioned /
-    // bucketed by cell), written once and served many times
-    val index = corpus.select(col(idCol).as("id"),
+    corpus.select(col(idCol).as("id"),
       graft.functions.VectorFunctions.argmax_cell(col(vecCol), cents)
         .as("cell"),
-      pq_encode(col(vecCol), toSeqs(cb)).as("codes"))
+      pq_encode(col(vecCol), toSeqs(codebook)).as("codes"))
+  }
+
+  /** Serve top-k from a prebuilt (id, cell, codes) `index`: probe the
+    * `nprobe` top cells per query ([[graft.functions.TopCellsExpr]]
+    * kernel), ADC-score ONLY the probed cells' code rows (the join on
+    * cell is the scan prune), cut + optionally rerank against `raw`
+    * (the raw-vector table, read only for the shortlist point-lookups).
+    */
+  def ivfPqServe(index: DataFrame, raw: DataFrame, idCol: String,
+                 vecCol: String, queries: DataFrame, qidCol: String,
+                 qvecCol: String, k: Int, nprobe: Int, rerank: Int,
+                 centroids: Array[Seq[Double]],
+                 codebook: Array[Array[Array[Double]]]): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, nlist=${centroids.length}], got $nprobe")
+    val cents = centroids.map(_.toIndexedSeq).toIndexedSeq
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
     val probes = q.select(col("qid"), col("qvec"),
       explode(graft.functions.VectorFunctions.top_cells(
         col("qvec"), cents, nprobe)).as("cell"))
-    // the join on cell IS the scan prune: only probed cells' code rows
-    // ever reach the ADC kernel
     val scored = index.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine", pq_adc(col("codes"), col("qvec"), toSeqs(cb)))
-    cutAndRerank(corpus, idCol, vecCol, q, scored, k, rerank)
+      .withColumn("cosine", pq_adc(col("codes"), col("qvec"), toSeqs(codebook)))
+    cutAndRerank(raw, idCol, vecCol, q, scored, k, rerank)
   }
 
   /** Prune accounting for [[ivfPqTopK]] — the witness that the cell

@@ -23,6 +23,53 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** Temperature-weighted source mixing — the mT5/XLM-R α-sampling
+    * shape for multilingual/multi-domain corpora: source s with share
+    * p_s = n_s/N is sampled at the TEMPERED share
+    *
+    *   q_s = p_s^α / Σ_t p_t^α        (n_s^α works too — N^α cancels)
+    *
+    * so α = 1 keeps the natural proportions, α → 0 flattens toward
+    * uniform, and intermediate α (0.3–0.7 in practice) upweights rare
+    * sources without letting any dominate. Each source keeps
+    * quota_s = min(n_s, ⌊targetRows · q_s⌋) rows — no upsampling here
+    * (compose [[upsampleEpochs]] when rates above 1 are wanted) — via
+    * the deterministic smallest-md5(key) cut every other sampler uses,
+    * so the whole output is exactly SQL-replayable. The ⌊⌋ applies to
+    * the 6dp-ROUNDED product (the cross-engine convention): a raw
+    * floor sits one double ulp from flipping on engine arithmetic.
+    *
+    * Scale shape: one map-side-combinable count per source feeds a
+    * group-cardinality quota table (the Σ-normalizer is a broadcast
+    * 1-row aggregate OVER that table, never a second corpus pass);
+    * quotas broadcast-join back on the group key and the cut is the
+    * same salted two-level cap as [[sampleQuotas]] — no per-source
+    * window funnel at any input size.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
+                     alpha: Double, targetRows: Long,
+                     salts: Int = 64): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    require(targetRows >= 0, s"targetRows must be >= 0, got $targetRows")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val tempered = pow(col("__n").cast("double"), lit(alpha))
+    val quotas = counts
+      .crossJoin(broadcast(
+        counts.agg(sum(pow(col("__n").cast("double"), lit(alpha)))
+          .as("__z"))))
+      .select(col(groupCol),
+        least(col("__n"),
+          floor(round(lit(targetRows.toDouble) * tempered / col("__z"), 6))
+            .cast("long")).as("__quota"))
+    Sampling.saltedCap(
+        df.join(broadcast(quotas), groupCol),
+        Seq(col(groupCol)),
+        orderBy = md5(col(keyCol).cast("string")),
+        saltBy = xxhash64(col(keyCol)),
+        cap = col("__quota"), salts = salts)
+      .drop("__quota")
+  }
+
   /** Keep at most `quotas(group)` rows per group (`defaultQuota` for
     * unlisted groups), selecting the smallest-md5(key) rows. `keyCol`
     * must be unique (the deterministic tiebreak).

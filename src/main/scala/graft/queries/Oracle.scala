@@ -597,6 +597,34 @@ object Oracle {
         |)
         |SELECT node, round(pr, 6) AS pagerank FROM r3""".stripMargin,
 
+    "t82_temperature_mix" ->
+      // skewed derived domain (g||⌊√doc_id⌋ — IEEE-exact in both
+      // engines), counts → tempered (α = 0.5) quotas, floor of the
+      // 6dp-rounded product (cross-engine fp convention), then the
+      // standard md5-rank window cut (t29's replay shape)
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         'g' || CAST(CAST(floor(sqrt(CAST(doc_id AS DOUBLE)))
+        |                          AS BIGINT) AS VARCHAR) AS domain
+        |  FROM documents
+        |), c AS (
+        |  SELECT domain, count(*) AS n FROM d GROUP BY 1
+        |), z AS (
+        |  SELECT sum(pow(n, 0.5)) AS z FROM c
+        |), q AS (
+        |  SELECT domain,
+        |         least(n, CAST(floor(round(200 * pow(n, 0.5) / z, 6))
+        |                       AS BIGINT)) AS quota
+        |  FROM c CROSS JOIN z
+        |), r AS (
+        |  SELECT doc_id, domain, row_number() OVER (
+        |    PARTITION BY domain
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM d
+        |)
+        |SELECT r.doc_id, r.domain FROM r JOIN q USING (domain)
+        |WHERE rn <= quota""".stripMargin,
+
     "t79_pagerank_dangling" ->
       // t64's CTE chain plus the dangling-mass correction: per round,
       // the scalar mass on no-out-link nodes (NOT IN distinct src)

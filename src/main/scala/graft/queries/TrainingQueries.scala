@@ -1065,6 +1065,76 @@ object TrainingQueries {
     recall.unionByName(audit).orderBy(col("check"))
   }
 
+  /** t81_ivfpq_append — the index MAINTENANCE path (FAISS `add()`
+    * contract): train centroids + codebook on the base corpus
+    * (vec_id % 7 ≠ 0), build its index, then APPEND the remaining
+    * sevenths as a new ingest batch — pure per-row assignment under
+    * the FIXED index, no retraining, no touching existing rows. Two
+    * enforced (check, value) rows:
+    *
+    *  - `append_parity_violations`: every appended row's (cell, codes)
+    *    must be bit-equal to what a full-corpus build under the same
+    *    index assigns it (assignment is a pure function of the vector
+    *    — partitioning and batch boundaries can never leak in). == 0.
+    *  - `recall_at_5`: serving the t77 production setting from the
+    *    appended index vs exact brute force over the full corpus —
+    *    the appended batch must be as findable as the base (floor
+    *    pinned from measurement; centroids see only 6/7 of the data).
+    */
+  def t81IvfPqAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val batch = emb.filter(col("vec_id") % 7 === 0)
+    val (cents, cb) = Pq.ivfPqTrain(base, "embedding", nlist = 16,
+      refineIters = 0, m = 8, ksub = 16, iters = 1)
+    val appended = Pq.ivfPqIndex(base, "vec_id", "embedding", cents, cb)
+      .unionByName(Pq.ivfPqIndex(batch, "vec_id", "embedding", cents, cb))
+      .localCheckpoint(true) // feeds the parity check AND the serve
+    val full = Pq.ivfPqIndex(emb, "vec_id", "embedding", cents, cb)
+      .select(col("id"), col("cell").as("f_cell"), col("codes").as("f_codes"))
+    val parity = appended.join(full, "id")
+      .filter(col("cell") =!= col("f_cell") ||
+              col("codes") =!= col("f_codes"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("append_parity_violations").as("check"), col("value"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select(col("qid"), col("id")).persist()
+    val denom = exact.count()
+    val recall = Pq.ivfPqServe(appended, emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nprobe = 8, rerank = 8, cents, cb)
+      .select(col("qid"), col("id"))
+      .join(exact, Seq("qid", "id"), "left_semi")
+      .agg(round(count(lit(1)).cast("double") / lit(denom), 6).as("value"))
+      .select(lit("recall_at_5").as("check"), col("value"))
+    parity.unionByName(recall).orderBy(col("check"))
+  }
+
+  /** t82_temperature_mix — mT5/XLM-R α-sampling: tempered share
+    * q_s ∝ n_s^0.5, each group keeps min(n_s, ⌊200·q_s⌋) rows by the
+    * deterministic md5 cut. The corpus's `source` column is uniform
+    * (α does nothing on equal sizes), so the query groups by a
+    * deliberately SKEWED derived domain — g⌊√doc_id⌋, sizes
+    * 1, 3, 5, …, 45 — the multilingual-corpus shape the operator
+    * exists for: the 1-doc group survives whole, the 45-doc group
+    * keeps ~29%. ⌊√·⌋ is IEEE-exact in both engines (sqrt is a
+    * correctly-rounded operation, exact at perfect squares), so group
+    * membership replays bit-for-bit; quotas floor the 6dp-ROUNDED
+    * tempered product (the cross-engine fp convention). Exact oracle:
+    * counts → quotas → the same md5-rank window cut.
+    */
+  def t82TemperatureMix(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Mixing.temperatureMix(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            concat(lit("g"), floor(sqrt(col("doc_id").cast("double")))
+              .cast("long")).as("domain")),
+        "domain", "doc_id", alpha = 0.5, targetRows = 200)
+      .select(col("doc_id"), col("domain"))
+      .orderBy(col("doc_id"))
+
   /** t79_pagerank_dangling — t64's domain-authority graph under the
     * dangling-mass-REDISTRIBUTING PageRank variant (the production
     * choice for crawl graphs, where most URLs have no out-links

@@ -120,6 +120,31 @@ class PqSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap.apply("scan_fraction") == 1.0)
   }
 
+  test("ivfPqIndex append: batch-built rows equal full-corpus build (pure assignment)") {
+    val cb = Pq.trainCodebook(corpus, "embedding", m = 2, ksub = 4)
+    val cents = Pq.ivfPqTrainCentroids(corpus, "embedding", nlist = 2)
+    val full = Pq.ivfPqIndex(corpus, "vec_id", "embedding", cents, cb)
+      .as[(Long, Int, Seq[Short])].collect().toSet
+    val appended = Pq.ivfPqIndex(corpus.filter($"vec_id" < 2), "vec_id",
+        "embedding", cents, cb)
+      .unionByName(Pq.ivfPqIndex(corpus.filter($"vec_id" >= 2), "vec_id",
+        "embedding", cents, cb))
+      .as[(Long, Int, Seq[Short])].collect().toSet
+    assert(appended == full)
+    // serving from the appended index equals serving from the full one
+    val q = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def serve(idx: org.apache.spark.sql.DataFrame) =
+      Pq.ivfPqServe(idx, corpus, "vec_id", "embedding", q, "qid", "qvec",
+          k = 2, nprobe = 2, rerank = 2, cents, cb)
+        .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(serve(Pq.ivfPqIndex(corpus, "vec_id", "embedding", cents, cb)) ==
+      serve(Pq.ivfPqIndex(corpus.filter($"vec_id" < 2), "vec_id",
+          "embedding", cents, cb)
+        .unionByName(Pq.ivfPqIndex(corpus.filter($"vec_id" >= 2), "vec_id",
+          "embedding", cents, cb))))
+  }
+
   test("Lloyd refinement recenters codewords to member means") {
     // one subspace (m=1), 4 points on a line; ksub=2 seeds then one
     // Lloyd pass must land centroids on the two cluster means

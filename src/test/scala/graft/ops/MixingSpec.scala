@@ -45,6 +45,48 @@ class MixingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("temperatureMix: alpha=1 is proportional, alpha=0 is uniform, 0.5 upweights rare") {
+    // skewed groups: 10 / 90 / 300 rows
+    val skewed = ((1 to 10).map(i => (i.toLong, "rare")) ++
+      (11 to 100).map(i => (i.toLong, "mid")) ++
+      (101 to 400).map(i => (i.toLong, "big"))).toDF("id", "grp")
+    def kept(alpha: Double, target: Long) =
+      Mixing.temperatureMix(skewed, "grp", "id", alpha, target)
+        .groupBy($"grp").count().as[(String, Long)].collect().toMap
+        .withDefaultValue(0L)
+    // alpha = 1: quotas proportional to group size (floor of 6dp-round)
+    val prop = kept(1.0, 200)
+    assert(prop("rare") == 5L && prop("mid") == 45L && prop("big") == 150L)
+    // alpha = 0: every group gets the same quota (total/#groups),
+    // capped at its size
+    val unif = kept(0.0, 30)
+    assert(unif == Map("rare" -> 10L, "mid" -> 10L, "big" -> 10L))
+    // alpha = 0.5: rare keeps a HIGHER fraction than proportional,
+    // dominant a lower one — the whole point of tempering
+    val temp = kept(0.5, 200)
+    assert(temp("rare").toDouble / 10 > prop("rare").toDouble / 10)
+    assert(temp("big").toDouble / 300 < prop("big").toDouble / 300)
+    // selection within a group is the deterministic md5 prefix
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectRare = (1 to 10).map(_.toLong)
+      .sortBy(i => md5hex(i.toString)).take(temp("rare").toInt).toSet
+    val gotRare = Mixing.temperatureMix(skewed, "grp", "id", 0.5, 200)
+      .filter($"grp" === "rare").select($"id").as[Long].collect().toSet
+    assert(gotRare == expectRare)
+  }
+
+  test("temperatureMix: arg guards and zero target") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      Mixing.temperatureMix(df, "grp", "id", alpha = 1.5, targetRows = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.temperatureMix(df, "grp", "id", alpha = 0.5, targetRows = -1)
+    }
+    assert(Mixing.temperatureMix(df, "grp", "id", 0.5, 0).count() == 0L)
+  }
+
   test("weight-budget selection is the greedy md5-order prefix") {
     val weighted = corpus.withColumn("w", ($"id" % 7 + 1).cast("int"))
     val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
