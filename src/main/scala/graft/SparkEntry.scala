@@ -154,6 +154,7 @@ object SparkEntry {
     "t80_ivf_clustered_recall" -> (TrainingQueries.t80IvfClusteredRecall _),
     "t81_ivfpq_append"   -> (TrainingQueries.t81IvfPqAppend _),
     "t82_temperature_mix" -> (TrainingQueries.t82TemperatureMix _),
+    "t83_shard_manifest"  -> (TrainingQueries.t83ShardManifest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

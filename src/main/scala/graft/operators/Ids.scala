@@ -113,4 +113,41 @@ object Ids {
   private def epochOrder(idCol: String, e: Int): Seq[Column] =
     Seq(md5(concat(lit(e.toString), lit(":"), col(idCol).cast("string"))),
         col(idCol))
+
+  /** Size-balanced output sharding — the shard-assignment step of
+    * writing a curated corpus as N reproducible files: shard =
+    * ⌊global rank / rowsPerShard⌋ over the caller's total order, so
+    * every shard except the last holds exactly `rowsPerShard` rows
+    * and shard boundaries are a pure function of the data (stable
+    * across runs, resumable, and any worker can recompute its own
+    * shard's membership). Adds `shard` and `shard_pos` (the 0-based
+    * rank within the shard). The rank rides [[denseIds]] — range
+    * repartition + per-partition offsets, never a one-task global
+    * window — and a downstream `write.partitionBy("shard")` (or a
+    * per-shard repartition) turns the assignment into the physical
+    * layout.
+    */
+  def shardAssign(df: DataFrame, orderCols: Seq[Column],
+                  rowsPerShard: Long): DataFrame = {
+    require(rowsPerShard >= 1, s"rowsPerShard must be >= 1, got $rowsPerShard")
+    denseIds(df, "__pos", orderCols)
+      .withColumn("shard", floor(col("__pos") / rowsPerShard).cast("int"))
+      .withColumn("shard_pos", pmod(col("__pos"), lit(rowsPerShard)))
+      .drop("__pos")
+  }
+
+  /** The manifest that ships with [[shardAssign]]'s layout: one row
+    * per shard — row count, the id range it covers, and the summed
+    * payload weight (token count, bytes — whatever `weightCol`
+    * measures). One map-side-combinable aggregate over the assignment;
+    * the manifest is shard-cardinality, the thing a training job reads
+    * INSTEAD of listing 100 TB of files.
+    */
+  def shardManifest(assigned: DataFrame, idCol: String,
+                    weightCol: String): DataFrame =
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(col(idCol)).as("min_id"),
+           max(col(idCol)).as("max_id"),
+           sum(col(weightCol)).as("total_weight"))
 }

@@ -625,6 +625,19 @@ object Oracle {
         |SELECT r.doc_id, r.domain FROM r JOIN q USING (domain)
         |WHERE rn <= quota""".stripMargin,
 
+    "t83_shard_manifest" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |  FROM documents
+        |)
+        |SELECT CAST(floor(pos / 64) AS INT) AS shard,
+        |       count(*) AS n_rows,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_weight
+        |FROM r GROUP BY 1""".stripMargin,
+
     "t79_pagerank_dangling" ->
       // t64's CTE chain plus the dangling-mass correction: per round,
       // the scalar mass on no-out-link nodes (NOT IN distinct src)

@@ -1135,6 +1135,25 @@ object TrainingQueries {
       .select(col("doc_id"), col("domain"))
       .orderBy(col("doc_id"))
 
+  /** t83_shard_manifest — size-balanced output sharding + manifest:
+    * the corpus in md5-shuffled order (the training-shard convention —
+    * every shard is an unbiased sample) cut into 64-row shards, then
+    * the shard-cardinality manifest (rows, id range, summed token
+    * weight) a training job reads instead of listing files. The rank
+    * is denseIds' range-repartition machinery (no one-task window);
+    * the manifest is one map-side-combinable aggregate. Exact oracle:
+    * row_number over the same md5 order, floor-div shard, same
+    * aggregates.
+    */
+  def t83ShardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = Ids.shardAssign(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+      rowsPerShard = 64)
+    Ids.shardManifest(assigned, "doc_id", "n_chars")
+      .orderBy(col("shard"))
+  }
+
   /** t79_pagerank_dangling — t64's domain-authority graph under the
     * dangling-mass-REDISTRIBUTING PageRank variant (the production
     * choice for crawl graphs, where most URLs have no out-links

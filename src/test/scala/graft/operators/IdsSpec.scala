@@ -51,6 +51,38 @@ class IdsSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("shardAssign: balanced shards, in-shard ranks reconstruct the global order") {
+    val df = (0L until 250L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val assigned = Ids.shardAssign(df,
+      Seq(org.apache.spark.sql.functions.md5($"id".cast("string")), $"id"),
+      rowsPerShard = 64)
+    val rows = assigned.select($"id", $"shard", $"shard_pos")
+      .as[(Long, Int, Long)].collect()
+    // every shard except the last is exactly full; the last takes the rest
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes == Map(0 -> 64, 1 -> 64, 2 -> 64, 3 -> 58))
+    // shard * 64 + shard_pos is a dense permutation of [0, N) that
+    // agrees with the reference md5 global order
+    val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 250L).sortBy(i => (md5hex(i.toString), i))
+      .zipWithIndex.map { case (id, pos) => id -> pos.toLong }.toMap
+    rows.foreach { case (id, shard, pos) =>
+      assert(shard * 64L + pos == expected(id), s"id $id")
+    }
+    // manifest aggregates per shard: counts and weight sums
+    val manifest = Ids.shardManifest(assigned, "id", "w")
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(manifest.keySet == Set(0, 1, 2, 3))
+    assert(manifest.values.map(_._2).sum == 250L)
+    assert(manifest.values.map(_._5).sum ==
+      (0L until 250L).map(_ % 7 + 1).sum)
+    intercept[IllegalArgumentException] {
+      Ids.shardAssign(df, Seq($"id"), rowsPerShard = 0)
+    }
+  }
+
   test("epochShuffle projects payload away; epochShuffleRows carries it; same permutation") {
     val df = (0L until 50L).map(i => (i, s"payload$i")).toDF("id", "text")
     val proj = Ids.epochShuffle(df, "id", epochs = 2)
