@@ -206,7 +206,16 @@ object ScaleStress {
       "t77_ivfpq_topk"   -> (TrainingQueries.t77IvfPqTopK _),
       // dangling-mass PageRank: one extra 1-value aggregate per round
       // over the node-sized rank table — edge-shuffle cost unchanged
-      "t79_pagerank_dangling" -> (TrainingQueries.t79PagerankDangling _))
+      "t79_pagerank_dangling" -> (TrainingQueries.t79PagerankDangling _),
+      // index append: two per-batch assign+encode scans + the parity
+      // join + a served recall leg — everything corpus-sized is a scan
+      "t81_ivfpq_append" -> (TrainingQueries.t81IvfPqAppend _),
+      // temperature mixing: one count aggregate + group-cardinality
+      // quota join + the salted two-level cut
+      "t82_temperature_mix" -> (TrainingQueries.t82TemperatureMix _),
+      // shard assignment: range-repartition rank + floor-div + one
+      // manifest aggregate — the sort rate, no funnel
+      "t83_shard_manifest" -> (TrainingQueries.t83ShardManifest _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
