@@ -189,6 +189,33 @@ object Verify {
       "t81 appended-index recall >= 0.55" -> rows("t81_ivfpq_append").map(
         _.exists(r => r.getAs[String]("check") == "recall_at_5" &&
           r.getAs[Double]("value") >= 0.55)),
+      // streaming index maintenance (t84): the final streamed state
+      // must be BIT-identical to the one-shot batch build (pure
+      // per-row assignment — micro-batch boundaries can never leak),
+      // with a non-empty state so parity is never vacuous
+      "t84 stream index parity violations == 0" ->
+        rows("t84_stream_index_append").map(
+          _.exists(r => r.getAs[String]("check") == "index_parity_violations" &&
+            r.getAs[Double]("value") == 0.0)),
+      "t84 stream index state_rows > 0" ->
+        rows("t84_stream_index_append").map(
+          _.exists(r => r.getAs[String]("check") == "state_rows" &&
+            r.getAs[Double]("value") > 0)),
+      // ANN margin mining at PRODUCTION LSH params on the clustered
+      // corpus (t85): neighbor-list recall and argmax-choice agreement
+      // vs brute force, both >= 0.85 (measured 0.936/0.932 — the
+      // (1-θ/π)^bits OR-composition predicts ~0.9 at cos 0.97).
+      // Accepted-pair parity is deliberately NOT the contract here —
+      // within-cluster margins sit at ≈1.0 by construction, so
+      // acceptance at threshold 1.0 is knife-edge; t76 pins exact
+      // parity at the wide-recall setting instead
+      "t85 clustered nn_recall >= 0.85" -> rows("t85_margin_ann_clustered")
+        .map(_.exists(r => r.getAs[String]("check") == "nn_recall" &&
+          r.getAs[Double]("value") >= 0.85)),
+      "t85 clustered choice agreement >= 0.85" ->
+        rows("t85_margin_ann_clustered").map(
+          _.exists(r => r.getAs[String]("check") == "choice_agreement" &&
+            r.getAs[Double]("value") >= 0.85)),
       // BPE merge-apply contract — the cross-check justifying t55's
       // rows-only row: steps contiguous from 1, merged = left||right,
       // every pass merged something (0 < applied ≤ pair_count — the

@@ -1154,6 +1154,96 @@ object TrainingQueries {
       .orderBy(col("shard"))
   }
 
+  /** t84_stream_index_append — streaming IVF-PQ index maintenance run
+    * to completion: the index trains ONCE (centroids + codebook on the
+    * initial corpus), then the embeddings stream in 4 micro-batches
+    * and each batch assigns+encodes under the fixed index and upserts
+    * into the index state table (see streaming/IndexAppend — the
+    * accumulated index is never rescanned or re-encoded). Two
+    * enforced (check, value) rows: `index_parity_violations` — the
+    * final state must be BIT-identical (both exceptAll directions) to
+    * the one-shot batch build, because assignment is a pure per-row
+    * function and batch boundaries can never leak — and `state_rows`
+    * (> 0 so the parity row is never vacuously green).
+    */
+  def t84StreamIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (cents, cb) = Pq.ivfPqTrain(emb, "embedding", nlist = 16,
+      refineIters = 0, m = 8, ksub = 16, iters = 1)
+    val work = graft.io.TempDirs.create("t84_stream").toString
+    // 4 files → 4 micro-batches; arrival order is irrelevant to the
+    // result (pure per-row assignment, id-keyed upsert), so no
+    // mod-time pinning is needed (unlike t39's arrival-defined dedup)
+    emb.repartition(4).write.parquet(s"$work/in")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$work/in")
+    val state = graft.streaming.IndexAppend.run(spark, stream,
+        "vec_id", "embedding", s"$work/state", cents, cb)
+      .localCheckpoint(true) // feeds both parity legs + the count
+    val oneShot = Pq.ivfPqIndex(emb, "vec_id", "embedding", cents, cb)
+    val violations = state.exceptAll(oneShot)
+      .unionByName(oneShot.exceptAll(state))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("index_parity_violations").as("check"), col("value"))
+    val rows = state.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("state_rows").as("check"), col("value"))
+    violations.unionByName(rows).orderBy(col("check"))
+  }
+
+  /** t85_margin_ann_clustered — the ANN candidate pass at PRODUCTION
+    * LSH parameters (bits=10 → 1024 buckets/table, 4 tables — the
+    * sub-quadratic setting BENCH_SF1 measures) on the clustered
+    * corpus, where those parameters have real recall. The contract
+    * here is deliberately NOT accepted-pair parity: within a cluster
+    * every margin hovers at ≈ 1.0 (the NNk normalizer equals the best
+    * cosine when all neighbors are equally close), so acceptance at
+    * threshold 1.0 is knife-edge by construction and any approximation
+    * flips it — t76 pins exact mining parity at the wide-recall
+    * setting instead. What production params must deliver is the
+    * NEIGHBOR LISTS and the CHOICES:
+    *
+    *  - `nn_recall`: fraction of the exact forward top-4 (src → tgt)
+    *    pairs the LSH provider also surfaces — the quantity the
+    *    hyperplane-LSH theory bounds ((1-θ/π)^bits per table,
+    *    OR-composed over tables ≈ 0.9 at cos 0.97);
+    *  - `choice_agreement`: fraction of sources whose argmax-margin
+    *    TARGET matches brute-force mining's;
+    *  - `n_src`: denominator sanity (> 0).
+    */
+  def t85MarginAnnClustered(spark: SparkSession, sfDir: String): DataFrame = {
+    val clustered = clusteredEmbeddings(spark, sfDir)
+    val src = clustered.filter(col("vec_id") % 2 === 0)
+    val tgt = clustered.filter(col("vec_id") % 2 =!= 0)
+    val bfNn = Similarity.bruteForceTopK(tgt, "vec_id", "embedding",
+        src.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 4)
+      .select(col("qid"), col("id")).persist()
+    val nnDen = bfNn.count()
+    val annNn = Similarity.lshTopK(tgt, "vec_id", "embedding",
+        src.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 4, bits = 10, tables = 4)
+      .select(col("qid"), col("id"))
+    val nnRecall = annNn.join(bfNn, Seq("qid", "id"), "left_semi")
+      .agg(round(count(lit(1)).cast("double") / lit(nnDen), 6).as("value"))
+      .select(lit("nn_recall").as("check"), col("value"))
+    def mine(topK: Similarity.TopKProvider) =
+      Similarity.marginMine(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 4, threshold = 1.0, topK = topK)
+    val bf = mine(Similarity.bruteForceTopK)
+      .select(col("src_id"), col("tgt_id").as("bf_tgt"))
+    val ann = mine(Similarity.lshProvider(bits = 10, tables = 4))
+      .select(col("src_id"), col("tgt_id").as("ann_tgt"))
+    val joined = bf.join(ann, Seq("src_id")).localCheckpoint(true)
+    val agree = joined
+      .agg(round(sum(when(col("bf_tgt") === col("ann_tgt"), 1)
+          .otherwise(0)).cast("double") / count(lit(1)), 6).as("value"))
+      .select(lit("choice_agreement").as("check"), col("value"))
+    val nSrc = joined.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_src").as("check"), col("value"))
+    nnRecall.unionByName(agree).unionByName(nSrc).orderBy(col("check"))
+  }
+
   /** t79_pagerank_dangling — t64's domain-authority graph under the
     * dangling-mass-REDISTRIBUTING PageRank variant (the production
     * choice for crawl graphs, where most URLs have no out-links
@@ -1183,19 +1273,33 @@ object TrainingQueries {
     * have — and the SAME production setting must hold ≥ 0.7 (the
     * floor the PQ gate already pins). One (check, value) row.
     */
-  def t80IvfClusteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The deterministic clustered embedding corpus shared by t80 and
+    * t85: each vector blends 85/15 toward its ⌊vec_id/2⌋ mod 8 center
+    * — eight well-separated clusters, the neighbor structure real
+    * embedding corpora have and the near-orthogonal synthetic table
+    * lacks. The cluster key intentionally pairs consecutive ids so
+    * every cluster straddles BOTH halves of an even/odd parity split
+    * (vec_id mod 8 would put whole clusters on one side, leaving the
+    * t85 cross-side mining with no within-cluster pairs at all).
+    * Eagerly pinned: every consumer compares two paths over it and
+    * the comparison assumes BITWISE-identical vectors.
+    */
+  private def clusteredEmbeddings(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val centers = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c"), col("embedding").as("cvec"))
-    val clustered = emb
-      .join(broadcast(centers), (col("vec_id") % 8) === col("c"))
+    val centers = emb.filter(col("vec_id") < 16 && col("vec_id") % 2 === 0)
+      .select(floor(col("vec_id") / 2).cast("int").as("c"),
+              col("embedding").as("cvec"))
+    emb.join(broadcast(centers),
+        (floor(col("vec_id") / 2) % 8).cast("int") === col("c"))
       .select(col("vec_id"),
         zip_with(col("cvec"), col("embedding"),
           (a, b) => a * lit(0.85) + b * lit(0.15)).as("embedding"))
-      // both the exact baseline and the IVF path scan this twice; the
-      // blend is cheap but the pin keeps the two paths reading
-      // IDENTICAL vectors (bitwise), which the recall join assumes
       .localCheckpoint(true)
+  }
+
+  def t80IvfClusteredRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val clustered = clusteredEmbeddings(spark, sfDir)
     val queries = clustered.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
