@@ -1212,7 +1212,13 @@ object TrainingQueries {
     *  - `n_src`: denominator sanity (> 0).
     */
   def t85MarginAnnClustered(spark: SparkSession, sfDir: String): DataFrame = {
+    // the audit corpus is CAPPED (≤ 1000 vectors per side): the
+    // contract under test is parameter behavior, and the comparison
+    // standard is brute force, whose cost would otherwise scale
+    // quadratically with the corpus — an audit's cost must not (the
+    // operator's own scaling is benched via t75/t75_margin_ann)
     val clustered = clusteredEmbeddings(spark, sfDir)
+      .filter(col("vec_id") < 2000)
     val src = clustered.filter(col("vec_id") % 2 === 0)
     val tgt = clustered.filter(col("vec_id") % 2 =!= 0)
     val bfNn = Similarity.bruteForceTopK(tgt, "vec_id", "embedding",

@@ -215,7 +215,14 @@ object ScaleStress {
       "t82_temperature_mix" -> (TrainingQueries.t82TemperatureMix _),
       // shard assignment: range-repartition rank + floor-div + one
       // manifest aggregate — the sort rate, no funnel
-      "t83_shard_manifest" -> (TrainingQueries.t83ShardManifest _))
+      "t83_shard_manifest" -> (TrainingQueries.t83ShardManifest _),
+      // streaming index maintenance: 4 micro-batches × (assign+encode
+      // scan + id-keyed upsert) + the one-shot parity comparison
+      "t84_stream_index_append" -> (TrainingQueries.t84StreamIndexAppend _),
+      // production-param ANN mining checks: the brute-force baseline
+      // legs are the quadratic part (the check's cost); the LSH legs
+      // scale at the bucket-join rate
+      "t85_margin_ann_clustered" -> (TrainingQueries.t85MarginAnnClustered _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
