@@ -625,6 +625,28 @@ object Oracle {
         |SELECT r.doc_id, r.domain FROM r JOIN q USING (domain)
         |WHERE rn <= quota""".stripMargin,
 
+    "t86_stream_quantiles" ->
+      // t14's watermark replay (finalized = window end <= max(ts) - 1
+      // day) with per-window rank-exact quantiles: at test scale the
+      // GK sketch's error bound is < 1 rank, and Spark's exact pick is
+      // the ceil(p·n)-th order statistic — DuckDB's quantile_disc
+      // convention, verified element-for-element
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |         CAST(value AS DOUBLE) AS value
+        |  FROM events
+        |), wm AS (
+        |  SELECT max(ts) - INTERVAL 1 DAY AS w FROM e
+        |)
+        |SELECT date_trunc('day', ts) AS day, event_type,
+        |       quantile_disc(value, 0.5) AS p50,
+        |       quantile_disc(value, 0.95) AS p95,
+        |       quantile_disc(value, 0.99) AS p99,
+        |       count(*) AS n
+        |FROM e
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        |GROUP BY 1, 2""".stripMargin,
+
     "t83_shard_manifest" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,

@@ -1154,6 +1154,32 @@ object TrainingQueries {
       .orderBy(col("shard"))
   }
 
+  /** t86_stream_quantiles — streaming per-window quantiles (the
+    * p50/p95/p99 monitoring readout): t14's watermarked 1-day append
+    * window, with the value distribution summarized by
+    * percentile_approx's Greenwald–Khanna sketch held in streaming
+    * state (bounded by accuracy, never window row count). At the test
+    * scale every window holds far fewer rows than accuracy=10000, so
+    * GK's < 1-rank error bound makes the emitted elements EXACT order
+    * statistics — the DuckDB oracle replays them as rank picks over
+    * the same finalized windows.
+    */
+  def t86StreamQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+      .withColumn("value", col("value").cast("double"))
+    val agg = StreamingFlows.dailyQuantiles(stream, "ts", "event_type",
+      "value")
+    StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, agg,
+        s"t86_quant_${System.nanoTime}")
+    }
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** t84_stream_index_append — streaming IVF-PQ index maintenance run
     * to completion: the index trains ONCE (centroids + codebook on the
     * initial corpus), then the embeddings stream in 4 micro-batches

@@ -37,6 +37,38 @@ object StreamingFlows {
       .select(col("day_window.start").as("day"), col(typeCol),
               col("total"), col("n"))
 
+  /** Watermarked windowed QUANTILES — streaming latency/size-percentile
+    * monitoring (the p50/p95/p99-per-window readout every ingest
+    * pipeline watches): per finalized 1-day window and key, quantiles
+    * of `valCol` via `percentile_approx`, whose Greenwald–Khanna
+    * sketch lives IN the streaming aggregation state — buffer size is
+    * bounded by `accuracy`, never by window row count, and partials
+    * merge across shuffle/micro-batches like any imperative aggregate
+    * (the t71 Misra–Gries pattern, with Spark's own built-in).
+    *
+    * Exactness contract: GK's rank error is ≤ n/accuracy, so whenever
+    * a window holds fewer than `accuracy` rows the error bound is
+    * < 1 rank — the returned elements are EXACT order statistics and
+    * the t86 oracle replays them as plain rank picks. At true scale
+    * the same query holds `accuracy` as the state bound and the
+    * result is rank-bounded approximate; the accuracy knob IS the
+    * state-vs-precision trade, stated rather than hidden.
+    */
+  def dailyQuantiles(stream: DataFrame, tsCol: String, typeCol: String,
+                     valCol: String, watermark: String = "1 day",
+                     accuracy: Int = 10000): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day").as("day_window"), col(typeCol))
+      .agg(percentile_approx(col(valCol),
+             array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("qs"),
+           count(lit(1)).as("n"))
+      .select(col("day_window.start").as("day"), col(typeCol),
+              col("qs").getItem(0).as("p50"),
+              col("qs").getItem(1).as("p95"),
+              col("qs").getItem(2).as("p99"),
+              col("n"))
+
   /** Watermarked session-window aggregation — the streaming form of
     * the batch gaps-and-islands sessionization (q38): events for a key
     * merge into one session while each lands within `gap` of the

@@ -34,6 +34,38 @@ class StreamingFlowsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming daily quantiles equal exact order statistics per finalized window") {
+    val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = StreamingFlows.source(spark, sfDir, batchRaw.schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(batchRaw.schema("ts").dataType))
+      .withColumn("value", $"value".cast("double"))
+    val agg = StreamingFlows.dailyQuantiles(stream, "ts", "event_type", "value")
+    val got = StreamingFlows.runAvailableNow(spark, agg, "quant_stream")
+      .as[(java.sql.Timestamp, String, Double, Double, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.nonEmpty)
+    // reference: exact ceil(p·n)-th order statistics computed in batch
+    val maxTs = graft.Tables.events(spark, sfDir)
+      .agg(max($"ts")).head().getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(
+      maxTs.toInstant.minus(java.time.Duration.ofDays(1)))
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(date_trunc("day", $"ts").as("day"), $"event_type",
+        $"value".cast("double").as("v"))
+      .filter(date_add($"day", 1).cast("timestamp") <= lit(cutoff))
+      .as[(java.sql.Timestamp, String, Double)].collect()
+    rows.groupBy(r => (r._1, r._2)).foreach { case (key, grp) =>
+      val sorted = grp.map(_._3).sorted
+      def pick(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+      val g = got(key)
+      assert(g._3 == pick(0.5) && g._4 == pick(0.95) && g._5 == pick(0.99),
+        s"$key: $g vs (${pick(0.5)}, ${pick(0.95)}, ${pick(0.99)})")
+      assert(g._6 == sorted.length.toLong)
+    }
+    assert(got.keySet == rows.map(r => (r._1, r._2)).toSet)
+  }
+
   test("stream-static enrichment agg matches the batch join result " +
        "minus unfinalized windows") {
     val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
