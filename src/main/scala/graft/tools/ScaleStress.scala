@@ -223,6 +223,9 @@ object ScaleStress {
       // legs are the quadratic part (the check's cost); the LSH legs
       // scale at the bucket-join rate
       "t85_margin_ann_clustered" -> (TrainingQueries.t85MarginAnnClustered _))
+      // (t86 is events-table streaming — the 10× fixture replicates
+      // documents/embeddings only, so it stays out of this harness
+      // like t14/t22/t44; its state is accuracy-bounded by design)
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
