@@ -625,6 +625,82 @@ object Oracle {
         |SELECT r.doc_id, r.domain FROM r JOIN q USING (domain)
         |WHERE rn <= quota""".stripMargin,
 
+    "t87_validate_suite" ->
+      // each per-row rule replays as one conditional sum over the same
+      // scan; the uniqueness rule as sum(group count - 1); NULL
+      // predicate results count as violations (NOT coalesce(p, false))
+      """WITH t AS (SELECT count(*) AS nr FROM documents),
+        |r AS (
+        |  SELECT 'doc_id_not_null' AS rule,
+        |    CAST(sum(CASE WHEN NOT coalesce(doc_id IS NOT NULL, false)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars_matches_text',
+        |    CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), false)
+        |                  THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang_known',
+        |    CAST(sum(CASE WHEN NOT coalesce(
+        |        lang IN ('de', 'en', 'es', 'fr', 'zh'), false)
+        |                  THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source_format',
+        |    CAST(sum(CASE WHEN NOT coalesce(
+        |        regexp_matches(source, '^src[0-9]+$'), false)
+        |                  THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text_nonempty',
+        |    CAST(sum(CASE WHEN NOT coalesce(length(text) > 0, false)
+        |                  THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars_min_150',
+        |    CAST(sum(CASE WHEN NOT coalesce(n_chars >= 150, false)
+        |                  THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |), u AS (
+        |  SELECT 'doc_id_unique' AS rule,
+        |         CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_violations,
+        |         CAST(coalesce(sum(c), 0) AS BIGINT) AS nr
+        |  FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id)
+        |), all_rows AS (
+        |  SELECT rule, n_violations, (SELECT nr FROM t) AS n_rows FROM r
+        |  UNION ALL SELECT rule, n_violations, nr FROM u
+        |)
+        |SELECT rule, n_violations, n_rows,
+        |       CASE WHEN n_rows > 0 THEN
+        |         round(CAST(n_violations AS DOUBLE) / n_rows, 6)
+        |       ELSE 0.0 END AS violation_share,
+        |       n_violations = 0 AS passed
+        |FROM all_rows""".stripMargin,
+
+    "t88_snapshot_diff" ->
+      // the diff classification with DIRECT value compares (the engine
+      // compares 8-byte payload hashes — identical verdicts absent a
+      // 64-bit collision, and the data is deterministic)
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |), o AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v1'
+        |              ELSE text END AS text,
+        |         lang, source
+        |  FROM base WHERE doc_id % 10 <> 0
+        |), n AS (
+        |  SELECT * FROM base WHERE doc_id % 13 <> 0
+        |)
+        |SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'inserted'
+        |            WHEN n.doc_id IS NULL THEN 'deleted'
+        |            WHEN o.text <> n.text OR o.lang <> n.lang
+        |                 OR o.source <> n.source THEN 'updated'
+        |            ELSE 'unchanged' END AS change_type
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
     "t86_stream_quantiles" ->
       // t14's watermark replay (finalized = window end <= max(ts) - 1
       // day) with per-window rank-exact quantiles: at test scale the

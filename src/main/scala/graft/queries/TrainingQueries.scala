@@ -1154,6 +1154,52 @@ object TrainingQueries {
       .orderBy(col("shard"))
   }
 
+  /** t87_validate_suite — the data-quality release gate (dbt-test /
+    * Great-Expectations shape): six declared expectations over the
+    * corpus run in ONE scan (each rule is a conditional-sum slot in
+    * the same partial aggregate) plus the key-uniqueness expectation
+    * (one group-cardinality count — never a window). `n_chars_min_150`
+    * intentionally FAILS (90 of 500 docs are shorter) so the report
+    * exercises real violation counting, not just green rows. NULL
+    * predicate results count as violations (unknown ≠ passed). Exact
+    * oracle replays every conditional sum.
+    */
+  def t87ValidateSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.ops.Validate.check(docs, Seq(
+        "doc_id_not_null" -> col("doc_id").isNotNull,
+        "n_chars_matches_text" -> (col("n_chars") === length(col("text"))),
+        "lang_known" -> col("lang").isin("de", "en", "es", "fr", "zh"),
+        "source_format" -> col("source").rlike("^src[0-9]+$"),
+        "text_nonempty" -> (length(col("text")) > 0),
+        "n_chars_min_150" -> (col("n_chars") >= 150)))
+      .unionByName(
+        graft.ops.Validate.checkUnique(docs, Seq("doc_id"), "doc_id_unique"))
+      .orderBy(col("rule"))
+  }
+
+  /** t88_snapshot_diff — CDC between two corpus versions: the old
+    * snapshot drops every 10th doc and carries " v1" text for
+    * multiples of 7; the new snapshot drops every 13th — so the diff
+    * must classify multiples of 10 (present in new only) as inserted,
+    * multiples of 13 as deleted, surviving multiples of 7 as updated,
+    * everything else unchanged. Both sides pre-hash their payload to
+    * 8 bytes, so the full-outer join carries keys + hashes, never two
+    * text payloads (see SnapshotDiff.diff). Exact oracle replays the
+    * derivation and the classification with direct value compares.
+    */
+  def t88SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val oldSnap = base.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")))
+    val newSnap = base.filter(col("doc_id") % 13 =!= 0)
+    graft.ops.SnapshotDiff.diff(oldSnap, newSnap, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t86_stream_quantiles — streaming per-window quantiles (the
     * p50/p95/p99 monitoring readout): t14's watermarked 1-day append
     * window, with the value distribution summarized by
