@@ -222,10 +222,16 @@ object ScaleStress {
       // production-param ANN mining checks: the brute-force baseline
       // legs are the quadratic part (the check's cost); the LSH legs
       // scale at the bucket-join rate
-      "t85_margin_ann_clustered" -> (TrainingQueries.t85MarginAnnClustered _))
+      "t85_margin_ann_clustered" -> (TrainingQueries.t85MarginAnnClustered _),
       // (t86 is events-table streaming — the 10× fixture replicates
       // documents/embeddings only, so it stays out of this harness
       // like t14/t22/t44; its state is accuracy-bounded by design)
+      // validation suite: 7 conditional sums in one scan + one
+      // group-cardinality uniqueness count
+      "t87_validate_suite" -> (TrainingQueries.t87ValidateSuite _),
+      // snapshot diff: two map-side hash projections + one key-keyed
+      // full-outer join — the key-cardinality shuffle rate
+      "t88_snapshot_diff" -> (TrainingQueries.t88SnapshotDiff _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
