@@ -142,6 +142,18 @@ final class MutableTable private (spark: SparkSession, base: String,
       cur.join(upd, cond, "left_anti").unionByName(updates)
     }
 
+  /** DELETE rows whose keys appear in `keysDf` — the CDC delete verb
+    * (MERGE ... WHEN MATCHED THEN DELETE): one null-safe anti-join
+    * against the key set, so a NULL-keyed tombstone deletes the
+    * NULL-keyed row (the [[upsert]] convention).
+    */
+  def deleteMatching(keysDf: DataFrame, keys: Seq[String]): this.type =
+    mutate { cur =>
+      val kd = keysDf.select(keys.map(col): _*)
+      val cond = keys.map(k => cur(k) <=> kd(k)).reduce(_ && _)
+      cur.join(kd, cond, "left_anti")
+    }
+
   /** Order-independent merge: keep the greatest-`orderCols` row per
     * key over current ∪ updates — `orderCols` must totally order rows
     * within a key, making the result independent of how the same rows

@@ -68,4 +68,31 @@ object SnapshotDiff {
     diff(oldDf, newDf, keyCols)
       .groupBy(col("change_type"))
       .agg(count(lit(1)).as("n_keys"))
+
+  /** APPLY the change set incrementally: bring `table` (currently
+    * holding the old snapshot) to `newDf` by upserting ONLY the
+    * inserted+updated keys' rows and deleting ONLY the deleted keys —
+    * the incremental-refresh verb pair (MERGE upsert + MERGE delete)
+    * that touches change-cardinality inputs instead of re-loading the
+    * snapshot. (The copy-on-write parquet backend still rewrites the
+    * version file — the price MutableTable documents; on the
+    * MERGE-capable warehouse format these verbs map onto, only
+    * changed rows are written.) The diff materializes EAGERLY before
+    * the first mutation: its lazy plan reads the table's current
+    * version directory, which retention may prune once the two
+    * mutations land. Returns the per-change_type audit summary;
+    * afterwards `table.read()` equals `newDf` exactly (the t89 gate).
+    */
+  def applyDiff(table: graft.io.MutableTable, newDf: DataFrame,
+                keyCols: Seq[String]): DataFrame = {
+    val d = diff(table.read(), newDf, keyCols).localCheckpoint(true)
+    val changed = d.filter(col("change_type").isin("inserted", "updated"))
+      .select(keyCols.map(col): _*)
+    val upCond = keyCols.map(c => newDf(c) <=> changed(c)).reduce(_ && _)
+    table.upsert(newDf.join(changed, upCond, "left_semi"), keyCols)
+    table.deleteMatching(
+      d.filter(col("change_type") === "deleted")
+        .select(keyCols.map(col): _*), keyCols)
+    d.groupBy(col("change_type")).agg(count(lit(1)).as("n_keys"))
+  }
 }

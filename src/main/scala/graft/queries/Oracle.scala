@@ -701,6 +701,12 @@ object Oracle {
         |            ELSE 'unchanged' END AS change_type
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
+    "t89_cdc_apply" ->
+      // the incremental apply must land EXACTLY on the new snapshot —
+      // so the oracle IS the new-snapshot derivation
+      """SELECT doc_id, text, lang, source FROM documents
+        |WHERE doc_id % 13 <> 0""".stripMargin,
+
     "t86_stream_quantiles" ->
       // t14's watermark replay (finalized = window end <= max(ts) - 1
       // day) with per-window rank-exact quantiles: at test scale the

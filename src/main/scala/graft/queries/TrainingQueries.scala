@@ -1200,6 +1200,29 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t89_cdc_apply — the APPLY half of CDC (t88 is the read half):
+    * a mutable table holding the old snapshot is brought to the new
+    * one INCREMENTALLY — upsert only the inserted+updated keys' rows,
+    * delete only the deleted keys (SnapshotDiff.applyDiff driving
+    * MutableTable's null-safe MERGE verbs) — and the final state must
+    * equal the new snapshot EXACTLY, which is what the oracle is: the
+    * new-snapshot derivation itself. The refresh's input side is
+    * change-cardinality, never a snapshot reload.
+    */
+  def t89CdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val oldSnap = base.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")))
+    val newSnap = base.filter(col("doc_id") % 13 =!= 0)
+    val work = graft.io.TempDirs.create("t89_cdc").toString
+    val table = graft.io.MutableTable.create(spark, s"$work/table", oldSnap)
+    graft.ops.SnapshotDiff.applyDiff(table, newSnap, Seq("doc_id"))
+    table.read().orderBy(col("doc_id"))
+  }
+
   /** t86_stream_quantiles — streaming per-window quantiles (the
     * p50/p95/p99 monitoring readout): t14's watermarked 1-day append
     * window, with the value distribution summarized by

@@ -34,6 +34,28 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(out(None) == "updated")
   }
 
+  test("applyDiff converges the table to the new snapshot, touching only changes") {
+    val work = java.nio.file.Files.createTempDirectory("cdc_spec").toString
+    val old = snap((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "x"),
+                   (5L, "e", "x"))
+    val nw  = snap((2L, "b", "x"), (3L, "c2", "x"), (4L, "d", "x"),
+                   (5L, "e", "x"))
+    val table = graft.io.MutableTable.create(spark, s"$work/t", old)
+    val audit = SnapshotDiff.applyDiff(table, nw, Seq("id"))
+      .as[(String, Long)].collect().toMap
+    assert(audit == Map("deleted" -> 1L, "unchanged" -> 2L,
+                        "updated" -> 1L, "inserted" -> 1L))
+    // final state == new snapshot exactly
+    assert(table.read().as[(Long, String, String)].collect().toSet ==
+      nw.as[(Long, String, String)].collect().toSet)
+    // applying again is a no-op (all unchanged), still equal
+    val audit2 = SnapshotDiff.applyDiff(table, nw, Seq("id"))
+      .as[(String, Long)].collect().toMap
+    assert(audit2 == Map("unchanged" -> 4L))
+    assert(table.read().as[(Long, String, String)].collect().toSet ==
+      nw.as[(Long, String, String)].collect().toSet)
+  }
+
   test("schema and key guards") {
     val a = Seq((1L, "x")).toDF("id", "t")
     intercept[IllegalArgumentException] {
