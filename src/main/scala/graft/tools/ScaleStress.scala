@@ -231,7 +231,11 @@ object ScaleStress {
       "t87_validate_suite" -> (TrainingQueries.t87ValidateSuite _),
       // snapshot diff: two map-side hash projections + one key-keyed
       // full-outer join — the key-cardinality shuffle rate
-      "t88_snapshot_diff" -> (TrainingQueries.t88SnapshotDiff _))
+      "t88_snapshot_diff" -> (TrainingQueries.t88SnapshotDiff _),
+      // CDC apply: the t88 diff + two copy-on-write version rewrites
+      // (the parquet backend's documented price; change-cardinality
+      // inputs either way)
+      "t89_cdc_apply" -> (TrainingQueries.t89CdcApply _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
