@@ -80,6 +80,26 @@ object Splits {
       .withColumn("split", labelOf(col("bucket"), scheme))
   }
 
+  /** Leakage-FREE splitting: key the split on the near-duplicate
+    * COMPONENT instead of the document. A per-document split leaks —
+    * near-identical copies of a test document land in train with
+    * probability 1 − share, quietly inflating eval scores — so the
+    * contamination-safe assignment first labels connected components
+    * over the near-dup pair set ([[Clustering.labelCorpus]]: min-label
+    * propagation with pointer jumping, no quadratic stage) and then
+    * hashes the COMPONENT id through the same oracle-reproducible
+    * arithmetic as [[assignArithmetic]] — every cluster lands wholly
+    * in one split, and singleton documents (component = own id) split
+    * exactly as before. Output: (idCol, component, bucket, split).
+    */
+  def assignLeakFree(corpus: DataFrame, idCol: String, pairs: DataFrame,
+                     srcCol: String, dstCol: String,
+                     scheme: Scheme = DefaultScheme): DataFrame =
+    assignArithmetic(
+      Clustering.labelCorpus(corpus, idCol, pairs, srcCol, dstCol)
+        .select(col(idCol), col("component")),
+      "component", scheme)
+
   /** Production split over arbitrary key columns: xxhash64(salt, keys)
     * folded into [0, 1000). Different salts give statistically
     * independent assignments of the same corpus (for re-splits or

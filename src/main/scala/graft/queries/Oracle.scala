@@ -2163,6 +2163,24 @@ object Oracle {
         |SELECT component, doc_id AS canonical_id, n_chars, cluster_size
         |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin),
 
+    "t90_leakfree_split" ->
+      // components via the shared recursive CTE (the t18 replay), then
+      // t34's exact mod-prime arithmetic applied to the COMPONENT id
+      (ClusterReachCte + ",\n" +
+      """labeled AS (
+        |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        |), b AS (
+        |  SELECT doc_id, component,
+        |         ((component % 1000000007) * 2654435761)
+        |           % 1000000007 % 1000 AS bucket
+        |  FROM labeled
+        |)
+        |SELECT doc_id, component, bucket,
+        |       CASE WHEN bucket < 800 THEN 'train'
+        |            WHEN bucket < 900 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin),
+
     "t19_redact" ->
       // rebuild the identical PII-enriched input, replay the identical
       // (Java/RE2-portable) redaction regexes

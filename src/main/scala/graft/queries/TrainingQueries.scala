@@ -1200,6 +1200,27 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t90_leakfree_split — contamination-safe train/val/test
+    * assignment: the split keys on the near-dup COMPONENT (t18's pair
+    * set: exact-dup clusters ∪ df-capped 3-gram Jaccard ≥ 0.5), so a
+    * near-identical copy of a test document can never land in train —
+    * the leakage a per-document split (t34) silently allows. Same
+    * oracle-reproducible arithmetic as t34, applied to the component
+    * id; the DuckDB oracle recomputes components with the recursive
+    * CTE and replays the arithmetic.
+    */
+  def t90LeakFreeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactPairs = TextDedup.exactClusters(docs, "text", "doc_id")
+    val nearPairs = TextDedup.ngramJaccardPairs(
+        TextDedup.exact(docs, "text", "doc_id"),
+        "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 10)
+      .select(col("id_a"), col("id_b"))
+    Splits.assignLeakFree(docs, "doc_id",
+        exactPairs.unionByName(nearPairs), "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** t89_cdc_apply — the APPLY half of CDC (t88 is the read half):
     * a mutable table holding the old snapshot is brought to the new
     * one INCREMENTALLY — upsert only the inserted+updated keys' rows,

@@ -48,6 +48,35 @@ class SplitsSpec extends SparkSpec {
     assert(moved > 1000)  // independent 80/10/10 deals agree ~66% of the time
   }
 
+  test("leak-free split: near-dup pairs never straddle splits; per-doc split does") {
+    // 2000 docs in 1000 near-dup pairs (2k, 2k+1) — enough pairs that a
+    // per-document split straddles some with overwhelming probability
+    val docs = (0L until 2000L).toDF("doc_id")
+    val pairs = (0L until 1000L).map(k => (2 * k, 2 * k + 1))
+      .toDF("id_a", "id_b")
+    val safe = Splits.assignLeakFree(docs, "doc_id", pairs, "id_a", "id_b")
+    assert(safe.count() == 2000L) // every doc assigned exactly once
+    val safeMap = safe.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val straddleSafe = (0L until 1000L).count(k =>
+      safeMap(2 * k) != safeMap(2 * k + 1))
+    assert(straddleSafe == 0)
+    // contrast: the per-document assignment leaks across pairs
+    val leakyMap = Splits.assignArithmetic(docs, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val straddleLeaky = (0L until 1000L).count(k =>
+      leakyMap(2 * k) != leakyMap(2 * k + 1))
+    assert(straddleLeaky > 0)
+    // singleton docs (no pairs) split exactly as the per-doc arithmetic
+    val singles = Seq(5001L, 5002L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val s = Splits.assignLeakFree(singles, "doc_id", noPairs, "id_a", "id_b")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val ref = Splits.assignArithmetic(singles, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(s == ref)
+  }
+
   test("scheme validation: shares must be positive permille summing to 1000") {
     intercept[IllegalArgumentException] {
       Splits.assignArithmetic(ids, "id", Seq("train" -> 500, "val" -> 100))
