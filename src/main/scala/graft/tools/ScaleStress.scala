@@ -235,7 +235,11 @@ object ScaleStress {
       // CDC apply: the t88 diff + two copy-on-write version rewrites
       // (the parquet backend's documented price; change-cardinality
       // inputs either way)
-      "t89_cdc_apply" -> (TrainingQueries.t89CdcApply _))
+      "t89_cdc_apply" -> (TrainingQueries.t89CdcApply _),
+      // leak-free splits: the t18 component pipeline + a per-row
+      // arithmetic label — the pair-generation and CC rounds dominate,
+      // and the 10× dup-heavy corpus is their worst case
+      "t90_leakfree_split" -> (TrainingQueries.t90LeakFreeSplit _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
