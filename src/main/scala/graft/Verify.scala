@@ -216,6 +216,78 @@ object Verify {
         rows("t85_margin_ann_clustered").map(
           _.exists(r => r.getAs[String]("check") == "choice_agreement" &&
             r.getAs[Double]("value") >= 0.85)),
+      // mergeable-HLL rolling distinct (t91): the t92 audit recounts
+      // the SAME windows exactly and pins the estimate error. lgK=12
+      // standard error is ~1.6% (gate 0.05 gives headroom); below the
+      // sketch's dense-promotion threshold the estimator is exact
+      // (measured 0.0 at sf0.01)
+      "t92 hll n_days > 0" -> rows("t92_hll_check").map(
+        _.exists(r => r.getAs[String]("check") == "n_days" &&
+          r.getAs[Double]("value") > 0)),
+      "t92 hll max_rel_err <= 0.05" -> rows("t92_hll_check").map(
+        _.exists(r => r.getAs[String]("check") == "max_rel_err" &&
+          r.getAs[Double]("value") <= 0.05)),
+      "t92 hll min_approx > 0" -> rows("t92_hll_check").map(
+        _.exists(r => r.getAs[String]("check") == "min_approx" &&
+          r.getAs[Double]("value") > 0)),
+      // streaming sketch maintenance (t96): the stream-accreted HLL
+      // must estimate IDENTICALLY to the batch build (register-max
+      // union is order-independent — equality, not closeness)
+      "t96 stream sketch n_days > 0" -> rows("t96_stream_sketch").map(
+        _.exists(r => r.getAs[String]("check") == "n_days" &&
+          r.getAs[Double]("value") > 0)),
+      "t96 stream sketch n_mismatch == 0" -> rows("t96_stream_sketch").map(
+        _.exists(r => r.getAs[String]("check") == "n_mismatch" &&
+          r.getAs[Double]("value") == 0.0)),
+      // filtered IVF-PQ serving (t101): predicate-pruned ADC scan must
+      // hold the t78 production recall floor vs the exact filtered
+      // baseline (measured 0.66 at sf0.01, consistent with t78's 0.62
+      // at the same nprobe=8/nlist=16 setting on this corpus)
+      "t101 filtered serve n_expected > 0" ->
+        rows("t101_filtered_serve").map(
+          _.exists(r => r.getAs[String]("check") == "n_expected" &&
+            r.getAs[Double]("value") > 0)),
+      "t101 filtered serve recall >= 0.55" ->
+        rows("t101_filtered_serve").map(
+          _.exists(r => r.getAs[String]("check") == "recall_at_5" &&
+            r.getAs[Double]("value") >= 0.55)),
+      // incremental sketch-state maintenance (t97): the mergeAggregate
+      // path must converge to the full-history rebuild, and the
+      // mid-day cut must actually exercise the combine branch
+      "t97 sketch append n_days > 0" -> rows("t97_sketch_append").map(
+        _.exists(r => r.getAs[String]("check") == "n_days" &&
+          r.getAs[Double]("value") > 0)),
+      "t97 sketch append overlap_days >= 1" -> rows("t97_sketch_append").map(
+        _.exists(r => r.getAs[String]("check") == "overlap_days" &&
+          r.getAs[Double]("value") >= 1)),
+      "t97 sketch append n_mismatch == 0" -> rows("t97_sketch_append").map(
+        _.exists(r => r.getAs[String]("check") == "n_mismatch" &&
+          r.getAs[Double]("value") == 0.0)),
+      // mergeable KLL rolling quantiles (t99): the t100 audit counts
+      // exact ranks of the sketch-returned values per window —
+      // distribution-free, gate at 3x KLL's k=200 stated bound
+      "t100 kll n_days > 0" -> rows("t100_kll_check").map(
+        _.exists(r => r.getAs[String]("check") == "n_days" &&
+          r.getAs[Double]("value") > 0)),
+      "t100 kll max_rank_err_p50 <= 0.05" -> rows("t100_kll_check").map(
+        _.exists(r => r.getAs[String]("check") == "max_rank_err_p50" &&
+          r.getAs[Double]("value") <= 0.05)),
+      "t100 kll max_rank_err_p95 <= 0.05" -> rows("t100_kll_check").map(
+        _.exists(r => r.getAs[String]("check") == "max_rank_err_p95" &&
+          r.getAs[Double]("value") <= 0.05)),
+      // Z-order layout (t95): the oracle replays the arithmetic; this
+      // gate pins the CLAIM — the Morton layout's worst-dimension
+      // coverage must be at most half the linear sort's (measured
+      // ~0.26 vs ~1.0 at 16 buckets)
+      "t95 zorder worst_dim_frac <= 0.5x linear" ->
+        rows("t95_zorder_layout").map { rs =>
+          def worst(l: String) = rs.find(_.getAs[String]("layout") == l)
+            .map(_.getAs[Double]("worst_dim_frac"))
+          (worst("zorder"), worst("linear_x")) match {
+            case (Some(z), Some(lx)) => z <= 0.5 * lx
+            case _ => false
+          }
+        },
       // BPE merge-apply contract — the cross-check justifying t55's
       // rows-only row: steps contiguous from 1, merged = left||right,
       // every pass merged something (0 < applied ≤ pair_count — the

@@ -154,6 +154,50 @@ final class MutableTable private (spark: SparkSession, base: String,
       cur.join(kd, cond, "left_anti")
     }
 
+  /** MERGE with per-column AGGREGATION (the ClickHouse
+    * AggregatingMergeTree / Druid rollup-segment semantics): matched
+    * keys COMBINE instead of replace — each column named in `merge`
+    * becomes merge(current, update); unnamed non-key columns take the
+    * update's value (plain UPDATE SET). Unmatched rows insert
+    * unchanged on either side. This is the verb mergeable-sketch
+    * state tables need: upsert would overwrite a day's sketch with a
+    * partial-batch sketch, mergeAggregate unions them — and because
+    * sketch union is commutative/associative/idempotent-per-item, the
+    * table converges to the full-history sketch no matter how ingest
+    * batches split or replay days.
+    *
+    * One null-safe full-outer join per call, update-cardinality
+    * shuffle; same copy-on-write version write as every other verb.
+    */
+  def mergeAggregate(updates: DataFrame, keys: Seq[String],
+                     merge: Map[String, (Column, Column) => Column])
+      : this.type =
+    mutate { cur =>
+      val dataCols = cur.columns.filterNot(keys.contains)
+      require(merge.keySet.subsetOf(dataCols.toSet),
+        s"merge columns ${merge.keySet -- dataCols} not in table")
+      val c = cur.select(
+        keys.map(col) ++ dataCols.map(col) :+ lit(true).as("__c"): _*)
+      val u = updates.select(
+        keys.map(k => col(k).as(s"__uk_$k")) ++
+          dataCols.map(d => col(d).as(s"__u_$d")) :+
+          lit(true).as("__u"): _*)
+      val cond = keys.map(k => c(k) <=> u(s"__uk_$k")).reduce(_ && _)
+      c.join(u, cond, "full_outer")
+        .select(
+          keys.map(k => coalesce(c(k), u(s"__uk_$k")).as(k)) ++
+            dataCols.map { d =>
+              val both = c("__c").isNotNull && u("__u").isNotNull
+              val merged = merge.get(d) match {
+                case Some(f) => f(col(d), col(s"__u_$d"))
+                case None    => col(s"__u_$d")
+              }
+              when(both, merged)
+                .when(u("__u").isNotNull, col(s"__u_$d"))
+                .otherwise(col(d)).as(d)
+            }: _*)
+    }
+
   /** Order-independent merge: keep the greatest-`orderCols` row per
     * key over current ∪ updates — `orderCols` must totally order rows
     * within a key, making the result independent of how the same rows

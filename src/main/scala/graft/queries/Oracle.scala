@@ -2269,5 +2269,171 @@ object Oracle {
         |       len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS bpeish_tokens
         |FROM documents""".stripMargin,
+
+    "t94_hybrid_search" ->
+      // BM25 arithmetic mirrored op-for-op (k1=1.2, b=0.75, Lucene
+      // plus-one idf), dense leg = t5's proven cosine parity, RRF sums
+      // <= 2 reciprocal ranks per id
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |         unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS term
+        |  FROM documents
+        |), tok2 AS (
+        |  SELECT * FROM toks WHERE length(term) > 0
+        |), dl AS (
+        |  SELECT id, count(*) AS dl FROM tok2 GROUP BY id
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT id, term, count(*) AS tf FROM tok2
+        |  WHERE term IN ('hash', 'join', 'window') GROUP BY id, term
+        |), dft AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), idf AS (
+        |  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+        |         avgdl
+        |  FROM dft CROSS JOIN stats
+        |), sc AS (
+        |  SELECT tf.id,
+        |         round(sum(idf.idf * (tf.tf * 2.2)
+        |                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl))),
+        |               6) AS bm25
+        |  FROM tf JOIN idf USING (term) JOIN dl ON tf.id = dl.id
+        |  GROUP BY tf.id
+        |), sparse AS (
+        |  SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rank
+        |  FROM sc QUALIFY rank <= 50
+        |), q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings
+        |  WHERE vec_id = 0
+        |), dense AS (
+        |  SELECT e.vec_id AS id,
+        |         row_number() OVER (
+        |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                           q.qvec) DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+        |  QUALIFY rank <= 50
+        |), unioned AS (
+        |  SELECT id, rank FROM sparse UNION ALL SELECT id, rank FROM dense
+        |), fused AS (
+        |  SELECT id, round(sum(1.0 / (60 + rank)), 6) AS rrf,
+        |         count(*) AS n_lists
+        |  FROM unioned GROUP BY id
+        |)
+        |SELECT row_number() OVER (ORDER BY rrf DESC, id) AS fused_rank,
+        |       id, rrf, n_lists
+        |FROM fused QUALIFY fused_rank <= 20
+        |ORDER BY fused_rank""".stripMargin,
+
+    "t98_filtered_ann" ->
+      // t5's proven cosine formulation + the metadata predicate
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS c
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.label = 1 AND e.vec_id != q.qid
+        |), ranked AS (
+        |  SELECT qid, id, c,
+        |         row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, rank, id, round(c, 6) AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "t95_zorder_layout" ->
+      // full replay of Layout.zorderAudit: linear 16-bit normalization,
+      // the 4-step mask-ladder bit interleave, Z-prefix vs linear-x
+      // bucketing, per-bucket fractional spans. Masks in decimal:
+      // 0x00FF00FF/0x0F0F0F0F/0x33333333/0x55555555
+      """WITH s AS (
+        |  SELECT min(CAST(user_id AS DOUBLE)) AS x_min,
+        |         max(CAST(user_id AS DOUBLE)) AS x_max,
+        |         min(CAST(value AS DOUBLE)) AS y_min,
+        |         max(CAST(value AS DOUBLE)) AS y_max
+        |  FROM events
+        |), n AS (
+        |  SELECT CAST(user_id AS DOUBLE) AS x, CAST(value AS DOUBLE) AS y,
+        |         x_min, x_max, y_min, y_max,
+        |         CASE WHEN x_max <= x_min THEN 0 ELSE CAST(least(
+        |           floor((CAST(user_id AS DOUBLE) - x_min) / (x_max - x_min)
+        |                 * 65536.0), 65535.0) AS BIGINT) END AS x16,
+        |         CASE WHEN y_max <= y_min THEN 0 ELSE CAST(least(
+        |           floor((CAST(value AS DOUBLE) - y_min) / (y_max - y_min)
+        |                 * 65536.0), 65535.0) AS BIGINT) END AS y16
+        |  FROM events CROSS JOIN s
+        |), sx AS (
+        |  SELECT *, (x16 | (x16 << 8)) & 16711935 AS xa,
+        |            (y16 | (y16 << 8)) & 16711935 AS ya
+        |  FROM n
+        |), sx2 AS (
+        |  SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+        |            (ya | (ya << 4)) & 252645135 AS yb
+        |  FROM sx
+        |), sx3 AS (
+        |  SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+        |            (yb | (yb << 2)) & 858993459 AS yc
+        |  FROM sx2
+        |), keyed AS (
+        |  SELECT x, y, x_min, x_max, y_min, y_max,
+        |         (((xc | (xc << 1)) & 1431655765)
+        |          | (((yc | (yc << 1)) & 1431655765) << 1)) >> 28 AS zb,
+        |         x16 >> 12 AS lb
+        |  FROM sx3
+        |), per AS (
+        |  SELECT layout, bucket,
+        |         min(x) AS bx_min, max(x) AS bx_max,
+        |         min(y) AS by_min, max(y) AS by_max,
+        |         any_value(x_min) AS x_min, any_value(x_max) AS x_max,
+        |         any_value(y_min) AS y_min, any_value(y_max) AS y_max
+        |  FROM (
+        |    SELECT 'zorder' AS layout, zb AS bucket, * FROM keyed
+        |    UNION ALL
+        |    SELECT 'linear_x' AS layout, lb AS bucket, * FROM keyed
+        |  ) GROUP BY layout, bucket
+        |), agg AS (
+        |  SELECT layout, count(*) AS n_buckets,
+        |         round(avg(CASE WHEN x_max > x_min
+        |           THEN (bx_max - bx_min) / (x_max - x_min) ELSE 0.0 END), 6)
+        |           AS avg_x_frac,
+        |         round(avg(CASE WHEN y_max > y_min
+        |           THEN (by_max - by_min) / (y_max - y_min) ELSE 0.0 END), 6)
+        |           AS avg_y_frac
+        |  FROM per GROUP BY layout
+        |)
+        |SELECT layout, n_buckets, avg_x_frac, avg_y_frac,
+        |       greatest(avg_x_frac, avg_y_frac) AS worst_dim_frac
+        |FROM agg ORDER BY layout""".stripMargin,
+
+    "t93_theta_overlap" ->
+      // exact-mode theta set algebra IS exact (every source's distinct
+      // vocabulary sits far under the 4096-entry sketch capacity at the
+      // audit SF), so the sketch estimates replay as plain
+      // COUNT(DISTINCT) + inclusion-exclusion; jaccard divides the same
+      // two integers the engine's union estimate produces
+      """WITH toks AS (
+        |  SELECT source,
+        |         unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS tok
+        |  FROM documents
+        |), p AS (
+        |  SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0
+        |), sizes AS (
+        |  SELECT source, count(*) AS n FROM p GROUP BY source
+        |), pairs AS (
+        |  SELECT a.source AS g_a, b.source AS g_b, count(*) AS n_both
+        |  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sa.source AS g_a, sb.source AS g_b,
+        |       round(CAST(sa.n AS DOUBLE), 6) AS n_a,
+        |       round(CAST(sb.n AS DOUBLE), 6) AS n_b,
+        |       round(CAST(coalesce(pr.n_both, 0) AS DOUBLE), 6) AS n_both,
+        |       round(CAST(coalesce(pr.n_both, 0) AS DOUBLE)
+        |             / (sa.n + sb.n - coalesce(pr.n_both, 0)), 6) AS jaccard
+        |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN pairs pr ON pr.g_a = sa.source AND pr.g_b = sb.source
+        |ORDER BY g_a, g_b""".stripMargin,
   )
 }

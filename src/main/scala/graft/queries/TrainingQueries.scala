@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, LineOps, Multimodal, Packing, Pq, Quantization, Similarity, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Bpe, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pq, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -987,7 +987,12 @@ object TrainingQueries {
     *    that drift.
     */
   def t76MarginAnnCheck(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+    // CAPPED audit corpus (≤ 1000 vectors per side), same rationale as
+    // t85: the comparison standard is brute-force mining, whose cost is
+    // quadratic in the corpus — an audit's cost must never scale with
+    // the data it samples (marginMine's own scaling is benched in
+    // docs/BENCH_SF1.md). At sf0.1 the cap is a no-op (2000 vectors).
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 2000)
     val src = emb.filter(col("vec_id") % 2 === 0)
     val tgt = emb.filter(col("vec_id") % 2 =!= 0)
     def mine(topK: Similarity.TopKProvider) =
@@ -1268,6 +1273,54 @@ object TrainingQueries {
         s"t86_quant_${System.nanoTime}")
     }
       .orderBy(col("day"), col("event_type"))
+  }
+
+  /** t96_stream_sketch — streaming mergeable-sketch maintenance: the
+    * t91 daily HLL table kept current by a watermarked streaming
+    * aggregation instead of a nightly batch. HLL union is a
+    * register-wise max — commutative, associative, idempotent — so
+    * the sketch a stream accretes across micro-batches is
+    * REGISTER-IDENTICAL to the one-shot batch build, and estimate
+    * equality (not mere closeness) is the enforced contract, same
+    * shape as t84's index parity. Emits (check, value):
+    * `n_days` (> 0), `n_mismatch` (streaming estimate ≠ batch
+    * estimate or day missing on either side — must be 0).
+    */
+  def t96StreamSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+    val daily = StreamingFlows.dailyKeySketch(stream, "ts", "user_id")
+    val streamed = StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, daily,
+        s"t96_sketch_${System.nanoTime}")
+    }
+    val sEst = streamed
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("s_est"))
+    // append mode emits only watermark-FINALIZED windows (window end ≤
+    // final watermark = max ts − 1 day), so the batch reference is
+    // filtered to the same set — the t14/t86 convention. The cutoff
+    // rides as a broadcast 1-row frame, not a driver collect.
+    val events = Tables.events(spark, sfDir)
+    val wm = events.agg(
+      (max(col("ts")) - expr("INTERVAL 1 DAY")).as("cutoff"))
+    val bEst = Sketches.dailyKeySketches(events, "ts", "user_id")
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("b_est"))
+      .crossJoin(broadcast(wm))
+      .filter(date_add(col("day"), 1).cast("timestamp") <= col("cutoff"))
+      .drop("cutoff")
+    val joined = sEst.join(bEst, Seq("day"), "full_outer")
+      .localCheckpoint(true)
+    val nDays = joined.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_days").as("check"), col("value"))
+    val nMismatch = joined
+      .agg(sum(when(col("s_est").isNull || col("b_est").isNull ||
+        col("s_est") =!= col("b_est"), 1).otherwise(0))
+        .cast("double").as("value"))
+      .select(lit("n_mismatch").as("check"), col("value"))
+    nDays.unionByName(nMismatch).orderBy(col("check"))
   }
 
   /** t84_stream_index_append — streaming IVF-PQ index maintenance run
@@ -2095,6 +2148,282 @@ object TrainingQueries {
         s"t44_sessions_${System.nanoTime}")
       .withColumn("sum_value", col("sum_value").cast("double"))
       .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** t91_hll_rolling — 7-day rolling distinct users from MERGEABLE
+    * per-day HLL sketches (Sketches.dailyKeySketches → rollingDistinct):
+    * the incremental-maintenance form of a rolling COUNT(DISTINCT) —
+    * the raw table is scanned once into |days| fixed-size sketches and
+    * every window is a union of those. Estimate-typed output, so the
+    * driver row is rows-only; t92 is the enforced relative-error audit
+    * against an exact recount on the same windows.
+    */
+  def t91HllRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Sketches.dailyKeySketches(
+      Tables.events(spark, sfDir), "ts", "user_id")
+    Sketches.rollingDistinct(daily, windowDays = 7)
+      .orderBy(col("day"))
+  }
+
+  /** t92_hll_check — the enforced contract for t91's estimates: join
+    * the sketch-path rolling distincts against an exact recount of the
+    * SAME windows (events range-joined to days — the computation the
+    * sketch path exists to avoid; linear per window, run at audit SF
+    * only) and emit (check, value) rows the Verify gate pins:
+    *
+    *  - `n_days`: windows audited (> 0 — vacuity guard);
+    *  - `max_rel_err`: worst |approx − exact| / exact over all windows
+    *    (gate ≤ 0.05; lgK=12 standard error is ~1.6%, and below the
+    *    sketch's dense-promotion threshold the coupon estimator is
+    *    exact — measured 0.0 at sf0.01/sf0.1);
+    *  - `min_approx`: smallest estimate (> 0 — sketches actually
+    *    populated).
+    */
+  def t92HllCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val approx = Sketches.rollingDistinct(
+      Sketches.dailyKeySketches(events, "ts", "user_id"), windowDays = 7)
+    val exact = approx.select(col("day"))
+      .join(events.select(to_date(col("ts")).as("d2"), col("user_id")),
+        col("d2").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val joined = approx.join(exact, "day")
+      .select(col("approx_distinct").cast("double").as("a"),
+              col("exact_distinct").cast("double").as("e"))
+      .localCheckpoint(true)
+    val nDays = joined.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_days").as("check"), col("value"))
+    val maxErr = joined
+      .agg(coalesce(max(abs(col("a") - col("e")) / col("e")), lit(0.0))
+        .as("value"))
+      .select(lit("max_rel_err").as("check"), round(col("value"), 6).as("value"))
+    val minApprox = joined.agg(min(col("a")).as("value"))
+      .select(lit("min_approx").as("check"), col("value"))
+    nDays.unionByName(maxErr).unionByName(minApprox).orderBy(col("check"))
+  }
+
+  /** t93_theta_overlap — pairwise distinct-vocabulary overlap between
+    * sources via theta sketches (Sketches.groupOverlap over the
+    * lowercase-whitespace token relation): |A|, |B|, |A ∩ B| and
+    * Jaccard for every source pair, computed from |groups| kilobyte
+    * sketches instead of a raw self-join. At the audit SF every group
+    * is under the sketch's exact-mode capacity (4096 distinct keys),
+    * where theta set operations are EXACT — so this row hash-matches
+    * a DuckDB COUNT(DISTINCT) inclusion-exclusion replay; beyond
+    * exact mode the estimates carry ~1.6% standard error (the
+    * documented estimate-regime contract, same two-tier shape as the
+    * ANN family).
+    */
+  def t93ThetaOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    Sketches.groupOverlap(toks, "source", "tok")
+      .orderBy(col("g_a"), col("g_b"))
+  }
+
+  /** t94_hybrid_search — first-stage RAG retrieval: Okapi BM25 over the
+    * corpus for a bag-of-terms query, brute-force cosine over the
+    * aligned embeddings for the dense query (doc 0's vector), and
+    * Reciprocal Rank Fusion (k=60) of the two top-50 lists — the
+    * calibration-free sparse+dense fusion every hybrid search stack
+    * ships. Fully oracle-replayed in DuckDB: the BM25 arithmetic
+    * mirrors op-for-op, the cosine leg reuses t5's proven parity, and
+    * RRF sums ≤ 2 reciprocal ranks per id (2-element double sums are
+    * order-safe).
+    */
+  def t94HybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val queryTerms = Seq("hash", "join", "window")
+    // top-50 via distributed sort+limit (TakeOrderedAndProject — a
+    // per-partition heap + driver merge of 50-row slices, never a
+    // single-partition corpus sort); the rank window then runs over
+    // the 50 survivors only
+    val sparseW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("id").asc)
+    val sparse = Retrieval.bm25(docs, "doc_id", "text", queryTerms)
+      .orderBy(col("bm25").desc, col("id").asc).limit(50)
+      .withColumn("rank", row_number().over(sparseW))
+      .select(col("id"), col("rank"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 50)
+      .select(col("id"), col("rank"))
+    Retrieval.rrfFuse(Seq(sparse, dense), k = 60)
+      .filter(col("fused_rank") <= 20)
+      .select(col("fused_rank"), col("id"), col("rrf"), col("n_lists"))
+      .orderBy(col("fused_rank"))
+  }
+
+  /** t95_zorder_layout — the Morton-curve layout audit on events
+    * (x = user_id, y = value, 16 files): per-layout average fractional
+    * min/max coverage of both dimensions, Z-prefix bucketing vs the
+    * linear x sort. The claim a 100 TB writer cares about — Z-order
+    * holds BOTH dims near 1/√B where the linear sort leaves one at
+    * ~100% — lands as data: worst_dim_frac ≈ 0.26 vs ≈ 1.0. The
+    * DuckDB oracle replays the whole computation (mask-ladder bit
+    * interleave included) exactly; the Verify gate additionally pins
+    * the pruning claim itself.
+    */
+  def t95ZorderLayout(spark: SparkSession, sfDir: String): DataFrame =
+    Layout.zorderAudit(
+        Tables.events(spark, sfDir).select(col("user_id"), col("value")),
+        "user_id", "value", buckets = 16)
+      .orderBy(col("layout"))
+
+  /** t97_sketch_append — INCREMENTAL sketch-state maintenance via the
+    * mergeable-aggregate MERGE verb (MutableTable.mergeAggregate, the
+    * AggregatingMergeTree semantics): the daily-HLL table is built
+    * from history, then an ingest batch cut MID-DAY lands via
+    * mergeAggregate with hll_union as the combiner — the straddled
+    * day's stored sketch and the batch's partial sketch UNION rather
+    * than overwrite (upsert would silently drop the morning's users).
+    * The final state's rolling distincts must estimate IDENTICALLY to
+    * a full-history rebuild (register-max union is split-invariant).
+    * Emits (check, value): `n_days` (> 0), `overlap_days` (≥ 1 — the
+    * straddled day really exercised the combine branch),
+    * `n_mismatch` (vs full rebuild — 0).
+    */
+  def t97SketchAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val cut = lit("2024-01-24 12:00:00").cast("timestamp")
+    val state0 = Sketches.dailyKeySketches(
+      events.filter(col("ts") < cut), "ts", "user_id")
+    val delta = Sketches.dailyKeySketches(
+      events.filter(col("ts") >= cut), "ts", "user_id")
+    val work = graft.io.TempDirs.create("t97_sketch").toString
+    val table = graft.io.MutableTable.create(spark, s"$work/sketches", state0)
+    val overlap = state0.select(col("day"))
+      .join(delta.select(col("day")), "day")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("overlap_days").as("check"), col("value"))
+    table.mergeAggregate(delta, Seq("day"),
+      Map("sk" -> ((cur, upd) => hll_union(cur, upd))))
+    val incr = Sketches.rollingDistinct(table.read(), 7)
+      .select(col("day"), col("approx_distinct").as("i_est"))
+    val full = Sketches.rollingDistinct(
+        Sketches.dailyKeySketches(events, "ts", "user_id"), 7)
+      .select(col("day"), col("approx_distinct").as("f_est"))
+    val joined = incr.join(full, Seq("day"), "full_outer")
+      .localCheckpoint(true)
+    val nDays = joined.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_days").as("check"), col("value"))
+    val nMismatch = joined
+      .agg(sum(when(col("i_est").isNull || col("f_est").isNull ||
+        col("i_est") =!= col("f_est"), 1).otherwise(0))
+        .cast("double").as("value"))
+      .select(lit("n_mismatch").as("check"), col("value"))
+    nDays.unionByName(overlap).unionByName(nMismatch).orderBy(col("check"))
+  }
+
+  /** t98_filtered_ann — FILTERED vector search (the vector-DB
+    * "metadata predicate + top-k" surface): exact cosine top-5 over
+    * only the corpus vectors whose label = 1, for the first 10 query
+    * vectors. Composition: predicate pushdown into the scan, then the
+    * same bounded-heap brute-force top-k as t5 — the exact baseline
+    * the approximate filtered path (cell-routed IVF scan with the
+    * predicate pushed into the (cell, id) table, t77's layout) is
+    * audited against. Full DuckDB oracle = t5's proven formulation +
+    * the WHERE clause.
+    */
+  def t98FilteredAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(emb.filter(col("label") === 1),
+        "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** t101_filtered_serve — approximate FILTERED search against a
+    * prebuilt IVF-PQ index: the index is built over the FULL corpus
+    * once (the serving reality — indexes are not rebuilt per
+    * predicate); a metadata predicate then prunes the stored
+    * (id, cell, codes) table via an id semi-join BEFORE the ADC scan,
+    * so scan work ∝ matching fraction × probed fraction. Emits the
+    * enforced audit vs t98's exact filtered baseline: (check, value)
+    * rows `recall_at_5` (≥ 0.55, the t78 production floor) and
+    * `n_expected` (> 0 — vacuity guard).
+    */
+  def t101FilteredServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (cents, cb) = Pq.ivfPqTrain(emb, "embedding", nlist = 16)
+    val index = Pq.ivfPqIndex(emb, "vec_id", "embedding", cents, cb)
+    val allowed = emb.filter(col("label") === 1)
+    val filteredIndex = index.join(
+      allowed.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val served = Pq.ivfPqServe(filteredIndex, allowed, "vec_id",
+        "embedding", queries, "qid", "qvec", k = 5, nprobe = 8,
+        rerank = 8, centroids = cents, codebook = cb)
+      .select(col("qid"), col("id"))
+    val exact = Similarity.bruteForceTopK(allowed, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      .select(col("qid"), col("id")).localCheckpoint(true)
+    val n = exact.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_expected").as("check"), col("value"))
+    val recall = served.join(exact, Seq("qid", "id"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("hit"))
+      .crossJoin(exact.agg(count(lit(1)).cast("double").as("den")))
+      .select(lit("recall_at_5").as("check"),
+              round(col("hit") / col("den"), 6).as("value"))
+    n.unionByName(recall).orderBy(col("check"))
+  }
+
+  /** t99_kll_rolling — rolling 7-day p50/p95 of event value from
+    * MERGEABLE per-day KLL sketches: the order-statistics analog of
+    * t91 (nightly re-slides touch kilobyte summaries, never raw
+    * history). Estimate-typed output → rows-only; t100 is the
+    * enforced rank-error audit.
+    */
+  def t99KllRolling(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.rollingQuantiles(
+        Sketches.dailyQuantileSketches(
+          Tables.events(spark, sfDir), "ts", "value"),
+        windowDays = 7, percentiles = Seq(0.5, 0.95))
+      .orderBy(col("day"))
+
+  /** t100_kll_check — the enforced contract for t99: for every window,
+    * count exact ranks of the sketch-returned quantile values against
+    * the window's raw rows (the distribution-free check KLL's bound is
+    * stated in): rank_err(p) = |#{v ≤ q_p}/n − p|. Emits (check,
+    * value): `n_days` (> 0), `max_rank_err_p50` and `max_rank_err_p95`
+    * (both ≤ 0.05; KLL k=200 bounds normalized rank error at ~1.65%
+    * with 99% confidence — and below the first compaction the sketch
+    * is exact).
+    */
+  def t100KllCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val approx = Sketches.rollingQuantiles(
+      Sketches.dailyQuantileSketches(events, "ts", "value"),
+      windowDays = 7, percentiles = Seq(0.5, 0.95))
+    val windowRows = approx.select(col("day"), col("p50"), col("p95"))
+      .join(events.select(to_date(col("ts")).as("d2"),
+          col("value").cast("double").as("v")),
+        col("d2").between(date_sub(col("day"), 6), col("day")))
+    val perDay = windowRows.groupBy(col("day"))
+      .agg(
+        (sum(when(col("v") <= col("p50"), 1).otherwise(0)) /
+          count(lit(1))).as("f50"),
+        (sum(when(col("v") <= col("p95"), 1).otherwise(0)) /
+          count(lit(1))).as("f95"))
+      .localCheckpoint(true)
+    val nDays = perDay.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_days").as("check"), col("value"))
+    val e50 = perDay
+      .agg(coalesce(max(abs(col("f50") - 0.5)), lit(1.0)).as("value"))
+      .select(lit("max_rank_err_p50").as("check"),
+              round(col("value"), 6).as("value"))
+    val e95 = perDay
+      .agg(coalesce(max(abs(col("f95") - 0.95)), lit(1.0)).as("value"))
+      .select(lit("max_rank_err_p95").as("check"),
+              round(col("value"), 6).as("value"))
+    nDays.unionByName(e50).unionByName(e95).orderBy(col("check"))
   }
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize

@@ -54,6 +54,26 @@ object StreamingFlows {
     * result is rank-bounded approximate; the accuracy knob IS the
     * state-vs-precision trade, stated rather than hidden.
     */
+  /** Streaming mergeable-sketch maintenance (the t91 daily HLL table
+    * kept current by the stream itself): a watermarked 1-day window
+    * whose aggregation state IS the HLL sketch — fixed ≤ ~2^lgK bytes
+    * per day regardless of event volume, partial-merged across
+    * micro-batches like any imperative aggregate. Because HLL union
+    * is a register-wise max (commutative/associative/idempotent), the
+    * accreted sketch is register-identical to a one-shot batch build
+    * over the same rows — t96 enforces estimate EQUALITY, not mere
+    * closeness. Downstream rolling windows read this sketch table
+    * (Sketches.rollingDistinct) and never rescan history.
+    */
+  def dailyKeySketch(stream: DataFrame, tsCol: String, keyCol: String,
+                     watermark: String = "1 day",
+                     lgK: Int = 12): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day").as("day_window"))
+      .agg(hll_sketch_agg(col(keyCol), lgK).as("sk"))
+      .select(to_date(col("day_window.start")).as("day"), col("sk"))
+
   def dailyQuantiles(stream: DataFrame, tsCol: String, typeCol: String,
                      valCol: String, watermark: String = "1 day",
                      accuracy: Int = 10000): DataFrame =

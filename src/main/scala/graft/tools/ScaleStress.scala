@@ -239,7 +239,19 @@ object ScaleStress {
       // leak-free splits: the t18 component pipeline + a per-row
       // arithmetic label — the pair-generation and CC rounds dominate,
       // and the 10× dup-heavy corpus is their worst case
-      "t90_leakfree_split" -> (TrainingQueries.t90LeakFreeSplit _))
+      "t90_leakfree_split" -> (TrainingQueries.t90LeakFreeSplit _),
+      // theta overlap: the 10× corpus multiplies rows per source, not
+      // vocabulary — the pairwise stage reads a |sources|-row sketch
+      // table either way, so cost is the token-scan rate
+      // (t91/t92/t95/t96 are events-table ops — out of this fixture
+      // like t14/t86; their state/audit shapes are argued in their
+      // scaladocs and PERF_NOTES)
+      "t93_theta_overlap" -> (TrainingQueries.t93ThetaOverlap _),
+      // hybrid retrieval: BM25 postings are query-term-filtered before
+      // df/scoring (so those shuffles grow with matching docs only);
+      // the dense leg is the documented brute-force baseline — at
+      // production scale the rank list comes from t77's IVF-PQ instead
+      "t94_hybrid_search" -> (TrainingQueries.t94HybridSearch _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

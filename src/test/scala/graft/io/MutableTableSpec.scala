@@ -100,6 +100,53 @@ class MutableTableSpec extends SparkSpec {
     assert(reopened.read().count() == 2)
   }
 
+  test("mergeAggregate: matched keys COMBINE, unmatched insert, " +
+       "unnamed columns take the update's value") {
+    val base = freshBase("mt_mergeagg")
+    val t = MutableTable.create(spark, base, Seq(
+      (1L, 10L, "old1"), (2L, 20L, "old2")).toDF("k", "n", "tag"))
+    t.mergeAggregate(
+      Seq((2L, 5L, "new2"), (3L, 7L, "new3")).toDF("k", "n", "tag"),
+      Seq("k"), Map("n" -> ((cur, upd) => cur + upd)))
+    val got = t.read().as[(Long, Long, String)].collect().toSet
+    // k=1 untouched; k=2 combined (20+5) with tag replaced; k=3 inserted
+    assert(got == Set((1L, 10L, "old1"), (2L, 25L, "new2"), (3L, 7L, "new3")))
+  }
+
+  test("mergeAggregate is split-invariant for commutative combiners") {
+    val allRows = Seq((1L, 3L), (1L, 4L), (2L, 5L))
+    def build(batches: Seq[Seq[(Long, Long)]]): Set[(Long, Long)] = {
+      val base = freshBase("mt_split")
+      val t = MutableTable.create(spark, base,
+        Seq.empty[(Long, Long)].toDF("k", "n"))
+      batches.foreach { b =>
+        val agg = b.toDF("k", "n").groupBy($"k").agg(sum($"n").as("n"))
+        t.mergeAggregate(agg, Seq("k"), Map("n" -> ((c, u) => c + u)))
+      }
+      t.read().as[(Long, Long)].collect().toSet
+    }
+    val oneShot = build(Seq(allRows))
+    val split = build(Seq(Seq(allRows.head), allRows.tail))
+    assert(oneShot == split)
+    assert(oneShot == Set((1L, 7L), (2L, 5L)))
+  }
+
+  test("mergeAggregate rejects unknown merge columns and is null-safe " +
+       "on keys") {
+    val base = freshBase("mt_mergenull")
+    val t = MutableTable.create(spark, base,
+      Seq((Some(1L), 10L), (None, 1L)).toDF("k", "n"))
+    intercept[IllegalArgumentException] {
+      t.mergeAggregate(Seq((Some(1L), 1L)).toDF("k", "n"), Seq("k"),
+        Map("nope" -> ((c, u) => c + u)))
+    }
+    // a NULL-keyed update merges into the NULL-keyed row, not a new one
+    t.mergeAggregate(Seq((Option.empty[Long], 2L)).toDF("k", "n"),
+      Seq("k"), Map("n" -> ((c, u) => c + u)))
+    val got = t.read().as[(Option[Long], Long)].collect().toSet
+    assert(got == Set((Some(1L), 10L), (None, 3L)))
+  }
+
   test("create refuses to clobber an existing table; open finds it") {
     val base = freshBase("mt_create")
     MutableTable.create(spark, base, Seq((1L, "a")).toDF("k", "s"))

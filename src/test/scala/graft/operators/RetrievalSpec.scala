@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark join join join"),      // tf(join)=3, dl=4
+    (2L, "join hash"),                 // tf(join)=1 tf(hash)=1, dl=2
+    (3L, "scan filter scan filter"),   // no query terms
+    (4L, "hash hash hash spark")       // tf(hash)=3, dl=4
+  ).toDF("doc_id", "text")
+
+  test("bm25: only matching docs scored; higher tf of rarer term wins") {
+    val out = Retrieval.bm25(docs, "doc_id", "text", Seq("join", "hash"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 4L)) // doc 3 matches nothing
+    // docs 1 and 4 are symmetric (same tf, same dl, both terms df=2):
+    // identical scores; doc 2 has lower tf but much shorter dl
+    assert(math.abs(out(1L) - out(4L)) < 1e-9)
+    assert(out.values.forall(_ > 0.0))
+  }
+
+  test("bm25 matches the closed-form hand computation") {
+    // single term, single doc: idf = ln(1 + (1-1+0.5)/(1+0.5)),
+    // w = idf * tf*2.2 / (tf + 1.2*(0.25 + 0.75*dl/avgdl))
+    val one = Seq((7L, "x x y")).toDF("doc_id", "text")
+    val got = Retrieval.bm25(one, "doc_id", "text", Seq("x"))
+      .as[(Long, Double)].head()._2
+    val idf = math.log(1.0 + 0.5 / 1.5)
+    val expect = idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))
+    assert(math.abs(got - BigDecimal(expect)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("rrfFuse: ids in both lists outrank single-list ids; ranks dense") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 60)
+      .select($"id", $"rrf", $"n_lists", $"fused_rank")
+      .as[(Long, Double, Long, Int)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(11L)._4 == 1)               // 1/62 + 1/61 beats any single
+    assert(byId(11L)._3 == 2L)
+    assert(out.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4))
+    // exact values: rank-1 single list = 1/61
+    assert(math.abs(byId(10L)._2 - BigDecimal(1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+}

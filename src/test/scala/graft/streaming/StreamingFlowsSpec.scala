@@ -141,4 +141,36 @@ class StreamingFlowsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("streaming daily HLL sketch estimates equal the batch build " +
+       "per finalized window") {
+    val batchRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = StreamingFlows.source(spark, sfDir, batchRaw.schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(batchRaw.schema("ts").dataType))
+    val agg = StreamingFlows.dailyKeySketch(stream, "ts", "user_id")
+    val got = StreamingFlows.runAvailableNow(spark, agg, "sketch_stream")
+      .select($"day", hll_sketch_estimate($"sk").as("est"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val events = graft.Tables.events(spark, sfDir)
+    val maxTs = events.agg(max($"ts")).head().getTimestamp(0)
+    val cutoff = java.sql.Timestamp.from(
+      maxTs.toInstant.minus(java.time.Duration.ofDays(1)))
+    val expected = graft.operators.Sketches
+      .dailyKeySketches(events, "ts", "user_id")
+      .select($"day", hll_sketch_estimate($"sk").as("est"))
+      .filter(date_add($"day", 1).cast("timestamp") <= lit(cutoff))
+      .as[(java.sql.Date, Long)].collect().toMap
+    // register-max union is order-independent: stream-accreted sketches
+    // must estimate IDENTICALLY to the one-shot batch build
+    assert(got == expected)
+    // and at this cardinality the estimates are exact distinct counts
+    val exact = events
+      .filter(date_add(to_date($"ts"), 1).cast("timestamp") <= lit(cutoff))
+      .groupBy(to_date($"ts").as("day"))
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(got == exact)
+  }
 }
