@@ -100,6 +100,38 @@ object Sketches {
     merged.select(col("day") +: lit(windowDays).as("window_days") +: qCols: _*)
   }
 
+  /** Per-day NEW-key counts (the first-seen/growth metric) from the
+    * daily theta-sketch table: new(d) = |sketch(d) \ ∪sketch(<d)| via
+    * theta set difference — the historical min-over-every-event
+    * shuffle never runs; each day needs one union of prior summaries
+    * and one difference, all on kilobyte objects. day 1 of the table
+    * reports its full cardinality (no prior history), matching the
+    * first-seen SQL semantics.
+    *
+    * In the exact regime (history under the sketch's nominal
+    * capacity) the counts are EXACT and the driver row hash-matches a
+    * DuckDB min-first-seen replay; beyond it the standard ~1.6%
+    * theta estimate contract applies (the t93 two-tier shape).
+    */
+  def dailyNewKeys(events: DataFrame, tsCol: String,
+                   keyCol: String): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(theta_sketch_agg(xxhash64(col(keyCol))).as("sk"))
+    val prior = daily.select(col("day").as("d2"), col("sk").as("sk2"))
+    val history = daily.select(col("day"))
+      .join(prior, col("d2") < col("day"), "left")
+      .groupBy(col("day"))
+      .agg(theta_union_agg(col("sk2")).as("hist"))
+    daily.join(history, "day")
+      .select(col("day"),
+        round(theta_sketch_estimate(col("sk")), 6).as("n_day"),
+        round(when(col("hist").isNull,
+            theta_sketch_estimate(col("sk")))
+          .otherwise(theta_sketch_estimate(
+            theta_difference(col("sk"), col("hist")))), 6).as("n_new"))
+  }
+
   /** Pairwise distinct-key overlap between groups via theta sketches —
     * |A|, |B|, |A ∩ B|, Jaccard — without ever joining the raw rows.
     * One scan reduces to |groups| sketches (default lgK=12: exact

@@ -2325,6 +2325,24 @@ object Oracle {
         |FROM fused QUALIFY fused_rank <= 20
         |ORDER BY fused_rank""".stripMargin,
 
+    "t102_theta_novelty" ->
+      // first-seen replay: n_new(d) = users whose min(day) = d; theta
+      // difference in exact mode computes exactly this
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events
+        |), per AS (
+        |  SELECT day, count(DISTINCT user_id) AS n_day FROM d GROUP BY day
+        |), fs AS (
+        |  SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id
+        |), nw AS (
+        |  SELECT first_day AS day, count(*) AS n_new FROM fs GROUP BY first_day
+        |)
+        |SELECT p.day, round(CAST(p.n_day AS DOUBLE), 6) AS n_day,
+        |       round(CAST(coalesce(nw.n_new, 0) AS DOUBLE), 6) AS n_new
+        |FROM per p LEFT JOIN nw USING (day)
+        |ORDER BY day""".stripMargin,
+
     "t98_filtered_ann" ->
       // t5's proven cosine formulation + the metadata predicate
       """WITH q AS (

@@ -2375,6 +2375,19 @@ object TrainingQueries {
     n.unionByName(recall).orderBy(col("check"))
   }
 
+  /** t102_theta_novelty — per-day NEW-user counts from theta-sketch
+    * set difference against the accumulated history union (the growth
+    * metric every ingest dashboard wants, computed from kilobyte
+    * summaries instead of a min-over-all-history shuffle). Exact-mode
+    * theta set algebra at the audit SF → the row hash-matches a
+    * DuckDB first-seen (min day per user) replay; beyond exact mode
+    * the documented ~1.6% estimate contract applies (t93's two-tier
+    * shape).
+    */
+  def t102ThetaNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.dailyNewKeys(Tables.events(spark, sfDir), "ts", "user_id")
+      .orderBy(col("day"))
+
   /** t99_kll_rolling — rolling 7-day p50/p95 of event value from
     * MERGEABLE per-day KLL sketches: the order-statistics analog of
     * t91 (nightly re-slides touch kilobyte summaries, never raw

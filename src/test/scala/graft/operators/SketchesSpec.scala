@@ -81,6 +81,17 @@ class SketchesSpec extends SparkSpec {
     assert(d2p95 >= 188.0 && d2p95 <= 190.0)
   }
 
+  test("dailyNewKeys: first-seen counts via theta difference") {
+    val out = Sketches.dailyNewKeys(events, "ts", "user_id")
+      .select($"day".cast("string"), $"n_day", $"n_new")
+      .as[(String, Double, Double)].collect().toSet
+    // day1 users {1,2} all new; day2 {2,3} → 1 new; day4 {9} → 1 new
+    assert(out == Set(
+      ("2024-01-01", 2.0, 2.0),
+      ("2024-01-02", 2.0, 1.0),
+      ("2024-01-04", 1.0, 1.0)))
+  }
+
   private def docs = Seq(
     ("s1", "a b c d"), ("s1", "a b"),       // s1 vocab {a,b,c,d}
     ("s2", "c d e"),                        // s2 vocab {c,d,e}
