@@ -239,6 +239,29 @@ object Verify {
       "t96 stream sketch n_mismatch == 0" -> rows("t96_stream_sketch").map(
         _.exists(r => r.getAs[String]("check") == "n_mismatch" &&
           r.getAs[Double]("value") == 0.0)),
+      // index persistence (t103): serving from the parquet-round-
+      // tripped index must be BIT-identical to the in-memory one
+      "t103 roundtrip served_rows > 0" -> rows("t103_index_roundtrip").map(
+        _.exists(r => r.getAs[String]("check") == "served_rows" &&
+          r.getAs[Double]("value") > 0)),
+      "t103 roundtrip parity_violations == 0" ->
+        rows("t103_index_roundtrip").map(
+          _.exists(r => r.getAs[String]("check") == "parity_violations" &&
+            r.getAs[Double]("value") == 0.0)),
+      // index drift monitor (t104): no false alarms on same-
+      // distribution ingest, real shift must move the needle
+      "t104 drift same_ratio <= 1.5" -> rows("t104_index_drift").map(
+        _.exists(r => r.getAs[String]("check") == "same_ratio" &&
+          r.getAs[Double]("value") <= 1.5)),
+      "t104 drift shifted_ratio > same_ratio" ->
+        rows("t104_index_drift").map { rs =>
+          def v(c: String) = rs.find(_.getAs[String]("check") == c)
+            .map(_.getAs[Double]("value"))
+          (v("shifted_ratio"), v("same_ratio")) match {
+            case (Some(s), Some(m)) => s > m
+            case _ => false
+          }
+        },
       // filtered IVF-PQ serving (t101): predicate-pruned ADC scan must
       // hold the t78 production recall floor vs the exact filtered
       // baseline (measured 0.66 at sf0.01, consistent with t78's 0.62

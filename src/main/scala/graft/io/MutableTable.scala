@@ -166,6 +166,10 @@ final class MutableTable private (spark: SparkSession, base: String,
     * table converges to the full-history sketch no matter how ingest
     * batches split or replay days.
     *
+    * Updates must be key-unique and share the table schema (the
+    * [[upsert]] contract — duplicate update keys would fan the
+    * full-outer join out).
+    *
     * One null-safe full-outer join per call, update-cardinality
     * shuffle; same copy-on-write version write as every other verb.
     */

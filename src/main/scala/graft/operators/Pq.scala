@@ -321,4 +321,71 @@ object Pq {
     (corpus, idCol, vecCol, queries, qidCol, qvecCol, k) =>
       pqTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
         m, ksub, iters, rerank)
+
+  // ---- index persistence ------------------------------------------------
+  //
+  // The (id, cell, codes) table is already a DataFrame and persists
+  // like any table; these four helpers round-trip the two DRIVER-HELD
+  // halves — the coarse centroid matrix and the PQ codebook — through
+  // flat (indices, value) relations, so a trained index survives as
+  // three plain parquet tables and a fresh session serves it without
+  // retraining (FAISS write_index/read_index, warehouse-style). The
+  // collect on read is bounded by the same nlist×dim / ksub×dim driver
+  // budget the training path already holds in memory.
+
+  /** Centroid matrix → (cell, d_idx, v) rows. */
+  def centroidsToDf(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, d) => (i, d, v) }
+    }.toSeq.toDF("cell", "d_idx", "v")
+  }
+
+  /** (cell, d_idx, v) rows → centroid matrix (inverse of
+    * [[centroidsToDf]]; validates dense contiguous indices).
+    */
+  def centroidsFromDf(df: DataFrame): Array[Seq[Double]] = {
+    val rows = df.select(col("cell").cast("int"), col("d_idx").cast("int"),
+        col("v").cast("double"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(rows.nonEmpty, "empty centroid table")
+    val nlist = rows.map(_._1).max + 1
+    val dim = rows.map(_._2).max + 1
+    require(rows.length == nlist * dim,
+      s"centroid table not dense: ${rows.length} rows for $nlist x $dim")
+    val m = Array.fill(nlist, dim)(Double.NaN)
+    rows.foreach { case (c, d, v) => m(c)(d) = v }
+    m.map(_.toSeq)
+  }
+
+  /** PQ codebook → (m_idx, k_idx, d_idx, v) rows. */
+  def codebookToDf(spark: org.apache.spark.sql.SparkSession,
+                   codebook: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    codebook.zipWithIndex.flatMap { case (sub, mi) =>
+      sub.zipWithIndex.flatMap { case (cw, ki) =>
+        cw.zipWithIndex.map { case (v, d) => (mi, ki, d, v) }
+      }
+    }.toSeq.toDF("m_idx", "k_idx", "d_idx", "v")
+  }
+
+  /** (m_idx, k_idx, d_idx, v) rows → PQ codebook (inverse of
+    * [[codebookToDf]]; validates dense contiguous indices).
+    */
+  def codebookFromDf(df: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = df.select(col("m_idx").cast("int"), col("k_idx").cast("int"),
+        col("d_idx").cast("int"), col("v").cast("double"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    require(rows.nonEmpty, "empty codebook table")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val dsub = rows.map(_._3).max + 1
+    require(rows.length == m * ksub * dsub,
+      s"codebook table not dense: ${rows.length} rows for $m x $ksub x $dsub")
+    val cb = Array.fill(m, ksub, dsub)(Double.NaN)
+    rows.foreach { case (mi, ki, d, v) => cb(mi)(ki)(d) = v }
+    cb
+  }
 }

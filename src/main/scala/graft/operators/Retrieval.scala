@@ -71,6 +71,7 @@ object Retrieval {
     * rankings should cut to top-k first.
     */
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     val unioned = rankings
       .map(_.select(col("id"), col("rank")))
       .reduce(_ unionByName _)

@@ -53,8 +53,13 @@ object Sketches {
     * relative-error values.
     */
   def rollingDistinct(daily: DataFrame, windowDays: Int): DataFrame = {
-    val other = daily.select(col("day").as("d2"), col("sk").as("sk2"))
-    daily.select(col("day"))
+    // pin the bounded sketch table (|days| × ≤ 4 KB) before the
+    // range self-join: both join sides then read the materialized
+    // state instead of re-running the raw scan that produced it —
+    // without this the committed plan scans the events table twice
+    val d = daily.localCheckpoint(true)
+    val other = d.select(col("day").as("d2"), col("sk").as("sk2"))
+    d.select(col("day"))
       .join(other, col("d2").between(
         date_sub(col("day"), windowDays - 1), col("day")))
       .groupBy(col("day"))
@@ -87,8 +92,10 @@ object Sketches {
     */
   def rollingQuantiles(daily: DataFrame, windowDays: Int,
                        percentiles: Seq[Double]): DataFrame = {
-    val other = daily.select(col("day").as("d2"), col("qsk").as("qsk2"))
-    val merged = daily.select(col("day"))
+    // same bounded-state pin as rollingDistinct: one raw scan total
+    val d = daily.localCheckpoint(true)
+    val other = d.select(col("day").as("d2"), col("qsk").as("qsk2"))
+    val merged = d.select(col("day"))
       .join(other, col("d2").between(
         date_sub(col("day"), windowDays - 1), col("day")))
       .groupBy(col("day"))
@@ -115,9 +122,17 @@ object Sketches {
     */
   def dailyNewKeys(events: DataFrame, tsCol: String,
                    keyCol: String): DataFrame = {
+    // NULL keys are excluded BEFORE hashing: xxhash64(NULL) is a
+    // constant (not NULL), so an unfiltered sketch would count a
+    // phantom key where COUNT(DISTINCT) semantics count nothing
     val daily = events
+      .filter(col(keyCol).isNotNull)
       .groupBy(to_date(col(tsCol)).as("day"))
       .agg(theta_sketch_agg(xxhash64(col(keyCol))).as("sk"))
+      // bounded-state pin (|days| × ≤ 32 KB): the history union and
+      // the per-day join both read the materialized sketch table —
+      // one raw scan total, not three
+      .localCheckpoint(true)
     val prior = daily.select(col("day").as("d2"), col("sk").as("sk2"))
     val history = daily.select(col("day"))
       .join(prior, col("d2") < col("day"), "left")
@@ -150,9 +165,17 @@ object Sketches {
     */
   def groupOverlap(df: DataFrame, groupCol: String,
                    keyCol: String): DataFrame = {
+    // NULL keys excluded before hashing (COUNT(DISTINCT) parity — see
+    // dailyNewKeys); NULL groups drop out of the a < b pairing on both
+    // the engine and oracle sides, consistently
     val sketches = df
+      .filter(col(keyCol).isNotNull)
       .groupBy(col(groupCol).as("g"))
       .agg(theta_sketch_agg(xxhash64(col(keyCol))).as("sk"))
+      // bounded-state pin (|groups| × ≤ 32 KB): both sides of the
+      // pairwise self-join read the materialized sketch table — the
+      // corpus-sized input is scanned ONCE, not once per join side
+      .localCheckpoint(true)
     val a = sketches.select(col("g").as("g_a"), col("sk").as("sk_a"))
     val b = sketches.select(col("g").as("g_b"), col("sk").as("sk_b"))
     a.join(b, col("g_a") < col("g_b"))

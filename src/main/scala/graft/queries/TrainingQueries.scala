@@ -2388,6 +2388,89 @@ object TrainingQueries {
     Sketches.dailyNewKeys(Tables.events(spark, sfDir), "ts", "user_id")
       .orderBy(col("day"))
 
+  /** t103_index_roundtrip — IVF-PQ index PERSISTENCE (the FAISS
+    * write_index/read_index contract, warehouse-style): the trained
+    * index persists as three plain parquet tables — the (id, cell,
+    * codes) relation plus the two driver-held halves flattened to
+    * (indices, value) rows — and a fresh reader reconstructs and
+    * serves WITHOUT retraining. Serving from the round-tripped index
+    * must be BIT-identical to serving from the in-memory one (pure
+    * arithmetic on identical doubles — parquet round-trips IEEE
+    * exactly). Emits (check, value): `served_rows` (> 0),
+    * `parity_violations` (exceptAll both directions on
+    * (qid, rank, id) — 0 enforced).
+    */
+  def t103IndexRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (cents, cb) = Pq.ivfPqTrain(emb, "embedding", nlist = 16)
+    val index = Pq.ivfPqIndex(emb, "vec_id", "embedding", cents, cb)
+    val work = graft.io.TempDirs.create("t103_idx").toString
+    index.write.mode("overwrite").parquet(s"$work/index")
+    Pq.centroidsToDf(spark, cents).write.mode("overwrite")
+      .parquet(s"$work/cents")
+    Pq.codebookToDf(spark, cb).write.mode("overwrite")
+      .parquet(s"$work/codebook")
+    val cents2 = Pq.centroidsFromDf(spark.read.parquet(s"$work/cents"))
+    val cb2 = Pq.codebookFromDf(spark.read.parquet(s"$work/codebook"))
+    val index2 = spark.read.parquet(s"$work/index")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def serve(idx: DataFrame, cs: Array[Seq[Double]],
+              c: Array[Array[Array[Double]]]) =
+      Pq.ivfPqServe(idx, emb, "vec_id", "embedding", queries,
+          "qid", "qvec", k = 5, nprobe = 8, rerank = 8,
+          centroids = cs, codebook = c)
+        .select(col("qid"), col("rank"), col("id"))
+    val mem = serve(index, cents, cb).localCheckpoint(true)
+    val rt = serve(index2, cents2, cb2).localCheckpoint(true)
+    val n = mem.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("served_rows").as("check"), col("value"))
+    val viol = mem.exceptAll(rt).unionByName(rt.exceptAll(mem))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("parity_violations").as("check"), col("value"))
+    n.unionByName(viol).orderBy(col("check"))
+  }
+
+  /** t104_index_drift — the retrain-trigger monitor for append-only
+    * ANN indexes: fixed coarse centroids degrade as ingest drifts off
+    * the training distribution, and the observable is the assignment
+    * quality of each new batch — avg (1 − max-cell cosine) under the
+    * FROZEN centroids, one kernel scan per batch, no join. Runs on
+    * the CLUSTERED corpus (the t80/t85 fixture — drift is only a
+    * meaningful signal where assignments are; on near-orthogonal
+    * noise every batch looks equally far). Three (check, value)
+    * rows: `base_dist` (training corpus), `same_ratio` (held-out
+    * same-distribution batch / base — gated ≤ 1.5: no false retrain
+    * alarms), `shifted_ratio` (the held-out batch with its
+    * dimensions REVERSED — off-distribution vectors of identical
+    * norm — gated > same_ratio: real drift must move the needle).
+    * Deterministic kernel arithmetic.
+    */
+  def t104IndexDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.max_cell_cosine
+    val emb = clusteredEmbeddings(spark, sfDir)
+    val train = emb.filter(col("vec_id") % 2 === 0)
+    val held = emb.filter(col("vec_id") % 2 =!= 0)
+    val cents = Pq.ivfPqTrainCentroids(train, "embedding", nlist = 16)
+      .map(_.toSeq).toSeq
+    def avgDist(df: DataFrame, vec: org.apache.spark.sql.Column) = df
+      .agg(avg(lit(1.0) - max_cell_cosine(vec, cents)).as("d"))
+    val base = avgDist(train, col("embedding")).localCheckpoint(true)
+    val same = avgDist(held, col("embedding")).localCheckpoint(true)
+    val shifted = avgDist(held, reverse(col("embedding")))
+      .localCheckpoint(true)
+    val baseRow = base.select(lit("base_dist").as("check"),
+      round(col("d"), 6).as("value"))
+    val sameRow = same.crossJoin(base.select(col("d").as("b")))
+      .select(lit("same_ratio").as("check"),
+        round(col("d") / col("b"), 6).as("value"))
+    val shiftRow = shifted.crossJoin(base.select(col("d").as("b")))
+      .select(lit("shifted_ratio").as("check"),
+        round(col("d") / col("b"), 6).as("value"))
+    baseRow.unionByName(sameRow).unionByName(shiftRow)
+      .orderBy(col("check"))
+  }
+
   /** t99_kll_rolling — rolling 7-day p50/p95 of event value from
     * MERGEABLE per-day KLL sketches: the order-statistics analog of
     * t91 (nightly re-slides touch kilobyte summaries, never raw

@@ -172,4 +172,31 @@ class PqSpec extends SparkSpec {
       .select("codes").as[Seq[Short]].head()
     assert(row.length == 2)
   }
+
+  test("centroids/codebook round-trip their DataFrame form exactly") {
+    val cents: Array[Seq[Double]] =
+      Array(Seq(0.125, -3.5, 7.0), Seq(1e-300, 2.0, -0.0))
+    val back = Pq.centroidsFromDf(Pq.centroidsToDf(spark, cents))
+    assert(back.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.1, 0.2), Array(-1.5, 2.5)),
+      Array(Array(3.25, -0.75), Array(1e-10, 42.0)))
+    val cbBack = Pq.codebookFromDf(Pq.codebookToDf(spark, cb))
+    assert(cbBack.map(_.map(_.toSeq).toSeq).toSeq ==
+           cb.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("FromDf rejects sparse/incomplete tables") {
+    import org.apache.spark.sql.functions.col
+    val full = Pq.centroidsToDf(spark,
+      Array[Seq[Double]](Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    intercept[IllegalArgumentException] {
+      Pq.centroidsFromDf(full.filter(col("d_idx") =!= 0 || col("cell") =!= 1))
+    }
+    val cbFull = Pq.codebookToDf(spark,
+      Array(Array(Array(1.0, 2.0), Array(3.0, 4.0))))
+    intercept[IllegalArgumentException] {
+      Pq.codebookFromDf(cbFull.limit(3))
+    }
+  }
 }

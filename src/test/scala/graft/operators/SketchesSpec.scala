@@ -81,6 +81,20 @@ class SketchesSpec extends SparkSpec {
     assert(d2p95 >= 188.0 && d2p95 <= 190.0)
   }
 
+  test("dailyNewKeys excludes NULL keys (COUNT DISTINCT parity — " +
+       "xxhash64(NULL) is a constant, not NULL)") {
+    val ev = Seq(
+      ("2024-01-01 10:00:00", Some(1L)),
+      ("2024-01-01 11:00:00", Option.empty[Long]),
+      ("2024-01-02 10:00:00", Option.empty[Long])
+    ).toDF("ts", "user_id").withColumn("ts", $"ts".cast("timestamp"))
+    val out = Sketches.dailyNewKeys(ev, "ts", "user_id")
+      .select($"day".cast("string"), $"n_day", $"n_new")
+      .as[(String, Double, Double)].collect().toSet
+    // day2 has ONLY null keys → no sketch row at all; day1 counts 1
+    assert(out == Set(("2024-01-01", 1.0, 1.0)))
+  }
+
   test("dailyNewKeys: first-seen counts via theta difference") {
     val out = Sketches.dailyNewKeys(events, "ts", "user_id")
       .select($"day".cast("string"), $"n_day", $"n_new")
