@@ -343,13 +343,19 @@ object Pq {
   }
 
   /** (cell, d_idx, v) rows → centroid matrix (inverse of
-    * [[centroidsToDf]]; validates dense contiguous indices).
+    * [[centroidsToDf]]): every (cell, d_idx) slot must appear EXACTLY
+    * once — duplicates and gaps both reject (a row-count check alone
+    * would let a duplicate+gap pair slip through and leave an
+    * unfilled slot feeding NaN into the cosine kernels, where NaN
+    * ranks as the BEST score).
     */
   def centroidsFromDf(df: DataFrame): Array[Seq[Double]] = {
     val rows = df.select(col("cell").cast("int"), col("d_idx").cast("int"),
         col("v").cast("double"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     require(rows.nonEmpty, "empty centroid table")
+    require(rows.map(r => (r._1, r._2)).distinct.length == rows.length,
+      "duplicate (cell, d_idx) rows in centroid table")
     val nlist = rows.map(_._1).max + 1
     val dim = rows.map(_._2).max + 1
     require(rows.length == nlist * dim,
@@ -371,7 +377,14 @@ object Pq {
   }
 
   /** (m_idx, k_idx, d_idx, v) rows → PQ codebook (inverse of
-    * [[codebookToDf]]; validates dense contiguous indices).
+    * [[codebookToDf]]). RAGGED codebooks are legitimate —
+    * [[trainCodebook]]'s documented contract trains a subspace with
+    * fewer than ksub distinct subvectors to a SMALLER codeword set
+    * (e.g. constant zero-padded tail dimensions) — so validation is
+    * per-subspace: within each (m_idx, k_idx) codeword the d range
+    * must be dense, codeword indices per subspace must be contiguous
+    * from 0, and every slot must appear exactly once (duplicates
+    * reject rather than last-write-win).
     */
   def codebookFromDf(df: DataFrame): Array[Array[Array[Double]]] = {
     val rows = df.select(col("m_idx").cast("int"), col("k_idx").cast("int"),
@@ -379,13 +392,21 @@ object Pq {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     require(rows.nonEmpty, "empty codebook table")
+    require(rows.map(r => (r._1, r._2, r._3)).distinct.length == rows.length,
+      "duplicate (m_idx, k_idx, d_idx) rows in codebook table")
     val m = rows.map(_._1).max + 1
-    val ksub = rows.map(_._2).max + 1
     val dsub = rows.map(_._3).max + 1
-    require(rows.length == m * ksub * dsub,
-      s"codebook table not dense: ${rows.length} rows for $m x $ksub x $dsub")
-    val cb = Array.fill(m, ksub, dsub)(Double.NaN)
-    rows.foreach { case (mi, ki, d, v) => cb(mi)(ki)(d) = v }
-    cb
+    require(rows.map(_._1).distinct.length == m,
+      s"codebook table missing subspaces: ${rows.map(_._1).distinct.length} of $m")
+    (0 until m).toArray.map { mi =>
+      val sub = rows.filter(_._1 == mi)
+      val ksubI = sub.map(_._2).max + 1
+      require(sub.length == ksubI * dsub,
+        s"codebook subspace $mi not dense: ${sub.length} rows for " +
+          s"$ksubI x $dsub")
+      val cw = Array.fill(ksubI, dsub)(Double.NaN)
+      sub.foreach { case (_, ki, d, v) => cw(ki)(d) = v }
+      cw
+    }
   }
 }

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   * commutative, so partial aggregation and incremental appends give
   * bit-identical results to a full rescan.
   *
+  * Eager-pin trade-off: operators that self-join their sketch table
+  * `localCheckpoint(true)` it first, so constructing the frame runs
+  * the (one) raw scan immediately and holds the |days|-or-|groups| ×
+  * kilobyte result in block storage for the session. That is the
+  * point — the state table IS the product; a warehouse deployment
+  * writes it to a real table (the t97 shape) and the checkpoint
+  * disappears. Callers composing many one-shot calls in one
+  * long-lived driver can reclaim blocks via
+  * `spark.sharedState.cacheManager` / session restart.
+  *
   * Reference behavioral anchor: the reference's COUNT(DISTINCT …)
   * daily rollups (btcolap.sql:200-210) are exact single-shot
   * aggregates; these operators are the beyond-parity incremental form

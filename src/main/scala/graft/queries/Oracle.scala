@@ -2330,7 +2330,7 @@ object Oracle {
       // difference in exact mode computes exactly this
       """WITH d AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
-        |  FROM events
+        |  FROM events WHERE user_id IS NOT NULL
         |), per AS (
         |  SELECT day, count(DISTINCT user_id) AS n_day FROM d GROUP BY day
         |), fs AS (

@@ -199,4 +199,26 @@ class PqSpec extends SparkSpec {
       Pq.codebookFromDf(cbFull.limit(3))
     }
   }
+
+  test("FromDf rejects duplicate+missing slot combinations (same row " +
+       "count, corrupt content)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val full = Pq.centroidsToDf(spark,
+      Array[Seq[Double]](Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    // drop (1,1), duplicate (0,0): row count still 4
+    val corrupt = full.filter(col("cell") =!= 1 || col("d_idx") =!= 1)
+      .unionByName(full.filter(col("cell") === 0 && col("d_idx") === 0)
+        .withColumn("v", lit(9.9)))
+    intercept[IllegalArgumentException] { Pq.centroidsFromDf(corrupt) }
+  }
+
+  test("RAGGED codebooks (trainCodebook's small-subspace contract) " +
+       "round-trip exactly") {
+    val ragged: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)), // subspace 0: 2 codewords
+      Array(Array(0.0, 0.0)))                  // subspace 1: 1 (padding dims)
+    val back = Pq.codebookFromDf(Pq.codebookToDf(spark, ragged))
+    assert(back.map(_.map(_.toSeq).toSeq).toSeq ==
+           ragged.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }
