@@ -239,6 +239,21 @@ object Verify {
       "t96 stream sketch n_mismatch == 0" -> rows("t96_stream_sketch").map(
         _.exists(r => r.getAs[String]("check") == "n_mismatch" &&
           r.getAs[Double]("value") == 0.0)),
+      // right-to-be-forgotten propagation (t106): the scrub must
+      // actually delete, touch only affected partitions, and converge
+      // to the full-rebuild standard
+      "t106 forget n_forgotten > 0" -> rows("t106_forget_flow").map(
+        _.exists(r => r.getAs[String]("check") == "n_forgotten" &&
+          r.getAs[Double]("value") > 0)),
+      "t106 forget affected_days > 0" -> rows("t106_forget_flow").map(
+        _.exists(r => r.getAs[String]("check") == "affected_days" &&
+          r.getAs[Double]("value") > 0)),
+      "t106 forget leftover_rows == 0" -> rows("t106_forget_flow").map(
+        _.exists(r => r.getAs[String]("check") == "leftover_rows" &&
+          r.getAs[Double]("value") == 0.0)),
+      "t106 forget n_mismatch == 0" -> rows("t106_forget_flow").map(
+        _.exists(r => r.getAs[String]("check") == "n_mismatch" &&
+          r.getAs[Double]("value") == 0.0)),
       // index persistence (t103): serving from the parquet-round-
       // tripped index must be BIT-identical to the in-memory one
       "t103 roundtrip served_rows > 0" -> rows("t103_index_roundtrip").map(

@@ -73,4 +73,43 @@ object Privacy {
       .select((quasiCols.map(col) :+ col("group_size") :+ col("kept") :+
         col("n_rows") :+ col("suppressed_share")): _*)
   }
+
+  /** ε-differentially-private count release (the Laplace mechanism,
+    * Dwork et al. 2006): per-group counts plus Laplace(Δ/ε) noise with
+    * sensitivity Δ = 1 (one row changes one count by one). The noise
+    * is SEEDED — the uniform draw u derives from md5(group key ‖ salt)
+    * digit arithmetic, so the release is reproducible run-to-run and
+    * any engine replays it exactly (the repo's md5-portability
+    * contract; a production release would rotate `salt` per release
+    * and keep it secret). Inverse-CDF transform:
+    * noise = −(1/ε)·sgn(u−½)·ln(1−2|u−½|), u clamped to
+    * [1e−9, 1−1e−9] so the tails stay finite.
+    *
+    * Scale shape: one map-side-combinable count per group + per-row
+    * hash arithmetic on the group-cardinality result — nothing else
+    * touches the corpus.
+    */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+               salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val hexDigits = "0123456789abcdef"
+    val h = md5(concat_ws("|",
+      groupCols.map(c => col(c).cast("string")) :+ lit(salt): _*))
+    // 8 hex digits → uniform in [0,1) with 2^-32 granularity; digit
+    // extraction via strpos keeps the arithmetic engine-portable (no
+    // hex-to-int builtin needed on either side)
+    val u0 = (1 to 8).map { i =>
+      (instr(lit(hexDigits), substring(h, i, 1)) - 1).cast("double") /
+        math.pow(16.0, i)
+    }.reduce(_ + _)
+    val u = least(greatest(u0, lit(1e-9)), lit(1.0 - 1e-9))
+    val b = 1.0 / epsilon
+    val noise = (lit(-b) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("true_count"))
+      .select(groupCols.map(col) :+
+        round(col("true_count") + noise, 6).as("noisy_count") :+
+        lit(epsilon).as("epsilon"): _*)
+  }
 }

@@ -2343,6 +2343,38 @@ object Oracle {
         |FROM per p LEFT JOIN nw USING (day)
         |ORDER BY day""".stripMargin,
 
+    "t105_dp_counts" ->
+      // Laplace-mechanism replay: the same md5-digit uniform (8 hex
+      // digits, strpos arithmetic — no hex-to-int builtin needed),
+      // the same clamped inverse-CDF, the same 6dp round
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+        |), h AS (
+        |  SELECT lang, source, n,
+        |         md5(concat_ws('|', CAST(lang AS VARCHAR),
+        |                       CAST(source AS VARCHAR),
+        |                       'release-2026-08')) AS hx
+        |  FROM c
+        |), u AS (
+        |  SELECT lang, source, n,
+        |         least(greatest(
+        |             (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) / power(16.0, 1)
+        |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) / power(16.0, 2)
+        |           + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) / power(16.0, 3)
+        |           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) / power(16.0, 4)
+        |           + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) / power(16.0, 5)
+        |           + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) / power(16.0, 6)
+        |           + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) / power(16.0, 7)
+        |           + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) / power(16.0, 8),
+        |           1e-9), 1.0 - 1e-9) AS uu
+        |  FROM h
+        |)
+        |SELECT lang, source,
+        |       round(n + (-1.0) * sign(uu - 0.5)
+        |                 * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS noisy_count,
+        |       1.0 AS epsilon
+        |FROM u ORDER BY lang, source""".stripMargin,
+
     "t98_filtered_ann" ->
       // t5's proven cosine formulation + the metadata predicate
       """WITH q AS (

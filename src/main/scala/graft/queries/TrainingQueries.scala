@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pq, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Bpe, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -2468,6 +2468,69 @@ object TrainingQueries {
       .select(lit("shifted_ratio").as("check"),
         round(col("d") / col("b"), 6).as("value"))
     baseRow.unionByName(sameRow).unionByName(shiftRow)
+      .orderBy(col("check"))
+  }
+
+  /** t105_dp_counts — ε-differentially-private count release (Laplace
+    * mechanism, ε = 1) over (lang, source): the privacy-preserving
+    * histogram a data consortium publishes instead of raw counts.
+    * Noise is seeded from md5(group ‖ salt) digit arithmetic — the
+    * repo's engine-portable hash contract — so the DuckDB oracle
+    * replays the released values EXACTLY, including the inverse-CDF
+    * transform (ln parity between engines is already load-bearing via
+    * t36's NLL oracle).
+    */
+  def t105DpCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Privacy.dpCounts(Tables.documents(spark, sfDir),
+        Seq("lang", "source"), epsilon = 1.0, salt = "release-2026-08")
+      .orderBy(col("lang"), col("source"))
+
+  /** t106_forget_flow — right-to-be-forgotten PROPAGATION with bounded
+    * recompute: deleting a user must scrub both the base table and
+    * every derived product, and HLL sketches cannot subtract — so the
+    * affected days (and ONLY those: deletion cost is
+    * |touched partitions|, never |history|) are recomputed from the
+    * scrubbed base and swapped into the sketch state table
+    * (deleteMatching + upsert, covering the day-loses-all-users
+    * edge). Enforced (check, value) rows: `n_forgotten` (> 0),
+    * `affected_days` (> 0), `leftover_rows` (forgotten users left in
+    * the base — 0), `n_mismatch` (vs a full rebuild from the
+    * scrubbed corpus — 0, the t97 convergence standard).
+    */
+  def t106ForgetFlow(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val work = graft.io.TempDirs.create("t106_forget").toString
+    val base = graft.io.MutableTable.create(spark, s"$work/events", events)
+    val skTable = graft.io.MutableTable.create(spark, s"$work/sketches",
+      Sketches.dailyKeySketches(events, "ts", "user_id"))
+    val forget = events.filter(col("user_id") % 37 === 0)
+      .select(col("user_id")).distinct().localCheckpoint(true)
+    val affected = events.join(forget, "user_id")
+      .select(to_date(col("ts")).as("day")).distinct().localCheckpoint(true)
+    base.deleteMatching(forget, Seq("user_id"))
+    val scrubbed = base.read()
+    val touched = scrubbed.join(broadcast(affected),
+      to_date(scrubbed("ts")) === affected("day"), "left_semi")
+    skTable.deleteMatching(affected, Seq("day"))
+    skTable.upsert(Sketches.dailyKeySketches(touched, "ts", "user_id"),
+      Seq("day"))
+    val got = skTable.read()
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("g"))
+    val want = Sketches.dailyKeySketches(scrubbed, "ts", "user_id")
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("w"))
+    val joined = got.join(want, Seq("day"), "full_outer")
+      .localCheckpoint(true)
+    def row(name: String, v: org.apache.spark.sql.Column,
+            of: DataFrame) =
+      of.agg(v.cast("double").as("value"))
+        .select(lit(name).as("check"), col("value"))
+    row("n_forgotten", count(lit(1)), forget)
+      .unionByName(row("affected_days", count(lit(1)), affected))
+      .unionByName(row("leftover_rows", count(lit(1)),
+        scrubbed.join(forget, "user_id")))
+      .unionByName(row("n_mismatch",
+        coalesce(sum(when(col("g").isNull || col("w").isNull ||
+          col("g") =!= col("w"), 1).otherwise(0)), lit(0)), joined))
       .orderBy(col("check"))
   }
 

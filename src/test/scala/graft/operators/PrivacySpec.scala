@@ -35,6 +35,32 @@ class PrivacySpec extends SparkSpec {
     assert(math.abs(audit.filterNot(_._1).map(_._3).sum - 0.5) < 1e-9) // 3 of 6
   }
 
+  test("dpCounts: seeded noise is reproducible and scales as 1/epsilon") {
+    val e1 = Privacy.dpCounts(rows, Seq("lang"), epsilon = 1.0, "s")
+      .select($"lang", $"noisy_count").as[(String, Double)].collect().toMap
+    val e1b = Privacy.dpCounts(rows, Seq("lang"), epsilon = 1.0, "s")
+      .select($"lang", $"noisy_count").as[(String, Double)].collect().toMap
+    assert(e1 == e1b) // deterministic release
+    // noise is nonzero (we are actually adding noise, not passing
+    // counts through) but bounded sanely at eps=1
+    val trueCounts = Map("en" -> 5.0, "fr" -> 1.0)
+    assert(e1.exists { case (k, v) => v != trueCounts(k) })
+    assert(e1.forall { case (k, v) => math.abs(v - trueCounts(k)) < 25 })
+    // per-sample monotonicity: same uniform draw, 10x epsilon → noise
+    // exactly 10x smaller
+    val e10 = Privacy.dpCounts(rows, Seq("lang"), epsilon = 10.0, "s")
+      .select($"lang", $"noisy_count").as[(String, Double)].collect().toMap
+    for ((k, v) <- e1) {
+      val n1 = v - trueCounts(k)
+      val n10 = e10(k) - trueCounts(k)
+      assert(math.abs(n1 - 10.0 * n10) < 1e-4, s"$k: $n1 vs $n10")
+    }
+    // a different salt draws different noise
+    val other = Privacy.dpCounts(rows, Seq("lang"), epsilon = 1.0, "t")
+      .select($"lang", $"noisy_count").as[(String, Double)].collect().toMap
+    assert(other != e1)
+  }
+
   test("k = 1 keeps everything") {
     val out = Privacy.kAnonymize(rows, Seq("lang", "source"), k = 1)
     assert(out.filter(!$"kept").count() == 0L)
