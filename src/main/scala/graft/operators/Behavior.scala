@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event streams — ordered funnels and
+  * retention cohorts, the two query classes every product-analytics
+  * warehouse (Amplitude/Mixpanel-style) is built around and plain
+  * GROUP BY cannot express: both depend on each user's FIRST
+  * qualifying times, not on unordered event sets.
+  *
+  * Scale shape: everything reduces user-first — conditional-min
+  * aggregates and user-keyed joins on the high-cardinality user id
+  * (partitions spread; no corpus-wide window, no sessionless
+  * self-join of raw events against raw events). Step chains join the
+  * per-user timestamp table (|users| rows) back to the one filtered
+  * event slice they need, so each funnel step costs one
+  * events-of-that-type scan plus a user-keyed shuffle.
+  */
+object Behavior {
+
+  /** Ordered funnel: for steps (s₁ … sₙ), a user converts through
+    * step i when an sᵢ event exists STRICTLY AFTER their first
+    * qualifying sᵢ₋₁ time (the standard first-touch funnel
+    * semantics; re-orderable events that happened earlier do not
+    * count). Emits one row per step: (step, step_name, n_users,
+    * conversion) — conversion = n_users / previous step's n_users,
+    * 6dp, 1.0 for the first step.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val u = col(userCol).as("u")
+    // fold: per-user first qualifying time per step
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(u).agg(min(col(tsCol)).as("t"))
+    val perStep = steps.tail.foldLeft(List(first)) { (acc, s) =>
+      val prev = acc.head
+      val next = events.filter(col(typeCol) === s)
+        .select(col(userCol).as("u"), col(tsCol).as("ts"))
+        .join(prev.select(col("u"), col("t").as("t_prev")), Seq("u"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("u")).agg(min(col("ts")).as("t"))
+      next :: acc
+    }.reverse
+    val counts = perStep.zip(steps).zipWithIndex.map {
+      case ((df, name), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+                  col("n_users"))
+    }.reduce(_ unionByName _)
+    // conversion from the previous step: a |steps|-row self-join
+    val prevCounts = counts.select((col("step") + 1).as("step"),
+      col("n_users").as("n_prev"))
+    counts.join(prevCounts, Seq("step"), "left")
+      .select(col("step"), col("step_name"), col("n_users"),
+        when(col("n_prev").isNull, lit(1.0))
+          .otherwise(round(col("n_users").cast("double") / col("n_prev"), 6))
+          .as("conversion"))
+  }
+
+  /** Retention cohorts: cohort = ISO week of each user's FIRST event;
+    * a cohort's week-k cell counts its users active in cohort_week +
+    * k weeks. Emits (cohort_week, week_no, n_active, retention) with
+    * retention = n_active / cohort size (week 0 ≡ 1.0 by
+    * construction). Two user-keyed aggregates plus one join of
+    * |user-weeks| against |users| — never events × events.
+    */
+  def retention(events: DataFrame, userCol: String,
+                tsCol: String): DataFrame = {
+    val firsts = events
+      .groupBy(col(userCol).as("u"))
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    val active = events
+      .select(col(userCol).as("u"),
+        date_trunc("week", col(tsCol)).cast("date").as("week"))
+      .distinct()
+    val cells = active.join(firsts, Seq("u"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("week_no"))
+      .agg(countDistinct(col("u")).as("n_active"))
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_no"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+}

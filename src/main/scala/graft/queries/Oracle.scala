@@ -2343,6 +2343,56 @@ object Oracle {
         |FROM per p LEFT JOIN nw USING (day)
         |ORDER BY day""".stripMargin,
 
+    "t107_funnel" ->
+      // first-touch funnel replay: the same strictly-after min chain
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+        |), c AS (
+        |  SELECT 1 AS step, 'view' AS step_name,
+        |         (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |)
+        |SELECT step, step_name, n_users,
+        |       CASE WHEN step = 1 THEN 1.0
+        |            ELSE round(CAST(n_users AS DOUBLE)
+        |                       / lag(n_users) OVER (ORDER BY step), 6)
+        |       END AS conversion
+        |FROM c ORDER BY step""".stripMargin,
+
+    "t108_retention" ->
+      // cohort = ISO week of first event; Monday-aligned week deltas
+      // are exact multiples of 7 on both engines
+      """WITH f AS (
+        |  SELECT user_id AS u,
+        |         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events
+        |), cells AS (
+        |  SELECT cohort_week,
+        |         CAST((week - cohort_week) / 7 AS INT) AS week_no,
+        |         count(DISTINCT a.u) AS n_active
+        |  FROM a JOIN f USING (u) GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1
+        |)
+        |SELECT cohort_week, week_no, n_active,
+        |       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM cells JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_no""".stripMargin,
+
     "t105_dp_counts" ->
       // Laplace-mechanism replay: the same md5-digit uniform (8 hex
       // digits, strpos arithmetic — no hex-to-int builtin needed),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Behavior, Bpe, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -2533,6 +2533,26 @@ object TrainingQueries {
           col("g") =!= col("w"), 1).otherwise(0)), lit(0)), joined))
       .orderBy(col("check"))
   }
+
+  /** t107_funnel — ordered first-touch funnel view → click → purchase
+    * (the product-analytics query class GROUP BY can't express): step
+    * i counts users with a qualifying event STRICTLY AFTER their
+    * first step-(i−1) time. Per-step user counts + conversion rates;
+    * exact DuckDB CTE-chain oracle.
+    */
+  def t107Funnel(spark: SparkSession, sfDir: String): DataFrame =
+    Behavior.funnel(Tables.events(spark, sfDir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+
+  /** t108_retention — weekly retention cohorts (cohort = ISO week of
+    * first event; cell (c, k) = cohort-c users active in week c+k):
+    * the other canonical behavioral-analytics readout. Exact DuckDB
+    * replay of the first-seen/date_trunc arithmetic.
+    */
+  def t108Retention(spark: SparkSession, sfDir: String): DataFrame =
+    Behavior.retention(Tables.events(spark, sfDir), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_no"))
 
   /** t99_kll_rolling — rolling 7-day p50/p95 of event value from
     * MERGEABLE per-day KLL sketches: the order-statistics analog of
