@@ -239,6 +239,17 @@ object Verify {
       "t96 stream sketch n_mismatch == 0" -> rows("t96_stream_sketch").map(
         _.exists(r => r.getAs[String]("check") == "n_mismatch" &&
           r.getAs[Double]("value") == 0.0)),
+      // grouped rolling distinct (t109): the per-dimension rollup
+      // holds the same audited error contract as t92
+      "t109 grouped n_cells > 0" -> rows("t109_grouped_rolling").map(
+        _.exists(r => r.getAs[String]("check") == "n_cells" &&
+          r.getAs[Double]("value") > 0)),
+      "t109 grouped max_rel_err <= 0.05" -> rows("t109_grouped_rolling").map(
+        _.exists(r => r.getAs[String]("check") == "max_rel_err" &&
+          r.getAs[Double]("value") <= 0.05)),
+      "t109 grouped min_approx > 0" -> rows("t109_grouped_rolling").map(
+        _.exists(r => r.getAs[String]("check") == "min_approx" &&
+          r.getAs[Double]("value") > 0)),
       // right-to-be-forgotten propagation (t106): the scrub must
       // actually delete, touch only affected partitions, and converge
       // to the full-rebuild standard

@@ -49,6 +49,40 @@ object Sketches {
       .groupBy(to_date(col(tsCol)).as("day"))
       .agg(hll_sketch_agg(col(keyCol), lgK).as("sk"))
 
+  /** Grouped daily HLL sketches — [[dailyKeySketches]] with a
+    * dimension column riding the group key: one row per (group, day),
+    * still ≤ ~2^lgK bytes each. The shuffle carries
+    * |groups|·|days| sketches; the raw keys never move.
+    */
+  def groupedDailyKeySketches(events: DataFrame, groupCol: String,
+                              tsCol: String, keyCol: String,
+                              lgK: Int = 12): DataFrame =
+    events
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(hll_sketch_agg(col(keyCol), lgK).as("sk"))
+
+  /** Rolling distinct per (group, day) from the grouped sketch table —
+    * the per-dimension rollup (distinct users per source per rolling
+    * week) warehouses actually serve. Same bounded-state pin and
+    * range-join shape as [[rollingDistinct]], with the join keyed on
+    * the group so windows never mix dimensions.
+    */
+  def groupedRollingDistinct(daily: DataFrame,
+                             windowDays: Int): DataFrame = {
+    val d = daily.localCheckpoint(true)
+    val other = d.select(col("g").as("g2"), col("day").as("d2"),
+      col("sk").as("sk2"))
+    d.select(col("g"), col("day"))
+      .join(other, col("g2") === col("g") && col("d2").between(
+        date_sub(col("day"), windowDays - 1), col("day")))
+      .groupBy(col("g"), col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk2")))
+        .as("approx_distinct"))
+      .withColumn("window_days", lit(windowDays))
+      .select(col("g"), col("day"), col("window_days"),
+        col("approx_distinct"))
+  }
+
   /** Rolling `windowDays`-day distinct estimate per day, computed
     * ENTIRELY from the sketch table: day d unions the sketches of
     * days (d-windowDays+1 … d). The range join fans the sketch table

@@ -2554,6 +2554,42 @@ object TrainingQueries {
     Behavior.retention(Tables.events(spark, sfDir), "user_id", "ts")
       .orderBy(col("cohort_week"), col("week_no"))
 
+  /** t109_grouped_rolling — the per-dimension rollup form of t91
+    * (distinct users per event_type per rolling week) with its
+    * relative-error audit folded in, t92-style: the grouped sketch
+    * path recomputes against an exact recount of the SAME
+    * (group, day) windows and emits (check, value) rows `n_cells`
+    * (> 0), `max_rel_err` (≤ 0.05 gate; measured 0.0 in the exact
+    * regime), `min_approx` (> 0).
+    */
+  def t109GroupedRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val approx = Sketches.groupedRollingDistinct(
+      Sketches.groupedDailyKeySketches(events, "event_type", "ts",
+        "user_id"), windowDays = 7)
+    val exact = approx.select(col("g"), col("day"))
+      .join(events.select(col("event_type").as("g"),
+          to_date(col("ts")).as("d2"), col("user_id")),
+        Seq("g"))
+      .filter(col("d2").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("g"), col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val joined = approx.join(exact, Seq("g", "day"))
+      .select(col("approx_distinct").cast("double").as("a"),
+              col("exact_distinct").cast("double").as("e"))
+      .localCheckpoint(true)
+    val n = joined.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_cells").as("check"), col("value"))
+    val err = joined
+      .agg(coalesce(max(abs(col("a") - col("e")) / col("e")), lit(1.0))
+        .as("value"))
+      .select(lit("max_rel_err").as("check"),
+              round(col("value"), 6).as("value"))
+    val minA = joined.agg(coalesce(min(col("a")), lit(0.0)).as("value"))
+      .select(lit("min_approx").as("check"), col("value"))
+    n.unionByName(err).unionByName(minA).orderBy(col("check"))
+  }
+
   /** t99_kll_rolling — rolling 7-day p50/p95 of event value from
     * MERGEABLE per-day KLL sketches: the order-statistics analog of
     * t91 (nightly re-slides touch kilobyte summaries, never raw

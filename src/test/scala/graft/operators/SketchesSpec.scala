@@ -81,6 +81,22 @@ class SketchesSpec extends SparkSpec {
     assert(d2p95 >= 188.0 && d2p95 <= 190.0)
   }
 
+  test("groupedRollingDistinct: windows never mix groups") {
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:00", 1L), ("a", "2024-01-02 10:00:00", 2L),
+      ("b", "2024-01-01 10:00:00", 1L), ("b", "2024-01-02 10:00:00", 1L)
+    ).toDF("g", "ts", "user_id").withColumn("ts", $"ts".cast("timestamp"))
+    val daily = Sketches.groupedDailyKeySketches(ev, "g", "ts", "user_id")
+    val out = Sketches.groupedRollingDistinct(daily, 2)
+      .select($"g", $"day".cast("string"), $"approx_distinct")
+      .as[(String, String, Long)].collect().toSet
+    // group a accumulates {1},{1,2}; group b stays {1} both days —
+    // user 2 from group a must never leak into b's window
+    assert(out == Set(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-02", 2L),
+      ("b", "2024-01-01", 1L), ("b", "2024-01-02", 1L)))
+  }
+
   test("dailyNewKeys excludes NULL keys (COUNT DISTINCT parity — " +
        "xxhash64(NULL) is a constant, not NULL)") {
     val ev = Seq(
