@@ -32,8 +32,13 @@ object Behavior {
     require(steps.nonEmpty, "funnel needs at least one step")
     val u = col(userCol).as("u")
     // fold: per-user first qualifying time per step
+    // each per-step frame is PINNED (bounded at |users| rows): step
+    // i's lineage chains through every earlier step, so without the
+    // pin counting n steps re-scans events O(n²) times — and the
+    // conversion self-join would re-run the whole union again
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(u).agg(min(col(tsCol)).as("t"))
+      .localCheckpoint(true)
     val perStep = steps.tail.foldLeft(List(first)) { (acc, s) =>
       val prev = acc.head
       val next = events.filter(col(typeCol) === s)
@@ -41,6 +46,7 @@ object Behavior {
         .join(prev.select(col("u"), col("t").as("t_prev")), Seq("u"))
         .filter(col("ts") > col("t_prev"))
         .groupBy(col("u")).agg(min(col("ts")).as("t"))
+        .localCheckpoint(true)
       next :: acc
     }.reverse
     val counts = perStep.zip(steps).zipWithIndex.map {
@@ -48,13 +54,17 @@ object Behavior {
         df.agg(count(lit(1)).as("n_users"))
           .select(lit(i + 1).as("step"), lit(name).as("step_name"),
                   col("n_users"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint(true)
     // conversion from the previous step: a |steps|-row self-join
     val prevCounts = counts.select((col("step") + 1).as("step"),
       col("n_users").as("n_prev"))
     counts.join(prevCounts, Seq("step"), "left")
       .select(col("step"), col("step_name"), col("n_users"),
         when(col("n_prev").isNull, lit(1.0))
+          // an empty previous step makes conversion 0/0 — define it
+          // as 0.0 (the oracle mirrors; Spark NULL vs DuckDB NaN
+          // would otherwise diverge)
+          .when(col("n_prev") === 0, lit(0.0))
           .otherwise(round(col("n_users").cast("double") / col("n_prev"), 6))
           .as("conversion"))
   }
@@ -68,18 +78,23 @@ object Behavior {
     */
   def retention(events: DataFrame, userCol: String,
                 tsCol: String): DataFrame = {
+    // pinned (|users| rows): consumed by both the cells join and the
+    // cohort-size aggregate — one events scan for it, not two
     val firsts = events
       .groupBy(col(userCol).as("u"))
       .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+      .localCheckpoint(true)
     val active = events
       .select(col(userCol).as("u"),
         date_trunc("week", col(tsCol)).cast("date").as("week"))
       .distinct()
+    // (u, week) is distinct and a user has exactly one cohort_week,
+    // so a plain count is the distinct-user count — no second dedup
     val cells = active.join(firsts, Seq("u"))
       .groupBy(col("cohort_week"),
         (datediff(col("week"), col("cohort_week")) / 7).cast("int")
           .as("week_no"))
-      .agg(countDistinct(col("u")).as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
     val sizes = firsts.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("cohort_size"))
     cells.join(sizes, Seq("cohort_week"))

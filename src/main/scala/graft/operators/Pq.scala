@@ -333,13 +333,21 @@ object Pq {
   // collect on read is bounded by the same nlist×dim / ksub×dim driver
   // budget the training path already holds in memory.
 
-  /** Centroid matrix → (cell, d_idx, v) rows. */
+  /** Centroid matrix → (cell, d_idx, v, n_cells, n_dim) rows. The two
+    * shape columns are constant, deliberately redundant metadata:
+    * inferring the shape from max(index)+1 alone cannot detect losing
+    * every row of the TRAILING cell or dimension (a dropped
+    * part-file), which would silently serve a smaller index.
+    */
   def centroidsToDf(spark: org.apache.spark.sql.SparkSession,
                     centroids: Array[Seq[Double]]): DataFrame = {
     import spark.implicits._
+    val nlist = centroids.length
+    val dim = centroids.head.length
     centroids.zipWithIndex.flatMap { case (c, i) =>
-      c.zipWithIndex.map { case (v, d) => (i, d, v) }
-    }.toSeq.toDF("cell", "d_idx", "v")
+      require(c.length == dim, s"ragged centroid row $i")
+      c.zipWithIndex.map { case (v, d) => (i, d, v, nlist, dim) }
+    }.toSeq.toDF("cell", "d_idx", "v", "n_cells", "n_dim")
   }
 
   /** (cell, d_idx, v) rows → centroid matrix (inverse of
@@ -351,29 +359,49 @@ object Pq {
     */
   def centroidsFromDf(df: DataFrame): Array[Seq[Double]] = {
     val rows = df.select(col("cell").cast("int"), col("d_idx").cast("int"),
-        col("v").cast("double"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        col("v").cast("double"), col("n_cells").cast("int"),
+        col("n_dim").cast("int"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4)))
     require(rows.nonEmpty, "empty centroid table")
     require(rows.map(r => (r._1, r._2)).distinct.length == rows.length,
       "duplicate (cell, d_idx) rows in centroid table")
-    val nlist = rows.map(_._1).max + 1
-    val dim = rows.map(_._2).max + 1
+    val shapes = rows.map(r => (r._4, r._5)).distinct
+    require(shapes.length == 1,
+      s"inconsistent shape metadata in centroid table: $shapes")
+    // the DECLARED shape, not max(index)+1 — losing the trailing
+    // cell's rows is detected, not silently served smaller
+    val (nlist, dim) = shapes.head
+    require(rows.forall(r => r._1 >= 0 && r._1 < nlist &&
+        r._2 >= 0 && r._2 < dim),
+      s"centroid index out of declared $nlist x $dim range")
     require(rows.length == nlist * dim,
       s"centroid table not dense: ${rows.length} rows for $nlist x $dim")
     val m = Array.fill(nlist, dim)(Double.NaN)
-    rows.foreach { case (c, d, v) => m(c)(d) = v }
+    rows.foreach { case (c, d, v, _, _) => m(c)(d) = v }
     m.map(_.toSeq)
   }
 
-  /** PQ codebook → (m_idx, k_idx, d_idx, v) rows. */
+  /** PQ codebook → (m_idx, k_idx, d_idx, v, n_sub, n_k, n_dsub) rows.
+    * Shape metadata rides every row (n_k is PER-SUBSPACE — codebooks
+    * are legitimately ragged) so trailing-subspace / trailing-
+    * dimension / trailing-codeword loss is detectable on read — see
+    * [[centroidsToDf]].
+    */
   def codebookToDf(spark: org.apache.spark.sql.SparkSession,
                    codebook: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
+    val m = codebook.length
+    val dsub = codebook.head.head.length
     codebook.zipWithIndex.flatMap { case (sub, mi) =>
       sub.zipWithIndex.flatMap { case (cw, ki) =>
-        cw.zipWithIndex.map { case (v, d) => (mi, ki, d, v) }
+        require(cw.length == dsub, s"ragged codeword dims in subspace $mi")
+        cw.zipWithIndex.map { case (v, d) =>
+          (mi, ki, d, v, m, sub.length, dsub)
+        }
       }
-    }.toSeq.toDF("m_idx", "k_idx", "d_idx", "v")
+    }.toSeq.toDF("m_idx", "k_idx", "d_idx", "v", "n_sub", "n_k", "n_dsub")
   }
 
   /** (m_idx, k_idx, d_idx, v) rows → PQ codebook (inverse of
@@ -388,24 +416,37 @@ object Pq {
     */
   def codebookFromDf(df: DataFrame): Array[Array[Array[Double]]] = {
     val rows = df.select(col("m_idx").cast("int"), col("k_idx").cast("int"),
-        col("d_idx").cast("int"), col("v").cast("double"))
+        col("d_idx").cast("int"), col("v").cast("double"),
+        col("n_sub").cast("int"), col("n_k").cast("int"),
+        col("n_dsub").cast("int"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
     require(rows.nonEmpty, "empty codebook table")
     require(rows.map(r => (r._1, r._2, r._3)).distinct.length == rows.length,
       "duplicate (m_idx, k_idx, d_idx) rows in codebook table")
-    val m = rows.map(_._1).max + 1
-    val dsub = rows.map(_._3).max + 1
+    val globals = rows.map(r => (r._5, r._7)).distinct
+    require(globals.length == 1,
+      s"inconsistent shape metadata in codebook table: $globals")
+    val (m, dsub) = globals.head
     require(rows.map(_._1).distinct.length == m,
-      s"codebook table missing subspaces: ${rows.map(_._1).distinct.length} of $m")
+      s"codebook table missing subspaces: " +
+        s"${rows.map(_._1).distinct.length} of $m")
     (0 until m).toArray.map { mi =>
       val sub = rows.filter(_._1 == mi)
-      val ksubI = sub.map(_._2).max + 1
+      val ks = sub.map(_._6).distinct
+      require(ks.length == 1,
+        s"inconsistent n_k metadata in subspace $mi: $ks")
+      val ksubI = ks.head // DECLARED codeword count, not max(k_idx)+1
+      require(sub.forall(r => r._2 >= 0 && r._2 < ksubI &&
+          r._3 >= 0 && r._3 < dsub),
+        s"codebook index out of declared $ksubI x $dsub range in " +
+          s"subspace $mi")
       require(sub.length == ksubI * dsub,
         s"codebook subspace $mi not dense: ${sub.length} rows for " +
           s"$ksubI x $dsub")
       val cw = Array.fill(ksubI, dsub)(Double.NaN)
-      sub.foreach { case (_, ki, d, v) => cw(ki)(d) = v }
+      sub.foreach { case (_, ki, d, v, _, _, _) => cw(ki)(d) = v }
       cw
     }
   }

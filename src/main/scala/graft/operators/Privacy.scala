@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy-preserving curation beyond per-string PII redaction
@@ -93,8 +93,18 @@ object Privacy {
                salt: String): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     val hexDigits = "0123456789abcdef"
-    val h = md5(concat_ws("|",
-      groupCols.map(c => col(c).cast("string")) :+ lit(salt): _*))
+    // seed-collision hardening: each component is NULL-tagged and
+    // base64-encoded before joining (base64's alphabet excludes the
+    // delimiter), so ('a|b','c') vs ('a','b|c') and ('a',NULL) vs
+    // (NULL,'a') draw INDEPENDENT noise — colliding seeds would hand
+    // an observer the exact difference of two true counts (the noise
+    // cancels), voiding the DP guarantee
+    val parts = groupCols.map { c =>
+      when(col(c).isNull, lit("N"))
+        .otherwise(concat(lit("V"),
+          base64(col(c).cast("string").cast("binary"))))
+    }
+    val h = md5(concat_ws("|", parts :+ (lit(salt): Column): _*))
     // 8 hex digits → uniform in [0,1) with 2^-32 granularity; digit
     // extraction via strpos keeps the arithmetic engine-portable (no
     // hex-to-int builtin needed on either side)

@@ -72,8 +72,11 @@ object Sketches {
     val d = daily.localCheckpoint(true)
     val other = d.select(col("g").as("g2"), col("day").as("d2"),
       col("sk").as("sk2"))
+    // null-safe group match: groupBy keeps a NULL dimension as its own
+    // group, and plain equality would silently drop every (NULL, day)
+    // cell from the rollup (the MutableTable <=> convention)
     d.select(col("g"), col("day"))
-      .join(other, col("g2") === col("g") && col("d2").between(
+      .join(other, col("g2") <=> col("g") && col("d2").between(
         date_sub(col("day"), windowDays - 1), col("day")))
       .groupBy(col("g"), col("day"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk2")))

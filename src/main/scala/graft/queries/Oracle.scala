@@ -2364,6 +2364,7 @@ object Oracle {
         |)
         |SELECT step, step_name, n_users,
         |       CASE WHEN step = 1 THEN 1.0
+        |            WHEN lag(n_users) OVER (ORDER BY step) = 0 THEN 0.0
         |            ELSE round(CAST(n_users AS DOUBLE)
         |                       / lag(n_users) OVER (ORDER BY step), 6)
         |       END AS conversion
@@ -2401,9 +2402,12 @@ object Oracle {
         |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
         |), h AS (
         |  SELECT lang, source, n,
-        |         md5(concat_ws('|', CAST(lang AS VARCHAR),
-        |                       CAST(source AS VARCHAR),
-        |                       'release-2026-08')) AS hx
+        |         md5(concat_ws('|',
+        |           CASE WHEN lang IS NULL THEN 'N'
+        |                ELSE 'V' || to_base64(CAST(CAST(lang AS VARCHAR) AS BLOB)) END,
+        |           CASE WHEN source IS NULL THEN 'N'
+        |                ELSE 'V' || to_base64(CAST(CAST(source AS VARCHAR) AS BLOB)) END,
+        |           'release-2026-08')) AS hx
         |  FROM c
         |), u AS (
         |  SELECT lang, source, n,

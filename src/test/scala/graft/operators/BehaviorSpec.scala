@@ -46,6 +46,19 @@ class BehaviorSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._3)).toSeq == Seq((1, 1L), (2, 0L)))
   }
 
+  test("funnel: an empty mid-funnel step yields conversion 0.0, not " +
+       "NULL/NaN") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"))
+    val out = Behavior.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy($"step").as[(Int, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1, "view", 1L, 1.0),
+      (2, "click", 0L, 0.0),
+      (3, "purchase", 0L, 0.0)))
+  }
+
   test("retention: cohort-week cells and ratios") {
     val events = ev(
       // u1, u2 first seen Mon 2024-01-01 week; u1 returns next week

@@ -212,6 +212,23 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Pq.centroidsFromDf(corrupt) }
   }
 
+  test("FromDf detects TRAILING loss via shape metadata (max-index " +
+       "inference cannot)") {
+    import org.apache.spark.sql.functions.col
+    val cents = Pq.centroidsToDf(spark,
+      Array[Seq[Double]](Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    // drop every row of the LAST cell: row count + max(cell)+1 would
+    // self-consistently describe a smaller index
+    intercept[IllegalArgumentException] {
+      Pq.centroidsFromDf(cents.filter(col("cell") =!= 1))
+    }
+    val cb = Pq.codebookToDf(spark, Array(
+      Array(Array(1.0, 2.0)), Array(Array(3.0, 4.0))))
+    intercept[IllegalArgumentException] {
+      Pq.codebookFromDf(cb.filter(col("m_idx") =!= 1))
+    }
+  }
+
   test("RAGGED codebooks (trainCodebook's small-subspace contract) " +
        "round-trip exactly") {
     val ragged: Array[Array[Array[Double]]] = Array(

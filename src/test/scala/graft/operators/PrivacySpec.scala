@@ -61,6 +61,20 @@ class PrivacySpec extends SparkSpec {
     assert(other != e1)
   }
 
+  test("dpCounts: delimiter-embedding and NULL-shifted groups draw " +
+       "independent noise (no seed collisions)") {
+    val tricky = Seq(
+      (1L, Some("a|b"), Some("c")), (2L, Some("a"), Some("b|c")),
+      (3L, Some("a"), Option.empty[String]),
+      (4L, Option.empty[String], Some("a"))
+    ).toDF("id", "lang", "source")
+    val out = Privacy.dpCounts(tricky, Seq("lang", "source"), 1.0, "s")
+      .select($"noisy_count").as[Double].collect()
+    // all four groups have true count 1; colliding seeds would emit
+    // identical noisy values — require all distinct
+    assert(out.distinct.length == 4, out.toSeq.toString)
+  }
+
   test("k = 1 keeps everything") {
     val out = Privacy.kAnonymize(rows, Seq("lang", "source"), k = 1)
     assert(out.filter(!$"kept").count() == 0L)

@@ -97,6 +97,23 @@ class SketchesSpec extends SparkSpec {
       ("b", "2024-01-01", 1L), ("b", "2024-01-02", 1L)))
   }
 
+  test("groupedRollingDistinct keeps the NULL dimension group " +
+       "(null-safe join)") {
+    val ev = Seq(
+      (Some("a"), "2024-01-01 10:00:00", 1L),
+      (Option.empty[String], "2024-01-01 10:00:00", 1L),
+      (Option.empty[String], "2024-01-02 10:00:00", 2L)
+    ).toDF("g", "ts", "user_id").withColumn("ts", $"ts".cast("timestamp"))
+    val out = Sketches.groupedRollingDistinct(
+        Sketches.groupedDailyKeySketches(ev, "g", "ts", "user_id"), 2)
+      .select($"g", $"day".cast("string"), $"approx_distinct")
+      .as[(Option[String], String, Long)].collect().toSet
+    assert(out == Set(
+      (Some("a"), "2024-01-01", 1L),
+      (None, "2024-01-01", 1L),
+      (None, "2024-01-02", 2L)))
+  }
+
   test("dailyNewKeys excludes NULL keys (COUNT DISTINCT parity — " +
        "xxhash64(NULL) is a constant, not NULL)") {
     val ev = Seq(
