@@ -127,6 +127,67 @@ object Multimodal {
         feature = histogram(b)))
     }
 
+    /** Pixel-level BMP decode (24bpp, padded rows, bottom-up unless the
+      * height field is negative): luma in [0,1] row-major top-down.
+      * Returns None for anything that is not a well-formed 24bpp BMP —
+      * the same degrade-don't-throw contract as the metadata decoders.
+      */
+    private[Multimodal] def decodeBmpGray(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      if (!ascii(b, 0, "BM") || b.length < 54) return None
+      val off = le32(b, 10)
+      val w = le32(b, 18)
+      val hRaw = le32(b, 22)
+      val h = math.abs(hRaw)
+      if (le16(b, 28) != 24 || w <= 0 || h <= 0 || w > 65536 || h > 65536)
+        return None
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      if (off < 54 || off.toLong + rowBytes.toLong * h > b.length) return None
+      val gray = new Array[Float](w * h)
+      var y = 0
+      while (y < h) {
+        val ro = off + (if (hRaw > 0) h - 1 - y else y) * rowBytes
+        var x = 0
+        while (x < w) {
+          val o = ro + x * 3
+          gray(y * w + x) =
+            ((b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)) / 765f
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, gray))
+    }
+
+    /** Average-hash (aHash): nearest-point sample the luma onto an 8×8
+      * grid, threshold each sample at the grid mean → 64-bit
+      * fingerprint. Nearest sampling (not area mean) keeps the hash
+      * defined for images smaller than the grid and stays
+      * deterministic; small pixel perturbations flip a bit only where
+      * a sampled cell sits within noise of the mean — the property
+      * that makes Hamming distance a near-duplicate signal.
+      */
+    private[Multimodal] def aHash64(w: Int, h: Int, gray: Array[Float]): Long = {
+      val cells = new Array[Float](64)
+      var i = 0
+      while (i < 8) {
+        var j = 0
+        while (j < 8) {
+          val y = math.min(h - 1, (i * 2 + 1) * h / 16)
+          val x = math.min(w - 1, (j * 2 + 1) * w / 16)
+          cells(i * 8 + j) = gray(y * w + x)
+          j += 1
+        }
+        i += 1
+      }
+      var mean = 0f
+      cells.foreach(mean += _)
+      mean /= 64f
+      var hash = 0L
+      i = 0
+      while (i < 64) { if (cells(i) > mean) hash |= (1L << i); i += 1 }
+      hash
+    }
+
     /** Unknown bytes: byte-level metadata only — zero dimensions, real
       * length + histogram. */
     private def fallback(r: MediaRecord): DecodedMedia =
@@ -197,6 +258,56 @@ object Multimodal {
               .cast("int"))),
           i => substring(col("media"), (i * frameBytes * stride + 1).cast("int"), lit(frameBytes))))
           .as(Seq("frame_idx", "frame")))
+  }
+
+  /** Perceptual fingerprints for image rows: one (doc_id, ahash) row
+    * per DECODABLE image (non-BMP/corrupt rows drop — a hash of bytes
+    * a codec can't read is noise, not a fingerprint). Same batched
+    * mapPartitions shape as [[decodeAll]]; no shuffle.
+    */
+  def imageAHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.media_type != "image") Iterator.empty
+        else Codec.decodeBmpGray(r.media).iterator.map { case (w, h, g) =>
+          (r.doc_id, Codec.aHash64(w, h, g))
+        }
+      }
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs at Hamming distance <= `maxHamming` on
+    * the 64-bit aHash — the multimodal member of the dedup family.
+    * Candidate generation splits the hash into `maxHamming + 1` bands
+    * (pigeonhole: any pair within the distance budget agrees on at
+    * least one full band) and routes each band through the shared
+    * saturating-bucket pair generator — 8-byte keys, hot bands capped
+    * at `maxBucket`, no self-join of the hash table. Verification is
+    * one `bit_count(xor)` per candidate pair. Output:
+    * (id_a, id_b, hamming), id_a < id_b.
+    */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 200): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val posting = hashes.select(
+      col("doc_id").as("id"),
+      posexplode(array((0 until nBands).map { k =>
+        // final band absorbs the remainder bits
+        val lo = k * bandBits
+        val width = if (k == nBands - 1) 64 - lo else bandBits
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        shiftrightunsigned(col("ahash"), lo).bitwiseAND(mask)
+      }: _*)).as(Seq("band_idx", "band_val")))
+    graft.operators.Buckets.pairs(posting, Seq("band_idx", "band_val"), maxBucket)
+      .join(hashes.select(col("doc_id").as("id_a"), col("ahash").as("h_a")), "id_a")
+      .join(hashes.select(col("doc_id").as("id_b"), col("ahash").as("h_b")), "id_b")
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Synthesize a media table from any text corpus (tests/benches):

@@ -197,6 +197,28 @@ object TextAnalysis {
      size(regexp_extract_all(emailsMasked, lit(NumberRunPattern), lit(0))))
   }
 
+  /** Blocklist-term audit — the C4/Gopher "bad-words" filter as one
+    * Aho–Corasick automaton pass per document
+    * ([[graft.functions.MultiContainsExpr]]): O(n + matches) per row
+    * whatever the blocklist size, where the naive
+    * `contains(t1) OR contains(t2) OR …` plan costs O(P·n) AND regrows
+    * the generated code linearly in P (the same codegen-collapse shape
+    * the IVF cell kernels exist to avoid). Per-term hit counts are
+    * greedy leftmost non-overlapping — the `replace`-arithmetic a SQL
+    * oracle replays exactly. Output adds (n_terms, total_hits,
+    * blocked) to each row; no shuffle, one scan.
+    */
+  def blocklistAudit(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    docs
+      .withColumn("__s",
+        graft.functions.BlocklistFunctions.multi_contains(col(textCol), terms))
+      .select(col(idCol), col("__s.n_terms").as("n_terms"),
+        col("__s.total_hits").as("total_hits"),
+        col("__s.blocked").as("blocked"))
+  }
+
   /** Document fingerprints (content-defined, order sensitive): a
     * modular code-point rolling hash plus an md5 digest. Both columns
     * are engine-portable — any SQL engine can recompute them, so the

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample distribution-drift diagnostics — the monitoring step a
+  * training-data pipeline runs between corpus snapshots (did the value
+  * distribution of a source shift since the last crawl?) and between
+  * splits (is validation distributed like train?).
+  *
+  * Two detectors with complementary scale shapes:
+  *
+  *  - [[ksStatistic]] — exact two-sample Kolmogorov–Smirnov:
+  *    D = sup_x |F_a(x) − F_b(x)|, evaluated at every observed value
+  *    (the sup of a right-continuous step difference is attained at a
+  *    step). One groupBy(value) shuffle collapses duplicates, then ONE
+  *    ordered window per group builds both ECDFs in a single pass.
+  *    The window sorts each group's distinct values inside one
+  *    partition — exact KS is inherently a per-group sort, so groups
+  *    parallelize but a single group's distinct-value count must fit a
+  *    partition. For billion-distinct-value groups, bin first or use
+  *    [[psi]] — the binned detector that never sorts.
+  *
+  *  - [[psi]] — Population Stability Index over FIXED literal bin
+  *    edges: Σ (p_a − p_b)·ln(p_a/p_b), shares clamped at `eps` so
+  *    empty bins stay finite (the industry convention; PSI < 0.1 is
+  *    the customary "stable" reading). Pure conditional-sum
+  *    aggregation — map-side combinable, one shuffle of
+  *    O(groups·bins) rows, any scale.
+  *
+  * Both emit per-group rows with engine-portable arithmetic (integer
+  * cumulative counts, IEEE ratios, 6dp rounding at the boundary) so a
+  * SQL oracle replays them exactly.
+  */
+object Drift {
+
+  /** Exact two-sample KS per group. `sideA` is a boolean column
+    * splitting rows into samples A (true) and B (false). Output:
+    * (groupCols…, n_a, n_b, ks_d, ks_crit, drifted) — `ks_crit` the
+    * α=0.05 large-sample critical value 1.358·√((n_a+n_b)/(n_a·n_b)),
+    * `drifted` = D > crit; rows with a NULL value or an empty side
+    * yield no verdict and are dropped (n_a·n_b = 0 → no distribution
+    * to compare).
+    */
+  def ksStatistic(df: DataFrame, groupCols: Seq[String], sideA: Column,
+                  valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(sideA, 1L).otherwise(0L)).as("__ca"),
+           sum(when(sideA, 0L).otherwise(1L)).as("__cb"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(g: _*)
+    val cum = counts
+      .withColumn("__fa", sum(col("__ca")).over(w))
+      .withColumn("__fb", sum(col("__cb")).over(w))
+      .withColumn("__na", max(col("__fa")).over(tot))
+      .withColumn("__nb", max(col("__fb")).over(tot))
+    cum
+      .groupBy(g: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__fa").cast("double") / col("__na")
+          - col("__fb").cast("double") / col("__nb"))).as("__d"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("ks_crit",
+        round(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") * col("n_b"))), 6))
+      .select(g :+ col("n_a") :+ col("n_b") :+
+        round(col("__d"), 6).as("ks_d") :+ col("ks_crit") :+
+        (col("__d") > lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") * col("n_b")))).as("drifted"): _*)
+  }
+
+  /** PSI per group over literal `edges` (bin k = count of edges ≤ v,
+    * so values below edges(0) fall in bin 0 and above the last edge in
+    * bin edges.length). Output: (groupCols…, n_a, n_b, psi, stable)
+    * with shares clamped at `eps` and `stable` = psi < 0.1.
+    */
+  def psi(df: DataFrame, groupCols: Seq[String], sideA: Column,
+          valueCol: String, edges: Seq[Double],
+          eps: Double = 1e-6): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "edges must be non-empty, sorted, distinct")
+    val g = groupCols.map(col)
+    val bin = edges.map(e => (col(valueCol) >= e).cast("int"))
+      .reduce(_ + _).as("__bin")
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g :+ bin: _*)
+      .agg(sum(when(sideA, 1L).otherwise(0L)).as("__ca"),
+           sum(when(sideA, 0L).otherwise(1L)).as("__cb"))
+    val tot = Window.partitionBy(g: _*)
+    val shares = counts
+      .withColumn("__na", sum(col("__ca")).over(tot))
+      .withColumn("__nb", sum(col("__cb")).over(tot))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .withColumn("__pa",
+        greatest(col("__ca").cast("double") / col("__na"), lit(eps)))
+      .withColumn("__pb",
+        greatest(col("__cb").cast("double") / col("__nb"), lit(eps)))
+    shares
+      .groupBy(g: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb")))
+          .as("__psi"))
+      .select(g :+ col("n_a") :+ col("n_b") :+
+        round(col("__psi"), 6).as("psi") :+
+        (col("__psi") < 0.1).as("stable"): _*)
+  }
+}

@@ -2539,5 +2539,227 @@ object Oracle {
         |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
         |LEFT JOIN pairs pr ON pr.g_a = sa.source AND pr.g_b = sb.source
         |ORDER BY g_a, g_b""".stripMargin,
+
+    // exact mirror of Chunking.contentChunks (t110): the window-Horner
+    // anchor rule replayed per position with list_reduce (the t11
+    // residue chain restricted to a 16-cp window), next-anchor via a
+    // reverse cumulative window min, cut(s) = least(nextAnchor(s+24),
+    // s+96, n) precomputed for EVERY s, and the sequential chunk walk
+    // as a recursive CTE following that cut table from 0 (the t32
+    // pattern). The s+24 grid lookup clamps to n: whenever it clamps,
+    // both the clamped and the true formula yield cut = n.
+    "t110_content_chunks" ->
+      """WITH RECURSIVE cp AS (
+        |  SELECT doc_id, string_split(text, '') AS chars,
+        |         list_transform(string_split(text, ''),
+        |                        c -> CAST(unicode(c) AS BIGINT)) AS cps
+        |  FROM documents
+        |), meta AS (
+        |  SELECT doc_id, chars, cps, len(cps) AS n FROM cp
+        |), anch AS (
+        |  SELECT m.doc_id, p.p
+        |  FROM meta m, unnest(generate_series(16, m.n)) AS p(p)
+        |  WHERE m.n >= 16
+        |    AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                                 m.cps[p.p-15 : p.p]),
+        |          (h, c) -> (h * 257 + c) % 2147483647) % 32 = 0
+        |), grid AS (
+        |  SELECT m.doc_id, m.n, t.t
+        |  FROM meta m, unnest(generate_series(0, m.n)) AS t(t)
+        |), nexta AS (
+        |  SELECT g.doc_id, g.n, g.t,
+        |         min(a.p) OVER (PARTITION BY g.doc_id ORDER BY g.t DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS na
+        |  FROM grid g
+        |  LEFT JOIN anch a ON a.doc_id = g.doc_id AND a.p = g.t
+        |), cuts AS (
+        |  SELECT s.doc_id, s.t AS s,
+        |         least(coalesce(nx.na, 9223372036854775807),
+        |               s.t + 96, s.n) AS e
+        |  FROM grid s
+        |  JOIN nexta nx ON nx.doc_id = s.doc_id
+        |                AND nx.t = least(s.t + 24, s.n)
+        |  WHERE s.t < s.n
+        |), walk AS (
+        |  SELECT doc_id, 1 AS chunk_idx, CAST(0 AS BIGINT) AS s, e
+        |  FROM cuts WHERE s = 0
+        |  UNION ALL
+        |  SELECT w.doc_id, w.chunk_idx + 1, w.e, c.e
+        |  FROM walk w JOIN cuts c ON c.doc_id = w.doc_id AND c.s = w.e
+        |)
+        |SELECT w.doc_id, CAST(w.chunk_idx AS INT) AS chunk_idx,
+        |       CAST(w.s + 1 AS INT) AS start,
+        |       CAST(w.e - w.s AS INT) AS len,
+        |       md5(array_to_string(m.chars[w.s + 1 : w.e], '')) AS chunk_md5
+        |FROM walk w JOIN meta m ON m.doc_id = w.doc_id
+        |ORDER BY w.doc_id, w.chunk_idx""".stripMargin,
+
+    // exact mirror of t111: the same planted-shift construction, the
+    // same chunk walk as t110 over the augmented corpus, then an
+    // UNCAPPED distinct-chunk self-join + Jaccard — equal to the
+    // engine's saturating-bucket path because no chunk's doc frequency
+    // approaches maxDf=50 at verify scale (measured max 4 at sf0.01,
+    // 21 at sf0.1); md5 stands in for the engine's 8-byte xxhash64
+    // join key (both collision-free here)
+    "t111_chunk_neardup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'shifted preface marker ' || text
+        |  FROM documents WHERE doc_id % 7 = 0 AND n_chars >= 200
+        |), cp AS (
+        |  SELECT doc_id, string_split(text, '') AS chars,
+        |         list_transform(string_split(text, ''),
+        |                        c -> CAST(unicode(c) AS BIGINT)) AS cps
+        |  FROM base
+        |), meta AS (
+        |  SELECT doc_id, chars, cps, len(cps) AS n FROM cp
+        |), anch AS (
+        |  SELECT m.doc_id, p.p
+        |  FROM meta m, unnest(generate_series(16, m.n)) AS p(p)
+        |  WHERE m.n >= 16
+        |    AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                                 m.cps[p.p-15 : p.p]),
+        |          (h, c) -> (h * 257 + c) % 2147483647) % 32 = 0
+        |), grid AS (
+        |  SELECT m.doc_id, m.n, t.t
+        |  FROM meta m, unnest(generate_series(0, m.n)) AS t(t)
+        |), nexta AS (
+        |  SELECT g.doc_id, g.n, g.t,
+        |         min(a.p) OVER (PARTITION BY g.doc_id ORDER BY g.t DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS na
+        |  FROM grid g
+        |  LEFT JOIN anch a ON a.doc_id = g.doc_id AND a.p = g.t
+        |), cuts AS (
+        |  SELECT s.doc_id, s.t AS s,
+        |         least(coalesce(nx.na, 9223372036854775807),
+        |               s.t + 96, s.n) AS e
+        |  FROM grid s
+        |  JOIN nexta nx ON nx.doc_id = s.doc_id
+        |                AND nx.t = least(s.t + 24, s.n)
+        |  WHERE s.t < s.n
+        |), walk AS (
+        |  SELECT doc_id, 1 AS chunk_idx, CAST(0 AS BIGINT) AS s, e
+        |  FROM cuts WHERE s = 0
+        |  UNION ALL
+        |  SELECT w.doc_id, w.chunk_idx + 1, w.e, c.e
+        |  FROM walk w JOIN cuts c ON c.doc_id = w.doc_id AND c.s = w.e
+        |), chunks AS (
+        |  SELECT DISTINCT w.doc_id,
+        |         md5(array_to_string(m.chars[w.s + 1 : w.e], '')) AS h
+        |  FROM walk w JOIN meta m ON m.doc_id = w.doc_id
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM chunks GROUP BY doc_id
+        |), shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM chunks a JOIN chunks b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.id_a, s.id_b, s.shared, na.n AS n_a, nb.n AS n_b,
+        |       round(CAST(s.shared AS DOUBLE)
+        |             / (na.n + nb.n - s.shared), 6) AS jaccard
+        |FROM shared s
+        |JOIN sizes na ON na.doc_id = s.id_a
+        |JOIN sizes nb ON nb.doc_id = s.id_b
+        |WHERE CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact mirror of TextAnalysis.blocklistAudit (t112): per-term
+    // greedy leftmost non-overlapping occurrence counts via replace
+    // arithmetic — `replace` removes exactly the occurrences the
+    // Aho-Corasick kernel's lastEnd rule accepts; nested terms
+    // ("merge" inside "merge slow") count independently on both sides
+    "t112_blocklist" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (len(text) - len(replace(text, 'merge', ''))) // 5 AS h1,
+        |    (len(text) - len(replace(text, 'merge slow', ''))) // 10 AS h2,
+        |    (len(text) - len(replace(text, 'batch batch', ''))) // 11 AS h3,
+        |    (len(text) - len(replace(text, 'customer filter', ''))) // 15 AS h4,
+        |    (len(text) - len(replace(text, 'vector window', ''))) // 13 AS h5,
+        |    (len(text) - len(replace(text, 'quantum', ''))) // 7 AS h6
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST((h1 > 0)::INT + (h2 > 0)::INT + (h3 > 0)::INT
+        |            + (h4 > 0)::INT + (h5 > 0)::INT + (h6 > 0)::INT
+        |            AS INT) AS n_terms,
+        |       CAST(h1 + h2 + h3 + h4 + h5 + h6 AS BIGINT) AS total_hits,
+        |       (h1 + h2 + h3 + h4 + h5 + h6) > 0 AS blocked
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact mirror of Drift.ksStatistic (t113): duplicate values
+    // collapse to per-(group, value) side counts, both ECDFs from one
+    // cumulative window over distinct values (no ties -> ROWS frame ==
+    // DuckDB's default RANGE frame), D = max |fa/na - fb/nb|, the
+    // alpha=0.05 critical value 1.358*sqrt((na+nb)/(na*nb))
+    "t113_ks_drift" ->
+      """WITH t AS (
+        |  SELECT event_type, value AS v,
+        |         ((CAST(ts AS DATE) - DATE '1970-01-01') % 2 = 0) AS sa
+        |  FROM events
+        |), counts AS (
+        |  SELECT event_type, v,
+        |         CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, v,
+        |         sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS fa,
+        |         sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS fb
+        |  FROM counts
+        |), cum2 AS (
+        |  SELECT *, max(fa) OVER (PARTITION BY event_type) AS na,
+        |            max(fb) OVER (PARTITION BY event_type) AS nb
+        |  FROM cum
+        |)
+        |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+        |       round(max(abs(CAST(fa AS DOUBLE)/na
+        |                     - CAST(fb AS DOUBLE)/nb)), 6) AS ks_d,
+        |       round(1.358 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+        |                          / (max(na) * max(nb))), 6) AS ks_crit,
+        |       max(abs(CAST(fa AS DOUBLE)/na - CAST(fb AS DOUBLE)/nb))
+        |         > 1.358 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+        |                        / (max(na) * max(nb))) AS drifted
+        |FROM cum2
+        |GROUP BY event_type
+        |HAVING max(na) > 0 AND max(nb) > 0
+        |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Drift.psi (t114): bin = count of literal edges
+    // <= v, shares clamped at 1e-6, psi = sum (pa-pb)*ln(pa/pb)
+    "t114_psi_drift" ->
+      """WITH t AS (
+        |  SELECT event_type, value AS v,
+        |         (ts < TIMESTAMP '2024-01-16 00:00:00') AS sa
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type, sa,
+        |         (v >= 25.0)::INT + (v >= 50.0)::INT + (v >= 75.0)::INT
+        |         + (v >= 100.0)::INT + (v >= 150.0)::INT + (v >= 200.0)::INT
+        |         + (v >= 300.0)::INT + (v >= 400.0)::INT AS bin
+        |  FROM t
+        |), counts AS (
+        |  SELECT event_type, bin,
+        |         CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT event_type, ca, cb,
+        |         sum(ca) OVER (PARTITION BY event_type) AS na,
+        |         sum(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM counts
+        |), cl AS (
+        |  SELECT event_type, na, nb,
+        |         greatest(CAST(ca AS DOUBLE)/na, 1e-6) AS pa,
+        |         greatest(CAST(cb AS DOUBLE)/nb, 1e-6) AS pb
+        |  FROM sh WHERE na > 0 AND nb > 0
+        |)
+        |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+        |       round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+        |       sum((pa - pb) * ln(pa / pb)) < 0.1 AS stable
+        |FROM cl GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

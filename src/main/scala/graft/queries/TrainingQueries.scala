@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Behavior, Bpe, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Behavior, Bpe, Chunking, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -2639,6 +2639,82 @@ object TrainingQueries {
       .select(lit("max_rank_err_p95").as("check"),
               round(col("value"), 6).as("value"))
     nDays.unionByName(e50).unionByName(e95).orderBy(col("check"))
+  }
+
+  /** t110_content_chunks — content-defined chunking (FastCDC shape):
+    * every document split at rolling-hash-defined boundaries
+    * (w=16, base=257, mod=2^31−1, divisor=32, len∈[24,96] code
+    * points). Exact DuckDB oracle: the same window-Horner anchor rule
+    * via `list_reduce`, the same cut(s) = least(nextAnchor(s+min),
+    * s+max, n) walk via a recursive CTE, chunk text via list-slice +
+    * md5.
+    */
+  def t110ContentChunks(spark: SparkSession, sfDir: String): DataFrame =
+    Chunking.contentChunks(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** t111_chunk_neardup — shift-robust chunk-level near-dup pairs: the
+    * corpus is documents PLUS planted shifted copies (every 7th doc of
+    * ≥200 chars re-appears with an inserted preface under doc_id +
+    * 100000), and the operator must recover the planted pairs through
+    * CDC boundary resynchronization — the property fixed-stride
+    * shingles lack. Exact oracle: the same planted construction, the
+    * same chunk walk, an (uncapped) chunk-hash self-join + Jaccard —
+    * valid because no chunk's doc frequency approaches the engine's
+    * maxDf=50 saturating cap at verify scale (measured max 4 at
+    * sf0.01, 21 at sf0.1).
+    */
+  def t111ChunkNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val planted = docs
+      .filter(col("doc_id") % 7 === 0 && col("n_chars") >= 200)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("shifted preface marker "), col("text")).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+    Chunking.chunkNearDups(corpus, "doc_id", "text",
+        minJaccard = 0.3, maxDf = 50)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** t112_blocklist — multi-pattern bad-words audit: every document
+    * scanned against a 6-term blocklist (nested terms included — both
+    * "merge" and "merge slow" count independently; "quantum" never
+    * occurs) in ONE Aho–Corasick pass. Exact oracle: per-term greedy
+    * non-overlapping counts via `(len(text) − len(replace(…))) //
+    * len(term)` arithmetic.
+    */
+  def t112Blocklist(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.blocklistAudit(Tables.documents(spark, sfDir), "doc_id",
+        "text", Seq("merge", "merge slow", "batch batch",
+          "customer filter", "vector window", "quantum"))
+      .orderBy(col("doc_id"))
+
+  /** t113_ks_drift — exact two-sample Kolmogorov–Smirnov drift check
+    * per event_type: sample A = events on even epoch days, B = odd
+    * days (a deterministic split that SHOULD read as stable). Exact
+    * oracle: the same distinct-value ECDF window arithmetic.
+    */
+  def t113KsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    graft.ops.Drift.ksStatistic(events, Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 2 === 0,
+        "value")
+      .orderBy(col("event_type"))
+  }
+
+  /** t114_psi_drift — Population Stability Index per event_type
+    * between the first 15 days and the rest of the month, over fixed
+    * literal value-bin edges. Exact oracle: the same clamped-share
+    * Σ(pa−pb)·ln(pa/pb) arithmetic.
+    */
+  def t114PsiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    graft.ops.Drift.psi(events, Seq("event_type"),
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
+        "value", Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0, 400.0))
+      .orderBy(col("event_type"))
   }
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize

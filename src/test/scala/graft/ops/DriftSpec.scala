@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ksStatistic: identical samples give D = 0") {
+    val rows = (1 to 50).flatMap(i =>
+      Seq(("g", true, i.toDouble), ("g", false, i.toDouble)))
+    val df = rows.toDF("g", "sa", "v")
+    val out = Drift.ksStatistic(df, Seq("g"), col("sa"), "v").collect().head
+    assert(out.getAs[Double]("ks_d") == 0.0)
+    assert(!out.getAs[Boolean]("drifted"))
+    assert(out.getAs[Long]("n_a") == 50 && out.getAs[Long]("n_b") == 50)
+  }
+
+  test("ksStatistic: disjoint supports give D = 1 and drifted") {
+    val rows = (1 to 40).map(i => ("g", true, i.toDouble)) ++
+      (1 to 40).map(i => ("g", false, 100.0 + i))
+    val out = Drift.ksStatistic(rows.toDF("g", "sa", "v"), Seq("g"),
+      col("sa"), "v").collect().head
+    assert(out.getAs[Double]("ks_d") == 1.0)
+    assert(out.getAs[Boolean]("drifted"))
+  }
+
+  test("ksStatistic matches a brute-force ECDF sup on a mixed sample") {
+    val a = Seq(1.0, 1.0, 2.0, 3.5, 3.5, 7.0, 9.0)
+    val b = Seq(1.0, 2.0, 2.0, 2.0, 6.0, 8.0, 8.0, 10.0)
+    val df = (a.map(("g", true, _)) ++ b.map(("g", false, _)))
+      .toDF("g", "sa", "v")
+    val pts = (a ++ b).distinct
+    val expect = pts.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.size -
+        b.count(_ <= x).toDouble / b.size)
+    }.max
+    val got = Drift.ksStatistic(df, Seq("g"), col("sa"), "v")
+      .collect().head.getAs[Double]("ks_d")
+    assert(math.abs(got - BigDecimal(expect).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("ksStatistic: a group with an empty side is dropped") {
+    val df = Seq(("g1", true, 1.0), ("g1", false, 2.0), ("g2", true, 1.0))
+      .toDF("g", "sa", "v")
+    val groups = Drift.ksStatistic(df, Seq("g"), col("sa"), "v")
+      .select("g").as[String].collect().toSet
+    assert(groups == Set("g1"))
+  }
+
+  test("psi: identical distributions give psi = 0 and stable") {
+    val rows = (1 to 100).flatMap(i =>
+      Seq(("g", true, i.toDouble), ("g", false, i.toDouble)))
+    val out = Drift.psi(rows.toDF("g", "sa", "v"), Seq("g"), col("sa"), "v",
+      Seq(25.0, 50.0, 75.0)).collect().head
+    assert(out.getAs[Double]("psi") == 0.0)
+    assert(out.getAs[Boolean]("stable"))
+  }
+
+  test("psi: a shifted distribution reads unstable, matches hand formula") {
+    // A all below 10, B all above 90: bins (0, >=50) fully separate
+    val rows = (1 to 20).map(i => ("g", true, 5.0)) ++
+      (1 to 20).map(i => ("g", false, 95.0))
+    val out = Drift.psi(rows.toDF("g", "sa", "v"), Seq("g"), col("sa"), "v",
+      Seq(50.0)).collect().head
+    // pa = (1, eps), pb = (eps, 1) -> psi = 2 * (1 - 1e-6) * ln(1/1e-6)
+    val expect = 2.0 * (1.0 - 1e-6) * math.log(1.0 / 1e-6)
+    assert(math.abs(out.getAs[Double]("psi") - BigDecimal(expect)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(!out.getAs[Boolean]("stable"))
+  }
+
+  test("psi rejects unsorted or duplicate edges") {
+    val df = Seq(("g", true, 1.0)).toDF("g", "sa", "v")
+    intercept[IllegalArgumentException](
+      Drift.psi(df, Seq("g"), col("sa"), "v", Seq(2.0, 1.0)))
+    intercept[IllegalArgumentException](
+      Drift.psi(df, Seq("g"), col("sa"), "v", Seq(1.0, 1.0)))
+  }
+}
