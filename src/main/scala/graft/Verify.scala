@@ -352,7 +352,22 @@ object Verify {
           r.getAs[Long]("applied") <= r.getAs[Long]("pair_count") &&
           r.getAs[Long]("residual_pairs") == 0L
         }
-      })
+      },
+      // image perceptual-hash near-dup (t115): every planted
+      // pixel-perturbed copy must pair with its original at
+      // Hamming <= 3 (measured 1.0), and collision pairs between
+      // DIFFERENT source images stay bounded (measured 0.024 at
+      // sf0.01 — tiny synthetic images genuinely collide; the bound
+      // keeps a hash regression from hiding in the extras)
+      "t115 phash n_images > 0" -> rows("t115_image_phash").map(
+        _.exists(r => r.getAs[String]("check") == "n_images" &&
+          r.getAs[Double]("value") > 0)),
+      "t115 phash recovered_frac >= 0.9" -> rows("t115_image_phash").map(
+        _.exists(r => r.getAs[String]("check") == "recovered_frac" &&
+          r.getAs[Double]("value") >= 0.9)),
+      "t115 phash extra_frac <= 0.2" -> rows("t115_image_phash").map(
+        _.exists(r => r.getAs[String]("check") == "extra_frac" &&
+          r.getAs[Double]("value") <= 0.2)))
     checks.collect {
       case (desc, Left(err)) => s"$desc — $err"
       case (desc, Right(false)) => desc

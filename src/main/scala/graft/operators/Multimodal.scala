@@ -132,7 +132,7 @@ object Multimodal {
       * Returns None for anything that is not a well-formed 24bpp BMP —
       * the same degrade-don't-throw contract as the metadata decoders.
       */
-    private[Multimodal] def decodeBmpGray(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    private[operators] def decodeBmpGray(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
       if (!ascii(b, 0, "BM") || b.length < 54) return None
       val off = le32(b, 10)
       val w = le32(b, 18)
@@ -166,7 +166,7 @@ object Multimodal {
       * a sampled cell sits within noise of the mean — the property
       * that makes Hamming distance a near-duplicate signal.
       */
-    private[Multimodal] def aHash64(w: Int, h: Int, gray: Array[Float]): Long = {
+    private[operators] def aHash64(w: Int, h: Int, gray: Array[Float]): Long = {
       val cells = new Array[Float](64)
       var i = 0
       while (i < 8) {

@@ -2717,6 +2717,54 @@ object TrainingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** t115_image_phash — multimodal near-duplicate detection: aHash
+    * perceptual fingerprints over REAL decoded BMP pixels, banded
+    * Hamming-distance pair generation, and a planted-perturbation
+    * contract. The corpus is every distinct-text image row plus a
+    * pixel-perturbed copy (+1 on every 7th payload byte) under
+    * doc_id + 1000000; the operator must pair each original with its
+    * perturbed twin at Hamming ≤ 3. Estimate-typed (hash-derived) →
+    * rows-only for the driver; the enforced Verify gate pins
+    * n_images > 0, recovered_frac ≥ 0.9, and extra_frac ≤ 0.5 (extra
+    * pairs are tiny synthetic images that genuinely collide — reported
+    * honestly, bounded so a hash regression cannot hide).
+    */
+  def t115ImagePhash(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val images = Multimodal.synthesize(docs, "doc_id", "text")
+      .filter(_.media_type == "image")
+    val perturbed = images.map { r =>
+      val b = r.media.clone()
+      var i = 54
+      while (i < b.length) { if (i % 7 == 0) b(i) = (b(i) + 1).toByte; i += 1 }
+      r.copy(doc_id = r.doc_id + 1000000, media = b)
+    }
+    val hashes = Multimodal.imageAHash(images.union(perturbed))
+      .localCheckpoint(true)
+    val pairs = Multimodal.imageNearDups(hashes, maxHamming = 3)
+      .localCheckpoint(true)
+    val nImg = hashes.filter(col("doc_id") < 1000000)
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_images").as("check"), col("value"))
+    val stats = pairs
+      .agg(
+        sum(when(col("id_b") === col("id_a") + 1000000, 1.0).otherwise(0.0))
+          .as("rec"),
+        sum(when(col("id_b") =!= col("id_a") + 1000000, 1.0).otherwise(0.0))
+          .as("extra"))
+      .crossJoin(broadcast(hashes.filter(col("doc_id") < 1000000)
+        .agg(count(lit(1)).cast("double").as("n"))))
+    val recovered = stats.select(lit("recovered_frac").as("check"),
+      round(coalesce(col("rec"), lit(0.0)) / col("n"), 6).as("value"))
+    val extra = stats.select(lit("extra_frac").as("check"),
+      round(coalesce(col("extra"), lit(0.0)) / col("n"), 6).as("value"))
+    nImg.unionByName(recovered).unionByName(extra).orderBy(col("check"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -106,6 +106,59 @@ class MultimodalSpec extends SparkSpec {
       }
   }
 
+  test("decodeBmpGray: exact luma roundtrip of a hand-built BMP") {
+    // 2×2 image, payload bytes cycle 0,255 → per-pixel BGR triples known
+    val fill = Array[Byte](0, 0, 0, -1, -1, -1) // pixel0 black, pixel1 white
+    val bytes = SynthMedia.bmp(2, 2, fill)
+    val Some((w, h, gray)) = Codec.decodeBmpGray(bytes)
+    assert(w == 2 && h == 2)
+    // rowBytes = 8 (6 pixel bytes + 2 padding), and the fill cycles
+    // across the PADDED payload: stored row 0 = fill[0..5] =
+    // (black, white); stored row 1 starts at offset 8 = fill[2..7 mod 6]
+    // = BGR (0,255,255), (255,0,0) → luma 2/3, 1/3. Bottom-up storage
+    // makes stored row 1 the TOP row of the decoded image.
+    assert(gray.toSeq == Seq(2f / 3f, 1f / 3f, 0f, 1f))
+  }
+
+  test("aHash64 is stable under tiny perturbation and differs across images") {
+    val a = SynthMedia.bmp(12, 6, "some image content body".getBytes)
+    val b = a.clone()
+    var i = 54
+    while (i < b.length) { if (i % 7 == 0) b(i) = (b(i) + 1).toByte; i += 1 }
+    val other = SynthMedia.bmp(12, 6,
+      "completely different pixels spelled out".getBytes)
+    def hash(x: Array[Byte]): Long = {
+      val Some((w, h, g)) = Codec.decodeBmpGray(x)
+      Codec.aHash64(w, h, g)
+    }
+    assert(java.lang.Long.bitCount(hash(a) ^ hash(b)) <= 3)
+    assert(java.lang.Long.bitCount(hash(a) ^ hash(other)) > 3)
+  }
+
+  test("imageAHash: only decodable images hash; imageNearDups pairs the planted twin") {
+    implicit val s = spark
+    val imgA = SynthMedia.bmp(10, 5, "alpha beta gamma delta".getBytes)
+    val imgATwin = imgA.clone()
+    var i = 54
+    while (i < imgATwin.length) {
+      if (i % 7 == 0) imgATwin(i) = (imgATwin(i) + 1).toByte
+      i += 1
+    }
+    val media = Seq(
+      MediaRecord(1L, "image", imgA),
+      MediaRecord(2L, "image", imgATwin),
+      MediaRecord(3L, "image",
+        SynthMedia.bmp(10, 5, "unrelated maritime charts and tide tables".getBytes)),
+      MediaRecord(4L, "audio", SynthMedia.wav(8000, 100, "x".getBytes)),
+      MediaRecord(5L, "image", Array[Byte](1, 2, 3)) // corrupt: dropped
+    ).toDS()
+    val hashes = Multimodal.imageAHash(media)
+    assert(hashes.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val pairs = Multimodal.imageNearDups(hashes, maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(!pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
+  }
+
   test("sampleFrames: video rows explode into byte-window frames") {
     implicit val s = spark
     val media = Multimodal.synthesize(docs, "doc_id", "text")
