@@ -367,7 +367,22 @@ object Verify {
           r.getAs[Double]("value") >= 0.9)),
       "t115 phash extra_frac <= 0.2" -> rows("t115_image_phash").map(
         _.exists(r => r.getAs[String]("check") == "extra_frac" &&
-          r.getAs[Double]("value") <= 0.2)))
+          r.getAs[Double]("value") <= 0.2)),
+      // count-min sketch (t118): the CMS contract — NEVER undercounts
+      // (deterministic: every cell the item hashes to received all its
+      // increments), and overcounts stay within the analytic ε·N bound
+      // (ε = 0.0005 as configured in the query; the 0.99-confidence
+      // bound holds per-probe here because the seed is fixed and
+      // measured)
+      "t118 cms has probes incl. absent token" -> rows("t118_cms_counts")
+        .map(rs => rs.length >= 8 &&
+          rs.exists(r => r.getAs[String]("token") == "quantum" &&
+            r.getAs[Long]("true_count") == 0L)),
+      "t118 cms never undercounts" -> rows("t118_cms_counts").map(
+        _.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("true_count"))),
+      "t118 cms overcount <= eps*N" -> rows("t118_cms_counts").map(
+        _.forall(r => r.getAs[Long]("est") - r.getAs[Long]("true_count")
+          <= math.ceil(0.0005 * r.getAs[Long]("n_total")).toLong)))
     checks.collect {
       case (desc, Left(err)) => s"$desc — $err"
       case (desc, Right(false)) => desc

@@ -123,6 +123,96 @@ case class TopKByScore(
     copy(score = l, id = r)
 }
 
+/** [[TopKByScore]] with exact-DUPLICATE-pair suppression: a
+  * (score, id) pair already in the buffer is skipped instead of
+  * occupying a second slot. For scores that are a deterministic
+  * function of the id (the seeded-uniform sampling convention), pair
+  * dedup IS id dedup — which makes this the streaming-state form of
+  * `dropDuplicates + top-k`: ONE stateful operator whose per-window
+  * state is k pairs, instead of chaining a streaming dedup into a
+  * windowed aggregation (two stateful operators and unbounded dedup
+  * state). Same bounded heap, ordering, merge, and output contract as
+  * [[TopKByScore]]; the TreeSet buffer adds pair-membership lookup.
+  */
+case class TopKDistinctByScore(
+    score: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.TreeSet[(Double, Long)]]
+    with BinaryLike[Expression]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(k >= 1, "k must be >= 1")
+
+  override def inputTypes = Seq(DoubleType, LongType)
+  override def left: Expression = score
+  override def right: Expression = id
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType, nullable = false),
+                   StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  /** Best-first total order (the inverse of TopKByScore's worst-first
+    * heap order): highest score first, NaN greatest, smallest id on
+    * ties — so `buf.last` is the worst kept pair. */
+  private val bestFirst: Ordering[(Double, Long)] =
+    new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+
+  override def createAggregationBuffer(): mutable.TreeSet[(Double, Long)] =
+    mutable.TreeSet.empty(bestFirst)
+
+  private def offer(buf: mutable.TreeSet[(Double, Long)],
+                    e: (Double, Long)): Unit = {
+    if (buf.add(e) && buf.size > k) buf.remove(buf.last)
+  }
+
+  override def update(buf: mutable.TreeSet[(Double, Long)],
+                      input: InternalRow): mutable.TreeSet[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: mutable.TreeSet[(Double, Long)],
+                     other: mutable.TreeSet[(Double, Long)]): mutable.TreeSet[(Double, Long)] = {
+    other.foreach(offer(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.TreeSet[(Double, Long)]): Any =
+    new GenericArrayData(buf.toArray.map(p => InternalRow(p._1, p._2)))
+
+  override def serialize(buf: mutable.TreeSet[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKDistinctByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKDistinctByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(score = l, id = r)
+}
+
 object TopKFunctions {
   import ColumnOps._
   /** `top_k_by_score(score, id, k)` — ARRAY<STRUCT<score,id>> of the k
@@ -130,4 +220,11 @@ object TopKFunctions {
     */
   def top_k_by_score(score: Column, id: Column, k: Int): Column =
     toColumn(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
+
+  /** [[top_k_by_score]] with exact-duplicate-pair suppression — the
+    * distinct-key form usable directly in streaming aggregation state.
+    */
+  def top_k_distinct_by_score(score: Column, id: Column, k: Int): Column =
+    toColumn(TopKDistinctByScore(toExpr(score), toExpr(id), k)
+      .toAggregateExpression())
 }

@@ -75,6 +75,46 @@ object Drift {
           (col("n_a") * col("n_b")))).as("drifted"): _*)
   }
 
+  /** Robust per-group outlier profile via median/MAD (median absolute
+    * deviation): robust_z = |v − median| / MAD flags tail values
+    * without the mean/stddev's sensitivity to the very outliers being
+    * hunted. Output one row per group: (groupCols…, n, med, mad,
+    * n_outliers, max_z) with outlier = robust_z > k (when MAD = 0 —
+    * a constant group — any deviation is an outlier and max_z is
+    * reported NULL).
+    *
+    * Scale shape: two exact-percentile aggregations (groupBy — the
+    * partial-agg shuffle carries per-group value buffers; exact
+    * percentile is sort-based per group) plus one broadcast-sized join
+    * back. For billion-row groups swap `percentile` for
+    * `percentile_approx` — same plan shape, sketch-sized state; the
+    * exact form is what the DuckDB oracle replays.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val rows = df.filter(col(valueCol).isNotNull)
+    val med = rows.groupBy(g: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val withMed = rows.join(med, groupCols)
+      .withColumn("__ad", abs(col(valueCol) - col("med")))
+    val mad = withMed.groupBy(g: _*)
+      .agg(percentile(col("__ad"), lit(0.5)).as("mad"))
+    withMed.join(mad, groupCols)
+      .withColumn("__z",
+        when(col("mad") > 0, col("__ad") / col("mad")))
+      .withColumn("__out",
+        when(col("mad") > 0, col("__ad") > lit(k) * col("mad"))
+          .otherwise(col("__ad") > 0))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(col("__out"), 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("__z")), 6).as("max_z"))
+  }
+
   /** PSI per group over literal `edges` (bin k = count of edges ≤ v,
     * so values below edges(0) fall in bin 0 and above the last edge in
     * bin edges.length). Output: (groupCols…, n_a, n_b, psi, stable)

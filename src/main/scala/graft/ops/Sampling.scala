@@ -36,4 +36,80 @@ private[graft] object Sampling {
       .filter(col("__rn2") <= cap)
       .drop("__salt", "__rn1", "__rn2")
   }
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** The repo's seeded-uniform convention (shared with
+    * Privacy.dpCounts): u in [0,1) from the first 8 hex digits of
+    * md5(key ‖ '|' ‖ salt), digit extraction via strpos arithmetic so
+    * ANY engine (and the DuckDB oracle) reproduces it bit-for-bit.
+    * Clamped to [1e-9, 1-1e-9] so downstream ln() stays finite.
+    * Callers whose key columns may contain the delimiter should
+    * pre-encode (dpCounts base64s); integral ids need nothing.
+    */
+  def md5Uniform(keyParts: Seq[Column], salt: String): Column = {
+    val h = md5(concat_ws("|", keyParts.map(_.cast("string")) :+
+      (lit(salt): Column): _*))
+    val u = (1 to 8).map { i =>
+      (instr(lit(HexDigits), substring(h, i, 1)) - 1).cast("double") /
+        math.pow(16.0, i)
+    }.reduce(_ + _)
+    least(greatest(u, lit(1e-9)), lit(1.0 - 1e-9))
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * per group, the k rows with the smallest exponential key
+    * e = −ln(u)/w (equivalent to the paper's largest u^(1/w)) form an
+    * exact weight-proportional sample — a row of weight 2w is selected
+    * exactly as if it had two tickets, with no replacement bias. The
+    * seeded u makes the draw reproducible run-to-run AND replayable by
+    * a SQL oracle.
+    *
+    * Scale shape: one per-row hash + ln, then the shared salted
+    * two-level cap — never a bare per-group window (which would funnel
+    * each group through one task). Rows with weight <= 0 hold no
+    * tickets and are dropped, matching the paper's domain.
+    *
+    * Output: (groupCols…, idCol, weight, priority) — priority the 6dp
+    * rounded selection key, smallest = most preferred.
+    */
+  def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     weightCol: String, k: Int, salt: String,
+                     salts: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = groupCols.map(col)
+    val keyed = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__e",
+        -log(md5Uniform(Seq(col(idCol)), salt)) / col(weightCol))
+    saltedCap(keyed, g, struct(col("__e"), col(idCol)),
+        xxhash64(col(idCol)), lit(k), salts)
+      .select(g :+ col(idCol) :+
+        col(weightCol).cast("long").as("weight") :+
+        round(col("__e"), 6).as("priority"): _*)
+  }
+
+  /** MERGEABLE uniform sample of distinct keys: the k smallest
+    * md5-uniform draws per group — a bottom-k sketch, so samples of
+    * shards merge into the sample of the union (re-rank the union of
+    * bottom-k sets, take k): the property that lets 100 TB of shards
+    * each ship k rows instead of re-scanning. Implemented on the
+    * shared TopKByScore aggregate (score = −u): O(partitions·k) state,
+    * map-side combined, NO window and NO global sort. Output:
+    * (groupCols…, key, u) with u the 6dp-rounded draw.
+    */
+  def bottomKSample(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                    k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = groupCols.map(col)
+    df.select(g :+ col(keyCol): _*)
+      .dropDuplicates(groupCols :+ keyCol)
+      .withColumn("__u", md5Uniform(Seq(col(keyCol)), salt))
+      .groupBy(g: _*)
+      .agg(graft.functions.TopKFunctions.top_k_by_score(
+        -col("__u"), col(keyCol).cast("long"), k).as("__picks"))
+      .select(g :+ explode(col("__picks")).as("__p"): _*)
+      .select(g :+ col("__p.id").as(keyCol) :+
+        round(-col("__p.score"), 6).as("u"): _*)
+  }
 }

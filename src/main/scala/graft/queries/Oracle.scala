@@ -2761,5 +2761,131 @@ object Oracle {
         |       sum((pa - pb) * ln(pa / pb)) < 0.1 AS stable
         |FROM cl GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Sampling.weightedSample (t116): the shared
+    // md5-digit seeded uniform (the t105 convention), the
+    // Efraimidis-Spirakis exponential key -ln(u)/w, row_number replay
+    // of the salted two-level cap (provably the same selection)
+    "t116_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT source, doc_id, n_chars,
+        |         least(greatest(
+        |             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'es-2026'), 1, 1)) - 1) / power(16.0, 1)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'es-2026'), 2, 1)) - 1) / power(16.0, 2)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'es-2026'), 3, 1)) - 1) / power(16.0, 3)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'es-2026'), 4, 1)) - 1) / power(16.0, 4)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'es-2026'), 5, 1)) - 1) / power(16.0, 5)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'es-2026'), 6, 1)) - 1) / power(16.0, 6)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'es-2026'), 7, 1)) - 1) / power(16.0, 7)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'es-2026'), 8, 1)) - 1) / power(16.0, 8),
+        |           1e-9), 1 - 1e-9) AS u
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), p AS (
+        |  SELECT source, doc_id, n_chars, -ln(u) / n_chars AS e FROM u
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |                              ORDER BY e, doc_id) AS rn
+        |  FROM p
+        |)
+        |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |       round(e, 6) AS priority
+        |FROM r WHERE rn <= 4
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // exact mirror of Sampling.bottomKSample (t117): distinct
+    // (event_type, user_id), the same seeded uniform, bottom-8 by
+    // (u, user_id) — the ORDER BY/LIMIT replay of the TopKByScore
+    // aggregate's keep-highest-negated-score-smallest-id contract
+    "t117_bottomk_sample" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |), u AS (
+        |  SELECT event_type, user_id,
+        |         least(greatest(
+        |             (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'bk-2026'), 1, 1)) - 1) / power(16.0, 1)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'bk-2026'), 2, 1)) - 1) / power(16.0, 2)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'bk-2026'), 3, 1)) - 1) / power(16.0, 3)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'bk-2026'), 4, 1)) - 1) / power(16.0, 4)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'bk-2026'), 5, 1)) - 1) / power(16.0, 5)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'bk-2026'), 6, 1)) - 1) / power(16.0, 6)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'bk-2026'), 7, 1)) - 1) / power(16.0, 7)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'bk-2026'), 8, 1)) - 1) / power(16.0, 8),
+        |           1e-9), 1 - 1e-9) AS u
+        |  FROM d
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |                              ORDER BY u, user_id) AS rn
+        |  FROM u
+        |)
+        |SELECT event_type, user_id, round(u, 6) AS u
+        |FROM r WHERE rn <= 8
+        |ORDER BY event_type, user_id""".stripMargin,
+
+    // exact mirror of t119: the t14 append-mode watermark rule (a day
+    // finalizes iff day + 1 <= max(ts) - 1 day), DISTINCT users per
+    // finalized day, the shared md5-digit uniform, bottom-4 by
+    // (u, user_id) — the deterministic draw makes the STREAMING result
+    // value-exact and fully SQL-replayable
+    "t119_stream_sample" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+        |), wm AS (
+        |  SELECT max(ts) - INTERVAL 1 DAY AS w FROM e
+        |), fin AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        |  FROM e
+        |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        |), u AS (
+        |  SELECT day, user_id,
+        |         least(greatest(
+        |             (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'sk-2026'), 1, 1)) - 1) / power(16.0, 1)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'sk-2026'), 2, 1)) - 1) / power(16.0, 2)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'sk-2026'), 3, 1)) - 1) / power(16.0, 3)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'sk-2026'), 4, 1)) - 1) / power(16.0, 4)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'sk-2026'), 5, 1)) - 1) / power(16.0, 5)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'sk-2026'), 6, 1)) - 1) / power(16.0, 6)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'sk-2026'), 7, 1)) - 1) / power(16.0, 7)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || '|' || 'sk-2026'), 8, 1)) - 1) / power(16.0, 8),
+        |           1e-9), 1 - 1e-9) AS u
+        |  FROM fin
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY day
+        |                              ORDER BY u, user_id) AS rn
+        |  FROM u
+        |)
+        |SELECT day, CAST(rn AS INT) AS rank, user_id, round(u, 6) AS u
+        |FROM r WHERE rn <= 4
+        |ORDER BY day, rank""".stripMargin,
+
+    // exact mirror of Drift.madOutliers (t120): quantile_cont replays
+    // Spark's interpolated exact percentile for median and MAD, then
+    // the same robust-z / outlier-count arithmetic (MAD = 0 -> any
+    // deviation is an outlier, z reported NULL)
+    "t120_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+        |), med AS (
+        |  SELECT event_type, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1
+        |), ad AS (
+        |  SELECT v.event_type, v.v, m.med, abs(v.v - m.med) AS ad
+        |  FROM v JOIN med m ON v.event_type = m.event_type
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM ad GROUP BY 1
+        |), j AS (
+        |  SELECT a.event_type, a.med, a.ad, md.mad,
+        |         CASE WHEN md.mad > 0 THEN a.ad / md.mad END AS z,
+        |         CASE WHEN md.mad > 0 THEN a.ad > 3.0 * md.mad
+        |              ELSE a.ad > 0 END AS outlier
+        |  FROM ad a JOIN mad md ON a.event_type = md.event_type
+        |)
+        |SELECT event_type, count(*) AS n, round(max(med), 6) AS med,
+        |       round(max(mad), 6) AS mad,
+        |       CAST(sum(CASE WHEN outlier THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       round(max(z), 6) AS max_z
+        |FROM j GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -2765,6 +2765,105 @@ object TrainingQueries {
     nImg.unionByName(recovered).unionByName(extra).orderBy(col("check"))
   }
 
+  /** t116_weighted_sample — Efraimidis–Spirakis weighted sampling
+    * without replacement: 4 docs per source, tickets ∝ n_chars, via
+    * the seeded md5-uniform and the salted two-level cap (no bare
+    * per-group window). Exact oracle: the same digit arithmetic +
+    * −ln(u)/w key + row_number replay.
+    */
+  def t116WeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(Tables.documents(spark, sfDir),
+        Seq("source"), "doc_id", "n_chars", k = 4, salt = "es-2026")
+      .orderBy(col("source"), col("doc_id"))
+
+  /** t117_bottomk_sample — MERGEABLE uniform user sample per
+    * event_type: the 8 smallest seeded md5-uniform draws over distinct
+    * users, via the TopKByScore aggregate (O(partitions·k) state, no
+    * window, no global sort — shard samples merge into the union's
+    * sample, which SamplingSpec pins). Exact oracle: ORDER BY u,
+    * user_id LIMIT 8 replay.
+    */
+  def t117BottomkSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.bottomKSample(Tables.events(spark, sfDir),
+        Seq("event_type"), "user_id", k = 8, salt = "bk-2026")
+      .orderBy(col("event_type"), col("user_id"))
+
+  /** t118_cms_counts — point-frequency estimates from Spark's built-in
+    * `count_min_sketch` aggregate over the corpus token stream (hashed
+    * to 8-byte keys), probed for a fixed token list and audited
+    * against exact counts. Estimate-typed → rows-only; the enforced
+    * gate pins the CMS contract: NO undercount ever (deterministic
+    * guarantee), overcount ≤ the ε·N analytic bound.
+    */
+  def t118CmsCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val probes = Seq("merge", "spark", "window", "batch", "customer",
+      "vector", "quantum", "the")
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(filter(TextDedup.tokens(col("text")),
+        x => length(x) > 0)).as("token"))
+    val hashed = toks.withColumn("h", xxhash64(col("token")))
+    val agg = hashed.agg(
+      expr("count_min_sketch(h, 0.0005d, 0.99d, 42)").as("sk"),
+      count(lit(1)).as("n_total"))
+    val trueCounts = toks.filter(col("token").isin(probes: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+    val probeDf = probesToDf(spark, probes)
+      .withColumn("h", xxhash64(col("token")))
+    probeDf
+      .join(trueCounts, Seq("token"), "left")
+      .na.fill(0L, Seq("true_count"))
+      .crossJoin(broadcast(agg))
+      .select(col("token"),
+        graft.functions.CountMinFunctions.cms_estimate(col("sk"), col("h"))
+          .as("est"),
+        col("true_count"), col("n_total"))
+      .orderBy(col("token"))
+  }
+
+  private def probesToDf(s: SparkSession, probes: Seq[String]) = {
+    import s.implicits._
+    probes.toDF("token")
+  }
+
+  /** t119_stream_sample — streaming per-window uniform user sample:
+    * the bottom-4 seeded md5-uniform draws over DISTINCT users per
+    * finalized day, held in streaming state by the dedup-aware
+    * TopKDistinctByScore aggregate (k pairs of state per window — ONE
+    * stateful operator, no dropDuplicates chain). Because the draw is
+    * a deterministic function of the key, the result is value-exact
+    * regardless of micro-batching: the oracle replays it with the
+    * t14 watermark rule + ORDER BY u LIMIT 4.
+    */
+  def t119StreamSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+    val u = graft.ops.Sampling.md5Uniform(Seq(col("user_id")), "sk-2026")
+    val agg = stream.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(graft.functions.TopKFunctions
+        .top_k_distinct_by_score(-u, col("user_id"), 4).as("picks"))
+      .select(col("w.start").as("day"), posexplode(col("picks")).as(Seq("pos", "p")))
+      .select(col("day"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("user_id"), round(-col("p.score"), 6).as("u"))
+    StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, agg,
+        s"t119_sample_${System.nanoTime}")
+    }.orderBy(col("day"), col("rank"))
+  }
+
+  /** t120_mad_outliers — robust median/MAD outlier profile of event
+    * values per event_type (mean/stddev would be dragged by the very
+    * tail being hunted). Exact oracle: quantile_cont replays Spark's
+    * interpolated exact percentile, then the same z/count arithmetic.
+    */
+  def t120MadOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Drift.madOutliers(Tables.events(spark, sfDir),
+        Seq("event_type"), "value", k = 3.0)
+      .orderBy(col("event_type"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

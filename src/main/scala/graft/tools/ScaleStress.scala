@@ -251,7 +251,27 @@ object ScaleStress {
       // df/scoring (so those shuffles grow with matching docs only);
       // the dense leg is the documented brute-force baseline — at
       // production scale the rank list comes from t77's IVF-PQ instead
-      "t94_hybrid_search" -> (TrainingQueries.t94HybridSearch _))
+      "t94_hybrid_search" -> (TrainingQueries.t94HybridSearch _),
+      // content-defined chunking: one O(n) kernel pass + the explode —
+      // output rows grow with corpus bytes, no shuffle at all
+      "t110_content_chunks" -> (TrainingQueries.t110ContentChunks _),
+      // chunk near-dup: 8-byte chunk-hash posting through the capped
+      // buckets. The 10× fixture's exact-copy groups push hot chunks
+      // PAST maxDf=50 — the saturating cap drops those buckets by
+      // design, so pair output grows sublinearly while the posting
+      // shuffle stays linear (the 100 TB safety property under test)
+      "t111_chunk_neardup" -> (TrainingQueries.t111ChunkNearDup _),
+      // Aho–Corasick blocklist: pure per-row kernel scan, no shuffle —
+      // should track the scan rate exactly
+      "t112_blocklist" -> (TrainingQueries.t112Blocklist _),
+      // image aHash near-dup: per-row decode+hash, then banded pair
+      // generation through the capped buckets (t111's shape on 8-byte
+      // band keys); the 10× fixture multiplies DISTINCT texts ~6×
+      // (5 exact copies collapse), so hashes and pairs grow with that
+      // (t113/t114 are events-table drift checks — out of this fixture
+      // like t14/t86/t91; their shapes are one groupBy(value)+window
+      // and one bins-sized aggregation, argued in Drift.scala)
+      "t115_image_phash" -> (TrainingQueries.t115ImagePhash _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

@@ -72,6 +72,27 @@ class DriftSpec extends SparkSpec {
     assert(!out.getAs[Boolean]("stable"))
   }
 
+  test("madOutliers: hand-computed median/MAD/z on a small group") {
+    // values 1..9 plus an outlier 100: med = 5.5, deviations
+    // {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5} -> mad = 2.5,
+    // z(100) = 94.5/2.5 = 37.8, only 100 exceeds 3*mad = 7.5
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(("g", _)).toDF("g", "v")
+    val out = Drift.madOutliers(df, Seq("g"), "v").collect().head
+    assert(out.getAs[Long]("n") == 10)
+    assert(out.getAs[Double]("med") == 5.5)
+    assert(out.getAs[Double]("mad") == 2.5)
+    assert(out.getAs[Long]("n_outliers") == 1)
+    assert(out.getAs[Double]("max_z") == 37.8)
+  }
+
+  test("madOutliers: constant group -> mad 0, any deviation flags") {
+    val df = (Seq.fill(5)(7.0) :+ 8.0).map(("g", _)).toDF("g", "v")
+    val out = Drift.madOutliers(df, Seq("g"), "v").collect().head
+    assert(out.getAs[Double]("mad") == 0.0)
+    assert(out.getAs[Long]("n_outliers") == 1)
+    assert(out.isNullAt(out.fieldIndex("max_z")))
+  }
+
   test("psi rejects unsorted or duplicate edges") {
     val df = Seq(("g", true, 1.0)).toDF("g", "sa", "v")
     intercept[IllegalArgumentException](
