@@ -382,7 +382,25 @@ object Verify {
         _.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("true_count"))),
       "t118 cms overcount <= eps*N" -> rows("t118_cms_counts").map(
         _.forall(r => r.getAs[Long]("est") - r.getAs[Long]("true_count")
-          <= math.ceil(0.0005 * r.getAs[Long]("n_total")).toLong)))
+          <= math.ceil(0.0005 * r.getAs[Long]("n_total")).toLong)),
+      // PCA whitening (t123): the whitened corpus must actually BE
+      // whitened — a second CovMoments pass over the projection reads
+      // near-identity covariance; eigenvalues positive and descending;
+      // top-8-of-64 explained variance in (0, 1]
+      "t123 pca whitened diag within 0.05 of 1" -> rows("t123_pca_whiten")
+        .map(_.exists(r => r.getAs[String]("check") == "max_diag_dev" &&
+          r.getAs[Double]("value") <= 0.05)),
+      "t123 pca whitened offdiag <= 0.05" -> rows("t123_pca_whiten")
+        .map(_.exists(r => r.getAs[String]("check") == "max_offdiag" &&
+          r.getAs[Double]("value") <= 0.05)),
+      "t123 pca eigs positive descending" -> rows("t123_pca_whiten")
+        .map(rs => rs.exists(r => r.getAs[String]("check") == "min_eig" &&
+            r.getAs[Double]("value") > 0) &&
+          rs.exists(r => r.getAs[String]("check") == "eig_descending" &&
+            r.getAs[Double]("value") == 1.0)),
+      "t123 pca explained_frac in (0,1]" -> rows("t123_pca_whiten")
+        .map(_.exists(r => r.getAs[String]("check") == "explained_frac" &&
+          r.getAs[Double]("value") > 0 && r.getAs[Double]("value") <= 1.0)))
     checks.collect {
       case (desc, Left(err)) => s"$desc — $err"
       case (desc, Right(false)) => desc

@@ -102,4 +102,33 @@ object Behavior {
         round(col("n_active").cast("double") / col("cohort_size"), 6)
           .as("retention"))
   }
+
+  /** First-order Markov transition profile: for each user's event
+    * sequence (ordered by time, id-tiebroken), count consecutive
+    * (prev_type → type) steps and the conditional probability
+    * P(next = b | current = a). The third canonical behavioral
+    * readout after funnels and retention — "where do users go next"
+    * — and the input to Markov churn/path models.
+    *
+    * Scale shape: ONE per-user ordered window (lag) — user windows
+    * parallelize across the user-id shuffle, no corpus-wide ordering
+    * — then a |types|²-sized count aggregate (map-side combined) and
+    * a broadcast-sized join for the row sums. Output:
+    * (prev_type, next_type, n, p).
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("__tot"))
+    steps.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 6).as("p"))
+  }
 }

@@ -2887,5 +2887,46 @@ object Oracle {
         |       round(max(z), 6) AS max_z
         |FROM j GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Behavior.transitions (t121): per-user lag window
+    // (ts, event_id tiebreak), consecutive-pair counts, conditional
+    // probability against the per-prev row sum
+    "t121_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), c AS (
+        |  SELECT prev AS prev_type, event_type AS next_type,
+        |         count(*) AS n
+        |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1
+        |)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |       round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
+
+    // exact mirror of Pca.dimStats (t122): 1-based list extraction
+    // over a 0-based dim grid, the same population-std and zero-share
+    // arithmetic, 6dp at the boundary
+    "t122_dim_stats" ->
+      """WITH x AS (
+        |  SELECT d.d AS dim, CAST(embedding[d.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |       unnest(generate_series(0, len(embedding) - 1)) AS d(d)
+        |  WHERE embedding IS NOT NULL
+        |)
+        |SELECT CAST(dim AS INT) AS dim, count(*) AS n,
+        |       round(avg(x), 6) AS mean,
+        |       round(sqrt(avg(x * x) - avg(x) * avg(x)), 6) AS std,
+        |       round(min(x), 6) AS min,
+        |       round(max(x), 6) AS max,
+        |       round(sum(CASE WHEN x = 0.0 THEN 1.0 ELSE 0.0 END)
+        |             / count(*), 6) AS frac_zero
+        |FROM x GROUP BY dim
+        |ORDER BY dim""".stripMargin,
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Behavior, Bpe, Chunking, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Behavior, Bpe, Chunking, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pca, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -2863,6 +2863,69 @@ object TrainingQueries {
     graft.ops.Drift.madOutliers(Tables.events(spark, sfDir),
         Seq("event_type"), "value", k = 3.0)
       .orderBy(col("event_type"))
+
+  /** t121_transitions — first-order Markov transition profile of user
+    * event sequences: counts and P(next | current) from one per-user
+    * lag window. Exact oracle: the same lag/count/ratio replay.
+    */
+  def t121Transitions(spark: SparkSession, sfDir: String): DataFrame =
+    Behavior.transitions(Tables.events(spark, sfDir), "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy(col("prev_type"), col("next_type"))
+
+  /** t122_dim_stats — per-dimension embedding QA profile (mean, std,
+    * min, max, zero fraction): the pre-flight check before any vector
+    * indexing. Exact oracle via list-extraction replay.
+    */
+  def t122DimStats(spark: SparkSession, sfDir: String): DataFrame =
+    Pca.dimStats(Tables.embeddings(spark, sfDir), "embedding")
+      .orderBy(col("dim"))
+
+  /** t123_pca_whiten — distributed PCA whitening end-to-end: one
+    * CovMoments corpus pass → driver power-iteration eigen → one
+    * kernel projection pass; the emitted checks re-measure the
+    * WHITENED corpus with a second CovMoments pass and must read as
+    * (near-)identity covariance. Estimate-typed (eigen solver) →
+    * rows-only; Verify enforces: eigenvalues positive + descending,
+    * whitened diag within 0.05 of 1, off-diag ≤ 0.05, explained_frac
+    * in (0, 1].
+    */
+  def t123PcaWhiten(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = 8
+    val model = Pca.fit(emb, "embedding", d = 64, k = k)
+    val white = Pca.whiten(emb.select(col("vec_id"), col("embedding")),
+      "embedding", model)
+    val flat = white
+      .agg(graft.functions.CovFunctions.cov_moments(col("whitened"), k).as("m"))
+      .head().getSeq[Double](0).toArray
+    val n = flat(0)
+    val mean = Array.tabulate(k)(i => flat(1 + i) / n)
+    var t = 1 + k
+    var maxDiagDev = 0.0
+    var maxOff = 0.0
+    for (i <- 0 until k; j <- i until k) {
+      val c = flat(t) / n - mean(i) * mean(j)
+      if (i == j) maxDiagDev = math.max(maxDiagDev, math.abs(c - 1.0))
+      else maxOff = math.max(maxOff, math.abs(c))
+      t += 1
+    }
+    val descending = model.eigVals.sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1))
+    val checks = Seq(
+      ("n", n),
+      ("k", k.toDouble),
+      ("explained_frac", round6(model.explainedFrac)),
+      ("min_eig", round6(model.eigVals.min)),
+      ("eig_descending", if (descending) 1.0 else 0.0),
+      ("max_diag_dev", round6(maxDiagDev)),
+      ("max_offdiag", round6(maxOff)))
+    spark.createDataFrame(checks).toDF("check", "value")
+      .orderBy(col("check"))
+  }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
