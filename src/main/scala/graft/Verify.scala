@@ -400,7 +400,21 @@ object Verify {
             r.getAs[Double]("value") == 1.0)),
       "t123 pca explained_frac in (0,1]" -> rows("t123_pca_whiten")
         .map(_.exists(r => r.getAs[String]("check") == "explained_frac" &&
-          r.getAs[Double]("value") > 0 && r.getAs[Double]("value") <= 1.0)))
+          r.getAs[Double]("value") > 0 && r.getAs[Double]("value") <= 1.0)),
+      // JL random projection (t126): measured pairwise squared-distance
+      // distortion over consecutive-id pairs — k=32 of d=64 at 500
+      // vectors supports a loose but real contract (measured mean ~0.1)
+      "t126 jl n_pairs > 0" -> rows("t126_jl_project").map(
+        _.exists(r => r.getAs[String]("check") == "n_pairs" &&
+          r.getAs[Double]("value") > 0)),
+      // measured at sf0.01: mean 0.200, max 0.932 — right on the
+      // Rademacher-JL theory line (std ≈ √(2/k) = 0.25 per pair)
+      "t126 jl mean distortion <= 0.3" -> rows("t126_jl_project").map(
+        _.exists(r => r.getAs[String]("check") == "mean_distortion" &&
+          r.getAs[Double]("value") <= 0.3)),
+      "t126 jl max distortion <= 1.5" -> rows("t126_jl_project").map(
+        _.exists(r => r.getAs[String]("check") == "max_distortion" &&
+          r.getAs[Double]("value") <= 1.5)))
     checks.collect {
       case (desc, Left(err)) => s"$desc — $err"
       case (desc, Right(false)) => desc

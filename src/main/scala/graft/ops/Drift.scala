@@ -115,6 +115,43 @@ object Drift {
         round(max(col("__z")), 6).as("max_z"))
   }
 
+  /** Rolling z-score anomaly detection over a (group, time-ordered)
+    * series — the monitoring readout for ingest volumes and metric
+    * feeds: each point is scored against the mean/std of the
+    * `window`-point TRAILING window that EXCLUDES the point itself
+    * (a spike must not suppress its own alarm), flagged when
+    * |z| > k. Points without a full trailing window emit NULL z and
+    * never flag (no verdict without history).
+    *
+    * One per-group ordered window pass — groups parallelize across the
+    * shuffle, window state is `window` rows. Output adds
+    * (mean_prev, std_prev, z, anomaly) per input row.
+    */
+  def rollingAnomalies(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                       valueCol: String, window: Int = 7,
+                       k: Double = 3.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(orderCol))
+      .rowsBetween(-window, -1)
+    val full = count(col(valueCol)).over(w) === window
+    val mean = avg(col(valueCol)).over(w)
+    val sq = avg(col(valueCol) * col(valueCol)).over(w)
+    val std = sqrt(greatest(sq - mean * mean, lit(0.0)))
+    df
+      .withColumn("__full", full)
+      .withColumn("mean_prev", when(col("__full"), round(mean, 6)))
+      .withColumn("std_prev", when(col("__full"), round(std, 6)))
+      .withColumn("z", when(col("__full") && std > 0,
+        round((col(valueCol) - mean) / std, 6)))
+      .withColumn("anomaly",
+        when(col("__full"),
+          when(std > 0, abs((col(valueCol) - mean) / std) > k)
+            .otherwise(col(valueCol) =!= mean))
+          .otherwise(lit(false)))
+      .drop("__full")
+  }
+
   /** PSI per group over literal `edges` (bin k = count of edges ≤ v,
     * so values below edges(0) fall in bin 0 and above the last edge in
     * bin edges.length). Output: (groupCols…, n_a, n_b, psi, stable)

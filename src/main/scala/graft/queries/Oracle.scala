@@ -2928,5 +2928,66 @@ object Oracle {
         |             / count(*), 6) AS frac_zero
         |FROM x GROUP BY dim
         |ORDER BY dim""".stripMargin,
+
+    // exact mirror of Drift.rollingAnomalies over daily counts (t124):
+    // trailing ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING window
+    // excluding the scored day; integer inputs make every statistic
+    // bit-identical across engines
+    "t124_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day, n,
+        |         count(n) OVER tw AS cnt,
+        |         avg(n) OVER tw AS m,
+        |         avg(n * n) OVER tw AS s2
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |), s AS (
+        |  SELECT event_type, day, n, cnt, m,
+        |         sqrt(greatest(s2 - m * m, 0.0)) AS sd
+        |  FROM w
+        |)
+        |SELECT event_type, day, n,
+        |       CASE WHEN cnt = 7 THEN round(m, 6) END AS mean_prev,
+        |       CASE WHEN cnt = 7 THEN round(sd, 6) END AS std_prev,
+        |       CASE WHEN cnt = 7 AND sd > 0
+        |            THEN round((n - m) / sd, 6) END AS z,
+        |       CASE WHEN cnt = 7
+        |            THEN CASE WHEN sd > 0 THEN abs((n - m) / sd) > 3.0
+        |                      ELSE n <> m END
+        |            ELSE false END AS anomaly
+        |FROM s
+        |ORDER BY event_type, day""".stripMargin,
+
+    // exact mirror of t125: per-source corpus report card — the t51
+    // tokenizer, a global text-duplicate count join, the t112
+    // replace-arithmetic blocklist flag, the same 6dp shares
+    "t125_dataset_card" ->
+      """WITH dup AS (
+        |  SELECT text, count(*) AS copies FROM documents GROUP BY text
+        |), e AS (
+        |  SELECT d.source, d.lang, d.n_chars, dup.copies,
+        |         len(list_filter(
+        |           string_split_regex(lower(d.text), '[ \t\n\x0B\f\r]+'),
+        |           x -> x <> '')) AS toks,
+        |         ((len(d.text) - len(replace(d.text, 'merge slow', ''))) // 10
+        |          + (len(d.text) - len(replace(d.text, 'batch batch', ''))) // 11
+        |          + (len(d.text) - len(replace(d.text, 'customer filter', ''))) // 15
+        |         ) > 0 AS blocked
+        |  FROM documents d JOIN dup ON d.text = dup.text
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       round(avg(n_chars), 6) AS avg_chars,
+        |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |       count(DISTINCT lang) AS n_langs,
+        |       round(sum(CASE WHEN copies > 1 THEN 1.0 ELSE 0.0 END)
+        |             / count(*), 6) AS dup_share,
+        |       round(sum(CASE WHEN blocked THEN 1.0 ELSE 0.0 END)
+        |             / count(*), 6) AS blocked_share
+        |FROM e GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }

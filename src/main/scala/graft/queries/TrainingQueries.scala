@@ -2927,6 +2927,109 @@ object TrainingQueries {
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** t124_rolling_anomaly — rolling z-score anomaly scan over daily
+    * per-type event counts: each day scored against the trailing
+    * 7-day window EXCLUDING itself. Integer inputs make every window
+    * statistic bit-identical across engines — exact oracle.
+    */
+  def t124RollingAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.Drift.rollingAnomalies(daily, Seq("event_type"), "day", "n",
+        window = 7, k = 3.0)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** t125_dataset_card — the per-source corpus report card a curation
+    * run publishes alongside its output: volume, length/token mass,
+    * language spread, global-duplicate share, and blocklist exposure,
+    * in one pass plus one duplicate-count join. Exact oracle: the
+    * same aggregates in SQL.
+    */
+  def t125DatasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dupCounts = docs.groupBy(col("text"))
+      .agg(count(lit(1)).as("__copies"))
+    val terms = Seq("merge slow", "batch batch", "customer filter")
+    val enriched = docs
+      .join(dupCounts, "text")
+      .withColumn("__toks",
+        size(filter(TextDedup.tokens(col("text")), x => length(x) > 0)))
+      .withColumn("__blocked",
+        graft.functions.BlocklistFunctions.multi_contains(col("text"), terms)
+          .getField("blocked"))
+    enriched.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        sum(col("__toks").cast("long")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(sum(when(col("__copies") > 1, 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("dup_share"),
+        round(sum(when(col("__blocked"), 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("blocked_share"))
+      .orderBy(col("source"))
+  }
+
+  /** t126_jl_project — seeded Johnson–Lindenstrauss random projection
+    * (±1/√k signs from a deterministic scramble, k=32 of d=64): the
+    * training-free dimension reduction for when even one covariance
+    * pass is too expensive. Reuses the affine projection kernel with
+    * zero mean and unit scales. Rows-only; the enforced gate measures
+    * pairwise squared-distance distortion over consecutive-id pairs
+    * and pins mean ≤ 0.3, max ≤ 1.5 (measured 0.200 / 0.932 — on the
+    * √(2/k) Rademacher-JL theory line).
+    */
+  def t126JlProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = 64
+    val k = 32
+    // deterministic ±1 signs via the splitmix64 finalizer — a LINEAR
+    // scramble of the (e, j) grid produces correlated (even identical)
+    // rows, which silently triples the measured distortion; the
+    // avalanche mix keeps row correlations at the ±1/√d noise floor
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val basis: Seq[Seq[Double]] = (0 until k).map { e =>
+      (0 until d).map { j =>
+        (if ((mix(e.toLong * 65537L + j) & 1L) == 0L) 1.0 else -1.0) /
+          math.sqrt(k.toDouble)
+      }
+    }
+    val emb = Tables.embeddings(spark, sfDir)
+    val proj = emb.select(col("vec_id"),
+      col("embedding"),
+      graft.functions.ProjectionFunctions.project_whiten(col("embedding"),
+        Seq.fill(d)(0.0), basis, Seq.fill(k)(1.0)).as("proj"))
+    // consecutive-id pairs: (v, v+1) both present
+    val a = proj.select(col("vec_id").as("ida"), col("embedding").as("xa"),
+      col("proj").as("pa"))
+    val b = proj.select((col("vec_id") - 1).as("ida"),
+      col("embedding").as("xb"), col("proj").as("pb"))
+    def sqDist(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (u, v) => (u - v) * (u - v)),
+        lit(0.0), (acc, e) => acc + e)
+    val pairs = a.join(b, "ida")
+      .withColumn("__dx", sqDist(col("xa").cast("array<double>"),
+        col("xb").cast("array<double>")))
+      .withColumn("__dp", sqDist(col("pa"), col("pb")))
+      .filter(col("__dx") > 0)
+      .withColumn("__distortion", abs(col("__dp") / col("__dx") - 1.0))
+    val stats = pairs.agg(count(lit(1)).cast("double").as("n_pairs"),
+      round(avg(col("__distortion")), 6).as("mean_distortion"),
+      round(max(col("__distortion")), 6).as("max_distortion"))
+      .localCheckpoint(true)
+    stats.select(lit("n_pairs").as("check"), col("n_pairs").as("value"))
+      .unionByName(stats.select(lit("mean_distortion").as("check"),
+        col("mean_distortion").as("value")))
+      .unionByName(stats.select(lit("max_distortion").as("check"),
+        col("max_distortion").as("value")))
+      .orderBy(col("check"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

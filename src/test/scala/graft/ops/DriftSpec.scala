@@ -93,6 +93,38 @@ class DriftSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("max_z")))
   }
 
+  test("rollingAnomalies: a planted spike flags, the window excludes itself") {
+    // 10 flat days then a spike: trailing window stats come from the
+    // flat days only, so the spike's z is huge; the spike day must not
+    // dilute its own baseline
+    val rows = (1 to 10).map(d => ("g", d, 100.0)) :+ (("g", 11, 500.0))
+    val df = rows.toDF("g", "d", "v")
+    val out = Drift.rollingAnomalies(df, Seq("g"), "d", "v", window = 7, k = 3.0)
+      .orderBy("d").collect()
+    // days 1..7 lack a full window: no verdict
+    (0 until 7).foreach(i => assert(!out(i).getAs[Boolean]("anomaly")))
+    (0 until 7).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("z"))))
+    // flat days with full windows: std 0, value == mean -> calm
+    assert(!out(8).getAs[Boolean]("anomaly"))
+    // the spike: flagged (constant baseline, deviation > 0)
+    assert(out(10).getAs[Boolean]("anomaly"))
+  }
+
+  test("rollingAnomalies: z matches hand arithmetic on a varying series") {
+    val vals = Seq(10.0, 12.0, 8.0, 11.0, 9.0, 13.0, 7.0, 30.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i, v) }
+      .toDF("g", "d", "v")
+    val out = Drift.rollingAnomalies(df, Seq("g"), "d", "v", window = 7, k = 3.0)
+      .orderBy("d").collect().last
+    val w = vals.take(7)
+    val m = w.sum / 7
+    val sd = math.sqrt(w.map(x => x * x).sum / 7 - m * m)
+    val z = (30.0 - m) / sd
+    assert(math.abs(out.getAs[Double]("z") -
+      BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out.getAs[Boolean]("anomaly") == (math.abs(z) > 3.0))
+  }
+
   test("psi rejects unsorted or duplicate edges") {
     val df = Seq(("g", true, 1.0)).toDF("g", "sa", "v")
     intercept[IllegalArgumentException](
