@@ -137,4 +137,75 @@ object Ols {
       .filter(col("__rn") <= capPerBin)
       .drop("__bin", "__rn")
   }
+
+  /** Per-GROUP closed-form simple OLS — the M1 regression fitted to
+    * every segment at once (one fit per source/type/cohort), from ONE
+    * map-side-combinable moment aggregation: n, Σx, Σy, Σxy, Σx², Σy²
+    * reduce per group, then slope/intercept/r² are pure arithmetic on
+    * six numbers. No window, no per-group sort; shuffle =
+    * O(groups) moment rows. With INTEGRAL x and y the moments are
+    * exact longs, so the derived doubles are bit-identical across
+    * engines (the t127 oracle contract).
+    *
+    * Output: (groupCols…, n, slope, intercept, r2) — 6dp; groups with
+    * n < 2 or zero x-variance are dropped (no line to fit).
+    */
+  def groupedOls(df: DataFrame, groupCols: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val m = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val covN = m("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = m("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = m("n") * col("syy") - col("sy") * col("sy")
+    m.filter(col("n") >= 2 && varXN > 0)
+      .withColumn("slope", covN.cast("double") / varXN.cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx")) / col("n"))
+      .withColumn("r2",
+        when(varYN > 0,
+          (covN.cast("double") * covN.cast("double")) /
+            (varXN.cast("double") * varYN.cast("double"))))
+      .select(g :+ col("n") :+ round(col("slope"), 6).as("slope") :+
+        round(col("intercept"), 6).as("intercept") :+
+        round(col("r2"), 6).as("r2"): _*)
+  }
+
+  /** Pairwise Pearson correlation between per-key series sharing a
+    * time axis: self-join the (group, t, v) table on t (a < b), reduce
+    * each pair to integer-exact moments, finish with arithmetic. The
+    * series-of-series correlation matrix every metrics warehouse
+    * computes — |groups|² pairs of O(1) state, never |t|² anything.
+    * Output: (g_a, g_b, n, corr) over the pairs' SHARED time points;
+    * pairs with < 2 shared points or zero variance on either side are
+    * dropped.
+    */
+  def pairCorrelation(df: DataFrame, groupCol: String, tCol: String,
+                      vCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("g_a"), col(tCol).as("__t"),
+      col(vCol).cast("long").as("__x"))
+    val b = df.select(col(groupCol).as("g_b"), col(tCol).as("__t"),
+      col(vCol).cast("long").as("__y"))
+    val m = a.join(b, Seq("__t"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+    val covN = m("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = m("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = m("n") * col("syy") - col("sy") * col("sy")
+    m.filter(col("n") >= 2 && varXN > 0 && varYN > 0)
+      .withColumn("corr", covN.cast("double") /
+        sqrt(varXN.cast("double") * varYN.cast("double")))
+      .select(col("g_a"), col("g_b"), col("n"), round(col("corr"), 6).as("corr"))
+  }
 }

@@ -74,6 +74,33 @@ object Similarity {
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the k most-similar corpus vectors with a DIFFERENT label — the
+    * negatives that actually teach a margin (random negatives are
+    * trivially separable; the nearest wrong-label neighbors are the
+    * batch that moves the loss — the "hard negatives" of DPR/SimCLR
+    * practice). Same plan shape as [[bruteForceTopK]]: anchors
+    * broadcast, corpus never shuffles for scoring, the rank cut is the
+    * partial top-k aggregate; the label-mismatch predicate drops
+    * same-class pairs BEFORE the heap (null-safe — a NULL label never
+    * matches anything, so NULL-labeled corpus rows pair with every
+    * anchor). At very large anchor sets swap the scoring pass for the
+    * LSH/IVF-PQ candidate paths exactly as with marginMine.
+    * Output: (qid, rank, id, cosine).
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchors: DataFrame, qidCol: String,
+                    qvecCol: String, qlabelCol: String, k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(labelCol).as("__lbl"))
+      .join(broadcast(anchors.select(col(qidCol).as("qid"),
+        col(qvecCol).as("qvec"), col(qlabelCol).as("__qlbl"))))
+      .filter(col("id") =!= col("qid") && !(col("__lbl") <=> col("__qlbl")))
+      .withColumn("cosine", cosine_sim(col("vec"), col("qvec")))
+      .select(col("qid"), col("id"), col("cosine"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+  }
+
   /** Approximate top-k via hyperplane-LSH bucketing: vectors sharing a
     * signature prefix in ANY of `tables` independent hash tables become
     * candidates; exact cosine ranks them. Multi-table OR-construction

@@ -89,6 +89,41 @@ private[graft] object Sampling {
         round(col("__e"), 6).as("priority"): _*)
   }
 
+  /** Seeded RANDOM negative sampling for contrastive pairs: for each
+    * anchor, the k candidates with a different label holding the
+    * smallest seeded uniform draw u = md5(anchor ‖ candidate ‖ salt)
+    * — per-PAIR seeding, so one candidate can be a negative for many
+    * anchors while each anchor still gets an independent uniform draw
+    * over its candidate set. The uniform-random complement of
+    * [[graft.operators.Similarity.hardNegatives]] (easy negatives for
+    * warmup / loss mixing).
+    *
+    * Plan shape: anchors broadcast against the candidate scan,
+    * label-mismatch predicate before the bounded-heap top-k aggregate
+    * — O(partitions·|anchors|·k) shuffle, no window. Output:
+    * (anchor_id, rank, neg_id, u).
+    */
+  def negativePairs(candidates: DataFrame, idCol: String, labelCol: String,
+                    anchors: DataFrame, aIdCol: String, aLabelCol: String,
+                    k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = candidates
+      .select(col(idCol).as("__cid"), col(labelCol).as("__clbl"))
+      .join(broadcast(anchors.select(col(aIdCol).as("__aid"),
+        col(aLabelCol).as("__albl"))))
+      .filter(col("__cid") =!= col("__aid") &&
+        !(col("__clbl") <=> col("__albl")))
+      .withColumn("__u", md5Uniform(Seq(col("__aid"), col("__cid")), salt))
+    pairs
+      .groupBy(col("__aid"))
+      .agg(graft.functions.TopKFunctions.top_k_by_score(
+        -col("__u"), col("__cid").cast("long"), k).as("__picks"))
+      .select(col("__aid").as("anchor_id"),
+        posexplode(col("__picks")).as(Seq("pos", "p")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("neg_id"), round(-col("p.score"), 6).as("u"))
+  }
+
   /** MERGEABLE uniform sample of distinct keys: the k smallest
     * md5-uniform draws per group — a bottom-k sketch, so samples of
     * shards merge into the sample of the union (re-rank the union of

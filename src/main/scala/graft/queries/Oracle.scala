@@ -2989,5 +2989,117 @@ object Oracle {
         |             / count(*), 6) AS blocked_share
         |FROM e GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // exact mirror of Ols.groupedOls over daily counts (t127):
+    // integer moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs,
+    // so slope/intercept/r² are the same IEEE doubles on both engines;
+    // intercept uses the UNROUNDED slope, as the engine does
+    "t127_grouped_ols" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, CAST(ts AS DATE)
+        |), m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM daily GROUP BY 1
+        |), d AS (
+        |  SELECT event_type, n, sx, sy,
+        |         CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+        |         CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+        |  FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+        |)
+        |SELECT event_type, n,
+        |       round(covn / varxn, 6) AS slope,
+        |       round((CAST(sy AS DOUBLE) - (covn / varxn) * sx) / n, 6)
+        |         AS intercept,
+        |       round(CASE WHEN varyn > 0
+        |                  THEN (covn * covn) / (varxn * varyn) END, 6) AS r2
+        |FROM d
+        |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Ols.pairCorrelation (t128): day-keyed self-join
+    // (a < b), the same integer moment reduction, corr from exact sums
+    "t128_corr_matrix" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type AS g_a, b.event_type AS g_b,
+        |         a.n AS x, b.n AS y
+        |  FROM daily a JOIN daily b
+        |    ON a.day = b.day AND a.event_type < b.event_type
+        |), m AS (
+        |  SELECT g_a, g_b, count(*) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT g_a, g_b, n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+        |FROM m
+        |WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    // exact mirror of Sampling.negativePairs (t129): the per-pair
+    // seeded uniform md5(anchor ‖ candidate ‖ salt), different-label
+    // candidates only, bottom-4 by (u, cid) per anchor
+    "t129_neg_sample" ->
+      """WITH a AS (
+        |  SELECT vec_id AS aid, label AS albl FROM embeddings
+        |  WHERE vec_id < 20
+        |), c AS (
+        |  SELECT vec_id AS cid, label AS clbl FROM embeddings
+        |), p AS (
+        |  SELECT aid, cid,
+        |         least(greatest(
+        |             (strpos('0123456789abcdef', substr(md5(CAST(aid AS VARCHAR) || '|' || CAST(cid AS VARCHAR) || '|' || 'neg-2026'), 1, 1)) - 1) / power(16.0, 1)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(aid AS VARCHAR) || '|' || CAST(cid AS VARCHAR) || '|' || 'neg-2026'), 2, 1)) - 1) / power(16.0, 2)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(aid AS VARCHAR) || '|' || CAST(cid AS VARCHAR) || '|' || 'neg-2026'), 3, 1)) - 1) / power(16.0, 3)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(aid AS VARCHAR) || '|' || CAST(cid AS VARCHAR) || '|' || 'neg-2026'), 4, 1)) - 1) / power(16.0, 4)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(aid AS VARCHAR) || '|' || CAST(cid AS VARCHAR) || '|' || 'neg-2026'), 5, 1)) - 1) / power(16.0, 5)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(aid AS VARCHAR) || '|' || CAST(cid AS VARCHAR) || '|' || 'neg-2026'), 6, 1)) - 1) / power(16.0, 6)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(aid AS VARCHAR) || '|' || CAST(cid AS VARCHAR) || '|' || 'neg-2026'), 7, 1)) - 1) / power(16.0, 7)
+        |           + (strpos('0123456789abcdef', substr(md5(CAST(aid AS VARCHAR) || '|' || CAST(cid AS VARCHAR) || '|' || 'neg-2026'), 8, 1)) - 1) / power(16.0, 8),
+        |           1e-9), 1 - 1e-9) AS u
+        |  FROM a JOIN c ON cid <> aid AND clbl IS DISTINCT FROM albl
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY aid
+        |                              ORDER BY u, cid) AS rn
+        |  FROM p
+        |)
+        |SELECT aid AS anchor_id, CAST(rn AS INT) AS rank, cid AS neg_id,
+        |       round(u, 6) AS u
+        |FROM r WHERE rn <= 4
+        |ORDER BY anchor_id, rank""".stripMargin,
+
+    // exact mirror of Similarity.hardNegatives (t130): the t5 cosine
+    // replay plus the null-safe label-mismatch predicate
+    "t130_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec,
+        |         label AS qlbl
+        |  FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                q.qvec) AS c
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id != q.qid AND e.label IS DISTINCT FROM q.qlbl
+        |), ranked AS (
+        |  SELECT qid, id, c,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY c DESC, id) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, rank, id, round(c, 6) AS cosine
+        |FROM ranked WHERE rank <= 4
+        |ORDER BY qid, rank""".stripMargin,
   )
 }

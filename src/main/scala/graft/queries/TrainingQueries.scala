@@ -3030,6 +3030,62 @@ object TrainingQueries {
       .orderBy(col("check"))
   }
 
+  /** t127_grouped_ols — per-segment trend fitting: closed-form OLS of
+    * daily event count on epoch day, one fit per event_type from a
+    * single moment aggregation (no window, no per-group sort).
+    * Integral x/y make the moments exact longs → bit-identical
+    * slope/intercept/r² across engines. Exact oracle.
+    */
+  def t127GroupedOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("x"))
+      .agg(count(lit(1)).as("y"))
+    graft.analytics.Ols.groupedOls(daily, Seq("event_type"), "x", "y")
+      .orderBy(col("event_type"))
+  }
+
+  /** t128_corr_matrix — pairwise Pearson correlation between the
+    * event types' daily-count series (the metric-correlation matrix),
+    * via integer-exact moment reduction per pair. Exact oracle.
+    */
+  def t128CorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.analytics.Ols.pairCorrelation(daily, "event_type", "day", "n")
+      .orderBy(col("g_a"), col("g_b"))
+  }
+
+  /** t129_neg_sample — seeded random negative sampling for
+    * contrastive pairs: 4 different-label negatives per anchor
+    * (vec_id < 20), drawn by the per-pair seeded uniform. Exact
+    * oracle: the same md5-digit draw + row_number replay.
+    */
+  def t129NegSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.ops.Sampling.negativePairs(
+        emb.select(col("vec_id"), col("label")), "vec_id", "label",
+        emb.filter(col("vec_id") < 20).select(col("vec_id"), col("label")),
+        "vec_id", "label", k = 4, salt = "neg-2026")
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** t130_hard_negatives — hard-negative mining: the 4 most-similar
+    * DIFFERENT-label vectors per anchor (vec_id < 10), exact cosine.
+    * Exact oracle: the t5 list_cosine_similarity replay plus the
+    * label-mismatch predicate.
+    */
+  def t130HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val anchors = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlbl"))
+    Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        anchors, "qid", "qvec", "qlbl", k = 4)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.
