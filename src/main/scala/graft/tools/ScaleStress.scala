@@ -271,7 +271,29 @@ object ScaleStress {
       // (t113/t114 are events-table drift checks — out of this fixture
       // like t14/t86/t91; their shapes are one groupBy(value)+window
       // and one bins-sized aggregation, argued in Drift.scala)
-      "t115_image_phash" -> (TrainingQueries.t115ImagePhash _))
+      "t115_image_phash" -> (TrainingQueries.t115ImagePhash _),
+      // ES weighted sampling: per-row hash+ln, then the salted
+      // two-level cap — sort-rate, output fixed at groups×k
+      "t116_weighted_sample" -> (TrainingQueries.t116WeightedSample _),
+      // CMS: exploded tokens reduce into partial sketches map-side —
+      // only depth×width counter tables shuffle; probe side constant
+      "t118_cms_counts" -> (TrainingQueries.t118CmsCounts _),
+      // per-dimension stats: posexplode ×64 rows map-side-combined
+      // into 64 groups — scan rate
+      "t122_dim_stats" -> (TrainingQueries.t122DimStats _),
+      // PCA: one CovMoments scan (O(d²) partials), driver eigen,
+      // one projection kernel scan + the whitened-audit second pass
+      "t123_pca_whiten" -> (TrainingQueries.t123PcaWhiten _),
+      // dataset card: one text-dup count + join + one agg pass
+      "t125_dataset_card" -> (TrainingQueries.t125DatasetCard _),
+      // JL projection + distortion audit: two kernel scans + a
+      // consecutive-id self-join on 8-byte keys
+      "t126_jl_project" -> (TrainingQueries.t126JlProject _),
+      // contrastive pair mining: anchors broadcast against the corpus
+      // scan, bounded-heap cut — scoring grows linearly with corpus,
+      // shuffle stays O(partitions·anchors·k)
+      "t129_neg_sample" -> (TrainingQueries.t129NegSample _),
+      "t130_hard_negatives" -> (TrainingQueries.t130HardNegatives _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
