@@ -414,7 +414,19 @@ object Verify {
           r.getAs[Double]("value") <= 0.3)),
       "t126 jl max distortion <= 1.5" -> rows("t126_jl_project").map(
         _.exists(r => r.getAs[String]("check") == "max_distortion" &&
-          r.getAs[Double]("value") <= 1.5)))
+          r.getAs[Double]("value") <= 1.5)),
+      // audio fingerprint near-dup (t132): the t115 contract for the
+      // audio modality — every planted byte-perturbed copy pairs with
+      // its original at Hamming <= 3, collision extras bounded
+      "t132 audio n_audio > 0" -> rows("t132_audio_fingerprint").map(
+        _.exists(r => r.getAs[String]("check") == "n_audio" &&
+          r.getAs[Double]("value") > 0)),
+      "t132 audio recovered_frac >= 0.9" -> rows("t132_audio_fingerprint")
+        .map(_.exists(r => r.getAs[String]("check") == "recovered_frac" &&
+          r.getAs[Double]("value") >= 0.9)),
+      "t132 audio extra_frac <= 0.2" -> rows("t132_audio_fingerprint").map(
+        _.exists(r => r.getAs[String]("check") == "extra_frac" &&
+          r.getAs[Double]("value") <= 0.2)))
     checks.collect {
       case (desc, Left(err)) => s"$desc — $err"
       case (desc, Right(false)) => desc

@@ -113,4 +113,80 @@ object Graph {
       } finally normEdges.unpersist()
     } finally nodes.unpersist()
   }
+
+  /** PERSONALIZED PageRank: teleport lands on the `seeds` set instead
+    * of uniformly — pr measures proximity to the seeds through the
+    * link structure, the standard seed-expansion primitive (grow a
+    * trusted-domain list from a small vetted core; TrustRank is this
+    * shape). Teleport vector: tele(v) = 1/|seeds| for seed nodes, 0
+    * elsewhere; dangling mass re-enters THROUGH the teleport vector
+    * (the PPR convention — leaked mass returns to the seeds), so
+    * Σpr = 1 every round when all seeds are graph nodes (GraphSpec
+    * pins it). A seed absent from the graph forfeits its teleport
+    * share by construction — validate seeds upstream.
+    *
+    *   prₖ₊₁(v) = (1−d)·tele(v) + d·(Σ_{u→v} prₖ(u)·f(u,v)
+    *                                 + danglingₖ·tele(v))
+    *
+    * Same edge-relation algebra and per-round cost as [[pageRank]];
+    * seeds ride as a literal predicate (bounded seed list — for
+    * million-seed personalization join a seed table instead).
+    * Output: (node, ppr) rounded to 6dp.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String, seeds: Seq[String],
+                           iters: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(seeds.nonEmpty, "need at least one seed")
+    require(seeds.distinct == seeds, "duplicate seeds")
+    require(damping >= 0 && damping <= 1,
+      s"damping must be in [0, 1], got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(weightCol).cast("double").as("w"))
+    val tele = when(col("node").isin(seeds: _*), lit(1.0 / seeds.length))
+      .otherwise(lit(0.0))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .withColumn("tele", tele)
+      .persist()
+    try {
+      nodes.count()
+      val normEdges = e
+        .join(e.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
+        .select(col("src"), col("dst"), (col("w") / col("ow")).as("f"))
+        .persist()
+      try {
+        normEdges.count()
+        val dangling = nodes
+          .join(normEdges.select(col("src")).distinct(),
+            col("node") === col("src"), "left_anti")
+          .select(col("node"))
+          .persist()
+        dangling.count()
+        var ranks = nodes.select(col("node"), col("tele").as("pr"))
+        for (_ <- 0 until iters) {
+          val contrib = normEdges
+            .join(ranks, col("src") === col("node"))
+            .groupBy(col("dst"))
+            .agg(sum(col("pr") * col("f")).as("s"))
+          val dm = dangling
+            .join(ranks.withColumnRenamed("node", "__rn"),
+              col("node") === col("__rn"))
+            .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+          ranks = nodes
+            .join(contrib, col("node") === col("dst"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit(1 - damping) * col("tele") +
+                lit(damping) * (coalesce(col("s"), lit(0.0)) +
+                  col("__dm") * col("tele"))).as("pr"))
+            .localCheckpoint(true)
+        }
+        val out = ranks.select(col("node"), round(col("pr"), 6).as("ppr"))
+        dangling.unpersist()
+        out
+      } finally normEdges.unpersist()
+    } finally nodes.unpersist()
+  }
 }

@@ -188,6 +188,75 @@ object Multimodal {
       hash
     }
 
+    /** Sample-level WAV decode (PCM16 LE mono, the SynthMedia shape):
+      * the RIFF chunk walk of [[decodeWav]], but returning the actual
+      * samples. None for anything else — degrade, don't throw.
+      */
+    private[operators] def decodeWavPcm(b: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (!ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return None
+      var (pos, channels, rate, bits, dataOff, dataLen) = (12, 0, 0, 0, -1, -1)
+      var ok = true
+      while (ok && pos + 8 <= b.length) {
+        val size = le32(b, pos + 4)
+        if (size < 0) ok = false
+        else {
+          if (ascii(b, pos, "fmt ") && pos + 24 <= b.length) {
+            channels = le16(b, pos + 10)
+            rate = le32(b, pos + 12)
+            bits = le16(b, pos + 22)
+          } else if (ascii(b, pos, "data")) { dataOff = pos + 8; dataLen = size }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      if (!ok || rate <= 0 || channels != 1 || bits != 16 || dataOff < 0 ||
+          dataLen < 2 || dataOff.toLong + dataLen > b.length) return None
+      val n = dataLen / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((b(dataOff + 2 * i) & 0xff) |
+          (b(dataOff + 2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Some((rate, samples))
+    }
+
+    /** Audio energy fingerprint, Haitsma–Kalker shape (ISMIR'02): bit
+      * i = sign of the energy DIFFERENCE between adjacent time
+      * segments (rms(i) > rms(i+1)), 65 segments → 64 bits. Delta
+      * signs are amplitude-invariant (volume scales every band
+      * equally) and — unlike quantized energy SHARES, which collapse
+      * to one level whenever a signal's energy is uniform in time —
+      * stay discriminative on near-flat material: the sign of a tiny
+      * but deterministic difference still varies per signal, while a
+      * small perturbation flips only the bits whose bands were
+      * near-equal (measured on the synthetic corpus: planted-copy
+      * Hamming ≤ 4, cross-signal minimum 15).
+      */
+    private[operators] def audioHash64(samples: Array[Short],
+                                       bands: Int = 65): Long = {
+      require(bands >= 2 && bands <= 65, s"bands out of range: $bands")
+      val n = samples.length
+      val rms = new Array[Double](bands)
+      var b = 0
+      while (b < bands) {
+        val from = (b.toLong * n / bands).toInt
+        val until = ((b + 1).toLong * n / bands).toInt
+        var s = 0.0
+        var i = from
+        while (i < until) { val v = samples(i).toDouble; s += v * v; i += 1 }
+        rms(b) = if (until > from) math.sqrt(s / (until - from)) else 0.0
+        b += 1
+      }
+      var hash = 0L
+      b = 0
+      while (b < bands - 1) {
+        if (rms(b) > rms(b + 1)) hash |= 1L << b
+        b += 1
+      }
+      hash
+    }
+
     /** Unknown bytes: byte-level metadata only — zero dimensions, real
       * length + histogram. */
     private def fallback(r: MediaRecord): DecodedMedia =
@@ -277,8 +346,25 @@ object Multimodal {
     }.toDF("doc_id", "ahash")
   }
 
-  /** Image near-duplicate pairs at Hamming distance <= `maxHamming` on
-    * the 64-bit aHash — the multimodal member of the dedup family.
+  /** Audio energy fingerprints for decodable PCM16-mono WAV rows:
+    * one (doc_id, ahash) row per decodable audio row (same contract
+    * and plan shape as [[imageAHash]]).
+    */
+  def audioFingerprint(media: Dataset[MediaRecord], bands: Int = 65): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.media_type != "audio") Iterator.empty
+        else Codec.decodeWavPcm(r.media).iterator.map { case (_, samples) =>
+          (r.doc_id, Codec.audioHash64(samples, bands))
+        }
+      }
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Near-duplicate pairs at Hamming distance <= `maxHamming` on a
+    * 64-bit fingerprint column — the shared verification stage behind
+    * [[imageNearDups]] (aHash) and the audio fingerprints.
     * Candidate generation splits the hash into `maxHamming + 1` bands
     * (pigeonhole: any pair within the distance budget agrees on at
     * least one full band) and routes each band through the shared
@@ -287,6 +373,12 @@ object Multimodal {
     * one `bit_count(xor)` per candidate pair. Output:
     * (id_a, id_b, hamming), id_a < id_b.
     */
+  def fingerprintNearDups(hashes: DataFrame, maxHamming: Int = 3,
+                          maxBucket: Int = 200): DataFrame =
+    imageNearDups(hashes, maxHamming, maxBucket)
+
+  /** See [[fingerprintNearDups]] — kept under the image name its t115
+    * driver query and gates use. */
   def imageNearDups(hashes: DataFrame, maxHamming: Int = 3,
                     maxBucket: Int = 200): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")

@@ -3101,5 +3101,88 @@ object Oracle {
         |SELECT qid, rank, id, round(c, 6) AS cosine
         |FROM ranked WHERE rank <= 4
         |ORDER BY qid, rank""".stripMargin,
+
+    // exact mirror of Graph.personalizedPageRank (t131): the t79 CTE
+    // chain with teleport vector tele = 1/3 on the seed set, 0
+    // elsewhere; init = tele; dangling mass re-enters THROUGH tele
+    "t131_ppr" ->
+      """WITH edges AS (
+        |  SELECT source AS src,
+        |         'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst,
+        |         CAST(count(*) AS DOUBLE) AS w
+        |  FROM documents GROUP BY 1, 2
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges
+        |    UNION SELECT dst AS node FROM edges)
+        |), t AS (
+        |  SELECT node,
+        |         CASE WHEN node IN ('src1', 'src5', 'src9')
+        |              THEN 1.0 / 3 ELSE 0.0 END AS tele
+        |  FROM nodes
+        |), ne AS (
+        |  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS f
+        |  FROM edges
+        |), dang AS (
+        |  SELECT node FROM nodes
+        |  WHERE node NOT IN (SELECT DISTINCT src FROM edges)
+        |), r0 AS (
+        |  SELECT node, tele AS pr FROM t
+        |), d0 AS (
+        |  SELECT coalesce(sum(pr), 0) AS dm FROM r0
+        |  WHERE node IN (SELECT node FROM dang)
+        |), r1 AS (
+        |  SELECT t.node, t.tele,
+        |         (1 - 0.85) * t.tele +
+        |           0.85 * (coalesce(c.s, 0) + (SELECT dm FROM d0) * t.tele)
+        |           AS pr
+        |  FROM t
+        |  LEFT JOIN (SELECT dst, sum(r0.pr * f) AS s FROM ne
+        |             JOIN r0 ON ne.src = r0.node GROUP BY dst) c
+        |    ON t.node = c.dst
+        |), d1 AS (
+        |  SELECT coalesce(sum(pr), 0) AS dm FROM r1
+        |  WHERE node IN (SELECT node FROM dang)
+        |), r2 AS (
+        |  SELECT t.node, t.tele,
+        |         (1 - 0.85) * t.tele +
+        |           0.85 * (coalesce(c.s, 0) + (SELECT dm FROM d1) * t.tele)
+        |           AS pr
+        |  FROM t
+        |  LEFT JOIN (SELECT dst, sum(r1.pr * f) AS s FROM ne
+        |             JOIN r1 ON ne.src = r1.node GROUP BY dst) c
+        |    ON t.node = c.dst
+        |), d2 AS (
+        |  SELECT coalesce(sum(pr), 0) AS dm FROM r2
+        |  WHERE node IN (SELECT node FROM dang)
+        |), r3 AS (
+        |  SELECT t.node,
+        |         (1 - 0.85) * t.tele +
+        |           0.85 * (coalesce(c.s, 0) + (SELECT dm FROM d2) * t.tele)
+        |           AS pr
+        |  FROM t
+        |  LEFT JOIN (SELECT dst, sum(r2.pr * f) AS s FROM ne
+        |             JOIN r2 ON ne.src = r2.node GROUP BY dst) c
+        |    ON t.node = c.dst
+        |)
+        |SELECT node, round(pr, 6) AS ppr FROM r3
+        |ORDER BY node""".stripMargin,
+
+    // exact mirror of t133: per-user double-lag window, path counts,
+    // deterministic (count desc, path) top-15
+    "t133_top_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 1) OVER w AS p1,
+        |         lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT p2 || '>' || p1 || '>' || event_type AS path,
+        |       count(*) AS n
+        |FROM s WHERE p2 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n DESC, path
+        |LIMIT 15""".stripMargin,
   )
 }

@@ -3086,6 +3086,84 @@ object TrainingQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** t131_ppr — personalized PageRank from a 3-seed teleport set over
+    * the t64 synthetic provenance graph: proximity-to-seeds authority
+    * (the TrustRank/seed-expansion shape), dangling mass re-entering
+    * through the teleport vector. Exact oracle: per-round CTE replay.
+    */
+  def t131Ppr(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.documents(spark, sfDir)
+      .select(col("source").as("src"),
+        concat(lit("src"), (col("doc_id") * 7 + 3) % 20).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    Graph.personalizedPageRank(edges, "src", "dst", "w",
+        seeds = Seq("src1", "src5", "src9"), iters = 3, damping = 0.85)
+      .orderBy(col("node"))
+  }
+
+  /** t132_audio_fingerprint — audio near-dup detection via normalized
+    * band-energy fingerprints over REAL decoded PCM16 samples: every
+    * distinct-text audio row gets a byte-perturbed planted copy, and
+    * the operator must pair each original with its twin at Hamming ≤ 4
+    * (delta-sign bits flip only where adjacent bands were near-equal;
+    * measured planted max 4, cross-signal minimum 15). Rows-only;
+    * Verify enforces recovery ≥ 0.9 and a bounded collision-extra
+    * fraction, the t115 contract shape.
+    */
+  def t132AudioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val audio = Multimodal.synthesize(docs, "doc_id", "text")
+      .filter(_.media_type == "audio")
+    val perturbed = audio.map { r =>
+      val b = r.media.clone()
+      var i = 44 // standard RIFF+fmt+data headers
+      while (i < b.length) { if (i % 13 == 0) b(i) = (b(i) + 1).toByte; i += 1 }
+      r.copy(doc_id = r.doc_id + 1000000, media = b)
+    }
+    val hashes = Multimodal.audioFingerprint(audio.union(perturbed))
+      .localCheckpoint(true)
+    val pairs = Multimodal.fingerprintNearDups(hashes, maxHamming = 4)
+      .localCheckpoint(true)
+    val nBase = hashes.filter(col("doc_id") < 1000000)
+      .agg(count(lit(1)).cast("double").as("n"))
+    val stats = pairs
+      .agg(
+        sum(when(col("id_b") === col("id_a") + 1000000, 1.0).otherwise(0.0))
+          .as("rec"),
+        sum(when(col("id_b") =!= col("id_a") + 1000000, 1.0).otherwise(0.0))
+          .as("extra"))
+      .crossJoin(broadcast(nBase))
+    val nRow = nBase.select(lit("n_audio").as("check"), col("n").as("value"))
+    val recovered = stats.select(lit("recovered_frac").as("check"),
+      round(coalesce(col("rec"), lit(0.0)) / col("n"), 6).as("value"))
+    val extra = stats.select(lit("extra_frac").as("check"),
+      round(coalesce(col("extra"), lit(0.0)) / col("n"), 6).as("value"))
+    nRow.unionByName(recovered).unionByName(extra).orderBy(col("check"))
+  }
+
+  /** t133_top_paths — most common 3-step behavioral paths
+    * (lag-of-lag within each user's ordered sequence), the path-mining
+    * readout next to t121's transition matrix. Exact oracle: the same
+    * double-lag window + count + deterministic top-15.
+    */
+  def t133TopPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("__p1", lag(col("event_type"), 1).over(w))
+      .withColumn("__p2", lag(col("event_type"), 2).over(w))
+      .filter(col("__p2").isNotNull)
+      .select(concat_ws(">", col("__p2"), col("__p1"), col("event_type"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(15)
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -90,4 +90,32 @@ class GraphSpec extends SparkSpec {
     assert(b("B") == b("C"))             // symmetric weights tie
     assert(s("B") > s("C"))              // skewed weight breaks it
   }
+
+  test("personalizedPageRank: mass conserves and concentrates near the seeds") {
+    // chain A -> B -> C -> D plus D dangling; seed = A
+    val edges = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "D", 1L))
+      .toDF("src", "dst", "w")
+    val pr = Graph.personalizedPageRank(edges, "src", "dst", "w",
+        seeds = Seq("A"), iters = 8)
+      .as[(String, Double)].collect().toMap
+    // dangling mass re-enters through the teleport vector: sum = 1
+    // (output rounds each node to 6dp -> up to n * 5e-7 of drift)
+    assert(math.abs(pr.values.sum - 1.0) < 3e-6)
+    // proximity ordering from the seed along the chain
+    assert(pr("A") > pr("B") && pr("B") > pr("C") && pr("C") > pr("D"))
+    // a node unreachable from the seeds gets (almost) nothing
+    val edges2 = edges.union(Seq(("X", "Y", 1L)).toDF("src", "dst", "w"))
+    val pr2 = Graph.personalizedPageRank(edges2, "src", "dst", "w",
+        seeds = Seq("A"), iters = 8)
+      .as[(String, Double)].collect().toMap
+    assert(pr2("Y") == 0.0 && pr2("X") == 0.0)
+  }
+
+  test("personalizedPageRank rejects empty or duplicate seeds") {
+    val edges = Seq(("A", "B", 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(edges, "src", "dst", "w", Seq.empty))
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(edges, "src", "dst", "w", Seq("A", "A")))
+  }
 }

@@ -159,6 +159,53 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
   }
 
+  test("decodeWavPcm: exact PCM16 roundtrip of a hand-built WAV") {
+    // fill bytes (0x01, 0x02) -> every sample = 0x0201 = 513
+    val bytes = SynthMedia.wav(8000, 10, Array[Byte](1, 2))
+    val Some((rate, samples)) = Codec.decodeWavPcm(bytes)
+    assert(rate == 8000)
+    assert(samples.length == 10)
+    assert(samples.forall(_ == 513))
+    assert(Codec.decodeWavPcm(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("audioHash64: amplitude-invariant, discriminative, perturbation-stable") {
+    def synth(text: String): Array[Short] = {
+      val Some((_, s)) = Codec.decodeWavPcm(
+        SynthMedia.wav(8000, 400 + text.length, text.getBytes))
+      s
+    }
+    val a = synth("some spoken words about orbital mechanics and tides")
+    val b = synth("a completely different recording of harbor noise")
+    val ha = Codec.audioHash64(a)
+    // exact halving scales every band equally: delta signs survive
+    // except where bands were within rounding of equal
+    val half = Codec.audioHash64(a.map(s => (s / 2).toShort))
+    assert(java.lang.Long.bitCount(ha ^ half) <= 4)
+    assert(java.lang.Long.bitCount(ha ^ Codec.audioHash64(b)) > 10)
+  }
+
+  test("audioFingerprint + fingerprintNearDups pair a perturbed twin") {
+    implicit val s = spark
+    val base = SynthMedia.wav(8000, 500, "alpha beta gamma delta tides".getBytes)
+    val twin = base.clone()
+    var i = 44
+    while (i < twin.length) { if (i % 13 == 0) twin(i) = (twin(i) + 1).toByte; i += 1 }
+    val media = Seq(
+      MediaRecord(1L, "audio", base),
+      MediaRecord(2L, "audio", twin),
+      MediaRecord(3L, "audio",
+        SynthMedia.wav(8000, 500, "unrelated maritime charts entirely".getBytes)),
+      MediaRecord(4L, "image", SynthMedia.bmp(4, 4, "x".getBytes))
+    ).toDS()
+    val hashes = Multimodal.audioFingerprint(media)
+    assert(hashes.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val got = Multimodal.fingerprintNearDups(hashes, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)))
+  }
+
   test("sampleFrames: video rows explode into byte-window frames") {
     implicit val s = spark
     val media = Multimodal.synthesize(docs, "doc_id", "text")
