@@ -74,6 +74,12 @@ object GraftExtensions {
     e.eval().asInstanceOf[Number].intValue()
   private def longArg(e: Expression): Long =
     e.eval().asInstanceOf[Number].longValue()
+  // a foldable ARRAY of string literals (e.g. array('a', 'b'))
+  private def stringSeqArg(e: Expression): Seq[String] =
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toSeq[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType)
+      .map(_.toString)
 
   /** The native expressions, SQL-registrable: injected at build time
     * by [[GraftExtensions]], or live via [[install]].
@@ -100,7 +106,22 @@ object GraftExtensions {
     fn("hashed_bow_stats", 2,
       a => HashedBowScoreExpr(a(0), intArg(a(1)))),
     fn("misra_gries", 2,
-      a => MisraGriesTokens(a(0), intArg(a(1))).toAggregateExpression()))
+      a => MisraGriesTokens(a(0), intArg(a(1))).toAggregateExpression()),
+    // round 8: CDC chunking, multi-pattern scan, CMS reader, the
+    // distinct top-k aggregate, covariance moments (matrix-parameter
+    // expressions like project_whiten stay Scala-facade-only — their
+    // driver-built reference objects have no SQL literal form)
+    fn("content_chunks", 7,
+      a => ContentChunksExpr(a(0), intArg(a(1)), longArg(a(2)),
+        longArg(a(3)), longArg(a(4)), intArg(a(5)), intArg(a(6)))),
+    fn("multi_contains", 2,
+      a => MultiContainsExpr(a(0), stringSeqArg(a(1)))),
+    fn("cms_estimate", 2, a => CmsEstimateExpr(a(0), a(1))),
+    fn("top_k_distinct_by_score", 3,
+      a => TopKDistinctByScore(a(0), a(1), intArg(a(2)))
+        .toAggregateExpression()),
+    fn("cov_moments", 2,
+      a => CovMoments(a(0), intArg(a(1))).toAggregateExpression()))
 
   /** Install on an already-running session: the optimizer rule via
     * extraOptimizations, the as-of strategy via extraStrategies, and

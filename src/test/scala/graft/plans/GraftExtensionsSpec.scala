@@ -98,4 +98,40 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hh == Seq("a:3", "b:1", "c:1"))
   }
 
+  test("round-8 kernels reachable through SQL") {
+    GraftExtensions.install(spark)
+    // content_chunks: concatenation of chunks round-trips the text
+    val rebuilt = spark.sql(
+      """SELECT concat_ws('', transform(
+        |  content_chunks('the quick brown fox jumps over the lazy dog and keeps running far away', 16, 257, 2147483647, 32, 24, 96),
+        |  c -> c.chunk)) AS t""".stripMargin).as[String].head()
+    assert(rebuilt ==
+      "the quick brown fox jumps over the lazy dog and keeps running far away")
+    // multi_contains: counts and the blocked flag
+    val mc = spark.sql(
+      "SELECT multi_contains('aa b aa', array('aa', 'zz')) AS s")
+      .selectExpr("s.n_terms", "s.total_hits", "s.blocked").head()
+    assert(mc.getInt(0) == 1 && mc.getLong(1) == 2L && mc.getBoolean(2))
+    // cms aggregate + scalar reader compose in one statement
+    spark.range(100).selectExpr("id % 7 AS k").createOrReplaceTempView("cm")
+    val est = spark.sql(
+      """SELECT cms_estimate(count_min_sketch(k, CAST(0.001 AS DOUBLE),
+        |  CAST(0.99 AS DOUBLE), 7), CAST(3 AS BIGINT)) AS e FROM cm"""
+        .stripMargin).head().getLong(0)
+    assert(est >= 14L) // true count 14; CMS never undercounts
+    // distinct top-k: duplicate pairs occupy one slot
+    val ids = spark.sql(
+      """SELECT top_k_distinct_by_score(s, id, 2) AS p FROM VALUES
+        |  (1.0D, 10L), (1.0D, 10L), (0.5D, 20L) AS t(s, id)""".stripMargin)
+      .selectExpr("transform(p, e -> e.id) AS x").as[Seq[Long]].head()
+    assert(ids == Seq(10L, 20L))
+    // covariance moments: n, sums, upper triangle
+    val m = spark.sql(
+      """SELECT cov_moments(v, 2) AS m FROM VALUES
+        |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+        |  (array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS t(v)"""
+        .stripMargin).as[Seq[Double]].head()
+    assert(m == Seq(2.0, 4.0, 6.0, 10.0, 14.0, 20.0))
+  }
+
 }
