@@ -84,11 +84,14 @@ final class AhoCorasick(val terms: Array[String]) extends Serializable {
   /** Per-thread scan state, stamp-reset so a row touching k terms costs
     * O(k) bookkeeping, not O(nTerms). */
   private final class ScanState {
-    val stamp = new Array[Int](nTerms)
+    // Long stamps: an Int counter wraps after 2^31 rows on one
+    // long-lived executor thread, at which point a stale stamp could
+    // alias the current scan and leak counts across rows
+    val stamp = new Array[Long](nTerms)
     val lastEnd = new Array[Int](nTerms)
     val cnt = new Array[Long](nTerms)
     val touched = new Array[Int](nTerms)
-    var cur = 0
+    var cur = 0L
   }
   @transient private lazy val tl: ThreadLocal[ScanState] =
     ThreadLocal.withInitial(() => new ScanState)

@@ -125,10 +125,12 @@ object Behavior {
       .filter(col("__prev").isNotNull)
       .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = steps.groupBy(col("prev_type"))
-      .agg(sum(col("n")).as("__tot"))
-    steps.join(broadcast(totals), "prev_type")
-      .select(col("prev_type"), col("next_type"), col("n"),
-        round(col("n").cast("double") / col("__tot"), 6).as("p"))
+    // row sums via a window over the ALREADY-AGGREGATED |types|²-row
+    // frame — a separate totals aggregation would re-run the per-user
+    // lag window (the expensive stage) a second time
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    steps.select(col("prev_type"), col("next_type"), col("n"),
+      round(col("n").cast("double") / sum(col("n")).over(wTot), 6).as("p"))
   }
 }

@@ -163,29 +163,29 @@ object Graph {
             col("node") === col("src"), "left_anti")
           .select(col("node"))
           .persist()
-        dangling.count()
-        var ranks = nodes.select(col("node"), col("tele").as("pr"))
-        for (_ <- 0 until iters) {
-          val contrib = normEdges
-            .join(ranks, col("src") === col("node"))
-            .groupBy(col("dst"))
-            .agg(sum(col("pr") * col("f")).as("s"))
-          val dm = dangling
-            .join(ranks.withColumnRenamed("node", "__rn"),
-              col("node") === col("__rn"))
-            .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
-          ranks = nodes
-            .join(contrib, col("node") === col("dst"), "left")
-            .crossJoin(broadcast(dm))
-            .select(col("node"),
-              (lit(1 - damping) * col("tele") +
-                lit(damping) * (coalesce(col("s"), lit(0.0)) +
-                  col("__dm") * col("tele"))).as("pr"))
-            .localCheckpoint(true)
-        }
-        val out = ranks.select(col("node"), round(col("pr"), 6).as("ppr"))
-        dangling.unpersist()
-        out
+        try {
+          dangling.count()
+          var ranks = nodes.select(col("node"), col("tele").as("pr"))
+          for (_ <- 0 until iters) {
+            val contrib = normEdges
+              .join(ranks, col("src") === col("node"))
+              .groupBy(col("dst"))
+              .agg(sum(col("pr") * col("f")).as("s"))
+            val dm = dangling
+              .join(ranks.withColumnRenamed("node", "__rn"),
+                col("node") === col("__rn"))
+              .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+            ranks = nodes
+              .join(contrib, col("node") === col("dst"), "left")
+              .crossJoin(broadcast(dm))
+              .select(col("node"),
+                (lit(1 - damping) * col("tele") +
+                  lit(damping) * (coalesce(col("s"), lit(0.0)) +
+                    col("__dm") * col("tele"))).as("pr"))
+              .localCheckpoint(true)
+          }
+          ranks.select(col("node"), round(col("pr"), 6).as("ppr"))
+        } finally dangling.unpersist()
       } finally normEdges.unpersist()
     } finally nodes.unpersist()
   }

@@ -111,13 +111,22 @@ object Pca {
   }
 
   /** Whitened projection: y_e = (x − μ)·v_e / √(λ_e + eps). Output
-    * (passthrough cols…, projCol ARRAY<DOUBLE> length k). */
+    * (passthrough cols…, projCol ARRAY<DOUBLE> length k). Rows whose
+    * vector is NULL or of the wrong length are DROPPED — the same
+    * skip contract as the CovMoments fit pass, so a corpus with one
+    * malformed row fits AND projects instead of crashing the apply
+    * job on the row the fit already skipped (the kernel's own length
+    * require stays as the backstop for direct callers).
+    */
   def whiten(vecs: DataFrame, vecCol: String, model: PcaModel,
              projCol: String = "whitened", eps: Double = 1e-9): DataFrame = {
     val scales = model.eigVals.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
-    vecs.withColumn(projCol,
-      ProjectionFunctions.project_whiten(col(vecCol),
-        model.mean.toSeq, model.eigVecs.map(_.toSeq).toSeq, scales.toSeq))
+    vecs
+      .filter(col(vecCol).isNotNull &&
+        size(col(vecCol)) === model.mean.length)
+      .withColumn(projCol,
+        ProjectionFunctions.project_whiten(col(vecCol),
+          model.mean.toSeq, model.eigVecs.map(_.toSeq).toSeq, scales.toSeq))
   }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {

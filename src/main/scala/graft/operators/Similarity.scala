@@ -82,9 +82,11 @@ object Similarity {
     * practice). Same plan shape as [[bruteForceTopK]]: anchors
     * broadcast, corpus never shuffles for scoring, the rank cut is the
     * partial top-k aggregate; the label-mismatch predicate drops
-    * same-class pairs BEFORE the heap (null-safe — a NULL label never
-    * matches anything, so NULL-labeled corpus rows pair with every
-    * anchor). At very large anchor sets swap the scoring pass for the
+    * same-class pairs BEFORE the heap, null-safely (IS DISTINCT FROM
+    * semantics: a NULL-labeled row pairs with every labeled anchor,
+    * but NULL-vs-NULL counts as the SAME class and is excluded — the
+    * conservative read for unlabeled data, and what the t130 oracle
+    * replays). At very large anchor sets swap the scoring pass for the
     * LSH/IVF-PQ candidate paths exactly as with marginMine.
     * Output: (qid, rank, id, cosine).
     */

@@ -88,7 +88,10 @@ object Drift {
     * percentile is sort-based per group) plus one broadcast-sized join
     * back. For billion-row groups swap `percentile` for
     * `percentile_approx` — same plan shape, sketch-sized state; the
-    * exact form is what the DuckDB oracle replays.
+    * exact form is what the DuckDB oracle replays. The input is
+    * scanned once per percentile stage (three passes total — inherent
+    * to median-then-MAD); persist the input upstream if it is
+    * expensive to recompute.
     */
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Double = 3.0): DataFrame = {
@@ -145,10 +148,14 @@ object Drift {
       .withColumn("z", when(col("__full") && std > 0,
         round((col(valueCol) - mean) / std, 6)))
       .withColumn("anomaly",
-        when(col("__full"),
-          when(std > 0, abs((col(valueCol) - mean) / std) > k)
-            .otherwise(col(valueCol) =!= mean))
-          .otherwise(lit(false)))
+        coalesce(
+          when(col("__full"),
+            when(std > 0, abs((col(valueCol) - mean) / std) > k)
+              .otherwise(col(valueCol) =!= mean))
+            .otherwise(lit(false)),
+          // a NULL value with a full window would otherwise yield a
+          // NULL flag; no value -> no alarm
+          lit(false)))
       .drop("__full")
   }
 

@@ -39,6 +39,17 @@ private[graft] object Sampling {
 
   private val HexDigits = "0123456789abcdef"
 
+  /** The TopKByScore heap stores (double, long) pairs — a non-integral
+    * id would cast to NULL and silently empty every pick list; fail
+    * loudly instead (the Buckets.capped guard). */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val t = df.schema(idCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(t),
+      s"bounded-heap sampling requires an integral id column, got $t")
+  }
+
   /** The repo's seeded-uniform convention (shared with
     * Privacy.dpCounts): u in [0,1) from the first 8 hex digits of
     * md5(key ‖ '|' ‖ salt), digit extraction via strpos arithmetic so
@@ -85,7 +96,7 @@ private[graft] object Sampling {
     saltedCap(keyed, g, struct(col("__e"), col(idCol)),
         xxhash64(col(idCol)), lit(k), salts)
       .select(g :+ col(idCol) :+
-        col(weightCol).cast("long").as("weight") :+
+        col(weightCol).as("weight") :+
         round(col("__e"), 6).as("priority"): _*)
   }
 
@@ -107,6 +118,7 @@ private[graft] object Sampling {
                     anchors: DataFrame, aIdCol: String, aLabelCol: String,
                     k: Int, salt: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralId(candidates, idCol)
     val pairs = candidates
       .select(col(idCol).as("__cid"), col(labelCol).as("__clbl"))
       .join(broadcast(anchors.select(col(aIdCol).as("__aid"),
@@ -136,6 +148,7 @@ private[graft] object Sampling {
   def bottomKSample(df: DataFrame, groupCols: Seq[String], keyCol: String,
                     k: Int, salt: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralId(df, keyCol)
     val g = groupCols.map(col)
     df.select(g :+ col(keyCol): _*)
       .dropDuplicates(groupCols :+ keyCol)

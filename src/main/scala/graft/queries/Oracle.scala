@@ -2698,7 +2698,7 @@ object Oracle {
       """WITH t AS (
         |  SELECT event_type, value AS v,
         |         ((CAST(ts AS DATE) - DATE '1970-01-01') % 2 = 0) AS sa
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), counts AS (
         |  SELECT event_type, v,
         |         CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
@@ -2733,7 +2733,7 @@ object Oracle {
       """WITH t AS (
         |  SELECT event_type, value AS v,
         |         (ts < TIMESTAMP '2024-01-16 00:00:00') AS sa
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), b AS (
         |  SELECT event_type, sa,
         |         (v >= 25.0)::INT + (v >= 50.0)::INT + (v >= 75.0)::INT
