@@ -293,7 +293,14 @@ object ScaleStress {
       // scan, bounded-heap cut — scoring grows linearly with corpus,
       // shuffle stays O(partitions·anchors·k)
       "t129_neg_sample" -> (TrainingQueries.t129NegSample _),
-      "t130_hard_negatives" -> (TrainingQueries.t130HardNegatives _))
+      "t130_hard_negatives" -> (TrainingQueries.t130HardNegatives _),
+      // personalized PageRank: node set stays source-cardinality (the
+      // 10× corpus multiplies edge WEIGHTS, not nodes), so per-round
+      // joins are constant-sized and only the edge build scans 10×
+      "t131_ppr" -> (TrainingQueries.t131Ppr _),
+      // audio fingerprints: per-row PCM decode + hash (map-side), then
+      // banded pairs over ~6× distinct audio rows
+      "t132_audio_fingerprint" -> (TrainingQueries.t132AudioFingerprint _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
