@@ -178,4 +178,54 @@ object Mixing {
       .drop("__n")
     full.unionByName(partial.select(full.columns.map(col).toSeq: _*))
   }
+
+  /** WATER-FILLING budget allocation: split a total token `budget`
+    * evenly across sources, except no source can receive more than it
+    * HAS — capped sources' unused share redistributes to the rest
+    * (the fair-allocation solve behind "give every source an equal
+    * voice up to its size"). Closed form, no iteration: with sources
+    * sorted by availability ascending, source i is fully funded iff
+    * prefix(i−1) + avail(i)·(n−i+1) ≤ budget (feasibility is monotone
+    * in sorted order), and every unfunded source gets the common
+    * water level T = (budget − Σ funded avail) / (#unfunded).
+    *
+    * Runs on the per-source AGGREGATE (one row per source — the
+    * corpus-scale token count happens upstream, map-side), so the
+    * global sort window spans |sources| rows, not the corpus; with
+    * integral availabilities every feasibility comparison is exact
+    * long arithmetic and T is a ratio of exact longs → bit-identical
+    * across engines. Output: (keyCol, available, allocation 6dp,
+    * capped).
+    */
+  def waterFill(perSource: DataFrame, keyCol: String, availCol: String,
+                budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = Window.orderBy(col("available"), col(keyCol))
+    val base = perSource
+      .select(col(keyCol), col(availCol).cast("long").as("available"))
+      .filter(col("available").isNotNull && col("available") >= 0)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prefix", sum(col("available")).over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      // fully funded iff funding all smaller sources AND giving every
+      // remaining source this one's availability fits the budget
+      .withColumn("__funded",
+        (col("__prefix") - col("available")) +
+          col("available") * (col("__n") - col("__rn") + 1) <= budget)
+    val fundedStats = base
+      .agg(coalesce(sum(when(col("__funded"), col("available"))), lit(0L))
+          .as("__fsum"),
+        coalesce(sum(when(col("__funded"), 1L).otherwise(0L)), lit(0L))
+          .as("__fcnt"),
+        coalesce(max(col("__n")), lit(0L)).as("__nn"))
+    base.crossJoin(broadcast(fundedStats))
+      .withColumn("__level",
+        when(col("__nn") > col("__fcnt"),
+          (lit(budget) - col("__fsum")).cast("double") /
+            (col("__nn") - col("__fcnt"))))
+      .select(col(keyCol), col("available"),
+        round(when(col("__funded"), col("available").cast("double"))
+          .otherwise(col("__level")), 6).as("allocation"),
+        (!col("__funded")).as("capped"))
+  }
 }

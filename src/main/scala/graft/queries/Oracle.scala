@@ -3184,5 +3184,99 @@ object Oracle {
         |GROUP BY 1
         |ORDER BY n DESC, path
         |LIMIT 15""".stripMargin,
+
+    // exact mirror of t134: the t14 watermark rule picks finalized
+    // days, per-day bin counts vs a fixed first-15-day reference,
+    // clamped shares on the COMPLETE 0..8 bin grid, the t114 PSI
+    // arithmetic — integer counts make every double identical
+    "t134_stream_psi" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE value IS NOT NULL
+        |), wm AS (
+        |  SELECT max(ts) - INTERVAL 1 DAY AS w FROM e
+        |), fin AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |         (value >= 25.0)::INT + (value >= 50.0)::INT
+        |         + (value >= 75.0)::INT + (value >= 100.0)::INT
+        |         + (value >= 150.0)::INT + (value >= 200.0)::INT
+        |         + (value >= 300.0)::INT + (value >= 400.0)::INT AS bin
+        |  FROM e
+        |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        |), counts AS (
+        |  SELECT day, bin, count(*) AS n FROM fin GROUP BY 1, 2
+        |), dtot AS (
+        |  SELECT day, sum(n) AS tot FROM counts GROUP BY 1
+        |), ref AS (
+        |  SELECT (value >= 25.0)::INT + (value >= 50.0)::INT
+        |         + (value >= 75.0)::INT + (value >= 100.0)::INT
+        |         + (value >= 150.0)::INT + (value >= 200.0)::INT
+        |         + (value >= 300.0)::INT + (value >= 400.0)::INT AS bin,
+        |         count(*) AS rn
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY 1
+        |), rtot AS (SELECT sum(rn) AS rt FROM ref),
+        |grid AS (
+        |  SELECT d.day, g.g AS bin
+        |  FROM (SELECT DISTINCT day FROM counts) d,
+        |       unnest(generate_series(0, 8)) AS g(g)
+        |), sh AS (
+        |  SELECT grid.day, dtot.tot,
+        |         greatest(CAST(coalesce(c.n, 0) AS DOUBLE) / dtot.tot,
+        |                  1e-6) AS pb,
+        |         greatest(CAST(coalesce(r.rn, 0) AS DOUBLE)
+        |                  / (SELECT rt FROM rtot), 1e-6) AS pa
+        |  FROM grid
+        |  JOIN dtot ON dtot.day = grid.day
+        |  LEFT JOIN counts c ON c.day = grid.day AND c.bin = grid.bin
+        |  LEFT JOIN ref r ON r.bin = grid.bin
+        |)
+        |SELECT day, max(tot) AS n_day,
+        |       round(sum((pb - pa) * ln(pb / pa)), 6) AS psi,
+        |       sum((pb - pa) * ln(pb / pa)) < 0.25 AS stable
+        |FROM sh GROUP BY day
+        |ORDER BY day""".stripMargin,
+
+    // exact mirror of Mixing.waterFill over per-source token mass
+    // (t135): sort-window prefix feasibility (monotone in sorted
+    // order), common water level from exact longs, min/cap allocation
+    "t135_water_fill" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(
+        |           string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+        |           x -> x <> '')) AS BIGINT) AS t
+        |  FROM documents
+        |), avail AS (
+        |  SELECT source, sum(t) AS available FROM toks GROUP BY source
+        |), w AS (
+        |  SELECT source, available,
+        |         row_number() OVER (ORDER BY available, source) AS rn,
+        |         sum(available) OVER (ORDER BY available, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS prefix,
+        |         count(*) OVER () AS n
+        |  FROM avail
+        |), f AS (
+        |  SELECT *, (prefix - available)
+        |            + available * (n - rn + 1) <= 20000 AS funded
+        |  FROM w
+        |), s AS (
+        |  SELECT coalesce(sum(CASE WHEN funded THEN available END), 0)
+        |           AS fsum,
+        |         coalesce(sum(CASE WHEN funded THEN 1 ELSE 0 END), 0)
+        |           AS fcnt,
+        |         max(n) AS nn
+        |  FROM f
+        |)
+        |SELECT f.source, f.available,
+        |       round(CASE WHEN f.funded THEN CAST(f.available AS DOUBLE)
+        |                  ELSE CAST(20000 - s.fsum AS DOUBLE)
+        |                       / (s.nn - s.fcnt) END, 6) AS allocation,
+        |       NOT f.funded AS capped
+        |FROM f CROSS JOIN s
+        |ORDER BY f.source""".stripMargin,
   )
 }

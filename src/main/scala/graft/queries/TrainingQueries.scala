@@ -3164,6 +3164,80 @@ object TrainingQueries {
       .limit(15)
   }
 
+  /** t134_stream_psi — STREAMING drift monitor: per finalized day, the
+    * PSI of the day's value-bin distribution against a fixed
+    * first-15-day reference. The streaming job maintains only
+    * windows × bins counts in state (integer counts → the PSI
+    * arithmetic is bit-identical across engines); PSI itself is batch
+    * post-processing of the emitted counts. Exact watermark-replay
+    * oracle.
+    */
+  def t134StreamPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val edges = Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0, 400.0)
+    def binOf(v: org.apache.spark.sql.Column) =
+      edges.map(e => (v >= e).cast("int")).reduce(_ + _)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+      .filter(col("value").isNotNull)
+    val agg = stream.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        binOf(col("value")).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("bin"), col("n"))
+    val counts = StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, agg,
+        s"t134_psi_${System.nanoTime}")
+    }.localCheckpoint(true)
+    val events = Tables.events(spark, sfDir)
+    val ref = events
+      .filter(col("value").isNotNull &&
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+      .groupBy(binOf(col("value")).as("bin"))
+      .agg(count(lit(1)).as("rn"))
+    val refTot = ref.agg(sum(col("rn")).as("rtot"))
+    val dayTot = counts.groupBy(col("day")).agg(sum(col("n")).as("tot"))
+    val grid = counts.select(col("day")).distinct()
+      .crossJoin(spark.range(0, edges.length + 1)
+        .select(col("id").cast("int").as("bin")))
+    val shares = grid
+      .join(dayTot, "day")
+      .join(counts, Seq("day", "bin"), "left")
+      .crossJoin(broadcast(refTot))
+      .join(broadcast(ref), Seq("bin"), "left")
+      .withColumn("pb", greatest(
+        coalesce(col("n"), lit(0L)).cast("double") / col("tot"), lit(1e-6)))
+      .withColumn("pa", greatest(
+        coalesce(col("rn"), lit(0L)).cast("double") / col("rtot"), lit(1e-6)))
+    shares.groupBy(col("day"))
+      .agg(max(col("tot")).as("n_day"),
+        round(sum((col("pb") - col("pa")) * log(col("pb") / col("pa"))), 6)
+          .as("psi"),
+        (sum((col("pb") - col("pa")) * log(col("pb") / col("pa"))) < 0.25)
+          .as("stable"))
+      .orderBy(col("day"))
+  }
+
+  /** t135_water_fill — fair token-budget allocation across sources:
+    * every source gets an equal share of a 20k-token budget except no
+    * source can exceed its own token mass (capped mass redistributes
+    * — the closed-form water-filling solve, no iteration). Exact
+    * oracle: same sort-window feasibility + level arithmetic on exact
+    * longs.
+    */
+  def t135WaterFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(filter(TextDedup.tokens(col("text")), x => length(x) > 0))
+          .cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("avail"))
+    graft.ops.Mixing.waterFill(perSource, "source", "avail",
+        budget = 20000L)
+      .orderBy(col("source"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

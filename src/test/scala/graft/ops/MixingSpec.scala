@@ -166,4 +166,39 @@ class MixingSpec extends SparkSpec {
     assert(out.filter($"grp" === "g0").count() == 0L)
     assert(out.count() == 400L)
   }
+
+  test("waterFill: hand-solved allocation — small sources funded, big ones leveled") {
+    // avail (10, 20, 100, 100), budget 90: fund 10 and 20 fully
+    // (10·4=40 ≤ 90; 10+20·3=70 ≤ 90; 30+100·2=230 > 90), level =
+    // (90−30)/2 = 30 for the two big sources
+    val df = Seq(("a", 10L), ("b", 20L), ("c", 100L), ("d", 100L))
+      .toDF("src", "avail")
+    val out = Mixing.waterFill(df, "src", "avail", budget = 90L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("allocation"), r.getAs[Boolean]("capped"))).toMap
+    assert(out("a") == ((10.0, false)))
+    assert(out("b") == ((20.0, false)))
+    assert(out("c") == ((30.0, true)))
+    assert(out("d") == ((30.0, true)))
+  }
+
+  test("waterFill: slack budget funds everything; zero budget allocates zero") {
+    val df = Seq(("a", 5L), ("b", 7L)).toDF("src", "avail")
+    val full = Mixing.waterFill(df, "src", "avail", budget = 100L).collect()
+    assert(full.forall(r => r.getAs[Double]("allocation") ==
+      r.getAs[Long]("available").toDouble && !r.getAs[Boolean]("capped")))
+    val none = Mixing.waterFill(df, "src", "avail", budget = 0L).collect()
+    assert(none.forall(_.getAs[Double]("allocation") == 0.0))
+  }
+
+  test("waterFill: allocations sum to min(budget, total available)") {
+    val df = Seq(("a", 3L), ("b", 11L), ("c", 40L), ("d", 2L), ("e", 25L))
+      .toDF("src", "avail")
+    def total(b: Long): Double =
+      Mixing.waterFill(df, "src", "avail", b)
+        .agg(org.apache.spark.sql.functions.sum("allocation"))
+        .head().getDouble(0)
+    assert(math.abs(total(50L) - 50.0) < 1e-6)
+    assert(math.abs(total(1000L) - 81.0) < 1e-9)
+  }
 }
