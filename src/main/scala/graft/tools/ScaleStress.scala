@@ -300,7 +300,12 @@ object ScaleStress {
       "t131_ppr" -> (TrainingQueries.t131Ppr _),
       // audio fingerprints: per-row PCM decode + hash (map-side), then
       // banded pairs over ~6× distinct audio rows
-      "t132_audio_fingerprint" -> (TrainingQueries.t132AudioFingerprint _))
+      "t132_audio_fingerprint" -> (TrainingQueries.t132AudioFingerprint _),
+      // water-filling: the corpus-scale part is the map-side token
+      // count; the solve itself windows over |sources| rows
+      // (t134 is an events-table streaming monitor, outside this
+      // fixture like t14/t119)
+      "t135_water_fill" -> (TrainingQueries.t135WaterFill _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
