@@ -215,6 +215,18 @@ case class TopKDistinctByScore(
 
 object TopKFunctions {
   import ColumnOps._
+
+  /** The shared guard for every consumer of the (double, long) heap
+    * aggregates: a non-integral id would cast to NULL and be silently
+    * skipped by update(), emptying the result with no error. One
+    * definition — Buckets.capped, Similarity.topKPerQuery, and the
+    * Sampling operators all route here.
+    */
+  def requireIntegralId(t: DataType, context: String): Unit =
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(t),
+      s"$context requires an integral id column (the bounded heap " +
+        s"stores (double, long) pairs), got $t")
   /** `top_k_by_score(score, id, k)` — ARRAY<STRUCT<score,id>> of the k
     * highest-score pairs, best-first, smallest-id tiebreak.
     */

@@ -112,8 +112,8 @@ object Behavior {
     *
     * Scale shape: ONE per-user ordered window (lag) — user windows
     * parallelize across the user-id shuffle, no corpus-wide ordering
-    * — then a |types|²-sized count aggregate (map-side combined) and
-    * a broadcast-sized join for the row sums. Output:
+    * — then a |types|²-sized count aggregate (map-side combined) with
+    * row sums from a window over that tiny aggregated frame. Output:
     * (prev_type, next_type, n, p).
     */
   def transitions(events: DataFrame, userCol: String, tsCol: String,

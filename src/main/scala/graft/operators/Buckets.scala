@@ -22,15 +22,8 @@ private[graft] object Buckets {
   def capped(keyed: DataFrame, bucketCols: Seq[String],
              maxBucket: Int): DataFrame = {
     val idType = keyed.schema("id").dataType
-    // the saturating collector stores (double, long) pairs — a
-    // non-integral id would cast to null and silently empty every
-    // posting list; fail loudly instead (same guard as
-    // Similarity.topKPerQuery)
-    require(Seq[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-      .contains(idType),
-      s"capped bucket posting lists require an integral id column, got $idType")
+    graft.functions.TopKFunctions.requireIntegralId(idType,
+      "capped bucket posting lists")
     keyed.groupBy(bucketCols.map(col): _*)
       .agg(top_k_by_score(lit(0.0), col("id").cast("long"), maxBucket + 1)
         .as("members"))

@@ -46,8 +46,7 @@ object Similarity {
     * the id is cast back to `idType` on output so schemas are unchanged.
     */
   private[operators] def topKPerQuery(scored: DataFrame, k: Int, idType: DataType): DataFrame = {
-    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(idType),
-      s"partial top-k requires an integral id column, got $idType")
+    graft.functions.TopKFunctions.requireIntegralId(idType, "partial top-k")
     scored
       .groupBy(col("qid"))
       .agg(top_k_by_score(col("cosine"), col("id").cast("long"), k).as("topk"))

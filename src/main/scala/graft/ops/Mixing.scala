@@ -181,9 +181,13 @@ object Mixing {
 
   /** WATER-FILLING budget allocation: split a total token `budget`
     * evenly across sources, except no source can receive more than it
-    * HAS — capped sources' unused share redistributes to the rest
-    * (the fair-allocation solve behind "give every source an equal
-    * voice up to its size"). Closed form, no iteration: with sources
+    * HAS — a small source takes only its availability and its unused
+    * share redistributes to the rest, which all settle at the common
+    * water level (the fair-allocation solve behind "give every source
+    * an equal voice up to its size"). In the output, `capped` = true
+    * marks the LEVELED sources (allocation = water level < their
+    * availability); fully-funded small sources read capped = false.
+    * Closed form, no iteration: with sources
     * sorted by availability ascending, source i is fully funded iff
     * prefix(i−1) + avail(i)·(n−i+1) ≤ budget (feasibility is monotone
     * in sorted order), and every unfunded source gets the common

@@ -39,16 +39,9 @@ private[graft] object Sampling {
 
   private val HexDigits = "0123456789abcdef"
 
-  /** The TopKByScore heap stores (double, long) pairs — a non-integral
-    * id would cast to NULL and silently empty every pick list; fail
-    * loudly instead (the Buckets.capped guard). */
-  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
-    import org.apache.spark.sql.types._
-    val t = df.schema(idCol).dataType
-    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-      .contains(t),
-      s"bounded-heap sampling requires an integral id column, got $t")
-  }
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit =
+    graft.functions.TopKFunctions.requireIntegralId(
+      df.schema(idCol).dataType, "bounded-heap sampling")
 
   /** The repo's seeded-uniform convention (shared with
     * Privacy.dpCounts): u in [0,1) from the first 8 hex digits of

@@ -3229,6 +3229,10 @@ object TrainingQueries {
     */
   def t135WaterFill(spark: SparkSession, sfDir: String): DataFrame = {
     val perSource = Tables.documents(spark, sfDir)
+      // NULL text would make size(...) read -1 (legacy sizeOfNull)
+      // and silently deflate the source's mass where the oracle's
+      // sum() skips NULLs — drop such rows on both sides
+      .filter(col("text").isNotNull)
       .select(col("source"),
         size(filter(TextDedup.tokens(col("text")), x => length(x) > 0))
           .cast("long").as("toks"))
