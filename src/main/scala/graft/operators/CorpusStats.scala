@@ -308,4 +308,28 @@ object CorpusStats {
               col("e").getField("token").as("token"),
               col("e").getField("est").as("est"))
   }
+
+  /** Per-group score CALIBRATION by quantile normalization: replace
+    * each row's raw score with its percent rank WITHIN its group —
+    * the step that makes quality scores comparable across
+    * heterogeneous sources before a global keep-threshold is applied
+    * (a raw cutoff trained on one source's score distribution
+    * systematically over- or under-selects every other source; the
+    * within-source percentile is distribution-free). Ties share a
+    * rank (percent_rank semantics), so equal scores calibrate
+    * equally and the output needs no tiebreak to be deterministic.
+    *
+    * One ordered window per group — groups parallelize across the
+    * shuffle; a single group's rows sort within its partitions (the
+    * per-source sort every rank-based calibration pays). Output adds
+    * `pct` (6dp, in [0, 1]) to each row.
+    */
+  def calibrateScores(df: DataFrame, groupCols: Seq[String],
+                      scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(scoreCol))
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("pct", round(percent_rank().over(w), 6))
+  }
 }

@@ -3278,5 +3278,16 @@ object Oracle {
         |       NOT f.funded AS capped
         |FROM f CROSS JOIN s
         |ORDER BY f.source""".stripMargin,
+
+    // exact mirror of CorpusStats.calibrateScores (t136): percent_rank
+    // = (rank - 1) / (n - 1) with shared ranks on ties, identical in
+    // both engines
+    "t136_score_calibrate" ->
+      """SELECT source, doc_id, n_chars,
+        |       round(percent_rank() OVER (PARTITION BY source
+        |                                  ORDER BY n_chars), 6) AS pct
+        |FROM documents
+        |WHERE n_chars IS NOT NULL
+        |ORDER BY source, doc_id""".stripMargin,
   )
 }

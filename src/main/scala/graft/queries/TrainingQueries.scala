@@ -3242,6 +3242,19 @@ object TrainingQueries {
       .orderBy(col("source"))
   }
 
+  /** t136_score_calibrate — per-source quantile normalization of a
+    * quality score (n_chars stands in): each doc's score becomes its
+    * percent rank WITHIN its source, making a single global keep
+    * threshold fair across heterogeneous sources. Exact oracle:
+    * percent_rank has identical tie semantics in DuckDB.
+    */
+  def t136ScoreCalibrate(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.calibrateScores(
+        Tables.documents(spark, sfDir)
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        Seq("source"), "n_chars")
+      .orderBy(col("source"), col("doc_id"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.
