@@ -42,6 +42,25 @@ for q in qdirs:
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         print(f"FAIL {q}: columns {gcols} vs oracle {ecols}"); fails += 1; continue
+    # Dtype-class check: the driver hashes TYPED values, so an engine
+    # BIGINT vs oracle DOUBLE column hash-mismatches even when every
+    # value is numerically equal (round-8 lesson: 6 red rows the old
+    # value-only compare called green). Compare the dtype CLASS
+    # (integer / float / bool / datetime) per column and fail on skew.
+    # 'object' columns (strings, arrays, HUGEINT-with-null spillover)
+    # are exempt — the cell compare below covers them.
+    def kind_class(k):
+        return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                "M": "datetime", "m": "timedelta"}.get(k, "other")
+    skew = [(c, got[c].dtype, exp[c].dtype) for c in gcols
+            if kind_class(got[c].dtype.kind) != kind_class(exp[c].dtype.kind)
+            and "other" not in (kind_class(got[c].dtype.kind),
+                                kind_class(exp[c].dtype.kind))]
+    if skew:
+        c, gk, ek = skew[0]
+        print(f"FAIL {q}: dtype skew col {c}: engine {gk} vs oracle {ek}"
+              f" (driver's typed hash will mismatch)")
+        fails += 1; continue
     # Sort rows for comparison on every non-array column. Float columns
     # participate too: raw passthrough floats are bit-identical across
     # engines (needed when the non-float columns aren't a unique key,

@@ -55,7 +55,17 @@ object Bench {
     val total = ok.map(best(_)).sum
     val json =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sink":"noop","passes":$passes,"failed":$fs,"queries":$qs,"sf":"$sfDir"}"""
+    // the full line with the 180+-entry per-query map is ~5 KB — long
+    // enough that the round driver's truncated log-tail capture has
+    // dropped it before (BENCH_r08 "parsed": null). Bracket it with a
+    // COMPACT summary line (~150 B, no queries map) both before and
+    // after, so whichever end of the log survives capture still
+    // contains a complete parseable `"metric":"total"` object.
+    val compact =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sink":"noop","passes":$passes,"n_queries":${ok.size},"failed":$fs,"sf":"$sfDir"}"""
+    println(compact)
     println(json)
+    println(compact)
     // the stdout line is log-tail-captured by the round driver and has
     // been truncated before (round 6 lost ~15 entries and the total);
     // the file copy is the durable record

@@ -319,17 +319,63 @@ object CorpusStats {
     * rank (percent_rank semantics), so equal scores calibrate
     * equally and the output needs no tiebreak to be deterministic.
     *
-    * One ordered window per group — groups parallelize across the
-    * shuffle; a single group's rows sort within its partitions (the
-    * per-source sort every rank-based calibration pays). Output adds
-    * `pct` (6dp, in [0, 1]) to each row.
+    * Scale shape (the [[Ids.denseIds]] pattern, per-group): a naive
+    * `percent_rank() OVER (PARTITION BY source ORDER BY score)` puts
+    * each source's ENTIRE data in one window task — with a handful of
+    * sources that is a per-source single-task sort (executor OOM at
+    * corpus scale). Instead: range-repartition on (group…, score) so
+    * each group spans a contiguous RUN of partitions and every
+    * partition sorts in parallel; rank within (partition, group); and
+    * recover the global within-group rank by adding the count of
+    * same-group rows in earlier partitions. Ties are safe to rank
+    * locally because Spark's RangePartitioner maps EQUAL keys to the
+    * SAME partition — a tie group never splits, so local `rank()` +
+    * offset reproduces global rank() (hence percent_rank) exactly.
+    *
+    * The offset/denominator table is metadata-sized — at most
+    * (partitions + groups − 1) rows, because contiguous group runs
+    * overlap partition boundaries at most once each — and is
+    * broadcast back; no driver-side state at all (contrast
+    * [[Ids.denseIds]]'s one-long-per-partition collect: here the
+    * prefix sums stay in a broadcast frame so group cardinality is
+    * unbounded). The partitioned frame pins once (localCheckpoint)
+    * so the count pass and the rank pass read the same boundaries.
+    * Output adds `pct` (6dp, in [0, 1]) to each row; a single-row
+    * group calibrates to 0 (percent_rank's n=1 convention).
     */
   def calibrateScores(df: DataFrame, groupCols: Seq[String],
                       scoreCol: String): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*).orderBy(col(scoreCol))
-    df.filter(col(scoreCol).isNotNull)
-      .withColumn("pct", round(percent_rank().over(w), 6))
+    val gcols = groupCols.map(col)
+    val keys = gcols :+ col(scoreCol)
+    val inCols = df.columns.toSeq
+    val parted = df.filter(col(scoreCol).isNotNull)
+      .repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // one row per (partition, group) segment — metadata-sized
+    val perSeg = parted.groupBy((col("__pid") +: gcols): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("__pid"))
+    val offsets = perSeg
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(
+        wg.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)))
+      .drop("__c")
+    // every window partition here is one (data-partition, group)
+    // segment — parallel sorts, never a whole-group funnel
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy((col("__pid") +: gcols): _*).orderBy(col(scoreCol))
+    parted
+      .withColumn("__lr", rank().over(wl))
+      .join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn("pct",
+        round(when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("__off") + col("__lr") - 1L).cast("double") /
+            (col("__n") - 1L).cast("double")), 6))
+      .select((inCols :+ "pct").map(col): _*)
   }
 }

@@ -187,11 +187,16 @@ object Sketches {
       .agg(theta_union_agg(col("sk2")).as("hist"))
     daily.join(history, "day")
       .select(col("day"),
-        round(theta_sketch_estimate(col("sk")), 6).as("n_day"),
+        // cast before round: Spark's theta_sketch_estimate returns LONG;
+        // the output contract (and oracle) is DOUBLE — without the cast
+        // the driver's typed hash diverges on identical values
+        round(theta_sketch_estimate(col("sk")).cast("double"), 6)
+          .as("n_day"),
         round(when(col("hist").isNull,
             theta_sketch_estimate(col("sk")))
           .otherwise(theta_sketch_estimate(
-            theta_difference(col("sk"), col("hist")))), 6).as("n_new"))
+            theta_difference(col("sk"), col("hist"))))
+          .cast("double"), 6).as("n_new"))
   }
 
   /** Pairwise distinct-key overlap between groups via theta sketches —
@@ -228,10 +233,15 @@ object Sketches {
     a.join(b, col("g_a") < col("g_b"))
       .select(
         col("g_a"), col("g_b"),
-        round(theta_sketch_estimate(col("sk_a")), 6).as("n_a"),
-        round(theta_sketch_estimate(col("sk_b")), 6).as("n_b"),
+        // LONG→DOUBLE casts: the declared output type is DOUBLE (see
+        // scaladoc above); Spark's estimate builtin returns LONG
+        round(theta_sketch_estimate(col("sk_a")).cast("double"), 6)
+          .as("n_a"),
+        round(theta_sketch_estimate(col("sk_b")).cast("double"), 6)
+          .as("n_b"),
         round(theta_sketch_estimate(
-          theta_intersection(col("sk_a"), col("sk_b"))), 6).as("n_both"),
+            theta_intersection(col("sk_a"), col("sk_b"))).cast("double"),
+          6).as("n_both"),
         round(theta_sketch_estimate(
             theta_intersection(col("sk_a"), col("sk_b"))) /
           theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b"))), 6)

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *    The window sorts each group's distinct values inside one
   *    partition — exact KS is inherently a per-group sort, so groups
   *    parallelize but a single group's distinct-value count must fit a
-  *    partition. For billion-distinct-value groups, bin first or use
-  *    [[psi]] — the binned detector that never sorts.
+  *    partition. For billion-distinct-value (continuous) groups use
+  *    [[ksStatisticBinned]] — same statistic over a bins-sized window
+  *    — or [[psi]], the binned detector that never sorts.
   *
   *  - [[psi]] — Population Stability Index over FIXED literal bin
   *    edges: Σ (p_a − p_b)·ln(p_a/p_b), shares clamped at `eps` so
@@ -52,7 +53,50 @@ object Drift {
       .groupBy(g :+ col(valueCol).as("__v"): _*)
       .agg(sum(when(sideA, 1L).otherwise(0L)).as("__ca"),
            sum(when(sideA, 0L).otherwise(1L)).as("__cb"))
-    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+    ksFromCounts(counts, g, col("__v"))
+  }
+
+  /** Binned two-sample KS — the bounded-window escape hatch for
+    * continuous / billion-distinct-value columns, where [[ksStatistic]]'s
+    * exact per-group distinct-value sort would not fit a partition.
+    * Values bin against literal `edges` (the [[psi]] rule: bin k =
+    * count of edges ≤ v), the ECDFs are evaluated at bin boundaries
+    * only, and D̂ = max over boundaries of |F̂_a − F̂_b|.
+    *
+    * Resolution contract: D̂ ≤ D always (the binned sup scans a subset
+    * of the exact sup's evaluation points), and D − D̂ ≤ the largest
+    * single-bin probability mass (the ECDF difference moves at most
+    * one bin's mass between consecutive boundaries) — with
+    * quantile-spaced edges that is ≈ 1/(#bins). The per-group window
+    * is (#edges + 1) rows regardless of data size; the only
+    * corpus-sized stage is the map-side-combinable groupBy(group, bin).
+    * Output schema matches [[ksStatistic]].
+    */
+  def ksStatisticBinned(df: DataFrame, groupCols: Seq[String],
+                        sideA: Column, valueCol: String,
+                        edges: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "edges must be non-empty, sorted, distinct")
+    val g = groupCols.map(col)
+    val bin = edges.map(e => (col(valueCol) >= e).cast("int"))
+      .reduce(_ + _).as("__bin")
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g :+ bin: _*)
+      .agg(sum(when(sideA, 1L).otherwise(0L)).as("__ca"),
+           sum(when(sideA, 0L).otherwise(1L)).as("__cb"))
+    ksFromCounts(counts, g, col("__bin"))
+  }
+
+  /** Shared KS tail: per-group cumulative ECDFs over `orderCol`
+    * (distinct values for the exact form, bin ids for the binned
+    * form — the window is as long as that column's per-group
+    * cardinality) → sup |F_a − F_b| → critical value and verdict.
+    */
+  private def ksFromCounts(counts: DataFrame, g: Seq[Column],
+                           orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(g: _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(g: _*)
     val cum = counts
@@ -62,9 +106,14 @@ object Drift {
       .withColumn("__nb", max(col("__fb")).over(tot))
     cum
       .groupBy(g: _*)
+      // empty-side groups (__na or __nb = 0) are dropped below, but
+      // ANSI mode would throw on their divisions before the filter can
+      // run — NULL-mask them inside the aggregate instead (max ignores
+      // NULLs; the group's __d is NULL only when the group is dropped)
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
-        max(abs(col("__fa").cast("double") / col("__na")
-          - col("__fb").cast("double") / col("__nb"))).as("__d"))
+        max(when(col("__na") > 0 && col("__nb") > 0,
+          abs(col("__fa").cast("double") / col("__na")
+            - col("__fb").cast("double") / col("__nb")))).as("__d"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
       .withColumn("ks_crit",
         round(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /

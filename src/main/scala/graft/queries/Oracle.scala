@@ -2714,7 +2714,8 @@ object Oracle {
         |            max(fb) OVER (PARTITION BY event_type) AS nb
         |  FROM cum
         |)
-        |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |       CAST(max(nb) AS BIGINT) AS n_b,
         |       round(max(abs(CAST(fa AS DOUBLE)/na
         |                     - CAST(fb AS DOUBLE)/nb)), 6) AS ks_d,
         |       round(1.358 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
@@ -2756,7 +2757,8 @@ object Oracle {
         |         greatest(CAST(cb AS DOUBLE)/nb, 1e-6) AS pb
         |  FROM sh WHERE na > 0 AND nb > 0
         |)
-        |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |       CAST(max(nb) AS BIGINT) AS n_b,
         |       round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
         |       sum((pa - pb) * ln(pa / pb)) < 0.1 AS stable
         |FROM cl GROUP BY event_type
@@ -3233,7 +3235,7 @@ object Oracle {
         |  LEFT JOIN counts c ON c.day = grid.day AND c.bin = grid.bin
         |  LEFT JOIN ref r ON r.bin = grid.bin
         |)
-        |SELECT day, max(tot) AS n_day,
+        |SELECT day, CAST(max(tot) AS BIGINT) AS n_day,
         |       round(sum((pb - pa) * ln(pb / pa)), 6) AS psi,
         |       sum((pb - pa) * ln(pb / pa)) < 0.25 AS stable
         |FROM sh GROUP BY day
@@ -3250,7 +3252,8 @@ object Oracle {
         |           x -> x <> '')) AS BIGINT) AS t
         |  FROM documents
         |), avail AS (
-        |  SELECT source, sum(t) AS available FROM toks GROUP BY source
+        |  SELECT source, CAST(sum(t) AS BIGINT) AS available
+        |  FROM toks GROUP BY source
         |), w AS (
         |  SELECT source, available,
         |         row_number() OVER (ORDER BY available, source) AS rn,
@@ -3289,5 +3292,49 @@ object Oracle {
         |FROM documents
         |WHERE n_chars IS NOT NULL
         |ORDER BY source, doc_id""".stripMargin,
+
+    // exact mirror of Drift.ksStatisticBinned (t137): the t113 KS
+    // chain with the value replaced by the t114 bin id (count of
+    // literal edges <= v) — ECDFs at bin boundaries only. BIGINT
+    // casts per the HUGEINT rule (window sum of BIGINT promotes).
+    "t137_ks_binned" ->
+      """WITH t AS (
+        |  SELECT event_type, value AS v,
+        |         ((CAST(ts AS DATE) - DATE '1970-01-01') % 2 = 0) AS sa
+        |  FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT event_type, sa,
+        |         (v >= 25.0)::INT + (v >= 50.0)::INT + (v >= 75.0)::INT
+        |         + (v >= 100.0)::INT + (v >= 150.0)::INT + (v >= 200.0)::INT
+        |         + (v >= 300.0)::INT + (v >= 400.0)::INT AS bin
+        |  FROM t
+        |), counts AS (
+        |  SELECT event_type, bin,
+        |         CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bin,
+        |         sum(ca) OVER (PARTITION BY event_type ORDER BY bin) AS fa,
+        |         sum(cb) OVER (PARTITION BY event_type ORDER BY bin) AS fb
+        |  FROM counts
+        |), cum2 AS (
+        |  SELECT *, max(fa) OVER (PARTITION BY event_type) AS na,
+        |            max(fb) OVER (PARTITION BY event_type) AS nb
+        |  FROM cum
+        |)
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |       CAST(max(nb) AS BIGINT) AS n_b,
+        |       round(max(abs(CAST(fa AS DOUBLE)/na
+        |                     - CAST(fb AS DOUBLE)/nb)), 6) AS ks_d,
+        |       round(1.358 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+        |                          / (max(na) * max(nb))), 6) AS ks_crit,
+        |       max(abs(CAST(fa AS DOUBLE)/na - CAST(fb AS DOUBLE)/nb))
+        |         > 1.358 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+        |                        / (max(na) * max(nb))) AS drifted
+        |FROM cum2
+        |GROUP BY event_type
+        |HAVING max(na) > 0 AND max(nb) > 0
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -3255,6 +3255,21 @@ object TrainingQueries {
         Seq("source"), "n_chars")
       .orderBy(col("source"), col("doc_id"))
 
+  /** t137_ks_binned — the binned-KS escape hatch on the t113 fixture:
+    * same groups (event_type), same side split (even epoch-day), same
+    * value column, but the ECDFs evaluate at the t114 literal bin
+    * edges so the per-group window is 9 rows regardless of the value
+    * column's cardinality. Exact oracle on the binned semantics; the
+    * DriftSpec pins binned ≤ exact with gap ≤ max single-bin mass.
+    */
+  def t137KsBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    graft.ops.Drift.ksStatisticBinned(events, Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 2 === 0,
+        "value", Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0, 400.0))
+      .orderBy(col("event_type"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

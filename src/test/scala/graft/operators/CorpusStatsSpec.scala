@@ -144,6 +144,38 @@ class CorpusStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("inDomain matches no document"))
   }
 
+  test("calibrateScores reproduces percent_rank semantics across partitions") {
+    // 240 rows, 3 groups, heavy ties (scores mod 17) — the range
+    // repartition splits each group across several partitions and the
+    // offset join must still reproduce the global within-group rank
+    val rows = (0 until 240).map(i =>
+      (s"s${i % 3}", i.toLong, (i * 31 % 17).toDouble))
+    val df = rows.toDF("source", "doc_id", "score")
+    val got = CorpusStats.calibrateScores(df, Seq("source"), "score")
+      .select("source", "doc_id", "pct")
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val expect = rows.groupBy(_._1).flatMap { case (_, grp) =>
+      val n = grp.size
+      grp.map { case (s, id, v) =>
+        val rank = 1 + grp.count(_._3 < v)      // ties share first rank
+        (s, id) -> r6((rank - 1).toDouble / (n - 1))
+      }
+    }
+    assert(got.size == expect.size)
+    expect.foreach { case (k, v) =>
+      assert(got(k) == v, s"row $k: got ${got(k)} expect $v") }
+  }
+
+  test("calibrateScores: single-row group calibrates to 0; NULL scores drop") {
+    val df = Seq(("a", 1L, Some(5.0)), ("a", 2L, None),
+                 ("b", 3L, Some(9.0)), ("b", 4L, Some(1.0)))
+      .toDF("source", "doc_id", "score")
+    val got = CorpusStats.calibrateScores(df, Seq("source"), "score")
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.0, 3L -> 1.0, 4L -> 0.0))
+  }
+
   test("bigramLmScore: rarer continuations score strictly worse") {
     // 'x y' appears 9×, 'x z' once — P(z|x) < P(y|x), so the doc made
     // of the rare bigram must carry the higher (worse) NLL

@@ -132,4 +132,57 @@ class DriftSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Drift.psi(df, Seq("g"), col("sa"), "v", Seq(1.0, 1.0)))
   }
+
+  test("ksStatisticBinned: edges at every distinct value reproduce exact KS") {
+    // bin boundaries = the full support -> the binned sup scans the
+    // same evaluation points as the exact sup, so D must be identical
+    val a = Seq(1.0, 1.0, 2.0, 3.5, 3.5, 7.0, 9.0)
+    val b = Seq(1.0, 2.0, 2.0, 2.0, 6.0, 8.0, 8.0, 10.0)
+    val df = (a.map(("g", true, _)) ++ b.map(("g", false, _)))
+      .toDF("g", "sa", "v")
+    val edges = (a ++ b).distinct.sorted
+    val exact = Drift.ksStatistic(df, Seq("g"), col("sa"), "v")
+      .collect().head
+    val binned = Drift.ksStatisticBinned(df, Seq("g"), col("sa"), "v", edges)
+      .collect().head
+    assert(binned.getAs[Double]("ks_d") == exact.getAs[Double]("ks_d"))
+    assert(binned.getAs[Long]("n_a") == exact.getAs[Long]("n_a"))
+    assert(binned.getAs[Long]("n_b") == exact.getAs[Long]("n_b"))
+    assert(binned.getAs[Boolean]("drifted") == exact.getAs[Boolean]("drifted"))
+  }
+
+  test("ksStatisticBinned: coarse bins bound D from below within bin mass") {
+    // resolution contract: D_binned <= D_exact, and the gap is at most
+    // the largest single-bin probability mass of either sample
+    val rng = new scala.util.Random(7)
+    val a = Seq.fill(200)(rng.nextDouble() * 100)
+    val b = Seq.fill(300)(rng.nextDouble() * 100 + 15)   // shifted sample
+    val df = (a.map(("g", true, _)) ++ b.map(("g", false, _)))
+      .toDF("g", "sa", "v")
+    val edges = Seq(20.0, 40.0, 60.0, 80.0, 100.0)
+    val exact = Drift.ksStatistic(df, Seq("g"), col("sa"), "v")
+      .collect().head.getAs[Double]("ks_d")
+    val binned = Drift.ksStatisticBinned(df, Seq("g"), col("sa"), "v", edges)
+      .collect().head.getAs[Double]("ks_d")
+    assert(binned <= exact + 1e-9)
+    def maxBinMass(s: Seq[Double]): Double = {
+      val bins = s.groupBy(v => edges.count(v >= _)).values.map(_.size)
+      bins.max.toDouble / s.size
+    }
+    val bound = math.max(maxBinMass(a), maxBinMass(b))
+    assert(exact - binned <= bound + 1e-9,
+      s"gap ${exact - binned} exceeds max bin mass $bound")
+  }
+
+  test("ksStatisticBinned: identical samples give D = 0; empty side drops") {
+    val rows = (1 to 50).flatMap(i =>
+      Seq(("g", true, i.toDouble), ("g", false, i.toDouble))) :+
+      (("lone", true, 1.0))
+    val out = Drift.ksStatisticBinned(rows.toDF("g", "sa", "v"), Seq("g"),
+      col("sa"), "v", Seq(10.0, 20.0, 30.0, 40.0))
+    val byG = out.collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(byG.keySet == Set("g"))         // lone group has no B side
+    assert(byG("g").getAs[Double]("ks_d") == 0.0)
+    assert(!byG("g").getAs[Boolean]("drifted"))
+  }
 }
