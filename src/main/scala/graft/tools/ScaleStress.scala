@@ -305,7 +305,13 @@ object ScaleStress {
       // count; the solve itself windows over |sources| rows
       // (t134 is an events-table streaming monitor, outside this
       // fixture like t14/t119)
-      "t135_water_fill" -> (TrainingQueries.t135WaterFill _))
+      "t135_water_fill" -> (TrainingQueries.t135WaterFill _),
+      // score calibration: range-repartition + per-partition rank +
+      // broadcast offset join — the sort parallelism is partition
+      // count, never per-source task count
+      // (t137 is an events-table drift monitor, outside this fixture
+      // like t113/t114 — its window is 9 bin rows by construction)
+      "t136_score_calibrate" -> (TrainingQueries.t136ScoreCalibrate _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
