@@ -378,4 +378,38 @@ object CorpusStats {
             (col("__n") - 1L).cast("double")), 6))
       .select((inCols :+ "pct").map(col): _*)
   }
+
+  /** The selection step [[calibrateScores]] exists for: apply ONE
+    * global threshold to the per-group calibrated score. Because the
+    * calibrated score is the within-group percentile, a single
+    * threshold keeps ≈ the same fraction of every group — the
+    * fairness property a raw-score cutoff lacks (a threshold trained
+    * on one source's score distribution over-selects easy sources and
+    * starves hard ones). Adds `keep` = pct ≥ threshold to each row;
+    * same scale shape as [[calibrateScores]] (one per-row comparison
+    * on top). Pair with [[calibratedKeepAudit]] to SEE the fairness:
+    * per-group kept counts and fractions.
+    */
+  def calibratedKeep(df: DataFrame, groupCols: Seq[String],
+                     scoreCol: String, threshold: Double): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1], got $threshold")
+    calibrateScores(df, groupCols, scoreCol)
+      .withColumn("keep", col("pct") >= threshold)
+  }
+
+  /** Per-group audit of a [[calibratedKeep]] decision: n rows, n kept,
+    * kept fraction, and the minimum RAW score that survived — the
+    * quantities a dataset card reports to show the global threshold
+    * selected fairly across groups. One map-side-combinable aggregate
+    * over the keep frame; output is |groups| rows.
+    */
+  def calibratedKeepAudit(kept: DataFrame, groupCols: Seq[String],
+                          scoreCol: String): DataFrame =
+    kept.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("keep_frac"),
+        min(when(col("keep"), col(scoreCol))).as("min_kept_score"))
 }

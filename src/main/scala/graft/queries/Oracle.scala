@@ -3336,5 +3336,27 @@ object Oracle {
         |GROUP BY event_type
         |HAVING max(na) > 0 AND max(nb) > 0
         |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of CorpusStats.calibratedKeep + audit (t138): the
+    // t136 percent_rank calibration, keep = 6dp-rounded pct >= 0.7,
+    // then the per-source audit aggregate. BIGINT cast on the kept
+    // sum per the HUGEINT rule.
+    "t138_calibrated_keep" ->
+      """WITH c AS (
+        |  SELECT source, n_chars,
+        |         round(percent_rank() OVER (PARTITION BY source
+        |                                    ORDER BY n_chars), 6) AS pct
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN pct >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       round(CAST(sum(CASE WHEN pct >= 0.7 THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS keep_frac,
+        |       min(CASE WHEN pct >= 0.7 THEN n_chars END) AS min_kept_score
+        |FROM c
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }

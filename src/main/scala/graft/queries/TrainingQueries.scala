@@ -3270,6 +3270,23 @@ object TrainingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** t138_calibrated_keep — the selection step calibration exists
+    * for: calibrate n_chars per source, apply ONE global threshold
+    * (keep the calibrated top 30%), and audit per source — n docs,
+    * n kept, kept fraction, min surviving raw score. The fairness
+    * property under test: one threshold keeps ≈ the same fraction of
+    * every source because the calibrated score is the within-source
+    * percentile. Exact oracle (percent_rank + the same aggregate).
+    */
+  def t138CalibratedKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = CorpusStats.calibratedKeep(
+      Tables.documents(spark, sfDir)
+        .select(col("source"), col("doc_id"), col("n_chars")),
+      Seq("source"), "n_chars", threshold = 0.7)
+    CorpusStats.calibratedKeepAudit(kept, Seq("source"), "n_chars")
+      .orderBy(col("source"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -311,7 +311,10 @@ object ScaleStress {
       // count, never per-source task count
       // (t137 is an events-table drift monitor, outside this fixture
       // like t113/t114 — its window is 9 bin rows by construction)
-      "t136_score_calibrate" -> (TrainingQueries.t136ScoreCalibrate _))
+      "t136_score_calibrate" -> (TrainingQueries.t136ScoreCalibrate _),
+      // calibrated keep: t136's shape + a per-row threshold + the
+      // |sources|-row audit aggregate
+      "t138_calibrated_keep" -> (TrainingQueries.t138CalibratedKeep _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

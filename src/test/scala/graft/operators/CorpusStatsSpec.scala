@@ -176,6 +176,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Map(1L -> 0.0, 3L -> 1.0, 4L -> 0.0))
   }
 
+  test("calibratedKeep: one global threshold keeps the same fraction of " +
+       "groups with disjoint raw-score ranges") {
+    // group a scores 1..100, group b scores 1000..1099 — any RAW
+    // threshold keeps all-of-one/none-of-the-other; the calibrated
+    // threshold keeps exactly the top 30% of each
+    val rows = (1 to 100).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 100).map(i => ("b", 100L + i, 999.0 + i))
+    val kept = CorpusStats.calibratedKeep(
+      rows.toDF("source", "doc_id", "score"), Seq("source"), "score", 0.7)
+    val audit = CorpusStats.calibratedKeepAudit(kept, Seq("source"), "score")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // pct = (rank-1)/99 >= 0.7 -> rank >= 70.3 -> ranks 71..100 = 30 rows
+    Seq("a", "b").foreach { s =>
+      assert(audit(s).getAs[Long]("n_docs") == 100)
+      assert(audit(s).getAs[Long]("n_kept") == 30, s"group $s")
+      assert(audit(s).getAs[Double]("keep_frac") == 0.3)
+    }
+    assert(audit("a").getAs[Double]("min_kept_score") == 71.0)
+    assert(audit("b").getAs[Double]("min_kept_score") == 1070.0)
+  }
+
   test("bigramLmScore: rarer continuations score strictly worse") {
     // 'x y' appears 9×, 'x z' once — P(z|x) < P(y|x), so the doc made
     // of the rare bigram must carry the higher (worse) NLL
