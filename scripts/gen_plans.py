@@ -33,7 +33,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t121_transitions", "t122_dim_stats", "t124_rolling_anomaly",
            "t125_dataset_card", "t127_grouped_ols", "t128_corr_matrix",
            "t129_neg_sample", "t130_hard_negatives", "t131_ppr", "t133_top_paths", "t134_stream_psi", "t135_water_fill",
-           "t136_score_calibrate", "t137_ks_binned", "t138_calibrated_keep"]
+           "t136_score_calibrate", "t137_ks_binned", "t138_calibrated_keep",
+           "t139_ks_qbinned", "t140_rendezvous_shards", "t141_bootstrap_ci"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -56,6 +57,26 @@ NOTES = {
         "threshold comparison and the |sources|-row audit "
         "HashAggregate (partial map-side combine) — no new shuffle "
         "beyond the calibration's.",
+    "t140_rendezvous_shards":
+        "Both assignments are per-row Projects over the scan — 16 (then "
+        "17) codegen'd md5s and an array_max fold, no shuffle until the "
+        "final 16-row audit HashAggregate (partial map-side combine). "
+        "Growing the shard count rewrites ~1/(N+1) of a corpus instead "
+        "of reflowing every rank boundary.",
+    "t139_ks_qbinned":
+        "The decile-edge aggregate reduces the reference rows to "
+        "|groups| rows of 9 doubles, broadcast back (BroadcastHashJoin); "
+        "bin assignment is a per-row fold over that array; the KS tail's "
+        "per-group Window is ≤ 10 rows. The exact percentile's per-group "
+        "sort is the oracle-checkable form — percentile_approx is the "
+        "drop-in when a group's reference sample exceeds a partition.",
+    "t141_bootstrap_ci":
+        "The corpus never shuffles: the 200-replicate explode and the "
+        "Poisson-weight md5 fold are map-side Projects, and the first "
+        "HashAggregate's partial combine reduces the exchange to "
+        "partitions \u00d7 sources \u00d7 reps aggregate rows; the CI "
+        "percentile aggregates |sources| \u00d7 200 replicate means. "
+        "Driver state: none.",
 }
 
 def plan_of(q):

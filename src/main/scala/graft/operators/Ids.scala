@@ -150,4 +150,34 @@ object Ids {
            min(col(idCol)).as("min_id"),
            max(col(idCol)).as("max_id"),
            sum(col(weightCol)).as("total_weight"))
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * CONSISTENT counterpart of [[shardAssign]]'s rank-based layout:
+    * shard(id) = argmax over s ∈ [0, numShards) of md5(s:id). The
+    * property [[shardAssign]] cannot give: growing numShards → N+1
+    * moves only the ids whose NEW shard's score beats their previous
+    * maximum — an expected 1/(N+1) of the corpus, every moved id
+    * landing ON the new shard — where rank-based sharding reflows
+    * nearly every boundary. That is the incremental-reshard story: a
+    * 100 TB corpus adds a shard and rewrites ~1/(N+1) of its bytes,
+    * not all of them.
+    *
+    * Pure per-row map-side arithmetic (no shuffle, no state): one
+    * md5 per (row, shard), argmax by hex-string comparison inside a
+    * single codegen'd expression — engine-portable (any system with
+    * md5 replays the assignment bit-for-bit). Cost is O(numShards)
+    * hashes per row: fine to a few hundred shards; for thousands,
+    * compose two levels (HRW over ⌈√N⌉ groups, then within the
+    * group) — same movement property, O(2√N) hashes.
+    */
+  def rendezvousShards(df: DataFrame, idCol: String, numShards: Int,
+                       shardColName: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val cand = transform(sequence(lit(0), lit(numShards - 1)),
+      s => struct(
+        md5(concat(s.cast("string"), lit(":"),
+          col(idCol).cast("string"))).as("score"),
+        s.cast("int").as("s")))
+    df.withColumn(shardColName, array_max(cand).getField("s"))
+  }
 }

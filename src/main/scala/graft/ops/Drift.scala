@@ -89,6 +89,49 @@ object Drift {
     ksFromCounts(counts, g, col("__bin"))
   }
 
+  /** [[ksStatisticBinned]] with the edges chosen FOR you, per group:
+    * bin boundaries are the (1/k … (k−1)/k) quantiles of the
+    * REFERENCE sample (side A) — equal-mass bins where the reference
+    * has mass, which is where KS resolution matters (fixed literal
+    * edges waste bins on empty regions and need domain knowledge to
+    * place). The resolution bound tightens to D − D̂ ≤ max bin mass ≈
+    * 1/k on the reference side by construction.
+    *
+    * Scale shape: one exact per-group percentile aggregate over the
+    * reference rows (|groups| output rows, each carrying k−1 doubles)
+    * broadcast back, bin assignment as a per-row fold over the edge
+    * array, then the [[ksStatisticBinned]] tail — the per-group
+    * window stays ≤ k rows. The exact percentile's per-group sort is
+    * the oracle-checkable form; swap `percentile` for
+    * `percentile_approx` (KLL-style sketch, bounded state) when a
+    * single group's reference sample exceeds a partition — bins then
+    * land within sketch tolerance of equal-mass, which only moves
+    * WHERE the ECDFs are compared, not their values: D̂ stays a valid
+    * lower bound of D, the resolution bound degrades by the sketch
+    * error. Groups with no reference rows drop (no distribution to
+    * compare against), matching the empty-side rule.
+    */
+  def ksStatisticQuantileBinned(df: DataFrame, groupCols: Seq[String],
+                                sideA: Column, valueCol: String,
+                                nBins: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val g = groupCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select((g :+ col(valueCol).as("__v") :+ sideA.as("__sa")): _*)
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val edges = base.filter(col("__sa"))
+      .groupBy(g: _*)
+      .agg(percentile(col("__v"), array(ps.map(lit): _*)).as("__edges"))
+    val bin = aggregate(col("__edges"), lit(0),
+      (acc, e) => acc + when(col("__v") >= e, 1).otherwise(0))
+    val counts = base.join(broadcast(edges), groupCols)
+      .groupBy(g :+ bin.as("__bin"): _*)
+      .agg(sum(when(col("__sa"), 1L).otherwise(0L)).as("__ca"),
+           sum(when(col("__sa"), 0L).otherwise(1L)).as("__cb"))
+    ksFromCounts(counts, g, col("__bin"))
+  }
+
   /** Shared KS tail: per-group cumulative ECDFs over `orderCol`
     * (distinct values for the exact form, bin ids for the binned
     * form — the window is as long as that column's per-group

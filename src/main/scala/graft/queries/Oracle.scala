@@ -3358,5 +3358,142 @@ object Oracle {
         |FROM c
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // exact mirror of Drift.ksStatisticQuantileBinned (t139): the
+    // t137 chain with edges = reference-side per-group deciles
+    // (quantile_cont == Spark's exact percentile: both linear
+    // interpolation at p*(n-1)); bin = fold over the edge list.
+    "t139_ks_qbinned" ->
+      """WITH t AS (
+        |  SELECT event_type, value AS v,
+        |         ((CAST(ts AS DATE) - DATE '1970-01-01') % 2 = 0) AS sa
+        |  FROM events WHERE value IS NOT NULL
+        |), e AS (
+        |  SELECT event_type,
+        |         quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+        |           AS edges
+        |  FROM t WHERE sa GROUP BY event_type
+        |), b AS (
+        |  SELECT t.event_type,
+        |         CAST(list_sum(list_transform(e.edges,
+        |           x -> CASE WHEN t.v >= x THEN 1 ELSE 0 END)) AS INT)
+        |           AS bin,
+        |         t.sa
+        |  FROM t JOIN e USING (event_type)
+        |), counts AS (
+        |  SELECT event_type, bin,
+        |         CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bin,
+        |         sum(ca) OVER (PARTITION BY event_type ORDER BY bin) AS fa,
+        |         sum(cb) OVER (PARTITION BY event_type ORDER BY bin) AS fb
+        |  FROM counts
+        |), cum2 AS (
+        |  SELECT *, max(fa) OVER (PARTITION BY event_type) AS na,
+        |            max(fb) OVER (PARTITION BY event_type) AS nb
+        |  FROM cum
+        |)
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |       CAST(max(nb) AS BIGINT) AS n_b,
+        |       round(max(abs(CAST(fa AS DOUBLE)/na
+        |                     - CAST(fb AS DOUBLE)/nb)), 6) AS ks_d,
+        |       round(1.358 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+        |                          / (max(na) * max(nb))), 6) AS ks_crit,
+        |       max(abs(CAST(fa AS DOUBLE)/na - CAST(fb AS DOUBLE)/nb))
+        |         > 1.358 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+        |                        / (max(na) * max(nb))) AS drifted
+        |FROM cum2
+        |GROUP BY event_type
+        |HAVING max(na) > 0 AND max(nb) > 0
+        |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Ids.rendezvousShards' reshard audit (t140):
+    // shard = arg_max over s of md5('s:id') (hex-string comparison —
+    // identical lexicographic order both engines), replayed at 16 and
+    // 17 shards; movers' destination proven to be the new shard.
+    "t140_rendezvous_shards" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         CAST(arg_max(s, md5(s || ':' || doc_id)) AS INT)
+        |           AS shard_before
+        |  FROM ids CROSS JOIN range(0,16) r(s) GROUP BY doc_id
+        |), a AS (
+        |  SELECT doc_id,
+        |         CAST(arg_max(s, md5(s || ':' || doc_id)) AS INT)
+        |           AS shard_after
+        |  FROM ids CROSS JOIN range(0,17) r(s) GROUP BY doc_id
+        |)
+        |SELECT b.shard_before, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN a.shard_after <> b.shard_before
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |       round(CAST(sum(CASE WHEN a.shard_after <> b.shard_before
+        |                          THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS moved_frac,
+        |       CAST(max(CASE WHEN a.shard_after <> b.shard_before
+        |                     THEN a.shard_after END) AS INT) AS moved_to
+        |FROM b JOIN a USING (doc_id)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // exact mirror of Bootstrap.meanCI (t141): the shared md5-digit
+    // uniform keyed (doc_id, b), Poisson(1) multiplicity via the same
+    // hard-coded CDF literals, replicate mean = exact-long ratio,
+    // percentile CI via quantile_cont (== Spark's exact percentile).
+    "t141_bootstrap_ci" ->
+      """WITH rws AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), reps AS (SELECT b FROM range(0, 200) r(b)),
+        |h AS (
+        |  SELECT source, doc_id, v, b,
+        |         md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |             CAST(b AS VARCHAR) || '|' || 'boot') AS hh
+        |  FROM rws CROSS JOIN reps
+        |), u AS (
+        |  SELECT source, v, b,
+        |         least(greatest(
+        |             (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) / power(16.0, 1)
+        |           + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) / power(16.0, 2)
+        |           + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) / power(16.0, 3)
+        |           + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) / power(16.0, 4)
+        |           + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) / power(16.0, 5)
+        |           + (strpos('0123456789abcdef', substr(hh, 6, 1)) - 1) / power(16.0, 6)
+        |           + (strpos('0123456789abcdef', substr(hh, 7, 1)) - 1) / power(16.0, 7)
+        |           + (strpos('0123456789abcdef', substr(hh, 8, 1)) - 1) / power(16.0, 8),
+        |           1e-9), 1 - 1e-9) AS u
+        |  FROM h
+        |), w AS (
+        |  SELECT source, v, b,
+        |         (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9810118431238463 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9994058151824183 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.999916758850712 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9999897508033253 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.999998874797402 THEN 1 ELSE 0 END) AS wt
+        |  FROM u
+        |), per AS (
+        |  SELECT source, b,
+        |         CAST(sum(wt * v) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) AS m
+        |  FROM w GROUP BY 1, 2 HAVING sum(wt) > 0
+        |), ci AS (
+        |  SELECT source, count(*) AS n_reps,
+        |         quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi
+        |  FROM per GROUP BY source
+        |), pt AS (
+        |  SELECT source, count(*) AS n_rows,
+        |         CAST(sum(v) AS DOUBLE) / count(*) AS mean
+        |  FROM rws GROUP BY source
+        |)
+        |SELECT pt.source, pt.n_rows, round(pt.mean, 6) AS mean,
+        |       round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi,
+        |       ci.n_reps
+        |FROM pt JOIN ci USING (source)
+        |ORDER BY pt.source""".stripMargin,
   )
 }

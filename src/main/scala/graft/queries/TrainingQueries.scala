@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Behavior, Bpe, Chunking, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pca, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Behavior, Bootstrap, Bpe, Chunking, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pca, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -3286,6 +3286,60 @@ object TrainingQueries {
     CorpusStats.calibratedKeepAudit(kept, Seq("source"), "n_chars")
       .orderBy(col("source"))
   }
+
+  /** t139_ks_qbinned — quantile-auto-binned KS on the t113 fixture:
+    * bin edges are the even-day (reference) sample's per-event-type
+    * deciles instead of t137's hand-placed literals — equal-mass bins
+    * where the reference has mass, resolution bound ≈ 1/10. Exact
+    * oracle: Spark exact `percentile` and DuckDB `quantile_cont`
+    * share the linear-interpolation definition.
+    */
+  def t139KsQbinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    graft.ops.Drift.ksStatisticQuantileBinned(events, Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 2 === 0,
+        "value", nBins = 10)
+      .orderBy(col("event_type"))
+  }
+
+  /** t140_rendezvous_shards — consistent-hash reshard audit: assign
+    * every doc to 16 shards and to 17 by rendezvous hashing, then
+    * audit movement per old shard — n docs, n moved, moved fraction,
+    * and the (single) destination shard of every mover. The HRW
+    * contract under test: movers all land on the NEW shard and total
+    * movement ≈ 1/17, vs rank-based sharding's near-total reflow.
+    * Exact oracle (md5 arg_max replay).
+    */
+  def t140RendezvousShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val b = Ids.rendezvousShards(docs, "doc_id", 16, "shard_before")
+    val a = Ids.rendezvousShards(b, "doc_id", 17, "shard_after")
+    a.groupBy(col("shard_before"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_after") =!= col("shard_before"), 1L)
+          .otherwise(0L)).as("n_moved"),
+        round(sum(when(col("shard_after") =!= col("shard_before"), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("moved_frac"),
+        max(when(col("shard_after") =!= col("shard_before"),
+          col("shard_after"))).as("moved_to"))
+      .orderBy(col("shard_before"))
+  }
+
+  /** t141_bootstrap_ci — Poisson-bootstrap 95% CI for each source's
+    * mean doc length: 200 seeded replicates, each row's multiplicity
+    * an md5-seeded Poisson(1) draw, percentile-method bounds over the
+    * replicate means. Exact oracle: integral values keep every
+    * weighted sum an exact long, so the replicate means and the
+    * quantile interpolation are bit-identical in DuckDB.
+    */
+  def t141BootstrapCI(spark: SparkSession, sfDir: String): DataFrame =
+    Bootstrap.meanCI(
+        Tables.documents(spark, sfDir)
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        Seq("source"), "doc_id", "n_chars",
+        reps = 200, conf = 0.95, salt = "boot")
+      .orderBy(col("source"))
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate

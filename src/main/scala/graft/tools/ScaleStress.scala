@@ -314,7 +314,15 @@ object ScaleStress {
       "t136_score_calibrate" -> (TrainingQueries.t136ScoreCalibrate _),
       // calibrated keep: t136's shape + a per-row threshold + the
       // |sources|-row audit aggregate
-      "t138_calibrated_keep" -> (TrainingQueries.t138CalibratedKeep _))
+      "t138_calibrated_keep" -> (TrainingQueries.t138CalibratedKeep _),
+      // rendezvous sharding: pure map-side O(shards) hashing per row
+      // + one 16-row audit aggregate — should scale ~linearly
+      // (t139 is an events-table drift monitor, outside this fixture)
+      "t140_rendezvous_shards" -> (TrainingQueries.t140RendezvousShards _),
+      // Poisson bootstrap: map-side rows x 200-replicate explode, then
+      // partial-combined (source, b) aggregates — shuffle volume is
+      // partitions x sources x reps, never corpus-sized
+      "t141_bootstrap_ci" -> (TrainingQueries.t141BootstrapCI _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

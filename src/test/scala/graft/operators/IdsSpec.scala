@@ -103,4 +103,28 @@ class IdsSpec extends SparkSpec {
       full.select($"id", $"text", $"epoch", $"epoch_pos")
         .as[(Long, String, Int, Long)].collect().toSet)
   }
+
+  test("rendezvousShards: growing N moves ~1/(N+1) of ids, all onto the " +
+       "new shard, and keeps shards balanced") {
+    val ids = (0L until 2000L).toDF("id")
+    val b = Ids.rendezvousShards(ids, "id", 10, "s10")
+    val a = Ids.rendezvousShards(b, "id", 11, "s11")
+    val rows = a.select($"id", $"s10", $"s11")
+      .as[(Long, Int, Int)].collect()
+    assert(rows.length == 2000)
+    // every assignment in range
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 10 && r._3 >= 0 && r._3 < 11))
+    // HRW invariant: an id moves iff the NEW shard's score wins, so
+    // every mover's destination is shard 10 — structural, not statistical
+    val movers = rows.filter(r => r._2 != r._3)
+    assert(movers.nonEmpty && movers.forall(_._3 == 10))
+    // expected movement = 1/11 ≈ 0.0909 of 2000 ids (binomial sd ≈ 0.0064)
+    val frac = movers.length.toDouble / rows.length
+    assert(math.abs(frac - 1.0 / 11) < 0.03, s"moved frac $frac")
+    // balance: each of the 10 old shards holds ~200 ids
+    val counts = rows.groupBy(_._2).view.mapValues(_.size)
+    assert(counts.values.forall(c => c > 120 && c < 280), counts.toMap)
+    // non-movers keep their shard (consistency for the 10/11 overlap)
+    assert(rows.filter(r => r._2 == r._3).forall(r => r._2 == r._3))
+  }
 }

@@ -174,6 +174,32 @@ class DriftSpec extends SparkSpec {
       s"gap ${exact - binned} exceeds max bin mass $bound")
   }
 
+  test("ksStatisticQuantileBinned: lower-bounds exact D within 1/nBins " +
+       "and makes equal-mass reference bins") {
+    val rng = new scala.util.Random(11)
+    val a = Seq.fill(400)(rng.nextDouble() * 100)
+    val b = Seq.fill(300)(rng.nextDouble() * 100 + 20)
+    val df = (a.map(("g", true, _)) ++ b.map(("g", false, _)))
+      .toDF("g", "sa", "v")
+    val exact = Drift.ksStatistic(df, Seq("g"), col("sa"), "v")
+      .collect().head.getAs[Double]("ks_d")
+    val binned = Drift.ksStatisticQuantileBinned(df, Seq("g"), col("sa"),
+      "v", nBins = 10).collect().head.getAs[Double]("ks_d")
+    assert(binned <= exact + 1e-9)
+    // decile edges on the reference side -> every reference bin holds
+    // ~n/10 mass, so the resolution bound is ~1/10 (+ tie slack)
+    assert(exact - binned <= 0.1 + 1e-6,
+      s"gap ${exact - binned} exceeds the 1/nBins resolution bound")
+  }
+
+  test("ksStatisticQuantileBinned: a group with no reference rows drops") {
+    val df = (Seq(("g1", true, 1.0), ("g1", false, 2.0), ("g1", true, 3.0),
+      ("g2", false, 1.0), ("g2", false, 2.0))).toDF("g", "sa", "v")
+    val groups = Drift.ksStatisticQuantileBinned(df, Seq("g"), col("sa"),
+      "v", nBins = 4).select("g").as[String].collect().toSet
+    assert(groups == Set("g1"))
+  }
+
   test("ksStatisticBinned: identical samples give D = 0; empty side drops") {
     val rows = (1 to 50).flatMap(i =>
       Seq(("g", true, i.toDouble), ("g", false, i.toDouble))) :+
