@@ -34,7 +34,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t125_dataset_card", "t127_grouped_ols", "t128_corr_matrix",
            "t129_neg_sample", "t130_hard_negatives", "t131_ppr", "t133_top_paths", "t134_stream_psi", "t135_water_fill",
            "t136_score_calibrate", "t137_ks_binned", "t138_calibrated_keep",
-           "t139_ks_qbinned", "t140_rendezvous_shards", "t141_bootstrap_ci"]
+           "t139_ks_qbinned", "t140_rendezvous_shards", "t141_bootstrap_ci",
+           "t142_chi2_drift", "t143_jsd_sources", "t144_bootstrap_diff"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -77,6 +78,12 @@ NOTES = {
         "partitions \u00d7 sources \u00d7 reps aggregate rows; the CI "
         "percentile aggregates |sources| \u00d7 200 replicate means. "
         "Driver state: none.",
+    "t142_chi2_drift":
+        "One map-side-combinable HashAggregate on (source, lang) is the only corpus-sized stage; the window and final aggregate run over category-cardinality rows, and the critical value is a literal array lookup.",
+    "t143_jsd_sources":
+        "The corpus-sized stage is the (source, token) count with partial map-side combine; the per-token corpus-count join is vocab-sized, group totals and the corpus total are broadcast, and the absent-token mass is the (ln 2/2)(1 − Q_cov) closed form — no group × vocab expansion exists anywhere in the plan.",
+    "t144_bootstrap_diff":
+        "t141's shape with a side split: replicate explode and Poisson folds map-side, partial-combined (source, replicate) aggregates, percentile CI over |sources| × 200 replicate differences.",
 }
 
 def plan_of(q):

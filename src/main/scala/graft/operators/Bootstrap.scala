@@ -94,4 +94,63 @@ object Bootstrap {
         round(col("__hi"), 6).as("ci_hi") :+
         col("n_reps")): _*)
   }
+
+  /** Per-group bootstrap CI for the DIFFERENCE of means between two
+    * samples (the A/B readout: "did the treatment move the metric,
+    * with what uncertainty") — replicate statistic d_b = mean_A −
+    * mean_B under shared per-(id, replicate) Poisson weights, CI by
+    * the percentile method, `significant` = the CI excludes 0. Same
+    * scale shape and integral-value portability contract as
+    * [[meanCI]]; replicates where either side's total weight is 0
+    * drop (no difference to measure — P ≈ e^−min(n_a,n_b)).
+    * Output: (group…, n_a, n_b, diff, ci_lo, ci_hi, n_reps,
+    * significant).
+    */
+  def diffCI(df: DataFrame, groupCols: Seq[String], sideA: Column,
+             idCol: String, valueCol: String, reps: Int = 200,
+             conf: Double = 0.95, salt: String = "boot"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(reps >= 2, s"reps must be >= 2, got $reps")
+    require(conf > 0 && conf < 1, s"conf must be in (0,1), got $conf")
+    val integral = Set("ByteType", "ShortType", "IntegerType", "LongType")
+    require(integral(df.schema(valueCol).dataType.toString),
+      s"$valueCol must be integral (the exact-long portability contract); " +
+        "pre-scale doubles to fixed-point")
+    val g = groupCols.map(col)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select((g :+ col(idCol).as("__id") :+
+        col(valueCol).cast("long").as("__v") :+ sideA.as("__sa")): _*)
+    val point = rows.groupBy(g: _*)
+      .agg(sum(when(col("__sa"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__sa"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__sa"), col("__v"))).as("__va"),
+        sum(when(!col("__sa"), col("__v"))).as("__vb"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("__diff",
+        col("__va").cast("double") / col("n_a").cast("double") -
+          col("__vb").cast("double") / col("n_b").cast("double"))
+    val lo = (1 - conf) / 2
+    val perRep = rows
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", poissonWeight(col("__id"), col("__b"), salt))
+      .groupBy((g :+ col("__b")): _*)
+      .agg(sum(when(col("__sa"), col("__w") * col("__v"))).as("__wva"),
+        sum(when(col("__sa"), col("__w"))).as("__wa"),
+        sum(when(!col("__sa"), col("__w") * col("__v"))).as("__wvb"),
+        sum(when(!col("__sa"), col("__w"))).as("__wb"))
+      .filter(col("__wa") > 0 && col("__wb") > 0)
+      .select((g :+ (col("__wva").cast("double") / col("__wa").cast("double") -
+        col("__wvb").cast("double") / col("__wb").cast("double")).as("__d")): _*)
+    val ci = perRep.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_reps"),
+        percentile(col("__d"), lit(lo)).as("__lo"),
+        percentile(col("__d"), lit(1 - lo)).as("__hi"))
+    point.join(ci, groupCols)
+      .select((g :+ col("n_a") :+ col("n_b") :+
+        round(col("__diff"), 6).as("diff") :+
+        round(col("__lo"), 6).as("ci_lo") :+
+        round(col("__hi"), 6).as("ci_hi") :+
+        col("n_reps") :+
+        (col("__lo") > 0 || col("__hi") < 0).as("significant")): _*)
+  }
 }

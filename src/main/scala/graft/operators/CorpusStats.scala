@@ -412,4 +412,53 @@ object CorpusStats {
         round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
           count(lit(1)), 6).as("keep_frac"),
         min(when(col("keep"), col(scoreCol))).as("min_kept_score"))
+
+  /** Jensen–Shannon DISTINCTIVENESS of each group's unigram
+    * distribution vs the whole corpus — the mixing-dashboard readout
+    * for "how different is this source's language, really" (JSD is
+    * the symmetric, bounded [0, ln 2] divergence the domain-mixture
+    * literature reports; 0 = indistinguishable from the corpus
+    * average, ln 2 = disjoint vocabulary).
+    *
+    * The absent-token mass is handled in closed form instead of a
+    * per-(group × vocab) dense expansion: for tokens a group never
+    * uses, m = q/2 so the integrand collapses to q·ln 2 — hence
+    * JSD = Σ_{t∈group} [p·ln(p/m) + q·ln(q/m)]/2 + (ln 2/2)·(1 − Q_cov)
+    * where Q_cov is the corpus mass of the group's own vocabulary.
+    * Only (group, token-present) rows ever exist: the corpus-sized
+    * stage is the map-side-combinable groupBy(group, token); the join
+    * against per-token corpus counts is vocab-sized; group totals and
+    * the corpus total ride broadcast frames. Counts stay exact longs;
+    * ln 2 is a shared literal so both engines compare identically.
+    */
+  def jsdDistinctiveness(docs: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val Ln2 = 0.6931471805599453
+    val toks = filter(TextDedup.tokens(col(textCol)), x => length(x) > 0)
+    val posting = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"), explode(toks).as("token"))
+    val sCounts = posting.groupBy(col("g"), col("token"))
+      .agg(count(lit(1)).as("cs"))
+    val tCounts = sCounts.groupBy(col("token")).agg(sum(col("cs")).as("ct"))
+    val nS = sCounts.groupBy(col("g")).agg(sum(col("cs")).as("ns"))
+    val nTot = tCounts.agg(sum(col("ct")).as("__n"))
+    val p = col("cs").cast("double") / col("ns").cast("double")
+    val q = col("ct").cast("double") / col("__n").cast("double")
+    val m = (p + q) / 2
+    sCounts
+      .join(tCounts, "token")
+      .join(broadcast(nS), "g")
+      .crossJoin(broadcast(nTot))
+      .withColumn("__term", (p * log(p / m) + q * log(q / m)) / 2)
+      .withColumn("__q", q)
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        (sum(col("__term")) +
+          lit(Ln2 / 2) * (lit(1.0) - sum(col("__q")))).as("__jsd"))
+      .select(col(groupCol), col("n_tokens"), col("n_vocab"),
+        round(col("__jsd"), 6).as("jsd"),
+        round(col("__jsd") / Ln2, 6).as("jsd_norm"))
+  }
 }

@@ -132,6 +132,84 @@ object Drift {
     ksFromCounts(counts, g, col("__bin"))
   }
 
+  /** χ²₀.₉₅ critical values for df = 1..30 (literals shared verbatim
+    * with the SQL oracle; computing them per-engine would risk
+    * last-ulp disagreement at the comparison). Beyond 30 the
+    * Wilson–Hilferty cube approximation takes over (< 0.1% relative
+    * error there).
+    */
+  private[ops] val Chi2Crit95: Seq[Double] = Seq(
+    3.841458821, 5.991464547, 7.814727903, 9.487729037, 11.070497694,
+    12.591587244, 14.067140449, 15.507313056, 16.918977605, 18.307038053,
+    19.675137573, 21.026069817, 22.362032495, 23.684791305, 24.99579014,
+    26.296227605, 27.587111638, 28.86929943, 30.143527206, 31.410432844,
+    32.670573341, 33.924438471, 35.172461627, 36.415028502, 37.652484133,
+    38.88513866, 40.113272069, 41.337138151, 42.556967804, 43.772971826)
+
+  /** Pearson χ² two-sample homogeneity test per group — the
+    * CATEGORICAL member of the drift family ([[ksStatistic]] =
+    * continuous, [[psi]] = binned stability): did the category mix of
+    * `catCol` change between samples A and B? χ² = Σ over categories
+    * and both samples of (observed − expected)²/expected, expected
+    * from the pooled margins; df = #categories − 1; `drifted` = χ²
+    * above the α=0.05 critical value (literal table to df 30,
+    * Wilson–Hilferty beyond).
+    *
+    * Scale shape: one groupBy(group, category) count shuffle
+    * (map-side combinable — the only corpus-sized stage), then
+    * per-group windows and the final aggregate over CATEGORY-
+    * cardinality rows. Groups with an empty side or a single category
+    * yield no verdict and drop. Counts stay exact longs; the χ² terms
+    * are the only doubles, rounded 6dp at the boundary.
+    */
+  def chiSquareDrift(df: DataFrame, groupCols: Seq[String], sideA: Column,
+                     catCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val counts = df
+      .filter(col(catCol).isNotNull)
+      .groupBy(g :+ col(catCol).as("__c"): _*)
+      .agg(sum(when(sideA, 1L).otherwise(0L)).as("__ca"),
+           sum(when(sideA, 0L).otherwise(1L)).as("__cb"))
+    val tot = Window.partitionBy(g: _*)
+    val terms = counts
+      .withColumn("__na", sum(col("__ca")).over(tot))
+      .withColumn("__nb", sum(col("__cb")).over(tot))
+      .withColumn("__n", (col("__na") + col("__nb")).cast("double"))
+      .withColumn("__tc", (col("__ca") + col("__cb")).cast("double"))
+      // NULL-mask the degenerate groups inside the expression (they
+      // drop after the aggregate; ANSI would throw on their divisions
+      // first): expected counts are > 0 whenever both sides are
+      // non-empty, because every category row has __tc >= 1
+      .withColumn("__term", when(col("__na") > 0 && col("__nb") > 0, {
+        val ea = col("__tc") * col("__na").cast("double") / col("__n")
+        val eb = col("__tc") * col("__nb").cast("double") / col("__n")
+        (col("__ca").cast("double") - ea) * (col("__ca").cast("double") - ea) / ea +
+          (col("__cb").cast("double") - eb) * (col("__cb").cast("double") - eb) / eb
+      }))
+    val z95 = 1.6448536269514722
+    val agg = terms.groupBy(g: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        (count(lit(1)) - 1L).as("dof"),
+        sum(col("__term")).as("__chi2"))
+      .filter(col("n_a") > 0 && col("n_b") > 0 && col("dof") >= 1)
+    val whCrit = {
+      val d = col("dof").cast("double")
+      val inner = lit(1.0) - lit(2.0) / (lit(9.0) * d) +
+        lit(z95) * sqrt(lit(2.0) / (lit(9.0) * d))
+      d * inner * inner * inner
+    }
+    val crit = when(col("dof") <= 30,
+      element_at(typedLit(Chi2Crit95), col("dof").cast("int")))
+      .otherwise(whCrit)
+    agg
+      .withColumn("__crit", crit)
+      .select(g :+ col("n_a") :+ col("n_b") :+ col("dof") :+
+        round(col("__chi2"), 6).as("chi2") :+
+        round(col("__crit"), 6).as("chi2_crit") :+
+        (col("__chi2") > col("__crit")).as("drifted"): _*)
+  }
+
   /** Shared KS tail: per-group cumulative ECDFs over `orderCol`
     * (distinct values for the exact form, bin ids for the binned
     * form — the window is as long as that column's per-group

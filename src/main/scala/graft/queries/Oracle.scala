@@ -3495,5 +3495,167 @@ object Oracle {
         |       ci.n_reps
         |FROM pt JOIN ci USING (source)
         |ORDER BY pt.source""".stripMargin,
+
+    // exact mirror of Drift.chiSquareDrift (t142): pooled-margin
+    // expected counts, χ² over (category × side) cells, critical
+    // value from the shared df≤30 literal table (Wilson–Hilferty
+    // beyond). BIGINT casts per the HUGEINT rule.
+    "t142_chi2_drift" ->
+      """WITH t AS (
+        |  SELECT source, lang AS c,
+        |         (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS sa
+        |  FROM documents WHERE lang IS NOT NULL
+        |), counts AS (
+        |  SELECT source, c,
+        |         CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY 1, 2
+        |), m AS (
+        |  SELECT *, sum(ca) OVER (PARTITION BY source) AS na,
+        |            sum(cb) OVER (PARTITION BY source) AS nb
+        |  FROM counts
+        |), terms AS (
+        |  SELECT source, na, nb,
+        |         CASE WHEN na > 0 AND nb > 0 THEN
+        |           (CAST(ca AS DOUBLE) - (ca+cb) * CAST(na AS DOUBLE) / (na+nb))
+        |           * (CAST(ca AS DOUBLE) - (ca+cb) * CAST(na AS DOUBLE) / (na+nb))
+        |           / ((ca+cb) * CAST(na AS DOUBLE) / (na+nb))
+        |         + (CAST(cb AS DOUBLE) - (ca+cb) * CAST(nb AS DOUBLE) / (na+nb))
+        |           * (CAST(cb AS DOUBLE) - (ca+cb) * CAST(nb AS DOUBLE) / (na+nb))
+        |           / ((ca+cb) * CAST(nb AS DOUBLE) / (na+nb))
+        |         END AS term
+        |  FROM m
+        |), agg AS (
+        |  SELECT source, CAST(max(na) AS BIGINT) AS n_a,
+        |         CAST(max(nb) AS BIGINT) AS n_b,
+        |         CAST(count(*) - 1 AS BIGINT) AS dof, sum(term) AS chi2
+        |  FROM terms GROUP BY source
+        |  HAVING max(na) > 0 AND max(nb) > 0 AND count(*) >= 2
+        |), c AS (
+        |  SELECT *, CASE WHEN dof <= 30 THEN
+        |      [3.841458821, 5.991464547, 7.814727903, 9.487729037, 11.070497694,
+        |       12.591587244, 14.067140449, 15.507313056, 16.918977605, 18.307038053,
+        |       19.675137573, 21.026069817, 22.362032495, 23.684791305, 24.99579014,
+        |       26.296227605, 27.587111638, 28.86929943, 30.143527206, 31.410432844,
+        |       32.670573341, 33.924438471, 35.172461627, 36.415028502, 37.652484133,
+        |       38.88513866, 40.113272069, 41.337138151, 42.556967804, 43.772971826][dof]
+        |    ELSE dof * pow(1.0 - 2.0/(9.0*dof)
+        |                   + 1.6448536269514722 * sqrt(2.0/(9.0*dof)), 3)
+        |    END AS crit
+        |  FROM agg
+        |)
+        |SELECT source, n_a, n_b, dof, round(chi2, 6) AS chi2,
+        |       round(crit, 6) AS chi2_crit, chi2 > crit AS drifted
+        |FROM c
+        |ORDER BY source""".stripMargin,
+
+    // exact mirror of CorpusStats.jsdDistinctiveness (t143): shared
+    // tokenization, per-(source, token) counts joined to corpus token
+    // counts, JSD with the absent-token mass in closed form
+    // ((ln 2 / 2)·(1 − Q_cov)); ln 2 as a shared literal.
+    "t143_jsd_sources" ->
+      """WITH posting AS (
+        |  SELECT source AS g, t.tok AS token
+        |  FROM documents,
+        |       unnest(list_filter(
+        |         string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+        |         x -> x <> '')) AS t(tok)
+        |  WHERE text IS NOT NULL
+        |), sc AS (
+        |  SELECT g, token, CAST(count(*) AS BIGINT) AS cs
+        |  FROM posting GROUP BY 1, 2
+        |), tc AS (
+        |  SELECT token, CAST(sum(cs) AS BIGINT) AS ct FROM sc GROUP BY token
+        |), ns AS (
+        |  SELECT g, CAST(sum(cs) AS BIGINT) AS ns FROM sc GROUP BY g
+        |), ntot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS n FROM tc
+        |), terms AS (
+        |  SELECT sc.g, ns.ns,
+        |         (CAST(sc.cs AS DOUBLE)/ns.ns * ln((CAST(sc.cs AS DOUBLE)/ns.ns) /
+        |            ((CAST(sc.cs AS DOUBLE)/ns.ns + CAST(tc.ct AS DOUBLE)/ntot.n)/2))
+        |        + CAST(tc.ct AS DOUBLE)/ntot.n * ln((CAST(tc.ct AS DOUBLE)/ntot.n) /
+        |            ((CAST(sc.cs AS DOUBLE)/ns.ns + CAST(tc.ct AS DOUBLE)/ntot.n)/2))) / 2
+        |           AS term,
+        |         CAST(tc.ct AS DOUBLE)/ntot.n AS q
+        |  FROM sc JOIN tc USING (token) JOIN ns USING (g) CROSS JOIN ntot
+        |)
+        |SELECT g AS source, max(ns) AS n_tokens, count(*) AS n_vocab,
+        |       round(sum(term) + 0.6931471805599453/2 * (1 - sum(q)), 6) AS jsd,
+        |       round((sum(term) + 0.6931471805599453/2 * (1 - sum(q)))
+        |             / 0.6931471805599453, 6) AS jsd_norm
+        |FROM terms GROUP BY g
+        |ORDER BY g""".stripMargin,
+
+    // exact mirror of Bootstrap.diffCI (t144): the t141 seeded-Poisson
+    // machinery with the md5-half side split, replicate statistic
+    // mean_A − mean_B (both exact-long ratios), percentile CI,
+    // significant = CI excludes 0.
+    "t144_bootstrap_diff" ->
+      """WITH rws AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v,
+        |         (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS sa
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), reps AS (SELECT b FROM range(0, 200) r(b)),
+        |h AS (
+        |  SELECT source, doc_id, v, sa, b,
+        |         md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |             CAST(b AS VARCHAR) || '|' || 'ab') AS hh
+        |  FROM rws CROSS JOIN reps
+        |), u AS (
+        |  SELECT source, v, sa, b,
+        |         least(greatest(
+        |             (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) / power(16.0, 1)
+        |           + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) / power(16.0, 2)
+        |           + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) / power(16.0, 3)
+        |           + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) / power(16.0, 4)
+        |           + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) / power(16.0, 5)
+        |           + (strpos('0123456789abcdef', substr(hh, 6, 1)) - 1) / power(16.0, 6)
+        |           + (strpos('0123456789abcdef', substr(hh, 7, 1)) - 1) / power(16.0, 7)
+        |           + (strpos('0123456789abcdef', substr(hh, 8, 1)) - 1) / power(16.0, 8),
+        |           1e-9), 1 - 1e-9) AS u
+        |  FROM h
+        |), w AS (
+        |  SELECT source, v, sa, b,
+        |         (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9810118431238463 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9994058151824183 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.999916758850712 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9999897508033253 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.999998874797402 THEN 1 ELSE 0 END) AS wt
+        |  FROM u
+        |), per AS (
+        |  SELECT source, b,
+        |         CAST(sum(CASE WHEN sa THEN wt * v END) AS DOUBLE)
+        |           / CAST(sum(CASE WHEN sa THEN wt END) AS DOUBLE)
+        |       - CAST(sum(CASE WHEN NOT sa THEN wt * v END) AS DOUBLE)
+        |           / CAST(sum(CASE WHEN NOT sa THEN wt END) AS DOUBLE) AS d
+        |  FROM w GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN sa THEN wt END) > 0
+        |     AND sum(CASE WHEN NOT sa THEN wt END) > 0
+        |), ci AS (
+        |  SELECT source, count(*) AS n_reps,
+        |         quantile_cont(d, 0.025) AS lo, quantile_cont(d, 0.975) AS hi
+        |  FROM per GROUP BY source
+        |), pt AS (
+        |  SELECT source,
+        |         CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN sa THEN v END) AS DOUBLE)
+        |           / sum(CASE WHEN sa THEN 1 ELSE 0 END)
+        |       - CAST(sum(CASE WHEN NOT sa THEN v END) AS DOUBLE)
+        |           / sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS diff
+        |  FROM rws GROUP BY source
+        |  HAVING sum(CASE WHEN sa THEN 1 ELSE 0 END) > 0
+        |     AND sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) > 0
+        |)
+        |SELECT pt.source, pt.n_a, pt.n_b, round(pt.diff, 6) AS diff,
+        |       round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi,
+        |       ci.n_reps, (ci.lo > 0 OR ci.hi < 0) AS significant
+        |FROM pt JOIN ci USING (source)
+        |ORDER BY pt.source""".stripMargin,
   )
 }

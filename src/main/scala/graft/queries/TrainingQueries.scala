@@ -3341,6 +3341,47 @@ object TrainingQueries {
         reps = 200, conf = 0.95, salt = "boot")
       .orderBy(col("source"))
 
+  /** t142_chi2_drift — Pearson χ² homogeneity per source: does the
+    * LANGUAGE mix differ between a seeded md5 half-split of each
+    * source's docs? (A null-hypothesis fixture — a random split
+    * should NOT drift, and the statistic, dof, critical value, and
+    * verdict are all exact-oracled.) The categorical member of the
+    * drift family: KS = continuous (t113/t137/t139), PSI = binned
+    * stability (t114), χ² = categorical significance.
+    */
+  def t142Chi2Drift(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Drift.chiSquareDrift(
+        Tables.documents(spark, sfDir), Seq("source"),
+        substring(md5(col("doc_id").cast("string")), 1, 1) < "8",
+        "lang")
+      .orderBy(col("source"))
+
+  /** t143_jsd_sources — Jensen–Shannon distinctiveness of each
+    * source's unigram distribution vs the corpus: the mixing-dashboard
+    * "how different is this source's language" readout, absent-token
+    * mass folded in closed form (never a group × vocab expansion).
+    * Exact oracle over the shared tokenization.
+    */
+  def t143JsdSources(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.jsdDistinctiveness(
+        Tables.documents(spark, sfDir), "source", "text")
+      .orderBy(col("source"))
+
+  /** t144_bootstrap_diff — A/B difference-in-means bootstrap: per
+    * source, the 95% CI for mean n_chars difference between the
+    * seeded md5 half-split's sides (the t142 null fixture — the CI
+    * should usually straddle 0), `significant` = CI excludes 0.
+    * Exact oracle via the shared seeded-Poisson machinery.
+    */
+  def t144BootstrapDiff(spark: SparkSession, sfDir: String): DataFrame =
+    Bootstrap.diffCI(
+        Tables.documents(spark, sfDir)
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        Seq("source"),
+        substring(md5(col("doc_id").cast("string")), 1, 1) < "8",
+        "doc_id", "n_chars", reps = 200, conf = 0.95, salt = "ab")
+      .orderBy(col("source"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -322,7 +322,16 @@ object ScaleStress {
       // Poisson bootstrap: map-side rows x 200-replicate explode, then
       // partial-combined (source, b) aggregates — shuffle volume is
       // partitions x sources x reps, never corpus-sized
-      "t141_bootstrap_ci" -> (TrainingQueries.t141BootstrapCI _))
+      "t141_bootstrap_ci" -> (TrainingQueries.t141BootstrapCI _),
+      // chi-square homogeneity: one (source, lang) count shuffle, then
+      // category-cardinality arithmetic
+      "t142_chi2_drift" -> (TrainingQueries.t142Chi2Drift _),
+      // JSD distinctiveness: the corpus-sized stage is the
+      // map-side-combinable (source, token) count; the 10x dup corpus
+      // multiplies counts, not vocabulary, so the join stays vocab-sized
+      "t143_jsd_sources" -> (TrainingQueries.t143JsdSources _),
+      // A/B diff bootstrap: t141's explode shape with a side split
+      "t144_bootstrap_diff" -> (TrainingQueries.t144BootstrapDiff _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

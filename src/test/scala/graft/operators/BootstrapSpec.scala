@@ -49,6 +49,34 @@ class BootstrapSpec extends SparkSpec {
     assert(r.getAs[Double]("ci_lo") == 7.0 && r.getAs[Double]("ci_hi") == 7.0)
   }
 
+  test("diffCI: a planted +50 shift is significant; a null split is not") {
+    val base = (0 until 400).map(i => (i % 100).toLong)
+    val shifted = base.map(_ + 50)
+    val rows =
+      base.zipWithIndex.map { case (v, i) => ("effect", i.toLong, true, v) } ++
+      shifted.zipWithIndex.map { case (v, i) =>
+        ("effect", 1000L + i, false, v) } ++
+      base.zipWithIndex.map { case (v, i) => ("null", 2000L + i, true, v) } ++
+      base.zipWithIndex.map { case (v, i) => ("null", 3000L + i, false, v) }
+    val out = Bootstrap.diffCI(rows.toDF("g", "id", "sa", "v"), Seq("g"),
+        col("sa"), "id", "v", reps = 100, conf = 0.95, salt = "t")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val eff = out("effect")
+    assert(eff.getAs[Double]("diff") == -50.0)
+    assert(eff.getAs[Boolean]("significant"))
+    assert(eff.getAs[Double]("ci_hi") < 0)
+    val nul = out("null")
+    assert(nul.getAs[Double]("diff") == 0.0)
+    assert(!nul.getAs[Boolean]("significant"))
+    assert(nul.getAs[Double]("ci_lo") <= 0 && nul.getAs[Double]("ci_hi") >= 0)
+  }
+
+  test("diffCI drops groups with an empty side") {
+    val df = Seq(("g", 1L, true, 5L), ("g", 2L, true, 6L)).toDF("g", "id", "sa", "v")
+    assert(Bootstrap.diffCI(df, Seq("g"), col("sa"), "id", "v", reps = 10)
+      .count() == 0)
+  }
+
   test("meanCI rejects non-integral value columns") {
     val df = Seq(("g", 1L, 1.5)).toDF("g", "id", "v")
     val e = intercept[IllegalArgumentException](

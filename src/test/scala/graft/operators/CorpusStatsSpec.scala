@@ -197,6 +197,54 @@ class CorpusStatsSpec extends SparkSpec {
     assert(audit("b").getAs[Double]("min_kept_score") == 1070.0)
   }
 
+  test("jsdDistinctiveness matches a brute-force reference and hits the " +
+       "closed-form bounds") {
+    val docsA = Seq((1L, "alpha beta alpha gamma"), (2L, "beta beta gamma"))
+    val docsB = Seq((3L, "delta epsilon delta"), (4L, "epsilon zeta"))
+    val df = (docsA.map { case (i, t) => ("A", i, t) } ++
+      docsB.map { case (i, t) => ("B", i, t) }).toDF("source", "doc_id", "text")
+    // brute-force reference over the full (group x corpus-vocab) grid
+    val grpToks = Map("A" -> docsA.flatMap(_._2.split("\\s+")),
+                      "B" -> docsB.flatMap(_._2.split("\\s+")))
+    val corpus = grpToks.values.flatten.toSeq
+    val vocab = corpus.distinct
+    def dist(ts: Seq[String]) =
+      vocab.map(t => ts.count(_ == t).toDouble / ts.size)
+    val qd = dist(corpus)
+    def jsdRef(g: String): Double = {
+      val pd = dist(grpToks(g))
+      pd.zip(qd).map { case (p, q) =>
+        val m = (p + q) / 2
+        (if (p > 0) p * math.log(p / m) else 0.0) +
+          (if (q > 0) q * math.log(q / m) else 0.0)
+      }.sum / 2
+    }
+    val got = CorpusStats.jsdDistinctiveness(df, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    Seq("A", "B").foreach { g =>
+      val jsd = got(g).getAs[Double]("jsd")
+      assert(math.abs(jsd - jsdRef(g)) < 1e-6, s"$g: $jsd vs ${jsdRef(g)}")
+      assert(jsd >= 0 && jsd <= 0.6931471805599453 + 1e-9)
+      assert(got(g).getAs[Double]("jsd_norm") >= 0 &&
+        got(g).getAs[Double]("jsd_norm") <= 1.0)
+    }
+    // disjoint vocabularies -> far from 0 (measured 0.172143: the
+    // corpus mixes A at weight 7/12, so group-vs-corpus JSD is well
+    // below the two-sample ln 2 ceiling); a group that IS the whole
+    // corpus is 0 (next test)
+    assert(got("A").getAs[Double]("jsd") > 0.15)
+  }
+
+  test("jsdDistinctiveness: a single group equals the corpus -> jsd 0") {
+    val df = Seq(("only", 1L, "x y z x"), ("only", 2L, "y z"))
+      .toDF("source", "doc_id", "text")
+    val r = CorpusStats.jsdDistinctiveness(df, "source", "text")
+      .collect().head
+    assert(r.getAs[Double]("jsd") == 0.0)
+    assert(r.getAs[Long]("n_tokens") == 6)
+    assert(r.getAs[Long]("n_vocab") == 3)
+  }
+
   test("bigramLmScore: rarer continuations score strictly worse") {
     // 'x y' appears 9×, 'x z' once — P(z|x) < P(y|x), so the doc made
     // of the rare bigram must carry the higher (worse) NLL

@@ -200,6 +200,46 @@ class DriftSpec extends SparkSpec {
     assert(groups == Set("g1"))
   }
 
+  test("chiSquareDrift matches the 2x2 closed form and flags at the " +
+       "3.841 critical value") {
+    // A: 10 x / 20 y, B: 20 x / 10 y -> chi2 = n(ad-bc)^2/(r1 r2 c1 c2)
+    // = 60*(10*10-20*20)^2/(30*30*30*30) = 20/3
+    val rows = Seq.fill(10)(("g", true, "x")) ++ Seq.fill(20)(("g", true, "y")) ++
+      Seq.fill(20)(("g", false, "x")) ++ Seq.fill(10)(("g", false, "y"))
+    val out = Drift.chiSquareDrift(rows.toDF("g", "sa", "c"), Seq("g"),
+      col("sa"), "c").collect().head
+    assert(out.getAs[Long]("n_a") == 30 && out.getAs[Long]("n_b") == 30)
+    assert(out.getAs[Long]("dof") == 1)
+    assert(math.abs(out.getAs[Double]("chi2") - 20.0 / 3) < 1e-6)
+    assert(out.getAs[Double]("chi2_crit") == 3.841459)
+    assert(out.getAs[Boolean]("drifted"))
+  }
+
+  test("chiSquareDrift: identical mixes give chi2 = 0; degenerate groups drop") {
+    val same = (1 to 30).flatMap(i =>
+      Seq(("ok", true, s"c${i % 3}"), ("ok", false, s"c${i % 3}")))
+    val oneSided = (1 to 5).map(i => ("empty_b", true, s"c$i"))
+    val oneCat = Seq(("single", true, "only"), ("single", false, "only"))
+    val out = Drift.chiSquareDrift(
+      (same ++ oneSided ++ oneCat).toDF("g", "sa", "c"),
+      Seq("g"), col("sa"), "c").collect()
+    assert(out.map(_.getAs[String]("g")).toSet == Set("ok"))
+    assert(out.head.getAs[Double]("chi2") == 0.0)
+    assert(!out.head.getAs[Boolean]("drifted"))
+  }
+
+  test("chiSquareDrift: dof > 30 takes the Wilson-Hilferty critical value") {
+    // 40 categories, perfectly balanced -> chi2 = 0, dof = 39;
+    // chi2_0.95(39) = 54.572; WH is within ~0.1% there
+    val rows = (0 until 40).flatMap(i =>
+      Seq.fill(3)(("g", true, s"c$i")) ++ Seq.fill(3)(("g", false, s"c$i")))
+    val out = Drift.chiSquareDrift(rows.toDF("g", "sa", "c"), Seq("g"),
+      col("sa"), "c").collect().head
+    assert(out.getAs[Long]("dof") == 39)
+    assert(math.abs(out.getAs[Double]("chi2_crit") - 54.572) < 0.2)
+    assert(out.getAs[Double]("chi2") == 0.0)
+  }
+
   test("ksStatisticBinned: identical samples give D = 0; empty side drops") {
     val rows = (1 to 50).flatMap(i =>
       Seq(("g", true, i.toDouble), ("g", false, i.toDouble))) :+
