@@ -35,7 +35,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t129_neg_sample", "t130_hard_negatives", "t131_ppr", "t133_top_paths", "t134_stream_psi", "t135_water_fill",
            "t136_score_calibrate", "t137_ks_binned", "t138_calibrated_keep",
            "t139_ks_qbinned", "t140_rendezvous_shards", "t141_bootstrap_ci",
-           "t142_chi2_drift", "t143_jsd_sources", "t144_bootstrap_diff"]
+           "t142_chi2_drift", "t143_jsd_sources", "t144_bootstrap_diff",
+           "t145_stream_bootstrap", "t146_ks_approx_edges", "t147_two_level_shards"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -84,6 +85,12 @@ NOTES = {
         "The corpus-sized stage is the (source, token) count with partial map-side combine; the per-token corpus-count join is vocab-sized, group totals and the corpus total are broadcast, and the absent-token mass is the (ln 2/2)(1 − Q_cov) closed form — no group × vocab expansion exists anywhere in the plan.",
     "t144_bootstrap_diff":
         "t141's shape with a side split: replicate explode and Poisson folds map-side, partial-combined (source, replicate) aggregates, percentile CI over |sources| × 200 replicate differences.",
+    "t145_stream_bootstrap":
+        "Streaming state is per-(day-window, event_type, replicate) partial long sums — days × 5 × 100 rows, never raw events; the post-stream merge and percentile CI run on that metadata-sized table. Merging partials is exact long addition, which is why the watermark-replay oracle is the plain batch bootstrap.",
+    "t146_ks_approx_edges":
+        "Three KS paths over one scan each: the percentile_approx edge aggregate carries Greenwald–Khanna sketch state (no per-group reference sort) — the path for groups whose reference sample exceeds a partition; gates pin it against the exact-edge and full-exact answers.",
+    "t147_two_level_shards":
+        "Two map-side folds per row — 16 group hashes + 16 in-group shard hashes (2√N vs 256 flat) — no shuffle until the 1-row audit; the movement contract survives composition because only the new shard's group can move.",
 }
 
 def plan_of(q):

@@ -426,7 +426,20 @@ object Verify {
           r.getAs[Double]("value") >= 0.9)),
       "t132 audio extra_frac <= 0.2" -> rows("t132_audio_fingerprint").map(
         _.exists(r => r.getAs[String]("check") == "extra_frac" &&
-          r.getAs[Double]("value") <= 0.2)))
+          r.getAs[Double]("value") <= 0.2)),
+      // sketch-edge binned KS (t146): approx (Greenwald–Khanna) edges
+      // must stay a valid lower bound of the exact full KS (any-edge
+      // binned D̂ ≤ D; 1e-6 slack for the 6dp boundary rounds) and land
+      // within the 1/nBins resolution of the exact-percentile edges
+      // (measured 0.001056 worst at sf0.01; gate at the documented
+      // bound, not the lucky draw)
+      "t146 every group: ks_approx <= ks_full + 1e-6" ->
+        rows("t146_ks_approx_edges").map(rs => rs.nonEmpty && rs.forall(r =>
+          r.getAs[Double]("ks_approx_edges") <=
+            r.getAs[Double]("ks_full") + 1e-6)),
+      "t146 every group: |ks_approx - ks_exact_edges| <= 0.1" ->
+        rows("t146_ks_approx_edges").map(rs => rs.nonEmpty && rs.forall(
+          _.getAs[Double]("abs_diff") <= 0.1)))
     checks.collect {
       case (desc, Left(err)) => s"$desc — $err"
       case (desc, Right(false)) => desc

@@ -180,4 +180,37 @@ object Ids {
         s.cast("int").as("s")))
     df.withColumn(shardColName, array_max(cand).getField("s"))
   }
+
+  /** The thousands-of-shards form of [[rendezvousShards]]: HRW over
+    * `numGroups` groups first, then HRW over the group's shards
+    * (shard s lives in group s mod numGroups) — O(numGroups +
+    * N/numGroups) hashes per row (≈ 2√N at numGroups ≈ √N) instead of
+    * O(N). The movement contract survives per level: with numGroups
+    * FIXED, growing N → N+1 adds the new shard to one group, ids in
+    * every other group are untouched, and within the affected group
+    * the flat-HRW argument applies — expected movement
+    * ≈ (1/numGroups)·(numGroups/N) = 1/N, every mover landing on the
+    * new shard. (Changing numGroups IS a reshard of everything — pin
+    * it per layout generation; that is why it is an explicit
+    * parameter and not derived from numShards.)
+    */
+  def rendezvousShardsTwoLevel(df: DataFrame, idCol: String, numShards: Int,
+                               numGroups: Int,
+                               shardColName: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(numGroups >= 1 && numGroups <= numShards,
+      s"numGroups must be in [1, numShards], got $numGroups")
+    val id = col(idCol).cast("string")
+    val grpCand = transform(sequence(lit(0), lit(numGroups - 1)),
+      j => struct(
+        md5(concat(lit("G"), j.cast("string"), lit(":"), id)).as("score"),
+        j.cast("int").as("s")))
+    val grp = array_max(grpCand).getField("s")
+    val shardCand = transform(
+      sequence(grp, lit(numShards - 1), lit(numGroups)),
+      s => struct(
+        md5(concat(lit("S"), s.cast("string"), lit(":"), id)).as("score"),
+        s.cast("int").as("s")))
+    df.withColumn(shardColName, array_max(shardCand).getField("s"))
+  }
 }

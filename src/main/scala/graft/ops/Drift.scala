@@ -113,16 +113,26 @@ object Drift {
     */
   def ksStatisticQuantileBinned(df: DataFrame, groupCols: Seq[String],
                                 sideA: Column, valueCol: String,
-                                nBins: Int = 10): DataFrame = {
+                                nBins: Int = 10, approx: Boolean = false,
+                                accuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val g = groupCols.map(col)
     val base = df.filter(col(valueCol).isNotNull)
       .select((g :+ col(valueCol).as("__v") :+ sideA.as("__sa")): _*)
     val ps = (1 until nBins).map(_.toDouble / nBins)
+    // approx = the sketch-sized scale path (Greenwald–Khanna state,
+    // no per-group sort): edges land within 1/accuracy rank error of
+    // the true quantiles, which only moves WHERE the ECDFs compare —
+    // D̂ stays a valid lower bound of the exact D for ANY edge set,
+    // and the t146 gate pins |D̂_approx − D̂_exact-edges| ≤ 1/nBins
+    val edgeAgg =
+      if (approx) percentile_approx(col("__v"), array(ps.map(lit): _*),
+        lit(accuracy))
+      else percentile(col("__v"), array(ps.map(lit): _*))
     val edges = base.filter(col("__sa"))
       .groupBy(g: _*)
-      .agg(percentile(col("__v"), array(ps.map(lit): _*)).as("__edges"))
+      .agg(edgeAgg.as("__edges"))
     val bin = aggregate(col("__edges"), lit(0),
       (acc, e) => acc + when(col("__v") >= e, 1).otherwise(0))
     val counts = base.join(broadcast(edges), groupCols)

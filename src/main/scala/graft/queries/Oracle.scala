@@ -3657,5 +3657,111 @@ object Oracle {
         |       ci.n_reps, (ci.lo > 0 OR ci.hi < 0) AS significant
         |FROM pt JOIN ci USING (source)
         |ORDER BY pt.source""".stripMargin,
+
+    // exact watermark-replay mirror of t145: merging the stream's
+    // per-day partial sums is exact long addition, so the oracle is
+    // simply the batch Poisson bootstrap over all events — same
+    // seeded uniforms (event_id, b, 'sboot'), fixed-point cents.
+    "t145_stream_bootstrap" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE value IS NOT NULL
+        |), wm AS (
+        |  SELECT max(ts) - INTERVAL 1 DAY AS w FROM e
+        |), rws AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM e
+        |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        |), reps AS (SELECT b FROM range(0, 100) r(b)),
+        |h AS (
+        |  SELECT event_type, v, b,
+        |         md5(CAST(event_id AS VARCHAR) || '|' ||
+        |             CAST(b AS VARCHAR) || '|' || 'sboot') AS hh
+        |  FROM rws CROSS JOIN reps
+        |), u AS (
+        |  SELECT event_type, v, b,
+        |         least(greatest(
+        |             (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) / power(16.0, 1)
+        |           + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) / power(16.0, 2)
+        |           + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) / power(16.0, 3)
+        |           + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) / power(16.0, 4)
+        |           + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) / power(16.0, 5)
+        |           + (strpos('0123456789abcdef', substr(hh, 6, 1)) - 1) / power(16.0, 6)
+        |           + (strpos('0123456789abcdef', substr(hh, 7, 1)) - 1) / power(16.0, 7)
+        |           + (strpos('0123456789abcdef', substr(hh, 8, 1)) - 1) / power(16.0, 8),
+        |           1e-9), 1 - 1e-9) AS u
+        |  FROM h
+        |), w AS (
+        |  SELECT event_type, v, b,
+        |         (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9810118431238463 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9994058151824183 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.999916758850712 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.9999897508033253 THEN 1 ELSE 0 END
+        |        + CASE WHEN u >= 0.999998874797402 THEN 1 ELSE 0 END) AS wt
+        |  FROM u
+        |), per AS (
+        |  SELECT event_type, b,
+        |         CAST(sum(wt * v) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) AS m
+        |  FROM w GROUP BY 1, 2 HAVING sum(wt) > 0
+        |), ci AS (
+        |  SELECT event_type, count(*) AS n_reps,
+        |         quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi
+        |  FROM per GROUP BY event_type
+        |), pt AS (
+        |  SELECT event_type, count(*) AS n_rows,
+        |         CAST(sum(v) AS DOUBLE) / count(*) AS mean_cents
+        |  FROM rws GROUP BY event_type
+        |)
+        |SELECT pt.event_type, pt.n_rows, round(pt.mean_cents, 6) AS mean_cents,
+        |       round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi,
+        |       ci.n_reps
+        |FROM pt JOIN ci USING (event_type)
+        |ORDER BY pt.event_type""".stripMargin,
+
+    // exact mirror of Ids.rendezvousShardsTwoLevel's reshard audit
+    // (t147): group = arg_max md5('G'||j||':'||id) over 16 groups,
+    // shard = arg_max md5('S'||s||':'||id) over the group's shards
+    // (s mod 16 = group), replayed at 256 and 257 shards.
+    "t147_two_level_shards" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |grp AS (
+        |  SELECT doc_id,
+        |         CAST(arg_max(j, md5('G' || j || ':' || doc_id)) AS INT) AS g
+        |  FROM ids CROSS JOIN range(0,16) r(j) GROUP BY doc_id
+        |), b AS (
+        |  SELECT i.doc_id,
+        |         CAST(arg_max(s, md5('S' || s || ':' || i.doc_id)) AS INT)
+        |           AS shard_before
+        |  FROM grp i CROSS JOIN range(0,256) r(s)
+        |  WHERE s % 16 = i.g GROUP BY i.doc_id
+        |), a AS (
+        |  SELECT i.doc_id,
+        |         CAST(arg_max(s, md5('S' || s || ':' || i.doc_id)) AS INT)
+        |           AS shard_after
+        |  FROM grp i CROSS JOIN range(0,257) r(s)
+        |  WHERE s % 16 = i.g GROUP BY i.doc_id
+        |), j AS (
+        |  SELECT b.doc_id, shard_before, shard_after
+        |  FROM b JOIN a USING (doc_id)
+        |), loads AS (
+        |  SELECT shard_after, count(*) AS c FROM j GROUP BY 1
+        |)
+        |SELECT count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN shard_after <> shard_before
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |       round(CAST(sum(CASE WHEN shard_after <> shard_before
+        |                          THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS moved_frac,
+        |       coalesce(bool_and(CASE WHEN shard_after <> shard_before
+        |                              THEN shard_after = 256 END), TRUE)
+        |         AS movers_to_new,
+        |       (SELECT CAST(max(c) AS BIGINT) FROM loads) AS max_load,
+        |       CAST(count(DISTINCT shard_after) AS BIGINT) AS n_shards_used
+        |FROM j""".stripMargin,
   )
 }

@@ -3382,6 +3382,121 @@ object TrainingQueries {
         "doc_id", "n_chars", reps = 200, conf = 0.95, salt = "ab")
       .orderBy(col("source"))
 
+  /** t145_stream_bootstrap — STREAMING Poisson-bootstrap CI: events
+    * stream in watermarked daily micro-batches; the streaming state is
+    * per-(day-window, event_type, replicate) PARTIAL weight/value sums
+    * (associative exact longs — days × groups × 100 reps rows, never
+    * raw events); batch post-processing merges the day partials into
+    * replicate means and takes the percentile CI of each event type's
+    * mean value (fixed-point cents — floor(value·100), portable both
+    * engines). Merging partials is exact, so the result equals the
+    * batch bootstrap on all data: full watermark-replay oracle.
+    */
+  def t145StreamBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val reps = 100
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+      .filter(col("value").isNotNull)
+      .withColumn("__v", floor(col("value") * 100).cast("long"))
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w",
+        Bootstrap.poissonWeight(col("event_id"), col("__b"), "sboot"))
+    val partials = stream.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        col("event_type"), col("__b"))
+      .agg(sum(col("__w") * col("__v")).as("wv"), sum(col("__w")).as("wt"))
+      .select(col("event_type"), col("__b"), col("wv"), col("wt"))
+    val merged = StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, partials,
+        s"t145_boot_${System.nanoTime}")
+    }.localCheckpoint(true)
+    val perRep = merged.groupBy(col("event_type"), col("__b"))
+      .agg(sum(col("wv")).as("swv"), sum(col("wt")).as("swt"))
+      .filter(col("swt") > 0)
+      .select(col("event_type"),
+        (col("swv").cast("double") / col("swt").cast("double")).as("__m"))
+    val ci = perRep.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_reps"),
+        percentile(col("__m"), lit(0.025)).as("__lo"),
+        percentile(col("__m"), lit(0.975)).as("__hi"))
+    // the stream only FINALIZES windows whose end precedes the final
+    // watermark (max ts − 1 day); the point estimate applies the same
+    // cutoff so both statistics describe the same finalized data
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    val wm = ev.agg((max(col("ts")) - expr("INTERVAL 1 DAY")).as("__wm"))
+    val point = ev.crossJoin(broadcast(wm))
+      .filter(date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY") <=
+        col("__wm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(floor(col("value") * 100).cast("long")).cast("double") /
+          count(lit(1))).as("__mean"))
+    point.join(ci, "event_type")
+      .select(col("event_type"), col("n_rows"),
+        round(col("__mean"), 6).as("mean_cents"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"), col("n_reps"))
+      .orderBy(col("event_type"))
+  }
+
+  /** t146_ks_approx_edges — the SKETCH-edge drop-in t139's scaladoc
+    * promises, measured: quantile-binned KS with percentile_approx
+    * (Greenwald–Khanna, bounded state — the path for groups whose
+    * reference sample exceeds a partition) side-by-side with the
+    * exact-percentile edges and the exact full KS. Estimate-typed
+    * (sketch edges are engine-specific) → rows-only for the driver;
+    * the ENFORCED Verify gate pins, per group: D̂_approx ≤ D_exact
+    * (any-edge binned D̂ lower-bounds the true sup) and
+    * |D̂_approx − D̂_exact-edges| ≤ 1/nBins.
+    */
+  def t146KsApproxEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val side = datediff(to_date(col("ts")),
+      lit("1970-01-01").cast("date")) % 2 === 0
+    val full = graft.ops.Drift.ksStatistic(events, Seq("event_type"),
+        side, "value")
+      .select(col("event_type"), col("ks_d").as("ks_full"))
+    val exactE = graft.ops.Drift.ksStatisticQuantileBinned(events,
+        Seq("event_type"), side, "value", nBins = 10)
+      .select(col("event_type"), col("ks_d").as("ks_exact_edges"))
+    val approxE = graft.ops.Drift.ksStatisticQuantileBinned(events,
+        Seq("event_type"), side, "value", nBins = 10, approx = true)
+      .select(col("event_type"), col("ks_d").as("ks_approx_edges"))
+    full.join(exactE, "event_type").join(approxE, "event_type")
+      .withColumn("abs_diff",
+        round(abs(col("ks_approx_edges") - col("ks_exact_edges")), 6))
+      .orderBy(col("event_type"))
+  }
+
+  /** t147_two_level_shards — the thousands-of-shards rendezvous form
+    * (O(2√N) hashes/row) at N=256, groups=16: reshard audit 256→257
+    * proving the movement contract survives the two-level composition
+    * — movers all land on the new shard, movement ≈ 1/N, shard loads
+    * bounded. Exact oracle (two-level md5 arg_max replay).
+    */
+  def t147TwoLevelShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val b = Ids.rendezvousShardsTwoLevel(docs, "doc_id", 256, 16,
+      "shard_before")
+    val j = Ids.rendezvousShardsTwoLevel(b, "doc_id", 257, 16,
+      "shard_after").localCheckpoint(true)
+    val moved = col("shard_after") =!= col("shard_before")
+    val main = j.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(moved, 1L).otherwise(0L)).as("n_moved"),
+      round(sum(when(moved, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)), 6).as("moved_frac"),
+      coalesce(bool_and(when(moved, col("shard_after") === 256)), lit(true))
+        .as("movers_to_new"))
+    val loads = j.groupBy(col("shard_after")).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("max_load"),
+        count(lit(1)).as("n_shards_used"))
+    main.crossJoin(loads)
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -331,7 +331,10 @@ object ScaleStress {
       // multiplies counts, not vocabulary, so the join stays vocab-sized
       "t143_jsd_sources" -> (TrainingQueries.t143JsdSources _),
       // A/B diff bootstrap: t141's explode shape with a side split
-      "t144_bootstrap_diff" -> (TrainingQueries.t144BootstrapDiff _))
+      "t144_bootstrap_diff" -> (TrainingQueries.t144BootstrapDiff _),
+      // two-level rendezvous: 2*sqrt(N) map-side hashes per row
+      // (t145/t146 are events-table ops, outside this fixture)
+      "t147_two_level_shards" -> (TrainingQueries.t147TwoLevelShards _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

@@ -127,4 +127,26 @@ class IdsSpec extends SparkSpec {
     // non-movers keep their shard (consistency for the 10/11 overlap)
     assert(rows.filter(r => r._2 == r._3).forall(r => r._2 == r._3))
   }
+
+  test("rendezvousShardsTwoLevel: movement stays ~1/N, movers land on the " +
+       "new shard, other groups untouched") {
+    val ids = (0L until 20000L).toDF("id")
+    val b = Ids.rendezvousShardsTwoLevel(ids, "id", 100, 10, "s100")
+    val a = Ids.rendezvousShardsTwoLevel(b, "id", 101, 10, "s101")
+    val rows = a.select($"id", $"s100", $"s101").as[(Long, Int, Int)].collect()
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 100 && r._3 >= 0 && r._3 < 101))
+    val movers = rows.filter(r => r._2 != r._3)
+    // shard 100 joins group 100 % 10 = 0 — ids whose old shard is in
+    // any OTHER group cannot move (structural: their candidate set is
+    // unchanged), and every mover lands on the new shard
+    assert(movers.forall(_._3 == 100))
+    assert(movers.forall(_._2 % 10 == 0))
+    val frac = movers.length.toDouble / rows.length
+    // expected 1/101 ≈ 0.0099 (binomial sd ≈ 0.0007)
+    assert(frac > 0.004 && frac < 0.018, s"moved frac $frac")
+    // group assignment is id-stable: rerunning gives identical shards
+    val again = Ids.rendezvousShardsTwoLevel(ids, "id", 100, 10, "s100")
+      .as[(Long, Int)].collect().toMap
+    assert(rows.forall(r => again(r._1) == r._2))
+  }
 }

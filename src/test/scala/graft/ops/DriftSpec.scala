@@ -192,6 +192,25 @@ class DriftSpec extends SparkSpec {
       s"gap ${exact - binned} exceeds the 1/nBins resolution bound")
   }
 
+  test("ksStatisticQuantileBinned approx edges: lower-bounds exact D and " +
+       "matches exact edges at high accuracy on small samples") {
+    val rng = new scala.util.Random(13)
+    val a = Seq.fill(300)(rng.nextDouble() * 100)
+    val b = Seq.fill(250)(rng.nextDouble() * 100 + 10)
+    val df = (a.map(("g", true, _)) ++ b.map(("g", false, _)))
+      .toDF("g", "sa", "v")
+    val full = Drift.ksStatistic(df, Seq("g"), col("sa"), "v")
+      .collect().head.getAs[Double]("ks_d")
+    val approx = Drift.ksStatisticQuantileBinned(df, Seq("g"), col("sa"),
+      "v", nBins = 10, approx = true).collect().head.getAs[Double]("ks_d")
+    assert(approx <= full + 1e-9)           // any-edge binned lower bound
+    // GK at accuracy 10000 over 300 reference points is rank-exact, so
+    // the sketch edges select the same evaluation points
+    val exactE = Drift.ksStatisticQuantileBinned(df, Seq("g"), col("sa"),
+      "v", nBins = 10).collect().head.getAs[Double]("ks_d")
+    assert(math.abs(approx - exactE) <= 0.1 + 1e-9)
+  }
+
   test("ksStatisticQuantileBinned: a group with no reference rows drops") {
     val df = (Seq(("g1", true, 1.0), ("g1", false, 2.0), ("g1", true, 3.0),
       ("g2", false, 1.0), ("g2", false, 2.0))).toDF("g", "sa", "v")
