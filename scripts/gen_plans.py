@@ -36,7 +36,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t136_score_calibrate", "t137_ks_binned", "t138_calibrated_keep",
            "t139_ks_qbinned", "t140_rendezvous_shards", "t141_bootstrap_ci",
            "t142_chi2_drift", "t143_jsd_sources", "t144_bootstrap_diff",
-           "t145_stream_bootstrap", "t146_ks_approx_edges", "t147_two_level_shards"]
+           "t145_stream_bootstrap", "t146_ks_approx_edges", "t147_two_level_shards",
+           "t148_mann_kendall", "t149_cusum_change", "t150_cohens_kappa"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -91,6 +92,12 @@ NOTES = {
         "Three KS paths over one scan each: the percentile_approx edge aggregate carries Greenwald–Khanna sketch state (no per-group reference sort) — the path for groups whose reference sample exceeds a partition; gates pin it against the exact-edge and full-exact answers.",
     "t147_two_level_shards":
         "Two map-side folds per row — 16 group hashes + 16 in-group shard hashes (2√N vs 256 flat) — no shuffle until the 1-row audit; the movement contract survives composition because only the new shard's group can move.",
+    "t148_mann_kendall":
+        "The corpus-sized stage is the daily-count aggregate (map-side combinable); the pair join, tie counts, and variance arithmetic all run on the days × groups series frame (≤ 31 rows per group here, 365/year) — Mann–Kendall's O(n²) pairs are period-pairs, never row-pairs.",
+    "t149_cusum_change":
+        "Same series frame; the scaled deviation n·S_k keeps the CUSUM an exact long, and every window partitions on (event_type) over period-cardinality rows.",
+    "t150_cohens_kappa":
+        "One map-side-combinable confusion-cell count on (source, labelA, labelB) is the only corpus-sized stage; marginals, p_e, and κ run on |labels|²-cardinality rows per group.",
 }
 
 def plan_of(q):

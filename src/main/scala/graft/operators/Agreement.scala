@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inter-rater agreement — the QA step for label pipelines where two
+  * imperfect annotators (two quality heuristics, two classifier
+  * versions, an LLM judge vs a rule) label the same rows and raw
+  * percent-agreement overstates reliability because both raters
+  * mostly emit the majority class. Cohen's κ subtracts the
+  * chance-agreement floor: κ = (p_o − p_e)/(1 − p_e) with p_o the
+  * observed diagonal share and p_e = Σ_k P_A(k)·P_B(k) from the
+  * marginals.
+  *
+  * Scale shape: ONE map-side-combinable groupBy(group, labelA,
+  * labelB) count — the confusion matrix — then windows and the final
+  * aggregate over |labels|²-cardinality rows. Counts exact longs;
+  * κ's doubles appear only at the final ratio, 6dp at the boundary.
+  * Degenerate groups (p_e = 1: both raters constant and identical)
+  * have no chance-corrected signal — κ is NULL and `reliable` false.
+  */
+object Agreement {
+
+  /** Per-group Cohen's κ between two label columns. Output:
+    * (group…, n_rows, po, pe, kappa, reliable) — `reliable` =
+    * κ ≥ `floor` (0.6 default: the customary "substantial agreement"
+    * reading). NULL labels on either side drop the row (no pair to
+    * compare).
+    */
+  def cohensKappa(df: DataFrame, groupCols: Seq[String], labelA: Column,
+                  labelB: Column, floor: Double = 0.6): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val cells = df
+      .select((g :+ labelA.cast("string").as("__a") :+
+        labelB.cast("string").as("__b")): _*)
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(g :+ col("__a") :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val tot = Window.partitionBy(g: _*)
+    val wa = Window.partitionBy(g :+ col("__a"): _*)
+    val wb = Window.partitionBy(g :+ col("__b"): _*)
+    val enriched = cells
+      .withColumn("__n", sum(col("__c")).over(tot))
+      .withColumn("__ra", sum(col("__c")).over(wa))   // rater-A marginal
+      .withColumn("__cb", sum(col("__c")).over(wb))   // rater-B marginal
+    // p_e = Σ_k P_A(k)·P_B(k): each (a=k, b=k) diagonal cell carries
+    // its own marginal product; labels missing a diagonal cell
+    // contribute via the off-diagonal rows of either marginal — to
+    // count each k exactly once, attribute the product to rows where
+    // a == b, and for labels never agreed on, ra·cb/(n·n) still needs
+    // counting — so build p_e from a per-label frame instead.
+    val labels = cells.select((g :+ col("__a").as("__k") :+
+        col("__c")): _*)
+      .groupBy(g :+ col("__k"): _*).agg(sum(col("__c")).as("__ra"))
+      .join(
+        cells.select((g :+ col("__b").as("__k") :+ col("__c")): _*)
+          .groupBy(g :+ col("__k"): _*).agg(sum(col("__c")).as("__cb")),
+        groupCols :+ "__k", "full_outer")
+      .na.fill(0L, Seq("__ra", "__cb"))
+    val n = cells.groupBy(g: _*).agg(sum(col("__c")).as("n_rows"))
+    val pe = labels.join(n, groupCols)
+      .groupBy(g: _*)
+      .agg(sum(col("__ra").cast("double") / col("n_rows") *
+        (col("__cb").cast("double") / col("n_rows"))).as("__pe"))
+    val po = cells.filter(col("__a") === col("__b"))
+      .groupBy(g: _*).agg(sum(col("__c")).as("__agree"))
+    n.join(pe, groupCols)
+      .join(po, groupCols, "left")
+      .withColumn("__po",
+        coalesce(col("__agree"), lit(0L)).cast("double") / col("n_rows"))
+      .withColumn("__kappa",
+        when(col("__pe") < 1.0,
+          (col("__po") - col("__pe")) / (lit(1.0) - col("__pe"))))
+      .select(g ++ Seq(col("n_rows"),
+        round(col("__po"), 6).as("po"),
+        round(col("__pe"), 6).as("pe"),
+        round(col("__kappa"), 6).as("kappa"),
+        coalesce(col("__kappa") >= floor, lit(false)).as("reliable")): _*)
+  }
+}

@@ -44,11 +44,23 @@ object Bootstrap {
 
   /** Seeded Poisson(1) multiplicity for (id, replicate): the count of
     * CDF thresholds at or below the row's md5 uniform.
+    *
+    * The uniform subtree appears once per CDF literal (9×) in this
+    * single-expression form; Catalyst's CollapseProject keeps a
+    * PRE-MATERIALIZED uniform column un-inlined (md5 is non-cheap and
+    * multiply-referenced), so hot paths — the ×reps streaming explode
+    * especially — should compute `u` into its own column and call
+    * [[poissonWeightFromUniform]].
     */
-  def poissonWeight(idCol: Column, repCol: Column, salt: String): Column = {
-    val u = graft.ops.Sampling.md5Uniform(Seq(idCol, repCol), salt)
+  def poissonWeight(idCol: Column, repCol: Column, salt: String): Column =
+    poissonWeightFromUniform(
+      graft.ops.Sampling.md5Uniform(Seq(idCol, repCol), salt))
+
+  /** The threshold fold alone, for callers that materialized the
+    * seeded uniform into a column first.
+    */
+  def poissonWeightFromUniform(u: Column): Column =
     PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L)).reduce(_ + _)
-  }
 
   /** Per-group bootstrap percentile CI for the MEAN of an integral
     * column. Output one row per group: n_rows, mean (the point
@@ -77,7 +89,9 @@ object Bootstrap {
     val lo = (1 - conf) / 2
     val perRep = rows
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("__w", poissonWeight(col("__id"), col("__b"), salt))
+      .withColumn("__u", graft.ops.Sampling.md5Uniform(
+        Seq(col("__id"), col("__b")), salt))
+      .withColumn("__w", poissonWeightFromUniform(col("__u")))
       .groupBy((g :+ col("__b")): _*)
       .agg(sum(col("__w") * col("__v")).as("__wv"), sum(col("__w")).as("__wt"))
       .filter(col("__wt") > 0)
@@ -132,7 +146,9 @@ object Bootstrap {
     val lo = (1 - conf) / 2
     val perRep = rows
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("__w", poissonWeight(col("__id"), col("__b"), salt))
+      .withColumn("__u", graft.ops.Sampling.md5Uniform(
+        Seq(col("__id"), col("__b")), salt))
+      .withColumn("__w", poissonWeightFromUniform(col("__u")))
       .groupBy((g :+ col("__b")): _*)
       .agg(sum(when(col("__sa"), col("__w") * col("__v"))).as("__wva"),
         sum(when(col("__sa"), col("__w"))).as("__wa"),

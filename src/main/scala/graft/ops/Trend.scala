@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trend and change-point detection over per-group time series — the
+  * monitoring questions AFTER drift detection says "something moved":
+  * is a metric drifting monotonically ([[mannKendall]]), and WHEN did
+  * it shift ([[cusumChangePoint]])?
+  *
+  * Both operate on an already-aggregated series frame (one row per
+  * (group, period) — the caller's daily/hourly reduction), so every
+  * stage below the input aggregation is PERIOD-cardinality, not
+  * corpus-cardinality: the pair join and windows touch ≤ n_periods
+  * rows per group (a year of days = 365). Integer-valued series keep
+  * the statistics exact (S and the scaled CUSUM are exact longs);
+  * only the final normalized scores are doubles, 6dp at the boundary.
+  */
+object Trend {
+
+  private val Z975 = 1.959963985
+
+  /** Mann–Kendall monotone-trend test per group: S = Σ_{i<j}
+    * sgn(x_j − x_i) over period order, tie-corrected variance
+    * Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, continuity-corrected
+    * z = (S∓1)/√Var, `trending` = |z| > z₀.₉₇₅ with the sign of S.
+    * Output: (group…, n_points, s_stat, var_s, z, trending) —
+    * groups with < 2 points or zero variance (all values tied) yield
+    * z = NULL and never flag.
+    */
+  def mannKendall(series: DataFrame, groupCols: Seq[String],
+                  orderCol: String, valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val base = series.filter(col(valueCol).isNotNull)
+      .select((g :+ col(orderCol).as("__t") :+
+        col(valueCol).cast("long").as("__x")): _*)
+    val a = base.select((g :+ col("__t").as("__t1") :+
+      col("__x").as("__x1")): _*)
+    val b = base.select((g :+ col("__t").as("__t2") :+
+      col("__x").as("__x2")): _*)
+    val s = a.join(b, groupCols).filter(col("__t1") < col("__t2"))
+      .groupBy(g: _*)
+      .agg(sum(signum(col("__x2") - col("__x1")).cast("long")).as("s_stat"))
+    val n = base.groupBy(g: _*).agg(count(lit(1)).as("n_points"))
+    val ties = base.groupBy(g :+ col("__x"): _*)
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(g: _*)
+      .agg(sum(col("__tc") * (col("__tc") - 1) *
+        (col("__tc") * 2 + 5)).as("__tiesum"))
+    val joined = n.join(s, groupCols).join(ties, groupCols)
+      .filter(col("n_points") >= 2)
+      .withColumn("__var18",
+        col("n_points") * (col("n_points") - 1) *
+          (col("n_points") * 2 + 5) - col("__tiesum"))
+    val varS = col("__var18").cast("double") / 18.0
+    val z = when(col("__var18") > 0,
+      when(col("s_stat") > 0,
+          (col("s_stat") - 1L).cast("double") / sqrt(varS))
+        .when(col("s_stat") < 0,
+          (col("s_stat") + 1L).cast("double") / sqrt(varS))
+        .otherwise(lit(0.0)))
+    joined
+      .withColumn("__z", z)
+      .select(g :+ col("n_points") :+ col("s_stat") :+
+        round(varS, 6).as("var_s") :+
+        round(col("__z"), 6).as("z") :+
+        coalesce(abs(col("__z")) > Z975, lit(false)).as("trending"): _*)
+  }
+
+  /** CUSUM change-point per group: with series total T over n points,
+    * the scaled cumulative deviation n·S_k = n·Σ_{i≤k} x_i − k·T is an
+    * EXACT long (S_k = Σ_{i≤k}(x_i − mean) would be fractional); the
+    * change point is the first period k maximizing |n·S_k|, the
+    * magnitude is max|S_k| = max|n·S_k|/n, and the before/after means
+    * quantify the shift. Output: (group…, n_points, change_point,
+    * cusum_max, mean_before, mean_after, shift). Groups with < 2
+    * points drop; a flat series reports cusum_max 0 and shift 0 at
+    * the first period.
+    */
+  def cusumChangePoint(series: DataFrame, groupCols: Seq[String],
+                       orderCol: String, valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val base = series.filter(col(valueCol).isNotNull)
+      .select((g :+ col(orderCol).as("__t") :+
+        col(valueCol).cast("long").as("__x")): _*)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val cum = base
+      .withColumn("__k", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col("__t"))))
+      .withColumn("__ck", sum(col("__x")).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum(col("__x")).over(wAll))
+      .filter(col("__n") >= 2)
+      // exact long: n*S_k = n*cum_k − k*T
+      .withColumn("__ns",
+        col("__n") * col("__ck") - col("__k") * col("__tot"))
+    // the change point: first period with the maximal |n·S_k|
+    val wPick = Window.partitionBy(g: _*)
+      .orderBy(abs(col("__ns")).desc, col("__t").asc)
+    val picked = cum
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+    picked.select(g ++ Seq(
+      col("__n").as("n_points"),
+      col("__t").as("change_point"),
+      round(abs(col("__ns")).cast("double") / col("__n"), 6)
+        .as("cusum_max"),
+      round(col("__ck").cast("double") / col("__k"), 6).as("mean_before"),
+      when(col("__n") > col("__k"),
+        round((col("__tot") - col("__ck")).cast("double") /
+          (col("__n") - col("__k")), 6)).as("mean_after"),
+      when(col("__n") > col("__k"),
+        round((col("__tot") - col("__ck")).cast("double") /
+          (col("__n") - col("__k")) -
+          col("__ck").cast("double") / col("__k"), 6))
+        .as("shift")): _*)
+  }
+}

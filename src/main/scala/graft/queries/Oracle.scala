@@ -3763,5 +3763,131 @@ object Oracle {
         |       (SELECT CAST(max(c) AS BIGINT) FROM loads) AS max_load,
         |       CAST(count(DISTINCT shard_after) AS BIGINT) AS n_shards_used
         |FROM j""".stripMargin,
+
+    // exact mirror of Trend.mannKendall (t148) on daily event counts:
+    // S from the bounded day-pair join, tie-corrected variance (exact
+    // integer numerator / 18), continuity-corrected z, z0.975 literal.
+    "t148_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.event_type,
+        |         CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1
+        |), n AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+        |  FROM daily GROUP BY 1
+        |), ties AS (
+        |  SELECT event_type,
+        |         CAST(sum(tc*(tc-1)*(2*tc+5)) AS BIGINT) AS tiesum
+        |  FROM (SELECT event_type, x, count(*) AS tc
+        |        FROM daily GROUP BY 1, 2) GROUP BY 1
+        |), j AS (
+        |  SELECT n.event_type, n.n_points, pairs.s_stat,
+        |         n.n_points*(n.n_points-1)*(2*n.n_points+5) - ties.tiesum
+        |           AS var18
+        |  FROM n JOIN pairs USING (event_type) JOIN ties USING (event_type)
+        |  WHERE n.n_points >= 2
+        |), z AS (
+        |  SELECT *, CASE WHEN var18 > 0 THEN
+        |      CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18/18.0)
+        |           WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18/18.0)
+        |           ELSE 0.0 END END AS zv
+        |  FROM j
+        |)
+        |SELECT event_type, n_points, s_stat, round(var18/18.0, 6) AS var_s,
+        |       round(zv, 6) AS z,
+        |       coalesce(abs(zv) > 1.959963985, FALSE) AS trending
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Trend.cusumChangePoint (t149): scaled deviation
+    // n·S_k = n·cum_k − k·T stays an exact long; first-argmax pick.
+    "t149_cusum_change" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, day, x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |         sum(x) OVER (PARTITION BY event_type ORDER BY day) AS ck,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         sum(x) OVER (PARTITION BY event_type) AS tot
+        |  FROM daily
+        |), ns AS (
+        |  SELECT *, n*ck - k*tot AS nsk FROM cum WHERE n >= 2
+        |), pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |                               ORDER BY abs(nsk) DESC, day ASC) AS rn
+        |  FROM ns
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+        |       day AS change_point,
+        |       round(CAST(abs(nsk) AS DOUBLE) / n, 6) AS cusum_max,
+        |       round(CAST(ck AS DOUBLE) / k, 6) AS mean_before,
+        |       CASE WHEN n > k
+        |            THEN round(CAST(tot - ck AS DOUBLE) / (n - k), 6)
+        |       END AS mean_after,
+        |       CASE WHEN n > k
+        |            THEN round(CAST(tot - ck AS DOUBLE) / (n - k)
+        |                       - CAST(ck AS DOUBLE) / k, 6)
+        |       END AS shift
+        |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Agreement.cohensKappa (t150): confusion-cell
+    // counts, marginal-product p_e, chance-corrected kappa; labels =
+    // the two length heuristics stringified ('true'/'false' in both
+    // engines).
+    "t150_cohens_kappa" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(n_chars > 300 AS VARCHAR) AS a,
+        |         CAST(len(list_filter(
+        |           string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+        |           x -> x <> '')) > 45 AS VARCHAR) AS b
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        |), cells AS (
+        |  SELECT source, a, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2, 3
+        |), n AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_rows
+        |  FROM cells GROUP BY source
+        |), ra AS (
+        |  SELECT source, a AS k, CAST(sum(c) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1, 2
+        |), cb AS (
+        |  SELECT source, b AS k, CAST(sum(c) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1, 2
+        |), labels AS (
+        |  SELECT coalesce(ra.source, cb.source) AS source,
+        |         coalesce(ra.k, cb.k) AS k,
+        |         coalesce(ra.ra, 0) AS ra, coalesce(cb.cb, 0) AS cb
+        |  FROM ra FULL OUTER JOIN cb
+        |    ON ra.source = cb.source AND ra.k = cb.k
+        |), pe AS (
+        |  SELECT l.source,
+        |         sum(CAST(l.ra AS DOUBLE)/n.n_rows
+        |             * (CAST(l.cb AS DOUBLE)/n.n_rows)) AS pe
+        |  FROM labels l JOIN n USING (source) GROUP BY l.source
+        |), po AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS agree
+        |  FROM cells WHERE a = b GROUP BY source
+        |)
+        |SELECT n.source, n.n_rows,
+        |       round(CAST(coalesce(po.agree, 0) AS DOUBLE) / n.n_rows, 6)
+        |         AS po,
+        |       round(pe.pe, 6) AS pe,
+        |       round(CASE WHEN pe.pe < 1.0 THEN
+        |         (CAST(coalesce(po.agree, 0) AS DOUBLE) / n.n_rows - pe.pe)
+        |         / (1.0 - pe.pe) END, 6) AS kappa,
+        |       coalesce(CASE WHEN pe.pe < 1.0 THEN
+        |         (CAST(coalesce(po.agree, 0) AS DOUBLE) / n.n_rows - pe.pe)
+        |         / (1.0 - pe.pe) >= 0.6 END, FALSE) AS reliable
+        |FROM n JOIN pe USING (source) LEFT JOIN po USING (source)
+        |ORDER BY n.source""".stripMargin,
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Behavior, Bootstrap, Bpe, Chunking, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pca, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
+import graft.operators.{Agreement, Behavior, Bootstrap, Bpe, Chunking, Clustering, CorpusStats, Graph, Ids, Importance, IncrementalDedup, Layout, LineOps, Multimodal, Packing, Pca, Pq, Privacy, Quantization, Retrieval, Similarity, Sketches, Splits, TextAnalysis, TextDedup, UrlOps}
 
 /** Training-data-pipeline operators as oracle-checkable queries over the
   * driver's `documents` and `embeddings` tables. Hash-based operators
@@ -3402,8 +3402,11 @@ object TrainingQueries {
       .filter(col("value").isNotNull)
       .withColumn("__v", floor(col("value") * 100).cast("long"))
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("__w",
-        Bootstrap.poissonWeight(col("event_id"), col("__b"), "sboot"))
+      // materialize the uniform once: inlined it would be recomputed
+      // per CDF literal (9 md5+extract trees per row per replicate)
+      .withColumn("__u", graft.ops.Sampling.md5Uniform(
+        Seq(col("event_id"), col("__b")), "sboot"))
+      .withColumn("__w", Bootstrap.poissonWeightFromUniform(col("__u")))
     val partials = stream.withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"),
         col("event_type"), col("__b"))
@@ -3495,6 +3498,49 @@ object TrainingQueries {
       .agg(max(col("__c")).as("max_load"),
         count(lit(1)).as("n_shards_used"))
     main.crossJoin(loads)
+  }
+
+  /** The shared t148/t149 fixture: daily event counts per type — an
+    * integer-valued series, so the trend statistics stay exact longs.
+    */
+  private def dailyCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+
+  /** t148_mann_kendall — monotone-trend test on each event type's
+    * daily volume (tie-corrected variance, continuity-corrected z;
+    * the null fixture: random daily counts should not trend). Exact
+    * oracle — S and the variance numerator are exact longs.
+    */
+  def t148MannKendall(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Trend.mannKendall(dailyCounts(spark, sfDir),
+        Seq("event_type"), "day", "x")
+      .orderBy(col("event_type"))
+
+  /** t149_cusum_change — CUSUM change-point on the same series: the
+    * first day maximizing |n·S_k| (exact long), shift quantified by
+    * before/after means. Exact oracle.
+    */
+  def t149CusumChange(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Trend.cusumChangePoint(dailyCounts(spark, sfDir),
+        Seq("event_type"), "day", "x")
+      .orderBy(col("event_type"))
+
+  /** t150_cohens_kappa — inter-rater agreement per source between two
+    * length heuristics (n_chars > 300 vs token count > 45): the QA
+    * readout for label pipelines, chance-corrected. Exact oracle on
+    * the shared tokenization.
+    */
+  def t150CohensKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+    val tokCount = size(filter(TextDedup.tokens(col("text")),
+      x => length(x) > 0))
+    Agreement.cohensKappa(docs, Seq("source"),
+        col("n_chars") > 300, tokCount > 45)
+      .orderBy(col("source"))
   }
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize

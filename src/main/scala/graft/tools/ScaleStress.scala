@@ -334,7 +334,11 @@ object ScaleStress {
       "t144_bootstrap_diff" -> (TrainingQueries.t144BootstrapDiff _),
       // two-level rendezvous: 2*sqrt(N) map-side hashes per row
       // (t145/t146 are events-table ops, outside this fixture)
-      "t147_two_level_shards" -> (TrainingQueries.t147TwoLevelShards _))
+      "t147_two_level_shards" -> (TrainingQueries.t147TwoLevelShards _),
+      // Cohen's kappa: one (source, labelA, labelB) confusion count,
+      // then |labels|^2-cardinality arithmetic
+      // (t148/t149 are events-table series ops, outside this fixture)
+      "t150_cohens_kappa" -> (TrainingQueries.t150CohensKappa _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

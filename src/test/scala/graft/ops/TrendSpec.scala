@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mannKendall: a strictly increasing series trends up with S = n(n-1)/2") {
+    val series = (1 to 20).map(i => ("g", i, (10 * i).toLong))
+      .toDF("g", "t", "x")
+    val out = Trend.mannKendall(series, Seq("g"), "t", "x").collect().head
+    assert(out.getAs[Long]("s_stat") == 190)     // all 190 pairs ascend
+    assert(out.getAs[Long]("n_points") == 20)
+    // no ties: var = n(n-1)(2n+5)/18 = 20*19*45/18 = 950
+    assert(out.getAs[Double]("var_s") == 950.0)
+    val z = (190 - 1) / math.sqrt(950.0)
+    assert(math.abs(out.getAs[Double]("z") -
+      BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out.getAs[Boolean]("trending"))
+  }
+
+  test("mannKendall: a constant series has zero variance and never flags") {
+    val series = (1 to 10).map(i => ("g", i, 7L)).toDF("g", "t", "x")
+    val out = Trend.mannKendall(series, Seq("g"), "t", "x").collect().head
+    assert(out.getAs[Long]("s_stat") == 0)
+    assert(out.getAs[Double]("var_s") == 0.0)
+    assert(out.isNullAt(out.fieldIndex("z")))
+    assert(!out.getAs[Boolean]("trending"))
+  }
+
+  test("mannKendall: an alternating series does not trend") {
+    val series = (1 to 21).map(i => ("g", i, (i % 2).toLong * 10))
+      .toDF("g", "t", "x")
+    val out = Trend.mannKendall(series, Seq("g"), "t", "x").collect().head
+    assert(!out.getAs[Boolean]("trending"))
+  }
+
+  test("cusumChangePoint finds a planted level shift at the right period") {
+    // 10 periods at 100, then 10 at 200 -> the CUSUM max sits at the
+    // boundary (period 10), before/after means recover the levels
+    val series = ((1 to 10).map(i => ("g", i, 100L)) ++
+      (11 to 20).map(i => ("g", i, 200L))).toDF("g", "t", "x")
+    val out = Trend.cusumChangePoint(series, Seq("g"), "t", "x")
+      .collect().head
+    assert(out.getAs[Int]("change_point") == 10)
+    assert(out.getAs[Double]("mean_before") == 100.0)
+    assert(out.getAs[Double]("mean_after") == 200.0)
+    assert(out.getAs[Double]("shift") == 100.0)
+    // |S_10| = |10*100 - 10*150| = 500
+    assert(out.getAs[Double]("cusum_max") == 500.0)
+  }
+
+  test("cusumChangePoint: a flat series reports zero shift at the first period") {
+    val series = (1 to 8).map(i => ("g", i, 5L)).toDF("g", "t", "x")
+    val out = Trend.cusumChangePoint(series, Seq("g"), "t", "x")
+      .collect().head
+    assert(out.getAs[Double]("cusum_max") == 0.0)
+    assert(out.getAs[Int]("change_point") == 1)
+    assert(out.getAs[Double]("shift") == 0.0)
+  }
+}
