@@ -37,7 +37,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t139_ks_qbinned", "t140_rendezvous_shards", "t141_bootstrap_ci",
            "t142_chi2_drift", "t143_jsd_sources", "t144_bootstrap_diff",
            "t145_stream_bootstrap", "t146_ks_approx_edges", "t147_two_level_shards",
-           "t148_mann_kendall", "t149_cusum_change", "t150_cohens_kappa"]
+           "t148_mann_kendall", "t149_cusum_change", "t150_cohens_kappa",
+           "t151_quantile_normalize", "t152_rake_weights"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -98,6 +99,10 @@ NOTES = {
         "Same series frame; the scaled deviation n·S_k keeps the CUSUM an exact long, and every window partitions on (event_type) over period-cardinality rows.",
     "t150_cohens_kappa":
         "One map-side-combinable confusion-cell count on (source, labelA, labelB) is the only corpus-sized stage; marginals, p_e, and κ run on |labels|²-cardinality rows per group.",
+    "t151_quantile_normalize":
+        "t136's bounded calibration shape plus ONE global percentile-grid aggregate (101 doubles, broadcast — percentile_approx is the corpus-scale drop-in) and a per-row two-point interpolation; no new wide shuffle.",
+    "t152_rake_weights":
+        "The only corpus-sized stage is the (lang, bucket) cell count; the IPF loop runs driver-side over the 20 collected cells (model-sized state) and the weights broadcast back as a map literal.",
 }
 
 def plan_of(q):

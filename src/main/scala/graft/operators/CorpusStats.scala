@@ -413,6 +413,42 @@ object CorpusStats {
           count(lit(1)), 6).as("keep_frac"),
         min(when(col("keep"), col(scoreCol))).as("min_kept_score"))
 
+  /** Full QUANTILE NORMALIZATION across groups — the batch-effect
+    * correction: each row's score is replaced by the GLOBAL score
+    * distribution's value at the row's within-group percentile, so
+    * every group's marginal distribution becomes the corpus marginal
+    * (where [[calibrateScores]] maps to uniform [0,1], this maps back
+    * onto the shared scale — downstream thresholds and models see one
+    * distribution, not |groups| shifted copies).
+    *
+    * Scale shape: [[calibrateScores]]'s bounded calibration (never a
+    * per-group window task) + ONE global quantile-grid aggregate
+    * (gridSize+1 doubles, broadcast) + a per-row linear interpolation
+    * between grid points. The exact `percentile` grid is the
+    * oracle-checkable form; at corpus scale swap `percentile` for
+    * `percentile_approx` — grid values move within sketch tolerance,
+    * which bends the target marginal slightly but identically for
+    * every group (the cross-group equalization property is untouched).
+    * Output adds `pct` and `normalized` (6dp) to each row.
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+                        scoreCol: String, gridSize: Int = 100): DataFrame = {
+    require(gridSize >= 2, s"gridSize must be >= 2, got $gridSize")
+    val cal = calibrateScores(df, groupCols, scoreCol)
+    val ps = (0 to gridSize).map(_.toDouble / gridSize)
+    val grid = df.filter(col(scoreCol).isNotNull)
+      .agg(percentile(col(scoreCol), array(ps.map(lit): _*)).as("__grid"))
+    val scaled = col("pct") * gridSize
+    val idx = floor(scaled).cast("int")
+    val frac = scaled - floor(scaled)
+    cal.crossJoin(broadcast(grid))
+      .withColumn("normalized", round(
+        element_at(col("__grid"), idx + 1) * (lit(1.0) - frac) +
+          element_at(col("__grid"),
+            least(idx + 2, lit(gridSize + 1))) * frac, 6))
+      .drop("__grid")
+  }
+
   /** Jensen–Shannon DISTINCTIVENESS of each group's unigram
     * distribution vs the whole corpus — the mixing-dashboard readout
     * for "how different is this source's language, really" (JSD is

@@ -232,4 +232,68 @@ object Mixing {
           .otherwise(col("__level")), 6).as("allocation"),
         (!col("__funded")).as("capped"))
   }
+
+  /** RAKING (iterative proportional fitting, Deming–Stephan 1940) —
+    * per-cell sampling weights that make BOTH marginals of a
+    * two-dimensional contingency table match target shares
+    * simultaneously (the survey-weighting / corpus-mixing step when
+    * two constraints must hold at once — e.g. language shares AND
+    * length-bucket shares — and per-axis reweighting alone breaks the
+    * other axis). Alternately scales row then column weights toward
+    * their targets for `iterations` rounds; IPF converges
+    * geometrically whenever every observed cell is reachable.
+    *
+    * Input is the PRE-AGGREGATED cells frame (rowCol, colCol, nCol) —
+    * the caller's corpus-sized groupBy-count stays upstream, and
+    * everything here touches |rows|×|cols| cells. The IPF loop runs
+    * driver-side over the collected cells (model-sized state, the
+    * documented [[graft.operators.Ids.denseIds]]-style exception) in
+    * sorted-key order, and the weights broadcast back as a map
+    * literal. Targets must be defined for every observed value (fail
+    * loudly — a missing target would silently zero a stratum).
+    * Output: the cells frame + `weight` (6dp).
+    */
+  def rakeWeights(cells: DataFrame, rowCol: String, colCol: String,
+                  nCol: String, rowTargets: Map[String, Double],
+                  colTargets: Map[String, Double],
+                  iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val collected = cells
+      .select(col(rowCol).cast("string"), col(colCol).cast("string"),
+        col(nCol).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(c => (c._1, c._2))
+    require(collected.nonEmpty, "cells frame is empty")
+    val rows = collected.map(_._1).distinct.sorted
+    val cols = collected.map(_._2).distinct.sorted
+    rows.foreach(r => require(rowTargets.contains(r),
+      s"no row target for observed value '$r'"))
+    cols.foreach(c => require(colTargets.contains(c),
+      s"no column target for observed value '$c'"))
+    val n = collected.map(c => (c._1, c._2) -> c._3).toMap
+    val total = collected.map(_._3).sum.toDouble
+    val w = scala.collection.mutable.Map[(String, String), Double](
+      collected.map(c => (c._1, c._2) -> 1.0): _*)
+    for (_ <- 1 to iterations) {
+      for (r <- rows) {
+        val share = cols.collect {
+          case c if n.contains((r, c)) => n((r, c)) * w((r, c)) }.sum / total
+        val f = rowTargets(r) / share
+        cols.foreach(c => if (w.contains((r, c))) w((r, c)) *= f)
+      }
+      for (c <- cols) {
+        val share = rows.collect {
+          case r if n.contains((r, c)) => n((r, c)) * w((r, c)) }.sum / total
+        val f = colTargets(c) / share
+        rows.foreach(r => if (w.contains((r, c))) w((r, c)) *= f)
+      }
+    }
+    val lookup: Map[String, Double] =
+      w.map { case ((r, c), v) => s"$r|$c" -> v }.toMap
+    cells.withColumn("weight",
+      round(element_at(typedLit(lookup),
+        concat(col(rowCol).cast("string"), lit("|"),
+          col(colCol).cast("string"))), 6))
+  }
 }

@@ -3889,5 +3889,107 @@ object Oracle {
         |         / (1.0 - pe.pe) >= 0.6 END, FALSE) AS reliable
         |FROM n JOIN pe USING (source) LEFT JOIN po USING (source)
         |ORDER BY n.source""".stripMargin,
+
+    // exact mirror of CorpusStats.quantileNormalize (t151): the t136
+    // percent_rank calibration + a shared 101-point global
+    // quantile_cont grid, linear interpolation with identical
+    // arithmetic (a*(1-frac) + b*frac on the 6dp-rounded pct).
+    "t151_quantile_normalize" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |         round(percent_rank() OVER (PARTITION BY source
+        |                                    ORDER BY n_chars), 6) AS pct
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), grid AS (
+        |  SELECT quantile_cont(n_chars,
+        |           list_transform(range(0, 101), g -> g/100.0)) AS q
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |)
+        |SELECT source, doc_id, n_chars, pct,
+        |       round(q[CAST(floor(pct*100) AS INT) + 1]
+        |             * (1 - (pct*100 - floor(pct*100)))
+        |           + q[least(CAST(floor(pct*100) AS INT) + 2, 101)]
+        |             * (pct*100 - floor(pct*100)), 6) AS normalized
+        |FROM c CROSS JOIN grid
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // exact mirror of Mixing.rakeWeights (t152): 4 unrolled IPF
+    // iterations (row-scale then column-scale), uniform 0.2/0.25
+    // targets, identical per-step arithmetic; 6dp at the boundary.
+    "t152_rake_weights" ->
+      """WITH cells AS (
+        |  SELECT lang, CAST(least(floor(n_chars/150), 3) AS INT) AS b,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        |w0 AS (SELECT lang, b, n, 1.0 AS w FROM cells),
+        |r1 AS (
+        |  SELECT p.lang, p.b, p.n,
+        |         p.w * (0.2 / (rs.s / tot.nn)) AS w
+        |  FROM w0 p
+        |  JOIN (SELECT lang, sum(n*w) AS s FROM w0 GROUP BY lang) rs
+        |    ON rs.lang = p.lang
+        |  CROSS JOIN tot
+        |),
+        |c1 AS (
+        |  SELECT p.lang, p.b, p.n,
+        |         p.w * (0.25 / (cs.s / tot.nn)) AS w
+        |  FROM r1 p
+        |  JOIN (SELECT b, sum(n*w) AS s FROM r1 GROUP BY b) cs
+        |    ON cs.b = p.b
+        |  CROSS JOIN tot
+        |),
+        |r2 AS (
+        |  SELECT p.lang, p.b, p.n,
+        |         p.w * (0.2 / (rs.s / tot.nn)) AS w
+        |  FROM c1 p
+        |  JOIN (SELECT lang, sum(n*w) AS s FROM c1 GROUP BY lang) rs
+        |    ON rs.lang = p.lang
+        |  CROSS JOIN tot
+        |),
+        |c2 AS (
+        |  SELECT p.lang, p.b, p.n,
+        |         p.w * (0.25 / (cs.s / tot.nn)) AS w
+        |  FROM r2 p
+        |  JOIN (SELECT b, sum(n*w) AS s FROM r2 GROUP BY b) cs
+        |    ON cs.b = p.b
+        |  CROSS JOIN tot
+        |),
+        |r3 AS (
+        |  SELECT p.lang, p.b, p.n,
+        |         p.w * (0.2 / (rs.s / tot.nn)) AS w
+        |  FROM c2 p
+        |  JOIN (SELECT lang, sum(n*w) AS s FROM c2 GROUP BY lang) rs
+        |    ON rs.lang = p.lang
+        |  CROSS JOIN tot
+        |),
+        |c3 AS (
+        |  SELECT p.lang, p.b, p.n,
+        |         p.w * (0.25 / (cs.s / tot.nn)) AS w
+        |  FROM r3 p
+        |  JOIN (SELECT b, sum(n*w) AS s FROM r3 GROUP BY b) cs
+        |    ON cs.b = p.b
+        |  CROSS JOIN tot
+        |),
+        |r4 AS (
+        |  SELECT p.lang, p.b, p.n,
+        |         p.w * (0.2 / (rs.s / tot.nn)) AS w
+        |  FROM c3 p
+        |  JOIN (SELECT lang, sum(n*w) AS s FROM c3 GROUP BY lang) rs
+        |    ON rs.lang = p.lang
+        |  CROSS JOIN tot
+        |),
+        |c4 AS (
+        |  SELECT p.lang, p.b, p.n,
+        |         p.w * (0.25 / (cs.s / tot.nn)) AS w
+        |  FROM r4 p
+        |  JOIN (SELECT b, sum(n*w) AS s FROM r4 GROUP BY b) cs
+        |    ON cs.b = p.b
+        |  CROSS JOIN tot
+        |)
+        |SELECT lang, b, n, round(w, 6) AS weight
+        |FROM c4
+        |ORDER BY lang, b""".stripMargin,
   )
 }

@@ -3543,6 +3543,41 @@ object TrainingQueries {
       .orderBy(col("source"))
   }
 
+  /** t151_quantile_normalize — full quantile normalization of
+    * n_chars across sources: each doc's length maps to the global
+    * length distribution's value at its within-source percentile
+    * (batch-effect correction — every source's marginal becomes the
+    * corpus marginal). Exact oracle: t136's percent_rank + a shared
+    * 101-point quantile_cont grid with identical interpolation
+    * arithmetic.
+    */
+  def t151QuantileNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.quantileNormalize(
+        Tables.documents(spark, sfDir)
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        Seq("source"), "n_chars", gridSize = 100)
+      .orderBy(col("source"), col("doc_id"))
+
+  /** t152_rake_weights — IPF raking of the (lang × length-bucket)
+    * table to uniform marginals on both axes at once (0.2 per lang,
+    * 0.25 per bucket): the two-constraint mixing weights per-axis
+    * reweighting cannot produce. 4 alternating iterations,
+    * driver-side over the 20-cell table, exact unrolled-SQL oracle.
+    */
+  def t152RakeWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      .groupBy(col("lang"),
+        least(floor(col("n_chars") / 150), lit(3)).cast("int").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    graft.ops.Mixing.rakeWeights(cells, "lang", "b", "n",
+        rowTargets = langs.map(_ -> 0.2).toMap,
+        colTargets = (0 to 3).map(i => i.toString -> 0.25).toMap,
+        iterations = 4)
+      .orderBy(col("lang"), col("b"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

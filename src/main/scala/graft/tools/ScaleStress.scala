@@ -338,7 +338,12 @@ object ScaleStress {
       // Cohen's kappa: one (source, labelA, labelB) confusion count,
       // then |labels|^2-cardinality arithmetic
       // (t148/t149 are events-table series ops, outside this fixture)
-      "t150_cohens_kappa" -> (TrainingQueries.t150CohensKappa _))
+      "t150_cohens_kappa" -> (TrainingQueries.t150CohensKappa _),
+      // quantile normalization: t136's calibration + one broadcast
+      // 101-double grid + per-row interpolation
+      "t151_quantile_normalize" -> (TrainingQueries.t151QuantileNormalize _),
+      // raking: one bounded cells count; IPF runs on 20 driver cells
+      "t152_rake_weights" -> (TrainingQueries.t152RakeWeights _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

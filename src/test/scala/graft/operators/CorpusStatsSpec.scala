@@ -245,6 +245,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_vocab") == 3)
   }
 
+  test("quantileNormalize: grid-aligned single group is the identity") {
+    // 101 distinct values, grid 100: pct lands exactly on grid points
+    // and the global quantile at pct k/100 is the value of rank k
+    val df = (0 to 100).map(i => ("g", i.toLong, (i * 3).toDouble))
+      .toDF("source", "doc_id", "score")
+    val out = CorpusStats.quantileNormalize(df, Seq("source"), "score")
+      .select("doc_id", "score", "normalized")
+      .as[(Long, Double, Double)].collect()
+    out.foreach { case (id, s, n) => assert(n == s, s"doc $id: $n != $s") }
+  }
+
+  test("quantileNormalize equalizes shifted group marginals") {
+    // group A uniform on [0,100), group B on [1000,1100): after
+    // normalization both marginals are the corpus marginal, so the
+    // sorted normalized sequences of equal-sized groups coincide
+    val rows = (0 until 200).map(i => ("A", i.toLong, (i % 100).toDouble)) ++
+      (0 until 200).map(i => ("B", 1000L + i, 1000.0 + i % 100))
+    val out = CorpusStats.quantileNormalize(rows.toDF("source", "doc_id", "score"),
+        Seq("source"), "score")
+      .select("source", "normalized").as[(String, Double)].collect()
+    val a = out.filter(_._1 == "A").map(_._2).sorted
+    val b = out.filter(_._1 == "B").map(_._2).sorted
+    assert(a.length == 200 && b.length == 200)
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9, s"$x vs $y") }
+    // and the normalized values live on the pooled scale, spanning
+    // both original ranges
+    assert(a.head < 100 && a.last > 1000)
+  }
+
   test("bigramLmScore: rarer continuations score strictly worse") {
     // 'x y' appears 9×, 'x z' once — P(z|x) < P(y|x), so the doc made
     // of the rare bigram must carry the higher (worse) NLL
