@@ -38,7 +38,11 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t142_chi2_drift", "t143_jsd_sources", "t144_bootstrap_diff",
            "t145_stream_bootstrap", "t146_ks_approx_edges", "t147_two_level_shards",
            "t148_mann_kendall", "t149_cusum_change", "t150_cohens_kappa",
-           "t151_quantile_normalize", "t152_rake_weights"]
+           "t151_quantile_normalize", "t152_rake_weights",
+           "t153_stream_cusum", "t154_drift_panel",
+           "t155_fdr_alarms", "t156_snapshot_fingerprint",
+           "t157_diversity", "t158_burst_gini",
+           "t159_wasserstein", "t160_containment"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -103,6 +107,22 @@ NOTES = {
         "t136's bounded calibration shape plus ONE global percentile-grid aggregate (101 doubles, broadcast — percentile_approx is the corpus-scale drop-in) and a per-row two-point interpolation; no new wide shuffle.",
     "t152_rake_weights":
         "The only corpus-sized stage is the (lang, bucket) cell count; the IPF loop runs driver-side over the 20 collected cells (model-sized state) and the weights broadcast back as a map literal.",
+    "t153_stream_cusum":
+        "Streaming state is days × event-types exact-long counts (the t134 shape minus bins); the CUSUM pick runs on that metadata-sized merged table.",
+    "t154_drift_panel":
+        "Three detectors share one scan lineage: KS's distinct-value window, PSI's and χ²'s combinable bin/category counts, joined on |groups| rows — the panel costs one pass per detector, all bounded shapes.",
+    "t155_fdr_alarms":
+        "The corpus-sized work is t113's KS chain; the p-value is per-row arithmetic on its |groups|-row output and the BH rank window runs over one row per MONITOR — a model-sized frame, so the global (no-partition) window is metadata, not a data funnel.",
+    "t156_snapshot_fingerprint":
+        "Each snapshot collapses to 64 fingerprint rows in ONE scan through a map-side-combinable (count, xor, sum-mod) aggregate — no sort, no keyed join; the full-outer verdict join touches |shards| rows. At 100 TB the row-level diff then runs only on the shards this map flags.",
+    "t157_diversity":
+        "Three explode scans (n = 1, 2, 3), each reducing through TWO map-side-combinable groupBys — (source, n, digest) then (source, n) — so shuffles carry 8-byte digests and counts, never gram strings, and there is no count-distinct Expand in the plan.",
+    "t158_burst_gini":
+        "Windows partition by event_type over the days × types aggregate (calendar-bounded frames); the only corpus-sized stage is the daily count scan.",
+    "t159_wasserstein":
+        "The t113 KS shape with one extra lead() in the same per-group ordered window: one groupBy(value) collapse, one sort per group over DISTINCT values, no new shuffle beyond exact KS; bin first for billion-distinct-value groups (the t137 hatch applies verbatim).",
+    "t160_containment":
+        "The corpus collapses to distinct (source, 8-byte digest) rows BEFORE any join, so duplication and doc counts drop out; the digest self-join fans out at most |sources|^2/2 pairs per digest and both size joins broadcast — every post-collapse structure is |sources|^2-bounded.",
 }
 
 def plan_of(q):

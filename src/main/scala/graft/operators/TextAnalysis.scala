@@ -397,4 +397,88 @@ object TextAnalysis {
           .as("score"),
         (col("s").getField("mean_w") >= 0.0).as("keep"))
   }
+
+  /** Lexical DIVERSITY report per group: n-gram type–token ratios
+    * (distinct / total n-grams) for n = 1…maxN — the mode-collapse /
+    * templated-content detector a synthetic-data pipeline runs per
+    * source (distilled or boilerplate corpora show depressed 2/3-gram
+    * TTRs long before eyeballing catches it).
+    *
+    * N-grams follow the TextDedup.shingles contract (lowercase
+    * whitespace tokens; a doc shorter than n contributes its whole
+    * text as one gram) and collapse to 48-bit engine-portable md5
+    * digests, so the distinct count is over digests — deterministic
+    * on both engines, collision-folding ≈ total²/2⁴⁸ expected (≪ 1
+    * row at any per-group cardinality the exact count itself can
+    * hold). Scale shape: maxN scans, each reducing through TWO
+    * map-side-combinable stages — groupBy(group, n, digest) then
+    * groupBy(group, n) — so the shuffles carry 8-byte digests and
+    * counts, never gram strings, and there is no count-distinct
+    * expand. At truly unbounded gram cardinality swap stage one for
+    * the HLL sketch path (t91) — same report, bounded state.
+    */
+  def diversityReport(docs: DataFrame, textCol: String,
+                      groupCols: Seq[String], maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, "need maxN >= 1")
+    val g = groupCols.map(col)
+    val base = docs.filter(col(textCol).isNotNull)
+    val grams = (1 to maxN).map { n =>
+      base.select(g :+
+        lit(n).as("n") :+
+        explode(TextDedup.shingles(col(textCol), n)).as("__g"): _*)
+        .select(g :+ col("n") :+
+          graft.ops.SnapshotDiff.portableDigest(Seq(col("__g")))
+            .as("__h"): _*)
+    }.reduce(_ union _)
+    grams
+      .groupBy(g :+ col("n") :+ col("__h"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(g :+ col("n"): _*)
+      .agg(sum(col("__c")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"))
+      .withColumn("ttr", round(col("distinct_grams").cast("double")
+        / col("total_grams"), 6))
+  }
+
+  /** Cross-source n-gram CONTAINMENT matrix: for every source pair,
+    * |grams_a ∩ grams_b| / min(|grams_a|, |grams_b|) over distinct
+    * k-shingle digests — the mirroring / republication / common-crawl
+    * overlap detector (containment, not Jaccard, so a small source
+    * fully swallowed by a large one still scores 1.0; the asymmetric
+    * question "is A inside B" made symmetric by the min).
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, 48-bit
+    * digest) rows first — doc counts and duplication drop out — then
+    * the digest-keyed self-join fans out at most |sources|²/2 pairs
+    * per digest (sources are a handful to hundreds; the join key is
+    * 8 bytes, the shuffled rows carry two source strings). Pair
+    * aggregation and the two broadcast size joins are
+    * |sources|²-bounded. Only pairs sharing ≥ 1 gram emit.
+    */
+  def crossSourceContainment(docs: DataFrame, textCol: String,
+                             srcCol: String,
+                             shingleK: Int = 3): DataFrame = {
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("__s"),
+        explode(TextDedup.shingles(col(textCol), shingleK)).as("__g"))
+      .select(col("__s"),
+        graft.ops.SnapshotDiff.portableDigest(Seq(col("__g"))).as("__h"))
+      .distinct()
+    val sizes = grams.groupBy(col("__s")).agg(count(lit(1)).as("n"))
+    val pairs = grams.select(col("__s").as("source_a"), col("__h"))
+      .join(grams.select(col("__s").as("source_b"), col("__h")),
+        Seq("__h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("__s").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("__s").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double")
+          / least(col("n_a"), col("n_b")), 6).as("containment"))
+  }
 }

@@ -376,4 +376,105 @@ object Drift {
         round(col("__psi"), 6).as("psi") :+
         (col("__psi") < 0.1).as("stable"): _*)
   }
+
+  /** Asymptotic two-sample KS p-value from a D statistic and the two
+    * sample sizes: the Kolmogorov tail series
+    * 2·Σ_{k≥1} (−1)^{k−1}·exp(−2k²·D²·n_e) with n_e = n_a·n_b/(n_a+n_b),
+    * truncated at k = 3 and clamped to [0, 1]. The 3-term truncation
+    * IS the contract (not an approximation detail): both engine and
+    * oracle compute exactly these three exp terms, so the value is
+    * reproducible; the truncation error is < exp(−32·D²·n_e) — already
+    * below 6dp wherever p is small enough to matter.
+    */
+  def ksPValue(d: Column, nA: Column, nB: Column): Column = {
+    val ne = nA.cast("double") * nB.cast("double") /
+      (nA + nB).cast("double")
+    val lam2 = d * d * ne
+    least(lit(1.0), greatest(lit(0.0),
+      lit(2.0) * (exp(lit(-2.0) * lam2) - exp(lit(-8.0) * lam2)
+        + exp(lit(-18.0) * lam2))))
+  }
+
+  /** 1-Wasserstein (earth-mover) distance between the two samples per
+    * group: W₁ = ∫|F_a − F_b| dx, evaluated exactly on the discrete
+    * ECDFs as Σᵢ |F_a(vᵢ) − F_b(vᵢ)|·(vᵢ₊₁ − vᵢ) over consecutive
+    * distinct values. The magnitude-aware complement to
+    * [[ksStatistic]]'s sup: KS says whether the distributions differ,
+    * W₁ says by HOW MUCH in value units (a whole-distribution 0.1
+    * shift and a 0.1-mass outlier spike look alike to KS but not to
+    * W₁). Same scale shape as exact KS — one groupBy(value) collapse,
+    * one per-group ordered window (distinct values must fit a
+    * partition; bin first for billion-distinct-value groups).
+    * Output: (groups…, n_a, n_b, w1, v_range) — `v_range` = max−min
+    * for scale-free reading; empty-side groups drop.
+    */
+  def wasserstein1(df: DataFrame, groupCols: Seq[String], sideA: Column,
+                   valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(sideA, 1L).otherwise(0L)).as("__ca"),
+           sum(when(sideA, 0L).otherwise(1L)).as("__cb"))
+    val ord = Window.partitionBy(g: _*).orderBy(col("__v"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(g: _*)
+    counts
+      .withColumn("__fa", sum(col("__ca")).over(cum))
+      .withColumn("__fb", sum(col("__cb")).over(cum))
+      .withColumn("__nv", lead(col("__v"), 1).over(ord))
+      .withColumn("__na", max(col("__fa")).over(tot))
+      .withColumn("__nb", max(col("__fb")).over(tot))
+      .groupBy(g: _*)
+      // empty-side divisions NULL-mask inside the aggregate (the
+      // ksFromCounts ANSI convention); those groups drop below
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(when(col("__nv").isNull, lit(0.0))
+          .otherwise(when(col("__na") > 0 && col("__nb") > 0,
+            abs(col("__fa").cast("double") / col("__na")
+              - col("__fb").cast("double") / col("__nb"))
+              * (col("__nv") - col("__v"))))).as("__w1"),
+        max(col("__v")).as("__vmax"), min(col("__v")).as("__vmin"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(g :+ col("n_a") :+ col("n_b") :+
+        round(col("__w1"), 6).as("w1") :+
+        round(col("__vmax") - col("__vmin"), 6).as("v_range"): _*)
+  }
+
+  /** Benjamini–Hochberg step-up FDR correction over a fleet of
+    * simultaneous drift tests — the multiple-testing discipline a
+    * monitoring panel needs once it watches hundreds of sources at
+    * once (at α = 0.05, fifty clean monitors still raise ~2.5 raw
+    * alarms per refresh; BH caps the EXPECTED FALSE-DISCOVERY RATE
+    * instead).
+    *
+    * Ranks rows by ascending `pCol` (ties broken by `tieBreak` for
+    * determinism), finds the largest rank k with p_(k) ≤ α·k/m, and
+    * flags exactly ranks 1…k (`fdr_flag`) — the step-up rule, which
+    * can flag a row whose own p exceeds its cutoff when a later rank
+    * passes. Appends p_rank, m_tests, bh_cutoff (= α·rank/m, 6dp),
+    * fdr_flag.
+    *
+    * Scale shape: the input is one row per MONITORED GROUP (a fleet of
+    * detectors, thousands at most — metadata, not data), so the global
+    * rank window runs over a model-sized frame; the corpus-sized work
+    * happened upstream in the detector that produced the p-values.
+    */
+  def bhCorrect(tests: DataFrame, pCol: String, alpha: Double,
+                tieBreak: Seq[String]): DataFrame = {
+    val wOrd = Window.orderBy(col(pCol) +: tieBreak.map(col): _*)
+    val wAll = Window.partitionBy()
+    tests
+      .withColumn("p_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(wAll))
+      .withColumn("bh_cutoff",
+        round(lit(alpha) * col("p_rank") / col("m_tests"), 6))
+      .withColumn("__pass",
+        when(col(pCol) <= lit(alpha) * col("p_rank") / col("m_tests"),
+          col("p_rank")))
+      .withColumn("fdr_flag",
+        col("p_rank") <= coalesce(max(col("__pass")).over(wAll), lit(0L)))
+      .drop("__pass")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Snapshot diff — change-data capture between two versions of a
@@ -94,5 +94,56 @@ object SnapshotDiff {
       d.filter(col("change_type") === "deleted")
         .select(keyCols.map(col): _*), keyCols)
     d.groupBy(col("change_type")).agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** Engine-portable 48-bit row digest: the first 12 hex digits of
+    * md5 over a '|'-joined canonical string of `cols` (NULLs
+    * normalized to ''), as a BIGINT. md5 (not xxhash64) so a DuckDB /
+    * any-SQL oracle replays it digit-for-digit; 48 bits keep sums of
+    * per-shard digest residues far from BIGINT overflow.
+    */
+  def portableDigest(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit(""))): _*)), 1, 12),
+      16, 10).cast("long")
+
+  /** Order-invariant per-shard fingerprint of a snapshot: for each
+    * shard, (row count, XOR of row digests, sum of digest residues
+    * mod 1000003). All three are commutative-monoid aggregates —
+    * map-side combinable, insensitive to row order and partitioning —
+    * so a 100 TB snapshot summarizes to |shards| rows in ONE scan
+    * with no sort and no join. XOR alone is blind to duplicate-pair
+    * insertions (h ⊕ h = 0) and count alone to substitutions; the
+    * triple (n, xor, sum-mod) requires a change to fool all three
+    * simultaneously. This is the Merkle-style cheap-equality layer
+    * ABOVE [[diff]]: compare fingerprints first (|shards| rows), then
+    * run the row-level keyed diff only on the shards that disagree.
+    */
+  def fingerprint(df: DataFrame, shard: Column,
+                  digest: Column): DataFrame =
+    df.select(shard.as("shard"), digest.as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_sig"),
+        sum(col("__h") % lit(1000003L)).as("sum_sig"))
+
+  /** Join two [[fingerprint]] tables and verdict each shard:
+    * `shard_equal` iff the shard exists on both sides with identical
+    * (count, xor, sum) signatures. Output is |shards|-sized — the
+    * localization map telling an incremental verifier which slices of
+    * a copied/refreshed snapshot need the expensive row-level check.
+    */
+  def fingerprintDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("shard"), col("n_rows").as("__na"),
+      col("xor_sig").as("__xa"), col("sum_sig").as("__sa"))
+    val r = b.select(col("shard"), col("n_rows").as("__nb"),
+      col("xor_sig").as("__xb"), col("sum_sig").as("__sb"))
+    l.join(r, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("__na"), lit(0L)).as("n_a"),
+        coalesce(col("__nb"), lit(0L)).as("n_b"),
+        (col("__na").isNotNull && col("__nb").isNotNull &&
+          col("__na") === col("__nb") && col("__xa") === col("__xb") &&
+          col("__sa") === col("__sb")).as("shard_equal"))
   }
 }

@@ -120,4 +120,44 @@ object Trend {
           col("__ck").cast("double") / col("__k"), 6))
         .as("shift")): _*)
   }
+
+  /** Gini concentration of a per-period count series — the
+    * BURSTINESS readout per group: gini ≈ 0 means volume spreads
+    * evenly across periods, → 1 means a few periods carry everything
+    * (a dump-shaped scrape, a replayed backfill, a broken sampler).
+    * Complements [[mannKendall]]/[[cusumChangePoint]]: those ask
+    * "does the series move"; this asks "how unequal is it".
+    *
+    * Standard rank formula on the ascending-sorted series
+    * (ties broken by `tCol` for determinism):
+    * G = 2·Σᵢ i·xᵢ / (D·Σx) − (D+1)/D, with `peak_share` = max/Σ as
+    * the companion single-period concentration. Integer numerators
+    * stay exact longs; doubles appear only at the final division, 6dp
+    * at the boundary. Like the other series ops the input is the
+    * periods × groups aggregate — windows run on calendar-bounded
+    * frames, never raw rows. Groups with zero total emit no row.
+    */
+  def giniConcentration(series: DataFrame, groupCols: Seq[String],
+                        tCol: String, xCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col(xCol), col(tCol))
+    val wAll = Window.partitionBy(g: _*)
+    series
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__d", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col(xCol)).over(wAll))
+      .withColumn("__mx", max(col(xCol)).over(wAll))
+      .filter(col("__s") > 0)
+      .groupBy(g: _*)
+      .agg(
+        max(col("__d")).as("n_periods"),
+        max(col("__s")).as("total_x"),
+        round((lit(2L) * sum(col("__i") * col(xCol))).cast("double")
+            / (max(col("__d")) * max(col("__s")))
+          - (max(col("__d")) + 1).cast("double") / max(col("__d")), 6)
+          .as("gini"),
+        round(max(col("__mx")).cast("double") / max(col("__s")), 6)
+          .as("peak_share"))
+  }
 }

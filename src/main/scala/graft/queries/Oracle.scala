@@ -6,6 +6,15 @@ package graft.queries
   */
 object Oracle {
 
+  /** hex→BIGINT for the first 12 md5 digits via strpos digit
+    * arithmetic (the t105 md5-digit convention — no hex-to-int builtin
+    * needed); expects a column/alias `d` holding the md5 hex string.
+    */
+  private val HexTerms12: String = (0 until 12).map { i =>
+    val w = BigInt(16).pow(11 - i)
+    s"(strpos('0123456789abcdef', substr(d, ${i + 1}, 1)) - 1) * $w"
+  }.mkString(" + ")
+
   /** Shared recursive-reachability prefix for t18/t38: connected
     * components over the SAME pair set the Spark side clusters (the
     * t4 contract: exact-dup pairs + df-capped 3-gram Jaccard >= 0.5
@@ -3912,6 +3921,366 @@ object Oracle {
         |             * (pct*100 - floor(pct*100)), 6) AS normalized
         |FROM c CROSS JOIN grid
         |ORDER BY source, doc_id""".stripMargin,
+
+    // exact watermark-replay mirror of t153: daily counts restricted
+    // to finalized windows (end <= max ts - 1 day), then the t149
+    // CUSUM chain.
+    "t153_stream_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), wm AS (
+        |  SELECT max(ts) - INTERVAL 1 DAY AS w FROM e
+        |), daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM e
+        |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, day, x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |         sum(x) OVER (PARTITION BY event_type ORDER BY day) AS ck,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         sum(x) OVER (PARTITION BY event_type) AS tot
+        |  FROM daily
+        |), ns AS (
+        |  SELECT *, n*ck - k*tot AS nsk FROM cum WHERE n >= 2
+        |), pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |                               ORDER BY abs(nsk) DESC, day ASC) AS rn
+        |  FROM ns
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_points,
+        |       day AS change_point,
+        |       round(CAST(abs(nsk) AS DOUBLE) / n, 6) AS cusum_max,
+        |       round(CAST(ck AS DOUBLE) / k, 6) AS mean_before,
+        |       CASE WHEN n > k
+        |            THEN round(CAST(tot - ck AS DOUBLE) / (n - k), 6)
+        |       END AS mean_after,
+        |       CASE WHEN n > k
+        |            THEN round(CAST(tot - ck AS DOUBLE) / (n - k)
+        |                       - CAST(ck AS DOUBLE) / k, 6)
+        |       END AS shift
+        |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // exact mirror of t154: the t113 KS, t114 PSI, and t142-style chi2
+    // mirrors over the same even-day split, joined per event type.
+    "t154_drift_panel" ->
+      """WITH t AS (
+        |  SELECT event_type, value AS v,
+        |         ((CAST(ts AS DATE) - DATE '1970-01-01') % 2 = 0) AS sa
+        |  FROM events WHERE value IS NOT NULL
+        |), kcounts AS (
+        |  SELECT event_type, v,
+        |         CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY 1, 2
+        |), kcum AS (
+        |  SELECT event_type, v,
+        |         sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS fa,
+        |         sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS fb
+        |  FROM kcounts
+        |), kcum2 AS (
+        |  SELECT *, max(fa) OVER (PARTITION BY event_type) AS na,
+        |            max(fb) OVER (PARTITION BY event_type) AS nb
+        |  FROM kcum
+        |), ks AS (
+        |  SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |         CAST(max(nb) AS BIGINT) AS n_b,
+        |         round(max(abs(CAST(fa AS DOUBLE)/na
+        |                       - CAST(fb AS DOUBLE)/nb)), 6) AS ks_d,
+        |         max(abs(CAST(fa AS DOUBLE)/na - CAST(fb AS DOUBLE)/nb))
+        |           > 1.358 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+        |                          / (max(na) * max(nb))) AS ks_drifted
+        |  FROM kcum2
+        |  GROUP BY event_type
+        |  HAVING max(na) > 0 AND max(nb) > 0
+        |), pb AS (
+        |  SELECT event_type, sa,
+        |         (v >= 25.0)::INT + (v >= 50.0)::INT + (v >= 75.0)::INT
+        |         + (v >= 100.0)::INT + (v >= 150.0)::INT + (v >= 200.0)::INT
+        |         + (v >= 300.0)::INT + (v >= 400.0)::INT AS bin
+        |  FROM t
+        |), pcounts AS (
+        |  SELECT event_type, bin,
+        |         CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM pb GROUP BY 1, 2
+        |), psh AS (
+        |  SELECT *, sum(ca) OVER (PARTITION BY event_type) AS na,
+        |            sum(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM pcounts
+        |), pcl AS (
+        |  SELECT event_type,
+        |         greatest(CAST(ca AS DOUBLE)/na, 1e-6) AS pa,
+        |         greatest(CAST(cb AS DOUBLE)/nb, 1e-6) AS pbn
+        |  FROM psh WHERE na > 0 AND nb > 0
+        |), psi AS (
+        |  SELECT event_type,
+        |         round(sum((pa - pbn) * ln(pa / pbn)), 6) AS psi,
+        |         NOT (sum((pa - pbn) * ln(pa / pbn)) < 0.1) AS psi_drifted
+        |  FROM pcl GROUP BY event_type
+        |), cb2 AS (
+        |  SELECT event_type, sa,
+        |         CAST(least(floor(v/100), 4) AS INT) AS c
+        |  FROM t
+        |), ccells AS (
+        |  SELECT event_type, c,
+        |         CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM cb2 GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT *, sum(ca) OVER (PARTITION BY event_type) AS na,
+        |            sum(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM ccells
+        |), cterms AS (
+        |  SELECT event_type, na, nb,
+        |         CASE WHEN na > 0 AND nb > 0 THEN
+        |           (CAST(ca AS DOUBLE) - (ca+cb) * CAST(na AS DOUBLE) / (na+nb))
+        |           * (CAST(ca AS DOUBLE) - (ca+cb) * CAST(na AS DOUBLE) / (na+nb))
+        |           / ((ca+cb) * CAST(na AS DOUBLE) / (na+nb))
+        |         + (CAST(cb AS DOUBLE) - (ca+cb) * CAST(nb AS DOUBLE) / (na+nb))
+        |           * (CAST(cb AS DOUBLE) - (ca+cb) * CAST(nb AS DOUBLE) / (na+nb))
+        |           / ((ca+cb) * CAST(nb AS DOUBLE) / (na+nb))
+        |         END AS term
+        |  FROM cm
+        |), cagg AS (
+        |  SELECT event_type,
+        |         CAST(count(*) - 1 AS BIGINT) AS dof, sum(term) AS chi2
+        |  FROM cterms GROUP BY event_type
+        |  HAVING max(na) > 0 AND max(nb) > 0 AND count(*) >= 2
+        |), chi AS (
+        |  SELECT event_type, round(chi2, 6) AS chi2,
+        |         chi2 > (CASE WHEN dof <= 30 THEN
+        |      [3.841458821, 5.991464547, 7.814727903, 9.487729037, 11.070497694,
+        |       12.591587244, 14.067140449, 15.507313056, 16.918977605, 18.307038053,
+        |       19.675137573, 21.026069817, 22.362032495, 23.684791305, 24.99579014,
+        |       26.296227605, 27.587111638, 28.86929943, 30.143527206, 31.410432844,
+        |       32.670573341, 33.924438471, 35.172461627, 36.415028502, 37.652484133,
+        |       38.88513866, 40.113272069, 41.337138151, 42.556967804, 43.772971826][dof]
+        |    ELSE dof * pow(1.0 - 2.0/(9.0*dof)
+        |                   + 1.6448536269514722 * sqrt(2.0/(9.0*dof)), 3)
+        |    END) AS chi2_drifted
+        |  FROM cagg
+        |)
+        |SELECT ks.event_type, ks.n_a, ks.n_b, ks.ks_d, ks.ks_drifted,
+        |       psi.psi, psi.psi_drifted, chi.chi2, chi.chi2_drifted,
+        |       (ks.ks_drifted OR psi.psi_drifted OR chi.chi2_drifted)
+        |         AS any_drifted
+        |FROM ks JOIN psi USING (event_type) JOIN chi USING (event_type)
+        |ORDER BY ks.event_type""".stripMargin,
+
+    // exact mirror of t155: the t113 KS chain, the 3-term Kolmogorov
+    // tail p-value on the 6dp-rounded D (lam2 built as (d*d)*ne and
+    // scaled by one literal per term — same association as the engine),
+    // then BH step-up at alpha = 0.05 with event_type tie-break.
+    "t155_fdr_alarms" ->
+      """WITH t AS (
+        |  SELECT event_type, value AS v,
+        |         ((CAST(ts AS DATE) - DATE '1970-01-01') % 2 = 0) AS sa
+        |  FROM events WHERE value IS NOT NULL
+        |), kcounts AS (
+        |  SELECT event_type, v,
+        |         sum(CASE WHEN sa THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS cb
+        |  FROM t GROUP BY 1, 2
+        |), kcum AS (
+        |  SELECT event_type, v,
+        |         sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS fa,
+        |         sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS fb
+        |  FROM kcounts
+        |), kc2 AS (
+        |  SELECT *, max(fa) OVER (PARTITION BY event_type) AS na,
+        |            max(fb) OVER (PARTITION BY event_type) AS nb
+        |  FROM kcum
+        |), ks AS (
+        |  SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |         CAST(max(nb) AS BIGINT) AS n_b,
+        |         round(max(abs(CAST(fa AS DOUBLE)/na
+        |                       - CAST(fb AS DOUBLE)/nb)), 6) AS ks_d
+        |  FROM kc2 GROUP BY 1 HAVING max(na) > 0 AND max(nb) > 0
+        |), lam AS (
+        |  SELECT *, ks_d * ks_d * (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))
+        |              AS lam2
+        |  FROM ks
+        |), pv AS (
+        |  SELECT event_type, n_a, n_b, ks_d,
+        |         round(least(1.0, greatest(0.0,
+        |           2.0 * (exp(-2.0 * lam2) - exp(-8.0 * lam2)
+        |                  + exp(-18.0 * lam2)))), 6) AS p_value
+        |  FROM lam
+        |), ranked AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (ORDER BY p_value, event_type)
+        |              AS BIGINT) AS p_rank,
+        |         CAST(count(*) OVER () AS BIGINT) AS m_tests
+        |  FROM pv
+        |), km AS (
+        |  SELECT coalesce(max(p_rank), 0) AS k FROM ranked
+        |  WHERE p_value <= 0.05 * p_rank / m_tests
+        |)
+        |SELECT event_type, n_a, n_b, ks_d, p_value, p_rank, m_tests,
+        |       round(0.05 * p_rank / m_tests, 6) AS bh_cutoff,
+        |       p_rank <= (SELECT k FROM km) AS fdr_drifted,
+        |       p_value <= 0.05 AS raw_drifted
+        |FROM ranked ORDER BY event_type""".stripMargin,
+
+    // exact mirror of t156: snapshot B = A minus doc_id%97 with
+    // doc_id%101 texts edited; 48-bit md5-digit row digests, per-shard
+    // (count, xor, sum-mod-1000003) fingerprints, full-outer verdict.
+    "t156_snapshot_fingerprint" -> s"""
+        |WITH a AS (
+        |  SELECT doc_id, coalesce(lang, '') AS lang,
+        |         coalesce(source, '') AS source,
+        |         coalesce(text, '') AS text
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, lang, source,
+        |         CASE WHEN doc_id % 101 = 0 THEN text || ' [edited]'
+        |              ELSE text END AS text
+        |  FROM a WHERE doc_id % 97 <> 0
+        |), ha AS (
+        |  SELECT doc_id % 64 AS shard, CAST($HexTerms12 AS BIGINT) AS h
+        |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|' || lang
+        |               || '|' || source || '|' || text) AS d FROM a)
+        |), hb AS (
+        |  SELECT doc_id % 64 AS shard, CAST($HexTerms12 AS BIGINT) AS h
+        |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|' || lang
+        |               || '|' || source || '|' || text) AS d FROM b)
+        |), fa AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS na, bit_xor(h) AS xa,
+        |         CAST(sum(h % 1000003) AS BIGINT) AS sa
+        |  FROM ha GROUP BY 1
+        |), fb AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS nb, bit_xor(h) AS xb,
+        |         CAST(sum(h % 1000003) AS BIGINT) AS sb
+        |  FROM hb GROUP BY 1
+        |)
+        |SELECT coalesce(fa.shard, fb.shard) AS shard,
+        |       coalesce(na, 0) AS n_a, coalesce(nb, 0) AS n_b,
+        |       (na IS NOT NULL AND nb IS NOT NULL AND na = nb
+        |        AND xa = xb AND sa = sb) AS shard_equal
+        |FROM fa FULL OUTER JOIN fb ON fa.shard = fb.shard
+        |ORDER BY shard""".stripMargin,
+
+    // exact mirror of t157: the t4 shingle contract (lowercase
+    // whitespace tokens, whole-text fallback below n), 48-bit
+    // md5-digit gram digests, two-stage distinct/total counts.
+    "t157_diversity" -> s"""
+        |WITH toks AS (
+        |  SELECT source,
+        |         string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), grams AS (
+        |  SELECT source, n,
+        |         CASE WHEN len(t) < n THEN [array_to_string(t, ' ')]
+        |              ELSE list_transform(range(len(t) - n + 1),
+        |                     i -> array_to_string(t[i+1:i+n], ' ')) END AS gs
+        |  FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n)
+        |), ex AS (
+        |  SELECT source, n, unnest(gs) AS gram FROM grams
+        |), h AS (
+        |  SELECT source, n, CAST($HexTerms12 AS BIGINT) AS hv
+        |  FROM (SELECT source, n, md5(gram) AS d FROM ex)
+        |)
+        |SELECT source, CAST(n AS INT) AS n,
+        |       CAST(count(*) AS BIGINT) AS total_grams,
+        |       CAST(count(DISTINCT hv) AS BIGINT) AS distinct_grams,
+        |       round(CAST(count(DISTINCT hv) AS DOUBLE) / count(*), 6) AS ttr
+        |FROM h GROUP BY source, n ORDER BY source, n""".stripMargin,
+
+    // exact mirror of t159: the t113 cumulative-count chain plus
+    // lead(v), W1 = sum |Fa-Fb| * gap over consecutive distinct values.
+    "t159_wasserstein" ->
+      """WITH t AS (
+        |  SELECT event_type, value AS v,
+        |         ((CAST(ts AS DATE) - DATE '1970-01-01') % 2 = 0) AS sa
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, v,
+        |         sum(CASE WHEN sa THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS cb
+        |  FROM t GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, v,
+        |         sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS fa,
+        |         sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS fb,
+        |         lead(v) OVER (PARTITION BY event_type ORDER BY v) AS nv
+        |  FROM c
+        |), tot AS (
+        |  SELECT *, max(fa) OVER (PARTITION BY event_type) AS na,
+        |            max(fb) OVER (PARTITION BY event_type) AS nb
+        |  FROM cum
+        |)
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |       CAST(max(nb) AS BIGINT) AS n_b,
+        |       round(sum(CASE WHEN nv IS NULL THEN 0.0
+        |                 ELSE abs(CAST(fa AS DOUBLE)/na
+        |                          - CAST(fb AS DOUBLE)/nb) * (nv - v)
+        |                 END), 6) AS w1,
+        |       round(max(v) - min(v), 6) AS v_range
+        |FROM tot GROUP BY event_type
+        |HAVING max(na) > 0 AND max(nb) > 0
+        |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of t160: distinct (source, 48-bit 3-gram digest)
+    // rows, digest self-join with source_a < source_b, containment =
+    // common / min sizes.
+    "t160_containment" -> s"""
+        |WITH toks AS (
+        |  SELECT source,
+        |         string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), grams AS (
+        |  SELECT source,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_transform(range(len(t) - 2),
+        |                     i -> array_to_string(t[i+1:i+3], ' ')) END AS gs
+        |  FROM toks
+        |), ex AS (SELECT source, unnest(gs) AS gram FROM grams),
+        |sd AS (
+        |  SELECT DISTINCT source, CAST($HexTerms12 AS BIGINT) AS hv
+        |  FROM (SELECT source, md5(gram) AS d FROM ex)
+        |), sz AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sd GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sd a JOIN sd b ON a.hv = b.hv AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.source_a, p.source_b, za.n AS n_a, zb.n AS n_b,
+        |       p.n_common,
+        |       round(CAST(p.n_common AS DOUBLE) / least(za.n, zb.n), 6)
+        |         AS containment
+        |FROM pairs p JOIN sz za ON p.source_a = za.source
+        |             JOIN sz zb ON p.source_b = zb.source
+        |ORDER BY containment DESC, source_a, source_b""".stripMargin,
+
+    // exact mirror of t158: t149's daily counts, ascending rank
+    // (value then day), the standard Gini rank formula with exact
+    // BIGINT numerators and 6dp at the double boundary.
+    "t158_burst_gini" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT event_type, day, x,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY x, day) AS i,
+        |         count(*) OVER (PARTITION BY event_type) AS dd,
+        |         sum(x) OVER (PARTITION BY event_type) AS s,
+        |         max(x) OVER (PARTITION BY event_type) AS mx
+        |  FROM daily
+        |)
+        |SELECT event_type, CAST(max(dd) AS BIGINT) AS n_periods,
+        |       CAST(max(s) AS BIGINT) AS total_x,
+        |       round(CAST(2 * sum(i * x) AS DOUBLE) / (max(dd) * max(s))
+        |             - CAST(max(dd) + 1 AS DOUBLE) / max(dd), 6) AS gini,
+        |       round(CAST(max(mx) AS DOUBLE) / max(s), 6) AS peak_share
+        |FROM ranked WHERE s > 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // exact mirror of Mixing.rakeWeights (t152): 4 unrolled IPF
     // iterations (row-scale then column-scale), uniform 0.2/0.25

@@ -3400,6 +3400,11 @@ object TrainingQueries {
         globFilter = Some("events.parquet"))
       .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
       .filter(col("value").isNotNull)
+      // the file-stream source reads each file as ONE partition — an
+      // un-repartitioned ×reps explode would run single-task. Spread
+      // the cheap raw rows first; the heavy explode+hash then rides
+      // full parallelism (measured 16.2 s → see PERF_NOTES)
+      .repartition(32)
       .withColumn("__v", floor(col("value") * 100).cast("long"))
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
       // materialize the uniform once: inlined it would be recomputed
@@ -3577,6 +3582,156 @@ object TrainingQueries {
         iterations = 4)
       .orderBy(col("lang"), col("b"))
   }
+
+  /** t153_stream_cusum — STREAMING change-point monitoring: daily
+    * per-type event counts accumulate as watermarked streaming state
+    * (days × types rows — the t134 shape minus bins), and batch
+    * post-processing runs the CUSUM change-point over the finalized
+    * windows. The streaming counts are exact longs, so the oracle is
+    * the batch CUSUM on the watermark-finalized events.
+    */
+  def t153StreamCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+    val daily = stream.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("w.start").cast("date").as("day"),
+        col("event_type"), col("x"))
+    val counts = StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, daily,
+        s"t153_cusum_${System.nanoTime}")
+    }.localCheckpoint(true)
+    graft.ops.Trend.cusumChangePoint(counts, Seq("event_type"), "day", "x")
+      .orderBy(col("event_type"))
+  }
+
+  /** t154_drift_panel — the one-stop drift verdict: exact KS, binned
+    * PSI, and χ² homogeneity over the SAME even-day split of each
+    * event type's values, joined into one row per group with an
+    * any-detector verdict. Pure composition of t113/t114/t142's
+    * oracled machinery — the dashboard query a corpus refresh runs
+    * first. Exact oracle (join of the three mirrors).
+    */
+  def t154DriftPanel(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val side = datediff(to_date(col("ts")),
+      lit("1970-01-01").cast("date")) % 2 === 0
+    val ks = graft.ops.Drift.ksStatistic(events, Seq("event_type"),
+        side, "value")
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("ks_d"), col("drifted").as("ks_drifted"))
+    val psi = graft.ops.Drift.psi(events, Seq("event_type"), side,
+        "value", Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0, 400.0))
+      .select(col("event_type"), col("psi"),
+        (!col("stable")).as("psi_drifted"))
+    val chi2 = graft.ops.Drift.chiSquareDrift(
+        events.withColumn("__vb",
+          least(floor(col("value") / 100), lit(4)).cast("int")),
+        Seq("event_type"), side, "__vb")
+      .select(col("event_type"), col("chi2"),
+        col("drifted").as("chi2_drifted"))
+    ks.join(psi, "event_type").join(chi2, "event_type")
+      .withColumn("any_drifted",
+        col("ks_drifted") || col("psi_drifted") || col("chi2_drifted"))
+      .orderBy(col("event_type"))
+  }
+
+  /** t155_fdr_alarms — fleet-scale alarm discipline: per-type KS
+    * drift p-values (truncated Kolmogorov tail on the 6dp D) pushed
+    * through Benjamini–Hochberg step-up at α = 0.05. The corpus-sized
+    * work is t113's KS; the ranking runs over one row per monitored
+    * type. At sf0.01 this demonstrates the point of the operator: one
+    * type raises a raw p ≤ 0.05 alarm that the FDR correction
+    * suppresses. Exact oracle.
+    */
+  def t155FdrAlarms(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val side = datediff(to_date(col("ts")),
+      lit("1970-01-01").cast("date")) % 2 === 0
+    val tests = graft.ops.Drift
+      .ksStatistic(events, Seq("event_type"), side, "value")
+      .withColumn("p_value",
+        round(graft.ops.Drift.ksPValue(col("ks_d"), col("n_a"),
+          col("n_b")), 6))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("ks_d"),
+        col("p_value"))
+    graft.ops.Drift.bhCorrect(tests, "p_value", 0.05, Seq("event_type"))
+      .withColumnRenamed("fdr_flag", "fdr_drifted")
+      .withColumn("raw_drifted", col("p_value") <= 0.05)
+      .orderBy(col("event_type"))
+  }
+
+  /** t156_snapshot_fingerprint — Merkle-style snapshot equality: both
+    * corpus versions (B = A minus doc_id % 97 docs, with doc_id % 101
+    * texts edited — the planted refresh) reduce to 64 per-shard
+    * (count, xor, sum-mod) fingerprints in one scan each, and the
+    * full-outer fingerprint join localizes exactly which shards need
+    * the row-level t88 diff. Portable md5 digests, exact oracle.
+    */
+  def t156SnapshotFingerprint(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    import graft.ops.SnapshotDiff
+    val a = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      coalesce(col("lang"), lit("")).as("lang"),
+      coalesce(col("source"), lit("")).as("source"),
+      coalesce(col("text"), lit("")).as("text"))
+    val b = a.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 101 === 0,
+          concat(col("text"), lit(" [edited]"))).otherwise(col("text")))
+    def fp(df: DataFrame) = SnapshotDiff.fingerprint(df,
+      col("doc_id") % 64,
+      SnapshotDiff.portableDigest(Seq(col("doc_id"), col("lang"),
+        col("source"), col("text"))))
+    SnapshotDiff.fingerprintDiff(fp(a), fp(b)).orderBy(col("shard"))
+  }
+
+  /** t157_diversity — lexical diversity per source: 1/2/3-gram
+    * type–token ratios over 48-bit portable digests (the
+    * mode-collapse detector for synthetic/templated sources). Exact
+    * oracle on the shared shingle + digest contract.
+    */
+  def t157Diversity(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.diversityReport(
+        Tables.documents(spark, sfDir), "text", Seq("source"), 3)
+      .orderBy(col("source"), col("n"))
+
+  /** t158_burst_gini — temporal burstiness per event type: Gini
+    * concentration + peak-day share of daily volume (the
+    * dump-shaped-scrape detector). Windows run on the days × types
+    * aggregate. Exact oracle.
+    */
+  def t158BurstGini(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Trend.giniConcentration(dailyCounts(spark, sfDir),
+        Seq("event_type"), "day", "x")
+      .orderBy(col("event_type"))
+
+  /** t159_wasserstein — earth-mover drift magnitude per event type
+    * over the even-day split: how far the value distribution moved in
+    * value units (the complement of t113's "did it move"). Exact
+    * oracle on the shared discrete-ECDF integral.
+    */
+  def t159Wasserstein(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val side = datediff(to_date(col("ts")),
+      lit("1970-01-01").cast("date")) % 2 === 0
+    graft.ops.Drift.wasserstein1(events, Seq("event_type"), side, "value")
+      .orderBy(col("event_type"))
+  }
+
+  /** t160_containment — cross-source 3-gram containment matrix: which
+    * sources mirror / republish each other's content. Exact oracle on
+    * the shared shingle-digest contract.
+    */
+  def t160Containment(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.crossSourceContainment(
+        Tables.documents(spark, sfDir), "text", "source", 3)
+      .orderBy(col("containment").desc, col("source_a"), col("source_b"))
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate

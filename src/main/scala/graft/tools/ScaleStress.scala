@@ -343,7 +343,19 @@ object ScaleStress {
       // 101-double grid + per-row interpolation
       "t151_quantile_normalize" -> (TrainingQueries.t151QuantileNormalize _),
       // raking: one bounded cells count; IPF runs on 20 driver cells
-      "t152_rake_weights" -> (TrainingQueries.t152RakeWeights _))
+      "t152_rake_weights" -> (TrainingQueries.t152RakeWeights _),
+      // snapshot fingerprints: two one-scan commutative-monoid
+      // reductions to 64 rows each + a |shards|-row verdict join —
+      // the 10x corpus only grows the scans
+      "t156_snapshot_fingerprint" -> (TrainingQueries.t156SnapshotFingerprint _),
+      // diversity: 3 explode scans through two map-side-combinable
+      // stages; the 10x corpus's exact copies add total-gram mass
+      // while distinct-gram mass grows only with the variant suffixes
+      "t157_diversity" -> (TrainingQueries.t157Diversity _),
+      // containment: the 10x corpus's exact copies vanish at the
+      // distinct (source, digest) collapse; only the variant suffixes
+      // add digest mass to the pair join
+      "t160_containment" -> (TrainingQueries.t160Containment _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

@@ -352,4 +352,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(joined.nonEmpty)
     joined.foreach { case (k, r) => assert(math.abs(k - r) <= 1e-6) }
   }
+
+  test("diversityReport: exact TTRs on a tiny corpus incl. the short-doc fallback") {
+    val docs = Seq(("s", "a b"), ("s", "a b")).toDF("source", "text")
+    val out = TextAnalysis.diversityReport(docs, "text", Seq("source"), 3)
+      .collect().map(r => r.getAs[Int]("n") ->
+        (r.getAs[Long]("total_grams"), r.getAs[Long]("distinct_grams"),
+          r.getAs[Double]("ttr"))).toMap
+    assert(out(1) == (4L, 2L, 0.5))          // a,b twice each
+    assert(out(2) == (2L, 1L, 0.5))          // "a b" per doc
+    assert(out(3) == (2L, 1L, 0.5))          // len<3 -> whole text
+  }
+
+  test("diversityReport: a templated source scores below a diverse one on 2-gram TTR") {
+    val docs =
+      (1 to 30).map(i => ("tpl", s"click here to win prize number $i")) ++
+      (1 to 30).map(i => ("div", s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g"))
+    val out = TextAnalysis.diversityReport(docs.toDF("source", "text"),
+        "text", Seq("source"), 3)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) ->
+        r.getAs[Double]("ttr")).toMap
+    assert(out(("tpl", 2)) < 0.5 && out(("div", 2)) == 1.0)
+    assert(out(("tpl", 2)) < out(("div", 2)))
+  }
+
+  test("crossSourceContainment: full containment scores 1.0, disjoint pairs emit nothing") {
+    val docs = Seq(
+      ("A", "a b c d"),           // grams: "a b c", "b c d"
+      ("B", "a b c d e"),         // grams: + "c d e" — A ⊂ B
+      ("C", "x y z w")).toDF("source", "text")
+    val out = TextAnalysis.crossSourceContainment(docs, "text", "source", 3)
+      .collect().map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_common"), r.getAs[Double]("containment"))).toMap
+    assert(out.keySet == Set(("A", "B")))   // C shares nothing — no row
+    assert(out(("A", "B")) == (2L, 3L, 2L, 1.0))
+  }
+
+  test("crossSourceContainment: duplication within a source does not inflate overlap") {
+    val docs = Seq(
+      ("A", "p q r s"), ("A", "p q r s"), ("A", "p q r s"),
+      ("B", "p q r t")).toDF("source", "text")
+    // distinct grams: A={pqr,qrs}, B={pqr,qrt} -> common 1, min 2
+    val out = TextAnalysis.crossSourceContainment(docs, "text", "source", 3)
+      .collect().head
+    assert(out.getAs[Long]("n_common") == 1L)
+    assert(out.getAs[Double]("containment") == 0.5)
+  }
 }

@@ -270,4 +270,72 @@ class DriftSpec extends SparkSpec {
     assert(byG("g").getAs[Double]("ks_d") == 0.0)
     assert(!byG("g").getAs[Boolean]("drifted"))
   }
+
+  test("wasserstein1: identical samples give 0; a constant shift gives exactly the shift") {
+    val same = (1 to 30).flatMap(i =>
+      Seq(("g", true, i.toDouble), ("g", false, i.toDouble)))
+    val out0 = Drift.wasserstein1(same.toDF("g", "sa", "v"), Seq("g"),
+      col("sa"), "v").collect().head
+    assert(out0.getAs[Double]("w1") == 0.0)
+    // b = a + 2.5 -> W1 = 2.5 regardless of a's shape
+    val a = Seq(1.0, 2.0, 2.0, 5.0, 9.0)
+    val shifted = a.map(("g", true, _)) ++ a.map(v => ("g", false, v + 2.5))
+    val out = Drift.wasserstein1(shifted.toDF("g", "sa", "v"), Seq("g"),
+      col("sa"), "v").collect().head
+    assert(out.getAs[Double]("w1") == 2.5)
+    assert(out.getAs[Double]("v_range") == 10.5)  // 11.5 - 1.0
+  }
+
+  test("wasserstein1: hand example and one-sided/NULL handling") {
+    // a={0,1}, b={1,2}: W1 = |.5-0|*1 + |1-.5|*1 = 1.0
+    val rows = Seq(("g", true, Some(0.0)), ("g", true, Some(1.0)),
+      ("g", false, Some(1.0)), ("g", false, Some(2.0)),
+      ("g", true, Option.empty[Double]),      // NULL value ignored
+      ("lone", true, Some(3.0)))              // no B side -> dropped
+    val out = Drift.wasserstein1(rows.toDF("g", "sa", "v"), Seq("g"),
+      col("sa"), "v").collect()
+    assert(out.map(_.getAs[String]("g")).toSet == Set("g"))
+    assert(out.head.getAs[Double]("w1") == 1.0)
+    assert(out.head.getAs[Long]("n_a") == 2 && out.head.getAs[Long]("n_b") == 2)
+  }
+
+  test("ksPValue: D=0 gives p=1 (clamped), huge D*n gives p~0, matches the 3-term tail") {
+    val df = Seq((0.0, 100L, 100L), (1.0, 100L, 100L), (0.1, 200L, 300L))
+      .toDF("d", "na", "nb")
+    val got = df.select(Drift.ksPValue(col("d"), col("na"), col("nb")))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 1.0)                    // 2*(1-1+1)=2 clamps to 1
+    assert(got(1) < 1e-40)
+    val ne = 200.0 * 300.0 / 500.0
+    val l2 = 0.1 * 0.1 * ne
+    val exp3 = 2.0 * (math.exp(-2 * l2) - math.exp(-8 * l2) + math.exp(-18 * l2))
+    assert(math.abs(got(2) - exp3) < 1e-12)
+  }
+
+  test("bhCorrect: step-up flags a rank whose own p exceeds its cutoff when a later rank passes") {
+    // m=4, alpha=0.05 -> cutoffs .0125 .025 .0375 .05; p=(.001,.02,.03,.9):
+    // k=1 passes, k=2 (.02<=.025) passes, k=3 (.03<=.0375) passes, k=4 fails
+    // -> kmax=3, so ranks 1..3 flag — including none above their own cutoff
+    // here; now p2=.013 > .0125 but k=3 still passes -> rank 2 flags anyway.
+    val tests = Seq(("a", 0.001), ("b", 0.013), ("c", 0.03), ("d", 0.9))
+      .toDF("g", "p")
+    val out = Drift.bhCorrect(tests, "p", 0.05, Seq("g"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("p_rank"), r.getAs[Boolean]("fdr_flag"))).toMap
+    assert(out("a") == (1L, true))
+    assert(out("b") == (2L, true))   // own cutoff .025 — passes; but see "c"
+    assert(out("c") == (3L, true))
+    assert(out("d") == (4L, false))
+    // the step-up case proper: p2 fails ITS cutoff but rank 3 passes
+    val out2 = Drift.bhCorrect(
+        Seq(("a", 0.001), ("b", 0.026), ("c", 0.03), ("d", 0.9)).toDF("g", "p"),
+        "p", 0.05, Seq("g"))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Boolean]("fdr_flag")).toMap
+    assert(out2 == Map("a" -> true, "b" -> true, "c" -> true, "d" -> false))
+    // and when nothing passes, nothing flags
+    val none = Drift.bhCorrect(
+        Seq(("a", 0.5), ("b", 0.9)).toDF("g", "p"), "p", 0.05, Seq("g"))
+      .collect().map(_.getAs[Boolean]("fdr_flag"))
+    assert(none.forall(!_))
+  }
 }

@@ -69,4 +69,53 @@ class SnapshotDiffSpec extends SparkSpec {
       SnapshotDiff.diff(Seq(1L).toDF("id"), Seq(1L).toDF("id"), Seq("id"))
     }
   }
+
+  private def fp(df: org.apache.spark.sql.DataFrame) =
+    SnapshotDiff.fingerprint(df, col("id") % 4,
+      SnapshotDiff.portableDigest(Seq(col("id"), col("t"))))
+
+  test("fingerprint is order- and partitioning-invariant") {
+    val rows = (1L to 100L).map(i => (i, s"text-$i"))
+    val a = rows.toDF("id", "t")
+    val shuffled = scala.util.Random.shuffle(rows).toDF("id", "t")
+      .repartition(7)
+    assert(fp(a).orderBy("shard").collect().toSeq ==
+      fp(shuffled).orderBy("shard").collect().toSeq)
+  }
+
+  test("fingerprintDiff localizes a planted change to exactly its shard") {
+    val rows = (1L to 100L).map(i => (i, s"text-$i"))
+    val a = rows.toDF("id", "t")
+    // mutate id=42 (shard 2), delete id=7 (shard 3)
+    val b = rows.filter(_._1 != 7L)
+      .map { case (i, t) => (i, if (i == 42L) t + "!" else t) }
+      .toDF("id", "t")
+    val out = SnapshotDiff.fingerprintDiff(fp(a), fp(b))
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Boolean]("shard_equal"))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0) == (25L, 25L, true) && out(1) == (25L, 25L, true))
+    assert(out(2) == (25L, 25L, false))  // substitution: count alone blind
+    assert(out(3) == (25L, 24L, false))
+  }
+
+  test("fingerprintDiff: a shard present on one side only is unequal, not dropped") {
+    val a = Seq((0L, "x"), (1L, "y")).toDF("id", "t")
+    val b = Seq((0L, "x")).toDF("id", "t")
+    val out = SnapshotDiff.fingerprintDiff(fp(a), fp(b))
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_b"), r.getAs[Boolean]("shard_equal"))).toMap
+    assert(out(0L) == (1L, true))
+    assert(out(1L) == (0L, false))
+  }
+
+  test("portableDigest: NULLs normalize to '' and the digest is 48-bit") {
+    val df = Seq((1L, Option.empty[String]), (1L, Some("")))
+      .toDF("id", "t")
+    val hs = df.select(SnapshotDiff.portableDigest(Seq(col("id"), col("t"))))
+      .collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))                  // NULL ≡ '' by contract
+    assert(hs.forall(h => h >= 0 && h < (1L << 48)))
+  }
 }

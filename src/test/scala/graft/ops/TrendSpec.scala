@@ -58,4 +58,27 @@ class TrendSpec extends SparkSpec {
     assert(out.getAs[Int]("change_point") == 1)
     assert(out.getAs[Double]("shift") == 0.0)
   }
+
+  test("giniConcentration: uniform series gives 0, single-spike gives (D-1)/D") {
+    val uni = (1 to 4).map(i => ("u", i, 5L))
+    val spike = Seq(("s", 1, 0L), ("s", 2, 0L), ("s", 3, 0L), ("s", 4, 10L))
+    val out = Trend.giniConcentration((uni ++ spike).toDF("g", "t", "x"),
+        Seq("g"), "t", "x")
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_periods"), r.getAs[Long]("total_x"),
+          r.getAs[Double]("gini"), r.getAs[Double]("peak_share"))).toMap
+    assert(out("u") == (4L, 20L, 0.0, 0.25))
+    assert(out("s") == (4L, 10L, 0.75, 1.0))   // (D-1)/D = 3/4
+  }
+
+  test("giniConcentration: zero-total groups emit no row; known mixed value is exact") {
+    val rows = Seq(("z", 1, 0L), ("z", 2, 0L),
+      ("m", 1, 1L), ("m", 2, 2L), ("m", 3, 3L), ("m", 4, 4L))
+    val out = Trend.giniConcentration(rows.toDF("g", "t", "x"),
+      Seq("g"), "t", "x").collect()
+    assert(out.map(_.getAs[String]("g")).toSet == Set("m"))
+    // 2*(1*1+2*2+3*3+4*4)/(4*10) - 5/4 = 60/40 - 1.25 = 0.25
+    assert(out.head.getAs[Double]("gini") == 0.25)
+    assert(out.head.getAs[Double]("peak_share") == 0.4)
+  }
 }
