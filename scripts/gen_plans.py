@@ -7,7 +7,17 @@ headline queries (plan tree + pushdown/pruning detail lines), via
 """
 import re, subprocess, sys, os
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# --only q1,q2: patch ONLY those sections in the existing PLANS.md
+# (replace in place or append at the end) instead of regenerating the
+# whole file — the per-wave fast path; the full regen stays the
+# ground-truth refresh after plan-affecting changes to shared machinery.
+ONLY = None
+argv = sys.argv[1:]
+if "--only" in argv:
+    i = argv.index("--only")
+    ONLY = [q.strip() for q in argv[i + 1].split(",") if q.strip()]
+    argv = argv[:i] + argv[i + 2:]
+SF = argv[0] if argv else "/root/testdata/sf0.01"
 QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "q20_flow_ledger", "t5_embed_topk", "t2_dedup_minhash",
            "t13_sample", "q28_struct_semi", "q33_asof_native",
@@ -42,7 +52,9 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t153_stream_cusum", "t154_drift_panel",
            "t155_fdr_alarms", "t156_snapshot_fingerprint",
            "t157_diversity", "t158_burst_gini",
-           "t159_wasserstein", "t160_containment"]
+           "t159_wasserstein", "t160_containment",
+           "t161_auc", "t162_calibration", "t163_zipf",
+           "t164_km_survival"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -123,6 +135,14 @@ NOTES = {
         "The t113 KS shape with one extra lead() in the same per-group ordered window: one groupBy(value) collapse, one sort per group over DISTINCT values, no new shuffle beyond exact KS; bin first for billion-distinct-value groups (the t137 hatch applies verbatim).",
     "t160_containment":
         "The corpus collapses to distinct (source, 8-byte digest) rows BEFORE any join, so duplication and doc counts drop out; the digest self-join fans out at most |sources|^2/2 pairs per digest and both size joins broadcast — every post-collapse structure is |sources|^2-bounded.",
+    "t161_auc":
+        "The exact-KS chain shape: ties collapse map-side to one (group, score) row with two long counts before the per-group cumulative window (distinct scores per partition — bin first, t137/t139, at billion-distinct-score cardinality); the rank sums stay exact BIGINTs so no float crosses an engine boundary.",
+    "t162_calibration":
+        "One map-side-combinable aggregate to (groups x bins) rows, then a bins-sized totals join; confidence mass is summed as DECIMAL(28,10) so every sum is order-independent — nothing after the first HashAggregate sees corpus-sized data.",
+    "t163_zipf":
+        "The top-100-per-source stage is the BOUNDED-HEAP top_k_by_score aggregate — partial heaps reduce map-side so the exchange carries at most partitions x sources x k entries, never the vocabulary-sized row_number window; the OLS runs on k-row integer micro-log moments.",
+    "t164_km_survival":
+        "Corpus-sized work ends at the per-user min/min collapse (map-side combinable); the at-risk and survival windows run on the (cohort x distinct durations) aggregate — duration-granularity-bounded, 30 rows here — and the horizon join is a broadcast 1-row aggregate.",
 }
 
 def plan_of(q):
@@ -137,6 +157,32 @@ def plan_of(q):
         if s.startswith(("PushedFilters:", "ReadSchema:")) and s not in details:
             details.append(s)
     return tree, details
+
+def section_text(q):
+    tree, details = plan_of(q)
+    s = f"\n## {q}\n\n```\n== Physical Plan ==\n{tree}\n"
+    if details:
+        s += "\n" + "\n".join(details) + "\n"
+    s += "```\n"
+    if q in NOTES:
+        s += "\n" + NOTES[q] + "\n"
+    return s
+
+if ONLY is not None:
+    path = os.path.join(root, "docs/PLANS.md")
+    body = open(path).read()
+    for q in ONLY:
+        sec = section_text(q)
+        pat = re.compile(rf"\n## {re.escape(q)}\n.*?(?=\n## |\Z)", re.S)
+        if pat.search(body):
+            body = pat.sub(lambda _m: sec, body, count=1)
+            print(f"replaced {q}")
+        else:
+            body += sec
+            print(f"appended {q}")
+    open(path, "w").write(body)
+    print("done (patched) -> docs/PLANS.md")
+    sys.exit(0)
 
 with open(os.path.join(root, "docs/PLANS.md"), "w") as f:
     f.write("""# PLANS — formatted physical plans of headline queries (sf0.01)

@@ -481,4 +481,75 @@ object TextAnalysis {
         round(col("n_common").cast("double")
           / least(col("n_a"), col("n_b")), 6).as("containment"))
   }
+
+  /** Zipf-law fit per group: OLS of ln(term frequency) on ln(rank)
+    * over the top-k tokens — the corpus-health lens that separates
+    * natural text (slope ≈ −1, high r²) from templated / synthetic /
+    * mode-collapsed corpora (flat slopes, ragged fits) with one number
+    * per source.
+    *
+    * Pipeline: tokens (the shared lowercase-whitespace contract) count
+    * per (group, 48-bit token digest) — map-side combinable, 8-byte
+    * shuffle keys — then the top-k per group via the BOUNDED-HEAP
+    * [[graft.functions.TopKFunctions.top_k_by_score]] aggregate
+    * (score = count, id = digest, smallest-digest tiebreak; shuffle =
+    * O(partitions · groups · k), never a vocabulary-sized window
+    * funnel), posexplode to (rank, count), and the closed-form OLS on
+    * exact integer moments.
+    *
+    * Arithmetic contract: x = round(ln(rank)·10⁶) and
+    * y = round(ln(count)·10⁶) are BIGINT micro-log values, so all six
+    * OLS moments are EXACT integers and the derived slope/intercept/r²
+    * are bit-identical across engines (the t127 integral-moment
+    * contract; ln's ≤ 1-ulp libm skew cannot move a value across the
+    * 0.5-micro rounding boundary except with ~2⁻³⁰ luck per term).
+    *
+    * Output: (groups…, n_terms, slope, intercept, r2) — 6dp;
+    * intercept in ln-count units. Groups with < 2 distinct terms drop
+    * (no line to fit).
+    */
+  def zipfFit(docs: DataFrame, textCol: String, groupCols: Seq[String],
+              k: Int = 100): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(k >= 2, "need k >= 2")
+    val g = groupCols.map(col)
+    val counts = docs
+      .filter(col(textCol).isNotNull)
+      .select(g :+ explode(TextDedup.tokens(col(textCol))).as("__t"): _*)
+      .filter(col("__t") =!= "")
+      .groupBy(g :+ graft.ops.SnapshotDiff.portableDigest(Seq(col("__t")))
+        .as("__h"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val top = counts
+      .groupBy(g: _*)
+      .agg(graft.functions.TopKFunctions.top_k_by_score(
+        col("__c").cast("double"), col("__h"), k).as("__top"))
+      .select(g :+ posexplode(col("__top")).as(Seq("__i", "__e")): _*)
+      .select(g :+
+        (col("__i") + 1).cast("long").as("__rank") :+
+        col("__e.score").cast("long").as("__cnt"): _*)
+    val xy = top.select(g :+
+      round(log(col("__rank").cast("double")) * 1e6, 0).cast("long")
+        .as("__x") :+
+      round(log(col("__cnt").cast("double")) * 1e6, 0).cast("long")
+        .as("__y"): _*)
+    val m = xy.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val covN = col("n_terms") * col("__sxy") - col("__sx") * col("__sy")
+    val varXN = col("n_terms") * col("__sxx") - col("__sx") * col("__sx")
+    val varYN = col("n_terms") * col("__syy") - col("__sy") * col("__sy")
+    m.filter(col("n_terms") >= 2 && varXN > 0)
+      .withColumn("slope", covN.cast("double") / varXN.cast("double"))
+      .select(g :+ col("n_terms") :+
+        round(col("slope"), 6).as("slope") :+
+        round((col("__sy").cast("double") - col("slope") * col("__sx"))
+          / col("n_terms") / 1e6, 6).as("intercept") :+
+        round(when(varYN > 0, (covN.cast("double") * covN.cast("double"))
+          / (varXN.cast("double") * varYN.cast("double"))), 6)
+          .as("r2"): _*)
+  }
 }

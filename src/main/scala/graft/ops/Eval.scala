@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier / scoring-signal evaluation over corpus-scale data: the
+  * QA layer a training-data pipeline runs on its own quality scores,
+  * filters, and label heuristics before trusting them at 100 TB —
+  * ranking quality (exact ROC AUC), probability calibration (reliability
+  * bins + ECE), and time-to-event survival (Kaplan–Meier with right
+  * censoring).
+  *
+  * Arithmetic contracts are engine-portable by construction: AUC's
+  * rank sums are exact BIGINTs (doubled to absorb midranks), the
+  * calibration report routes probability mass through DECIMAL(28,10)
+  * so sums are order-independent, and the survival product's only
+  * float stage is a deterministically-ordered cumulative ln-sum that
+  * crosses one 6dp boundary.
+  *
+  * Reference behavioral anchor: the reference pipeline fits/evaluates
+  * models driver-side on collected aggregates (reference
+  * `btc_logregression_post.py:79-80` — statsmodels OLS on a pandas
+  * frame); these operators keep the same "evaluate a signal against an
+  * outcome" semantics but run the sufficient statistics distributed,
+  * collecting nothing.
+  */
+object Eval {
+
+  /** Exact ROC AUC per group via the Mann–Whitney rank-sum with
+    * midrank tie handling: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), where
+    * R⁺ is the sum of POSITIVE rows' midranks under ascending score.
+    *
+    * Distributed exactly like the exact-KS chain (one collapse + one
+    * ordered window): rows collapse to one row per (group, score) with
+    * positive/negative counts — map-side combinable, so ties never
+    * shuffle individually — then a per-group cumulative window over
+    * DISTINCT scores assigns each tie block its midrank. To keep
+    * everything integral, the operator accumulates 2·R⁺ =
+    * Σ_blocks c⁺·(2·cum_before + block + 1) as an exact BIGINT and
+    * divides once at the end: auc = (2R⁺ − n⁺(n⁺+1)) / (2n⁺n⁻).
+    *
+    * Scale shape: shuffles carry (group, score) pairs and two longs;
+    * the window is per-group over distinct scores (the t113 caveat:
+    * bin first — t137/t139 — for billion-distinct-score groups).
+    * Groups with an empty side are dropped (AUC undefined).
+    *
+    * Output: (groups…, n_pos, n_neg, auc) — auc 6dp.
+    */
+  def aucRank(df: DataFrame, groupCols: Seq[String], positive: Column,
+              scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val blocks = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(g :+ col(scoreCol).as("__s"): _*)
+      .agg(sum(when(positive, 1L).otherwise(0L)).as("__cp"),
+           sum(when(positive, 0L).otherwise(1L)).as("__cn"))
+    val ord = Window.partitionBy(g: _*).orderBy(col("__s"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    blocks
+      .withColumn("__before",
+        coalesce(sum(col("__cp") + col("__cn")).over(before), lit(0L)))
+      .groupBy(g: _*)
+      .agg(sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"),
+        sum(col("__cp") * (lit(2L) * col("__before")
+          + col("__cp") + col("__cn") + lit(1L))).as("__two_r_pos"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(g :+ col("n_pos") :+ col("n_neg") :+
+        round((col("__two_r_pos") - col("n_pos") * (col("n_pos") + 1))
+          .cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"): _*)
+  }
+
+  /** Probability-calibration report per group: fixed-width reliability
+    * bins over a [0,1] probability column plus the group's expected
+    * calibration error (ECE = Σ_b n_b/n · |acc_b − conf_b|) — the
+    * "is this quality classifier's 0.9 actually a 0.9" check run
+    * before its scores gate a corpus.
+    *
+    * Exactness: bin assignment is floor(p·bins) (one IEEE product —
+    * bit-identical across engines), capped into the last bin;
+    * accuracy numerators are exact BIGINT label counts; confidence
+    * mass routes through DECIMAL(28,10) (the moneySum convention), so
+    * per-bin conf sums and the ECE numerator
+    * Σ_b |pos_b − Σp_b| are ORDER-INDEPENDENT exact decimals — no
+    * float-summation drift anywhere; doubles appear only at the final
+    * divisions.
+    *
+    * Scale shape: one groupBy to (groups × bins) rows — map-side
+    * combinable — then a bins-sized broadcast-style join of the
+    * group totals back onto the bins. Nothing after the first
+    * aggregate sees corpus-sized data.
+    *
+    * Output: (groups…, bin, n_b, acc, conf, gap, ece) — 6dp; ece
+    * repeats on each of the group's bin rows.
+    */
+  def calibrationReport(df: DataFrame, groupCols: Seq[String],
+                        probCol: String, positive: Column,
+                        bins: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(bins >= 2, "need at least two bins")
+    val g = groupCols.map(col)
+    val dec = col(probCol).cast("decimal(28,10)")
+    val perBin = df
+      .filter(col(probCol).isNotNull)
+      .groupBy(g :+
+        least(floor(col(probCol) * bins).cast("long"),
+          lit(bins - 1L)).as("bin"): _*)
+      .agg(count(lit(1)).as("n_b"),
+           sum(when(positive, 1L).otherwise(0L)).as("__pos"),
+           sum(dec).as("__conf_mass"))
+    val totals = perBin
+      .groupBy(g: _*)
+      .agg(sum(col("n_b")).as("__n_tot"),
+        sum(abs(col("__pos").cast("decimal(28,10)")
+          - col("__conf_mass"))).as("__ece_num"))
+    perBin.join(totals, groupCols)
+      .select(g :+ col("bin") :+ col("n_b") :+
+        round(col("__pos").cast("double") / col("n_b"), 6).as("acc") :+
+        round((col("__conf_mass") / col("n_b")).cast("double"), 6)
+          .as("conf") :+
+        round((abs(col("__pos").cast("decimal(28,10)")
+          - col("__conf_mass")) / col("n_b")).cast("double"), 6)
+          .as("gap") :+
+        round((col("__ece_num") / col("__n_tot")).cast("double"), 6)
+          .as("ece"): _*)
+  }
+
+  /** Kaplan–Meier survival estimate per group from per-subject
+    * (duration, event) rows with right censoring: at each duration d
+    * with ≥ 1 event, S(d) = Π_{d'≤d} (1 − deaths_{d'} / atRisk_{d'}) —
+    * the time-to-event curve (user churn, doc staleness, label decay)
+    * that naive retention ratios get wrong the moment observation
+    * windows differ per subject.
+    *
+    * Input is ALREADY per-subject (one row each, e.g. from a per-user
+    * collapse); the operator aggregates to one row per (group,
+    * duration) — map-side combinable — computes the at-risk set by a
+    * reversed cumulative window (subjects whose duration ≥ d), and
+    * the survival product as exp of the deterministically-ordered
+    * cumulative ln-sum. When a duration's deaths exhaust the risk set
+    * the factor is exactly 0: that row (necessarily the group's last
+    * reported one) emits survival 0.0 via an explicit guard instead
+    * of ln(0).
+    *
+    * Scale shape: post-collapse structures are bounded by DISTINCT
+    * DURATIONS per group (calendar-granular in practice — days/weeks;
+    * coarsen the duration unit for microsecond-granular inputs).
+    * Float contract: ln/exp cross one 6dp boundary; the cumulative
+    * sum's order is the window's sort order on both engines.
+    *
+    * Output: (groups…, d, deaths, at_risk, survival) — only durations
+    * with deaths > 0 emit; survival 6dp.
+    */
+  def kaplanMeier(subjects: DataFrame, groupCols: Seq[String],
+                  durCol: String, diedCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val perDay = subjects
+      .filter(col(durCol).isNotNull)
+      .groupBy(g :+ col(durCol).cast("long").as("d"): _*)
+      .agg(sum(col(diedCol).cast("long")).as("deaths"),
+           count(lit(1)).as("__ending"))
+    val ord = Window.partitionBy(g: _*).orderBy(col("d"))
+    val fromHere = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val upToHere = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("at_risk", sum(col("__ending")).over(fromHere))
+      .withColumn("__term",
+        when(col("deaths") < col("at_risk"),
+          log(lit(1.0) - col("deaths").cast("double") / col("at_risk"))))
+      .withColumn("__zeroed",
+        max(when(col("deaths") === col("at_risk"), 1L).otherwise(0L))
+          .over(upToHere))
+      .withColumn("survival",
+        when(col("__zeroed") === 1L, lit(0.0))
+          .otherwise(round(exp(coalesce(sum(col("__term")).over(upToHere),
+            lit(0.0))), 6)))
+      .filter(col("deaths") > 0)
+      .select(g :+ col("d") :+ col("deaths") :+ col("at_risk") :+
+        col("survival"): _*)
+  }
+}

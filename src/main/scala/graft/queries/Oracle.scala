@@ -4360,5 +4360,172 @@ object Oracle {
         |SELECT lang, b, n, round(w, 6) AS weight
         |FROM c4
         |ORDER BY lang, b""".stripMargin,
+
+    // exact mirror of t161 (Eval.aucRank): one collapse per (dow,
+    // score) with pos/neg counts, cumulative window for tie-block
+    // midranks, 2*R+ accumulated as an exact BIGINT; one division at
+    // the end. dow = epoch-day % 7 (the t159 portable convention).
+    "t161_auc" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |           AS dow,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
+        |         value AS s
+        |  FROM events WHERE value IS NOT NULL
+        |), blocks AS (
+        |  SELECT dow, s, CAST(sum(y) AS BIGINT) AS cp,
+        |         CAST(sum(1 - y) AS BIGINT) AS cn
+        |  FROM e GROUP BY dow, s
+        |), cum AS (
+        |  SELECT dow, cp, cn,
+        |         CAST(coalesce(sum(cp + cn) OVER (PARTITION BY dow
+        |           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           1 PRECEDING), 0) AS BIGINT) AS bef
+        |  FROM blocks
+        |), agg AS (
+        |  SELECT dow, CAST(sum(cp) AS BIGINT) AS n_pos,
+        |         CAST(sum(cn) AS BIGINT) AS n_neg,
+        |         CAST(sum(cp * (2*bef + cp + cn + 1)) AS BIGINT) AS trp
+        |  FROM cum GROUP BY dow
+        |)
+        |SELECT dow, n_pos, n_neg,
+        |       round((trp - n_pos*(n_pos+1)) / (2.0 * n_pos * n_neg), 6)
+        |         AS auc
+        |FROM agg WHERE n_pos > 0 AND n_neg > 0
+        |ORDER BY dow""".stripMargin,
+
+    // exact mirror of t162 (Eval.calibrationReport): fixed bins on
+    // floor(p*10), BIGINT label counts, confidence mass through
+    // DECIMAL(28,10) so every sum is order-independent; ECE numerator
+    // sum(|pos - conf_mass|) is an exact decimal.
+    "t162_calibration" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |           AS dow,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
+        |         value / 500.0 AS p
+        |  FROM events WHERE value IS NOT NULL
+        |), per_bin AS (
+        |  SELECT dow, least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n_b,
+        |         CAST(sum(y) AS BIGINT) AS pos,
+        |         sum(CAST(p AS DECIMAL(28,10))) AS cm
+        |  FROM e GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT dow, CAST(sum(n_b) AS BIGINT) AS n_tot,
+        |         sum(abs(CAST(pos AS DECIMAL(28,10)) - cm)) AS ece_num
+        |  FROM per_bin GROUP BY dow
+        |)
+        |SELECT p.dow, p.bin, p.n_b,
+        |       round(CAST(p.pos AS DOUBLE) / p.n_b, 6) AS acc,
+        |       round(CAST(p.cm / p.n_b AS DOUBLE), 6) AS conf,
+        |       round(CAST(abs(CAST(p.pos AS DECIMAL(28,10)) - p.cm)
+        |                    / p.n_b AS DOUBLE), 6) AS gap,
+        |       round(CAST(t.ece_num / t.n_tot AS DOUBLE), 6) AS ece
+        |FROM per_bin p JOIN tot t ON p.dow = t.dow
+        |ORDER BY p.dow, p.bin""".stripMargin,
+
+    // exact mirror of t163 (TextAnalysis.zipfFit): t51 tokenization,
+    // 48-bit token digests, top-100 per source by (count DESC, digest
+    // ASC) — the bounded-heap aggregate's exact order — then the
+    // integer micro-log OLS moments (x/y = round(ln·1e6) BIGINTs) and
+    // the t127 closed-form arithmetic with the UNROUNDED slope feeding
+    // the intercept.
+    "t163_zipf" -> s"""
+        |WITH toks AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(lower(text),
+        |           '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), posting AS (
+        |  SELECT source, unnest(t) AS token FROM toks
+        |), counts AS (
+        |  SELECT source, CAST($HexTerms12 AS BIGINT) AS hv, cnt FROM (
+        |    SELECT source, md5(token) AS d, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM posting GROUP BY source, token)
+        |), ranked AS (
+        |  SELECT source, cnt,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY cnt DESC, hv) AS BIGINT) AS rank
+        |  FROM counts QUALIFY rank <= 100
+        |), xy AS (
+        |  SELECT source,
+        |         CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT) AS x,
+        |         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT) AS y
+        |  FROM ranked
+        |), m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x*y) AS BIGINT) AS sxy,
+        |         CAST(sum(x*x) AS BIGINT) AS sxx,
+        |         CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM xy GROUP BY source
+        |)
+        |SELECT source, n_terms,
+        |       round(CAST(n_terms*sxy - sx*sy AS DOUBLE)
+        |             / CAST(n_terms*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE)
+        |              - (CAST(n_terms*sxy - sx*sy AS DOUBLE)
+        |                 / CAST(n_terms*sxx - sx*sx AS DOUBLE)) * sx)
+        |             / n_terms / 1000000.0, 6) AS intercept,
+        |       CASE WHEN n_terms*syy - sy*sy > 0 THEN
+        |         round(CAST(n_terms*sxy - sx*sy AS DOUBLE)
+        |               * CAST(n_terms*sxy - sx*sy AS DOUBLE)
+        |               / (CAST(n_terms*sxx - sx*sx AS DOUBLE)
+        |                  * CAST(n_terms*syy - sy*sy AS DOUBLE)), 6)
+        |       END AS r2
+        |FROM m WHERE n_terms >= 2 AND n_terms*sxx - sx*sx > 0
+        |ORDER BY source""".stripMargin,
+
+    // exact mirror of t164 (Eval.kaplanMeier): per-user first event /
+    // first purchase in exact epoch micros, hour durations by integer
+    // division, reversed-cumulative at-risk window, survival as exp of
+    // the ordered cumulative ln-sum with the deaths==at_risk row
+    // pinned to exactly 0.
+    "t164_km_survival" ->
+      """WITH horizon AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+        |per_user AS (
+        |  SELECT user_id, user_id % 3 AS cohort,
+        |         min(epoch_us(ts)) AS t0,
+        |         min(CASE WHEN event_type = 'purchase'
+        |               THEN epoch_us(ts) END) AS tp
+        |  FROM events GROUP BY user_id
+        |), u AS (
+        |  SELECT cohort,
+        |         CAST((coalesce(tp, tmax) - t0) // 3600000000 AS BIGINT)
+        |           AS dur,
+        |         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS died
+        |  FROM per_user, horizon
+        |), per_d AS (
+        |  SELECT cohort, dur AS d, CAST(sum(died) AS BIGINT) AS deaths,
+        |         CAST(count(*) AS BIGINT) AS ending
+        |  FROM u GROUP BY cohort, dur
+        |), risk AS (
+        |  SELECT cohort, d, deaths,
+        |         CAST(sum(ending) OVER (PARTITION BY cohort ORDER BY d
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS BIGINT) AS at_risk
+        |  FROM per_d
+        |), terms AS (
+        |  SELECT cohort, d, deaths, at_risk,
+        |         CASE WHEN deaths < at_risk
+        |              THEN ln(1.0 - deaths / CAST(at_risk AS DOUBLE)) END
+        |           AS term,
+        |         CASE WHEN deaths = at_risk THEN 1 ELSE 0 END AS zr
+        |  FROM risk
+        |)
+        |SELECT cohort, d, deaths, at_risk,
+        |       CASE WHEN max(zr) OVER (PARTITION BY cohort ORDER BY d
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |            THEN 0.0
+        |            ELSE round(exp(coalesce(sum(term) OVER
+        |              (PARTITION BY cohort ORDER BY d
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |              0.0)), 6)
+        |       END AS survival
+        |FROM terms WHERE deaths > 0
+        |ORDER BY cohort, d""".stripMargin,
   )
 }

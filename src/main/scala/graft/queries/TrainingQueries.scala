@@ -3733,6 +3733,76 @@ object TrainingQueries {
         Tables.documents(spark, sfDir), "text", "source", 3)
       .orderBy(col("containment").desc, col("source_a"), col("source_b"))
 
+  /** t161_auc — exact ROC AUC of the event value as a click-ranking
+    * signal, per weekday (the epoch-day % 7 portable weekday): does
+    * the score order clicks above non-clicks, and is that stable
+    * across the week. Exact oracle — all rank sums are BIGINTs.
+    */
+  def t161Auc(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    graft.ops.Eval.aucRank(
+        events.withColumn("dow",
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long") % 7),
+        Seq("dow"), col("event_type") === "click", "value")
+      .orderBy(col("dow"))
+  }
+
+  /** t162_calibration — reliability bins + ECE of value/500 as a
+    * click "probability", per weekday: the is-the-quality-score-
+    * calibrated audit. Exact oracle — accuracy counts are BIGINTs and
+    * confidence mass routes through DECIMAL(28,10) on both engines.
+    */
+  def t162Calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .withColumn("dow",
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long") % 7)
+      .withColumn("p", col("value") / 500.0)
+    graft.ops.Eval.calibrationReport(events, Seq("dow"), "p",
+        col("event_type") === "click", 10)
+      .orderBy(col("dow"), col("bin"))
+  }
+
+  /** t163_zipf — Zipf-law fit of each source's top-100 token
+    * frequencies: slope/r² per source as the natural-vs-templated
+    * text health check. Exact oracle on the integer micro-log moment
+    * contract.
+    */
+  def t163Zipf(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(spark, sfDir), "text",
+        Seq("source"), 100)
+      .orderBy(col("source"))
+
+  /** t164_km_survival — Kaplan–Meier time-to-first-purchase (hours
+    * from each user's first event; right-censored at the corpus's
+    * last timestamp), per user_id % 3 cohort. The survival curve the
+    * retention table (t108) can't produce once observation windows
+    * differ per user. Exact-ordered oracle (ln/exp at the 6dp
+    * boundary).
+    */
+  def t164KmSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("tp"))
+    val tmax = events.agg(max(unix_micros(col("ts"))).as("tmax"))
+    val subjects = perUser.crossJoin(broadcast(tmax))
+      .withColumn("__us", when(col("tp").isNotNull, col("tp"))
+        .otherwise(col("tmax")) - col("t0"))
+      // integer `div`, not `/`: long/long in Spark is a DOUBLE divide,
+      // and a quotient that lands exactly on an hour boundary can
+      // round to n−ε and truncate to the wrong hour
+      .select((col("user_id") % 3).as("cohort"),
+        expr("__us div 3600000000").as("dur"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("died"))
+    graft.ops.Eval.kaplanMeier(subjects, Seq("cohort"), "dur", "died")
+      .orderBy(col("cohort"), col("d"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -355,7 +355,10 @@ object ScaleStress {
       // containment: the 10x corpus's exact copies vanish at the
       // distinct (source, digest) collapse; only the variant suffixes
       // add digest mass to the pair join
-      "t160_containment" -> (TrainingQueries.t160Containment _))
+      "t160_containment" -> (TrainingQueries.t160Containment _),
+      // zipf: the token-count stage sees 10x grams map-side-combined;
+      // the bounded-heap top-k exchange and the OLS stay k-sized
+      "t163_zipf" -> (TrainingQueries.t163Zipf _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

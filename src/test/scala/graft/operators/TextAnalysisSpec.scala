@@ -400,4 +400,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Long]("n_common") == 1L)
     assert(out.getAs[Double]("containment") == 0.5)
   }
+
+  test("zipfFit matches the closed-form micro-log OLS on a geometric corpus") {
+    // token wi appears 2^(5-i) times: counts 16, 8, 4, 2, 1
+    val text = (1 to 5).flatMap(i => Seq.fill(1 << (5 - i))(s"w$i"))
+      .mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq(("s", text)).toDF("source", "text"),
+      "text", Seq("source"), 100).collect().head
+    // same contract computed independently: exact integer moments on
+    // x = round(ln(rank)*1e6), y = round(ln(count)*1e6)
+    val xs = (1 to 5).map(r => math.rint(math.log(r) * 1e6).toLong)
+    val ys = (5 to 1 by -1).map(c =>
+      math.rint(math.log(1 << (c - 1)) * 1e6).toLong)
+    val n = 5L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    assert(out.getAs[Long]("n_terms") == 5L)
+    assert(out.getAs[Double]("slope") == math.rint(slope * 1e6) / 1e6)
+    assert(out.getAs[Double]("r2") > 0.9) // geometric decay fits well
+  }
+
+  test("zipfFit: k caps the fitted terms and tiny groups drop") {
+    val docs = Seq(
+      ("big", (1 to 10).flatMap(i => Seq.fill(11 - i)(s"t$i")).mkString(" ")),
+      ("tiny", "solo solo solo")).toDF("source", "text")
+    val out = TextAnalysis.zipfFit(docs, "text", Seq("source"), 3)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("n_terms")).toMap
+    assert(out == Map("big" -> 3L)) // tiny has 1 distinct term — no fit
+  }
 }

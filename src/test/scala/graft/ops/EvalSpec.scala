@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- aucRank ----------------------------------------------------
+
+  test("aucRank: perfect separation gives AUC 1, inverted gives 0") {
+    val rows = (1 to 20).map(i => ("g", i > 10, i.toDouble))
+    val up = Eval.aucRank(rows.toDF("g", "y", "s"), Seq("g"),
+      col("y"), "s").collect().head
+    assert(up.getAs[Double]("auc") == 1.0)
+    assert(up.getAs[Long]("n_pos") == 10 && up.getAs[Long]("n_neg") == 10)
+    val down = Eval.aucRank(rows.toDF("g", "y", "s"), Seq("g"),
+      !col("y"), "s").collect().head
+    assert(down.getAs[Double]("auc") == 0.0)
+  }
+
+  test("aucRank: all-tied scores give exactly 0.5 via midranks") {
+    val rows = (1 to 30).map(i => ("g", i % 3 == 0, 42.0))
+    val out = Eval.aucRank(rows.toDF("g", "y", "s"), Seq("g"),
+      col("y"), "s").collect().head
+    assert(out.getAs[Double]("auc") == 0.5)
+  }
+
+  test("aucRank matches the brute-force pair count with ties") {
+    val pos = Seq(1.0, 3.0, 3.0, 7.0, 9.0)
+    val neg = Seq(1.0, 2.0, 3.0, 5.0, 5.0, 8.0)
+    val df = (pos.map(("g", true, _)) ++ neg.map(("g", false, _)))
+      .toDF("g", "y", "s")
+    // AUC = P(pos > neg) + 0.5 P(pos == neg), counted over all pairs
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expect = math.rint(wins / (pos.size * neg.size) * 1e6) / 1e6
+    val got = Eval.aucRank(df, Seq("g"), col("y"), "s")
+      .collect().head.getAs[Double]("auc")
+    assert(got == expect)
+  }
+
+  test("aucRank: empty-side groups drop") {
+    val rows = Seq(("a", true, 1.0), ("a", false, 2.0), ("b", true, 1.0))
+    val out = Eval.aucRank(rows.toDF("g", "y", "s"), Seq("g"),
+      col("y"), "s").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  // ---- calibrationReport -------------------------------------------
+
+  test("calibrationReport: a perfectly calibrated bin has gap 0") {
+    // bin [0.2, 0.3): all p = 0.25, exactly 1 in 4 positive
+    val rows = (1 to 40).map(i => ("g", i % 4 == 0, 0.25))
+    val out = Eval.calibrationReport(rows.toDF("g", "y", "p"), Seq("g"),
+      "p", col("y"), 10).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("bin") == 2)
+    assert(r.getAs[Double]("acc") == 0.25)
+    assert(r.getAs[Double]("conf") == 0.25)
+    assert(r.getAs[Double]("gap") == 0.0)
+    assert(r.getAs[Double]("ece") == 0.0)
+  }
+
+  test("calibrationReport: ece is the bin-weighted gap sum; p=1 lands in the last bin") {
+    val rows =
+      (1 to 30).map(_ => ("g", false, 0.05)) ++ // bin 0: acc 0, conf .05
+      (1 to 10).map(_ => ("g", true, 1.0))      // bin 9 (capped): acc 1, conf 1
+    val out = Eval.calibrationReport(rows.toDF("g", "y", "p"), Seq("g"),
+      "p", col("y"), 10).collect().sortBy(_.getAs[Long]("bin"))
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 9L))
+    assert(out(0).getAs[Double]("gap") == 0.05)
+    assert(out(1).getAs[Double]("gap") == 0.0)
+    // ece = (30*0.05 + 10*0) / 40
+    assert(out.forall(_.getAs[Double]("ece") == 0.0375))
+  }
+
+  // ---- kaplanMeier -------------------------------------------------
+
+  test("kaplanMeier: no censoring reproduces the empirical survival") {
+    // 4 subjects dying at 1, 2, 2, 4: S = 3/4, 1/4, then 0 at d=4
+    val rows = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 2L, 1L),
+      ("g", 4L, 1L))
+    val out = Eval.kaplanMeier(rows.toDF("g", "dur", "died"), Seq("g"),
+      "dur", "died").collect().sortBy(_.getAs[Long]("d"))
+    assert(out.map(_.getAs[Long]("d")).toSeq == Seq(1L, 2L, 4L))
+    assert(out.map(_.getAs[Double]("survival")).toSeq ==
+      Seq(0.75, 0.25, 0.0))
+    assert(out.map(_.getAs[Long]("at_risk")).toSeq == Seq(4L, 3L, 1L))
+  }
+
+  test("kaplanMeier: censored subjects leave the risk set without a death") {
+    // deaths at 1 and 3; a censored subject at 2 shrinks the risk set:
+    // S(1) = 3/4; at d=3 at_risk = 2 (censored one gone) -> S = 3/8
+    val rows = Seq(("g", 1L, 1L), ("g", 2L, 0L), ("g", 3L, 1L),
+      ("g", 5L, 0L))
+    val out = Eval.kaplanMeier(rows.toDF("g", "dur", "died"), Seq("g"),
+      "dur", "died").collect().sortBy(_.getAs[Long]("d"))
+    assert(out.map(_.getAs[Long]("d")).toSeq == Seq(1L, 3L))
+    assert(out.map(_.getAs[Long]("at_risk")).toSeq == Seq(4L, 2L))
+    assert(out.map(_.getAs[Double]("survival")).toSeq == Seq(0.75, 0.375))
+  }
+
+  test("kaplanMeier: a death-free group emits nothing") {
+    val rows = Seq(("g", 1L, 0L), ("g", 2L, 0L))
+    assert(Eval.kaplanMeier(rows.toDF("g", "dur", "died"), Seq("g"),
+      "dur", "died").count() == 0)
+  }
+}
