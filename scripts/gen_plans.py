@@ -54,7 +54,9 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t157_diversity", "t158_burst_gini",
            "t159_wasserstein", "t160_containment",
            "t161_auc", "t162_calibration", "t163_zipf",
-           "t164_km_survival"]
+           "t164_km_survival", "t165_avg_precision",
+           "t166_containment_pairs", "t167_transition_entropy",
+           "t168_heaps_fit"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -143,6 +145,14 @@ NOTES = {
         "The top-100-per-source stage is the BOUNDED-HEAP top_k_by_score aggregate — partial heaps reduce map-side so the exchange carries at most partitions x sources x k entries, never the vocabulary-sized row_number window; the OLS runs on k-row integer micro-log moments.",
     "t164_km_survival":
         "Corpus-sized work ends at the per-user min/min collapse (map-side combinable); the at-risk and survival windows run on the (cohort x distinct durations) aggregate — duration-granularity-bounded, 30 rows here — and the horizon join is a broadcast 1-row aggregate.",
+    "t165_avg_precision":
+        "t161's stressed shape verbatim — ties collapse map-side to one (group, score) row before any window — plus one more cumulative sum over the SAME per-group distinct-score window frame (no extra exchange, no extra sort); the only float stage is that identically-ordered running term sum.",
+    "t166_containment_pairs":
+        "t4's candidate plan: posting lists reduce through the saturating df-capped collect (an ObjectHashAggregate over 8-byte shingle hashes, partial map-side), pairs expand in-array from capped buckets — no posting self-join, no window — and the sorted-intersect kernel runs only on surviving candidates; both direction rows project from ONE scored frame.",
+    "t167_transition_entropy":
+        "t121's per-user lag window (user-keyed shuffle, parallel partitions) feeds a map-side-combinable (prev, next) count; the entropy sum is an order-independent BIGINT micro-log aggregate over the |types|^2-row frame — no float reduction, no second corpus pass.",
+    "t168_heaps_fit":
+        "No per-source rank window anywhere in the plan: ranks come from the denseIds range repartition + per-partition row_number (parallel sorts, one long of driver state per partition, the t136 machinery), vocabulary first-sightings collapse via partial min over (source, 48-bit digest) — the one corpus-sized exchange, 8-byte keys — and every checkpoint structure after is a <= 63-row-per-source grid cumsum.",
 }
 
 def plan_of(q):

@@ -133,4 +133,44 @@ object Behavior {
     steps.select(col("prev_type"), col("next_type"), col("n"),
       round(col("n").cast("double") / sum(col("n")).over(wTot), 6).as("p"))
   }
+
+  /** Next-event entropy per state: how PREDICTABLE each event type's
+    * successor is — H(next | current = a) = −Σ_b p_b ln p_b over the
+    * transition row, plus the ln(k)-normalized form in [0, 1]
+    * (0 = deterministic bot-like flow, 1 = uniform wandering). The
+    * one-number-per-state collapse of [[transitions]], and the
+    * behavioral twin of the lexical diversity report: scripted /
+    * replayed / synthetic traffic shows up as near-zero entropy
+    * states long before a human reads the full transition matrix.
+    *
+    * Arithmetic contract: each term routes through the BIGINT
+    * micro-log boundary — round(p·ln(p)·10⁶) with p one IEEE divide
+    * of exact counts — so the per-state entropy sum is an
+    * ORDER-INDEPENDENT integer sum, not a float reduction (the t163
+    * micro-log convention). Doubles reappear only at the final 6dp
+    * divisions.
+    *
+    * Scale shape: one per-user lag window (via [[transitions]]) into
+    * a |types|²-row frame; everything after is bounded by the type
+    * vocabulary. Output: (prev_type, n_out, k_next, entropy,
+    * norm_entropy) — entropy in nats, 6dp.
+    */
+  def transitionEntropy(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, idCol: String): DataFrame = {
+    val t = transitions(events, userCol, tsCol, typeCol, idCol)
+      .select(col("prev_type"), col("next_type"), col("n"))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    val p = col("n").cast("double") / sum(col("n")).over(wTot)
+    t.withColumn("__micro", round(p * log(p) * lit(1e6), 0).cast("long"))
+      .groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("n_out"), count(lit(1)).as("k_next"),
+           sum(col("__micro")).as("__msum"))
+      .select(col("prev_type"), col("n_out"), col("k_next"),
+        round(-col("__msum").cast("double") / 1e6, 6).as("entropy"),
+        when(col("k_next") > 1,
+          round(-col("__msum").cast("double") / 1e6
+            / log(col("k_next").cast("double")), 6))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
 }

@@ -552,4 +552,104 @@ object TextAnalysis {
           / (varXN.cast("double") * varYN.cast("double"))), 6)
           .as("r2"): _*)
   }
+
+  /** Heaps-law vocabulary-growth fit per source: OLS of ln(distinct
+    * vocabulary) on ln(token mass) sampled at power-of-2 document
+    * checkpoints — V(n) ≈ K·n^β. Natural text grows β ≈ 0.4–0.6;
+    * templated / mode-collapsed sources flatten early (β → 0) and
+    * boilerplate-free synthetic babble inflates toward β → 1, so one
+    * (β, r²) pair per source is the "is the vocabulary still growing
+    * the way language does" corpus-health check — the GROWTH-CURVE
+    * complement of [[zipfFit]]'s static rank-frequency lens.
+    *
+    * Scale shape — no corpus-wide window and no per-checkpoint
+    * corpus rescan:
+    *  1. per-source dense doc ranks via [[Ids.denseIds]] (range
+    *     repartition + per-partition ranks; one long of driver state
+    *     per partition) minus broadcast per-source offsets — NOT a
+    *     `row_number` over a per-source window, which would funnel
+    *     each source's whole slice through one task;
+    *  2. vocabulary first-sightings collapse to (source, 48-bit token
+    *     digest) → min rank — an 8-byte-key map-side-combinable
+    *     shuffle, the only corpus-sized exchange;
+    *  3. every rank/first-sighting lands in ONE checkpoint bucket
+    *     g₀ = ⌈log₂ r⌉ (computed exactly from the binary-string
+    *     length, no float log), so checkpoint totals are a
+    *     ≤ 63-rows-per-source cumulative sum — the naive
+    *     "join every row to every checkpoint ≥ it" range join never
+    *     materializes.
+    *
+    * Arithmetic contract: checkpoint totals are exact BIGINTs;
+    * x = round(ln(tokens)·10⁶), y = round(ln(vocab)·10⁶) BIGINT
+    * micro-logs make all six OLS moments exact integers (the t163
+    * contract — bit-identical slope/intercept/r² across engines).
+    *
+    * Output: (source, n_points, beta, ln_k, r2) — 6dp; ln_k in
+    * ln-vocabulary units; sources with < 2 usable checkpoints drop.
+    */
+  def heapsFit(docs: DataFrame, textCol: String, idCol: String,
+               srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(srcCol)
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(s, col(idCol),
+        filter(TextDedup.tokens(col(textCol)), t => t =!= "").as("__t"))
+    val ranked = Ids.denseIds(base, "__gid", Seq(col(srcCol), col(idCol)))
+    val offs = ranked.groupBy(s).agg(min(col("__gid")).as("__off"),
+      (max(col("__gid")) - min(col("__gid")) + 1L).as("__maxrk"))
+    val withRk = ranked
+      .join(broadcast(offs.select(s, col("__off"))), Seq(srcCol))
+      .withColumn("__rk", col("__gid") - col("__off") + 1L)
+    // smallest checkpoint exponent g ≥ 1 with 2^g ≥ r, exactly:
+    // len(bin(r−1)) = ⌈log₂ r⌉ for r ≥ 2, and r = 1 clamps to 1
+    def g0(r: Column): Column =
+      greatest(lit(1), length(bin(r - 1))).cast("int")
+    val vbuck = withRk
+      .select(s, col("__rk"), explode(col("__t")).as("__tok"))
+      .groupBy(s, graft.ops.SnapshotDiff.portableDigest(Seq(col("__tok")))
+        .as("__hv"))
+      .agg(min(col("__rk")).as("__fr"))
+      .groupBy(s, g0(col("__fr")).as("__g"))
+      .agg(count(lit(1)).as("__vc"))
+    val nbuck = withRk
+      .select(s, g0(col("__rk")).as("__g"),
+        size(col("__t")).cast("long").as("__ntok"))
+      .groupBy(s, col("__g"))
+      .agg(sum(col("__ntok")).as("__nc"))
+    val grid = offs
+      .filter(col("__maxrk") >= 2)
+      .select(s, explode(sequence(lit(1),
+        (length(bin(col("__maxrk"))) - 1).cast("int"))).as("__g"))
+    val wCum = Window.partitionBy(s).orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xy = grid
+      .join(vbuck, Seq(srcCol, "__g"), "left")
+      .join(nbuck, Seq(srcCol, "__g"), "left")
+      .withColumn("__v", sum(coalesce(col("__vc"), lit(0L))).over(wCum))
+      .withColumn("__n", sum(coalesce(col("__nc"), lit(0L))).over(wCum))
+      .filter(col("__v") > 0 && col("__n") > 0)
+      .select(s,
+        round(log(col("__n").cast("double")) * 1e6, 0).cast("long")
+          .as("__x"),
+        round(log(col("__v").cast("double")) * 1e6, 0).cast("long")
+          .as("__y"))
+    val m = xy.groupBy(s)
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val covN = col("n_points") * col("__sxy") - col("__sx") * col("__sy")
+    val varXN = col("n_points") * col("__sxx") - col("__sx") * col("__sx")
+    val varYN = col("n_points") * col("__syy") - col("__sy") * col("__sy")
+    m.filter(col("n_points") >= 2 && varXN > 0)
+      .withColumn("__beta", covN.cast("double") / varXN.cast("double"))
+      .select(s, col("n_points"),
+        round(col("__beta"), 6).as("beta"),
+        round((col("__sy").cast("double") - col("__beta") * col("__sx"))
+          / col("n_points") / 1e6, 6).as("ln_k"),
+        round(when(varYN > 0, (covN.cast("double") * covN.cast("double"))
+          / (varXN.cast("double") * varYN.cast("double"))), 6)
+          .as("r2"))
+  }
 }

@@ -254,6 +254,51 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Doc-level n-gram CONTAINMENT pairs — the asymmetric complement
+    * of [[ngramJaccardPairs]]: containment(sub ⊆ sup) =
+    * |sh_sub ∩ sh_sup| / |sh_sub| catches SUBSUMPTION (a paragraph
+    * quoted inside a long article, a doc re-published with a wrapper)
+    * that Jaccard structurally cannot — a 50-shingle doc fully inside
+    * a 5000-shingle doc has J ≈ 0.01 but containment 1.0. The
+    * doc-granular twin of the corpus-level t160 source matrix.
+    *
+    * Same candidate machinery as t4: distinct hashed shingle sets,
+    * posting lists through the saturating df-capped buckets (one
+    * 8-byte-key shuffle, no self-join), then the sorted-intersect
+    * kernel on candidate pairs only. Each unordered candidate pair
+    * checks BOTH directions and emits one row per direction that
+    * clears `minContainment` (id_sub = the contained side).
+    *
+    * No size prefilter applies: containment ≥ t bounds nothing
+    * between |A| and |B| (any tiny doc can sit inside any huge one) —
+    * the df cap is the sole, and sufficient, candidate bound.
+    *
+    * Output: (id_sub, id_sup, n_sub, n_sup, n_common, containment) —
+    * 6dp, distinct-shingle counts.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       shingleK: Int = 3, minContainment: Double = 0.8,
+                       maxDf: Int = 10): DataFrame = {
+    val sets = hashedShingleSets(docs, textCol, idCol, shingleK)
+    val posting = sets.select(col("id"), explode(col("sh")).as("shash"))
+    val scored = Buckets.pairs(posting, Seq("shash"), maxDf)
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        TextFunctions.sorted_intersect_count(col("sh_a"), col("sh_b"))
+          .cast("long").as("n_common"))
+    val aInB = scored.select(col("id_a").as("id_sub"), col("id_b").as("id_sup"),
+      col("n_a").as("n_sub"), col("n_b").as("n_sup"), col("n_common"))
+    val bInA = scored.select(col("id_b").as("id_sub"), col("id_a").as("id_sup"),
+      col("n_b").as("n_sub"), col("n_a").as("n_sup"), col("n_common"))
+    aInB.unionByName(bInA)
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("n_sub"), 6))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Duplicate-span detection — the substring-level dedup of
     * "Deduplicating Training Data Makes Language Models Better"
     * (Lee et al., 2022), re-expressed for Spark: find every k-token

@@ -72,6 +72,58 @@ object Eval {
           / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"): _*)
   }
 
+  /** Average precision (area under the precision–recall step curve)
+    * per group — the ranking metric that, unlike AUC, stays honest
+    * under heavy class imbalance (the common shape when a quality
+    * score hunts a rare label). Ties share one block: with blocks b
+    * ordered by score DESC, AP = Σ_b (cp_b / n_pos) · (P_b / T_b)
+    * where cp_b is the block's positives and P_b/T_b the cumulative
+    * positives/rows through b — i.e. every tied row sees the
+    * precision AT THE END of its tie block (the order-deterministic
+    * convention; row-level AP would depend on arbitrary tie order).
+    *
+    * Distributed exactly like [[aucRank]]: one collapse to (group,
+    * score) blocks — map-side combinable, ties never shuffle
+    * individually — then per-group cumulative windows over DISTINCT
+    * scores. The float stage is the per-group cumulative sum of
+    * block terms, sequential in the window's DESC score order on
+    * both engines, so the result is bit-stable; terms are single
+    * IEEE divides/multiplies of exact BIGINTs.
+    *
+    * Scale shape: shuffles carry (group, score) + two longs; the
+    * window is per-group over distinct scores (same t113 caveat:
+    * bin scores first for billion-distinct-score groups). Groups
+    * with no positives drop (AP undefined).
+    *
+    * Output: (groups…, n_pos, ap) — ap 6dp.
+    */
+  def averagePrecision(df: DataFrame, groupCols: Seq[String],
+                       positive: Column, scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val blocks = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(g :+ col(scoreCol).as("__s"): _*)
+      .agg(sum(when(positive, 1L).otherwise(0L)).as("__cp"),
+           count(lit(1)).as("__ct"))
+    val whole = Window.partitionBy(g: _*)
+    val ord = whole.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocks
+      .withColumn("n_pos", sum(col("__cp")).over(whole))
+      .filter(col("n_pos") > 0)
+      .withColumn("__pb", sum(col("__cp")).over(ord))
+      .withColumn("__tb", sum(col("__ct")).over(ord))
+      .withColumn("__ap_cum",
+        sum((col("__cp").cast("double") / col("n_pos"))
+          * (col("__pb").cast("double") / col("__tb"))).over(ord))
+      .groupBy(g :+ col("n_pos"): _*)
+      // terms are ≥ 0 so the cumulative sum is nondecreasing: max =
+      // the final (complete) ordered sum, without a last_value frame
+      .agg(round(max(col("__ap_cum")), 6).as("ap"))
+      .select(g :+ col("n_pos") :+ col("ap"): _*)
+  }
+
   /** Probability-calibration report per group: fixed-width reliability
     * bins over a [0,1] probability column plus the group's expected
     * calibration error (ECE = Σ_b n_b/n · |acc_b − conf_b|) — the

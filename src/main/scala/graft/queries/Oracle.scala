@@ -4527,5 +4527,201 @@ object Oracle {
         |       END AS survival
         |FROM terms WHERE deaths > 0
         |ORDER BY cohort, d""".stripMargin,
+
+    // exact mirror of t165 (Eval.averagePrecision): same blocks
+    // collapse as t161, cumulative positives/rows over distinct
+    // scores DESC, AP as the identically-ordered cumulative term sum
+    // (terms >= 0, so max = the final ordered sum).
+    "t165_avg_precision" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |           AS dow,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
+        |         value AS s
+        |  FROM events WHERE value IS NOT NULL
+        |), blocks AS (
+        |  SELECT dow, s, CAST(sum(y) AS BIGINT) AS cp,
+        |         CAST(count(*) AS BIGINT) AS ct
+        |  FROM e GROUP BY dow, s
+        |), cum AS (
+        |  SELECT dow, s, cp,
+        |         CAST(sum(cp) OVER w AS BIGINT) AS pb,
+        |         CAST(sum(ct) OVER w AS BIGINT) AS tb
+        |  FROM blocks
+        |  WINDOW w AS (PARTITION BY dow ORDER BY s DESC
+        |               ROWS UNBOUNDED PRECEDING)
+        |), tot AS (
+        |  SELECT dow, CAST(sum(cp) AS BIGINT) AS n_pos FROM blocks
+        |  GROUP BY dow
+        |), terms AS (
+        |  SELECT c.dow, t.n_pos,
+        |         sum((c.cp / CAST(t.n_pos AS DOUBLE))
+        |             * (c.pb / CAST(c.tb AS DOUBLE)))
+        |           OVER (PARTITION BY c.dow ORDER BY c.s DESC
+        |                 ROWS UNBOUNDED PRECEDING) AS ap_cum
+        |  FROM cum c JOIN tot t ON c.dow = t.dow WHERE t.n_pos > 0
+        |)
+        |SELECT dow, n_pos, round(max(ap_cum), 6) AS ap
+        |FROM terms GROUP BY dow, n_pos
+        |ORDER BY dow""".stripMargin,
+
+    // exact mirror of t166 (TextDedup.containmentPairs over exact
+    // reps): the t4 candidate contract (distinct 3-gram shingle sets,
+    // posting lists with 2 <= df <= 10), then BOTH directions of
+    // |A ∩ B| / |A| judged on the 6dp-rounded value. Spark intersects
+    // xxhash64'd shingles; string-set intersection is identical
+    // modulo 64-bit collisions (none at oracle scale).
+    "t166_containment_pairs" ->
+      """WITH reps AS (
+        |  SELECT min(doc_id) AS id, text FROM documents GROUP BY text
+        |), toks AS (
+        |  SELECT id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')
+        |           AS t
+        |  FROM reps
+        |), sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END)
+        |    AS sh
+        |  FROM toks
+        |), posting AS (
+        |  SELECT id, unnest(sh) AS s FROM sets
+        |), grouped AS (
+        |  SELECT s, array_agg(id) AS ids FROM posting GROUP BY s
+        |  HAVING count(*) BETWEEN 2 AND 10
+        |), cands AS (
+        |  SELECT DISTINCT la.a AS id_a, lb.b AS id_b
+        |  FROM grouped, UNNEST(ids) la(a), UNNEST(ids) lb(b)
+        |  WHERE lb.b > la.a
+        |), scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(len(sa.sh) AS BIGINT) AS n_a,
+        |         CAST(len(sb.sh) AS BIGINT) AS n_b,
+        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+        |           AS n_common
+        |  FROM cands c
+        |  JOIN sets sa ON sa.id = c.id_a
+        |  JOIN sets sb ON sb.id = c.id_b
+        |), dirs AS (
+        |  SELECT id_a AS id_sub, id_b AS id_sup,
+        |         n_a AS n_sub, n_b AS n_sup, n_common FROM scored
+        |  UNION ALL
+        |  SELECT id_b, id_a, n_b, n_a, n_common FROM scored
+        |)
+        |SELECT id_sub, id_sup, n_sub, n_sup, n_common,
+        |       round(CAST(n_common AS DOUBLE) / n_sub, 6) AS containment
+        |FROM dirs
+        |WHERE round(CAST(n_common AS DOUBLE) / n_sub, 6) >= 0.8
+        |ORDER BY id_sub, id_sup""".stripMargin,
+
+    // exact mirror of t167 (Behavior.transitionEntropy): t121's
+    // transition counts, per-term BIGINT micro-log round(p·ln p·1e6),
+    // order-independent integer sum, 6dp at the final divisions.
+    "t167_transition_entropy" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), c AS (
+        |  SELECT prev AS prev_type, event_type AS next_type,
+        |         count(*) AS n
+        |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+        |), m AS (
+        |  SELECT c.prev_type, t.tot,
+        |         CAST(round((CAST(c.n AS DOUBLE) / t.tot)
+        |                    * ln(CAST(c.n AS DOUBLE) / t.tot)
+        |                    * 1000000.0) AS BIGINT) AS micro
+        |  FROM c JOIN t USING (prev_type)
+        |), a AS (
+        |  SELECT prev_type, CAST(max(tot) AS BIGINT) AS n_out,
+        |         CAST(count(*) AS BIGINT) AS k_next,
+        |         CAST(sum(micro) AS BIGINT) AS msum
+        |  FROM m GROUP BY prev_type
+        |)
+        |SELECT prev_type, n_out, k_next,
+        |       round(-CAST(msum AS DOUBLE) / 1000000.0, 6) AS entropy,
+        |       CASE WHEN k_next > 1
+        |            THEN round(-CAST(msum AS DOUBLE) / 1000000.0
+        |                       / ln(CAST(k_next AS DOUBLE)), 6)
+        |            ELSE 0.0 END AS norm_entropy
+        |FROM a ORDER BY prev_type""".stripMargin,
+
+    // exact mirror of t168 (TextAnalysis.heapsFit): per-source doc
+    // ranks ordered by doc_id, vocabulary first-sightings over the
+    // 48-bit md5 token digests, power-of-2 checkpoints, and the t163
+    // integer micro-log OLS. The oracle joins every first-sighting /
+    // rank to every checkpoint >= it (fine at oracle scale); the
+    // engine buckets by ceil(log2) and cumsums — identical integers.
+    "t168_heaps_fit" ->
+      s"""WITH toks AS (
+        |  SELECT source, doc_id,
+        |         list_filter(string_split_regex(lower(text),
+        |           '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), ranked AS (
+        |  SELECT source, doc_id, len(t) AS ntok,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY doc_id) AS BIGINT) AS rk
+        |  FROM toks
+        |), posting AS (
+        |  SELECT source, rk, unnest(t) AS token
+        |  FROM (SELECT source, t, rk
+        |        FROM toks JOIN ranked USING (source, doc_id))
+        |), firstseen AS (
+        |  SELECT source, CAST($HexTerms12 AS BIGINT) AS hv,
+        |         min(rk) AS fr
+        |  FROM (SELECT source, md5(token) AS d, rk FROM posting)
+        |  GROUP BY source, hv
+        |), cp AS (
+        |  SELECT source, CAST(pow(2, g) AS BIGINT) AS c
+        |  FROM (SELECT source, max(rk) AS mx FROM ranked GROUP BY source),
+        |       (SELECT unnest(range(1, 63)) AS g)
+        |  WHERE CAST(pow(2, g) AS BIGINT) <= mx
+        |), vexact AS (
+        |  SELECT cp.source, cp.c, CAST(count(*) AS BIGINT) AS v
+        |  FROM cp JOIN firstseen f
+        |    ON f.source = cp.source AND f.fr <= cp.c
+        |  GROUP BY cp.source, cp.c
+        |), nmass AS (
+        |  SELECT cp.source, cp.c, CAST(sum(r.ntok) AS BIGINT) AS n
+        |  FROM cp JOIN ranked r
+        |    ON r.source = cp.source AND r.rk <= cp.c
+        |  GROUP BY cp.source, cp.c
+        |), xy AS (
+        |  SELECT v.source,
+        |         CAST(round(ln(CAST(n.n AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT) AS x,
+        |         CAST(round(ln(CAST(v.v AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT) AS y
+        |  FROM vexact v JOIN nmass n
+        |    ON v.source = n.source AND v.c = n.c
+        |  WHERE v.v > 0 AND n.n > 0
+        |), m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x*y) AS BIGINT) AS sxy,
+        |         CAST(sum(x*x) AS BIGINT) AS sxx,
+        |         CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM xy GROUP BY source
+        |)
+        |SELECT source, n_points,
+        |       round(CAST(n_points*sxy - sx*sy AS DOUBLE)
+        |             / CAST(n_points*sxx - sx*sx AS DOUBLE), 6) AS beta,
+        |       round((CAST(sy AS DOUBLE)
+        |              - (CAST(n_points*sxy - sx*sy AS DOUBLE)
+        |                 / CAST(n_points*sxx - sx*sx AS DOUBLE)) * sx)
+        |             / n_points / 1000000.0, 6) AS ln_k,
+        |       CASE WHEN n_points*syy - sy*sy > 0 THEN
+        |         round(CAST(n_points*sxy - sx*sy AS DOUBLE)
+        |               * CAST(n_points*sxy - sx*sy AS DOUBLE)
+        |               / (CAST(n_points*sxx - sx*sx AS DOUBLE)
+        |                  * CAST(n_points*syy - sy*sy AS DOUBLE)), 6)
+        |       END AS r2
+        |FROM m WHERE n_points >= 2 AND n_points*sxx - sx*sx > 0
+        |ORDER BY source""".stripMargin,
   )
 }

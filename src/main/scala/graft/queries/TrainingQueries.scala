@@ -3803,6 +3803,55 @@ object TrainingQueries {
       .orderBy(col("cohort"), col("d"))
   }
 
+  /** t165_avg_precision — average precision of the event value as a
+    * click-ranking signal, per portable weekday: the class-imbalance-
+    * honest companion to t161's AUC (same blocks collapse, same
+    * tie-shared convention). Exact oracle — the only float stage is
+    * the identically-ordered per-group cumulative term sum.
+    */
+  def t165AvgPrecision(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    graft.ops.Eval.averagePrecision(
+        events.withColumn("dow",
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long") % 7),
+        Seq("dow"), col("event_type") === "click", "value")
+      .orderBy(col("dow"))
+  }
+
+  /** t166_containment_pairs — doc-level n-gram containment ≥ 0.8 over
+    * exact-dedup reps (t4's candidate machinery, asymmetric measure):
+    * the quoted-inside / republished-with-wrapper detector Jaccard
+    * structurally misses. Exact oracle on the shared shingle contract.
+    */
+  def t166ContainmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextDedup.containmentPairs(
+        TextDedup.exact(docs, "text", "doc_id"),
+        "text", "doc_id", shingleK = 3, minContainment = 0.8, maxDf = 10)
+      .orderBy(col("id_sub"), col("id_sup"))
+  }
+
+  /** t167_transition_entropy — next-event entropy per event type
+    * (nats + ln(k)-normalized): the scripted-traffic detector over
+    * t121's transition matrix. Exact oracle on the BIGINT micro-log
+    * term contract.
+    */
+  def t167TransitionEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Behavior.transitionEntropy(Tables.events(spark, sfDir), "user_id",
+        "ts", "event_type", "event_id")
+      .orderBy(col("prev_type"))
+
+  /** t168_heaps_fit — Heaps-law vocabulary-growth fit per source
+    * (β, ln K, r² over power-of-2 document checkpoints): the
+    * growth-curve complement of t163's Zipf lens. Exact oracle on the
+    * denseIds rank + checkpoint-bucket + integer micro-log contract.
+    */
+  def t168HeapsFit(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.heapsFit(Tables.documents(spark, sfDir), "text",
+        "doc_id", "source")
+      .orderBy(col("source"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -358,7 +358,16 @@ object ScaleStress {
       "t160_containment" -> (TrainingQueries.t160Containment _),
       // zipf: the token-count stage sees 10x grams map-side-combined;
       // the bounded-heap top-k exchange and the OLS stay k-sized
-      "t163_zipf" -> (TrainingQueries.t163Zipf _))
+      "t163_zipf" -> (TrainingQueries.t163Zipf _),
+      // (t165/t167 are events-table eval/behavior ops, outside this
+      // fixture like t161/t121)
+      // containment pairs: t4's capped posting buckets; the 10x
+      // corpus's exact copies collapse at the dedup, the variant
+      // suffixes add df-capped candidates only
+      "t166_containment_pairs" -> (TrainingQueries.t166ContainmentPairs _),
+      // heaps fit: denseIds range-shuffle + one 8-byte first-sighting
+      // collapse both grow ~10x; checkpoint grids stay <= 63/source
+      "t168_heaps_fit" -> (TrainingQueries.t168HeapsFit _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

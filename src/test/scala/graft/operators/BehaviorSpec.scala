@@ -77,4 +77,30 @@ class BehaviorSpec extends SparkSpec {
       ("2024-01-01", 1, 1L, 0.5),    // u1 returned
       ("2024-01-08", 0, 1L, 1.0)))   // u3's cohort
   }
+
+  private def seqEv(rows: (Long, Int, String)*) =
+    rows.toSeq.map { case (u, i, t) =>
+      (u, f"2024-01-01 00:$i%02d:00", t, i.toLong)
+    }.toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("ts", $"ts".cast("timestamp"))
+
+  test("transitionEntropy: deterministic successor gives 0, uniform gives ln k normalized to 1") {
+    // one user, a b a b c: a -> b always (twice); b -> a or c equally
+    val events = seqEv((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "a"),
+      (1L, 3, "b"), (1L, 4, "c"))
+    val out = Behavior.transitionEntropy(events, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => r.getAs[String]("prev_type") ->
+        (r.getAs[Long]("n_out"), r.getAs[Long]("k_next"),
+         r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy"))).toMap
+    assert(out("a") == ((2L, 1L, 0.0, 0.0)))          // a -> b, b
+    val (nB, kB, hB, normB) = out("b")
+    assert(nB == 2L && kB == 2L)
+    // two successors at p = 1/2 each: H = ln 2 on the micro contract
+    val micro = math.rint(0.5 * math.log(0.5) * 1e6).toLong
+    assert(hB == math.rint(-(2 * micro).toDouble / 1e6 * 1e6) / 1e6)
+    assert(normB == math.rint(-(2 * micro).toDouble / 1e6
+      / math.log(2.0) * 1e6) / 1e6)
+    assert(math.abs(hB - math.log(2.0)) < 1e-5 && math.abs(normB - 1.0) < 1e-5)
+  }
 }

@@ -431,4 +431,43 @@ class TextAnalysisSpec extends SparkSpec {
         r.getAs[Long]("n_terms")).toMap
     assert(out == Map("big" -> 3L)) // tiny has 1 distinct term — no fit
   }
+
+  test("heapsFit: every-token-new grows at beta 1; a saturated vocabulary fits flat") {
+    // "fresh": doc i contributes exactly one never-seen token, so at
+    // every checkpoint c the vocabulary V = c and token mass N = c —
+    // x = y at every point: beta 1, ln_k 0, r2 1.
+    // "flat": every doc repeats the same token — V = 1 forever,
+    // y = 0 at every checkpoint: beta 0, and varY = 0 leaves r2 null.
+    val docs = ((0L until 8L).map(i => ("fresh", i, s"tok$i")) ++
+      (0L until 8L).map(i => ("flat", i + 100L, "same")))
+      .toDF("source", "doc_id", "text")
+    val out = TextAnalysis.heapsFit(docs, "text", "doc_id", "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Double]("beta"),
+          r.getAs[Double]("ln_k"), Option(r.get(r.fieldIndex("r2")))))).toMap
+    assert(out("fresh") == ((3L, 1.0, 0.0, Some(1.0)))) // checkpoints 2,4,8
+    assert(out("flat") == ((3L, 0.0, 0.0, None)))
+  }
+
+  test("heapsFit matches the micro-log OLS replayed by hand") {
+    // one source, 4 single-token docs with vocabulary growth 1,2,2,3:
+    // same token at ranks 2 and 3, checkpoints at n=2 (V=2) and n=4 (V=3)
+    val docs = Seq(("s", 0L, "a"), ("s", 1L, "b"), ("s", 2L, "b"),
+      ("s", 3L, "c")).toDF("source", "doc_id", "text")
+    val out = TextAnalysis.heapsFit(docs, "text", "doc_id", "source")
+      .collect().head
+    def micro(v: Long) = math.rint(math.log(v.toDouble) * 1e6).toLong
+    val xs = Seq(micro(2), micro(4))
+    val ys = Seq(micro(2), micro(3))
+    val n = 2L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val beta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    assert(out.getAs[Long]("n_points") == 2L)
+    assert(out.getAs[Double]("beta") == math.rint(beta * 1e6) / 1e6)
+    assert(out.getAs[Double]("ln_k") ==
+      math.rint((sy.toDouble - beta * sx) / n / 1e6 * 1e6) / 1e6)
+    assert(out.getAs[Double]("r2") == 1.0) // two points: perfect line
+  }
 }

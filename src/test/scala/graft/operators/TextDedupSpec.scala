@@ -210,4 +210,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1L, 0.333333, false)))
     assert(out(4L) == ((1L, 0L, 0.0, false)))
   }
+
+  test("containmentPairs: a doc quoted inside a longer one scores 1.0 in the sub direction only") {
+    val quoted = Seq(
+      (0L, "alpha beta gamma delta epsilon"),                       // 3 trigrams
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),   // 7, contains all of 0's
+      (2L, "totally unrelated words about nothing shared here"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.containmentPairs(quoted, "text", "doc_id",
+        shingleK = 3, minContainment = 0.8, maxDf = 10)
+      .collect().map(r => (r.getAs[Long]("id_sub"), r.getAs[Long]("id_sup"),
+        r.getAs[Long]("n_sub"), r.getAs[Long]("n_common"),
+        r.getAs[Double]("containment")))
+    // 0 ⊆ 1 at 3/3; the reverse direction is 3/7 < 0.8 and drops
+    assert(out.toSeq == Seq((0L, 1L, 3L, 3L, 1.0)))
+  }
+
+  test("containmentPairs: the df cap silences stop-phrase-only pairs") {
+    // every doc shares one stop trigram; with maxDf below the doc
+    // count the bucket saturates and no candidates (hence no pairs)
+    // emerge from it
+    val docs = (0L to 5L).map(i =>
+      (i, s"common stop phrase unique$i tail$i word$i"))
+      .toDF("doc_id", "text")
+    assert(TextDedup.containmentPairs(docs, "text", "doc_id",
+      shingleK = 3, minContainment = 0.1, maxDf = 3).count() == 0)
+  }
 }

@@ -108,4 +108,43 @@ class EvalSpec extends SparkSpec {
     assert(Eval.kaplanMeier(rows.toDF("g", "dur", "died"), Seq("g"),
       "dur", "died").count() == 0)
   }
+
+  // ---- averagePrecision -------------------------------------------
+
+  test("averagePrecision: perfect ranking gives AP 1, no positives drops") {
+    val rows = (1 to 20).map(i => ("g", i > 15, i.toDouble))
+    val out = Eval.averagePrecision(rows.toDF("g", "y", "s"), Seq("g"),
+      col("y"), "s").collect().head
+    assert(out.getAs[Double]("ap") == 1.0)
+    assert(out.getAs[Long]("n_pos") == 5L)
+    assert(Eval.averagePrecision(rows.toDF("g", "y", "s"), Seq("g"),
+      lit(false), "s").count() == 0)
+  }
+
+  test("averagePrecision matches the tie-blocked brute force") {
+    val data = Seq((true, 9.0), (false, 9.0), (true, 7.0), (true, 5.0),
+      (false, 5.0), (false, 5.0), (true, 2.0), (false, 1.0))
+    val got = Eval.averagePrecision(data.map { case (y, s) => ("g", y, s) }
+      .toDF("g", "y", "s"), Seq("g"), col("y"), "s")
+      .collect().head.getAs[Double]("ap")
+    // blocks by distinct score DESC; every tied row sees end-of-block
+    // precision: AP = sum_b (cp_b / n_pos) * (P_b / T_b)
+    val nPos = data.count(_._1)
+    var (p, t, ap) = (0, 0, 0.0)
+    for ((s, rows) <- data.groupBy(_._2).toSeq.sortBy(-_._1)) {
+      val cp = rows.count(_._1)
+      p += cp; t += rows.size
+      ap += cp.toDouble / nPos * (p.toDouble / t)
+    }
+    assert(got == math.rint(ap * 1e6) / 1e6)
+  }
+
+  test("averagePrecision: positives ranked last score the random floor") {
+    // 1 positive at the bottom of 10: only block 10 contributes
+    // (1/1) * (1/10) = 0.1
+    val rows = (1 to 10).map(i => ("g", i == 1, i.toDouble))
+    val out = Eval.averagePrecision(rows.toDF("g", "y", "s"), Seq("g"),
+      col("y"), "s").collect().head
+    assert(out.getAs[Double]("ap") == 0.1)
+  }
 }
