@@ -56,7 +56,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t161_auc", "t162_calibration", "t163_zipf",
            "t164_km_survival", "t165_avg_precision",
            "t166_containment_pairs", "t167_transition_entropy",
-           "t168_heaps_fit"]
+           "t168_heaps_fit", "t169_pmi_cooccur", "t170_l_diversity",
+           "t171_benford", "t172_conformal"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -153,6 +154,14 @@ NOTES = {
         "t121's per-user lag window (user-keyed shuffle, parallel partitions) feeds a map-side-combinable (prev, next) count; the entropy sum is an order-independent BIGINT micro-log aggregate over the |types|^2-row frame — no float reduction, no second corpus pass.",
     "t168_heaps_fit":
         "No per-source rank window anywhere in the plan: ranks come from the denseIds range repartition + per-partition row_number (parallel sorts, one long of driver state per partition, the t136 machinery), vocabulary first-sightings collapse via partial min over (source, 48-bit digest) — the one corpus-sized exchange, 8-byte keys — and every checkpoint structure after is a <= 63-row-per-source grid cumsum.",
+    "t169_pmi_cooccur":
+        "Doc-frequency counts shuffle 8-byte digests (partial HashAggregate before the exchange); the top-k stage is the bounded-heap ObjectHashAggregate collapsing to ONE k-entry row (k longs of driver state — model-sized, like centroids); the presence pass filters map-side on the broadcast digest literal and pairs expand in-array from per-doc <= k-element sorted sets — no posting self-join, no window; token strings appear only in the k-row dimension joined by broadcast.",
+    "t170_l_diversity":
+        "One map-side-combinable (quasi, sensitive) count is the only corpus-sized stage; the entropy window partitions by the quasi key over the ALREADY-AGGREGATED frame (bounded by per-group sensitive cardinality), and the per-term BIGINT micro-log rounding makes the entropy sum order-independent.",
+    "t171_benford":
+        "The corpus collapses to (group, leading digit) counts in one partial-aggregated pass — digit extraction is integer string arithmetic on BIGINT cents, no float log10 near decade boundaries; the 9-row digit grid explodes from the group totals (absent digits score their full Benford share) and everything after the first exchange is <= 9 rows per group.",
+    "t172_conformal":
+        "t161's chain on the calibration slice: map-side (group, score) tie collapse, per-group cumulative window over DISTINCT scores for the ceil((n+1)(1-alpha)) order statistic (bin first, t137/t139, at billion-distinct-score cardinality); the test slice reduces through ONE count aggregate against the broadcast group-cardinality threshold table.",
 }
 
 def plan_of(q):

@@ -122,4 +122,47 @@ object Privacy {
         round(col("true_count") + noise, 6).as("noisy_count") :+
         lit(epsilon).as("epsilon"): _*)
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    * k-anonymity misses: a group can be k-large yet reveal everyone's
+    * SENSITIVE value if that value is (near-)constant inside it. Per
+    * quasi-identifier combination: group size, distinct sensitive
+    * values, the sensitive distribution's entropy, and both standard
+    * verdicts — distinct l-diversity (≥ l distinct values) and the
+    * stricter entropy l-diversity (H ≥ ln l).
+    *
+    * Arithmetic contract: each entropy term routes through the
+    * BIGINT micro-log boundary (round(p·ln p·10⁶), p one IEEE divide
+    * of exact counts — the t167 convention), so the per-group sum is
+    * order-independent; the entropy verdict compares the 6dp-rounded
+    * value against ln(l) on both engines.
+    *
+    * Scale shape: one map-side-combinable count on (quasi, sensitive)
+    * — the only corpus-sized stage — then per-quasi windows over the
+    * already-aggregated frame (bounded by sensitive-value cardinality
+    * per group). NULL sensitive values count as one more "value":
+    * groupBy keeps them, matching the count-based oracle replay.
+    *
+    * Output: (quasi…, n, k_sensitive, s_entropy, distinct_l_diverse,
+    * entropy_l_diverse) — entropy in nats, 6dp.
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val q = quasiCols.map(col)
+    val c = df.groupBy(q :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__n"))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy(q: _*)
+    val p = col("__n").cast("double") / sum(col("__n")).over(wq)
+    c.withColumn("__micro", round(p * log(p) * lit(1e6), 0).cast("long"))
+      .groupBy(q: _*)
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("k_sensitive"),
+           sum(col("__micro")).as("__msum"))
+      .select(q :+ col("n") :+ col("k_sensitive") :+
+        round(-col("__msum").cast("double") / 1e6, 6).as("s_entropy") :+
+        (col("k_sensitive") >= l).as("distinct_l_diverse") :+
+        (round(-col("__msum").cast("double") / 1e6, 6)
+          >= math.log(l.toDouble)).as("entropy_l_diverse"): _*)
+  }
 }

@@ -553,6 +553,76 @@ object TextAnalysis {
           .as("r2"): _*)
   }
 
+  /** PMI co-occurrence pairs over the corpus's top-k tokens:
+    * pmi(a,b) = ln( n_ab · N / (n_a · n_b) ) over DOC-LEVEL presence
+    * (n_a = docs containing a, n_ab = docs containing both) — the
+    * association-mining readout that separates compositional phrases
+    * and templated co-occurrence (high PMI) from tokens that merely
+    * happen to both be frequent (PMI ≈ 0). Restricting to the top-k
+    * vocabulary is the standard guard: PMI of rare pairs is noise,
+    * and it is also what bounds the pair space.
+    *
+    * Scale shape: document-frequency counts shuffle 8-byte digests
+    * (map-side combinable); the top-k selection is the BOUNDED-HEAP
+    * `top_k_by_score` aggregate (count-desc, smallest-digest tie) —
+    * k longs of driver state, the model-sized collect this repo's
+    * ANN/PQ machinery already budgets for. Presence rows then filter
+    * map-side against the broadcast k-digest set, collapse to one
+    * sorted ≤ k-element array per doc, and pairs expand IN-ARRAY
+    * (the Buckets shape — no posting self-join); pair counts are
+    * map-side combinable over a ≤ k² key space. Token strings ride
+    * no corpus shuffle: they're recovered for the k survivors only.
+    *
+    * Arithmetic: all counts exact BIGINTs; pmi is one ln of one
+    * IEEE divide, 6dp at the boundary.
+    *
+    * Output: (tok_a, tok_b, n_a, n_b, n_ab, pmi), digests ordered
+    * (tok_a's digest < tok_b's), pairs with n_ab < minCount dropped.
+    */
+  def pmiPairs(docs: DataFrame, textCol: String, idCol: String,
+               k: Int = 30, minCount: Int = 10): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val posting = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        explode(array_distinct(filter(TextDedup.tokens(col(textCol)),
+          t => t =!= ""))).as("__tok"))
+      .withColumn("__hv",
+        graft.ops.SnapshotDiff.portableDigest(Seq(col("__tok"))))
+    val counts = posting.groupBy(col("__hv"))
+      .agg(count(lit(1)).as("n_doc"))
+    val topHv: Seq[Long] = counts
+      .agg(graft.functions.TopKFunctions.top_k_by_score(
+        col("n_doc").cast("double"), col("__hv"), k).as("__top"))
+      .select(explode(col("__top")).as("__e"))
+      .select(col("__e.id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val pres = posting.filter(col("__hv").isin(topHv: _*))
+    // k-row dimension: digest -> (token, doc frequency); strings leave
+    // the corpus only here, for the k survivors
+    val dim = pres.groupBy(col("__hv"))
+      .agg(min(col("__tok")).as("token"), count(lit(1)).as("n_doc"))
+    val pairs = pres.groupBy(col("__doc"))
+      .agg(sort_array(collect_set(col("__hv"))).as("__hs"))
+      .select(explode(flatten(transform(col("__hs"), a =>
+        transform(filter(col("__hs"), b => b > a),
+          b => struct(a.as("ha"), b.as("hb")))))).as("__p"))
+      .groupBy(col("__p.ha").as("__ha"), col("__p.hb").as("__hb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val nDocs = docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("__n_docs"))
+    pairs
+      .join(broadcast(dim.select(col("__hv").as("__ha"),
+        col("token").as("tok_a"), col("n_doc").as("n_a"))), Seq("__ha"))
+      .join(broadcast(dim.select(col("__hv").as("__hb"),
+        col("token").as("tok_b"), col("n_doc").as("n_b"))), Seq("__hb"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(log((col("n_ab") * col("__n_docs")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")), 6).as("pmi"))
+  }
+
   /** Heaps-law vocabulary-growth fit per source: OLS of ln(distinct
     * vocabulary) on ln(token mass) sampled at power-of-2 document
     * checkpoints — V(n) ≈ K·n^β. Natural text grows β ≈ 0.4–0.6;

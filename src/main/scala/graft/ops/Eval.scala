@@ -72,6 +72,65 @@ object Eval {
           / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"): _*)
   }
 
+  /** Split-conformal threshold + coverage audit per group (Vovk et
+    * al.; Angelopoulos & Bates 2023 survey): from a CALIBRATION slice,
+    * the score threshold q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration
+    * score — the distribution-free cutoff that guarantees
+    * P(score ≤ q̂) ≥ 1−α on exchangeable data — then the measured
+    * coverage of that threshold on the held-out TEST slice. The
+    * finite-sample-honest way to turn any quality/nonconformity score
+    * into a keep/flag rule with a stated guarantee, plus the audit
+    * that catches the guarantee breaking (distribution shift between
+    * slices).
+    *
+    * Distributed exactly like [[aucRank]]: calibration scores
+    * collapse map-side to (group, score) count blocks, the order
+    * statistic comes from a per-group cumulative window over DISTINCT
+    * scores (first block whose cumulative count reaches the rank —
+    * bin scores first, t137-style, at billion-distinct-score
+    * cardinality), and the test-side coverage is one count aggregate
+    * against the group-cardinality threshold table (broadcast).
+    * Counts and the ⌈·⌉ rank are exact BIGINTs; ceil runs on the same
+    * IEEE product on both engines.
+    *
+    * Output: (groups…, n_cal, threshold, n_test, coverage, covered) —
+    * threshold/coverage 6dp; `covered` judges the 6dp-rounded
+    * coverage against `coveredAt`. Groups with an empty side drop.
+    */
+  def conformalThreshold(df: DataFrame, groupCols: Seq[String],
+                         scoreCol: String, calSide: Column,
+                         alpha: Double, coveredAt: Double): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val g = groupCols.map(col)
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val blocks = scored.filter(calSide)
+      .groupBy(g :+ col(scoreCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__ct"))
+    val whole = Window.partitionBy(g: _*)
+    val ord = whole.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = blocks
+      .withColumn("n_cal", sum(col("__ct")).over(whole))
+      .withColumn("__cc", sum(col("__ct")).over(ord))
+      .filter(col("__cc") >=
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
+      .groupBy(g :+ col("n_cal"): _*)
+      .agg(min(col("__s")).as("__thr"))
+    scored.filter(!calSide)
+      .join(broadcast(thr), groupCols)
+      .groupBy(g :+ col("n_cal") :+ col("__thr"): _*)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col(scoreCol) <= col("__thr"), 1L).otherwise(0L))
+          .as("__n_cov"))
+      .select(g :+ col("n_cal") :+ round(col("__thr"), 6).as("threshold") :+
+        col("n_test") :+
+        round(col("__n_cov").cast("double") / col("n_test"), 6)
+          .as("coverage") :+
+        (round(col("__n_cov").cast("double") / col("n_test"), 6)
+          >= coveredAt).as("covered"): _*)
+  }
+
   /** Average precision (area under the precision–recall step curve)
     * per group — the ranking metric that, unlike AUC, stays honest
     * under heavy class imbalance (the common shape when a quality

@@ -4723,5 +4723,158 @@ object Oracle {
         |       END AS r2
         |FROM m WHERE n_points >= 2 AND n_points*sxx - sx*sx > 0
         |ORDER BY source""".stripMargin,
+
+    // exact mirror of t169 (TextAnalysis.pmiPairs): per-doc DISTINCT
+    // tokens, doc-frequency by 48-bit digest, top-30 by (df DESC,
+    // digest) — the bounded-heap's tie rule — presence self-join for
+    // pair counts, PMI = ln(n_ab N / (n_a n_b)) at 6dp.
+    "t169_pmi_cooccur" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text),
+        |           '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), posting AS (
+        |  SELECT DISTINCT doc_id, token
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        |), hv AS (
+        |  SELECT doc_id, token, CAST($HexTerms12 AS BIGINT) AS h
+        |  FROM (SELECT doc_id, token, md5(token) AS d FROM posting)
+        |), df AS (
+        |  SELECT h, min(token) AS token, CAST(count(*) AS BIGINT) AS n_doc
+        |  FROM hv GROUP BY h
+        |), topk AS (
+        |  SELECT h, token, n_doc,
+        |         row_number() OVER (ORDER BY n_doc DESC, h) AS rk
+        |  FROM df QUALIFY rk <= 30
+        |), pres AS (
+        |  SELECT v.doc_id, v.h FROM hv v JOIN topk USING (h)
+        |), pairs AS (
+        |  SELECT a.h AS ha, b.h AS hb, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.h < b.h
+        |  GROUP BY 1, 2
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks
+        |)
+        |SELECT ta.token AS tok_a, tb.token AS tok_b,
+        |       ta.n_doc AS n_a, tb.n_doc AS n_b, p.n_ab,
+        |       round(ln(CAST(p.n_ab * nn.n_docs AS DOUBLE)
+        |                / CAST(ta.n_doc * tb.n_doc AS DOUBLE)), 6) AS pmi
+        |FROM pairs p, nn
+        |JOIN topk ta ON ta.h = p.ha
+        |JOIN topk tb ON tb.h = p.hb
+        |WHERE p.n_ab >= 10
+        |ORDER BY tok_a, tok_b""".stripMargin,
+
+    // exact mirror of t170 (Privacy.lDiversityAudit): (quasi,
+    // sensitive) counts, micro-log entropy terms, both verdicts on
+    // the 6dp-rounded entropy vs ln(120).
+    "t170_l_diversity" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |           AS dow,
+        |         user_id
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, dow, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2, 3
+        |), t AS (
+        |  SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS tot,
+        |         CAST(count(*) AS BIGINT) AS k_sensitive
+        |  FROM c GROUP BY 1, 2
+        |), m AS (
+        |  SELECT c.event_type, c.dow,
+        |         CAST(round((CAST(c.n AS DOUBLE) / t.tot)
+        |                    * ln(CAST(c.n AS DOUBLE) / t.tot)
+        |                    * 1000000.0) AS BIGINT) AS micro
+        |  FROM c JOIN t USING (event_type, dow)
+        |), a AS (
+        |  SELECT event_type, dow, CAST(sum(micro) AS BIGINT) AS msum
+        |  FROM m GROUP BY 1, 2
+        |)
+        |SELECT t.event_type, t.dow, t.tot AS n, t.k_sensitive,
+        |       round(-CAST(a.msum AS DOUBLE) / 1000000.0, 6) AS s_entropy,
+        |       t.k_sensitive >= 120 AS distinct_l_diverse,
+        |       round(-CAST(a.msum AS DOUBLE) / 1000000.0, 6) >= ln(120.0)
+        |         AS entropy_l_diverse
+        |FROM t JOIN a USING (event_type, dow)
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // exact mirror of t171 (Profiling.benfordAudit): BIGINT cents,
+    // string leading digit, full 9-digit grid (absent digits score
+    // |0 - P(d)|), micro-term MAD.
+    "t171_benford" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND value > 0
+        |), d AS (
+        |  SELECT event_type,
+        |         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |           AS digit
+        |  FROM v WHERE cents > 0
+        |), c AS (
+        |  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+        |), grid AS (
+        |  SELECT t.event_type, t.tot, CAST(g.g AS BIGINT) AS digit
+        |  FROM t, (SELECT unnest(range(1, 10)) AS g) g
+        |), m AS (
+        |  SELECT gr.event_type, gr.tot,
+        |         coalesce(c.n, 0) AS nd,
+        |         CAST(round(abs(CAST(coalesce(c.n, 0) AS DOUBLE) / gr.tot
+        |               - log10(1.0 + 1.0 / gr.digit)) * 1000000.0)
+        |           AS BIGINT) AS micro
+        |  FROM grid gr LEFT JOIN c
+        |    ON c.event_type = gr.event_type AND c.digit = gr.digit
+        |)
+        |SELECT event_type, CAST(max(tot) AS BIGINT) AS n_values,
+        |       CAST(sum(CASE WHEN nd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS k_digits,
+        |       round(CAST(sum(micro) AS DOUBLE) / 1000000.0 / 9.0, 6)
+        |         AS mad
+        |FROM m GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of t172 (Eval.conformalThreshold): calibration
+    // blocks over distinct scores, the ceil((n+1)*0.9) order
+    // statistic from the cumulative window, test coverage judged on
+    // the 6dp-rounded share vs 0.88.
+    "t172_conformal" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id % 2 = 0 AS cal, value AS s
+        |  FROM events WHERE value IS NOT NULL
+        |), blocks AS (
+        |  SELECT event_type, s, CAST(count(*) AS BIGINT) AS ct
+        |  FROM e WHERE cal GROUP BY 1, 2
+        |), nc AS (
+        |  SELECT event_type, CAST(sum(ct) AS BIGINT) AS n_cal
+        |  FROM blocks GROUP BY 1
+        |), cum AS (
+        |  SELECT b.event_type, b.s, n.n_cal,
+        |         CAST(sum(b.ct) OVER (PARTITION BY b.event_type
+        |           ORDER BY b.s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+        |  FROM blocks b JOIN nc n USING (event_type)
+        |), thr AS (
+        |  SELECT event_type, n_cal, min(s) AS thr
+        |  FROM cum
+        |  WHERE cc >= CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+        |  GROUP BY event_type, n_cal
+        |), test AS (
+        |  SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_test,
+        |         CAST(sum(CASE WHEN e.s <= t.thr THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_cov
+        |  FROM e JOIN thr t USING (event_type) WHERE NOT e.cal
+        |  GROUP BY 1
+        |)
+        |SELECT t.event_type, t.n_cal, round(t.thr, 6) AS threshold,
+        |       x.n_test,
+        |       round(CAST(x.n_cov AS DOUBLE) / x.n_test, 6) AS coverage,
+        |       round(CAST(x.n_cov AS DOUBLE) / x.n_test, 6) >= 0.88
+        |         AS covered
+        |FROM thr t JOIN test x USING (event_type)
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -3852,6 +3852,53 @@ object TrainingQueries {
         "doc_id", "source")
       .orderBy(col("source"))
 
+  /** t169_pmi_cooccur — PMI co-occurrence pairs over the corpus's
+    * top-30 tokens (doc-level presence, pairs seen in ≥ 10 docs): the
+    * association-mining lens on templated phrasing. Exact oracle on
+    * the shared digest + bounded-heap top-k contract.
+    */
+  def t169PmiCooccur(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.pmiPairs(Tables.documents(spark, sfDir), "text",
+        "doc_id", k = 30, minCount = 10)
+      .orderBy(col("tok_a"), col("tok_b"))
+
+  /** t170_l_diversity — l-diversity audit of user identity inside
+    * (event_type × weekday) quasi-groups (l = 120): the k-anonymity
+    * complement t70 can't see — big groups that still expose a
+    * near-constant sensitive value. Exact oracle on the BIGINT
+    * micro-log entropy contract.
+    */
+  def t170LDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .withColumn("dow",
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long") % 7)
+    Privacy.lDiversityAudit(e, Seq("event_type", "dow"), "user_id", 120)
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** t171_benford — Benford's-law leading-digit audit of event values
+    * per event type (MAD over all nine digits, integer-exact digit
+    * extraction via BIGINT cents): the fabricated-numbers tripwire.
+    * Exact oracle.
+    */
+  def t171Benford(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.benfordAudit(Tables.events(spark, sfDir),
+        Seq("event_type"), "value")
+      .orderBy(col("event_type"))
+
+  /** t172_conformal — split-conformal value threshold per event type
+    * (calibration = even event ids, α = 0.1) with held-out coverage
+    * audited at 0.88: the distribution-free keep-rule calibration.
+    * Exact oracle (BIGINT order statistics; one ceil on the same IEEE
+    * product).
+    */
+  def t172Conformal(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.conformalThreshold(Tables.events(spark, sfDir),
+        Seq("event_type"), "value", col("event_id") % 2 === 0,
+        alpha = 0.1, coveredAt = 0.88)
+      .orderBy(col("event_type"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -367,7 +367,11 @@ object ScaleStress {
       "t166_containment_pairs" -> (TrainingQueries.t166ContainmentPairs _),
       // heaps fit: denseIds range-shuffle + one 8-byte first-sighting
       // collapse both grow ~10x; checkpoint grids stay <= 63/source
-      "t168_heaps_fit" -> (TrainingQueries.t168HeapsFit _))
+      "t168_heaps_fit" -> (TrainingQueries.t168HeapsFit _),
+      // PMI: df counts shuffle 8-byte digests; top-k is the bounded
+      // heap; pairs expand in-array from <= k-element presence sets
+      // (t170/t171/t172 are events-table ops, outside this fixture)
+      "t169_pmi_cooccur" -> (TrainingQueries.t169PmiCooccur _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

@@ -104,4 +104,35 @@ class PrivacySpec extends SparkSpec {
     assert(audit.map(_._3).sum == 5L)
     assert(math.abs(audit.filterNot(_._2).map(_._4).sum - 0.2) < 1e-9)
   }
+
+  test("lDiversityAudit: a constant sensitive value fails both verdicts; a uniform one passes") {
+    import org.apache.spark.sql.functions.col
+    val rows =
+      (1 to 8).map(i => ("leaky", s"v")) ++        // 8 rows, 1 value
+      (1 to 8).map(i => ("mixed", s"v${i % 4}"))   // 8 rows, 4 values uniform
+    val out = Privacy.lDiversityAudit(rows.toDF("quasi", "sens"),
+        Seq("quasi"), "sens", l = 4)
+      .collect().map(r => r.getAs[String]("quasi") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k_sensitive"),
+          r.getAs[Double]("s_entropy"),
+          r.getAs[Boolean]("distinct_l_diverse"),
+          r.getAs[Boolean]("entropy_l_diverse")))).toMap
+    assert(out("leaky") == ((8L, 1L, 0.0, false, false)))
+    val (n, k, h, dl, el) = out("mixed")
+    assert(n == 8L && k == 4L && dl)
+    // uniform over 4: H = ln 4 on the micro contract — passes H >= ln l
+    val micro = math.rint(0.25 * math.log(0.25) * 1e6).toLong
+    assert(h == math.rint(-(4 * micro).toDouble / 1e6 * 1e6) / 1e6)
+    assert(el && math.abs(h - math.log(4.0)) < 1e-5)
+  }
+
+  test("lDiversityAudit: NULL sensitive values count as one more value") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("g", Some("a")), ("g", Some("a")), ("g", None))
+      .toDF("quasi", "sens")
+    val out = Privacy.lDiversityAudit(df, Seq("quasi"), "sens", l = 2)
+      .collect().head
+    assert(out.getAs[Long]("k_sensitive") == 2L)
+    assert(out.getAs[Boolean]("distinct_l_diverse"))
+  }
 }

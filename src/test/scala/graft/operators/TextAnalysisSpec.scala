@@ -449,6 +449,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("flat") == ((3L, 0.0, 0.0, None)))
   }
 
+  test("pmiPairs: independent tokens score 0, always-together tokens score ln(N/n)") {
+    // 4 docs: x and y in every doc (independent at p=1 -> PMI 0);
+    // p and q co-occur in 2 docs and never apart -> PMI ln(4*2/(2*2)) = ln 2
+    val docs = Seq(
+      (0L, "x y p q"), (1L, "x y p q"), (2L, "x y filler1"),
+      (3L, "x y filler2")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(docs, "text", "doc_id",
+        k = 10, minCount = 2)
+      .collect().map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"))
+        -> ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+             r.getAs[Long]("n_ab"), r.getAs[Double]("pmi")))).toMap
+    val xy = out.collectFirst {
+      case (k @ ("x", "y"), v) => v; case (k @ ("y", "x"), v) => v }.get
+    assert(xy == ((4L, 4L, 4L, 0.0)))
+    val pq = out.collectFirst {
+      case (("p", "q"), v) => v; case (("q", "p"), v) => v }.get
+    assert(pq._3 == 2L)
+    assert(pq._4 == math.rint(math.log(2.0) * 1e6) / 1e6)
+  }
+
+  test("pmiPairs: minCount prunes rare pairs and k caps the vocabulary") {
+    val docs = Seq((0L, "a b c"), (1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    // k=2 keeps only the two most frequent tokens (a: 4 docs, b: 3) —
+    // c never pairs; minCount=3 then keeps only (a,b) with n_ab=3
+    val out = TextAnalysis.pmiPairs(docs, "text", "doc_id",
+        k = 2, minCount = 3)
+      .collect().map(r => Set(r.getAs[String]("tok_a"),
+        r.getAs[String]("tok_b")) -> r.getAs[Long]("n_ab"))
+    assert(out.toSeq == Seq(Set("a", "b") -> 3L))
+  }
+
   test("heapsFit matches the micro-log OLS replayed by hand") {
     // one source, 4 single-token docs with vocabulary growth 1,2,2,3:
     // same token at ranks 2 and 3, checkpoints at n=2 (V=2) and n=4 (V=3)

@@ -139,6 +139,39 @@ class EvalSpec extends SparkSpec {
     assert(got == math.rint(ap * 1e6) / 1e6)
   }
 
+  test("conformalThreshold: picks the ceil((n+1)(1-alpha))-th smallest calibration score and measures test coverage") {
+    // calibration scores 1..9 (n=9): rank = ceil(10 * 0.8) = 8 -> thr 8
+    val cal = (1 to 9).map(i => ("g", true, i.toDouble))
+    val test = (1 to 10).map(i => ("g", false, i.toDouble)) // 8 of 10 <= 8
+    val out = Eval.conformalThreshold((cal ++ test).toDF("g", "cal", "s"),
+        Seq("g"), "s", col("cal"), alpha = 0.2, coveredAt = 0.75)
+      .collect().head
+    assert(out.getAs[Long]("n_cal") == 9L)
+    assert(out.getAs[Double]("threshold") == 8.0)
+    assert(out.getAs[Long]("n_test") == 10L)
+    assert(out.getAs[Double]("coverage") == 0.8)
+    assert(out.getAs[Boolean]("covered"))
+  }
+
+  test("conformalThreshold: tied calibration scores collapse into one block; rank lands inside the tie") {
+    // cal: 1, 5, 5, 5 (n=4): rank = ceil(5 * 0.5) = 3 -> cum hits 4 at
+    // score 5 -> thr 5
+    val cal = Seq(1.0, 5.0, 5.0, 5.0).map(("g", true, _))
+    val test = Seq(4.0, 5.0, 6.0).map(("g", false, _))
+    val out = Eval.conformalThreshold((cal ++ test).toDF("g", "cal", "s"),
+        Seq("g"), "s", col("cal"), alpha = 0.5, coveredAt = 0.9)
+      .collect().head
+    assert(out.getAs[Double]("threshold") == 5.0)
+    assert(out.getAs[Double]("coverage") == 0.666667)
+    assert(!out.getAs[Boolean]("covered"))
+  }
+
+  test("conformalThreshold: groups missing a side drop") {
+    val rows = Seq(("calOnly", true, 1.0), ("testOnly", false, 1.0))
+    assert(Eval.conformalThreshold(rows.toDF("g", "cal", "s"),
+      Seq("g"), "s", col("cal"), 0.1, 0.9).count() == 0)
+  }
+
   test("averagePrecision: positives ranked last score the random floor") {
     // 1 positive at the bottom of 10: only block 10 contributes
     // (1/1) * (1/10) = 0.1

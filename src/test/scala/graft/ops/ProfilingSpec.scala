@@ -64,4 +64,37 @@ class ProfilingSpec extends SparkSpec {
     assert(got("k") == ("k", 0L, 0L, None, None))
     assert(got("s") == ("s", 0L, 0L, None, None))
   }
+
+  test("benfordAudit: a perfectly Benford-weighted sample scores near 0; single-digit data is penalized on all 9 digits") {
+    import org.apache.spark.sql.functions.col
+    def benford(d: Int) = math.log10(1.0 + 1.0 / d)
+    // counts proportional to Benford out of 1000 (rounded): close fit
+    val close = (1 to 9).flatMap(d =>
+      Seq.fill(math.rint(benford(d) * 1000).toInt)(("close", d + 0.005)))
+    // all values lead with digit 4
+    val flat = Seq.fill(50)(("flat", 4.2))
+    val out = Profiling.benfordAudit((close ++ flat).toDF("g", "v"),
+        Seq("g"), "v")
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n_values"), r.getAs[Long]("k_digits"),
+          r.getAs[Double]("mad")))).toMap
+    val (nC, kC, madC) = out("close")
+    assert(kC == 9L && madC < 0.001)
+    // flat: digit 4 deviates |1 - P(4)|, the other 8 score their full P(d)
+    val microSum = math.rint(math.abs(1.0 - benford(4)) * 1e6).toLong +
+      (1 to 9).filter(_ != 4)
+        .map(d => math.rint(benford(d) * 1e6).toLong).sum
+    assert(out("flat") ==
+      ((50L, 1L, math.rint(microSum.toDouble / 1e6 / 9.0 * 1e6) / 1e6)))
+  }
+
+  test("benfordAudit: leading digit comes from BIGINT cents — sub-cent and non-positive rows drop") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("g", 0.004), ("g", -5.0), ("g", 0.0), ("g", 9.5))
+      .toDF("g", "v")
+    val out = Profiling.benfordAudit(df, Seq("g"), "v").collect().head
+    // only 9.5 survives (950 cents -> digit 9)
+    assert(out.getAs[Long]("n_values") == 1L)
+    assert(out.getAs[Long]("k_digits") == 1L)
+  }
 }
