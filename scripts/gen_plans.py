@@ -57,7 +57,9 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t164_km_survival", "t165_avg_precision",
            "t166_containment_pairs", "t167_transition_entropy",
            "t168_heaps_fit", "t169_pmi_cooccur", "t170_l_diversity",
-           "t171_benford", "t172_conformal"]
+           "t171_benford", "t172_conformal", "t173_good_turing",
+           "t174_label_mi", "t175_stream_conformal",
+           "t176_mann_whitney"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -162,6 +164,14 @@ NOTES = {
         "The corpus collapses to (group, leading digit) counts in one partial-aggregated pass — digit extraction is integer string arithmetic on BIGINT cents, no float log10 near decade boundaries; the 9-row digit grid explodes from the group totals (absent digits score their full Benford share) and everything after the first exchange is <= 9 rows per group.",
     "t172_conformal":
         "t161's chain on the calibration slice: map-side (group, score) tie collapse, per-group cumulative window over DISTINCT scores for the ceil((n+1)(1-alpha)) order statistic (bin first, t137/t139, at billion-distinct-score cardinality); the test slice reduces through ONE count aggregate against the broadcast group-cardinality threshold table.",
+    "t173_good_turing":
+        "One partial-aggregated (group, 8-byte digest) count is the only corpus-sized exchange; the frequency-of-frequencies collapse runs on the vocabulary-sized frame and the report arithmetic is single-row-per-group.",
+    "t174_label_mi":
+        "t169's skeleton: digest df counts -> bounded-heap top-k ObjectHashAggregate (k longs of driver state) -> map-side presence filter on the broadcast digest literal; the 2 x |labels| contingency builds from a broadcast cross of two bounded dimensions and every MI term is a BIGINT micro-log — order-independent, no float reduction.",
+    "t175_stream_conformal":
+        "The post-stream plan: the watermarked (day x type) coverage counts (bounded streaming state, the t134/t153 shape) carry the broadcast-joined threshold columns; the miss-count window partitions by event_type over the days x types frame — calendar-bounded. The calibration side is t172's collapse-then-window chain, run once, batch.",
+    "t176_mann_whitney":
+        "t161's exact chain with ONE added aggregate column (per-block tie cubes Σ(t³−t), exact BIGINT): same map-side tie collapse, same per-group distinct-score window, no new exchange; σ/z doubles appear only in the |groups|-row projection.",
 }
 
 def plan_of(q):

@@ -553,6 +553,110 @@ object TextAnalysis {
           .as("r2"): _*)
   }
 
+  /** Good–Turing unseen-mass report per group: from the frequency-of-
+    * frequencies profile — how many token types occur exactly once
+    * (N₁), exactly twice (N₂) — the Good–Turing estimate of the
+    * probability mass the corpus has NOT seen yet, p₀ = N₁/N, and the
+    * smoothed count for hapaxes r₁* = 2·N₂/N₁. The "is this source's
+    * vocabulary exhausted or still surprising" number: scraped natural
+    * text keeps a fat hapax tail (p₀ ≫ 0), templated/synthetic
+    * sources run dry (p₀ → 0) — the probabilistic sibling of the
+    * Heaps growth fit.
+    *
+    * Scale shape: one (group, 48-bit token digest) count — map-side
+    * combinable, 8-byte shuffle keys, the only corpus-sized stage —
+    * then one count-of-counts aggregate per group. All counts exact
+    * BIGINTs; the two ratios are single IEEE divides at the 6dp
+    * boundary.
+    *
+    * Output: (groups…, n_tokens, v, n1, n2, p_unseen, r1_star) —
+    * r1_star NULL when the group has no hapaxes.
+    */
+  def goodTuringReport(docs: DataFrame, textCol: String,
+                       groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    docs.filter(col(textCol).isNotNull)
+      .select(g :+ explode(filter(TextDedup.tokens(col(textCol)),
+        t => t =!= "")).as("__t"): _*)
+      .groupBy(g :+ graft.ops.SnapshotDiff.portableDigest(Seq(col("__t")))
+        .as("__hv"): _*)
+      .agg(count(lit(1)).as("__r"))
+      .groupBy(g: _*)
+      .agg(sum(col("__r")).as("n_tokens"), count(lit(1)).as("v"),
+        sum(when(col("__r") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__r") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(g :+ col("n_tokens") :+ col("v") :+ col("n1") :+ col("n2") :+
+        round(col("n1").cast("double") / col("n_tokens"), 6)
+          .as("p_unseen") :+
+        when(col("n1") > 0,
+          round(lit(2.0) * col("n2") / col("n1"), 6)).as("r1_star"): _*)
+  }
+
+  /** Mutual information between token PRESENCE and a document label
+    * (I(T; L) over the 2 × |labels| contingency of each top-k token)
+    * — the feature-selection ranking for label classifiers and the
+    * "which tokens give the source away" leakage probe: a token with
+    * high MI predicts the label; near-zero MI means it's label-blind
+    * boilerplate.
+    *
+    * Same scale skeleton as [[pmiPairs]]: doc-frequency counts over
+    * 8-byte digests, bounded-heap top-k (k longs of driver state),
+    * presence filtered map-side against the broadcast digest set;
+    * the contingency then collapses to (token, label) counts and the
+    * MI arithmetic runs on the k × |labels| grid (absent cells score
+    * via the label totals — a broadcast cross of two bounded
+    * dimensions). Each MI term routes through the BIGINT micro-log
+    * boundary (t167 convention) so the per-token sum is
+    * order-independent; zero cells contribute exactly 0.
+    *
+    * Output: (token, n_doc, mi) — mi in nats, 6dp, sorted by the
+    * caller.
+    */
+  def labelMi(docs: DataFrame, textCol: String, idCol: String,
+              labelCol: String, k: Int = 30): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val base = docs.filter(col(textCol).isNotNull)
+    val posting = base
+      .select(col(idCol).as("__doc"), col(labelCol).as("__lbl"),
+        explode(array_distinct(filter(TextDedup.tokens(col(textCol)),
+          t => t =!= ""))).as("__tok"))
+      .withColumn("__hv",
+        graft.ops.SnapshotDiff.portableDigest(Seq(col("__tok"))))
+    val topHv: Seq[Long] = posting.groupBy(col("__hv"))
+      .agg(count(lit(1)).as("__nd"))
+      .agg(graft.functions.TopKFunctions.top_k_by_score(
+        col("__nd").cast("double"), col("__hv"), k).as("__top"))
+      .select(explode(col("__top")).as("__e"))
+      .select(col("__e.id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val pres = posting.filter(col("__hv").isin(topHv: _*))
+    val dim = pres.groupBy(col("__hv"))
+      .agg(min(col("__tok")).as("token"), count(lit(1)).as("n_t"))
+    val presTs = pres.groupBy(col("__hv"), col("__lbl"))
+      .agg(count(lit(1)).as("n_ts"))
+    val labelN = base.groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("n_s"))
+    val nDocs = base.agg(count(lit(1)).as("__n"))
+    val microOf = (nts: Column, nt: Column, ns: Column, nn: Column) =>
+      when(nts > 0,
+        round((nts.cast("double") / nn)
+          * log((nts * nn).cast("double") / (nt * ns).cast("double"))
+          * lit(1e6), 0).cast("long")).otherwise(lit(0L))
+    broadcast(dim).crossJoin(broadcast(labelN)).crossJoin(broadcast(nDocs))
+      .join(presTs, Seq("__hv", "__lbl"), "left")
+      .withColumn("__nts", coalesce(col("n_ts"), lit(0L)))
+      .withColumn("__micro",
+        microOf(col("__nts"), col("n_t"), col("n_s"), col("__n")) +
+        when(col("__n") - col("n_t") > 0,
+          microOf(col("n_s") - col("__nts"), col("__n") - col("n_t"),
+            col("n_s"), col("__n"))).otherwise(lit(0L)))
+      .groupBy(col("token"), col("n_t").as("n_doc"))
+      .agg(sum(col("__micro")).as("__msum"))
+      .select(col("token"), col("n_doc"),
+        round(col("__msum").cast("double") / 1e6, 6).as("mi"))
+  }
+
   /** PMI co-occurrence pairs over the corpus's top-k tokens:
     * pmi(a,b) = ln( n_ab · N / (n_a · n_b) ) over DOC-LEVEL presence
     * (n_a = docs containing a, n_ab = docs containing both) — the

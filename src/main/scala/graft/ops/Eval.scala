@@ -97,26 +97,39 @@ object Eval {
     * threshold/coverage 6dp; `covered` judges the 6dp-rounded
     * coverage against `coveredAt`. Groups with an empty side drop.
     */
-  def conformalThreshold(df: DataFrame, groupCols: Seq[String],
-                         scoreCol: String, calSide: Column,
-                         alpha: Double, coveredAt: Double): DataFrame = {
+  /** The calibration half of [[conformalThreshold]], reusable on its
+    * own (e.g. to feed a streaming coverage monitor): per group, the
+    * ⌈(n+1)(1−α)⌉-th smallest score from the `calSide` slice as an
+    * UNROUNDED `__thr` plus `n_cal`. Same block-collapse + cumulative
+    * distinct-score window as [[aucRank]].
+    */
+  def conformalCut(df: DataFrame, groupCols: Seq[String],
+                   scoreCol: String, calSide: Column,
+                   alpha: Double): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     val g = groupCols.map(col)
-    val scored = df.filter(col(scoreCol).isNotNull)
-    val blocks = scored.filter(calSide)
+    val blocks = df.filter(col(scoreCol).isNotNull && calSide)
       .groupBy(g :+ col(scoreCol).as("__s"): _*)
       .agg(count(lit(1)).as("__ct"))
     val whole = Window.partitionBy(g: _*)
     val ord = whole.orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = blocks
+    blocks
       .withColumn("n_cal", sum(col("__ct")).over(whole))
       .withColumn("__cc", sum(col("__ct")).over(ord))
       .filter(col("__cc") >=
         ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
       .groupBy(g :+ col("n_cal"): _*)
       .agg(min(col("__s")).as("__thr"))
+  }
+
+  def conformalThreshold(df: DataFrame, groupCols: Seq[String],
+                         scoreCol: String, calSide: Column,
+                         alpha: Double, coveredAt: Double): DataFrame = {
+    val g = groupCols.map(col)
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val thr = conformalCut(df, groupCols, scoreCol, calSide, alpha)
     scored.filter(!calSide)
       .join(broadcast(thr), groupCols)
       .groupBy(g :+ col("n_cal") :+ col("__thr"): _*)
@@ -181,6 +194,58 @@ object Eval {
       // the final (complete) ordered sum, without a last_value frame
       .agg(round(max(col("__ap_cum")), 6).as("ap"))
       .select(g :+ col("n_pos") :+ col("ap"): _*)
+  }
+
+  /** Tie-corrected Mann–Whitney U test per group — the inferential
+    * companion to [[aucRank]]: the same exact rank sums, plus the
+    * large-sample z statistic under H₀ (no location shift), with the
+    * standard tie correction σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+    * and no continuity correction (documented; both engines agree by
+    * construction). The "is this score difference real or noise"
+    * answer AUC alone doesn't give.
+    *
+    * Everything integral stays integral: U derives from the exact
+    * BIGINT 2·R⁺ accumulator, Σ(t³−t) sums exact per-block cubes, and
+    * doubles appear only in the final σ/z arithmetic (identical
+    * expression order on both engines). BIGINT bound: t³ per tie
+    * block — safe to ~2M-row tie blocks; beyond that collapse scores
+    * into bins first (t137), which is also what the distinct-score
+    * window needs.
+    *
+    * Output: (groups…, n_pos, n_neg, u, z) — u is R⁺-based (positive
+    * side), 6dp; z > 0 ⇔ positives score higher. Groups with an
+    * empty side drop.
+    */
+  def mannWhitney(df: DataFrame, groupCols: Seq[String],
+                  positive: Column, scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val blocks = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(g :+ col(scoreCol).as("__s"): _*)
+      .agg(sum(when(positive, 1L).otherwise(0L)).as("__cp"),
+           sum(when(positive, 0L).otherwise(1L)).as("__cn"))
+    val ord = Window.partitionBy(g: _*).orderBy(col("__s"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("__cp") + col("__cn")
+    val agg = blocks
+      .withColumn("__before",
+        coalesce(sum(col("__cp") + col("__cn")).over(before), lit(0L)))
+      .groupBy(g: _*)
+      .agg(sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"),
+        sum(col("__cp") * (lit(2L) * col("__before")
+          + col("__cp") + col("__cn") + lit(1L))).as("__trp"),
+        sum(t * t * t - t).as("__ties"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+    val twoU = col("__trp") - col("n_pos") * (col("n_pos") + 1)
+    val n = col("n_pos") + col("n_neg")
+    val sigma = sqrt((col("n_pos").cast("double") * col("n_neg") / 12.0)
+      * ((n + 1) - col("__ties").cast("double")
+        / (n.cast("double") * (n - 1))))
+    agg.select(g :+ col("n_pos") :+ col("n_neg") :+
+      round(twoU.cast("double") / 2.0, 6).as("u") :+
+      round((twoU - (col("n_pos") * col("n_neg")).cast("double"))
+        / (lit(2.0) * sigma), 6).as("z"): _*)
   }
 
   /** Probability-calibration report per group: fixed-width reliability

@@ -4876,5 +4876,181 @@ object Oracle {
         |         AS covered
         |FROM thr t JOIN test x USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of t173 (TextAnalysis.goodTuringReport): per-source
+    // token counts over the shared lowercase-whitespace contract,
+    // frequency-of-frequencies, p0 = N1/N and r1* = 2 N2/N1.
+    "t173_good_turing" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(lower(text),
+        |           '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), cnt AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS r
+        |  FROM (SELECT source, unnest(t) AS token FROM toks)
+        |  GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT source, CAST(sum(r) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS v,
+        |         CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n1,
+        |         CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n2
+        |  FROM cnt GROUP BY source
+        |)
+        |SELECT source, n_tokens, v, n1, n2,
+        |       round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS p_unseen,
+        |       CASE WHEN n1 > 0 THEN round(2.0 * n2 / n1, 6) END
+        |         AS r1_star
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // exact mirror of t174 (TextAnalysis.labelMi): top-30 by (df DESC,
+    // digest), 2 x |labels| contingency per token with absent cells
+    // from the label totals, per-cell BIGINT micro-log terms.
+    "t174_label_mi" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(lower(text),
+        |           '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), posting AS (
+        |  SELECT DISTINCT doc_id, source, token
+        |  FROM (SELECT doc_id, source, unnest(t) AS token FROM toks)
+        |), hv AS (
+        |  SELECT doc_id, source, token, CAST($HexTerms12 AS BIGINT) AS h
+        |  FROM (SELECT doc_id, source, token, md5(token) AS d FROM posting)
+        |), dfx AS (
+        |  SELECT h, min(token) AS token, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM hv GROUP BY h
+        |), topk AS (
+        |  SELECT h, token, n_t,
+        |         row_number() OVER (ORDER BY n_t DESC, h) AS rk
+        |  FROM dfx QUALIFY rk <= 30
+        |), srcn AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM toks
+        |  GROUP BY source
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |pres AS (
+        |  SELECT v.h, v.source, CAST(count(*) AS BIGINT) AS n_ts
+        |  FROM hv v JOIN topk USING (h) GROUP BY 1, 2
+        |), cells AS (
+        |  SELECT t.h, t.n_t, s.source, s.n_s, nn.n,
+        |         coalesce(p.n_ts, 0) AS n_ts
+        |  FROM topk t CROSS JOIN srcn s CROSS JOIN nn
+        |  LEFT JOIN pres p ON p.h = t.h AND p.source = s.source
+        |), terms AS (
+        |  SELECT h,
+        |    CASE WHEN n_ts > 0 THEN
+        |      CAST(round((CAST(n_ts AS DOUBLE) / n)
+        |        * ln(CAST(n_ts * n AS DOUBLE) / CAST(n_t * n_s AS DOUBLE))
+        |        * 1000000.0) AS BIGINT)
+        |    ELSE 0 END
+        |    + CASE WHEN n_s - n_ts > 0 AND n - n_t > 0 THEN
+        |      CAST(round((CAST(n_s - n_ts AS DOUBLE) / n)
+        |        * ln(CAST((n_s - n_ts) * n AS DOUBLE)
+        |             / CAST((n - n_t) * n_s AS DOUBLE))
+        |        * 1000000.0) AS BIGINT)
+        |    ELSE 0 END AS micro
+        |  FROM cells
+        |)
+        |SELECT t2.token, t2.n_t AS n_doc,
+        |       round(CAST(sum(terms.micro) AS DOUBLE) / 1000000.0, 6)
+        |         AS mi
+        |FROM terms JOIN topk t2 USING (h)
+        |GROUP BY t2.token, t2.n_t
+        |ORDER BY mi DESC, t2.token""".stripMargin,
+
+    // exact mirror of t175 (streaming conformal coverage monitor):
+    // thresholds from the even-day slice (t172's order statistic),
+    // per-ODD-day coverage, append-mode watermark cut (windows whose
+    // end <= max(filtered ts) - 1 day emit), running miss count.
+    "t175_stream_conformal" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS ed,
+        |         CAST(ts AS DATE) AS day, CAST(ts AS TIMESTAMP) AS tss,
+        |         value AS s
+        |  FROM events WHERE value IS NOT NULL
+        |), blocks AS (
+        |  SELECT event_type, s, CAST(count(*) AS BIGINT) AS ct
+        |  FROM e WHERE ed % 2 = 0 GROUP BY 1, 2
+        |), nc AS (
+        |  SELECT event_type, CAST(sum(ct) AS BIGINT) AS n_cal
+        |  FROM blocks GROUP BY 1
+        |), cum AS (
+        |  SELECT b.event_type, b.s, n.n_cal,
+        |         CAST(sum(b.ct) OVER (PARTITION BY b.event_type
+        |           ORDER BY b.s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+        |  FROM blocks b JOIN nc n USING (event_type)
+        |), thr AS (
+        |  SELECT event_type, n_cal, min(s) AS thr
+        |  FROM cum
+        |  WHERE cc >= CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+        |  GROUP BY event_type, n_cal
+        |), wm AS (
+        |  SELECT max(tss) - INTERVAL 1 DAY AS w FROM e WHERE ed % 2 = 1
+        |), daily AS (
+        |  SELECT e.event_type, e.day, t.n_cal, t.thr,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN e.s <= t.thr THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_cov
+        |  FROM e JOIN thr t USING (event_type)
+        |  WHERE e.ed % 2 = 1
+        |    AND CAST(e.day AS TIMESTAMP) + INTERVAL 1 DAY
+        |          <= (SELECT w FROM wm)
+        |  GROUP BY 1, 2, 3, 4
+        |), flags AS (
+        |  SELECT event_type, day, n_cal, round(thr, 6) AS threshold,
+        |         n, n_cov,
+        |         round(CAST(n_cov AS DOUBLE) / n, 6) AS coverage,
+        |         round(CAST(n_cov AS DOUBLE) / n, 6) >= 0.85 AS covered
+        |  FROM daily
+        |)
+        |SELECT event_type, day, n_cal, threshold, n, n_cov, coverage,
+        |       covered,
+        |       CAST(sum(CASE WHEN covered THEN 0 ELSE 1 END) OVER
+        |         (PARTITION BY event_type ORDER BY day
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS misses_so_far
+        |FROM flags ORDER BY event_type, day""".stripMargin,
+
+    // exact mirror of t176 (Eval.mannWhitney): t161's BIGINT rank
+    // sums plus the exact per-block tie cubes; doubles only in the
+    // final sigma/z expression, mirrored operation-for-operation.
+    "t176_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |           AS dow,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y,
+        |         value AS s
+        |  FROM events WHERE value IS NOT NULL
+        |), blocks AS (
+        |  SELECT dow, s, CAST(sum(y) AS BIGINT) AS cp,
+        |         CAST(sum(1 - y) AS BIGINT) AS cn
+        |  FROM e GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT dow, cp, cn,
+        |         CAST(coalesce(sum(cp + cn) OVER (PARTITION BY dow
+        |           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           1 PRECEDING), 0) AS BIGINT) AS bef
+        |  FROM blocks
+        |), agg AS (
+        |  SELECT dow, CAST(sum(cp) AS BIGINT) AS n1,
+        |         CAST(sum(cn) AS BIGINT) AS n2,
+        |         CAST(sum(cp * (2*bef + cp + cn + 1)) AS BIGINT) AS trp,
+        |         CAST(sum((cp+cn)*(cp+cn)*(cp+cn) - (cp+cn)) AS BIGINT)
+        |           AS ties
+        |  FROM cum GROUP BY dow
+        |)
+        |SELECT dow, n1 AS n_pos, n2 AS n_neg,
+        |       round((trp - n1*(n1+1)) / 2.0, 6) AS u,
+        |       round(((trp - n1*(n1+1)) - CAST(n1*n2 AS DOUBLE))
+        |         / (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+        |             * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
+        |                / (CAST(n1+n2 AS DOUBLE) * (n1+n2-1))))), 6)
+        |         AS z
+        |FROM agg WHERE n1 > 0 AND n2 > 0
+        |ORDER BY dow""".stripMargin,
   )
 }

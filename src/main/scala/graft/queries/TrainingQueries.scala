@@ -3899,6 +3899,92 @@ object TrainingQueries {
         alpha = 0.1, coveredAt = 0.88)
       .orderBy(col("event_type"))
 
+  /** t173_good_turing — Good–Turing unseen-mass report per source
+    * (N₁/N₂ frequency-of-frequencies, p₀, smoothed hapax count): the
+    * is-the-vocabulary-exhausted probe next to t168's growth fit.
+    * Exact oracle on the shared token digest contract.
+    */
+  def t173GoodTuring(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.goodTuringReport(Tables.documents(spark, sfDir), "text",
+        Seq("source"))
+      .orderBy(col("source"))
+
+  /** t174_label_mi — mutual information between top-30 token presence
+    * and the source label: the feature-selection / source-leakage
+    * ranking. Exact oracle on the digest + bounded-heap + micro-log
+    * cell contract.
+    */
+  def t174LabelMi(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.labelMi(Tables.documents(spark, sfDir), "text",
+        "doc_id", "source", k = 30)
+      .orderBy(col("mi").desc, col("token"))
+
+  /** t175_stream_conformal — STREAMING conformal coverage monitor:
+    * thresholds calibrate batch-side on even epoch-days (t172's exact
+    * order statistic, α = 0.1), the stream joins them statically and
+    * accumulates per-day coverage counts as watermarked state (days ×
+    * types rows), and batch post-processing flags days whose
+    * 6dp-rounded coverage drops below 0.85 with a running miss count
+    * — the live "did the keep-rule's guarantee break" alarm. Streaming
+    * counts are exact longs → exact oracle (batch replay).
+    */
+  def t175StreamConformal(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val events = Tables.events(spark, sfDir)
+    def epochDay(c: org.apache.spark.sql.Column) =
+      datediff(to_date(c), lit("1970-01-01").cast("date")).cast("long")
+    val thr = graft.ops.Eval.conformalCut(events, Seq("event_type"),
+        "value", epochDay(col("ts")) % 2 === 0, alpha = 0.1)
+      .select(col("event_type"), col("n_cal"), col("__thr").as("__t"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+      .filter(col("value").isNotNull && epochDay(col("ts")) % 2 === 1)
+      .join(broadcast(thr), Seq("event_type"))
+    val daily = stream.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+        col("n_cal"), col("__t"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("__t"), 1L).otherwise(0L))
+          .as("n_cov"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("n_cal"), col("__t"), col("n"), col("n_cov"))
+    val counts = StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, daily,
+        s"t175_conf_${System.nanoTime}")
+    }.localCheckpoint(true)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts
+      .withColumn("coverage",
+        round(col("n_cov").cast("double") / col("n"), 6))
+      .withColumn("covered", col("coverage") >= 0.85)
+      .withColumn("misses_so_far",
+        sum(when(col("covered"), 0L).otherwise(1L)).over(wCum))
+      .select(col("event_type"), col("day"), col("n_cal"),
+        round(col("__t"), 6).as("threshold"), col("n"), col("n_cov"),
+        col("coverage"), col("covered"), col("misses_so_far"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** t176_mann_whitney — tie-corrected Mann–Whitney U z-test of click
+    * vs non-click values per weekday: the significance companion to
+    * t161's AUC (same exact BIGINT rank sums; doubles only in σ/z).
+    * Exact oracle.
+    */
+  def t176MannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    graft.ops.Eval.mannWhitney(
+        events.withColumn("dow",
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long") % 7),
+        Seq("dow"), col("event_type") === "click", "value")
+      .orderBy(col("dow"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -371,7 +371,13 @@ object ScaleStress {
       // PMI: df counts shuffle 8-byte digests; top-k is the bounded
       // heap; pairs expand in-array from <= k-element presence sets
       // (t170/t171/t172 are events-table ops, outside this fixture)
-      "t169_pmi_cooccur" -> (TrainingQueries.t169PmiCooccur _))
+      "t169_pmi_cooccur" -> (TrainingQueries.t169PmiCooccur _),
+      // good-turing: one (source, digest) count, map-side combined;
+      // the count-of-counts stage is vocabulary-sized
+      "t173_good_turing" -> (TrainingQueries.t173GoodTuring _),
+      // label MI: t169's skeleton; contingency is k x |labels|
+      // (t175/t176 are events-table ops, outside this fixture)
+      "t174_label_mi" -> (TrainingQueries.t174LabelMi _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

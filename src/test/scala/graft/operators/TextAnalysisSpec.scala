@@ -449,6 +449,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("flat") == ((3L, 0.0, 0.0, None)))
   }
 
+  test("goodTuringReport counts frequency-of-frequencies and the unseen mass") {
+    // tokens: a a a b b c d  -> N=7, V=4, N1=2 (c,d), N2=1 (b)
+    val docs = Seq(("s", "a a a b"), ("s", "b c d")).toDF("source", "text")
+    val out = TextAnalysis.goodTuringReport(docs, "text", Seq("source"))
+      .collect().head
+    assert(out.getAs[Long]("n_tokens") == 7L)
+    assert(out.getAs[Long]("v") == 4L)
+    assert(out.getAs[Long]("n1") == 2L && out.getAs[Long]("n2") == 1L)
+    assert(out.getAs[Double]("p_unseen") == math.rint(2.0 / 7 * 1e6) / 1e6)
+    assert(out.getAs[Double]("r1_star") == 1.0) // 2*1/2
+  }
+
+  test("goodTuringReport: no hapaxes leaves r1_star null") {
+    val docs = Seq(("s", "x x y y")).toDF("source", "text")
+    val out = TextAnalysis.goodTuringReport(docs, "text", Seq("source"))
+      .collect().head
+    assert(out.getAs[Long]("n1") == 0L)
+    assert(out.isNullAt(out.fieldIndex("r1_star")))
+    assert(out.getAs[Double]("p_unseen") == 0.0)
+  }
+
+  test("labelMi: a perfectly label-predictive token scores the label entropy; a label-blind one scores 0") {
+    // 4 docs, 2 labels balanced; "marker" only in label A docs,
+    // "common" in every doc
+    val docs = Seq(
+      (0L, "A", "common marker u1"), (1L, "A", "common marker u2"),
+      (2L, "B", "common u3"), (3L, "B", "common u4"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.labelMi(docs, "text", "doc_id", "source", k = 2)
+      .collect().map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("n_doc"), r.getAs[Double]("mi")))).toMap
+    // top-2 by df: common (4), marker (2)
+    assert(out("common") == ((4L, 0.0)))
+    val (nM, miM) = out("marker")
+    assert(nM == 2L)
+    // I(T;L) for a perfect predictor of a balanced binary label = ln 2
+    // on the micro contract: cells (1,A): 1/2 ln 2, (0,B): 1/2 ln 2
+    val micro = math.rint(0.5 * math.log(2.0) * 1e6).toLong
+    assert(miM == math.rint(2 * micro.toDouble / 1e6 * 1e6) / 1e6)
+    assert(math.abs(miM - math.log(2.0)) < 1e-5)
+  }
+
   test("pmiPairs: independent tokens score 0, always-together tokens score ln(N/n)") {
     // 4 docs: x and y in every doc (independent at p=1 -> PMI 0);
     // p and q co-occur in 2 docs and never apart -> PMI ln(4*2/(2*2)) = ln 2

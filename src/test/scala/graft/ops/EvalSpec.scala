@@ -139,6 +139,34 @@ class EvalSpec extends SparkSpec {
     assert(got == math.rint(ap * 1e6) / 1e6)
   }
 
+  test("mannWhitney matches the brute-force U and the tie-corrected z") {
+    val pos = Seq(1.0, 3.0, 3.0, 7.0, 9.0)
+    val neg = Seq(1.0, 2.0, 3.0, 5.0, 5.0, 8.0)
+    val df = (pos.map(("g", true, _)) ++ neg.map(("g", false, _)))
+      .toDF("g", "y", "s")
+    val out = Eval.mannWhitney(df, Seq("g"), col("y"), "s").collect().head
+    val u = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    assert(out.getAs[Double]("u") == u)
+    val all = pos ++ neg
+    val (n1, n2, n) = (pos.size, neg.size, all.size)
+    val ties = all.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * t * t - t).sum
+    val sigma = math.sqrt(n1.toDouble * n2 / 12.0 *
+      ((n + 1) - ties.toDouble / (n.toDouble * (n - 1))))
+    val z = (2 * u - n1.toDouble * n2) / (2.0 * sigma)
+    assert(math.abs(out.getAs[Double]("z") - z) < 1e-6)
+  }
+
+  test("mannWhitney: balanced identical sides give z 0") {
+    val rows = Seq(1.0, 2.0, 3.0).flatMap(v =>
+      Seq(("g", true, v), ("g", false, v)))
+    val out = Eval.mannWhitney(rows.toDF("g", "y", "s"), Seq("g"),
+      col("y"), "s").collect().head
+    assert(out.getAs[Double]("z") == 0.0)
+    assert(out.getAs[Double]("u") == 4.5) // 3*3/2 midrank wins
+  }
+
   test("conformalThreshold: picks the ceil((n+1)(1-alpha))-th smallest calibration score and measures test coverage") {
     // calibration scores 1..9 (n=9): rank = ceil(10 * 0.8) = 8 -> thr 8
     val cal = (1 to 9).map(i => ("g", true, i.toDouble))
