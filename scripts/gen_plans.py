@@ -59,7 +59,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t168_heaps_fit", "t169_pmi_cooccur", "t170_l_diversity",
            "t171_benford", "t172_conformal", "t173_good_turing",
            "t174_label_mi", "t175_stream_conformal",
-           "t176_mann_whitney"]
+           "t176_mann_whitney", "t177_edit_verify", "t178_rolling_corr",
+           "t179_readability", "t180_fd_audit"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -172,6 +173,14 @@ NOTES = {
         "The post-stream plan: the watermarked (day x type) coverage counts (bounded streaming state, the t134/t153 shape) carry the broadcast-joined threshold columns; the miss-count window partitions by event_type over the days x types frame — calendar-bounded. The calibration side is t172's collapse-then-window chain, run once, batch.",
     "t176_mann_whitney":
         "t161's exact chain with ONE added aggregate column (per-block tie cubes Σ(t³−t), exact BIGINT): same map-side tie collapse, same per-group distinct-score window, no new exchange; σ/z doubles appear only in the |groups|-row projection.",
+    "t177_edit_verify":
+        "The O(L²) levenshtein kernel appears ONLY after the t4 shortlist (capped posting buckets -> size prefilter -> sorted-intersect Jaccard >= 0.5) and the length quick-reject — the plan's generate/join pyramid is the t4 candidate chain verbatim, with two id-keyed text joins feeding the final codegen'd DP projection. Raw-candidate verification (the 364 s shape) never appears.",
+    "t178_rolling_corr":
+        "One map-side daily count is the only corpus stage; the five BIGINT moment windows share ONE ordered frame over the days-sized aggregate (a single Window node), and r is a closed-form projection — no second scan, no join.",
+    "t179_readability":
+        "Per-row codegen'd regexp_count/size expressions (no UDF, no explode) straight into one partial-aggregated group sum of BIGINT micro scores — the plan is scan -> project -> two-phase HashAggregate.",
+    "t180_fd_audit":
+        "Each audit is count -> lhs-reduction -> 1-row rollup, all partial-aggregated; four audits union AFTER their rollups, so the union carries 4 rows. NULL keys group as values (no null-dropping joins anywhere).",
 }
 
 def plan_of(q):

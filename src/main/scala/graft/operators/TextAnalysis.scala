@@ -553,6 +553,52 @@ object TextAnalysis {
           .as("r2"): _*)
   }
 
+  /** Readability report per group — a Flesch-reading-ease-shaped
+    * heuristic over corpus text: per doc,
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * the DEFINED portable proxies: words = nonempty whitespace tokens
+    * (the shared contract), sentences = runs of [.!?] (min 1),
+    * syllables = vowel-group runs [aeiouy]+ in the lowercased text
+    * (min 1 — a corpus-level proxy for per-word syllable counting,
+    * which whole-text regexes can't floor per word). The curation
+    * lens: training mixes routinely target readability bands, and a
+    * source whose average dives or spikes is template/boilerplate
+    * suspect.
+    *
+    * Arithmetic contract: the per-doc score is one fixed IEEE
+    * expression rounded to a BIGINT micro value, so the per-group
+    * mean is an order-independent integer sum with one final divide
+    * (the t167 convention). Scale shape: pure per-row expressions
+    * (codegen'd regexp_count) + one map-side-combinable group
+    * aggregate.
+    *
+    * Output: (groups…, n_docs, flesch_avg) — 6dp.
+    */
+  def readabilityReport(docs: DataFrame, textCol: String,
+                        groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val w = size(filter(TextDedup.tokens(col(textCol)), t => t =!= ""))
+      .cast("long")
+    val snt = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syl = greatest(regexp_count(lower(col(textCol)), lit("[aeiouy]+")),
+      lit(1)).cast("long")
+    docs.filter(col(textCol).isNotNull)
+      .select(g :+ w.as("__w") :+ snt.as("__snt") :+ syl.as("__syl"): _*)
+      .filter(col("__w") > 0)
+      .withColumn("__micro",
+        round((lit(206.835)
+          - lit(1.015) * (col("__w").cast("double") / col("__snt"))
+          - lit(84.6) * (col("__syl").cast("double") / col("__w")))
+          * lit(1e6), 0).cast("long"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__micro")).as("__msum"))
+      .select(g :+ col("n_docs") :+
+        round(col("__msum").cast("double") / col("n_docs") / 1e6, 6)
+          .as("flesch_avg"): _*)
+  }
+
   /** Good–Turing unseen-mass report per group: from the frequency-of-
     * frequencies profile — how many token types occur exactly once
     * (N₁), exactly twice (N₂) — the Good–Turing estimate of the

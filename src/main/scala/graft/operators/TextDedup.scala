@@ -254,6 +254,48 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact-Levenshtein VERIFICATION of an upstream candidate pair set
+    * — the character-level ground-truth final stage behind every
+    * shingle/minhash/simhash approximation, run where it belongs: on
+    * the pairs a cheap similarity already shortlisted, never on raw
+    * bucket candidates. Similarity = 1 − dist/max(len), judged on the
+    * 6dp boundary.
+    *
+    * Scale shape: cost is candidates × O(|a|·|b|) — the DP is the
+    * most expensive per-pair kernel in the repo, so the CONTRACT is
+    * that `pairs` is already filtered (e.g. [[ngramJaccardPairs]]
+    * output, Jaccard ≥ 0.5), making the verify set near-dup-sized.
+    * Document text shuffles only for candidate ids (two id-keyed
+    * joins). A zero-cost length quick-reject (dist ≥ |len a − len b|
+    * ⇒ sim bound below `minSim` − 1e-6 slack) drops provably-failing
+    * pairs before the DP; the slack keeps the 6dp boundary judgement
+    * with the final filter, and the oracle mirrors the same reject.
+    * For long-doc corpora verify chunks (t110) instead of bodies.
+    * `levenshtein` is a codegen'd Spark builtin with the standard DP
+    * semantics DuckDB mirrors exactly.
+    *
+    * Output: (id_a, id_b, dist, max_len, sim) for sim ≥ `minSim`.
+    */
+  def editDistanceVerify(pairs: DataFrame, docs: DataFrame,
+                         textCol: String, idCol: String,
+                         minSim: Double = 0.8): DataFrame = {
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("__txt"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(texts.select(col("id").as("id_a"), col("__txt").as("__ta")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("__txt").as("__tb")), "id_b")
+      .withColumn("max_len",
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+      .filter(lit(1.0)
+        - abs(length(col("__ta")) - length(col("__tb"))).cast("double")
+          / col("max_len") >= minSim - 1e-6)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("dist"),
+        col("max_len"))
+      .withColumn("sim",
+        round(lit(1.0) - col("dist").cast("double") / col("max_len"), 6))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Doc-level n-gram CONTAINMENT pairs — the asymmetric complement
     * of [[ngramJaccardPairs]]: containment(sub ⊆ sup) =
     * |sh_sub ∩ sh_sup| / |sh_sub| catches SUBSUMPTION (a paragraph

@@ -107,6 +107,38 @@ object Profiling {
     * ≤ 9 rows per group. Output: (groups…, n_values, k_digits, mad)
     * — mad 6dp; groups with no positive values drop.
     */
+  /** Functional-dependency audit for one candidate rule lhs → rhs:
+    * does the lhs column determine the rhs column, and how badly does
+    * it fail — group count, violating-group count (groups with > 1
+    * distinct rhs), and the rule's CONFIDENCE (share of rows kept if
+    * each lhs group snapped to its majority rhs: Σ_g max_v n_gv / N,
+    * the standard FD-mining score). The schema-drift / join-key
+    * sanity probe every ingest runs: "event_id determines event_type"
+    * breaking is a pipeline bug long before any statistic moves.
+    *
+    * Scale shape: one map-side-combinable (lhs, rhs) count, one
+    * lhs-keyed reduction (max / sum / distinct-count via count of the
+    * aggregated frame), one 1-row global roll-up — nothing after the
+    * first aggregate is corpus-sized. NULLs group as values on both
+    * engines. All counts exact BIGINTs; confidence is one divide.
+    *
+    * Output: ONE row (n_groups, n_violating, n_rows, confidence,
+    * holds) — callers union several audits with a label column.
+    */
+  def fdAudit(df: DataFrame, lhsCol: String, rhsCol: String): DataFrame = {
+    val c = df.groupBy(col(lhsCol), col(rhsCol))
+      .agg(count(lit(1)).as("__n"))
+    val g = c.groupBy(col(lhsCol))
+      .agg(sum(col("__n")).as("__tot"), max(col("__n")).as("__mx"),
+        count(lit(1)).as("__k"))
+    g.agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violating"),
+        sum(col("__tot")).as("n_rows"),
+        round(sum(col("__mx")).cast("double") / sum(col("__tot")), 6)
+          .as("confidence"))
+      .withColumn("holds", col("n_violating") === 0L)
+  }
+
   def benfordAudit(df: DataFrame, groupCols: Seq[String],
                    valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")

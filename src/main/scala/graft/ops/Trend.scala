@@ -160,4 +160,47 @@ object Trend {
         round(max(col("__mx")).cast("double") / max(col("__s")), 6)
           .as("peak_share"))
   }
+
+  /** Rolling Pearson correlation between two integer-valued series
+    * over a trailing `win`-period window — the co-movement monitor
+    * (do clicks and purchases still track each other this week?)
+    * that a single whole-history correlation (t128) averages away:
+    * coupling breaks show up as the rolling r diving while the global
+    * r still looks healthy.
+    *
+    * Exactness: the five window moments (Σx, Σy, Σxy, Σx², Σy²) are
+    * EXACT BIGINT sums over the integer series, so r is one closed-
+    * form expression of exact integers with a single sqrt — bit-
+    * identical across engines (the t127/t163 moment contract, windowed).
+    * Only complete windows emit (n = win); degenerate windows (either
+    * series constant) yield NULL r rather than 0/0.
+    *
+    * Scale shape: the input is the caller's per-period aggregate, so
+    * the ordered window runs over n_periods rows — calendar-bounded
+    * (the t158 shape). Output: (orderCol, x, y, r) — r 6dp.
+    */
+  def rollingCorrelation(series: DataFrame, orderCol: String,
+                         xCol: String, yCol: String,
+                         win: Int = 7): DataFrame = {
+    require(win >= 2, s"win must be >= 2, got $win")
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(-(win - 1), Window.currentRow)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val m = series
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sy", sum(y).over(w))
+      .withColumn("__sxy", sum(x * y).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+      .withColumn("__syy", sum(y * y).over(w))
+      .filter(col("__n") === win)
+    val varX = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val varY = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    m.select(col(orderCol), col(xCol), col(yCol),
+      when(varX > 0 && varY > 0,
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double")
+          / sqrt(varX.cast("double") * varY.cast("double")), 6)).as("r"))
+  }
 }

@@ -5052,5 +5052,149 @@ object Oracle {
         |         AS z
         |FROM agg WHERE n1 > 0 AND n2 > 0
         |ORDER BY dow""".stripMargin,
+
+    // exact mirror of t177 (t4's Jaccard >= 0.5 shortlist over exact
+    // reps, then TextDedup.editDistanceVerify): the same length
+    // quick-reject (with the 1e-6 slack) precedes the standard-DP
+    // levenshtein on both engines; sim judged on the 6dp boundary.
+    "t177_edit_verify" ->
+      """WITH reps AS (
+        |  SELECT min(doc_id) AS id, text FROM documents GROUP BY text
+        |), toks AS (
+        |  SELECT id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')
+        |           AS t
+        |  FROM reps
+        |), sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END)
+        |    AS sh
+        |  FROM toks
+        |), posting AS (
+        |  SELECT id, unnest(sh) AS s FROM sets
+        |), grouped AS (
+        |  SELECT s, array_agg(id) AS ids FROM posting GROUP BY s
+        |  HAVING count(*) BETWEEN 2 AND 10
+        |), cands AS (
+        |  SELECT DISTINCT la.a AS id_a, lb.b AS id_b
+        |  FROM grouped, UNNEST(ids) la(a), UNNEST(ids) lb(b)
+        |  WHERE lb.b > la.a
+        |), shortlist AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cands c
+        |  JOIN sets sa ON sa.id = c.id_a
+        |  JOIN sets sb ON sb.id = c.id_b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |          / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+        |), verified AS (
+        |  SELECT p.id_a, p.id_b,
+        |         CAST(levenshtein(ra.text, rb.text) AS BIGINT) AS dist,
+        |         CAST(greatest(length(ra.text), length(rb.text))
+        |           AS BIGINT) AS max_len
+        |  FROM shortlist p
+        |  JOIN reps ra ON ra.id = p.id_a
+        |  JOIN reps rb ON rb.id = p.id_b
+        |  WHERE 1.0 - abs(length(ra.text) - length(rb.text))
+        |          / CAST(greatest(length(ra.text), length(rb.text))
+        |                 AS DOUBLE)
+        |        >= 0.8 - 0.000001
+        |)
+        |SELECT id_a, id_b, dist, max_len,
+        |       round(1.0 - CAST(dist AS DOUBLE) / max_len, 6) AS sim
+        |FROM verified
+        |WHERE round(1.0 - CAST(dist AS DOUBLE) / max_len, 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact mirror of t178 (Trend.rollingCorrelation over daily
+    // click/purchase counts): five exact BIGINT window moments per
+    // trailing 7-day frame, one closed-form r with a single sqrt;
+    // only complete windows emit, degenerate windows yield NULL.
+    "t178_rolling_corr" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |), w AS (
+        |  SELECT day, x, y,
+        |    CAST(count(*) OVER win AS BIGINT) AS n,
+        |    CAST(sum(x) OVER win AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER win AS BIGINT) AS sy,
+        |    CAST(sum(x*y) OVER win AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) OVER win AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) OVER win AS BIGINT) AS syy
+        |  FROM d
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND
+        |                 CURRENT ROW)
+        |)
+        |SELECT day, x, y,
+        |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |    round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |             * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+        |  END AS r
+        |FROM w WHERE n = 7 ORDER BY day""".stripMargin,
+
+    // exact mirror of t179 (TextAnalysis.readabilityReport): the
+    // defined portable proxies (nonempty whitespace tokens, [.!?]+
+    // runs min 1, [aeiouy]+ runs min 1), per-doc BIGINT micro score,
+    // order-independent mean.
+    "t179_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(lower(text),
+        |      '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS w,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS snt,
+        |    CAST(greatest(len(regexp_extract_all(lower(text),
+        |      '[aeiouy]+')), 1) AS BIGINT) AS syl
+        |  FROM documents WHERE text IS NOT NULL
+        |), scored AS (
+        |  SELECT source,
+        |    CAST(round((206.835 - 1.015 * (CAST(w AS DOUBLE) / snt)
+        |               - 84.6 * (CAST(syl AS DOUBLE) / w))
+        |      * 1000000.0) AS BIGINT) AS micro
+        |  FROM d WHERE w > 0
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |    AS flesch_avg
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact mirror of t180 (Profiling.fdAudit x 4): (lhs, rhs)
+    // counts, per-lhs majority mass, confidence = sum(max)/N, holds
+    // when no lhs group has > 1 distinct rhs.
+    "t180_fd_audit" ->
+      """WITH pairs AS (
+        |  SELECT 'doc->source' AS fd, CAST(doc_id AS VARCHAR) AS lhs,
+        |         CAST(source AS VARCHAR) AS rhs FROM documents
+        |  UNION ALL
+        |  SELECT 'lang->source', CAST(lang AS VARCHAR),
+        |         CAST(source AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source->lang', CAST(source AS VARCHAR),
+        |         CAST(lang AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'user->type', CAST(user_id AS VARCHAR),
+        |         CAST(event_type AS VARCHAR) FROM events
+        |), c AS (
+        |  SELECT fd, lhs, rhs, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs GROUP BY 1, 2, 3
+        |), g AS (
+        |  SELECT fd, lhs, CAST(sum(n) AS BIGINT) AS tot,
+        |         CAST(max(n) AS BIGINT) AS mx,
+        |         CAST(count(*) AS BIGINT) AS k
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT fd, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(tot) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(mx) AS DOUBLE) / sum(tot), 6) AS confidence,
+        |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        |FROM g GROUP BY fd ORDER BY fd""".stripMargin,
   )
 }

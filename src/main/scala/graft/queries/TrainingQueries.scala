@@ -3985,6 +3985,69 @@ object TrainingQueries {
       .orderBy(col("dow"))
   }
 
+  /** t177_edit_verify — exact-Levenshtein verification of the t4
+    * near-dup shortlist (Jaccard ≥ 0.5 pairs over exact-dedup reps;
+    * sim = 1 − dist/max_len ≥ 0.8): the character-level ground-truth
+    * stage run where it belongs — on the pairs the cheap similarity
+    * already shortlisted, so the O(|a|·|b|) DP touches a near-dup-
+    * sized set, never the raw bucket candidates. Exact oracle (both
+    * engines' levenshtein is the standard DP).
+    */
+  def t177EditVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = TextDedup.exact(Tables.documents(spark, sfDir),
+      "text", "doc_id")
+    val shortlist = TextDedup.ngramJaccardPairs(reps, "text", "doc_id",
+      shingleK = 3, minJaccard = 0.5, maxDf = 10)
+    TextDedup.editDistanceVerify(shortlist, reps, "text", "doc_id",
+        minSim = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** t178_rolling_corr — rolling 7-day Pearson correlation between
+    * daily click and purchase counts: the co-movement monitor a
+    * whole-history correlation (t128) averages away. Exact oracle on
+    * the windowed integer-moment contract.
+    */
+  def t178RollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    graft.ops.Trend.rollingCorrelation(daily, "day", "x", "y", win = 7)
+      .orderBy(col("day"))
+  }
+
+  /** t179_readability — Flesch-shaped readability average per source
+    * (portable word/sentence/vowel-group proxies, micro-mean): the
+    * readability-band curation lens. Exact oracle.
+    */
+  def t179Readability(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.readabilityReport(Tables.documents(spark, sfDir),
+        "text", Seq("source"))
+      .orderBy(col("source"))
+
+  /** t180_fd_audit — functional-dependency audit of four candidate
+    * rules across both corpora (doc_id→source holds; lang→source,
+    * source→lang, user_id→event_type fail with measured confidence):
+    * the schema-drift probe. Exact oracle.
+    */
+  def t180FdAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val events = Tables.events(spark, sfDir)
+    def audit(df: DataFrame, l: String, r: String, name: String) =
+      graft.ops.Profiling.fdAudit(df, l, r)
+        .withColumn("fd", lit(name))
+    audit(docs, "doc_id", "source", "doc->source")
+      .unionByName(audit(docs, "lang", "source", "lang->source"))
+      .unionByName(audit(docs, "source", "lang", "source->lang"))
+      .unionByName(audit(events, "user_id", "event_type", "user->type"))
+      .select(col("fd"), col("n_groups"), col("n_violating"),
+        col("n_rows"), col("confidence"), col("holds"))
+      .orderBy(col("fd"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -377,7 +377,14 @@ object ScaleStress {
       "t173_good_turing" -> (TrainingQueries.t173GoodTuring _),
       // label MI: t169's skeleton; contingency is k x |labels|
       // (t175/t176 are events-table ops, outside this fixture)
-      "t174_label_mi" -> (TrainingQueries.t174LabelMi _))
+      "t174_label_mi" -> (TrainingQueries.t174LabelMi _),
+      // edit verify: t4's capped candidates; levenshtein runs only on
+      // surviving pairs, text joins are id-keyed
+      "t177_edit_verify" -> (TrainingQueries.t177EditVerify _),
+      // readability: per-row codegen'd regex counts + one map-side
+      // combinable group aggregate
+      // (t178/t180 touch the events table, outside this fixture)
+      "t179_readability" -> (TrainingQueries.t179Readability _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

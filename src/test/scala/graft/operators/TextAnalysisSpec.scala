@@ -449,6 +449,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("flat") == ((3L, 0.0, 0.0, None)))
   }
 
+  test("readabilityReport applies the defined proxies and micro-mean") {
+    // doc: 6 words, 2 sentences, syllables = vowel groups
+    val text = "the cat sat down. it was happy!"
+    val w = 7L
+    val snt = 2L
+    val out = TextAnalysis.readabilityReport(
+        Seq(("s", text)).toDF("source", "text"), "text", Seq("source"))
+      .collect().head
+    // independent replay of the contract
+    val vg = "[aeiouy]+".r.findAllIn(text.toLowerCase).length
+    val sc = 206.835 - 1.015 * (w.toDouble / snt) - 84.6 * (vg.toDouble / w)
+    val micro = math.rint(sc * 1e6).toLong
+    assert(out.getAs[Long]("n_docs") == 1L)
+    assert(out.getAs[Double]("flesch_avg") ==
+      math.rint(micro.toDouble / 1e6 * 1e6) / 1e6)
+  }
+
   test("goodTuringReport counts frequency-of-frequencies and the unseen mass") {
     // tokens: a a a b b c d  -> N=7, V=4, N1=2 (c,d), N2=1 (b)
     val docs = Seq(("s", "a a a b"), ("s", "b c d")).toDF("source", "text")

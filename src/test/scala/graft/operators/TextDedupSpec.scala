@@ -226,6 +226,37 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 3L, 3L, 1.0)))
   }
 
+  test("editDistanceVerify scores shortlisted pairs with the exact Levenshtein") {
+    val pairs = Seq((0L, 2L), (0L, 4L)).toDF("id_a", "id_b")
+    val out = TextDedup.editDistanceVerify(pairs, docs, "text", "doc_id",
+        minSim = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+        -> ((r.getAs[Long]("dist"), r.getAs[Long]("max_len"),
+             r.getAs[Double]("sim")))).toMap
+    val (d02, m02, s02) = out((0L, 2L))
+    assert(d02 == 8L) // " tonight" appended: 8 chars inserted
+    assert(m02 == base.length + 8)
+    assert(s02 == math.rint((1.0 - 8.0 / m02) * 1e6) / 1e6)
+    val (d04, _, _) = out((0L, 4L))
+    // jumps->sleeps (4 edits), over->under (3)
+    assert(d04 == 7L)
+  }
+
+  test("editDistanceVerify: minSim and the length quick-reject prune pairs") {
+    val pairs = Seq((0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val strict = TextDedup.editDistanceVerify(pairs, docs, "text",
+      "doc_id", minSim = 0.95).collect()
+    assert(strict.forall(_.getAs[Double]("sim") >= 0.95))
+    assert(!strict.exists(r => r.getAs[Long]("id_b") == 3L))
+    // the quick-reject alone kills a pair whose length gap already
+    // bounds sim below minSim: doc 2 is 8 chars longer than doc 0,
+    // so at minSim 0.999 the pair never reaches the DP
+    val rejected = TextDedup.editDistanceVerify(
+      Seq((0L, 2L)).toDF("id_a", "id_b"), docs, "text", "doc_id",
+      minSim = 0.999)
+    assert(rejected.count() == 0)
+  }
+
   test("containmentPairs: the df cap silences stop-phrase-only pairs") {
     // every doc shares one stop trigram; with maxDf below the doc
     // count the bucket saturates and no candidates (hence no pairs)

@@ -88,6 +88,24 @@ class ProfilingSpec extends SparkSpec {
       ((50L, 1L, math.rint(microSum.toDouble / 1e6 / 9.0 * 1e6) / 1e6)))
   }
 
+  test("fdAudit: a holding dependency scores confidence 1; a broken one counts violators and majority mass") {
+    import org.apache.spark.sql.functions.col
+    val holds = Seq((1L, "a"), (2L, "b"), (1L, "a")).toDF("l", "r")
+    val h = Profiling.fdAudit(holds, "l", "r").collect().head
+    assert(h.getAs[Long]("n_groups") == 2L)
+    assert(h.getAs[Long]("n_violating") == 0L)
+    assert(h.getAs[Double]("confidence") == 1.0)
+    assert(h.getAs[Boolean]("holds"))
+    // group 1: a,a,b (majority 2); group 2: c (1) -> conf = 3/4
+    val broken = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("l", "r")
+    val b = Profiling.fdAudit(broken, "l", "r").collect().head
+    assert(b.getAs[Long]("n_violating") == 1L)
+    assert(b.getAs[Long]("n_rows") == 4L)
+    assert(b.getAs[Double]("confidence") == 0.75)
+    assert(!b.getAs[Boolean]("holds"))
+  }
+
   test("benfordAudit: leading digit comes from BIGINT cents — sub-cent and non-positive rows drop") {
     import org.apache.spark.sql.functions.col
     val df = Seq(("g", 0.004), ("g", -5.0), ("g", 0.0), ("g", 9.5))

@@ -81,4 +81,42 @@ class TrendSpec extends SparkSpec {
     assert(out.head.getAs[Double]("gini") == 0.25)
     assert(out.head.getAs[Double]("peak_share") == 0.4)
   }
+
+  test("rollingCorrelation: perfectly coupled series score 1, anti-coupled -1, constant windows NULL") {
+    // days 1..10: y = 2x + 3 within the first 8 days, then constant x
+    val rows = (1 to 8).map(i => (i, i.toLong, 2L * i + 3)) ++
+      Seq((9, 5L, 1L), (10, 5L, 9L))
+    val out = Trend.rollingCorrelation(rows.toDF("day", "x", "y"),
+        "day", "x", "y", win = 3)
+      .collect().map(r => r.getAs[Int]("day") ->
+        Option(r.get(r.fieldIndex("r")))).toMap
+    assert(out.size == 8) // only complete 3-windows (days 3..10)
+    (3 to 8).foreach(d => assert(out(d) == Some(1.0)))
+    val neg = Trend.rollingCorrelation(
+      (1 to 5).map(i => (i, i.toLong, 10L - i)).toDF("day", "x", "y"),
+      "day", "x", "y", win = 5).collect().head
+    assert(neg.getAs[Double]("r") == -1.0)
+    // window days 8,9,10 has x = 8,5,5... but days 9,10,+8: x varies.
+    // constant-x window: build one explicitly
+    val const = Trend.rollingCorrelation(
+      Seq((1, 4L, 1L), (2, 4L, 5L), (3, 4L, 2L)).toDF("day", "x", "y"),
+      "day", "x", "y", win = 3).collect().head
+    assert(const.get(const.fieldIndex("r")) == null)
+  }
+
+  test("rollingCorrelation matches the closed-form moments by hand") {
+    val xs = Seq(2L, 5L, 1L, 7L)
+    val ys = Seq(3L, 1L, 4L, 6L)
+    val rows = xs.indices.map(i => (i, xs(i), ys(i)))
+    val out = Trend.rollingCorrelation(rows.toDF("day", "x", "y"),
+      "day", "x", "y", win = 4).collect().head
+    val n = 4L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val syy = ys.map(a => a * a).sum
+    val r = (n * sxy - sx * sy).toDouble /
+      math.sqrt(((n * sxx - sx * sx).toDouble * (n * syy - sy * sy)))
+    assert(out.getAs[Double]("r") == math.rint(r * 1e6) / 1e6)
+  }
 }
