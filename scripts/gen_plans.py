@@ -60,7 +60,9 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t171_benford", "t172_conformal", "t173_good_turing",
            "t174_label_mi", "t175_stream_conformal",
            "t176_mann_whitney", "t177_edit_verify", "t178_rolling_corr",
-           "t179_readability", "t180_fd_audit"]
+           "t179_readability", "t180_fd_audit", "t181_collocations",
+           "t182_dispersion", "t183_cosine_profile",
+           "t184_weighted_quantiles"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -181,6 +183,14 @@ NOTES = {
         "Per-row codegen'd regexp_count/size expressions (no UDF, no explode) straight into one partial-aggregated group sum of BIGINT micro scores — the plan is scan -> project -> two-phase HashAggregate.",
     "t180_fd_audit":
         "Each audit is count -> lhs-reduction -> 1-row rollup, all partial-aggregated; four audits union AFTER their rollups, so the union carries 4 rows. NULL keys group as values (no null-dropping joins anywhere).",
+    "t181_collocations":
+        "The three corpus-sized exchanges are all partial-aggregated digest counts (48-bit bigram-pair digest + the two position margins) — each partition collapses to its DISTINCT bigrams before the exchange, with the bigram strings riding as min() payload, so shuffle bytes are vocabulary x partitions, not corpus. The margin joins and the nine-term xlx LLR run on the minCount-filtered bigram vocabulary; N arrives as a broadcast 1-row cross.",
+    "t182_dispersion":
+        "The corpus stage is one partial-aggregated (type, day) count; the moment aggregate (n, Σx, Σx²) runs on the calendar-bounded daily frame and D is a closed-form projection of exact BIGINTs — one row per type out.",
+    "t183_cosine_profile":
+        "The vec-id self-join shuffles 8-byte keys (sort-merge on id_a); the cosine kernel + bin assignment are per-row codegen'd projections, the bin histogram is a <= 20-row partial-aggregated count, and the corpus moments reduce to ONE row (decimal(38,0) micro sums — order-independent) broadcast back over the bins.",
+    "t184_weighted_quantiles":
+        "Values collapse map-side to (flag, price) blocks with exact BIGINT weight sums before any window; the cumulative-weight window runs over DISTINCT prices per flag (bin first, the t137 hatch, at billion-distinct-value cardinality) and the p25/p50/p75 selection is a pure-integer rank test — no q*W float to straddle, no interpolation.",
 }
 
 def plan_of(q):

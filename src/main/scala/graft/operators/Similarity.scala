@@ -666,4 +666,49 @@ object Similarity {
         .localCheckpoint(true)
     } finally reps.unpersist()
   }
+
+  /** Cosine-similarity PROFILE of a paired vector frame — histogram
+    * (0.1-wide bins), mean, and std of the pairwise cosine — the
+    * embedding-space health readout: a healthy isotropic space puts
+    * random/neighbor pairs near 0 with moderate spread; anisotropy
+    * collapse (all cosines ≫ 0) and dead encoders (spread ≈ 0) show
+    * up as one glance at this profile. Callers choose the pairing
+    * (deterministic neighbor pairs, sampled pairs, duplicate
+    * candidates…).
+    *
+    * Arithmetic contract: each cosine (the [[graft.functions
+    * .VectorFunctions.cosine_sim]] sequential-accumulation kernel,
+    * DuckDB-mirrored) rounds to a BIGINT micro value; the mean/std
+    * moments are DECIMAL(38,0) sums of those integers — order-
+    * independent and overflow-safe to ~10²⁶ pairs (a BIGINT Σmicro²
+    * would overflow at ~9·10⁶) — with doubles only in the final
+    * mean/std expressions, mirrored op-for-op.
+    *
+    * Scale shape: per-row kernel + one map-side-combinable bin count
+    * + one 1-row moment aggregate (broadcast back). Output: one row
+    * per occupied bin — (bin, n_pairs, share, mean_cos, std_cos),
+    * the corpus stats repeated per row (the t162 shape).
+    */
+  def cosineProfile(pairs: DataFrame, vecACol: String,
+                    vecBCol: String): DataFrame = {
+    val c = graft.functions.VectorFunctions.cosine_sim(
+      col(vecACol), col(vecBCol))
+    val s = pairs
+      .select(least(greatest(floor(c * 10).cast("long"), lit(-10L)),
+        lit(9L)).as("bin"),
+        round(c * 1e6, 0).cast("long").as("__micro"))
+    val tot = s.agg(count(lit(1)).as("__n"),
+      sum(col("__micro").cast("decimal(38,0)")).as("__sm"),
+      sum((col("__micro") * col("__micro")).cast("decimal(38,0)"))
+        .as("__smm"))
+    s.groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("__n"), 6).as("share"),
+        round(col("__sm").cast("double") / col("__n") / 1e6, 6)
+          .as("mean_cos"),
+        round(sqrt((col("__smm").cast("double")
+          - col("__sm").cast("double") * col("__sm") / col("__n"))
+          / col("__n")) / 1e6, 6).as("std_cos"))
+  }
 }

@@ -553,6 +553,68 @@ object TextAnalysis {
           .as("r2"): _*)
   }
 
+  /** Collocation mining by Dunning's log-likelihood ratio (Dunning
+    * 1993) over adjacent-token bigrams: for each bigram seen ≥
+    * `minCount` times, the G² statistic of its 2×2 contingency
+    * (bigram count vs the first-/second-position unigram margins) —
+    * the classic "are these two words a PHRASE or a coincidence"
+    * ranking, robust at the rare-event counts where PMI (t169)
+    * saturates. High-LLR bigrams are the corpus's template skeleton.
+    *
+    * Scale shape: the corpus-sized shuffles are three map-side-
+    * combinable counts — bigrams keyed by the 48-bit pair digest and
+    * the two position margins keyed by token digests (the partial
+    * aggregate collapses each partition to its distinct bigrams
+    * before the exchange, so the bigram strings riding as min()
+    * payload cost vocabulary × partitions, not corpus). The margin
+    * joins and the LLR arithmetic run on the bigram-vocabulary frame.
+    *
+    * Arithmetic contract: all nine x·ln x terms take EXACT BIGINT
+    * counts through one fixed IEEE expression mirrored term-for-term
+    * by the oracle; 6dp at the boundary.
+    *
+    * Output: (w1, w2, n12, n1, n2, llr) — callers order/limit.
+    */
+  def llrCollocations(docs: DataFrame, textCol: String,
+                      minCount: Int = 20): DataFrame = {
+    val toks = filter(TextDedup.tokens(col(textCol)), t => t =!= "")
+    val occ = docs.filter(col(textCol).isNotNull)
+      .select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+      .select(col("__w1"), col("__w2"),
+        graft.ops.SnapshotDiff.portableDigest(
+          Seq(col("__w1"), col("__w2"))).as("__h12"),
+        graft.ops.SnapshotDiff.portableDigest(Seq(col("__w1"))).as("__h1"),
+        graft.ops.SnapshotDiff.portableDigest(Seq(col("__w2"))).as("__h2"))
+    val c12 = occ.groupBy(col("__h12"))
+      .agg(min(col("__w1")).as("w1"), min(col("__w2")).as("w2"),
+        min(col("__h1")).as("__h1"), min(col("__h2")).as("__h2"),
+        count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+    val c1 = occ.groupBy(col("__h1")).agg(count(lit(1)).as("n1"))
+    val c2 = occ.groupBy(col("__h2")).agg(count(lit(1)).as("n2"))
+    val nn = occ.agg(count(lit(1)).as("__n"))
+    def xlx(x: Column): Column =
+      when(x > 0, x.cast("double") * log(x.cast("double")))
+        .otherwise(lit(0.0))
+    val m = c12.join(c1, Seq("__h1")).join(c2, Seq("__h2"))
+      .crossJoin(broadcast(nn))
+    val k11 = col("n12")
+    val k12 = col("n1") - col("n12")
+    val k21 = col("n2") - col("n12")
+    val k22 = col("__n") - col("n1") - col("n2") + col("n12")
+    m.select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+      round(lit(2.0) * ((xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22))
+        - (xlx(col("n1")) + xlx(col("__n") - col("n1"))
+           + xlx(col("n2")) + xlx(col("__n") - col("n2")))
+        + xlx(col("__n"))), 6).as("llr"))
+  }
+
   /** Readability report per group — a Flesch-reading-ease-shaped
     * heuristic over corpus text: per doc,
     * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with

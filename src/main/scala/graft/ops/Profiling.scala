@@ -83,6 +83,47 @@ object Profiling {
                     rsd: Double = 0.05): DataFrame =
     profileWith(df, columns, approx_count_distinct(_, rsd))
 
+  /** Exact WEIGHTED quantiles per group — the smallest value v whose
+    * cumulative weight reaches q·W (the left-continuous weighted
+    * order statistic): the sample-weight-aware percentile every
+    * mixture-weighted corpus needs, where the unweighted percentile
+    * (t13/t120) silently over-represents down-weighted rows. Emits
+    * the p25/p50/p75 trio.
+    *
+    * Exactness: values collapse to (group, value) blocks with exact
+    * weight sums; the rank test `cw·k ≥ W·m` is pure integer
+    * arithmetic (no q·W float product to straddle), and the selected
+    * values are DATA values — no interpolation, engine-identical by
+    * construction.
+    *
+    * Scale shape: one map-side-combinable block collapse, then the
+    * [[graft.ops.Eval.aucRank]]-style per-group cumulative window
+    * over DISTINCT values (bin first at billion-distinct-value
+    * cardinality — the t137 hatch). Output: (groups…, total_weight,
+    * p25, p50, p75).
+    */
+  def weightedQuantiles(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, weightCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val blocks = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val ord = whole.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    blocks
+      .withColumn("__tw", sum(col("__w")).over(whole))
+      .withColumn("__cw", sum(col("__w")).over(ord))
+      .groupBy(g: _*)
+      .agg(max(col("__tw")).as("total_weight"),
+        min(when(col("__cw") * 4 >= col("__tw"), col("__v"))).as("p25"),
+        min(when(col("__cw") * 2 >= col("__tw"), col("__v"))).as("p50"),
+        min(when(col("__cw") * 4 >= col("__tw") * 3, col("__v"))).as("p75"))
+  }
+
   /** Benford's-law conformance audit per group: the leading-digit
     * distribution of a positive numeric column against the Benford
     * expectation P(d) = log₁₀(1 + 1/d), summarized as the mean

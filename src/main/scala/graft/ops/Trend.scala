@@ -161,6 +161,44 @@ object Trend {
           .as("peak_share"))
   }
 
+  /** Index of dispersion (variance-to-mean ratio) per group over an
+    * integer count series — the Poisson-ness check: independent
+    * arrivals give D ≈ 1, batch dumps / scripted bursts push D ≫ 1
+    * (overdispersion), and rate-limited/templated feeds pin D < 1.
+    * The one-number companion to the burstiness Gini (t158) with an
+    * actual null model attached.
+    *
+    * Exactness: sample variance comes from exact BIGINT moments
+    * (n·Σx² − (Σx)²), so D is a closed-form expression of exact
+    * integers — bit-identical across engines. The flag judges the
+    * UNROUNDED D against `threshold` on both engines (one IEEE
+    * expression each side).
+    *
+    * Scale shape: one map-side-combinable moment aggregate over the
+    * caller's per-period series; output is one row per group. Groups
+    * with < 2 periods or zero total drop.
+    *
+    * Output: (groups…, n, total, mean_daily, dispersion,
+    * overdispersed) — 6dp.
+    */
+  def dispersionIndex(series: DataFrame, groupCols: Seq[String],
+                      xCol: String, threshold: Double = 1.5): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val x = col(xCol).cast("long")
+    val m = series.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("total"),
+        sum(x * x).as("__sxx"))
+      .filter(col("n") >= 2 && col("total") > 0)
+    val d = (col("n") * col("__sxx") - col("total") * col("total"))
+      .cast("double") / (col("n").cast("double") * (col("n") - 1)) /
+      (col("total").cast("double") / col("n"))
+    m.select(g :+ col("n") :+ col("total") :+
+      round(col("total").cast("double") / col("n"), 6).as("mean_daily") :+
+      round(d, 6).as("dispersion") :+
+      (d > threshold).as("overdispersed"): _*)
+  }
+
   /** Rolling Pearson correlation between two integer-valued series
     * over a trailing `win`-period window — the co-movement monitor
     * (do clicks and purchases still track each other this week?)

@@ -5196,5 +5196,132 @@ object Oracle {
         |  round(CAST(sum(mx) AS DOUBLE) / sum(tot), 6) AS confidence,
         |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
         |FROM g GROUP BY fd ORDER BY fd""".stripMargin,
+
+    // exact mirror of t181 (TextAnalysis.llrCollocations): adjacent
+    // bigrams, the three margin counts, Dunning's G^2 term-for-term
+    // (x ln x of exact BIGINTs), min count 20, top-50 deterministic.
+    "t181_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), bg AS (
+        |  SELECT t[i+1] AS w1, t[i+2] AS w2
+        |  FROM toks, UNNEST(range(len(t) - 1)) g(i)
+        |  WHERE len(t) >= 2
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS k
+        |  FROM bg GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM bg GROUP BY 1
+        |), c2 AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n2 FROM bg GROUP BY 1
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+        |m AS (
+        |  SELECT c12.w1, c12.w2, c12.k AS n12, c1.n1, c2.n2, nn.n,
+        |    c12.k AS k11, c1.n1 - c12.k AS k12, c2.n2 - c12.k AS k21,
+        |    nn.n - c1.n1 - c2.n2 + c12.k AS k22
+        |  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nn
+        |  WHERE c12.k >= 20
+        |)
+        |SELECT w1, w2, n12, n1, n2,
+        |  round(2.0 * ((CASE WHEN k11 > 0
+        |      THEN k11 * ln(CAST(k11 AS DOUBLE)) ELSE 0 END
+        |    + CASE WHEN k12 > 0
+        |      THEN k12 * ln(CAST(k12 AS DOUBLE)) ELSE 0 END
+        |    + CASE WHEN k21 > 0
+        |      THEN k21 * ln(CAST(k21 AS DOUBLE)) ELSE 0 END
+        |    + CASE WHEN k22 > 0
+        |      THEN k22 * ln(CAST(k22 AS DOUBLE)) ELSE 0 END)
+        |    - (CASE WHEN n1 > 0
+        |       THEN n1 * ln(CAST(n1 AS DOUBLE)) ELSE 0 END
+        |       + CASE WHEN n - n1 > 0
+        |         THEN (n - n1) * ln(CAST(n - n1 AS DOUBLE)) ELSE 0 END
+        |       + CASE WHEN n2 > 0
+        |         THEN n2 * ln(CAST(n2 AS DOUBLE)) ELSE 0 END
+        |       + CASE WHEN n - n2 > 0
+        |         THEN (n - n2) * ln(CAST(n - n2 AS DOUBLE)) ELSE 0 END)
+        |    + n * ln(CAST(n AS DOUBLE))), 6) AS llr
+        |FROM m ORDER BY llr DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // exact mirror of t182 (Trend.dispersionIndex over daily type
+    // counts): BIGINT moments, sample variance / mean, flag on the
+    // unrounded D.
+    "t182_dispersion" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT event_type, n, sx AS total,
+        |  round(CAST(sx AS DOUBLE) / n, 6) AS mean_daily,
+        |  round(CAST(n*sxx - sx*sx AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (n-1))
+        |        / (CAST(sx AS DOUBLE) / n), 6) AS dispersion,
+        |  CAST(n*sxx - sx*sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n-1))
+        |    / (CAST(sx AS DOUBLE) / n) > 1.5 AS overdispersed
+        |FROM m WHERE n >= 2 AND sx > 0
+        |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of t183 (Similarity.cosineProfile over neighbor
+    // pairs vec 2i / 2i+1): sequential-accumulation cosine, BIGINT
+    // micro values, exact integer moment sums (HUGEINT here, DECIMAL
+    // on the engine), doubles only in the final mean/std.
+    "t183_cosine_profile" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id % 2 = 0
+        |), s AS (
+        |  SELECT least(greatest(CAST(floor(c * 10) AS BIGINT), -10), 9)
+        |           AS bin,
+        |         CAST(round(c * 1000000.0) AS BIGINT) AS micro
+        |  FROM p
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(micro) AS BIGINT) AS sm,
+        |         CAST(sum(micro * micro) AS BIGINT) AS smm
+        |  FROM s
+        |)
+        |SELECT s.bin, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(count(*) AS DOUBLE) / tot.n, 6) AS share,
+        |  round(CAST(tot.sm AS DOUBLE) / tot.n / 1000000.0, 6)
+        |    AS mean_cos,
+        |  round(sqrt((CAST(tot.smm AS DOUBLE)
+        |              - CAST(tot.sm AS DOUBLE) * tot.sm / tot.n)
+        |             / tot.n) / 1000000.0, 6) AS std_cos
+        |FROM s CROSS JOIN tot
+        |GROUP BY s.bin, tot.n, tot.sm, tot.smm
+        |ORDER BY s.bin""".stripMargin,
+
+    // exact mirror of t184 (Profiling.weightedQuantiles on lineitem):
+    // (flag, price) blocks with BIGINT weight sums, integer rank
+    // tests cw*k >= tw*m, left-continuous selected data values.
+    "t184_weighted_quantiles" ->
+      """WITH l AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |         CAST(l_quantity AS BIGINT) AS wt
+        |  FROM lineitem
+        |), blocks AS (
+        |  SELECT flag, v, CAST(sum(wt) AS BIGINT) AS w FROM l GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT flag, CAST(sum(w) AS BIGINT) AS tw FROM blocks GROUP BY 1
+        |), cum AS (
+        |  SELECT b.flag, b.v, t.tw,
+        |    CAST(sum(b.w) OVER (PARTITION BY b.flag ORDER BY b.v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+        |  FROM blocks b JOIN tot t USING (flag)
+        |)
+        |SELECT flag, max(tw) AS total_weight,
+        |  min(CASE WHEN cw * 4 >= tw THEN v END) AS p25,
+        |  min(CASE WHEN cw * 2 >= tw THEN v END) AS p50,
+        |  min(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS p75
+        |FROM cum GROUP BY flag ORDER BY flag""".stripMargin,
   )
 }

@@ -4048,6 +4048,59 @@ object TrainingQueries {
       .orderBy(col("fd"))
   }
 
+  /** t181_collocations — Dunning-LLR collocation mining over adjacent
+    * bigrams (≥ 20 occurrences, top-50 by G²): the template-skeleton
+    * extractor. Exact oracle on the shared digest + exact-count xlx
+    * contract.
+    */
+  def t181Collocations(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.llrCollocations(Tables.documents(spark, sfDir), "text",
+        minCount = 20)
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+      .limit(50)
+
+  /** t182_dispersion — index of dispersion of daily event counts per
+    * type (Poisson-ness check; D ≫ 1 = bursty dumps, D < 1 = rate-
+    * limited feeds). Exact oracle on integer moments.
+    */
+  def t182Dispersion(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Trend.dispersionIndex(daily, Seq("event_type"), "x",
+        threshold = 1.5)
+      .orderBy(col("event_type"))
+  }
+
+  /** t183_cosine_profile — embedding-space health profile: cosine
+    * histogram + mean/std over deterministic neighbor pairs
+    * (vec 2i vs 2i+1) — the isotropy/collapse glance. Exact oracle
+    * (sequential-accumulation cosine kernel, micro moments).
+    */
+  def t183CosineProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(emb.select((col("vec_id") - 1).as("id_a"),
+        col("embedding").as("vb")), Seq("id_a"))
+    Similarity.cosineProfile(pairs, "va", "vb")
+      .orderBy(col("bin"))
+  }
+
+  /** t184_weighted_quantiles — exact quantity-weighted price
+    * quartiles per lineitem return flag: the sample-weight-aware
+    * percentile (left-continuous weighted order statistic, pure
+    * integer rank tests). Exact oracle.
+    */
+  def t184WeightedQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.weightedQuantiles(
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").as("price"),
+            col("l_quantity")),
+        Seq("flag"), "price", "l_quantity")
+      .orderBy(col("flag"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -384,7 +384,13 @@ object ScaleStress {
       // readability: per-row codegen'd regex counts + one map-side
       // combinable group aggregate
       // (t178/t180 touch the events table, outside this fixture)
-      "t179_readability" -> (TrainingQueries.t179Readability _))
+      "t179_readability" -> (TrainingQueries.t179Readability _),
+      // collocations: digest-keyed map-side-combined bigram/margin
+      // counts; LLR arithmetic on the bigram vocabulary
+      "t181_collocations" -> (TrainingQueries.t181Collocations _),
+      // cosine profile: per-row kernel + bin count + 1-row moments
+      // (t182/t184 touch events/lineitem, outside this fixture)
+      "t183_cosine_profile" -> (TrainingQueries.t183CosineProfile _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

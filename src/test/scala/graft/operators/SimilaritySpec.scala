@@ -430,4 +430,25 @@ class SimilaritySpec extends SparkSpec {
       .select("removed_id", "keeper_id").as[(Long, Long)].collect().toMap
     assert(removed == Map(1L -> 0L, 3L -> 2L, 5L -> 0L))
   }
+
+  test("cosineProfile bins pairs and reports exact micro moments") {
+    import org.apache.spark.sql.functions.col
+    // pair 1: identical vectors (cos 1 -> clamps into bin 9);
+    // pair 2: orthogonal (cos 0 -> bin 0);
+    // pair 3: opposite (cos -1 -> clamps into bin -10)
+    val pairs = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("va", "vb")
+    val out = Similarity.cosineProfile(pairs, "va", "vb")
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("share"),
+          r.getAs[Double]("mean_cos"), r.getAs[Double]("std_cos")))).toMap
+    assert(out.keySet == Set(9L, 0L, -10L))
+    val (n9, s9, mean, std) = out(9L)
+    assert(n9 == 1L && s9 == 0.333333)
+    assert(mean == 0.0)           // (1 + 0 - 1) / 3
+    // std = sqrt(2/3) of the micro contract
+    assert(math.abs(std - math.sqrt(2.0 / 3)) < 1e-5)
+  }
 }

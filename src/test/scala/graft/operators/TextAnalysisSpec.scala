@@ -449,6 +449,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("flat") == ((3L, 0.0, 0.0, None)))
   }
 
+  test("llrCollocations scores a planted phrase above an incidental pair") {
+    // "data pipeline" always adjacent (8x); filler tokens vary
+    val docs = (0 until 8).map(i =>
+      (i.toLong, s"data pipeline filler$i extra${i % 2} data cloud$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.llrCollocations(docs, "text", minCount = 4)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        ((r.getAs[Long]("n12"), r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          r.getAs[Double]("llr")))).toMap
+    val (n12, n1, n2, llr) = out(("data", "pipeline"))
+    assert(n12 == 8L)
+    // replay the exact contract: N = total bigrams = 8 docs * 5
+    val N = 40L
+    def xlx(x: Long) = if (x > 0) x.toDouble * math.log(x.toDouble) else 0.0
+    val (k11, k12, k21, k22) = (n12, n1 - n12, n2 - n12, N - n1 - n2 + n12)
+    val g2 = 2.0 * ((xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22))
+      - (xlx(n1) + xlx(N - n1) + xlx(n2) + xlx(N - n2)) + xlx(N))
+    assert(llr == math.rint(g2 * 1e6) / 1e6)
+  }
+
   test("readabilityReport applies the defined proxies and micro-mean") {
     // doc: 6 words, 2 sentences, syllables = vowel groups
     val text = "the cat sat down. it was happy!"

@@ -106,6 +106,30 @@ class ProfilingSpec extends SparkSpec {
     assert(!b.getAs[Boolean]("holds"))
   }
 
+  test("weightedQuantiles picks the left-continuous weighted order statistic") {
+    import org.apache.spark.sql.functions.col
+    // values 1..4, weights 1,1,6,2 (W=10): cum 1,2,8,10
+    // p25: cw*4>=10 -> v=3; p50: cw*2>=10 -> v=3; p75: cw*4>=30 -> v=3 (cw=8, 32>=30)
+    val rows = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 6L),
+      ("g", 4.0, 2L))
+    val out = Profiling.weightedQuantiles(rows.toDF("g", "v", "w"),
+      Seq("g"), "v", "w").collect().head
+    assert(out.getAs[Long]("total_weight") == 10L)
+    assert(out.getAs[Double]("p25") == 3.0)
+    assert(out.getAs[Double]("p50") == 3.0)
+    assert(out.getAs[Double]("p75") == 3.0)
+  }
+
+  test("weightedQuantiles: uniform weights reproduce the unweighted order statistic") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 8).map(i => ("g", i.toDouble, 1L))
+    val out = Profiling.weightedQuantiles(rows.toDF("g", "v", "w"),
+      Seq("g"), "v", "w").collect().head
+    assert(out.getAs[Double]("p25") == 2.0) // cw*4 >= 8 at v=2
+    assert(out.getAs[Double]("p50") == 4.0)
+    assert(out.getAs[Double]("p75") == 6.0)
+  }
+
   test("benfordAudit: leading digit comes from BIGINT cents — sub-cent and non-positive rows drop") {
     import org.apache.spark.sql.functions.col
     val df = Seq(("g", 0.004), ("g", -5.0), ("g", 0.0), ("g", 9.5))

@@ -104,6 +104,20 @@ class TrendSpec extends SparkSpec {
     assert(const.get(const.fieldIndex("r")) == null)
   }
 
+  test("dispersionIndex: constant series scores 0, a bursty one overdisperses") {
+    val rows = Seq.tabulate(10)(i => ("flat", i, 5L)) ++
+      (Seq.fill(9)(0L) :+ 50L).zipWithIndex.map { case (x, i) =>
+        ("burst", i, x) }
+    val out = Trend.dispersionIndex(rows.toDF("g", "day", "x"), Seq("g"),
+        "x", threshold = 1.5)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Double]("dispersion"),
+          r.getAs[Boolean]("overdispersed")))).toMap
+    assert(out("flat") == ((0.0, false)))
+    // burst: n=10, sx=50, sxx=2500 -> var=(10*2500-2500)/90=250, mean=5
+    assert(out("burst") == ((50.0, true)))
+  }
+
   test("rollingCorrelation matches the closed-form moments by hand") {
     val xs = Seq(2L, 5L, 1L, 7L)
     val ys = Seq(3L, 1L, 4L, 6L)
