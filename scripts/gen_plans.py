@@ -62,7 +62,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t176_mann_whitney", "t177_edit_verify", "t178_rolling_corr",
            "t179_readability", "t180_fd_audit", "t181_collocations",
            "t182_dispersion", "t183_cosine_profile",
-           "t184_weighted_quantiles"]
+           "t184_weighted_quantiles", "t185_sessions", "t186_fleiss",
+           "t187_t_closeness", "t188_robust_outliers"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -191,6 +192,14 @@ NOTES = {
         "The vec-id self-join shuffles 8-byte keys (sort-merge on id_a); the cosine kernel + bin assignment are per-row codegen'd projections, the bin histogram is a <= 20-row partial-aggregated count, and the corpus moments reduce to ONE row (decimal(38,0) micro sums — order-independent) broadcast back over the bins.",
     "t184_weighted_quantiles":
         "Values collapse map-side to (flag, price) blocks with exact BIGINT weight sums before any window; the cumulative-weight window runs over DISTINCT prices per flag (bin first, the t137 hatch, at billion-distinct-value cardinality) and the p25/p50/p75 selection is a pure-integer rank test — no q*W float to straddle, no interpolation.",
+    "t185_sessions":
+        "ONE per-user Window carries the lag, the break flag, and the running break count (same partitioning + ordering — one exchange, one sort; user windows parallelize across the user-id shuffle, a user's rows bound the task); the session roll-up is a map-side-combinable HashAggregate on the same key distribution. Every output column is an exact BIGINT via unix_micros — no float boundary.",
+    "t186_fleiss":
+        "The three raters are per-row codegen'd projections unioned BEFORE the one ratings-sized exchange — the (source, item, category) partial-aggregated count; the per-item and per-category reductions run on that collapsed frame and the kappa rational is DECIMAL(38,0) integer products with one double divide in the |sources|-row projection. No windows anywhere.",
+    "t187_t_closeness":
+        "One partial-aggregated (quasi, bin) count is the only corpus-sized exchange; the global bin table broadcasts into the grid join (absent bins still accumulate their cumulative deficit), the per-group cumulative windows span exactly m bin rows, and the EMD terms are DECIMAL(38,0) cumulative products summed then divided ONCE — the verdict compares the already-6dp-rounded emd.",
+    "t188_robust_outliers":
+        "ONE corpus-sized (group, cents) partial-aggregated count, pinned; the median window, the deviation re-collapse, the MAD window, and the outlier count all run on that distinct-value frame (windows bounded by the quantized domain — bin first, the t137 hatch, past that), with the med/MAD tables broadcast |groups|-row joins. The flag test multiplies through the float factor (|x−med|·10⁴ > 51891·MAD) so no float compare runs.",
 }
 
 def plan_of(q):

@@ -79,4 +79,63 @@ object Agreement {
         round(col("__kappa"), 6).as("kappa"),
         coalesce(col("__kappa") >= floor, lit(false)).as("reliable")): _*)
   }
+
+  /** Per-group FLEISS' κ — the many-rater generalization of
+    * [[cohensKappa]] for label pipelines where EVERY item gets the
+    * same number of assignments but rater identity doesn't pair up
+    * (three quality heuristics, an annotator pool, N prompted
+    * judges). Input is a ratings frame: one row per (item,
+    * assignment) carrying the assigned category; rater identity is
+    * irrelevant to the statistic and not required.
+    *
+    * Definitions (Fleiss 1971), with n_ij the per-(item, category)
+    * assignment count, n raters per item, N items: per-item agreement
+    * P_i = (Σ_j n_ij² − n)/(n(n−1)); P̄ = mean over items; chance
+    * agreement P_e = Σ_j p_j² from the pooled category shares; κ =
+    * (P̄ − P_e)/(1 − P_e).
+    *
+    * Arithmetic contract: every term is an exact integer — A =
+    * Σ_i(Σ_j n_ij² − n) and C = Σ_j(Σ_i n_ij)² fold the two
+    * normalizations away, giving κ = (A·(Nn)² − C·Nn(n−1)) /
+    * (Nn(n−1)·((Nn)² − C)) — one double division of DECIMAL(38,0)
+    * integer products at the very end, 6dp. A group pooled onto a
+    * single category has P_e = 1 (no chance-corrected signal); κ
+    * pins to 1.0 there, mirrored in the oracle.
+    *
+    * Scale shape: one map-side-combinable (group, item, category)
+    * count — the only ratings-sized stage — then two item-keyed /
+    * category-keyed reductions of the collapsed frame and a
+    * |groups|-row join. No windows at all.
+    *
+    * Output: (groups…, n_items, n_raters, kappa).
+    */
+  def fleissKappa(df: DataFrame, groupCols: Seq[String], itemCol: String,
+                  categoryCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val cell = df
+      .filter(col(categoryCol).isNotNull)
+      .groupBy(g :+ col(itemCol).as("__i") :+ col(categoryCol).as("__k"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val perItem = cell.groupBy(g :+ col("__i"): _*)
+      .agg(sum(col("__c") * col("__c")).as("__s2"), sum(col("__c")).as("__n"))
+    val ag = perItem.groupBy(g: _*)
+      .agg(sum(col("__s2") - col("__n")).as("__a"),
+        count(lit(1)).as("n_items"), max(col("__n")).as("n_raters"))
+    val cm = cell.groupBy(g :+ col("__k"): _*)
+      .agg(sum(col("__c")).as("__bj"))
+      .groupBy(g: _*).agg(sum(col("__bj") * col("__bj")).as("__cc"))
+    // DECIMAL(38,0) keeps the κ rational exact far past BIGINT range
+    // (A·(Nn)² is ~N³n⁴); the one double appears at the final divide
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val nn = dec(col("n_items") * col("n_raters"))
+    val num = dec(col("__a")) * nn * nn -
+      dec(col("__cc")) * nn * dec(col("n_raters") - 1)
+    val den = nn * dec(col("n_raters") - 1) * (nn * nn - dec(col("__cc")))
+    ag.join(cm, groupCols)
+      .select(g ++ Seq(col("n_items"), col("n_raters"),
+        when(nn * nn === dec(col("__cc")), lit(1.0))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+          .as("kappa")): _*)
+  }
 }

@@ -173,4 +173,56 @@ object Behavior {
             / log(col("k_next").cast("double")), 6))
           .otherwise(lit(0.0)).as("norm_entropy"))
   }
+
+  /** Gap-based SESSIONIZATION: split each user's event stream into
+    * sessions wherever the gap to the previous event exceeds
+    * `gapSeconds`, and emit one row per session with its size, start,
+    * duration, and event-type breadth. The unit of analysis every
+    * engagement / journey metric downstream expects ("events per
+    * session", "session length"), and the precondition for
+    * session-scoped dedup and path mining — raw event streams have no
+    * session column; this derives it deterministically.
+    *
+    * Semantics: events order by (ts, id) per user (id breaks
+    * timestamp ties deterministically); a session break fires when
+    * the previous event is absent or the microsecond gap is STRICTLY
+    * greater than the threshold; session_no is the per-user running
+    * break count (1-based). Timestamps flow as exact epoch
+    * microseconds (`unix_micros` ↔ `epoch_us`), so counts, starts,
+    * and durations are all exact BIGINTs — no float boundary at all.
+    *
+    * Scale shape: ONE per-user ordered window carries both the lag
+    * and the running break-count (same partitioning and ordering —
+    * one shuffle, one sort), exactly the [[transitions]] contract:
+    * user windows parallelize across the user-id shuffle and a
+    * user's rows bound the window task, never the corpus. The
+    * session roll-up is a map-side-combinable groupBy on the same
+    * (user, session) key distribution.
+    *
+    * Output: (userCol, session_no, n_events, start_us, duration_us,
+    * n_types), one row per session.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, idCol: String,
+                 gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("__brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .groupBy(col(userCol), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("start_us"),
+        (max(col("__us")) - min(col("__us"))).as("duration_us"),
+        countDistinct(col(typeCol)).as("n_types"))
+  }
 }

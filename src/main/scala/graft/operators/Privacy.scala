@@ -165,4 +165,66 @@ object Privacy {
         (round(-col("__msum").cast("double") / 1e6, 6)
           >= math.log(l.toDouble)).as("entropy_l_diverse"): _*)
   }
+
+  /** t-CLOSENESS audit per quasi-group (Li, Li & Venkatasubramanian
+    * 2007) — the disclosure [[lDiversityAudit]] still misses: a group
+    * can hold l distinct sensitive values yet skew so far from the
+    * corpus-wide distribution that membership alone leaks the
+    * sensitive attribute (every value distinct but all high). For an
+    * ORDERED sensitive domain the distance is the ordered-distance
+    * Earth Mover's: EMD(g) = Σ_k |F_g(k) − F(k)| / (m − 1) over the
+    * m global domain values — cumulative-share differences, so mass
+    * moved two bins away costs twice mass moved one.
+    *
+    * The caller supplies the (binned) sensitive column — for
+    * continuous attributes quantize first (fixed-width or the t139
+    * quantile edges); the audit is then exact on the binned domain,
+    * the same resolution contract as binned KS.
+    *
+    * Arithmetic contract: per-bin terms are |cum_g·n − cum·n_g| —
+    * exact DECIMAL(38,0) integer products (HUGEINT on the oracle
+    * side) — summed then divided ONCE by n_g·n·(m−1), 6dp. The
+    * verdict compares the already-rounded EMD to t, so both engines
+    * judge the identical 6dp value.
+    *
+    * Scale shape: one map-side-combinable (quasi, bin) count — the
+    * only corpus-sized stage; the global bin table (≤ m rows)
+    * broadcasts into a grid join so ABSENT bins still contribute
+    * their full cumulative deficit; per-group windows span exactly m
+    * rows. Output: (quasi…, n, emd, t_close).
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveBin: Column, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val q = quasiCols.map(col)
+    val base = df.select(q :+ sensitiveBin.as("__b"): _*)
+      .filter(col("__b").isNotNull)
+    val gb = base.groupBy(q :+ col("__b"): _*).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // groups×bins rows: feeds grid join + totals
+    val ab = gb.groupBy(col("__b")).agg(sum(col("__c")).as("__ca"))
+    val gn = gb.groupBy(q: _*).agg(sum(col("__c")).as("__ng"))
+    val an = ab.agg(sum(col("__ca")).as("__na"), count(lit(1)).as("__m"))
+    val grid = gn.crossJoin(broadcast(ab))
+      .join(gb, quasiCols :+ "__b", "left")
+      .na.fill(0L, Seq("__c"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(q: _*).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    grid
+      .withColumn("__cg", sum(col("__c")).over(wOrd))
+      .withColumn("__cal", sum(col("__ca")).over(wOrd))
+      .crossJoin(broadcast(an))
+      .withColumn("__term",
+        abs(dec(col("__cg")) * dec(col("__na")) -
+            dec(col("__cal")) * dec(col("__ng"))))
+      .groupBy(q: _*)
+      .agg(max(col("__ng")).as("n"),
+        round(sum(col("__term")).cast("double") /
+          (dec(max(col("__ng"))) * dec(max(col("__na"))) *
+           dec(max(col("__m")) - 1)).cast("double"), 6).as("emd"))
+      .withColumn("t_close", col("emd") <= t)
+  }
 }

@@ -208,4 +208,70 @@ object Profiling {
       .select(g :+ col("n_values") :+ col("k_digits") :+
         round(col("__msum").cast("double") / 1e6 / 9.0, 6).as("mad"): _*)
   }
+
+  /** ROBUST outlier summary per group — median / MAD flagging on an
+    * integer-scaled metric (the modified z-score convention,
+    * Iglewicz–Hoaglin): |x − med| > cutoff·1.4826·MAD. The
+    * heavy-tail-safe replacement for mean/σ fences, which a single
+    * extreme dump value drags wide open (the σ chases the outliers
+    * it's meant to catch; the median and MAD don't move).
+    *
+    * The caller supplies the metric as exact integers (cents,
+    * micros, counts — the Benford cents convention), so EVERYTHING
+    * is integer arithmetic: both order statistics are the
+    * left-continuous weighted form (smallest v with 2·cum ≥ n — the
+    * [[weightedQuantiles]] rank test at p = 1/2), and the flag test
+    * |x − med|·10⁴ > scaledCutoff·MAD multiplies through the float
+    * factor (default 51891 = ⌈3.5·1.4826·10⁴⌉ deci-milli units) so
+    * no float compare ever runs — bit-identical across engines.
+    *
+    * Scale shape: ONE corpus-sized map-side-combinable (group,
+    * value) count, pinned; the median window, the deviation
+    * re-collapse, the MAD window, and the outlier count all run on
+    * that distinct-value frame (windows bounded by per-group
+    * distinct-value cardinality — bounded by the quantized domain;
+    * bin first past that, the t137 hatch). The med/MAD tables are
+    * |groups|-row broadcasts.
+    *
+    * Output: (groups…, n, med, mad, n_outliers, outlier_frac) —
+    * med/mad in the caller's integer units, frac 6dp.
+    */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String],
+                     intCol: Column,
+                     scaledCutoff: Long = 51891L): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val W = org.apache.spark.sql.expressions.Window
+    val vc = df.select(g :+ intCol.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(g :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // distinct-value blocks feed all 3 passes
+    def orderStat(blocks: DataFrame, vCol: String): DataFrame = {
+      val whole = W.partitionBy(g: _*)
+      val ord = whole.orderBy(col(vCol))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      blocks
+        .withColumn("__n", sum(col("__c")).over(whole))
+        .withColumn("__cw", sum(col("__c")).over(ord))
+        .filter(col("__cw") * 2 >= col("__n"))
+        .groupBy(g: _*)
+        .agg(min(col(vCol)).as("__stat"), max(col("__n")).as("__nn"))
+    }
+    val med = orderStat(vc, "__v")
+      .select(g :+ col("__stat").as("med") :+ col("__nn").as("n"): _*)
+    val devBlocks = vc.join(broadcast(med), groupCols)
+      .groupBy(g :+ abs(col("__v") - col("med")).as("__d"): _*)
+      .agg(sum(col("__c")).as("__c"))
+    val mad = orderStat(devBlocks, "__d")
+      .select(g :+ col("__stat").as("mad"): _*)
+    vc.join(broadcast(med), groupCols).join(broadcast(mad), groupCols)
+      .groupBy(g: _*)
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(abs(col("__v") - col("med")) * 10000L >
+          lit(scaledCutoff) * col("mad"), col("__c")).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
+  }
 }

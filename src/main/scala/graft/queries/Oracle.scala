@@ -5323,5 +5323,176 @@ object Oracle {
         |  min(CASE WHEN cw * 2 >= tw THEN v END) AS p50,
         |  min(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS p75
         |FROM cum GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // exact mirror of Behavior.sessionize (t185): 6 h gap, (ts, id)
+    // order, strict-gt break, 1-based running break count; every
+    // output column exact BIGINT via epoch_us
+    "t185_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |                   OR us - prev_us > CAST(21600 AS BIGINT)*1000000
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM o
+        |), s AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_no
+        |  FROM f
+        |)
+        |SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(us) AS start_us, max(us) - min(us) AS duration_us,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_no""".stripMargin,
+
+    // exact mirror of Agreement.fleissKappa (t186) over the three
+    // deterministic raters; kappa as one division of exact integer
+    // products (HUGEINT here, DECIMAL(38,0) engine-side), P_e = 1
+    // degenerate pinned to 1.0 on both sides
+    "t186_fleiss" ->
+      """WITH r AS (
+        |  SELECT doc_id AS item, source AS grp,
+        |         CASE WHEN len(string_split(text, ' ')) >= 56
+        |              THEN 'keep' ELSE 'drop' END AS category
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |         CASE WHEN length(text) >= 306 THEN 'keep' ELSE 'drop' END
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |         CASE WHEN len(list_filter(string_split(text, ' '),
+        |                x -> x = 'the' OR x = 'a')) >= 4
+        |              THEN 'keep' ELSE 'drop' END
+        |  FROM documents
+        |), cell AS (
+        |  SELECT grp, item, category, CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2, 3
+        |), peri AS (
+        |  SELECT grp, item, sum(c*c) AS s2, sum(c) AS n
+        |  FROM cell GROUP BY 1, 2
+        |), ag AS (
+        |  SELECT grp, CAST(sum(s2 - n) AS BIGINT) AS a,
+        |         CAST(count(*) AS BIGINT) AS n_items,
+        |         CAST(max(n) AS BIGINT) AS n_raters
+        |  FROM peri GROUP BY 1
+        |), cm AS (
+        |  SELECT grp, CAST(sum(bj*bj) AS BIGINT) AS cc
+        |  FROM (SELECT grp, category, sum(c) AS bj
+        |        FROM cell GROUP BY 1, 2) GROUP BY 1
+        |)
+        |SELECT ag.grp AS source, n_items, n_raters,
+        |  CASE WHEN CAST(n_items*n_raters AS HUGEINT)
+        |            * (n_items*n_raters) = cc THEN 1.0
+        |  ELSE round(CAST(CAST(a AS HUGEINT)
+        |           * (n_items*n_raters) * (n_items*n_raters)
+        |           - CAST(cc AS HUGEINT)
+        |           * n_items*n_raters*(n_raters-1) AS DOUBLE)
+        |       / CAST(CAST(n_items*n_raters*(n_raters-1) AS HUGEINT)
+        |           * (CAST(n_items*n_raters AS HUGEINT)
+        |              * (n_items*n_raters) - cc) AS DOUBLE), 6)
+        |  END AS kappa
+        |FROM ag JOIN cm ON ag.grp = cm.grp
+        |ORDER BY source""".stripMargin,
+
+    // exact mirror of Privacy.tClosenessAudit (t187): ordered EMD on
+    // the global 50.00-cents-bin domain; HUGEINT cumulative products,
+    // verdict on the 6dp-rounded emd, strict t = 0.008
+    "t187_t_closeness" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |           AS dow,
+        |         CAST(floor(CAST(round(value*100) AS BIGINT) / 5000)
+        |           AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL
+        |), gb AS (
+        |  SELECT event_type, dow, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2, 3
+        |), ab AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS ca FROM t GROUP BY 1
+        |), gn AS (
+        |  SELECT event_type, dow, CAST(sum(c) AS BIGINT) AS ng
+        |  FROM gb GROUP BY 1, 2
+        |), an AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |         CAST(count(*) AS BIGINT) AS m FROM ab
+        |), grid AS (
+        |  SELECT g.event_type, g.dow, g.ng, a.bin, coalesce(gb.c, 0) AS c,
+        |         a.ca
+        |  FROM gn g CROSS JOIN ab a
+        |  LEFT JOIN gb ON gb.event_type = g.event_type
+        |              AND gb.dow = g.dow AND gb.bin = a.bin
+        |), cum AS (
+        |  SELECT event_type, dow, ng, bin,
+        |         sum(c)  OVER (PARTITION BY event_type, dow
+        |                       ORDER BY bin) AS cg,
+        |         sum(ca) OVER (PARTITION BY event_type, dow
+        |                       ORDER BY bin) AS cal
+        |  FROM grid
+        |), emds AS (
+        |  SELECT c.event_type, c.dow, max(c.ng) AS n,
+        |         round(CAST(sum(abs(CAST(c.cg AS HUGEINT) * an.na
+        |                 - CAST(c.cal AS HUGEINT) * c.ng)) AS DOUBLE)
+        |           / CAST(CAST(max(c.ng) AS HUGEINT) * max(an.na)
+        |                 * (max(an.m) - 1) AS DOUBLE), 6) AS emd
+        |  FROM cum c CROSS JOIN an
+        |  GROUP BY c.event_type, c.dow
+        |)
+        |SELECT event_type, dow, n, emd, (emd <= 0.008) AS t_close
+        |FROM emds ORDER BY event_type, dow""".stripMargin,
+
+    // exact mirror of Profiling.robustOutliers (t188): left-continuous
+    // median/MAD of value cents, pure-integer modified-z flag
+    // |x-med|*10000 > 51891*MAD
+    "t188_robust_outliers" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), vc AS (
+        |  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, cents,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |           ROWS UNBOUNDED PRECEDING) AS cw,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM vc
+        |), med AS (
+        |  SELECT event_type, min(cents) AS med,
+        |         CAST(max(n) AS BIGINT) AS n
+        |  FROM cum WHERE 2*cw >= n GROUP BY 1
+        |), dc AS (
+        |  SELECT vc.event_type, abs(vc.cents - med.med) AS d,
+        |         CAST(sum(vc.c) AS BIGINT) AS c
+        |  FROM vc JOIN med ON vc.event_type = med.event_type
+        |  GROUP BY 1, 2
+        |), dcum AS (
+        |  SELECT event_type, d,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY d
+        |           ROWS UNBOUNDED PRECEDING) AS cw,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM dc
+        |), mad AS (
+        |  SELECT event_type, min(d) AS mad
+        |  FROM dcum WHERE 2*cw >= n GROUP BY 1
+        |)
+        |SELECT med.event_type, med.n, med.med AS med,
+        |       mad.mad AS mad,
+        |       CAST(sum(CASE WHEN abs(vc.cents - med.med)*10000
+        |                      > 51891*mad.mad THEN vc.c ELSE 0 END)
+        |         AS BIGINT) AS n_outliers,
+        |       round(CAST(sum(CASE WHEN abs(vc.cents - med.med)*10000
+        |                      > 51891*mad.mad THEN vc.c ELSE 0 END)
+        |         AS DOUBLE) / CAST(med.n AS DOUBLE), 6) AS outlier_frac
+        |FROM vc JOIN med ON vc.event_type = med.event_type
+        |        JOIN mad ON vc.event_type = mad.event_type
+        |GROUP BY med.event_type, med.n, med.med, mad.mad
+        |ORDER BY med.event_type""".stripMargin,
   )
 }

@@ -4101,6 +4101,67 @@ object TrainingQueries {
         Seq("flag"), "price", "l_quantity")
       .orderBy(col("flag"))
 
+  /** t185_sessions — gap-based sessionization of the event stream
+    * (6 h gap): one row per session with size, exact epoch-micro
+    * start/duration, and type breadth. Exact oracle — every output
+    * is a BIGINT.
+    */
+  def t185Sessions(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Behavior.sessionize(Tables.events(spark, sfDir),
+        "user_id", "ts", "event_type", "event_id", gapSeconds = 21600L)
+      .orderBy(col("user_id"), col("session_no"))
+
+  /** t186_fleiss — Fleiss' κ of three deterministic keep/drop quality
+    * raters (token count ≥ 56, char length ≥ 306, stopword count ≥ 4)
+    * per source: the annotator-pool agreement QA. Exact oracle
+    * (integer contingency + one final division).
+    */
+  def t186Fleiss(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val item = col("doc_id").as("item")
+    val stop = size(filter(split(col("text"), " "),
+      x => x === "the" || x === "a"))
+    val ratings = docs.select(item, col("source"),
+        when(size(split(col("text"), " ")) >= 56, "keep").otherwise("drop")
+          .as("category"))
+      .unionByName(docs.select(item, col("source"),
+        when(length(col("text")) >= 306, "keep").otherwise("drop")
+          .as("category")))
+      .unionByName(docs.select(item, col("source"),
+        when(stop >= 4, "keep").otherwise("drop").as("category")))
+    graft.operators.Agreement.fleissKappa(ratings, Seq("source"),
+        "item", "category")
+      .orderBy(col("source"))
+  }
+
+  /** t187_t_closeness — ordered-EMD t-closeness audit: quasi-groups
+    * (event_type, dow), sensitive = value in 50.00-wide cents bins,
+    * strict t = 0.008 so verdicts split on this fixture. Exact
+    * oracle (HUGEINT/decimal cumulative products, one division).
+    */
+  def t187TCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .withColumn("dow",
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long") % 7)
+    val bin = floor(round(col("value") * 100, 0).cast("long") / lit(5000))
+      .cast("long")
+    graft.operators.Privacy.tClosenessAudit(events,
+        Seq("event_type", "dow"), when(col("value").isNotNull, bin),
+        t = 0.008)
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** t188_robust_outliers — median/MAD modified-z outlier summary of
+    * value cents per event type (|x − med|·10⁴ > 51891·MAD — pure
+    * integer compare). Exact oracle.
+    */
+  def t188RobustOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.robustOutliers(
+        Tables.events(spark, sfDir).filter(col("value").isNotNull),
+        Seq("event_type"), round(col("value") * 100, 0).cast("long"))
+      .orderBy(col("event_type"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -390,7 +390,11 @@ object ScaleStress {
       "t181_collocations" -> (TrainingQueries.t181Collocations _),
       // cosine profile: per-row kernel + bin count + 1-row moments
       // (t182/t184 touch events/lineitem, outside this fixture)
-      "t183_cosine_profile" -> (TrainingQueries.t183CosineProfile _))
+      "t183_cosine_profile" -> (TrainingQueries.t183CosineProfile _),
+      // fleiss: three per-row raters union -> (source, item, category)
+      // count; everything after is item-/category-keyed reductions
+      // (t185/t187/t188 are events-table ops, outside this fixture)
+      "t186_fleiss" -> (TrainingQueries.t186Fleiss _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

@@ -53,4 +53,39 @@ class AgreementSpec extends SparkSpec {
     assert(dout.isNullAt(dout.fieldIndex("kappa")))
     assert(!dout.getAs[Boolean]("reliable"))
   }
+
+  test("fleissKappa matches the hand-computed 3-item 2-rater table and " +
+       "pins the single-category group to 1.0") {
+    import org.apache.spark.sql.functions.col
+    // items: (a,a), (a,b), (b,b) -> P_i = 1, 0, 1; Pbar = 2/3;
+    // margins 3/3 -> pe = 0.5; kappa = (2/3 - 1/2)/(1/2) = 1/3
+    val mixed = Seq(("m", 1, "a"), ("m", 1, "a"), ("m", 2, "a"),
+      ("m", 2, "b"), ("m", 3, "b"), ("m", 3, "b"))
+    // every rating one category -> pe = 1 -> kappa pinned 1.0
+    val const = Seq(("c", 1, "x"), ("c", 1, "x"), ("c", 2, "x"), ("c", 2, "x"))
+    val out = Agreement.fleissKappa((mixed ++ const).toDF("g", "item", "cat"),
+        Seq("g"), "item", "cat")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("m").getAs[Long]("n_items") == 3L)
+    assert(out("m").getAs[Long]("n_raters") == 2L)
+    assert(out("m").getAs[Double]("kappa") == 0.333333)
+    assert(out("c").getAs[Double]("kappa") == 1.0)
+  }
+
+  test("fleissKappa matches a direct recomputation on a varied fixture") {
+    val ratings = for (i <- 0 until 30; r <- 0 until 3) yield
+      ("g", i, s"c${(i * (r + 1) + r * 7) % 4}")
+    val out = Agreement.fleissKappa(ratings.toDF("g", "item", "cat"),
+      Seq("g"), "item", "cat").collect().head
+    // direct Fleiss computation
+    val byItem = ratings.groupBy(_._2).view.mapValues(
+      _.groupBy(_._3).view.mapValues(_.size).toMap).toMap
+    val nI = byItem.size; val nR = 3
+    val pbar = byItem.values.map(m =>
+      (m.values.map(c => c * c).sum - nR).toDouble / (nR * (nR - 1))).sum / nI
+    val tot = ratings.groupBy(_._3).view.mapValues(_.size).toMap
+    val pe = tot.values.map(v => math.pow(v.toDouble / (nI * nR), 2)).sum
+    val expected = math.rint((pbar - pe) / (1 - pe) * 1e6) / 1e6
+    assert(math.abs(out.getAs[Double]("kappa") - expected) < 2e-6)
+  }
 }

@@ -103,4 +103,31 @@ class BehaviorSpec extends SparkSpec {
       / math.log(2.0) * 1e6) / 1e6)
     assert(math.abs(hB - math.log(2.0)) < 1e-5 && math.abs(normB - 1.0) < 1e-5)
   }
+
+  test("sessionize: strict-gt gap boundary, tie ordering, per-session stats") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // u1: t=0, t=+100s (gap == gapSeconds -> SAME session), t=+201s
+    // (gap 101 > 100 -> break); u2: two events at the SAME ts (tie ->
+    // gap 0, same session)
+    val rows = Seq(
+      (1L, 0L, "a", 1L), (1L, 100L, "b", 2L), (1L, 201L, "a", 3L),
+      (2L, 50L, "a", 4L), (2L, 50L, "b", 5L))
+    val df = rows.toDF("user_id", "sec", "event_type", "event_id")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)"))
+    val out = Behavior.sessionize(df, "user_id", "ts", "event_type",
+        "event_id", gapSeconds = 100L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_no")) -> r).toMap
+    assert(out.size == 3)
+    val s11 = out((1L, 1L))
+    assert(s11.getAs[Long]("n_events") == 2L)
+    assert(s11.getAs[Long]("start_us") == 0L)
+    assert(s11.getAs[Long]("duration_us") == 100L * 1000000L)
+    assert(s11.getAs[Long]("n_types") == 2L)
+    val s12 = out((1L, 2L))
+    assert(s12.getAs[Long]("n_events") == 1L)
+    assert(s12.getAs[Long]("duration_us") == 0L)
+    val s21 = out((2L, 1L))
+    assert(s21.getAs[Long]("n_events") == 2L && s21.getAs[Long]("n_types") == 2L)
+  }
 }

@@ -135,4 +135,45 @@ class PrivacySpec extends SparkSpec {
     assert(out.getAs[Long]("k_sensitive") == 2L)
     assert(out.getAs[Boolean]("distinct_l_diverse"))
   }
+
+  test("tClosenessAudit: ordered EMD is 0 for a matching group, 0.5 for " +
+       "fully separated two-bin groups, and absent bins still count") {
+    import org.apache.spark.sql.functions.col
+    // g1 all bin 0, g2 all bin 1 (g1 never SEES bin 1 - the grid join
+    // must still accumulate its deficit), g3 balanced like the corpus
+    val rows = Seq.fill(10)(("g1", 0)) ++ Seq.fill(10)(("g2", 1)) ++
+      (Seq.fill(5)(("g3", 0)) ++ Seq.fill(5)(("g3", 1)))
+    val out = Privacy.tClosenessAudit(rows.toDF("q", "bin"), Seq("q"),
+        col("bin"), t = 0.4)
+      .collect().map(r => r.getAs[String]("q") -> r).toMap
+    // global: 15/15 over bins {0,1}, m-1 = 1
+    // g1: |F_g(0)-F(0)| = |1 - 0.5| = 0.5
+    assert(out("g1").getAs[Double]("emd") == 0.5)
+    assert(!out("g1").getAs[Boolean]("t_close"))
+    assert(out("g2").getAs[Double]("emd") == 0.5)
+    assert(out("g3").getAs[Double]("emd") == 0.0)
+    assert(out("g3").getAs[Boolean]("t_close"))
+    assert(out("g1").getAs[Long]("n") == 10L)
+  }
+
+  test("tClosenessAudit: mass moved two bins costs twice one bin") {
+    import org.apache.spark.sql.functions.col
+    // domain {0,1,2}; gA shifts one unit of mass 0->1, gB shifts it
+    // 0->2, gC compensates both so the GLOBAL pool is exactly uniform
+    // (32,32,32) - then EMD_B = 2 x EMD_A and EMD_gU = 0
+    val gU = for (b <- 0 to 2; _ <- 1 to 8) yield ("gU", b)
+    val gA = Seq.fill(7)(("gA", 0)) ++ Seq.fill(9)(("gA", 1)) ++
+      Seq.fill(8)(("gA", 2))
+    val gB = Seq.fill(7)(("gB", 0)) ++ Seq.fill(8)(("gB", 1)) ++
+      Seq.fill(9)(("gB", 2))
+    val gC = Seq.fill(10)(("gC", 0)) ++ Seq.fill(7)(("gC", 1)) ++
+      Seq.fill(7)(("gC", 2))
+    val out = Privacy.tClosenessAudit((gU ++ gA ++ gB ++ gC).toDF("q", "bin"),
+        Seq("q"), col("bin"), t = 0.1)
+      .collect().map(r => r.getAs[String]("q") -> r.getAs[Double]("emd")).toMap
+    assert(out("gU") < 1e-9)
+    assert(out("gA") == 0.020833)
+    assert(out("gB") == 0.041667)
+    assert(math.abs(out("gB") - 2 * out("gA")) < 3e-6)
+  }
 }

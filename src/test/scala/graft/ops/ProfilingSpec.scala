@@ -139,4 +139,23 @@ class ProfilingSpec extends SparkSpec {
     assert(out.getAs[Long]("n_values") == 1L)
     assert(out.getAs[Long]("k_digits") == 1L)
   }
+
+  test("robustOutliers: median/MAD flag only the planted extreme; " +
+       "constant groups flag nothing; even-n uses the left-continuous stat") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq("a" -> 1L, "a" -> 2L, "a" -> 3L, "a" -> 4L, "a" -> 100L) ++
+      Seq("c" -> 5L, "c" -> 5L, "c" -> 5L) ++
+      Seq("e" -> 1L, "e" -> 2L, "e" -> 3L, "e" -> 4L)
+    val out = Profiling.robustOutliers(rows.toDF("g", "v"), Seq("g"),
+        col("v"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val a = out("a")   // med 3, devs {0,1,1,2,97} -> mad 1; only 100 flagged
+    assert(a.getAs[Long]("med") == 3L && a.getAs[Long]("mad") == 1L)
+    assert(a.getAs[Long]("n_outliers") == 1L)
+    assert(a.getAs[Double]("outlier_frac") == 0.2)
+    val c = out("c")   // mad 0: |x-med|*10000 > 0 never fires at x == med
+    assert(c.getAs[Long]("mad") == 0L && c.getAs[Long]("n_outliers") == 0L)
+    val e = out("e")   // even n: med = smallest v with 2*cum >= 4 -> 2
+    assert(e.getAs[Long]("med") == 2L && e.getAs[Long]("mad") == 1L)
+  }
 }
