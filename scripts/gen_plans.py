@@ -63,7 +63,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t179_readability", "t180_fd_audit", "t181_collocations",
            "t182_dispersion", "t183_cosine_profile",
            "t184_weighted_quantiles", "t185_sessions", "t186_fleiss",
-           "t187_t_closeness", "t188_robust_outliers"]
+           "t187_t_closeness", "t188_robust_outliers", "t189_acf",
+           "t190_kruskal_wallis", "t191_theil_sen", "t192_triangles"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -200,6 +201,14 @@ NOTES = {
         "One partial-aggregated (quasi, bin) count is the only corpus-sized exchange; the global bin table broadcasts into the grid join (absent bins still accumulate their cumulative deficit), the per-group cumulative windows span exactly m bin rows, and the EMD terms are DECIMAL(38,0) cumulative products summed then divided ONCE — the verdict compares the already-6dp-rounded emd.",
     "t188_robust_outliers":
         "ONE corpus-sized (group, cents) partial-aggregated count, pinned; the median window, the deviation re-collapse, the MAD window, and the outlier count all run on that distinct-value frame (windows bounded by the quantized domain — bin first, the t137 hatch, past that), with the med/MAD tables broadcast |groups|-row joins. The flag test multiplies through the float factor (|x−med|·10⁴ > 51891·MAD) so no float compare runs.",
+    "t189_acf":
+        "The corpus-sized stage is the daily count (map-side combinable); the zero-fill grid explodes calendar-bounded sequences, the |groups|-row moment table broadcasts back, and ONE per-group ordered window carries all 7 lag columns (one exchange, one sort over calendar-bounded partitions). The moment aggregate is DECIMAL(38,0) — order-independent — and the lag explode emits 7 rows per group.",
+    "t190_kruskal_wallis":
+        "Two map-side-combinable collapses — (group, treatment, score) cells and (group, score) tie blocks — are the only corpus-sized stages; the midrank window runs per group over DISTINCT scores (bin first, the t137 hatch, at billion-distinct-score cardinality), rank sums stay exact BIGINTs, and the per-treatment micro terms sum order-independently before the closed-form H.",
+    "t191_theil_sen":
+        "The pair join expands PERIOD pairs over the days-sized grid (365 days → 66k pairs per group), never row pairs — the t148 Mann–Kendall contract; both median windows run over per-group distinct slope/intercept blocks and the slope broadcast into the intercept pass is |groups|-row.",
+    "t192_triangles":
+        "Per-order pair expansion is bounded by order size (≤ 13 lineitems → ≤ 78 pairs); edges dedup through one (u, v)-keyed distinct — 8-byte shuffles — and the degree-ordered orientation bounds every oriented out-degree by O(√m), making the wedge-closure join O(m^1.5) regardless of hub skew (a hub's star orients INTO it, generating no wedges). No windows, no driver state.",
 }
 
 def plan_of(q):

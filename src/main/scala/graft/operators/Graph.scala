@@ -189,4 +189,70 @@ object Graph {
       } finally normEdges.unpersist()
     } finally nodes.unpersist()
   }
+
+  /** TRIANGLE census of an undirected graph — exact triangle count,
+    * open-wedge count, and global clustering coefficient
+    * 3·Δ/wedges. The community-structure readout the rank family
+    * ([[pageRank]]/[[personalizedPageRank]]) doesn't give: co-occurrence
+    * graphs (parts bought together, domains co-linked, docs sharing
+    * near-dup clusters) with high clustering have real cluster
+    * structure; a low coefficient at high density flags synthetic or
+    * spam-shaped linkage.
+    *
+    * Exact algorithm, degree-ordered orientation (Ortmann–Brandes /
+    * the MapReduce "NodeIterator++"): orient every edge from its
+    * (degree, id)-smaller endpoint, then count wedge–closure joins.
+    * Each triangle {a≺b≺c} is found exactly once as (a→b)+(b→c)
+    * closed by (a→c).
+    *
+    * Scale shape: self-loops drop, edges dedup through one
+    * (u, v)-keyed distinct — the only input-sized shuffle, 8-byte
+    * keys; the degree table joins back edge-keyed. The wedge join's
+    * fan-out is Σ_s outdeg(s)², and orientation bounds every oriented
+    * out-degree by O(√m) (arboricity bound), so the join is
+    * O(m^{3/2}) — never the Σ deg² a random orientation risks on a
+    * skewed graph (the hub's star orients INTO the hub, generating no
+    * wedges). No windows, no driver state; the closure join shuffles
+    * (s, t) int pairs.
+    *
+    * Output: ONE row (n_nodes, n_edges, n_triangles, n_wedges,
+    * global_cc 6dp); an edgeless graph yields the zero row with NULL
+    * coefficient.
+    */
+  def triangleStats(edges: DataFrame, aCol: String,
+                    bCol: String): DataFrame = {
+    val e0 = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true) // feeds degree, orientation, and the count
+    val deg = e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("node").as("u"), col("deg").as("__du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("__dv"))
+    val fwd = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val ed = e0.join(du, "u").join(dv, "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(true) // 3 joins below walk the oriented edges
+    val tri = ed.as("e1")
+      .join(ed.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("ws"), col("e2.t").as("wt"))
+      .join(ed.as("e3"),
+        col("ws") === col("e3.s") && col("wt") === col("e3.t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wed = deg.agg(
+      // integer div keeps the wedge count an exact long past 2^53
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val ne = e0.agg(count(lit(1)).as("n_edges"))
+    wed.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6)).as("global_cc"))
+  }
 }

@@ -248,6 +248,87 @@ object Eval {
         / (lit(2.0) * sigma), 6).as("z"): _*)
   }
 
+  /** KRUSKAL–WALLIS H test per group — the k-sample generalization of
+    * [[mannWhitney]]: does a score's distribution differ across k
+    * treatments (sources, shards, pipeline variants) without assuming
+    * normality? With midranks R_g summed per treatment,
+    * H = 12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1), tie-corrected by
+    * C = 1 − Σ_v(t_v³−t_v)/(N³−N), judged against the χ²₀.₉₅ critical
+    * value at df = k−1 (the [[Drift.Chi2Crit95]] literal table —
+    * shared verbatim with the oracle).
+    *
+    * Arithmetic contract: doubled rank sums 2·R_g =
+    * Σ_v c_gv·(2·before_v + t_v + 1) are exact BIGINTs (the
+    * [[mannWhitney]] trick); the per-treatment term (2R_g)²/(4·n_g)
+    * is ONE deterministic IEEE expression rounded to micro units and
+    * summed as BIGINT — order-independent — so H is a closed form of
+    * exact integers. A fully-tied group (C ≤ 0) yields NULL h and
+    * never flags.
+    *
+    * Scale shape: the only corpus-sized stages are the two map-side-
+    * combinable collapses — (group, treatment, score) cells and
+    * (group, score) tie blocks; the midrank window runs per group
+    * over DISTINCT scores (bin first — the t137 hatch — at
+    * billion-distinct-score cardinality), and everything after is
+    * treatment-cardinality.
+    *
+    * Output: (groups…, k, n, h, h_crit, significant) — h/h_crit 6dp.
+    */
+  def kruskalWallis(df: DataFrame, groupCols: Seq[String],
+                    treatmentCol: String, scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val cell = df
+      .filter(col(scoreCol).isNotNull && col(treatmentCol).isNotNull)
+      .groupBy(g :+ col(treatmentCol).as("__trt") :+
+        col(scoreCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val vb = cell.groupBy(g :+ col("__s"): _*)
+      .agg(sum(col("__c")).as("__tv"))
+    val before = Window.partitionBy(g: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vb2 = vb.withColumn("__bef",
+      coalesce(sum(col("__tv")).over(before), lit(0L)))
+    val rg = cell.join(vb2, groupCols :+ "__s")
+      .groupBy(g :+ col("__trt"): _*)
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c") * (lit(2L) * col("__bef") + col("__tv") + 1L))
+          .as("__r2"))
+    val nn = rg.groupBy(g: _*)
+      .agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+        sum(round(col("__r2").cast("double") * col("__r2").cast("double")
+          / (col("__ng") * 4).cast("double") * 1000000.0).cast("long"))
+          .as("__amicro"))
+      .filter(col("k") >= 2)
+    val tie = vb.groupBy(g: _*)
+      .agg(sum(col("__tv") * col("__tv") * col("__tv") - col("__tv"))
+        .as("__tsum"))
+    val nd = col("n").cast("double")
+    val h = lit(12.0) * (col("__amicro").cast("double") / 1000000.0) /
+        (nd * (col("n") + 1).cast("double")) -
+      lit(3.0) * (col("n") + 1).cast("double")
+    val cFac = lit(1.0) -
+      col("__tsum").cast("double") / (nd * nd * nd - nd)
+    val hAdj = when(cFac > 0, h / cFac)
+    val dof = col("k") - 1
+    val whCrit = {
+      val d = dof.cast("double")
+      val inner = lit(1.0) - lit(2.0) / (lit(9.0) * d) +
+        lit(1.6448536269514722) * sqrt(lit(2.0) / (lit(9.0) * d))
+      d * inner * inner * inner
+    }
+    val crit = when(dof <= 30,
+      element_at(typedLit(Drift.Chi2Crit95), dof.cast("int")))
+      .otherwise(whCrit)
+    nn.join(tie, groupCols)
+      .withColumn("__h", hAdj).withColumn("__crit", crit)
+      .select(g :+ col("k") :+ col("n") :+
+        round(col("__h"), 6).as("h") :+
+        round(col("__crit"), 6).as("h_crit") :+
+        coalesce(col("__h") > col("__crit"), lit(false))
+          .as("significant"): _*)
+  }
+
   /** Probability-calibration report per group: fixed-width reliability
     * bins over a [0,1] probability column plus the group's expected
     * calibration error (ECE = Σ_b n_b/n · |acc_b − conf_b|) — the

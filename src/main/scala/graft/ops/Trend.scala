@@ -241,4 +241,119 @@ object Trend {
           .cast("double")
           / sqrt(varX.cast("double") * varY.cast("double")), 6)).as("r"))
   }
+
+  /** Sample AUTOCORRELATION function per group at lags 1..`maxLag` —
+    * the periodicity/memory readout the other detectors here don't
+    * give: a weekly scrape cadence spikes r₇, a sticky backlog decays
+    * slowly from r₁, independent arrivals sit near 0 everywhere.
+    * Standard sample ACF (fixed whole-series mean):
+    * r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)².
+    *
+    * Exactness: both sums are exact integers after multiplying the
+    * mean away — with S = Σx over n periods, r_k = Σ(n·x_t−S)(n·x_{t−k}−S)
+    * / Σ(n·x_t−S)² — accumulated as DECIMAL(38,0) (HUGEINT on the
+    * oracle side), one double divide at the 6dp boundary. A constant
+    * series (zero denominator) yields NULL acf.
+    *
+    * The caller supplies a COMPLETE per-period series (zero-filled
+    * grid for count series — an absent day is 0 events, and skipping
+    * it would silently splice distant days adjacent). Scale shape:
+    * one broadcast |groups|-row moment join, then ONE per-group
+    * ordered window carrying all `maxLag` lag columns (one shuffle,
+    * one sort, calendar-bounded partitions — the t158 series
+    * contract), a map-side-combinable moment aggregate, and a
+    * maxLag-row explode per group.
+    *
+    * Output: (groups…, lag, n_days, acf) — one row per (group, lag).
+    */
+  def autocorrelation(series: DataFrame, groupCols: Seq[String],
+                      orderCol: String, valueCol: String,
+                      maxLag: Int = 7): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val g = groupCols.map(col)
+    val base = series.select(g :+ col(orderCol).as("__t") :+
+      col(valueCol).cast("long").as("__x"): _*)
+    val st = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__t"))
+    val c = base.join(broadcast(st), groupCols)
+      .withColumn("__y",
+        (col("__n") * col("__x") - col("__s")).cast("decimal(38,0)"))
+    val lagged = (1 to maxLag).foldLeft(c)((df, k) =>
+      df.withColumn(s"__y$k", lag(col("__y"), k).over(w)))
+    val agg = lagged.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__y") * col("__y")).as("__den") +:
+        (1 to maxLag).map(k =>
+          sum(col("__y") * col(s"__y$k")).as(s"__m$k")): _*)
+    val lags = array((1 to maxLag).map(k =>
+      struct(lit(k.toLong).as("lag"), col(s"__m$k").as("num"))): _*)
+    agg.select(g :+ col("n_days") :+ col("__den") :+
+        explode(lags).as("__e"): _*)
+      .select(g :+ col("__e.lag").as("lag") :+ col("n_days") :+
+        round(col("__e.num").cast("double") /
+          when(col("__den") =!= 0, col("__den")).cast("double"), 6)
+          .as("acf"): _*)
+  }
+
+  /** THEIL–SEN robust trend line per group: slope = left-continuous
+    * median over all period pairs i<j of (x_j−x_i)/(t_j−t_i),
+    * intercept = median of (x_i − slope·t_i) (Conover). The robust
+    * companion to [[mannKendall]] — MK says WHETHER the series
+    * trends; this says HOW FAST, and unlike OLS (t127) a handful of
+    * dump days can't drag the line (29% breakdown point).
+    *
+    * Determinism: each pairwise slope is ONE IEEE divide of exact
+    * integers — bit-identical across engines — and both medians are
+    * selections (the [[ops.Profiling.weightedQuantiles]] rank test
+    * 2·cum ≥ n over distinct-value blocks), never averages, so the
+    * output is a value both engines computed identically, 6dp-rounded
+    * for display only.
+    *
+    * Scale shape: the input is the caller's per-period series
+    * (zero-filled grid), so the pair join expands period-pairs —
+    * n_periods²/2 per group, calendar-bounded (365 days → 66k pairs),
+    * NEVER row pairs — and both median windows run over per-group
+    * distinct slope/intercept values. The slope broadcast back into
+    * the intercept pass is |groups|-row.
+    *
+    * Output: (groups…, n_days, n_pairs, slope, intercept).
+    */
+  def theilSen(series: DataFrame, groupCols: Seq[String],
+               orderCol: String, valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val base = series.select(g :+ col(orderCol).cast("long").as("__t") :+
+      col(valueCol).cast("long").as("__x"): _*)
+    val a = base.select(g :+ col("__t").as("__t1") :+
+      col("__x").as("__x1"): _*)
+    val b = base.select(g :+ col("__t").as("__t2") :+
+      col("__x").as("__x2"): _*)
+    val pairs = a.join(b, groupCols).filter(col("__t2") > col("__t1"))
+      .select(g :+ ((col("__x2") - col("__x1")).cast("double") /
+        (col("__t2") - col("__t1")).cast("double")).as("__slope"): _*)
+    def lMedian(df: DataFrame, vCol: String, nAs: String,
+                statAs: String): DataFrame = {
+      val blocks = df.groupBy(g :+ col(vCol): _*).agg(count(lit(1)).as("__c"))
+      val wAll = Window.partitionBy(g: _*)
+      val wOrd = wAll.orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      blocks
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .withColumn("__cw", sum(col("__c")).over(wOrd))
+        .filter(col("__cw") * 2 >= col("__n"))
+        .groupBy(g: _*)
+        .agg(min(col(vCol)).as(statAs), max(col("__n")).as(nAs))
+    }
+    val med = lMedian(pairs, "__slope", "n_pairs", "__sl")
+    val ivals = base.join(broadcast(med), groupCols)
+      .select(g :+ (col("__x").cast("double") -
+        col("__sl") * col("__t").cast("double")).as("__iv"): _*)
+    val imed = lMedian(ivals, "__iv", "n_days", "__ic")
+    med.join(imed, groupCols)
+      .select(g :+ col("n_days") :+ col("n_pairs") :+
+        round(col("__sl"), 6).as("slope") :+
+        round(col("__ic"), 6).as("intercept"): _*)
+  }
 }

@@ -5494,5 +5494,212 @@ object Oracle {
         |        JOIN mad ON vc.event_type = mad.event_type
         |GROUP BY med.event_type, med.n, med.med, mad.mad
         |ORDER BY med.event_type""".stripMargin,
+
+    // exact mirror of Trend.autocorrelation (t189) on the zero-filled
+    // day grid: mean multiplied away (y = n*x - S), HUGEINT moment
+    // sums (DECIMAL(38,0) engine-side), one double divide at 6dp
+    "t189_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT b.event_type, b.d0 + g.i AS d, coalesce(daily.x, 0) AS x
+        |  FROM bounds b
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, b.d1 - b.d0 + 1)) AS i) g
+        |  LEFT JOIN daily ON daily.event_type = b.event_type
+        |                 AND daily.d = b.d0 + g.i
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS s
+        |  FROM grid GROUP BY 1
+        |), c AS (
+        |  SELECT g.event_type, g.d, CAST(st.n * g.x - st.s AS BIGINT) AS y
+        |  FROM grid g JOIN st USING (event_type)
+        |), lagged AS (
+        |  SELECT event_type, y,
+        |    lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+        |    lag(y, 3) OVER w AS y3, lag(y, 4) OVER w AS y4,
+        |    lag(y, 5) OVER w AS y5, lag(y, 6) OVER w AS y6,
+        |    lag(y, 7) OVER w AS y7
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        |), agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(CAST(y AS HUGEINT) * y) AS den,
+        |    sum(CAST(y AS HUGEINT) * y1) AS m1,
+        |    sum(CAST(y AS HUGEINT) * y2) AS m2,
+        |    sum(CAST(y AS HUGEINT) * y3) AS m3,
+        |    sum(CAST(y AS HUGEINT) * y4) AS m4,
+        |    sum(CAST(y AS HUGEINT) * y5) AS m5,
+        |    sum(CAST(y AS HUGEINT) * y6) AS m6,
+        |    sum(CAST(y AS HUGEINT) * y7) AS m7
+        |  FROM lagged GROUP BY 1
+        |)
+        |SELECT event_type, CAST(l.lag AS BIGINT) AS lag, n_days,
+        |  round(CAST(CASE l.lag WHEN 1 THEN m1 WHEN 2 THEN m2
+        |    WHEN 3 THEN m3 WHEN 4 THEN m4 WHEN 5 THEN m5 WHEN 6 THEN m6
+        |    WHEN 7 THEN m7 END AS DOUBLE)
+        |    / CAST(nullif(den, 0) AS DOUBLE), 6) AS acf
+        |FROM agg CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) l(lag)
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // exact mirror of Eval.kruskalWallis (t190): BIGINT doubled rank
+    // sums, micro-unit term sums (order-independent), the shared chi2
+    // critical literals, C <= 0 degenerate -> NULL h / false flag
+    "t190_kruskal_wallis" ->
+      """WITH t AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |           AS dow,
+        |         event_type AS trt, value AS s
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), cell AS (
+        |  SELECT dow, trt, s, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2, 3
+        |), vb AS (
+        |  SELECT dow, s, CAST(sum(c) AS BIGINT) AS tv FROM cell GROUP BY 1, 2
+        |), vb2 AS (
+        |  SELECT dow, s, tv,
+        |    coalesce(CAST(sum(tv) OVER (PARTITION BY dow ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS bef
+        |  FROM vb
+        |), rg AS (
+        |  SELECT c.dow, c.trt, CAST(sum(c.c) AS BIGINT) AS ng,
+        |         CAST(sum(c.c * (2 * v.bef + v.tv + 1)) AS BIGINT) AS r2
+        |  FROM cell c JOIN vb2 v ON c.dow = v.dow AND c.s = v.s
+        |  GROUP BY 1, 2
+        |), nn AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |      / CAST(4 * ng AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS amicro
+        |  FROM rg GROUP BY 1 HAVING count(*) >= 2
+        |), tie AS (
+        |  SELECT dow, CAST(sum(tv * tv * tv - tv) AS BIGINT) AS tsum
+        |  FROM vb GROUP BY 1
+        |), res AS (
+        |  SELECT nn.dow, nn.k, nn.n,
+        |    CASE WHEN (1.0 - CAST(tsum AS DOUBLE)
+        |           / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+        |              * CAST(nn.n AS DOUBLE) - CAST(nn.n AS DOUBLE))) > 0
+        |    THEN (12.0 * (CAST(amicro AS DOUBLE) / 1000000.0)
+        |            / (CAST(nn.n AS DOUBLE) * CAST(nn.n + 1 AS DOUBLE))
+        |          - 3.0 * CAST(nn.n + 1 AS DOUBLE))
+        |         / (1.0 - CAST(tsum AS DOUBLE)
+        |            / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+        |               * CAST(nn.n AS DOUBLE) - CAST(nn.n AS DOUBLE)))
+        |    END AS h_raw,
+        |    CASE WHEN nn.k - 1 <= 30 THEN
+        |      [3.841458821, 5.991464547, 7.814727903, 9.487729037, 11.070497694,
+        |       12.591587244, 14.067140449, 15.507313056, 16.918977605, 18.307038053,
+        |       19.675137573, 21.026069817, 22.362032495, 23.684791305, 24.99579014,
+        |       26.296227605, 27.587111638, 28.86929943, 30.143527206, 31.410432844,
+        |       32.670573341, 33.924438471, 35.172461627, 36.415028502, 37.652484133,
+        |       38.88513866, 40.113272069, 41.337138151, 42.556967804, 43.772971826]
+        |      [nn.k - 1]
+        |    ELSE (nn.k - 1) * pow(1.0 - 2.0/(9.0*(nn.k - 1))
+        |         + 1.6448536269514722 * sqrt(2.0/(9.0*(nn.k - 1))), 3)
+        |    END AS crit
+        |  FROM nn JOIN tie USING (dow)
+        |)
+        |SELECT dow, k, n, round(h_raw, 6) AS h, round(crit, 6) AS h_crit,
+        |       coalesce(h_raw > crit, FALSE) AS significant
+        |FROM res ORDER BY dow""".stripMargin,
+
+    // exact mirror of Trend.theilSen (t191): pairwise slopes are one
+    // IEEE divide of exact integers; both medians are left-continuous
+    // SELECTIONS (2*cum >= n over distinct-value blocks), 6dp display
+    "t191_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT b.event_type, g.i AS d, coalesce(daily.x, 0) AS x
+        |  FROM bounds b
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, b.d1 - b.d0 + 1)) AS i) g
+        |  LEFT JOIN daily ON daily.event_type = b.event_type
+        |                 AND daily.d = b.d0 + g.i
+        |), pairs AS (
+        |  SELECT a.event_type,
+        |         CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+        |           AS slope
+        |  FROM grid a JOIN grid b
+        |    ON a.event_type = b.event_type AND b.d > a.d
+        |), sc AS (
+        |  SELECT event_type, slope, CAST(count(*) AS BIGINT) AS c
+        |  FROM pairs GROUP BY 1, 2
+        |), scum AS (
+        |  SELECT event_type, slope,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY slope
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(c) OVER (PARTITION BY event_type) AS np
+        |  FROM sc
+        |), med AS (
+        |  SELECT event_type, min(slope) AS sl,
+        |         CAST(max(np) AS BIGINT) AS n_pairs
+        |  FROM scum WHERE 2 * cw >= np GROUP BY 1
+        |), ic AS (
+        |  SELECT g.event_type,
+        |         CAST(g.x AS DOUBLE) - m.sl * CAST(g.d AS DOUBLE) AS iv
+        |  FROM grid g JOIN med m USING (event_type)
+        |), icc AS (
+        |  SELECT event_type, iv, CAST(count(*) AS BIGINT) AS c
+        |  FROM ic GROUP BY 1, 2
+        |), iccum AS (
+        |  SELECT event_type, iv,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY iv
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(c) OVER (PARTITION BY event_type) AS nd
+        |  FROM icc
+        |), imed AS (
+        |  SELECT event_type, min(iv) AS ic, CAST(max(nd) AS BIGINT) AS n_days
+        |  FROM iccum WHERE 2 * cw >= nd GROUP BY 1
+        |)
+        |SELECT m.event_type, n_days, n_pairs, round(m.sl, 6) AS slope,
+        |       round(i.ic, 6) AS intercept
+        |FROM med m JOIN imed i USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
+
+    // exact mirror of Graph.triangleStats (t192) on the co-purchase
+    // graph: degree-ordered orientation, wedge-closure join; integer
+    // division keeps the wedge count exact past 2^53
+    "t192_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1
+        |), ed AS (
+        |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |              THEN u ELSE v END AS s,
+        |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |              THEN v ELSE u END AS t
+        |  FROM e0 JOIN deg du ON du.node = e0.u
+        |          JOIN deg dv ON dv.node = e0.v
+        |), tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM ed e1 JOIN ed e2 ON e1.t = e2.s
+        |       JOIN ed e3 ON e3.s = e1.s AND e3.t = e2.t
+        |), wed AS (
+        |  SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+        |         CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM deg
+        |), ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
+        |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+        |  CASE WHEN n_wedges > 0 THEN
+        |    round(3.0 * CAST(n_triangles AS DOUBLE)
+        |          / CAST(n_wedges AS DOUBLE), 6) END AS global_cc
+        |FROM wed CROSS JOIN ne CROSS JOIN tri""".stripMargin,
   )
 }

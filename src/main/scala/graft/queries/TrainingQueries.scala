@@ -4162,6 +4162,74 @@ object TrainingQueries {
         Seq("event_type"), round(col("value") * 100, 0).cast("long"))
       .orderBy(col("event_type"))
 
+  /** The shared t189/t191 fixture: per-type daily counts on a
+    * ZERO-FILLED day grid (absent day = 0 events — skipping it would
+    * splice distant days adjacent and corrupt lag/slope semantics).
+    * `d` is the absolute epoch day, `i` the day offset from each
+    * type's first day; `x` the exact count.
+    */
+  private def dayGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("__d0"), max(col("d")).as("__d1"))
+      .select(col("event_type"), col("__d0"),
+        explode(sequence(lit(0L), col("__d1") - col("__d0"))).as("i"))
+      .select(col("event_type"), col("i"), (col("__d0") + col("i")).as("d"))
+      .join(daily, Seq("event_type", "d"), "left")
+      .na.fill(0L, Seq("x"))
+  }
+
+  /** t189_acf — sample autocorrelation of each event type's daily
+    * volume at lags 1–7 (the weekly-cadence/memory readout). Exact
+    * oracle — integer moments after multiplying the mean away.
+    */
+  def t189Acf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Trend.autocorrelation(dayGrid(spark, sfDir),
+        Seq("event_type"), "d", "x", maxLag = 7)
+      .orderBy(col("event_type"), col("lag"))
+
+  /** t190_kruskal_wallis — does `value`'s distribution differ across
+    * the five event types, per day-of-week? The k-sample rank test
+    * (t176's Mann–Whitney generalized). Exact oracle — BIGINT rank
+    * sums, micro-unit term sums, shared χ² critical literals.
+    */
+  def t190KruskalWallis(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.kruskalWallis(
+        Tables.events(spark, sfDir).withColumn("dow",
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long") % 7),
+        Seq("dow"), "event_type", "value")
+      .orderBy(col("dow"))
+
+  /** t191_theil_sen — robust trend line of each event type's daily
+    * volume (median pairwise slope + Conover intercept, day offsets
+    * from the series start). Exact oracle — selections of
+    * deterministic IEEE values, never averages.
+    */
+  def t191TheilSen(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Trend.theilSen(dayGrid(spark, sfDir),
+        Seq("event_type"), "i", "x")
+      .orderBy(col("event_type"))
+
+  /** t192_triangles — triangle census of the parts-bought-together
+    * graph (parts co-occurring in an order are linked; per-order pair
+    * expansion is bounded by order size). Exact oracle — the
+    * degree-ordered orientation makes the count a deterministic
+    * integer.
+    */
+  def t192Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+    graft.operators.Graph.triangleStats(edges, "pa", "pb")
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

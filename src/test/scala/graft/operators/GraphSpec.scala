@@ -118,4 +118,32 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.personalizedPageRank(edges, "src", "dst", "w", Seq("A", "A")))
   }
+
+  test("triangleStats: K4 is fully clustered; a closed star wedge is 3/8") {
+    val k4 = (for (u <- 1 to 4; v <- 1 to 4 if u < v) yield (u.toLong, v.toLong))
+    val out = Graph.triangleStats(k4.toDF("a", "b"), "a", "b").collect().head
+    assert(out.getAs[Long]("n_nodes") == 4L)
+    assert(out.getAs[Long]("n_edges") == 6L)
+    assert(out.getAs[Long]("n_triangles") == 4L)
+    assert(out.getAs[Long]("n_wedges") == 12L)
+    assert(out.getAs[Double]("global_cc") == 1.0)
+    // star 0-{1,2,3,4} plus the closing edge 1-2: one triangle,
+    // wedges C(4,2) + 1 + 1 = 8
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L))
+    val s = Graph.triangleStats(star.toDF("a", "b"), "a", "b").collect().head
+    assert(s.getAs[Long]("n_triangles") == 1L)
+    assert(s.getAs[Long]("n_wedges") == 8L)
+    assert(s.getAs[Double]("global_cc") == 0.375)
+  }
+
+  test("triangleStats: self-loops, duplicate and reversed edges collapse") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L), (2L, 3L))
+    val out = Graph.triangleStats(messy.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(out.getAs[Long]("n_edges") == 2L)
+    assert(out.getAs[Long]("n_nodes") == 3L)
+    assert(out.getAs[Long]("n_triangles") == 0L)
+    assert(out.getAs[Long]("n_wedges") == 1L)
+    assert(out.getAs[Double]("global_cc") == 0.0)
+  }
 }

@@ -208,4 +208,47 @@ class EvalSpec extends SparkSpec {
       col("y"), "s").collect().head
     assert(out.getAs[Double]("ap") == 0.1)
   }
+
+  test("kruskalWallis: hand-computed separated two-sample H = 3.857143 " +
+       "crosses the df=1 critical value; fully-tied group yields NULL") {
+    val sep = Seq(("s", "A", 1.0), ("s", "A", 2.0), ("s", "A", 3.0),
+      ("s", "B", 4.0), ("s", "B", 5.0), ("s", "B", 6.0))
+    val tied = Seq(("t", "A", 9.0), ("t", "A", 9.0),
+      ("t", "B", 9.0), ("t", "B", 9.0))
+    val out = Eval.kruskalWallis((sep ++ tied).toDF("g", "trt", "v"),
+        Seq("g"), "trt", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // ranks A = 1,2,3 (R=6), B = 4,5,6 (R=15); H = 12/42*(12+75)-21
+    assert(out("s").getAs[Long]("k") == 2L)
+    assert(out("s").getAs[Long]("n") == 6L)
+    assert(out("s").getAs[Double]("h") == 3.857143)
+    assert(out("s").getAs[Double]("h_crit") == 3.841459)
+    assert(out("s").getAs[Boolean]("significant"))
+    assert(out("t").isNullAt(out("t").fieldIndex("h")))
+    assert(!out("t").getAs[Boolean]("significant"))
+  }
+
+  test("kruskalWallis matches a direct midrank recomputation with ties") {
+    val rows = for (i <- 0 until 90) yield
+      ("g", s"t${i % 3}", ((i * 29 + 7) % 11).toDouble)
+    val out = Eval.kruskalWallis(rows.toDF("g", "trt", "v"),
+      Seq("g"), "trt", "v").collect().head
+    val data = rows.map(r => (r._2, r._3))
+    val cnt = data.groupBy(_._1).view.mapValues(_.size).toMap
+    val vcnt = data.groupBy(_._2).view.mapValues(_.size).toMap
+    val ranks = {
+      var cum = 0.0
+      vcnt.toSeq.sortBy(_._1).map { case (v, c) =>
+        val r = cum + (c + 1) / 2.0; cum += c; v -> r
+      }.toMap
+    }
+    val rsum = data.groupBy(_._1).view
+      .mapValues(_.map(p => ranks(p._2)).sum).toMap
+    val n = data.size
+    val h = 12.0 / (n * (n + 1)) *
+      rsum.map { case (t, r) => r * r / cnt(t) }.sum - 3 * (n + 1)
+    val c = 1.0 - vcnt.values.map(t => t.toDouble * t * t - t).sum /
+      (n.toDouble * n * n - n)
+    assert(math.abs(out.getAs[Double]("h") - h / c) < 5e-5)
+  }
 }

@@ -133,4 +133,44 @@ class TrendSpec extends SparkSpec {
       math.sqrt(((n * sxx - sx * sx).toDouble * (n * syy - sy * sy)))
     assert(out.getAs[Double]("r") == math.rint(r * 1e6) / 1e6)
   }
+
+  test("autocorrelation: alternating series gives r1 = -0.9, r2 = 0.8 " +
+       "at n = 10; constant series yields NULL acf") {
+    val alt = (0 until 10).map(t => ("a", t.toLong, (t % 2).toLong))
+    val const = (0 until 10).map(t => ("c", t.toLong, 5L))
+    val out = Trend.autocorrelation((alt ++ const).toDF("g", "t", "x"),
+        Seq("g"), "t", "x", maxLag = 3)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("lag")) -> r)
+      .toMap
+    assert(out.size == 6)
+    assert(out(("a", 1L)).getAs[Double]("acf") == -0.9)
+    assert(out(("a", 2L)).getAs[Double]("acf") == 0.8)
+    assert(out(("a", 1L)).getAs[Long]("n_days") == 10L)
+    assert(out(("c", 1L)).isNullAt(out(("c", 1L)).fieldIndex("acf")))
+  }
+
+  test("autocorrelation matches a direct recomputation") {
+    val xs = (0 until 40).map(t => ((t * 37 + 11) % 23).toLong)
+    val out = Trend.autocorrelation(
+        xs.zipWithIndex.map { case (x, t) => ("g", t.toLong, x) }
+          .toDF("g", "t", "x"), Seq("g"), "t", "x", maxLag = 7)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf"))
+      .toMap
+    val n = xs.size; val m = xs.sum.toDouble / n
+    val den = xs.map(x => (x - m) * (x - m)).sum
+    for (k <- 1 to 7) {
+      val num = (k until n).map(t => (xs(t) - m) * (xs(t - k) - m)).sum
+      assert(math.abs(out(k.toLong) - num / den) < 2e-6, s"lag $k")
+    }
+  }
+
+  test("theilSen: one dump day cannot drag the line off x = 3t + 7") {
+    val pts = (0L to 10L).map(t => ("g", t, if (t == 5) 1000L else 3 * t + 7))
+    val out = Trend.theilSen(pts.toDF("g", "t", "x"), Seq("g"), "t", "x")
+      .collect().head
+    assert(out.getAs[Double]("slope") == 3.0)
+    assert(out.getAs[Double]("intercept") == 7.0)
+    assert(out.getAs[Long]("n_days") == 11L)
+    assert(out.getAs[Long]("n_pairs") == 55L)
+  }
 }
