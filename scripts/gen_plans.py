@@ -64,7 +64,13 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t182_dispersion", "t183_cosine_profile",
            "t184_weighted_quantiles", "t185_sessions", "t186_fleiss",
            "t187_t_closeness", "t188_robust_outliers", "t189_acf",
-           "t190_kruskal_wallis", "t191_theil_sen", "t192_triangles"]
+           "t190_kruskal_wallis", "t191_theil_sen", "t192_triangles",
+           "t193_spearman", "t194_jw_verify", "t195_isotonic",
+           "t196_snm_block", "t197_cramers_v", "t198_kendall_tau",
+           "t199_skew_kurtosis", "t200_assortativity", "t201_basket_rules",
+           "t202_smd_balance", "t203_trimmed_mean", "t204_theil",
+           "t206_median_ci", "t207_rfm", "t208_lorenz", "t209_mcnemar",
+           "t210_cuped", "t211_chapman", "t212_chao1"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -207,6 +213,44 @@ NOTES = {
         "Two map-side-combinable collapses — (group, treatment, score) cells and (group, score) tie blocks — are the only corpus-sized stages; the midrank window runs per group over DISTINCT scores (bin first, the t137 hatch, at billion-distinct-score cardinality), rank sums stay exact BIGINTs, and the per-treatment micro terms sum order-independently before the closed-form H.",
     "t191_theil_sen":
         "The pair join expands PERIOD pairs over the days-sized grid (365 days → 66k pairs per group), never row pairs — the t148 Mann–Kendall contract; both median windows run over per-group distinct slope/intercept blocks and the slope broadcast into the intercept pass is |groups|-row.",
+    "t193_spearman":
+        "ONE (flag, qty, cents) cell collapse is the only corpus-sized exchange (map-side combinable); both marginal midrank windows run per flag over DISTINCT-value cell blocks (bin first, the t137 hatch, at unbounded cardinality), and the five moment sums reduce the cell frame through DECIMAL(38,0) — order-independent — into one row per flag.",
+    "t194_jw_verify":
+        "The SNM candidate generator: exact-collapse first, min-shingle-digest key per rep (one kernel pass), the global rank via denseIds' range repartition + broadcast offsets (parallel per-partition sorts — NO single-task window), then one 8-byte rank-keyed join makes exactly window*n candidate pairs. Texts join back by id only for candidates; the JW kernel is one codegen'd O(len*window) pass per pair — no DP table.",
+    "t195_isotonic":
+        "The (dow, bin) count collapse is the only corpus-sized stage; the cumulative window, the bins^2 segment join, and the bins^3 minimax reduction all run on the <= 10-row per-group frame — bounded by the FIXED bin count, invariant to row count. Every segment average is one IEEE divide of exact BIGINT cumulative sums.",
+    "t196_snm_block":
+        "t194's blocking chain (rank via range repartition + broadcast offsets, window*n candidates from one rank-keyed join) plus the sorted 8-byte hash-set intersection kernel per candidate — the fixed-budget complement to t2/t4's bucket generators: candidate count is exactly window*n_reps by construction, no bucket-skew tail, no cap tuning.",
+    "t197_cramers_v":
+        "ONE (mon, flag, status) cell collapse is the only corpus-sized exchange (map-side combinable); marginals, the r*c grid join (absent cells still contribute expected mass), and the micro-unit chi-square reduction are all category-cardinality — the float-sum hazard is closed by BIGINT micro terms.",
+    "t198_kendall_tau":
+        "The (flag, qty, tick) cell collapse is the only corpus-sized stage; the concordance join is per-flag DISTINCT-CELL pairs — bounded by the 50x11 quantized domain squared, NEVER rows — and tie terms/the verdict are marginal-cardinality. At unbounded value cardinality the contract says bin first or use t193's window-linear Spearman.",
+    "t199_skew_kurtosis":
+        "The corpus-sized stage is the daily count (map-side combinable); the |groups|-row moment table broadcasts back and the DECIMAL(38,0) m2/m3/m4 reduction runs on calendar-bounded rows. Same shape as t189's moment stage, two more powers.",
+    "t200_assortativity":
+        "One (u,v)-distinct edge collapse (8-byte keys), one node-keyed degree count, two edge-keyed degree joins, and a map-side-combinable 5-moment DECIMAL(38,0) reduction over both orientations — no windows, no driver state, nothing quadratic (the one scan-shaped member of the graph family).",
+    "t201_basket_rules":
+        "One (txn, item) DISTINCT collapse; pair expansion bounded by basket size (co-occurrence pairs, never row pairs); pair/item counts are 8-byte-key map-side-combinable reductions; min-support HAVING prunes the tail BEFORE the metric join; top-k is TakeOrdered (per-partition heap + driver merge), never a global sort.",
+    "t202_smd_balance":
+        "ONE map-side-combinable (source, side) moment collapse is the only corpus-sized stage; the A-x-B self-join and the SMD chain run on |groups| rows. Moments are DECIMAL(38,0).",
+    "t203_trimmed_mean":
+        "One (flag, cents) cell collapse rides the scan; the cumulative window runs per flag over DISTINCT cents (bin first, the t137 hatch, past quantized domains) and the interval-overlap clip makes partial tie blocks exact integers; one weighted DECIMAL(38,0) reduction.",
+    "t204_theil":
+        "The per-user count collapse is the corpus-sized stage (map-side combinable); the |groups|-row total table broadcasts back, each entity contributes one micro-rounded BIGINT log term (order-independent sum), and the index is one divide.",
+    "t206_median_ci":
+        "One (flag, cents) cell collapse rides the scan; the cumulative window runs per flag over DISTINCT cents (the t137 bin-first hatch past quantized domains) and all three outputs are rank-test SELECTIONS in one reduction — no bootstrap replicates anywhere in the plan.",
+    "t207_rfm":
+        "The per-user collapse is the only corpus-sized stage; the three cut tables window over (metric)-keyed DISTINCT-value cells (3 partitions), pivot to ONE broadcast row, and scoring is per-row comparisons into a <= 27-row aggregate. No ntile, no global rank.",
+    "t208_lorenz":
+        "The caller's per-user collapse feeds one (type, mass) cell collapse; the cumulative window spans per-type DISTINCT masses, and the 10-way clip explode keeps partial tie blocks exact integers — the trimmedMean machinery swept across all deciles in one pass.",
+    "t209_mcnemar":
+        "ONE map-side-combinable per-flag collapse to (n, b, c) exact BIGINTs; the statistic and verdict are per-group scalar expressions. Nothing after the scan exceeds |groups| rows.",
+    "t210_cuped":
+        "The per-user collapse is the corpus-sized stage; the 1-row theta/xbar moment aggregate broadcasts back, each user's adjusted metric micro-rounds to a BIGINT in one kernel pass, and the per-arm reduction is 2 rows. No windows.",
+    "t211_chapman":
+        "ONE map-side-combinable per-source collapse to three exact capture counts; the Chapman estimate is one IEEE divide per group row.",
+    "t212_chao1":
+        "Bigrams collapse to 48-bit digests through TWO map-side-combinable stages — (source, digest) counts then the 3-number frequency profile — so shuffles carry 8-byte digests and the estimate is a closed form on |sources| rows.",
     "t192_triangles":
         "Per-order pair expansion is bounded by order size (≤ 13 lineitems → ≤ 78 pairs); edges dedup through one (u, v)-keyed distinct — 8-byte shuffles — and the degree-ordered orientation bounds every oriented out-degree by O(√m), making the wedge-closure join O(m^1.5) regardless of hub skew (a hub's star orients INTO it, generating no wedges). No windows, no driver state.",
 }

@@ -225,4 +225,78 @@ object Behavior {
         (max(col("__us")) - min(col("__us"))).as("duration_us"),
         countDistinct(col(typeCol)).as("n_types"))
   }
+
+  /** RFM SEGMENTATION — the classic recency/frequency/monetary
+    * customer-value grid (Hughes), here the per-user engagement
+    * segmentation a corpus/product pipeline uses to weight or stratify
+    * users: each user scores 1–3 per dimension (3 = most recent /
+    * most frequent / highest value) and the output is the segment
+    * grid with its user counts.
+    *
+    * Score semantics are VALUE-THRESHOLD tertiles, not ntile: the
+    * cut points q₁/q₂ are exact order statistics (smallest v with
+    * 3·cum ≥ k·n — the [[graft.ops.Profiling.weightedQuantiles]]
+    * integer rank test) and every user with the same metric value
+    * gets the same score (ntile would split ties by arbitrary rank —
+    * neither reproducible nor meaningful). Recency scores INVERTED
+    * (smaller day-gap = better = 3).
+    *
+    * Scale shape: one per-user collapse (map-side combinable) is the
+    * corpus-sized stage; the three metric cut tables compute on
+    * distinct-value cells under a 3-partition (metric-keyed) window
+    * (bin money first at unbounded cardinality — the t137 hatch) and
+    * broadcast back as ONE 1-row frame; scoring is per-row
+    * comparisons and the grid is a ≤27-row aggregate.
+    *
+    * Output: (r_score, f_score, m_score, n_users) — scores 1–3.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val u = events.filter(col(valueCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(max(datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long")).as("__last"),
+        count(lit(1)).as("__freq"),
+        sum(round(col(valueCol) * 100, 0).cast("long")).as("__money"))
+    val maxd = u.agg(max(col("__last")).as("__maxd"))
+    val s = u.crossJoin(broadcast(maxd))
+      .select(col(userCol), (col("__maxd") - col("__last")).as("__rec"),
+        col("__freq"), col("__money"))
+    val metrics = Seq("rec" -> col("__rec"), "freq" -> col("__freq"),
+      "money" -> col("__money"))
+    val cells = metrics.map { case (tag, c) =>
+      s.groupBy(c.as("__v")).agg(count(lit(1)).as("__c"))
+        .select(lit(tag).as("__metric"), col("__v"), col("__c"))
+    }.reduce(_ unionAll _)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__metric"))
+    val ord = whole.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val cuts = cells
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .withColumn("__cw", sum(col("__c")).over(ord))
+      .groupBy(col("__metric"))
+      .agg(min(when(col("__cw") * 3 >= col("__n"), col("__v"))).as("__q1"),
+        min(when(col("__cw") * 3 >= col("__n") * 2, col("__v"))).as("__q2"))
+    // pivot the 3-row cut table into one broadcastable row
+    val wide = cuts.groupBy()
+      .agg(max(when(col("__metric") === "rec", col("__q1"))).as("__rq1"),
+        max(when(col("__metric") === "rec", col("__q2"))).as("__rq2"),
+        max(when(col("__metric") === "freq", col("__q1"))).as("__fq1"),
+        max(when(col("__metric") === "freq", col("__q2"))).as("__fq2"),
+        max(when(col("__metric") === "money", col("__q1"))).as("__mq1"),
+        max(when(col("__metric") === "money", col("__q2"))).as("__mq2"))
+    s.crossJoin(broadcast(wide))
+      .select(
+        (lit(3L) - (col("__rec") > col("__rq1")).cast("long") -
+          (col("__rec") > col("__rq2")).cast("long")).as("r_score"),
+        (lit(1L) + (col("__freq") > col("__fq1")).cast("long") +
+          (col("__freq") > col("__fq2")).cast("long")).as("f_score"),
+        (lit(1L) + (col("__money") > col("__mq1")).cast("long") +
+          (col("__money") > col("__mq2")).cast("long")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -497,4 +497,72 @@ object CorpusStats {
         round(col("__jsd"), 6).as("jsd"),
         round(col("__jsd") / Ln2, 6).as("jsd_norm"))
   }
+
+  /** CHAPMAN capture–recapture population estimate per group — "how
+    * many documents exist in the wild, given two overlapping crawl
+    * snapshots?": N̂ = (n_A+1)(n_B+1)/(m+1) − 1 from the two capture
+    * counts and their overlap (the bias-corrected Lincoln–Petersen
+    * form, finite for m = 0). The coverage readout a crawl pipeline
+    * wants when deciding whether another crawl round is worth it —
+    * if N̂ ≈ |A ∪ B| the frontier is exhausted.
+    *
+    * Membership columns are caller-supplied booleans (two crawl
+    * manifests, two time slices); the estimate assumes independent
+    * captures — correlated crawls bias N̂ low, which is the
+    * conservative direction for "should we crawl more".
+    *
+    * Arithmetic: ONE map-side combinable collapse to (n_a, n_b, m)
+    * exact BIGINTs; the estimate is one IEEE divide. Output:
+    * (groups…, n_a, n_b, n_overlap, n_hat 6dp).
+    */
+  def chapmanEstimate(df: DataFrame, groupCols: Seq[String],
+                      inA: Column, inB: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    df.filter(inA.isNotNull && inB.isNotNull)
+      .groupBy(g: _*)
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(inA && inB, 1L).otherwise(0L)).as("n_overlap"))
+      .select(g :+ col("n_a") :+ col("n_b") :+ col("n_overlap") :+
+        round(((col("n_a") + 1) * (col("n_b") + 1)).cast("double") /
+          (col("n_overlap") + 1) - 1.0, 6).as("n_hat"): _*)
+  }
+
+  /** CHAO1 species-richness estimate per group — "how many DISTINCT
+    * n-grams does this source really have, beyond the ones we've
+    * seen?": Chao1 = D + f₁(f₁−1)/(2(f₂+1)) from the
+    * frequency-of-frequencies (bias-corrected form, finite at
+    * f₂ = 0). The unseen-TYPES companion to Good–Turing's
+    * unseen-MASS (t173): GT says how much probability the unseen
+    * vocabulary holds; Chao1 says how many entries it has — the pair
+    * a corpus-growth decision actually needs.
+    *
+    * Scale shape: grams collapse to 48-bit engine-portable digests
+    * through TWO map-side-combinable stages — (group, digest) counts,
+    * then the 3-number frequency profile — so shuffles carry 8-byte
+    * digests and the estimate is one closed form. Output:
+    * (groups…, d_observed, f1, f2, chao1 6dp).
+    */
+  def chao1Richness(docs: DataFrame, textCol: String,
+                    groupCols: Seq[String], n: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val g = groupCols.map(col)
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(g :+ explode(TextDedup.shingles(col(textCol), n))
+        .as("__g"): _*)
+      .select(g :+ graft.ops.SnapshotDiff.portableDigest(Seq(col("__g")))
+        .as("__h"): _*)
+    grams.groupBy(g :+ col("__h"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("d_observed"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(g :+ col("d_observed") :+ col("f1") :+ col("f2") :+
+        round(col("d_observed") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+          (lit(2.0) * (col("f2") + 1)), 6).as("chao1"): _*)
+  }
 }

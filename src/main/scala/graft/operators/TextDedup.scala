@@ -127,7 +127,7 @@ object TextDedup {
     * the lambda form `array_distinct(transform(shingles(..), xxhash64))`
     * was the hottest span in both dedup pipelines.
     */
-  private def hashedShingleSets(docs: DataFrame, textCol: String,
+  private[operators] def hashedShingleSets(docs: DataFrame, textCol: String,
                                 idCol: String, shingleK: Int): DataFrame =
     docs.select(col(idCol).as("id"),
       TextFunctions.hashed_shingles(col(textCol), shingleK).as("sh"))
@@ -185,7 +185,7 @@ object TextDedup {
     * merge (|∪| = |a| + |b| - |∩|) — the array_intersect/array_union
     * pair costs a per-row hash-set build each.
     */
-  private def jaccardOfSorted(a: Column, b: Column): Column = {
+  private[operators] def jaccardOfSorted(a: Column, b: Column): Column = {
     val inter = TextFunctions.sorted_intersect_count(a, b).cast("double")
     inter / (size(a) + size(b) - inter)
   }
@@ -294,6 +294,41 @@ object TextDedup {
       .withColumn("sim",
         round(lit(1.0) - col("dist").cast("double") / col("max_len"), 6))
       .filter(col("sim") >= minSim)
+  }
+
+  /** JARO–WINKLER verification of an upstream candidate pair set —
+    * the record-linkage / short-text judge where [[editDistanceVerify]]
+    * is the wrong instrument: edit distance charges a long doc's every
+    * divergent suffix character, while JW measures alignment with a
+    * shared-prefix boost — the classic fuzzy-match scorer for names,
+    * titles, and URL-ish fields. Emits EVERY candidate pair with its
+    * score and an `accept` verdict (jw ≥ `minSim`, judged on the 6dp
+    * boundary), so callers can audit the rejected band instead of
+    * having it silently vanish.
+    *
+    * Scale shape: cost = candidates × O(max_len · window) — cheaper
+    * than the Levenshtein DP by a factor of ~max_len/4 — and texts
+    * shuffle only for candidate ids (two id-keyed joins), so the
+    * CONTRACT is the same as [[editDistanceVerify]]'s: feed a
+    * shortlisted pair set (capped-bucket postings, SNM blocks), never
+    * raw cross products. The kernel ([[TextFunctions.jaro_winkler]])
+    * is a native codegen'd expression, bit-identical to DuckDB's
+    * `jaro_winkler_similarity` (byte alphabet, boost threshold 0.7,
+    * 4-byte prefix cap).
+    *
+    * Output: (id_a, id_b, jw 6dp, accept).
+    */
+  def jaroWinklerVerify(pairs: DataFrame, docs: DataFrame,
+                        textCol: String, idCol: String,
+                        minSim: Double = 0.9): DataFrame = {
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("__txt"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(texts.select(col("id").as("id_a"), col("__txt").as("__ta")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("__txt").as("__tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(TextFunctions.jaro_winkler(col("__ta"), col("__tb")), 6)
+          .as("jw"))
+      .withColumn("accept", col("jw") >= minSim)
   }
 
   /** Doc-level n-gram CONTAINMENT pairs — the asymmetric complement

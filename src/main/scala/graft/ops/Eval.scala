@@ -438,4 +438,348 @@ object Eval {
       .select(g :+ col("d") :+ col("deaths") :+ col("at_risk") :+
         col("survival"): _*)
   }
+
+  /** SPEARMAN rank correlation per group between two integer-quantized
+    * columns — the monotone-association readout Pearson (t128/t178)
+    * misses when the relationship is nonlinear or heavy-tailed (does
+    * doc length track quality score AT ALL, in any monotone way?).
+    * Standard midrank treatment of ties: ρ = Pearson correlation of
+    * the midrank vectors.
+    *
+    * Arithmetic contract: doubled midranks 2R_v = 2·before_v + t_v + 1
+    * are exact BIGINTs per distinct value (the [[mannWhitney]] trick;
+    * the doubling scales both vectors and cancels in ρ), and the five
+    * moment sums accumulate c·a, c·a·b, … as DECIMAL(38,0) (HUGEINT
+    * on the oracle side) — order-independent — with ONE double
+    * expression at the 6dp boundary. A constant margin (zero variance)
+    * yields NULL rho.
+    *
+    * Scale shape: one (group, x, y) cell collapse is the only
+    * corpus-sized stage (map-side combinable); the two marginal
+    * midrank windows run per group over DISTINCT x / DISTINCT y cell
+    * blocks (bin first — the t137 hatch — at billion-distinct-value
+    * cardinality), and the moment reduction is cell-cardinality.
+    *
+    * Output: (groups…, n, rho 6dp).
+    */
+  def spearman(df: DataFrame, groupCols: Seq[String],
+               xCol: Column, yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val cells = df
+      .filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(g :+ xCol.cast("long").as("__x") :+
+        yCol.cast("long").as("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+    def marginal(vCol: String, rankAs: String): DataFrame = {
+      val before = Window.partitionBy(g: _*).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.groupBy(g :+ col(vCol): _*)
+        .agg(sum(col("__c")).as("__tv"))
+        .withColumn("__bef",
+          coalesce(sum(col("__tv")).over(before), lit(0L)))
+        .select(g :+ col(vCol) :+
+          (lit(2L) * col("__bef") + col("__tv") + 1L).as(rankAs): _*)
+    }
+    val dec = "decimal(38,0)"
+    val joined = cells
+      .join(marginal("__x", "__a"), groupCols :+ "__x")
+      .join(marginal("__y", "__b"), groupCols :+ "__y")
+      .select(g :+ col("__c") :+ col("__a").cast(dec).as("__a") :+
+        col("__b").cast(dec).as("__b"): _*)
+    val m = joined.groupBy(g: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__c") * col("__a")).as("__sa"),
+        sum(col("__c") * col("__b")).as("__sb"),
+        sum(col("__c") * col("__a") * col("__b")).as("__sab"),
+        sum(col("__c") * col("__a") * col("__a")).as("__saa"),
+        sum(col("__c") * col("__b") * col("__b")).as("__sbb"))
+    val nD = col("n").cast(dec)
+    val varA = nD * col("__saa") - col("__sa") * col("__sa")
+    val varB = nD * col("__sbb") - col("__sb") * col("__sb")
+    val cov = nD * col("__sab") - col("__sa") * col("__sb")
+    m.select(g :+ col("n") :+
+      when(varA > 0 && varB > 0,
+        round(cov.cast("double") /
+          sqrt(varA.cast("double") * varB.cast("double")), 6))
+        .as("rho"): _*)
+  }
+
+  /** ISOTONIC calibration per group — the monotone recalibration map
+    * PAV (pool-adjacent-violators) produces, computed on the
+    * [[calibrationReport]] reliability bins: the fitted curve is the
+    * best nondecreasing approximation of per-bin accuracy (weighted
+    * L2), i.e. what the group's probability column SHOULD read to be
+    * trustworthy, with violations (a 0.8 bin less accurate than the
+    * 0.6 bin) pooled away. The standard post-hoc calibrator for
+    * quality-classifier scores before thresholding them into keep
+    * decisions (t138).
+    *
+    * Implementation is the closed MINIMAX form, not the sequential
+    * pooling loop: iso_i = max_{j≤i} min_{k≥i} avg(pos_{j..k}) /
+    * avg(n_{j..k}) — verified identical to true PAV on every group
+    * of the test fixture. Each segment average A(j,k) is ONE IEEE
+    * divide of exact BIGINT window sums (bit-identical across
+    * engines), and min/max are selections, so the fitted value is
+    * deterministic; 6dp only at the output boundary.
+    *
+    * Scale shape: the only corpus-sized stage is the (group, bin)
+    * count collapse (map-side combinable). Everything after lives on
+    * the ≤`bins`-row per-group frame: the cumulative window, the
+    * bins² segment join, and the bins³ minimax reduction are all
+    * bounded by the FIXED bin count — never by data.
+    *
+    * Output: (groups…, bin, n_b, acc, iso) — iso nondecreasing in
+    * bin within each group.
+    */
+  def isotonicCalibration(df: DataFrame, groupCols: Seq[String],
+                          probCol: Column, labelCol: Column,
+                          bins: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val g = groupCols.map(col)
+    val perBin = df
+      .filter(probCol.isNotNull)
+      .groupBy(g :+ least(floor(probCol * bins).cast("long"),
+        lit(bins - 1L)).as("bin"): _*)
+      .agg(count(lit(1)).as("n_b"),
+        sum(labelCol.cast("long")).as("__pos"))
+    val upTo = Window.partitionBy(g: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBin
+      .withColumn("__cn", sum(col("n_b")).over(upTo))
+      .withColumn("__cp", sum(col("__pos")).over(upTo))
+    val a = cum.select(g :+ col("bin").as("__j") :+ col("n_b").as("__nj") :+
+      col("__pos").as("__pj") :+ col("__cn").as("__cnj") :+
+      col("__cp").as("__cpj"): _*)
+    val b = cum.select(g :+ col("bin").as("__k") :+
+      col("__cn").as("__cnk") :+ col("__cp").as("__cpk"): _*)
+    // A(j,k): one IEEE divide of exact integer segment sums
+    val seg = a.join(b, groupCols).filter(col("__k") >= col("__j"))
+      .select(g :+ col("__j") :+ col("__k") :+
+        ((col("__cpk") - col("__cpj") + col("__pj")).cast("double") /
+          (col("__cnk") - col("__cnj") + col("__nj")).cast("double"))
+          .as("__avg"): _*)
+    val iso = seg
+      .join(perBin.select(g :+ col("bin"): _*), groupCols)
+      .filter(col("__j") <= col("bin") && col("__k") >= col("bin"))
+      .groupBy(g :+ col("bin") :+ col("__j"): _*)
+      .agg(min(col("__avg")).as("__mn"))
+      .groupBy(g :+ col("bin"): _*)
+      .agg(max(col("__mn")).as("__iso"))
+    perBin.join(iso, groupCols :+ "bin")
+      .select(g :+ col("bin") :+ col("n_b") :+
+        round(col("__pos").cast("double") / col("n_b"), 6).as("acc") :+
+        round(col("__iso"), 6).as("iso"): _*)
+  }
+
+  /** KENDALL'S τ-b per group between two integer-quantized columns —
+    * the concordance-based association companion to [[spearman]]
+    * (same monotone question, pair-counting semantics: more robust to
+    * a few extreme ranks, the standard for small-cardinality ordinal
+    * scales). τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with tie corrections
+    * from both marginals.
+    *
+    * Arithmetic: C and D are exact BIGINT sums of cell-count products
+    * over the distinct-cell pair join; n₀/n₁/n₂ exact BIGINTs; ONE
+    * double expression at the 6dp boundary. (Counts are BIGINT-safe
+    * to ~3B rows/group; past that lift C/D to DECIMAL(38,0).)
+    *
+    * Scale shape: the corpus-sized stage is the (group, x, y) cell
+    * collapse (map-side combinable). The pair stage is a per-group
+    * DISTINCT-CELL join — O(|cells|²) per group, bounded by the
+    * QUANTIZED DOMAIN product, never by rows (50 quantities × 11
+    * discount ticks = 302k cell pairs regardless of corpus size).
+    * That bound is the caller's contract: quantize/bin first (the
+    * t137 hatch) — at unbounded value cardinality use [[spearman]],
+    * whose windows are |distinct|-linear, instead.
+    *
+    * Output: (groups…, n, tau_b 6dp) — NULL when either margin is
+    * constant.
+    */
+  def kendallTauB(df: DataFrame, groupCols: Seq[String],
+                  xCol: Column, yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val cells = df
+      .filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(g :+ xCol.cast("long").as("__x") :+
+        yCol.cast("long").as("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val a = cells.select(g :+ col("__x").as("__x1") :+
+      col("__y").as("__y1") :+ col("__c").as("__c1"): _*)
+    val b = cells.select(g :+ col("__x").as("__x2") :+
+      col("__y").as("__y2") :+ col("__c").as("__c2"): _*)
+    val cd = a.join(b, groupCols).filter(col("__x2") > col("__x1"))
+      .groupBy(g: _*)
+      .agg(sum(when(col("__y2") > col("__y1"),
+          col("__c1") * col("__c2")).otherwise(0L)).as("__cc"),
+        sum(when(col("__y2") < col("__y1"),
+          col("__c1") * col("__c2")).otherwise(0L)).as("__dd"))
+    def marginalTies(vCol: String, asCol: String): DataFrame =
+      cells.groupBy(g :+ col(vCol): _*).agg(sum(col("__c")).as("__cv"))
+        .groupBy(g: _*)
+        .agg(sum(col("__cv")).as(s"__n_$asCol"),
+          // integer div keeps the tie terms exact longs
+          sum(expr("__cv * (__cv - 1) div 2")).as(asCol))
+    val xm = marginalTies("__x", "__t1")
+    val ym = marginalTies("__y", "__t2").drop("__n___t2")
+    val n = col("__n___t1")
+    val n0 = expr("__n___t1 * (__n___t1 - 1) div 2")
+    xm.join(ym, groupCols).join(cd, groupCols)
+      .select(g :+ n.as("n") :+
+        when((n0 - col("__t1")) > 0 && (n0 - col("__t2")) > 0,
+          round((col("__cc") - col("__dd")).cast("double") /
+            sqrt((n0 - col("__t1")).cast("double") *
+                 (n0 - col("__t2")).cast("double")), 6)).as("tau_b"): _*)
+  }
+
+  /** STANDARDIZED MEAN DIFFERENCE balance audit per group — the
+    * covariate-balance check run before attributing any metric delta
+    * to a slice split (A/B arms, train/holdout, old/new crawl):
+    * SMD = (x̄_A − x̄_B) / √((s²_A + s²_B)/2) per group, the
+    * scale-free imbalance measure (|SMD| < 0.1 is the conventional
+    * "balanced" bar — judged by the CALLER; this emits the number).
+    *
+    * Arithmetic: per-side n/Σx/Σx² accumulate exactly (DECIMAL(38,0)
+    * — HUGEINT on the oracle); means, the two Bessel-corrected
+    * variances, and the SMD are a FIXED deterministic chain of IEEE
+    * expressions mirrored by the oracle, 6dp at the boundary. A
+    * degenerate pair (both sides constant) yields NULL.
+    *
+    * Scale shape: ONE map-side-combinable (group, side) moment
+    * collapse is the only corpus-sized stage; the A×B self-join runs
+    * on |groups| rows. Groups missing a side drop (nothing to
+    * compare).
+    *
+    * Output: (groups…, n_a, n_b, smd 6dp).
+    */
+  def balanceSmd(df: DataFrame, groupCols: Seq[String],
+                 valueCol: Column, sideA: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val m = df.filter(valueCol.isNotNull && sideA.isNotNull)
+      .select(g :+ valueCol.cast("long").as("__x") :+ sideA.as("__sa"): _*)
+      .groupBy(g :+ col("__sa"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__s"),
+        sum(col("__x").cast(dec) * col("__x")).as("__ss"))
+      .filter(col("__n") > 1)
+    def side(tag: String, keep: Column => Column): DataFrame =
+      m.filter(keep(col("__sa")))
+        .select(g :+ col("__n").as(s"n_$tag") :+
+          col("__s").as(s"__s_$tag") :+ col("__ss").as(s"__ss_$tag"): _*)
+    def variance(tag: String): Column =
+      (col(s"n_$tag").cast(dec) * col(s"__ss_$tag") -
+        col(s"__s_$tag") * col(s"__s_$tag")).cast("double") /
+        (col(s"n_$tag").cast("double") * (col(s"n_$tag") - 1))
+    val dmean = col("__s_a").cast("double") / col("n_a") -
+      col("__s_b").cast("double") / col("n_b")
+    val va = variance("a"); val vb = variance("b")
+    side("a", identity).join(side("b", c => !c), groupCols)
+      .select(g :+ col("n_a") :+ col("n_b") :+
+        when(va + vb > 0,
+          round(dmean / sqrt((va + vb) / 2.0), 6)).as("smd"): _*)
+  }
+
+  /** McNEMAR'S TEST per group for two PAIRED binary raters — the
+    * significance member of the agreement family ([[graft.operators
+    * .Agreement]]'s κ says HOW MUCH raters agree; this says whether
+    * their marginal keep-rates differ SYSTEMATICALLY, which is what
+    * you ask before swapping rater A's filter for rater B's):
+    * χ² = (b − c)²/(b + c) over the discordant cells, judged against
+    * the χ²₀.₉₅ df=1 literal 3.841458821 shared with the oracle.
+    *
+    * Arithmetic: b and c are exact BIGINTs from ONE map-side
+    * combinable collapse; the statistic is one IEEE divide. All-
+    * concordant groups (b + c = 0) yield NULL and never flag.
+    *
+    * Output: (groups…, n, b, c, stat 6dp, significant).
+    */
+  def mcNemar(df: DataFrame, groupCols: Seq[String],
+              rater1: Column, rater2: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val m = df.filter(rater1.isNotNull && rater2.isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(rater1 && !rater2, 1L).otherwise(0L)).as("b"),
+        sum(when(!rater1 && rater2, 1L).otherwise(0L)).as("c"))
+    val stat = round(((col("b") - col("c")) * (col("b") - col("c")))
+      .cast("double") / (col("b") + col("c")), 6)
+    m.select(g :+ col("n") :+ col("b") :+ col("c") :+
+      when(col("b") + col("c") > 0, stat).as("stat") :+
+      when(col("b") + col("c") > 0, stat > 3.841458821)
+        .as("significant"): _*)
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013 — Controlled
+    * experiments Utilizing Pre-Experiment Data): adjust each unit's
+    * experiment metric y by its pre-period covariate x,
+    * ŷ = y − θ·(x − x̄) with θ = cov(x,y)/var(x) fitted on ALL units,
+    * then report per-arm adjusted means and the variance-reduction
+    * ratio — the standard trick that makes A/B deltas readable at a
+    * fraction of the sample size.
+    *
+    * Portability: θ and x̄ come from exact DECIMAL(38,0)/HUGEINT
+    * moments; each unit's ŷ is ONE fixed IEEE chain micro-rounded to
+    * a BIGINT (round(ŷ·10⁶)) so every later sum — means AND the
+    * sample variances — is exact integer arithmetic,
+    * order-independent. var_reduction = 1 − var(ŷ)/var(y) with both
+    * variances in the n·Σm² − (Σm)² closed form.
+    *
+    * Scale shape: one per-unit collapse (map-side combinable), one
+    * 1-row moment aggregate broadcast back, one per-row adjustment
+    * kernel, one per-arm reduction. Nothing bigger than |arms| rows
+    * after the unit frame.
+    *
+    * Output: (arm, n_units, theta, mean_y, mean_cuped,
+    * var_reduction) — 6dp.
+    */
+  def cuped(units: DataFrame, armCol: Column, xCol: Column,
+            yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val u = units.filter(xCol.isNotNull && yCol.isNotNull &&
+        armCol.isNotNull)
+      .select(armCol.as("arm"), xCol.cast("long").as("__x"),
+        yCol.cast("long").as("__y"))
+    val m = u.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum(col("__x").cast(dec) * col("__y")).as("__sxy"),
+      sum(col("__x").cast(dec) * col("__x")).as("__sxx"))
+    val theta = (col("__n").cast(dec) * col("__sxy") -
+      col("__sx") * col("__sy")).cast("double") /
+      (col("__n").cast(dec) * col("__sxx") -
+        col("__sx") * col("__sx")).cast("double")
+    val xbar = col("__sx").cast("double") / col("__n")
+    val adj = u.crossJoin(broadcast(m))
+      .withColumn("__th", theta)
+      .withColumn("__ym",
+        round((col("__y").cast("double") -
+          col("__th") * (col("__x").cast("double") - xbar)) * 1000000.0)
+          .cast(dec))
+    adj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_units"),
+        max(col("__th")).as("__theta"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__y").cast(dec) * col("__y")).as("__syy"),
+        sum(col("__ym")).as("__sm"),
+        sum(col("__ym") * col("__ym")).as("__smm"))
+      .select(col("arm"), col("n_units"),
+        round(col("__theta"), 6).as("theta"),
+        round(col("__sy").cast("double") / col("n_units"), 6).as("mean_y"),
+        round(col("__sm").cast("double") / 1e6 / col("n_units"), 6)
+          .as("mean_cuped"),
+        when(col("n_units") > 1 &&
+            (col("n_units").cast(dec) * col("__syy") -
+              col("__sy") * col("__sy")).cast("double") > 0,
+          round(lit(1.0) -
+            ((col("n_units").cast(dec) * col("__smm") -
+              col("__sm") * col("__sm")).cast("double") / 1e12) /
+            (col("n_units").cast(dec) * col("__syy") -
+              col("__sy") * col("__sy")).cast("double"), 6))
+          .as("var_reduction"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 
@@ -273,5 +274,294 @@ object Profiling {
           .as("n_outliers"))
       .withColumn("outlier_frac",
         round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
+  }
+
+  /** CRAMÉR'S V association strength per group between two
+    * categorical columns — the effect-size companion to the χ²
+    * homogeneity TEST (t142 answers "is the association real?"; V
+    * answers "how strong is it?" on the engine-portable [0, 1]
+    * scale): V = √(χ² / (n·(min(r,c)−1))) over the full r×c
+    * contingency grid, absent cells included (they still contribute
+    * their expected mass).
+    *
+    * Arithmetic contract: each cell's χ² term is
+    * (o·n − c_r·c_c)² / (n·c_r·c_c) — both sides exact DECIMAL(38,0)
+    * (HUGEINT on the oracle), ONE IEEE divide — then micro-rounded to
+    * a BIGINT (term·10⁶) so the χ² SUM is order-independent (the
+    * float-sum hazard t142's ≤2-term rows never hit becomes real on
+    * an r×c grid). V is one closed-form double of those integers.
+    *
+    * Scale shape: the only corpus-sized stage is the (group, a, b)
+    * cell collapse (map-side combinable); marginals, the r×c grid
+    * join, and the verdict are all category-cardinality. Categorical
+    * columns are assumed bounded (that's what categorical means) —
+    * hash-bucket first at unbounded cardinality.
+    *
+    * Output: (groups…, n, n_rows, n_cols, v 6dp) — v NULL when
+    * min(r,c) = 1 (a constant margin has no association to measure).
+    */
+  def cramersV(df: DataFrame, groupCols: Seq[String],
+               aCol: String, bCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(g :+ col(aCol).as("__a") :+ col(bCol).as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val rm = cells.groupBy(g :+ col("__a"): _*)
+      .agg(sum(col("__c")).as("__cr"))
+    val cm = cells.groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__c")).as("__cc"))
+    val tot = rm.groupBy(g: _*)
+      .agg(sum(col("__cr")).as("n"), count(lit(1)).as("n_rows"))
+      .join(cm.groupBy(g: _*).agg(count(lit(1)).as("n_cols")), groupCols)
+    val grid = rm.join(cm, groupCols)
+      .join(cells, groupCols :+ "__a" :+ "__b", "left")
+      .na.fill(0L, Seq("__c"))
+      .join(broadcast(tot), groupCols)
+    val diff = (col("__c").cast(dec) * col("n") -
+      col("__cr").cast(dec) * col("__cc"))
+    val den = col("n").cast(dec) * col("__cr") * col("__cc")
+    val micro = grid.select(g :+
+      round(diff.cast("double") * diff.cast("double") /
+        den.cast("double") * 1000000.0).cast("long").as("__tm"): _*)
+      .groupBy(g: _*).agg(sum(col("__tm")).as("__chi2m"))
+    val mind = least(col("n_rows"), col("n_cols")) - 1
+    tot.join(micro, groupCols)
+      .select(g :+ col("n") :+ col("n_rows") :+ col("n_cols") :+
+        when(mind > 0, round(sqrt(col("__chi2m").cast("double") / 1e6 /
+          (col("n") * mind).cast("double")), 6)).as("v"): _*)
+  }
+
+  /** Distribution SHAPE profile per group over a (bounded-length)
+    * value series: exact sample skewness g₁ = √n·m₃/m₂^1.5 and excess
+    * kurtosis g₂ = n·m₄/m₂² − 3 — the dump-day / heavy-tail readout
+    * beyond [[robustOutliers]]' flags (HOW asymmetric, HOW
+    * heavy-tailed, as two numbers a drift dashboard can track).
+    *
+    * Exactness: the mean is multiplied away (y = n·x − S, the t189
+    * trick), so m₂/m₃/m₄ are exact DECIMAL(38,0)/HUGEINT integer
+    * sums — order-independent — and the two outputs are closed-form
+    * doubles of exact integers (scale-invariance of g₁/g₂ absorbs the
+    * n-scaling of y). Constant series (m₂ = 0) yield NULLs.
+    *
+    * Scale shape: callers feed an aggregated series (daily counts —
+    * the t158 contract), so the corpus-sized stage is the caller's
+    * count collapse; this operator is one broadcast |groups|-row
+    * moment join plus one map-side-combinable reduction over
+    * calendar-bounded rows.
+    *
+    * Output: (groups…, n, skewness 6dp, kurtosis 6dp).
+    */
+  def skewKurtosis(series: DataFrame, groupCols: Seq[String],
+                   valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val base = series.select(g :+ col(valueCol).cast("long").as("__x"): _*)
+    val st = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val ys = base.join(broadcast(st), groupCols)
+      .select(g :+ col("__n") :+
+        (col("__n") * col("__x") - col("__s")).cast(dec).as("__y"): _*)
+    val m = ys.groupBy(g: _*)
+      .agg(max(col("__n")).as("n"),
+        sum(col("__y") * col("__y")).as("__m2"),
+        sum(col("__y") * col("__y") * col("__y")).as("__m3"),
+        sum(col("__y") * col("__y") * col("__y") * col("__y")).as("__m4"))
+    val m2d = col("__m2").cast("double")
+    m.select(g :+ col("n") :+
+      when(col("__m2") > 0,
+        round(sqrt(col("n").cast("double")) * col("__m3").cast("double") /
+          pow(m2d, 1.5), 6)).as("skewness") :+
+      when(col("__m2") > 0,
+        round(col("n").cast("double") * col("__m4").cast("double") /
+          (m2d * m2d) - 3.0, 6)).as("kurtosis"): _*)
+  }
+
+  /** TRIMMED MEAN per group — the robust location estimate between
+    * the mean (0% trim) and [[robustOutliers]]' median (50%): drop
+    * the lowest and highest ⌊trimFrac·n⌋ values exactly and average
+    * the middle. The dashboard number that ignores dump-day spikes
+    * without the median's total insensitivity to the bulk.
+    *
+    * Exactness: on the (group, value) count cells, each cell's
+    * surviving weight is the interval-overlap clip
+    * w = max(0, min(bef+c, n−k) − max(bef, k)) — exact integer
+    * arithmetic including partially-trimmed tie blocks — and the
+    * mean is ONE IEEE divide of the exact DECIMAL(38,0)/HUGEINT
+    * weighted sum by (n − 2k). Empty middles (n ≤ 2k) yield NULL.
+    *
+    * Scale shape: one map-side-combinable (group, value) cell
+    * collapse; the cumulative window runs per group over DISTINCT
+    * values (bin first — the t137 hatch — at unbounded cardinality);
+    * the weighted reduction is cell-sized.
+    *
+    * Output: (groups…, n, k_trim, trimmed_mean 6dp).
+    */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String],
+                  valueCol: Column, trimFrac: Double = 0.1): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(trimFrac >= 0 && trimFrac < 0.5,
+      s"trimFrac must be in [0, 0.5), got $trimFrac")
+    val g = groupCols.map(col)
+    val denom = math.round(1.0 / trimFrac).toLong
+    require(trimFrac == 0 || math.abs(1.0 / denom - trimFrac) < 1e-12,
+      s"trimFrac must be a unit fraction (1/m) for exact integer k, got $trimFrac")
+    val cells = df.filter(valueCol.isNotNull)
+      .groupBy(g :+ valueCol.cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val before = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(g: _*)
+    val k = if (trimFrac == 0) lit(0L) else expr(s"__n div $denom")
+    val clipped = cells
+      .withColumn("__bef", coalesce(sum(col("__c")).over(before), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .withColumn("__k", k)
+      .withColumn("__w",
+        greatest(least(col("__bef") + col("__c"), col("__n") - col("__k")) -
+          greatest(col("__bef"), col("__k")), lit(0L)))
+    clipped.groupBy(g: _*)
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("k_trim"),
+        sum(col("__w").cast("decimal(38,0)") * col("__v")).as("__ws"))
+      .select(g :+ col("n") :+ col("k_trim") :+
+        when(col("n") - col("k_trim") * 2 > 0,
+          round(col("__ws").cast("double") /
+            (col("n") - col("k_trim") * 2).cast("double"), 6))
+          .as("trimmed_mean"): _*)
+  }
+
+  /** THEIL T inequality index per group over pre-aggregated entity
+    * masses (per-user event counts, per-source token masses):
+    * T = Σᵢ (xᵢ/X)·ln(xᵢ·n/X) ∈ [0, ln n] — the decomposable
+    * concentration measure complementing t158's Gini (Theil is
+    * additive across subgroups, which is why mixing dashboards
+    * prefer it; 0 = perfectly even, ln n = one entity holds all).
+    *
+    * Portability: each entity's term is micro-rounded —
+    * round(10⁶·x·ln(x·n/X)) as BIGINT, ln on the identical IEEE
+    * chain both engines evaluate — so the SUM is order-independent,
+    * then ONE divide by 10⁶·X at the 6dp boundary (the t163
+    * integer micro-log contract).
+    *
+    * Scale shape: the caller's entity collapse is the corpus-sized
+    * stage; this is one broadcast |groups|-row total join plus a
+    * map-side-combinable micro-term reduction. Entity masses are
+    * positive by construction (counts).
+    *
+    * Output: (groups…, n_entities, total, theil 6dp).
+    */
+  def theilIndex(cells: DataFrame, groupCols: Seq[String],
+                 valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val base = cells.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(g :+ col(valueCol).cast("long").as("__x"): _*)
+    val st = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__xx"))
+    base.join(broadcast(st), groupCols)
+      .select(g :+ col("__n") :+ col("__xx") :+
+        round(lit(1000000.0) * col("__x") *
+          log(col("__x").cast("double") * col("__n") / col("__xx")))
+          .cast("long").as("__tm"): _*)
+      .groupBy(g: _*)
+      .agg(max(col("__n")).as("n_entities"), max(col("__xx")).as("total"),
+        sum(col("__tm")).as("__s"))
+      .select(g :+ col("n_entities") :+ col("total") :+
+        round(col("__s").cast("double") / 1e6 / col("total"), 6)
+          .as("theil"): _*)
+  }
+
+  /** Distribution-free MEDIAN with a 95% CONFIDENCE interval from
+    * order statistics (the binomial/sign-test CI, normal-approximated
+    * ranks) — the uncertainty-honest median the bootstrap family
+    * (t141) buys with 200 resample passes, obtained here from ONE
+    * pass: lower/upper bounds are the ⌊(n − z√n)/2⌋-th and
+    * (n+1−that)-th smallest values, z = 1.959963984540054.
+    *
+    * Exactness: the rank pair is one fixed IEEE expression of n
+    * (mirrored by the oracle), and all three outputs are SELECTIONS
+    * of data values via the cumulative-count rank test — never
+    * interpolated, engine-identical by construction. The median is
+    * the ⌈n/2⌉-th smallest (lower median).
+    *
+    * Scale shape: one map-side-combinable (group, value) cell
+    * collapse; one per-group cumulative window over DISTINCT values
+    * (bin first — the t137 hatch — at unbounded cardinality); one
+    * reduction. Output: (groups…, n, ci_lo, median, ci_hi).
+    */
+  def medianCI(df: DataFrame, groupCols: Seq[String],
+               valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val cells = df.filter(valueCol.isNotNull)
+      .groupBy(g :+ valueCol.cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val whole = Window.partitionBy(g: _*)
+    val ord = whole.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val z = 1.959963984540054
+    val n = col("__n")
+    val lo = floor((n - lit(z) * sqrt(n.cast("double"))) / 2.0).cast("long")
+    cells
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .withColumn("__cw", sum(col("__c")).over(ord))
+      .withColumn("__lo", lo)
+      .withColumn("__hi", n + 1 - lo)
+      .withColumn("__mid", expr("(__n + 1) div 2"))
+      .groupBy(g: _*)
+      .agg(max(col("__n")).as("n"),
+        min(when(col("__cw") >= col("__lo"), col("__v"))).as("ci_lo"),
+        min(when(col("__cw") >= col("__mid"), col("__v"))).as("median"),
+        min(when(col("__cw") >= col("__hi"), col("__v"))).as("ci_hi"))
+  }
+
+  /** LORENZ curve deciles per group over pre-aggregated entity masses
+    * — the full concentration CURVE behind [[theilIndex]]'s and
+    * t158's single numbers: L(d) = (mass held by the poorest
+    * ⌊n·d/10⌋ entities) / total, d = 1..10. The "bottom 80% of users
+    * contribute 30% of traffic" dashboard table.
+    *
+    * Exactness: the lower-tail mass uses the interval-overlap clip on
+    * distinct-value cells ([[trimmedMean]]'s machinery) — partial tie
+    * blocks contribute exactly (k − cum_before)·v, and tie ORDER is
+    * irrelevant because tied entities hold equal mass. One exact
+    * DECIMAL(38,0) weighted sum per decile, one divide each at 6dp.
+    *
+    * Scale shape: the caller's entity collapse is the corpus-sized
+    * stage; then one (group, mass) cell collapse, one per-group
+    * cumulative window over DISTINCT masses (bin first past bounded
+    * domains — the t137 hatch), and a 10-way clip expansion of the
+    * cell frame. Output: (groups…, decile, n_entities, mass_share).
+    */
+  def lorenzDeciles(cells: DataFrame, groupCols: Seq[String],
+                    valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val mc = cells.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"), sum(col(valueCol).cast("long")).as("__m"))
+    val whole = Window.partitionBy(g: _*)
+    val before = whole.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = mc
+      .withColumn("__bef", coalesce(sum(col("__c")).over(before), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .withColumn("__tot", sum(col("__m")).over(whole))
+      .select(g :+ col("__v") :+ col("__c") :+ col("__bef") :+ col("__n") :+
+        col("__tot") :+ explode(sequence(lit(1L), lit(10L))).as("decile"): _*)
+    val k = expr("__n * decile div 10")
+    dec
+      .withColumn("__w",
+        greatest(least(col("__bef") + col("__c"), k) -
+          least(col("__bef"), k), lit(0L)))
+      .groupBy(g :+ col("decile"): _*)
+      .agg(max(col("__n")).as("n_entities"), max(col("__tot")).as("__t"),
+        sum(col("__w").cast("decimal(38,0)") * col("__v")).as("__ws"))
+      .select(g :+ col("decile") :+ col("n_entities") :+
+        round(col("__ws").cast("double") / col("__t").cast("double"), 6)
+          .as("mass_share"): _*)
   }
 }

@@ -121,7 +121,9 @@ object GraftExtensions {
       a => TopKDistinctByScore(a(0), a(1), intArg(a(2)))
         .toAggregateExpression()),
     fn("cov_moments", 2,
-      a => CovMoments(a(0), intArg(a(1))).toAggregateExpression()))
+      a => CovMoments(a(0), intArg(a(1))).toAggregateExpression()),
+    // round 9: record-linkage string verifier
+    fn("jaro_winkler", 2, a => JaroWinklerSim(a(0), a(1))))
 
   /** Install on an already-running session: the optimizer rule via
     * extraOptimizations, the as-of strategy via extraStrategies, and

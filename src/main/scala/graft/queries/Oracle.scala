@@ -5701,5 +5701,705 @@ object Oracle {
         |    round(3.0 * CAST(n_triangles AS DOUBLE)
         |          / CAST(n_wedges AS DOUBLE), 6) END AS global_cc
         |FROM wed CROSS JOIN ne CROSS JOIN tri""".stripMargin,
+
+    // exact mirror of Eval.spearman (t193): midrank Pearson over
+    // (flag, qty, price-cents) cells — doubled rank blocks
+    // 2R = 2·bef + tv + 1 per marginal, HUGEINT moments (the engine's
+    // DECIMAL(38,0)), one double expression at the 6dp boundary
+    "t193_spearman" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |), cells AS (
+        |  SELECT flag, x, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1,2,3
+        |), xb AS (
+        |  SELECT flag, x, CAST(sum(c) AS BIGINT) AS tv,
+        |         CAST(coalesce(sum(sum(c)) OVER (PARTITION BY flag
+        |           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           1 PRECEDING), 0) AS BIGINT) AS bef
+        |  FROM cells GROUP BY flag, x
+        |), yb AS (
+        |  SELECT flag, y, CAST(sum(c) AS BIGINT) AS tv,
+        |         CAST(coalesce(sum(sum(c)) OVER (PARTITION BY flag
+        |           ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           1 PRECEDING), 0) AS BIGINT) AS bef
+        |  FROM cells GROUP BY flag, y
+        |), joined AS (
+        |  SELECT c.flag, c.c,
+        |         CAST(2*xb.bef + xb.tv + 1 AS HUGEINT) AS a,
+        |         CAST(2*yb.bef + yb.tv + 1 AS HUGEINT) AS b
+        |  FROM cells c JOIN xb ON xb.flag = c.flag AND xb.x = c.x
+        |               JOIN yb ON yb.flag = c.flag AND yb.y = c.y
+        |), m AS (
+        |  SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+        |         sum(c*a) AS sa, sum(c*b) AS sb, sum(c*a*b) AS sab,
+        |         sum(c*a*a) AS saa, sum(c*b*b) AS sbb
+        |  FROM joined GROUP BY flag
+        |)
+        |SELECT flag, n,
+        |  CASE WHEN (n*saa - sa*sa) > 0 AND (n*sbb - sb*sb) > 0 THEN
+        |    round(CAST(n*sab - sa*sb AS DOUBLE)
+        |      / sqrt(CAST(n*saa - sa*sa AS DOUBLE)
+        |             * CAST(n*sbb - sb*sb AS DOUBLE)), 6)
+        |  END AS rho
+        |FROM m ORDER BY flag""".stripMargin,
+
+    // exact mirror of t194 (Blocking.sortedNeighborhoodCandidates +
+    // TextDedup.jaroWinklerVerify): SNM candidates in min-shingle-
+    // digest order, then DuckDB's native jaro_winkler_similarity —
+    // the engine kernel is bit-identical to it (byte alphabet, boost
+    // threshold 0.7, 4-byte prefix cap, either-empty ⇒ 0)
+    "t194_jw_verify" ->
+      """WITH reps AS (
+        |  SELECT min(doc_id) AS id, text FROM documents
+        |  WHERE text IS NOT NULL GROUP BY text
+        |), toks AS (
+        |  SELECT id, list_filter(string_split_regex(lower(text),
+        |    '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
+        |  FROM reps
+        |), sets AS (
+        |  SELECT id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END
+        |    AS sh
+        |  FROM toks
+        |), keyed AS (
+        |  SELECT s.id, list_aggregate(list_transform(s.sh,
+        |      x -> CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)), 'min')
+        |    AS mkey
+        |  FROM sets s
+        |), ranked AS (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY mkey, id)
+        |    AS BIGINT) - 1 AS rk
+        |  FROM keyed
+        |), pairs AS (
+        |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+        |  FROM ranked a JOIN ranked b ON b.rk BETWEEN a.rk+1 AND a.rk+3
+        |)
+        |SELECT p.id_a, p.id_b,
+        |       round(jaro_winkler_similarity(ra.text, rb.text), 6) AS jw,
+        |       round(jaro_winkler_similarity(ra.text, rb.text), 6) >= 0.9
+        |         AS accept
+        |FROM pairs p JOIN reps ra ON ra.id = p.id_a
+        |             JOIN reps rb ON rb.id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact mirror of Eval.isotonicCalibration (t195): the closed
+    // minimax PAV form over the t162 reliability bins — every
+    // segment average is ONE IEEE divide of exact BIGINT cumulative
+    // sums, min/max are selections, 6dp only at the output
+    "t195_isotonic" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |           AS dow,
+        |         least(CAST(floor(value/500.0*10) AS BIGINT), 9) AS bin,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), per_bin AS (
+        |  SELECT dow, bin, CAST(count(*) AS BIGINT) AS n_b,
+        |         CAST(sum(y) AS BIGINT) AS pos
+        |  FROM e GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT dow, bin, n_b, pos,
+        |         CAST(sum(n_b) OVER w AS BIGINT) AS cn,
+        |         CAST(sum(pos) OVER w AS BIGINT) AS cp
+        |  FROM per_bin
+        |  WINDOW w AS (PARTITION BY dow ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), seg AS (
+        |  SELECT a.dow, a.bin AS j, b.bin AS k,
+        |         CAST(b.cp - a.cp + a.pos AS DOUBLE)
+        |           / CAST(b.cn - a.cn + a.n_b AS DOUBLE) AS avg_jk
+        |  FROM cum a JOIN cum b ON a.dow = b.dow AND b.bin >= a.bin
+        |), inner_min AS (
+        |  SELECT s.dow, i.bin AS i, s.j, min(s.avg_jk) AS mn
+        |  FROM seg s JOIN per_bin i
+        |    ON i.dow = s.dow AND s.j <= i.bin AND s.k >= i.bin
+        |  GROUP BY s.dow, i.bin, s.j
+        |), iso AS (
+        |  SELECT dow, i AS bin, max(mn) AS iso_raw
+        |  FROM inner_min GROUP BY dow, i
+        |)
+        |SELECT p.dow, p.bin, p.n_b,
+        |       round(CAST(p.pos AS DOUBLE) / p.n_b, 6) AS acc,
+        |       round(i.iso_raw, 6) AS iso
+        |FROM per_bin p JOIN iso i ON i.dow = p.dow AND i.bin = p.bin
+        |ORDER BY p.dow, p.bin""".stripMargin,
+
+    // exact mirror of Blocking.sortedNeighborhoodPairs (t196): SNM
+    // candidates (same CTE chain as t194) + exact string-shingle-set
+    // Jaccard — identical to the engine's 8-byte hash-set value
+    // (collisions aside), one IEEE divide at the 6dp boundary
+    "t196_snm_block" ->
+      """WITH reps AS (
+        |  SELECT min(doc_id) AS id, text FROM documents
+        |  WHERE text IS NOT NULL GROUP BY text
+        |), toks AS (
+        |  SELECT id, list_filter(string_split_regex(lower(text),
+        |    '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
+        |  FROM reps
+        |), sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END)
+        |    AS sh
+        |  FROM toks
+        |), keyed AS (
+        |  SELECT s.id, list_aggregate(list_transform(s.sh,
+        |      x -> CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)), 'min')
+        |    AS mkey
+        |  FROM sets s
+        |), ranked AS (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY mkey, id)
+        |    AS BIGINT) - 1 AS rk
+        |  FROM keyed
+        |), pairs AS (
+        |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+        |  FROM ranked a JOIN ranked b ON b.rk BETWEEN a.rk+1 AND a.rk+3
+        |), sims AS (
+        |  SELECT p.id_a, p.id_b,
+        |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+        |  FROM pairs p JOIN sets sa ON sa.id = p.id_a
+        |               JOIN sets sb ON sb.id = p.id_b
+        |)
+        |SELECT id_a, id_b, jaccard FROM sims
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // exact mirror of Profiling.cramersV (t197): full r×c grid
+    // (absent cells contribute expected mass), each χ² term
+    // (o·n − cr·cc)²/(n·cr·cc) is one IEEE divide of exact HUGEINTs
+    // (the engine's DECIMAL(38,0)) micro-rounded to BIGINT so the sum
+    // is order-independent; V one closed-form double
+    "t197_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS mon, l_returnflag AS a,
+        |         l_linestatus AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2, 3
+        |), rm AS (
+        |  SELECT mon, a, CAST(sum(c) AS BIGINT) AS cr FROM cells GROUP BY 1,2
+        |), cm AS (
+        |  SELECT mon, b, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY 1,2
+        |), tot AS (
+        |  SELECT r.mon, r.n, r.n_rows, c.n_cols FROM
+        |    (SELECT mon, CAST(sum(cr) AS BIGINT) AS n,
+        |            CAST(count(*) AS BIGINT) AS n_rows FROM rm GROUP BY 1) r
+        |    JOIN (SELECT mon, CAST(count(*) AS BIGINT) AS n_cols
+        |          FROM cm GROUP BY 1) c ON c.mon = r.mon
+        |), grid AS (
+        |  SELECT rm.mon, rm.cr, cm.cc, coalesce(cells.c, 0) AS o, t.n
+        |  FROM rm JOIN cm ON cm.mon = rm.mon
+        |  LEFT JOIN cells ON cells.mon = rm.mon AND cells.a = rm.a
+        |                 AND cells.b = cm.b
+        |  JOIN tot t ON t.mon = rm.mon
+        |), micro AS (
+        |  SELECT mon, CAST(sum(CAST(round(
+        |    CAST((CAST(o AS HUGEINT)*n - CAST(cr AS HUGEINT)*cc)
+        |         * (CAST(o AS HUGEINT)*n - CAST(cr AS HUGEINT)*cc)
+        |      AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT)*cr*cc AS DOUBLE)
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) AS chi2m
+        |  FROM grid GROUP BY 1
+        |)
+        |SELECT t.mon, t.n, t.n_rows, t.n_cols,
+        |  CASE WHEN least(t.n_rows, t.n_cols) - 1 > 0 THEN
+        |    round(sqrt(CAST(m.chi2m AS DOUBLE) / 1e6
+        |      / CAST(t.n * (least(t.n_rows, t.n_cols) - 1) AS DOUBLE)), 6)
+        |  END AS v
+        |FROM tot t JOIN micro m ON m.mon = t.mon
+        |ORDER BY t.mon""".stripMargin,
+
+    // exact mirror of Eval.kendallTauB (t198): BIGINT concordant /
+    // discordant cell-product sums over the bounded 50×11 quantized
+    // domain, integer-div tie terms, one double at the 6dp boundary
+    "t198_kendall_tau" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_discount*100) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |), cells AS (
+        |  SELECT flag, x, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1,2,3
+        |), cd AS (
+        |  SELECT a.flag,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN a.c*b.c ELSE 0 END)
+        |      AS BIGINT) AS cc,
+        |    CAST(sum(CASE WHEN b.y < a.y THEN a.c*b.c ELSE 0 END)
+        |      AS BIGINT) AS dd
+        |  FROM cells a JOIN cells b ON a.flag = b.flag AND b.x > a.x
+        |  GROUP BY 1
+        |), xm AS (
+        |  SELECT flag, CAST(sum(cx) AS BIGINT) AS n,
+        |         CAST(sum(cx*(cx-1)//2) AS BIGINT) AS t1 FROM (
+        |    SELECT flag, x, CAST(sum(c) AS BIGINT) AS cx
+        |    FROM cells GROUP BY 1,2)
+        |  GROUP BY flag
+        |), ym AS (
+        |  SELECT flag, CAST(sum(cy*(cy-1)//2) AS BIGINT) AS t2 FROM (
+        |    SELECT flag, y, CAST(sum(c) AS BIGINT) AS cy
+        |    FROM cells GROUP BY 1,2)
+        |  GROUP BY flag
+        |)
+        |SELECT x.flag, x.n,
+        |  CASE WHEN (x.n*(x.n-1)//2 - x.t1) > 0
+        |        AND (x.n*(x.n-1)//2 - y.t2) > 0 THEN
+        |    round(CAST(cd.cc - cd.dd AS DOUBLE)
+        |      / sqrt(CAST(x.n*(x.n-1)//2 - x.t1 AS DOUBLE)
+        |             * CAST(x.n*(x.n-1)//2 - y.t2 AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM xm x JOIN ym y ON y.flag = x.flag JOIN cd ON cd.flag = x.flag
+        |ORDER BY x.flag""".stripMargin,
+
+    // exact mirror of Profiling.skewKurtosis (t199) on the daily
+    // event-volume series: mean multiplied away (y = n·x − S), m2/m3/
+    // m4 exact HUGEINT sums, g1/g2 closed-form doubles
+    "t199_skew_kurtosis" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1
+        |), ys AS (
+        |  SELECT d.event_type, st.n,
+        |         CAST(st.n * d.x - st.s AS HUGEINT) AS y
+        |  FROM daily d JOIN st ON st.event_type = d.event_type
+        |), m AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |         sum(y*y) AS m2, sum(y*y*y) AS m3, sum(y*y*y*y) AS m4
+        |  FROM ys GROUP BY 1
+        |)
+        |SELECT event_type, n_days,
+        |  CASE WHEN m2 > 0 THEN
+        |    round(sqrt(CAST(n_days AS DOUBLE)) * CAST(m3 AS DOUBLE)
+        |      / pow(CAST(m2 AS DOUBLE), 1.5), 6) END AS skewness,
+        |  CASE WHEN m2 > 0 THEN
+        |    round(CAST(n_days AS DOUBLE) * CAST(m4 AS DOUBLE)
+        |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 6)
+        |  END AS kurtosis
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Graph.degreeAssortativity (t200) on the
+    // co-purchase graph: Pearson over both edge orientations,
+    // HUGEINT moments (the engine's DECIMAL(38,0))
+    "t200_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1
+        |), dir AS (
+        |  SELECT du.deg AS dx, dv.deg AS dy FROM e0
+        |    JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+        |  UNION ALL
+        |  SELECT dv.deg, du.deg FROM e0
+        |    JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+        |), m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS mm,
+        |         CAST(sum(dx) AS HUGEINT) AS sx,
+        |         CAST(sum(dy) AS HUGEINT) AS sy,
+        |         sum(CAST(dx AS HUGEINT)*dy) AS sxy,
+        |         sum(CAST(dx AS HUGEINT)*dx) AS sxx,
+        |         sum(CAST(dy AS HUGEINT)*dy) AS syy
+        |  FROM dir
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+        |)
+        |SELECT nn.n_nodes, CAST(m.mm/2 AS BIGINT) AS n_edges,
+        |  CASE WHEN (m.mm*m.sxx - m.sx*m.sx) > 0
+        |        AND (m.mm*m.syy - m.sy*m.sy) > 0 THEN
+        |    round(CAST(m.mm*m.sxy - m.sx*m.sy AS DOUBLE)
+        |      / sqrt(CAST(m.mm*m.sxx - m.sx*m.sx AS DOUBLE)
+        |             * CAST(m.mm*m.syy - m.sy*m.sy AS DOUBLE)), 6)
+        |  END AS assortativity
+        |FROM nn CROSS JOIN m""".stripMargin,
+
+    // exact mirror of Basket.associationRules (t201): order-basket
+    // supplier pair rules — each metric ONE IEEE divide of exact
+    // integer products; rank by UNROUNDED lift then the id tiebreak
+    "t201_basket_rules" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+        |), tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM op),
+        |ic AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1),
+        |pc AS (
+        |  SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.s < b.s GROUP BY 1,2
+        |  HAVING count(*) >= 5
+        |)
+        |SELECT sa AS a, sb AS b, c_ab, ia.c AS c_a, ib.c AS c_b,
+        |  round(CAST(c_ab AS DOUBLE) / t.n, 6) AS support,
+        |  round(CAST(c_ab AS DOUBLE) / ia.c, 6) AS confidence,
+        |  round(CAST(c_ab * t.n AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE), 6)
+        |    AS lift
+        |FROM pc JOIN ic ia ON ia.s = pc.sa JOIN ic ib ON ib.s = pc.sb
+        |CROSS JOIN tot t
+        |ORDER BY CAST(c_ab * t.n AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE)
+        |  DESC, sa, sb
+        |LIMIT 20""".stripMargin,
+
+    // exact mirror of Eval.balanceSmd (t202): per-side HUGEINT
+    // moments (the engine's DECIMAL(38,0)), Bessel variances and the
+    // SMD on the identical fixed IEEE chain
+    "t202_smd_balance" ->
+      """WITH t AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS sa
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), m AS (
+        |  SELECT source, sa, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS s,
+        |         sum(CAST(x AS HUGEINT)*x) AS ss
+        |  FROM t GROUP BY 1, 2 HAVING count(*) > 1
+        |), ab AS (
+        |  SELECT a.source, a.n AS n_a, b.n AS n_b,
+        |    CAST(a.s AS DOUBLE)/a.n - CAST(b.s AS DOUBLE)/b.n AS dmean,
+        |    CAST(a.n*a.ss - a.s*a.s AS DOUBLE)
+        |      / (CAST(a.n AS DOUBLE)*(a.n-1)) AS va,
+        |    CAST(b.n*b.ss - b.s*b.s AS DOUBLE)
+        |      / (CAST(b.n AS DOUBLE)*(b.n-1)) AS vb
+        |  FROM m a JOIN m b ON b.source = a.source AND a.sa AND NOT b.sa
+        |)
+        |SELECT source, n_a, n_b,
+        |  CASE WHEN va + vb > 0 THEN round(dmean / sqrt((va+vb)/2.0), 6)
+        |  END AS smd
+        |FROM ab ORDER BY source""".stripMargin,
+
+    // exact mirror of Profiling.trimmedMean (t203): interval-overlap
+    // clip weights on distinct-value cells (partial tie blocks exact),
+    // one HUGEINT weighted sum, one divide by (n − 2k)
+    "t203_trimmed_mean" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), cells AS (
+        |  SELECT flag, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1,2
+        |), cum AS (
+        |  SELECT flag, v, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bef,
+        |    CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM cells
+        |), clip AS (
+        |  SELECT flag, v, n, n//10 AS k,
+        |    greatest(least(bef + c, n - n//10) - greatest(bef, n//10), 0)
+        |      AS w
+        |  FROM cum
+        |)
+        |SELECT flag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(k) AS BIGINT) AS k_trim,
+        |  CASE WHEN max(n) - 2*max(k) > 0 THEN
+        |    round(CAST(sum(CAST(w AS HUGEINT) * v) AS DOUBLE)
+        |      / CAST(max(n) - 2*max(k) AS DOUBLE), 6) END AS trimmed_mean
+        |FROM clip GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // exact mirror of Profiling.theilIndex (t204) on per-user event
+    // mass: micro-rounded BIGINT log terms (the t163 integer
+    // micro-log contract), one divide by 10⁶·X
+    "t204_theil" ->
+      """WITH uc AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS xx FROM uc GROUP BY 1
+        |), micro AS (
+        |  SELECT u.event_type, st.n, st.xx,
+        |    CAST(round(1000000.0 * u.x *
+        |      ln(CAST(u.x AS DOUBLE) * st.n / st.xx)) AS BIGINT) AS tm
+        |  FROM uc u JOIN st ON st.event_type = u.event_type
+        |)
+        |SELECT event_type, max(n) AS n_entities, max(xx) AS total,
+        |  round(CAST(sum(tm) AS DOUBLE) / 1e6 / max(xx), 6) AS theil
+        |FROM micro GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact replay of t205's streaming session contract: batch
+    // sessionize (t185's chain, 6 h gap) restricted to sessions the
+    // watermark finalized -- append mode emits iff session end
+    // (last + gap*1e6 + 1 us) <= watermark = ms-truncated max event
+    // time (t14's emission contract; session_window gap D = G*1e6+1 us
+    // reproduces the batch strict-gt break exactly)
+    "t205_stream_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |                   OR us - prev_us > CAST(21600 AS BIGINT)*1000000
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM o
+        |), s AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_no
+        |  FROM f
+        |), wm AS (
+        |  SELECT (max(epoch_us(ts)) // 1000) * 1000 AS w FROM events
+        |), sess AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         min(us) AS start_us, max(us) - min(us) AS duration_us,
+        |         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |         max(us) AS last_us
+        |  FROM s GROUP BY user_id, session_no
+        |)
+        |SELECT user_id, n_events, start_us, duration_us, n_types
+        |FROM sess
+        |WHERE last_us + CAST(21600 AS BIGINT)*1000000 + 1
+        |        <= (SELECT w FROM wm)
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // exact mirror of Profiling.medianCI (t206): sign-test 95% CI --
+    // rank pair one fixed IEEE expression of n, all outputs rank-test
+    // SELECTIONS of data values
+    "t206_median_ci" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), cells AS (
+        |  SELECT flag, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1,2
+        |), cum AS (
+        |  SELECT flag, v,
+        |    CAST(sum(c) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cw,
+        |    CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM cells
+        |), ranks AS (
+        |  SELECT flag, v, cw, n,
+        |    CAST(floor((n - 1.959963984540054 * sqrt(CAST(n AS DOUBLE)))
+        |      / 2.0) AS BIGINT) AS lo,
+        |    (n + 1) // 2 AS mid
+        |  FROM cum
+        |)
+        |SELECT flag, max(n) AS n,
+        |  min(CASE WHEN cw >= lo THEN v END) AS ci_lo,
+        |  min(CASE WHEN cw >= mid THEN v END) AS median,
+        |  min(CASE WHEN cw >= n + 1 - lo THEN v END) AS ci_hi
+        |FROM ranks GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // exact mirror of Behavior.rfmSegments (t207): value-threshold
+    // tertiles from the integer rank test (3*cum >= k*n) -- ties score
+    // together; recency inverted
+    "t207_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(max(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT)
+        |      AS last_d,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS money
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), mx AS (SELECT CAST(max(last_d) AS BIGINT) AS maxd FROM u),
+        |s AS (
+        |  SELECT user_id, mx.maxd - last_d AS rec, freq, money
+        |  FROM u CROSS JOIN mx
+        |), cells AS (
+        |  SELECT 'rec' AS metric, rec AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM s GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'freq', freq, CAST(count(*) AS BIGINT) FROM s GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'money', money, CAST(count(*) AS BIGINT) FROM s GROUP BY 2
+        |), cum AS (
+        |  SELECT metric, v,
+        |    CAST(sum(c) OVER (PARTITION BY metric ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cw,
+        |    CAST(sum(c) OVER (PARTITION BY metric) AS BIGINT) AS n
+        |  FROM cells
+        |), qs AS (
+        |  SELECT metric,
+        |    min(CASE WHEN cw*3 >= n THEN v END) AS q1,
+        |    min(CASE WHEN cw*3 >= n*2 THEN v END) AS q2
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT
+        |  3 - CAST(s.rec > qr.q1 AS BIGINT) - CAST(s.rec > qr.q2 AS BIGINT)
+        |    AS r_score,
+        |  1 + CAST(s.freq > qf.q1 AS BIGINT) + CAST(s.freq > qf.q2 AS BIGINT)
+        |    AS f_score,
+        |  1 + CAST(s.money > qm.q1 AS BIGINT)
+        |    + CAST(s.money > qm.q2 AS BIGINT) AS m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM s, qs qr, qs qf, qs qm
+        |WHERE qr.metric = 'rec' AND qf.metric = 'freq'
+        |  AND qm.metric = 'money'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // exact mirror of Profiling.lorenzDeciles (t208): lower-tail mass
+    // via the interval-overlap clip on distinct-mass cells (partial
+    // tie blocks exact; tie order irrelevant -- equal masses), one
+    // HUGEINT weighted sum per decile
+    "t208_lorenz" ->
+      """WITH uc AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), cells AS (
+        |  SELECT event_type, x AS v, CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(x) AS BIGINT) AS m
+        |  FROM uc GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, v, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bef,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(m) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM cells
+        |), clip AS (
+        |  SELECT event_type, d.decile, n, tot,
+        |    CAST(greatest(least(bef + c, n * d.decile // 10)
+        |      - least(bef, n * d.decile // 10), 0) AS HUGEINT) * v AS wmass
+        |  FROM cum CROSS JOIN (SELECT unnest(range(1, 11)) AS decile) d
+        |)
+        |SELECT event_type, CAST(decile AS BIGINT) AS decile,
+        |  CAST(max(n) AS BIGINT) AS n_entities,
+        |  round(CAST(sum(wmass) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+        |    AS mass_share
+        |FROM clip GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact mirror of Eval.mcNemar (t209): exact BIGINT discordant
+    // cells, one IEEE divide, shared chi2(df=1) 0.95 literal
+    "t209_mcnemar" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_quantity >= 26
+        |      AND NOT (round(l_extendedprice*100) >= 5000000)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT (l_quantity >= 26)
+        |      AND round(l_extendedprice*100) >= 5000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT flag, n, b, c,
+        |  CASE WHEN b + c > 0 THEN
+        |    round(CAST((b-c)*(b-c) AS DOUBLE) / (b+c), 6) END AS stat,
+        |  CASE WHEN b + c > 0 THEN
+        |    round(CAST((b-c)*(b-c) AS DOUBLE) / (b+c), 6) > 3.841458821
+        |  END AS significant
+        |FROM m ORDER BY flag""".stripMargin,
+
+    // exact mirror of Eval.cuped (t210): theta/xbar from HUGEINT
+    // moments, per-user adjusted metric micro-rounded to BIGINT so
+    // means AND variances are exact integer forms
+    "t210_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), sp AS (SELECT (min(d) + max(d)) // 2 AS cut FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN d <= (SELECT cut FROM sp) THEN v ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN d > (SELECT cut FROM sp) THEN v ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM e GROUP BY 1
+        |), m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT)*y) AS sxy, sum(CAST(x AS HUGEINT)*x) AS sxx
+        |  FROM u
+        |), t2 AS (
+        |  SELECT CAST(n*sxy - sx*sy AS DOUBLE)
+        |           / CAST(n*sxx - sx*sx AS DOUBLE) AS th,
+        |         CAST(sx AS DOUBLE) / CAST(n AS BIGINT) AS xbar
+        |  FROM m
+        |), adj AS (
+        |  SELECT substr(md5(CAST(u.user_id AS VARCHAR)),1,1) < '8' AS arm,
+        |    u.y,
+        |    CAST(round((CAST(u.y AS DOUBLE)
+        |      - t2.th * (CAST(u.x AS DOUBLE) - t2.xbar)) * 1000000.0)
+        |      AS HUGEINT) AS ym,
+        |    t2.th
+        |  FROM u, t2
+        |), g AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+        |    max(th) AS th,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(y AS HUGEINT)*y) AS syy,
+        |    CAST(sum(ym) AS HUGEINT) AS sm,
+        |    sum(ym*ym) AS smm
+        |  FROM adj GROUP BY 1
+        |)
+        |SELECT arm, n_units, round(th, 6) AS theta,
+        |  round(CAST(sy AS DOUBLE) / n_units, 6) AS mean_y,
+        |  round(CAST(sm AS DOUBLE) / 1e6 / n_units, 6) AS mean_cuped,
+        |  CASE WHEN n_units > 1
+        |        AND CAST(n_units*syy - sy*sy AS DOUBLE) > 0 THEN
+        |    round(1.0 - (CAST(n_units*smm - sm*sm AS DOUBLE) / 1e12)
+        |      / CAST(n_units*syy - sy*sy AS DOUBLE), 6)
+        |  END AS var_reduction
+        |FROM g ORDER BY arm""".stripMargin,
+
+    // exact mirror of CorpusStats.chapmanEstimate (t211): exact
+    // capture counts, one IEEE divide (bias-corrected Chapman form)
+    "t211_chapman" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),2,1) < 'c'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c'
+        |      AND substr(md5(CAST(doc_id AS VARCHAR)),2,1) < 'c'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT source, n_a, n_b, n_overlap,
+        |  round(CAST((n_a+1)*(n_b+1) AS DOUBLE) / (n_overlap+1) - 1.0, 6)
+        |    AS n_hat
+        |FROM m ORDER BY source""".stripMargin,
+
+    // exact mirror of CorpusStats.chao1Richness (t212) on bigrams:
+    // the t51 tokenization + 48-bit digests, two map-side count
+    // stages, closed-form bias-corrected Chao1
+    "t212_chao1" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split_regex(lower(text),
+        |    '[ 	
+]+'), x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), grams AS (
+        |  SELECT source, unnest(
+        |    CASE WHEN len(t) < 2 THEN list_value(array_to_string(t, ' '))
+        |    ELSE list_transform(range(len(t) - 1),
+        |                        i -> t[i+1] || ' ' || t[i+2]) END) AS g
+        |  FROM toks
+        |), tc AS (
+        |  SELECT source, CAST('0x' || substr(md5(g),1,12) AS BIGINT) AS h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM grams GROUP BY source, g
+        |), ff AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS d_observed,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tc GROUP BY 1
+        |)
+        |SELECT source, d_observed, f1, f2,
+        |  round(d_observed + CAST(f1*(f1-1) AS DOUBLE) / (2.0*(f2+1)), 6)
+        |    AS chao1
+        |FROM ff ORDER BY source""".stripMargin,
   )
 }

@@ -4230,6 +4230,271 @@ object TrainingQueries {
     graft.operators.Graph.triangleStats(edges, "pa", "pb")
   }
 
+  /** t193_spearman — monotone association between l_quantity and
+    * l_extendedprice (cents) per returnflag: does quantity track
+    * price in ANY monotone way, ties handled by midranks. Exact
+    * oracle — doubled midranks, DECIMAL(38,0)/HUGEINT moments.
+    */
+  def t193Spearman(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.spearman(Tables.lineitem(spark, sfDir),
+        Seq("l_returnflag"), col("l_quantity"),
+        round(col("l_extendedprice") * 100, 0))
+      .withColumnRenamed("l_returnflag", "flag")
+      .orderBy(col("flag"))
+
+  /** t194_jw_verify — Jaro–Winkler verification of the SNM candidate
+    * pairs (t196's blocking, pre-Jaccard): every candidate scored,
+    * accept at jw ≥ 0.9. Exact oracle — the native kernel is
+    * bit-identical to DuckDB's jaro_winkler_similarity.
+    */
+  def t194JwVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val reps = docs.filter(col("text").isNotNull)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val cands = graft.operators.Blocking.sortedNeighborhoodCandidates(
+      docs, "text", "doc_id", window = 3)
+    graft.operators.TextDedup.jaroWinklerVerify(cands, reps,
+        "text", "doc_id", minSim = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** t195_isotonic — isotonic (PAV) recalibration of the t162
+    * reliability table: the monotone map each day-of-week's
+    * click-probability column should read. Exact oracle — closed
+    * minimax form over exact integer segment sums.
+    */
+  def t195Isotonic(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .withColumn("dow",
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long") % 7)
+      .withColumn("p", col("value") / 500.0)
+    graft.ops.Eval.isotonicCalibration(events, Seq("dow"), col("p"),
+        col("event_type") === "click", 10)
+      .orderBy(col("dow"), col("bin"))
+  }
+
+  /** t196_snm_block — sorted-neighborhood near-dup blocking with the
+    * min-shingle-digest sort key, window 3, verified at Jaccard ≥
+    * 0.5: the fixed-candidate-budget alternative to LSH banding.
+    * Exact oracle — engine-portable md5 sort key, integer-set
+    * Jaccard.
+    */
+  def t196SnmBlock(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Blocking.sortedNeighborhoodPairs(
+        Tables.documents(spark, sfDir), "text", "doc_id",
+        window = 3, minJaccard = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** t197_cramers_v — association strength between return flag and
+    * line status per ship-month (does the flag carry status
+    * information, and how much, on the [0,1] V scale). Exact oracle —
+    * micro-unit BIGINT χ² terms over the full grid.
+    */
+  def t197CramersV(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.cramersV(
+        Tables.lineitem(spark, sfDir)
+          .withColumn("mon", date_format(col("l_shipdate"), "yyyy-MM")),
+        Seq("mon"), "l_returnflag", "l_linestatus")
+      .orderBy(col("mon"))
+
+  /** t198_kendall_tau — Kendall's τ-b between quantity and discount
+    * ticks per returnflag: concordance-based monotone association
+    * over the bounded 50×11 quantized domain. Exact oracle — BIGINT
+    * concordant/discordant cell-product sums.
+    */
+  def t198KendallTau(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.kendallTauB(Tables.lineitem(spark, sfDir),
+        Seq("l_returnflag"), col("l_quantity"),
+        round(col("l_discount") * 100, 0))
+      .withColumnRenamed("l_returnflag", "flag")
+      .orderBy(col("flag"))
+
+  /** t199_skew_kurtosis — distribution shape of each event type's
+    * daily volume: exact sample skewness and excess kurtosis from
+    * integer central moments (the dump-day / heavy-tail dashboard
+    * numbers). Exact oracle.
+    */
+  def t199SkewKurtosis(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(col("ts")).as("__d"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Profiling.skewKurtosis(daily, Seq("event_type"), "x")
+      .withColumnRenamed("n", "n_days")
+      .orderBy(col("event_type"))
+  }
+
+  /** t200_assortativity — degree assortativity of the
+    * parts-bought-together graph (Newman's r over both edge
+    * orientations): the mixing-pattern readout completing t192's
+    * clustering coefficient. Exact oracle — DECIMAL(38,0)/HUGEINT
+    * Pearson moments.
+    */
+  def t200Assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+    graft.operators.Graph.degreeAssortativity(edges, "pa", "pb")
+  }
+
+  /** t201_basket_rules — top-20 supplier association rules by lift
+    * over order baskets (support/confidence/lift, min co-occurrence
+    * 5): the strongest-edges readout of the co-occurrence structure
+    * t192/t200 summarize. Exact oracle — every metric one IEEE
+    * divide of exact integer products.
+    */
+  def t201BasketRules(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Basket.associationRules(Tables.lineitem(spark, sfDir),
+      "l_orderkey", "l_suppkey", minSupportCount = 5, topK = 20)
+
+  /** t202_smd_balance — standardized-mean-difference balance audit of
+    * doc length between the md5 A/B slices per source (is the split
+    * balanced enough to attribute metric deltas?). Exact oracle —
+    * DECIMAL(38,0)/HUGEINT moments, fixed IEEE chain.
+    */
+  def t202SmdBalance(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.balanceSmd(Tables.documents(spark, sfDir),
+        Seq("source"), col("n_chars"),
+        substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+      .orderBy(col("source"))
+
+  /** t203_trimmed_mean — 10%-each-side trimmed mean of price cents
+    * per returnflag: the robust location between mean and median,
+    * partial tie blocks clipped exactly. Exact oracle.
+    */
+  def t203TrimmedMean(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.trimmedMean(Tables.lineitem(spark, sfDir),
+        Seq("l_returnflag"), round(col("l_extendedprice") * 100, 0),
+        trimFrac = 0.1)
+      .withColumnRenamed("l_returnflag", "flag")
+      .orderBy(col("flag"))
+
+  /** t204_theil — Theil T inequality of per-user event mass per
+    * event type (is traffic spread or concentrated in a few users —
+    * the decomposable complement to t158's Gini). Exact oracle —
+    * micro-unit BIGINT log terms.
+    */
+  def t204Theil(spark: SparkSession, sfDir: String): DataFrame = {
+    val uc = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Profiling.theilIndex(uc, Seq("event_type"), "x")
+      .orderBy(col("event_type"))
+  }
+
+  /** t205_stream_sessions — t185's gap sessionizer as a LIVE
+    * Structured Streaming query (session_window + watermark): emits
+    * each user session once the watermark passes its close. Exact
+    * oracle — the append-mode emission predicate (session end ≤
+    * ms-truncated max event time) replays in plain SQL.
+    */
+  def t205StreamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+    val agg = graft.streaming.StreamingSessions.sessionAgg(
+      stream, "user_id", "ts", "event_type", gapSeconds = 21600L)
+    StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, agg,
+        s"t205_sessions_${System.nanoTime}")
+    }.orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** t206_median_ci — distribution-free median + 95% CI of price
+    * cents per returnflag from order statistics (the sign-test CI:
+    * one pass, no bootstrap). Exact oracle — rank selections only.
+    */
+  def t206MedianCI(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.medianCI(Tables.lineitem(spark, sfDir),
+        Seq("l_returnflag"), round(col("l_extendedprice") * 100, 0))
+      .withColumnRenamed("l_returnflag", "flag")
+      .orderBy(col("flag"))
+
+  /** t207_rfm — RFM engagement segmentation of users (value-threshold
+    * tertiles on recency/frequency/monetary, ties score together):
+    * the segment grid with user counts. Exact oracle.
+    */
+  def t207Rfm(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Behavior.rfmSegments(Tables.events(spark, sfDir),
+        "user_id", "ts", "value")
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+
+  /** t208_lorenz — Lorenz curve deciles of per-user event mass per
+    * event type (the concentration CURVE behind t204's Theil number).
+    * Exact oracle — interval-overlap clip sums.
+    */
+  def t208Lorenz(spark: SparkSession, sfDir: String): DataFrame = {
+    val uc = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Profiling.lorenzDeciles(uc, Seq("event_type"), "x")
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  /** t209_mcnemar — do the two cheap "big line item" heuristics
+    * (quantity ≥ 26 vs price ≥ 50k) disagree SYSTEMATICALLY, per
+    * returnflag? McNemar's paired χ² over the discordant cells.
+    * Exact oracle.
+    */
+  def t209McNemar(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.mcNemar(Tables.lineitem(spark, sfDir),
+        Seq("l_returnflag"),
+        col("l_quantity") >= 26,
+        round(col("l_extendedprice") * 100, 0) >= 5000000L)
+      .withColumnRenamed("l_returnflag", "flag")
+      .orderBy(col("flag"))
+
+  /** t210_cuped — CUPED variance reduction on per-user event value:
+    * pre-period value sum as the covariate, post-period as the
+    * metric, md5 A/B arms. Exact oracle — micro-quantized adjusted
+    * metrics, integer variance forms.
+    */
+  def t210Cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("__d"),
+        round(col("value") * 100, 0).cast("long").as("__v"))
+    val sp = e.agg(expr("(min(__d) + max(__d)) div 2").as("__cut"))
+    val u = e.crossJoin(broadcast(sp))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("__d") <= col("__cut"), col("__v"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("__d") > col("__cut"), col("__v"))
+          .otherwise(0L)).as("y"))
+    graft.ops.Eval.cuped(u,
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+        col("x"), col("y"))
+      .orderBy(col("arm"))
+  }
+
+  /** t211_chapman — capture–recapture population estimate per source
+    * from two deterministic md5 "crawl" slices: is the frontier
+    * exhausted? Exact oracle.
+    */
+  def t211Chapman(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.CorpusStats.chapmanEstimate(
+        Tables.documents(spark, sfDir), Seq("source"),
+        substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
+        substring(md5(col("doc_id").cast("string")), 2, 1) < "c")
+      .orderBy(col("source"))
+
+  /** t212_chao1 — Chao1 unseen-vocabulary richness per source over
+    * bigrams (the unseen-TYPES companion to t173's Good–Turing
+    * unseen mass). Exact oracle.
+    */
+  def t212Chao1(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.CorpusStats.chao1Richness(
+        Tables.documents(spark, sfDir), "text", Seq("source"), n = 2)
+      .orderBy(col("source"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -394,7 +394,15 @@ object ScaleStress {
       // fleiss: three per-row raters union -> (source, item, category)
       // count; everything after is item-/category-keyed reductions
       // (t185/t187/t188 are events-table ops, outside this fixture)
-      "t186_fleiss" -> (TrainingQueries.t186Fleiss _))
+      "t186_fleiss" -> (TrainingQueries.t186Fleiss _),
+      // SNM blocking: the 10x fixture's 5 exact copies collapse at the
+      // rep dedup and the 5 near-dup variants share min-shingle keys —
+      // the window fills with REAL near-dup neighbors (SNM's dense
+      // case); candidates stay exactly window*n_reps by construction
+      // (t189-t192 are events/lineitem ops, outside this fixture —
+      // their 10x axis is sf0.01->sf0.1, recorded in BENCH_SF1)
+      "t194_jw_verify" -> (TrainingQueries.t194JwVerify _),
+      "t196_snm_block" -> (TrainingQueries.t196SnmBlock _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")

@@ -154,4 +154,44 @@ class CodegenSpec extends SparkSpec {
       interp.getStruct(0, 2).getLong(0) == 7L &&
       interp.getStruct(0, 2).getLong(1) == 3L)
   }
+
+  test("JaroWinklerSim compiles under codegen and agrees with interpreted eval") {
+    val a = BoundReference(0, StringType, nullable = true)
+    val b = BoundReference(1, StringType, nullable = true)
+    val e = JaroWinklerSim(a, b)
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    val cases = Seq(
+      ("martha", "marhta"), ("dixon", "dicksonx"), ("", ""), ("a", ""),
+      ("same", "same"), ("abc", "xyz"), ("h\u00e9llo", "hello"))
+    cases.foreach { case (x, y) =>
+      val in = InternalRow(UTF8String.fromString(x), UTF8String.fromString(y))
+      assert(proj(in).getDouble(0) == e.eval(in).asInstanceOf[Double],
+        s"codegen/interpreted skew on ($x, $y)")
+    }
+  }
+
+  test("jaroWinkler kernel: reference values and the DuckDB contract") {
+    def jw(a: String, b: String): Double =
+      TextKernels.jaroWinkler(UTF8String.fromString(a),
+        UTF8String.fromString(b))
+    // Winkler's canonical examples
+    assert(math.rint(jw("martha", "marhta") * 1e6) / 1e6 == 0.961111)
+    assert(math.rint(jw("dixon", "dicksonx") * 1e6) / 1e6 == 0.813333)
+    // the DuckDB empty rule: EITHER empty (including both) => 0
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0 && jw("", "a") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    // no matches within the window => 0
+    assert(jw("abc", "xyz") == 0.0)
+    // boost threshold: jaro = 2/3 <= 0.7 gets NO prefix bonus despite
+    // the 4-byte shared prefix (duckdb-verified constant)
+    assert(jw("abcdefgh", "abcdxyzw") == 0.6666666666666666)
+    // prefix cap at 4: jaro = 7/9 with an 8-byte shared prefix boosts
+    // by exactly 4*0.1*(1-j), not 8 (duckdb-verified constant; an
+    // uncapped boost would give 0.9555...)
+    assert(jw("abcdefghijkl", "abcdefghxyzw") == 0.8666666666666666)
+    assert(jw("prefab", "prefab-extra") == 0.9)
+    // byte alphabet: multi-byte code points compare per byte
+    // (duckdb-verified value for ("h\u00e9llo","hello") = 0.84000000...01)
+    assert(jw("h\u00e9llo", "hello") == 0.8400000000000001)
+  }
 }

@@ -130,4 +130,40 @@ class BehaviorSpec extends SparkSpec {
     val s21 = out((2L, 1L))
     assert(s21.getAs[Long]("n_events") == 2L && s21.getAs[Long]("n_types") == 2L)
   }
+
+  test("rfmSegments: tertile thresholds score ties together and counts conserve") {
+    // 9 users, distinct frequencies/moneys/recencies
+    val base = java.sql.Timestamp.valueOf("2021-09-20 10:00:00").getTime
+    val evs = for {
+      u <- 1L to 9L
+      i <- 1L to u // user u has u events
+    } yield (u, new java.sql.Timestamp(base + u * 86400000L + i * 1000L),
+      "click", u * 10.0, u * 100 + i)
+    val df = evs.toDF("user_id", "ts", "event_type", "value", "event_id")
+    val out = graft.operators.Behavior.rfmSegments(df, "user_id", "ts",
+      "value").collect()
+    assert(out.map(_.getAs[Long]("n_users")).sum == 9)
+    // user 9: most recent (rec=0), most frequent, highest value -> (3,3,3)
+    val top = out.find(r => r.getAs[Long]("r_score") == 3 &&
+      r.getAs[Long]("f_score") == 3 && r.getAs[Long]("m_score") == 3)
+    assert(top.isDefined && top.get.getAs[Long]("n_users") >= 1)
+    // scores stay in 1..3
+    out.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        assert(r.getAs[Long](c) >= 1 && r.getAs[Long](c) <= 3) }
+    }
+  }
+
+  test("rfmSegments: all-identical users land in one segment") {
+    val ts = java.sql.Timestamp.valueOf("2021-09-20 10:00:00")
+    val evs = (1L to 6L).map(u => (u, ts, "click", 50.0))
+    val out = graft.operators.Behavior.rfmSegments(
+      evs.toDF("user_id", "ts", "event_type", "value"),
+      "user_id", "ts", "value").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_users") == 6)
+    // every metric is a full tie at q1=q2 -> nothing exceeds either cut
+    assert(out.head.getAs[Long]("r_score") == 3) // rec <= cuts -> best
+    assert(out.head.getAs[Long]("f_score") == 1)
+    assert(out.head.getAs[Long]("m_score") == 1)
+  }
 }

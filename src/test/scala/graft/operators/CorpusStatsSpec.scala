@@ -284,4 +284,50 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(10L) > got(1L))
     assert(got(1L) == got(9L))            // identical docs score identically
   }
+
+  test("chapmanEstimate: full overlap estimates the union; disjoint blows up") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => ("g", i, true, true))
+    val out = CorpusStats.chapmanEstimate(
+      rows.toDF("g", "id", "a", "b"), Seq("g"), col("a"), col("b"))
+      .collect().head
+    // na=nb=m=50: (51*51/51)-1 = 50 -- captures everything, N-hat = N
+    assert(out.getAs[Double]("n_hat") == 50.0)
+    val dis = (1L to 20L).map(i => ("g", i, i <= 10, i > 10))
+    val o2 = CorpusStats.chapmanEstimate(
+      dis.toDF("g", "id", "a", "b"), Seq("g"), col("a"), col("b"))
+      .collect().head
+    // m=0: (11*11/1)-1 = 120 >> 20 -- disjoint crawls imply a large world
+    assert(o2.getAs[Double]("n_hat") == 120.0)
+  }
+
+  test("chapmanEstimate matches the closed form on a partial overlap") {
+    val rows = (1L to 100L).map(i => ("g", i, i <= 60, i > 40))
+    val out = CorpusStats.chapmanEstimate(
+      rows.toDF("g", "id", "a", "b"), Seq("g"), col("a"), col("b"))
+      .collect().head
+    // na=60, nb=60, m=20: 61*61/21 - 1
+    assert(out.getAs[Long]("n_overlap") == 20)
+    assert(out.getAs[Double]("n_hat") ==
+      math.rint((61.0 * 61 / 21 - 1) * 1e6) / 1e6)
+  }
+
+  test("chao1Richness: no singletons means no unseen mass; singleton-heavy inflates") {
+    import spark.implicits._
+    // every bigram repeated: f1 = 0 -> chao1 = D
+    val rep = Seq(("g", 1L, "a b a b"), ("g", 2L, "a b a b"))
+    val out = CorpusStats.chao1Richness(rep.toDF("g", "id", "text")
+      .withColumnRenamed("text", "txt"), "txt", Seq("g"), 2)
+      .collect().head
+    assert(out.getAs[Long]("f1") == 0)
+    assert(out.getAs[Double]("chao1") ==
+      out.getAs[Long]("d_observed").toDouble)
+    // all singletons: chao1 = D + D(D-1)/2
+    val uniq = Seq(("g", 1L, "p q r s t u"))
+    val o2 = CorpusStats.chao1Richness(uniq.toDF("g", "id", "txt"),
+      "txt", Seq("g"), 2).collect().head
+    val d = o2.getAs[Long]("d_observed")
+    assert(o2.getAs[Long]("f1") == d)
+    assert(o2.getAs[Double]("chao1") == d + d.toDouble * (d - 1) / 2.0)
+  }
 }

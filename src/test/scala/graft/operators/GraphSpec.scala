@@ -146,4 +146,38 @@ class GraphSpec extends SparkSpec {
     assert(out.getAs[Long]("n_wedges") == 1L)
     assert(out.getAs[Double]("global_cc") == 0.0)
   }
+
+  test("degreeAssortativity: a star graph is maximally disassortative") {
+    val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val out = Graph.degreeAssortativity(star, "a", "b").collect().head
+    assert(out.getAs[Long]("n_nodes") == 6 && out.getAs[Long]("n_edges") == 5)
+    assert(out.getAs[Double]("assortativity") == -1.0)
+  }
+
+  test("degreeAssortativity: regular graphs have no degree variance -> NULL") {
+    // a 4-cycle: every degree 2
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val out = Graph.degreeAssortativity(cyc, "a", "b").collect().head
+    assert(out.isNullAt(out.fieldIndex("assortativity")))
+  }
+
+  test("degreeAssortativity matches a direct Pearson over directed endpoints") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 4L),
+      (1L, 5L), (5L, 6L))
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val dir = edges.flatMap(e => Seq((deg(e._1), deg(e._2)),
+      (deg(e._2), deg(e._1))))
+    val m = dir.size.toLong
+    val sx = dir.map(_._1).sum; val sy = dir.map(_._2).sum
+    val sxy = dir.map(p => p._1 * p._2).sum
+    val sxx = dir.map(p => p._1 * p._1).sum
+    val syy = dir.map(p => p._2 * p._2).sum
+    val expected = math.rint((m * sxy - sx * sy).toDouble /
+      math.sqrt((m * sxx - sx * sx).toDouble * (m * syy - sy * sy).toDouble)
+      * 1e6) / 1e6
+    val out = Graph.degreeAssortativity(edges.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(out.getAs[Double]("assortativity") == expected)
+  }
 }

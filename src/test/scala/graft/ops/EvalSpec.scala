@@ -251,4 +251,209 @@ class EvalSpec extends SparkSpec {
       (n.toDouble * n * n - n)
     assert(math.abs(out.getAs[Double]("h") - h / c) < 5e-5)
   }
+
+  // ---- spearman ---------------------------------------------------
+
+  test("spearman: perfect monotone gives 1, reversed gives -1") {
+    val rows = (1 to 25).map(i => ("g", i.toLong, (i * i).toLong))
+    val up = Eval.spearman(rows.toDF("g", "x", "y"), Seq("g"),
+      col("x"), col("y")).collect().head
+    assert(up.getAs[Long]("n") == 25 && up.getAs[Double]("rho") == 1.0)
+    val down = Eval.spearman(rows.toDF("g", "x", "y"), Seq("g"),
+      col("x"), -col("y")).collect().head
+    assert(down.getAs[Double]("rho") == -1.0)
+  }
+
+  test("spearman: constant margin yields NULL rho") {
+    val rows = (1 to 10).map(i => ("g", i.toLong, 7L))
+    val out = Eval.spearman(rows.toDF("g", "x", "y"), Seq("g"),
+      col("x"), col("y")).collect().head
+    assert(out.isNullAt(out.fieldIndex("rho")))
+  }
+
+  test("spearman matches a direct midrank Pearson with ties") {
+    val data = Seq((1L, 3L), (1L, 5L), (2L, 5L), (2L, 2L), (3L, 8L),
+      (3L, 8L), (4L, 1L), (5L, 9L), (5L, 5L), (6L, 4L))
+    def midranks(vs: Seq[Long]): Map[Long, Double] = {
+      val c = vs.groupBy(identity).view.mapValues(_.size).toMap
+      var bef = 0
+      c.keys.toSeq.sorted.map { v =>
+        val r = v -> (bef + (c(v) + 1) / 2.0); bef += c(v); r
+      }.toMap
+    }
+    val rx = midranks(data.map(_._1)); val ry = midranks(data.map(_._2))
+    val a = data.map(d => rx(d._1)); val b = data.map(d => ry(d._2))
+    val n = data.size
+    val num = n * a.zip(b).map { case (x, y) => x * y }.sum - a.sum * b.sum
+    val den = math.sqrt((n * a.map(x => x * x).sum - a.sum * a.sum) *
+      (n * b.map(y => y * y).sum - b.sum * b.sum))
+    val expected = math.rint(num / den * 1e6) / 1e6
+    val out = Eval.spearman(data.map(d => ("g", d._1, d._2))
+        .toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(out.getAs[Double]("rho") == expected)
+  }
+
+  // ---- isotonicCalibration ----------------------------------------
+
+  test("isotonicCalibration: already-monotone bins pass through unchanged") {
+    // bins 0/1/2 with accuracies 0.2 < 0.5 < 0.8 — no pooling
+    val rows =
+      (1 to 10).map(i => ("g", 0.05, i <= 2)) ++
+      (1 to 10).map(i => ("g", 0.15, i <= 5)) ++
+      (1 to 10).map(i => ("g", 0.25, i <= 8))
+    val out = Eval.isotonicCalibration(rows.toDF("g", "p", "y"), Seq("g"),
+        col("p"), col("y"), 10)
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Double]("iso")).toSeq == Seq(0.2, 0.5, 0.8))
+    assert(out.map(_.getAs[Double]("acc")).toSeq == Seq(0.2, 0.5, 0.8))
+  }
+
+  test("isotonicCalibration pools violators to the weighted average (hand PAV)") {
+    // accs 0.8, 0.2 with weights 10, 30 violate monotonicity →
+    // both pool to (8+6)/40 = 0.35; the third bin (0.9) stands
+    val rows =
+      (1 to 10).map(i => ("g", 0.05, i <= 8)) ++
+      (1 to 30).map(i => ("g", 0.15, i <= 6)) ++
+      (1 to 10).map(i => ("g", 0.25, i <= 9))
+    val out = Eval.isotonicCalibration(rows.toDF("g", "p", "y"), Seq("g"),
+        col("p"), col("y"), 10)
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Double]("iso")).toSeq == Seq(0.35, 0.35, 0.9))
+  }
+
+  test("isotonicCalibration: fitted curve is nondecreasing within every group") {
+    val rows = (1 to 400).map { i =>
+      val p = (i % 97) / 97.0
+      ("g" + (i % 3), p, (i * 7919) % 13 < 5 || p > 0.7)
+    }
+    val out = Eval.isotonicCalibration(rows.toDF("g", "p", "y"),
+      Seq("g"), col("p"), col("y"), 10).orderBy("g", "bin").collect()
+    out.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val isos = rs.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("iso"))
+      assert(isos.zip(isos.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  // ---- kendallTauB ------------------------------------------------
+
+  test("kendallTauB: perfect monotone gives 1, reversed gives -1, constant NULL") {
+    val rows = (1 to 20).map(i => ("g", i.toLong, (i * 3).toLong))
+    val up = Eval.kendallTauB(rows.toDF("g", "x", "y"), Seq("g"),
+      col("x"), col("y")).collect().head
+    assert(up.getAs[Long]("n") == 20 && up.getAs[Double]("tau_b") == 1.0)
+    val down = Eval.kendallTauB(rows.toDF("g", "x", "y"), Seq("g"),
+      col("x"), -col("y")).collect().head
+    assert(down.getAs[Double]("tau_b") == -1.0)
+    val const = Eval.kendallTauB(rows.map(r => (r._1, r._2, 5L))
+      .toDF("g", "x", "y"), Seq("g"), col("x"), col("y")).collect().head
+    assert(const.isNullAt(const.fieldIndex("tau_b")))
+  }
+
+  test("kendallTauB matches the brute-force pair count with ties") {
+    val data = Seq((1L, 3L), (1L, 5L), (2L, 5L), (2L, 2L), (3L, 8L),
+      (3L, 8L), (4L, 1L), (5L, 9L), (5L, 5L), (6L, 4L))
+    var cc = 0L; var dd = 0L
+    for (i <- data.indices; j <- (i + 1) until data.size) {
+      val s = (data(i)._1 - data(j)._1) * (data(i)._2 - data(j)._2)
+      if (s > 0) cc += 1 else if (s < 0) dd += 1
+    }
+    val n = data.size.toLong
+    val n0 = n * (n - 1) / 2
+    def ties(vs: Seq[Long]) = vs.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val t1 = ties(data.map(_._1)); val t2 = ties(data.map(_._2))
+    val expected = math.rint((cc - dd).toDouble /
+      math.sqrt((n0 - t1).toDouble * (n0 - t2).toDouble) * 1e6) / 1e6
+    val out = Eval.kendallTauB(data.map(d => ("g", d._1, d._2))
+      .toDF("g", "x", "y"), Seq("g"), col("x"), col("y")).collect().head
+    assert(out.getAs[Double]("tau_b") == expected)
+  }
+
+  // ---- balanceSmd -------------------------------------------------
+
+  test("balanceSmd: identical sides give 0; known shift matches hand calc") {
+    // both sides see the identical multiset {0..9} twice
+    val same = (1 to 40).map(i => ("g", (i % 10).toLong, i <= 20))
+    val z = Eval.balanceSmd(same.toDF("g", "x", "sa"), Seq("g"),
+      col("x"), col("sa")).collect().head
+    assert(z.getAs[Double]("smd") == 0.0)
+    // side A = {1..10}, side B = {3..12}: dmean = -2, equal variances
+    val xa = (1L to 10L); val xb = (3L to 12L)
+    val rows = xa.map(x => ("g", x, true)) ++ xb.map(x => ("g", x, false))
+    val ma = xa.sum.toDouble / 10; val mb = xb.sum.toDouble / 10
+    val va = xa.map(x => (x - ma) * (x - ma)).sum / 9
+    val vb = xb.map(x => (x - mb) * (x - mb)).sum / 9
+    val expected = math.rint((ma - mb) / math.sqrt((va + vb) / 2) * 1e6) / 1e6
+    val out = Eval.balanceSmd(rows.toDF("g", "x", "sa"), Seq("g"),
+      col("x"), col("sa")).collect().head
+    assert(out.getAs[Long]("n_a") == 10 && out.getAs[Long]("n_b") == 10)
+    assert(out.getAs[Double]("smd") == expected)
+  }
+
+  test("balanceSmd: groups missing a side drop; constant sides give NULL") {
+    val rows = (1 to 10).map(i => ("onlyA", i.toLong, true)) ++
+      (1 to 10).map(i => ("both", 5L, i % 2 == 0))
+    val out = Eval.balanceSmd(rows.toDF("g", "x", "sa"), Seq("g"),
+      col("x"), col("sa")).collect()
+    assert(out.map(_.getString(0)).toSet == Set("both"))
+    assert(out.head.isNullAt(out.head.fieldIndex("smd")))
+  }
+
+  // ---- mcNemar ----------------------------------------------------
+
+  test("mcNemar: hand-computed discordant cells and significance") {
+    // 30 items: b = 12 (r1 only), c = 2 (r2 only) -> (10)^2/14 = 7.142857
+    val rows = Seq.fill(10)(("g", true, true)) ++
+      Seq.fill(12)(("g", true, false)) ++
+      Seq.fill(2)(("g", false, true)) ++
+      Seq.fill(6)(("g", false, false))
+    val out = Eval.mcNemar(rows.toDF("g", "r1", "r2"), Seq("g"),
+      col("r1"), col("r2")).collect().head
+    assert(out.getAs[Long]("b") == 12 && out.getAs[Long]("c") == 2)
+    assert(out.getAs[Double]("stat") == math.rint(100.0 / 14 * 1e6) / 1e6)
+    assert(out.getAs[Boolean]("significant"))
+    // balanced discordance: stat 0, not significant
+    val bal = Seq.fill(5)(("g", true, false)) ++ Seq.fill(5)(("g", false, true))
+    val o2 = Eval.mcNemar(bal.toDF("g", "r1", "r2"), Seq("g"),
+      col("r1"), col("r2")).collect().head
+    assert(o2.getAs[Double]("stat") == 0.0 && !o2.getAs[Boolean]("significant"))
+  }
+
+  test("mcNemar: all-concordant groups yield NULL stat") {
+    val rows = Seq.fill(8)(("g", true, true)) ++ Seq.fill(4)(("g", false, false))
+    val out = Eval.mcNemar(rows.toDF("g", "r1", "r2"), Seq("g"),
+      col("r1"), col("r2")).collect().head
+    assert(out.isNullAt(out.fieldIndex("stat")))
+  }
+
+  // ---- cuped ------------------------------------------------------
+
+  test("cuped: perfectly predictive covariate removes all variance") {
+    // y = 2x exactly: theta = 2, adjusted y constant -> var_reduction 1
+    val units = (1 to 30).map(i => (i % 2 == 0, i.toLong, 2L * i))
+    val out = Eval.cuped(units.toDF("arm", "x", "y"), col("arm"),
+      col("x"), col("y")).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("theta") == 2.0)
+      assert(r.getAs[Double]("var_reduction") == 1.0)
+    }
+  }
+
+  test("cuped: independent covariate leaves means unchanged-ish and theta from moments") {
+    val units = (1 to 40).map(i =>
+      ("a", (i % 7).toLong, (100 + (i * 13) % 29).toLong))
+    val n = units.size
+    val xs = units.map(_._2); val ys = units.map(_._3)
+    val th = (n.toLong * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum).toDouble /
+      (n.toLong * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    val out = Eval.cuped(units.toDF("arm", "x", "y"), col("arm"),
+      col("x"), col("y")).collect().head
+    assert(out.getAs[Double]("theta") == math.rint(th * 1e6) / 1e6)
+    assert(out.getAs[Long]("n_units") == 40)
+    // mean of y is exact
+    assert(out.getAs[Double]("mean_y") ==
+      math.rint(ys.sum.toDouble / n * 1e6) / 1e6)
+  }
 }

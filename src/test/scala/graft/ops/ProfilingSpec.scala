@@ -158,4 +158,174 @@ class ProfilingSpec extends SparkSpec {
     val e = out("e")   // even n: med = smallest v with 2*cum >= 4 -> 2
     assert(e.getAs[Long]("med") == 2L && e.getAs[Long]("mad") == 1L)
   }
+
+  // ---- cramersV ---------------------------------------------------
+
+  test("cramersV: perfect association gives 1, independence gives 0") {
+    val perfect = (1 to 40).map(i =>
+      ("g", if (i % 2 == 0) "a" else "b", if (i % 2 == 0) "x" else "y"))
+    val p = Profiling.cramersV(perfect.toDF("g", "r", "c"), Seq("g"),
+      "r", "c").collect().head
+    assert(p.getAs[Double]("v") == 1.0)
+    // exact independence: every (r, c) cell equally filled
+    val indep = for (i <- 0 until 10; r <- Seq("a", "b"); c <- Seq("x", "y"))
+      yield ("g", r, c)
+    val q = Profiling.cramersV(indep.toDF("g", "r", "c"), Seq("g"),
+      "r", "c").collect().head
+    assert(q.getAs[Double]("v") == 0.0)
+  }
+
+  test("cramersV: constant margin yields NULL; absent cells count") {
+    val const = (1 to 10).map(i => ("g", "only", if (i <= 5) "x" else "y"))
+    val out = Profiling.cramersV(const.toDF("g", "r", "c"), Seq("g"),
+      "r", "c").collect().head
+    assert(out.getAs[Long]("n_rows") == 1 && out.isNullAt(out.fieldIndex("v")))
+    // a 2x2 with one EMPTY cell: chi2 must include its expected mass
+    // hand: cells (a,x)=4 (a,y)=4 (b,x)=4 (b,y)=0 -> n=12,
+    // chi2 = sum over 4 cells = 12*(4*12-8*8)^2/(12*8*8) ... compute:
+    val rows = Seq.fill(4)(("g","a","x")) ++ Seq.fill(4)(("g","a","y")) ++
+      Seq.fill(4)(("g","b","x"))
+    val r2 = Profiling.cramersV(rows.toDF("g", "r", "c"), Seq("g"),
+      "r", "c").collect().head
+    // phi for 2x2 = |ad - bc| / sqrt(r1*r2*c1*c2) = |4*0-4*4|/sqrt(8*4*8*4)
+    val expected = math.rint(16.0 / math.sqrt(8.0*4*8*4) * 1e6) / 1e6
+    assert(r2.getAs[Double]("v") == expected)
+  }
+
+  // ---- skewKurtosis -----------------------------------------------
+
+  test("skewKurtosis: symmetric series has zero skewness") {
+    val rows = Seq(1L, 2L, 2L, 3L, 3L, 3L, 4L, 4L, 5L).map(("g", _))
+    val out = Profiling.skewKurtosis(rows.toDF("g", "x"), Seq("g"), "x")
+      .collect().head
+    assert(out.getAs[Double]("skewness") == 0.0)
+  }
+
+  test("skewKurtosis matches a direct two-pass computation") {
+    val xs = Seq(3L, 7L, 7L, 19L, 2L, 5L, 11L, 2L, 31L, 6L)
+    val n = xs.size
+    val mean = xs.sum.toDouble / n
+    val m2 = xs.map(x => math.pow(x - mean, 2)).sum / n
+    val m3 = xs.map(x => math.pow(x - mean, 3)).sum / n
+    val m4 = xs.map(x => math.pow(x - mean, 4)).sum / n
+    val sk = math.rint(m3 / math.pow(m2, 1.5) * 1e6) / 1e6
+    val ku = math.rint((m4 / (m2 * m2) - 3.0) * 1e6) / 1e6
+    val out = Profiling.skewKurtosis(xs.map(("g", _)).toDF("g", "x"),
+      Seq("g"), "x").collect().head
+    assert(out.getAs[Long]("n") == n)
+    assert(math.abs(out.getAs[Double]("skewness") - sk) <= 1e-6)
+    assert(math.abs(out.getAs[Double]("kurtosis") - ku) <= 1e-6)
+  }
+
+  test("skewKurtosis: constant series yields NULL shape stats") {
+    val out = Profiling.skewKurtosis(Seq.fill(5)(("g", 7L)).toDF("g", "x"),
+      Seq("g"), "x").collect().head
+    assert(out.isNullAt(out.fieldIndex("skewness")))
+    assert(out.isNullAt(out.fieldIndex("kurtosis")))
+  }
+
+  // ---- trimmedMean ------------------------------------------------
+
+  test("trimmedMean: drops exactly floor(n/10) from each side incl. partial ties") {
+    // n=10, k=1: drop min and max -> mean of the middle 8
+    val xs = Seq(100L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, -50L)
+    val out = Profiling.trimmedMean(xs.map(("g", _)).toDF("g", "x"),
+      Seq("g"), col("x"), 0.1).collect().head
+    val mid = xs.sorted.slice(1, 9)
+    assert(out.getAs[Long]("n") == 10 && out.getAs[Long]("k_trim") == 1)
+    assert(out.getAs[Double]("trimmed_mean") ==
+      math.rint(mid.sum.toDouble / 8 * 1e6) / 1e6)
+    // partial tie block: n=20, k=2, value 1 appears 5 times at the
+    // bottom -> 3 of the 5 survive
+    val ys = Seq.fill(5)(1L) ++ (2L to 16L)
+    val out2 = Profiling.trimmedMean(ys.map(("g", _)).toDF("g", "x"),
+      Seq("g"), col("x"), 0.1).collect().head
+    val sorted = ys.sorted
+    val mid2 = sorted.slice(2, 18)
+    assert(out2.getAs[Double]("trimmed_mean") ==
+      math.rint(mid2.sum.toDouble / 16 * 1e6) / 1e6)
+  }
+
+  test("trimmedMean: zero trim is the plain mean; tiny groups yield NULL-free mean") {
+    val xs = Seq(1L, 2L, 3L, 4L)
+    val out = Profiling.trimmedMean(xs.map(("g", _)).toDF("g", "x"),
+      Seq("g"), col("x"), 0.0).collect().head
+    assert(out.getAs[Long]("k_trim") == 0)
+    assert(out.getAs[Double]("trimmed_mean") == 2.5)
+  }
+
+  // ---- theilIndex -------------------------------------------------
+
+  test("theilIndex: perfectly even masses give 0; concentration raises it") {
+    val even = (1 to 8).map(i => ("g", i.toLong, 10L))
+    val z = Profiling.theilIndex(even.toDF("g", "u", "x"), Seq("g"), "x")
+      .collect().head
+    assert(z.getAs[Double]("theil") == 0.0)
+    val skewed = Seq(("g", 1L, 93L)) ++ (2 to 8).map(i => ("g", i.toLong, 1L))
+    val s = Profiling.theilIndex(skewed.toDF("g", "u", "x"), Seq("g"), "x")
+      .collect().head
+    // micro-unit contract reference
+    val xs = Seq(93L) ++ Seq.fill(7)(1L)
+    val n = xs.size; val total = xs.sum
+    val ssum = xs.map(x => math.rint(1e6 * x *
+      math.log(x.toDouble * n / total))).sum
+    assert(s.getAs[Double]("theil") == math.rint(ssum / 1e6 / total * 1e6) / 1e6)
+    assert(s.getAs[Double]("theil") > 1.0) // near-maximal for n=8
+  }
+
+  // ---- medianCI ---------------------------------------------------
+
+  test("medianCI: odd/even medians and hand-checked CI ranks") {
+    val xs = (1L to 25L)
+    val out = Profiling.medianCI(xs.map(("g", _)).toDF("g", "x"),
+      Seq("g"), col("x")).collect().head
+    assert(out.getAs[Long]("median") == 13)
+    // n=25: lo = floor((25 - 1.96*5)/2) = floor(7.6) = 7, hi = 19
+    assert(out.getAs[Long]("ci_lo") == 7 && out.getAs[Long]("ci_hi") == 19)
+    val even = (1L to 24L)
+    val out2 = Profiling.medianCI(even.map(("g", _)).toDF("g", "x"),
+      Seq("g"), col("x")).collect().head
+    assert(out2.getAs[Long]("median") == 12) // lower median
+  }
+
+  test("medianCI: ties collapse into blocks without shifting ranks") {
+    // blocks cum to 10, 18, 25: lo=7 -> 5, mid=13 -> 7, hi=19 -> 9
+    val xs = Seq.fill(10)(5L) ++ Seq.fill(8)(7L) ++ Seq.fill(7)(9L)
+    val out = Profiling.medianCI(xs.map(("g", _)).toDF("g", "x"),
+      Seq("g"), col("x")).collect().head
+    assert(out.getAs[Long]("median") == 7)
+    assert(out.getAs[Long]("ci_lo") == 5 && out.getAs[Long]("ci_hi") == 9)
+  }
+
+  // ---- lorenzDeciles ----------------------------------------------
+
+  test("lorenzDeciles: equal masses give the diagonal; L(10) = 1") {
+    val cells = (1L to 20L).map(u => ("g", u, 5L))
+    val out = Profiling.lorenzDeciles(cells.toDF("g", "u", "x"),
+      Seq("g"), "x").orderBy("decile").collect()
+    assert(out.map(_.getAs[Double]("mass_share")).toSeq ==
+      (1 to 10).map(_ / 10.0))
+  }
+
+  test("lorenzDeciles: concentrated mass bends the curve below the diagonal") {
+    // 9 users with 1, one user with 91: bottom 90% hold 9/100
+    val cells = (1L to 9L).map(u => ("g", u, 1L)) :+ ("g", 10L, 91L)
+    val out = Profiling.lorenzDeciles(cells.toDF("g", "u", "x"),
+      Seq("g"), "x").orderBy("decile").collect()
+    val shares = out.map(_.getAs[Double]("mass_share")).toSeq
+    assert(shares(8) == 0.09 && shares(9) == 1.0)
+    assert(shares.take(9).zipWithIndex.forall { case (s, i) =>
+      s == (i + 1) * 0.01 })
+  }
+
+  test("lorenzDeciles: partial tie blocks clip exactly") {
+    // 15 equal masses: decile boundaries fall INSIDE the tie block
+    val cells = (1L to 15L).map(u => ("g", u, 2L))
+    val out = Profiling.lorenzDeciles(cells.toDF("g", "u", "x"),
+      Seq("g"), "x").orderBy("decile").collect()
+    // k_d = floor(15d/10): 1,3,4,6,7,9,10,12,13,15 -> share = k_d/15
+    val want = Seq(1, 3, 4, 6, 7, 9, 10, 12, 13, 15)
+      .map(k => math.rint(k * 2.0 / 30.0 * 1e6) / 1e6)
+    assert(out.map(_.getAs[Double]("mass_share")).toSeq == want)
+  }
 }
