@@ -70,7 +70,9 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t199_skew_kurtosis", "t200_assortativity", "t201_basket_rules",
            "t202_smd_balance", "t203_trimmed_mean", "t204_theil",
            "t206_median_ci", "t207_rfm", "t208_lorenz", "t209_mcnemar",
-           "t210_cuped", "t211_chapman", "t212_chao1"]
+           "t210_cuped", "t211_chapman", "t212_chao1", "t213_seq_monitor",
+           "t214_seasonality", "t215_entity_resolve",
+           "t216_delta_attribution"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -251,6 +253,14 @@ NOTES = {
         "ONE map-side-combinable per-source collapse to three exact capture counts; the Chapman estimate is one IEEE divide per group row.",
     "t212_chao1":
         "Bigrams collapse to 48-bit digests through TWO map-side-combinable stages — (source, digest) counts then the 3-number frequency profile — so shuffles carry 8-byte digests and the estimate is a closed form on |sources| rows.",
+    "t213_seq_monitor":
+        "One map-side-combinable (day, arm) moment collapse is the only corpus-sized stage; the cumulative windows span per-arm calendar-bounded partitions, the a-b join is day-keyed, and the Lambda/p chain runs per-row on <= |days| rows. The running-max window is the days frame, never the corpus.",
+    "t214_seasonality":
+        "The caller's daily count is the corpus-sized stage; two map-side-combinable reductions over the calendar-bounded daily frame and one broadcast |groups|-row join produce the 7 x |groups| index table.",
+    "t215_entity_resolve":
+        "The full ER pipeline in one plan: exact-collapse first, the t196 blocking chain (range-repartition rank, window*n candidates), per-candidate JW kernels, pointer-jumping components in O(log n) rounds (id-keyed 8-byte joins, the t18 machinery), and a component-keyed canonical reduction. No window funnels anywhere; the recursive part is the CC rounds, each a bounded join+groupBy.",
+    "t216_delta_attribution":
+        "ONE map-side-combinable (cell, side) collapse; deltas are integer subtractions that sum EXACTLY to the broadcast 1-row total, so nothing after the scan exceeds |cells| rows.",
     "t192_triangles":
         "Per-order pair expansion is bounded by order size (≤ 13 lineitems → ≤ 78 pairs); edges dedup through one (u, v)-keyed distinct — 8-byte shuffles — and the degree-ordered orientation bounds every oriented out-degree by O(√m), making the wedge-closure join O(m^1.5) regardless of hub skew (a hub's star orients INTO it, generating no wedges). No windows, no driver state.",
 }

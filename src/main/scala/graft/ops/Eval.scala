@@ -782,4 +782,72 @@ object Eval {
               col("__sy") * col("__sy")).cast("double"), 6))
           .as("var_reduction"))
   }
+
+  /** ALWAYS-VALID sequential A/B monitor (mSPRT, Johari et al. 2017/
+    * 2022 — the "peeking-safe" p-value): per period, the running
+    * two-sample mixture likelihood ratio
+    * Λ_n = √(V/(V+τ²))·exp(Δ²τ²/(2V(V+τ²))) with Δ the cumulative
+    * mean difference, V = s²·(1/n_A + 1/n_B) from the pooled running
+    * variance, and mixture scale τ² = s² — and the always-valid
+    * p_n = min(1, 1/max_{k≤n} Λ_k), monotone by construction. The
+    * experimentation table a dashboard can read EVERY day without
+    * inflating false positives (a fixed-horizon t-test peeked daily
+    * is statistically invalid; this is the standard fix).
+    *
+    * Portability: per-(period, arm) n/Σx/Σx² collapse to exact
+    * DECIMAL(38,0)/HUGEINT integers; the cumulative windows run over
+    * the calendar-bounded period frame; Δ, V, and Λ are one fixed
+    * IEEE chain of those integers, and the running max/min are
+    * selections. Periods missing either arm drop (inner join).
+    *
+    * Scale shape: one map-side-combinable (period, arm) moment
+    * collapse is the only corpus-sized stage; everything after lives
+    * on ≤ |periods| rows per arm.
+    *
+    * Output: (period, n_a, n_b, delta 6dp, p_always 6dp, stopped) —
+    * `stopped` judges the 6dp p against `alpha`.
+    */
+  def sequentialAbMonitor(df: DataFrame, periodCol: Column,
+                          armA: Column, valueCol: Column,
+                          alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val dec = "decimal(38,0)"
+    val daily = df.filter(valueCol.isNotNull && armA.isNotNull)
+      .groupBy(periodCol.as("period"), armA.as("__a"))
+      .agg(count(lit(1)).as("__n"),
+        sum(valueCol.cast("long").cast(dec)).as("__s"),
+        sum(valueCol.cast("long").cast(dec) * valueCol.cast("long"))
+          .as("__ss"))
+    val w = Window.partitionBy(col("__a")).orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__cs", sum(col("__s")).over(w))
+      .withColumn("__css", sum(col("__ss")).over(w))
+    def side(tag: String, keep: Column): DataFrame =
+      cum.filter(keep).select(col("period"),
+        col("__cn").as(s"__n_$tag"), col("__cs").as(s"__s_$tag"),
+        col("__css").as(s"__ss_$tag"))
+    def variance(tag: String): Column =
+      (col(s"__n_$tag").cast(dec) * col(s"__ss_$tag") -
+        col(s"__s_$tag") * col(s"__s_$tag")).cast("double") /
+        (col(s"__n_$tag").cast("double") * (col(s"__n_$tag") - 1))
+    val ab = side("a", col("__a")).join(side("b", !col("__a")), "period")
+      .filter(col("__n_a") > 1 && col("__n_b") > 1)
+    val delta = col("__s_a").cast("double") / col("__n_a") -
+      col("__s_b").cast("double") / col("__n_b")
+    val s2 = (variance("a") + variance("b")) / 2.0
+    val vn = s2 * (lit(1.0) / col("__n_a") + lit(1.0) / col("__n_b"))
+    val lambda = sqrt(vn / (vn + s2)) *
+      exp(delta * delta * s2 / (lit(2.0) * vn * (vn + s2)))
+    val runMax = Window.orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = round(least(lit(1.0),
+      lit(1.0) / max(col("__lambda")).over(runMax)), 6)
+    ab.withColumn("__lambda", lambda)
+      .withColumn("p_always", p)
+      .select(col("period"), col("__n_a").as("n_a"),
+        col("__n_b").as("n_b"), round(delta, 6).as("delta"),
+        col("p_always"), (col("p_always") < alpha).as("stopped"))
+  }
 }

@@ -356,4 +356,40 @@ object Trend {
         round(col("__sl"), 6).as("slope") :+
         round(col("__ic"), 6).as("intercept"): _*)
   }
+
+  /** SEASONALITY profile per group over a complete per-period count
+    * series: the day-of-week (or any modular phase) multiplicative
+    * index — index_p = (phase mean)/(overall mean) — the "weekends
+    * run at 0.7×" table behind dashboard normalization and the
+    * deseasonalization step feeding [[theilSen]]/[[mannKendall]].
+    *
+    * Exactness: index_p = (S_p·n)/(n_p·S) — ONE IEEE divide of exact
+    * BIGINT products (sums and counts never touch floats), 6dp at
+    * the boundary. Zero overall mass yields NULL indices.
+    *
+    * Scale shape: the caller's daily count is the corpus-sized stage;
+    * this is two map-side-combinable reductions over the
+    * calendar-bounded daily frame and a |groups|-row broadcast join.
+    *
+    * Output: (groups…, phase, n_periods, seasonal_index 6dp).
+    */
+  def seasonalIndices(series: DataFrame, groupCols: Seq[String],
+                      orderCol: String, valueCol: String,
+                      cycle: Int = 7): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(cycle >= 2, s"cycle must be >= 2, got $cycle")
+    val g = groupCols.map(col)
+    val base = series.select(g :+ (col(orderCol).cast("long") % cycle)
+      .as("phase") :+ col(valueCol).cast("long").as("__x"): _*)
+    val st = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    base.groupBy(g :+ col("phase"): _*)
+      .agg(count(lit(1)).as("n_periods"), sum(col("__x")).as("__sp"))
+      .join(broadcast(st), groupCols)
+      .select(g :+ col("phase") :+ col("n_periods") :+
+        when(col("__s") > 0,
+          round((col("__sp") * col("__n")).cast("double") /
+            (col("n_periods") * col("__s")).cast("double"), 6))
+          .as("seasonal_index"): _*)
+  }
 }

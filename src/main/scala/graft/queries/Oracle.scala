@@ -6379,7 +6379,8 @@ object Oracle {
       """WITH toks AS (
         |  SELECT source, list_filter(string_split_regex(lower(text),
         |    '[ 	
-]+'), x -> x <> '') AS t
+
+]+'), x -> x <> '') AS t
         |  FROM documents WHERE text IS NOT NULL
         |), grams AS (
         |  SELECT source, unnest(
@@ -6401,5 +6402,170 @@ object Oracle {
         |  round(d_observed + CAST(f1*(f1-1) AS DOUBLE) / (2.0*(f2+1)), 6)
         |    AS chao1
         |FROM ff ORDER BY source""".stripMargin,
+
+    // exact mirror of Eval.sequentialAbMonitor (t213): per-(day, arm)
+    // HUGEINT moments, per-arm cumulative windows, inner join on days
+    // both arms saw, fixed IEEE Lambda chain, running-max p
+    "t213_seq_monitor" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS period,
+        |    substr(md5(CAST(user_id AS VARCHAR)),1,1) < '8' AS a,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), daily AS (
+        |  SELECT period, a, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS HUGEINT) AS s, sum(CAST(v AS HUGEINT)*v) AS ss
+        |  FROM e GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT period, a,
+        |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |    CAST(sum(s) OVER w AS HUGEINT) AS cs,
+        |    CAST(sum(ss) OVER w AS HUGEINT) AS css
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY a ORDER BY period
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), ab AS (
+        |  SELECT x.period, x.cn AS na, y.cn AS nb,
+        |    CAST(x.cs AS DOUBLE)/x.cn - CAST(y.cs AS DOUBLE)/y.cn AS delta,
+        |    (CAST(x.cn*x.css - x.cs*x.cs AS DOUBLE)
+        |       / (CAST(x.cn AS DOUBLE)*(x.cn-1))
+        |     + CAST(y.cn*y.css - y.cs*y.cs AS DOUBLE)
+        |       / (CAST(y.cn AS DOUBLE)*(y.cn-1))) / 2.0 AS s2
+        |  FROM cum x JOIN cum y ON y.period = x.period
+        |  WHERE x.a AND NOT y.a AND x.cn > 1 AND y.cn > 1
+        |), lam AS (
+        |  SELECT period, na, nb, delta,
+        |    s2*(1.0/na + 1.0/nb) AS vn, s2
+        |  FROM ab
+        |), lam2 AS (
+        |  SELECT period, na, nb, delta,
+        |    sqrt(vn/(vn+s2)) * exp(delta*delta*s2/(2.0*vn*(vn+s2)))
+        |      AS lambda
+        |  FROM lam
+        |), fin AS (
+        |  SELECT period, na AS n_a, nb AS n_b, round(delta, 6) AS delta,
+        |    round(least(1.0, 1.0/max(lambda) OVER (ORDER BY period
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |      AS p_always
+        |  FROM lam2
+        |)
+        |SELECT period, n_a, n_b, delta, p_always,
+        |       p_always < 0.05 AS stopped
+        |FROM fin ORDER BY period""".stripMargin,
+
+    // exact mirror of Trend.seasonalIndices (t214): index =
+    // (S_p*n)/(n_p*S) -- one IEEE divide of exact BIGINT products
+    "t214_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1
+        |), dm AS (
+        |  SELECT event_type, d % 7 AS phase,
+        |         CAST(count(*) AS BIGINT) AS n_periods,
+        |         CAST(sum(x) AS BIGINT) AS sp
+        |  FROM daily GROUP BY 1, 2
+        |)
+        |SELECT dm.event_type, dm.phase, dm.n_periods,
+        |  CASE WHEN st.s > 0 THEN
+        |    round(CAST(dm.sp * st.n AS DOUBLE)
+        |      / CAST(dm.n_periods * st.s AS DOUBLE), 6) END
+        |    AS seasonal_index
+        |FROM dm JOIN st ON st.event_type = dm.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    // exact replay of t215 (SNM blocking + JW >= 0.9 verify + exact
+    // pairs + the shared recursive components + canonical election):
+    // the t196 CTE chain, the t194 judge, the t18/t38 tail
+    "t215_entity_resolve" ->
+      """WITH RECURSIVE reps AS (
+        |  SELECT min(doc_id) AS id, text FROM documents
+        |  WHERE text IS NOT NULL GROUP BY text
+        |), exact_pairs AS (
+        |  SELECT r.id AS id_a, d.doc_id AS id_b
+        |  FROM documents d JOIN reps r USING (text)
+        |  WHERE d.doc_id != r.id
+        |), toks AS (
+        |  SELECT id, list_filter(string_split_regex(lower(text),
+        |    '[ 	
+]+'), x -> x <> '') AS t
+        |  FROM reps
+        |), sets AS (
+        |  SELECT id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END
+        |    AS sh
+        |  FROM toks
+        |), keyed AS (
+        |  SELECT s.id, list_aggregate(list_transform(s.sh,
+        |      x -> CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)), 'min')
+        |    AS mkey
+        |  FROM sets s
+        |), ranked AS (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY mkey, id)
+        |    AS BIGINT) - 1 AS rk
+        |  FROM keyed
+        |), cands AS (
+        |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+        |  FROM ranked a JOIN ranked b ON b.rk BETWEEN a.rk+1 AND a.rk+3
+        |), near_pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cands c JOIN reps ra ON ra.id = c.id_a
+        |               JOIN reps rb ON rb.id = c.id_b
+        |  WHERE round(jaro_winkler_similarity(ra.text, rb.text), 6) >= 0.9
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM exact_pairs
+        |  UNION SELECT id_a, id_b FROM near_pairs
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |), labeled AS (
+        |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        |), rankedc AS (
+        |  SELECT l.component, d.doc_id, d.n_chars,
+        |         count(*) OVER (PARTITION BY l.component) AS cluster_size,
+        |         row_number() OVER (PARTITION BY l.component
+        |                            ORDER BY d.n_chars DESC, d.doc_id)
+        |           AS rn
+        |  FROM labeled l JOIN documents d USING (doc_id)
+        |)
+        |SELECT component, doc_id AS canonical_id, n_chars,
+        |       CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM rankedc WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    // exact mirror of Attribution.deltaAttribution (t216): exact
+    // BIGINT pre/post sums, integer deltas summing exactly to the
+    // total, one IEEE divide for the share
+    "t216_delta_attribution" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), sp AS (SELECT (min(d) + max(d)) // 2 AS cut FROM e),
+        |cells AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN d <= (SELECT cut FROM sp) THEN v ELSE 0 END)
+        |      AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN d > (SELECT cut FROM sp) THEN v ELSE 0 END)
+        |      AS BIGINT) AS post
+        |  FROM e GROUP BY 1
+        |), t AS (SELECT CAST(sum(post - pre) AS BIGINT) AS td FROM cells)
+        |SELECT event_type, pre, post, post - pre AS delta,
+        |  CASE WHEN t.td != 0 THEN
+        |    round(CAST(post - pre AS DOUBLE) / CAST(t.td AS DOUBLE), 6)
+        |  END AS share
+        |FROM cells CROSS JOIN t
+        |ORDER BY event_type""".stripMargin,
   )
 }

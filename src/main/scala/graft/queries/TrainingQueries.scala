@@ -4495,6 +4495,79 @@ object TrainingQueries {
         Tables.documents(spark, sfDir), "text", Seq("source"), n = 2)
       .orderBy(col("source"))
 
+  /** t213_seq_monitor — always-valid sequential A/B monitor (mSPRT)
+    * over daily event value: the peeking-safe p-value table, one row
+    * per day. Exact oracle — cumulative integer moments, fixed IEEE
+    * Λ chain, running-max selections.
+    */
+  def t213SeqMonitor(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.sequentialAbMonitor(
+        Tables.events(spark, sfDir),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long"),
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+        round(col("value") * 100, 0))
+      .orderBy(col("period"))
+
+  /** t214_seasonality — day-of-week multiplicative seasonal indices
+    * of each event type's daily volume (the dashboard-normalization
+    * table). Exact oracle — one divide of exact integer products.
+    */
+  def t214Seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Trend.seasonalIndices(daily, Seq("event_type"), "d", "x", 7)
+      .orderBy(col("event_type"), col("phase"))
+  }
+
+  /** t215_entity_resolve — the full entity-resolution pipeline in one
+    * query: exact-dup collocation + SNM blocking (t196) + JW ≥ 0.9
+    * verification (t194) + pointer-jumping connected components (t18)
+    * + canonical election (t38). Exact oracle — the composed CTE
+    * chain ends in the shared recursive-reach replay.
+    */
+  def t215EntityResolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactPairs = TextDedup.exactClusters(docs, "text", "doc_id")
+    val reps = docs.filter(col("text").isNotNull)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val cands = graft.operators.Blocking.sortedNeighborhoodCandidates(
+      docs, "text", "doc_id", window = 3)
+    val near = graft.operators.TextDedup.jaroWinklerVerify(cands, reps,
+        "text", "doc_id", minSim = 0.9)
+      .filter(col("accept")).select(col("id_a"), col("id_b"))
+    Clustering.labelCorpus(docs, "doc_id",
+        exactPairs.unionByName(near), "id_a", "id_b")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+           min(struct((-col("n_chars")).as("neg"),
+                      col("doc_id").as("id"))).as("best"))
+      .select(col("component"), col("best.id").as("canonical_id"),
+              (-col("best.neg")).as("n_chars"), col("cluster_size"))
+      .orderBy(col("component"))
+  }
+
+  /** t216_delta_attribution — which event types explain the
+    * first-half → second-half shift in total event value (exact
+    * additive decomposition, per-cell shares). Exact oracle.
+    */
+  def t216DeltaAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .withColumn("__d",
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long"))
+    val sp = e.agg(expr("(min(__d) + max(__d)) div 2").as("__cut"))
+    graft.ops.Attribution.deltaAttribution(
+        e.crossJoin(broadcast(sp)), Seq("event_type"),
+        col("__d") <= col("__cut"), round(col("value") * 100, 0))
+      .orderBy(col("event_type"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -456,4 +456,40 @@ class EvalSpec extends SparkSpec {
     assert(out.getAs[Double]("mean_y") ==
       math.rint(ys.sum.toDouble / n * 1e6) / 1e6)
   }
+
+  // ---- sequentialAbMonitor ----------------------------------------
+
+  test("sequentialAbMonitor: a real effect drives p down and stops; p is monotone") {
+    // arm A shifted by +50 every day, 40 units/day/arm, 10 days
+    val rows = for {
+      d <- 1L to 10L; u <- 1 to 40; a <- Seq(true, false)
+    } yield (d, a, (100 + (u * 7) % 23 + (if (a) 50 else 0)).toLong)
+    val out = Eval.sequentialAbMonitor(rows.toDF("d", "a", "v"),
+      col("d"), col("a"), col("v"), alpha = 0.05)
+      .orderBy("period").collect()
+    val ps = out.map(_.getAs[Double]("p_always")).toSeq
+    assert(ps.zip(ps.tail).forall { case (x, y) => y <= x }) // monotone
+    assert(out.last.getAs[Boolean]("stopped")) // effect detected
+    assert(out.last.getAs[Double]("delta") > 45 &&
+      out.last.getAs[Double]("delta") < 55)
+  }
+
+  test("sequentialAbMonitor: identical arms never stop") {
+    val rows = for {
+      d <- 1L to 10L; u <- 1 to 30; a <- Seq(true, false)
+    } yield (d, a, (100 + (u * 13) % 37).toLong)
+    val out = Eval.sequentialAbMonitor(rows.toDF("d", "a", "v"),
+      col("d"), col("a"), col("v")).collect()
+    assert(out.forall(!_.getAs[Boolean]("stopped")))
+    // identical arms: delta exactly 0, Lambda = sqrt(V/(V+s2)) < 1, p = 1
+    assert(out.forall(_.getAs[Double]("p_always") == 1.0))
+  }
+
+  test("sequentialAbMonitor: periods missing an arm drop") {
+    val rows = Seq((1L, true, 10L), (1L, true, 12L), (1L, false, 11L),
+      (1L, false, 13L), (2L, true, 10L), (2L, true, 14L))
+    val out = Eval.sequentialAbMonitor(rows.toDF("d", "a", "v"),
+      col("d"), col("a"), col("v")).collect()
+    assert(out.map(_.getAs[Long]("period")).toSeq == Seq(1L))
+  }
 }

@@ -173,4 +173,33 @@ class TrendSpec extends SparkSpec {
     assert(out.getAs[Long]("n_days") == 11L)
     assert(out.getAs[Long]("n_pairs") == 55L)
   }
+
+  // ---- seasonalIndices --------------------------------------------
+
+  test("seasonalIndices: a flat series gives index 1 everywhere") {
+    val rows = (0L until 28L).map(d => ("g", d, 10L))
+    val out = Trend.seasonalIndices(rows.toDF("g", "d", "x"), Seq("g"),
+      "d", "x", 7).collect()
+    assert(out.length == 7)
+    assert(out.forall(_.getAs[Double]("seasonal_index") == 1.0))
+  }
+
+  test("seasonalIndices: a doubled phase matches the closed form") {
+    // 28 days, phase 0 runs at 20, others at 10: mean = 80/7 per group
+    val rows = (0L until 28L).map(d =>
+      ("g", d, if (d % 7 == 0) 20L else 10L))
+    val out = Trend.seasonalIndices(rows.toDF("g", "d", "x"), Seq("g"),
+      "d", "x", 7).orderBy("phase").collect()
+    // S = 28*10 + 4*10 extra = 320; n = 28; phase0: sp=80, np=4
+    // index0 = 80*28/(4*320) = 1.75; others = 40*28/(4*320) = 0.875
+    assert(out.head.getAs[Double]("seasonal_index") == 1.75)
+    assert(out.tail.forall(_.getAs[Double]("seasonal_index") == 0.875))
+  }
+
+  test("seasonalIndices: zero total mass yields NULL") {
+    val rows = (0L until 14L).map(d => ("g", d, 0L))
+    val out = Trend.seasonalIndices(rows.toDF("g", "d", "x"), Seq("g"),
+      "d", "x", 7).collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("seasonal_index"))))
+  }
 }
