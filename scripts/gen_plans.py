@@ -72,7 +72,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t206_median_ci", "t207_rfm", "t208_lorenz", "t209_mcnemar",
            "t210_cuped", "t211_chapman", "t212_chao1", "t213_seq_monitor",
            "t214_seasonality", "t215_entity_resolve",
-           "t216_delta_attribution"]
+           "t216_delta_attribution", "t217_pool_embed", "t218_srm",
+           "t219_win_matrix", "t220_neyman"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -261,6 +262,14 @@ NOTES = {
         "The full ER pipeline in one plan: exact-collapse first, the t196 blocking chain (range-repartition rank, window*n candidates), per-candidate JW kernels, pointer-jumping components in O(log n) rounds (id-keyed 8-byte joins, the t18 machinery), and a component-keyed canonical reduction. No window funnels anywhere; the recursive part is the CC rounds, each a bounded join+groupBy.",
     "t216_delta_attribution":
         "ONE map-side-combinable (cell, side) collapse; deltas are integer subtractions that sum EXACTLY to the broadcast 1-row total, so nothing after the scan exceeds |cells| rows.",
+    "t217_pool_embed":
+        "ONE groupBy(doc) shuffle carries (id, vector) structs; the fold is a per-row lambda over the sorted chunk list (bounded by chunks-per-doc), and the QA summaries are per-row dim folds. No window, no driver state — chunks fold in id order so the float sums are deterministic.",
+    "t218_srm":
+        "ONE map-side-combinable (day, arm) collapse to two exact BIGINTs per day; the chi-square and flag are per-row scalars on the days frame.",
+    "t219_win_matrix":
+        "The (source, length) cell collapse rides the scan; the dense grid is |groups|*|domain| rows with per-group cumulative windows over the bounded domain, and the pair stage is ONE value-keyed join of a-cells against the grid — never a cells-squared blowup; the 2W mass stays exact BIGINT.",
+    "t220_neyman":
+        "ONE map-side-combinable stratum moment collapse; sigma/weights/allocations are |strata|-row arithmetic against a broadcast 1-row total.",
     "t192_triangles":
         "Per-order pair expansion is bounded by order size (≤ 13 lineitems → ≤ 78 pairs); edges dedup through one (u, v)-keyed distinct — 8-byte shuffles — and the degree-ordered orientation bounds every oriented out-degree by O(√m), making the wedge-closure join O(m^1.5) regardless of hub skew (a hub's star orients INTO it, generating no wedges). No windows, no driver state.",
 }

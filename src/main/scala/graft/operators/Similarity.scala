@@ -711,4 +711,43 @@ object Similarity {
           - col("__sm").cast("double") * col("__sm") / col("__n"))
           / col("__n")) / 1e6, 6).as("std_cos"))
   }
+
+  /** CHUNK→DOCUMENT embedding pooling — mean-pool each document's
+    * chunk vectors into one document vector (the standard long-doc
+    * embedding recipe: embed bounded chunks, pool for doc-level
+    * retrieval/dedup; the pooled table is what SemDeDup/ANN then
+    * consume at doc granularity).
+    *
+    * Determinism contract: chunks fold in `chunkIdCol` order
+    * (sort_array on the (id, vec) struct), so the per-dimension sum
+    * is the same left-associated IEEE chain on every engine and
+    * every retry — an unordered float sum would be
+    * partition-placement-dependent. Float elements widen to double
+    * exactly; one divide by the chunk count per dimension.
+    *
+    * Scale shape: ONE groupBy(doc) shuffle carrying (id, vector)
+    * structs; the fold is a per-row lambda over the collected
+    * chunk list (bounded by chunks-per-doc — the chunking contract,
+    * t33/t110), no window, no driver state.
+    *
+    * Output: (docCol, n_chunks, embedding ARRAY<DOUBLE>[dim]).
+    */
+  def poolChunkEmbeddings(chunks: DataFrame, docCol: String,
+                          chunkIdCol: String, vecCol: String,
+                          dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val grouped = chunks
+      .filter(col(vecCol).isNotNull)
+      .groupBy(col(docCol))
+      .agg(sort_array(collect_list(struct(col(chunkIdCol).as("i"),
+        col(vecCol).as("v")))).as("__cs"))
+    grouped.select(col(docCol),
+      size(col("__cs")).cast("long").as("n_chunks"),
+      transform(
+        aggregate(col("__cs"),
+          array_repeat(lit(0.0), dim),
+          (acc, s) => zip_with(acc, s.getField("v"),
+            (a, b) => a + b.cast("double"))),
+        x => x / size(col("__cs"))).as("embedding"))
+  }
 }

@@ -850,4 +850,80 @@ object Eval {
         col("__n_b").as("n_b"), round(delta, 6).as("delta"),
         col("p_always"), (col("p_always") < alpha).as("stopped"))
   }
+
+  /** SAMPLE-RATIO MISMATCH check per period — the first validity
+    * gate on any A/B readout (an arm imbalance the randomizer didn't
+    * intend invalidates every downstream metric comparison before it
+    * starts): χ² = (n_A − n_B)²/(n_A + n_B) against the expected
+    * 50/50 split, judged on the shared χ²₁ literal 3.841458821.
+    *
+    * Arithmetic: exact BIGINT arm counts from ONE map-side
+    * combinable collapse; one IEEE divide. Output: (period, n_a,
+    * n_b, chi2 6dp, mismatch).
+    */
+  def srmCheck(df: DataFrame, periodCol: Column,
+               armA: Column): DataFrame = {
+    val m = df.filter(armA.isNotNull)
+      .groupBy(periodCol.as("period"))
+      .agg(sum(when(armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!armA, 1L).otherwise(0L)).as("n_b"))
+    val chi2 = round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+      .cast("double") / (col("n_a") + col("n_b")), 6)
+    m.select(col("period"), col("n_a"), col("n_b"), chi2.as("chi2"),
+      (chi2 > 3.841458821).as("mismatch"))
+  }
+
+  /** Pairwise WIN-RATE matrix between groups — the arena-style
+    * comparison table: for every group pair (a, b),
+    * P(value_a > value_b) + ½·P(tie) over independent draws (the
+    * Mann–Whitney θ statistic, per pair). The "which source's docs
+    * are longer/higher-quality, head-to-head" readout that single
+    * per-group means blur.
+    *
+    * Arithmetic: DOUBLED win mass 2W_ab = Σ_v c_a(v)·(2·F_b(v⁻) +
+    * c_b(v)) stays an exact BIGINT (strict wins doubled, ties once);
+    * one IEEE divide per pair.
+    *
+    * Scale shape: one (group, value) cell collapse (map-side
+    * combinable), then a DENSE value grid — |groups|·|domain| rows,
+    * absent cells zero-filled so every group's CDF evaluates at
+    * every value — with per-group cumulative windows over the
+    * domain, and ONE value-keyed join of a-cells against the grid
+    * (never a cells×cells pair blowup). Bounded by the QUANTIZED
+    * domain (the t198 contract: bin first; at unbounded cardinality
+    * use per-pair [[mannWhitney]] instead).
+    *
+    * Output: (group_a, group_b, n_a, n_b, win_rate 6dp), a < b.
+    */
+  def winRateMatrix(df: DataFrame, groupCol: String,
+                    valueCol: Column): DataFrame = {
+    val cells = df.filter(valueCol.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val grid = cells.select(col("__v")).distinct()
+      .crossJoin(broadcast(tot.select(col("__g"))))
+      .join(cells, Seq("__g", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val before = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cdf = grid.withColumn("__bef",
+        coalesce(sum(col("__c")).over(before), lit(0L)))
+      .select(col("__g").as("group_b"), col("__v"),
+        col("__c").as("__cb"), col("__bef"))
+    cells.select(col("__g").as("group_a"), col("__v"),
+        col("__c").as("__ca"))
+      .join(cdf, "__v")
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(col("__ca") * (lit(2L) * col("__bef") + col("__cb")))
+        .as("__w2"))
+      .join(tot.select(col("__g").as("group_a"), col("__n").as("n_a")),
+        "group_a")
+      .join(tot.select(col("__g").as("group_b"), col("__n").as("n_b")),
+        "group_b")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(col("__w2").cast("double") /
+          (lit(2L) * col("n_a") * col("n_b")), 6).as("win_rate"))
+  }
 }

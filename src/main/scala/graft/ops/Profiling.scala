@@ -564,4 +564,84 @@ object Profiling {
         round(col("__ws").cast("double") / col("__t").cast("double"), 6)
           .as("mass_share"): _*)
   }
+
+  /** COLUMN ENTROPY profile — Shannon entropy (nats) of each listed
+    * categorical column plus its ln(k)-normalized form: the
+    * one-glance "how informative / how degenerate is this column"
+    * table a schema review reads next to [[profile]]'s null/distinct
+    * counts (norm_entropy ≈ 0 → near-constant column; ≈ 1 → uniform).
+    *
+    * Portability: each value's term is micro-rounded —
+    * round(10⁶·c·ln(c/n)) as BIGINT (the t167/t204 integer micro-log
+    * contract) — so the entropy sum is order-independent, with one
+    * divide per column at the 6dp boundary.
+    *
+    * Scale shape: the |columns| branches union map-side into ONE
+    * (column, value) count collapse; everything after is
+    * value-cardinality. Values render through CAST(.. AS STRING) so
+    * heterogeneous columns share one frame (the [[profile]]
+    * convention).
+    *
+    * Output: (col_name, n, k_distinct, entropy 6dp, norm_entropy
+    * 6dp — 0.0 for single-valued columns).
+    */
+  def columnEntropy(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "need at least one column")
+    val u = columns.map { c =>
+      df.filter(col(c).isNotNull)
+        .select(lit(c).as("col_name"), col(c).cast("string").as("__v"))
+    }.reduce(_ unionAll _)
+    val cc = u.groupBy(col("col_name"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val t = cc.groupBy(col("col_name")).agg(sum(col("__c")).as("__n"))
+    val micro = cc.join(t, "col_name")
+      .select(col("col_name"),
+        round(lit(1000000.0) * col("__c") *
+          log(col("__c").cast("double") / col("__n")))
+          .cast("long").as("__tm"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("k_distinct"), sum(col("__tm")).as("__tms"))
+    micro.join(t, "col_name")
+      .select(col("col_name"), col("__n").as("n"), col("k_distinct"),
+        round(-col("__tms").cast("double") / 1e6 / col("__n"), 6)
+          .as("entropy"),
+        when(col("k_distinct") > 1,
+          round(-col("__tms").cast("double") / 1e6 / col("__n") /
+            log(col("k_distinct").cast("double")), 6))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
+
+  /** FUNCTIONAL-DEPENDENCY MINING over a column set — every ordered
+    * pair lhs → rhs from `columns` through the [[fdAudit]] formula in
+    * ONE generic chain (rule-labeled union → per-(rule, lhs) majority
+    * mass): the schema-discovery sweep ("which columns determine
+    * which?") where t180 audits one hypothesized rule.
+    *
+    * Scale shape: |columns|·(|columns|−1) map-side branches union
+    * into ONE (rule, lhs, rhs) count collapse; everything after is
+    * group-cardinality. Counts exact BIGINTs, confidence one divide.
+    *
+    * Output: (rule, n_groups, n_violating, n_rows, confidence 6dp,
+    * holds), one row per ordered pair.
+    */
+  def fdMine(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, "need at least two columns")
+    val u = (for {
+      l <- columns; r <- columns if l != r
+    } yield df.filter(col(l).isNotNull && col(r).isNotNull)
+      .select(lit(s"$l->$r").as("rule"), col(l).cast("string").as("__l"),
+        col(r).cast("string").as("__r"))).reduce(_ unionAll _)
+    val c = u.groupBy(col("rule"), col("__l"), col("__r"))
+      .agg(count(lit(1)).as("__n"))
+    val g = c.groupBy(col("rule"), col("__l"))
+      .agg(sum(col("__n")).as("__tot"), max(col("__n")).as("__mx"),
+        count(lit(1)).as("__k"))
+    g.groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violating"),
+        sum(col("__tot")).as("n_rows"),
+        round(sum(col("__mx")).cast("double") / sum(col("__tot")), 6)
+          .as("confidence"))
+      .withColumn("holds", col("n_violating") === 0L)
+  }
 }

@@ -153,4 +153,51 @@ private[graft] object Sampling {
       .select(g :+ col("__p.id").as(keyCol) :+
         round(-col("__p.score"), 6).as("u"): _*)
   }
+
+  /** NEYMAN optimal stratified-sample allocation — given a total
+    * budget, how many samples should each stratum get? n_h ∝ N_h·σ_h
+    * (Neyman 1934): strata that are BIG or VARIABLE earn more budget
+    * than proportional allocation gives them — the standard upgrade
+    * for QA-sampling a heterogeneous corpus (feed the result's
+    * `n_alloc` into the per-stratum [[weightedSample]]/bottom-k
+    * samplers).
+    *
+    * Portability: per-stratum moments are exact DECIMAL(38,0)/
+    * HUGEINT integers; σ_h is one fixed IEEE chain; the weight
+    * N_h·σ_h micro-rounds to a BIGINT so the total is an exact sum,
+    * and each allocation is ONE rounded divide. (Rounded allocations
+    * may sum to budget ± |strata| — the caller's top-up policy, not
+    * hidden here.) Single-value strata (σ undefined) drop.
+    *
+    * Scale shape: ONE map-side combinable (stratum, moments)
+    * collapse; everything after is |strata| rows against a broadcast
+    * 1-row total. Output: (strata…, n_h, sigma 6dp, weight_micro,
+    * n_alloc).
+    */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+                       valueCol: Column, budget: Long): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val g = strataCols.map(col)
+    val dec = "decimal(38,0)"
+    val m = df.filter(valueCol.isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_h"),
+        sum(valueCol.cast("long").cast(dec)).as("__s"),
+        sum(valueCol.cast("long").cast(dec) * valueCol.cast("long"))
+          .as("__ss"))
+      .filter(col("n_h") > 1)
+    val sigma = sqrt((col("n_h").cast(dec) * col("__ss") -
+      col("__s") * col("__s")).cast("double") /
+      (col("n_h").cast("double") * (col("n_h") - 1)))
+    val w = m.withColumn("__sigma", sigma)
+      .withColumn("weight_micro",
+        round(col("n_h") * col("__sigma") * 1000000.0).cast("long"))
+    val tot = w.agg(sum(col("weight_micro")).as("__tw"))
+    w.crossJoin(broadcast(tot))
+      .select(g :+ col("n_h") :+ round(col("__sigma"), 6).as("sigma") :+
+        col("weight_micro") :+
+        round(lit(budget.toDouble) * col("weight_micro") / col("__tw"))
+          .cast("long").as("n_alloc"): _*)
+  }
 }

@@ -392,4 +392,49 @@ object Trend {
             (col("n_periods") * col("__s")).cast("double"), 6))
           .as("seasonal_index"): _*)
   }
+
+  /** SEASONALLY-ADJUSTED robust outlier summary per group — the
+    * anomaly detector that doesn't cry wolf every weekend: divide
+    * each period's count by its [[seasonalIndices]] multiplicative
+    * index, then run the median/MAD modified-z summary
+    * ([[graft.ops.Profiling.robustOutliers]]) on the deseasonalized
+    * series. A Sunday at half volume is NORMAL under the index; a
+    * Tuesday at half volume still flags.
+    *
+    * Exactness: the deseasonalized value x/index = (x·n_p·S)/(S_p·n)
+    * is one IEEE divide of exact BIGINT products, micro-rounded to a
+    * BIGINT before the median/MAD machinery — so every downstream
+    * selection and flag comparison is integer arithmetic (the t188
+    * contract on micro units).
+    *
+    * Scale shape: the caller's daily count is the corpus-sized
+    * stage; the phase/moment joins are |groups|·cycle rows, and the
+    * robust summary runs on the calendar-bounded micro frame.
+    *
+    * Output: (groups…, n, med, mad, n_outliers, outlier_frac) — med/
+    * mad in micro units (10⁶ = the seasonal mean).
+    */
+  def seasonalOutliers(series: DataFrame, groupCols: Seq[String],
+                       orderCol: String, valueCol: String,
+                       cycle: Int = 7): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(cycle >= 2, s"cycle must be >= 2, got $cycle")
+    val g = groupCols.map(col)
+    val base = series.select(g :+ col(orderCol).cast("long").as("__d") :+
+      col(valueCol).cast("long").as("__x"): _*)
+    val st = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val dm = base.groupBy(g :+ (col("__d") % cycle).as("__phase"): _*)
+      .agg(count(lit(1)).as("__np"), sum(col("__x")).as("__sp"))
+    val micro = base
+      .withColumn("__phase", col("__d") % cycle)
+      .join(broadcast(dm), groupCols :+ "__phase")
+      .join(broadcast(st), groupCols)
+      .select(g :+ round(lit(1000000.0) *
+        (col("__x").cast("decimal(38,0)") * col("__np") * col("__s"))
+          .cast("double") /
+        (col("__sp").cast("decimal(38,0)") * col("__n")).cast("double"))
+        .cast("long").as("__m"): _*)
+    graft.ops.Profiling.robustOutliers(micro, groupCols, col("__m"))
+  }
 }

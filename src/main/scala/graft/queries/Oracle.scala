@@ -6494,7 +6494,8 @@ object Oracle {
         |), toks AS (
         |  SELECT id, list_filter(string_split_regex(lower(text),
         |    '[ 	
-]+'), x -> x <> '') AS t
+
+]+'), x -> x <> '') AS t
         |  FROM reps
         |), sets AS (
         |  SELECT id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -6567,5 +6568,274 @@ object Oracle {
         |  END AS share
         |FROM cells CROSS JOIN t
         |ORDER BY event_type""".stripMargin,
+
+    // exact mirror of t217 (Similarity.poolChunkEmbeddings + QA
+    // folds): chunks fold in vec_id order -- with exactly 4 chunks
+    // per doc the left-assoc sum is the explicit pivot chain -- and
+    // the summary folds replay via list_reduce (left fold, the same
+    // IEEE order as Spark's aggregate())
+    "t217_pool_embed" ->
+      """WITH ch AS (
+        |  SELECT vec_id // 4 AS doc, vec_id % 4 AS k, embedding AS e
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), piv AS (
+        |  SELECT doc,
+        |    max(CASE WHEN k=0 THEN e END) AS e0,
+        |    max(CASE WHEN k=1 THEN e END) AS e1,
+        |    max(CASE WHEN k=2 THEN e END) AS e2,
+        |    max(CASE WHEN k=3 THEN e END) AS e3,
+        |    CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM ch GROUP BY doc
+        |), pooled AS (
+        |  SELECT doc, n_chunks,
+        |    list_transform(range(64), i ->
+        |      (((0.0 + CAST(e0[i+1] AS DOUBLE)) + CAST(e1[i+1] AS DOUBLE)
+        |        + CAST(e2[i+1] AS DOUBLE)) + CAST(e3[i+1] AS DOUBLE))
+        |      / 4) AS v
+        |  FROM piv
+        |)
+        |SELECT doc, n_chunks,
+        |  round(sqrt(list_reduce(list_transform(v, x -> x*x),
+        |    (a, b) -> a + b)), 6) AS norm,
+        |  round(list_reduce(v, (a, b) -> a + b) / 64.0, 6) AS mean_val,
+        |  round(list_max(list_transform(v, x -> abs(x))), 6) AS max_abs
+        |FROM pooled ORDER BY doc""".stripMargin,
+
+    // exact mirror of Eval.srmCheck (t218): exact BIGINT arm counts,
+    // one IEEE divide, shared chi2(df=1) literal
+    "t218_srm" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS period,
+        |    CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),1,1)
+        |      < '8' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),1,1)
+        |      >= '8' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT period, n_a, n_b,
+        |  round(CAST((n_a-n_b)*(n_a-n_b) AS DOUBLE)/(n_a+n_b), 6) AS chi2,
+        |  round(CAST((n_a-n_b)*(n_a-n_b) AS DOUBLE)/(n_a+n_b), 6)
+        |    > 3.841458821 AS mismatch
+        |FROM d ORDER BY period""".stripMargin,
+
+    // exact mirror of Eval.winRateMatrix (t219): dense value grid,
+    // per-group cumulative CDF, doubled BIGINT win mass
+    // 2W = sum c_a(v)*(2*F_b(v-) + c_b(v)), one divide per pair
+    "t219_win_matrix" ->
+      """WITH cells AS (
+        |  SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+        |), tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells
+        |           GROUP BY 1),
+        |grid AS (
+        |  SELECT t.g, vv.v, coalesce(cells.c, 0) AS c
+        |  FROM (SELECT DISTINCT v FROM cells) vv
+        |  CROSS JOIN tot t
+        |  LEFT JOIN cells ON cells.g = t.g AND cells.v = vv.v
+        |), cdf AS (
+        |  SELECT g AS group_b, v, c AS cb,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bef
+        |  FROM grid
+        |), w AS (
+        |  SELECT a.g AS group_a, cdf.group_b,
+        |    CAST(sum(a.c * (2*cdf.bef + cdf.cb)) AS BIGINT) AS w2
+        |  FROM cells a JOIN cdf ON cdf.v = a.v AND a.g < cdf.group_b
+        |  GROUP BY 1, 2
+        |)
+        |SELECT w.group_a, w.group_b, ta.n AS n_a, tb.n AS n_b,
+        |  round(CAST(w.w2 AS DOUBLE) / (2*ta.n*tb.n), 6) AS win_rate
+        |FROM w JOIN tot ta ON ta.g = w.group_a
+        |       JOIN tot tb ON tb.g = w.group_b
+        |ORDER BY group_a, group_b""".stripMargin,
+
+    // exact mirror of Sampling.neymanAllocation (t220): HUGEINT
+    // moments, fixed IEEE sigma chain, micro-rounded weights summed
+    // exactly, one rounded divide per stratum
+    "t220_neyman" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(v) AS HUGEINT) AS s, sum(CAST(v AS HUGEINT)*v) AS ss
+        |  FROM e GROUP BY 1 HAVING count(*) > 1
+        |), w AS (
+        |  SELECT event_type, n_h,
+        |    sqrt(CAST(n_h*ss - s*s AS DOUBLE)
+        |      / (CAST(n_h AS DOUBLE)*(n_h-1))) AS sigma
+        |  FROM m
+        |), wm AS (
+        |  SELECT event_type, n_h, sigma,
+        |    CAST(round(n_h * sigma * 1000000.0) AS BIGINT) AS weight_micro
+        |  FROM w
+        |), t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS tw FROM wm)
+        |SELECT event_type, n_h, round(sigma, 6) AS sigma, weight_micro,
+        |  CAST(round(1000.0 * weight_micro / t.tw) AS BIGINT) AS n_alloc
+        |FROM wm CROSS JOIN t ORDER BY event_type""".stripMargin,
+
+    // exact replay of t221 (StreamingSrm over 1-day windows): t218's
+    // chi-square on days the watermark finalized -- append emits iff
+    // window end <= max(event time) - 1 day (the t14 contract)
+    "t221_stream_srm" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+        |    substr(md5(CAST(user_id AS VARCHAR)),1,1) < '8' AS a
+        |  FROM events
+        |), wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM e),
+        |d AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM e
+        |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        |  GROUP BY 1
+        |)
+        |SELECT day, n_a, n_b,
+        |  round(CAST((n_a-n_b)*(n_a-n_b) AS DOUBLE)/(n_a+n_b), 6) AS chi2,
+        |  round(CAST((n_a-n_b)*(n_a-n_b) AS DOUBLE)/(n_a+n_b), 6)
+        |    > 3.841458821 AS mismatch
+        |FROM d ORDER BY day""".stripMargin,
+
+    // exact mirror of Trend.seasonalOutliers (t222): deseasonalized
+    // micro values -- ONE IEEE divide of exact HUGEINT products per
+    // day (the engine's DECIMAL(38,0)) -- through the t188 median/MAD
+    // chain on distinct micro cells
+    "t222_seasonal_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1
+        |), dm AS (
+        |  SELECT event_type, d % 7 AS phase, CAST(count(*) AS BIGINT) AS np,
+        |         CAST(sum(x) AS BIGINT) AS sp
+        |  FROM daily GROUP BY 1, 2
+        |), micro AS (
+        |  SELECT daily.event_type,
+        |    CAST(round(1000000.0 * (CAST(daily.x AS HUGEINT) * dm.np * st.s)
+        |      / (CAST(dm.sp AS HUGEINT) * st.n)) AS BIGINT) AS m
+        |  FROM daily JOIN dm ON dm.event_type = daily.event_type
+        |                    AND dm.phase = daily.d % 7
+        |             JOIN st ON st.event_type = daily.event_type
+        |), vc AS (
+        |  SELECT event_type, m, CAST(count(*) AS BIGINT) AS c
+        |  FROM micro GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, m,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY m
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM vc
+        |), med AS (
+        |  SELECT event_type, min(m) AS med, CAST(max(n) AS BIGINT) AS n
+        |  FROM cum WHERE 2*cw >= n GROUP BY 1
+        |), dc AS (
+        |  SELECT vc.event_type, abs(vc.m - med.med) AS dd,
+        |         CAST(sum(vc.c) AS BIGINT) AS c
+        |  FROM vc JOIN med ON vc.event_type = med.event_type GROUP BY 1, 2
+        |), dcum AS (
+        |  SELECT event_type, dd,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY dd
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM dc
+        |), mad AS (
+        |  SELECT event_type, min(dd) AS mad FROM dcum
+        |  WHERE 2*cw >= n GROUP BY 1
+        |)
+        |SELECT med.event_type, med.n, med.med AS med, mad.mad AS mad,
+        |  CAST(sum(CASE WHEN abs(vc.m - med.med)*10000 > 51891*mad.mad
+        |    THEN vc.c ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN abs(vc.m - med.med)*10000
+        |    > 51891*mad.mad THEN vc.c ELSE 0 END) AS DOUBLE)
+        |    / CAST(med.n AS DOUBLE), 6) AS outlier_frac
+        |FROM vc JOIN med ON vc.event_type = med.event_type
+        |        JOIN mad ON mad.event_type = vc.event_type
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    // exact mirror of Profiling.columnEntropy (t223): micro-log
+    // BIGINT terms (the t167/t204 contract), one divide per column
+    "t223_column_entropy" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |      AS dow,
+        |    CAST(floor(value/50) AS BIGINT) AS value_bucket
+        |  FROM events WHERE value IS NOT NULL
+        |), u AS (
+        |  SELECT 'event_type' AS col_name, event_type AS v FROM base
+        |  WHERE event_type IS NOT NULL
+        |  UNION ALL SELECT 'dow', CAST(dow AS VARCHAR) FROM base
+        |  UNION ALL SELECT 'value_bucket', CAST(value_bucket AS VARCHAR)
+        |    FROM base
+        |), c AS (
+        |  SELECT col_name, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY 1, 2
+        |), t AS (
+        |  SELECT col_name, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+        |), micro AS (
+        |  SELECT c.col_name,
+        |    CAST(round(1000000.0 * c.c * ln(CAST(c.c AS DOUBLE)/t.n))
+        |      AS BIGINT) AS tm
+        |  FROM c JOIN t ON t.col_name = c.col_name
+        |), agg AS (
+        |  SELECT col_name, CAST(count(*) AS BIGINT) AS k_distinct,
+        |         CAST(sum(tm) AS BIGINT) AS tms
+        |  FROM micro GROUP BY 1
+        |)
+        |SELECT a.col_name, t.n, a.k_distinct,
+        |  round(-CAST(a.tms AS DOUBLE)/1e6/t.n, 6) AS entropy,
+        |  CASE WHEN a.k_distinct > 1 THEN
+        |    round(-CAST(a.tms AS DOUBLE)/1e6/t.n
+        |      / ln(CAST(a.k_distinct AS DOUBLE)), 6) ELSE 0.0 END
+        |    AS norm_entropy
+        |FROM agg a JOIN t ON t.col_name = a.col_name
+        |ORDER BY a.col_name""".stripMargin,
+
+    // exact mirror of Profiling.fdMine (t224): 12 rule-labeled
+    // branches through one generic majority-mass chain
+    "t224_fd_mine" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS c1, l_linestatus AS c2,
+        |    strftime(l_shipdate, '%Y-%m') AS c3,
+        |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS c4
+        |  FROM lineitem
+        |), u AS (
+        |  SELECT 'l_returnflag->l_linestatus' AS rule, c1 AS l, c2 AS r FROM base
+        |  UNION ALL SELECT 'l_returnflag->ship_month', c1, c3 FROM base
+        |  UNION ALL SELECT 'l_returnflag->qty', c1, c4 FROM base
+        |  UNION ALL SELECT 'l_linestatus->l_returnflag', c2, c1 FROM base
+        |  UNION ALL SELECT 'l_linestatus->ship_month', c2, c3 FROM base
+        |  UNION ALL SELECT 'l_linestatus->qty', c2, c4 FROM base
+        |  UNION ALL SELECT 'ship_month->l_returnflag', c3, c1 FROM base
+        |  UNION ALL SELECT 'ship_month->l_linestatus', c3, c2 FROM base
+        |  UNION ALL SELECT 'ship_month->qty', c3, c4 FROM base
+        |  UNION ALL SELECT 'qty->l_returnflag', c4, c1 FROM base
+        |  UNION ALL SELECT 'qty->l_linestatus', c4, c2 FROM base
+        |  UNION ALL SELECT 'qty->ship_month', c4, c3 FROM base
+        |), c AS (
+        |  SELECT rule, l, r, CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY 1, 2, 3
+        |), g AS (
+        |  SELECT rule, l, CAST(sum(n) AS BIGINT) AS tot,
+        |         CAST(max(n) AS BIGINT) AS mx,
+        |         CAST(count(*) AS BIGINT) AS k
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT rule, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(tot) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(mx) AS DOUBLE) / sum(tot), 6) AS confidence,
+        |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        |FROM g GROUP BY rule ORDER BY rule""".stripMargin,
   )
 }

@@ -4568,6 +4568,121 @@ object TrainingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** t217_pool_embed — chunk→document mean-pooling of embeddings
+    * (vec_id div 4 = the synthetic doc): per-doc pooled-vector QA
+    * summary (norm / mean / max-abs from deterministic left folds).
+    * Exact oracle — chunks fold in id order on both engines.
+    */
+  def t217PoolEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = Tables.embeddings(spark, sfDir)
+      .select(expr("vec_id div 4").as("doc"), col("vec_id"),
+        col("embedding"))
+    val pooled = graft.operators.Similarity.poolChunkEmbeddings(
+      chunks, "doc", "vec_id", "embedding", dim = 64)
+    pooled.select(col("doc"), col("n_chunks"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x * x)), 6).as("norm"),
+        round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x)
+          / 64.0, 6).as("mean_val"),
+        round(array_max(transform(col("embedding"), x => abs(x))), 6)
+          .as("max_abs"))
+      .orderBy(col("doc"))
+  }
+
+  /** t218_srm — daily sample-ratio-mismatch check of the md5 A/B
+    * split (the first A/B validity gate). Exact oracle.
+    */
+  def t218Srm(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.srmCheck(Tables.events(spark, sfDir),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long"),
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+      .orderBy(col("period"))
+
+  /** t219_win_matrix — pairwise source win-rate matrix on doc length
+    * (Mann–Whitney θ per pair, head-to-head): 190 source pairs.
+    * Exact oracle — doubled BIGINT win mass over the dense value
+    * grid.
+    */
+  def t219WinMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.winRateMatrix(Tables.documents(spark, sfDir),
+        "source", col("n_chars"))
+      .orderBy(col("group_a"), col("group_b"))
+
+  /** t220_neyman — Neyman optimal stratified-sample allocation of a
+    * 1,000-sample QA budget across event types (n_h ∝ N_h·σ_h).
+    * Exact oracle — micro-rounded weights, one rounded divide each.
+    */
+  def t220Neyman(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Sampling.neymanAllocation(
+        Tables.events(spark, sfDir), Seq("event_type"),
+        round(col("value") * 100, 0), budget = 1000L)
+      .orderBy(col("event_type"))
+
+  /** t221_stream_srm — the t218 SRM gate as a live watermarked
+    * streaming monitor (state = days × 2 longs). Exact oracle — the
+    * t14 append-emission contract replayed in SQL.
+    */
+  def t221StreamSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", graft.Tables.normalizedTs(schema("ts").dataType))
+    val agg = graft.streaming.StreamingSrm.srmAgg(stream, "ts",
+      substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, agg,
+        s"t221_srm_${System.nanoTime}")
+    }.orderBy(col("day"))
+  }
+
+  /** t222_seasonal_outliers — seasonally-adjusted robust outlier
+    * summary of daily volume per event type (divide by the dow index,
+    * then median/MAD flags — weekends stop crying wolf). Exact
+    * oracle — micro-unit deseasonalized integers through the t188
+    * chain.
+    */
+  def t222SeasonalOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Trend.seasonalOutliers(daily, Seq("event_type"), "d", "x", 7)
+      .orderBy(col("event_type"))
+  }
+
+  /** t223_column_entropy — Shannon-entropy profile of three derived
+    * event columns (type, day-of-week, value bucket): the
+    * informativeness table next to q42's null/distinct profile.
+    * Exact oracle — micro-log BIGINT terms.
+    */
+  def t223ColumnEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long") % 7).as("dow"),
+        floor(col("value") / 50).cast("long").as("value_bucket"))
+    graft.ops.Profiling.columnEntropy(base,
+        Seq("event_type", "dow", "value_bucket"))
+      .orderBy(col("col_name"))
+  }
+
+  /** t224_fd_mine — functional-dependency sweep over four lineitem
+    * columns (12 ordered rules in one chain): which columns determine
+    * which, with violation counts and majority-mass confidence.
+    * Exact oracle.
+    */
+  def t224FdMine(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.fdMine(
+        Tables.lineitem(spark, sfDir)
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .withColumn("qty", col("l_quantity").cast("long")),
+        Seq("l_returnflag", "l_linestatus", "ship_month", "qty"))
+      .orderBy(col("rule"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -52,3 +52,28 @@ object StreamingSessions {
         col("duration_us"), col("n_types"))
   }
 }
+
+/** STREAMING sample-ratio-mismatch monitor — t218's A/B validity
+  * gate kept current by a watermarked streaming aggregation: one
+  * (day-window) row with both arm counts and the χ² verdict emits
+  * once the watermark passes the day. State is days × 2 exact longs.
+  * Append emission follows the t14 contract (window end ≤ watermark
+  * = max event time − delay), so the finalized set replays in plain
+  * SQL — hash-exact, not just gated.
+  */
+object StreamingSrm {
+
+  def srmAgg(stream: org.apache.spark.sql.DataFrame, tsCol: String,
+             armA: org.apache.spark.sql.Column):
+      org.apache.spark.sql.DataFrame = {
+    val agg = stream
+      .withWatermark(tsCol, "1 day")
+      .groupBy(window(col(tsCol), "1 day").as("__w"))
+      .agg(sum(when(armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!armA, 1L).otherwise(0L)).as("n_b"))
+    val chi2 = round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+      .cast("double") / (col("n_a") + col("n_b")), 6)
+    agg.select(col("__w.start").as("day"), col("n_a"), col("n_b"),
+      chi2.as("chi2"), (chi2 > 3.841458821).as("mismatch"))
+  }
+}

@@ -451,4 +451,26 @@ class SimilaritySpec extends SparkSpec {
     // std = sqrt(2/3) of the micro contract
     assert(math.abs(std - math.sqrt(2.0 / 3)) < 1e-5)
   }
+
+  test("poolChunkEmbeddings: mean-pools in chunk-id order, deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, 10L, Array(1.0f, 2.0f)), (1L, 11L, Array(3.0f, 6.0f)),
+      (2L, 20L, Array(5.0f, 5.0f)))
+    val out = Similarity.poolChunkEmbeddings(
+      rows.toDF("doc", "cid", "emb"), "doc", "cid", "emb", dim = 2)
+      .orderBy("doc").collect()
+    assert(out(0).getAs[Long]("n_chunks") == 2)
+    assert(out(0).getSeq[Double](out(0).fieldIndex("embedding")) ==
+      Seq(2.0, 4.0))
+    assert(out(1).getSeq[Double](out(1).fieldIndex("embedding")) ==
+      Seq(5.0, 5.0))
+    // shuffled input order yields the identical vector (id-order fold)
+    val shuffled = Similarity.poolChunkEmbeddings(
+      rows.reverse.toDF("doc", "cid", "emb").repartition(4),
+      "doc", "cid", "emb", dim = 2).orderBy("doc").collect()
+    assert(shuffled(0).getSeq[Double](shuffled(0).fieldIndex("embedding"))
+      == Seq(2.0, 4.0))
+  }
 }

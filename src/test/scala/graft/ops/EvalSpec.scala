@@ -492,4 +492,48 @@ class EvalSpec extends SparkSpec {
       col("d"), col("a"), col("v")).collect()
     assert(out.map(_.getAs[Long]("period")).toSeq == Seq(1L))
   }
+
+  // ---- srmCheck ---------------------------------------------------
+
+  test("srmCheck: balanced arms pass, a real imbalance flags") {
+    val rows = (1 to 100).map(i => (1L, i % 2 == 0)) ++
+      (1 to 100).map(i => (2L, i <= 80))
+    val out = Eval.srmCheck(rows.toDF("d", "a"), col("d"), col("a"))
+      .orderBy("period").collect()
+    assert(out(0).getAs[Double]("chi2") == 0.0)
+    assert(!out(0).getAs[Boolean]("mismatch"))
+    // day 2: 80 vs 20 -> 3600/100 = 36
+    assert(out(1).getAs[Double]("chi2") == 36.0)
+    assert(out(1).getAs[Boolean]("mismatch"))
+  }
+
+  // ---- winRateMatrix ----------------------------------------------
+
+  test("winRateMatrix matches the brute-force pairwise theta with ties") {
+    val data = Map(
+      "a" -> Seq(1L, 3L, 3L, 7L),
+      "b" -> Seq(2L, 3L, 5L),
+      "c" -> Seq(1L, 1L, 9L))
+    val df = data.toSeq.flatMap { case (g, vs) => vs.map((g, _)) }
+      .toDF("g", "v")
+    val out = Eval.winRateMatrix(df, "g", col("v")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("win_rate"))).toMap
+    for (Seq(ga, gb) <- data.keys.toSeq.sorted.combinations(2)) {
+      val wins = (for (x <- data(ga); y <- data(gb))
+        yield if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
+      val expect = math.rint(wins / (data(ga).size * data(gb).size) * 1e6) / 1e6
+      val (na, nb, wr) = out((ga, gb))
+      assert(na == data(ga).size && nb == data(gb).size)
+      assert(wr == expect, s"pair ($ga, $gb)")
+    }
+  }
+
+  test("winRateMatrix: identical distributions sit at 0.5") {
+    val rows = Seq("a", "b").flatMap(g => (1L to 10L).map((g, _)))
+    val out = Eval.winRateMatrix(rows.toDF("g", "v"), "g", col("v"))
+      .collect().head
+    assert(out.getAs[Double]("win_rate") == 0.5)
+  }
 }

@@ -78,4 +78,42 @@ class SamplingSpec extends SparkSpec {
     assert(merged.collect().map(_.toSeq).toSet ==
       full.collect().map(_.toSeq).toSet)
   }
+
+  // ---- neymanAllocation -------------------------------------------
+
+  test("neymanAllocation: equal strata split the budget equally") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq("a", "b").flatMap(g => (1L to 20L).map((g, _)))
+    val out = Sampling.neymanAllocation(rows.toDF("g", "v"), Seq("g"),
+      col("v"), budget = 100L).collect()
+    assert(out.forall(_.getAs[Long]("n_alloc") == 50L))
+  }
+
+  test("neymanAllocation: the variable stratum earns more than proportional") {
+    import org.apache.spark.sql.functions._
+    // same N: sigma(a) tiny, sigma(b) large -> b gets most of the budget
+    val rows = (1 to 50).map(i => ("a", 100L + (i % 2))) ++
+      (1 to 50).map(i => ("b", (i * 37L) % 1000))
+    val out = Sampling.neymanAllocation(rows.toDF("g", "v"), Seq("g"),
+      col("v"), budget = 100L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_alloc")).toMap
+    assert(out("b") > 90 && out("a") < 10)
+    // allocation follows the closed form n_h = round(B * w_h / sum w)
+    val out2 = Sampling.neymanAllocation(rows.toDF("g", "v"), Seq("g"),
+      col("v"), budget = 100L).collect()
+    val ws = out2.map(_.getAs[Long]("weight_micro"))
+    val tw = ws.sum
+    out2.foreach { r =>
+      assert(r.getAs[Long]("n_alloc") ==
+        math.rint(100.0 * r.getAs[Long]("weight_micro") / tw).toLong)
+    }
+  }
+
+  test("neymanAllocation: single-value strata drop") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(("solo", 5L)) ++ (1L to 10L).map(("multi", _))
+    val out = Sampling.neymanAllocation(rows.toDF("g", "v"), Seq("g"),
+      col("v"), budget = 10L).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("multi"))
+  }
 }
