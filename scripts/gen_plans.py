@@ -73,7 +73,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t210_cuped", "t211_chapman", "t212_chao1", "t213_seq_monitor",
            "t214_seasonality", "t215_entity_resolve",
            "t216_delta_attribution", "t217_pool_embed", "t218_srm",
-           "t219_win_matrix", "t220_neyman"]
+           "t219_win_matrix", "t220_neyman", "t222_seasonal_outliers",
+           "t223_column_entropy", "t224_fd_mine"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -270,6 +271,12 @@ NOTES = {
         "The (source, length) cell collapse rides the scan; the dense grid is |groups|*|domain| rows with per-group cumulative windows over the bounded domain, and the pair stage is ONE value-keyed join of a-cells against the grid — never a cells-squared blowup; the 2W mass stays exact BIGINT.",
     "t220_neyman":
         "ONE map-side-combinable stratum moment collapse; sigma/weights/allocations are |strata|-row arithmetic against a broadcast 1-row total.",
+    "t222_seasonal_outliers":
+        "The daily count is the corpus stage; phase/moment tables broadcast back as |groups|*cycle-row joins, the deseasonalized micro value is one IEEE divide of exact DECIMAL(38,0) products per day, and the median/MAD passes run on distinct micro cells over the calendar-bounded frame (the t188 chain).",
+    "t223_column_entropy":
+        "|columns| map-side branches union into ONE (column, value) count collapse; micro-log BIGINT terms sum order-independently and the entropy is one divide per column row.",
+    "t224_fd_mine":
+        "12 rule-labeled branches union map-side into ONE (rule, lhs, rhs) count collapse; the majority-mass chain after it is group-cardinality. One generic plan regardless of how many rules are mined.",
     "t192_triangles":
         "Per-order pair expansion is bounded by order size (≤ 13 lineitems → ≤ 78 pairs); edges dedup through one (u, v)-keyed distinct — 8-byte shuffles — and the degree-ordered orientation bounds every oriented out-degree by O(√m), making the wedge-closure join O(m^1.5) regardless of hub skew (a hub's star orients INTO it, generating no wedges). No windows, no driver state.",
 }

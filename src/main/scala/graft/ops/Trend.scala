@@ -412,7 +412,11 @@ object Trend {
     * robust summary runs on the calendar-bounded micro frame.
     *
     * Output: (groups…, n, med, mad, n_outliers, outlier_frac) — med/
-    * mad in micro units (10⁶ = the seasonal mean).
+    * mad in micro units of the DESEASONALIZED value (10⁶ × the
+    * period-mean scale). Caveat shared with every mean-based index:
+    * a large outlier contaminates its own phase's index, so its
+    * phase-mates deviate too — robust (median) indices are the
+    * escape hatch if single-day crashes must flag alone.
     */
   def seasonalOutliers(series: DataFrame, groupCols: Seq[String],
                        orderCol: String, valueCol: String,

@@ -328,4 +328,50 @@ class ProfilingSpec extends SparkSpec {
       .map(k => math.rint(k * 2.0 / 30.0 * 1e6) / 1e6)
     assert(out.map(_.getAs[Double]("mass_share")).toSeq == want)
   }
+
+  // ---- columnEntropy ----------------------------------------------
+
+  test("columnEntropy: constant column scores 0; uniform scores 1") {
+    val rows = (1 to 32).map(i => ("same", (i % 4).toString))
+    val out = Profiling.columnEntropy(rows.toDF("konst", "uniform"),
+      Seq("konst", "uniform")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("konst").getAs[Long]("k_distinct") == 1)
+    assert(out("konst").getAs[Double]("entropy") == 0.0)
+    assert(out("konst").getAs[Double]("norm_entropy") == 0.0)
+    assert(out("uniform").getAs[Double]("norm_entropy") == 1.0)
+    // uniform over 4 values: H = ln 4 (micro-rounded)
+    val h = out("uniform").getAs[Double]("entropy")
+    assert(math.abs(h - math.log(4)) < 1e-5)
+  }
+
+  test("columnEntropy matches the micro-log reference on a skewed column") {
+    val vals = Seq.fill(8)("a") ++ Seq.fill(2)("b") ++ Seq.fill(6)("c")
+    val n = vals.size
+    val tm = vals.groupBy(identity).values
+      .map(g => math.rint(1e6 * g.size * math.log(g.size.toDouble / n))).sum
+    val expected = math.rint(-tm / 1e6 / n * 1e6) / 1e6
+    val out = Profiling.columnEntropy(vals.map(v => Tuple1(v)).toDF("c"),
+      Seq("c")).collect().head
+    assert(out.getAs[Double]("entropy") == expected)
+  }
+
+  // ---- fdMine -----------------------------------------------------
+
+  test("fdMine: detects exact dependencies and scores violations") {
+    // b = f(a) exactly; a does NOT determine c; c -> a holds
+    val rows = Seq(
+      (1L, "x", "p"), (1L, "x", "q"), (2L, "y", "p"), (2L, "y", "q"),
+      (3L, "x", "r"))
+    val out = Profiling.fdMine(rows.toDF("a", "b", "c"),
+      Seq("a", "b", "c")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 6)
+    assert(out("a->b").getAs[Boolean]("holds")) // 1->x, 2->y, 3->x
+    assert(!out("a->c").getAs[Boolean]("holds"))
+    assert(out("a->c").getAs[Long]("n_violating") == 2) // a=1 and a=2
+    // a->c confidence: groups a=1 keeps 1 of 2, a=2 keeps 1 of 2, a=3 1/1
+    assert(out("a->c").getAs[Double]("confidence") == 0.6)
+    assert(!out("b->a").getAs[Boolean]("holds")) // x -> {1, 3}
+  }
 }

