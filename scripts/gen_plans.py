@@ -74,7 +74,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t214_seasonality", "t215_entity_resolve",
            "t216_delta_attribution", "t217_pool_embed", "t218_srm",
            "t219_win_matrix", "t220_neyman", "t222_seasonal_outliers",
-           "t223_column_entropy", "t224_fd_mine"]
+           "t223_column_entropy", "t224_fd_mine", "t225_winsorized",
+           "t226_label_separation"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -277,6 +278,10 @@ NOTES = {
         "|columns| map-side branches union into ONE (column, value) count collapse; micro-log BIGINT terms sum order-independently and the entropy is one divide per column row.",
     "t224_fd_mine":
         "12 rule-labeled branches union map-side into ONE (rule, lhs, rhs) count collapse; the majority-mass chain after it is group-cardinality. One generic plan regardless of how many rules are mined.",
+    "t225_winsorized":
+        "The trimmedMean shape with boundary SELECTIONS instead of drops: one cell collapse, one per-flag distinct-value cumulative window (t137 hatch past quantized domains), one DECIMAL(38,0) reduction carrying the clip weights and both fence values.",
+    "t226_label_separation":
+        "ONE posexplode scan reduces map-side to (label, dim) DECIMAL sums — |labels|*64 rows — plus a per-row squared-norm fold; the centroid identity makes intra/inter means label-cardinality arithmetic with nothing pairwise ever materialized.",
     "t192_triangles":
         "Per-order pair expansion is bounded by order size (≤ 13 lineitems → ≤ 78 pairs); edges dedup through one (u, v)-keyed distinct — 8-byte shuffles — and the degree-ordered orientation bounds every oriented out-degree by O(√m), making the wedge-closure join O(m^1.5) regardless of hub skew (a hub's star orients INTO it, generating no wedges). No windows, no driver state.",
 }

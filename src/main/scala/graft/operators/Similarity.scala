@@ -750,4 +750,66 @@ object Similarity {
             (a, b) => a + b.cast("double"))),
         x => x / size(col("__cs"))).as("embedding"))
   }
+
+  /** LABEL SEPARATION audit of an embedding table — per label, the
+    * mean pairwise dot product WITHIN the label vs AGAINST the rest
+    * of the corpus, and their gap: the one-table answer to "do these
+    * embeddings actually encode the label?" (a classifier-free probe
+    * run before spending GPU time on one). Uses the centroid
+    * identity — mean intra dot = (‖Σv‖² − Σ‖v‖²)/(n(n−1)), mean
+    * inter dot = Σv·(Σv_all − Σv)/(n(N−n)) — so NOTHING pairwise is
+    * ever materialized.
+    *
+    * Portability: components quantize to micro units
+    * (round(x·10⁶) as BIGINT) BEFORE any sum, so centroids, norms,
+    * and dots are exact DECIMAL(38,0)/HUGEINT integers —
+    * order-independent — with one divide per output at the 6dp
+    * boundary (values in original units²; micro² = 10¹² rescales
+    * away).
+    *
+    * Scale shape: the corpus-sized stage is ONE posexplode scan
+    * reduced map-side to (label, dim) sums — |labels|·dim rows —
+    * plus a per-row squared-norm kernel; everything after is
+    * label-cardinality. Single-member labels yield NULL intra.
+    *
+    * Output: (label, n, intra_dot, inter_dot, separation) — 6dp.
+    */
+  def labelSeparation(df: DataFrame, labelCol: String, vecCol: String,
+                      dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val dec = "decimal(38,0)"
+    val q = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1000000.0).cast("long")).as("__q"))
+    val perRow = q.select(col("label"),
+      aggregate(col("__q"), lit(0L).cast(dec),
+        (a, x) => a + x.cast(dec) * x).as("__sq"))
+    val norms = perRow.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("__sq")).as("__sqs"))
+    val ex = q.select(col("label"),
+        posexplode(col("__q")).as(Seq("__i", "__x")))
+      .groupBy(col("label"), col("__i"))
+      .agg(sum(col("__x").cast(dec)).as("__s"))
+    val tot = ex.groupBy(col("__i")).agg(sum(col("__s")).as("__st"))
+    val nAll = norms.agg(sum(col("n")).as("__nall"))
+    val dots = ex.join(tot, "__i")
+      .groupBy(col("label"))
+      .agg(sum(col("__s") * col("__s")).as("__ss"),
+        sum(col("__s") * (col("__st") - col("__s"))).as("__sx"))
+    val micro2 = 1e12
+    norms.join(dots, "label").crossJoin(broadcast(nAll))
+      .select(col("label"), col("n"),
+        when(col("n") > 1,
+          round((col("__ss") - col("__sqs")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1)) / micro2, 6))
+          .as("intra_dot"),
+        when(col("__nall") > col("n"),
+          round(col("__sx").cast("double") /
+            (col("n").cast("double") * (col("__nall") - col("n"))) /
+            micro2, 6)).as("inter_dot"))
+      .withColumn("separation",
+        when(col("intra_dot").isNotNull && col("inter_dot").isNotNull,
+          round(col("intra_dot") - col("inter_dot"), 6)))
+  }
 }

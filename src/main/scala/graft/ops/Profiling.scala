@@ -644,4 +644,59 @@ object Profiling {
           .as("confidence"))
       .withColumn("holds", col("n_violating") === 0L)
   }
+
+  /** WINSORIZED MEAN per group — [[trimmedMean]]'s sibling that CLIPS
+    * the tails to the boundary order statistics instead of dropping
+    * them (every row still counts, extreme rows just stop voting
+    * beyond the fence): mean of the series with the lowest k values
+    * replaced by the (k+1)-th smallest and the highest k by the
+    * (n−k)-th. The robust-location choice when the tail rows carry
+    * real mass that shouldn't vanish from the denominator.
+    *
+    * Exactness: boundary values are rank-test SELECTIONS, the middle
+    * mass uses the interval-overlap clip (partial tie blocks exact),
+    * and the winsorized sum is exact DECIMAL(38,0) arithmetic with
+    * ONE divide by n. Scale shape: identical to [[trimmedMean]] —
+    * one cell collapse, one per-group distinct-value cumulative
+    * window (bin first past quantized domains), one reduction.
+    *
+    * Output: (groups…, n, k_winsor, winsorized_mean 6dp).
+    */
+  def winsorizedMean(df: DataFrame, groupCols: Seq[String],
+                     valueCol: Column, winsorFrac: Double = 0.1): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(winsorFrac >= 0 && winsorFrac < 0.5,
+      s"winsorFrac must be in [0, 0.5), got $winsorFrac")
+    val g = groupCols.map(col)
+    val denom = math.round(1.0 / winsorFrac).toLong
+    require(winsorFrac == 0 || math.abs(1.0 / denom - winsorFrac) < 1e-12,
+      s"winsorFrac must be a unit fraction (1/m), got $winsorFrac")
+    val cells = df.filter(valueCol.isNotNull)
+      .groupBy(g :+ valueCol.cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val before = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(g: _*)
+    val k = if (winsorFrac == 0) lit(0L) else expr(s"__n div $denom")
+    val cum = cells
+      .withColumn("__bef", coalesce(sum(col("__c")).over(before), lit(0L)))
+      .withColumn("__cw", sum(col("__c")).over(upTo))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .withColumn("__k", k)
+    cum.groupBy(g: _*)
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("k_winsor"),
+        min(when(col("__cw") >= col("__k") + 1, col("__v"))).as("__lo"),
+        min(when(col("__cw") >= col("__n") - col("__k"), col("__v")))
+          .as("__hi"),
+        sum(greatest(least(col("__cw"), col("__n") - col("__k")) -
+            greatest(col("__bef"), col("__k")), lit(0L))
+          .cast("decimal(38,0)") * col("__v")).as("__mid"))
+      .select(g :+ col("n") :+ col("k_winsor") :+
+        round((col("__mid").cast("double") +
+          col("k_winsor").cast("double") * col("__lo") +
+          col("k_winsor").cast("double") * col("__hi")) / col("n"), 6)
+          .as("winsorized_mean"): _*)
+  }
 }

@@ -6837,5 +6837,80 @@ object Oracle {
         |  round(CAST(sum(mx) AS DOUBLE) / sum(tot), 6) AS confidence,
         |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
         |FROM g GROUP BY rule ORDER BY rule""".stripMargin,
+
+    // exact mirror of Profiling.winsorizedMean (t225): boundary
+    // order statistics by rank test, interval-overlap middle clip,
+    // HUGEINT winsorized sum, one divide by n
+    "t225_winsorized" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), cells AS (
+        |  SELECT flag, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1,2
+        |), cum AS (
+        |  SELECT flag, v, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bef,
+        |    CAST(sum(c) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cw,
+        |    CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM cells
+        |)
+        |SELECT flag, max(n) AS n, max(n)//10 AS k_winsor,
+        |  round((CAST(sum(CAST(greatest(least(cw, n - n//10)
+        |        - greatest(bef, n//10), 0) AS HUGEINT) * v) AS DOUBLE)
+        |    + CAST(max(n)//10 AS DOUBLE)
+        |      * min(CASE WHEN cw >= n//10 + 1 THEN v END)
+        |    + CAST(max(n)//10 AS DOUBLE)
+        |      * min(CASE WHEN cw >= n - n//10 THEN v END))
+        |    / max(n), 6) AS winsorized_mean
+        |FROM cum GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // exact mirror of Similarity.labelSeparation (t226): micro-
+    // quantized components, centroid identity on HUGEINT dots (the
+    // engine's DECIMAL(38,0)), one divide per output
+    "t226_label_separation" ->
+      """WITH q AS (
+        |  SELECT label, vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |), ex AS (
+        |  SELECT label, vec_id, u.i, v[u.i+1] AS x
+        |  FROM q, (SELECT unnest(range(64)) AS i) u
+        |), cent AS (
+        |  SELECT label, i, CAST(sum(x) AS HUGEINT) AS s FROM ex GROUP BY 1,2
+        |), norms AS (
+        |  SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+        |         sum(CAST(x AS HUGEINT)*x) AS sqs
+        |  FROM ex GROUP BY 1
+        |), tot AS (
+        |  SELECT i, CAST(sum(s) AS HUGEINT) AS st FROM cent GROUP BY 1
+        |), dots AS (
+        |  SELECT label, CAST(sum(s*s) AS HUGEINT) AS ss,
+        |         CAST(sum(s*(st - s)) AS HUGEINT) AS sx
+        |  FROM cent JOIN tot USING (i) GROUP BY 1
+        |), nall AS (SELECT CAST(sum(n) AS BIGINT) AS na FROM norms),
+        |fin AS (
+        |  SELECT norms.label, norms.n,
+        |    CASE WHEN norms.n > 1 THEN
+        |      round(CAST(dots.ss - norms.sqs AS DOUBLE)
+        |        / (CAST(norms.n AS DOUBLE) * (norms.n - 1)) / 1e12, 6)
+        |    END AS intra_dot,
+        |    CASE WHEN nall.na > norms.n THEN
+        |      round(CAST(dots.sx AS DOUBLE)
+        |        / (CAST(norms.n AS DOUBLE) * (nall.na - norms.n))
+        |        / 1e12, 6)
+        |    END AS inter_dot
+        |  FROM norms JOIN dots ON dots.label = norms.label CROSS JOIN nall
+        |)
+        |SELECT label, n, intra_dot, inter_dot,
+        |  CASE WHEN intra_dot IS NOT NULL AND inter_dot IS NOT NULL THEN
+        |    round(intra_dot - inter_dot, 6) END AS separation
+        |FROM fin ORDER BY label""".stripMargin,
   )
 }

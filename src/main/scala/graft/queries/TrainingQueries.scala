@@ -4683,6 +4683,27 @@ object TrainingQueries {
         Seq("l_returnflag", "l_linestatus", "ship_month", "qty"))
       .orderBy(col("rule"))
 
+  /** t225_winsorized — 10%-each-side winsorized mean of price cents
+    * per returnflag (tails clipped to the boundary order statistics,
+    * every row still counts). Exact oracle.
+    */
+  def t225Winsorized(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.winsorizedMean(Tables.lineitem(spark, sfDir),
+        Seq("l_returnflag"), round(col("l_extendedprice") * 100, 0),
+        winsorFrac = 0.1)
+      .withColumnRenamed("l_returnflag", "flag")
+      .orderBy(col("flag"))
+
+  /** t226_label_separation — do the embeddings encode their labels?
+    * Per label: mean intra-label vs inter-label dot product via the
+    * centroid identity (nothing pairwise materialized), on
+    * micro-quantized components. Exact oracle.
+    */
+  def t226LabelSeparation(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Similarity.labelSeparation(
+        Tables.embeddings(spark, sfDir), "label", "embedding", dim = 64)
+      .orderBy(col("label"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -473,4 +473,58 @@ class SimilaritySpec extends SparkSpec {
     assert(shuffled(0).getSeq[Double](shuffled(0).fieldIndex("embedding"))
       == Seq(2.0, 4.0))
   }
+
+  test("labelSeparation: clustered labels separate, shuffled labels do not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // label 0 vectors near (1,0), label 1 near (0,1)
+    val rows = (1 to 20).map { i =>
+      val eps = (i % 5) * 0.01f
+      if (i % 2 == 0) (0L, i.toLong, Array(1.0f - eps, eps))
+      else (1L, i.toLong, Array(eps, 1.0f - eps))
+    }
+    val out = Similarity.labelSeparation(
+      rows.toDF("label", "vec_id", "emb"), "label", "emb", dim = 2)
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("intra_dot") > 0.9)
+      assert(r.getAs[Double]("inter_dot") < 0.1)
+      assert(r.getAs[Double]("separation") > 0.8)
+    }
+    // identical distribution across labels: separation ~ 0
+    val flat = (1 to 20).map(i => ((i % 2).toLong, i.toLong,
+      Array(0.5f, 0.5f)))
+    val o2 = Similarity.labelSeparation(
+      flat.toDF("label", "vec_id", "emb"), "label", "emb", dim = 2)
+      .collect()
+    o2.foreach(r => assert(math.abs(r.getAs[Double]("separation")) < 1e-6))
+  }
+
+  test("labelSeparation matches the brute-force pairwise means") {
+    import spark.implicits._
+    val vecs = Map(
+      0L -> Seq(Array(0.3f, 0.4f), Array(0.1f, 0.9f), Array(0.5f, 0.2f)),
+      1L -> Seq(Array(0.8f, 0.1f), Array(0.7f, 0.3f)))
+    val rows = vecs.toSeq.flatMap { case (l, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (l, l * 10 + i.toLong, v) } }
+    def q(v: Array[Float]): Seq[Long] =
+      v.map(x => math.rint(x.toDouble * 1e6).toLong).toSeq
+    def dot(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum / 1e12
+    val out = Similarity.labelSeparation(
+      rows.toDF("label", "vec_id", "emb"), "label", "emb", dim = 2)
+      .collect().map(r => r.getAs[Long]("label") -> r).toMap
+    for ((l, vs) <- vecs) {
+      val qs = vs.map(q)
+      val others = vecs.filter(_._1 != l).values.flatten.map(q).toSeq
+      val intra = (for (i <- qs.indices; j <- qs.indices if i != j)
+        yield dot(qs(i), qs(j))).sum / (qs.size * (qs.size - 1))
+      val inter = (for (a <- qs; b <- others) yield dot(a, b)).sum /
+        (qs.size * others.size)
+      assert(out(l).getAs[Double]("intra_dot") ==
+        math.rint(intra * 1e6) / 1e6)
+      assert(out(l).getAs[Double]("inter_dot") ==
+        math.rint(inter * 1e6) / 1e6)
+    }
+  }
 }

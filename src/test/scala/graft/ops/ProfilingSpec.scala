@@ -374,4 +374,37 @@ class ProfilingSpec extends SparkSpec {
     assert(out("a->c").getAs[Double]("confidence") == 0.6)
     assert(!out("b->a").getAs[Boolean]("holds")) // x -> {1, 3}
   }
+
+  // ---- winsorizedMean ---------------------------------------------
+
+  test("winsorizedMean clips tails to boundary order statistics") {
+    // n=10, k=1: -50 clips to 1's neighbor... sorted: -50,1..8,100
+    // lo = 2nd smallest = 1, hi = 9th = 8 -> mean of 1,1..8,8
+    val xs = Seq(100L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, -50L)
+    val out = Profiling.winsorizedMean(xs.map(("g", _)).toDF("g", "x"),
+      Seq("g"), col("x"), 0.1).collect().head
+    val sorted = xs.sorted
+    val w = Seq(sorted(1)) ++ sorted.slice(1, 9) ++ Seq(sorted(8))
+    assert(out.getAs[Long]("k_winsor") == 1)
+    assert(out.getAs[Double]("winsorized_mean") ==
+      math.rint(w.sum.toDouble / 10 * 1e6) / 1e6)
+    // zero frac = plain mean
+    val o2 = Profiling.winsorizedMean(xs.map(("g", _)).toDF("g", "x"),
+      Seq("g"), col("x"), 0.0).collect().head
+    assert(o2.getAs[Double]("winsorized_mean") ==
+      math.rint(xs.sum.toDouble / 10 * 1e6) / 1e6)
+  }
+
+  test("winsorizedMean: tie blocks at the fence clip exactly") {
+    // n=20, k=2: bottom five 1s -> two of them clip to lo=1 (no-op),
+    // top value 100 x3 -> two clip to hi boundary
+    val xs = Seq.fill(5)(1L) ++ (2L to 13L) ++ Seq.fill(3)(100L)
+    val sorted = xs.sorted; val n = xs.size; val k = n / 10
+    val w = Seq.fill(k)(sorted(k)) ++ sorted.slice(k, n - k) ++
+      Seq.fill(k)(sorted(n - k - 1))
+    val out = Profiling.winsorizedMean(xs.map(("g", _)).toDF("g", "x"),
+      Seq("g"), col("x"), 0.1).collect().head
+    assert(out.getAs[Double]("winsorized_mean") ==
+      math.rint(w.sum.toDouble / n * 1e6) / 1e6)
+  }
 }
