@@ -75,7 +75,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t216_delta_attribution", "t217_pool_embed", "t218_srm",
            "t219_win_matrix", "t220_neyman", "t222_seasonal_outliers",
            "t223_column_entropy", "t224_fd_mine", "t225_winsorized",
-           "t226_label_separation"]
+           "t226_label_separation", "t227_chi2_residuals",
+           "t228_info_gain", "t229_dedup_savings"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -282,6 +283,12 @@ NOTES = {
         "The trimmedMean shape with boundary SELECTIONS instead of drops: one cell collapse, one per-flag distinct-value cumulative window (t137 hatch past quantized domains), one DECIMAL(38,0) reduction carrying the clip weights and both fence values.",
     "t226_label_separation":
         "ONE posexplode scan reduces map-side to (label, dim) DECIMAL sums — |labels|*64 rows — plus a per-row squared-norm fold; the centroid identity makes intra/inter means label-cardinality arithmetic with nothing pairwise ever materialized.",
+    "t227_chi2_residuals":
+        "The cramersV shape with the residual emitted per grid cell instead of folded into V: one (mon, flag, status) collapse, category-sized marginals and grid join, one IEEE divide+sqrt of exact DECIMAL integers per cell.",
+    "t228_info_gain":
+        "|features| map-side branches union into ONE (feature, value, label) count collapse; per-value totals, the micro-log reductions, and the label-entropy broadcast are all value-/label-cardinality.",
+    "t229_dedup_savings":
+        "The t38 component pipeline (capped posting candidates, pointer-jumping CC rounds) plus ONE component-keyed byte reduction and a 1-row verdict — the dedup machinery reused to price itself.",
     "t192_triangles":
         "Per-order pair expansion is bounded by order size (≤ 13 lineitems → ≤ 78 pairs); edges dedup through one (u, v)-keyed distinct — 8-byte shuffles — and the degree-ordered orientation bounds every oriented out-degree by O(√m), making the wedge-closure join O(m^1.5) regardless of hub skew (a hub's star orients INTO it, generating no wedges). No windows, no driver state.",
 }

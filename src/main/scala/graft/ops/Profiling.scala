@@ -699,4 +699,100 @@ object Profiling {
           col("k_winsor").cast("double") * col("__hi")) / col("n"), 6)
           .as("winsorized_mean"): _*)
   }
+
+  /** STANDARDIZED χ² cell RESIDUALS per group — the drill-down behind
+    * [[cramersV]]/the χ² tests: WHICH cells of the contingency grid
+    * drive the association? r = (o − e)/√e per cell (absent cells
+    * included — a structurally empty cell can be the finding), with
+    * |r| > `flagAt` marking the conventionally notable cells (±2 ≈
+    * the 95% band).
+    *
+    * Arithmetic: r = (o·n − c_r·c_c)/√(n·c_r·c_c) — numerator and
+    * radicand exact DECIMAL(38,0)/HUGEINT integers, ONE IEEE
+    * divide+sqrt chain, 6dp at the boundary.
+    *
+    * Scale shape: identical to [[cramersV]] — one (group, a, b) cell
+    * collapse, marginals, the r×c grid join; everything after the
+    * scan is category-cardinality.
+    *
+    * Output: (groups…, a, b, o, residual 6dp, notable).
+    */
+  def chiSquareResiduals(df: DataFrame, groupCols: Seq[String],
+                         aCol: String, bCol: String,
+                         flagAt: Double = 2.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(g :+ col(aCol).as("a") :+ col(bCol).as("b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val rm = cells.groupBy(g :+ col("a"): _*).agg(sum(col("__c")).as("__cr"))
+    val cm = cells.groupBy(g :+ col("b"): _*).agg(sum(col("__c")).as("__cc"))
+    val tot = rm.groupBy(g: _*).agg(sum(col("__cr")).as("__n"))
+    val grid = rm.join(cm, groupCols)
+      .join(cells, groupCols :+ "a" :+ "b", "left")
+      .na.fill(0L, Seq("__c"))
+      .join(broadcast(tot), groupCols)
+    val resid = round(
+      (col("__c").cast(dec) * col("__n") - col("__cr").cast(dec) * col("__cc"))
+        .cast("double") /
+      sqrt((col("__n").cast(dec) * col("__cr") * col("__cc"))
+        .cast("double")), 6)
+    grid.select(g :+ col("a") :+ col("b") :+ col("__c").as("o") :+
+      resid.as("residual") :+ (abs(resid) > flagAt).as("notable"): _*)
+  }
+
+  /** INFORMATION GAIN of each feature column against a label — the
+    * feature-screening table (ID3's split criterion as a profiling
+    * readout): IG(L; F) = H(L) − H(L|F), where high gain means the
+    * feature predicts the label (and, for a training pipeline, that
+    * the label LEAKS through it — both readings matter).
+    *
+    * Portability: both entropies use the micro-log BIGINT contract
+    * ([[columnEntropy]]) — H(L) over label counts, H(L|F) over
+    * (feature-value, label) cells against per-value totals — so the
+    * sums are order-independent; gain is a subtraction of the two
+    * 6dp-rounded entropies (re-rounded, the mirrored contract).
+    *
+    * Scale shape: |features| map-side branches union into ONE
+    * (feature, value, label) count collapse; per-value totals and
+    * the reductions after it are value-cardinality.
+    *
+    * Output: (feat, h_label 6dp, h_cond 6dp, info_gain 6dp).
+    */
+  def infoGain(df: DataFrame, labelCol: String,
+               featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val base = df.filter(col(labelCol).isNotNull)
+    val u = featureCols.map { f =>
+      base.filter(col(f).isNotNull)
+        .select(lit(f).as("feat"), col(f).cast("string").as("__v"),
+          col(labelCol).cast("string").as("__l"))
+    }.reduce(_ unionAll _)
+    val c = u.groupBy(col("feat"), col("__v"), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val nv = c.groupBy(col("feat"), col("__v")).agg(sum(col("__c")).as("__nv"))
+    val n = c.groupBy(col("feat")).agg(sum(col("__c")).as("__n"))
+    val cond = c.join(nv, Seq("feat", "__v"))
+      .select(col("feat"),
+        round(lit(1000000.0) * col("__c") *
+          log(col("__c").cast("double") / col("__nv")))
+          .cast("long").as("__tm"))
+      .groupBy(col("feat")).agg(sum(col("__tm")).as("__tms"))
+    val lab = base.groupBy(col(labelCol)).agg(count(lit(1)).as("__nl"))
+    val hl = lab.crossJoin(broadcast(lab.agg(sum(col("__nl")).as("__nt"))))
+      .select(round(lit(1000000.0) * col("__nl") *
+        log(col("__nl").cast("double") / col("__nt")))
+        .cast("long").as("__tm"), col("__nt"))
+      .groupBy(col("__nt")).agg(sum(col("__tm")).as("__tms"))
+      .select(round(-col("__tms").cast("double") / 1e6 / col("__nt"), 6)
+        .as("h_label"))
+    cond.join(n, "feat").crossJoin(broadcast(hl))
+      .select(col("feat"), col("h_label"),
+        round(-col("__tms").cast("double") / 1e6 / col("__n"), 6)
+          .as("h_cond"))
+      .withColumn("info_gain",
+        round(col("h_label") - col("h_cond"), 6))
+  }
 }

@@ -6912,5 +6912,103 @@ object Oracle {
         |  CASE WHEN intra_dot IS NOT NULL AND inter_dot IS NOT NULL THEN
         |    round(intra_dot - inter_dot, 6) END AS separation
         |FROM fin ORDER BY label""".stripMargin,
+
+    // exact mirror of Profiling.chiSquareResiduals (t227): full grid
+    // (absent cells included), residual one IEEE divide+sqrt of
+    // exact HUGEINT integers
+    "t227_chi2_residuals" ->
+      """WITH cells AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS mon, l_returnflag AS a,
+        |         l_linestatus AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2, 3
+        |), rm AS (
+        |  SELECT mon, a, CAST(sum(c) AS BIGINT) AS cr FROM cells GROUP BY 1,2
+        |), cm AS (
+        |  SELECT mon, b, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY 1,2
+        |), tot AS (
+        |  SELECT mon, CAST(sum(cr) AS BIGINT) AS n FROM rm GROUP BY 1
+        |), grid AS (
+        |  SELECT rm.mon, rm.a, cm.b, rm.cr, cm.cc,
+        |         coalesce(cells.c, 0) AS o, t.n
+        |  FROM rm JOIN cm ON cm.mon = rm.mon
+        |  LEFT JOIN cells ON cells.mon = rm.mon AND cells.a = rm.a
+        |                 AND cells.b = cm.b
+        |  JOIN tot t ON t.mon = rm.mon
+        |)
+        |SELECT mon, a, b, o,
+        |  round(CAST(CAST(o AS HUGEINT)*n - CAST(cr AS HUGEINT)*cc
+        |      AS DOUBLE)
+        |    / sqrt(CAST(CAST(n AS HUGEINT)*cr*cc AS DOUBLE)), 6)
+        |    AS residual,
+        |  abs(round(CAST(CAST(o AS HUGEINT)*n - CAST(cr AS HUGEINT)*cc
+        |      AS DOUBLE)
+        |    / sqrt(CAST(CAST(n AS HUGEINT)*cr*cc AS DOUBLE)), 6)) > 2.0
+        |    AS notable
+        |FROM grid ORDER BY mon, a, b""".stripMargin,
+
+    // exact mirror of Profiling.infoGain (t228): micro-log entropies
+    // (the t223 contract), gain = difference of the 6dp-rounded pair
+    "t228_info_gain" ->
+      """WITH base AS (
+        |  SELECT event_type AS label,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |      AS dow,
+        |    CAST(floor(value/100) AS BIGINT) AS value_bucket,
+        |    CAST(user_id % 10 AS BIGINT) AS user_mod
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), u AS (
+        |  SELECT 'dow' AS feat, CAST(dow AS VARCHAR) AS v,
+        |         CAST(label AS VARCHAR) AS l FROM base
+        |  UNION ALL SELECT 'value_bucket', CAST(value_bucket AS VARCHAR),
+        |    CAST(label AS VARCHAR) FROM base
+        |  UNION ALL SELECT 'user_mod', CAST(user_mod AS VARCHAR),
+        |    CAST(label AS VARCHAR) FROM base
+        |), c AS (
+        |  SELECT feat, v, l, CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY 1, 2, 3
+        |), nv AS (
+        |  SELECT feat, v, CAST(sum(c) AS BIGINT) AS nv FROM c GROUP BY 1, 2
+        |), n AS (SELECT feat, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |cond AS (
+        |  SELECT c.feat, CAST(sum(CAST(round(1000000.0 * c.c *
+        |    ln(CAST(c.c AS DOUBLE)/nv.nv)) AS BIGINT)) AS BIGINT) AS tms
+        |  FROM c JOIN nv ON nv.feat = c.feat AND nv.v = c.v GROUP BY 1
+        |), lab AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nl FROM base GROUP BY label
+        |), hl AS (
+        |  SELECT round(-CAST(sum(CAST(round(1000000.0 * nl *
+        |      ln(CAST(nl AS DOUBLE) / (SELECT sum(nl) FROM lab)))
+        |      AS BIGINT)) AS DOUBLE) / 1e6 / (SELECT sum(nl) FROM lab), 6)
+        |    AS h_label
+        |  FROM lab
+        |)
+        |SELECT c.feat, hl.h_label,
+        |  round(-CAST(c.tms AS DOUBLE)/1e6/n.n, 6) AS h_cond,
+        |  round(hl.h_label - round(-CAST(c.tms AS DOUBLE)/1e6/n.n, 6), 6)
+        |    AS info_gain
+        |FROM cond c JOIN n ON n.feat = c.feat CROSS JOIN hl
+        |ORDER BY c.feat""".stripMargin,
+
+    // exact replay of t229 (exact+near clusters via the shared
+    // recursive CTE, longest-text canonical, byte sums)
+    "t229_dedup_savings" ->
+      (ClusterReachCte + """,
+        |labeled AS (
+        |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        |), cl AS (
+        |  SELECT l.component, CAST(count(*) AS BIGINT) AS sz,
+        |         CAST(max(d.n_chars) AS BIGINT) AS keep_b,
+        |         CAST(sum(d.n_chars) AS BIGINT) AS tot_b
+        |  FROM labeled l JOIN documents d USING (doc_id) GROUP BY 1
+        |)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(tot_b) AS BIGINT) AS bytes_before,
+        |  CAST(sum(keep_b) AS BIGINT) AS bytes_after,
+        |  round(1.0 - CAST(sum(keep_b) AS DOUBLE)
+        |    / CAST(sum(tot_b) AS DOUBLE), 6) AS savings
+        |FROM cl""".stripMargin),
   )
 }

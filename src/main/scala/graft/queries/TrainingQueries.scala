@@ -4704,6 +4704,62 @@ object TrainingQueries {
         Tables.embeddings(spark, sfDir), "label", "embedding", dim = 64)
       .orderBy(col("label"))
 
+  /** t227_chi2_residuals — WHICH (returnflag, linestatus) cells drive
+    * the per-month association t197 scores: standardized residuals
+    * over the full grid, |r| > 2 notable. Exact oracle.
+    */
+  def t227Chi2Residuals(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.chiSquareResiduals(
+        Tables.lineitem(spark, sfDir)
+          .withColumn("mon", date_format(col("l_shipdate"), "yyyy-MM")),
+        Seq("mon"), "l_returnflag", "l_linestatus")
+      .orderBy(col("mon"), col("a"), col("b"))
+
+  /** t228_info_gain — which derived event features predict (or leak)
+    * the event type: information gain per feature. Exact oracle —
+    * micro-log entropies.
+    */
+  def t228InfoGain(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long") % 7).as("dow"),
+        floor(col("value") / 100).cast("long").as("value_bucket"),
+        (col("user_id") % 10).as("user_mod"))
+    graft.ops.Profiling.infoGain(base, "event_type",
+        Seq("dow", "value_bucket", "user_mod"))
+      .orderBy(col("feat"))
+  }
+
+  /** t229_dedup_savings — the business case for the dedup pipeline in
+    * one row: bytes before vs after collapsing exact + near-dup
+    * clusters (t18's components, t38's longest-text canonical).
+    * Exact oracle — the shared recursive-reach replay plus byte sums.
+    */
+  def t229DedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactPairs = TextDedup.exactClusters(docs, "text", "doc_id")
+    val nearPairs = TextDedup.ngramJaccardPairs(
+        TextDedup.exact(docs, "text", "doc_id"),
+        "text", "doc_id", shingleK = 3, minJaccard = 0.5, maxDf = 10)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Clustering.labelCorpus(docs, "doc_id",
+        exactPairs.unionByName(nearPairs), "id_a", "id_b")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("__sz"), max(col("n_chars")).as("__keep"),
+        sum(col("n_chars")).as("__tot"))
+    clusters.agg(sum(col("__sz")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(col("__tot")).as("bytes_before"),
+        sum(col("__keep")).as("bytes_after"))
+      .select(col("n_docs"), col("n_clusters"), col("bytes_before"),
+        col("bytes_after"),
+        round(lit(1.0) - col("bytes_after").cast("double") /
+          col("bytes_before").cast("double"), 6).as("savings"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -267,4 +267,21 @@ class TextDedupSpec extends SparkSpec {
     assert(TextDedup.containmentPairs(docs, "text", "doc_id",
       shingleK = 3, minContainment = 0.1, maxDf = 3).count() == 0)
   }
+
+  test("t229-style dedup savings: exact copies collapse to the longest text's bytes") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 36L),
+      (2L, "alpha beta gamma delta epsilon zeta", 36L), // exact copy
+      (3L, "unrelated content about something else entirely", 48L))
+      .toDF("doc_id", "text", "n_chars")
+    val exactPairs = TextDedup.exactClusters(docs, "text", "doc_id")
+    val clusters = Clustering.labelCorpus(docs, "doc_id",
+        exactPairs, "id_a", "id_b")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("component"))
+      .agg(max(col("n_chars")).as("keep"), sum(col("n_chars")).as("tot"))
+    val row = clusters.agg(sum(col("tot")).as("before"),
+      sum(col("keep")).as("after")).collect().head
+    assert(row.getAs[Long]("before") == 120 && row.getAs[Long]("after") == 84)
+  }
 }

@@ -407,4 +407,52 @@ class ProfilingSpec extends SparkSpec {
     assert(out.getAs[Double]("winsorized_mean") ==
       math.rint(w.sum.toDouble / n * 1e6) / 1e6)
   }
+
+  // ---- chiSquareResiduals -----------------------------------------
+
+  test("chiSquareResiduals: independence gives zero residuals; deviations sign correctly") {
+    val indep = for (i <- 1 to 10; a <- Seq("x", "y"); b <- Seq("p", "q"))
+      yield ("g", a, b)
+    val z = Profiling.chiSquareResiduals(indep.toDF("g", "a", "b"),
+      Seq("g"), "a", "b").collect()
+    assert(z.length == 4 && z.forall(_.getAs[Double]("residual") == 0.0))
+    // (x,p) over-represented -> positive residual; (x,q) starved -> negative
+    val skew = Seq.fill(18)(("g", "x", "p")) ++ Seq.fill(2)(("g", "x", "q")) ++
+      Seq.fill(2)(("g", "y", "p")) ++ Seq.fill(18)(("g", "y", "q"))
+    val out = Profiling.chiSquareResiduals(skew.toDF("g", "a", "b"),
+      Seq("g"), "a", "b").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    assert(out(("x", "p")).getAs[Double]("residual") > 0)
+    assert(out(("x", "q")).getAs[Double]("residual") < 0)
+    assert(out(("x", "p")).getAs[Boolean]("notable"))
+    // hand value with n=40, cr=cc=20, o=18: r = (720-400)/sqrt(16000)
+    val expect = math.rint((18.0 * 40 - 20 * 20) /
+      math.sqrt(40.0 * 20 * 20) * 1e6) / 1e6
+    assert(out(("x", "p")).getAs[Double]("residual") == expect)
+  }
+
+  test("chiSquareResiduals: absent cells still score (their expected mass)") {
+    val rows = Seq.fill(6)(("g", "x", "p")) ++ Seq.fill(6)(("g", "y", "q"))
+    val out = Profiling.chiSquareResiduals(rows.toDF("g", "a", "b"),
+      Seq("g"), "a", "b").collect()
+    assert(out.length == 4) // full 2x2 grid despite 2 observed cells
+    val absent = out.find(r => r.getString(1) == "x" && r.getString(2) == "q").get
+    assert(absent.getAs[Long]("o") == 0 && absent.getAs[Double]("residual") < 0)
+  }
+
+  // ---- infoGain ---------------------------------------------------
+
+  test("infoGain: a perfectly predictive feature recovers H(label); noise gains ~0") {
+    val rows = (1 to 60).map { i =>
+      val label = (i % 3).toString
+      ("g" + label, label, (i % 2).toString) // feat1 = label alias, feat2 = coin
+    }
+    val out = Profiling.infoGain(rows.toDF("alias", "label", "coin"),
+      "label", Seq("alias", "coin")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val h = out("alias").getAs[Double]("h_label")
+    assert(math.abs(h - math.log(3)) < 1e-5)
+    assert(out("alias").getAs[Double]("info_gain") == h) // h_cond = 0
+    assert(math.abs(out("coin").getAs[Double]("info_gain")) < 1e-5)
+  }
 }
