@@ -331,6 +331,49 @@ object TextDedup {
       .withColumn("accept", col("jw") >= minSim)
   }
 
+  /** Full DAMERAU–LEVENSHTEIN verification of a candidate pair set —
+    * the transposition-aware ground truth between [[editDistanceVerify]]
+    * (plain Levenshtein: a swapped word costs two edits) and
+    * [[jaroWinklerVerify]] (alignment score, no edit count): typo-
+    * shaped corruption (adjacent transpositions) counts ONE edit, the
+    * semantics record-linkage literature actually means by "edit
+    * distance". Same contract as [[editDistanceVerify]]: feed a
+    * shortlisted pair set; the zero-cost length quick-reject
+    * (dl ≥ |Δlen| ⇒ sim bound below `minSim` − 1e-6 slack) drops
+    * provably-failing pairs BEFORE the O(|a|·|b|) DP runs — on
+    * random-neighbor candidate sets that is most of them — and the
+    * output is the surviving near-dup pairs at sim ≥ `minSim` (6dp
+    * boundary).
+    *
+    * The kernel ([[graft.functions.TextFunctions.damerau_levenshtein]])
+    * is a native codegen'd expression, bit-identical to DuckDB's
+    * `damerau_levenshtein` (full Lowrance–Wagner DL over UTF-8 bytes,
+    * not the cheaper OSA restriction — verified on 4k adversarial
+    * pairs including the OSA discriminators).
+    *
+    * Output: (id_a, id_b, dl, max_len, sim) for sim ≥ `minSim`.
+    */
+  def damerauVerify(pairs: DataFrame, docs: DataFrame,
+                    textCol: String, idCol: String,
+                    minSim: Double = 0.8): DataFrame = {
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("__txt"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(texts.select(col("id").as("id_a"), col("__txt").as("__ta")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("__txt").as("__tb")), "id_b")
+      .withColumn("max_len",
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+      .filter(lit(1.0)
+        - abs(length(col("__ta")) - length(col("__tb"))).cast("double")
+          / col("max_len") >= minSim - 1e-6)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextFunctions.damerau_levenshtein(
+          col("__ta"), col("__tb")).cast("long").as("dl"),
+        col("max_len"))
+      .withColumn("sim",
+        round(lit(1.0) - col("dl").cast("double") / col("max_len"), 6))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Doc-level n-gram CONTAINMENT pairs — the asymmetric complement
     * of [[ngramJaccardPairs]]: containment(sub ⊆ sup) =
     * |sh_sub ∩ sh_sup| / |sh_sub| catches SUBSUMPTION (a paragraph

@@ -926,4 +926,90 @@ object Eval {
         round(col("__w2").cast("double") /
           (lit(2L) * col("n_a") * col("n_b")), 6).as("win_rate"))
   }
+
+  /** RATIO-METRIC delta-method CI per group — the correct uncertainty
+    * for per-unit ratio metrics (value per event, clicks per session)
+    * where both numerator and denominator are random: R = Σy/Σx with
+    * the cluster-robust (unit-level) delta-method variance
+    * var(R) ≈ (s²_y − 2R·s_xy + R²·s²_x)/(x̄²·n), 95% z-interval. The
+    * naive row-level mean silently understates this variance whenever
+    * units contribute unequal denominators.
+    *
+    * Portability: unit moments (n, Σx, Σy, Σx², Σy², Σxy) are exact
+    * DECIMAL(38,0)/HUGEINT integers; R, the (co)variances, the SE,
+    * and the bounds are a fixed IEEE chain, 6dp at the boundary.
+    * Single-unit groups drop.
+    *
+    * Scale shape: the caller's per-unit collapse is the corpus-sized
+    * stage; this is ONE map-side-combinable moment reduction to
+    * |groups| rows. Output: (groups…, n, ratio, ci_lo, ci_hi).
+    */
+  def ratioMetricCI(units: DataFrame, groupCols: Seq[String],
+                    xCol: Column, yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val m = units.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(g :+ xCol.cast("long").as("__x") :+
+        yCol.cast("long").as("__y"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__x")).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y")).as("__syy"),
+        sum(col("__x").cast(dec) * col("__y")).as("__sxy"))
+      .filter(col("n") > 1)
+    val nD = col("n").cast(dec)
+    def sVar(ss: String, s1: String, s2: String): Column =
+      (nD * col(ss) - col(s1) * col(s2)).cast("double") /
+        (col("n").cast("double") * (col("n") - 1))
+    val r = col("__sy").cast("double") / col("__sx").cast("double")
+    val xbar = col("__sx").cast("double") / col("n")
+    val se = sqrt((sVar("__syy", "__sy", "__sy") -
+      lit(2.0) * r * sVar("__sxy", "__sx", "__sy") +
+      r * r * sVar("__sxx", "__sx", "__sx")) / (xbar * xbar) / col("n"))
+    val z = 1.959963984540054
+    m.select(g :+ col("n") :+ round(r, 6).as("ratio") :+
+      round(r - lit(z) * se, 6).as("ci_lo") :+
+      round(r + lit(z) * se, 6).as("ci_hi"): _*)
+  }
+
+  /** MINIMUM DETECTABLE EFFECT table per group — "how big an effect
+    * could this A/B even see?": with the observed per-unit metric
+    * variance, a 50/50 split of the group's n units, two-sided
+    * α = 0.05 and power 0.8, MDE_abs = (z_{α/2} + z_β)·σ·√(2/(n/2))
+    * and MDE_rel = MDE_abs / mean. The go/no-go sizing readout run
+    * BEFORE launching the experiment the t213/t218 monitors then
+    * guard.
+    *
+    * Portability: σ and the mean come from exact DECIMAL(38,0)/
+    * HUGEINT moments; the z literals (1.959963984540054,
+    * 0.8416212335729143) are shared verbatim with the oracle; one
+    * fixed IEEE chain, 6dp. Single-unit groups drop.
+    *
+    * Output: (groups…, n, sigma, mde_abs, mde_rel) — 6dp.
+    */
+  def mdeTable(units: DataFrame, groupCols: Seq[String],
+               yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val m = units.filter(yCol.isNotNull)
+      .select(g :+ yCol.cast("long").as("__y"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y").cast(dec)).as("__s"),
+        sum(col("__y").cast(dec) * col("__y")).as("__ss"))
+      .filter(col("n") > 1)
+    val sigma = sqrt((col("n").cast(dec) * col("__ss") -
+      col("__s") * col("__s")).cast("double") /
+      (col("n").cast("double") * (col("n") - 1)))
+    val zSum = 1.959963984540054 + 0.8416212335729143
+    val mde = lit(zSum) * sigma * sqrt(lit(2.0) / (col("n") / 2))
+    m.select(g :+ col("n") :+ round(sigma, 6).as("sigma") :+
+      round(mde, 6).as("mde_abs") :+
+      round(mde / (col("__s").cast("double") / col("n")), 6)
+        .as("mde_rel"): _*)
+  }
 }

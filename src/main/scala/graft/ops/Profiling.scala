@@ -795,4 +795,41 @@ object Profiling {
       .withColumn("info_gain",
         round(col("h_label") - col("h_cond"), 6))
   }
+
+  /** LEAVE-ONE-GROUP-OUT influence on the global mean — "which source
+    * is MOVING the corpus metric?": for each group, the global mean
+    * with and without it and their gap (the group-level Cook's-
+    * distance-style influence a metrics review reads before blaming a
+    * shift on the whole corpus).
+    *
+    * Arithmetic: group and global sums are exact DECIMAL(38,0)/
+    * HUGEINT integers; every mean is one IEEE divide, the influence a
+    * mirrored subtraction, 6dp. Groups equal to the whole corpus drop
+    * (no "without" to compute).
+    *
+    * Scale shape: ONE map-side-combinable group-moment collapse; the
+    * global total joins back as a broadcast 1-row frame. Output:
+    * (groups…, n_g, mean_all, mean_without, influence).
+    */
+  def leaveOneOutInfluence(df: DataFrame, groupCols: Seq[String],
+                           valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val m = df.filter(valueCol.isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_g"),
+        sum(valueCol.cast("long").cast(dec)).as("__sg"))
+    val t = m.agg(sum(col("n_g")).as("__n"), sum(col("__sg")).as("__s"))
+    val meanAll = round(col("__s").cast("double") / col("__n"), 6)
+    val meanWithout = round((col("__s") - col("__sg")).cast("double") /
+      (col("__n") - col("n_g")), 6)
+    m.crossJoin(broadcast(t))
+      .filter(col("__n") > col("n_g"))
+      .select(g :+ col("n_g") :+ meanAll.as("mean_all") :+
+        meanWithout.as("mean_without") :+
+        round(col("__s").cast("double") / col("__n") -
+          (col("__s") - col("__sg")).cast("double") /
+          (col("__n") - col("n_g")), 6).as("influence"): _*)
+  }
 }

@@ -122,8 +122,10 @@ object GraftExtensions {
         .toAggregateExpression()),
     fn("cov_moments", 2,
       a => CovMoments(a(0), intArg(a(1))).toAggregateExpression()),
-    // round 9: record-linkage string verifier
-    fn("jaro_winkler", 2, a => JaroWinklerSim(a(0), a(1))))
+    // round 9: record-linkage string verifiers
+    fn("jaro_winkler", 2, a => JaroWinklerSim(a(0), a(1))),
+    fn("damerau_levenshtein", 2,
+      a => DamerauLevenshteinDist(a(0), a(1))))
 
   /** Install on an already-running session: the optimizer rule via
     * extraOptimizations, the as-of strategy via extraStrategies, and

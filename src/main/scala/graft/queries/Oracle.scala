@@ -7010,5 +7010,138 @@ object Oracle {
         |  round(1.0 - CAST(sum(keep_b) AS DOUBLE)
         |    / CAST(sum(tot_b) AS DOUBLE), 6) AS savings
         |FROM cl""".stripMargin),
+
+    // exact mirror of Eval.ratioMetricCI (t230): unit moments exact
+    // HUGEINT, delta-method variance and bounds one fixed IEEE chain
+    "t230_ratio_ci" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(round(value*100)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(y AS HUGEINT)*y)
+        |      AS syy,
+        |    sum(CAST(x AS HUGEINT)*y) AS sxy
+        |  FROM u GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n,
+        |    CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+        |    CAST(sx AS DOUBLE) / n AS xbar,
+        |    CAST(n*sxx - sx*sx AS DOUBLE) / (CAST(n AS DOUBLE)*(n-1)) AS vx,
+        |    CAST(n*syy - sy*sy AS DOUBLE) / (CAST(n AS DOUBLE)*(n-1)) AS vy,
+        |    CAST(n*sxy - sx*sy AS DOUBLE) / (CAST(n AS DOUBLE)*(n-1)) AS cxy
+        |  FROM m WHERE n > 1
+        |), s AS (
+        |  SELECT event_type, n, r,
+        |    sqrt((vy - 2.0*r*cxy + r*r*vx) / (xbar*xbar) / n) AS se
+        |  FROM f
+        |)
+        |SELECT event_type, n, round(r, 6) AS ratio,
+        |  round(r - 1.959963984540054*se, 6) AS ci_lo,
+        |  round(r + 1.959963984540054*se, 6) AS ci_hi
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Eval.mdeTable (t231): shared z literals, exact
+    // HUGEINT moments, fixed IEEE chain
+    "t231_mde" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |         CAST(sum(round(value*100)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS HUGEINT) AS s, sum(CAST(y AS HUGEINT)*y) AS ss
+        |  FROM u GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |  round(sqrt(CAST(n*ss - s*s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE)*(n-1))), 6) AS sigma,
+        |  round((1.959963984540054 + 0.8416212335729143)
+        |    * sqrt(CAST(n*ss - s*s AS DOUBLE) / (CAST(n AS DOUBLE)*(n-1)))
+        |    * sqrt(2.0/(n/2)), 6) AS mde_abs,
+        |  round((1.959963984540054 + 0.8416212335729143)
+        |    * sqrt(CAST(n*ss - s*s AS DOUBLE) / (CAST(n AS DOUBLE)*(n-1)))
+        |    * sqrt(2.0/(n/2)) / (CAST(s AS DOUBLE)/n), 6) AS mde_rel
+        |FROM m WHERE n > 1 ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Profiling.leaveOneOutInfluence (t232): exact
+    // HUGEINT sums, one divide per mean, mirrored subtraction
+    "t232_influence" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+        |         CAST(sum(v) AS HUGEINT) AS s_g
+        |  FROM e GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |         CAST(sum(s_g) AS HUGEINT) AS s FROM m
+        |)
+        |SELECT event_type, n_g,
+        |  round(CAST(t.s AS DOUBLE)/t.n, 6) AS mean_all,
+        |  round(CAST(t.s - m.s_g AS DOUBLE)/(t.n - m.n_g), 6)
+        |    AS mean_without,
+        |  round(CAST(t.s AS DOUBLE)/t.n
+        |    - CAST(t.s - m.s_g AS DOUBLE)/(t.n - m.n_g), 6) AS influence
+        |FROM m CROSS JOIN t WHERE t.n > m.n_g ORDER BY event_type""".stripMargin,
+
+    // exact mirror of t233 (SNM candidates + TextDedup.damerauVerify):
+    // the t194 blocking chain judged by DuckDB's native
+    // damerau_levenshtein -- the engine kernel is bit-identical to it
+    // (full Lowrance-Wagner DL over bytes)
+    "t233_damerau_verify" ->
+      """WITH reps AS (
+        |  SELECT min(doc_id) AS id, text FROM documents
+        |  WHERE text IS NOT NULL GROUP BY text
+        |), toks AS (
+        |  SELECT id, list_filter(string_split_regex(lower(text),
+        |    '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
+        |  FROM reps
+        |), sets AS (
+        |  SELECT id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END
+        |    AS sh
+        |  FROM toks
+        |), keyed AS (
+        |  SELECT s.id, list_aggregate(list_transform(s.sh,
+        |      x -> CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)), 'min')
+        |    AS mkey
+        |  FROM sets s
+        |), ranked AS (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY mkey, id)
+        |    AS BIGINT) - 1 AS rk
+        |  FROM keyed
+        |), cpairs AS (
+        |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+        |  FROM ranked a JOIN ranked b ON b.rk BETWEEN a.rk+1 AND a.rk+3
+        |), dsets AS (
+        |  SELECT id, list_distinct(sh) AS dsh FROM sets
+        |), pairs AS (
+        |  SELECT p.id_a, p.id_b FROM cpairs p
+        |  JOIN dsets sa ON sa.id = p.id_a
+        |  JOIN dsets sb ON sb.id = p.id_b
+        |  WHERE CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE)
+        |          / len(list_distinct(sa.dsh || sb.dsh)) >= 0.3
+        |), v AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(damerau_levenshtein(ra.text, rb.text) AS BIGINT) AS dl,
+        |    CAST(greatest(length(ra.text), length(rb.text)) AS BIGINT)
+        |      AS max_len
+        |  FROM pairs p JOIN reps ra ON ra.id = p.id_a
+        |               JOIN reps rb ON rb.id = p.id_b
+        |  WHERE 1.0 - abs(length(ra.text) - length(rb.text))
+        |          / CAST(greatest(length(ra.text), length(rb.text))
+        |                 AS DOUBLE)
+        |        >= 0.8 - 0.000001
+        |)
+        |SELECT id_a, id_b, dl, max_len,
+        |  round(1.0 - CAST(dl AS DOUBLE) / max_len, 6) AS sim
+        |FROM v
+        |WHERE round(1.0 - CAST(dl AS DOUBLE) / max_len, 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -4760,6 +4760,64 @@ object TrainingQueries {
           col("bytes_before").cast("double"), 6).as("savings"))
   }
 
+  /** t230_ratio_ci — value-per-event ratio metric per event type with
+    * the cluster-robust (per-user) delta-method 95% CI. Exact
+    * oracle — unit moments exact, fixed IEEE chain.
+    */
+  def t230RatioCI(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100, 0)).cast("long").as("y"))
+    graft.ops.Eval.ratioMetricCI(u, Seq("event_type"),
+        col("x"), col("y"))
+      .orderBy(col("event_type"))
+  }
+
+  /** t231_mde — minimum-detectable-effect sizing table per event
+    * type (α 0.05 two-sided, power 0.8, 50/50 split of the observed
+    * users): the go/no-go readout before launching the A/B the
+    * t213/t218 monitors then guard. Exact oracle.
+    */
+  def t231Mde(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 100, 0)).cast("long").as("y"))
+    graft.ops.Eval.mdeTable(u, Seq("event_type"), col("y"))
+      .orderBy(col("event_type"))
+  }
+
+  /** t232_influence — which event type MOVES the corpus mean value:
+    * leave-one-group-out influence per type. Exact oracle.
+    */
+  def t232Influence(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.leaveOneOutInfluence(
+        Tables.events(spark, sfDir), Seq("event_type"),
+        round(col("value") * 100, 0))
+      .orderBy(col("event_type"))
+
+  /** t233_damerau_verify — transposition-aware edit-distance judgment
+    * of the SNM candidate pairs (full Damerau–Levenshtein, accept at
+    * sim ≥ 0.8): the third member of the verification family next to
+    * t177 (Levenshtein) and t194 (Jaro–Winkler). Exact oracle — the
+    * native kernel is bit-identical to DuckDB's damerau_levenshtein.
+    */
+  def t233DamerauVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val reps = docs.filter(col("text").isNotNull)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    // honor the verify contract: shortlist by cheap hash-set Jaccard
+    // (>= 0.3) before the O(|a|*|b|) DP ever runs
+    val shortlist = graft.operators.Blocking.sortedNeighborhoodPairs(
+        docs, "text", "doc_id", window = 3, minJaccard = 0.3)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.TextDedup.damerauVerify(shortlist, reps,
+        "text", "doc_id", minSim = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -194,4 +194,22 @@ class CodegenSpec extends SparkSpec {
     // (duckdb-verified value for ("h\u00e9llo","hello") = 0.84000000...01)
     assert(jw("h\u00e9llo", "hello") == 0.8400000000000001)
   }
+
+  test("DamerauLevenshteinDist compiles under codegen and matches reference values") {
+    val a = BoundReference(0, StringType, nullable = true)
+    val b = BoundReference(1, StringType, nullable = true)
+    val e = DamerauLevenshteinDist(a, b)
+    val proj = GenerateUnsafeProjection.generate(Seq(e))
+    // (pair, expected) — duckdb-verified, incl. the OSA-vs-full-DL
+    // discriminator "ca"->"abc" (full DL = 2; OSA would say 3)
+    val cases = Seq(
+      (("ca", "abc"), 2), (("abcd", "acbd"), 1), (("ab", "ba"), 1),
+      (("martha", "marhta"), 1), (("", "abc"), 3), (("same", "same"), 0),
+      (("kitten", "sitting"), 3))
+    cases.foreach { case ((x, y), want) =>
+      val in = InternalRow(UTF8String.fromString(x), UTF8String.fromString(y))
+      assert(proj(in).getInt(0) == want, s"($x, $y)")
+      assert(e.eval(in).asInstanceOf[Int] == want)
+    }
+  }
 }

@@ -536,4 +536,53 @@ class EvalSpec extends SparkSpec {
       .collect().head
     assert(out.getAs[Double]("win_rate") == 0.5)
   }
+
+  // ---- ratioMetricCI ----------------------------------------------
+
+  test("ratioMetricCI: constant per-unit ratio gives a zero-width interval") {
+    // y = 3x exactly for every unit -> R = 3, delta-method variance 0
+    val units = (1 to 30).map(i => ("g", (i % 5 + 1).toLong, 3L * (i % 5 + 1)))
+    val out = Eval.ratioMetricCI(units.toDF("g", "x", "y"), Seq("g"),
+      col("x"), col("y")).collect().head
+    assert(out.getAs[Double]("ratio") == 3.0)
+    assert(out.getAs[Double]("ci_lo") == 3.0 && out.getAs[Double]("ci_hi") == 3.0)
+  }
+
+  test("ratioMetricCI matches the hand delta-method computation") {
+    val units = Seq((2L, 10L), (4L, 13L), (1L, 2L), (3L, 11L), (5L, 12L))
+    val n = units.size
+    val sx = units.map(_._1).sum.toDouble; val sy = units.map(_._2).sum.toDouble
+    val r = sy / sx; val xbar = sx / n
+    def v(f: ((Long, Long)) => Double, m: Double) =
+      units.map(u => (f(u) - m) * (f(u) - m)).sum / (n - 1)
+    val vx = v(_._1.toDouble, xbar); val vy = v(_._2.toDouble, sy / n)
+    val cxy = units.map { case (x, y) =>
+      (x - xbar) * (y - sy / n) }.sum / (n - 1)
+    val se = math.sqrt((vy - 2 * r * cxy + r * r * vx) / (xbar * xbar) / n)
+    val z = 1.959963984540054
+    val out = Eval.ratioMetricCI(units.map(u => ("g", u._1, u._2))
+      .toDF("g", "x", "y"), Seq("g"), col("x"), col("y")).collect().head
+    assert(out.getAs[Double]("ratio") == math.rint(r * 1e6) / 1e6)
+    assert(out.getAs[Double]("ci_lo") == math.rint((r - z * se) * 1e6) / 1e6)
+    assert(out.getAs[Double]("ci_hi") == math.rint((r + z * se) * 1e6) / 1e6)
+  }
+
+  // ---- mdeTable ---------------------------------------------------
+
+  test("mdeTable: MDE shrinks with sqrt(n) and matches the closed form") {
+    val small = (1 to 20).map(i => ("g", ((i * 13) % 37).toLong))
+    val big = (1 to 2000).map(i => ("g", ((i * 13) % 37).toLong))
+    val o1 = Eval.mdeTable(small.toDF("g", "y"), Seq("g"), col("y"))
+      .collect().head
+    val o2 = Eval.mdeTable(big.toDF("g", "y"), Seq("g"), col("y"))
+      .collect().head
+    assert(o1.getAs[Double]("mde_abs") > o2.getAs[Double]("mde_abs"))
+    // closed form on the small fixture
+    val ys = small.map(_._2); val n = ys.size
+    val mean = ys.sum.toDouble / n
+    val sigma = math.sqrt(ys.map(y => (y - mean) * (y - mean)).sum / (n - 1))
+    val mde = (1.959963984540054 + 0.8416212335729143) * sigma *
+      math.sqrt(2.0 / (n / 2.0))
+    assert(o1.getAs[Double]("mde_abs") == math.rint(mde * 1e6) / 1e6)
+  }
 }

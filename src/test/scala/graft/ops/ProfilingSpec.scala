@@ -455,4 +455,24 @@ class ProfilingSpec extends SparkSpec {
     assert(out("alias").getAs[Double]("info_gain") == h) // h_cond = 0
     assert(math.abs(out("coin").getAs[Double]("info_gain")) < 1e-5)
   }
+
+  // ---- leaveOneOutInfluence ---------------------------------------
+
+  test("leaveOneOutInfluence: a heavy group moves the mean; a representative one does not") {
+    val rows = Seq.fill(50)(("bulk", 100L)) ++ Seq.fill(5)(("spike", 1000L)) ++
+      Seq.fill(45)(("match", 100L))
+    val out = Profiling.leaveOneOutInfluence(rows.toDF("g", "v"),
+      Seq("g"), col("v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // removing the spike drops the mean: influence positive and large
+    assert(out("spike").getAs[Double]("influence") > 40)
+    // removing a BELOW-average group raises the without-mean:
+    // influence = 145 - 10000/55 = -36.818182
+    assert(out("match").getAs[Double]("influence") ==
+      math.rint((145.0 - 10000.0 / 55) * 1e6) / 1e6)
+    // hand check: mean_all = (95*100 + 5*1000)/100 = 145
+    assert(out("spike").getAs[Double]("mean_all") == 145.0)
+    assert(out("spike").getAs[Double]("mean_without") == 100.0)
+    assert(out("spike").getAs[Double]("influence") == 45.0)
+  }
 }
