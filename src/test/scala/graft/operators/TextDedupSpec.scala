@@ -284,4 +284,25 @@ class TextDedupSpec extends SparkSpec {
       sum(col("keep")).as("after")).collect().head
     assert(row.getAs[Long]("before") == 120 && row.getAs[Long]("after") == 84)
   }
+
+  test("damerauVerify: transpositions count one edit and the reject honors minSim") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma detla epsilon"),  // one transposition (tl <-> lt)
+      (3L, "totally different text right here"),
+      (4L, "alpha beta"))                       // fails the length reject vs 1
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = TextDedup.damerauVerify(pairs, docs, "text", "doc_id",
+      minSim = 0.9).collect()
+    // only the transposed pair survives: dl = 1 over 30 chars
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_b") == 2L)
+    assert(out.head.getAs[Long]("dl") == 1L)
+    // plain levenshtein would charge the swap 2 edits
+    val lev = docs.filter(col("doc_id") <= 2)
+      .agg(min(levenshtein(lit("alpha beta gamma delta epsilon"),
+        lit("alpha beta gamma detla epsilon")))).collect().head.getInt(0)
+    assert(lev == 2)
+  }
 }
