@@ -77,7 +77,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t223_column_entropy", "t224_fd_mine", "t225_winsorized",
            "t226_label_separation", "t227_chi2_residuals",
            "t228_info_gain", "t229_dedup_savings", "t230_ratio_ci",
-           "t231_mde", "t232_influence", "t233_damerau_verify"]
+           "t231_mde", "t232_influence", "t233_damerau_verify",
+           "t234_concentration"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -298,6 +299,8 @@ NOTES = {
         "ONE group-moment collapse; the global total joins back as a broadcast 1-row frame and every output is one divide of exact DECIMAL sums.",
     "t233_damerau_verify":
         "t194's blocking chain (range-repartition rank, window*n candidates, id-keyed text joins) with the full-DL kernel replacing JW: one codegen'd O(|a|*|b|) DP per candidate pair — the contract is a shortlisted pair set, never raw cross products.",
+    "t234_concentration":
+        "The per-user collapse rides the scan; ONE map-side-combinable reduction carries the DECIMAL(38,0) HHI moments AND the bounded-heap top-k aggregate — no window, no sort, |groups| output rows.",
     "t192_triangles":
         "Per-order pair expansion is bounded by order size (≤ 13 lineitems → ≤ 78 pairs); edges dedup through one (u, v)-keyed distinct — 8-byte shuffles — and the degree-ordered orientation bounds every oriented out-degree by O(√m), making the wedge-closure join O(m^1.5) regardless of hub skew (a hub's star orients INTO it, generating no wedges). No windows, no driver state.",
 }

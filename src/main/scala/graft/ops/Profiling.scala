@@ -832,4 +832,48 @@ object Profiling {
           (col("__s") - col("__sg")).cast("double") /
           (col("__n") - col("n_g")), 6).as("influence"): _*)
   }
+
+  /** MARKET-CONCENTRATION profile per group — the Herfindahl–
+    * Hirschman index Σ(xᵢ/X)² and the CR_k concentration ratio
+    * (top-k entities' share) over per-entity masses: the regulator-
+    * style pair completing the inequality family ([[theilIndex]] /
+    * Lorenz measure the whole curve; HHI/CR_k are the two numbers a
+    * mixing dashboard actually thresholds — "no source's users may
+    * concentrate past X").
+    *
+    * Arithmetic: HHI = Σx²/X² — both exact DECIMAL(38,0)/HUGEINT
+    * integers, ONE divide; CR_k sums the bounded-heap top-k masses
+    * (integer-valued doubles — exact, and tie-invariant because tied
+    * entities carry equal mass), one divide. 6dp at the boundary.
+    *
+    * Scale shape: the caller's entity collapse is the corpus-sized
+    * stage; this is ONE map-side-combinable reduction (the top-k is
+    * the bounded-heap TypedImperativeAggregate — no window, no sort).
+    *
+    * Output: (groups…, n_entities, total, hhi, cr_k).
+    */
+  def concentrationProfile(cells: DataFrame, groupCols: Seq[String],
+                           entityCol: String, valueCol: String,
+                           topK: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val m = cells.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col(valueCol).cast("long").cast(dec)).as("__xx"),
+        sum(col(valueCol).cast("long").cast(dec) *
+          col(valueCol).cast("long")).as("__sq"),
+        graft.functions.TopKFunctions.top_k_by_score(
+          col(valueCol).cast("double"), col(entityCol).cast("long"), topK)
+          .as("__top"))
+    m.select(g :+ col("n_entities") :+
+      col("__xx").cast("long").as("total") :+
+      round(col("__sq").cast("double") /
+        (col("__xx") * col("__xx")).cast("double"), 6).as("hhi") :+
+      round(aggregate(col("__top"), lit(0.0),
+          (acc, s) => acc + s.getField("score")) /
+        col("__xx").cast("double"), 6).as("cr_k"): _*)
+  }
 }

@@ -7143,5 +7143,30 @@ object Oracle {
         |FROM v
         |WHERE round(1.0 - CAST(dl AS DOUBLE) / max_len, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact mirror of Profiling.concentrationProfile (t234): HHI =
+    // exact HUGEINT sum(x^2)/X^2, CR4 = top-4 mass share (ties carry
+    // equal mass, so the sum is tie-order-invariant)
+    "t234_concentration" ->
+      """WITH uc AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_entities,
+        |    CAST(sum(x) AS HUGEINT) AS xx, sum(CAST(x AS HUGEINT)*x) AS sq
+        |  FROM uc GROUP BY 1
+        |), topk AS (
+        |  SELECT event_type, CAST(sum(x) AS BIGINT) AS top4 FROM (
+        |    SELECT event_type, x,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY x DESC, user_id) AS rn
+        |    FROM uc) WHERE rn <= 4 GROUP BY 1
+        |)
+        |SELECT m.event_type, m.n_entities, CAST(m.xx AS BIGINT) AS total,
+        |  round(CAST(m.sq AS DOUBLE) / CAST(m.xx * m.xx AS DOUBLE), 6)
+        |    AS hhi,
+        |  round(CAST(t.top4 AS DOUBLE) / CAST(m.xx AS BIGINT), 6) AS cr_k
+        |FROM m JOIN topk t ON t.event_type = m.event_type
+        |ORDER BY m.event_type""".stripMargin,
   )
 }

@@ -4818,6 +4818,20 @@ object TrainingQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** t234_concentration — HHI + CR4 of per-user event mass per event
+    * type (the regulator-style concentration pair completing the
+    * Theil/Lorenz family). Exact oracle — integer Σx²/X², bounded-
+    * heap top-4 share.
+    */
+  def t234Concentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val uc = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Profiling.concentrationProfile(uc, Seq("event_type"),
+        "user_id", "x", topK = 4)
+      .orderBy(col("event_type"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -475,4 +475,32 @@ class ProfilingSpec extends SparkSpec {
     assert(out("spike").getAs[Double]("mean_without") == 100.0)
     assert(out("spike").getAs[Double]("influence") == 45.0)
   }
+
+  // ---- concentrationProfile ---------------------------------------
+
+  test("concentrationProfile: uniform masses hit the 1/n floor; a monopoly hits 1") {
+    val even = (1L to 10L).map(u => ("g", u, 5L))
+    val o1 = Profiling.concentrationProfile(even.toDF("g", "u", "x"),
+      Seq("g"), "u", "x", topK = 4).collect().head
+    assert(o1.getAs[Double]("hhi") == 0.1) // 1/n
+    assert(o1.getAs[Double]("cr_k") == 0.4) // 4/10 of equal shares
+    val mono = Seq(("g", 1L, 100L)) ++ (2L to 5L).map(u => ("g", u, 0L))
+    val o2 = Profiling.concentrationProfile(mono.toDF("g", "u", "x"),
+      Seq("g"), "u", "x", topK = 4).collect().head
+    assert(o2.getAs[Double]("hhi") == 1.0) // zero-mass entities drop
+    assert(o2.getAs[Double]("cr_k") == 1.0)
+  }
+
+  test("concentrationProfile matches the closed forms on a skewed fixture") {
+    val xs = Seq(40L, 25L, 15L, 10L, 5L, 3L, 2L)
+    val cells = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+    val out = Profiling.concentrationProfile(cells.toDF("g", "u", "x"),
+      Seq("g"), "u", "x", topK = 4).collect().head
+    val total = xs.sum.toDouble
+    val hhi = xs.map(x => x.toDouble * x).sum / (total * total)
+    val cr4 = xs.sorted.reverse.take(4).sum / total
+    assert(out.getAs[Double]("hhi") == math.rint(hhi * 1e6) / 1e6)
+    assert(out.getAs[Double]("cr_k") == math.rint(cr4 * 1e6) / 1e6)
+    assert(out.getAs[Long]("total") == xs.sum)
+  }
 }
