@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Inter-rater agreement — the QA step for label pipelines where two
@@ -14,11 +13,14 @@ import org.apache.spark.sql.functions._
   * marginals.
   *
   * Scale shape: ONE map-side-combinable groupBy(group, labelA,
-  * labelB) count — the confusion matrix — then windows and the final
-  * aggregate over |labels|²-cardinality rows. Counts exact longs;
-  * κ's doubles appear only at the final ratio, 6dp at the boundary.
-  * Degenerate groups (p_e = 1: both raters constant and identical)
-  * have no chance-corrected signal — κ is NULL and `reliable` false.
+  * labelB) count — the confusion matrix — then two label-keyed
+  * reductions of that |labels|²-cardinality frame (the per-label
+  * marginals) and a |groups|-row join. Counts and the marginal
+  * product sum stay exact integers (DECIMAL(38,0) — order-independent
+  * regardless of aggregation placement); κ's doubles appear only at
+  * the final ratios, 6dp at the boundary. Degenerate groups (p_e = 1:
+  * both raters constant and identical) have no chance-corrected
+  * signal — κ is NULL and `reliable` false.
   */
 object Agreement {
 
@@ -38,19 +40,12 @@ object Agreement {
       .filter(col("__a").isNotNull && col("__b").isNotNull)
       .groupBy(g :+ col("__a") :+ col("__b"): _*)
       .agg(count(lit(1)).as("__c"))
-    val tot = Window.partitionBy(g: _*)
-    val wa = Window.partitionBy(g :+ col("__a"): _*)
-    val wb = Window.partitionBy(g :+ col("__b"): _*)
-    val enriched = cells
-      .withColumn("__n", sum(col("__c")).over(tot))
-      .withColumn("__ra", sum(col("__c")).over(wa))   // rater-A marginal
-      .withColumn("__cb", sum(col("__c")).over(wb))   // rater-B marginal
-    // p_e = Σ_k P_A(k)·P_B(k): each (a=k, b=k) diagonal cell carries
-    // its own marginal product; labels missing a diagonal cell
-    // contribute via the off-diagonal rows of either marginal — to
-    // count each k exactly once, attribute the product to rows where
-    // a == b, and for labels never agreed on, ra·cb/(n·n) still needs
-    // counting — so build p_e from a per-label frame instead.
+    // p_e = Σ_k P_A(k)·P_B(k): a label contributes whenever EITHER
+    // rater used it (full-outer marginal join; a marginal absent on
+    // one side makes the product 0). The product sum accumulates as
+    // an exact DECIMAL(38,0) integer — Σ_k ra_k·cb_k — so aggregation
+    // order can never move a ulp; the only doubles are the single
+    // divide by n² below and the final κ ratio.
     val labels = cells.select((g :+ col("__a").as("__k") :+
         col("__c")): _*)
       .groupBy(g :+ col("__k"): _*).agg(sum(col("__c")).as("__ra"))
@@ -60,14 +55,16 @@ object Agreement {
         groupCols :+ "__k", "full_outer")
       .na.fill(0L, Seq("__ra", "__cb"))
     val n = cells.groupBy(g: _*).agg(sum(col("__c")).as("n_rows"))
-    val pe = labels.join(n, groupCols)
+    val pe = labels
       .groupBy(g: _*)
-      .agg(sum(col("__ra").cast("double") / col("n_rows") *
-        (col("__cb").cast("double") / col("n_rows"))).as("__pe"))
+      .agg(sum(col("__ra").cast("decimal(19,0)") *
+        col("__cb").cast("decimal(19,0)")).as("__sp"))
     val po = cells.filter(col("__a") === col("__b"))
       .groupBy(g: _*).agg(sum(col("__c")).as("__agree"))
     n.join(pe, groupCols)
       .join(po, groupCols, "left")
+      .withColumn("__pe", col("__sp").cast("double") /
+        (col("n_rows").cast("double") * col("n_rows")))
       .withColumn("__po",
         coalesce(col("__agree"), lit(0L)).cast("double") / col("n_rows"))
       .withColumn("__kappa",

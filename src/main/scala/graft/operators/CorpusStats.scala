@@ -465,7 +465,11 @@ object CorpusStats {
     * stage is the map-side-combinable groupBy(group, token); the join
     * against per-token corpus counts is vocab-sized; group totals and
     * the corpus total ride broadcast frames. Counts stay exact longs;
-    * ln 2 is a shared literal so both engines compare identically.
+    * each per-token integrand and its corpus-mass share round to
+    * BIGINT micro units BEFORE the vocab-sized sum (the t167/t204
+    * contract — an unordered float sum over vocab rows is partition-
+    * placement-dependent and could flake the 6dp boundary), and ln 2
+    * is a shared literal so both engines compare identically.
     */
   def jsdDistinctiveness(docs: DataFrame, groupCol: String,
                          textCol: String): DataFrame = {
@@ -486,13 +490,16 @@ object CorpusStats {
       .join(tCounts, "token")
       .join(broadcast(nS), "g")
       .crossJoin(broadcast(nTot))
-      .withColumn("__term", (p * log(p / m) + q * log(q / m)) / 2)
-      .withColumn("__q", q)
+      .withColumn("__tm",
+        round(((p * log(p / m) + q * log(q / m)) / 2) * 1e6, 0)
+          .cast("long"))
+      .withColumn("__qm", round(q * 1e6, 0).cast("long"))
       .groupBy(col("g").as(groupCol))
       .agg(max(col("ns")).as("n_tokens"),
         count(lit(1)).as("n_vocab"),
-        (sum(col("__term")) +
-          lit(Ln2 / 2) * (lit(1.0) - sum(col("__q")))).as("__jsd"))
+        (sum(col("__tm")).cast("double") / 1e6 +
+          lit(Ln2 / 2) * (lit(1.0) -
+            sum(col("__qm")).cast("double") / 1e6)).as("__jsd"))
       .select(col(groupCol), col("n_tokens"), col("n_vocab"),
         round(col("__jsd"), 6).as("jsd"),
         round(col("__jsd") / Ln2, 6).as("jsd_norm"))

@@ -222,9 +222,14 @@ object Privacy {
             dec(col("__cal")) * dec(col("__ng"))))
       .groupBy(q: _*)
       .agg(max(col("__ng")).as("n"),
-        round(sum(col("__term")).cast("double") /
-          (dec(max(col("__ng"))) * dec(max(col("__na"))) *
-           dec(max(col("__m")) - 1)).cast("double"), 6).as("emd"))
+        // m = 1 (single-bin global domain) degenerates the (m−1)
+        // normalizer to 0/0, but every distribution over one bin is
+        // identical — the mathematically correct EMD is exactly 0
+        round(when(max(col("__m")) > 1,
+          sum(col("__term")).cast("double") /
+            (dec(max(col("__ng"))) * dec(max(col("__na"))) *
+             dec(max(col("__m")) - 1)).cast("double"))
+          .otherwise(lit(0.0)), 6).as("emd"))
       .withColumn("t_close", col("emd") <= t)
   }
 }

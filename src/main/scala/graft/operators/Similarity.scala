@@ -688,6 +688,13 @@ object Similarity {
     * + one 1-row moment aggregate (broadcast back). Output: one row
     * per occupied bin — (bin, n_pairs, share, mean_cos, std_cos),
     * the corpus stats repeated per row (the t162 shape).
+    *
+    * Bin convention: bin b covers [b/10, (b+1)/10) EXCEPT the two
+    * boundary bins, which absorb the clamp — bin 9 is [0.9, 1.0]
+    * INCLUSIVE (exact-duplicate pairs at cosine 1.0 land in bin 9, on
+    * top of the near-dup mass) and bin −10 is [−1.0, −0.9). Callers
+    * reading bin 9 as "near-dup + exact-dup" should subtract the
+    * exact-dedup pair count if they need the near-dup spike alone.
     */
   def cosineProfile(pairs: DataFrame, vecACol: String,
                     vecBCol: String): DataFrame = {

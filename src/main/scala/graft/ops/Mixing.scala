@@ -289,11 +289,15 @@ object Mixing {
         rows.foreach(r => if (w.contains((r, c))) w((r, c)) *= f)
       }
     }
-    val lookup: Map[String, Double] =
-      w.map { case ((r, c), v) => s"$r|$c" -> v }.toMap
+    // nested row→(col→weight) map: keying each axis separately is
+    // collision-free by construction (a single "$r|$c" key would merge
+    // two cells whenever a value itself contains the separator)
+    val lookup: Map[String, Map[String, Double]] =
+      w.toMap.groupBy(_._1._1).map { case (r, m) =>
+        r -> m.map { case ((_, c), v) => c -> v }
+      }
     cells.withColumn("weight",
-      round(element_at(typedLit(lookup),
-        concat(col(rowCol).cast("string"), lit("|"),
-          col(colCol).cast("string"))), 6))
+      round(element_at(element_at(typedLit(lookup),
+          col(rowCol).cast("string")), col(colCol).cast("string")), 6))
   }
 }

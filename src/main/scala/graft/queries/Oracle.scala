@@ -3561,7 +3561,9 @@ object Oracle {
     // exact mirror of CorpusStats.jsdDistinctiveness (t143): shared
     // tokenization, per-(source, token) counts joined to corpus token
     // counts, JSD with the absent-token mass in closed form
-    // ((ln 2 / 2)·(1 − Q_cov)); ln 2 as a shared literal.
+    // ((ln 2 / 2)·(1 − Q_cov)); each integrand and q round to BIGINT
+    // micro units BEFORE the vocab-sized sum (the t167/t204 order-
+    // independence contract); ln 2 as a shared literal.
     "t143_jsd_sources" ->
       """WITH posting AS (
         |  SELECT source AS g, t.tok AS token
@@ -3581,17 +3583,20 @@ object Oracle {
         |  SELECT CAST(sum(ct) AS BIGINT) AS n FROM tc
         |), terms AS (
         |  SELECT sc.g, ns.ns,
-        |         (CAST(sc.cs AS DOUBLE)/ns.ns * ln((CAST(sc.cs AS DOUBLE)/ns.ns) /
+        |         CAST(round(
+        |         ((CAST(sc.cs AS DOUBLE)/ns.ns * ln((CAST(sc.cs AS DOUBLE)/ns.ns) /
         |            ((CAST(sc.cs AS DOUBLE)/ns.ns + CAST(tc.ct AS DOUBLE)/ntot.n)/2))
         |        + CAST(tc.ct AS DOUBLE)/ntot.n * ln((CAST(tc.ct AS DOUBLE)/ntot.n) /
-        |            ((CAST(sc.cs AS DOUBLE)/ns.ns + CAST(tc.ct AS DOUBLE)/ntot.n)/2))) / 2
-        |           AS term,
-        |         CAST(tc.ct AS DOUBLE)/ntot.n AS q
+        |            ((CAST(sc.cs AS DOUBLE)/ns.ns + CAST(tc.ct AS DOUBLE)/ntot.n)/2))) / 2)
+        |           * 1e6) AS BIGINT) AS tm,
+        |         CAST(round(CAST(tc.ct AS DOUBLE)/ntot.n * 1e6) AS BIGINT) AS qm
         |  FROM sc JOIN tc USING (token) JOIN ns USING (g) CROSS JOIN ntot
         |)
         |SELECT g AS source, max(ns) AS n_tokens, count(*) AS n_vocab,
-        |       round(sum(term) + 0.6931471805599453/2 * (1 - sum(q)), 6) AS jsd,
-        |       round((sum(term) + 0.6931471805599453/2 * (1 - sum(q)))
+        |       round(CAST(sum(tm) AS DOUBLE)/1e6
+        |             + 0.6931471805599453/2 * (1 - CAST(sum(qm) AS DOUBLE)/1e6), 6) AS jsd,
+        |       round((CAST(sum(tm) AS DOUBLE)/1e6
+        |             + 0.6931471805599453/2 * (1 - CAST(sum(qm) AS DOUBLE)/1e6))
         |             / 0.6931471805599453, 6) AS jsd_norm
         |FROM terms GROUP BY g
         |ORDER BY g""".stripMargin,
@@ -3848,9 +3853,11 @@ object Oracle {
         |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // exact mirror of Agreement.cohensKappa (t150): confusion-cell
-    // counts, marginal-product p_e, chance-corrected kappa; labels =
-    // the two length heuristics stringified ('true'/'false' in both
-    // engines).
+    // counts, marginal-product p_e accumulated as the EXACT integer
+    // Σ ra·cb (HUGEINT here, DECIMAL(38,0) in Spark — order-
+    // independent) with one double divide by n², chance-corrected
+    // kappa; labels = the two length heuristics stringified
+    // ('true'/'false' in both engines).
     "t150_cohens_kappa" ->
       """WITH t AS (
         |  SELECT source,
@@ -3879,8 +3886,9 @@ object Oracle {
         |    ON ra.source = cb.source AND ra.k = cb.k
         |), pe AS (
         |  SELECT l.source,
-        |         sum(CAST(l.ra AS DOUBLE)/n.n_rows
-        |             * (CAST(l.cb AS DOUBLE)/n.n_rows)) AS pe
+        |         CAST(sum(CAST(l.ra AS HUGEINT) * l.cb) AS DOUBLE)
+        |           / (CAST(any_value(n.n_rows) AS DOUBLE)
+        |              * any_value(n.n_rows)) AS pe
         |  FROM labels l JOIN n USING (source) GROUP BY l.source
         |), po AS (
         |  SELECT source, CAST(sum(c) AS BIGINT) AS agree
@@ -5437,10 +5445,12 @@ object Oracle {
         |  FROM grid
         |), emds AS (
         |  SELECT c.event_type, c.dow, max(c.ng) AS n,
-        |         round(CAST(sum(abs(CAST(c.cg AS HUGEINT) * an.na
+        |         round(CASE WHEN max(an.m) > 1 THEN
+        |           CAST(sum(abs(CAST(c.cg AS HUGEINT) * an.na
         |                 - CAST(c.cal AS HUGEINT) * c.ng)) AS DOUBLE)
         |           / CAST(CAST(max(c.ng) AS HUGEINT) * max(an.na)
-        |                 * (max(an.m) - 1) AS DOUBLE), 6) AS emd
+        |                 * (max(an.m) - 1) AS DOUBLE)
+        |           ELSE 0.0 END, 6) AS emd
         |  FROM cum c CROSS JOIN an
         |  GROUP BY c.event_type, c.dow
         |)

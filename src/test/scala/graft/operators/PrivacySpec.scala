@@ -176,4 +176,17 @@ class PrivacySpec extends SparkSpec {
     assert(out("gB") == 0.041667)
     assert(math.abs(out("gB") - 2 * out("gA")) < 3e-6)
   }
+
+  test("tClosenessAudit: single-bin global domain (m = 1) is EMD 0, " +
+       "not NULL — every distribution over one bin is identical") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq.fill(7)(("g1", 42)) ++ Seq.fill(3)(("g2", 42))
+    val out = Privacy.tClosenessAudit(rows.toDF("q", "bin"), Seq("q"),
+        col("bin"), t = 0.01)
+      .collect().map(r => r.getAs[String]("q") -> r).toMap
+    assert(out("g1").getAs[Double]("emd") == 0.0)
+    assert(out("g1").getAs[Boolean]("t_close"))
+    assert(out("g2").getAs[Double]("emd") == 0.0)
+    assert(out("g2").getAs[Boolean]("t_close"))
+  }
 }

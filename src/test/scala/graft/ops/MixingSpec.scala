@@ -228,6 +228,23 @@ class MixingSpec extends SparkSpec {
     assert(out.values.forall(_._2 > 0))
   }
 
+  test("rakeWeights: values containing the old '|' separator cannot " +
+       "collide — each cell gets its own weight") {
+    // under a "$r|$c" flat key, ("a|x", "y") and ("a", "x|y") would
+    // merge; the nested row->(col->weight) lookup keeps them apart
+    val cells = Seq(("a|x", "y", 90L), ("a", "x|y", 10L)).toDF("r", "c", "n")
+    val out = Mixing.rakeWeights(cells, "r", "c", "n",
+        rowTargets = Map("a|x" -> 0.3, "a" -> 0.7),
+        colTargets = Map("y" -> 0.3, "x|y" -> 0.7), iterations = 4)
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._4).toMap
+    assert(out.size == 2)
+    // each cell is alone on its row AND column, so IPF must hit the
+    // column targets exactly: w = target*total/n
+    assert(math.abs(out(("a|x", "y")) - 0.3 * 100 / 90) < 1e-6)
+    assert(math.abs(out(("a", "x|y")) - 0.7 * 100 / 10) < 1e-6)
+  }
+
   test("rakeWeights fails loudly on a missing target") {
     val cells = Seq(("a", "x", 5L)).toDF("r", "c", "n")
     val e = intercept[IllegalArgumentException](
