@@ -25,6 +25,50 @@ object SqlFacade {
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 
+  /** Register the headline OPERATOR pipelines as SQL-queryable temp
+    * views, so a SQL-only user reaches the operator library without
+    * touching the Scala API (scalar natives are already injected by
+    * [[graft.plans.GraftExtensions]]; these are the RELATIONAL ops —
+    * whole-pipeline verbs a scalar function can't express):
+    *
+    *  - `minhash_near_dups`  — exact + MinHash/LSH near-dup pairs
+    *    (id_a, id_b, jaccard), the t2 composition;
+    *  - `quota_mix`          — per-source quota sampling (doc_id,
+    *    source), the t29 recipe (q49 drives this one end-to-end
+    *    through `spark.sql` text, hash-exact against the t29 oracle);
+    *  - `quality_flags`      — the Gopher/C4 heuristic rule battery
+    *    (t30 shape);
+    *  - `drift_ks`           — per-event-type quantile-binned KS
+    *    drift panel (t139 shape).
+    *
+    * Views are lazy — each materializes only when a SQL statement
+    * actually reads it, so registering the battery costs nothing.
+    */
+  def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    graft.operators.TextDedup.exactClusters(docs, "text", "doc_id")
+      .withColumn("jaccard", lit(1.0))
+      .unionByName(graft.operators.TextDedup.minhashNearDups(
+        graft.operators.TextDedup.exact(docs, "text", "doc_id"),
+        "text", "doc_id", threshold = 0.8))
+      .createOrReplaceTempView("minhash_near_dups")
+    graft.ops.Mixing.sampleQuotas(
+        docs.select(col("doc_id"), col("source")), "source", "doc_id",
+        (0 to 4).map(i => s"src$i" -> 10).toMap ++
+          (5 to 9).map(i => s"src$i" -> 5).toMap,
+        defaultQuota = 2)
+      .createOrReplaceTempView("quota_mix")
+    graft.operators.TextAnalysis.qualityFlags(docs, "text")
+      .createOrReplaceTempView("quality_flags")
+    graft.ops.Drift.ksStatisticQuantileBinned(
+        Tables.events(spark, sfDir), Seq("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          % 2 === 0,
+        "value", nBins = 10)
+      .createOrReplaceTempView("drift_ks")
+  }
+
   /** Run a query written in the reference's BigQuery dialect: the
     * scoped textual translation (BigQueryDialect — backticked paths,
     * OFFSET/ORDINAL subscripts, ARRAY_AGG IGNORE NULLS, comma-lateral

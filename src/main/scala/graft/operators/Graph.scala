@@ -256,6 +256,82 @@ object Graph {
             col("n_wedges").cast("double"), 6)).as("global_cc"))
   }
 
+  /** APPROXIMATE triangle census — the 100×-scale-regime member of the
+    * [[triangleStats]] family (the t146-next-to-t139 pattern: exact op
+    * + gated approximate sibling). [[triangleStats]]' degree-ordered
+    * wedge closure is the right EXACT algorithm but inherently
+    * O(m^1.5); at 100× the edges that cost grows 1000×. Doulion
+    * (Tsourakakis et al., KDD'09) sparsifies first: keep each distinct
+    * edge independently with probability `p` via a SEEDED md5 coin
+    * (engine-portable, partition-layout-independent — the same edge
+    * always gets the same coin), run the exact degree-ordered closure
+    * on the kept subgraph, and scale the count by 1/p³ (each triangle
+    * survives iff all three edges do ⇒ the estimator is unbiased;
+    * rel. std ≈ √((1/p³−1)/T), vanishing on any graph with enough
+    * triangles to matter). The wedge join now costs O((pm)^1.5) —
+    * p = 0.1 buys ~32× — while everything LINEAR (node/edge/wedge
+    * counts, so also the clustering coefficient's denominator) stays
+    * exact from the full graph.
+    *
+    * Scale shape: identical to [[triangleStats]] except the closure
+    * joins run on the p-thinned edge table; the coin is one codegen'd
+    * md5 per edge, no extra shuffle. Output: ONE row (n_nodes,
+    * n_edges, n_edges_sampled, n_triangles_est 6dp — Doulion-scaled,
+    * fractional by nature — n_wedges exact, global_cc_est 6dp).
+    * t236 gates the estimate against the exact count on the same
+    * graph; an edgeless graph yields the zero row with NULL cc.
+    */
+  def triangleStatsApprox(edges: DataFrame, aCol: String, bCol: String,
+                          p: Double, seed: String = "doulion"): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"keep probability out of (0,1]: $p")
+    val e0 = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true) // feeds exact counts AND the thinned closure
+    // seeded uniform coin from the first 15 md5 hex digits (16^15 < 2^63):
+    // deterministic per (u, v, seed), replayable by any engine with md5
+    val coin = conv(substring(md5(concat_ws("|",
+        col("u").cast("string"), col("v").cast("string"), lit(seed))),
+      1, 15), 16, 10).cast("long")
+    val threshold = math.floor(p * math.pow(16.0, 15)).toLong
+    val kept = e0.filter(coin < threshold).localCheckpoint(true)
+    val deg = kept.select(col("u").as("node"))
+      .unionAll(kept.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("node").as("u"), col("deg").as("__du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("__dv"))
+    val fwd = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val ed = kept.join(du, "u").join(dv, "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(true)
+    val tri = ed.as("e1")
+      .join(ed.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("ws"), col("e2.t").as("wt"))
+      .join(ed.as("e3"),
+        col("ws") === col("e3.s") && col("wt") === col("e3.t"))
+      .agg(count(lit(1)).as("__tk"))
+    // exact LINEAR stats from the FULL graph (one degree reduction)
+    val fullDeg = e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wed = fullDeg.agg(
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val ne = e0.agg(count(lit(1)).as("n_edges"))
+    val nk = kept.agg(count(lit(1)).as("n_edges_sampled"))
+    wed.crossJoin(ne).crossJoin(nk).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_edges_sampled"),
+        round(col("__tk").cast("double") / lit(p * p * p), 6)
+          .as("n_triangles_est"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * (col("__tk").cast("double") / lit(p * p * p)) /
+            col("n_wedges").cast("double"), 6)).as("global_cc_est"))
+  }
+
   /** Degree ASSORTATIVITY of an undirected graph (Newman's r): the
     * Pearson correlation of endpoint degrees over the directed edge
     * list (each edge counted in both orientations) — the mixing-

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *  - Y4M  (video): YUV4MPEG2 ASCII header — width/height/fps,
   *                  duration from the frame count
   *
+  * plus ONE compressed format, PNG, decoded through the pure-JVM
+  * `javax.imageio` reader that ships with the JDK (no native
+  * libraries) — the real-codec slot the BMP stub reserved: full
+  * pixel decode (zlib inflate + filter reconstruction) behind the
+  * same Option-returning, never-throwing contract.
+  *
   * Unrecognized payloads degrade to byte-level metadata (length +
   * histogram feature) with zeroed dimensions — the honest answer for
   * bytes no available codec understands. Everything around the codec —
@@ -158,6 +164,54 @@ object Multimodal {
       Some((w, h, gray))
     }
 
+    /** PNG luma decode via the JDK's pure-JVM `javax.imageio` reader
+      * (zlib inflate + PNG filter reconstruction — a REAL compressed
+      * codec, unlike the header-arithmetic BMP path). Same contract
+      * as [[decodeBmpGray]]: None for non-PNG magic, unreadable
+      * streams, or absurd dimensions; never throws (one bad record
+      * must never kill a decode job). Luma = (r+g+b)/765, the BMP
+      * convention, so both image codecs feed the same hash kernels.
+      */
+    private[operators] def decodePngGray(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      if (b.length < 8 || (b(0) & 0xff) != 0x89 ||
+          !ascii(b, 1, "PNG")) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) return None
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || w > 65536 || h > 65536 ||
+            w.toLong * h > (1L << 26)) return None
+        val gray = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            gray(y * w + x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 765f
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, gray))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Grayscale decode across every supported IMAGE container:
+      * header-arithmetic BMP first (cheap magic check), then the
+      * ImageIO PNG path. The shared entry the perceptual hashes use.
+      */
+    private[operators] def decodeImageGray(b: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      decodeBmpGray(b).orElse(decodePngGray(b))
+
+    private def decodePng(r: MediaRecord): Option[DecodedMedia] =
+      decodePngGray(r.media).map { case (w, h, _) =>
+        DecodedMedia(r.doc_id, r.media_type, r.media.length,
+          width = w, height = h, duration_ms = 0, channels = 0,
+          sample_rate = 0, feature = histogram(r.media))
+      }
+
     /** Average-hash (aHash): nearest-point sample the luma onto an 8×8
       * grid, threshold each sample at the grid mean → 64-bit
       * fingerprint. Nearest sampling (not area mean) keeps the hash
@@ -185,6 +239,89 @@ object Multimodal {
       var hash = 0L
       i = 0
       while (i < 64) { if (cells(i) > mean) hash |= (1L << i); i += 1 }
+      hash
+    }
+
+    private val PHashN = 32
+    // 8×32 DCT-II basis rows, shared by every pHash call on the executor
+    private lazy val dctBasis: Array[Array[Double]] =
+      Array.tabulate(8, PHashN)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * PHashN)))
+
+    /** Perceptual DCT hash (pHash): box-filter the luma onto a 32×32
+      * grid, 2-D DCT-II, keep the 8×8 low-frequency block, threshold
+      * each AC coefficient at the mean of the 63 AC coefficients
+      * (bit 0 — the DC slot — stays 0). Complements [[aHash64]]:
+      * aHash thresholds SPATIAL samples at the spatial mean, so a
+      * local perturbation that nudges the mean can flip many
+      * mid-toned cells at once; pHash's low-frequency DCT
+      * coefficients integrate over the whole frame, so pixel noise
+      * moves each coefficient by O(noise/N²) and uniform
+      * brightness/contrast changes move the AC block not at all
+      * (Σ cos over a constant is 0; scaling scales coefficients and
+      * threshold together). Deterministic double arithmetic —
+      * fixed-order loops, no platform-varying intrinsics.
+      */
+    private[operators] def pHash64(w: Int, h: Int, gray: Array[Float]): Long = {
+      val n = PHashN
+      // box-filter resample: each target cell averages its exact
+      // source rectangle (nearest-sample would alias structure away
+      // for sources larger than the grid)
+      val g = new Array[Double](n * n)
+      var ty = 0
+      while (ty < n) {
+        val y0 = ty * h / n
+        val y1 = math.max(y0 + 1, (ty + 1) * h / n)
+        var tx = 0
+        while (tx < n) {
+          val x0 = tx * w / n
+          val x1 = math.max(x0 + 1, (tx + 1) * w / n)
+          var s = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += gray(y * w + x); x += 1 }
+            y += 1
+          }
+          g(ty * n + tx) = s / ((y1 - y0).toDouble * (x1 - x0))
+          tx += 1
+        }
+        ty += 1
+      }
+      // F = T · G · Tᵀ restricted to the 8×8 low-frequency block
+      val tg = Array.ofDim[Double](8, n)
+      var u = 0
+      while (u < 8) {
+        var x = 0
+        while (x < n) {
+          var s = 0.0
+          var y = 0
+          while (y < n) { s += dctBasis(u)(y) * g(y * n + x); y += 1 }
+          tg(u)(x) = s
+          x += 1
+        }
+        u += 1
+      }
+      val f = new Array[Double](64)
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var x = 0
+          while (x < n) { s += tg(u)(x) * dctBasis(v)(x); x += 1 }
+          f(u * 8 + v) = s
+          v += 1
+        }
+        u += 1
+      }
+      var mean = 0.0
+      var i = 1
+      while (i < 64) { mean += f(i); i += 1 }
+      mean /= 63.0
+      var hash = 0L
+      i = 1
+      while (i < 64) { if (f(i) > mean) hash |= 1L << i; i += 1 }
       hash
     }
 
@@ -271,10 +408,11 @@ object Multimodal {
       // surprise on corrupt bytes degrades to the fallback — one bad
       // record must never kill a decode job.
       (try r.media_type match {
-        case "image" => decodeBmp(r)
+        case "image" => decodeBmp(r).orElse(decodePng(r))
         case "audio" => decodeWav(r)
         case "video" => decodeY4m(r)
-        case _ => decodeBmp(r).orElse(decodeWav(r)).orElse(decodeY4m(r))
+        case _ => decodeBmp(r).orElse(decodePng(r)).orElse(decodeWav(r))
+          .orElse(decodeY4m(r))
       } catch { case _: RuntimeException => None })
         .getOrElse(fallback(r))
   }
@@ -341,6 +479,28 @@ object Multimodal {
         if (r.media_type != "image") Iterator.empty
         else Codec.decodeBmpGray(r.media).iterator.map { case (w, h, g) =>
           (r.doc_id, Codec.aHash64(w, h, g))
+        }
+      }
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** DCT perceptual fingerprints (pHash) for image rows — BMP or PNG
+    * (the two decodable image containers share one luma path). Emits
+    * the hash under the family's `ahash` column name so
+    * [[fingerprintNearDups]] / [[imageNearDups]] serve both kernels
+    * unchanged. Prefer this over [[imageAHash]] when perturbation
+    * robustness matters: pHash's low-frequency DCT block shrugs off
+    * pixel noise and brightness/contrast shifts that flip aHash's
+    * spatial-mean bits (see Codec.pHash64). Same batched
+    * mapPartitions shape; no shuffle.
+    */
+  def imagePHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.media_type != "image") Iterator.empty
+        else Codec.decodeImageGray(r.media).iterator.map { case (w, h, g) =>
+          (r.doc_id, Codec.pHash64(w, h, g))
         }
       }
     }.toDF("doc_id", "ahash")
@@ -428,7 +588,7 @@ object Multimodal {
   }
 
   /** Byte-level writers for the three supported containers. */
-  private[operators] object SynthMedia {
+  private[graft] object SynthMedia {
     private def le32(v: Int): Array[Byte] =
       Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
     private def le16(v: Int): Array[Byte] =
@@ -452,6 +612,35 @@ object Multimodal {
         "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
         le32(sampleRate) ++ le32(byteRate) ++ le16(2) ++ le16(16) ++
         "data".getBytes ++ le32(dataSize) ++ payload(fill, dataSize)
+    }
+
+    /** A REAL compressed PNG (RGB, deflate-filtered by the JDK's
+      * ImageIO encoder) whose pixels cycle `fill` three bytes at a
+      * time — the same payload semantics as [[bmp]], so a pixel-level
+      * perturbation of `fill` produces a true near-duplicate IMAGE
+      * even though the container BYTES differ completely (compressed
+      * streams share no byte structure — the property that makes
+      * byte-level dedup useless on PNGs and perceptual hashing
+      * necessary).
+      */
+    def png(w: Int, h: Int, fill: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def b(k: Int) = if (fill.isEmpty) 0 else fill((i + k) % fill.length) & 0xff
+          img.setRGB(x, y, (b(0) << 16) | (b(1) << 8) | b(2))
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
 
     def y4m(w: Int, h: Int, fps: Int, frames: Int, fill: Array[Byte]): Array[Byte] = {

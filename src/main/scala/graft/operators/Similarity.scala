@@ -556,14 +556,21 @@ object Similarity {
     * rounded value.
     *
     * `topK` is the candidate/neighbor pass, PLUGGABLE because it is
-    * the one compute-quadratic leg of the default: [[bruteForceTopK]]
-    * scores every (source, target) pair — O(N·M·dim) both directions —
-    * which is exact but a 100 TB scale-killer. Swapping in
-    * [[lshProvider]] / [[Pq.pqProvider]] makes the candidate pass
-    * sub-quadratic, and the NNk means then come from the provider's
-    * APPROXIMATE neighbor lists exactly as production LASER/CCMatrix
-    * mining does (means over FAISS shortlists, not exact top-k).
-    * Margins mine over provider candidates only.
+    * the one potentially compute-quadratic leg. The DEFAULT is the
+    * sub-quadratic [[lshProvider]] at the production params the t85
+    * gate pins on a clustered corpus (bits = 10, tables = 4 —
+    * neighbor recall 0.936, argmax-choice agreement 0.932 vs brute
+    * force; measured 2.8× at 10× data where brute force is 10.1×):
+    * calling the operator with defaults gets the plan that survives
+    * 100 TB. The NNk means then come from the provider's APPROXIMATE
+    * neighbor lists exactly as production LASER/CCMatrix mining does
+    * (means over FAISS shortlists, not exact top-k); margins mine
+    * over provider candidates only. [[bruteForceTopK]] — O(N·M·dim)
+    * both directions — stays available and must be REQUESTED
+    * explicitly: it is the exact audit baseline t76/t85/t238 compare
+    * against, not a production path (SimilaritySpec pins that
+    * `marginMine(.., topK = bruteForceTopK)` reproduces the
+    * pre-default-flip output exactly).
     *
     * Scale shape: two bounded-heap top-k passes (the partial aggregate
     * caps shuffle at O(partitions·k) per side regardless of provider),
@@ -573,7 +580,8 @@ object Similarity {
   def marginMine(src: DataFrame, sIdCol: String, sVecCol: String,
                  tgt: DataFrame, tIdCol: String, tVecCol: String,
                  k: Int = 4, threshold: Double = 1.0,
-                 topK: TopKProvider = bruteForceTopK): DataFrame = {
+                 topK: TopKProvider = lshProvider(bits = 10, tables = 4))
+      : DataFrame = {
     val s = src.select(col(sIdCol).as("src_id"), col(sVecCol).as("svec"))
     val t = tgt.select(col(tIdCol).as("tgt_id"), col(tVecCol).as("tvec"))
     // forward top-k: for each source, its k nearest targets

@@ -63,4 +63,53 @@ object Curation {
     }
     CurationRun(cur, ledgers.reduce(_.unionByName(_)).orderBy(col("step")))
   }
+
+  /** [[run]] with DURABLE stage checkpoints — the restartable form a
+    * 100 TB run needs: every stage output AND its ledger row persist
+    * as parquet under `checkpointDir` (stage_k / ledger_k), and a
+    * re-invocation with the same directory SKIPS every stage whose
+    * checkpoint is already complete (atomic `_SUCCESS` marker), so a
+    * run that died at stage k restarts at stage k — with stages 1..k-1
+    * never recomputed and their ledger rows read back bit-identical
+    * (CurationSpec kills a runner mid-chain and pins exactly this).
+    *
+    * Scale shape: identical to [[run]] except the stage boundary is a
+    * real columnar write-and-read-back instead of `localCheckpoint` —
+    * which is ALSO what a warehouse pipeline wants per se (downstream
+    * stages read parquet, the session can die between stages, and a
+    * completed stage is a browsable table). `checkpointDir` may be
+    * any Hadoop-FS path (HDFS/S3A/local); completeness is the
+    * committer's `_SUCCESS` marker, so a half-written stage from a
+    * crashed run re-runs instead of being trusted.
+    */
+  def runCheckpointed(input: DataFrame, stages: Seq[Stage],
+                      checkpointDir: String): CurationRun = {
+    require(stages.nonEmpty, "curation pipeline needs at least one stage")
+    val spark = input.sparkSession
+    def complete(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    var cur = input
+    val ledgers = stages.zipWithIndex.map { case ((name, f), i) =>
+      val step = i + 1
+      val outPath = s"$checkpointDir/stage_$step"
+      val ledgerPath = s"$checkpointDir/ledger_$step"
+      if (complete(outPath) && complete(ledgerPath)) {
+        cur = spark.read.parquet(outPath)
+      } else {
+        val in = cur
+        f(in).write.mode("overwrite").parquet(outPath)
+        val out = spark.read.parquet(outPath)
+        in.agg(count(lit(1)).as("docs_in"))
+          .crossJoin(out.agg(count(lit(1)).as("docs_out")))
+          .select(lit(step).as("step"), lit(name).as("stage"),
+                  col("docs_in"), col("docs_out"))
+          .coalesce(1).write.mode("overwrite").parquet(ledgerPath)
+        cur = out
+      }
+      spark.read.parquet(ledgerPath)
+    }
+    CurationRun(cur, ledgers.reduce(_.unionByName(_)).orderBy(col("step")))
+  }
 }

@@ -64,7 +64,7 @@ object Oracle {
       |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
       |)""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
@@ -905,6 +905,23 @@ object Oracle {
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
         |UNION ALL
         |SELECT * FROM updates""".stripMargin,
+
+    // exact mirror of q49 (quota_mix operator view driven through SQL
+    // text only): the t29 md5-rank replay
+    "q49_sql_operator_view" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM ranked
+        |WHERE rn <= CASE
+        |  WHEN source IN ('src0','src1','src2','src3','src4') THEN 10
+        |  WHEN source IN ('src5','src6','src7','src8','src9') THEN 5
+        |  ELSE 2 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q48_bq_dialect" ->
       // ANSI replay of the BigQuery-dialect congruent HAVING: branch-1
@@ -1813,7 +1830,10 @@ object Oracle {
         |SELECT doc_id, 0.0, 0, 0.0, true
         |FROM documents WHERE length(text) = 0""".stripMargin,
 
-    "t75_margin_mine" ->
+    // exact mirror of t238 (marginMine at the explicit brute-force
+    // audit baseline — the pre-flip t75 contract; t75 itself now runs
+    // the operator's LSH default and is gate-checked instead)
+    "t238_margin_bf_audit" ->
       // raw cosine ranks the top-k (the heap selects on unrounded
       // scores — the t5 convention), the 6dp-ROUNDED cosine feeds the
       // NNk means and the margin (Spark's top-k output is rounded)
@@ -7179,4 +7199,10 @@ object Oracle {
         |FROM m JOIN topk t ON t.event_type = m.event_type
         |ORDER BY m.event_type""".stripMargin,
   )
+
+  // t239 resumes the t48 pipeline from a mid-chain checkpoint; the
+  // resumed ledger must be EXACTLY the uninterrupted run's — one
+  // oracle replay, two execution paths
+  val sql: Map[String, String] =
+    base + ("t239_pipeline_resume" -> base("t48_pipeline"))
 }

@@ -824,4 +824,21 @@ object RelationalQueries {
         |)
         |ORDER BY txid""".stripMargin)
   }
+
+  /** q49_sql_operator_view — the operator library reached ENTIRELY
+    * through SQL text: SqlFacade.registerOperatorViews publishes the
+    * headline relational operators (minhash_near_dups, quota_mix,
+    * quality_flags, drift_ks) as lazy temp views, and this query is
+    * one `spark.sql` string over `quota_mix` — the per-source quota
+    * sampler (t29's recipe) — with no DataFrame code between the SQL
+    * author and the operator. Hash-exact against the same md5-rank
+    * replay oracle as t29, proving the SQL surface returns the
+    * operator's exact output, not an approximation of it.
+    */
+  def q49SqlOperatorView(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT doc_id, source FROM quota_mix ORDER BY doc_id")
+  }
 }

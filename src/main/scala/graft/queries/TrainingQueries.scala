@@ -953,11 +953,13 @@ object TrainingQueries {
 
   /** t75_margin_mine — margin-based pair mining (the LASER/CCMatrix
     * bitext-mining shape) between the even- and odd-id halves of the
-    * embedding table: per source, the argmax-margin target with
-    * hub-suppressing NNk normalization (see Similarity.marginMine).
-    * Side ids are disjoint by the parity split (the top-k pass treats
-    * equal ids as self-matches). Exact oracle: DuckDB replays raw-
-    * cosine ranking, 6dp-rounded scoring, and both NNk means.
+    * embedding table AT THE OPERATOR'S DEFAULTS — which, since the
+    * round-10 flip, is the t85-gated LSH candidate provider (bits=10,
+    * tables=4), i.e. the sub-quadratic plan a production caller gets.
+    * Rows-only (hash-derived buckets): the quantitative contract is
+    * the ENFORCED t76 (wide-recall parity) + t85 (production-param
+    * recall/agreement) gates, plus this row's own direct structural
+    * gate; t238 keeps the brute-force path oracle-EXACT.
     */
   def t75MarginMine(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -965,6 +967,23 @@ object TrainingQueries {
         emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
         emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
         k = 4, threshold = 1.0)
+      .orderBy(col("src_id"))
+  }
+
+  /** t238_margin_bf_audit — marginMine with the EXPLICITLY-requested
+    * brute-force candidate pass (the exact audit baseline the default
+    * flip demoted): per source, the argmax-margin target with
+    * hub-suppressing NNk normalization. Exact oracle — DuckDB replays
+    * raw-cosine ranking, 6dp-rounded scoring, and both NNk means —
+    * pinning the operator's SCORING semantics independently of any
+    * provider, exactly the pre-flip t75 contract.
+    */
+  def t238MarginBfAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.marginMine(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+        k = 4, threshold = 1.0, topK = Similarity.bruteForceTopK)
       .orderBy(col("src_id"))
   }
 
@@ -2083,6 +2102,26 @@ object TrainingQueries {
       materialize: DataFrame => DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     graft.pipeline.Curation.run(docs, t48Stages(docs), materialize).ledger
+  }
+
+  /** t239_pipeline_resume — the t48 curation pipeline through the
+    * CHECKPOINT/RESUME runner, exercising a genuine mid-chain restart:
+    * a first invocation runs only stages 1–2 into a fresh checkpoint
+    * directory (simulating a run that died after stage 2), then the
+    * full four-stage invocation RESUMES against the same directory —
+    * stages 1–2 are skipped (outputs + ledger rows read back from
+    * their parquet checkpoints; CurationSpec pins zero re-invocation),
+    * stages 3–4 compute. The resumed ledger must be exactly t48's:
+    * same DuckDB oracle, hash-exact — restart changes nothing but
+    * wall-clock.
+    */
+  def t239PipelineResume(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_t239_" +
+      s"${System.nanoTime}"
+    val stages = t48Stages(docs)
+    graft.pipeline.Curation.runCheckpointed(docs, stages.take(2), dir)
+    graft.pipeline.Curation.runCheckpointed(docs, stages, dir).ledger
   }
 
   /** The four t48 stages as [[graft.pipeline.Curation.Stage]]s — the
@@ -4221,14 +4260,9 @@ object TrainingQueries {
     * degree-ordered orientation makes the count a deterministic
     * integer.
     */
-  def t192Triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb"))
-    graft.operators.Graph.triangleStats(edges, "pa", "pb")
-  }
+  def t192Triangles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Graph.triangleStats(
+      coPurchaseEdges(spark, sfDir), "pa", "pb")
 
   /** t193_spearman — monotone association between l_quantity and
     * l_extendedprice (cents) per returnflag: does quantity track
@@ -4830,6 +4864,145 @@ object TrainingQueries {
     graft.ops.Profiling.concentrationProfile(uc, Seq("event_type"),
         "user_id", "x", topK = 4)
       .orderBy(col("event_type"))
+  }
+
+  /** The t192 parts-bought-together graph, shared by the triangle
+    * family (exact t192, Doulion t235, the t236 gate). */
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    a.join(b, "ok").filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
+  }
+
+  /** t235_triangle_doulion — the 100×-scale member of the t192
+    * triangle family: Doulion edge-sampling (keep probability 0.2 by
+    * seeded md5 coin → the m^1.5 closure runs on a 5×-thinned graph,
+    * ~11× cheaper wedge join) with the unbiased 1/p³ count scale-up;
+    * node/edge/wedge counts stay exact from the full graph. Estimate-
+    * typed → rows-only; t236 is the ENFORCED relative-error gate vs
+    * the exact t192 census on the same graph, and the direct
+    * structural gate pins the row's internal consistency.
+    */
+  def t235TriangleDoulion(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Graph.triangleStatsApprox(
+      coPurchaseEdges(spark, sfDir), "pa", "pb", p = 0.2,
+      seed = "doulion-t235")
+
+  /** t236_triangle_approx_check — the enforced Doulion contract
+    * (justifying t235's rows-only row): run the EXACT degree-ordered
+    * census and the p = 0.5 Doulion estimate on the same co-purchase
+    * graph and emit (check, value) rows:
+    *
+    *  - `n_triangles_exact`: the exact count (> 0 — vacuity guard);
+    *  - `rel_err`: |est − exact| / exact. The estimator is unbiased
+    *    with rel. std ≈ √((1/p³−1)/T) = √(7/T) — ≈ 0.006 at the
+    *    sf0.01 census (T ≈ 188k) — so the 0.05 gate is ~8σ of honest
+    *    headroom while still catching any scaling/orientation bug;
+    *  - `sample_frac`: kept/total edges — must sit near p (±0.1
+    *    absolute), proving the coin actually thins the closure input
+    *    rather than decorating it.
+    *
+    * The audit runs at p = 0.5 (tighter variance for a sharper gate);
+    * t235's production row uses p = 0.2 for the cost story — the
+    * contract is p-independent (the same 1/p³ unbiasedness).
+    */
+  def t236TriangleApproxCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sfDir)
+    val exact = graft.operators.Graph.triangleStats(edges, "pa", "pb")
+      .select(col("n_triangles"))
+    val approx = graft.operators.Graph.triangleStatsApprox(
+      edges, "pa", "pb", p = 0.5, seed = "doulion-t236")
+    val j = exact.crossJoin(approx).localCheckpoint(true)
+    val nEx = j.select(lit("n_triangles_exact").as("check"),
+      col("n_triangles").cast("double").as("value"))
+    val relErr = j.select(lit("rel_err").as("check"),
+      round(abs(col("n_triangles_est") - col("n_triangles")) /
+        col("n_triangles").cast("double"), 6).as("value"))
+    val frac = j.select(lit("sample_frac").as("check"),
+      round(col("n_edges_sampled").cast("double") /
+        col("n_edges"), 6).as("value"))
+    nEx.unionByName(relErr).unionByName(frac).orderBy(col("check"))
+  }
+
+  /** t237_png_phash — the REAL-codec image near-dup contract (the
+    * t115 harness on compressed containers): synthesize one PNG per
+    * distinct document (JDK ImageIO encoder — deflate-compressed, so
+    * container BYTES share no structure between near-duplicate
+    * images and byte-level dedup is useless), plant TWO perturbed
+    * copies per image —
+    *
+    *  - a NOISE copy (+1M ids): every 7th payload byte bumped before
+    *    encoding — the t115 pixel-noise shape, now surviving a full
+    *    decode→DCT path rather than raw byte pokes;
+    *  - a BRIGHTNESS copy (+2M ids): +16 on every channel — the
+    *    perturbation class aHash's spatial-mean threshold is exposed
+    *    to but pHash's AC block is invariant to (Σ cos over a
+    *    constant shift is 0);
+    *
+    * hash everything with the 32×32-DCT pHash and recover pairs at
+    * Hamming ≤ 3. Checks: n_images (> 0), recovered_noise_frac and
+    * recovered_bright_frac (≥ 0.9), extra_frac (≤ 0.2 — tiny
+    * synthetic images genuinely collide; the bound keeps a kernel
+    * regression from hiding in the extras).
+    */
+  def t237PngPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val images = docs.map { case (id, text) =>
+      val t = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Multimodal.MediaRecord(id, "image",
+        Multimodal.SynthMedia.png(16 + (t.length % 17), 12 + (t.length % 11), t))
+    }
+    val noise = docs.map { case (id, text) =>
+      val t = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).clone()
+      var i = 0
+      while (i < t.length) { if (i % 7 == 0) t(i) = (t(i) + 1).toByte; i += 1 }
+      Multimodal.MediaRecord(id + 1000000L, "image",
+        Multimodal.SynthMedia.png(16 + (text.getBytes("UTF-8").length % 17),
+          12 + (text.getBytes("UTF-8").length % 11), t))
+    }
+    val bright = docs.map { case (id, text) =>
+      val t = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => math.min(255, (b & 0xff) + 16).toByte)
+      Multimodal.MediaRecord(id + 2000000L, "image",
+        Multimodal.SynthMedia.png(16 + (text.getBytes("UTF-8").length % 17),
+          12 + (text.getBytes("UTF-8").length % 11), t))
+    }
+    val hashes = Multimodal.imagePHash(images.union(noise).union(bright))
+      .localCheckpoint(true)
+    val pairs = Multimodal.imageNearDups(hashes, maxHamming = 3)
+      .localCheckpoint(true)
+    val n = hashes.filter(col("doc_id") < 1000000)
+      .agg(count(lit(1)).cast("double").as("n"))
+    // same-image families share id mod 1M (original x, noise x+1M,
+    // bright x+2M) — the noise↔bright pair of ONE image must count
+    // neither as a planted recovery nor as a collision extra
+    val sameFam = col("id_a") % 1000000L === col("id_b") % 1000000L
+    val stats = pairs.agg(
+        sum(when(sameFam && col("id_a") < 1000000L &&
+                 col("id_b") === col("id_a") + 1000000L, 1.0)
+          .otherwise(0.0)).as("rec_noise"),
+        sum(when(sameFam && col("id_a") < 1000000L &&
+                 col("id_b") === col("id_a") + 2000000L, 1.0)
+          .otherwise(0.0)).as("rec_bright"),
+        sum(when(!sameFam, 1.0).otherwise(0.0)).as("extra"))
+      .crossJoin(broadcast(n))
+    val rows = Seq(
+      ("recovered_noise_frac", col("rec_noise")),
+      ("recovered_bright_frac", col("rec_bright")),
+      ("extra_frac", col("extra"))).map { case (name, c) =>
+      stats.select(lit(name).as("check"),
+        round(coalesce(c, lit(0.0)) / col("n"), 6).as("value"))
+    }
+    val nRow = n.select(lit("n_images").as("check"),
+      col("n").as("value"))
+    rows.reduce(_ unionByName _).unionByName(nRow).orderBy(col("check"))
   }
 
   /** t12_multimodal — binary media plumbing end-to-end: synthesize

@@ -32,6 +32,33 @@ class SqlFacadeSpec extends SparkSpec {
     assert(rows(viaSql) == rows(viaDf))
   }
 
+  test("operator views: each registered relational op is reachable " +
+       "through spark.sql text and agrees with its Scala form") {
+    import org.apache.spark.sql.functions._
+    SqlFacade.registerTables(spark, sfDir)
+    SqlFacade.registerOperatorViews(spark, sfDir)
+    // quota_mix == the Scala sampler's exact output
+    val mixSql = SqlFacade.sql(spark,
+      "SELECT doc_id, source FROM quota_mix")
+    val mixDf = ops.Mixing.sampleQuotas(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+      "source", "doc_id",
+      (0 to 4).map(i => s"src$i" -> 10).toMap ++
+        (5 to 9).map(i => s"src$i" -> 5).toMap, defaultQuota = 2)
+    assert(rows(mixSql) == rows(mixDf))
+    // minhash_near_dups: SQL-side filtering composes with the view
+    val dupSql = SqlFacade.sql(spark,
+      "SELECT count(*) FROM minhash_near_dups WHERE jaccard >= 0.8")
+    assert(dupSql.head().getLong(0) ==
+      SqlFacade.sql(spark, "SELECT count(*) FROM minhash_near_dups")
+        .head().getLong(0))
+    // quality_flags + drift_ks resolve and carry their contract columns
+    assert(SqlFacade.sql(spark,
+      "SELECT count(*) FROM quality_flags WHERE keep").head().getLong(0) > 0)
+    assert(SqlFacade.sql(spark,
+      "SELECT count(*) FROM drift_ks WHERE ks_d >= 0").head().getLong(0) > 0)
+  }
+
   test("double-explode SQL (LATERAL VIEW-free, Spark 4 UNNEST-style) matches ExplodeOps") {
     SqlFacade.registerTables(spark, sfDir)
     // token explode over documents via SQL

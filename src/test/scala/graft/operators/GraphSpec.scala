@@ -147,6 +147,53 @@ class GraphSpec extends SparkSpec {
     assert(out.getAs[Double]("global_cc") == 0.0)
   }
 
+  test("triangleStatsApprox: p = 1 reproduces the exact census; " +
+       "linear stats stay exact at any p") {
+    val k4 = (for (u <- 1 to 4; v <- 1 to 4 if u < v) yield (u.toLong, v.toLong))
+      .toDF("a", "b")
+    val full = Graph.triangleStatsApprox(k4, "a", "b", p = 1.0).collect().head
+    assert(full.getAs[Long]("n_nodes") == 4L)
+    assert(full.getAs[Long]("n_edges") == 6L)
+    assert(full.getAs[Long]("n_edges_sampled") == 6L)
+    assert(full.getAs[Double]("n_triangles_est") == 4.0)
+    assert(full.getAs[Long]("n_wedges") == 12L)
+    assert(full.getAs[Double]("global_cc_est") == 1.0)
+    // at p < 1 the EXACT stats (nodes, edges, wedges) still come from
+    // the full graph; only the triangle count estimates
+    val thin = Graph.triangleStatsApprox(k4, "a", "b", p = 0.5).collect().head
+    assert(thin.getAs[Long]("n_nodes") == 4L)
+    assert(thin.getAs[Long]("n_edges") == 6L)
+    assert(thin.getAs[Long]("n_wedges") == 12L)
+    assert(thin.getAs[Long]("n_edges_sampled") <= 6L)
+    assert(thin.getAs[Double]("n_triangles_est") >= 0.0)
+  }
+
+  test("triangleStatsApprox: the seeded coin is deterministic and " +
+       "seed-sensitive; estimate is 1/p^3-scaled") {
+    val edges = (for (u <- 1 to 40; v <- 1 to 40 if u < v) yield
+      (u.toLong, v.toLong)).toDF("a", "b")
+    val r1 = Graph.triangleStatsApprox(edges, "a", "b", p = 0.5,
+      seed = "s1").collect().head
+    val r2 = Graph.triangleStatsApprox(edges, "a", "b", p = 0.5,
+      seed = "s1").collect().head
+    assert(r1 == r2) // same seed → bit-identical run-to-run
+    val r3 = Graph.triangleStatsApprox(edges, "a", "b", p = 0.5,
+      seed = "s2").collect().head
+    assert(r1.getAs[Long]("n_edges_sampled") !=
+      r3.getAs[Long]("n_edges_sampled") ||
+      r1.getAs[Double]("n_triangles_est") !=
+      r3.getAs[Double]("n_triangles_est"))
+    // K40: T = C(40,3) = 9880; the p=0.5 estimate should land within
+    // a few rel-std (~6% here) — use a generous 25% band so the spec
+    // never flakes while still catching a missing 1/p^3 scale-up
+    // (which would read ~12.5% of exact)
+    val est = r1.getAs[Double]("n_triangles_est")
+    assert(est > 9880 * 0.75 && est < 9880 * 1.25, est)
+    assert(intercept[IllegalArgumentException](
+      Graph.triangleStatsApprox(edges, "a", "b", p = 0.0)).getMessage
+      .contains("keep probability"))
+  }
+
   test("degreeAssortativity: a star graph is maximally disassortative") {
     val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
     val out = Graph.degreeAssortativity(star, "a", "b").collect().head

@@ -159,6 +159,83 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
   }
 
+  test("decodePngGray: the ImageIO path decodes a real compressed PNG " +
+       "to the exact luma the encoder was fed; garbage returns None") {
+    val fill = Array[Byte](0, 0, 0, -1, -1, -1) // pixel0 black, pixel1 white
+    val bytes = SynthMedia.png(2, 2, fill)
+    // a PNG is NOT header arithmetic: the BMP decoder must refuse it
+    assert(Codec.decodeBmpGray(bytes).isEmpty)
+    val Some((w, h, gray)) = Codec.decodePngGray(bytes)
+    assert(w == 2 && h == 2)
+    // png() writes RGB top-down cycling fill 3 bytes/pixel with no row
+    // padding: pixels are black, white, black, white
+    assert(gray.toSeq == Seq(0f, 1f, 0f, 1f))
+    // decodeImageGray dispatches to whichever image codec matches
+    // (arrays compare by reference — compare the decoded fields)
+    val Some((dw, dh, dg)) = Codec.decodeImageGray(bytes)
+    assert(dw == w && dh == h && dg.toSeq == gray.toSeq)
+    assert(Codec.decodePngGray("not a png at all".getBytes).isEmpty)
+    // truncated PNG stream: magic ok, inflate fails → None, no throw
+    assert(Codec.decodePngGray(bytes.take(20)).isEmpty)
+  }
+
+  test("decode: PNG rows get real width/height metadata through the " +
+       "declared-image dispatch") {
+    val png = SynthMedia.png(7, 5, "png metadata body".getBytes)
+    val d = Codec.decode(MediaRecord(1L, "image", png))
+    assert(d.width == 7 && d.height == 5 && d.byte_len == png.length)
+  }
+
+  test("pHash64: invariant to uniform brightness shift, stable under " +
+       "pixel noise, discriminative across images — where aHash's " +
+       "spatial-mean bits are weaker") {
+    def gray(bytes: Array[Byte]): (Int, Int, Array[Float]) =
+      Codec.decodeImageGray(bytes).get
+    def ph(bytes: Array[Byte]): Long = {
+      val (w, h, g) = gray(bytes); Codec.pHash64(w, h, g)
+    }
+    val body = "the quick brown fox jumps over the lazy dog".getBytes
+    val base = SynthMedia.png(16, 12, body)
+    // +16 brightness on every channel: AC coefficients are invariant
+    // (sum of cos over a constant is 0) → identical hash
+    val bright = SynthMedia.png(16, 12,
+      body.map(b => math.min(255, (b & 0xff) + 16).toByte))
+    assert(ph(base) == ph(bright))
+    // noise on every 7th byte: low-frequency DCT block barely moves
+    val noisy = SynthMedia.png(16, 12,
+      body.zipWithIndex.map { case (b, i) =>
+        if (i % 7 == 0) (b + 1).toByte else b })
+    assert(java.lang.Long.bitCount(ph(base) ^ ph(noisy)) <= 3)
+    // a different image is far away
+    val other = SynthMedia.png(16, 12,
+      "completely different pixels spelled out here".getBytes)
+    assert(java.lang.Long.bitCount(ph(base) ^ ph(other)) > 3)
+    // the kernel serves BMP luma identically (shared image-gray path)
+    val bmp = SynthMedia.bmp(16, 12, body)
+    val (bw, bh, bg) = gray(bmp)
+    assert(Codec.pHash64(bw, bh, bg) != 0L)
+  }
+
+  test("imagePHash + imageNearDups: planted PNG perturbations pair " +
+       "with their originals through the full decode path") {
+    implicit val s = spark
+    val mk = (id: Long, body: String) =>
+      MediaRecord(id, "image", SynthMedia.png(16, 12, body.getBytes))
+    val a = mk(1L, "alpha beta gamma delta epsilon zeta")
+    val aNoise = MediaRecord(101L, "image", SynthMedia.png(16, 12,
+      "alpha beta gamma delta epsilon zeta".getBytes.zipWithIndex
+        .map { case (b, i) => if (i % 7 == 0) (b + 1).toByte else b }))
+    val b = mk(2L, "unrelated second image content entirely")
+    val audio = MediaRecord(3L, "audio", SynthMedia.wav(8000, 100, "x".getBytes))
+    val hashes = Multimodal.imagePHash(
+      Seq(a, aNoise, b, audio).toDS())
+    assert(hashes.count() == 3) // the audio row never hashes
+    val pairs = Multimodal.imageNearDups(hashes, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.contains((1L, 101L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("decodeWavPcm: exact PCM16 roundtrip of a hand-built WAV") {
     // fill bytes (0x01, 0x02) -> every sample = 0x0201 = 513
     val bytes = SynthMedia.wav(8000, 10, Array[Byte](1, 2))

@@ -71,8 +71,11 @@ class SimilaritySpec extends SparkSpec {
     val h = Array(0.70710678f, 0.70710678f, 0f)
     val t = Array(0.65f, 0f, 0.75993421f)
     val tgts = Seq((1L, h), (3L, t)).toDF("vec_id", "embedding")
+    // explicit brute force: the exact-scoring audit baseline (the
+    // pre-flip default — this test pins those semantics unchanged)
     val out = Similarity.marginMine(srcs, "vec_id", "embedding",
-        tgts, "vec_id", "embedding", k = 2)
+        tgts, "vec_id", "embedding", k = 2,
+        topK = Similarity.bruteForceTopK)
       .as[(Long, Long, Double, Double, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     assert(out(0L)._2 == 3L)            // t despite cos(a,t) < cos(a,h)
@@ -84,25 +87,26 @@ class SimilaritySpec extends SparkSpec {
     val t2 = Seq((1L, Array(1f, 0f, 0f)), (3L, Array(0f, 1f, 0f)))
       .toDF("vec_id", "embedding")
     val m2 = Similarity.marginMine(s2, "vec_id", "embedding",
-        t2, "vec_id", "embedding", k = 2)
+        t2, "vec_id", "embedding", k = 2,
+        topK = Similarity.bruteForceTopK)
       .as[(Long, Long, Double, Double, Boolean)].head()
     assert(m2._2 == 1L && m2._3 == 1.0 && m2._5)
   }
 
-  test("marginMine: pluggable provider drives the candidate pass") {
+  test("marginMine: pluggable provider drives the candidate pass; " +
+       "the DEFAULT is the gated LSH production path") {
     val srcs = Seq((0L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
       .toDF("vec_id", "embedding")
     val tgts = Seq((1L, Array(0.9f, 0.1f, 0f)), (3L, Array(0.1f, 0.9f, 0f)),
                    (5L, Array(0.7f, 0.7f, 0f))).toDF("vec_id", "embedding")
-    val default = Similarity.marginMine(srcs, "vec_id", "embedding",
-        tgts, "vec_id", "embedding", k = 2)
-      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
-    // explicitly passing bruteForceTopK is the identity
+    // explicitly passing bruteForceTopK reproduces the PRE-FLIP
+    // default output exactly: the expected argmax pairs below are the
+    // values this fixture pinned when brute force WAS the default
     val explicit = Similarity.marginMine(srcs, "vec_id", "embedding",
         tgts, "vec_id", "embedding", k = 2,
         topK = Similarity.bruteForceTopK)
       .as[(Long, Long, Double, Double, Boolean)].collect().toSet
-    assert(default == explicit)
+    assert(explicit.map(r => r._1 -> r._2) == Set(0L -> 1L, 2L -> 3L))
     // a provider that returns exhaustive candidate lists (LSH at 1 bit
     // × 8 tables on a tiny corpus ⇒ recall 1) reproduces brute-force
     // mining exactly — the ANN-path parity contract t76 gates at scale
@@ -110,7 +114,18 @@ class SimilaritySpec extends SparkSpec {
         tgts, "vec_id", "embedding", k = 2,
         topK = Similarity.lshProvider(bits = 1, tables = 8))
       .as[(Long, Long, Double, Double, Boolean)].collect().toSet
-    assert(lsh == default)
+    assert(lsh == explicit)
+    // the DEFAULT is lshProvider(bits=10, tables=4) — the t85-gated
+    // production setting — not brute force: identical output to
+    // passing that provider explicitly
+    val default = Similarity.marginMine(srcs, "vec_id", "embedding",
+        tgts, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+    val prodExplicit = Similarity.marginMine(srcs, "vec_id", "embedding",
+        tgts, "vec_id", "embedding", k = 2,
+        topK = Similarity.lshProvider(bits = 10, tables = 4))
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+    assert(default == prodExplicit)
     // a provider that WITHHOLDS target 1 proves candidates come from
     // the provider, not from any internal scoring: src 0 must pair
     // with 5 (its best remaining target)

@@ -66,4 +66,58 @@ class CurationSpec extends SparkSpec {
       Curation.run(corpus, stages).output
         .select($"doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("runCheckpointed: a runner killed mid-chain resumes at the " +
+       "failed stage — completed stages never re-invoke and the " +
+       "resumed ledger is bit-identical to an uninterrupted run") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_ckpt")
+      .toString
+    val invocations = scala.collection.mutable.Map[String, Int]()
+      .withDefaultValue(0)
+    def counted(bomb: Boolean): Seq[Curation.Stage] = stages.map {
+      case (name, f) => name -> { (in: DataFrame) =>
+        invocations(name) += 1
+        if (bomb && name == "source_cap")
+          throw new RuntimeException("simulated executor loss")
+        f(in)
+      }
+    }
+    // run 1: dies at stage 3 — stages 1-2 checkpointed, stage 3 not
+    intercept[RuntimeException] {
+      Curation.runCheckpointed(corpus, counted(bomb = true), dir)
+    }
+    assert(invocations("exact_dedup") == 1 &&
+      invocations("len_filter") == 1 && invocations("source_cap") == 1)
+    // run 2: resumes — stages 1-2 SKIP (no re-invocation), 3 computes
+    val resumed = Curation.runCheckpointed(corpus, counted(bomb = false), dir)
+    val resumedLedger = resumed.ledger.collect().map(_.toString).sorted.toSeq
+    assert(invocations("exact_dedup") == 1, "stage 1 recomputed on resume")
+    assert(invocations("len_filter") == 1, "stage 2 recomputed on resume")
+    assert(invocations("source_cap") == 2)
+    // the resumed ledger and output match an uninterrupted run exactly
+    val fresh = Curation.run(corpus, stages)
+    assert(resumedLedger == fresh.ledger.collect().map(_.toString).sorted.toSeq)
+    assert(resumed.output.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      fresh.output.select($"doc_id").as[Long].collect().sorted.toSeq)
+    // idempotent re-resume: everything skips, same ledger again
+    val again = Curation.runCheckpointed(corpus, counted(bomb = false), dir)
+    assert(again.ledger.collect().map(_.toString).sorted.toSeq == resumedLedger)
+    assert(invocations("source_cap") == 2)
+  }
+
+  test("runCheckpointed: a half-written stage (no _SUCCESS) re-runs " +
+       "instead of being trusted") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_half")
+      .toString
+    Curation.runCheckpointed(corpus, stages.take(1), dir)
+    // vandalize: remove the success marker of stage 1
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "stage_1",
+      "_SUCCESS"))
+    var calls = 0
+    val st = Seq[Curation.Stage](stages.head._1 -> { (in: DataFrame) =>
+      calls += 1; stages.head._2(in)
+    })
+    Curation.runCheckpointed(corpus, st, dir)
+    assert(calls == 1, "incomplete checkpoint was trusted")
+  }
 }
