@@ -46,15 +46,50 @@ object Bench {
     // failed = queries that never succeeded in any pass
     val failed = (everFailed -- succeeded).toList.sorted
     val ok = SparkEntry.queries.keys.filter(best.contains)
+    // PER-QUERY WALL-TIME BUDGET: docs/bench_budget.tsv records each
+    // query's sf0.1 min-of-two seconds from the last refresh; a query
+    // may grow to 3× its budget (or budget + 1 s for sub-second rows,
+    // where 3× is machine-noise floor) before the battery FAILS
+    // LOUDLY — a future quadratic regression trips here instead of
+    // silently drifting the 280-query total. Queries not yet budgeted
+    // (new this round) are skipped until the next refresh.
+    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET",
+      "docs/bench_budget.tsv")
+    val budget: Map[String, Double] =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(budgetPath)).asScala
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap { l =>
+            l.split("\t") match {
+              case Array(k, v) => v.toDoubleOption.map(k -> _)
+              case _ => None
+            }
+          }.toMap
+      } catch { case _: Throwable =>
+        System.err.println(s"[bench] no budget file at $budgetPath " +
+          "— per-query budget check skipped")
+        Map.empty
+      }
+    val violations = ok.filter { k =>
+      budget.get(k).exists(b => best(k) > math.max(3.0 * b, b + 1.0))
+    }.toList.sorted
+    violations.foreach { k =>
+      System.err.println(f"[bench] BUDGET VIOLATION: $k took " +
+        f"${best(k)}%.3f s vs budget ${budget(k)}%.3f s " +
+        f"(limit ${math.max(3.0 * budget(k), budget(k) + 1.0)}%.3f s)")
+    }
     // millisecond precision keeps the one-line JSON short enough to
     // survive log-tail capture intact (sub-ms digits are noise anyway)
     def f(v: Double): String = "%.3f".format(v)
     val qs = ok.map(k => s"\"" + k + "\":" + f(best(k)))
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val bv = violations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(best(_)).sum
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sink":"noop","passes":$passes,"failed":$fs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sink":"noop","passes":$passes,"failed":$fs,"budget_violations":$bv,"queries":$qs,"sf":"$sfDir"}"""
     // the full line with the 180+-entry per-query map is ~5 KB — long
     // enough that the round driver's truncated log-tail capture has
     // dropped it before (BENCH_r08 "parsed": null). Bracket it with a
@@ -76,5 +111,8 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    // fail loudly AFTER the record is written: the JSON above still
+    // lands (with the violation list inside) for post-mortem
+    if (violations.nonEmpty) sys.exit(1)
   }
 }
