@@ -78,12 +78,46 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t226_label_separation", "t227_chi2_residuals",
            "t228_info_gain", "t229_dedup_savings", "t230_ratio_ci",
            "t231_mde", "t232_influence", "t233_damerau_verify",
-           "t234_concentration"]
+           "t234_concentration", "t235_triangle_doulion",
+           "t237_png_phash", "t238_margin_bf_audit",
+           "t239_pipeline_resume", "q49_sql_operator_view"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
 # plan tree alone doesn't spell out.
 NOTES = {
+    "t235_triangle_doulion":
+        "The Doulion coin is ONE codegen'd md5 Project over the deduped "
+        "edge table (no extra shuffle); every closure join downstream "
+        "runs on the p-thinned edges — O((pm)^1.5) where the exact t192 "
+        "is O(m^1.5) — while the exact linear stats (nodes/edges/wedges, "
+        "the cc denominator) reduce map-side from the FULL edge table. "
+        "t236 gates the estimate at rel_err <= 0.05 vs the exact census.",
+    "t237_png_phash":
+        "All codec work — PNG encode of the planted copies, ImageIO "
+        "decode (zlib inflate + filter reconstruction), the 32x32 DCT — "
+        "is per-row inside mapPartitions batches: zero shuffle until "
+        "the banded-Hamming posting explode, whose pairs route through "
+        "the shared saturating-capped buckets (8-byte band keys).",
+    "t238_margin_bf_audit":
+        "The EXPLICIT brute-force audit baseline (since round 10 no "
+        "longer the operator default — t75 runs the LSH provider): "
+        "anchors broadcast, the corpus never shuffles for scoring, and "
+        "the rank cut is the bounded-heap partial top-k aggregate. "
+        "Compute is still N*M — 8.0x at 10x data vs the default's 2.1x "
+        "— which is exactly why it must be requested by name.",
+    "t239_pipeline_resume":
+        "Stage boundaries are real parquet write-and-read-backs under "
+        "the _SUCCESS-gated checkpoint dir: on resume, completed stages "
+        "appear in the plan as plain columnar scans (no recomputation "
+        "of their lineage), and the ledger unions 1-row aggregates of "
+        "those scans. The mid-chain restart is exercised INSIDE the "
+        "query (a partial 2-stage run precedes the full one).",
+    "q49_sql_operator_view":
+        "The operator reaches the planner through a temp VIEW, so the "
+        "spark.sql text and the DataFrame form produce the same "
+        "physical plan — the md5-rank projection and the salted "
+        "two-level cap — with no SQL-surface penalty.",
     "t136_score_calibrate":
         "Both Windows are bounded: the data-side Window partitions by "
         "(__pid, source) — one window partition per RANGE partition "

@@ -184,22 +184,14 @@ object ScaleStress {
       "t73_epoch_shuffle" -> (TrainingQueries.t73EpochShuffle _),
       // per-row zlib pass, no cross-row state
       "t74_compress_ratio" -> (TrainingQueries.t74CompressRatio _),
-      // two bounded-heap top-k passes + NNk means + candidate join;
-      // the 10× corpus multiplies both parity sides
+      // round-10: t75 now IS the ANN default (lshProvider 10/4 —
+      // candidate work is the bucket-intersection fraction, ~4/1024
+      // of the cross product): the sub-quadratic production shape
       "t75_margin_mine"  -> (TrainingQueries.t75MarginMine _),
-      // round-8: the ANN-backed margin-mining candidate pass at
-      // production-ish LSH params (bits=10 → 1024 buckets/table):
-      // candidate work is the bucket-intersection fraction (~4/1024 of
-      // the cross product) instead of t75's full N·M scoring — the
-      // sub-quadratic evidence for the pluggable provider
-      "t75_margin_ann_b10t4" -> ((s: SparkSession, d: String) => {
-        val emb = graft.Tables.embeddings(s, d)
-        graft.operators.Similarity.marginMine(
-          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
-          k = 4, threshold = 1.0,
-          topK = graft.operators.Similarity.lshProvider(bits = 10, tables = 4))
-      }),
+      // the explicitly-requested brute-force audit baseline — the
+      // pre-flip default whose ~10× growth at 10× data is the
+      // contrast the t75 row is measured against
+      "t238_margin_bf_audit" -> (TrainingQueries.t238MarginBfAudit _),
       // IVF-PQ serving: coarse assign + encode are one corpus scan,
       // the ADC scan reads only probed cells (t78 audits the
       // fraction), rerank is a broadcast point-lookup set
@@ -272,6 +264,10 @@ object ScaleStress {
       // like t14/t86/t91; their shapes are one groupBy(value)+window
       // and one bins-sized aggregation, argued in Drift.scala)
       "t115_image_phash" -> (TrainingQueries.t115ImagePhash _),
+      // round-10: the REAL-codec twin — PNG encode+decode per distinct
+      // text (per-row ImageIO work, no cross-row state) + the same
+      // banded Hamming pair generation as t115
+      "t237_png_phash" -> (TrainingQueries.t237PngPhash _),
       // ES weighted sampling: per-row hash+ln, then the salted
       // two-level cap — sort-rate, output fixed at groups×k
       "t116_weighted_sample" -> (TrainingQueries.t116WeightedSample _),
