@@ -80,7 +80,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t231_mde", "t232_influence", "t233_damerau_verify",
            "t234_concentration", "t235_triangle_doulion",
            "t237_png_phash", "t238_margin_bf_audit",
-           "t239_pipeline_resume", "q49_sql_operator_view"]
+           "t239_pipeline_resume", "q49_sql_operator_view",
+           "t240_cliffs_delta", "t241_cochran_q", "t242_krippendorff"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -118,6 +119,24 @@ NOTES = {
         "spark.sql text and the DataFrame form produce the same "
         "physical plan — the md5-rank projection and the salted "
         "two-level cap — with no SQL-surface penalty.",
+    "t240_cliffs_delta":
+        "The t176 midrank machinery verbatim: one map-side-combinable "
+        "(source, score) block collapse, the per-source window over "
+        "DISTINCT scores (bin first at billion-distinct cardinality — "
+        "the t137 hatch), then a group-cardinality closed form; delta "
+        "is one double divide of the exact BIGINT 2U accumulator.",
+    "t241_cochran_q":
+        "Raters are COLUMNS, so row totals are per-row expressions: "
+        "the ONLY aggregation is one map-side-combinable per-source "
+        "reduction carrying n, sum R_i^2 and the k column totals — no "
+        "unpivot, no item-keyed shuffle at all. Q is one double divide "
+        "of DECIMAL(38,0) products.",
+    "t242_krippendorff":
+        "The only ratings-sized stage is the (source, unit, category) "
+        "HashAggregate; the unit-keyed and category-keyed reductions "
+        "run on that collapsed frame, per-unit disagreement terms "
+        "micro-round to BIGINT before the sum (order-independent), "
+        "and alpha is one IEEE chain on a |sources|-row join.",
     "t136_score_calibrate":
         "Both Windows are bounded: the data-side Window partitions by "
         "(__pid, source) — one window partition per RANGE partition "

@@ -135,4 +135,129 @@ object Agreement {
           .otherwise(round(num.cast("double") / den.cast("double"), 6))
           .as("kappa")): _*)
   }
+
+  /** Per-group KRIPPENDORFF'S ALPHA (nominal) — the agreement metric
+    * that tolerates MISSING ratings, which real annotation pipelines
+    * always have (raters abstain, time out, or join late): where
+    * [[cohensKappa]] needs exactly two raters on every row and
+    * [[fleissKappa]] a constant rater count per item, α takes a bare
+    * ratings frame — one row per (unit, assigned category), rater
+    * identity irrelevant, any per-unit count ≥ 2 — and measures
+    * 1 − D_o/D_e from the coincidence matrix: within-unit
+    * disagreement pairs weighted 1/(n_u−1), chance disagreement from
+    * the pooled category margins over the participating units.
+    *
+    * Closed form used (algebraically the coincidence-matrix
+    * definition): D_o·n = Σ_u (n_u² − Σ_c o_uc²)/(n_u−1) and
+    * D_e·n(n−1) = n² − Σ_c n_c², so
+    * α = 1 − (n−1)·Σ_u term_u / (n² − Σ_c n_c²). Units with a single
+    * rating drop (no pair to compare); a group whose participating
+    * ratings are all ONE category has D_e = 0 — no chance-corrected
+    * signal — and α is NULL.
+    *
+    * Arithmetic contract: counts are exact longs; each unit's
+    * disagreement term (rational — denominator n_u−1) rounds to
+    * BIGINT micro units BEFORE the unit-cardinality sum (the
+    * t167/t204 order-independence contract); margins square as
+    * DECIMAL(38,0); α is one IEEE chain at the 6dp boundary.
+    *
+    * Scale shape: the only ratings-sized stage is the map-side-
+    * combinable (group, unit, category) collapse; then a unit-keyed
+    * and a category-keyed reduction of that collapsed frame and a
+    * |groups|-row join. No windows, no driver state.
+    *
+    * Output: (groups…, n_units, n_ratings, n_categories, alpha 6dp).
+    */
+  def krippendorffAlpha(df: DataFrame, groupCols: Seq[String],
+                        unitCol: String, categoryCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cell = df
+      .filter(col(categoryCol).isNotNull)
+      .groupBy(g :+ col(unitCol).as("__u") :+
+        col(categoryCol).cast("string").as("__k"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val perUnit = cell.groupBy(g :+ col("__u"): _*)
+      .agg(sum(col("__c") * col("__c")).as("__s2"),
+           sum(col("__c")).as("__nu"))
+      .filter(col("__nu") >= 2)
+    val doSum = perUnit
+      .withColumn("__tm", round(
+        (col("__nu") * col("__nu") - col("__s2")).cast("double") /
+          (col("__nu") - 1) * 1e6, 0).cast("long"))
+      .groupBy(g: _*)
+      .agg(sum(col("__tm")).as("__dsum"),
+           sum(col("__nu")).as("n_ratings"),
+           count(lit(1)).as("n_units"))
+    val margins = cell
+      .join(perUnit.select(g :+ col("__u"): _*), groupCols :+ "__u")
+      .groupBy(g :+ col("__k"): _*).agg(sum(col("__c")).as("__nc"))
+      .groupBy(g: _*)
+      .agg(sum(dec(col("__nc")) * col("__nc")).as("__nc2"),
+           count(lit(1)).as("n_categories"))
+    val deNum = dec(col("n_ratings")) * col("n_ratings") - col("__nc2")
+    val alpha = when(deNum > 0,
+      lit(1.0) - (col("n_ratings") - 1).cast("double") *
+        (col("__dsum").cast("double") / lit(1e6)) /
+        deNum.cast("double"))
+    doSum.join(margins, groupCols)
+      .select(g ++ Seq(col("n_units"), col("n_ratings"),
+        col("n_categories"), round(alpha, 6).as("alpha")): _*)
+  }
+
+  /** Per-group COCHRAN'S Q — the k-rater generalization of McNemar
+    * (t209) for BINARY raters on the same items: do k candidate
+    * keep/drop rules (quality heuristics, classifier versions,
+    * prompted judges) flag at the same rate, accounting for the
+    * rules rating the SAME documents? With x_ij ∈ {0,1}, column
+    * totals C_j, row totals R_i, T = ΣC_j:
+    *
+    *   Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)
+    *
+    * judged against χ²₀.₉₅ at df = k−1 (the shared
+    * [[graft.ops.Drift.Chi2Crit95]] literal table; Wilson–Hilferty
+    * above df 30). Degenerate groups — every item unanimous (all
+    * R_i ∈ {0, k}) — have zero denominator: Q is NULL, never flags.
+    *
+    * Arithmetic: ONE map-side-combinable reduction per group carries
+    * n, ΣR_i², and the k column totals as exact BIGINTs (raters are
+    * COLUMNS, so row totals are per-row expressions — no unpivot, no
+    * item-keyed shuffle at all); the squares/products promote to
+    * DECIMAL(38,0) and Q is one double divide. Rows where any rater
+    * is NULL drop (complete-case, the McNemar convention).
+    *
+    * Output: (groups…, n_items, k, q 6dp, q_crit 6dp, significant).
+    */
+  def cochranQ(df: DataFrame, groupCols: Seq[String],
+               raters: Seq[Column]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(raters.size >= 2, s"need >= 2 raters, got ${raters.size}")
+    require(raters.size <= 31,
+      s"chi-square literal table covers df <= 30, got k = ${raters.size}")
+    val k = raters.size
+    val g = groupCols.map(col)
+    val rs = raters.zipWithIndex.map { case (r, j) =>
+      when(r, 1L).otherwise(0L).as(s"__r$j")
+    }
+    val base = df
+      .filter(raters.map(_.isNotNull).reduce(_ && _))
+      .select(g ++ rs: _*)
+    val rowSum = (0 until k).map(j => col(s"__r$j")).reduce(_ + _)
+    val aggCols = Seq(count(lit(1)).as("n_items"),
+      sum(rowSum * rowSum).as("__rr")) ++
+      (0 until k).map(j => sum(col(s"__r$j")).as(s"__c$j"))
+    val agg = base.groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val t = (0 until k).map(j => col(s"__c$j")).reduce(_ + _)
+    val sumC2 = (0 until k).map(j => dec(col(s"__c$j")) * col(s"__c$j"))
+      .reduce(_ + _)
+    val num = dec(lit(k - 1)) * (dec(lit(k)) * sumC2 - dec(t) * t)
+    val den = dec(lit(k)) * t - dec(col("__rr"))
+    val q = when(den > 0, num.cast("double") / den.cast("double"))
+    val crit = lit(graft.ops.Drift.Chi2Crit95(k - 2))
+    agg.select(g ++ Seq(col("n_items"), lit(k).as("k"),
+      round(q, 6).as("q"), round(crit, 6).as("q_crit"),
+      coalesce(q > crit, lit(false)).as("significant")): _*)
+  }
 }

@@ -148,7 +148,7 @@ object Drift {
     * Wilson–Hilferty cube approximation takes over (< 0.1% relative
     * error there).
     */
-  private[ops] val Chi2Crit95: Seq[Double] = Seq(
+  private[graft] val Chi2Crit95: Seq[Double] = Seq(
     3.841458821, 5.991464547, 7.814727903, 9.487729037, 11.070497694,
     12.591587244, 14.067140449, 15.507313056, 16.918977605, 18.307038053,
     19.675137573, 21.026069817, 22.362032495, 23.684791305, 24.99579014,

@@ -248,6 +248,58 @@ object Eval {
         / (lit(2.0) * sigma), 6).as("z"): _*)
   }
 
+  /** CLIFF'S DELTA effect size per group — the MAGNITUDE companion to
+    * [[mannWhitney]]'s significance (a z can be astronomically
+    * significant while the actual shift is operationally negligible —
+    * the trap every large-corpus A/B readout walks into):
+    * δ = P(X > Y) − P(X < Y) over all (positive, negative) pairs,
+    * ties counting neither side = 2U/(n₁n₂) − 1 with the same
+    * midrank-U accumulator, in [−1, 1] with 0 = full overlap.
+    * `magnitude` labels |δ| by the Romano et al. (2006) thresholds
+    * (negligible < 0.147 ≤ small < 0.33 ≤ medium < 0.474 ≤ large) —
+    * judged on the 6dp-ROUNDED δ so both engines label identically.
+    *
+    * Arithmetic: 2U is the exact BIGINT 2·R⁺ − n₁(n₁+1) accumulator
+    * ([[mannWhitney]]'s trick — doubled masses absorb midranks
+    * exactly); δ is ONE double expression (2U − n₁n₂)/(n₁n₂) at the
+    * boundary. Scale shape identical to mannWhitney: one map-side-
+    * combinable (group, score) block collapse, the per-group window
+    * over DISTINCT scores (bin first at billion-distinct cardinality
+    * — the t137 hatch), then group-cardinality closed forms.
+    *
+    * Output: (groups…, n_pos, n_neg, delta 6dp, magnitude); groups
+    * with an empty side drop (no pairs to compare).
+    */
+  def cliffsDelta(df: DataFrame, groupCols: Seq[String],
+                  positive: Column, scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val blocks = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(g :+ col(scoreCol).as("__s"): _*)
+      .agg(sum(when(positive, 1L).otherwise(0L)).as("__cp"),
+           sum(when(positive, 0L).otherwise(1L)).as("__cn"))
+    val ord = Window.partitionBy(g: _*).orderBy(col("__s"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val agg = blocks
+      .withColumn("__before",
+        coalesce(sum(col("__cp") + col("__cn")).over(before), lit(0L)))
+      .groupBy(g: _*)
+      .agg(sum(col("__cp")).as("n_pos"), sum(col("__cn")).as("n_neg"),
+        sum(col("__cp") * (lit(2L) * col("__before")
+          + col("__cp") + col("__cn") + lit(1L))).as("__trp"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+    val twoU = col("__trp") - col("n_pos") * (col("n_pos") + 1)
+    val mn = (col("n_pos") * col("n_neg")).cast("double")
+    val delta = round((twoU.cast("double") - mn) / mn, 6)
+    agg.select(g :+ col("n_pos") :+ col("n_neg") :+
+      delta.as("delta") :+
+      when(abs(delta) < 0.147, "negligible")
+        .when(abs(delta) < 0.33, "small")
+        .when(abs(delta) < 0.474, "medium")
+        .otherwise("large").as("magnitude"): _*)
+  }
+
   /** KRUSKAL–WALLIS H test per group — the k-sample generalization of
     * [[mannWhitney]]: does a score's distribution differ across k
     * treatments (sources, shards, pipeline variants) without assuming

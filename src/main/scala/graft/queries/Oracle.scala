@@ -5081,6 +5081,144 @@ object Oracle {
         |FROM agg WHERE n1 > 0 AND n2 > 0
         |ORDER BY dow""".stripMargin,
 
+    // exact mirror of Eval.cliffsDelta (t240): the t176 doubled-
+    // midrank BIGINT accumulator, delta = (2U - n1*n2)/(n1*n2) one
+    // IEEE chain, Romano magnitude labels on the 6dp-rounded value
+    "t240_cliffs_delta" ->
+      """WITH e AS (
+        |  SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         n_chars AS s
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), blocks AS (
+        |  SELECT source, s, CAST(sum(y) AS BIGINT) AS cp,
+        |         CAST(sum(1 - y) AS BIGINT) AS cn
+        |  FROM e GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT source, cp, cn,
+        |         CAST(coalesce(sum(cp + cn) OVER (PARTITION BY source
+        |           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           1 PRECEDING), 0) AS BIGINT) AS bef
+        |  FROM blocks
+        |), agg AS (
+        |  SELECT source, CAST(sum(cp) AS BIGINT) AS n1,
+        |         CAST(sum(cn) AS BIGINT) AS n2,
+        |         CAST(sum(cp * (2*bef + cp + cn + 1)) AS BIGINT) AS trp
+        |  FROM cum GROUP BY source
+        |), d AS (
+        |  SELECT source, n1, n2,
+        |         round((CAST(trp - n1*(n1+1) AS DOUBLE)
+        |                - CAST(n1*n2 AS DOUBLE))
+        |               / CAST(n1*n2 AS DOUBLE), 6) AS delta
+        |  FROM agg WHERE n1 > 0 AND n2 > 0
+        |)
+        |SELECT source, n1 AS n_pos, n2 AS n_neg, delta,
+        |       CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |            WHEN abs(delta) < 0.33  THEN 'small'
+        |            WHEN abs(delta) < 0.474 THEN 'medium'
+        |            ELSE 'large' END AS magnitude
+        |FROM d ORDER BY source""".stripMargin,
+
+    // exact mirror of Agreement.cochranQ (t241): one integer
+    // reduction per source (row sums are per-row expressions — raters
+    // are columns), HUGEINT products, Q one double divide, judged
+    // against the shared chi-square 0.95 literal at df = 2
+    "t241_cochran_q" ->
+      """WITH r AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN len(list_filter(
+        |      string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+        |      x -> x <> '')) > 45 THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN len(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+        |      x -> x <> ''))) > 25 THEN 1 ELSE 0 END AS r3
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        |), agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum((r1+r2+r3)*(r1+r2+r3)) AS BIGINT) AS rr,
+        |    CAST(sum(r1) AS BIGINT) AS c1, CAST(sum(r2) AS BIGINT) AS c2,
+        |    CAST(sum(r3) AS BIGINT) AS c3
+        |  FROM r GROUP BY source
+        |), qq AS (
+        |  SELECT source, n_items,
+        |    CASE WHEN 3*(c1+c2+c3) - rr > 0 THEN
+        |      CAST(2*(3*(CAST(c1 AS HUGEINT)*c1 + CAST(c2 AS HUGEINT)*c2
+        |                 + CAST(c3 AS HUGEINT)*c3)
+        |           - CAST(c1+c2+c3 AS HUGEINT)*(c1+c2+c3)) AS DOUBLE)
+        |      / CAST(3*(c1+c2+c3) - rr AS DOUBLE)
+        |    END AS q
+        |  FROM agg
+        |)
+        |SELECT source, n_items, 3 AS k, round(q, 6) AS q,
+        |       round(5.991464547, 6) AS q_crit,
+        |       coalesce(q > 5.991464547, FALSE) AS significant
+        |FROM qq ORDER BY source""".stripMargin,
+
+    // exact mirror of Agreement.krippendorffAlpha (t242): the
+    // coincidence-matrix closed form — per-unit disagreement terms
+    // (n_u^2 - sum o^2)/(n_u - 1) micro-rounded to BIGINT before the
+    // sum, margins squared as HUGEINT, alpha one IEEE chain; the
+    // third rater abstains on doc_id % 7 = 0
+    "t242_krippendorff" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    len(list_filter(string_split_regex(lower(text),
+        |      '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS ntok,
+        |    len(list_distinct(list_filter(string_split_regex(lower(text),
+        |      '[ \t\n\x0B\f\r]+'), x -> x <> ''))) AS ndis
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        |), ratings AS (
+        |  SELECT source, doc_id AS u,
+        |    CASE WHEN n_chars <= 250 THEN 'short'
+        |         WHEN n_chars <= 350 THEN 'mid' ELSE 'long' END AS k
+        |  FROM t
+        |  UNION ALL
+        |  SELECT source, doc_id,
+        |    CASE WHEN ntok <= 40 THEN 'short'
+        |         WHEN ntok <= 55 THEN 'mid' ELSE 'long' END
+        |  FROM t
+        |  UNION ALL
+        |  SELECT source, doc_id,
+        |    CASE WHEN ndis <= 22 THEN 'short'
+        |         WHEN ndis <= 28 THEN 'mid' ELSE 'long' END
+        |  FROM t WHERE doc_id % 7 <> 0
+        |), cell AS (
+        |  SELECT source, u, k, CAST(count(*) AS BIGINT) AS c
+        |  FROM ratings GROUP BY 1, 2, 3
+        |), per_unit AS (
+        |  SELECT source, u, CAST(sum(c*c) AS BIGINT) AS s2,
+        |         CAST(sum(c) AS BIGINT) AS nu
+        |  FROM cell GROUP BY 1, 2
+        |  HAVING sum(c) >= 2
+        |), dsum AS (
+        |  SELECT source,
+        |    CAST(sum(CAST(round(CAST(nu*nu - s2 AS DOUBLE)
+        |      / (nu - 1) * 1e6) AS BIGINT)) AS BIGINT) AS ds,
+        |    CAST(sum(nu) AS BIGINT) AS n_ratings,
+        |    CAST(count(*) AS BIGINT) AS n_units
+        |  FROM per_unit GROUP BY source
+        |), margins AS (
+        |  SELECT source, CAST(sum(CAST(nc AS HUGEINT) * nc) AS HUGEINT)
+        |           AS nc2,
+        |         CAST(count(*) AS BIGINT) AS n_categories
+        |  FROM (
+        |    SELECT c.source, c.k, CAST(sum(c.c) AS BIGINT) AS nc
+        |    FROM cell c JOIN per_unit p
+        |      ON p.source = c.source AND p.u = c.u
+        |    GROUP BY 1, 2
+        |  ) GROUP BY source
+        |)
+        |SELECT d.source, d.n_units, d.n_ratings, m.n_categories,
+        |  round(CASE WHEN CAST(d.n_ratings AS HUGEINT)*d.n_ratings - m.nc2
+        |               > 0 THEN
+        |    1.0 - CAST(d.n_ratings - 1 AS DOUBLE)
+        |          * (CAST(d.ds AS DOUBLE) / 1e6)
+        |          / CAST(CAST(d.n_ratings AS HUGEINT)*d.n_ratings - m.nc2
+        |                 AS DOUBLE)
+        |  END, 6) AS alpha
+        |FROM dsum d JOIN margins m ON m.source = d.source
+        |ORDER BY d.source""".stripMargin,
+
     // exact mirror of t177 (t4's Jaccard >= 0.5 shortlist over exact
     // reps, then TextDedup.editDistanceVerify): the same length
     // quick-reject (with the 1e-6 slack) precedes the standard-DP

@@ -5005,6 +5005,68 @@ object TrainingQueries {
     rows.reduce(_ unionByName _).unionByName(nRow).orderBy(col("check"))
   }
 
+  /** t240_cliffs_delta — Cliff's δ effect size per source: is English
+    * document LENGTH actually shifted vs the other languages, and by
+    * how much — the magnitude readout t176's z alone doesn't give (on
+    * a large corpus everything is "significant"; δ says whether it
+    * matters). Exact oracle: the t176 doubled-midrank BIGINT
+    * accumulator, δ = (2U − n₁n₂)/(n₁n₂) one IEEE chain, Romano
+    * magnitude labels on the 6dp-rounded value.
+    */
+  def t240CliffsDelta(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.cliffsDelta(Tables.documents(spark, sfDir),
+        Seq("source"), col("lang") === "en", "n_chars")
+      .orderBy(col("source"))
+
+  /** t241_cochran_q — Cochran's Q per source over three CANDIDATE
+    * keep/drop rules rating the same documents (chars > 300,
+    * tokens > 45, distinct tokens > 25): do the rules flag at the
+    * same rate, respecting that they rate the SAME items — the
+    * k-rater generalization of t209's McNemar, the "which quality
+    * rule to ship" readout. Exact oracle: one integer reduction,
+    * DECIMAL/HUGEINT products, the shared χ² literal (df = 2).
+    */
+  def t241CochranQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(TextDedup.tokens(col("text")), x => length(x) > 0)
+    graft.operators.Agreement.cochranQ(
+        Tables.documents(spark, sfDir)
+          .filter(col("text").isNotNull && col("n_chars").isNotNull),
+        Seq("source"),
+        Seq(col("n_chars") > 300,
+            size(toks) > 45,
+            size(array_distinct(toks)) > 25))
+      .orderBy(col("source"))
+  }
+
+  /** t242_krippendorff — Krippendorff's α (nominal) per source over a
+    * ratings frame with REAL missingness: three heuristic raters
+    * bucket each document into short/mid/long (by chars, by tokens,
+    * by distinct tokens), and the third ABSTAINS on doc_id ≡ 0 mod 7
+    * — the irregular-rater-count shape neither t150's κ (two raters)
+    * nor t186's Fleiss (constant count) admits. Exact oracle: the
+    * coincidence-matrix closed form with per-unit disagreement terms
+    * micro-rounded before the sum.
+    */
+  def t242Krippendorff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+    val toks = filter(TextDedup.tokens(col("text")), x => length(x) > 0)
+    def bucket(v: org.apache.spark.sql.Column, lo: Int,
+               hi: Int): org.apache.spark.sql.Column =
+      when(v <= lo, "short").when(v <= hi, "mid").otherwise("long")
+    val r1 = docs.select(col("source"), col("doc_id").as("unit"),
+      bucket(col("n_chars"), 250, 350).as("category"))
+    val r2 = docs.select(col("source"), col("doc_id").as("unit"),
+      bucket(size(toks), 40, 55).as("category"))
+    val r3 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("source"), col("doc_id").as("unit"),
+        bucket(size(array_distinct(toks)), 22, 28).as("category"))
+    graft.operators.Agreement.krippendorffAlpha(
+        r1.unionByName(r2).unionByName(r3),
+        Seq("source"), "unit", "category")
+      .orderBy(col("source"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -88,4 +88,73 @@ class AgreementSpec extends SparkSpec {
     val expected = math.rint((pbar - pe) / (1 - pe) * 1e6) / 1e6
     assert(math.abs(out.getAs[Double]("kappa") - expected) < 2e-6)
   }
+
+  test("cochranQ matches the hand-computed 3-rater table; unanimous " +
+       "groups are NULL and never flag") {
+    // 6 items, raters (r1, r2, r3):
+    //   (1,1,0) x3, (1,0,0) x2, (0,1,1) x1
+    // C = (5, 4, 1), T = 10, sumR2 = 3*4 + 2*1 + 1*4 = 18
+    // Q = 2*(3*(25+16+1) - 100) / (3*10 - 18) = 2*26/12 = 4.333333
+    val items = Seq.fill(3)(("g", true, true, false)) ++
+      Seq.fill(2)(("g", true, false, false)) ++ Seq(("g", false, true, true))
+    // unanimous group: every item rated identically by all raters
+    val unan = Seq(("u", true, true, true), ("u", false, false, false))
+    val out = Agreement.cochranQ((items ++ unan).toDF("g", "a", "b", "c"),
+        Seq("g"), Seq(col("a"), col("b"), col("c")))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("g").getAs[Long]("n_items") == 6)
+    assert(out("g").getAs[Int]("k") == 3)
+    assert(out("g").getAs[Double]("q") == 4.333333)
+    assert(out("g").getAs[Double]("q_crit") == 5.991465)
+    assert(!out("g").getAs[Boolean]("significant"))
+    assert(out("u").isNullAt(out("u").fieldIndex("q")))
+    assert(!out("u").getAs[Boolean]("significant"))
+  }
+
+  test("cochranQ: a rule that flags everything vs two that flag " +
+       "nothing is maximally significant; NULL raters drop the row") {
+    val items: Seq[(String, Boolean, Option[Boolean], Boolean)] =
+      (1 to 20).map(_ => ("g", true, Some(false), false))
+    val withNull = items :+ (("g", true, Option.empty[Boolean], false))
+    val df = withNull.toDF("g", "a", "b", "c")
+    val out = Agreement.cochranQ(df, Seq("g"),
+      Seq(col("a"), col("b"), col("c"))).collect().head
+    assert(out.getAs[Long]("n_items") == 20) // the NULL-rated row dropped
+    // Q = 2*(3*400 - 400)/(3*20 - 20) = 1600/40 = 40 >> crit
+    assert(out.getAs[Double]("q") == 40.0)
+    assert(out.getAs[Boolean]("significant"))
+    intercept[IllegalArgumentException](
+      Agreement.cochranQ(df, Seq("g"), Seq(col("a"))))
+  }
+
+  test("krippendorffAlpha matches the canonical two-observer example " +
+       "and its structural edges") {
+    // Krippendorff's tutorial data: A rates units 1-9, B rates 1-10;
+    // one disagreement (unit 6: 1 vs 2), unit 10 has a single rating
+    // (B only) and must DROP. By the coincidence form:
+    // Do*n = 2, De*n(n-1) = 18^2 - (25+49+16+4) = 230,
+    // alpha = 1 - 17*2/230 = 0.852174
+    val a = Seq(1, 2, 3, 3, 2, 1, 4, 1, 2).zipWithIndex
+      .map { case (v, u) => ("g", u.toLong, v.toString) }
+    val b = Seq(1, 2, 3, 3, 2, 2, 4, 1, 2, 5).zipWithIndex
+      .map { case (v, u) => ("g", u.toLong, v.toString) }
+    val out = Agreement.krippendorffAlpha((a ++ b).toDF("g", "u", "k"),
+      Seq("g"), "u", "k").collect().head
+    assert(out.getAs[Long]("n_units") == 9)   // unit 10 dropped
+    assert(out.getAs[Long]("n_ratings") == 18)
+    assert(out.getAs[Long]("n_categories") == 4)
+    assert(out.getAs[Double]("alpha") == 0.852174)
+    // perfect agreement -> alpha exactly 1
+    val perfect = (1 to 8).flatMap(u =>
+      Seq(("p", u.toLong, s"c${u % 3}"), ("p", u.toLong, s"c${u % 3}")))
+    val p = Agreement.krippendorffAlpha(perfect.toDF("g", "u", "k"),
+      Seq("g"), "u", "k").collect().head
+    assert(p.getAs[Double]("alpha") == 1.0)
+    // one-category group: De = 0 -> NULL alpha
+    val const = (1 to 5).flatMap(u =>
+      Seq(("c", u.toLong, "same"), ("c", u.toLong, "same")))
+    val c = Agreement.krippendorffAlpha(const.toDF("g", "u", "k"),
+      Seq("g"), "u", "k").collect().head
+    assert(c.isNullAt(c.fieldIndex("alpha")))
+  }
 }

@@ -167,6 +167,34 @@ class EvalSpec extends SparkSpec {
     assert(out.getAs[Double]("u") == 4.5) // 3*3/2 midrank wins
   }
 
+  test("cliffsDelta matches the brute-force pair count; ties count " +
+       "neither side; labels follow the Romano thresholds") {
+    val pos = Seq(3.0, 4.0, 5.0)
+    val neg = Seq(1.0, 2.0, 3.0)
+    val df = (pos.map(("g", true, _)) ++ neg.map(("g", false, _)))
+      .toDF("g", "y", "s")
+    val out = Eval.cliffsDelta(df, Seq("g"), col("y"), "s").collect().head
+    // gt = 8, lt = 0, tie (3,3) counts neither: delta = 8/9
+    assert(out.getAs[Double]("delta") == 0.888889)
+    assert(out.getAs[String]("magnitude") == "large")
+    assert(out.getAs[Long]("n_pos") == 3 && out.getAs[Long]("n_neg") == 3)
+    // identical sides: full overlap, delta 0, negligible
+    val same = Seq(1.0, 2.0, 3.0).flatMap(v =>
+      Seq(("g", true, v), ("g", false, v)))
+    val z = Eval.cliffsDelta(same.toDF("g", "y", "s"), Seq("g"),
+      col("y"), "s").collect().head
+    assert(z.getAs[Double]("delta") == 0.0)
+    assert(z.getAs[String]("magnitude") == "negligible")
+    // inverted separation: delta -1, large; empty-side group drops
+    val inv = (Seq(1.0, 2.0).map(("i", true, _)) ++
+      Seq(3.0, 4.0).map(("i", false, _))) :+ ("e", true, 5.0)
+    val outs = Eval.cliffsDelta(inv.toDF("g", "y", "s"), Seq("g"),
+      col("y"), "s").collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(outs("i").getAs[Double]("delta") == -1.0)
+    assert(outs("i").getAs[String]("magnitude") == "large")
+    assert(!outs.contains("e"))
+  }
+
   test("conformalThreshold: picks the ceil((n+1)(1-alpha))-th smallest calibration score and measures test coverage") {
     // calibration scores 1..9 (n=9): rank = ceil(10 * 0.8) = 8 -> thr 8
     val cal = (1 to 9).map(i => ("g", true, i.toDouble))
