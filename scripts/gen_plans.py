@@ -81,7 +81,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t234_concentration", "t235_triangle_doulion",
            "t237_png_phash", "t238_margin_bf_audit",
            "t239_pipeline_resume", "q49_sql_operator_view",
-           "t240_cliffs_delta", "t241_cochran_q", "t242_krippendorff"]
+           "t240_cliffs_delta", "t241_cochran_q", "t242_krippendorff",
+           "t243_source_overlap", "t244_token_fertility"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -137,6 +138,17 @@ NOTES = {
         "run on that collapsed frame, per-unit disagreement terms "
         "micro-round to BIGINT before the sum (order-independent), "
         "and alpha is one IEEE chain on a |sources|-row join.",
+    "t243_source_overlap":
+        "The only corpus-sized stage is the map-side-combinable "
+        "(source, 48-bit gram digest) distinct; the intersection "
+        "self-join keys on 8-byte digests with per-digest fan-out "
+        "bounded by |sources|^2 (sources are a bounded metadata "
+        "dimension), and the per-source counts broadcast back.",
+    "t244_token_fertility":
+        "Pure scan rate: both counting kernels (whitespace split + "
+        "the codegen'd BPE-ish token counter) are per-row expressions "
+        "feeding ONE map-side-combinable reduction to |langs| rows; "
+        "no joins, no windows.",
     "t136_score_calibrate":
         "Both Windows are bounded: the data-side Window partitions by "
         "(__pid, source) — one window partition per RANGE partition "

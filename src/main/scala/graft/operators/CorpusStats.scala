@@ -572,4 +572,100 @@ object CorpusStats {
           (col("f1") * (col("f1") - 1)).cast("double") /
           (lit(2.0) * (col("f2") + 1)), 6).as("chao1"): _*)
   }
+
+  /** TOKENIZER FERTILITY per group — tokens-per-word and
+    * chars-per-token, the standard "does this tokenizer serve this
+    * language/source fairly" readout (Ács 2019; fertility ≫ 1 on a
+    * language means its documents cost proportionally more context
+    * window and compute per word — the number a multilingual mixing
+    * budget must correct for). Words = whitespace tokens; tokens =
+    * the BPE-ish segmenter ([[graft.functions.TextFunctions
+    * .bpeish_token_count]] — letter runs / digit runs / single
+    * punctuation), the engine's shared token-counting kernel.
+    *
+    * Arithmetic: ONE map-side-combinable reduction per group of four
+    * exact BIGINT sums; the two ratios are one divide each at the 6dp
+    * boundary. Zero-word groups yield NULL ratios. Scale shape: pure
+    * scan rate — per-row codegen'd counting kernels, no joins, no
+    * windows, output |groups| rows.
+    *
+    * Output: (groups…, n_docs, n_words, n_bpe_tokens, n_chars,
+    * fertility 6dp, chars_per_token 6dp).
+    */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+                         groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val words = size(filter(TextDedup.tokens(col(textCol)),
+      x => length(x) > 0))
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(words.cast("long")).as("n_words"),
+        sum(graft.functions.TextFunctions.bpeish_token_count(
+          col(textCol)).cast("long")).as("n_bpe_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+      .select(g ++ Seq(col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        when(col("n_words") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+          .as("fertility"),
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+          .as("chars_per_token")): _*)
+  }
+
+  /** SOURCE-OVERLAP matrix — pairwise n-gram-vocabulary Jaccard
+    * between sources: the "which sources are redundant" readout a
+    * mixing dashboard needs before assigning quotas (two crawls of
+    * the same sites deserve one budget, not two) and the provenance
+    * screen for laundered copies (a source whose vocabulary is a
+    * near-subset of another's — high overlap coefficient, moderate
+    * Jaccard — is the classic re-host). Set-level, so it catches
+    * redundancy exact-text dedup can't see (re-wrapped/re-segmented
+    * copies share vocabulary, not byte-identical documents).
+    *
+    * Scale shape: grams collapse to the 48-bit engine-portable digest
+    * through ONE map-side-combinable (source, digest) distinct — the
+    * only corpus-sized stage, shuffling 8-byte keys; the intersection
+    * self-join keys on those digests with per-digest fan-out bounded
+    * by |sources|² — sources are a bounded metadata dimension
+    * (thousands at most; the same boundedness argument as the
+    * χ²-contingency ops), so the pair stage is vocab × |sources|²
+    * worst-case, never corpus². Digest collisions merge distinct
+    * grams (the documented Chao1/48-bit trade); both engines share
+    * the digest, so comparisons stay exact.
+    *
+    * Output: one row per unordered source pair that SHARES at least
+    * one gram — (source_a < source_b, n_a, n_b, n_shared,
+    * jaccard 6dp, overlap_coef 6dp = shared/min(n_a, n_b)).
+    */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String,
+                          sourceCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("__src"),
+        explode(TextDedup.shingles(col(textCol), n)).as("__g"))
+      .select(col("__src"),
+        graft.ops.SnapshotDiff.portableDigest(Seq(col("__g"))).as("__h"))
+      .distinct()
+      .localCheckpoint(true) // feeds per-source counts AND the pair join
+    val cnt = grams.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(cnt.select(col("__src").as("source_a"),
+        col("__n").as("n_a"))), "source_a")
+      .join(broadcast(cnt.select(col("__src").as("source_b"),
+        col("__n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("overlap_coef"))
+  }
 }

@@ -5219,6 +5219,71 @@ object Oracle {
         |FROM dsum d JOIN margins m ON m.source = d.source
         |ORDER BY d.source""".stripMargin,
 
+    // exact mirror of CorpusStats.tokenizerFertility (t244): the t49
+    // BPE-ish regexp token count + the shared filtered whitespace
+    // split, four exact BIGINT sums per lang, two divides
+    "t244_token_fertility" ->
+      """WITH w AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text),
+        |      '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS words,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT)
+        |      AS bpe,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS n_words,
+        |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(chars) AS BIGINT) AS n_chars,
+        |  CASE WHEN sum(words) > 0 THEN
+        |    round(CAST(CAST(sum(bpe) AS BIGINT) AS DOUBLE)
+        |          / CAST(sum(words) AS BIGINT), 6) END AS fertility,
+        |  CASE WHEN sum(bpe) > 0 THEN
+        |    round(CAST(CAST(sum(chars) AS BIGINT) AS DOUBLE)
+        |          / CAST(sum(bpe) AS BIGINT), 6) END AS chars_per_token
+        |FROM w GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    // exact mirror of CorpusStats.sourceOverlapMatrix (t243):
+    // per-source distinct 3-gram digests (the t212 48-bit md5
+    // convention), digest-keyed intersection self-join, Jaccard +
+    // overlap coefficient one divide each
+    "t243_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split_regex(lower(text),
+        |    '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), grams AS (
+        |  SELECT source, unnest(
+        |    CASE WHEN len(t) < 3 THEN list_value(array_to_string(t, ' '))
+        |    ELSE list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END) AS g
+        |  FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT source,
+        |         CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS h
+        |  FROM grams
+        |), cnt AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM sh GROUP BY source
+        |), inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.source_a, i.source_b, ca.n AS n_a, cb.n AS n_b,
+        |  i.n_shared,
+        |  round(CAST(i.n_shared AS DOUBLE)
+        |        / (ca.n + cb.n - i.n_shared), 6) AS jaccard,
+        |  round(CAST(i.n_shared AS DOUBLE) / least(ca.n, cb.n), 6)
+        |    AS overlap_coef
+        |FROM inter i JOIN cnt ca ON ca.source = i.source_a
+        |             JOIN cnt cb ON cb.source = i.source_b
+        |ORDER BY i.source_a, i.source_b""".stripMargin,
+
     // exact mirror of t177 (t4's Jaccard >= 0.5 shortlist over exact
     // reps, then TextDedup.editDistanceVerify): the same length
     // quick-reject (with the 1e-6 slack) precedes the standard-DP

@@ -5067,6 +5067,30 @@ object TrainingQueries {
       .orderBy(col("source"))
   }
 
+  /** t243_source_overlap — pairwise 3-gram-vocabulary Jaccard between
+    * sources: the "which sources are redundant" quota-assignment
+    * readout and the re-host provenance screen (vocabulary-subset
+    * sources show high overlap coefficient at moderate Jaccard).
+    * Exact oracle — the shared 48-bit gram digest replays as
+    * CAST('0x' || substr(md5(g),1,12)), the t212 convention.
+    */
+  def t243SourceOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.sourceOverlapMatrix(Tables.documents(spark, sfDir),
+        "text", "source", n = 3)
+      .orderBy(col("source_a"), col("source_b"))
+
+  /** t244_token_fertility — tokenizer fertility per language:
+    * BPE-ish tokens per whitespace word and chars per token, the
+    * "does the tokenizer serve this language fairly" readout a
+    * multilingual mixing budget corrects by. Exact oracle — the t49
+    * regexp token replay + filtered whitespace split, four BIGINT
+    * sums, two divides.
+    */
+  def t244TokenFertility(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.tokenizerFertility(Tables.documents(spark, sfDir),
+        "text", Seq("lang"))
+      .orderBy(col("lang"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -330,4 +330,52 @@ class CorpusStatsSpec extends SparkSpec {
     assert(o2.getAs[Long]("f1") == d)
     assert(o2.getAs[Double]("chao1") == d + d.toDouble * (d - 1) / 2.0)
   }
+
+  test("sourceOverlapMatrix: hand-checked Jaccard/overlap on 1-gram " +
+       "vocabularies; disjoint pairs emit nothing; a subset source " +
+       "reads overlap_coef 1 at moderate Jaccard") {
+    // vocabularies (n = 1 grams): A {a b c d}, B {c d e f},
+    // C {c d} (subset of both), D {x y} (disjoint from all)
+    val docs = Seq(
+      ("A", 1L, "a b c d"), ("B", 2L, "c d e f"),
+      ("C", 3L, "c d"), ("D", 4L, "x y"))
+      .toDF("source", "doc_id", "text")
+    val out = CorpusStats.sourceOverlapMatrix(docs, "text", "source", n = 1)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+        -> r).toMap
+    // A∩B = {c,d}: jaccard 2/6, overlap 2/4
+    assert(out(("A", "B")).getAs[Long]("n_shared") == 2)
+    assert(out(("A", "B")).getAs[Double]("jaccard") == 0.333333)
+    assert(out(("A", "B")).getAs[Double]("overlap_coef") == 0.5)
+    // C ⊂ A: overlap_coef exactly 1, jaccard 2/4
+    assert(out(("A", "C")).getAs[Double]("overlap_coef") == 1.0)
+    assert(out(("A", "C")).getAs[Double]("jaccard") == 0.5)
+    // D shares nothing: no row at all
+    assert(!out.keySet.exists(p => p._1 == "D" || p._2 == "D"))
+    // pairs are ordered and unique
+    assert(out.keySet.forall(p => p._1 < p._2))
+  }
+
+  test("tokenizerFertility: exact counts on a hand fixture; " +
+       "zero-word groups yield NULL ratios") {
+    // "ab, cd9" -> bpeish tokens: [ab][,][cd][9] = 4; words = 2; chars = 7
+    val docs = Seq(("en", 1L, "ab, cd9"), ("en", 2L, "xyz"),
+      ("zz", 3L, ""))
+      .toDF("lang", "doc_id", "text")
+    val out = CorpusStats.tokenizerFertility(docs, "text", Seq("lang"))
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") == 2)
+    assert(en.getAs[Long]("n_words") == 3)      // ab, + cd9 + xyz
+    assert(en.getAs[Long]("n_bpe_tokens") == 5) // [ab][,][cd][9] + [xyz]
+    assert(en.getAs[Long]("n_chars") == 10)
+    assert(en.getAs[Double]("fertility") == round6(5.0 / 3))
+    assert(en.getAs[Double]("chars_per_token") == 2.0)
+    val zz = out("zz")
+    assert(zz.getAs[Long]("n_words") == 0)
+    assert(zz.isNullAt(zz.fieldIndex("fertility")))
+  }
+
+  private def round6(v: Double): Double = math.rint(v * 1e6) / 1e6
 }
