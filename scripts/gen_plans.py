@@ -82,7 +82,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t237_png_phash", "t238_margin_bf_audit",
            "t239_pipeline_resume", "q49_sql_operator_view",
            "t240_cliffs_delta", "t241_cochran_q", "t242_krippendorff",
-           "t243_source_overlap", "t244_token_fertility"]
+           "t243_source_overlap", "t244_token_fertility",
+           "t245_median_of_means", "t246_hill_tail"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -149,6 +150,16 @@ NOTES = {
         "the codegen'd BPE-ish token counter) are per-row expressions "
         "feeding ONE map-side-combinable reduction to |langs| rows; "
         "no joins, no windows.",
+    "t245_median_of_means":
+        "One map-side-combinable (event_type, shard) reduction is the "
+        "only corpus-sized stage; the per-group collect is bounded by "
+        "the 16 shard means (model-sized), and both readouts are one "
+        "IEEE chain each. The shard coin is a codegen'd md5 Project.",
+    "t246_hill_tail":
+        "The top-51 order statistics come from the bounded-heap "
+        "TopKByScore partial aggregate — shuffle O(partitions*groups*k), "
+        "never the per-group window sort a row_number cut would funnel "
+        "— and everything after is a 51-element array expression.",
     "t136_score_calibrate":
         "Both Windows are bounded: the data-side Window partitions by "
         "(__pid, source) — one window partition per RANGE partition "

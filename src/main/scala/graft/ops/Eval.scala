@@ -300,6 +300,61 @@ object Eval {
         .otherwise("large").as("magnitude"): _*)
   }
 
+  /** MEDIAN-OF-MEANS robust mean per group — the heavy-tail-proof
+    * mean estimator (Nemirovsky–Yudin; the MAB/quality-monitoring
+    * standard): hash rows into `buckets` deterministic shards, mean
+    * each shard, report the MEDIAN of the shard means. One extreme
+    * value corrupts one shard's mean; the median of 16 shard means
+    * shrugs it off — where the plain mean moves arbitrarily (the
+    * trimmed/winsorized t203/t225 members need a quantile pass; MoM
+    * needs only a hash). Sub-Gaussian concentration holds for ANY
+    * finite-variance distribution.
+    *
+    * `valueMass` must be an EXACT-INTEGER column (e.g. cents —
+    * round(value·100) cast long); `scale` converts the readout back
+    * (100 for cents). The shard coin is the engine-portable 48-bit
+    * md5 digest of `idCol` — deterministic per row, replayable by any
+    * engine.
+    *
+    * Arithmetic: shard sums/counts are exact BIGINTs; each shard mean
+    * is ONE fixed IEEE chain (sum/count/scale); the median picks the
+    * LEFT-median element (index ⌈k/2⌉ of the sorted list — the t188
+    * left-continuous convention) — no averaging of two middles, so
+    * the result is one shard's exact mean. Scale shape: one map-side-
+    * combinable (group, shard) reduction — the only corpus-sized
+    * stage — then a buckets-bounded collect per group (16 doubles:
+    * model-sized, the documented denseIds-style exception).
+    *
+    * Output: (groups…, n_rows, k_buckets, mean 6dp, mom 6dp).
+    */
+  def medianOfMeans(df: DataFrame, groupCols: Seq[String],
+                    valueMass: Column, idCol: String,
+                    buckets: Int = 16, scale: Double = 1.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(buckets >= 2 && buckets <= 4096,
+      s"buckets out of range: $buckets")
+    val g = groupCols.map(col)
+    val b = graft.ops.SnapshotDiff.portableDigest(Seq(col(idCol))) %
+      buckets
+    val bm = df.filter(valueMass.isNotNull)
+      .select(g ++ Seq(valueMass.cast("long").as("__v"),
+        b.as("__b")): _*)
+      .groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__c"))
+      .withColumn("__m",
+        col("__s").cast("double") / col("__c") / lit(scale))
+    bm.groupBy(g: _*)
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("k_buckets"),
+        sum(col("__s")).as("__st"),
+        sort_array(collect_list(col("__m"))).as("__ms"))
+      .select(g ++ Seq(col("n_rows"), col("k_buckets"),
+        round(col("__st").cast("double") / col("n_rows") / lit(scale), 6)
+          .as("mean"),
+        round(element_at(col("__ms"),
+          expr("(k_buckets + 1) div 2").cast("int")), 6).as("mom")): _*)
+  }
+
   /** KRUSKAL–WALLIS H test per group — the k-sample generalization of
     * [[mannWhitney]]: does a score's distribution differ across k
     * treatments (sources, shards, pipeline variants) without assuming

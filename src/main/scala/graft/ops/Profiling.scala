@@ -876,4 +876,53 @@ object Profiling {
           (acc, s) => acc + s.getField("score")) /
         col("__xx").cast("double"), 6).as("cr_k"): _*)
   }
+
+  /** HILL TAIL-INDEX estimator per group — the heavy-tail exponent of
+    * a value distribution from its top-k order statistics
+    * (Hill 1975): α̂ = k / Σ_{i≤k} ln(x₍ᵢ₎/x₍ₖ₊₁₎). The number that
+    * says whether a metric's tail is integrable (α > 1: the mean
+    * exists; α > 2: the variance exists — below that every plain mean
+    * or variance monitor on this column is lying) — the screen to run
+    * BEFORE trusting t203/t225/t245's location estimates.
+    *
+    * Scale shape: the top-(k+1) order statistics come from the
+    * bounded-heap [[graft.functions.TopKAggregate]] partial aggregate
+    * — shuffle O(partitions·groups·k), never the per-group window
+    * sort a row_number cut would funnel — and everything after is a
+    * (k+1)-element array expression per group. Arithmetic: values
+    * ride as exact integer mass (`valueMass`, e.g. cents); each of
+    * the k log terms is ONE IEEE expression micro-rounded to BIGINT
+    * before the fold (order fixed by the heap's deterministic
+    * best-first sort), α̂ one divide at the 6dp boundary.
+    *
+    * Only strictly-positive masses participate (ln); groups with
+    * fewer than k+1 positive rows drop (not enough order statistics —
+    * emitting a noisier α̂ silently would be worse). Output:
+    * (groups…, n_rows, k, x_k1, hill_alpha 6dp) — `x_k1` is the
+    * (k+1)-th largest raw mass, the estimator's threshold statistic.
+    */
+  def hillTailIndex(df: DataFrame, groupCols: Seq[String],
+                    valueMass: Column, k: Int = 50): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val g = groupCols.map(col)
+    val agg = df
+      .select(g :+ valueMass.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull && col("__v") > 0)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.TopKFunctions.top_k_by_score(
+          col("__v").cast("double"), col("__v"), k + 1).as("__top"))
+      .filter(size(col("__top")) === k + 1)
+    val tail = element_at(col("__top"), k + 1).getField("id")
+    val lsum = aggregate(slice(col("__top"), 1, k), lit(0L),
+      (acc, s) => acc + round(
+        log(s.getField("score") / tail.cast("double")) * 1e6, 0)
+        .cast("long"))
+    agg.select(g ++ Seq(col("n_rows"), lit(k).as("k"),
+      tail.as("x_k1"),
+      when(lsum > 0,
+        round(lit(k) / (lsum.cast("double") / 1e6), 6))
+        .as("hill_alpha")): _*)
+  }
 }

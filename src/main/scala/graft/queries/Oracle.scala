@@ -5219,6 +5219,64 @@ object Oracle {
         |FROM dsum d JOIN margins m ON m.source = d.source
         |ORDER BY d.source""".stripMargin,
 
+    // exact mirror of Eval.medianOfMeans (t245): 16 md5-digest shards
+    // of event_id, exact cents sums per shard, one IEEE chain per
+    // shard mean, left-median of the sorted means; the plain mean
+    // rides along for the contamination-gap readout
+    "t245_median_of_means" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) % 16 AS b
+        |  FROM events WHERE value IS NOT NULL
+        |), bm AS (
+        |  SELECT event_type, b, CAST(sum(cents) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS k_buckets,
+        |         CAST(sum(s) AS BIGINT) AS st,
+        |         list_sort(list(CAST(s AS DOUBLE) / c / 100.0)) AS ms
+        |  FROM bm GROUP BY event_type
+        |)
+        |SELECT event_type, n_rows, k_buckets,
+        |  round(CAST(st AS DOUBLE) / n_rows / 100.0, 6) AS mean,
+        |  round(ms[CAST((k_buckets + 1) // 2 AS INT)], 6) AS mom
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // exact mirror of Profiling.hillTailIndex (t246): the bounded-heap
+    // top-51 replayed as a window cut (ties at the boundary share a
+    // value, so the arbitrary row choice cannot move the statistic),
+    // per-term micro-rounded BIGINT log sum, alpha one divide
+    "t246_hill_tail" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |    AND CAST(round(value*100) AS BIGINT) > 0
+        |), r AS (
+        |  SELECT event_type, cents, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY cents DESC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_rows
+        |  FROM e
+        |), kk AS (
+        |  SELECT r.event_type, r.cents, r.n_rows, t.cents AS tail
+        |  FROM r JOIN (SELECT event_type, cents FROM r WHERE rn = 51) t
+        |    ON t.event_type = r.event_type
+        |  WHERE r.rn <= 50
+        |), s AS (
+        |  SELECT event_type, CAST(max(n_rows) AS BIGINT) AS n_rows,
+        |    CAST(max(tail) AS BIGINT) AS x_k1,
+        |    CAST(sum(CAST(round(ln(CAST(cents AS DOUBLE) / tail) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS lsum
+        |  FROM kk GROUP BY event_type
+        |)
+        |SELECT event_type, n_rows, 50 AS k, x_k1,
+        |  CASE WHEN lsum > 0
+        |    THEN round(50 / (CAST(lsum AS DOUBLE) / 1e6), 6) END
+        |    AS hill_alpha
+        |FROM s ORDER BY event_type""".stripMargin,
+
     // exact mirror of CorpusStats.tokenizerFertility (t244): the t49
     // BPE-ish regexp token count + the shared filtered whitespace
     // split, four exact BIGINT sums per lang, two divides

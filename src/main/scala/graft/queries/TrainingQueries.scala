@@ -5091,6 +5091,34 @@ object TrainingQueries {
         "text", Seq("lang"))
       .orderBy(col("lang"))
 
+  /** t245_median_of_means — median-of-means robust mean of event
+    * value per event type (16 md5 shards): the heavy-tail-proof
+    * location estimate reported NEXT TO the plain mean, so the gap
+    * between them is itself the outlier-contamination readout. Exact
+    * oracle: shard coin = the shared 48-bit md5 digest of event_id,
+    * exact cents sums, left-median of the 16 shard means.
+    */
+  def t245MedianOfMeans(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.medianOfMeans(
+        Tables.events(spark, sfDir).filter(col("value").isNotNull),
+        Seq("event_type"), round(col("value") * 100, 0), "event_id",
+        buckets = 16, scale = 100.0)
+      .orderBy(col("event_type"))
+
+  /** t246_hill_tail — Hill tail-index of event value per event type
+    * (k = 50 top order statistics): is the value distribution's tail
+    * integrable — α > 1 means the mean exists, α > 2 the variance —
+    * the screen to run before trusting any mean/variance monitor on
+    * the column. Exact oracle: bounded-heap top-51 replayed as the
+    * window cut (ties share a value, so the tie-arbitrary row choice
+    * cannot move the statistic), micro-rounded log terms.
+    */
+  def t246HillTail(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Profiling.hillTailIndex(
+        Tables.events(spark, sfDir).filter(col("value") > 0),
+        Seq("event_type"), round(col("value") * 100, 0), k = 50)
+      .orderBy(col("event_type"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -271,6 +271,15 @@ object ScaleStress {
       // ES weighted sampling: per-row hash+ln, then the salted
       // two-level cap — sort-rate, output fixed at groups×k
       "t116_weighted_sample" -> (TrainingQueries.t116WeightedSample _),
+      // round-10 agreement/effect-size/provenance wave: t240 is the
+      // t176 midrank shape; t241/t242/t244 are map-side reductions of
+      // per-row kernels; t243's pair join fans out <= |sources|^2 per
+      // gram digest
+      "t240_cliffs_delta" -> (TrainingQueries.t240CliffsDelta _),
+      "t241_cochran_q" -> (TrainingQueries.t241CochranQ _),
+      "t242_krippendorff" -> (TrainingQueries.t242Krippendorff _),
+      "t243_source_overlap" -> (TrainingQueries.t243SourceOverlap _),
+      "t244_token_fertility" -> (TrainingQueries.t244TokenFertility _),
       // CMS: exploded tokens reduce into partial sketches map-side —
       // only depth×width counter tables shuffle; probe side constant
       "t118_cms_counts" -> (TrainingQueries.t118CmsCounts _),

@@ -195,6 +195,30 @@ class EvalSpec extends SparkSpec {
     assert(!outs.contains("e"))
   }
 
+  test("medianOfMeans: constant data reproduces the constant; one " +
+       "extreme outlier moves the mean but barely moves MoM; the " +
+       "collect stays bucket-bounded") {
+    // constant column: every shard mean is exactly 7.00
+    val const = (1 to 200).map(i => ("g", i.toLong, 700L))
+    val c = Eval.medianOfMeans(const.toDF("g", "id", "cents"), Seq("g"),
+      col("cents"), "id", buckets = 16, scale = 100.0).collect().head
+    assert(c.getAs[Double]("mom") == 7.0 && c.getAs[Double]("mean") == 7.0)
+    assert(c.getAs[Long]("k_buckets") <= 16)
+    assert(c.getAs[Long]("n_rows") == 200)
+    // one 1e9-cent outlier: the mean explodes, MoM stays near 7 —
+    // the outlier corrupts exactly ONE shard's mean, and the median
+    // of 16 means ignores one corrupted shard
+    val dirty = const :+ (("g", 9999L, 1000000000L))
+    val d = Eval.medianOfMeans(dirty.toDF("g", "id", "cents"), Seq("g"),
+      col("cents"), "id", buckets = 16, scale = 100.0).collect().head
+    assert(d.getAs[Double]("mean") > 1000.0)
+    assert(math.abs(d.getAs[Double]("mom") - 7.0) < 0.01,
+      d.getAs[Double]("mom"))
+    intercept[IllegalArgumentException](
+      Eval.medianOfMeans(const.toDF("g", "id", "cents"), Seq("g"),
+        col("cents"), "id", buckets = 1))
+  }
+
   test("conformalThreshold: picks the ceil((n+1)(1-alpha))-th smallest calibration score and measures test coverage") {
     // calibration scores 1..9 (n=9): rank = ceil(10 * 0.8) = 8 -> thr 8
     val cal = (1 to 9).map(i => ("g", true, i.toDouble))

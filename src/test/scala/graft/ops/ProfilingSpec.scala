@@ -503,4 +503,30 @@ class ProfilingSpec extends SparkSpec {
     assert(out.getAs[Double]("cr_k") == math.rint(cr4 * 1e6) / 1e6)
     assert(out.getAs[Long]("total") == xs.sum)
   }
+
+  test("hillTailIndex matches the hand-computed power sequence; " +
+       "all-equal tails give NULL; short groups drop") {
+    // 51 values 2^10..2^60 (k = 50): x_(k+1) = 2^10 and
+    // ln(x_(i)/x_(51)) = i*ln2 for the i-th largest, i = 1..50
+    val pow = (10 to 60).map(e => ("g", 1L << e))
+    // filler below the top-51 must not move the statistic
+    val filler = (1 to 30).map(_ => ("g", 3L))
+    val out = Profiling.hillTailIndex((pow ++ filler).toDF("g", "v"),
+      Seq("g"), col("v"), k = 50).collect().head
+    assert(out.getAs[Long]("x_k1") == (1L << 10))
+    assert(out.getAs[Long]("n_rows") == 81)
+    val lsum = (1 to 50).map(i =>
+      math.rint(math.log(math.pow(2.0, i)) * 1e6).toLong).sum
+    val expected = math.rint(50.0 / (lsum / 1e6) * 1e6) / 1e6
+    assert(out.getAs[Double]("hill_alpha") == expected)
+    // degenerate: top-51 all equal -> every log term 0 -> NULL alpha
+    val flat = (1 to 60).map(_ => ("f", 100L))
+    val f = Profiling.hillTailIndex(flat.toDF("g", "v"), Seq("g"),
+      col("v"), k = 50).collect().head
+    assert(f.isNullAt(f.fieldIndex("hill_alpha")))
+    // fewer than k+1 positive rows: the group drops entirely
+    val short = (1 to 50).map(i => ("s", i.toLong))
+    assert(Profiling.hillTailIndex(short.toDF("g", "v"), Seq("g"),
+      col("v"), k = 50).collect().isEmpty)
+  }
 }
