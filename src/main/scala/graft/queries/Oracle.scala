@@ -5219,6 +5219,37 @@ object Oracle {
         |FROM dsum d JOIN margins m ON m.source = d.source
         |ORDER BY d.source""".stripMargin,
 
+    // exact mirror of t247 (streaming median-of-means): the t14
+    // append-emission replay (windows with end <= max ts - 1 day)
+    // feeding the t245 shard arithmetic — every shard statistic an
+    // exact integer, MoM the left-median of the shard means
+    "t247_stream_mom" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, event_id,
+        |         CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), wm AS (
+        |  SELECT max(ts) - INTERVAL 1 DAY AS w FROM e
+        |), f AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) % 16 AS shard, cents
+        |  FROM e
+        |  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        |), bm AS (
+        |  SELECT day, event_type, shard, CAST(sum(cents) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM f GROUP BY 1, 2, 3
+        |), g AS (
+        |  SELECT day, event_type, CAST(sum(c) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS k_buckets,
+        |         list_sort(list(CAST(s AS DOUBLE) / c / 100.0)) AS ms
+        |  FROM bm GROUP BY 1, 2
+        |)
+        |SELECT day, event_type, n_rows, k_buckets,
+        |  round(ms[CAST((k_buckets + 1) // 2 AS INT)], 6) AS mom
+        |FROM g ORDER BY day, event_type""".stripMargin,
+
     // exact mirror of Eval.medianOfMeans (t245): 16 md5-digest shards
     // of event_id, exact cents sums per shard, one IEEE chain per
     // shard mean, left-median of the sorted means; the plain mean

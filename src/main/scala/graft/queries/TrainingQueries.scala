@@ -5119,6 +5119,49 @@ object TrainingQueries {
         Seq("event_type"), round(col("value") * 100, 0), k = 50)
       .orderBy(col("event_type"))
 
+  /** t247_stream_mom — the STREAMING form of t245: per-day robust
+    * value means maintained incrementally. Shard sums/counts are
+    * commutative monoids, so they live directly in watermarked
+    * streaming aggregation state — (day, type, shard) keys, each a
+    * pair of longs, never raw events — and the median-of-means
+    * readout is a bucket-bounded batch fold over the FINALIZED shard
+    * rows. Hash-exact: append mode emits exactly the windows with
+    * end ≤ max(event time) − 1 day, which the DuckDB oracle replays
+    * as plain SQL (the t14 convention), and every shard statistic is
+    * an exact integer.
+    */
+  def t247StreamMom(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingFlows
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = StreamingFlows.source(spark, sfDir, schema,
+        globFilter = Some("events.parquet"))
+      .withColumn("ts", Tables.normalizedTs(schema("ts").dataType))
+      .filter(col("value").isNotNull)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("shard",
+        graft.ops.SnapshotDiff.portableDigest(Seq(col("event_id"))) % 16)
+    val agg = stream.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+        col("shard"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))
+      .select(col("w.start").as("day"), col("event_type"), col("shard"),
+        col("s"), col("c"))
+    val shardRows = StreamingFlows.withStatePartitions(spark, 8) {
+      StreamingFlows.runAvailableNow(spark, agg,
+        s"t247_mom_${System.nanoTime}")
+    }
+    shardRows
+      .withColumn("__m", col("s").cast("double") / col("c") / lit(100.0))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("k_buckets"),
+        sort_array(collect_list(col("__m"))).as("__ms"))
+      .select(col("day"), col("event_type"), col("n_rows"),
+        col("k_buckets"),
+        round(element_at(col("__ms"),
+          expr("(k_buckets + 1) div 2").cast("int")), 6).as("mom"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.
