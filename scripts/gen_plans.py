@@ -83,7 +83,7 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t239_pipeline_resume", "q49_sql_operator_view",
            "t240_cliffs_delta", "t241_cochran_q", "t242_krippendorff",
            "t243_source_overlap", "t244_token_fertility",
-           "t245_median_of_means", "t246_hill_tail"]
+           "t245_median_of_means", "t246_hill_tail", "t248_mom_rolling"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -160,6 +160,13 @@ NOTES = {
         "TopKByScore partial aggregate — shuffle O(partitions*groups*k), "
         "never the per-group window sort a row_number cut would funnel "
         "— and everything after is a 51-element array expression.",
+    "t248_mom_rolling":
+        "The only corpus-sized stage is the (day, shard) HashAggregate; "
+        "the 7-day re-slice is a range join of the |days| day list "
+        "against the |days|*16 daily frame (both broadcast-sized at any "
+        "corpus scale) — nightly re-slides touch pairs of longs, never "
+        "raw history, and unlike the sketch rolling members the result "
+        "is exact, hence hash-exact rather than gated.",
     "t136_score_calibrate":
         "Both Windows are bounded: the data-side Window partitions by "
         "(__pid, source) — one window partition per RANGE partition "

@@ -355,6 +355,60 @@ object Eval {
           expr("(k_buckets + 1) div 2").cast("int")), 6).as("mom")): _*)
   }
 
+  /** ROLLING median-of-means — the ROBUST member of the rolling
+    * family (t91 rolling distinct from mergeable HLLs, t99 rolling
+    * quantiles from mergeable KLLs, and this: rolling robust mean
+    * from mergeable shard sums): per-day (day, shard) cents
+    * sums/counts are exact commutative monoids, so every w-day window
+    * is a SUM of per-day shard statistics — the nightly re-slide
+    * touches |days|·buckets pairs of longs, never raw history — and
+    * the window's [[medianOfMeans]] readout follows from its merged
+    * shards. Unlike the sketch members this one is EXACT end-to-end
+    * (shard sums don't approximate), so the driver row is hash-exact,
+    * not gated.
+    *
+    * Scale shape: the ONLY corpus-sized stage is the map-side-
+    * combinable (day, shard) reduction; the window re-slice is a
+    * range join of the |days|-row day list against the
+    * |days|·buckets daily frame (broadcast-sized both sides at any
+    * corpus scale), then a buckets-bounded collect per window.
+    * Same arithmetic contract as [[medianOfMeans]].
+    *
+    * Output: (day, window_days, n_rows, k_buckets, mom 6dp) — one row
+    * per day with data, windows spanning [day − w + 1, day].
+    */
+  def rollingMedianOfMeans(df: DataFrame, tsCol: String,
+                           valueMass: Column, idCol: String,
+                           windowDays: Int = 7, buckets: Int = 16,
+                           scale: Double = 1.0): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(buckets >= 2 && buckets <= 4096,
+      s"buckets out of range: $buckets")
+    val b = graft.ops.SnapshotDiff.portableDigest(Seq(col(idCol))) %
+      buckets
+    val daily = df.filter(valueMass.isNotNull)
+      .select(to_date(col(tsCol)).as("__d"), b.as("__b"),
+        valueMass.cast("long").as("__v"))
+      .groupBy(col("__d"), col("__b"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__c"))
+      .localCheckpoint(true) // |days|·buckets rows feed days + re-slice
+    val days = daily.select(col("__d").as("day")).distinct()
+    val win = days.join(daily,
+        col("__d").between(date_sub(col("day"), windowDays - 1),
+          col("day")))
+      .groupBy(col("day"), col("__b"))
+      .agg(sum(col("__s")).as("__ws"), sum(col("__c")).as("__wc"))
+      .withColumn("__m",
+        col("__ws").cast("double") / col("__wc") / lit(scale))
+    win.groupBy(col("day"))
+      .agg(sum(col("__wc")).as("n_rows"), count(lit(1)).as("k_buckets"),
+        sort_array(collect_list(col("__m"))).as("__ms"))
+      .select(col("day"), lit(windowDays).as("window_days"),
+        col("n_rows"), col("k_buckets"),
+        round(element_at(col("__ms"),
+          expr("(k_buckets + 1) div 2").cast("int")), 6).as("mom"))
+  }
+
   /** KRUSKAL–WALLIS H test per group — the k-sample generalization of
     * [[mannWhitney]]: does a score's distribution differ across k
     * treatments (sources, shards, pipeline variants) without assuming

@@ -5250,6 +5250,37 @@ object Oracle {
         |  round(ms[CAST((k_buckets + 1) // 2 AS INT)], 6) AS mom
         |FROM g ORDER BY day, event_type""".stripMargin,
 
+    // exact mirror of Eval.rollingMedianOfMeans (t248): per-day shard
+    // sums merged across each 7-day window by a range join (the t92
+    // window-replay convention), then the t245 shard arithmetic
+    "t248_mom_rolling" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) % 16 AS b,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), daily AS (
+        |  SELECT d, b, CAST(sum(cents) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2
+        |), days AS (SELECT DISTINCT d AS day FROM daily),
+        |win AS (
+        |  SELECT days.day, daily.b, CAST(sum(daily.s) AS BIGINT) AS ws,
+        |         CAST(sum(daily.c) AS BIGINT) AS wc
+        |  FROM days JOIN daily
+        |    ON daily.d BETWEEN days.day - 6 AND days.day
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT day, CAST(sum(wc) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS k_buckets,
+        |         list_sort(list(CAST(ws AS DOUBLE) / wc / 100.0)) AS ms
+        |  FROM win GROUP BY day
+        |)
+        |SELECT day, 7 AS window_days, n_rows, k_buckets,
+        |  round(ms[CAST((k_buckets + 1) // 2 AS INT)], 6) AS mom
+        |FROM g ORDER BY day""".stripMargin,
+
     // exact mirror of Eval.medianOfMeans (t245): 16 md5-digest shards
     // of event_id, exact cents sums per shard, one IEEE chain per
     // shard mean, left-median of the sorted means; the plain mean

@@ -5162,6 +5162,21 @@ object TrainingQueries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** t248_mom_rolling — 7-day rolling median-of-means of event value:
+    * the ROBUST member of the rolling family (t91 distinct / t99
+    * quantiles / this), and unlike those two it is exact end-to-end —
+    * per-day shard sums are mergeable longs, so the window re-slice
+    * touches |days|·16 pairs of longs, never raw history. Exact
+    * oracle: range-join replay of the window merge + the t245 shard
+    * arithmetic.
+    */
+  def t248MomRolling(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Eval.rollingMedianOfMeans(
+        Tables.events(spark, sfDir).filter(col("value").isNotNull),
+        "ts", round(col("value") * 100, 0), "event_id",
+        windowDays = 7, buckets = 16, scale = 100.0)
+      .orderBy(col("day"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

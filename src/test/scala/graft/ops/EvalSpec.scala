@@ -219,6 +219,36 @@ class EvalSpec extends SparkSpec {
         col("cents"), "id", buckets = 1))
   }
 
+  test("rollingMedianOfMeans: windows merge per-day shard sums; a " +
+       "window covering everything equals the plain MoM") {
+    val day1 = (1 to 100).map(i =>
+      ("2024-01-01 10:00:00", i.toLong, 100L))
+    val day2 = (1 to 100).map(i =>
+      ("2024-01-02 10:00:00", (1000 + i).toLong, 300L))
+    val df = (day1 ++ day2).toDF("ts", "id", "cents")
+      .select(col("ts").cast("timestamp").as("ts"), col("id"),
+        col("cents"))
+    // w = 1: each day stands alone — constant shard means
+    val w1 = Eval.rollingMedianOfMeans(df, "ts", col("cents"), "id",
+      windowDays = 1, buckets = 8, scale = 100.0)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(w1("2024-01-01").getAs[Double]("mom") == 1.0)
+    assert(w1("2024-01-02").getAs[Double]("mom") == 3.0)
+    assert(w1("2024-01-02").getAs[Long]("n_rows") == 100)
+    // w = 2: day 2's window merges both days' shard sums — its MoM
+    // equals the PLAIN MoM over all 200 rows (same shard coins)
+    val w2 = Eval.rollingMedianOfMeans(df, "ts", col("cents"), "id",
+      windowDays = 2, buckets = 8, scale = 100.0)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    val plain = Eval.medianOfMeans(df.withColumn("g", lit("all")),
+        Seq("g"), col("cents"), "id", buckets = 8, scale = 100.0)
+      .collect().head
+    assert(w2("2024-01-02").getAs[Double]("mom") ==
+      plain.getAs[Double]("mom"))
+    assert(w2("2024-01-02").getAs[Long]("n_rows") == 200)
+    assert(w2("2024-01-01").getAs[Double]("mom") == 1.0) // no prior day
+  }
+
   test("conformalThreshold: picks the ceil((n+1)(1-alpha))-th smallest calibration score and measures test coverage") {
     // calibration scores 1..9 (n=9): rank = ceil(10 * 0.8) = 8 -> thr 8
     val cal = (1 to 9).map(i => ("g", true, i.toDouble))
