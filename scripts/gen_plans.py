@@ -367,7 +367,7 @@ NOTES = {
     "t225_winsorized":
         "The trimmedMean shape with boundary SELECTIONS instead of drops: one cell collapse, one per-flag distinct-value cumulative window (t137 hatch past quantized domains), one DECIMAL(38,0) reduction carrying the clip weights and both fence values.",
     "t226_label_separation":
-        "ONE posexplode scan reduces map-side to (label, dim) DECIMAL sums — |labels|*64 rows — plus a per-row squared-norm fold; the centroid identity makes intra/inter means label-cardinality arithmetic with nothing pairwise ever materialized.",
+        "ONE corpus-pass hash aggregate (round 11 — the round-10 posexplode *dim row amplification is gone): per label n, the squared-norm fold, and 64 element_at DECIMAL component sums, all map-side-combining, so only |labels|*64 values shuffle; the centroid identity makes intra/inter means label-cardinality arithmetic with nothing pairwise ever materialized.",
     "t227_chi2_residuals":
         "The cramersV shape with the residual emitted per grid cell instead of folded into V: one (mon, flag, status) collapse, category-sized marginals and grid join, one IEEE divide+sqrt of exact DECIMAL integers per cell.",
     "t228_info_gain":

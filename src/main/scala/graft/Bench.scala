@@ -24,6 +24,7 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_PASSES")
         .flatMap(_.toIntOption).getOrElse(2))
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val perPass = scala.collection.mutable.Map.empty[String, Vector[Double]]
     var everFailed = Set.empty[String]
     var succeeded = Set.empty[String]
     for (p <- 1 to passes; (name, fn) <- SparkEntry.queries) {
@@ -35,6 +36,7 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        perPass(name) = perPass.getOrElse(name, Vector.empty) :+ t
         succeeded += name
       } catch { case e: Throwable =>
         // a crashed query must not masquerade as a fast one: record it
@@ -46,39 +48,36 @@ object Bench {
     // failed = queries that never succeeded in any pass
     val failed = (everFailed -- succeeded).toList.sorted
     val ok = SparkEntry.queries.keys.filter(best.contains)
-    // PER-QUERY WALL-TIME BUDGET: docs/bench_budget.tsv records each
-    // query's sf0.1 min-of-two seconds from the last refresh; a query
-    // may grow to 3× its budget (or budget + 1 s for sub-second rows,
-    // where 3× is machine-noise floor) before the battery FAILS
-    // LOUDLY — a future quadratic regression trips here instead of
-    // silently drifting the 280-query total. Queries not yet budgeted
-    // (new this round) are skipped until the next refresh.
+    // PER-QUERY WALL-TIME BUDGET (policy in graft.BenchBudget): each
+    // query's budget is the MAX sf0.1 time across the recent recorded
+    // batteries in docs/bench_history/ (refreshed by
+    // scripts/refresh_budget.py); the battery FAILS LOUDLY when a
+    // query's best-of-ALL-passes exceeds max(3× budget, budget + 2 s)
+    // — so a violation means EVERY pass blew the limit, and sub-second
+    // rows get absolute headroom a bare multiplier denies them. A
+    // future quadratic regression trips here instead of silently
+    // drifting the 300-query total. Queries not yet budgeted (new
+    // this round) are skipped until the next refresh.
     val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET",
       "docs/bench_budget.tsv")
     val budget: Map[String, Double] =
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.readAllLines(
-            java.nio.file.Paths.get(budgetPath)).asScala
-          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-          .flatMap { l =>
-            l.split("\t") match {
-              case Array(k, v) => v.toDoubleOption.map(k -> _)
-              case _ => None
-            }
-          }.toMap
+        BenchBudget.parseTsv(java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(budgetPath)).asScala)
       } catch { case _: Throwable =>
         System.err.println(s"[bench] no budget file at $budgetPath " +
           "— per-query budget check skipped")
         Map.empty
       }
-    val violations = ok.filter { k =>
-      budget.get(k).exists(b => best(k) > math.max(3.0 * b, b + 1.0))
-    }.toList.sorted
+    val violations = BenchBudget.violations(best, budget)
     violations.foreach { k =>
-      System.err.println(f"[bench] BUDGET VIOLATION: $k took " +
+      val ps = perPass.getOrElse(k, Vector.empty)
+        .map(t => f"$t%.3f").mkString(", ")
+      System.err.println(f"[bench] BUDGET VIOLATION: $k best " +
         f"${best(k)}%.3f s vs budget ${budget(k)}%.3f s " +
-        f"(limit ${math.max(3.0 * budget(k), budget(k) + 1.0)}%.3f s)")
+        f"(limit ${BenchBudget.limit(budget(k))}%.3f s; " +
+        s"every pass tripped — per-pass times: [$ps])")
     }
     // millisecond precision keeps the one-line JSON short enough to
     // survive log-tail capture intact (sub-ms digits are noise anyway)

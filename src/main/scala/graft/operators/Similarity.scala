@@ -782,10 +782,15 @@ object Similarity {
     * boundary (values in original units²; micro² = 10¹² rescales
     * away).
     *
-    * Scale shape: the corpus-sized stage is ONE posexplode scan
-    * reduced map-side to (label, dim) sums — |labels|·dim rows —
-    * plus a per-row squared-norm kernel; everything after is
-    * label-cardinality. Single-member labels yield NULL intra.
+    * Scale shape: the corpus-sized stage is ONE hash aggregate — no
+    * explode, no ×dim row amplification (the round-10 form exploded
+    * every vector into dim rows of DECIMAL accumulators before the
+    * map-side combine; at dim=768 that is a 768× allocation storm on
+    * the biggest stage). Per label the aggregate carries O(dim)
+    * state: the row count, Σ‖v‖², and the dim per-component sums —
+    * all map-side-combining, so only |labels|·dim values ever
+    * shuffle. Everything after is label-cardinality arithmetic on
+    * assembled sum-vectors. Single-member labels yield NULL intra.
     *
     * Output: (label, n, intra_dot, inter_dot, separation) — 6dp.
     */
@@ -797,23 +802,31 @@ object Similarity {
       .select(col(labelCol).as("label"),
         transform(col(vecCol),
           x => round(x.cast("double") * 1000000.0).cast("long")).as("__q"))
-    val perRow = q.select(col("label"),
-      aggregate(col("__q"), lit(0L).cast(dec),
-        (a, x) => a + x.cast(dec) * x).as("__sq"))
-    val norms = perRow.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), sum(col("__sq")).as("__sqs"))
-    val ex = q.select(col("label"),
-        posexplode(col("__q")).as(Seq("__i", "__x")))
-      .groupBy(col("label"), col("__i"))
-      .agg(sum(col("__x").cast(dec)).as("__s"))
-    val tot = ex.groupBy(col("__i")).agg(sum(col("__s")).as("__st"))
-    val nAll = norms.agg(sum(col("n")).as("__nall"))
-    val dots = ex.join(tot, "__i")
-      .groupBy(col("label"))
-      .agg(sum(col("__s") * col("__s")).as("__ss"),
-        sum(col("__s") * (col("__st") - col("__s"))).as("__sx"))
+    // one corpus pass: n, Σ‖v‖² and the dim component sums per label
+    val aggs: Seq[Column] =
+      sum(aggregate(col("__q"), lit(0L).cast(dec),
+          (a, x) => a + x.cast(dec) * x)).as("__sqs") +:
+      (0 until dim).map(i =>
+        sum(element_at(col("__q"), i + 1).cast(dec)).as(s"__s$i"))
+    val sums = q.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(col("label"), col("n"), col("__sqs"),
+        array((0 until dim).map(i => col(s"__s$i")): _*).as("__sv"))
+    // label-cardinality from here on: global totals then centroid dots
+    val totAggs: Seq[Column] = sum(col("n")).as("__nall") +:
+      (0 until dim).map(i =>
+        sum(element_at(col("__sv"), i + 1)).as(s"__t$i"))
+    val tot = sums.agg(totAggs.head, totAggs.tail: _*)
+      .select(col("__nall"),
+        array((0 until dim).map(i => col(s"__t$i")): _*).as("__tv"))
     val micro2 = 1e12
-    norms.join(dots, "label").crossJoin(broadcast(nAll))
+    sums.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"), col("__sqs"), col("__nall"),
+        aggregate(col("__sv"), lit(0L).cast(dec),
+          (a, s) => a + s * s).as("__ss"),
+        aggregate(zip_with(col("__sv"), col("__tv"),
+            (s, t) => s * (t - s)), lit(0L).cast(dec),
+          (a, x) => a + x).as("__sx"))
       .select(col("label"), col("n"),
         when(col("n") > 1,
           round((col("__ss") - col("__sqs")).cast("double") /

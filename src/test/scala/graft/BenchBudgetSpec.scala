@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench budget trip rule (graft.BenchBudget) must catch a real
+  * regression but survive machine-class drift: the round-10 battery
+  * failed rc=1 on a noise-amplified row, so round 11 both widened the
+  * floor (+2 s) and rebased budgets on the MAX of recent recorded
+  * batteries. The replay tests here pin that contract to the actual
+  * recorded history in docs/bench_history/.
+  */
+class BenchBudgetSpec extends AnyFunSuite {
+
+  test("a planted 5x regression trips, at any budget size") {
+    assert(BenchBudget.violations(
+      Map("fast" -> 5.0, "slow" -> 40.0),
+      Map("fast" -> 1.0, "slow" -> 8.0)) === List("fast", "slow"))
+  }
+
+  test("sub-second rows get absolute headroom: 3x noise on a 0.8 s " +
+       "budget does NOT trip (the round-10 failure shape at noise scale)") {
+    assert(BenchBudget.violations(
+      Map("tiny" -> 2.4), Map("tiny" -> 0.8)) === Nil)
+    // but the same row at a genuine 5x+2s still trips
+    assert(BenchBudget.violations(
+      Map("tiny" -> 4.1), Map("tiny" -> 0.8)) === List("tiny"))
+  }
+
+  test("unbudgeted (new-this-round) queries are skipped") {
+    assert(BenchBudget.violations(Map("new_q" -> 99.0), Map.empty) === Nil)
+  }
+
+  private def queriesOf(path: String): Map[String, Double] =
+    BenchBudget.parseBenchQueries(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path))))
+
+  private def committedBudget: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    BenchBudget.parseTsv(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("docs/bench_budget.tsv")).asScala)
+  }
+
+  test("REPLAY: the round-9 builder battery passes the committed " +
+       "round-11 budgets (historical drift must not fail the battery)") {
+    val r9 = queriesOf("docs/bench_history/bench_r09_builder.json")
+    assert(r9.size > 200, "history file parsed")
+    assert(BenchBudget.violations(r9, committedBudget) === Nil)
+  }
+
+  test("REPLAY: the round-10 driver battery passes the committed " +
+       "budgets everywhere EXCEPT the genuinely-defective old t226 plan") {
+    val r10d = queriesOf("docs/bench_history/bench_r10_driver.json")
+    assert(r10d.size > 200)
+    // t226's budget was rebased to the round-11 rewritten plan; the old
+    // exploding plan's 6.61 s driver time SHOULD still read as a
+    // violation — that is the rule doing its job on a real defect.
+    assert(BenchBudget.violations(r10d, committedBudget)
+      === List("t226_label_separation"))
+  }
+
+  test("maxMerge takes the per-query max across recorded runs") {
+    val merged = BenchBudget.maxMerge(Seq(
+      Map("a" -> 1.0, "b" -> 3.0), Map("a" -> 2.0, "c" -> 0.5)))
+    assert(merged === Map("a" -> 2.0, "b" -> 3.0, "c" -> 0.5))
+  }
+
+  test("parseBenchQueries reads the flat queries object Bench writes") {
+    val line = """{"metric":"total","value":9.9,"unit":"sec","failed":[],""" +
+      """"budget_violations":[],"queries":{"q1_agg":1.234,"t2_x":0.5},"sf":"d"}"""
+    assert(BenchBudget.parseBenchQueries(line)
+      === Map("q1_agg" -> 1.234, "t2_x" -> 0.5))
+  }
+}
