@@ -26,7 +26,7 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "q48_bq_dialect", "t26_neardup_exact",
            "t28_decontaminate", "t30_quality_flags", "t31_dup_spans",
            "t32_pack", "t33_chunk", "t34_split", "t35_collapse",
-           "t36_lm_score", "t37_incr_dedup", "t38_canonical",
+           "t36_lm_score", "t37_incr_dedup", "t38_canonical", "t18_cluster",
            "t40_domain_filter", "t41_line_filter", "t42_line_dedup",
            "t43_bow_score", "t45_line_dedup_doc", "t49_token_mixture",
            "t50_span_scrub", "t51_vocab", "t52_ppl_band", "t53_ml_select",
@@ -83,7 +83,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t239_pipeline_resume", "q49_sql_operator_view",
            "t240_cliffs_delta", "t241_cochran_q", "t242_krippendorff",
            "t243_source_overlap", "t244_token_fertility",
-           "t245_median_of_means", "t246_hill_tail", "t248_mom_rolling"]
+           "t245_median_of_means", "t246_hill_tail", "t248_mom_rolling",
+           "t249_video_phash"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -167,6 +168,27 @@ NOTES = {
         "corpus scale) — nightly re-slides touch pairs of longs, never "
         "raw history, and unlike the sketch rolling members the result "
         "is exact, hence hash-exact rather than gated.",
+    "t18_cluster":
+        "Round-11 timing audit (the r10 driver ran 7.73 s vs 3.50 s "
+        "recorded): per-round instrumentation (-Dgraft.cc.debug) shows "
+        "the pointer-jumping loop converges in 2 ROUNDS at ~0.10 s each "
+        "on this graph at sf0.1 — the materialize-per-round cost the "
+        "r10 verdict suspected is ~3% of the query. The weight is the "
+        "n-gram Jaccard candidate pipeline FEEDING connectedComponents "
+        "(capped postings + verify DPs) plus the one-time undirected "
+        "distinct/persist; warm 3-run spread measured 2.77/3.11/3.30 s "
+        "(1.2x) — the driver's 7.73 s was a whole-battery cold read, "
+        "now inside the rebased budget (max of recent recorded runs, "
+        "7.73, limit 23.2 s).",
+    "t249_video_phash":
+        "Decode and per-frame pHash run INSIDE mapPartitions against "
+        "bytes already local (the *frames fan-out never crosses an "
+        "exchange); candidate generation shuffles only 8-byte "
+        "(band, value) keys from DISTINCT frame-hash shingles through "
+        "the shared saturating-bucket pair generator; the "
+        "frames_a*frames_b containment verify runs ONLY behind that "
+        "shortlist (t177/t233 verify-DP contract). Codec work scales "
+        "with pixels*frames — 3.1x at 10x, the t237 shape.",
     "t136_score_calibrate":
         "Both Windows are bounded: the data-side Window partitions by "
         "(__pid, source) — one window partition per RANGE partition "

@@ -39,7 +39,16 @@ object SqlFacade {
     *  - `quality_flags`      — the Gopher/C4 heuristic rule battery
     *    (t30 shape);
     *  - `drift_ks`           — per-event-type quantile-binned KS
-    *    drift panel (t139 shape).
+    *    drift panel (t139 shape);
+    *  - `drift_panel`        — the one-stop KS + PSI + χ² drift
+    *    verdict (t154 composition; q50 drives it through SQL text,
+    *    hash-exact against t154's oracle);
+    *  - `hybrid_search`      — BM25 + dense cosine + RRF fusion, the
+    *    first-stage RAG retrieval stack (t94 composition; q51,
+    *    hash-exact against t94's oracle);
+    *  - `near_dup_clusters`  — exact+n-gram near-dup connected
+    *    components with canonical survivors (t38 composition; q52,
+    *    hash-exact against t38's oracle).
     *
     * Views are lazy — each materializes only when a SQL statement
     * actually reads it, so registering the battery costs nothing.
@@ -67,6 +76,16 @@ object SqlFacade {
           % 2 === 0,
         "value", nBins = 10)
       .createOrReplaceTempView("drift_ks")
+    // whole-pipeline verbs already proven by their tNN fixtures — the
+    // view IS the fixture's composition, so the SQL surface returns
+    // the operator's exact output (q50/q51/q52 pin this by reusing
+    // the t154/t94/t38 oracles verbatim)
+    graft.queries.TrainingQueries.t154DriftPanel(spark, sfDir)
+      .createOrReplaceTempView("drift_panel")
+    graft.queries.TrainingQueries.t94HybridSearch(spark, sfDir)
+      .createOrReplaceTempView("hybrid_search")
+    graft.queries.TrainingQueries.t38Canonical(spark, sfDir)
+      .createOrReplaceTempView("near_dup_clusters")
   }
 
   /** Run a query written in the reference's BigQuery dialect: the

@@ -478,7 +478,43 @@ object Verify {
             r.getAs[Double]("value") >= 0.9)),
       "t237 png phash extra_frac <= 0.2" -> rows("t237_png_phash").map(
         _.exists(r => r.getAs[String]("check") == "extra_frac" &&
-          r.getAs[Double]("value") <= 0.2))) ++ directGates(rows)
+          r.getAs[Double]("value") <= 0.2)),
+      // video content near-dup contract (t249): both planted copy
+      // families — a 2-frame CLIP (directional containment 1.0 by
+      // construction) and a +16 uniform luma shift (DCT AC block
+      // invariant) — must recover through frame decode → per-frame
+      // pHash → banded-Hamming shingles at match_frac >= 0.9;
+      // cross-video collision extras stay bounded
+      "t249 video phash n_videos > 0" -> rows("t249_video_phash").map(
+        _.exists(r => r.getAs[String]("check") == "n_videos" &&
+          r.getAs[Double]("value") > 0)),
+      "t249 video phash recovered_clip_frac >= 0.9" ->
+        rows("t249_video_phash").map(
+          _.exists(r => r.getAs[String]("check") == "recovered_clip_frac" &&
+            r.getAs[Double]("value") >= 0.9)),
+      "t249 video phash recovered_bright_frac >= 0.9" ->
+        rows("t249_video_phash").map(
+          _.exists(r => r.getAs[String]("check") == "recovered_bright_frac" &&
+            r.getAs[Double]("value") >= 0.9)),
+      "t249 video phash extra_frac <= 0.2" -> rows("t249_video_phash").map(
+        _.exists(r => r.getAs[String]("check") == "extra_frac" &&
+          r.getAs[Double]("value") <= 0.2)),
+      // model persistence roundtrips (t250): a parquet-saved BPE rule
+      // table / DSIR bucket model must reload (validated) and
+      // encode/score BIT-IDENTICALLY to the in-session fit — the t103
+      // parity contract for the remaining driver-held model state
+      "t250 bpe_rules_n > 0" -> rows("t250_model_roundtrip").map(
+        _.exists(r => r.getAs[String]("check") == "bpe_rules_n" &&
+          r.getAs[Double]("value") > 0)),
+      "t250 bpe_encode_mismatch == 0" -> rows("t250_model_roundtrip").map(
+        _.exists(r => r.getAs[String]("check") == "bpe_encode_mismatch" &&
+          r.getAs[Double]("value") == 0.0)),
+      "t250 dsir_buckets_n == 64" -> rows("t250_model_roundtrip").map(
+        _.exists(r => r.getAs[String]("check") == "dsir_buckets_n" &&
+          r.getAs[Double]("value") == 64.0)),
+      "t250 dsir_score_mismatch == 0" -> rows("t250_model_roundtrip").map(
+        _.exists(r => r.getAs[String]("check") == "dsir_score_mismatch" &&
+          r.getAs[Double]("value") == 0.0))) ++ directGates(rows)
     checks.collect {
       case (desc, Left(err)) => s"$desc — $err"
       case (desc, Right(false)) => desc

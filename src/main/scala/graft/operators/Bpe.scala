@@ -142,4 +142,49 @@ object Bpe {
       .withColumn("compression",
         round(col("n_chars") / col("n_bpe_tokens"), 6))
   }
+
+  // ---- rule persistence ---------------------------------------------------
+  //
+  // Merge rules are the MODEL a BPE training run exists to produce;
+  // until round 11 they lived only as driver state inside one session
+  // (the t103 IVF-PQ index made the same move a round earlier). The
+  // saved form is a plain parquet relation — browsable, joinable,
+  // versionable like any other table — and loading VALIDATES the
+  // merge-apply contract before a single document is encoded, so a
+  // truncated or hand-edited rule table fails loudly at load, not as
+  // silently-wrong encodes.
+
+  /** Persist a [[learnMerges]] output as a parquet rule table (tiny —
+    * one row per rule — so one file). */
+  def saveRules(rules: DataFrame, path: String): Unit =
+    rules.orderBy(col("step")).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted rule table and return the ordered (left, right)
+    * list [[encode]] takes. Validation: non-empty, steps contiguous
+    * from 1, merged = left || right, residual_pairs = 0 on every row
+    * (the learn-time merge-apply contract, re-checked at load).
+    */
+  def loadRules(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("step"), col("left"), col("right"), col("merged"),
+        col("residual_pairs"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"empty BPE rule table at $path")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i + 1,
+        s"rule steps not contiguous at $path: saw ${r.getInt(0)}, " +
+        s"expected ${i + 1}")
+      val (l, m) = (r.getString(1), r.getString(3))
+      require(l != null && r.getString(2) != null && l.nonEmpty &&
+        r.getString(2).nonEmpty, s"null/empty rule at step ${i + 1}")
+      require(m == l + r.getString(2),
+        s"merged != left||right at step ${i + 1} in $path")
+      require(r.getLong(4) == 0L,
+        s"residual_pairs != 0 at step ${i + 1} in $path — " +
+        "not a completed learnMerges output")
+    }
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
 }

@@ -66,16 +66,35 @@ object Importance {
       .agg(sum(col("n")).as("c_all"),
            coalesce(sum(when(col("__tgt"), col("n"))), lit(0L)).as("c_tgt"))
       .collect() // bounded: exactly `buckets` rows, like k-means centroids
-    val tAll = totals.map(_.getLong(1)).sum.toDouble
-    val tTgt = totals.map(_.getLong(2)).sum.toDouble
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val lr = logRatiosOf(totals, buckets, alpha)
+    scoreFeats(feats, lr, keepQuantile)
+  }
+
+  /** The 6dp-rounded per-bucket log importance ratios — shared by
+    * [[dsirWeights]] (in-session) and [[dsirFit]] (the persistable
+    * model table), so the two paths cannot drift arithmetically. */
+  private def logRatiosOf(totals: Array[(Int, Long, Long)],
+                          buckets: Int, alpha: Double): Array[Double] = {
+    val tAll = totals.map(_._2).sum.toDouble
+    val tTgt = totals.map(_._3).sum.toDouble
     val lr = new Array[Double](buckets)
-    totals.foreach { r =>
+    totals.foreach { case (b, cAll, cTgt) =>
       val raw =
-        math.log((r.getLong(2) + alpha) / (tTgt + alpha * buckets)) -
-        math.log((r.getLong(1) + alpha) / (tAll + alpha * buckets))
-      lr(r.getInt(0)) =
+        math.log((cTgt + alpha) / (tTgt + alpha * buckets)) -
+        math.log((cAll + alpha) / (tAll + alpha * buckets))
+      lr(b) =
         BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+    lr
+  }
+
+  /** The scoring half (dot product, 6dp, exact-percentile keep flag)
+    * against a literal log-ratio vector — shared by [[dsirWeights]]
+    * and [[dsirScore]] so a loaded model scores through the IDENTICAL
+    * plan a fresh fit would. */
+  private def scoreFeats(feats: DataFrame, lr: Array[Double],
+                         keepQuantile: Double): DataFrame = {
     val lrCol = array(lr.toSeq.map(lit): _*)
     val scored = feats.select(col("doc_id"),
         aggregate(col("f"), lit(0L), (acc, x) => acc + x).as("n_feats"),
@@ -87,5 +106,80 @@ object Importance {
     scored.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("n_feats"), col("logw"),
         (col("logw") >= col("__thr")).as("keep"))
+  }
+
+  // ---- model persistence --------------------------------------------------
+  //
+  // The fitted DSIR model is 64 numbers; until round 11 it lived only
+  // as driver state inside dsirWeights' one session. dsirFit exposes
+  // it as a TABLE (b, c_all, c_tgt, log_ratio) — saveable, browsable,
+  // and auditable (the raw counts ride along so a loaded model can be
+  // re-derived) — and dsirScore scores any corpus against a loaded
+  // model WITHOUT retraining, through the same plan as dsirWeights.
+
+  /** Fit only: the model table (b, c_all, c_tgt, log_ratio), exactly
+    * `buckets` rows, log_ratio 6dp-rounded — the same numbers
+    * [[dsirWeights]] would embed as literals. */
+  def dsirFit(docs: DataFrame, idCol: String, textCol: String,
+              target: Column, buckets: Int = DefaultBuckets,
+              alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totals = docs.select(target.as("__tgt"),
+        posexplode(TextFunctions.hashed_ngram_counts(
+          coalesce(col(textCol), lit("")), buckets)).as(Seq("b", "n")))
+      .groupBy(col("b"))
+      .agg(sum(col("n")).as("c_all"),
+           coalesce(sum(when(col("__tgt"), col("n"))), lit(0L)).as("c_tgt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val lr = logRatiosOf(totals, buckets, alpha)
+    totals.sortBy(_._1)
+      .map { case (b, cAll, cTgt) => (b, cAll, cTgt, lr(b)) }.toSeq
+      .toDF("b", "c_all", "c_tgt", "log_ratio")
+  }
+
+  /** Persist a [[dsirFit]] model table (one tiny file). */
+  def saveModel(model: DataFrame, path: String): Unit =
+    model.orderBy(col("b")).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted model and return the validated log-ratio
+    * vector: bucket ids must be exactly 0..n−1 with no gaps or
+    * duplicates and every ratio finite — a truncated or hand-edited
+    * model fails at load, not as silently-wrong scores. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Array[Double] = {
+    val rows = spark.read.parquet(path)
+      .select(col("b"), col("log_ratio"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"empty DSIR model at $path")
+    val lr = new Array[Double](rows.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"bucket ids not contiguous in $path: saw ${r.getInt(0)} at $i")
+      val v = r.getDouble(1)
+      require(!v.isNaN && !v.isInfinite,
+        s"non-finite log_ratio at bucket $i in $path")
+      lr(i) = v
+    }
+    lr
+  }
+
+  /** Score a corpus against a fitted/loaded model — the
+    * [[dsirWeights]] output shape (doc_id, n_feats, logw, keep)
+    * through the identical scoring plan, no retraining. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                logRatios: Array[Double],
+                keepQuantile: Double = 0.75): DataFrame = {
+    require(keepQuantile > 0 && keepQuantile < 1,
+      s"keepQuantile must be in (0, 1), got $keepQuantile")
+    val feats = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.hashed_ngram_counts(
+          coalesce(col(textCol), lit("")), logRatios.length).as("f"))
+      .localCheckpoint(true)
+    scoreFeats(feats, logRatios, keepQuantile)
   }
 }

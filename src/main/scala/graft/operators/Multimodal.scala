@@ -325,6 +325,63 @@ object Multimodal {
       hash
     }
 
+    /** Frame-level Y4M video decode — luma planes per frame, the REAL
+      * content path the round-10 header-arithmetic [[decodeY4m]] only
+      * measured around. Y4M frames are UNCOMPRESSED YUV (C420: w·h
+      * luma + 2·(w·h/4) chroma), so full pixel decode is pure byte
+      * walking — no codec library. Returns (w, h, luma frames) with
+      * luma in [0,1] row-major — the exact input shape the image
+      * pHash kernel takes, so one hash kernel serves stills AND
+      * frames. None for non-Y4M magic, non-4:2:0 chroma, absurd
+      * dimensions, or a truncated frame stream — degrade, don't
+      * throw. Frame count capped (a crafted header cannot allocate
+      * unbounded).
+      */
+    private[operators] def decodeY4mLuma(b: Array[Byte], maxFrames: Int = 4096)
+        : Option[(Int, Int, Vector[Array[Float]])] = {
+      if (!ascii(b, 0, "YUV4MPEG2")) return None
+      val nl = b.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(b, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+      var (w, h) = (0L, 0L)
+      def num(s: String): Long =
+        try s.toLong catch { case _: NumberFormatException => -1L }
+      y4mParam.findAllMatchIn(header).foreach { m =>
+        m.group(1) match {
+          case "W" => w = num(m.group(2))
+          case "H" => h = num(m.group(2))
+          case _ =>
+        }
+      }
+      // chroma subsampling: only 4:2:0 layouts (C420, C420jpeg,
+      // C420mpeg2, C420paldv) — absent C token defaults to 420
+      val c420 = "\\bC(\\S+)".r.findFirstMatchIn(header)
+        .forall(_.group(1).startsWith("420"))
+      if (!c420 || w <= 0 || h <= 0 || w > 4096 || h > 4096 ||
+          w * h > (1L << 22)) return None
+      val lumaBytes = (w * h).toInt
+      val frameBytes = lumaBytes + lumaBytes / 2
+      val frames = Vector.newBuilder[Array[Float]]
+      var pos = nl + 1
+      var n = 0
+      while (n < maxFrames && pos < b.length) {
+        if (!ascii(b, pos, "FRAME")) return Some((w.toInt, h.toInt, frames.result()))
+        val fnl = b.indexOf('\n'.toByte, pos)
+        if (fnl < 0 || fnl + 1 + frameBytes > b.length)
+          return Some((w.toInt, h.toInt, frames.result()))
+        val luma = new Array[Float](lumaBytes)
+        var i = 0
+        while (i < lumaBytes) {
+          luma(i) = (b(fnl + 1 + i) & 0xff) / 255f
+          i += 1
+        }
+        frames += luma
+        pos = fnl + 1 + frameBytes
+        n += 1
+      }
+      Some((w.toInt, h.toInt, frames.result()))
+    }
+
     /** Sample-level WAV decode (PCM16 LE mono, the SynthMedia shape):
       * the RIFF chunk walk of [[decodeWav]], but returning the actual
       * samples. None for anything else — degrade, don't throw.
@@ -522,6 +579,84 @@ object Multimodal {
     }.toDF("doc_id", "ahash")
   }
 
+  /** Per-frame DCT fingerprints for video rows: one
+    * (doc_id, frame_idx, fhash) row per decoded Y4M frame — the
+    * frame-hash SEQUENCE is the video's signature. Reuses the image
+    * pHash kernel on each decoded luma plane, so a video frame and a
+    * still of the same content hash identically (and uniform
+    * brightness shifts leave the AC block fixed — see Codec.pHash64).
+    * Same batched mapPartitions shape as [[decodeAll]]; no shuffle;
+    * the ×frames fan-out happens INSIDE the partition against bytes
+    * already local, never through an exchange.
+    */
+  def videoFrameHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.media_type != "video") Iterator.empty
+        else Codec.decodeY4mLuma(r.media).iterator.flatMap { case (w, h, frames) =>
+          frames.iterator.zipWithIndex.map { case (luma, i) =>
+            (r.doc_id, i, Codec.pHash64(w, h, luma))
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "fhash")
+  }
+
+  /** Video near-duplicate pairs from frame-hash signatures: candidate
+    * generation treats each video's DISTINCT frame hashes as a shingle
+    * set — every frame hash splits into `maxHamming + 1` bands
+    * (pigeonhole: a frame pair within the Hamming budget agrees on at
+    * least one full band) routed through the shared saturating-bucket
+    * pair generator (8-byte keys, hot bands capped, no self-join).
+    * Verification computes DIRECTIONAL frame containment per candidate
+    * pair — for each frame of A the best-matching frame of B and vice
+    * versa — so a CLIPPED copy (a strict frame-subset) still scores
+    * 1.0 on its own direction; `match_frac` = the larger direction.
+    * The frames_a × frames_b verify join runs only BEHIND the banded
+    * shortlist (the t177/t233 verify-DP contract), never corpus-wide.
+    * Output: (id_a, id_b, n_a, n_b, match_frac), id_a < id_b, filtered
+    * at `minMatchFrac`.
+    */
+  def videoNearDups(frameHashes: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 200,
+                    minMatchFrac: Double = 0.5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"bad maxHamming $maxHamming")
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val posting = frameHashes.select(
+        col("doc_id").as("id"),
+        posexplode(array((0 until nBands).map { k =>
+          val lo = k * bandBits
+          val width = if (k == nBands - 1) 64 - lo else bandBits
+          val mask = if (width == 64) -1L else (1L << width) - 1L
+          shiftrightunsigned(col("fhash"), lo).bitwiseAND(mask)
+        }: _*)).as(Seq("band_idx", "band_val")))
+      .distinct() // shingle SET: frame multiplicity must not widen buckets
+    val cand = graft.operators.Buckets.pairs(
+      posting, Seq("band_idx", "band_val"), maxBucket)
+    val fa = frameHashes.select(col("doc_id").as("id_a"),
+      col("frame_idx").as("fa"), col("fhash").as("ha"))
+    val fb = frameHashes.select(col("doc_id").as("id_b"),
+      col("frame_idx").as("fb"), col("fhash").as("hb"))
+    val j = cand.join(fa, "id_a").join(fb, "id_b")
+      .select(col("id_a"), col("id_b"), col("fa"), col("fb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("ham"))
+    def direction(frameCol: String, nName: String, fracName: String) =
+      j.groupBy(col("id_a"), col("id_b"), col(frameCol))
+        .agg(min(col("ham")).as("mh"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as(nName),
+          avg(when(col("mh") <= maxHamming, 1.0).otherwise(0.0)).as(fracName))
+    direction("fa", "n_a", "frac_a")
+      .join(direction("fb", "n_b", "frac_b"), Seq("id_a", "id_b"))
+      .withColumn("match_frac",
+        round(greatest(col("frac_a"), col("frac_b")), 6))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("match_frac"))
+  }
+
   /** Near-duplicate pairs at Hamming distance <= `maxHamming` on a
     * 64-bit fingerprint column — the shared verification stage behind
     * [[imageNearDups]] (aHash) and the audio fingerprints.
@@ -640,6 +775,36 @@ object Multimodal {
       }
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** A Y4M whose frames DIFFER (frame content is keyed by absolute
+      * frame index, not position in the stream): frame `idx`'s planes
+      * cycle `fill` starting at offset idx·31, so
+      * `y4mVaried(w,h,fps, 2 until n, fill)` is bit-exactly the last
+      * n−2 frames of `y4mVaried(w,h,fps, 0 until n, fill)` — a true
+      * CLIPPED copy. `lumaShift` adds a constant to luma bytes only
+      * (chroma untouched) — the uniform-brightness perturbation class
+      * the DCT pHash's AC block is invariant to.
+      */
+    def y4mVaried(w: Int, h: Int, fps: Int, frameIdxs: Seq[Int],
+                  fill: Array[Byte], lumaShift: Int = 0): Array[Byte] = {
+      val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420\n".getBytes
+      val lumaBytes = w * h
+      val planeBytes = w * h * 3 / 2
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(header)
+      frameIdxs.foreach { idx =>
+        bos.write("FRAME\n".getBytes)
+        var i = 0
+        while (i < planeBytes) {
+          val base = if (fill.isEmpty) 0
+                     else fill((idx * 31 + i) % fill.length) & 0xff
+          bos.write(if (i < lumaBytes)
+            math.min(255, math.max(0, base + lumaShift)) else base)
+          i += 1
+        }
+      }
       bos.toByteArray
     }
 

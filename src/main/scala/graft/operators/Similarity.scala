@@ -543,6 +543,15 @@ object Similarity {
       lshTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
         bits, tables)
 
+  /** The default [[marginMine]] candidate provider. SEMANTICS NOTE —
+    * this default CHANGED in round 10 from [[bruteForceTopK]] (exact)
+    * to the gated approximate LSH provider: identical call sites
+    * return different (gated-equivalent, recall ≥ 0.93) rows than
+    * they did pre-flip. Callers needing the old exact behavior pass
+    * `topK = bruteForceTopK` explicitly (the t238 audit path).
+    */
+  val DefaultTopK: TopKProvider = lshProvider(bits = 10, tables = 4)
+
   /** Margin-based pair mining (the LASER/CCMatrix bitext-mining
     * shape): for every source vector, its best target by MARGIN score
     *
@@ -580,7 +589,7 @@ object Similarity {
   def marginMine(src: DataFrame, sIdCol: String, sVecCol: String,
                  tgt: DataFrame, tIdCol: String, tVecCol: String,
                  k: Int = 4, threshold: Double = 1.0,
-                 topK: TopKProvider = lshProvider(bits = 10, tables = 4))
+                 topK: TopKProvider = DefaultTopK)
       : DataFrame = {
     val s = src.select(col(sIdCol).as("src_id"), col(sVecCol).as("svec"))
     val t = tgt.select(col(tIdCol).as("tgt_id"), col(tVecCol).as("tvec"))

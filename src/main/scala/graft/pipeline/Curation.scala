@@ -81,23 +81,65 @@ object Curation {
     * any Hadoop-FS path (HDFS/S3A/local); completeness is the
     * committer's `_SUCCESS` marker, so a half-written stage from a
     * crashed run re-runs instead of being trusted.
+    *
+    * A checkpoint is reused only when its PIPELINE FINGERPRINT
+    * matches: each stage writes `fingerprint_k` = a hash chain over
+    * (inputFingerprint, every upstream stage's position + name, its
+    * own) — so resuming the same directory with a reordered, renamed,
+    * inserted, or removed stage list, or a different declared input,
+    * re-runs from the first divergent stage instead of silently
+    * trusting `_SUCCESS` alone. (Stage CLOSURES cannot be hashed —
+    * same-name logic edits are the caller's responsibility: bump the
+    * stage name or pass a new `inputFingerprint`, e.g. a code version
+    * or an input snapshot id.) Checkpoints from before this contract
+    * carry no fingerprint file and re-run — safe, never stale.
     */
   def runCheckpointed(input: DataFrame, stages: Seq[Stage],
-                      checkpointDir: String): CurationRun = {
+                      checkpointDir: String,
+                      inputFingerprint: String = ""): CurationRun = {
     require(stages.nonEmpty, "curation pipeline needs at least one stage")
     val spark = input.sparkSession
-    def complete(path: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(checkpointDir).getFileSystem(conf)
+    def complete(path: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def readFp(p: org.apache.hadoop.fs.Path): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var n = in.read(tmp)
+          while (n > 0) { bos.write(tmp, 0, n); n = in.read(tmp) }
+          Some(new String(bos.toByteArray, "UTF-8"))
+        } finally in.close()
+      }
+    def writeFp(p: org.apache.hadoop.fs.Path, v: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
     }
     var cur = input
+    var fp = md5hex(s"graft-curation:$inputFingerprint")
+    // once any stage re-runs, everything after it re-runs too: a later
+    // stage's _SUCCESS+fingerprint describe outputs of the OLD chain
+    var upstreamReran = false
     val ledgers = stages.zipWithIndex.map { case ((name, f), i) =>
       val step = i + 1
+      fp = md5hex(s"$fp:$step:$name")
       val outPath = s"$checkpointDir/stage_$step"
       val ledgerPath = s"$checkpointDir/ledger_$step"
-      if (complete(outPath) && complete(ledgerPath)) {
+      val fpPath = new org.apache.hadoop.fs.Path(
+        s"$checkpointDir/fingerprint_$step")
+      if (!upstreamReran && complete(outPath) && complete(ledgerPath) &&
+          readFp(fpPath).contains(fp)) {
         cur = spark.read.parquet(outPath)
       } else {
+        upstreamReran = true
+        fs.delete(fpPath, false) // invalidate before touching data
         val in = cur
         f(in).write.mode("overwrite").parquet(outPath)
         val out = spark.read.parquet(outPath)
@@ -106,6 +148,7 @@ object Curation {
           .select(lit(step).as("step"), lit(name).as("stage"),
                   col("docs_in"), col("docs_out"))
           .coalesce(1).write.mode("overwrite").parquet(ledgerPath)
+        writeFp(fpPath, fp)
         cur = out
       }
       spark.read.parquet(ledgerPath)

@@ -5369,11 +5369,14 @@ object Oracle {
     // exact mirror of CorpusStats.sourceOverlapMatrix (t243):
     // per-source distinct 3-gram digests (the t212 48-bit md5
     // convention), digest-keyed intersection self-join, Jaccard +
-    // overlap coefficient one divide each
+    // overlap coefficient one divide each. Tokens are UNFILTERED —
+    // the t2 replay convention: TextDedup.tokens keeps boundary empty
+    // tokens (Spark split limit −1), so the oracle must too, or any
+    // document with leading whitespace would shift the gram set
     "t243_source_overlap" ->
       """WITH toks AS (
-        |  SELECT source, list_filter(string_split_regex(lower(text),
-        |    '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
+        |  SELECT source, string_split_regex(lower(text),
+        |    '[ \t\n\x0B\f\r]+') AS t
         |  FROM documents WHERE text IS NOT NULL
         |), grams AS (
         |  SELECT source, unnest(
@@ -7527,5 +7530,10 @@ object Oracle {
   // resumed ledger must be EXACTLY the uninterrupted run's — one
   // oracle replay, two execution paths
   val sql: Map[String, String] =
-    base + ("t239_pipeline_resume" -> base("t48_pipeline"))
+    base + ("t239_pipeline_resume" -> base("t48_pipeline")) +
+      // the SQL-surface views return the OPERATOR's exact output: each
+      // qN reuses its operator's oracle verbatim (the q49/t239 pattern)
+      ("q50_sql_drift_panel" -> base("t154_drift_panel")) +
+      ("q51_sql_hybrid_search" -> base("t94_hybrid_search")) +
+      ("q52_sql_near_dup_clusters" -> base("t38_canonical"))
 }

@@ -841,4 +841,40 @@ object RelationalQueries {
     graft.SqlFacade.sql(spark,
       "SELECT doc_id, source FROM quota_mix ORDER BY doc_id")
   }
+
+  /** q50_sql_drift_panel — the t154 KS + PSI + χ² drift verdict
+    * reached entirely through SQL text over the `drift_panel`
+    * operator view (the q49 pattern widened to the monitoring
+    * family): hash-exact against t154's own oracle, so the SQL
+    * surface provably returns the operator's exact output.
+    */
+  def q50SqlDriftPanel(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM drift_panel ORDER BY event_type")
+  }
+
+  /** q51_sql_hybrid_search — the t94 BM25 + dense cosine + RRF
+    * first-stage retrieval stack through SQL text over the
+    * `hybrid_search` view; hash-exact against t94's oracle.
+    */
+  def q51SqlHybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM hybrid_search ORDER BY fused_rank")
+  }
+
+  /** q52_sql_near_dup_clusters — the t38 exact+n-gram near-dup
+    * connected components with canonical survivors through SQL text
+    * over the `near_dup_clusters` view; hash-exact against t38's
+    * oracle.
+    */
+  def q52SqlNearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM near_dup_clusters ORDER BY component")
+  }
 }

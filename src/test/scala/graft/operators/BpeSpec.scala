@@ -84,4 +84,29 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(syms < chars)
   }
+
+  test("saveRules/loadRules: parquet roundtrip returns the ordered rule " +
+       "list; validation rejects truncated or edited tables") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rules = Bpe.learnMerges(docs, "text", numMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_rules").toString
+    Bpe.saveRules(rules, s"$dir/rules")
+    val loaded = Bpe.loadRules(spark, s"$dir/rules")
+    val fresh = rules.orderBy($"step").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    assert(loaded == fresh)
+    // encode parity: loaded rules produce bit-identical rows
+    val a = Bpe.encode(docs, "doc_id", "text", fresh).collect().toSeq
+    val b = Bpe.encode(docs, "doc_id", "text", loaded).collect().toSeq
+    assert(a == b)
+    // a gap in the step sequence fails at load, not at encode time
+    rules.filter($"step" =!= 2).write.mode("overwrite")
+      .parquet(s"$dir/gap")
+    intercept[IllegalArgumentException] { Bpe.loadRules(spark, s"$dir/gap") }
+    // a vandalized merged column fails the contract check
+    rules.withColumn("merged",
+        org.apache.spark.sql.functions.lit("zz"))
+      .write.mode("overwrite").parquet(s"$dir/bad")
+    intercept[IllegalArgumentException] { Bpe.loadRules(spark, s"$dir/bad") }
+  }
 }

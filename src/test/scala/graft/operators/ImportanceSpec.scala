@@ -84,4 +84,37 @@ class ImportanceSpec extends SparkSpec {
         target = $"lang" === "en", keepQuantile = 1.5)
     }
   }
+
+  test("dsirFit/saveModel/loadModel/dsirScore: a loaded model scores " +
+       "bit-identically to the in-session fit; validation rejects " +
+       "gapped or non-finite models") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val model = Importance.dsirFit(docs, "doc_id", "text",
+      target = $"lang" === "en")
+    assert(model.count() == 64)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    Importance.saveModel(model, s"$dir/m")
+    val lr = Importance.loadModel(spark, s"$dir/m")
+    assert(lr.length == 64)
+    // the loaded vector IS the model table's ratios, in bucket order
+    val fromTable = model.orderBy($"b").select($"log_ratio")
+      .as[Double].collect()
+    assert(lr.toSeq == fromTable.toSeq)
+    // score parity: loaded-model path == direct dsirWeights, row for row
+    val direct = Importance.dsirWeights(docs, "doc_id", "text",
+      target = $"lang" === "en").orderBy($"doc_id").collect().toSeq
+    val viaModel = Importance.dsirScore(docs, "doc_id", "text", lr)
+      .orderBy($"doc_id").collect().toSeq
+    assert(viaModel == direct)
+    // a missing bucket fails at load
+    model.filter($"b" =!= 3).write.mode("overwrite").parquet(s"$dir/gap")
+    intercept[IllegalArgumentException] {
+      Importance.loadModel(spark, s"$dir/gap") }
+    // a non-finite ratio fails at load
+    model.withColumn("log_ratio",
+        when($"b" === 0, lit(Double.NaN)).otherwise($"log_ratio"))
+      .write.mode("overwrite").parquet(s"$dir/nan")
+    intercept[IllegalArgumentException] {
+      Importance.loadModel(spark, s"$dir/nan") }
+  }
 }

@@ -283,6 +283,83 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("decodeY4mLuma: exact per-frame luma roundtrip; clipping is a " +
+       "bit-exact frame subset; malformed streams degrade") {
+    val fill = "frame content bytes for the luma roundtrip".getBytes
+    val full = SynthMedia.y4mVaried(6, 4, 25, 0 until 5, fill)
+    val Some((w, h, frames)) = Codec.decodeY4mLuma(full)
+    assert(w == 6 && h == 4 && frames.size == 5)
+    // frame 2's luma pixel (y,x) = fill((2*31 + y*6+x) % len) / 255
+    val expected = (fill((2 * 31 + 7) % fill.length) & 0xff) / 255f
+    assert(frames(2)(7) == expected)
+    // frames differ across indices (y4mVaried keys content by index)
+    assert(frames(0).toSeq != frames(1).toSeq)
+    // the clipped stream decodes to EXACTLY frames 2..4 of the full one
+    val Some((_, _, clipped)) = Codec.decodeY4mLuma(
+      SynthMedia.y4mVaried(6, 4, 25, 2 until 5, fill))
+    assert(clipped.size == 3)
+    assert(clipped.zipWithIndex.forall { case (f, i) =>
+      f.toSeq == frames(i + 2).toSeq })
+    // luma shift moves every luma byte by exactly +16/255
+    val Some((_, _, shifted)) = Codec.decodeY4mLuma(
+      SynthMedia.y4mVaried(6, 4, 25, 0 until 5, fill, lumaShift = 16))
+    assert(shifted(0).zip(frames(0)).forall { case (s, o) =>
+      math.abs((s - o) - 16f / 255f) < 1e-6 })
+    // degrade contract: truncated frame stream keeps whole frames only;
+    // non-420 chroma and garbage return None
+    val truncated = full.take(full.length - 3)
+    assert(Codec.decodeY4mLuma(truncated).exists(_._3.size == 4))
+    val c444 = new String(full.takeWhile(_ != '\n'), "US-ASCII")
+      .replace("C420", "C444").getBytes ++ full.dropWhile(_ != '\n')
+    assert(Codec.decodeY4mLuma(c444).isEmpty)
+    assert(Codec.decodeY4mLuma("not a video".getBytes).isEmpty)
+  }
+
+  test("videoFrameHashes: one row per decoded frame; uniform brightness " +
+       "shift leaves every frame hash within Hamming 3") {
+    implicit val s = spark
+    val fill = "a video whose frames vary by absolute index".getBytes
+    val media = Seq(
+      MediaRecord(1L, "video", SynthMedia.y4mVaried(16, 12, 25, 0 until 6, fill)),
+      MediaRecord(2L, "video", SynthMedia.y4mVaried(16, 12, 25, 0 until 6, fill, lumaShift = 16)),
+      MediaRecord(3L, "image", SynthMedia.bmp(4, 4, "x".getBytes)) // ignored
+    ).toDS()
+    val fh = Multimodal.videoFrameHashes(media)
+      .as[(Long, Int, Long)].collect()
+    assert(fh.count(_._1 == 1L) == 6 && fh.count(_._1 == 2L) == 6)
+    assert(!fh.exists(_._1 == 3L))
+    val byIdx = fh.groupBy(r => (r._1, r._2)).view.mapValues(_.head._3)
+    (0 until 6).foreach { i =>
+      val d = java.lang.Long.bitCount(byIdx((1L, i)) ^ byIdx((2L, i)))
+      assert(d <= 3, s"frame $i moved $d bits under uniform brightness")
+    }
+    // distinct frames hash differently within a video
+    assert(fh.filter(_._1 == 1L).map(_._3).distinct.length > 1)
+  }
+
+  test("videoNearDups: planted clip + brightness copies pair with the " +
+       "original; unrelated videos do not") {
+    implicit val s = spark
+    val a = "first corpus document with plenty of text to cycle".getBytes
+    val b = "a completely different second corpus document body".getBytes
+    val media = Seq(
+      MediaRecord(1L, "video", SynthMedia.y4mVaried(16, 12, 25, 0 until 6, a)),
+      MediaRecord(2L, "video", SynthMedia.y4mVaried(16, 12, 25, 2 until 6, a)), // clip
+      MediaRecord(3L, "video", SynthMedia.y4mVaried(16, 12, 25, 0 until 6, a, lumaShift = 16)),
+      MediaRecord(4L, "video", SynthMedia.y4mVaried(16, 12, 25, 0 until 6, b))
+    ).toDS()
+    val fh = Multimodal.videoFrameHashes(media)
+    val pairs = Multimodal.videoNearDups(fh, maxHamming = 3, minMatchFrac = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toList
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"clip copy not recovered: $pairs")
+    assert(keys.contains((1L, 3L)), s"brightness copy not recovered: $pairs")
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated video paired: $pairs")
+    // the clip direction is exact containment: match_frac 1.0
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
+  }
+
   test("sampleFrames: video rows explode into byte-window frames") {
     implicit val s = spark
     val media = Multimodal.synthesize(docs, "doc_id", "text")

@@ -120,4 +120,38 @@ class CurationSpec extends SparkSpec {
     Curation.runCheckpointed(corpus, st, dir)
     assert(calls == 1, "incomplete checkpoint was trusted")
   }
+
+  test("runCheckpointed: a changed stage LIST invalidates from the first " +
+       "divergent stage — _SUCCESS alone is never trusted") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_fp").toString
+    def counted(names: Seq[String], calls: Array[Int]): Seq[Curation.Stage] =
+      stages.zip(names).zipWithIndex.map { case (((_, f), name), i) =>
+        name -> { (in: DataFrame) => calls(i) += 1; f(in) }
+      }
+    val origNames = stages.map(_._1)
+    val first = new Array[Int](stages.size)
+    Curation.runCheckpointed(corpus, counted(origNames, first), dir)
+    assert(first.toSeq == Seq.fill(stages.size)(1))
+    // same names: full skip (the resume contract)
+    val skip = new Array[Int](stages.size)
+    Curation.runCheckpointed(corpus, counted(origNames, skip), dir)
+    assert(skip.toSeq == Seq.fill(stages.size)(0))
+    // rename stage 2: stages 2..n re-run, stage 1 still skips
+    val renamed = origNames.updated(1, origNames(1) + "_v2")
+    val rerun = new Array[Int](stages.size)
+    Curation.runCheckpointed(corpus, counted(renamed, rerun), dir)
+    assert(rerun(0) == 0, "stage 1 should still be reused")
+    assert(rerun.drop(1).toSeq == Seq.fill(stages.size - 1)(1),
+      "everything from the divergent stage must re-run")
+    // a different declared input fingerprint re-runs EVERYTHING
+    val fresh = new Array[Int](stages.size)
+    Curation.runCheckpointed(corpus, counted(renamed, fresh), dir,
+      inputFingerprint = "corpus-v2")
+    assert(fresh.toSeq == Seq.fill(stages.size)(1))
+    // and the new fingerprints are durable: same call again skips all
+    val again = new Array[Int](stages.size)
+    Curation.runCheckpointed(corpus, counted(renamed, again), dir,
+      inputFingerprint = "corpus-v2")
+    assert(again.toSeq == Seq.fill(stages.size)(0))
+  }
 }
