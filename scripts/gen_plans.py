@@ -84,7 +84,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t240_cliffs_delta", "t241_cochran_q", "t242_krippendorff",
            "t243_source_overlap", "t244_token_fertility",
            "t245_median_of_means", "t246_hill_tail", "t248_mom_rolling",
-           "t249_video_phash"]
+           "t249_video_phash", "t251_lsh_calibration", "t252_ranking_metrics",
+           "t253_winnowing", "t254_winnow_pairs"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -189,6 +190,34 @@ NOTES = {
         "frames_a*frames_b containment verify runs ONLY behind that "
         "shortlist (t177/t233 verify-DP contract). Codec work scales "
         "with pixels*frames — 3.1x at 10x, the t237 shape.",
+    "t251_lsh_calibration":
+        "The truth pipeline (capped n-gram Jaccard postings + verify "
+        "DPs) runs ONCE and is checkpointed; each banding adds one "
+        "signature scan + one capped-bucket pair pass (8-byte keys, the "
+        "t2 machinery) and a left join against the truth pairs. Output "
+        "is |bandings|*|bins| rows; the analytic column is per-row "
+        "scalar math. Ratio 1.4x at 10x — truth-pair growth, not the "
+        "signature scans.",
+    "t252_ranking_metrics":
+        "The corpus-sized work is the two retrievers (BM25 collapse + "
+        "bounded-heap dense top-k, both already audited under t94); "
+        "the metric layer joins O(lists*k) rows against the relevance "
+        "ids and explodes a <= k IDCG sequence off a 1-row count frame "
+        "— rank arithmetic on exact micro-rounded BIGINTs, hash-exact "
+        "against the DuckDB replay. Ratio 1.0x at 10x (fixed k).",
+    "t253_winnowing":
+        "Everything is IN-ROW expression work — gram digests via "
+        "transform(sequence), window minima via array_min(slice), "
+        "distinct collapse per row — no explode, no shuffle beyond the "
+        "final sort: the plan is one projection over the scan. The "
+        "lesson of the t226 rewrite applied from day one.",
+    "t254_winnow_pairs":
+        "The t253 in-row fingerprint work feeds 8-byte postings into "
+        "the shared saturating-bucket cap (df 2..10 — boilerplate "
+        "fingerprints drop before fan-out); pair counts expand "
+        "in-array from capped lists (no posting self-join), and the "
+        "per-doc size join keeps the corpus-sized frame on the probe "
+        "side (pairs broadcast by AQE).",
     "t136_score_calibrate":
         "Both Windows are bounded: the data-side Window partitions by "
         "(__pid, source) — one window partition per RANGE partition "

@@ -514,7 +514,31 @@ object Verify {
           r.getAs[Double]("value") == 64.0)),
       "t250 dsir_score_mismatch == 0" -> rows("t250_model_roundtrip").map(
         _.exists(r => r.getAs[String]("check") == "dsir_score_mismatch" &&
-          r.getAs[Double]("value") == 0.0))) ++ directGates(rows)
+          r.getAs[Double]("value") == 0.0)),
+      // LSH banding calibration (t251): every banding audits the SAME
+      // truth pairs (identical per-banding totals), the finest banding
+      // recalls >= 0.9 of the top-Jaccard bin, and finer never loses
+      // to coarser there (the S-curve's defining monotonicity)
+      "t251 calibration shares one truth set across bandings" ->
+        rows("t251_lsh_calibration").map { rs =>
+          val totals = rs.groupBy(_.getAs[Int]("bands"))
+            .map { case (_, r) => r.map(_.getAs[Long]("n_pairs")).sum }
+          totals.nonEmpty && totals.toSet.size == 1 && totals.head > 0
+        },
+      "t251 finest banding top-bin recall >= 0.9" ->
+        rows("t251_lsh_calibration").map { rs =>
+          val top = rs.filter(r => r.getAs[Int]("bands") == 32)
+            .maxByOption(_.getAs[Int]("bin"))
+          top.exists(_.getAs[Double]("recall") >= 0.9)
+        },
+      "t251 finest >= coarsest in the top bin" ->
+        rows("t251_lsh_calibration").map { rs =>
+          def topRecall(b: Int) = rs.filter(_.getAs[Int]("bands") == b)
+            .maxByOption(_.getAs[Int]("bin"))
+            .map(_.getAs[Double]("recall"))
+          (for (f <- topRecall(32); c <- topRecall(8)) yield f >= c)
+            .getOrElse(false)
+        }) ++ directGates(rows)
     checks.collect {
       case (desc, Left(err)) => s"$desc — $err"
       case (desc, Right(false)) => desc

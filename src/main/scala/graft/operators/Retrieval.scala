@@ -82,4 +82,69 @@ object Retrieval {
            count(lit(1)).as("n_lists"))
       .withColumn("fused_rank", row_number().over(w))
   }
+
+  /** Ranking-quality metrics at cutoff `k` — the EVAL member of the
+    * retrieval family (a stack that ships BM25+RRF needs recall@k /
+    * MRR / nDCG@k to choose between its own legs): for every ranked
+    * list in `ranked` (`listCol` labels them; `rankCol` starts at 1)
+    * scored against one binary relevance set,
+    *
+    *   recall@k    = |hits| / |relevant|
+    *   precision@k = |hits| / k
+    *   MRR         = 1 / (first relevant rank ≤ k), 0 if none
+    *   nDCG@k      = DCG / IDCG with binary gains 1/log₂(rank+1),
+    *                 IDCG over the min(k, |relevant|) ideal ranks
+    *
+    * Portability: each DCG/IDCG term is micro-rounded to a BIGINT
+    * (round(10⁶/log₂(rank+1))) BEFORE summing — the t228 micro-log
+    * convention — so both engines integer-sum identical terms and the
+    * metric is one IEEE divide of exact integers; everything else is
+    * rank arithmetic. Hash-exact oracles, not gates.
+    *
+    * Scale shape: lists are top-k by construction (O(lists·k) rows);
+    * the relevance set joins on 8-byte ids; IDCG explodes a ≤ k
+    * sequence off the 1-row relevant-count frame. Nothing here is
+    * corpus-sized — the corpus work happened in the retrievers.
+    *
+    * Output: (list, n_rel, hits, recall, precision, mrr, ndcg),
+    * one row per list label (zero-hit lists get 0s, not dropped).
+    */
+  def rankingMetrics(ranked: DataFrame, listCol: String, idCol: String,
+                     rankCol: String, relevant: DataFrame,
+                     relIdCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def microDcg(rank: Column): Column =
+      round(lit(1000000.0) /
+        (log(rank.cast("double") + 1) / log(lit(2.0)))).cast("long")
+    val lists = ranked.select(col(listCol).as("list"),
+        col(idCol).as("__id"), col(rankCol).cast("long").as("__rank"))
+      .filter(col("__rank") <= k)
+    val rel = relevant.select(col(relIdCol).as("__id")).distinct()
+    val nRel = rel.agg(count(lit(1)).as("n_rel"))
+    val names = lists.select(col("list")).distinct()
+    val agg = lists.join(rel, "__id")
+      .groupBy(col("list"))
+      .agg(count(lit(1)).as("hits"),
+           min(col("__rank")).as("__first"),
+           sum(microDcg(col("__rank"))).as("__dcg"))
+    // ideal DCG: the first min(k, n_rel) ranks, exploded off the 1-row
+    // count frame (sequence(1, 0) would run DESCENDING in Spark — the
+    // n_rel >= 1 guard keeps the empty-relevance case out entirely)
+    val idcg = nRel.filter(col("n_rel") >= 1)
+      .select(explode(sequence(lit(1L),
+        least(lit(k.toLong), col("n_rel").cast("long")))).as("__rank"))
+      .agg(sum(microDcg(col("__rank"))).as("__idcg"))
+    names.join(agg, Seq("list"), "left")
+      .crossJoin(broadcast(nRel))
+      .crossJoin(broadcast(idcg))
+      .select(col("list"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_rel"), 6).as("recall"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / k, 6)
+          .as("precision"),
+        coalesce(round(lit(1.0) / col("__first"), 6), lit(0.0)).as("mrr"),
+        coalesce(round(col("__dcg").cast("double") / col("__idcg"), 6),
+          lit(0.0)).as("ndcg"))
+  }
 }

@@ -577,4 +577,153 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Winnowing fingerprint SETS (Schleimer–Wilkerson–Aiken,
+    * SIGMOD'03 — the MOSS scheme): character k-gram digests of the
+    * lowercased text, a w-window minimum selection, fingerprint set =
+    * the distinct window minima. The winnowing guarantee: any shared
+    * substring of length ≥ k + w − 1 contributes at least one SHARED
+    * fingerprint — position-robust like MinHash but LOCAL (a quoted
+    * paragraph inside an otherwise different document still collides),
+    * with expected density 2/(w+1).
+    *
+    * Scale shape: everything is IN-ROW Catalyst expression work —
+    * gram digests via `transform(sequence(...))`, window minima via
+    * `array_min(slice(...))` — no explode, no shuffle, no ×length row
+    * amplification; only the callers' fingerprint POSTINGS (8-byte
+    * digests) ever shuffle. Digests are the t212 48-bit md5
+    * convention, so DuckDB replays them verbatim → the t253/t254
+    * driver rows are hash-exact, not gated.
+    *
+    * Texts shorter than k chars fall back to one whole-text gram
+    * (the [[shingles]] convention). Output: (id, fps ARRAY<LONG>).
+    */
+  private[graft] def winnowingSets(docs: DataFrame, textCol: String,
+                                   idCol: String, k: Int,
+                                   w: Int): DataFrame = {
+    require(k >= 2, s"gram size must be >= 2, got $k")
+    require(w >= 1, s"window must be >= 1, got $w")
+    def digest(c: Column) = graft.ops.SnapshotDiff.portableDigest(Seq(c))
+    val txt = lower(col(textCol))
+    val grams = when(length(txt) < k, array(digest(txt)))
+      .otherwise(transform(sequence(lit(1), length(txt) - (k - 1)),
+        i => digest(txt.substr(i, lit(k)))))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), grams.as("__hs"))
+      .select(col("id"), size(col("__hs")).as("n_grams"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("__hs")) - (w - 1), lit(1))),
+          j => array_min(slice(col("__hs"), j, lit(w))))).as("fps"))
+  }
+
+  /** Per-document winnowing fingerprint statistics: gram count,
+    * fingerprint count, and density (≈ 2/(w+1) by the winnowing
+    * guarantee — a document whose density strays far above it is
+    * high-entropy churn; far below, repetitive boilerplate). See
+    * [[winnowingSets]] for the scheme and scale shape.
+    * Output: (id, n_grams, n_fingerprints, density 6dp).
+    */
+  def winnowingFingerprints(docs: DataFrame, textCol: String,
+                            idCol: String, k: Int = 8,
+                            w: Int = 4): DataFrame =
+    winnowingSets(docs, textCol, idCol, k, w)
+      .select(col("id"), col("n_grams").cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        round(size(col("fps")).cast("double") / col("n_grams"), 6)
+          .as("density"))
+
+  /** Cross-document winnowing matches — the plagiarism/quotation
+    * detector MinHash whole-document similarity misses: document
+    * pairs sharing ≥ `minShared` fingerprints, scored by fingerprint
+    * Jaccard. Posting lists are df-capped through the shared
+    * saturating buckets (a boilerplate fingerprint in a million docs
+    * fills a maxDf+1 buffer and drops, never fanning out); pair
+    * counts expand in-array from the capped lists — no posting
+    * self-join. Output: (id_a < id_b, n_shared, jaccard 6dp).
+    */
+  def winnowingPairs(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8, w: Int = 4, minShared: Int = 2,
+                     maxDf: Int = 10): DataFrame = {
+    val sets = winnowingSets(docs, textCol, idCol, k, w)
+      .localCheckpoint(true) // feeds postings AND the per-doc sizes
+    val posting = sets.select(col("id"), explode(col("fps")).as("h"))
+    val pairs = Buckets.capped(posting, Seq("h"), maxDf)
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(filter(col("ids"), b => b > a),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    // nf is corpus-sized (one row per doc) — never broadcast it; the
+    // PAIRS side is the small one and AQE broadcasts it on its own
+    val nf = sets.select(col("id"), size(col("fps")).cast("long").as("nf"))
+    pairs
+      .join(nf.select(col("id").as("id_a"), col("nf").as("__na")), "id_a")
+      .join(nf.select(col("id").as("id_b"), col("nf").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  /** LSH banding CALIBRATION audit — the "which (bands, rows) to ship"
+    * question answered with the corpus' own numbers instead of the
+    * textbook S-curve alone: ground-truth near-dup pairs (the capped
+    * n-gram Jaccard generator, df-capped postings) are binned by true
+    * Jaccard, and for every candidate banding of the same `numHashes`
+    * signature the MEASURED fraction of truth pairs that collide in
+    * ≥ 1 band is laid beside the ANALYTIC collision probability
+    * p = 1 − (1 − s^r)^b at the bin midpoint. Where measured recall
+    * tracks the curve the banding behaves; where it falls under
+    * (bucket caps, signature variance at short texts) the gap is
+    * visible per bin BEFORE a production dedup run commits to a
+    * threshold.
+    *
+    * Scale shape: the truth pipeline runs ONCE (localCheckpoint'd,
+    * reused by every banding); each banding adds one signature scan +
+    * one capped-bucket pair pass (8-byte keys, the t2 machinery) and
+    * a broadcast-sized join against the truth pairs. Output rows =
+    * |bandings| · |bins| — model-sized.
+    *
+    * Output: (bands, rows_per_band, bin, j_mid, n_pairs, n_recalled,
+    * recall 6dp, p_analytic 6dp), ordered (bands, bin).
+    */
+  def lshCalibration(docs: DataFrame, textCol: String, idCol: String,
+                     shingleK: Int = 3, numHashes: Int = 64,
+                     bandsOptions: Seq[Int] = Seq(8, 16, 32),
+                     minJaccard: Double = 0.2, maxDf: Int = 10,
+                     nBins: Int = 5, maxBucket: Int = 200): DataFrame = {
+    require(bandsOptions.nonEmpty, "need at least one banding")
+    require(bandsOptions.forall(b => b >= 1 && numHashes % b == 0),
+      s"every banding must divide numHashes=$numHashes: $bandsOptions")
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val reps = exact(docs, textCol, idCol).localCheckpoint(true)
+    val truth = ngramJaccardPairs(reps, textCol, idCol, shingleK,
+        minJaccard, maxDf)
+      .select(col("id_a"), col("id_b"),
+        least(floor(col("jaccard") * nBins), lit(nBins - 1))
+          .cast("int").as("bin"))
+      .localCheckpoint(true) // reused by every banding below
+    val perBanding = bandsOptions.map { b =>
+      val cand = minhashCandidates(reps, textCol, idCol, shingleK,
+          numHashes, b, maxBucket)
+        .withColumn("__hit", lit(1))
+      truth.join(cand, Seq("id_a", "id_b"), "left")
+        .groupBy(lit(b).as("bands"), col("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(coalesce(col("__hit"), lit(0))).cast("long")
+               .as("n_recalled"))
+    }.reduce(_ unionByName _)
+    perBanding
+      .withColumn("rows_per_band", (lit(numHashes) / col("bands")).cast("int"))
+      .withColumn("j_mid", round((col("bin") + 0.5) / nBins, 6))
+      .withColumn("recall",
+        round(col("n_recalled").cast("double") / col("n_pairs"), 6))
+      .withColumn("p_analytic",
+        round(lit(1.0) - pow(lit(1.0) -
+          pow(col("j_mid"), lit(numHashes.toDouble) / col("bands")),
+          col("bands").cast("double")), 6))
+      .select(col("bands"), col("rows_per_band"), col("bin"), col("j_mid"),
+        col("n_pairs"), col("n_recalled"), col("recall"), col("p_analytic"))
+      .orderBy(col("bands"), col("bin"))
+  }
 }

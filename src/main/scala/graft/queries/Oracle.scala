@@ -2354,6 +2354,163 @@ object Oracle {
         |FROM fused QUALIFY fused_rank <= 20
         |ORDER BY fused_rank""".stripMargin,
 
+    // exact mirror of Retrieval.rankingMetrics over the t94 legs
+    // (t252): list replay = t94's proven arithmetic cut at k = 20,
+    // relevance = docs with >= 2 distinct query terms, DCG/IDCG terms
+    // micro-rounded BIGINTs (the t228 log convention), each metric one
+    // IEEE divide of exact integers
+    "t252_ranking_metrics" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |         unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS term
+        |  FROM documents
+        |), tok2 AS (
+        |  SELECT * FROM toks WHERE length(term) > 0
+        |), dl AS (
+        |  SELECT id, count(*) AS dl FROM tok2 GROUP BY id
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT id, term, count(*) AS tf FROM tok2
+        |  WHERE term IN ('hash', 'join', 'window') GROUP BY id, term
+        |), dft AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), idf AS (
+        |  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+        |         avgdl
+        |  FROM dft CROSS JOIN stats
+        |), sc AS (
+        |  SELECT tf.id,
+        |         round(sum(idf.idf * (tf.tf * 2.2)
+        |                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl))),
+        |               6) AS bm25
+        |  FROM tf JOIN idf USING (term) JOIN dl ON tf.id = dl.id
+        |  GROUP BY tf.id
+        |), sparse AS (
+        |  SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rank
+        |  FROM sc QUALIFY rank <= 50
+        |), q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings
+        |  WHERE vec_id = 0
+        |), dense AS (
+        |  SELECT e.vec_id AS id,
+        |         row_number() OVER (
+        |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                           q.qvec) DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+        |  QUALIFY rank <= 50
+        |), unioned AS (
+        |  SELECT id, rank FROM sparse UNION ALL SELECT id, rank FROM dense
+        |), fused AS (
+        |  SELECT id, round(sum(1.0 / (60 + rank)), 6) AS rrf
+        |  FROM unioned GROUP BY id
+        |), fusedtop AS (
+        |  SELECT id, row_number() OVER (ORDER BY rrf DESC, id) AS rank
+        |  FROM fused QUALIFY rank <= 20
+        |), lists AS (
+        |  SELECT 'sparse' AS leg, id, rank FROM sparse WHERE rank <= 20
+        |  UNION ALL SELECT 'dense', id, rank FROM dense WHERE rank <= 20
+        |  UNION ALL SELECT 'fused', id, rank FROM fusedtop
+        |), rel AS (
+        |  SELECT id FROM (
+        |    SELECT id, count(DISTINCT term) AS c FROM tok2
+        |    WHERE term IN ('hash', 'join', 'window') GROUP BY id)
+        |  WHERE c >= 2
+        |), nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel),
+        |hit AS (SELECT leg, rank FROM lists JOIN rel USING (id)),
+        |agg AS (
+        |  SELECT leg, CAST(count(*) AS BIGINT) AS hits,
+        |         min(rank) AS first_rel,
+        |         CAST(sum(CAST(round(1000000.0 /
+        |             (ln(CAST(rank AS DOUBLE) + 1) / ln(2.0)))
+        |           AS BIGINT)) AS BIGINT) AS dcg
+        |  FROM hit GROUP BY leg
+        |), idcg AS (
+        |  SELECT CAST(sum(CAST(round(1000000.0 /
+        |      (ln(CAST(i AS DOUBLE) + 1) / ln(2.0))) AS BIGINT)) AS BIGINT)
+        |    AS idcg
+        |  FROM (SELECT unnest(range(1,
+        |    1 + least(20, (SELECT n_rel FROM nrel)))) AS i)
+        |), names AS (SELECT unnest(['sparse', 'dense', 'fused']) AS leg)
+        |SELECT names.leg, nrel.n_rel,
+        |  coalesce(agg.hits, 0) AS hits,
+        |  round(CAST(coalesce(agg.hits, 0) AS DOUBLE) / nrel.n_rel, 6)
+        |    AS recall,
+        |  round(CAST(coalesce(agg.hits, 0) AS DOUBLE) / 20, 6) AS prec,
+        |  coalesce(round(1.0 / agg.first_rel, 6), 0.0) AS mrr,
+        |  coalesce(round(CAST(agg.dcg AS DOUBLE) / idcg.idcg, 6), 0.0)
+        |    AS ndcg
+        |FROM names LEFT JOIN agg USING (leg)
+        |CROSS JOIN nrel CROSS JOIN idcg
+        |ORDER BY leg""".stripMargin,
+
+    // exact mirror of TextDedup.winnowingFingerprints (t253): 48-bit
+    // md5 char-8-gram digests, 4-window list minima, distinct collapse
+    "t253_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, CASE WHEN length(t) < 8
+        |    THEN [CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)]
+        |    ELSE list_transform(range(1, length(t) - 6),
+        |      i -> CAST('0x' || substr(md5(substr(t, i, 8)), 1, 12)
+        |           AS BIGINT)) END AS hs
+        |  FROM d
+        |), wn AS (
+        |  SELECT doc_id, len(hs) AS ng,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(hs) - 3, 1) + 1),
+        |      j -> list_min(hs[j:j+3]))) AS fps
+        |  FROM g
+        |)
+        |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+        |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        |  round(CAST(len(fps) AS DOUBLE) / ng, 6) AS density
+        |FROM wn ORDER BY doc_id""".stripMargin,
+
+    // exact mirror of TextDedup.winnowingPairs (t254): the t253
+    // fingerprint replay + df-capped posting join (2..10 occupancy —
+    // saturated buckets drop, matching the engine's saturating cap),
+    // pair counts and fingerprint Jaccard
+    "t254_winnow_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, CASE WHEN length(t) < 8
+        |    THEN [CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)]
+        |    ELSE list_transform(range(1, length(t) - 6),
+        |      i -> CAST('0x' || substr(md5(substr(t, i, 8)), 1, 12)
+        |           AS BIGINT)) END AS hs
+        |  FROM d
+        |), wn AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |      range(1, greatest(len(hs) - 3, 1) + 1),
+        |      j -> list_min(hs[j:j+3]))) AS fps
+        |  FROM g
+        |), p AS (
+        |  SELECT doc_id AS id, unnest(fps) AS h FROM wn
+        |), keep AS (
+        |  SELECT h FROM p GROUP BY h HAVING count(*) BETWEEN 2 AND 10
+        |), pp AS (
+        |  SELECT p.id, p.h FROM p JOIN keep USING (h)
+        |), pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM pp a JOIN pp b ON a.h = b.h AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), nf AS (
+        |  SELECT doc_id AS id, CAST(len(fps) AS BIGINT) AS nf FROM wn
+        |)
+        |SELECT id_a, id_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE)
+        |        / (fa.nf + fb.nf - n_shared), 6) AS jaccard
+        |FROM pairs
+        |JOIN nf fa ON fa.id = pairs.id_a
+        |JOIN nf fb ON fb.id = pairs.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "t102_theta_novelty" ->
       // first-seen replay: n_new(d) = users whose min(day) = d; theta
       // difference in exact mode computes exactly this

@@ -5349,6 +5349,92 @@ object TrainingQueries {
     rows.reduce(_ unionByName _).orderBy(col("check"))
   }
 
+  /** t251_lsh_calibration — the "which banding to ship" audit for the
+    * MinHash/LSH dedup family: ground-truth pairs (capped n-gram
+    * Jaccard ≥ 0.2) binned by true Jaccard, measured ≥-1-band
+    * collision recall per candidate banding of the shared 64-hash
+    * signature (8×8, 16×4, 32×2) laid beside the analytic
+    * 1−(1−s^r)^b at each bin midpoint. Rows-only (minhash signatures
+    * are not SQL-replayable — the t2 convention); the enforced gates
+    * pin the structure: shared truth (identical per-banding pair
+    * totals), high-similarity recall at the finest banding, and
+    * finest ≥ coarsest in the top bin.
+    */
+  def t251LshCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    TextDedup.lshCalibration(Tables.documents(spark, sfDir), "text",
+      "doc_id", shingleK = 3, numHashes = 64,
+      bandsOptions = Seq(8, 16, 32), minJaccard = 0.2, maxDf = 10,
+      nBins = 5)
+
+  /** t252_ranking_metrics — the EVAL member of the retrieval family:
+    * recall@20 / precision@20 / MRR / nDCG@20 for the t94 stack's
+    * three legs (BM25 sparse, dense cosine, RRF fused) against one
+    * deterministic relevance set (documents containing ≥ 2 distinct
+    * query terms). Hash-exact oracle: the list replay reuses t94's
+    * proven arithmetic; DCG/IDCG terms are micro-rounded BIGINTs
+    * (the t228 log convention), so every metric is rank arithmetic
+    * plus one IEEE divide of exact integers.
+    */
+  def t252RankingMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val queryTerms = Seq("hash", "join", "window")
+    val sparseW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("id").asc)
+    val sparseIR = Retrieval.bm25(docs, "doc_id", "text", queryTerms)
+      .orderBy(col("bm25").desc, col("id").asc).limit(50)
+      .withColumn("rank", row_number().over(sparseW))
+      .select(col("id"), col("rank"))
+      .localCheckpoint(true) // feeds its own leg AND the fusion
+    val emb = Tables.embeddings(spark, sfDir)
+    val denseIR = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 50)
+      .select(col("id"), col("rank"))
+      .localCheckpoint(true)
+    val fusedIR = Retrieval.rrfFuse(Seq(sparseIR, denseIR), k = 60)
+      .filter(col("fused_rank") <= 20)
+      .select(col("id"), col("fused_rank").as("rank"))
+    val lists = sparseIR.select(lit("sparse").as("leg"), col("id"), col("rank"))
+      .unionByName(denseIR.select(lit("dense").as("leg"), col("id"), col("rank")))
+      .unionByName(fusedIR.select(lit("fused").as("leg"), col("id"), col("rank")))
+    val rel = docs.select(col("doc_id").as("id"),
+        explode(TextDedup.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0 &&
+        col("term").isin(queryTerms: _*))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("term")).as("c"))
+      .filter(col("c") >= 2)
+    Retrieval.rankingMetrics(lists, "leg", "id", "rank", rel, "id", k = 20)
+      .withColumnRenamed("list", "leg")
+      .withColumnRenamed("precision", "prec")
+      .orderBy(col("leg"))
+  }
+
+  /** t253_winnowing — per-document winnowing fingerprint profile
+    * (Schleimer–Wilkerson–Aiken k=8/w=4): gram count, fingerprint
+    * count, density vs the 2/(w+1) guarantee. All in-row expression
+    * work (no explode); exact oracle — DuckDB replays the 48-bit md5
+    * gram digests, window minima, and distinct collapse verbatim.
+    */
+  def t253Winnowing(spark: SparkSession, sfDir: String): DataFrame =
+    TextDedup.winnowingFingerprints(Tables.documents(spark, sfDir),
+        "text", "doc_id", k = 8, w = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** t254_winnow_pairs — cross-document winnowing matches (the
+    * quotation/plagiarism detector whole-document MinHash misses): a
+    * shared substring of ≥ k+w−1 chars leaves ≥ 1 shared fingerprint;
+    * pairs at ≥ 2 shared fingerprints scored by fingerprint Jaccard.
+    * Posting lists df-capped through the saturating buckets. Exact
+    * oracle — same digest replay plus the posting join.
+    */
+  def t254WinnowPairs(spark: SparkSession, sfDir: String): DataFrame =
+    TextDedup.winnowingPairs(Tables.documents(spark, sfDir), "text",
+        "doc_id", k = 8, w = 4, minShared = 2, maxDf = 10)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

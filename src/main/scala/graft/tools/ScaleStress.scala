@@ -174,6 +174,10 @@ object ScaleStress {
       // one word-count shuffle (t55's property), the encode is a
       // shuffle-free projection with one kernel pass per rule
       "t68_bpe_encode"   -> (TrainingQueries.t68BpeEncode _),
+      // round-11: the t55/t54 models through save→load→re-apply; adds
+      // two model-table writes (12 and 64 rows) to the t55+t68+t54
+      // work — persistence cost is corpus-independent by construction
+      "t250_model_roundtrip" -> (TrainingQueries.t250ModelRoundtrip _),
       // one percentile aggregate + per-row threshold CASE + a
       // 4-group aggregate — everything after the token-count scan is
       // constant-sized
@@ -268,6 +272,20 @@ object ScaleStress {
       // text (per-row ImageIO work, no cross-row state) + the same
       // banded Hamming pair generation as t115
       "t237_png_phash" -> (TrainingQueries.t237PngPhash _),
+      // round-11: video codec twin — Y4M synth + frame decode + per-
+      // frame pHash per distinct text (per-row codec work ∝
+      // pixels×frames) + banded Hamming over frame-hash SHINGLE sets;
+      // the containment verify joins run only behind the capped
+      // bucket shortlist
+      "t249_video_phash" -> (TrainingQueries.t249VideoPhash _),
+      // round-11: the banding calibration — the 10× dup-heavy corpus
+      // is the intended worst case for its pair generators: ONE
+      // checkpointed truth pipeline (df-capped postings), three
+      // signature/bucket passes, left joins on 8-byte pair keys
+      "t251_lsh_calibration" -> (TrainingQueries.t251LshCalibration _),
+      // round-11: ranking metrics — retrievers scan 10×, the metric
+      // layer stays O(lists×k) + a 1-row IDCG frame
+      "t252_ranking_metrics" -> (TrainingQueries.t252RankingMetrics _),
       // ES weighted sampling: per-row hash+ln, then the salted
       // two-level cap — sort-rate, output fixed at groups×k
       "t116_weighted_sample" -> (TrainingQueries.t116WeightedSample _),

@@ -49,4 +49,40 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(byId(10L)._2 - BigDecimal(1.0 / 61)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("rankingMetrics: hand-computed recall/precision/MRR/nDCG; " +
+       "zero-hit lists get zeros, not dropped rows") {
+    // relevant = {1, 2, 3}; k = 3
+    // good: ranks 1..3 = [1, 9, 2]  → hits {1@1, 2@3}
+    // bad:  ranks 1..3 = [7, 8, 9]  → no hits
+    val ranked = Seq(
+      ("good", 1L, 1), ("good", 9L, 2), ("good", 2L, 3),
+      ("good", 3L, 4), // outside k, must not count
+      ("bad", 7L, 1), ("bad", 8L, 2), ("bad", 9L, 3)
+    ).toDF("leg", "id", "rank")
+    val rel = Seq(1L, 2L, 3L).toDF("id")
+    val out = Retrieval.rankingMetrics(ranked, "leg", "id", "rank",
+        rel, "id", k = 3)
+      .collect().map(r => r.getAs[String]("list") ->
+        ((r.getAs[Long]("n_rel"), r.getAs[Long]("hits"),
+          r.getAs[Double]("recall"), r.getAs[Double]("precision"),
+          r.getAs[Double]("mrr"), r.getAs[Double]("ndcg")))).toMap
+    val (nRel, hits, recall, prec, mrr, ndcg) = out("good")
+    assert(nRel == 3 && hits == 2)
+    assert(recall == BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(prec == BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(mrr == 1.0) // first relevant at rank 1
+    // micro-term DCG: rank1 → 1e6, rank3 → round(1e6/log2(4)) = 5e5;
+    // IDCG over ideal ranks 1..3: 1e6 + round(1e6/log2(3)) + 5e5
+    val t3 = math.round(1e6 / (math.log(4.0) / math.log(2.0)))
+    val i2 = math.round(1e6 / (math.log(3.0) / math.log(2.0)))
+    val expNdcg = BigDecimal((1000000.0 + t3) / (1000000L + i2 + t3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ndcg == expNdcg)
+    val zero = out("bad")
+    assert(zero._2 == 0 && zero._3 == 0.0 && zero._5 == 0.0 &&
+      zero._6 == 0.0)
+  }
 }

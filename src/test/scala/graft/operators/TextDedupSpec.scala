@@ -305,4 +305,83 @@ class TextDedupSpec extends SparkSpec {
         lit("alpha beta gamma detla epsilon")))).collect().head.getInt(0)
     assert(lev == 2)
   }
+
+  test("winnowing: hand-checked fingerprints, the shared-substring " +
+       "guarantee, and df-capped pair scoring") {
+    import spark.implicits._
+    def digest(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).take(6)
+          .map("%02x".format(_)).mkString, 16)
+    // hand replay on one tiny doc: k=3, w=2 over "abcdef" (6 chars →
+    // 4 grams abc bcd cde def → 3 windows → distinct minima)
+    val tiny = Seq((1L, "abcdef")).toDF("doc_id", "text")
+    val hs = Seq("abc", "bcd", "cde", "def").map(digest)
+    val exp = hs.sliding(2).map(_.min).toSeq.distinct
+    val got = TextDedup.winnowingSets(tiny, "text", "doc_id", 3, 2)
+      .select($"fps").as[Seq[Long]].head()
+    assert(got.sorted == exp.sorted)
+    // stats row agrees
+    val st = TextDedup.winnowingFingerprints(tiny, "text", "doc_id", 3, 2)
+      .collect().head
+    assert(st.getAs[Long]("n_grams") == 4 &&
+      st.getAs[Long]("n_fingerprints") == exp.distinct.size)
+    // guarantee: a 40-char block quoted inside an unrelated doc shares
+    // fingerprints (block length >> k + w - 1 = 11)
+    val block = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"completely unrelated preamble text $block trailing words"),
+      (2L, s"$block and then a different continuation entirely"),
+      (3L, "nothing in common with the others at all here")
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.winnowingPairs(docs, "text", "doc_id",
+        k = 8, w = 4, minShared = 2, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"quoted block not detected: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // short-doc fallback: one whole-text gram, one fingerprint
+    val short = TextDedup.winnowingFingerprints(
+      Seq((9L, "ab")).toDF("doc_id", "text"), "text", "doc_id", 8, 4)
+      .collect().head
+    assert(short.getAs[Long]("n_grams") == 1 &&
+      short.getAs[Long]("n_fingerprints") == 1)
+  }
+
+  test("lshCalibration: shared truth across bandings, analytic S-curve " +
+       "values exact, near-identical planted pairs recalled everywhere") {
+    import spark.implicits._
+    // 6 base docs + 3 planted near-identical twins (one word changed
+    // in a 12-word doc → shingle Jaccard well above 0.8)
+    val base = (0 until 6).map { i =>
+      (i.toLong, (0 until 12).map(w => s"tok${i}_$w").mkString(" "))
+    }
+    val twins = (0 until 3).map { i =>
+      (100L + i,
+        ((0 until 11).map(w => s"tok${i}_$w") :+ "changed").mkString(" "))
+    }
+    val docs = (base ++ twins).toDF("doc_id", "text")
+    val out = TextDedup.lshCalibration(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bandsOptions = Seq(8, 16, 32),
+      minJaccard = 0.2, maxDf = 10, nBins = 5).collect()
+    assert(out.nonEmpty)
+    // one shared truth set: per-banding totals identical
+    val totals = out.groupBy(_.getAs[Int]("bands"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_pairs")).sum }
+    assert(totals.toSet.size == 1 && totals.head == 3L)
+    // analytic column is the exact formula at the bin midpoint
+    out.foreach { r =>
+      val (b, rr) = (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"))
+      assert(b * rr == 64)
+      val s = r.getAs[Double]("j_mid")
+      val exp = BigDecimal(1.0 - math.pow(1.0 - math.pow(s, 64.0 / b), b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("p_analytic") == exp)
+    }
+    // the planted twins sit in the top bin and every banding finds
+    // them (p >= 0.988 even at 8x8 for s = 0.9)
+    val top = out.filter(_.getAs[Int]("bin") == 4)
+    assert(top.length == 3)
+    top.foreach(r => assert(r.getAs[Double]("recall") == 1.0))
+  }
 }
