@@ -85,7 +85,7 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t243_source_overlap", "t244_token_fertility",
            "t245_median_of_means", "t246_hill_tail", "t248_mom_rolling",
            "t249_video_phash", "t251_lsh_calibration", "t252_ranking_metrics",
-           "t253_winnowing", "t254_winnow_pairs"]
+           "t253_winnowing", "t254_winnow_pairs", "t255_datacard"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -218,6 +218,13 @@ NOTES = {
         "in-array from capped lists (no posting self-join), and the "
         "per-doc size join keeps the corpus-sized frame on the probe "
         "side (pairs broadcast by AQE).",
+    "t255_datacard":
+        "ONE groupBy(source) carries the integer legs (dedup counts "
+        "DISTINCT md5 digests — bodies never shuffle); the winnowing "
+        "leg is the t253 in-row projection reduced to the same "
+        "|sources| rows; the final join is |sources|-sized. Every "
+        "column is an exact integer ratio — a release artifact with "
+        "no estimates in it.",
     "t136_score_calibrate":
         "Both Windows are bounded: the data-side Window partitions by "
         "(__pid, source) — one window partition per RANGE partition "

@@ -86,6 +86,9 @@ object SqlFacade {
       .createOrReplaceTempView("hybrid_search")
     graft.queries.TrainingQueries.t38Canonical(spark, sfDir)
       .createOrReplaceTempView("near_dup_clusters")
+    graft.operators.CorpusStats.datacard(Tables.documents(spark, sfDir),
+        "text", "doc_id", "source", "lang")
+      .createOrReplaceTempView("datacard")
   }
 
   /** Run a query written in the reference's BigQuery dialect: the

@@ -668,4 +668,52 @@ object CorpusStats {
         round(col("n_shared").cast("double") /
           least(col("n_a"), col("n_b")), 6).as("overlap_coef"))
   }
+
+  /** Per-source DATACARD — the one-table corpus profile a dataset
+    * release ships: volume (docs, chars, whitespace tokens), language
+    * share, exact-duplicate fraction, and winnowing fingerprint
+    * density (repetitive boilerplate reads low, high-entropy churn
+    * high — see [[TextDedup.winnowingFingerprints]]). Every column is
+    * an exact integer ratio or integer-sum divide, so the card is
+    * hash-exact against a plain SQL replay — no estimates in a
+    * release artifact.
+    *
+    * Scale shape: ONE groupBy(source) over the corpus for the base
+    * aggregates (the dedup leg counts DISTINCT md5 digests — bodies
+    * never shuffle; distinct-by-digest = distinct-by-text modulo
+    * 128-bit collisions, the established convention) plus the in-row
+    * winnowing projection reduced to the same |sources| rows.
+    *
+    * Output: (source, n_docs, total_chars, total_tokens,
+    * mean_doc_tokens, pct_en, exact_dup_frac, winnow_density) — 6dp.
+    */
+  def datacard(docs: DataFrame, textCol: String, idCol: String,
+               sourceCol: String, langCol: String,
+               winnowK: Int = 8, winnowW: Int = 4): DataFrame = {
+    val d = docs.filter(col(textCol).isNotNull)
+    val toks = size(TextDedup.tokens(col(textCol)))
+    val base = d.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).cast("long").as("total_chars"),
+        sum(toks.cast("long")).cast("long").as("total_tokens"),
+        sum(when(col(langCol) === "en", 1L).otherwise(0L)).as("__en"),
+        countDistinct(md5(col(textCol))).as("__dist"))
+    val wn = TextDedup.winnowingFingerprints(d, textCol, idCol,
+        winnowK, winnowW)
+      .join(d.select(col(idCol).as("id"), col(sourceCol).as("source")),
+        "id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_grams")).as("__grams"),
+           sum(col("n_fingerprints")).as("__fps"))
+    base.join(wn, "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_doc_tokens"),
+        round(col("__en").cast("double") / col("n_docs"), 6).as("pct_en"),
+        round(lit(1.0) - col("__dist").cast("double") / col("n_docs"), 6)
+          .as("exact_dup_frac"),
+        round(col("__fps").cast("double") / col("__grams"), 6)
+          .as("winnow_density"))
+  }
 }

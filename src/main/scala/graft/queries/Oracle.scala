@@ -2511,6 +2511,50 @@ object Oracle {
         |JOIN nf fb ON fb.id = pairs.id_b
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // exact mirror of CorpusStats.datacard (t255): one GROUP BY source
+    // of integer legs (tokens unfiltered — the t2 convention; dedup by
+    // md5 digest) + the t253 winnowing replay reduced per source
+    "t255_datacard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, text, lower(text) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |    CAST(sum(len(string_split_regex(t, '[ \t\n\x0B\f\r]+')))
+        |      AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS en,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS dist
+        |  FROM d GROUP BY source
+        |), g AS (
+        |  SELECT source, CASE WHEN length(t) < 8
+        |    THEN [CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)]
+        |    ELSE list_transform(range(1, length(t) - 6),
+        |      i -> CAST('0x' || substr(md5(substr(t, i, 8)), 1, 12)
+        |           AS BIGINT)) END AS hs
+        |  FROM d
+        |), wnd AS (
+        |  SELECT source, len(hs) AS ng,
+        |    len(list_distinct(list_transform(
+        |      range(1, greatest(len(hs) - 3, 1) + 1),
+        |      j -> list_min(hs[j:j+3])))) AS nf
+        |  FROM g
+        |), wn AS (
+        |  SELECT source, CAST(sum(ng) AS BIGINT) AS grams,
+        |         CAST(sum(nf) AS BIGINT) AS fps
+        |  FROM wnd GROUP BY source
+        |)
+        |SELECT base.source, n_docs, total_chars, total_tokens,
+        |  round(CAST(total_tokens AS DOUBLE) / n_docs, 6)
+        |    AS mean_doc_tokens,
+        |  round(CAST(en AS DOUBLE) / n_docs, 6) AS pct_en,
+        |  round(1.0 - CAST(dist AS DOUBLE) / n_docs, 6)
+        |    AS exact_dup_frac,
+        |  round(CAST(fps AS DOUBLE) / grams, 6) AS winnow_density
+        |FROM base JOIN wn USING (source)
+        |ORDER BY source""".stripMargin,
+
     "t102_theta_novelty" ->
       // first-seen replay: n_new(d) = users whose min(day) = d; theta
       // difference in exact mode computes exactly this
@@ -7692,5 +7736,6 @@ object Oracle {
       // qN reuses its operator's oracle verbatim (the q49/t239 pattern)
       ("q50_sql_drift_panel" -> base("t154_drift_panel")) +
       ("q51_sql_hybrid_search" -> base("t94_hybrid_search")) +
-      ("q52_sql_near_dup_clusters" -> base("t38_canonical"))
+      ("q52_sql_near_dup_clusters" -> base("t38_canonical")) +
+      ("q53_sql_datacard" -> base("t255_datacard"))
 }

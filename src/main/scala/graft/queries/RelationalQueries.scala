@@ -866,6 +866,18 @@ object RelationalQueries {
       "SELECT * FROM hybrid_search ORDER BY fused_rank")
   }
 
+  /** q53_sql_datacard — the per-source corpus datacard (t255) through
+    * SQL text over the `datacard` operator view; hash-exact against
+    * t255's oracle. The release-artifact query a SQL-only dataset
+    * owner runs first.
+    */
+  def q53SqlDatacard(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM datacard ORDER BY source")
+  }
+
   /** q52_sql_near_dup_clusters — the t38 exact+n-gram near-dup
     * connected components with canonical survivors through SQL text
     * over the `near_dup_clusters` view; hash-exact against t38's

@@ -5435,6 +5435,16 @@ object TrainingQueries {
         "doc_id", k = 8, w = 4, minShared = 2, maxDf = 10)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** t255_datacard — the per-source corpus profile a dataset release
+    * ships: volume, language share, exact-dup fraction, winnowing
+    * density, all exact integer ratios. Exact oracle (plain SQL
+    * replay of every leg, including the t253 winnowing arithmetic).
+    */
+  def t255Datacard(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.CorpusStats.datacard(Tables.documents(spark, sfDir),
+        "text", "doc_id", "source", "lang")
+      .orderBy(col("source"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -377,5 +377,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(zz.isNullAt(zz.fieldIndex("fertility")))
   }
 
+  test("datacard: hand-checked per-source profile") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "en", "alpha beta gamma delta words here"),
+      (2L, "a", "fr", "alpha beta gamma delta words here"), // exact dup
+      (3L, "a", "en", "a completely different document body"),
+      (4L, "b", "de", "one more unrelated text entirely here"),
+      (5L, "b", "de", null.asInstanceOf[String]) // dropped
+    ).toDF("doc_id", "source", "lang", "text")
+    val card = graft.operators.CorpusStats
+      .datacard(docs, "text", "doc_id", "source", "lang")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = card("a")
+    assert(a.getAs[Long]("n_docs") == 3)
+    assert(a.getAs[Long]("total_chars") ==
+      2 * 33 + "a completely different document body".length)
+    assert(a.getAs[Long]("total_tokens") == 6 + 6 + 5)
+    assert(a.getAs[Double]("pct_en") == BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(a.getAs[Double]("exact_dup_frac") == BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val b = card("b")
+    assert(b.getAs[Long]("n_docs") == 1) // null text dropped
+    assert(b.getAs[Double]("exact_dup_frac") == 0.0)
+    // winnow density present and in (0, 1]
+    assert(card.values.forall { r =>
+      val d = r.getAs[Double]("winnow_density"); d > 0 && d <= 1 })
+  }
+
   private def round6(v: Double): Double = math.rint(v * 1e6) / 1e6
 }
