@@ -51,44 +51,58 @@ object SqlFacade {
     *    hash-exact against t38's oracle).
     *
     * Views are lazy — each materializes only when a SQL statement
-    * actually reads it, so registering the battery costs nothing.
+    * actually reads it — EXCEPT `near_dup_clusters`, whose connected-
+    * components loop is an eager algorithm (per-round actions), so
+    * BUILDING its DataFrame runs the loop. The built views are
+    * therefore cached per (session, sfDir): the first registration
+    * pays the one eager build, every later call (each q49–q53 query,
+    * every bench pass) re-registers the cached frames for free.
     */
+  private val viewCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, DataFrame)]]
+
   def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val docs = Tables.documents(spark, sfDir)
-    graft.operators.TextDedup.exactClusters(docs, "text", "doc_id")
-      .withColumn("jaccard", lit(1.0))
-      .unionByName(graft.operators.TextDedup.minhashNearDups(
-        graft.operators.TextDedup.exact(docs, "text", "doc_id"),
-        "text", "doc_id", threshold = 0.8))
-      .createOrReplaceTempView("minhash_near_dups")
-    graft.ops.Mixing.sampleQuotas(
-        docs.select(col("doc_id"), col("source")), "source", "doc_id",
-        (0 to 4).map(i => s"src$i" -> 10).toMap ++
-          (5 to 9).map(i => s"src$i" -> 5).toMap,
-        defaultQuota = 2)
-      .createOrReplaceTempView("quota_mix")
-    graft.operators.TextAnalysis.qualityFlags(docs, "text")
-      .createOrReplaceTempView("quality_flags")
-    graft.ops.Drift.ksStatisticQuantileBinned(
-        Tables.events(spark, sfDir), Seq("event_type"),
-        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
-          % 2 === 0,
-        "value", nBins = 10)
-      .createOrReplaceTempView("drift_ks")
-    // whole-pipeline verbs already proven by their tNN fixtures — the
-    // view IS the fixture's composition, so the SQL surface returns
-    // the operator's exact output (q50/q51/q52 pin this by reusing
-    // the t154/t94/t38 oracles verbatim)
-    graft.queries.TrainingQueries.t154DriftPanel(spark, sfDir)
-      .createOrReplaceTempView("drift_panel")
-    graft.queries.TrainingQueries.t94HybridSearch(spark, sfDir)
-      .createOrReplaceTempView("hybrid_search")
-    graft.queries.TrainingQueries.t38Canonical(spark, sfDir)
-      .createOrReplaceTempView("near_dup_clusters")
-    graft.operators.CorpusStats.datacard(Tables.documents(spark, sfDir),
-        "text", "doc_id", "source", "lang")
-      .createOrReplaceTempView("datacard")
+    val key = s"${System.identityHashCode(spark)}:$sfDir"
+    val views = viewCache.getOrElseUpdate(key, {
+      val docs = Tables.documents(spark, sfDir)
+      Seq(
+        "minhash_near_dups" ->
+          graft.operators.TextDedup.exactClusters(docs, "text", "doc_id")
+            .withColumn("jaccard", lit(1.0))
+            .unionByName(graft.operators.TextDedup.minhashNearDups(
+              graft.operators.TextDedup.exact(docs, "text", "doc_id"),
+              "text", "doc_id", threshold = 0.8)),
+        "quota_mix" ->
+          graft.ops.Mixing.sampleQuotas(
+            docs.select(col("doc_id"), col("source")), "source", "doc_id",
+            (0 to 4).map(i => s"src$i" -> 10).toMap ++
+              (5 to 9).map(i => s"src$i" -> 5).toMap,
+            defaultQuota = 2),
+        "quality_flags" ->
+          graft.operators.TextAnalysis.qualityFlags(docs, "text"),
+        "drift_ks" ->
+          graft.ops.Drift.ksStatisticQuantileBinned(
+            Tables.events(spark, sfDir), Seq("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              % 2 === 0,
+            "value", nBins = 10),
+        // whole-pipeline verbs already proven by their tNN fixtures —
+        // the view IS the fixture's composition, so the SQL surface
+        // returns the operator's exact output (q50–q53 pin this by
+        // reusing the t154/t94/t38/t255 oracles verbatim)
+        "drift_panel" ->
+          graft.queries.TrainingQueries.t154DriftPanel(spark, sfDir),
+        "hybrid_search" ->
+          graft.queries.TrainingQueries.t94HybridSearch(spark, sfDir),
+        "near_dup_clusters" ->
+          graft.queries.TrainingQueries.t38Canonical(spark, sfDir),
+        "datacard" ->
+          graft.operators.CorpusStats.datacard(
+            Tables.documents(spark, sfDir),
+            "text", "doc_id", "source", "lang"))
+    })
+    views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 
   /** Run a query written in the reference's BigQuery dialect: the
