@@ -286,6 +286,14 @@ object ScaleStress {
       // round-11: ranking metrics — retrievers scan 10×, the metric
       // layer stays O(lists×k) + a 1-row IDCG frame
       "t252_ranking_metrics" -> (TrainingQueries.t252RankingMetrics _),
+      // round-11: winnowing — in-row digest work ∝ characters (the
+      // codec class); t254's postings hit the dup-heavy corpus's
+      // worst case: 10-member copy clusters fill df-capped buckets
+      "t253_winnowing" -> (TrainingQueries.t253Winnowing _),
+      "t254_winnow_pairs" -> (TrainingQueries.t254WinnowPairs _),
+      // round-11: datacard — one groupBy(source) of integer legs +
+      // the winnowing projection reduced to |sources| rows
+      "t255_datacard" -> (TrainingQueries.t255Datacard _),
       // ES weighted sampling: per-row hash+ln, then the salted
       // two-level cap — sort-rate, output fixed at groups×k
       "t116_weighted_sample" -> (TrainingQueries.t116WeightedSample _),
