@@ -85,6 +85,75 @@ object TextKernels {
       UTF8String.fromString(sb.toString)))
   }
 
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Kernel for [[WinnowingFps]]: char-k-gram 48-bit md5 digests (the
+    * portableDigest convention — first 6 md5 bytes of the gram's UTF-8
+    * bytes, so DuckDB replays every value), w-window minima over FULL
+    * windows (one whole-array window when fewer grams than w; one
+    * whole-text gram when fewer than k codepoints), SORTED DISTINCT
+    * output. One byte-walk per row, one reused MessageDigest, zero
+    * per-gram string allocation — the composable form (nested
+    * transform lambdas, one md5/substr expression tree per gram) ran
+    * interpreted and cost ~2 ms/doc; this is the same interpreted-
+    * lambda trap [[hashedShingles]] exists for.
+    */
+  def winnowingFps(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = text.numChars()
+    // codepoint-start byte offsets (UTF-8 continuation bytes are
+    // 10xxxxxx) — gram windows index CODEPOINTS, matching Spark
+    // length()/substr() and DuckDB length()/substr()
+    val starts = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xc0) != 0x80) { starts(ci) = bi; ci += 1 }
+      bi += 1
+    }
+    starts(n) = bytes.length
+    val md = md5Local.get()
+    def digest(off: Int, len: Int): Long = {
+      md.reset()
+      md.update(bytes, off, len)
+      val d = md.digest()
+      ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+      ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+      ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    }
+    val nGrams = if (n < k) 1 else n - k + 1
+    val grams = new Array[Long](nGrams)
+    if (n < k) grams(0) = digest(0, bytes.length)
+    else {
+      var i = 0
+      while (i < nGrams) {
+        grams(i) = digest(starts(i), starts(i + k) - starts(i))
+        i += 1
+      }
+    }
+    val nWin = math.max(nGrams - w + 1, 1)
+    val mins = new Array[Long](nWin)
+    var j = 0
+    while (j < nWin) {
+      var m = grams(j)
+      var t = j + 1
+      val end = math.min(j + w, nGrams)
+      while (t < end) { if (grams(t) < m) m = grams(t); t += 1 }
+      mins(j) = m
+      j += 1
+    }
+    java.util.Arrays.sort(mins)
+    var out = 1
+    var p = 1
+    while (p < nWin) {
+      if (mins(p) != mins(p - 1)) { mins(out) = mins(p); out += 1 }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, out))
+  }
+
   /** Kernel for [[HashedShingles]]: sorted distinct xxhash64 (seed 42)
     * of the lowercased word k-shingles of `text`.
     */
@@ -673,6 +742,24 @@ case class HashedShingles(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Winnowing fingerprint set of a text — sorted distinct 48-bit md5
+  * char-k-gram digests selected by w-window minima (see
+  * [[TextKernels.winnowingFps]]). Codegen'd: one kernel call per row.
+  */
+case class WinnowingFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 2, "k must be >= 2")
+  require(w >= 1, "w must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.winnowingFps(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.winnowingFps($c, $k, $w);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Word k-shingle STRINGS of a text — non-distinct, in document order,
   * lowercased (see [[TextKernels.shingleStrings]]). The composable
   * Catalyst form (`transform(sequence(..), i -> array_join(slice(toks,
@@ -1000,6 +1087,8 @@ object TextFunctions {
     toColumn(ShingleStrings(toExpr(text), k))
   def sorted_intersect_count(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def winnowing_fps(text: Column, k: Int, w: Int): Column =
+    toColumn(WinnowingFps(toExpr(text), k, w))
   def jaro_winkler(a: Column, b: Column): Column =
     toColumn(JaroWinklerSim(toExpr(a), toExpr(b)))
   def damerau_levenshtein(a: Column, b: Column): Column =

@@ -596,24 +596,28 @@ object TextDedup {
     * driver rows are hash-exact, not gated.
     *
     * Texts shorter than k chars fall back to one whole-text gram
-    * (the [[shingles]] convention). Output: (id, fps ARRAY<LONG>).
+    * (the [[shingles]] convention). Output: (id, n_grams,
+    * fps ARRAY<LONG> — sorted distinct).
+    *
+    * The digest/min/distinct chain runs in ONE codegen'd kernel call
+    * per row ([[graft.functions.TextKernels.winnowingFps]]) — the
+    * composable nested-lambda form ran interpreted at ~2 ms/doc
+    * (10.6 s for 5k docs at sf0.1), the same trap hashedShingles
+    * exists for; the kernel is bit-identical (same 48-bit md5
+    * convention, same window rule — WinnowingKernelSpec pins it
+    * against the expression replay).
     */
   private[graft] def winnowingSets(docs: DataFrame, textCol: String,
                                    idCol: String, k: Int,
                                    w: Int): DataFrame = {
     require(k >= 2, s"gram size must be >= 2, got $k")
     require(w >= 1, s"window must be >= 1, got $w")
-    def digest(c: Column) = graft.ops.SnapshotDiff.portableDigest(Seq(c))
     val txt = lower(col(textCol))
-    val grams = when(length(txt) < k, array(digest(txt)))
-      .otherwise(transform(sequence(lit(1), length(txt) - (k - 1)),
-        i => digest(txt.substr(i, lit(k)))))
     docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), grams.as("__hs"))
-      .select(col("id"), size(col("__hs")).as("n_grams"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(col("__hs")) - (w - 1), lit(1))),
-          j => array_min(slice(col("__hs"), j, lit(w))))).as("fps"))
+      .select(col(idCol).as("id"),
+        when(length(txt) < k, lit(1))
+          .otherwise(length(txt) - (k - 1)).as("n_grams"),
+        TextFunctions.winnowing_fps(txt, k, w).as("fps"))
   }
 
   /** Per-document winnowing fingerprint statistics: gram count,

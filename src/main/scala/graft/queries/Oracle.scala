@@ -2555,6 +2555,56 @@ object Oracle {
         |FROM base JOIN wn USING (source)
         |ORDER BY source""".stripMargin,
 
+    // exact mirror of StreamDecontam.flag over the ranged stream
+    // (t256): the stream's content is documents UNION the +100000
+    // id-shifted copies (arrival-order-independent because the flag is
+    // stateless); fingerprints are the t253 winnowing replay; the
+    // reference union comes from the ORIGINAL eval docs (doc_id % 97)
+    "t256_stream_decontam" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |), d AS (
+        |  SELECT doc_id, lower(text) AS t FROM alldocs
+        |  WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, CASE WHEN length(t) < 8
+        |    THEN [CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)]
+        |    ELSE list_transform(range(1, length(t) - 6),
+        |      i -> CAST('0x' || substr(md5(substr(t, i, 8)), 1, 12)
+        |           AS BIGINT)) END AS hs
+        |  FROM d
+        |), wn AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |      range(1, greatest(len(hs) - 3, 1) + 1),
+        |      j -> list_min(hs[j:j+3]))) AS fps
+        |  FROM g
+        |), refd AS (
+        |  SELECT lower(text) AS t FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 97 = 0
+        |), refg AS (
+        |  SELECT CASE WHEN length(t) < 8
+        |    THEN [CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)]
+        |    ELSE list_transform(range(1, length(t) - 6),
+        |      i -> CAST('0x' || substr(md5(substr(t, i, 8)), 1, 12)
+        |           AS BIGINT)) END AS hs
+        |  FROM refd
+        |), ref AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 1) + 1),
+        |    j -> list_min(hs[j:j+3])))) AS h
+        |  FROM refg
+        |), p AS (
+        |  SELECT doc_id, unnest(fps) AS h FROM wn
+        |), sh AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM p JOIN ref USING (h) GROUP BY doc_id
+        |)
+        |SELECT wn.doc_id, coalesce(sh.n_shared, 0) AS n_shared,
+        |  coalesce(sh.n_shared, 0) >= 2 AS contaminated
+        |FROM wn LEFT JOIN sh USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "t102_theta_novelty" ->
       // first-seen replay: n_new(d) = users whose min(day) = d; theta
       // difference in exact mode computes exactly this

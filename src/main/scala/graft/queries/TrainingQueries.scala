@@ -5445,6 +5445,33 @@ object TrainingQueries {
         "text", "doc_id", "source", "lang")
       .orderBy(col("source"))
 
+  /** t256_stream_decontam — ingest-time decontamination: every
+    * streamed document (the 4-batch ranged fixture, originals then
+    * id-shifted copies) is flagged against the eval set's winnowing
+    * fingerprint union (doc_id % 97 — the t48 eval convention) BEFORE
+    * landing. Stateless per row → append mode with NO streaming
+    * state, result independent of arrival order → HASH-EXACT against
+    * a plain batch SQL replay (no gate, no watermark). The reference
+    * union is model-sized driver state (the centroid/BPE-rules
+    * class).
+    */
+  def t256StreamDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val ref = TextDedup.winnowingSets(
+        docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", 8, 4)
+      .select(explode(col("fps")).as("h")).distinct()
+      .collect().map(_.getLong(0))
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(rangedDocsFixture(spark, sfDir))
+    val flagged = graft.streaming.StreamDecontam.flag(
+      stream, "text", "doc_id", ref, k = 8, w = 4, minShared = 2)
+    graft.streaming.StreamingFlows.runAvailableNow(spark, flagged,
+        s"t256_decontam_${System.nanoTime}")
+      .orderBy(col("doc_id"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -294,6 +294,11 @@ object ScaleStress {
       // round-11: datacard — one groupBy(source) of integer legs +
       // the winnowing projection reduced to |sources| rows
       "t255_datacard" -> (TrainingQueries.t255Datacard _),
+      // round-11: streaming decontam — stateless per-row kernel +
+      // sorted-merge against a model-sized literal; the stream reads
+      // the BASE fixture either way (its 10x axis is the base corpus
+      // growth), so the row mainly witnesses kernel-rate stability
+      "t256_stream_decontam" -> (TrainingQueries.t256StreamDecontam _),
       // ES weighted sampling: per-row hash+ln, then the salted
       // two-level cap — sort-rate, output fixed at groups×k
       "t116_weighted_sample" -> (TrainingQueries.t116WeightedSample _),

@@ -348,6 +348,45 @@ class TextDedupSpec extends SparkSpec {
       short.getAs[Long]("n_fingerprints") == 1)
   }
 
+  test("winnowing kernel is bit-identical to the composable expression " +
+       "replay (incl. multibyte codepoints, short docs, empty text)") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "ab", "", "exactly8", "ninechars",
+      "ünïcödé çhärs in the grams too — κόσμε 世界 mixed in",
+      "aaaaaaaaaaaaaaaaaaaaaaa", // degenerate: all grams identical
+      "MiXeD CaSe LoWeRs ThRoUgH tHe SaMe PaTh")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 4), (3, 2), (5, 1))) {
+      // the pre-kernel formulation: per-gram portableDigest via
+      // nested lambdas, window minima via array_min(slice), distinct
+      def digest(c: org.apache.spark.sql.Column) =
+        graft.ops.SnapshotDiff.portableDigest(Seq(c))
+      val txt = lower(col("text"))
+      val grams = when(length(txt) < k, array(digest(txt)))
+        .otherwise(transform(sequence(lit(1), length(txt) - (k - 1)),
+          i => digest(txt.substr(i, lit(k)))))
+      val expected = df.select(col("doc_id"), grams.as("hs"))
+        .select(col("doc_id"), sort_array(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          j => array_min(slice(col("hs"), j, lit(w)))))).as("fps"))
+        .orderBy(col("doc_id")).as[(Long, Seq[Long])].collect().toSeq
+      val got = TextDedup.winnowingSets(df, "text", "doc_id", k, w)
+        .select(col("id"), col("fps"))
+        .orderBy(col("id")).as[(Long, Seq[Long])].collect().toSeq
+      assert(got == expected, s"kernel/expression divergence at k=$k w=$w")
+    }
+    // n_grams matches the codepoint count rule
+    val ng = TextDedup.winnowingSets(df, "text", "doc_id", 8, 4)
+      .select(col("id"), col("n_grams")).as[(Long, Int)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val n = t.codePointCount(0, t.length)
+      assert(ng(i.toLong) == math.max(n - 7, 1), s"n_grams for '$t'")
+    }
+  }
+
   test("lshCalibration: shared truth across bandings, analytic S-curve " +
        "values exact, near-identical planted pairs recalled everywhere") {
     import spark.implicits._
