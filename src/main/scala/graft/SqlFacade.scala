@@ -48,7 +48,15 @@ object SqlFacade {
     *    hash-exact against t94's oracle);
     *  - `near_dup_clusters`  — exact+n-gram near-dup connected
     *    components with canonical survivors (t38 composition; q52,
-    *    hash-exact against t38's oracle).
+    *    hash-exact against t38's oracle);
+    *  - `datacard`           — the per-source corpus release profile
+    *    (t255 composition; q53, hash-exact against t255's oracle);
+    *  - `cluster_quality`    — per-cluster inertia / silhouette /
+    *    Davies–Bouldin audit (t257 composition; q54, hash-exact;
+    *    building it collects the k md5-ordered seed centroids —
+    *    model-sized, cached with the view);
+    *  - `canonical_dups`     — Unicode-canonical duplicate groups
+    *    (t259 composition; q55, hash-exact).
     *
     * Views are lazy — each materializes only when a SQL statement
     * actually reads it — EXCEPT `near_dup_clusters`, whose connected-
@@ -100,7 +108,11 @@ object SqlFacade {
         "datacard" ->
           graft.operators.CorpusStats.datacard(
             Tables.documents(spark, sfDir),
-            "text", "doc_id", "source", "lang"))
+            "text", "doc_id", "source", "lang"),
+        "cluster_quality" ->
+          graft.queries.TrainingQueries.t257ClusterQuality(spark, sfDir),
+        "canonical_dups" ->
+          graft.queries.TrainingQueries.t259CanonicalDedup(spark, sfDir))
     })
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }

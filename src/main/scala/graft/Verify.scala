@@ -655,6 +655,29 @@ object Verify {
             r.getAs[Long]("tgt_id") % 2 != 0
           }
         },
+      // Lloyd refinement monotonicity (t258): the spherical k-means
+      // objective (mean cosine to the argmax centroid) must not
+      // decrease from the seeds to the refined centroids — the
+      // assign/update steps each guarantee it in exact arithmetic
+      // (1e-9 ulp slack); plus the structural read-back
+      "t258 direct: 2 stages, n equal > 0, mean_cos in [-1,1], " +
+        "refined >= seed - 1e-9" ->
+        rows("t258_lloyd_gain").map { rs =>
+          def stage(s: String) = rs.find(_.getAs[String]("stage") == s)
+          (stage("seed"), stage("refined")) match {
+            case (Some(a), Some(b)) =>
+              rs.length == 2 &&
+              a.getAs[Long]("n") == b.getAs[Long]("n") &&
+              a.getAs[Long]("n") > 0L &&
+              Seq(a, b).forall { r =>
+                val m = r.getAs[Double]("mean_cos")
+                !m.isNaN && m >= -1.0 - 1e-9 && m <= 1.0 + 1e-9
+              } &&
+              b.getAs[Double]("mean_cos") >=
+                a.getAs[Double]("mean_cos") - 1e-9
+            case _ => false
+          }
+        },
       "t235 direct: one row, sampled <= edges, estimate and cc sane" ->
         rows("t235_triangle_doulion").map(rs => rs.length == 1 && {
           val r = rs.head

@@ -21,6 +21,21 @@ object TextKernels {
 
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
+  /** Kernel for [[NfcNormalizeExpr]]: Unicode NFC composition via
+    * `java.text.Normalizer` (the JDK's ICU-derived implementation —
+    * same canonical composition tables as utf8proc, so a DuckDB
+    * `nfc_normalize` oracle replays it exactly). Fast path: NFC
+    * quick-check on the already-normalized common case (ASCII and
+    * composed text) avoids the String round-trip entirely.
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Kernel for [[BpeishTokenCount]]: one pass over the UTF-8 bytes.
     * States track whether the previous byte extended an ASCII letter
     * or digit run; every other non-whitespace code point counts at its
@@ -1042,6 +1057,24 @@ case class CompressionProfileExpr(child: Expression)
   * keeps the whole histogram row-local, so the operator has no shuffle
   * at all.
   */
+/** Unicode NFC normalization — the canonicalization step Spark's
+  * function library lacks (lower/trim exist; composition does not).
+  * Codegen'd static call into [[TextKernels.nfcNormalize]]; the
+  * quick-check fast path returns the input UTF8String unchanged for
+  * already-NFC text, so the hot ASCII path allocates nothing.
+  */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.nfcNormalize($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class CharEntropyExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = StructType(Seq(
@@ -1089,6 +1122,8 @@ object TextFunctions {
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
   def winnowing_fps(text: Column, k: Int, w: Int): Column =
     toColumn(WinnowingFps(toExpr(text), k, w))
+  def nfc_normalize(text: Column): Column =
+    toColumn(NfcNormalizeExpr(toExpr(text)))
   def jaro_winkler(a: Column, b: Column): Column =
     toColumn(JaroWinklerSim(toExpr(a), toExpr(b)))
   def damerau_levenshtein(a: Column, b: Column): Column =

@@ -248,7 +248,8 @@ object Similarity {
     * supply every centroid and collapse the index to one cell. Handles
     * FLOAT and DOUBLE element types.
     */
-  private def seedCentroids(vecs: DataFrame, nlist: Int): Array[Seq[Double]] =
+  private[operators] def seedCentroids(vecs: DataFrame,
+      nlist: Int): Array[Seq[Double]] =
     vecs.select(col("vec"))
       .distinct()
       .orderBy(xxhash64(col("vec")), col("vec").cast("string"))

@@ -52,6 +52,52 @@ object TextDedup {
     docs.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** Unicode-CANONICAL text: NFC composition (the native
+    * [[graft.functions.NfcNormalizeExpr]] kernel — "café" typed as
+    * e+combining-acute equals "café" typed composed) → lowercase →
+    * whitespace runs collapsed to one space → trim. The
+    * normalize-before-dedup step web-corpus pipelines run so encoding
+    * variants of the same document collapse under EXACT dedup instead
+    * of surviving to the (much costlier) near-dup stage. Pure per-row
+    * expression work, fully codegen'd; the NFC quick-check fast path
+    * makes already-normalized ASCII free.
+    */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(TextFunctions.nfc_normalize(text)),
+      "[ \t\n\u000B\f\r]+", " "))
+
+  /** Exact dedup over the CANONICAL form — [[exact]]'s keep-first
+    * contract, with the digest taken on [[canonicalText]] (bodies
+    * still never ride the shuffle — only (id, digest) aggregates).
+    */
+  def canonicalExact(docs: DataFrame, textCol: String,
+                     idCol: String): DataFrame = {
+    val survivors = docs
+      .select(col(idCol), md5(canonicalText(col(textCol))).as("__digest"))
+      .groupBy(col("__digest"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(survivors, Seq(idCol), "left_semi")
+  }
+
+  /** Canonical duplicate groups: one row per canonical form with > 1
+    * member — (kept_id, n_docs, canon_chars), the audit view of what
+    * [[canonicalExact]] would collapse. canon_chars (code points of
+    * the canonical form) rides along so a NFC-variant group is
+    * distinguishable from a pure whitespace-variant group in review.
+    */
+  def canonicalGroups(docs: DataFrame, textCol: String,
+                      idCol: String): DataFrame =
+    docs.select(col(idCol),
+        md5(canonicalText(col(textCol))).as("__digest"),
+        length(canonicalText(col(textCol))).as("__chars"))
+      .groupBy(col("__digest"))
+      .agg(min(col(idCol)).as("kept_id"),
+        count(lit(1)).as("n_docs"),
+        min(col("__chars")).as("canon_chars"))
+      .filter(col("n_docs") > 1)
+      .select(col("kept_id"), col("n_docs"), col("canon_chars"))
+
   /** MinHash signatures as ARRAY<LONG>, one per doc, via the native
     * one-pass [[graft.functions.MinHashSignature]] expression: NO
     * explode, NO shuffle — the signature is a per-row map over the

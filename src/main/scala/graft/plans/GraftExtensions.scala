@@ -122,6 +122,9 @@ object GraftExtensions {
         .toAggregateExpression()),
     fn("cov_moments", 2,
       a => CovMoments(a(0), intArg(a(1))).toAggregateExpression()),
+    // round 11: Unicode canonicalization (NFC composition — the
+    // normalization step lower/trim don't cover)
+    fn("nfc_normalize", 1, a => NfcNormalizeExpr(a(0))),
     // round 9: record-linkage string verifiers
     fn("jaro_winkler", 2, a => JaroWinklerSim(a(0), a(1))),
     fn("damerau_levenshtein", 2,

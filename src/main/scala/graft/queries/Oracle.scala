@@ -2605,6 +2605,153 @@ object Oracle {
         |FROM wn LEFT JOIN sh USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // exact mirror of ClusterEval.clusterQuality (t257): md5-ordered
+    // seed centroids, micro-quantized components, exact-integer
+    // squared distances (row_number over (d2, cid) = the engine's
+    // first-min-position tie rule), per-point micro-rounded
+    // silhouette/root-distance, one IEEE divide per output at 6dp
+    "t257_cluster_quality" ->
+      """WITH q AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), cents AS (
+        |  SELECT CAST(row_number() OVER
+        |      (ORDER BY md5(CAST(id AS VARCHAR)), id) AS INT) - 1 AS cid, v
+        |  FROM q
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) <= 8
+        |), d AS (
+        |  SELECT q.id, c.cid,
+        |    list_sum(list_transform(range(1, len(q.v) + 1),
+        |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+        |  FROM q CROSS JOIN cents c
+        |), ranked AS (
+        |  SELECT id, cid, d2,
+        |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+        |  FROM d
+        |), pp AS (
+        |  SELECT r1.id, r1.cid AS own, r1.d2 AS a, r2.d2 AS b
+        |  FROM ranked r1 JOIN ranked r2 ON r1.id = r2.id AND r2.rn = 2
+        |  WHERE r1.rn = 1
+        |), pt AS (
+        |  SELECT own, a,
+        |    CASE WHEN greatest(a, b) > 0 THEN
+        |      CAST(round(CAST(b - a AS DOUBLE)
+        |        / CAST(greatest(a, b) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    ELSE 0 END AS sil_micro,
+        |    CAST(round(sqrt(CAST(a AS DOUBLE))) AS BIGINT) AS r_micro
+        |  FROM pp
+        |), agg AS (
+        |  SELECT own AS cluster, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(a AS HUGEINT)) AS inertia_sum,
+        |    sum(sil_micro) AS sil_sum, sum(r_micro) AS r_sum
+        |  FROM pt GROUP BY own
+        |), cd AS (
+        |  SELECT c1.cid AS i, c2.cid AS j,
+        |    sqrt(CAST(list_sum(list_transform(range(1, len(c1.v) + 1),
+        |      t -> (c1.v[t] - c2.v[t]) * (c1.v[t] - c2.v[t])))
+        |      AS DOUBLE)) AS dcc
+        |  FROM cents c1 CROSS JOIN cents c2 WHERE c1.cid <> c2.cid
+        |), db AS (
+        |  SELECT a1.cluster,
+        |    max((CAST(a1.r_sum AS DOUBLE) / a1.n
+        |       + CAST(a2.r_sum AS DOUBLE) / a2.n) / cd.dcc) AS db_term
+        |  FROM agg a1 JOIN cd ON cd.i = a1.cluster
+        |  JOIN agg a2 ON a2.cluster = cd.j
+        |  WHERE cd.dcc > 0
+        |  GROUP BY a1.cluster
+        |)
+        |SELECT CAST(agg.cluster AS INT) AS cluster, n,
+        |  round(CAST(inertia_sum AS DOUBLE) / 1e12, 6) AS inertia,
+        |  round(CAST(sil_sum AS DOUBLE) / n / 1e6, 6) AS mean_silhouette,
+        |  round(CAST(r_sum AS DOUBLE) / n / 1e6, 6) AS mean_dist,
+        |  round(db.db_term, 6) AS db_worst
+        |FROM agg LEFT JOIN db USING (cluster)
+        |ORDER BY cluster""".stripMargin,
+
+    // exact mirror of TextDedup.canonicalGroups over the t259 planted
+    // variants: DuckDB nfc_normalize == the JDK normalizer (same
+    // Unicode composition tables); grouping by the canonical STRING
+    // equals the engine's grouping by its md5 (collision-free)
+    "t259_canonical_dedup" ->
+      ("""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         text || ' Cafe' || chr(769) || '  U' || chr(776) || 'BER'
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || chr(9) || 'caf""" +
+        "\u00e9 \u00fc" + """ber '
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), canon AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(nfc_normalize(text)),
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS c
+        |  FROM all_docs
+        |)
+        |SELECT min(doc_id) AS kept_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(length(c)) AS INT) AS canon_chars
+        |FROM canon GROUP BY c HAVING count(*) > 1
+        |ORDER BY kept_id""").stripMargin,
+
+    // exact mirror of IngestQuality.gate over the streamed doubled
+    // corpus (t260): the t30 quality replay + the t19 PII counters,
+    // stateless per row so the batch replay is exact
+    "t260_stream_quality" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |), b AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks,
+        |         length(text) AS n_chars,
+        |         length(text) -
+        |           length(regexp_replace(text, '[^\p{L}\p{N} \t\n\x0B\f\r]', '', 'g')) AS n_sym
+        |  FROM alldocs
+        |), m AS (
+        |  SELECT doc_id, text,
+        |         len(toks) AS n_tokens,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+        |                     AS DOUBLE) / len(toks) END AS mean_len,
+        |         CASE WHEN n_chars = 0 THEN 0.0
+        |              ELSE CAST(n_sym AS DOUBLE) / n_chars END AS sym_ratio,
+        |         CASE WHEN len(toks) < 2 THEN 0.0
+        |              ELSE 1.0 - CAST(len(list_distinct(
+        |                     list_transform(range(len(toks) - 1),
+        |                       i -> toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+        |                   / (len(toks) - 1)
+        |         END AS dup_frac
+        |  FROM b
+        |), p AS (
+        |  SELECT doc_id, n_tokens, mean_len, sym_ratio, dup_frac,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '[0-9]{3,}')) AS n_num_runs
+        |  FROM m
+        |)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |       round(mean_len, 6) AS mean_word_len,
+        |       round(sym_ratio, 6) AS symbol_ratio,
+        |       round(dup_frac, 6) AS dup_bigram_frac,
+        |       (n_tokens BETWEEN 5 AND 10000)
+        |         AND (mean_len BETWEEN 2.0 AND 12.0)
+        |         AND sym_ratio <= 0.3 AND dup_frac <= 0.3 AS quality_ok,
+        |       CAST(n_emails AS INT) AS n_emails,
+        |       CAST(n_num_runs AS INT) AS n_num_runs,
+        |       n_emails = 0 AND n_num_runs = 0 AS pii_free,
+        |       (n_tokens BETWEEN 5 AND 10000)
+        |         AND (mean_len BETWEEN 2.0 AND 12.0)
+        |         AND sym_ratio <= 0.3 AND dup_frac <= 0.3
+        |         AND n_emails = 0 AND n_num_runs = 0 AS keep
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "t102_theta_novelty" ->
       // first-seen replay: n_new(d) = users whose min(day) = d; theta
       // difference in exact mode computes exactly this
@@ -7787,5 +7934,7 @@ object Oracle {
       ("q50_sql_drift_panel" -> base("t154_drift_panel")) +
       ("q51_sql_hybrid_search" -> base("t94_hybrid_search")) +
       ("q52_sql_near_dup_clusters" -> base("t38_canonical")) +
-      ("q53_sql_datacard" -> base("t255_datacard"))
+      ("q53_sql_datacard" -> base("t255_datacard")) +
+      ("q54_sql_cluster_quality" -> base("t257_cluster_quality")) +
+      ("q55_sql_canonical_dups" -> base("t259_canonical_dedup"))
 }

@@ -878,6 +878,30 @@ object RelationalQueries {
       "SELECT * FROM datacard ORDER BY source")
   }
 
+  /** q54_sql_cluster_quality — the t257 per-cluster quality audit
+    * (inertia, simplified silhouette, Davies–Bouldin worst term)
+    * through SQL text over the `cluster_quality` operator view;
+    * hash-exact against t257's oracle.
+    */
+  def q54SqlClusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM cluster_quality ORDER BY cluster")
+  }
+
+  /** q55_sql_canonical_dups — the t259 Unicode-canonical duplicate
+    * groups through SQL text over the `canonical_dups` view (the
+    * native nfc_normalize SQL function is also registered for ad-hoc
+    * use); hash-exact against t259's oracle.
+    */
+  def q55SqlCanonicalDups(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM canonical_dups ORDER BY kept_id")
+  }
+
   /** q52_sql_near_dup_clusters — the t38 exact+n-gram near-dup
     * connected components with canonical survivors through SQL text
     * over the `near_dup_clusters` view; hash-exact against t38's

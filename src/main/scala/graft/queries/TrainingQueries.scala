@@ -5472,6 +5472,74 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t257_cluster_quality — per-cluster quality audit of the nearest-
+    * centroid partition over the embeddings (k = 8 md5-seeded
+    * centroids): members, inertia, simplified silhouette, mean root
+    * distance, Davies–Bouldin worst term. Exact integer contract
+    * (micro-quantized components, per-point micro-rounded ratios, one
+    * IEEE divide per output) → hash-exact DuckDB oracle.
+    */
+  def t257ClusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.ClusterEval.seedByMd5(
+      emb, "vec_id", "embedding", k = 8)
+    graft.operators.ClusterEval.clusterQuality(
+      emb, "vec_id", "embedding", cents)
+  }
+
+  /** t258_lloyd_gain — does Lloyd refinement earn its keep on this
+    * corpus? The spherical k-means objective (mean cosine to the
+    * argmax centroid) at the seeds vs after 2 refinement passes.
+    * Rows-only; the Verify gate enforces the monotonicity contract
+    * (refined ≥ seed up to ulps) the update step guarantees.
+    */
+  def t258LloydGain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.ClusterEval.lloydGain(
+      Tables.embeddings(spark, sfDir), "embedding", nlist = 8, iters = 2)
+
+  /** t259_canonical_dedup — Unicode-canonical duplicate groups: the
+    * corpus plus two planted variant families per doc_id % 11 == 0
+    * (an NFD-DECOMPOSED suffix with doubled spaces, and the same
+    * suffix composed with a tab) that differ as byte strings but
+    * collapse under NFC + casefold + whitespace canonicalization.
+    * Exact oracle (DuckDB nfc_normalize replays the JDK normalizer —
+    * same Unicode composition tables).
+    */
+  def t259CanonicalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 11 === 0)
+    val decomposed = base.select(
+      (col("doc_id") + 200000).as("doc_id"),
+      concat(col("text"), lit(" Cafe\u0301  U\u0308BER")).as("text"))
+    val composed = base.select(
+      (col("doc_id") + 300000).as("doc_id"),
+      concat(col("text"), lit("\tcaf\u00e9 \u00fcber ")).as("text"))
+    TextDedup.canonicalGroups(
+        docs.unionByName(decomposed).unionByName(composed),
+        "text", "doc_id")
+      .orderBy(col("kept_id"))
+  }
+
+  /** t260_stream_quality — the ingest-time quality gate: every
+    * streamed document (the 4-batch ranged fixture) scored against
+    * the Gopher/C4 heuristics + PII counters BEFORE landing.
+    * Stateless per row → append mode, no state, arrival-order
+    * independent → HASH-EXACT against the batch SQL replay (the t256
+    * convention).
+    */
+  def t260StreamQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(rangedDocsFixture(spark, sfDir))
+    val gated = graft.streaming.IngestQuality.gate(stream, "text", "doc_id")
+    graft.streaming.StreamingFlows.runAvailableNow(spark, gated,
+        s"t260_quality_${System.nanoTime}")
+      .orderBy(col("doc_id"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -299,6 +299,16 @@ object ScaleStress {
       // the BASE fixture either way (its 10x axis is the base corpus
       // growth), so the row mainly witnesses kernel-rate stability
       "t256_stream_decontam" -> (TrainingQueries.t256StreamDecontam _),
+      // round-11 continuation: cluster quality — the k distances live
+      // in ONE array column per row (no explode), aggregates are
+      // k-row; cost is a pure O(N·k·d) scan
+      "t257_cluster_quality" -> (TrainingQueries.t257ClusterQuality _),
+      // canonical dedup — per-row NFC kernel (quick-check fast path)
+      // + the digest groupBy; bodies never shuffle
+      "t259_canonical_dedup" -> (TrainingQueries.t259CanonicalDedup _),
+      // streaming quality gate — stateless per-row expression work
+      // (the t256 class); witnesses kernel-rate stability
+      "t260_stream_quality" -> (TrainingQueries.t260StreamQuality _),
       // ES weighted sampling: per-row hash+ln, then the salted
       // two-level cap — sort-rate, output fixed at groups×k
       "t116_weighted_sample" -> (TrainingQueries.t116WeightedSample _),

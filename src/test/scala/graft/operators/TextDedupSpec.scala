@@ -423,4 +423,39 @@ class TextDedupSpec extends SparkSpec {
     assert(top.length == 3)
     top.foreach(r => assert(r.getAs[Double]("recall") == 1.0))
   }
+
+  test("canonicalText: NFC composition + casefold + whitespace collapse") {
+    val df = Seq(
+      (0L, "CAFE\u0301   x"),        // decomposed E + acute, run of spaces
+      (1L, "café x"),           // composed, already canonical
+      (2L, "  plain\tascii\n ok "),  // whitespace variants + edges
+      (3L, "U\u0308ber")             // decomposed U + diaeresis
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextDedup.canonicalText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "café x")
+    assert(out(1L) == "café x")
+    assert(out(2L) == "plain ascii ok")
+    assert(out(3L) == "über")
+  }
+
+  test("canonicalExact collapses NFC/case/whitespace variants keep-first; " +
+    "canonicalGroups reports them") {
+    val df = Seq(
+      (10L, "The Quick   Fox"),
+      (11L, "the quick fox"),
+      (12L, "the quick fox jumps"),   // distinct doc
+      (13L, "Cafe\u0301 story"),
+      (14L, "café story"),
+      (15L, "cafe story")             // NOT a variant (no accent)
+    ).toDF("doc_id", "text")
+    val kept = TextDedup.canonicalExact(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(10L, 12L, 13L, 15L))
+    val groups = TextDedup.canonicalGroups(df, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("kept_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Int]("canon_chars"))).sorted
+    assert(groups.toSeq == Seq((10L, 2L, 13), (13L, 2L, 10)))
+  }
 }
