@@ -56,7 +56,11 @@ object SqlFacade {
     *    building it collects the k md5-ordered seed centroids —
     *    model-sized, cached with the view);
     *  - `canonical_dups`     — Unicode-canonical duplicate groups
-    *    (t259 composition; q55, hash-exact).
+    *    (t259 composition; q55, hash-exact);
+    *  - `embedding_card`     — per-label embedding health card
+    *    (t261 composition; q56, hash-exact);
+    *  - `corpus_diff`        — release-to-release snapshot delta
+    *    (t262 composition; q57, hash-exact).
     *
     * Views are lazy — each materializes only when a SQL statement
     * actually reads it — EXCEPT `near_dup_clusters`, whose connected-
@@ -112,7 +116,11 @@ object SqlFacade {
         "cluster_quality" ->
           graft.queries.TrainingQueries.t257ClusterQuality(spark, sfDir),
         "canonical_dups" ->
-          graft.queries.TrainingQueries.t259CanonicalDedup(spark, sfDir))
+          graft.queries.TrainingQueries.t259CanonicalDedup(spark, sfDir),
+        "embedding_card" ->
+          graft.queries.TrainingQueries.t261EmbeddingCard(spark, sfDir),
+        "corpus_diff" ->
+          graft.queries.TrainingQueries.t262CorpusDiff(spark, sfDir))
     })
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }

@@ -678,6 +678,21 @@ object Verify {
             case _ => false
           }
         },
+      // common-component removal (t263): the residuals must actually
+      // be orthogonal to the removed directions (float-epsilon scale
+      // — 1e-9 is ~1000x the measured magnitude), and the residual
+      // corpus' top variance must sit at or below the removed top
+      "t263 direct: 5 checks, orthogonal residuals, variance dropped" ->
+        rows("t263_common_component").map { rs =>
+          def v(c: String) = rs.find(_.getAs[String]("check") == c)
+            .map(_.getAs[Double]("value"))
+          rs.length == 5 &&
+          v("n").exists(_ > 0) &&
+          v("max_abs_dot_removed_dirs").exists(_ <= 1e-9) &&
+          (for (b <- v("var_top_before"); a <- v("var_top_after"))
+            yield a <= b && a >= 0 && b > 0).getOrElse(false) &&
+          v("removed_var_frac").exists(f => f > 0 && f <= 1.0)
+        },
       "t235 direct: one row, sampled <= edges, estimate and cc sane" ->
         rows("t235_triangle_doulion").map(rs => rs.length == 1 && {
           val r = rs.head

@@ -41,6 +41,77 @@ object ProjectionKernels {
   }
 }
 
+object RemoveComponentsKernel {
+  /** y = (x − mean) − Σ_e ((x − mean)·basis_e)·basis_e — common-
+    * component removal keeping the full dimension d. Basis rows must
+    * be orthonormal for exact per-row orthogonality of the output
+    * (the t263 gate measures it).
+    */
+  def removeComponents(v: ArrayData, mean: Array[Double],
+                       basis: Array[Array[Double]],
+                       floatElems: Boolean): ArrayData = {
+    val d = mean.length
+    require(v.numElements() == d,
+      s"vector length ${v.numElements()} != expected $d")
+    val x = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      x(j) = (if (floatElems) v.getFloat(j).toDouble else v.getDouble(j)) -
+        mean(j)
+      j += 1
+    }
+    var e = 0
+    while (e < basis.length) {
+      val row = basis(e)
+      var s = 0.0
+      j = 0
+      while (j < d) { s += x(j) * row(j); j += 1 }
+      j = 0
+      while (j < d) { x(j) -= s * row(j); j += 1 }
+      e += 1
+    }
+    val out = new Array[Any](d)
+    j = 0
+    while (j < d) { out(j) = x(j); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class RemoveComponentsExpr(child: Expression, mean: Seq[Double],
+                                basis: Seq[Seq[Double]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(basis.nonEmpty && basis.forall(_.length == mean.length),
+    "basis rows must match mean dimension")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes =
+    Seq(org.apache.spark.sql.graftshim.Bridge.vectorArrayType)
+
+  @transient private lazy val meanArr: Array[Double] = mean.toArray
+  @transient private lazy val basisArr: Array[Array[Double]] =
+    basis.map(_.toArray).toArray
+
+  private def floatElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    RemoveComponentsKernel.removeComponents(v.asInstanceOf[ArrayData],
+      meanArr, basisArr, floatElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("mean", meanArr, "double[]")
+    val b = ctx.addReferenceObj("basis", basisArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RemoveComponentsKernel." +
+        s"removeComponents($c, $m, $b, $floatElems);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class ProjectWhitenExpr(child: Expression, mean: Seq[Double],
                              basis: Seq[Seq[Double]], scales: Seq[Double])
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -84,4 +155,7 @@ object ProjectionFunctions {
   def project_whiten(vec: Column, mean: Seq[Double], basis: Seq[Seq[Double]],
                      scales: Seq[Double]): Column =
     toColumn(ProjectWhitenExpr(toExpr(vec), mean, basis, scales))
+  def remove_components(vec: Column, mean: Seq[Double],
+                        basis: Seq[Seq[Double]]): Column =
+    toColumn(RemoveComponentsExpr(toExpr(vec), mean, basis))
 }

@@ -716,4 +716,38 @@ object CorpusStats {
         round(col("__fps").cast("double") / col("__grams"), 6)
           .as("winnow_density"))
   }
+
+  /** Corpus SNAPSHOT DIFF — the release-to-release delta table a
+    * dataset owner ships next to the [[datacard]]: per source, how
+    * many documents were added, removed, changed (same id, different
+    * content digest), and unchanged between two corpus versions.
+    *
+    * Scale shape: both sides reduce to (id, source, md5 digest)
+    * BEFORE the full-outer id join — document bodies never shuffle
+    * (the dedup convention); the diff itself is a |groups|-row
+    * aggregate. Exact integer output → hash-exact oracle.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                 textCol: String, sourceCol: String): DataFrame = {
+    def key(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as("__id"),
+        col(sourceCol).as(s"__src_$tag"),
+        md5(col(textCol)).as(s"__dig_$tag"))
+    key(oldDocs, "old").join(key(newDocs, "new"), Seq("__id"), "full_outer")
+      .select(coalesce(col("__src_new"), col("__src_old")).as("source"),
+        when(col("__dig_old").isNull, "added")
+          .when(col("__dig_new").isNull, "removed")
+          .when(col("__dig_old") =!= col("__dig_new"), "changed")
+          .otherwise("unchanged").as("__status"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("__status") === "added", 1L).otherwise(0L))
+             .as("n_added"),
+           sum(when(col("__status") === "removed", 1L).otherwise(0L))
+             .as("n_removed"),
+           sum(when(col("__status") === "changed", 1L).otherwise(0L))
+             .as("n_changed"),
+           sum(when(col("__status") === "unchanged", 1L).otherwise(0L))
+             .as("n_unchanged"))
+      .orderBy(col("source"))
+  }
 }

@@ -156,6 +156,71 @@ object Pca {
     out
   }
 
+  /** Common-component removal ("all-but-the-top", Mu & Viswanath
+    * ICLR'18; Arora et al.'s tough-to-beat baseline): center, then
+    * subtract the projections onto the top-k principal directions —
+    * y = (x − μ) − Σ_e ((x−μ)·v_e)·v_e. Anisotropic embedding spaces
+    * concentrate mass in a few directions that carry frequency, not
+    * meaning; removing them measurably improves cosine retrieval.
+    * Output keeps the FULL dimension d (unlike [[whiten]]'s k-dim
+    * projection). One codegen'd kernel pass per row; the k×d basis is
+    * a codegen reference object. Same malformed-row skip contract as
+    * [[whiten]].
+    */
+  def removeTop(vecs: DataFrame, vecCol: String, model: PcaModel,
+                outCol: String = "residual"): DataFrame =
+    vecs
+      .filter(col(vecCol).isNotNull &&
+        size(col(vecCol)) === model.mean.length)
+      .withColumn(outCol,
+        ProjectionFunctions.remove_components(col(vecCol),
+          model.mean.toSeq, model.eigVecs.map(_.toSeq).toSeq))
+
+  /** Corpus-level embedding HEALTH CARD per group — the pre-flight a
+    * vector pipeline runs before indexing 100 TB: row and defect
+    * counts (null vectors, wrong dimension, non-finite elements,
+    * all-zero vectors) plus the norm distribution of the healthy rows
+    * (exact interpolated percentiles + mean). Exact integer contract:
+    * norms micro-rounded to longs (one IEEE sqrt per row), percentile
+    * interpolation runs on integers in both engines → hash-exact
+    * DuckDB `quantile_cont` oracle (the t141 convention). One scan,
+    * |groups|-row output.
+    */
+  def embeddingCard(vecs: DataFrame, groupCols: Seq[String],
+                    vecCol: String, d: Int): DataFrame = {
+    val v = col(vecCol)
+    val isNull = v.isNull
+    val badDim = !isNull && size(v) =!= d
+    val nonFinite = !isNull && size(v) === d &&
+      exists(v, x => isnan(x.cast("double")) ||
+        x.cast("double") === Double.PositiveInfinity ||
+        x.cast("double") === Double.NegativeInfinity)
+    val ok = !isNull && size(v) === d && !nonFinite
+    val zero = ok && forall(v, x => x.cast("double") === 0.0)
+    // micro norm of healthy rows only (NULL elsewhere so aggregates skip)
+    val rMicro = when(ok,
+      round(sqrt(aggregate(v, lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")) * 1e12))
+        .cast("long"))
+    val staged = vecs.select((groupCols.map(col) ++ Seq(
+      isNull.cast("long").as("__null"), badDim.cast("long").as("__bad"),
+      nonFinite.cast("long").as("__nf"), zero.cast("long").as("__zero"),
+      ok.cast("long").as("__ok"), rMicro.as("__r_micro"))): _*)
+    staged.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__null")).as("n_null"),
+        sum(col("__bad")).as("n_bad_dim"),
+        sum(col("__nf")).as("n_nonfinite"),
+        sum(col("__zero")).as("n_zero"),
+        sum(col("__ok")).as("n_ok"),
+        round(expr("percentile(__r_micro, 0.1)") / 1e6, 6).as("p10_norm"),
+        round(expr("percentile(__r_micro, 0.5)") / 1e6, 6).as("p50_norm"),
+        round(expr("percentile(__r_micro, 0.9)") / 1e6, 6).as("p90_norm"),
+        round(sum(col("__r_micro")).cast("double") / sum(col("__ok")) / 1e6, 6)
+          .as("mean_norm"))
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** Per-dimension embedding QA stats — the cheap pre-flight before
     * any vector work: (dim, n, mean, std, min, max, frac_zero). One
     * posexplode + a |dims|-group aggregate (map-side combined; the

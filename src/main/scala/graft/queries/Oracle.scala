@@ -2752,6 +2752,97 @@ object Oracle {
         |         AND n_emails = 0 AND n_num_runs = 0 AS keep
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // exact mirror of Pca.embeddingCard (t261): same planted defects,
+    // flags replayed, micro-norms on QUANTIZED components (exact
+    // integer sum-of-squares, one IEEE sqrt+round per row),
+    // quantile_cont interpolation on integers (the t141 convention)
+    "t261_embedding_card" ->
+      """WITH allv AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL SELECT 100001, NULL, 99
+        |  UNION ALL SELECT 100002,
+        |    list_transform(range(64), i -> CAST(0.0 AS FLOAT)), 99
+        |  UNION ALL SELECT 100003, [CAST(1.0 AS FLOAT),
+        |    CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)], 99
+        |  UNION ALL SELECT 100004,
+        |    list_transform(range(64), i -> CAST(CASE WHEN i = 0
+        |      THEN 'NaN'::DOUBLE ELSE 0.1 END AS FLOAT)), 99
+        |), f AS (
+        |  SELECT label,
+        |    (embedding IS NULL) AS is_null,
+        |    embedding IS NOT NULL AND len(embedding) <> 64 AS bad_dim,
+        |    embedding IS NOT NULL AND len(embedding) = 64 AND
+        |      len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+        |        OR isinf(CAST(x AS DOUBLE)))) > 0 AS nonfinite,
+        |    embedding IS NOT NULL AND len(embedding) = 64 AND NOT (
+        |      len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+        |        OR isinf(CAST(x AS DOUBLE)))) > 0) AS ok,
+        |    embedding AS v
+        |  FROM allv
+        |), g AS (
+        |  SELECT label, is_null, bad_dim, nonfinite, ok,
+        |    ok AND len(list_filter(v,
+        |      x -> CAST(x AS DOUBLE) <> 0.0)) = 0 AS is_zero,
+        |    CASE WHEN ok THEN CAST(round(sqrt(CAST(list_sum(
+        |      list_transform(v, x ->
+        |        CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) *
+        |        CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)))
+        |      AS DOUBLE))) AS BIGINT) END AS r_micro
+        |  FROM f
+        |)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(sum(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_dim,
+        |  CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonfinite,
+        |  CAST(sum(CASE WHEN is_zero THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  round(quantile_cont(r_micro, 0.1) / 1e6, 6) AS p10_norm,
+        |  round(quantile_cont(r_micro, 0.5) / 1e6, 6) AS p50_norm,
+        |  round(quantile_cont(r_micro, 0.9) / 1e6, 6) AS p90_norm,
+        |  round(CAST(sum(r_micro) AS DOUBLE)
+        |    / sum(CASE WHEN ok THEN 1 ELSE 0 END) / 1e6, 6) AS mean_norm
+        |FROM g GROUP BY label ORDER BY label""".stripMargin,
+
+    // exact mirror of CorpusStats.corpusDiff over the t262 planted v2
+    // corpus: digests joined full-outer on id, per-source status counts
+    "t262_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text, source FROM documents
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    source
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text || ' brand new', source
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), k1 AS (
+        |  SELECT doc_id, source, md5(text) AS dig FROM v1
+        |), k2 AS (
+        |  SELECT doc_id, source, md5(text) AS dig FROM v2
+        |), j AS (
+        |  SELECT coalesce(k2.source, k1.source) AS source,
+        |    CASE WHEN k1.dig IS NULL THEN 'added'
+        |         WHEN k2.dig IS NULL THEN 'removed'
+        |         WHEN k1.dig <> k2.dig THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM k1 FULL OUTER JOIN k2 ON k1.doc_id = k2.doc_id
+        |)
+        |SELECT source,
+        |  sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_added,
+        |  sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_removed,
+        |  sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_changed,
+        |  sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_unchanged
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     "t102_theta_novelty" ->
       // first-seen replay: n_new(d) = users whose min(day) = d; theta
       // difference in exact mode computes exactly this
@@ -7936,5 +8027,7 @@ object Oracle {
       ("q52_sql_near_dup_clusters" -> base("t38_canonical")) +
       ("q53_sql_datacard" -> base("t255_datacard")) +
       ("q54_sql_cluster_quality" -> base("t257_cluster_quality")) +
-      ("q55_sql_canonical_dups" -> base("t259_canonical_dedup"))
+      ("q55_sql_canonical_dups" -> base("t259_canonical_dedup")) +
+      ("q56_sql_embedding_card" -> base("t261_embedding_card")) +
+      ("q57_sql_corpus_diff" -> base("t262_corpus_diff"))
 }

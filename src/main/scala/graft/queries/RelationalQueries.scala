@@ -902,6 +902,27 @@ object RelationalQueries {
       "SELECT * FROM canonical_dups ORDER BY kept_id")
   }
 
+  /** q56_sql_embedding_card — the t261 embedding health card through
+    * SQL text over the `embedding_card` view; hash-exact against
+    * t261's oracle.
+    */
+  def q56SqlEmbeddingCard(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM embedding_card ORDER BY label")
+  }
+
+  /** q57_sql_corpus_diff — the t262 snapshot delta through SQL text
+    * over the `corpus_diff` view; hash-exact against t262's oracle.
+    */
+  def q57SqlCorpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM corpus_diff ORDER BY source")
+  }
+
   /** q52_sql_near_dup_clusters — the t38 exact+n-gram near-dup
     * connected components with canonical survivors through SQL text
     * over the `near_dup_clusters` view; hash-exact against t38's

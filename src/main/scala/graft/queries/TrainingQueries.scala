@@ -5540,6 +5540,81 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t261_embedding_card — per-label embedding HEALTH card over the
+    * embeddings table plus four planted defects (a NULL vector, an
+    * all-zero vector, a wrong-dimension vector, a NaN element) under
+    * label 99: defect counts + the exact micro-norm distribution of
+    * the healthy rows. Exact oracle (quantile_cont interpolation on
+    * integers — the t141 convention).
+    */
+  def t261EmbeddingCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val nanVec = { val a = Array.fill(64)(0.1f); a(0) = Float.NaN; a }
+    val bad = Seq(
+      (100001L, null.asInstanceOf[Array[Float]], 99),
+      (100002L, Array.fill(64)(0.0f), 99),
+      (100003L, Array(1.0f, 2.0f, 3.0f), 99),
+      (100004L, nanVec, 99)
+    ).toDF("vec_id", "embedding", "label")
+    graft.operators.Pca.embeddingCard(emb.unionByName(bad),
+      Seq("label"), "embedding", d = 64)
+  }
+
+  /** t262_corpus_diff — the release-to-release snapshot delta: v2 =
+    * documents minus doc_id % 7 == 0 (removed), with doc_id % 5 == 0
+    * texts edited (changed), plus doc_id % 13 == 0 re-issued under
+    * id + 500000 (added). Per-source added/removed/changed/unchanged
+    * counts; bodies reduce to digests before the full-outer join.
+    * Exact oracle.
+    */
+  def t262CorpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" brand new")).as("text"),
+          col("source")))
+    graft.operators.CorpusStats.corpusDiff(docs, v2,
+      "doc_id", "text", "source")
+  }
+
+  /** t263_common_component — all-but-the-top common-component removal
+    * (Mu & Viswanath): fit top-2 principal directions, subtract them
+    * from every centered vector, then AUDIT the claim — every
+    * residual is orthogonal to the removed directions (max |dot| at
+    * float-epsilon scale), and the residual corpus' own top variance
+    * has dropped below the removed top (rows-only; the Verify gate
+    * enforces both).
+    */
+  def t263CommonComponent(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull)
+    val model = graft.operators.Pca.fit(emb, "embedding", d = 64, k = 2)
+    val resid = graft.operators.Pca.removeTop(emb, "embedding", model,
+      "residual")
+    val maxDot = resid.agg(
+      max(greatest(model.eigVecs.toIndexedSeq.map { v =>
+        abs(aggregate(zip_with(col("residual"), typedLit(v.toSeq),
+          (x, c) => x * c), lit(0.0), (a, x) => a + x))
+      }: _*)).as("v")).head().getDouble(0)
+    val after = graft.operators.Pca.fit(resid.select(col("residual")),
+      "residual", d = 64, k = 1)
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      ("n", model.n.toDouble),
+      ("max_abs_dot_removed_dirs", maxDot),
+      ("var_top_before", model.eigVals(0)),
+      ("var_top_after", after.eigVals(0)),
+      ("removed_var_frac", model.explainedFrac)
+    ).toDF("check", "value").orderBy(col("check"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

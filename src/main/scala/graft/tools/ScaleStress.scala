@@ -309,6 +309,12 @@ object ScaleStress {
       // streaming quality gate — stateless per-row expression work
       // (the t256 class); witnesses kernel-rate stability
       "t260_stream_quality" -> (TrainingQueries.t260StreamQuality _),
+      // embedding card — one scan, percentile state per group
+      "t261_embedding_card" -> (TrainingQueries.t261EmbeddingCard _),
+      // corpus diff — (id, src, digest) full-outer join, group agg
+      "t262_corpus_diff" -> (TrainingQueries.t262CorpusDiff _),
+      // common-component removal — CovMoments scans + kernel passes
+      "t263_common_component" -> (TrainingQueries.t263CommonComponent _),
       // ES weighted sampling: per-row hash+ln, then the salted
       // two-level cap — sort-rate, output fixed at groups×k
       "t116_weighted_sample" -> (TrainingQueries.t116WeightedSample _),

@@ -407,4 +407,24 @@ class CorpusStatsSpec extends SparkSpec {
   }
 
   private def round6(v: Double): Double = math.rint(v * 1e6) / 1e6
+
+  test("corpusDiff: added/removed/changed/unchanged per source") {
+    val v1 = Seq(
+      (1L, "alpha", "a"), (2L, "beta", "a"), (3L, "gamma", "b"),
+      (4L, "delta", "b")).toDF("doc_id", "text", "source")
+    val v2 = Seq(
+      (1L, "alpha", "a"),          // unchanged
+      (2L, "beta EDITED", "a"),    // changed
+      // 3 removed
+      (4L, "delta", "b"),          // unchanged
+      (5L, "epsilon", "b")         // added
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.CorpusStats.corpusDiff(v1, v2,
+        "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+         r.getAs[Long]("n_changed"), r.getAs[Long]("n_unchanged"))).toMap
+    assert(out("a") == ((0L, 0L, 1L, 1L)))
+    assert(out("b") == ((1L, 1L, 0L, 1L)))
+  }
 }

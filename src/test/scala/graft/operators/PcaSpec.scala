@@ -77,4 +77,49 @@ class PcaSpec extends SparkSpec {
     assert(flat(0) == 2.0) // only the two well-formed rows counted
     assert(flat(1) == 4.0 && flat(2) == 6.0)
   }
+
+  test("removeTop: residuals orthogonal to removed directions, " +
+    "dominant variance gone") {
+    val model = Pca.fit(cloud, "vec", d = 4, k = 1)
+    val resid = Pca.removeTop(cloud, "vec", model, "residual")
+    // per-row orthogonality: residual · v_1 == 0 up to float epsilon
+    val maxDot = resid.select(
+      abs(aggregate(zip_with(col("residual"),
+        typedLit(model.eigVecs(0).toSeq), (x, c) => x * c),
+        lit(0.0), (a, x) => a + x)).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(maxDot <= 1e-10)
+    // variance along the removed direction is the corpus top; the
+    // residual top must drop to (at most) the second eigenvalue
+    val after = Pca.fit(resid.select(col("residual")), "residual",
+      d = 4, k = 1)
+    assert(after.eigVals(0) <= model.eigVals(0))
+    val two = Pca.fit(cloud, "vec", d = 4, k = 2)
+    assert(after.eigVals(0) <= two.eigVals(1) * 1.01 + 1e-9)
+  }
+
+  test("embeddingCard: defect counts and exact micro-norm stats") {
+    val good = (0 until 7).map(i =>
+      (i.toLong, Array(3.0f, 4.0f), 1)) // norm exactly 5
+    val bad = Seq(
+      (100L, null.asInstanceOf[Array[Float]], 2),
+      (101L, Array(0.0f, 0.0f), 2),
+      (102L, Array(1.0f), 2),
+      (103L, Array(Float.NaN, 1.0f), 2))
+    val df = (good ++ bad).toDF("id", "vec", "label")
+    val out = Pca.embeddingCard(df, Seq("label"), "vec", d = 2)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    val g = out(1)
+    assert(g.getAs[Long]("n") == 7 && g.getAs[Long]("n_ok") == 7)
+    assert(g.getAs[Double]("p50_norm") == 5.0)
+    assert(g.getAs[Double]("mean_norm") == 5.0)
+    val b = out(2)
+    assert(b.getAs[Long]("n") == 4)
+    assert(b.getAs[Long]("n_null") == 1)
+    assert(b.getAs[Long]("n_bad_dim") == 1)
+    assert(b.getAs[Long]("n_nonfinite") == 1)
+    assert(b.getAs[Long]("n_zero") == 1)
+    assert(b.getAs[Long]("n_ok") == 1) // the zero vector is well-formed
+    assert(b.getAs[Double]("p50_norm") == 0.0)
+  }
 }
