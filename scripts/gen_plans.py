@@ -86,12 +86,56 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t245_median_of_means", "t246_hill_tail", "t248_mom_rolling",
            "t249_video_phash", "t251_lsh_calibration", "t252_ranking_metrics",
            "t253_winnowing", "t254_winnow_pairs", "t255_datacard",
-           "t256_stream_decontam"]
+           "t256_stream_decontam",
+           "t257_cluster_quality", "t259_canonical_dedup",
+           "t260_stream_quality", "t261_embedding_card",
+           "t262_corpus_diff", "t263_common_component"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
 # plan tree alone doesn't spell out.
 NOTES = {
+    "t257_cluster_quality":
+        "All k squared distances live in ONE array column per row "
+        "(zip_with folds over exact micro-quantized longs — no "
+        "explode, no xdim or xk row amplification on the corpus "
+        "stage); argmin/next-best are array kernels; everything after "
+        "the groupBy is k-row arithmetic, and the kxk centroid "
+        "distance table is driver math joined broadcast. The md5 seed "
+        "collect is k rows (model-sized).",
+    "t259_canonical_dedup":
+        "The canonical form is pure per-row expression work — the "
+        "native NfcNormalizeExpr kernel (NFC quick-check fast path: "
+        "already-normalized ASCII allocates nothing) feeding lower/"
+        "regexp_replace/trim inside one codegen span. The dedup "
+        "decision shuffles (digest, id) aggregates only; document "
+        "bodies never ride the exchange.",
+    "t260_stream_quality":
+        "Stateless per-row scoring (token stats, the hashed-shingle "
+        "bigram kernel, two portable regex counters) in ONE Project "
+        "over the stream: append mode with no state store, so the "
+        "result is arrival-order-independent and the driver row is "
+        "hash-exact against the plain batch replay. A second stream "
+        "branch + self-join would have planned STATEFUL — the gate "
+        "computes PII counters inside the same select instead.",
+    "t261_embedding_card":
+        "One scan: flags and the micro-quantized norm are in-row "
+        "expressions; the groupBy carries |groups| exact-percentile "
+        "states of longs. Norms quantize components FIRST then "
+        "integer-sum (the labelSeparation lesson) so both engines "
+        "sqrt the same exact integer.",
+    "t262_corpus_diff":
+        "Both corpus versions reduce to (id, source, md5) BEFORE the "
+        "full-outer join — at 100 TB the join exchanges 8-byte-digest "
+        "rows, never documents; the per-source status counts are one "
+        "map-side-combinable aggregate.",
+    "t263_common_component":
+        "Fit is one CovMoments scan (O(d^2) partials shuffle, never "
+        "rows) + driver eigensolve; removal is the codegen'd "
+        "RemoveComponentsExpr kernel with the kxd basis as a codegen "
+        "reference object — no join, full-dimension residual out. The "
+        "audit re-fits on the residual and measures per-row "
+        "orthogonality (3e-16 at sf0.01) behind the Verify gate.",
     "t235_triangle_doulion":
         "The Doulion coin is ONE codegen'd md5 Project over the deduped "
         "edge table (no extra shuffle); every closure join downstream "
