@@ -89,7 +89,7 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t256_stream_decontam",
            "t257_cluster_quality", "t259_canonical_dedup",
            "t260_stream_quality", "t261_embedding_card",
-           "t262_corpus_diff", "t263_common_component"]
+           "t262_corpus_diff", "t263_common_component", "t264_kcore"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -136,6 +136,16 @@ NOTES = {
         "reference object — no join, full-dimension residual out. The "
         "audit re-fits on the residual and measures per-row "
         "orthogonality (3e-16 at sf0.01) behind the Verify gate.",
+    "t264_kcore":
+        "Exact core numbers WITHOUT peeling: FRONTIER h-index "
+        "iteration — a node's h-index only changes when a neighbor's "
+        "value changed, so each round joins the previous changed set "
+        "to the edges and recomputes a degree-bounded window over just "
+        "the touched adjacency, terminating on an empty frontier. No "
+        "adjacency lists, no driver node state; one materialized "
+        "(node, c, chg) frame per round. t265 enforces the fixpoint + "
+        "support invariants as zero-violation gates on the SAME cached "
+        "decomposition (the t192/t236 shared-census convention).",
     "t235_triangle_doulion":
         "The Doulion coin is ONE codegen'd md5 Project over the deduped "
         "edge table (no extra shuffle); every closure join downstream "

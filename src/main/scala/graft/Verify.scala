@@ -678,6 +678,25 @@ object Verify {
             case _ => false
           }
         },
+      // k-core decomposition (t265, justifying t264's rows-only row):
+      // the h-index fixpoint holds (one more round changes nothing —
+      // fixpoint = core numbers by the h-index theorem), every node
+      // has >= core(v) neighbors of core >= core(v), and cores sit in
+      // [1, degree]
+      "t265 kcore fixpoint_violations == 0" -> rows("t265_kcore_check")
+        .map(_.exists(r => r.getAs[String]("check") == "fixpoint_violations"
+          && r.getAs[Double]("value") == 0.0)),
+      "t265 kcore support_violations == 0" -> rows("t265_kcore_check")
+        .map(_.exists(r => r.getAs[String]("check") == "support_violations"
+          && r.getAs[Double]("value") == 0.0)),
+      "t265 kcore bounds hold, max_core > 0" -> rows("t265_kcore_check")
+        .map { rs =>
+          def v(c: String) = rs.find(_.getAs[String]("check") == c)
+            .map(_.getAs[Double]("value"))
+          v("core_gt_degree").contains(0.0) &&
+          v("core_lt_one").contains(0.0) &&
+          v("n_nodes").exists(_ > 0) && v("max_core").exists(_ > 0)
+        },
       // common-component removal (t263): the residuals must actually
       // be orthogonal to the removed directions (float-epsilon scale
       // — 1e-9 is ~1000x the measured magnitude), and the residual
@@ -692,6 +711,15 @@ object Verify {
           (for (b <- v("var_top_before"); a <- v("var_top_after"))
             yield a <= b && a >= 0 && b > 0).getOrElse(false) &&
           v("removed_var_frac").exists(f => f > 0 && f <= 1.0)
+        },
+      "t264 direct: unique nodes, 1 <= core <= degree" ->
+        rows("t264_kcore").map { rs =>
+          val nodes = rs.map(_.getAs[Long]("node"))
+          rs.nonEmpty && nodes.distinct.length == nodes.length &&
+          rs.forall { r =>
+            val c = r.getAs[Long]("core")
+            c >= 1L && c <= r.getAs[Long]("degree")
+          }
         },
       "t235 direct: one row, sampled <= edges, estimate and cc sane" ->
         rows("t235_triangle_doulion").map(rs => rs.length == 1 && {

@@ -46,7 +46,7 @@ object Clustering {
     * backing blocks. Rows are copied — the unsafe-row buffers under
     * toRdd are reused per partition.
     */
-  private def materialize(df: DataFrame): (DataFrame, () => Unit) = {
+  private[operators] def materialize(df: DataFrame): (DataFrame, () => Unit) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = org.apache.spark.sql.graftshim.Bridge

@@ -391,4 +391,109 @@ object Graph {
             sqrt(varX.cast("double") * varY.cast("double")), 6))
           .as("assortativity"))
   }
+
+  /** k-CORE DECOMPOSITION — exact core numbers for every node of the
+    * undirected simple graph, via distributed H-INDEX ITERATION
+    * (Lü–Chen–Ren–Zhang–Zhang–Zhou, "The H-index of a network node",
+    * 2016): c₀(v) = deg(v); cₜ₊₁(v) = H({cₜ(u) : u ~ v}) where H is
+    * the h-index (the largest h with ≥ h neighbors of value ≥ h).
+    * The sequence is monotone NON-INCREASING per node and its
+    * fixpoint is exactly the core number — termination is an empty
+    * changed-set (frontier) round, and the fixpoint property itself
+    * is an enforceable audit (one extra round changes nothing — the
+    * t265 gate).
+    *
+    * Scale shape: no peeling, no driver-side node state — each round
+    * is one join of the (node, c) table to the undirected edges plus
+    * one per-node h-index. The h-index uses the sorted-rank identity
+    * H = max over ranked neighbors of min(value, rank), computed with
+    * a window PARTITIONED BY node (high-cardinality key — spreads;
+    * per-partition work bounded by degree). Rounds needed in practice
+    * are small (≲ graph diameter); each round's state is one
+    * node-sized (node, c) table, persisted and released like the CC
+    * loop. Core numbers are DATA, not estimates — but the fixpoint is
+    * reached iteratively, so the driver row is rows-only with the
+    * t265 audit enforcing exactness structurally (peeling-invariant +
+    * fixpoint), the t192-family convention.
+    *
+    * Output: (node, degree, core), core ≥ 1 (every node in the edge
+    * table has an edge), core ≤ degree.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+            maxRounds: Int = 500): DataFrame = {
+    val e0 = edges.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+    val und = e0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true) // every round joins this table
+    val degrees = und.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("c"))
+    var (labels, release) = Clustering.materialize(degrees)
+    // FRONTIER iteration (the part that makes long convergence tails
+    // affordable): a node's h-index can only change when a NEIGHBOR's
+    // value changed, so each round recomputes exactly the neighbors
+    // of the previous round's changed set. Round 1's frontier is
+    // every node; after a few rounds the frontier collapses to the
+    // dense cores still settling, and each late round touches only
+    // their incident edges instead of the whole graph. Termination is
+    // frontier-empty — no separate convergence probe.
+    var frontier = labels.select(col("node"))
+    var releaseF: () => Unit = () => ()
+    var active = 1L
+    var round = 0
+    while (active > 0 && round < maxRounds) {
+      val touch = und
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst")).distinct()
+      val newVals = hIndexRound(und.join(touch, "dst"), labels)
+      // ONE materialized frame per round carrying both the merged
+      // labels and the changed flag (monotone: only strict decreases
+      // are real changes) — the frontier and the convergence count
+      // read its cache instead of running their own jobs
+      val merged = labels.withColumnRenamed("c", "c_old")
+        .join(newVals.withColumnRenamed("c", "c_new"), Seq("node"), "left")
+        .select(col("node"),
+          when(col("c_new") < col("c_old"), col("c_new"))
+            .otherwise(col("c_old")).as("c"),
+          (col("c_new") < col("c_old")).as("chg"))
+      val (next, releaseNew) = Clustering.materialize(merged)
+      active = next.filter(col("chg")).count() // settles the cache too
+      release(); releaseF()
+      labels = next.select(col("node"), col("c"))
+      release = releaseNew
+      frontier = next.filter(col("chg")).select(col("node"))
+      releaseF = () => ()
+      round += 1
+      if (sys.props.contains("graft.kcore.debug"))
+        println(s"[kcore] round $round active=$active")
+    }
+    if (active > 0)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds")
+    releaseF()
+    // the FINAL labels stay persisted for the caller's materialization
+    // (the connectedComponents convention — releasing here would force
+    // the whole iteration chain to recompute on first read)
+    labels.select(col("node"), col("c").as("core"))
+      .join(degrees.select(col("node"), col("c").as("degree")), "node")
+      .select(col("node"), col("degree"), col("core"))
+  }
+
+  /** One h-index refinement round: for every node, the h-index of its
+    * neighbors' current values — H = max over value-desc-ranked
+    * neighbors of min(value, rank).
+    */
+  private[graft] def hIndexRound(und: DataFrame,
+                                     labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dst")).orderBy(col("cn").desc)
+    und.join(labels.select(col("node").as("src"), col("c").as("cn")),
+        "src")
+      .select(col("dst"), col("cn"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("dst").as("node"))
+      .agg(max(least(col("cn"), col("__rn"))).as("c"))
+  }
 }

@@ -5615,6 +5615,103 @@ object TrainingQueries {
     ).toDF("check", "value").orderBy(col("check"))
   }
 
+  /** The k-core decomposition of the co-purchase graph, computed ONCE
+    * per (session, sfDir) and shared by t264 and its t265 audit (the
+    * t192/t236 shared-census convention — the audit gates the SAME
+    * run the driver records, and the h-index loop doesn't run twice
+    * per battery).
+    */
+  private val kCoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** t264/t265's graph: co-purchase edges over a deterministic third
+    * of the orders. The h-index loop's wall time is rounds × per-round
+    * job latency, and rounds grow with core depth — the FULL
+    * co-purchase graph converges in ~38 rounds at sf0.1 (~80 s of
+    * fixture time for a 20k-node graph, all scheduling overhead, no
+    * data). The thinned graph keeps every structural property the
+    * audit needs (multi-level cores, max_core ≈ 30) at ~1/3 the
+    * rounds; the operator itself is fixture-independent.
+    */
+  private def kCoreEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 3 === 0)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    a.join(b, "ok").filter(col("pa") < col("pb"))
+      // node-level thinning (parts ≡ 0 mod 3 on both endpoints):
+      // h-index rounds grow with CORE DEPTH, and the un-thinned
+      // co-purchase graph converges in ~40 rounds of pure scheduling
+      // latency on a 20k-node graph; thinning nodes cuts hub density
+      // (and so depth), where an edge coin leaves hubs dense
+      .filter(col("pa") % 3 === 0 && col("pb") % 3 === 0)
+      .select(col("pa"), col("pb"))
+  }
+  private def coPurchaseKCore(spark: SparkSession,
+                              sfDir: String): DataFrame =
+    kCoreCache.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}:$sfDir",
+      graft.operators.Graph.kCore(
+          kCoreEdges(spark, sfDir), "pa", "pb")
+        .localCheckpoint(true))
+
+  /** t264_kcore — exact core numbers for the co-purchase graph via
+    * distributed h-index iteration (no peeling, no driver node
+    * state). Fixpoint-typed → rows-only; t265 is the ENFORCED audit
+    * (h-index fixpoint + the ≥c-neighbors-of-core-≥c support
+    * invariant + core ≤ degree), and the direct gate pins the row
+    * shape.
+    */
+  def t264Kcore(spark: SparkSession, sfDir: String): DataFrame =
+    coPurchaseKCore(spark, sfDir).orderBy(col("node"))
+
+  /** t265_kcore_check — the audit justifying t264's rows-only row:
+    * one MORE h-index round over the final cores changes nothing
+    * (fixpoint ⇔ core numbers, by the h-index theorem), every node
+    * has ≥ core(v) neighbors of core ≥ core(v) (the k-core support
+    * invariant), and no core exceeds its degree.
+    */
+  def t265KcoreCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val cores = coPurchaseKCore(spark, sfDir)
+    val e0 = kCoreEdges(spark, sfDir)
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("u"),
+        greatest(col("pa"), col("pb")).as("v"))
+      .distinct()
+    val und = e0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+    val labels = cores.select(col("node"), col("core").as("c"))
+    val next = graft.operators.Graph.hIndexRound(und, labels)
+      .withColumnRenamed("c", "c_next")
+    val fixpoint = labels.join(next, "node")
+      .agg(sum(when(col("c") =!= col("c_next"), 1L).otherwise(0L))
+        .as("v")).select(lit("fixpoint_violations").as("check"),
+        col("v").cast("double").as("value"))
+    val support = und
+      .join(cores.select(col("node").as("src"), col("core").as("c_src")),
+        "src")
+      .join(cores.select(col("node").as("dst"), col("core").as("c_dst")),
+        "dst")
+      .groupBy(col("dst").as("node"), col("c_dst"))
+      .agg(sum(when(col("c_src") >= col("c_dst"), 1L).otherwise(0L))
+        .as("n_sup"))
+      .agg(sum(when(col("n_sup") < col("c_dst"), 1L).otherwise(0L))
+        .as("v"))
+      .select(lit("support_violations").as("check"),
+        col("v").cast("double").as("value"))
+    val shape = cores.agg(
+        count(lit(1)).as("n"), max(col("core")).as("mx"),
+        sum(when(col("core") > col("degree"), 1L).otherwise(0L)).as("gt"),
+        sum(when(col("core") < 1, 1L).otherwise(0L)).as("lt"))
+      .select(explode(map(
+        lit("n_nodes"), col("n").cast("double"),
+        lit("max_core"), col("mx").cast("double"),
+        lit("core_gt_degree"), col("gt").cast("double"),
+        lit("core_lt_one"), col("lt").cast("double")))
+        .as(Seq("check", "value")))
+    fixpoint.unionByName(support).unionByName(shape)
+      .orderBy(col("check"))
+  }
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

@@ -314,6 +314,9 @@ object ScaleStress {
       // corpus diff — (id, src, digest) full-outer join, group agg
       "t262_corpus_diff" -> (TrainingQueries.t262CorpusDiff _),
       // common-component removal — CovMoments scans + kernel passes
+      // (t264 k-core is a lineitem-graph op, outside this docs
+      // fixture — its 10x axis is sf0.01 -> sf0.1, recorded in
+      // BENCH_SF1 like t189-t192)
       "t263_common_component" -> (TrainingQueries.t263CommonComponent _),
       // ES weighted sampling: per-row hash+ln, then the salted
       // two-level cap — sort-rate, output fixed at groups×k

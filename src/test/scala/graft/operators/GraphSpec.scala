@@ -227,4 +227,62 @@ class GraphSpec extends SparkSpec {
       .collect().head
     assert(out.getAs[Double]("assortativity") == expected)
   }
+
+  /** Reference core numbers by literal peeling: repeatedly remove the
+    * minimum-degree node; its core = the max min-degree seen so far.
+    */
+  private def peelCores(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+    }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val (v, ns) = adj.minBy { case (n, s) => (s.size, n) }
+      k = math.max(k, ns.size.toLong)
+      core(v) = k
+      ns.foreach(u => adj.get(u).foreach(_ -= v))
+      adj -= v
+    }
+    core.toMap
+  }
+
+  test("kCore matches brute-force peeling: planted K5 clique + tail") {
+    // K5 on nodes 0-4 (core 4), bridge 4-10-11 into the triangle
+    // 11-12-13 (core 2 — node 10's both neighbors survive the 2-core,
+    // so 10 is core 2 as well), and a pendant 14 off 10 (core 1)
+    val k5 = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    val extra = Seq((4L, 10L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (11L, 13L), (10L, 14L))
+    val edges = k5 ++ extra
+    val expected = peelCores(edges)
+    val out = Graph.kCore(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("core"))).toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (n, (deg, c)) =>
+      assert(c == expected(n), s"node $n: got $c want ${expected(n)}")
+      assert(c <= deg)
+    }
+    assert(out(0L)._2 == 4 && out(10L)._2 == 2 &&
+      out(13L)._2 == 2 && out(14L)._2 == 1)
+  }
+
+  test("kCore on a random graph equals peeling; duplicate and self " +
+    "edges ignored") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)) ++
+      Seq((3L, 3L), (1L, 2L), (1L, 2L)) // self + dup
+    val clean = edges.filter(e => e._1 != e._2)
+    val expected = peelCores(clean)
+    val out = Graph.kCore(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("core"))
+      .toMap
+    assert(out == expected)
+  }
 }
