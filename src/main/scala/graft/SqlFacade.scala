@@ -63,12 +63,14 @@ object SqlFacade {
     *    (t262 composition; q57, hash-exact).
     *
     * Views are lazy — each materializes only when a SQL statement
-    * actually reads it — EXCEPT `near_dup_clusters`, whose connected-
-    * components loop is an eager algorithm (per-round actions), so
-    * BUILDING its DataFrame runs the loop. The built views are
-    * therefore cached per (session, sfDir): the first registration
-    * pays the one eager build, every later call (each q49–q53 query,
-    * every bench pass) re-registers the cached frames for free.
+    * actually reads it — EXCEPT `near_dup_clusters` (the connected-
+    * components loop is an eager algorithm — per-round actions, so
+    * BUILDING its DataFrame runs the loop) and `cluster_quality`
+    * (building it collects the k md5-ordered seed centroids — one
+    * small eager scan). The built views are therefore cached per
+    * (session, sfDir): the first registration pays the eager builds,
+    * every later call (each q49–q57 query, every bench pass)
+    * re-registers the cached frames for free.
     */
   private val viewCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, DataFrame)]]

@@ -157,8 +157,22 @@ object ClusterEval {
   def lloydGain(df: DataFrame, vecCol: String, nlist: Int,
                 iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val vecs = df.filter(col(vecCol).isNotNull)
-      .select(col(vecCol).as("vec"))
+    // NORMALIZE inputs first: spherical k-means' monotonicity (the
+    // enforced t258 gate) is a theorem only over unit vectors — the
+    // plain-mean update maximizes Σ cos within a cell when members
+    // are unit-norm (Σv·c/|c| peaks at the mean direction), but with
+    // heterogeneous norms a long vector can drag the mean away from
+    // the cell's mean DIRECTION and genuinely decrease mean cosine.
+    // Cosine is scale-invariant, so normalizing changes neither the
+    // assignments nor the reported objective — it makes the gate's
+    // guarantee real instead of corpus-dependent. Zero vectors drop.
+    val raw = df.filter(col(vecCol).isNotNull).select(col(vecCol).as("v"))
+    val n2 = aggregate(col("v"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    val vecs = raw.withColumn("__n", sqrt(n2))
+      .filter(col("__n") > 0.0)
+      .select(transform(col("v"), x => x.cast("double") / col("__n"))
+        .as("vec"))
     val seeds = Similarity.seedCentroids(vecs, nlist)
     val refined = Similarity.refineCentroids(vecs, seeds, iters)
     def stage(name: String, cents: Array[Seq[Double]]): DataFrame = {

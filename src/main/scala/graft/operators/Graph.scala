@@ -419,14 +419,25 @@ object Graph {
     * Output: (node, degree, core), core ≥ 1 (every node in the edge
     * table has an edge), core ≤ degree.
     */
-  def kCore(edges: DataFrame, aCol: String, bCol: String,
-            maxRounds: Int = 500): DataFrame = {
+  /** Canonical undirected simple-graph edge table shared by [[kCore]]
+    * and its t265 audit (one normalization, so the audit can never
+    * silently check a different graph than the decomposition it
+    * gates): self-loops dropped, (u,v) canonicalized + deduped, both
+    * directions emitted as (src, dst).
+    */
+  private[graft] def undirect(edges: DataFrame, aCol: String,
+                              bCol: String): DataFrame = {
     val e0 = edges.filter(col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .distinct()
-    val und = e0.select(col("u").as("src"), col("v").as("dst"))
+    e0.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+  }
+
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+            maxRounds: Int = 500): DataFrame = {
+    val und = undirect(edges, aCol, bCol)
       .localCheckpoint(true) // every round joins this table
     val degrees = und.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("c"))
@@ -440,7 +451,6 @@ object Graph {
     // their incident edges instead of the whole graph. Termination is
     // frontier-empty — no separate convergence probe.
     var frontier = labels.select(col("node"))
-    var releaseF: () => Unit = () => ()
     var active = 1L
     var round = 0
     while (active > 0 && round < maxRounds) {
@@ -460,11 +470,10 @@ object Graph {
           (col("c_new") < col("c_old")).as("chg"))
       val (next, releaseNew) = Clustering.materialize(merged)
       active = next.filter(col("chg")).count() // settles the cache too
-      release(); releaseF()
+      release() // the superseded round; frontier reads `next`'s cache
       labels = next.select(col("node"), col("c"))
       release = releaseNew
       frontier = next.filter(col("chg")).select(col("node"))
-      releaseF = () => ()
       round += 1
       if (sys.props.contains("graft.kcore.debug"))
         println(s"[kcore] round $round active=$active")
@@ -472,7 +481,6 @@ object Graph {
     if (active > 0)
       throw new IllegalStateException(
         s"kCore did not converge in $maxRounds rounds")
-    releaseF()
     // the FINAL labels stay persisted for the caller's materialization
     // (the connectedComponents convention — releasing here would force
     // the whole iteration chain to recompute on first read)

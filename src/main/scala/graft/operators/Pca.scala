@@ -197,11 +197,16 @@ object Pca {
         x.cast("double") === Double.NegativeInfinity)
     val ok = !isNull && size(v) === d && !nonFinite
     val zero = ok && forall(v, x => x.cast("double") === 0.0)
-    // micro norm of healthy rows only (NULL elsewhere so aggregates skip)
+    // micro norm of healthy rows only (NULL elsewhere so aggregates
+    // skip). Components quantize to micro longs FIRST, then integer-
+    // sum-of-squares, then ONE sqrt — the labelSeparation lesson: both
+    // engines sqrt the SAME exact integer, where sqrt of a float sum
+    // would round differently near .5 micro boundaries
+    val q = transform(v,
+      x => round(x.cast("double") * 1000000.0).cast("long"))
     val rMicro = when(ok,
-      round(sqrt(aggregate(v, lit(0.0),
-        (a, x) => a + x.cast("double") * x.cast("double")) * 1e12))
-        .cast("long"))
+      round(sqrt(aggregate(q, lit(0L), (a, x) => a + x * x)
+        .cast("double"))).cast("long"))
     val staged = vecs.select((groupCols.map(col) ++ Seq(
       isNull.cast("long").as("__null"), badDim.cast("long").as("__bad"),
       nonFinite.cast("long").as("__nf"), zero.cast("long").as("__zero"),

@@ -5678,13 +5678,12 @@ object TrainingQueries {
     */
   def t265KcoreCheck(spark: SparkSession, sfDir: String): DataFrame = {
     val cores = coPurchaseKCore(spark, sfDir)
-    val e0 = kCoreEdges(spark, sfDir)
-      .filter(col("pa") =!= col("pb"))
-      .select(least(col("pa"), col("pb")).as("u"),
-        greatest(col("pa"), col("pb")).as("v"))
-      .distinct()
-    val und = e0.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+    // the SAME normalization kCore used (Graph.undirect — a hand-rolled
+    // copy here could silently audit a different graph), checkpointed
+    // once because both audit branches below walk it
+    val und = graft.operators.Graph.undirect(
+        kCoreEdges(spark, sfDir), "pa", "pb")
+      .localCheckpoint(true)
     val labels = cores.select(col("node"), col("core").as("c"))
     val next = graft.operators.Graph.hIndexRound(und, labels)
       .withColumnRenamed("c", "c_next")
