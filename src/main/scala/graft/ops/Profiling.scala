@@ -97,11 +97,10 @@ object Profiling {
     * values are DATA values — no interpolation, engine-identical by
     * construction.
     *
-    * Scale shape: one map-side-combinable block collapse, then the
-    * [[graft.ops.Eval.aucRank]]-style per-group cumulative window
-    * over DISTINCT values (bin first at billion-distinct-value
-    * cardinality — the t137 hatch). Output: (groups…, total_weight,
-    * p25, p50, p75).
+    * Scale shape: one map-side-combinable block collapse, then
+    * [[cumulativeCells]] (range-repartitioned within-partition
+    * cumulative weights + broadcast offsets — never a |groups|-task
+    * sort funnel). Output: (groups…, total_weight, p25, p50, p75).
     */
   def weightedQuantiles(df: DataFrame, groupCols: Seq[String],
                         valueCol: String, weightCol: String): DataFrame = {
@@ -111,18 +110,13 @@ object Profiling {
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
       .groupBy(g :+ col(valueCol).as("__v"): _*)
       .agg(sum(col(weightCol).cast("long")).as("__w"))
-    val whole = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
-    val ord = whole.orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    blocks
-      .withColumn("__tw", sum(col("__w")).over(whole))
-      .withColumn("__cw", sum(col("__w")).over(ord))
+    cumulativeCells(blocks, groupCols, "__v", Seq("__w"))
       .groupBy(g: _*)
-      .agg(max(col("__tw")).as("total_weight"),
-        min(when(col("__cw") * 4 >= col("__tw"), col("__v"))).as("p25"),
-        min(when(col("__cw") * 2 >= col("__tw"), col("__v"))).as("p50"),
-        min(when(col("__cw") * 4 >= col("__tw") * 3, col("__v"))).as("p75"))
+      .agg(max(col("__w_tot")).as("total_weight"),
+        min(when(col("__w_cum") * 4 >= col("__w_tot"), col("__v"))).as("p25"),
+        min(when(col("__w_cum") * 2 >= col("__w_tot"), col("__v"))).as("p50"),
+        min(when(col("__w_cum") * 4 >= col("__w_tot") * 3, col("__v")))
+          .as("p75"))
   }
 
   /** Benford's-law conformance audit per group: the leading-digit
@@ -394,9 +388,8 @@ object Profiling {
     * weighted sum by (n − 2k). Empty middles (n ≤ 2k) yield NULL.
     *
     * Scale shape: one map-side-combinable (group, value) cell
-    * collapse; the cumulative window runs per group over DISTINCT
-    * values (bin first — the t137 hatch — at unbounded cardinality);
-    * the weighted reduction is cell-sized.
+    * collapse; cumulative counts via [[cumulativeCells]] (no
+    * |groups|-task funnel); the weighted reduction is cell-sized.
     *
     * Output: (groups…, n, k_trim, trimmed_mean 6dp).
     */
@@ -412,13 +405,10 @@ object Profiling {
     val cells = df.filter(valueCol.isNotNull)
       .groupBy(g :+ valueCol.cast("long").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val before = Window.partitionBy(g: _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val whole = Window.partitionBy(g: _*)
     val k = if (trimFrac == 0) lit(0L) else expr(s"__n div $denom")
-    val clipped = cells
-      .withColumn("__bef", coalesce(sum(col("__c")).over(before), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(whole))
+    val clipped = cumulativeCells(cells, groupCols, "__v", Seq("__c"))
+      .withColumn("__bef", col("__c_cum") - col("__c"))
+      .withColumn("__n", col("__c_tot"))
       .withColumn("__k", k)
       .withColumn("__w",
         greatest(least(col("__bef") + col("__c"), col("__n") - col("__k")) -
@@ -474,6 +464,74 @@ object Profiling {
           .as("theil"): _*)
   }
 
+  /** Per-group CUMULATIVE sums over value-ordered distinct cells
+    * WITHOUT the |groups|-task window funnel — the shared machinery
+    * under [[medianCI]], [[weightedQuantiles]], [[trimmedMean]],
+    * [[winsorizedMean]] and [[lorenzDeciles]].
+    *
+    * The naive `sum(c) OVER (PARTITION BY group ORDER BY v)` sorts
+    * each group in ONE task: with few groups (t206 groups lineitem
+    * by l_returnflag — 3 tasks) the plan leaves the cluster idle and
+    * any per-core contention lands 1:1 on wall time, and a 100×
+    * corpus makes it a 20M-row single-task sort. This is the
+    * range-repartition + per-partition rank + broadcast-offsets shape
+    * of [[graft.operators.Ids.denseIds]] applied to cumulative sums:
+    *
+    *  1. range-repartition the cells on (group…, value) — one
+    *     balanced shuffle; each group spans a contiguous partition
+    *     run, so within a partition the group's value order is total;
+    *  2. pin the partitioning (`localCheckpoint`) so the offset pass
+    *     and the final pass read the SAME partitions — the sampled
+    *     range boundaries are not reproducible across jobs, but the
+    *     OUTPUT is boundary-independent because the offsets correct
+    *     any imbalance;
+    *  3. per-(partition, group) partial sums — ≤ partitions + groups
+    *     rows total (contiguous runs), never corpus-sized;
+    *  4. prefix offsets + group totals over that small frame (a
+    *     window over ≤ |partitions| rows per group), broadcast back;
+    *  5. within-partition cumulative windows partitioned by
+    *     (partition, group) — every sort is at most one data
+    *     partition, all cores busy regardless of group count.
+    *
+    * `cells` must be DISTINCT per (groupCols…, valueCol) — the
+    * callers' groupBy collapse guarantees it. For each `s` in
+    * `sumCols` (LONG columns) the result carries `s_cum` (cumulative
+    * including the current cell, ordered by `valueCol` ascending) and
+    * `s_tot` (the group total); all original columns pass through.
+    * Downstream rank tests are SELECTIONS of data values, so results
+    * are deterministic wherever the sampled boundaries fell.
+    */
+  private[graft] def cumulativeCells(cells: DataFrame,
+      groupCols: Seq[String], valueCol: String,
+      sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty && sumCols.nonEmpty)
+    val g = groupCols.map(col)
+    val parted = cells
+      .repartitionByRange(g :+ col(valueCol): _*)
+      .withColumn("__cu_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val pAggs = sumCols.map(s => sum(col(s)).as(s"__cu_p_$s"))
+    val partials = parted.groupBy(col("__cu_pid") +: g: _*)
+      .agg(pAggs.head, pAggs.tail: _*)
+    val wBef = Window.partitionBy(g: _*).orderBy(col("__cu_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(g: _*)
+    val offsets = partials.select(
+      (col("__cu_pid") +: g) ++
+      sumCols.map(s => coalesce(sum(col(s"__cu_p_$s")).over(wBef), lit(0L))
+        .as(s"__cu_off_$s")) ++
+      sumCols.map(s => sum(col(s"__cu_p_$s")).over(wAll)
+        .as(s"${s}_tot")): _*)
+    val wl = Window.partitionBy(col("__cu_pid") +: g: _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = parted.join(broadcast(offsets), "__cu_pid" +: groupCols)
+    sumCols.foldLeft(joined) { (d, s) =>
+        d.withColumn(s"${s}_cum", col(s"__cu_off_$s") + sum(col(s)).over(wl))
+      }
+      .drop("__cu_pid" +: sumCols.map(s => s"__cu_off_$s"): _*)
+  }
+
   /** Distribution-free MEDIAN with a 95% CONFIDENCE interval from
     * order statistics (the binomial/sign-test CI, normal-approximated
     * ranks) — the uncertainty-honest median the bootstrap family
@@ -488,9 +546,12 @@ object Profiling {
     * the ⌈n/2⌉-th smallest (lower median).
     *
     * Scale shape: one map-side-combinable (group, value) cell
-    * collapse; one per-group cumulative window over DISTINCT values
-    * (bin first — the t137 hatch — at unbounded cardinality); one
-    * reduction. Output: (groups…, n, ci_lo, median, ci_hi).
+    * collapse, then [[cumulativeCells]] — range-repartitioned
+    * within-partition cumulative sums with broadcast prefix offsets,
+    * never a |groups|-task sort funnel (the t206 post-mortem: 3
+    * groups = 3 tasks with 29 cores idle, and a 100× corpus is a
+    * 20M-row single-task sort); one reduction.
+    * Output: (groups…, n, ci_lo, median, ci_hi).
     */
   def medianCI(df: DataFrame, groupCols: Seq[String],
                valueCol: Column): DataFrame = {
@@ -499,23 +560,19 @@ object Profiling {
     val cells = df.filter(valueCol.isNotNull)
       .groupBy(g :+ valueCol.cast("long").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val whole = Window.partitionBy(g: _*)
-    val ord = whole.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cumulativeCells(cells, groupCols, "__v", Seq("__c"))
     val z = 1.959963984540054
-    val n = col("__n")
+    val n = col("__c_tot")
     val lo = floor((n - lit(z) * sqrt(n.cast("double"))) / 2.0).cast("long")
-    cells
-      .withColumn("__n", sum(col("__c")).over(whole))
-      .withColumn("__cw", sum(col("__c")).over(ord))
+    cum
       .withColumn("__lo", lo)
       .withColumn("__hi", n + 1 - lo)
-      .withColumn("__mid", expr("(__n + 1) div 2"))
+      .withColumn("__mid", expr("(__c_tot + 1) div 2"))
       .groupBy(g: _*)
-      .agg(max(col("__n")).as("n"),
-        min(when(col("__cw") >= col("__lo"), col("__v"))).as("ci_lo"),
-        min(when(col("__cw") >= col("__mid"), col("__v"))).as("median"),
-        min(when(col("__cw") >= col("__hi"), col("__v"))).as("ci_hi"))
+      .agg(max(col("__c_tot")).as("n"),
+        min(when(col("__c_cum") >= col("__lo"), col("__v"))).as("ci_lo"),
+        min(when(col("__c_cum") >= col("__mid"), col("__v"))).as("median"),
+        min(when(col("__c_cum") >= col("__hi"), col("__v"))).as("ci_hi"))
   }
 
   /** LORENZ curve deciles per group over pre-aggregated entity masses
@@ -531,10 +588,10 @@ object Profiling {
     * DECIMAL(38,0) weighted sum per decile, one divide each at 6dp.
     *
     * Scale shape: the caller's entity collapse is the corpus-sized
-    * stage; then one (group, mass) cell collapse, one per-group
-    * cumulative window over DISTINCT masses (bin first past bounded
-    * domains — the t137 hatch), and a 10-way clip expansion of the
-    * cell frame. Output: (groups…, decile, n_entities, mass_share).
+    * stage; then one (group, mass) cell collapse, cumulative counts
+    * via [[cumulativeCells]] (no |groups|-task funnel), and a 10-way
+    * clip expansion of the cell frame.
+    * Output: (groups…, decile, n_entities, mass_share).
     */
   def lorenzDeciles(cells: DataFrame, groupCols: Seq[String],
                     valueCol: String): DataFrame = {
@@ -543,13 +600,10 @@ object Profiling {
     val mc = cells.filter(col(valueCol).isNotNull)
       .groupBy(g :+ col(valueCol).cast("long").as("__v"): _*)
       .agg(count(lit(1)).as("__c"), sum(col(valueCol).cast("long")).as("__m"))
-    val whole = Window.partitionBy(g: _*)
-    val before = whole.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val dec = mc
-      .withColumn("__bef", coalesce(sum(col("__c")).over(before), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(whole))
-      .withColumn("__tot", sum(col("__m")).over(whole))
+    val dec = cumulativeCells(mc, groupCols, "__v", Seq("__c", "__m"))
+      .withColumn("__bef", col("__c_cum") - col("__c"))
+      .withColumn("__n", col("__c_tot"))
+      .withColumn("__tot", col("__m_tot"))
       .select(g :+ col("__v") :+ col("__c") :+ col("__bef") :+ col("__n") :+
         col("__tot") :+ explode(sequence(lit(1L), lit(10L))).as("decile"): _*)
     val k = expr("__n * decile div 10")
@@ -657,8 +711,8 @@ object Profiling {
     * mass uses the interval-overlap clip (partial tie blocks exact),
     * and the winsorized sum is exact DECIMAL(38,0) arithmetic with
     * ONE divide by n. Scale shape: identical to [[trimmedMean]] —
-    * one cell collapse, one per-group distinct-value cumulative
-    * window (bin first past quantized domains), one reduction.
+    * one cell collapse, cumulative counts via [[cumulativeCells]]
+    * (no |groups|-task funnel), one reduction.
     *
     * Output: (groups…, n, k_winsor, winsorized_mean 6dp).
     */
@@ -674,16 +728,11 @@ object Profiling {
     val cells = df.filter(valueCol.isNotNull)
       .groupBy(g :+ valueCol.cast("long").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val before = Window.partitionBy(g: _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val upTo = Window.partitionBy(g: _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy(g: _*)
     val k = if (winsorFrac == 0) lit(0L) else expr(s"__n div $denom")
-    val cum = cells
-      .withColumn("__bef", coalesce(sum(col("__c")).over(before), lit(0L)))
-      .withColumn("__cw", sum(col("__c")).over(upTo))
-      .withColumn("__n", sum(col("__c")).over(whole))
+    val cum = cumulativeCells(cells, groupCols, "__v", Seq("__c"))
+      .withColumn("__bef", col("__c_cum") - col("__c"))
+      .withColumn("__cw", col("__c_cum"))
+      .withColumn("__n", col("__c_tot"))
       .withColumn("__k", k)
     cum.groupBy(g: _*)
       .agg(max(col("__n")).as("n"), max(col("__k")).as("k_winsor"),

@@ -457,7 +457,33 @@ object ScaleStress {
       // (t189-t192 are events/lineitem ops, outside this fixture —
       // their 10x axis is sf0.01->sf0.1, recorded in BENCH_SF1)
       "t194_jw_verify" -> (TrainingQueries.t194JwVerify _),
-      "t196_snm_block" -> (TrainingQueries.t196SnmBlock _))
+      "t196_snm_block" -> (TrainingQueries.t196SnmBlock _),
+      // round 12: the DISTINCT-VALUE-CUMULATIVE family (the t206
+      // post-mortem class — medianCI/quantiles/trimmed/winsorized/
+      // Lorenz all ride Profiling.cumulativeCells) stressed on a
+      // LOW-CARDINALITY group fixture (|langs| groups, n_chars
+      // domain): the old per-group window was a |groups|-task sort
+      // funnel whose cost ratio would be super-linear in rows; the
+      // range-repartition rewrite should hold ~10×-ish. The driver
+      // queries run these ops on lineitem (outside this fixture) —
+      // same code path, same plan shape.
+      "w206_median_ci" -> ((s: SparkSession, d: String) =>
+        graft.ops.Profiling.medianCI(graft.Tables.documents(s, d),
+          Seq("lang"), col("n_chars"))),
+      "w184_weighted_quantiles" -> ((s: SparkSession, d: String) =>
+        graft.ops.Profiling.weightedQuantiles(
+          graft.Tables.documents(s, d)
+            .withColumn("w", col("doc_id") % 7 + 1),
+          Seq("lang"), "n_chars", "w")),
+      "w203_trimmed_mean" -> ((s: SparkSession, d: String) =>
+        graft.ops.Profiling.trimmedMean(graft.Tables.documents(s, d),
+          Seq("lang"), col("n_chars"))),
+      "w225_winsorized" -> ((s: SparkSession, d: String) =>
+        graft.ops.Profiling.winsorizedMean(graft.Tables.documents(s, d),
+          Seq("lang"), col("n_chars"))),
+      "w208_lorenz" -> ((s: SparkSession, d: String) =>
+        graft.ops.Profiling.lorenzDeciles(graft.Tables.documents(s, d),
+          Seq("lang"), "n_chars")))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
