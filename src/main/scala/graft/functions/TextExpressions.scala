@@ -220,6 +220,127 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
   }
 
+  /** Kernel for [[Md5Shingles]]: sorted DISTINCT 48-bit md5 digests
+    * (the portableDigest convention — first 6 md5 bytes of the gram's
+    * UTF-8 bytes, so DuckDB replays every value via
+    * `md5(gram)[1:12]` base-16) of the lowercased word k-shingles of
+    * `text`. Tokenization/window semantics are [[hashedShingles]]'
+    * spec-pinned mirror of the composable
+    * `explode(shingles(text,k)) → portableDigest` form: Pattern.split
+    * on \s+ limit -1 of UTF8String.toLowerCase, windows joined with
+    * single spaces, fewer than k tokens → one whole-text shingle. One
+    * byte-walk per row, one reused MessageDigest, zero per-gram
+    * string allocation — replaces the per-gram md5/substr/conv
+    * expression trees that made t160/t243's gram stage the hot span.
+    */
+  def md5Shingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = ws.split(text.toLowerCase.toString, -1)
+    val n = toks.length
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    var total = 0
+    while (i < n) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      total += bytes(i).length
+      i += 1
+    }
+    val eff = if (n < k) n else k
+    val count = if (n < k) 1 else n - k + 1
+    val scratch = new Array[Byte](math.max(total + math.max(n - 1, 0), 1))
+    val md = md5Local.get()
+    val out = new Array[Long](count)
+    i = 0
+    while (i < count) {
+      var pos = 0
+      var j = 0
+      while (j < eff) {
+        if (j > 0) { scratch(pos) = ' '; pos += 1 }
+        val b = bytes(i + j)
+        System.arraycopy(b, 0, scratch, pos, b.length)
+        pos += b.length
+        j += 1
+      }
+      md.reset()
+      md.update(scratch, 0, pos)
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < count) {
+      if (i == 0 || out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Kernel for [[GramDigestCounts]]: for every n in 1..maxN, the
+    * doc's word n-gram 48-bit md5 digests ([[md5Shingles]]' digest
+    * and tokenization contract) with their PER-DOC occurrence counts,
+    * emitted as (n, h, c) struct rows — the one-pass replacement for
+    * t157's three unioned explode-shingle passes (rows × tokens × 3
+    * materialized records, each gram through its own md5/substr/conv
+    * expression tree). Per n the digests sort + run-length encode, so
+    * downstream sees ≤ distinct-grams rows of 20 bytes each and the
+    * (group, n, digest) aggregate keeps its exact totals:
+    * Σc = total grams, row count = distinct grams.
+    */
+  def gramDigestCounts(text: UTF8String, maxN: Int): ArrayData = {
+    val toks = ws.split(text.toLowerCase.toString, -1)
+    val nTok = toks.length
+    val bytes = new Array[Array[Byte]](nTok)
+    var i = 0
+    var total = 0
+    while (i < nTok) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      total += bytes(i).length
+      i += 1
+    }
+    val scratch =
+      new Array[Byte](math.max(total + math.max(nTok - 1, 0), 1))
+    val md = md5Local.get()
+    val rows = new java.util.ArrayList[AnyRef]()
+    var n = 1
+    while (n <= maxN) {
+      val eff = if (nTok < n) nTok else n
+      val count = if (nTok < n) 1 else nTok - n + 1
+      val hs = new Array[Long](count)
+      i = 0
+      while (i < count) {
+        var pos = 0
+        var j = 0
+        while (j < eff) {
+          if (j > 0) { scratch(pos) = ' '; pos += 1 }
+          val b = bytes(i + j)
+          System.arraycopy(b, 0, scratch, pos, b.length)
+          pos += b.length
+          j += 1
+        }
+        md.reset()
+        md.update(scratch, 0, pos)
+        val d = md.digest()
+        hs(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      i = 0
+      while (i < count) {
+        var run = 1
+        while (i + run < count && hs(i + run) == hs(i)) run += 1
+        rows.add(new GenericInternalRow(Array[Any](n, hs(i), run.toLong)))
+        i += run
+      }
+      n += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
   /** Kernel for [[ShingleStrings]]: the word k-shingles of `text` as
     * strings — NON-distinct, in document order (position i = the
     * shingle starting at token i), lowercased, space-joined. Same
@@ -775,6 +896,45 @@ case class WinnowingFps(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Sorted DISTINCT 48-bit md5 word-k-shingle digests of a text (the
+  * portableDigest convention — see [[TextKernels.md5Shingles]]).
+  * Codegen'd: one kernel call per row; mirrors
+  * `array_distinct(transform(shingles(text,k), g -> portableDigest(g)))`
+  * bit-for-bit so existing DuckDB oracles replay unchanged.
+  */
+case class Md5Shingles(child: Expression, k: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.md5Shingles(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.md5Shingles($c, $k);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-doc word n-gram digest COUNTS for n = 1..maxN as (n, h, c)
+  * struct rows (see [[TextKernels.gramDigestCounts]]) — one kernel
+  * pass replaces maxN unioned explode-shingle scans.
+  */
+case class GramDigestCounts(child: Expression, maxN: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(maxN >= 1, "maxN must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.gramDigestCounts(v.asInstanceOf[UTF8String], maxN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.gramDigestCounts($c, $maxN);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Word k-shingle STRINGS of a text — non-distinct, in document order,
   * lowercased (see [[TextKernels.shingleStrings]]). The composable
   * Catalyst form (`transform(sequence(..), i -> array_join(slice(toks,
@@ -1118,6 +1278,10 @@ object TextFunctions {
     toColumn(HashedShingles(toExpr(text), k))
   def shingle_strings(text: Column, k: Int): Column =
     toColumn(ShingleStrings(toExpr(text), k))
+  def md5_shingles(text: Column, k: Int): Column =
+    toColumn(Md5Shingles(toExpr(text), k))
+  def gram_digest_counts(text: Column, maxN: Int): Column =
+    toColumn(GramDigestCounts(toExpr(text), maxN))
   def sorted_intersect_count(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
   def winnowing_fps(text: Column, k: Int, w: Int): Column =

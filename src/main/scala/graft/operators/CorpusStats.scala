@@ -643,11 +643,14 @@ object CorpusStats {
   def sourceOverlapMatrix(docs: DataFrame, textCol: String,
                           sourceCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // per-doc distinct digests from ONE native kernel pass (the
+    // md5_shingles contract == explode(shingles)→portableDigest, so
+    // the oracle replays unchanged); explode carries 8-byte longs
+    // only — no gram strings, no per-gram md5 expression trees
     val grams = docs.filter(col(textCol).isNotNull)
       .select(col(sourceCol).as("__src"),
-        explode(TextDedup.shingles(col(textCol), n)).as("__g"))
-      .select(col("__src"),
-        graft.ops.SnapshotDiff.portableDigest(Seq(col("__g"))).as("__h"))
+        explode(graft.functions.TextFunctions
+          .md5_shingles(col(textCol), n)).as("__h"))
       .distinct()
       .localCheckpoint(true) // feeds per-source counts AND the pair join
     val cnt = grams.groupBy(col("__src")).agg(count(lit(1)).as("__n"))

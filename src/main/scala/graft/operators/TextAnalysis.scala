@@ -410,29 +410,29 @@ object TextAnalysis {
     * digests, so the distinct count is over digests — deterministic
     * on both engines, collision-folding ≈ total²/2⁴⁸ expected (≪ 1
     * row at any per-group cardinality the exact count itself can
-    * hold). Scale shape: maxN scans, each reducing through TWO
-    * map-side-combinable stages — groupBy(group, n, digest) then
-    * groupBy(group, n) — so the shuffles carry 8-byte digests and
-    * counts, never gram strings, and there is no count-distinct
-    * expand. At truly unbounded gram cardinality swap stage one for
-    * the HLL sketch path (t91) — same report, bounded state.
+    * hold). Scale shape: ONE corpus scan — the
+    * [[graft.functions.TextKernels.gramDigestCounts]] native kernel
+    * emits every n's per-doc (n, digest, count) rows in one byte-walk
+    * (the prior form ran maxN unioned explode-shingle passes, rows ×
+    * tokens × maxN records each through its own md5 expression tree —
+    * t157's 13.8 s hot span) — then TWO map-side-combinable stages:
+    * groupBy(group, n, digest) summing per-doc counts, then
+    * groupBy(group, n). Shuffles carry 8-byte digests and counts,
+    * never gram strings, and there is no count-distinct expand. At
+    * truly unbounded gram cardinality swap stage one for the HLL
+    * sketch path (t91) — same report, bounded state.
     */
   def diversityReport(docs: DataFrame, textCol: String,
                       groupCols: Seq[String], maxN: Int = 3): DataFrame = {
     require(maxN >= 1, "need maxN >= 1")
     val g = groupCols.map(col)
-    val base = docs.filter(col(textCol).isNotNull)
-    val grams = (1 to maxN).map { n =>
-      base.select(g :+
-        lit(n).as("n") :+
-        explode(TextDedup.shingles(col(textCol), n)).as("__g"): _*)
-        .select(g :+ col("n") :+
-          graft.ops.SnapshotDiff.portableDigest(Seq(col("__g")))
-            .as("__h"): _*)
-    }.reduce(_ union _)
-    grams
+    docs.filter(col(textCol).isNotNull)
+      .select(g :+ explode(graft.functions.TextFunctions
+        .gram_digest_counts(col(textCol), maxN)).as("__gc"): _*)
+      .select(g :+ col("__gc.n").as("n") :+ col("__gc.h").as("__h") :+
+        col("__gc.c").as("__dc"): _*)
       .groupBy(g :+ col("n") :+ col("__h"): _*)
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__dc")).as("__c"))
       .groupBy(g :+ col("n"): _*)
       .agg(sum(col("__c")).as("total_grams"),
         count(lit(1)).as("distinct_grams"))
@@ -458,11 +458,13 @@ object TextAnalysis {
   def crossSourceContainment(docs: DataFrame, textCol: String,
                              srcCol: String,
                              shingleK: Int = 3): DataFrame = {
+    // per-doc distinct digests from ONE native kernel pass — the
+    // explode carries 8-byte longs only (no gram strings, no per-gram
+    // md5 expression trees); cross-doc distinct follows
     val grams = docs.filter(col(textCol).isNotNull)
       .select(col(srcCol).as("__s"),
-        explode(TextDedup.shingles(col(textCol), shingleK)).as("__g"))
-      .select(col("__s"),
-        graft.ops.SnapshotDiff.portableDigest(Seq(col("__g"))).as("__h"))
+        explode(graft.functions.TextFunctions
+          .md5_shingles(col(textCol), shingleK)).as("__h"))
       .distinct()
     val sizes = grams.groupBy(col("__s")).agg(count(lit(1)).as("n"))
     val pairs = grams.select(col("__s").as("source_a"), col("__h"))

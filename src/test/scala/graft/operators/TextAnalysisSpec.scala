@@ -581,4 +581,46 @@ class TextAnalysisSpec extends SparkSpec {
       math.rint((sy.toDouble - beta * sx) / n / 1e6 * 1e6) / 1e6)
     assert(out.getAs[Double]("r2") == 1.0) // two points: perfect line
   }
+
+  test("md5_shingles / gram_digest_counts kernels are bit-identical to " +
+       "the composable explode(shingles)→portableDigest replay " +
+       "(multibyte, short docs, empty text, repeated grams)") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one", "", "  leading and   irregular\tspace",
+      "ünïcödé çhärs κόσμε 世界 mixed in the stream",
+      "a a a a a a a", // degenerate: every 1-gram identical
+      "MiXeD CaSe ToKeNs MiXeD CaSe")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def digest(c: org.apache.spark.sql.Column) =
+      graft.ops.SnapshotDiff.portableDigest(Seq(c))
+    for (k <- Seq(1, 2, 3, 5)) {
+      val expected = df.select(col("doc_id"),
+          sort_array(array_distinct(transform(
+            TextDedup.shingles(col("text"), k), g => digest(g)))).as("hs"))
+        .orderBy(col("doc_id")).as[(Long, Seq[Long])].collect().toSeq
+      val got = df.select(col("doc_id"),
+          TextFunctions.md5_shingles(col("text"), k).as("hs"))
+        .orderBy(col("doc_id")).as[(Long, Seq[Long])].collect().toSeq
+      assert(got == expected, s"md5_shingles divergence at k=$k")
+    }
+    // gram_digest_counts: per (doc, n) the digest multiset equals the
+    // composable explode form's — counts sum to total grams, distinct
+    // digests match, and every (h, c) pair agrees
+    val maxN = 3
+    val expectedCounts = (1 to maxN).map { n =>
+      df.select(col("doc_id"), lit(n).as("n"),
+          explode(TextDedup.shingles(col("text"), n)).as("g"))
+        .select(col("doc_id"), col("n"), digest(col("g")).as("h"))
+        .groupBy("doc_id", "n", "h").agg(count(lit(1)).as("c"))
+    }.reduce(_ unionByName _)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val gotCounts = df.select(col("doc_id"),
+        explode(TextFunctions.gram_digest_counts(col("text"), maxN))
+          .as("gc"))
+      .select(col("doc_id"), col("gc.n"), col("gc.h"), col("gc.c"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(gotCounts == expectedCounts)
+  }
 }
