@@ -125,9 +125,16 @@ object ClusterEval {
         .map { case (a, b) => val t = a - b; t * t }.sum
       if d2 > 0L
     } yield (i, j, math.sqrt(d2.toDouble))).toDF("__i", "__j", "__dcc")
-    val s = agg.select(col("cluster"), col("n"),
+    // the k-row cluster summary is referenced THREE times below
+    // (directly and on both sides of the DB self-join) — collect it to
+    // a literal frame so the corpus aggregation provably executes
+    // ONCE, instead of trusting exchange reuse to dedupe three
+    // identical subtrees (k rows of driver state, model-sized)
+    val sPlan = agg.select(col("cluster"), col("n"),
       (col("__r_sum").cast("double") / col("n")).as("__s_micro"),
       col("__inertia_sum"), col("__sil_sum"), col("__r_sum"))
+    val s = spark.createDataFrame(
+      java.util.Arrays.asList(sPlan.collect(): _*), sPlan.schema)
     val db = s.join(broadcast(cd), col("cluster") === col("__i"))
       .join(s.select(col("cluster").as("__jc"),
         col("__s_micro").as("__s_j")), col("__j") === col("__jc"))
@@ -172,31 +179,40 @@ object ClusterEval {
     // materialize the normalized vectors ONCE: the objective below
     // evaluates nlist cosine folds per row, and an un-pinned transform
     // would re-run the normalization inside every fold (measured 0.8 s
-    // -> 5.1 s on the sf0.1 battery when left inline)
-    val vecs = raw.withColumn("__n", sqrt(n2))
-      .filter(col("__n") > 0.0)
-      .select(transform(col("v"), x => x.cast("double") / col("__n"))
-        .as("vec"))
-      .localCheckpoint(true)
-    val seeds = Similarity.seedCentroids(vecs, nlist)
-    val refined = Similarity.refineCentroids(vecs, seeds, iters)
-    def stage(name: String, cents: Array[Seq[Double]]): DataFrame = {
-      val cos = greatest(cents.toIndexedSeq.map { c =>
-        val dot = aggregate(
-          zip_with(col("vec"),
-            typedLit(c), (x, y) => x.cast("double") * y),
-          lit(0.0), (a, x) => a + x)
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        val vn = sqrt(aggregate(col("vec"),
-          lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
-        dot / (vn * lit(cn))
-      }: _*)
-      vecs.agg(count(lit(1)).as("n"),
-          avg(cos).as("mean_cos"))
-        .select(lit(name).as("stage"), col("n"),
-          round(col("mean_cos"), 9).as("mean_cos"))
-    }
-    stage("seed", seeds).unionByName(stage("refined", refined))
-      .orderBy(col("stage"))
+    // -> 5.1 s on the sf0.1 battery when left inline). Persisted with
+    // an explicit RELEASE handle (not a leaked localCheckpoint —
+    // repeated bench passes used to accumulate checkpoint blocks until
+    // the ContextCleaner happened to GC them): the 2-row result is
+    // collected eagerly below, the blocks free before return.
+    val (vecs, release) = Clustering.materialize(
+      raw.withColumn("__n", sqrt(n2))
+        .filter(col("__n") > 0.0)
+        .select(transform(col("v"), x => x.cast("double") / col("__n"))
+          .as("vec")))
+    try {
+      val seeds = Similarity.seedCentroids(vecs, nlist)
+      val refined = Similarity.refineCentroids(vecs, seeds, iters)
+      def stage(name: String, cents: Array[Seq[Double]]): DataFrame = {
+        val cos = greatest(cents.toIndexedSeq.map { c =>
+          val dot = aggregate(
+            zip_with(col("vec"),
+              typedLit(c), (x, y) => x.cast("double") * y),
+            lit(0.0), (a, x) => a + x)
+          val cn = math.sqrt(c.map(x => x * x).sum)
+          val vn = sqrt(aggregate(col("vec"),
+            lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+          dot / (vn * lit(cn))
+        }: _*)
+        vecs.agg(count(lit(1)).as("n"),
+            avg(cos).as("mean_cos"))
+          .select(lit(name).as("stage"), col("n"),
+            round(col("mean_cos"), 9).as("mean_cos"))
+      }
+      val out = stage("seed", seeds).unionByName(stage("refined", refined))
+        .orderBy(col("stage"))
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally release()
   }
 }

@@ -436,9 +436,26 @@ object Graph {
   }
 
   def kCore(edges: DataFrame, aCol: String, bCol: String,
-            maxRounds: Int = 500): DataFrame = {
-    val und = undirect(edges, aCol, bCol)
-      .localCheckpoint(true) // every round joins this table
+            maxRounds: Int = 500): DataFrame =
+    // handle discarded: the persisted loop state backs the returned
+    // frame (the connectedComponents convention). Callers that
+    // re-materialize the result themselves should use
+    // [[kCoreWithRelease]] and free the loop state instead.
+    kCoreWithRelease(edges, aCol, bCol, maxRounds)._1
+
+  /** [[kCore]] plus a RELEASE handle for the loop's persisted state
+    * (the final round's labels RDD and the undirected edge table).
+    * CONTRACT: materialize the returned frame eagerly (e.g.
+    * `localCheckpoint(true)`) BEFORE calling the handle — after
+    * release the frame cannot recompute. Exists so a caller that
+    * re-checkpoints the result anyway (t264's per-session fixture)
+    * doesn't strand one node-sized persisted RDD per call.
+    */
+  private[graft] def kCoreWithRelease(edges: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int = 500): (DataFrame, () => Unit) = {
+    // every round joins the undirected table — persisted with its own
+    // handle so the caller-side release can free it too
+    val (und, releaseUnd) = Clustering.materialize(undirect(edges, aCol, bCol))
     val degrees = und.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("c"))
     var (labels, release) = Clustering.materialize(degrees)
@@ -481,12 +498,14 @@ object Graph {
     if (active > 0)
       throw new IllegalStateException(
         s"kCore did not converge in $maxRounds rounds")
-    // the FINAL labels stay persisted for the caller's materialization
-    // (the connectedComponents convention — releasing here would force
-    // the whole iteration chain to recompute on first read)
-    labels.select(col("node"), col("c").as("core"))
+    // the FINAL labels stay persisted until the returned handle fires
+    // (releasing here would force the whole iteration chain to
+    // recompute on first read)
+    val out = labels.select(col("node"), col("c").as("core"))
       .join(degrees.select(col("node"), col("c").as("degree")), "node")
       .select(col("node"), col("degree"), col("core"))
+    val rel = release
+    (out, () => { rel(); releaseUnd() })
   }
 
   /** One h-index refinement round: for every node, the h-index of its

@@ -191,8 +191,13 @@ object Pca {
     val v = col(vecCol)
     val isNull = v.isNull
     val badDim = !isNull && size(v) =!= d
+    // a NULL ELEMENT inside a correctly-sized vector is a defect too:
+    // without this clause Spark's aggregate null-propagates __r_micro
+    // (while DuckDB's list_sum would skip the NULL and produce a
+    // norm), and the mean_norm denominator would count a row that
+    // contributes nothing to the numerator
     val nonFinite = !isNull && size(v) === d &&
-      exists(v, x => isnan(x.cast("double")) ||
+      exists(v, x => x.isNull || isnan(x.cast("double")) ||
         x.cast("double") === Double.PositiveInfinity ||
         x.cast("double") === Double.NegativeInfinity)
     val ok = !isNull && size(v) === d && !nonFinite

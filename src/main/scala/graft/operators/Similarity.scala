@@ -159,17 +159,30 @@ object Similarity {
   private[operators] def refineCentroids(vecs: DataFrame,
       centroids: Array[Seq[Double]], iters: Int): Array[Seq[Double]] = {
     var cents = centroids
+    if (iters == 0 || cents.isEmpty) return cents
+    // per-cell dim-COLUMN means, not posexplode: the explode form
+    // amplified the assign stage ×dim rows (a 768× allocation storm at
+    // embedding dims) before the map-side combine — the same shape the
+    // t226 labelSeparation rewrite removed. One hash aggregate with
+    // O(cells × dim) state; shuffled rows carry dim doubles per cell.
+    val dim = cents.head.size
+    val aggs = (0 until dim).map(i =>
+      avg(element_at(col("vec"), i + 1).cast("double")).as(s"__m$i"))
     for (_ <- 0 until iters) {
-      val dims = vecs
-        .select(cellOf(col("vec"), cents).as("cell"),
-                posexplode(col("vec")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg(avg(col("x")).as("m"))
+      val rows = vecs
+        .filter(col("vec").isNotNull)
+        .select(cellOf(col("vec"), cents).as("cell"), col("vec"))
+        .groupBy(col("cell"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-      val byCell = dims.groupBy(_.getInt(0))
+      val byCell = rows.map(r => r.getInt(0) -> r).toMap
       cents = cents.zipWithIndex.map { case (old, i) =>
-        byCell.get(i).fold(old) { rows =>
-          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        byCell.get(i).fold(old) { r =>
+          // a dim no member vector reaches keeps its old component
+          // (matches the explode form, where that (cell, d) row never
+          // existed)
+          (0 until dim).map(d =>
+            if (r.isNullAt(1 + d)) old(d) else r.getDouble(1 + d)): Seq[Double]
         }
       }
     }
@@ -383,20 +396,24 @@ object Similarity {
                 col("vec").cast("array<double>").as("cent"))
         .localCheckpoint(true)
       // distributed Lloyd over the fine level: assign via the coarse
-      // join + argmax kernel, re-center per (coarse, fine, dim), keep
-      // the old centroid for a fine cell that lost all members (the
-      // refineCentroids convention)
-      for (_ <- 0 until refineIters) {
+      // join + argmax kernel, re-center per (coarse, fine) with
+      // dim-COLUMN means (no posexplode — the explode form amplified
+      // the corpus-sized assign stage ×dim rows, the t226 allocation
+      // storm at embedding dims), keep the old centroid for a fine
+      // cell that lost all members (the refineCentroids convention)
+      val fDim = coarseCents.headOption.map(_.size).getOrElse(0)
+      val fAggs = (0 until fDim).map(i =>
+        avg(element_at(col("vec"), i + 1).cast("double")).as(s"__m$i"))
+      for (_ <- 0 until (if (fDim > 0) refineIters else 0)) {
         val means = withCoarse.join(centArr(fine), "coarse")
           .select(col("coarse"),
                   argmax_cells(col("vec"), col("cents")).as("fine"),
-                  posexplode(col("vec")).as(Seq("d", "x")))
-          .groupBy(col("coarse"), col("fine"), col("d"))
-          .agg(avg(col("x")).as("m"))
+                  col("vec"))
           .groupBy(col("coarse"), col("fine"))
-          .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+          .agg(fAggs.head, fAggs.tail: _*)
           .select(col("coarse"), col("fine"),
-                  transform(col("dm"), _.getField("m")).as("cent2"))
+                  array((0 until fDim).map(i => col(s"__m$i")): _*)
+                    .as("cent2"))
         fine = fine.join(means, Seq("coarse", "fine"), "left")
           .select(col("coarse"), col("fine"),
                   coalesce(col("cent2"), col("cent")).as("cent"))

@@ -2767,15 +2767,20 @@ object Oracle {
         |  UNION ALL SELECT 100004,
         |    list_transform(range(64), i -> CAST(CASE WHEN i = 0
         |      THEN 'NaN'::DOUBLE ELSE 0.1 END AS FLOAT)), 99
+        |  UNION ALL SELECT 100005,
+        |    list_transform(range(64), i -> CAST(CASE WHEN i = 0
+        |      THEN NULL ELSE 0.1 END AS FLOAT)), 99
         |), f AS (
         |  SELECT label,
         |    (embedding IS NULL) AS is_null,
         |    embedding IS NOT NULL AND len(embedding) <> 64 AS bad_dim,
         |    embedding IS NOT NULL AND len(embedding) = 64 AND
-        |      len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+        |      len(list_filter(embedding, x -> x IS NULL
+        |        OR isnan(CAST(x AS DOUBLE))
         |        OR isinf(CAST(x AS DOUBLE)))) > 0 AS nonfinite,
         |    embedding IS NOT NULL AND len(embedding) = 64 AND NOT (
-        |      len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+        |      len(list_filter(embedding, x -> x IS NULL
+        |        OR isnan(CAST(x AS DOUBLE))
         |        OR isinf(CAST(x AS DOUBLE)))) > 0) AS ok,
         |    embedding AS v
         |  FROM allv
@@ -8029,5 +8034,9 @@ object Oracle {
       ("q54_sql_cluster_quality" -> base("t257_cluster_quality")) +
       ("q55_sql_canonical_dups" -> base("t259_canonical_dedup")) +
       ("q56_sql_embedding_card" -> base("t261_embedding_card")) +
-      ("q57_sql_corpus_diff" -> base("t262_corpus_diff"))
+      ("q57_sql_corpus_diff" -> base("t262_corpus_diff")) +
+      ("q58_sql_filtered_search" -> base("t98_filtered_ann")) +
+      ("q59_sql_funnel" -> base("t107_funnel")) +
+      ("q60_sql_retention" -> base("t108_retention")) +
+      ("q61_sql_sessions" -> base("t185_sessions"))
 }

@@ -5547,11 +5547,11 @@ object TrainingQueries {
   }
 
   /** t261_embedding_card — per-label embedding HEALTH card over the
-    * embeddings table plus four planted defects (a NULL vector, an
-    * all-zero vector, a wrong-dimension vector, a NaN element) under
-    * label 99: defect counts + the exact micro-norm distribution of
-    * the healthy rows. Exact oracle (quantile_cont interpolation on
-    * integers — the t141 convention).
+    * embeddings table plus five planted defects (a NULL vector, an
+    * all-zero vector, a wrong-dimension vector, a NaN element, a NULL
+    * element) under label 99: defect counts + the exact micro-norm
+    * distribution of the healthy rows. Exact oracle (quantile_cont
+    * interpolation on integers — the t141 convention).
     */
   def t261EmbeddingCard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -5563,6 +5563,13 @@ object TrainingQueries {
       (100003L, Array(1.0f, 2.0f, 3.0f), 99),
       (100004L, nanVec, 99)
     ).toDF("vec_id", "embedding", "label")
+      // fifth defect: a NULL ELEMENT inside a correctly-sized vector
+      // (Array[Float] can't carry one — plant it via transform)
+      .unionByName(Seq((100005L, Array.fill(64)(0.1f), 99))
+        .toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> " +
+          "CASE WHEN i = 0 THEN CAST(NULL AS FLOAT) ELSE x END)")))
     graft.operators.Pca.embeddingCard(emb.unionByName(bad),
       Seq("label"), "embedding", d = 64)
   }
@@ -5627,8 +5634,13 @@ object TrainingQueries {
     * run the driver records, and the h-index loop doesn't run twice
     * per battery).
     */
-  private val kCoreCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // WEAK-keyed on the session object: identityHashCode keys are not
+  // unique after GC (a stale entry could be handed to a different live
+  // session) and were never evicted — a weak key dies with its session,
+  // and identity equality on LIVE sessions is exact.
+  private val kCoreCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
   /** t264/t265's graph: co-purchase edges over a deterministic third
     * of the orders. The h-index loop's wall time is rounds × per-round
     * job latency, and rounds grow with core depth — the FULL
@@ -5654,11 +5666,18 @@ object TrainingQueries {
   }
   private def coPurchaseKCore(spark: SparkSession,
                               sfDir: String): DataFrame =
-    kCoreCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}:$sfDir",
-      graft.operators.Graph.kCore(
+    kCoreCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(sfDir, {
+        // eager checkpoint FIRST, then free the h-index loop's
+        // persisted state (the labels RDD + undirected edge table the
+        // public kCore strands) — the fixture pins exactly one copy
+        val (df, release) = graft.operators.Graph.kCoreWithRelease(
           kCoreEdges(spark, sfDir), "pa", "pb")
-        .localCheckpoint(true))
+        val out = df.localCheckpoint(true)
+        release()
+        out
+      })
 
   /** t264_kcore — exact core numbers for the co-purchase graph via
     * distributed h-index iteration (no peeling, no driver node
