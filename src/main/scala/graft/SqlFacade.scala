@@ -60,7 +60,16 @@ object SqlFacade {
     *  - `embedding_card`     — per-label embedding health card
     *    (t261 composition; q56, hash-exact);
     *  - `corpus_diff`        — release-to-release snapshot delta
-    *    (t262 composition; q57, hash-exact).
+    *    (t262 composition; q57, hash-exact);
+    *  - `filtered_search`    — metadata-filtered exact cosine top-k,
+    *    the vector-DB "predicate + top-k" surface (t98 composition;
+    *    q58, hash-exact);
+    *  - `funnel`             — ordered first-touch funnel counts +
+    *    conversion rates (t107 composition; q59, hash-exact);
+    *  - `retention`          — weekly retention cohorts (t108
+    *    composition; q60, hash-exact);
+    *  - `sessions`           — gap-based sessionization (t185
+    *    composition; q61, hash-exact).
     *
     * Views are lazy — each materializes only when a SQL statement
     * actually reads it — EXCEPT `near_dup_clusters` (the connected-
@@ -72,13 +81,19 @@ object SqlFacade {
     * every later call (each q49–q57 query, every bench pass)
     * re-registers the cached frames for free.
     */
-  private val viewCache = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[(String, DataFrame)]]
+  // WEAK-keyed on the session object (the kCoreCache convention):
+  // identityHashCode keys are not unique after GC and were never
+  // evicted — a weak key dies with its session.
+  private val viewCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[(String, DataFrame)]]]())
 
   def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val key = s"${System.identityHashCode(spark)}:$sfDir"
-    val views = viewCache.getOrElseUpdate(key, {
+    val views = viewCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap
+          .empty[String, Seq[(String, DataFrame)]])
+      .getOrElseUpdate(sfDir, {
       val docs = Tables.documents(spark, sfDir)
       Seq(
         "minhash_near_dups" ->
@@ -122,7 +137,18 @@ object SqlFacade {
         "embedding_card" ->
           graft.queries.TrainingQueries.t261EmbeddingCard(spark, sfDir),
         "corpus_diff" ->
-          graft.queries.TrainingQueries.t262CorpusDiff(spark, sfDir))
+          graft.queries.TrainingQueries.t262CorpusDiff(spark, sfDir),
+        // round 12: the ANN/vector and behavioral families reach the
+        // SQL surface (q58–q61 pin them to the t98/t107/t108/t185
+        // oracles verbatim)
+        "filtered_search" ->
+          graft.queries.TrainingQueries.t98FilteredAnn(spark, sfDir),
+        "funnel" ->
+          graft.queries.TrainingQueries.t107Funnel(spark, sfDir),
+        "retention" ->
+          graft.queries.TrainingQueries.t108Retention(spark, sfDir),
+        "sessions" ->
+          graft.queries.TrainingQueries.t185Sessions(spark, sfDir))
     })
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }

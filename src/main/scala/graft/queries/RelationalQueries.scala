@@ -934,4 +934,49 @@ object RelationalQueries {
     graft.SqlFacade.sql(spark,
       "SELECT * FROM near_dup_clusters ORDER BY component")
   }
+
+  /** q58_sql_filtered_search — metadata-filtered exact cosine top-k
+    * (the vector-DB "predicate + top-k" surface, t98) through SQL
+    * text over the `filtered_search` view; hash-exact against t98's
+    * oracle — the ANN/vector family's first SQL-surface entry.
+    */
+  def q58SqlFilteredSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM filtered_search ORDER BY qid, rank")
+  }
+
+  /** q59_sql_funnel — the ordered first-touch funnel (t107) through
+    * SQL text over the `funnel` view; hash-exact against t107's
+    * CTE-chain oracle.
+    */
+  def q59SqlFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM funnel ORDER BY step")
+  }
+
+  /** q60_sql_retention — weekly retention cohorts (t108) through SQL
+    * text over the `retention` view; hash-exact against t108's
+    * first-seen/date_trunc oracle.
+    */
+  def q60SqlRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM retention ORDER BY cohort_week, week_no")
+  }
+
+  /** q61_sql_sessions — gap-based sessionization (t185) through SQL
+    * text over the `sessions` view; hash-exact against t185's
+    * oracle.
+    */
+  def q61SqlSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM sessions ORDER BY user_id, session_no")
+  }
 }
