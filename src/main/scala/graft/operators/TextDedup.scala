@@ -300,6 +300,75 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** EXACT all-pairs Jaccard similarity join via PREFIX FILTERING
+    * (Bayardo–Ma–Srikant WWW'07 "Scaling Up All Pairs Similarity
+    * Search"; the PPJoin prefix rule, Xiao et al. WWW'08) — the
+    * df-capped posting generator's exact sibling: where
+    * [[ngramJaccardPairs]] BOUNDS work by dropping hot shingles (and
+    * documents whose only shared evidence was hot can be missed by
+    * construction), prefix filtering keeps EVERY qualifying pair and
+    * prunes candidates instead: sort each document's shingle set by
+    * GLOBAL document frequency (rarest first, digest tiebreak) and
+    * index only its first |d| − ⌊t·|d|⌋ + 1 positions — any pair with
+    * J ≥ t provably shares a digest inside both prefixes (the prefix
+    * uses floor, one slot longer than the ⌈⌉ minimum, so IEEE
+    * rounding of t·|d| can never under-length it), so the candidate
+    * join runs on the RAREST ~(1−t) fraction of each posting list and
+    * hot shingles never generate pairs unless they are some
+    * document's rarest evidence.
+    *
+    * Scale shape: one df aggregate (8-byte digest keys, map-side
+    * combined), one posting-df join, a per-DOC rank window
+    * (high-cardinality key — spreads), then the prefix-only posting
+    * self-join: per-digest fan-out is bounded by the digest's
+    * PREFIX-df, which rare-first ordering keeps near the qualifying
+    * pair count itself (a dup cluster's quadratic candidates are the
+    * OUTPUT, not overhead). Verification is the shared
+    * length-prefilter + sorted-merge intersection. No caps, no
+    * windows over corpus-sized partitions.
+    *
+    * Output: (id_a < id_b, jaccard 6dp) for jaccard ≥ `threshold` —
+    * hash-exact against a NAIVE uncapped all-pairs DuckDB replay, the
+    * algorithm-independent ground truth (t266).
+    */
+  def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
+                        shingleK: Int = 3,
+                        threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sets = hashedShingleSets(docs, textCol, idCol, shingleK)
+      .withColumn("sz", size(col("sh")))
+    val posting = sets.select(col("id"), explode(col("sh")).as("h"))
+    val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val rank = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefix = posting.join(dfreq, "h")
+      .withColumn("__rn", row_number().over(rank))
+      .join(sets.select(col("id"), col("sz")), "id")
+      // |d| − ⌊t·|d|⌋ + 1 ≥ the ⌈⌉-minimum prefix length whichever
+      // way IEEE rounds t·|d| across an integer boundary (floor of
+      // r±ε is r or r−1 — both keep L ≥ |d| − ⌈r⌉ + 1); a one-slot
+      // over-length only adds candidates, never loses a pair
+      .filter(col("__rn") <=
+        col("sz") - floor(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("h"))
+    val cands = prefix.select(col("id").as("id_a"), col("h"))
+      .join(prefix.select(col("id").as("id_b"), col("h")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "id_b")
+      .filter(col("sz_a").cast("double") >= lit(threshold) * col("sz_b") &&
+              col("sz_b").cast("double") >= lit(threshold) * col("sz_a"))
+      .withColumn("jaccard", jaccardOfSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact-Levenshtein VERIFICATION of an upstream candidate pair set
     * — the character-level ground-truth final stage behind every
     * shingle/minhash/simhash approximation, run where it belongs: on

@@ -516,6 +516,38 @@ object Oracle {
         |UNION ALL
         |SELECT id_a, id_b, jaccard FROM exact_pairs""".stripMargin,
 
+    "t266_prefix_jaccard" ->
+      // NAIVE uncapped all-pairs ground truth for the prefix-filter
+      // join (t4's shingle-string Jaccard convention — identical to
+      // the hashed form modulo 64-bit collisions): any pair the
+      // prefix algorithm misses or invents is a hash mismatch
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |         string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |                        i -> array_to_string(t[i+1:i+3], ' ')) END) AS sh
+        |  FROM toks
+        |), posting AS (
+        |  SELECT id, unnest(sh) AS s FROM sets
+        |), cands AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM posting a JOIN posting b ON a.s = b.s AND a.id < b.id
+        |), verified AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |           / len(list_distinct(sa.sh || sb.sh)) AS j
+        |  FROM cands c
+        |  JOIN sets sa ON sa.id = c.id_a
+        |  JOIN sets sb ON sb.id = c.id_b
+        |)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard
+        |FROM verified WHERE j >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "t12_multimodal" ->
       // closed-form replay of synthesize → decode → aggregate: the
       // synthesized BMP/WAV/Y4M containers are deterministic functions

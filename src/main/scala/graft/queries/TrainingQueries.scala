@@ -5736,6 +5736,19 @@ object TrainingQueries {
       .orderBy(col("check"))
   }
 
+  /** t266_prefix_jaccard — EXACT all-pairs Jaccard join via prefix
+    * filtering (Bayardo WWW'07): rarest-first global-df prefixes
+    * generate candidates, exact sorted-merge Jaccard verifies. The
+    * oracle is the NAIVE uncapped all-pairs replay — algorithm-
+    * independent ground truth, so any prefix-pruning recall loss is a
+    * hash mismatch, not a silent gap. Exact oracle.
+    */
+  def t266PrefixJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextDedup.prefixFilterPairs(
+        Tables.documents(spark, sfDir), "text", "doc_id",
+        shingleK = 3, threshold = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

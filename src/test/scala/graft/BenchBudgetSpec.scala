@@ -42,21 +42,33 @@ class BenchBudgetSpec extends AnyFunSuite {
   }
 
   test("REPLAY: the round-9 builder battery passes the committed " +
-       "round-11 budgets (historical drift must not fail the battery)") {
+       "budgets everywhere EXCEPT the plans round 12 rewrote " +
+       "(historical drift must not fail the battery; dead plans should)") {
     val r9 = queriesOf("docs/bench_history/bench_r09_builder.json")
     assert(r9.size > 200, "history file parsed")
-    assert(BenchBudget.violations(r9, committedBudget) === Nil)
+    // t157/t160's budgets were rebased to the round-12 kernelized
+    // plans; the old triple-explode-shingle times SHOULD read as
+    // violations — the rule doing its job on plans that no longer
+    // exist. Nothing ELSE in the r9 battery trips.
+    assert(BenchBudget.violations(r9, committedBudget)
+      === List("t157_diversity", "t160_containment"))
   }
 
   test("REPLAY: the round-10 driver battery passes the committed " +
-       "budgets everywhere EXCEPT the genuinely-defective old t226 plan") {
+       "budgets everywhere EXCEPT the genuinely-defective old plans " +
+       "(t226's round-10 explode; t157/t243's pre-kernel gram scans)") {
     val r10d = queriesOf("docs/bench_history/bench_r10_driver.json")
     assert(r10d.size > 200)
-    // t226's budget was rebased to the round-11 rewritten plan; the old
-    // exploding plan's 6.61 s driver time SHOULD still read as a
-    // violation — that is the rule doing its job on a real defect.
     assert(BenchBudget.violations(r10d, committedBudget)
-      === List("t226_label_separation"))
+      === List("t157_diversity", "t226_label_separation",
+               "t243_source_overlap"))
+  }
+
+  test("REPLAY: the round-12 closing battery (the committed budgets' " +
+       "own base) passes clean — including the ten rebased rows") {
+    val r12 = queriesOf("docs/bench_history/bench_r12_close.json")
+    assert(r12.size > 300)
+    assert(BenchBudget.violations(r12, committedBudget) === Nil)
   }
 
   test("maxMerge takes the per-query max across recorded runs") {

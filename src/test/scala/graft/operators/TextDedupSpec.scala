@@ -458,4 +458,41 @@ class TextDedupSpec extends SparkSpec {
         r.getAs[Long]("n_docs"), r.getAs[Int]("canon_chars"))).sorted
     assert(groups.toSeq == Seq((10L, 2L, 13), (13L, 2L, 10)))
   }
+
+  test("prefixFilterPairs = brute-force all-pairs at every threshold " +
+       "(exact dups, near dups, short whole-text docs, integer t·|d|)") {
+    // corpus engineered so prefix pruning has something to prune (a
+    // hot shingle shared by everything) and t·|d| crosses integer
+    // boundaries for several set sizes
+    val hot = "alpha beta gamma" // shared 3-gram across all docs
+    val df = Seq(
+      (0L, s"$hot one two three four five six seven"),
+      (1L, s"$hot one two three four five six seven"),        // exact dup
+      (2L, s"$hot one two three four five six EIGHT"),        // near dup
+      (3L, s"$hot totally different tail about spark plans"),
+      (4L, "tiny"),                                           // whole-text gram
+      (5L, "tiny"),                                           // exact dup of 4
+      (6L, s"$hot one two three four five nine seven ten")
+    ).toDF("doc_id", "text")
+    def brute(t: Double): Set[(Long, Long, Double)] = {
+      val sets = df.select($"doc_id".as("id"),
+        array_sort(array_distinct(transform(
+          TextDedup.shingles($"text", 3), s => xxhash64(s)))).as("sh"))
+      sets.as("a").crossJoin(sets.as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          round(graft.functions.TextFunctions.sorted_intersect_count(
+            col("a.sh"), col("b.sh")).cast("double") /
+            (size(col("a.sh")) + size(col("b.sh")) -
+              graft.functions.TextFunctions.sorted_intersect_count(
+                col("a.sh"), col("b.sh"))), 6).as("j"))
+        .filter($"j" >= t)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    for (t <- Seq(0.3, 0.5, 0.6, 0.75, 1.0)) {
+      val got = TextDedup.prefixFilterPairs(df, "text", "doc_id", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute(t), s"prefix/brute divergence at t=$t")
+    }
+  }
 }
