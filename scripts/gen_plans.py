@@ -89,7 +89,7 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t256_stream_decontam",
            "t257_cluster_quality", "t259_canonical_dedup",
            "t260_stream_quality", "t261_embedding_card",
-           "t262_corpus_diff", "t263_common_component", "t264_kcore"]
+           "t262_corpus_diff", "t263_common_component", "t264_kcore", "t266_prefix_jaccard"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -146,6 +146,17 @@ NOTES = {
         "(node, c, chg) frame per round. t265 enforces the fixpoint + "
         "support invariants as zero-violation gates on the SAME cached "
         "decomposition (the t192/t236 shared-census convention).",
+    "t266_prefix_jaccard":
+        "EXACT all-pairs Jaccard with PRUNED candidates (Bayardo "
+        "WWW'07): the df aggregate and posting-df join shuffle 8-byte "
+        "digests; the per-doc rank window partitions on the "
+        "high-cardinality doc id (spreads); the candidate self-join "
+        "touches only the rarest |d| - floor(t|d|) + 1 positions per "
+        "doc, so hot shingles generate no pairs unless they are some "
+        "doc's rarest evidence; verification is the shared length "
+        "prefilter + sorted-merge intersection. The oracle is the "
+        "NAIVE uncapped replay - pruning recall loss is impossible to "
+        "hide.",
     "t235_triangle_doulion":
         "The Doulion coin is ONE codegen'd md5 Project over the deduped "
         "edge table (no extra shuffle); every closure join downstream "
@@ -197,11 +208,11 @@ NOTES = {
         "micro-round to BIGINT before the sum (order-independent), "
         "and alpha is one IEEE chain on a |sources|-row join.",
     "t243_source_overlap":
-        "The only corpus-sized stage is the map-side-combinable "
-        "(source, 48-bit gram digest) distinct; the intersection "
-        "self-join keys on 8-byte digests with per-digest fan-out "
-        "bounded by |sources|^2 (sources are a bounded metadata "
-        "dimension), and the per-source counts broadcast back.",
+        "Gram digests come from ONE Md5Shingles kernel call per row "
+        "(round 12) into the map-side-combinable (source, digest) "
+        "distinct; the intersection self-join keys on 8-byte digests "
+        "with per-digest fan-out bounded by |sources|^2, and the "
+        "per-source counts broadcast back. 4.4 s -> ~1.2 s at sf0.1.",
     "t244_token_fertility":
         "Pure scan rate: both counting kernels (whitespace split + "
         "the codegen'd BPE-ish token counter) are per-row expressions "
@@ -355,13 +366,13 @@ NOTES = {
     "t156_snapshot_fingerprint":
         "Each snapshot collapses to 64 fingerprint rows in ONE scan through a map-side-combinable (count, xor, sum-mod) aggregate — no sort, no keyed join; the full-outer verdict join touches |shards| rows. At 100 TB the row-level diff then runs only on the shards this map flags.",
     "t157_diversity":
-        "Three explode scans (n = 1, 2, 3), each reducing through TWO map-side-combinable groupBys — (source, n, digest) then (source, n) — so shuffles carry 8-byte digests and counts, never gram strings, and there is no count-distinct Expand in the plan.",
+        "ONE corpus scan (round 12): the GramDigestCounts native kernel emits every n's per-doc (n, digest48, count) rows in one byte-walk — the prior three unioned explode-shingle passes (rows x tokens x 3 records, each through its own md5 expression subtree) are gone — then TWO map-side-combinable groupBys so shuffles carry 8-byte digests and counts, never gram strings. 13.8 s -> ~1.0 s at sf0.1.",
     "t158_burst_gini":
         "Windows partition by event_type over the days × types aggregate (calendar-bounded frames); the only corpus-sized stage is the daily count scan.",
     "t159_wasserstein":
         "The t113 KS shape with one extra lead() in the same per-group ordered window: one groupBy(value) collapse, one sort per group over DISTINCT values, no new shuffle beyond exact KS; bin first for billion-distinct-value groups (the t137 hatch applies verbatim).",
     "t160_containment":
-        "The corpus collapses to distinct (source, 8-byte digest) rows BEFORE any join, so duplication and doc counts drop out; the digest self-join fans out at most |sources|^2/2 pairs per digest and both size joins broadcast — every post-collapse structure is |sources|^2-bounded.",
+        "Per-doc DISTINCT digests come from ONE Md5Shingles kernel call per row (round 12 — no gram strings, no per-gram md5 subtrees), then the cross-doc distinct; the digest self-join fans out at most |sources|^2/2 pairs per digest and both size joins broadcast — every post-collapse structure is |sources|^2-bounded. 5.4 s -> ~1.2 s at sf0.1.",
     "t161_auc":
         "The exact-KS chain shape: ties collapse map-side to one (group, score) row with two long counts before the per-group cumulative window (distinct scores per partition — bin first, t137/t139, at billion-distinct-score cardinality); the rank sums stay exact BIGINTs so no float crosses an engine boundary.",
     "t162_calibration":
@@ -409,7 +420,7 @@ NOTES = {
     "t183_cosine_profile":
         "The vec-id self-join shuffles 8-byte keys (sort-merge on id_a); the cosine kernel + bin assignment are per-row codegen'd projections, the bin histogram is a <= 20-row partial-aggregated count, and the corpus moments reduce to ONE row (decimal(38,0) micro sums — order-independent) broadcast back over the bins.",
     "t184_weighted_quantiles":
-        "Values collapse map-side to (flag, price) blocks with exact BIGINT weight sums before any window; the cumulative-weight window runs over DISTINCT prices per flag (bin first, the t137 hatch, at billion-distinct-value cardinality) and the p25/p50/p75 selection is a pure-integer rank test — no q*W float to straddle, no interpolation.",
+        "Values collapse map-side to (flag, price) blocks with exact BIGINT weight sums; cumulative weights ride cumulativeCells (round 12 — range-repartition + per-partition windows + broadcast prefix offsets, parallelism = partition count, never a |groups|-task sort funnel) and the p25/p50/p75 selection is a pure-integer rank test — no q*W float to straddle, no interpolation.",
     "t185_sessions":
         "ONE per-user Window carries the lag, the break flag, and the running break count (same partitioning + ordering — one exchange, one sort; user windows parallelize across the user-id shuffle, a user's rows bound the task); the session roll-up is a map-side-combinable HashAggregate on the same key distribution. Every output column is an exact BIGINT via unix_micros — no float boundary.",
     "t186_fleiss":
@@ -445,15 +456,15 @@ NOTES = {
     "t202_smd_balance":
         "ONE map-side-combinable (source, side) moment collapse is the only corpus-sized stage; the A-x-B self-join and the SMD chain run on |groups| rows. Moments are DECIMAL(38,0).",
     "t203_trimmed_mean":
-        "One (flag, cents) cell collapse rides the scan; the cumulative window runs per flag over DISTINCT cents (bin first, the t137 hatch, past quantized domains) and the interval-overlap clip makes partial tie blocks exact integers; one weighted DECIMAL(38,0) reduction.",
+        "One (flag, cents) cell collapse rides the scan; cumulative counts ride cumulativeCells (round 12 — no |groups|-task funnel) and the interval-overlap clip makes partial tie blocks exact integers; one weighted DECIMAL(38,0) reduction.",
     "t204_theil":
         "The per-user count collapse is the corpus-sized stage (map-side combinable); the |groups|-row total table broadcasts back, each entity contributes one micro-rounded BIGINT log term (order-independent sum), and the index is one divide.",
     "t206_median_ci":
-        "One (flag, cents) cell collapse rides the scan; the cumulative window runs per flag over DISTINCT cents (the t137 bin-first hatch past quantized domains) and all three outputs are rank-test SELECTIONS in one reduction — no bootstrap replicates anywhere in the plan.",
+        "One (flag, cents) cell collapse rides the scan; cumulative counts ride cumulativeCells (round 12: range-repartition + per-partition windows + broadcast prefix offsets — the round-11 rc=1 post-mortem: the old per-flag window was a 3-task sort funnel, 8.6 s on the driver) and all three outputs are rank-test SELECTIONS in one reduction — no bootstrap replicates anywhere in the plan.",
     "t207_rfm":
         "The per-user collapse is the only corpus-sized stage; the three cut tables window over (metric)-keyed DISTINCT-value cells (3 partitions), pivot to ONE broadcast row, and scoring is per-row comparisons into a <= 27-row aggregate. No ntile, no global rank.",
     "t208_lorenz":
-        "The caller's per-user collapse feeds one (type, mass) cell collapse; the cumulative window spans per-type DISTINCT masses, and the 10-way clip explode keeps partial tie blocks exact integers — the trimmedMean machinery swept across all deciles in one pass.",
+        "The caller's per-user collapse feeds one (type, mass) cell collapse; cumulative counts/masses ride cumulativeCells (round 12 — no |groups|-task funnel), and the 10-way clip explode keeps partial tie blocks exact integers — the trimmedMean machinery swept across all deciles in one pass.",
     "t209_mcnemar":
         "ONE map-side-combinable per-flag collapse to (n, b, c) exact BIGINTs; the statistic and verdict are per-group scalar expressions. Nothing after the scan exceeds |groups| rows.",
     "t210_cuped":
@@ -485,7 +496,7 @@ NOTES = {
     "t224_fd_mine":
         "12 rule-labeled branches union map-side into ONE (rule, lhs, rhs) count collapse; the majority-mass chain after it is group-cardinality. One generic plan regardless of how many rules are mined.",
     "t225_winsorized":
-        "The trimmedMean shape with boundary SELECTIONS instead of drops: one cell collapse, one per-flag distinct-value cumulative window (t137 hatch past quantized domains), one DECIMAL(38,0) reduction carrying the clip weights and both fence values.",
+        "The trimmedMean shape with boundary SELECTIONS instead of drops: one cell collapse, cumulative counts via cumulativeCells (round 12 — no |groups|-task funnel), one DECIMAL(38,0) reduction carrying the clip weights and both fence values.",
     "t226_label_separation":
         "ONE corpus-pass hash aggregate (round 11 — the round-10 posexplode *dim row amplification is gone): per label n, the squared-norm fold, and 64 element_at DECIMAL component sums, all map-side-combining, so only |labels|*64 values shuffle; the centroid identity makes intra/inter means label-cardinality arithmetic with nothing pairwise ever materialized.",
     "t227_chi2_residuals":
