@@ -341,6 +341,80 @@ object TextKernels {
     new GenericArrayData(rows.toArray)
   }
 
+  /** Kernel for [[RepetitionStatsExpr]]: the Gopher-style within-doc
+    * repetition counters (Rae et al. 2021, Table A1 class) in ONE
+    * pass, as exact integer masses so every downstream fraction is a
+    * single divide of summed BIGINTs:
+    *
+    *  - lines: split on '\n' (limit −1, raw text, empties kept);
+    *    n_lines, occurrences belonging to any duplicated line text,
+    *    and their codepoint masses (count × length);
+    *  - word n-grams (the TextDedup.shingles token contract —
+    *    lowercase \s+ split, windows joined with single spaces, fewer
+    *    than n tokens → one whole-text gram) for n = 2, 3, 5:
+    *    top-gram mass (max over distinct grams of count × length —
+    *    the deterministic tie-free form of "fraction of characters in
+    *    the most common n-gram"), duplicated-gram mass (Σ count ×
+    *    length over grams with count ≥ 2, n = 5), and total mass.
+    *
+    * Grams group by STRING (per-doc HashMap — no digest-collision
+    * caveat), lengths in codepoints matching Spark/DuckDB `length`.
+    */
+  def repetitionStats(text: UTF8String): GenericInternalRow = {
+    val raw = text.toString
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    val lines = raw.split("\n", -1)
+    val lm = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    while (i < lines.length) {
+      val e = lm.computeIfAbsent(lines(i), l => Array(0L, cp(l)))
+      e(0) += 1
+      i += 1
+    }
+    var nLines = lines.length.toLong
+    var dupLines = 0L
+    var lineChars = 0L
+    var dupLineChars = 0L
+    lm.values.forEach { e =>
+      lineChars += e(0) * e(1)
+      if (e(0) >= 2) { dupLines += e(0); dupLineChars += e(0) * e(1) }
+    }
+    val toks = ws.split(text.toLowerCase.toString, -1)
+    // (topMass, dupMass, totalMass) for word n-grams
+    def gramMasses(n: Int): (Long, Long, Long) = {
+      val gm = new java.util.HashMap[String, Array[Long]]()
+      val count = if (toks.length < n) 1 else toks.length - n + 1
+      val eff = if (toks.length < n) toks.length else n
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var j = 0
+        while (j < eff) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val e = gm.computeIfAbsent(sb.toString, g => Array(0L, cp(g)))
+        e(0) += 1
+        i += 1
+      }
+      var top = 0L; var dup = 0L; var total = 0L
+      gm.values.forEach { e =>
+        val mass = e(0) * e(1)
+        total += mass
+        if (mass > top) top = mass
+        if (e(0) >= 2) dup += mass
+      }
+      (top, dup, total)
+    }
+    val (top2, _, mass2) = gramMasses(2)
+    val (top3, _, mass3) = gramMasses(3)
+    val (_, dup5, mass5) = gramMasses(5)
+    new GenericInternalRow(Array[Any](nLines, dupLines, lineChars,
+      dupLineChars, top2, mass2, top3, mass3, dup5, mass5))
+  }
+
   /** Kernel for [[ShingleStrings]]: the word k-shingles of `text` as
     * strings — NON-distinct, in document order (position i = the
     * shingle starting at token i), lowercased, space-joined. Same
@@ -935,6 +1009,26 @@ case class GramDigestCounts(child: Expression, maxN: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Gopher-style within-doc repetition counters as one struct of exact
+  * integer masses (see [[TextKernels.repetitionStats]]) — one kernel
+  * call per row, no explode, no shuffle; per-group fractions are then
+  * single divides of summed BIGINTs.
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def dataType: DataType = StructType(
+    Seq("n_lines", "dup_lines", "line_chars", "dup_line_chars",
+      "top2_mass", "mass2", "top3_mass", "mass3", "dup5_mass", "mass5")
+      .map(StructField(_, LongType, nullable = false)))
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.repetitionStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.repetitionStats($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Word k-shingle STRINGS of a text — non-distinct, in document order,
   * lowercased (see [[TextKernels.shingleStrings]]). The composable
   * Catalyst form (`transform(sequence(..), i -> array_join(slice(toks,
@@ -1282,6 +1376,8 @@ object TextFunctions {
     toColumn(Md5Shingles(toExpr(text), k))
   def gram_digest_counts(text: Column, maxN: Int): Column =
     toColumn(GramDigestCounts(toExpr(text), maxN))
+  def repetition_stats(text: Column): Column =
+    toColumn(RepetitionStatsExpr(toExpr(text)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
   def winnowing_fps(text: Column, k: Int, w: Int): Column =

@@ -440,6 +440,55 @@ object TextAnalysis {
         / col("total_grams"), 6))
   }
 
+  /** Gopher-style REPETITION report per group (Rae et al. 2021's
+    * repetitious-text filters, the quality battery's within-doc
+    * member): fraction of line occurrences belonging to duplicated
+    * line texts (and their character mass), the "most common n-gram"
+    * character-mass fraction for n = 2, 3 (max count × length — the
+    * deterministic tie-free form), and the duplicated-5-gram mass
+    * fraction. Boilerplate, templated spam, and decoding loops all
+    * light these up long before perplexity moves.
+    *
+    * Exactness: every numerator/denominator is an exact BIGINT mass
+    * summed per group (one [[graft.functions.TextKernels
+    * .repetitionStats]] kernel call per row — no explode, no gram
+    * strings in the plan), ONE IEEE divide each at the 6dp boundary.
+    * Scale shape: a per-row codegen'd projection into one
+    * map-side-combinable |groups|-row aggregate — nothing after the
+    * scan is corpus-sized.
+    *
+    * Output: (groups…, n_docs, dup_line_frac, dup_line_char_frac,
+    * top2gram_mass_frac, top3gram_mass_frac, dup5gram_mass_frac).
+    */
+  def repetitionReport(docs: DataFrame, textCol: String,
+                       groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    def frac(num: Column, den: Column) =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+    docs.filter(col(textCol).isNotNull)
+      .select(g :+ graft.functions.TextFunctions
+        .repetition_stats(col(textCol)).as("__r"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__r.n_lines")).as("__nl"),
+        sum(col("__r.dup_lines")).as("__dl"),
+        sum(col("__r.line_chars")).as("__lc"),
+        sum(col("__r.dup_line_chars")).as("__dlc"),
+        sum(col("__r.top2_mass")).as("__t2"),
+        sum(col("__r.mass2")).as("__m2"),
+        sum(col("__r.top3_mass")).as("__t3"),
+        sum(col("__r.mass3")).as("__m3"),
+        sum(col("__r.dup5_mass")).as("__d5"),
+        sum(col("__r.mass5")).as("__m5"))
+      .select(g :+ col("n_docs") :+
+        frac(col("__dl"), col("__nl")).as("dup_line_frac") :+
+        frac(col("__dlc"), col("__lc")).as("dup_line_char_frac") :+
+        frac(col("__t2"), col("__m2")).as("top2gram_mass_frac") :+
+        frac(col("__t3"), col("__m3")).as("top3gram_mass_frac") :+
+        frac(col("__d5"), col("__m5")).as("dup5gram_mass_frac"): _*)
+  }
+
   /** Cross-source n-gram CONTAINMENT matrix: for every source pair,
     * |grams_a ∩ grams_b| / min(|grams_a|, |grams_b|) over distinct
     * k-shingle digests — the mirroring / republication / common-crawl

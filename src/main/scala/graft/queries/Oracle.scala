@@ -548,6 +548,72 @@ object Oracle {
         |FROM verified WHERE j >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "t267_repetition" ->
+      // exact mirror of TextAnalysis.repetitionReport: lines split on
+      // chr(10) with empties kept (raw text), word n-grams on the
+      // shared lowercase-\s+ shingle contract (whole-text fallback
+      // below n), masses = count × codepoint length as exact BIGINTs,
+      // per-source sums, one divide each at 6dp
+      """WITH lines AS (
+        |  SELECT doc_id, source, unnest(string_split(text, chr(10))) AS ln
+        |  FROM documents WHERE text IS NOT NULL
+        |), lc AS (
+        |  SELECT doc_id, source, ln, count(*) AS c, length(ln) AS len
+        |  FROM lines GROUP BY ALL
+        |), lagg AS (
+        |  SELECT doc_id, source, sum(c) AS n_lines,
+        |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_lines,
+        |         sum(c * len) AS line_chars,
+        |         sum(CASE WHEN c >= 2 THEN c * len ELSE 0 END)
+        |           AS dup_line_chars
+        |  FROM lc GROUP BY ALL
+        |), toks AS (
+        |  SELECT doc_id, source,
+        |         string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, source, n,
+        |         unnest(CASE WHEN len(t) < n THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(range(len(t) - n + 1),
+        |                  i -> array_to_string(t[i+1:i+n], ' ')) END) AS gr
+        |  FROM toks CROSS JOIN (SELECT unnest([2, 3, 5]) AS n)
+        |), gc AS (
+        |  SELECT doc_id, source, n, gr, count(*) AS c, length(gr) AS len
+        |  FROM g GROUP BY ALL
+        |), ga AS (
+        |  SELECT doc_id, source, n, max(c * len) AS top_mass,
+        |         sum(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS dup_mass,
+        |         sum(c * len) AS mass
+        |  FROM gc GROUP BY ALL
+        |), perdoc AS (
+        |  SELECT l.doc_id, l.source, l.n_lines, l.dup_lines,
+        |         l.line_chars, l.dup_line_chars,
+        |         g2.top_mass AS t2, g2.mass AS m2,
+        |         g3.top_mass AS t3, g3.mass AS m3,
+        |         g5.dup_mass AS d5, g5.mass AS m5
+        |  FROM lagg l
+        |  JOIN ga g2 ON g2.doc_id = l.doc_id AND g2.n = 2
+        |  JOIN ga g3 ON g3.doc_id = l.doc_id AND g3.n = 3
+        |  JOIN ga g5 ON g5.doc_id = l.doc_id AND g5.n = 5
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CASE WHEN sum(n_lines) > 0 THEN round(
+        |    CAST(sum(dup_lines) AS DOUBLE) /
+        |    CAST(sum(n_lines) AS DOUBLE), 6) END AS dup_line_frac,
+        |  CASE WHEN sum(line_chars) > 0 THEN round(
+        |    CAST(sum(dup_line_chars) AS DOUBLE) /
+        |    CAST(sum(line_chars) AS DOUBLE), 6) END AS dup_line_char_frac,
+        |  CASE WHEN sum(m2) > 0 THEN round(
+        |    CAST(sum(t2) AS DOUBLE) / CAST(sum(m2) AS DOUBLE), 6)
+        |    END AS top2gram_mass_frac,
+        |  CASE WHEN sum(m3) > 0 THEN round(
+        |    CAST(sum(t3) AS DOUBLE) / CAST(sum(m3) AS DOUBLE), 6)
+        |    END AS top3gram_mass_frac,
+        |  CASE WHEN sum(m5) > 0 THEN round(
+        |    CAST(sum(d5) AS DOUBLE) / CAST(sum(m5) AS DOUBLE), 6)
+        |    END AS dup5gram_mass_frac
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+
     "t12_multimodal" ->
       // closed-form replay of synthesize → decode → aggregate: the
       // synthesized BMP/WAV/Y4M containers are deterministic functions

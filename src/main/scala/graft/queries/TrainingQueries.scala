@@ -5749,6 +5749,16 @@ object TrainingQueries {
         shingleK = 3, threshold = 0.6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** t267_repetition — the Gopher repetition report per source:
+    * duplicated-line fractions + top/duplicated n-gram character-mass
+    * fractions, every numerator/denominator an exact BIGINT mass from
+    * one kernel call per row. Exact oracle.
+    */
+  def t267Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repetitionReport(
+        Tables.documents(spark, sfDir), "text", Seq("source"))
+      .orderBy(col("source"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.

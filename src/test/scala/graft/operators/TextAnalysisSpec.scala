@@ -582,6 +582,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Double]("r2") == 1.0) // two points: perfect line
   }
 
+  test("repetitionReport: hand-computed line and gram masses") {
+    // doc 0: 4 lines, "dup" appears twice (3 chars each);
+    // tokens: "a b a b c" -> 2-grams: "a b"(2), "b a"(1), "b c"(1)
+    val docs = Seq(
+      (0L, "s", "dup\nuniq line\ndup\nother"),
+      (1L, "s", "a b a b c")
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.repetitionReport(docs, "text", Seq("source"))
+      .collect().head
+    // doc0 lines: dup(2x,3ch), "uniq line"(1x,9ch), other(1x,5ch)
+    //   n_lines 4, dup_lines 2, line_chars 2*3+9+5=20, dup_chars 6
+    // doc1 lines: 1 line, 9 chars, no dups
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Double]("dup_line_frac") ==
+      math.rint(2.0 / 5 * 1e6) / 1e6)
+    assert(r.getAs[Double]("dup_line_char_frac") ==
+      math.rint(6.0 / 29 * 1e6) / 1e6)
+    // 2-gram masses: doc0 grams of "dup uniq line dup other" all
+    // unique: "dup uniq"(8), "uniq line"(9), "line dup"(8),
+    // "dup other"(9) -> top 9, mass 34
+    // doc1: "a b"(2x3=6), "b a"(3), "b c"(3) -> top 6, mass 12
+    assert(r.getAs[Double]("top2gram_mass_frac") ==
+      math.rint((9.0 + 6.0) / (34 + 12) * 1e6) / 1e6)
+    // 5-gram: doc0 has 1 window (23 ch), doc1 one window "a b a b c"
+    // (9 ch) - no dups anywhere
+    assert(r.getAs[Double]("dup5gram_mass_frac") == 0.0)
+  }
+
   test("md5_shingles / gram_digest_counts kernels are bit-identical to " +
        "the composable explode(shingles)→portableDigest replay " +
        "(multibyte, short docs, empty text, repeated grams)") {
