@@ -163,6 +163,68 @@ object CorpusStats {
         (col("avg_nll") <= col("__p_hi")).as("keep"))
   }
 
+  /** MIN-K% PROB membership/contamination probe (the Shi et al. 2023
+    * "Detecting Pretraining Data" statistic, on the corpus bigram LM):
+    * per document, the mean negative log-likelihood of its k% MOST
+    * SURPRISING bigram instances — memorized or duplicated text keeps
+    * even its worst tokens unsurprising, so a LOW mink score on a
+    * supposedly-fresh document is the membership red flag the plain
+    * average (t36) smooths away.
+    *
+    * Exactness: per-instance NLLs micro-round to BIGINTs (one
+    * identical IEEE log chain per bigram — the t163 integer micro-log
+    * contract), the top-k% selection is the interval-overlap clip
+    * over per-doc DISTINCT micro values (partial tie blocks exact),
+    * k_terms = ⌈pct·n/100⌉ in pure integer arithmetic, and the mean
+    * is one double-divide chain of the exact DECIMAL(38,0) sum.
+    *
+    * Scale shape: the t36 model reductions (bigram counts, contexts,
+    * vocab — shuffles carry bigram keys, never documents), then a
+    * per-DOC cumulative window (high-cardinality key — spreads; cells
+    * per doc = its distinct NLL values). No corpus-wide window.
+    *
+    * Output: (doc_id, n_bigrams, k_terms, mink_avg_nll 6dp), docs
+    * with ≥ 2 tokens.
+    */
+  def minKProb(docs: DataFrame, idCol: String, textCol: String,
+               addK: Double = 0.5, pct: Int = 20): DataFrame = {
+    require(addK > 0, s"addK must be positive, got $addK")
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    import org.apache.spark.sql.expressions.Window
+    val (tokenized, perDoc) = bigramPerDoc(docs, idCol, textCol)
+    val cnt = perDoc.groupBy(col("b")).agg(sum(col("n")).as("c"))
+    val ctx = cnt.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("c")).as("cc"))
+    val vocab = tokenized.select(explode(col("t")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val cells = perDoc.join(cnt, "b")
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n"),
+        round(lit(-1000000.0) *
+          log((col("c") + addK) / (col("cc") + lit(addK) * col("v"))))
+          .cast("long").as("__v"))
+      .groupBy(col("doc_id"), col("__v"))
+      .agg(sum(col("n")).as("__c"))
+    val whole = Window.partitionBy(col("doc_id"))
+    val desc = whole.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .withColumn("__cum", sum(col("__c")).over(desc))
+      .withColumn("__m", expr(s"(__n * $pct + 99) div 100"))
+      .withColumn("__w",
+        greatest(least(col("__cum"), col("__m")) -
+          (col("__cum") - col("__c")), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("__n")).as("n_bigrams"), max(col("__m")).as("k_terms"),
+        sum(col("__w").cast("decimal(38,0)") * col("__v")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"), col("k_terms"),
+        round(col("__s").cast("double") / col("k_terms") / 1e6, 6)
+          .as("mink_avg_nll"))
+  }
+
   /** Moore–Lewis cross-entropy difference selection (Moore & Lewis
     * 2010) — the classic domain-targeted data-selection step: train
     * one bigram LM on an IN-DOMAIN slice of the corpus and one on the

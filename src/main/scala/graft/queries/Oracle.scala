@@ -548,6 +548,62 @@ object Oracle {
         |FROM verified WHERE j >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "t268_mink_prob" ->
+      // exact mirror of CorpusStats.minKProb: t36's model CTEs
+      // verbatim, per-instance NLLs micro-rounded to BIGINTs (one
+      // identical ln chain), top-20% selection via the interval-
+      // overlap clip over per-doc DISTINCT micro values (desc),
+      // k = ceil(n/5) in integer arithmetic, one double-divide chain
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, t FROM toks WHERE len(t) >= 2
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(t) - 1),
+        |                               i -> t[i+1] || ' ' || t[i+2])) AS b
+        |  FROM dt
+        |), per_doc AS (
+        |  SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b
+        |), cnt AS (
+        |  SELECT b, CAST(sum(n) AS BIGINT) AS c FROM per_doc GROUP BY b
+        |), ctx AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS cc
+        |  FROM cnt GROUP BY 1
+        |), vocab AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM dt)
+        |), cells AS (
+        |  SELECT p.doc_id,
+        |         CAST(round(-1000000.0 *
+        |           ln((c.c + 0.5) / (x.cc + 0.5 * vocab.v))) AS BIGINT) AS mv,
+        |         CAST(sum(p.n) AS BIGINT) AS cell_n
+        |  FROM per_doc p
+        |  JOIN cnt c USING (b)
+        |  JOIN ctx x ON split_part(p.b, ' ', 1) = x.w1
+        |  CROSS JOIN vocab
+        |  GROUP BY p.doc_id, mv
+        |), cum AS (
+        |  SELECT doc_id, mv, cell_n,
+        |         sum(cell_n) OVER (PARTITION BY doc_id) AS n_all,
+        |         sum(cell_n) OVER (PARTITION BY doc_id ORDER BY mv DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM cells
+        |), clipped AS (
+        |  SELECT doc_id, n_all, (n_all * 20 + 99) // 100 AS m,
+        |         greatest(least(cw, (n_all * 20 + 99) // 100) -
+        |           (cw - cell_n), 0) AS w, mv
+        |  FROM cum
+        |)
+        |SELECT doc_id, CAST(max(n_all) AS BIGINT) AS n_bigrams,
+        |       CAST(max(m) AS BIGINT) AS k_terms,
+        |       round(CAST(sum(CAST(w AS HUGEINT) * mv) AS DOUBLE)
+        |             / max(m) / 1e6, 6) AS mink_avg_nll
+        |FROM clipped GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t267_repetition" ->
       // exact mirror of TextAnalysis.repetitionReport: lines split on
       // chr(10) with empties kept (raw text), word n-grams on the

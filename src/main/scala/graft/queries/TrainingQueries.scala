@@ -5759,6 +5759,16 @@ object TrainingQueries {
         Tables.documents(spark, sfDir), "text", Seq("source"))
       .orderBy(col("source"))
 
+  /** t268_mink_prob — min-k% prob membership probe (Shi et al. 2023)
+    * on the corpus bigram LM: per doc, the mean NLL of its 20% most
+    * surprising bigram instances — the duplicated/memorized-text red
+    * flag the plain average smooths away. Exact oracle (micro-log
+    * integers, interval-clip selection).
+    */
+  def t268MinkProb(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.minKProb(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** t12_multimodal — binary media plumbing end-to-end: synthesize
     * binary rows from documents, batch-decode (stub codec), aggregate
     * decoded metadata per media type.
