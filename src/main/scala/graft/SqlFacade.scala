@@ -69,7 +69,9 @@ object SqlFacade {
     *  - `retention`          — weekly retention cohorts (t108
     *    composition; q60, hash-exact);
     *  - `sessions`           — gap-based sessionization (t185
-    *    composition; q61, hash-exact).
+    *    composition; q61, hash-exact);
+    *  - `repetition`         — Gopher repetition report (t267
+    *    composition; q62, hash-exact).
     *
     * Views are lazy — each materializes only when a SQL statement
     * actually reads it — EXCEPT `near_dup_clusters` (the connected-
@@ -148,7 +150,9 @@ object SqlFacade {
         "retention" ->
           graft.queries.TrainingQueries.t108Retention(spark, sfDir),
         "sessions" ->
-          graft.queries.TrainingQueries.t185Sessions(spark, sfDir))
+          graft.queries.TrainingQueries.t185Sessions(spark, sfDir),
+        "repetition" ->
+          graft.queries.TrainingQueries.t267Repetition(spark, sfDir))
     })
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }

@@ -8192,5 +8192,6 @@ object Oracle {
       ("q58_sql_filtered_search" -> base("t98_filtered_ann")) +
       ("q59_sql_funnel" -> base("t107_funnel")) +
       ("q60_sql_retention" -> base("t108_retention")) +
-      ("q61_sql_sessions" -> base("t185_sessions"))
+      ("q61_sql_sessions" -> base("t185_sessions")) +
+      ("q62_sql_repetition" -> base("t267_repetition"))
 }

@@ -979,4 +979,15 @@ object RelationalQueries {
     graft.SqlFacade.sql(spark,
       "SELECT * FROM sessions ORDER BY user_id, session_no")
   }
+
+  /** q62_sql_repetition — the Gopher repetition report (t267) through
+    * SQL text over the `repetition` view; hash-exact against t267's
+    * oracle.
+    */
+  def q62SqlRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM repetition ORDER BY source")
+  }
 }

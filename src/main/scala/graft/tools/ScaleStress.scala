@@ -483,7 +483,14 @@ object ScaleStress {
           Seq("lang"), col("n_chars"))),
       "w208_lorenz" -> ((s: SparkSession, d: String) =>
         graft.ops.Profiling.lorenzDeciles(graft.Tables.documents(s, d),
-          Seq("lang"), "n_chars")))
+          Seq("lang"), "n_chars")),
+      // round 12: exact prefix-filter all-pairs — the dup-heavy 10x
+      // fixture is its worst case (a 10-member dup cluster's 45 pairs
+      // are the OUTPUT, not overhead); repetition + min-k are per-row
+      // kernel / model-reduction shapes
+      "t266_prefix_jaccard" -> (TrainingQueries.t266PrefixJaccard _),
+      "t267_repetition" -> (TrainingQueries.t267Repetition _),
+      "t268_mink_prob" -> (TrainingQueries.t268MinkProb _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
