@@ -89,7 +89,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t256_stream_decontam",
            "t257_cluster_quality", "t259_canonical_dedup",
            "t260_stream_quality", "t261_embedding_card",
-           "t262_corpus_diff", "t263_common_component", "t264_kcore", "t266_prefix_jaccard"]
+           "t262_corpus_diff", "t263_common_component", "t264_kcore", "t266_prefix_jaccard",
+           "t267_repetition", "t268_mink_prob"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the
@@ -146,6 +147,21 @@ NOTES = {
         "(node, c, chg) frame per round. t265 enforces the fixpoint + "
         "support invariants as zero-violation gates on the SAME cached "
         "decomposition (the t192/t236 shared-census convention).",
+    "t267_repetition":
+        "ONE RepetitionStatsExpr kernel call per row computes lines, "
+        "all three gram sizes, and their exact BIGINT masses in a "
+        "single pass (grams grouped by string in a per-doc map — no "
+        "explode, no gram strings in the plan); the group aggregate "
+        "sums masses map-side and each fraction is one IEEE divide at "
+        "6dp. Nothing after the scan is corpus-sized.",
+    "t268_mink_prob":
+        "The t36 model reductions (bigram counts, contexts, vocab — "
+        "shuffles carry bigram keys, never documents) feed per-doc "
+        "micro-rounded NLL cells; the top-k% selection is the "
+        "interval-overlap clip over a per-DOC cumulative window "
+        "(high-cardinality key — spreads, unlike the t206 funnel "
+        "class) and the mean is one double-divide chain of an exact "
+        "DECIMAL sum.",
     "t266_prefix_jaccard":
         "EXACT all-pairs Jaccard with PRUNED candidates (Bayardo "
         "WWW'07): the df aggregate and posting-df join shuffle 8-byte "
