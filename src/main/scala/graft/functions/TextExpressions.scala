@@ -196,15 +196,7 @@ object TextKernels {
     val hashes = new Array[Long](count)
     i = 0
     while (i < count) {
-      var pos = 0
-      var j = 0
-      while (j < eff) {
-        if (j > 0) { scratch(pos) = ' '; pos += 1 }
-        val b = bytes(i + j)
-        System.arraycopy(b, 0, scratch, pos, b.length)
-        pos += b.length
-        j += 1
-      }
+      val pos = joinWindowBytes(bytes, i, eff, scratch)
       hashes(i) = XXH64.hashUnsafeBytes(scratch,
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
       i += 1
@@ -218,6 +210,55 @@ object TextKernels {
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+
+  /** Assemble the single-space-joined window of `eff` token byte
+    * arrays starting at `i` into `scratch`; returns the byte length.
+    * Shared by every word-n-gram digest kernel so the gram byte
+    * layout (and therefore oracle hash-exactness) has ONE definition.
+    */
+  private def joinWindowBytes(bytes: Array[Array[Byte]], i: Int,
+      eff: Int, scratch: Array[Byte]): Int = {
+    var pos = 0
+    var j = 0
+    while (j < eff) {
+      if (j > 0) { scratch(pos) = ' '; pos += 1 }
+      val b = bytes(i + j)
+      System.arraycopy(b, 0, scratch, pos, b.length)
+      pos += b.length
+      j += 1
+    }
+    pos
+  }
+
+  /** The single-space-joined window of `eff` tokens starting at `i` —
+    * the one STRING-form definition of a word n-gram (shared by
+    * [[shingleStrings]] and [[repetitionStats]]).
+    */
+  private def joinWindowString(toks: Array[String], i: Int, eff: Int,
+      sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    var j = 0
+    while (j < eff) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks(i + j))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** First 6 md5 bytes of scratch[0, pos) as a long — the
+    * portableDigest packing (`conv(substring(md5(x),1,12),16,10)`),
+    * shared by every 48-bit digest kernel.
+    */
+  private def md5of48(md: java.security.MessageDigest,
+      scratch: Array[Byte], pos: Int): Long = {
+    md.reset()
+    md.update(scratch, 0, pos)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+    ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+    ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 
   /** Kernel for [[Md5Shingles]]: sorted DISTINCT 48-bit md5 digests
@@ -251,21 +292,7 @@ object TextKernels {
     val out = new Array[Long](count)
     i = 0
     while (i < count) {
-      var pos = 0
-      var j = 0
-      while (j < eff) {
-        if (j > 0) { scratch(pos) = ' '; pos += 1 }
-        val b = bytes(i + j)
-        System.arraycopy(b, 0, scratch, pos, b.length)
-        pos += b.length
-        j += 1
-      }
-      md.reset()
-      md.update(scratch, 0, pos)
-      val d = md.digest()
-      out(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      out(i) = md5of48(md, scratch, joinWindowBytes(bytes, i, eff, scratch))
       i += 1
     }
     java.util.Arrays.sort(out)
@@ -311,21 +338,7 @@ object TextKernels {
       val hs = new Array[Long](count)
       i = 0
       while (i < count) {
-        var pos = 0
-        var j = 0
-        while (j < eff) {
-          if (j > 0) { scratch(pos) = ' '; pos += 1 }
-          val b = bytes(i + j)
-          System.arraycopy(b, 0, scratch, pos, b.length)
-          pos += b.length
-          j += 1
-        }
-        md.reset()
-        md.update(scratch, 0, pos)
-        val d = md.digest()
-        hs(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+        hs(i) = md5of48(md, scratch, joinWindowBytes(bytes, i, eff, scratch))
         i += 1
       }
       java.util.Arrays.sort(hs)
@@ -388,14 +401,8 @@ object TextKernels {
       val sb = new java.lang.StringBuilder
       var i = 0
       while (i < count) {
-        sb.setLength(0)
-        var j = 0
-        while (j < eff) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        val e = gm.computeIfAbsent(sb.toString, g => Array(0L, cp(g)))
+        val e = gm.computeIfAbsent(joinWindowString(toks, i, eff, sb),
+          g => Array(0L, cp(g)))
         e(0) += 1
         i += 1
       }
@@ -432,14 +439,7 @@ object TextKernels {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < count) {
-      sb.setLength(0)
-      var j = 0
-      while (j < eff) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = UTF8String.fromString(joinWindowString(toks, i, eff, sb))
       i += 1
     }
     new GenericArrayData(out)

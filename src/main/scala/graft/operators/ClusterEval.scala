@@ -126,15 +126,17 @@ object ClusterEval {
       if d2 > 0L
     } yield (i, j, math.sqrt(d2.toDouble))).toDF("__i", "__j", "__dcc")
     // the k-row cluster summary is referenced THREE times below
-    // (directly and on both sides of the DB self-join) — collect it to
-    // a literal frame so the corpus aggregation provably executes
-    // ONCE, instead of trusting exchange reuse to dedupe three
-    // identical subtrees (k rows of driver state, model-sized)
-    val sPlan = agg.select(col("cluster"), col("n"),
-      (col("__r_sum").cast("double") / col("n")).as("__s_micro"),
-      col("__inertia_sum"), col("__sil_sum"), col("__r_sum"))
-    val s = spark.createDataFrame(
-      java.util.Arrays.asList(sPlan.collect(): _*), sPlan.schema)
+    // (directly and on both sides of the DB self-join) — a LAZY local
+    // checkpoint pins it to one persisted k-row RDD so the corpus
+    // aggregation provably executes once, instead of trusting
+    // exchange reuse to dedupe three identical subtrees. Lazy, not
+    // eager/collected: registerOperatorViews BUILDS this frame for
+    // the SQL surface, and an eager form would charge the whole
+    // corpus scan to whatever unrelated query registers the views
+    val s = agg.select(col("cluster"), col("n"),
+        (col("__r_sum").cast("double") / col("n")).as("__s_micro"),
+        col("__inertia_sum"), col("__sil_sum"), col("__r_sum"))
+      .localCheckpoint(false)
     val db = s.join(broadcast(cd), col("cluster") === col("__i"))
       .join(s.select(col("cluster").as("__jc"),
         col("__s_micro").as("__s_j")), col("__j") === col("__jc"))

@@ -506,6 +506,12 @@ object Profiling {
       sumCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty && sumCols.nonEmpty)
     val g = groupCols.map(col)
+    // the checkpoint is LOAD-BEARING, not a cache: the sampled range
+    // boundaries are not reproducible across jobs, so the offset pass
+    // and the final pass MUST read the same pinned partitions or the
+    // offsets describe a partitioning the data no longer has. Like
+    // denseIds, the pinned blocks back the returned (lazy) frame and
+    // release when the consumer's DataFrame is GC'd.
     val parted = cells
       .repartitionByRange(g :+ col(valueCol): _*)
       .withColumn("__cu_pid", spark_partition_id())
@@ -516,20 +522,31 @@ object Profiling {
     val wBef = Window.partitionBy(g: _*).orderBy(col("__cu_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(g: _*)
+    // group keys renamed on the offsets side so the join can use
+    // NULL-SAFE equality: a NULL group key is a real group to every
+    // window/groupBy stage here, and a null-unsafe using-join would
+    // silently drop it (the pre-rewrite Window form kept it)
     val offsets = partials.select(
-      (col("__cu_pid") +: g) ++
+      (col("__cu_pid").as("__cu_pid2") +:
+        groupCols.zipWithIndex.map { case (k, i) => col(k).as(s"__cu_k$i") }) ++
       sumCols.map(s => coalesce(sum(col(s"__cu_p_$s")).over(wBef), lit(0L))
         .as(s"__cu_off_$s")) ++
       sumCols.map(s => sum(col(s"__cu_p_$s")).over(wAll)
         .as(s"${s}_tot")): _*)
+    val joinCond = (col("__cu_pid") === col("__cu_pid2")) &&
+      groupCols.zipWithIndex
+        .map { case (k, i) => col(k) <=> col(s"__cu_k$i") }
+        .reduce(_ && _)
     val wl = Window.partitionBy(col("__cu_pid") +: g: _*)
       .orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = parted.join(broadcast(offsets), "__cu_pid" +: groupCols)
+    val joined = parted.join(broadcast(offsets), joinCond)
     sumCols.foldLeft(joined) { (d, s) =>
         d.withColumn(s"${s}_cum", col(s"__cu_off_$s") + sum(col(s)).over(wl))
       }
-      .drop("__cu_pid" +: sumCols.map(s => s"__cu_off_$s"): _*)
+      .drop(Seq("__cu_pid", "__cu_pid2") ++
+        groupCols.indices.map(i => s"__cu_k$i") ++
+        sumCols.map(s => s"__cu_off_$s"): _*)
   }
 
   /** Distribution-free MEDIAN with a 95% CONFIDENCE interval from

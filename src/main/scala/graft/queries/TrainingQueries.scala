@@ -5634,10 +5634,12 @@ object TrainingQueries {
     * run the driver records, and the h-index loop doesn't run twice
     * per battery).
     */
-  // WEAK-keyed on the session object: identityHashCode keys are not
-  // unique after GC (a stale entry could be handed to a different live
-  // session) and were never evicted — a weak key dies with its session,
-  // and identity equality on LIVE sessions is exact.
+  // Keyed on the session OBJECT (identityHashCode keys are not unique
+  // after GC — a stale entry could be handed to a different live
+  // session). Cached DataFrames reference their session, so weak keys
+  // alone would never collect (value → key strong path); every access
+  // EVICTS entries whose SparkContext is stopped instead — growth is
+  // bounded by the live sessions (the viewCache convention).
   private val kCoreCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]())
@@ -5665,7 +5667,10 @@ object TrainingQueries {
       .select(col("pa"), col("pb"))
   }
   private def coPurchaseKCore(spark: SparkSession,
-                              sfDir: String): DataFrame =
+                              sfDir: String): DataFrame = {
+    kCoreCache.synchronized {
+      kCoreCache.keySet.removeIf(s => s.sparkContext.isStopped)
+    }
     kCoreCache.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
       .getOrElseUpdate(sfDir, {
@@ -5678,6 +5683,7 @@ object TrainingQueries {
         release()
         out
       })
+  }
 
   /** t264_kcore — exact core numbers for the co-purchase graph via
     * distributed h-index iteration (no peeling, no driver node

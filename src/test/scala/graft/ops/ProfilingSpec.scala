@@ -288,6 +288,17 @@ class ProfilingSpec extends SparkSpec {
     assert(out2.getAs[Long]("median") == 12) // lower median
   }
 
+  test("medianCI: a NULL group key is a real group (the cumulativeCells " +
+       "offsets join must be null-safe, not a silent drop)") {
+    val xs = (1L to 25L).map(v => ("g", v)) ++
+      (1L to 9L).map(v => (null.asInstanceOf[String], v))
+    val out = Profiling.medianCI(xs.toDF("g", "x"), Seq("g"), col("x"))
+      .collect().map(r => Option(r.getAs[String]("g")) ->
+        r.getAs[Long]("median")).toMap
+    assert(out(Some("g")) == 13L)
+    assert(out(None) == 5L) // the NULL group survives with its median
+  }
+
   test("medianCI: ties collapse into blocks without shifting ranks") {
     // blocks cum to 10, 18, 25: lo=7 -> 5, mid=13 -> 7, hi=19 -> 9
     val xs = Seq.fill(10)(5L) ++ Seq.fill(8)(7L) ++ Seq.fill(7)(9L)
