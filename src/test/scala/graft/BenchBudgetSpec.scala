@@ -42,33 +42,29 @@ class BenchBudgetSpec extends AnyFunSuite {
   }
 
   test("REPLAY: the round-9 builder battery passes the committed " +
-       "budgets everywhere EXCEPT the plans round 12 rewrote " +
-       "(historical drift must not fail the battery; dead plans should)") {
+       "budgets (historical drift must not fail the battery)") {
     val r9 = queriesOf("docs/bench_history/bench_r09_builder.json")
     assert(r9.size > 200, "history file parsed")
-    // t157/t160's budgets were rebased to the round-12 kernelized
-    // plans; the old triple-explode-shingle times SHOULD read as
-    // violations — the rule doing its job on plans that no longer
-    // exist. Nothing ELSE in the r9 battery trips.
-    assert(BenchBudget.violations(r9, committedBudget)
-      === List("t157_diversity", "t160_containment"))
+    assert(BenchBudget.violations(r9, committedBudget) === Nil)
   }
 
   test("REPLAY: the round-10 driver battery passes the committed " +
        "budgets everywhere EXCEPT the genuinely-defective old plans " +
-       "(t226's round-10 explode; t157/t243's pre-kernel gram scans)") {
+       "(t226's round-10 explode; t243's pre-kernel gram scan)") {
     val r10d = queriesOf("docs/bench_history/bench_r10_driver.json")
     assert(r10d.size > 200)
     assert(BenchBudget.violations(r10d, committedBudget)
-      === List("t157_diversity", "t226_label_separation",
-               "t243_source_overlap"))
+      === List("t226_label_separation", "t243_source_overlap"))
   }
 
-  test("REPLAY: the round-12 closing battery (the committed budgets' " +
-       "own base) passes clean — including the ten rebased rows") {
-    val r12 = queriesOf("docs/bench_history/bench_r12_close.json")
-    assert(r12.size > 300)
-    assert(BenchBudget.violations(r12, committedBudget) === Nil)
+  test("REPLAY: all three round-12 batteries (the committed budgets' " +
+       "own base) pass clean — including the ten rebased rows") {
+    for (b <- Seq("bench_r12_close", "bench_r12_final",
+                  "bench_r12_final2")) {
+      val r12 = queriesOf(s"docs/bench_history/$b.json")
+      assert(r12.size > 300, b)
+      assert(BenchBudget.violations(r12, committedBudget) === Nil, b)
+    }
   }
 
   test("maxMerge takes the per-query max across recorded runs") {
