@@ -71,7 +71,11 @@ object SqlFacade {
     *  - `sessions`           — gap-based sessionization (t185
     *    composition; q61, hash-exact);
     *  - `repetition`         — Gopher repetition report (t267
-    *    composition; q62, hash-exact).
+    *    composition; q62, hash-exact);
+    *  - `prefix_jaccard`     — exact all-pairs Jaccard via prefix
+    *    filtering (t266 composition; q63, hash-exact);
+    *  - `mink_prob`          — min-k% prob membership probe (t268
+    *    composition; q64, hash-exact).
     *
     * Views are lazy — each materializes only when a SQL statement
     * actually reads it — EXCEPT `near_dup_clusters` (the connected-
@@ -159,7 +163,11 @@ object SqlFacade {
         "sessions" ->
           graft.queries.TrainingQueries.t185Sessions(spark, sfDir),
         "repetition" ->
-          graft.queries.TrainingQueries.t267Repetition(spark, sfDir))
+          graft.queries.TrainingQueries.t267Repetition(spark, sfDir),
+        "prefix_jaccard" ->
+          graft.queries.TrainingQueries.t266PrefixJaccard(spark, sfDir),
+        "mink_prob" ->
+          graft.queries.TrainingQueries.t268MinkProb(spark, sfDir))
     })
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }

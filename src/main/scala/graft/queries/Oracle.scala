@@ -8193,5 +8193,7 @@ object Oracle {
       ("q59_sql_funnel" -> base("t107_funnel")) +
       ("q60_sql_retention" -> base("t108_retention")) +
       ("q61_sql_sessions" -> base("t185_sessions")) +
-      ("q62_sql_repetition" -> base("t267_repetition"))
+      ("q62_sql_repetition" -> base("t267_repetition")) +
+      ("q63_sql_prefix_jaccard" -> base("t266_prefix_jaccard")) +
+      ("q64_sql_mink_prob" -> base("t268_mink_prob"))
 }

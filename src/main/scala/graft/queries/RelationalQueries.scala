@@ -990,4 +990,26 @@ object RelationalQueries {
     graft.SqlFacade.sql(spark,
       "SELECT * FROM repetition ORDER BY source")
   }
+
+  /** q63_sql_prefix_jaccard — the exact prefix-filter all-pairs
+    * Jaccard join (t266) through SQL text over the `prefix_jaccard`
+    * view; hash-exact against t266's naive-all-pairs oracle.
+    */
+  def q63SqlPrefixJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM prefix_jaccard ORDER BY id_a, id_b")
+  }
+
+  /** q64_sql_mink_prob — the min-k% prob membership probe (t268)
+    * through SQL text over the `mink_prob` view; hash-exact against
+    * t268's oracle.
+    */
+  def q64SqlMinkProb(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM mink_prob ORDER BY doc_id")
+  }
 }
