@@ -57,10 +57,10 @@ class BenchBudgetSpec extends AnyFunSuite {
       === List("t226_label_separation", "t243_source_overlap"))
   }
 
-  test("REPLAY: all three round-12 batteries (the committed budgets' " +
+  test("REPLAY: all four round-12 batteries (the committed budgets' " +
        "own base) pass clean — including the ten rebased rows") {
     for (b <- Seq("bench_r12_close", "bench_r12_final",
-                  "bench_r12_final2")) {
+                  "bench_r12_final2", "bench_r12_final3")) {
       val r12 = queriesOf(s"docs/bench_history/$b.json")
       assert(r12.size > 300, b)
       assert(BenchBudget.violations(r12, committedBudget) === Nil, b)
