@@ -70,13 +70,20 @@ object Bench {
           "— per-query budget check skipped")
         Map.empty
       }
+    val mf = BenchBudget.machineFactor(best, budget)
+    if (mf > 1.0)
+      System.err.println(f"[bench] machine-speed normalization active: " +
+        f"median best/budget ratio $mf%.3f > 1.2 — this battery ran " +
+        "systematically over its historical-max base, per-query limits " +
+        "scaled by the same factor (graft.BenchBudget.machineFactor)")
     val violations = BenchBudget.violations(best, budget)
     violations.foreach { k =>
       val ps = perPass.getOrElse(k, Vector.empty)
         .map(t => f"$t%.3f").mkString(", ")
       System.err.println(f"[bench] BUDGET VIOLATION: $k best " +
         f"${best(k)}%.3f s vs budget ${budget(k)}%.3f s " +
-        f"(limit ${BenchBudget.limit(budget(k))}%.3f s; " +
+        f"(limit ${BenchBudget.limit(budget(k)) * mf}%.3f s incl " +
+        f"machine factor $mf%.3f; " +
         s"every pass tripped — per-pass times: [$ps])")
     }
     // millisecond precision keeps the one-line JSON short enough to

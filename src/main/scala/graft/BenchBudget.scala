@@ -23,15 +23,58 @@ object BenchBudget {
   /** Wall-time limit for a recorded budget of `b` seconds. */
   def limit(b: Double): Double = math.max(3.0 * b, b + 2.0)
 
-  /** Queries whose best-of-passes time exceeds their budget limit.
-    * Queries without a budget row (new this round) are skipped until
-    * the next refresh.
+  /** Battery-level machine-speed normalization (round 13, after the
+    * round-12 rc=1 post-mortem — the THIRD single-row battery failure,
+    * and the first that was a machine-tail false positive rather than
+    * a plan defect): each of rounds 10–12 tripped exactly ONE query,
+    * and `max(3×, +2 s)` gives the least absolute headroom to
+    * fixed-overhead-dominated sub-3-s rows — precisely the rows with
+    * the highest variance RATIO on a contended machine. A single
+    * systematically slow machine should fail zero rows or many, never
+    * exactly one thin one.
+    *
+    * The factor is the MEDIAN of per-query best/budget ratios over
+    * budgeted rows with budget ≥ 0.5 s (sub-half-second rows are
+    * allocation noise). Budgets are MAX-merges over recorded
+    * batteries, so a normal battery medians well BELOW 1 (the r12
+    * driver pass — itself 1.5–2.5× slower than builder medians on
+    * every heavy query — medianed 0.72 against the pre-merge base);
+    * a median above 1.2 therefore means the typical query is running
+    * 20%+ over its historical WORST — unambiguous whole-machine
+    * slowness, and every limit scales by that ratio. One regressed
+    * query cannot move a 300-row median, so a real plan defect still
+    * trips at full strength; the statistic is meaningless on a
+    * handful of rows, so batteries with < 25 budgeted queries keep
+    * the unscaled rule (and the small planted-regression spec cases
+    * stay exact).
+    */
+  def machineFactor(best: collection.Map[String, Double],
+                    budget: collection.Map[String, Double]): Double = {
+    val ratios = best.keysIterator.flatMap { k =>
+      budget.get(k).filter(_ >= 0.5).map(b => best(k) / b)
+    }.toIndexedSeq.sorted
+    if (ratios.size < 25) 1.0
+    else {
+      val mid = ratios.size / 2
+      val med = if (ratios.size % 2 == 1) ratios(mid)
+                else (ratios(mid - 1) + ratios(mid)) / 2.0
+      if (med > 1.2) med else 1.0
+    }
+  }
+
+  /** Queries whose best-of-passes time exceeds their budget limit,
+    * after battery-level machine-speed normalization (limits scale by
+    * [[machineFactor]] when the whole battery ran systematically over
+    * its base). Queries without a budget row (new this round) are
+    * skipped until the next refresh.
     */
   def violations(best: collection.Map[String, Double],
-                 budget: collection.Map[String, Double]): List[String] =
+                 budget: collection.Map[String, Double]): List[String] = {
+    val mf = machineFactor(best, budget)
     best.keys.filter { k =>
-      budget.get(k).exists(b => best(k) > limit(b))
+      budget.get(k).exists(b => best(k) > limit(b) * mf)
     }.toList.sorted
+  }
 
   /** Parse a budget tsv (name \t seconds; # comments). */
   def parseTsv(lines: Iterable[String]): Map[String, Double] =

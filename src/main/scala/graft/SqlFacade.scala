@@ -75,38 +75,37 @@ object SqlFacade {
     *  - `prefix_jaccard`     — exact all-pairs Jaccard via prefix
     *    filtering (t266 composition; q63, hash-exact);
     *  - `mink_prob`          — min-k% prob membership probe (t268
-    *    composition; q64, hash-exact).
+    *    composition; q64, hash-exact);
+    *  - `snapshot_diff`      — CDC classification between two corpus
+    *    versions (t88 composition; q65, hash-exact);
+    *  - `validate_suite`     — the declared-expectations data-quality
+    *    release gate (t87 composition; q66, hash-exact);
+    *  - `rolling_distinct`   — 7-day rolling distinct users from
+    *    mergeable per-day HLL sketches (t91 composition; q67,
+    *    hash-exact against an exact recount — see the q67 oracle
+    *    note on coupon-mode exactness at verify scale).
     *
     * Views are lazy — each materializes only when a SQL statement
     * actually reads it — EXCEPT `near_dup_clusters` (the connected-
     * components loop is an eager algorithm — per-round actions, so
-    * BUILDING its DataFrame runs the loop) and `cluster_quality`
+    * BUILDING its DataFrame runs the loop), `cluster_quality`
     * (building it collects the k md5-ordered seed centroids — one
-    * small eager scan). The built views are therefore cached per
+    * small eager scan), and `prefix_jaccard` (the shared pair census
+    * is an eager localCheckpoint — computed once per (session,
+    * sfDir), reused by t266 and every SQL query on the view). The
+    * built views are therefore cached per
     * (session, sfDir): the first registration pays the eager builds,
     * every later call (each q49–q57 query, every bench pass)
     * re-registers the cached frames for free.
     */
-  // Keyed on the session OBJECT (identityHashCode keys are not unique
-  // after GC — a stale entry could be handed to a different live
-  // session). Cached DataFrames reference their session, so weak keys
-  // alone would never collect (value → key strong path — the
-  // WeakHashMap javadoc pitfall); instead every access EVICTS entries
-  // whose SparkContext is stopped, so growth is bounded by the live
-  // sessions.
-  private val viewCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Seq[(String, DataFrame)]]]())
+  // graft.SessionCache: stopped-session sweep on every access PLUS an
+  // application-end listener, so the last session's frames release
+  // even when no later registerOperatorViews call ever happens.
+  private val viewCache = new SessionCache[Seq[(String, DataFrame)]]
 
   def registerOperatorViews(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    viewCache.synchronized {
-      viewCache.keySet.removeIf(s => s.sparkContext.isStopped)
-    }
-    val views = viewCache.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap
-          .empty[String, Seq[(String, DataFrame)]])
-      .getOrElseUpdate(sfDir, {
+    val views = viewCache.getOrElseUpdate(spark, sfDir) {
       val docs = Tables.documents(spark, sfDir)
       Seq(
         "minhash_near_dups" ->
@@ -164,11 +163,23 @@ object SqlFacade {
           graft.queries.TrainingQueries.t185Sessions(spark, sfDir),
         "repetition" ->
           graft.queries.TrainingQueries.t267Repetition(spark, sfDir),
+        // the (session, sfDir)-cached pair census t266 also serves —
+        // one prefix join per session, not one per SQL query (the
+        // t192/t236 shared-census convention; ORDER BY is the query's)
         "prefix_jaccard" ->
-          graft.queries.TrainingQueries.t266PrefixJaccard(spark, sfDir),
+          graft.queries.TrainingQueries.prefixJaccardPairs(spark, sfDir),
         "mink_prob" ->
-          graft.queries.TrainingQueries.t268MinkProb(spark, sfDir))
-    })
+          graft.queries.TrainingQueries.t268MinkProb(spark, sfDir),
+        // round 13: the snapshot-diff/CDC, validation-suite, and
+        // rolling-sketch families reach the SQL surface (q65–q67 pin
+        // them to the t88/t87 oracles and an exact rolling recount)
+        "snapshot_diff" ->
+          graft.queries.TrainingQueries.t88SnapshotDiff(spark, sfDir),
+        "validate_suite" ->
+          graft.queries.TrainingQueries.t87ValidateSuite(spark, sfDir),
+        "rolling_distinct" ->
+          graft.queries.TrainingQueries.t91HllRolling(spark, sfDir))
+    }
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 

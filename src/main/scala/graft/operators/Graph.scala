@@ -63,23 +63,26 @@ object Graph {
     try {
       val n = nodes.count().toDouble
       // fold the out-weight normalization into the edge table once:
-      // per-round work then never recomputes degrees
+      // per-round work then never recomputes degrees. Persist is LAZY
+      // — the first round's action populates the cache (an eager
+      // count here would add one more sequential job to a loop whose
+      // wall time on small graphs is pure scheduler latency; round 12
+      // measured a 5.6× blowout on a contended driver machine from
+      // exactly that job-count sensitivity)
       val normEdges = e
         .join(e.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
         .select(col("src"), col("dst"), (col("w") / col("ow")).as("f"))
         .persist()
       try {
-        normEdges.count() // eager: every round must hit the cache
         // the dangling set is fixed across rounds: nodes with no
         // out-edges (node-cardinality, computed once)
         lazy val dangling = nodes
           .join(normEdges.select(col("src")).distinct(),
             col("node") === col("src"), "left_anti")
           .persist()
-        if (redistributeDangling) dangling.count()
         var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
         try {
-          for (_ <- 0 until iters) {
+          for (r <- 0 until iters) {
             val contrib = normEdges
               .join(ranks, col("src") === col("node"))
               .groupBy(col("dst"))
@@ -104,9 +107,22 @@ object Graph {
                       lit(damping) * (coalesce(col("s"), lit(0.0)) +
                         col("__dm") / lit(n))).as("pr"))
               }
-            // pin each round: without this the final plan re-derives
-            // every previous round per downstream reference
-            ranks = ranks.localCheckpoint(true)
+            // Pin every OTHER round plus the last: each pin is an
+            // eager localCheckpoint — a full sequential Spark job —
+            // and on latency-bound graphs (t64: ~10² edges, 3 rounds)
+            // the job COUNT, not the data, is the wall time. Without
+            // any pin the unrolled plan re-derives prior rounds per
+            // downstream reference (2 refs/round in dangling mode →
+            // exponential), so cap the unpinned window at 2 rounds:
+            // ≤ 4× subtree duplication in dangling mode, plain linear
+            // growth in leaky mode. The FINAL round is always pinned
+            // so the returned frame is materialized before the
+            // finally-blocks unpersist nodes/normEdges — otherwise
+            // the caller's first action would recompute the edge
+            // normalization uncached (two edge-cardinality shuffles
+            // at 100 TB scale).
+            if (r == iters - 1 || r % 2 == 1)
+              ranks = ranks.localCheckpoint(true)
           }
           ranks.select(col("node"), round(col("pr"), 6).as("pagerank"))
         } finally if (redistributeDangling) dangling.unpersist()
@@ -151,22 +167,25 @@ object Graph {
       .withColumn("tele", tele)
       .persist()
     try {
-      nodes.count()
+      // no count(): unlike pageRank, no N literal is needed — the
+      // lazy persist populates on the first round's pin
       val normEdges = e
         .join(e.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
         .select(col("src"), col("dst"), (col("w") / col("ow")).as("f"))
         .persist()
       try {
-        normEdges.count()
+        // lazy persists + 2-round checkpoint cadence: the same
+        // latency hardening as [[pageRank]] — per-round eager pins
+        // made wall time on latency-bound graphs proportional to the
+        // sequential JOB count, not the data (round-12 post-mortem)
         val dangling = nodes
           .join(normEdges.select(col("src")).distinct(),
             col("node") === col("src"), "left_anti")
           .select(col("node"))
           .persist()
         try {
-          dangling.count()
           var ranks = nodes.select(col("node"), col("tele").as("pr"))
-          for (_ <- 0 until iters) {
+          for (r <- 0 until iters) {
             val contrib = normEdges
               .join(ranks, col("src") === col("node"))
               .groupBy(col("dst"))
@@ -182,7 +201,12 @@ object Graph {
                 (lit(1 - damping) * col("tele") +
                   lit(damping) * (coalesce(col("s"), lit(0.0)) +
                     col("__dm") * col("tele"))).as("pr"))
-              .localCheckpoint(true)
+            // ranks is referenced twice per round (dm + contrib), so
+            // an unpinned window of 2 rounds caps subtree duplication
+            // at 4×; the final pin materializes the result before the
+            // finally-blocks unpersist the cached relations
+            if (r == iters - 1 || r % 2 == 1)
+              ranks = ranks.localCheckpoint(true)
           }
           ranks.select(col("node"), round(col("pr"), 6).as("ppr"))
         } finally dangling.unpersist()

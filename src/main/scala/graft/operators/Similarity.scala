@@ -411,12 +411,17 @@ object Similarity {
                   col("vec"))
           .groupBy(col("coarse"), col("fine"))
           .agg(fAggs.head, fAggs.tail: _*)
-          .select(col("coarse"), col("fine"),
-                  array((0 until fDim).map(i => col(s"__m$i")): _*)
-                    .as("cent2"))
+        // per-DIM keep-old (the refineCentroids convention): a null
+        // per-dim mean — every member null/short at that element —
+        // falls back to the old centroid's element, so a NULL can
+        // never ride inside the new array; a fine cell with no
+        // members at all (left-join all-null) degenerates to the
+        // same thing element-wise: the old centroid
         fine = fine.join(means, Seq("coarse", "fine"), "left")
           .select(col("coarse"), col("fine"),
-                  coalesce(col("cent2"), col("cent")).as("cent"))
+                  array((0 until fDim).map(i =>
+                    coalesce(col(s"__m$i"),
+                      element_at(col("cent"), i + 1))): _*).as("cent"))
           .localCheckpoint(true)
       }
       withCoarse.join(centArr(fine), "coarse")

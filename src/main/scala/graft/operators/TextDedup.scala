@@ -330,6 +330,17 @@ object TextDedup {
     * Output: (id_a < id_b, jaccard 6dp) for jaccard ≥ `threshold` —
     * hash-exact against a NAIVE uncapped all-pairs DuckDB replay, the
     * algorithm-independent ground truth (t266).
+    *
+    * EXACTNESS CAVEAT: "exact" is with respect to the PRUNING — no
+    * qualifying pair is missed — but Jaccard is computed over 64-bit
+    * xxhash shingle digests (the library-wide convention shared with
+    * [[ngramJaccardPairs]]; the t266 oracle replays the same digest
+    * sets), so a 64-bit digest collision between two DIFFERENT
+    * shingles of a candidate pair would inflate that pair's
+    * intersection. At W shingles per document the per-pair collision
+    * probability is ~W²/2⁶⁴ — negligible at any realistic document
+    * length, but not zero; callers needing string-exact overlap
+    * re-verify shortlisted pairs the t177 way.
     */
   def prefixFilterPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3,

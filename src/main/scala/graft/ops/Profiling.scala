@@ -100,7 +100,9 @@ object Profiling {
     * Scale shape: one map-side-combinable block collapse, then
     * [[cumulativeCells]] (range-repartitioned within-partition
     * cumulative weights + broadcast offsets — never a |groups|-task
-    * sort funnel). Output: (groups…, total_weight, p25, p50, p75).
+    * sort funnel). EAGER at construction — building the frame runs
+    * the cell-collapse job (see [[cumulativeCells]]).
+    * Output: (groups…, total_weight, p25, p50, p75).
     */
   def weightedQuantiles(df: DataFrame, groupCols: Seq[String],
                         valueCol: String, weightCol: String): DataFrame = {
@@ -389,7 +391,9 @@ object Profiling {
     *
     * Scale shape: one map-side-combinable (group, value) cell
     * collapse; cumulative counts via [[cumulativeCells]] (no
-    * |groups|-task funnel); the weighted reduction is cell-sized.
+    * |groups|-task funnel; EAGER at construction — building the
+    * frame runs the collapse job); the weighted reduction is
+    * cell-sized.
     *
     * Output: (groups…, n, k_trim, trimmed_mean 6dp).
     */
@@ -493,6 +497,17 @@ object Profiling {
     *     (partition, group) — every sort is at most one data
     *     partition, all cores busy regardless of group count.
     *
+    * EAGER AT CONSTRUCTION: the pinning localCheckpoint below runs a
+    * full Spark job (the cell collapse + range shuffle) the moment a
+    * caller BUILDS its DataFrame — medianCI / weightedQuantiles /
+    * trimmedMean / winsorizedMean / lorenzDeciles are therefore not
+    * lazily composable like the rest of the library: constructing one
+    * to only `.explain` it still pays the corpus scan (plan-only
+    * tooling such as gen_plans.py should skip or budget these). A
+    * lazy checkpoint is NOT an option — the pinned partitioning is
+    * load-bearing (see below) — so this is a documented tradeoff,
+    * not an oversight.
+    *
     * `cells` must be DISTINCT per (groupCols…, valueCol) — the
     * callers' groupBy collapse guarantees it. For each `s` in
     * `sumCols` (LONG columns) the result carries `s_cum` (cumulative
@@ -567,7 +582,8 @@ object Profiling {
     * within-partition cumulative sums with broadcast prefix offsets,
     * never a |groups|-task sort funnel (the t206 post-mortem: 3
     * groups = 3 tasks with 29 cores idle, and a 100× corpus is a
-    * 20M-row single-task sort); one reduction.
+    * 20M-row single-task sort); one reduction. EAGER at construction
+    * — building the frame runs the collapse job ([[cumulativeCells]]).
     * Output: (groups…, n, ci_lo, median, ci_hi).
     */
   def medianCI(df: DataFrame, groupCols: Seq[String],
@@ -607,7 +623,8 @@ object Profiling {
     * Scale shape: the caller's entity collapse is the corpus-sized
     * stage; then one (group, mass) cell collapse, cumulative counts
     * via [[cumulativeCells]] (no |groups|-task funnel), and a 10-way
-    * clip expansion of the cell frame.
+    * clip expansion of the cell frame. EAGER at construction —
+    * building the frame runs the collapse job ([[cumulativeCells]]).
     * Output: (groups…, decile, n_entities, mass_share).
     */
   def lorenzDeciles(cells: DataFrame, groupCols: Seq[String],
@@ -729,7 +746,8 @@ object Profiling {
     * and the winsorized sum is exact DECIMAL(38,0) arithmetic with
     * ONE divide by n. Scale shape: identical to [[trimmedMean]] —
     * one cell collapse, cumulative counts via [[cumulativeCells]]
-    * (no |groups|-task funnel), one reduction.
+    * (no |groups|-task funnel), one reduction. EAGER at construction
+    * — building the frame runs the collapse job ([[cumulativeCells]]).
     *
     * Output: (groups…, n, k_winsor, winsorized_mean 6dp).
     */

@@ -8195,5 +8195,21 @@ object Oracle {
       ("q61_sql_sessions" -> base("t185_sessions")) +
       ("q62_sql_repetition" -> base("t267_repetition")) +
       ("q63_sql_prefix_jaccard" -> base("t266_prefix_jaccard")) +
-      ("q64_sql_mink_prob" -> base("t268_mink_prob"))
+      ("q64_sql_mink_prob" -> base("t268_mink_prob")) +
+      ("q65_sql_snapshot_diff" -> base("t88_snapshot_diff")) +
+      ("q66_sql_validate" -> base("t87_validate_suite")) +
+      // q67: the rolling-distinct view against an EXACT recount of
+      // the same 7-day windows. Valid as a hash-exact oracle because
+      // at verify scale (<= 1500 distinct users per window) the
+      // lgK=12 HLL sketch is still in coupon mode — deterministic
+      // AND exact (t92 measured 0.0 relative error at sf0.01 and
+      // sf0.1); t92 remains the enforced error gate for scales past
+      // coupon promotion.
+      ("q67_sql_rolling_distinct" ->
+        """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+          |SELECT d.day, 7 AS window_days,
+          |       count(DISTINCT e.user_id) AS approx_distinct
+          |FROM days d
+          |JOIN events e ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+          |GROUP BY d.day ORDER BY d.day""".stripMargin)
 }

@@ -1012,4 +1012,45 @@ object RelationalQueries {
     graft.SqlFacade.sql(spark,
       "SELECT * FROM mink_prob ORDER BY doc_id")
   }
+
+  /** q65_sql_snapshot_diff — CDC classification between two corpus
+    * versions (t88) through SQL text over the `snapshot_diff` view;
+    * hash-exact against t88's oracle.
+    */
+  def q65SqlSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM snapshot_diff ORDER BY doc_id")
+  }
+
+  /** q66_sql_validate — the declared-expectations data-quality gate
+    * (t87) through SQL text over the `validate_suite` view;
+    * hash-exact against t87's oracle.
+    */
+  def q66SqlValidate(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM validate_suite ORDER BY rule")
+  }
+
+  /** q67_sql_rolling_distinct — 7-day rolling distinct users from
+    * mergeable per-day HLL sketches (t91) through SQL text over the
+    * `rolling_distinct` view. Hash-exact against an EXACT DuckDB
+    * recount of the same windows: at verify scale the lgK=12
+    * DataSketches HLL stays in coupon (list/set) mode — exact by
+    * construction, not approximately right (sf0.01 windows hold ≤
+    * 150 distinct users, sf0.1 ≤ 1500; the t92 audit measured 0.0
+    * relative error at both) — so the estimate-typed operator pins
+    * to exact ground truth here while t92 remains the enforced gate
+    * for post-promotion scales.
+    */
+  def q67SqlRollingDistinct(spark: SparkSession,
+                            sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM rolling_distinct ORDER BY day")
+  }
 }

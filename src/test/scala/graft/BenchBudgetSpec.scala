@@ -67,6 +67,56 @@ class BenchBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("REPLAY: the round-12 DRIVER battery (the rc=1 record whose " +
+       "sole violation, t64_pagerank, was adjudicated a machine-tail " +
+       "false positive) passes the committed budgets after its " +
+       "max-merge into the base") {
+    val r12d = queriesOf("docs/bench_history/bench_r12_driver.json")
+    assert(r12d.size > 300)
+    assert(BenchBudget.violations(r12d, committedBudget) === Nil)
+  }
+
+  test("machine-speed normalization: a uniformly 4x-slow machine " +
+       "(the r12 driver battery, every row quadrupled — slower than " +
+       "anything in the max-merged base) trips ZERO rows — but a real " +
+       "15x plan regression planted on that same slow battery STILL " +
+       "trips") {
+    val slow = queriesOf("docs/bench_history/bench_r12_driver.json")
+      .view.mapValues(_ * 4.0).toMap
+    val budget = committedBudget
+    // the quadrupled battery medians ~2.9x over the max-merged base —
+    // unambiguous whole-machine slowness
+    val mf = BenchBudget.machineFactor(slow, budget)
+    assert(mf > 2.5, s"factor $mf should detect the 4x machine")
+    assert(BenchBudget.violations(slow, budget) === Nil,
+      "a systematically slow machine must fail zero rows, not one")
+    // without the normalization the same battery fails MANY rows —
+    // the shape the rule exists to prevent (never exactly one)
+    val unscaled = slow.keys.count { k =>
+      budget.get(k).exists(b => slow(k) > BenchBudget.limit(b))
+    }
+    assert(unscaled > 50, s"unscaled rule tripped only $unscaled rows")
+    // a genuine regression is NOT masked: 15x one mid-size row still
+    // clears limit x factor (4.5 s x 2.87 < 22.6 s)
+    val planted = slow + ("t154_drift_panel" ->
+      budget("t154_drift_panel") * 15.0)
+    assert(BenchBudget.violations(planted, budget)
+      === List("t154_drift_panel"))
+  }
+
+  test("machine-speed normalization stays OFF for normal batteries " +
+       "and for small query sets (the planted-regression cases above " +
+       "rely on the exact unscaled rule)") {
+    // a real recorded battery medians well below 1 vs the max-merge
+    val r12 = queriesOf("docs/bench_history/bench_r12_final3.json")
+    assert(BenchBudget.machineFactor(r12, committedBudget) === 1.0)
+    // < 25 budgeted rows -> factor is meaningless, stays 1 even if
+    // every row runs hot
+    val tiny = (1 to 10).map(i => s"q$i" -> 5.0).toMap
+    val tinyBudget = (1 to 10).map(i => s"q$i" -> 1.0).toMap
+    assert(BenchBudget.machineFactor(tiny, tinyBudget) === 1.0)
+  }
+
   test("maxMerge takes the per-query max across recorded runs") {
     val merged = BenchBudget.maxMerge(Seq(
       Map("a" -> 1.0, "b" -> 3.0), Map("a" -> 2.0, "c" -> 0.5)))
