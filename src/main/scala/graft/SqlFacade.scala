@@ -83,16 +83,21 @@ object SqlFacade {
     *  - `rolling_distinct`   — 7-day rolling distinct users from
     *    mergeable per-day HLL sketches (t91 composition; q67,
     *    hash-exact against an exact recount — see the q67 oracle
-    *    note on coupon-mode exactness at verify scale).
+    *    note on coupon-mode exactness at verify scale);
+    *  - `substr_dup_spans`   — exact character-level duplicated-
+    *    substring spans via prefix-doubling rank classes (t269
+    *    composition; q68, hash-exact).
     *
     * Views are lazy — each materializes only when a SQL statement
     * actually reads it — EXCEPT `near_dup_clusters` (the connected-
     * components loop is an eager algorithm — per-round actions, so
     * BUILDING its DataFrame runs the loop), `cluster_quality`
     * (building it collects the k md5-ordered seed centroids — one
-    * small eager scan), and `prefix_jaccard` (the shared pair census
+    * small eager scan), `prefix_jaccard` (the shared pair census
     * is an eager localCheckpoint — computed once per (session,
-    * sfDir), reused by t266 and every SQL query on the view). The
+    * sfDir), reused by t266 and every SQL query on the view), and
+    * `substr_dup_spans` (each prefix-doubling rank level pins its
+    * range partitioning — the denseIds/cumulativeCells tradeoff). The
     * built views are therefore cached per
     * (session, sfDir): the first registration pays the eager builds,
     * every later call (each q49–q57 query, every bench pass)
@@ -178,7 +183,9 @@ object SqlFacade {
         "validate_suite" ->
           graft.queries.TrainingQueries.t87ValidateSuite(spark, sfDir),
         "rolling_distinct" ->
-          graft.queries.TrainingQueries.t91HllRolling(spark, sfDir))
+          graft.queries.TrainingQueries.t91HllRolling(spark, sfDir),
+        "substr_dup_spans" ->
+          graft.queries.TrainingQueries.substrSpans(spark, sfDir))
     }
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }

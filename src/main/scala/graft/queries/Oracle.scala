@@ -604,6 +604,45 @@ object Oracle {
         |             / max(m) / 1e6, 6) AS mink_avg_nll
         |FROM clipped GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "t269_substr_dedup" ->
+      // algorithm-independent ground truth for the prefix-doubling
+      // engine plan: group the LITERAL 40-char windows (the oracle
+      // may ship minLen-char keys where the engine must not), keep
+      // classes at >= 2 positions, merge covered window starts per
+      // doc into maximal islands (gap > 40 breaks), emit
+      // [start, end) char spans. Both engines count CHARACTERS
+      // (substr/substring and length are codepoint-based in DuckDB
+      // and Spark alike), so zh documents align.
+      """WITH pos0 AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, length(text) - 40)) AS o
+        |  FROM documents WHERE length(text) >= 40
+        |), pos AS (
+        |  SELECT doc_id, o, substr(text, CAST(o + 1 AS BIGINT), 40) AS w
+        |  FROM pos0
+        |), dupw AS (
+        |  SELECT w FROM pos GROUP BY w HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT p.doc_id, p.o FROM pos p JOIN dupw d USING (w)
+        |), isl AS (
+        |  SELECT doc_id, o,
+        |         CASE WHEN lag(o) OVER (PARTITION BY doc_id ORDER BY o)
+        |                   IS NULL THEN 1
+        |              WHEN o - lag(o) OVER (PARTITION BY doc_id
+        |                   ORDER BY o) > 40 THEN 1
+        |              ELSE 0 END AS brk
+        |  FROM cov
+        |), grp AS (
+        |  SELECT doc_id, o, sum(brk) OVER (PARTITION BY doc_id
+        |         ORDER BY o ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |)
+        |SELECT doc_id, CAST(min(o) AS BIGINT) AS span_start,
+        |       CAST(max(o) + 40 AS BIGINT) AS span_end,
+        |       count(*) AS n_windows
+        |FROM grp GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
     "t267_repetition" ->
       // exact mirror of TextAnalysis.repetitionReport: lines split on
       // chr(10) with empties kept (raw text), word n-grams on the
@@ -8205,6 +8244,7 @@ object Oracle {
       // AND exact (t92 measured 0.0 relative error at sf0.01 and
       // sf0.1); t92 remains the enforced error gate for scales past
       // coupon promotion.
+      ("q68_sql_substr_spans" -> base("t269_substr_dedup")) +
       ("q67_sql_rolling_distinct" ->
         """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
           |SELECT d.day, 7 AS window_days,

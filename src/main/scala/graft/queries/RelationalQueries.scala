@@ -1053,4 +1053,16 @@ object RelationalQueries {
     graft.SqlFacade.sql(spark,
       "SELECT * FROM rolling_distinct ORDER BY day")
   }
+
+  /** q68_sql_substr_spans — exact character-level duplicated-substring
+    * spans (t269, the prefix-doubling ExactSubstr operator) through
+    * SQL text over the `substr_dup_spans` view; hash-exact against
+    * t269's literal-substring-grouping oracle.
+    */
+  def q68SqlSubstrSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM substr_dup_spans ORDER BY doc_id, span_start")
+  }
 }

@@ -5767,6 +5767,34 @@ object TrainingQueries {
     prefixJaccardPairs(spark, sfDir)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** t269_substr_dedup — EXACT character-level duplicated-substring
+    * spans (the Lee et al. 2021 ExactSubstr criterion) via prefix-
+    * doubling rank classes — the digest-free suffix-array complement
+    * of t31/t50's hash-prefiltered token spans: every maximal per-doc
+    * run of length-40 windows occurring ≥ 2 times anywhere in the
+    * corpus. minLen = 40 is deliberately NOT a power of two so the
+    * overlapping-pair cap level is exercised. Exact oracle: DuckDB
+    * groups the literal 40-char substrings — algorithm-independent
+    * ground truth with no digest anywhere on either side.
+    */
+  def t269SubstrDedup(spark: SparkSession, sfDir: String): DataFrame =
+    substrSpans(spark, sfDir).orderBy(col("doc_id"), col("span_start"))
+
+  /** The t269 span table, computed ONCE per (session, sfDir) and
+    * shared with the SqlFacade `substr_dup_spans` view (the
+    * t266/q63 shared-census convention — the prefix-doubling
+    * pipeline is eager, so without the cache every SQL query on the
+    * view would replay its final joins).
+    */
+  private val substrSpansCache = new graft.SessionCache[DataFrame]
+  private[graft] def substrSpans(spark: SparkSession,
+                                 sfDir: String): DataFrame =
+    substrSpansCache.getOrElseUpdate(spark, sfDir) {
+      graft.operators.SubstrDedup.duplicatedSpans(
+          Tables.documents(spark, sfDir), "text", "doc_id", minLen = 40)
+        .localCheckpoint(true)
+    }
+
   /** t267_repetition — the Gopher repetition report per source:
     * duplicated-line fractions + top/duplicated n-gram character-mass
     * fractions, every numerator/denominator an exact BIGINT mass from

@@ -488,9 +488,21 @@ object ScaleStress {
       // fixture is its worst case (a 10-member dup cluster's 45 pairs
       // are the OUTPUT, not overhead); repetition + min-k are per-row
       // kernel / model-reduction shapes
-      "t266_prefix_jaccard" -> (TrainingQueries.t266PrefixJaccard _),
+      // the RAW operator, not the t266 fixture: the fixture's
+      // (session, sfDir) cache would make the timed pass a cache hit
+      // after the warm pass — this row must measure the prefix join
+      "t266_prefix_jaccard" -> ((s: SparkSession, d: String) =>
+        TextDedup.prefixFilterPairs(graft.Tables.documents(s, d),
+          "text", "doc_id", shingleK = 3, threshold = 0.6)),
       "t267_repetition" -> (TrainingQueries.t267Repetition _),
-      "t268_mink_prob" -> (TrainingQueries.t268MinkProb _))
+      "t268_mink_prob" -> (TrainingQueries.t268MinkProb _),
+      // round 13: exact substring spans via prefix-doubling — same
+      // raw-operator convention (the t269 fixture caches); the 10×
+      // dup-heavy fixture multiplies class sizes (positions per
+      // class), never pairs them, so covered rows grow ~10×
+      "t269_substr_dedup" -> ((s: SparkSession, d: String) =>
+        graft.operators.SubstrDedup.duplicatedSpans(
+          graft.Tables.documents(s, d), "text", "doc_id", minLen = 40)))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
