@@ -90,7 +90,8 @@ QUERIES = ["q1_agg", "q2_filter_project", "q12_join_broadcast",
            "t257_cluster_quality", "t259_canonical_dedup",
            "t260_stream_quality", "t261_embedding_card",
            "t262_corpus_diff", "t263_common_component", "t264_kcore", "t266_prefix_jaccard",
-           "t267_repetition", "t268_mink_prob", "t269_substr_dedup"]
+           "t267_repetition", "t268_mink_prob", "t269_substr_dedup",
+           "t270_rerank"]
 root = os.path.join(os.path.dirname(__file__), "..")
 
 # Per-query prose that must survive regeneration — evidence notes the

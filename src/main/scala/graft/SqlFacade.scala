@@ -86,7 +86,11 @@ object SqlFacade {
     *    note on coupon-mode exactness at verify scale);
     *  - `substr_dup_spans`   — exact character-level duplicated-
     *    substring spans via prefix-doubling rank classes (t269
-    *    composition; q68, hash-exact).
+    *    composition; q68, hash-exact);
+    *  - `rerank`             — the two-stage retrieve-then-rerank
+    *    stack: t94's hybrid first stage re-scored by the
+    *    deterministic cross-scorer (t270 composition; q69,
+    *    hash-exact).
     *
     * Views are lazy — each materializes only when a SQL statement
     * actually reads it — EXCEPT `near_dup_clusters` (the connected-
@@ -185,7 +189,9 @@ object SqlFacade {
         "rolling_distinct" ->
           graft.queries.TrainingQueries.t91HllRolling(spark, sfDir),
         "substr_dup_spans" ->
-          graft.queries.TrainingQueries.substrSpans(spark, sfDir))
+          graft.queries.TrainingQueries.substrSpans(spark, sfDir),
+        "rerank" ->
+          graft.queries.TrainingQueries.t270Rerank(spark, sfDir))
     }
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }

@@ -147,4 +147,82 @@ object Retrieval {
         coalesce(round(col("__dcg").cast("double") / col("__idcg"), 6),
           lit(0.0)).as("ndcg"))
   }
+
+  /** SECOND-STAGE RERANK over a bounded first-stage candidate set —
+    * the cross-encoder serving pattern (retrieve cheap and wide with
+    * [[bm25]]/dense/[[rrfFuse]], then re-score only the survivors
+    * with an expensive PAIR scorer and re-rank): `score` is any
+    * Column over the candidate rows — in production a model-serving
+    * scorer (this container has no model runtime, so [[proximityScore]]
+    * below is the deterministic stand-in; the PLUMBING — bounded
+    * input, per-query window, rank-shift audit — is the operator).
+    *
+    * Scale shape: the input is |queries| × k rows BY CONTRACT (the
+    * first stage's top-k), so arbitrarily expensive per-row scoring
+    * is safe — that asymmetry is the whole point of the two-stage
+    * architecture. The re-rank window partitions on the query
+    * columns (REQUIRED — high-cardinality in production, ≤ k rows per
+    * partition, never a corpus sort; a single-query caller passes its
+    * literal query-id column).
+    *
+    * Output: query cols…, rerank (1-based), `idCol`, score,
+    * first_rank, rank_shift = first_rank − rerank (positive = the
+    * pair scorer promoted the document).
+    */
+  def rerank(candidates: DataFrame, queryCols: Seq[String],
+             idCol: String, firstRankCol: String, score: Column,
+             topK: Int): DataFrame = {
+    require(queryCols.nonEmpty,
+      "queryCols must be non-empty — the rerank window partitions on " +
+      "the query key (pass the literal query-id column for a single " +
+      "query); an unpartitioned window would be a single-task sort")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val qc = queryCols.map(col)
+    val w = Window.partitionBy(qc: _*)
+      .orderBy(col("__s").desc, col(idCol).asc)
+    candidates.withColumn("__s", score)
+      .withColumn("rerank", row_number().over(w).cast("long"))
+      .filter(col("rerank") <= topK)
+      .select(qc ++ Seq(col("rerank"), col(idCol),
+        col("__s").as("score"),
+        col(firstRankCol).cast("long").as("first_rank"),
+        (col(firstRankCol).cast("long") - col("rerank"))
+          .as("rank_shift")): _*)
+  }
+
+  /** Deterministic stand-in for a cross-encoder pair scorer: ordered
+    * query-term ADJACENCY in the document (the cross-term interaction
+    * signal bag-of-words scoring cannot see — "hash join" as a phrase
+    * outranks the words scattered) + distinct-term coverage − a
+    * length tiebreak, packed into one exact BIGINT so the oracle
+    * replays it bit-for-bit:
+    *
+    *   score = 10⁶ · #(adjacent ordered query-term pairs)
+    *         + 10³ · #(distinct query terms present) − #tokens
+    *
+    * Tokenization is the library-wide lowercase-\s+ contract. NULL
+    * text scores as empty (0 matches, 0 tokens). The nested lambdas
+    * run interpreted per element — fine HERE because rerank inputs
+    * are ≤ |queries|·k rows by contract, never the corpus (the
+    * TextKernels rule: kernel-ize corpus-sized per-row work, compose
+    * lambdas on bounded frames).
+    */
+  def proximityScore(textCol: Column, queryTerms: Seq[String]): Column = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = filter(split(lower(coalesce(textCol, lit(""))), "\\s+"),
+      t => length(t) > 0)
+    val pairs = queryTerms.zip(queryTerms.tail)
+    val a = slice(toks, lit(1), greatest(size(toks) - 1, lit(0)))
+    val b = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val adjacent =
+      if (pairs.isEmpty) lit(0L)  // single-term query: no phrase signal
+      else aggregate(
+        zip_with(a, b, (x, y) =>
+          pairs.map { case (p, q) => x === p && y === q }
+            .reduce(_ || _)),
+        lit(0L), (acc, v) => acc + when(v, 1L).otherwise(0L))
+    val matched = size(array_intersect(array_distinct(toks),
+      array(queryTerms.map(lit): _*))).cast("long")
+    adjacent * 1000000L + matched * 1000L - size(toks).cast("long")
+  }
 }

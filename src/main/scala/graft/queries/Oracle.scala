@@ -2547,6 +2547,93 @@ object Oracle {
         |FROM fused QUALIFY fused_rank <= 20
         |ORDER BY fused_rank""".stripMargin,
 
+    // t270: t94's proven fused ranking (CTEs duplicated verbatim, the
+    // t252 convention), then the deterministic cross-scorer replayed
+    // as exact integers: 1e6·(ordered query-term adjacencies) +
+    // 1e3·(distinct terms present) − token count; fused ids with no
+    // document row score as empty text on BOTH sides
+    "t270_rerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |         unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS term
+        |  FROM documents
+        |), tok2 AS (
+        |  SELECT * FROM toks WHERE length(term) > 0
+        |), dl AS (
+        |  SELECT id, count(*) AS dl FROM tok2 GROUP BY id
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT id, term, count(*) AS tf FROM tok2
+        |  WHERE term IN ('hash', 'join', 'window') GROUP BY id, term
+        |), dft AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), idf AS (
+        |  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+        |         avgdl
+        |  FROM dft CROSS JOIN stats
+        |), sc AS (
+        |  SELECT tf.id,
+        |         round(sum(idf.idf * (tf.tf * 2.2)
+        |                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl))),
+        |               6) AS bm25
+        |  FROM tf JOIN idf USING (term) JOIN dl ON tf.id = dl.id
+        |  GROUP BY tf.id
+        |), sparse AS (
+        |  SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rank
+        |  FROM sc QUALIFY rank <= 50
+        |), q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings
+        |  WHERE vec_id = 0
+        |), dense AS (
+        |  SELECT e.vec_id AS id,
+        |         row_number() OVER (
+        |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                           q.qvec) DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+        |  QUALIFY rank <= 50
+        |), unioned AS (
+        |  SELECT id, rank FROM sparse UNION ALL SELECT id, rank FROM dense
+        |), fused AS (
+        |  SELECT id, round(sum(1.0 / (60 + rank)), 6) AS rrf
+        |  FROM unioned GROUP BY id
+        |), top20 AS (
+        |  SELECT id, row_number() OVER (ORDER BY rrf DESC, id) AS first_rank
+        |  FROM fused QUALIFY first_rank <= 20
+        |), ctoks AS (
+        |  SELECT t.id, unnest(t.l) AS term, generate_subscripts(t.l, 1) AS p
+        |  FROM (SELECT top20.id,
+        |               list_filter(string_split_regex(
+        |                   lower(coalesce(d.text, '')), '[ \t\n\x0B\f\r]+'),
+        |                 x -> length(x) > 0) AS l
+        |        FROM top20 LEFT JOIN documents d ON d.doc_id = top20.id) t
+        |), adj AS (
+        |  SELECT a.id, count(*) AS n_adj
+        |  FROM ctoks a JOIN ctoks b ON b.id = a.id AND b.p = a.p + 1
+        |  WHERE (a.term = 'hash' AND b.term = 'join')
+        |     OR (a.term = 'join' AND b.term = 'window')
+        |  GROUP BY a.id
+        |), cov AS (
+        |  SELECT id, count(DISTINCT term) AS n_match FROM ctoks
+        |  WHERE term IN ('hash', 'join', 'window') GROUP BY id
+        |), ln AS (
+        |  SELECT id, count(*) AS n_tok FROM ctoks GROUP BY id
+        |), scored AS (
+        |  SELECT t.id, t.first_rank,
+        |         coalesce(adj.n_adj, 0) * 1000000
+        |           + coalesce(cov.n_match, 0) * 1000
+        |           - coalesce(ln.n_tok, 0) AS score
+        |  FROM top20 t LEFT JOIN adj USING (id) LEFT JOIN cov USING (id)
+        |       LEFT JOIN ln USING (id)
+        |)
+        |SELECT CAST(0 AS BIGINT) AS query_id,
+        |       row_number() OVER (ORDER BY score DESC, id) AS rerank,
+        |       id, CAST(score AS BIGINT) AS score,
+        |       CAST(first_rank AS BIGINT) AS first_rank,
+        |       CAST(first_rank AS BIGINT)
+        |         - row_number() OVER (ORDER BY score DESC, id) AS rank_shift
+        |FROM scored QUALIFY rerank <= 10 ORDER BY rerank""".stripMargin,
+
     // exact mirror of Retrieval.rankingMetrics over the t94 legs
     // (t252): list replay = t94's proven arithmetic cut at k = 20,
     // relevance = docs with >= 2 distinct query terms, DCG/IDCG terms
@@ -8245,6 +8332,7 @@ object Oracle {
       // sf0.1); t92 remains the enforced error gate for scales past
       // coupon promotion.
       ("q68_sql_substr_spans" -> base("t269_substr_dedup")) +
+      ("q69_sql_rerank" -> base("t270_rerank")) +
       ("q67_sql_rolling_distinct" ->
         """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
           |SELECT d.day, 7 AS window_days,

@@ -1065,4 +1065,16 @@ object RelationalQueries {
     graft.SqlFacade.sql(spark,
       "SELECT * FROM substr_dup_spans ORDER BY doc_id, span_start")
   }
+
+  /** q69_sql_rerank — the two-stage retrieve-then-rerank stack (t270:
+    * t94's hybrid first stage + the deterministic cross-scorer)
+    * through SQL text over the `rerank` view; hash-exact against
+    * t270's oracle.
+    */
+  def q69SqlRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM rerank ORDER BY rerank")
+  }
 }

@@ -5795,6 +5795,33 @@ object TrainingQueries {
         .localCheckpoint(true)
     }
 
+  /** t270_rerank — cross-encoder-style SECOND-STAGE rerank over the
+    * t94 hybrid-retrieval stack: the fused top-20 candidates re-score
+    * under the deterministic pair scorer (ordered query-term
+    * adjacency — the phrase signal BM25's bag-of-words cannot see —
+    * plus coverage, minus a length tiebreak; the model-serving slot a
+    * production cross-encoder plugs into) and re-rank to top-10 with
+    * a rank-shift audit. Per-row scoring cost is safe BECAUSE the
+    * input is the first stage's bounded top-k — the two-stage
+    * asymmetry this operator exists to exploit. Exact oracle: DuckDB
+    * replays t94's proven fused ranking, then the integer pair score
+    * bit-for-bit (fused ids without a document row score as empty
+    * text on both sides).
+    */
+  def t270Rerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val first = t94HybridSearch(spark, sfDir)
+      .select(col("id"), col("fused_rank"))
+    val cands = first
+      .join(docs.select(col("doc_id").as("id"), col("text")),
+        Seq("id"), "left")
+      .withColumn("query_id", lit(0L))
+    Retrieval.rerank(cands, Seq("query_id"), "id", "fused_rank",
+        Retrieval.proximityScore(col("text"),
+          Seq("hash", "join", "window")), topK = 10)
+      .orderBy(col("rerank"))
+  }
+
   /** t267_repetition — the Gopher repetition report per source:
     * duplicated-line fractions + top/duplicated n-gram character-mass
     * fractions, every numerator/denominator an exact BIGINT mass from

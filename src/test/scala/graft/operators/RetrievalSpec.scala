@@ -85,4 +85,58 @@ class RetrievalSpec extends SparkSpec {
     assert(zero._2 == 0 && zero._3 == 0.0 && zero._5 == 0.0 &&
       zero._6 == 0.0)
   }
+
+  test("proximityScore: adjacency beats scattered coverage; NULL text " +
+       "scores as empty; single-term query has no phrase signal") {
+    val scored = Seq(
+      (1L, "the hash join window plan"),        // 2 adjacencies, 3 terms, 5 toks
+      (2L, "hash scan join scan window scan"),  // 0 adjacencies, 3 terms, 6 toks
+      (3L, "hash join here"),                   // 1 adjacency, 2 terms, 3 toks
+      (4L, null.asInstanceOf[String])           // empty: score 0
+    ).toDF("id", "text")
+      .select(col("id"), Retrieval.proximityScore(col("text"),
+        Seq("hash", "join", "window")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(scored(1L) === 2L * 1000000 + 3 * 1000 - 5)
+    assert(scored(2L) === 3 * 1000 - 6)
+    assert(scored(3L) === 1L * 1000000 + 2 * 1000 - 3)
+    assert(scored(4L) === 0L)
+    val single = Seq((1L, "hash hash"))
+      .toDF("id", "text")
+      .select(Retrieval.proximityScore(col("text"), Seq("hash")).as("s"))
+      .as[Long].head()
+    assert(single === 1000 - 2) // coverage only, no pairs
+  }
+
+  test("rerank: re-orders the candidate set by the pair score with " +
+       "rank-shift audit, per query partition") {
+    val cands = Seq(
+      // query 0: first stage ranked scattered doc above phrase doc
+      (0L, 10L, 1L, "hash scan join scan window"),
+      (0L, 20L, 2L, "the hash join window plan"),
+      (0L, 30L, 3L, "nothing relevant at all"),
+      // query 1: independent partition
+      (1L, 10L, 1L, "hash join"),
+      (1L, 20L, 2L, "window")
+    ).toDF("query_id", "id", "first_rank", "text")
+    val out = Retrieval.rerank(cands, Seq("query_id"), "id", "first_rank",
+        Retrieval.proximityScore(col("text"),
+          Seq("hash", "join", "window")), topK = 2)
+      .orderBy("query_id", "rerank")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // query 0: the phrase doc (id 20, first_rank 2) is promoted to 1
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Seq((0L, 1L, 20L), (0L, 2L, 10L), (1L, 1L, 10L), (1L, 2L, 20L)))
+    val promoted = out.head
+    assert(promoted._5 === 2L && promoted._6 === 1L) // first_rank 2, shift +1
+    // topK enforced: id 3 (rank 3 by score) is cut
+    assert(!out.exists(_._3 == 3L))
+  }
+
+  test("rerank requires a query partition (no single-task sorts)") {
+    val cands = Seq((1L, 1L, "x")).toDF("id", "first_rank", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.rerank(cands, Seq.empty, "id", "first_rank", lit(1), 1)
+    }
+  }
 }
