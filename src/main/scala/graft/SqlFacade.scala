@@ -99,9 +99,11 @@ object SqlFacade {
     * (building it collects the k md5-ordered seed centroids — one
     * small eager scan), `prefix_jaccard` (the shared pair census
     * is an eager localCheckpoint — computed once per (session,
-    * sfDir), reused by t266 and every SQL query on the view), and
+    * sfDir), reused by t266 and every SQL query on the view),
     * `substr_dup_spans` (each prefix-doubling rank level pins its
-    * range partitioning — the denseIds/cumulativeCells tradeoff). The
+    * range partitioning — the denseIds/cumulativeCells tradeoff),
+    * and `rolling_distinct` (rollingDistinct pins its |days|-row
+    * sketch table — one events scan at build). The
     * built views are therefore cached per
     * (session, sfDir): the first registration pays the eager builds,
     * every later call (each q49–q57 query, every bench pass)
