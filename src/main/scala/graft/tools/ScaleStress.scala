@@ -502,7 +502,12 @@ object ScaleStress {
       // class), never pairs them, so covered rows grow ~10×
       "t269_substr_dedup" -> ((s: SparkSession, d: String) =>
         graft.operators.SubstrDedup.duplicatedSpans(
-          graft.Tables.documents(s, d), "text", "doc_id", minLen = 40)))
+          graft.Tables.documents(s, d), "text", "doc_id", minLen = 40)),
+      // retrieve-then-rerank: the first stage (BM25 + dense + RRF)
+      // scales with the corpus; the rerank leg stays k-bounded by
+      // contract — 10× growth should land on the retrieval scan, not
+      // the pair scoring
+      "t270_rerank" -> (TrainingQueries.t270Rerank _))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
