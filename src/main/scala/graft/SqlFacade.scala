@@ -100,8 +100,8 @@ object SqlFacade {
     * small eager scan), `prefix_jaccard` (the shared pair census
     * is an eager localCheckpoint — computed once per (session,
     * sfDir), reused by t266 and every SQL query on the view),
-    * `substr_dup_spans` (each prefix-doubling rank level pins its
-    * range partitioning — the denseIds/cumulativeCells tradeoff),
+    * `substr_dup_spans` (the shared span census is an eager
+    * localCheckpoint, the prefix_jaccard pattern),
     * and `rolling_distinct` (rollingDistinct pins its |days|-row
     * sketch table — one events scan at build). The
     * built views are therefore cached per

@@ -26,16 +26,25 @@ import org.apache.spark.sql.functions._
   * cannot build):
   *
   *  1. seed: rank every `seedLen`-char window by its literal
-  *     substring — ONE fixed-width-key shuffle ([[Ids.denseIds]] on
-  *     the distinct window strings: range-repartition + per-partition
-  *     ranks + broadcast offsets, never a global sort funnel);
+  *     substring — the class id is the min-(doc, offset) struct over
+  *     the window's occurrences: ONE shuffle on the (high-
+  *     cardinality) key, no global sort, no driver state, and only
+  *     class EQUALITY is consumed downstream so a representative is
+  *     as good as a dense integer. Every level prunes to
+  *     NON-SINGLETON classes in the same window pass (a duplicated
+  *     longer window's every sub-window is duplicated — the
+  *     ExactSubstr pruning rule), so on a mostly-unique corpus the
+  *     position frame collapses at the seed and the joins above it
+  *     run on the duplicated sliver only;
   *  2. double: while 2h ≤ minLen, rank length-2h windows by the PAIR
   *     (rank_h(o), rank_h(o+h)) — each round is one self-join keyed
-  *     on (doc, offset) plus one 16-byte-key re-rank, so key width
+  *     on (doc, offset) plus one fixed-width re-rank, so key width
   *     stays FIXED while window length doubles (the whole point:
   *     shuffle bytes are O(corpus · log minLen), never
   *     O(corpus · minLen) — grouping literal minLen-char windows
-  *     would ship the corpus minLen× at minLen = 1000);
+  *     would ship the corpus minLen× at minLen = 1000); sibling
+  *     references to the same level are identical subplans, so
+  *     Spark's exchange reuse computes each level once;
   *  3. cap: doubling stops as soon as ≤ 4 OVERLAPPING rank_h reads
   *     cover a minLen window — the final class is the tuple
   *     (rank_h(o), rank_h(o+s₁), …, rank_h(o + minLen − h)) with
@@ -50,14 +59,13 @@ import org.apache.spark.sql.functions._
   *     minLen) yields maximal spans. The merge window partitions by
   *     doc_id — high-cardinality key, spreads across the cluster.
   *
-  * EAGER at construction: each [[Ids.denseIds]] level pins its range
-  * partitioning with a checkpoint job (the cumulativeCells tradeoff —
-  * the pinned partitioning is load-bearing). Levels are
-  * ⌈log₂(minLen/seedLen)⌉ + 1, each a fixed number of linear
-  * shuffles; the dup-class join is OUTPUT-bound exactly like
-  * [[TextDedup.prefixFilterPairs]] — a 10× dup-heavy corpus grows
-  * covered rows ~10×, never quadratically, because classes count
-  * positions, they do not pair them.
+  * Fully LAZY — no checkpoints, no driver collects; the t269 fixture
+  * adds its own localCheckpoint when sharing the result with the SQL
+  * view. Levels are bounded by log₂(minLen/seedLen) + 1, each a
+  * fixed number of linear shuffles; the dup-class count is
+  * OUTPUT-bound exactly like [[TextDedup.prefixFilterPairs]] — a 10×
+  * dup-heavy corpus grows covered rows ~10×, never quadratically,
+  * because classes count positions, they do not pair them.
   *
   * Output: (doc_id-typed `idCol`, span_start, span_end, n_windows) —
   * span offsets are 0-based character positions, span_end exclusive,
@@ -165,15 +173,28 @@ object SubstrDedup {
       .select(col("id"), col("o"), col("ka"), col("kb"))
   }
 
-  /** Dense rank classes over `keyCols`: distinct keys get ids via
-    * [[Ids.denseIds]] (range-repartitioned — no global sort funnel),
-    * then join back so EQUAL keys share a rank (denseIds alone is
-    * row_number semantics). Returns (id, o, r).
+  /** Rank classes over `keyNames`: the class id is the MINIMUM
+    * (id, o) struct among positions sharing the key — one window
+    * shuffle on the (high-cardinality) key, no distinct, no join
+    * back, no driver state, and lazy (an earlier denseIds form paid
+    * a distinct + range-checkpoint + join-back per level — ~4
+    * shuffles and an eager pin — for integer ids that nothing needs:
+    * only class EQUALITY matters downstream, and min-of-struct is a
+    * deterministic representative). Class width stays fixed at two
+    * longs per level regardless of window length. Returns (id, o, r).
     */
   private def rankBy(pos: DataFrame, keyNames: Seq[String]): DataFrame = {
-    val keyCols = keyNames.map(col)
-    val distinctKeys = pos.select(keyCols: _*).distinct()
-    val rankedKeys = Ids.denseIds(distinctKeys, "r", keyCols)
-    pos.join(rankedKeys, keyNames).select(col("id"), col("o"), col("r"))
+    val w = Window.partitionBy(keyNames.map(col): _*)
+    // count rides the same window pass as the representative (one
+    // shuffle); the filter is the DUP-HALVES pruning rule — a
+    // duplicated longer window's every sub-window is duplicated, so
+    // positions in singleton classes can never contribute to any
+    // later level OR to a final covered window, and on a mostly-
+    // unique corpus the frame collapses right here at the seed
+    pos.select(col("id"), col("o"),
+        min(struct(col("id"), col("o"))).over(w).as("r"),
+        count(lit(1)).over(w).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("id"), col("o"), col("r"))
   }
 }
