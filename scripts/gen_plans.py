@@ -173,7 +173,33 @@ NOTES = {
         "doc's rarest evidence; verification is the shared length "
         "prefilter + sorted-merge intersection. The oracle is the "
         "NAIVE uncapped replay - pruning recall loss is impossible to "
-        "hide.",
+        "hide. Since round 13 the fixture reads the (session, sfDir)-"
+        "cached pair census it shares with the q63 SQL view, so the "
+        "recorded plan is the census checkpoint's scan (the t264 "
+        "convention); ScaleStress times the raw operator.",
+    "t269_substr_dedup":
+        "The recorded plan is the shared span census's checkpoint scan "
+        "(the t264/t266 cache convention; ScaleStress times the raw "
+        "operator). The operator's own plan: one seed window ranking "
+        "every seedLen-char position by min-(doc, offset) "
+        "representative AND pruning to non-singleton classes in the "
+        "same window pass (the ExactSubstr dup-halves rule - a "
+        "mostly-unique corpus collapses right here); zero or more "
+        "doubling rounds (self-join + fixed-width re-rank, exchange "
+        "reuse dedupes sibling references); a <= 4-read overlapping "
+        "rank-tuple cap for any minLen; one count window over the "
+        "class tuple; per-doc island merge on the high-cardinality "
+        "doc key. Fully lazy, no driver state, shuffle bytes "
+        "O(corpus log minLen).",
+    "t270_rerank":
+        "Two-stage serving shape: everything corpus-sized lives in the "
+        "t94 first stage (BM25 postings + dense cosine + RRF, all "
+        "proven plans); the rerank leg is a BroadcastHashJoin of the "
+        "20-row fused list to documents, the interpreted-lambda pair "
+        "scorer over those 20 rows only, and a 20-row window - "
+        "arbitrarily expensive per-pair scoring is safe BECAUSE the "
+        "input is k-bounded by contract (the require'd query "
+        "partition makes the window per-query, never corpus-wide).",
     "t235_triangle_doulion":
         "The Doulion coin is ONE codegen'd md5 Project over the deduped "
         "edge table (no extra shuffle); every closure join downstream "

@@ -80,7 +80,8 @@ class BenchBudgetSpec extends AnyFunSuite {
        "rc=0 — the hardened t64/t39/q63 plans plus q65–q68/t269) pass " +
        "the committed budgets clean") {
     for (b <- Seq("bench_r13_close", "bench_r13_close2",
-                  "bench_r13_close3")) {
+                  "bench_r13_close3", "bench_r13_close4",
+                  "bench_r13_close5")) {
       val r13 = queriesOf(s"docs/bench_history/$b.json")
       assert(r13.size > 330, b)
       assert(BenchBudget.violations(r13, committedBudget) === Nil, b)
