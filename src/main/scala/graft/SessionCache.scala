@@ -42,13 +42,17 @@ final class SessionCache[V] {
       // onApplicationEnd fires when THIS session's context stops;
       // removing the entry releases the frames. The listener holds a
       // reference to the stopped session afterwards — harmless, the
-      // context (and its listener bus) is gone with it.
-      s.sparkContext.addSparkListener(new SparkListener {
+      // context (and its listener bus) is gone with it. A context
+      // stopped BETWEEN the sweep above and here makes the listener
+      // bus throw — swallow it: the next access's sweep evicts the
+      // dead entry, which is all the listener would have done.
+      try s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(
             end: SparkListenerApplicationEnd): Unit = {
           cache.remove(s); ()
         }
       })
+      catch { case _: IllegalStateException => }
       scala.collection.concurrent.TrieMap.empty[String, V]
     }).getOrElseUpdate(key, build)
   }

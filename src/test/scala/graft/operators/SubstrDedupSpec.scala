@@ -59,6 +59,18 @@ class SubstrDedupSpec extends SparkSpec {
       === Seq((1L, 0L, 40L, 1L), (2L, 0L, 40L, 1L)))
   }
 
+  test("multibyte text: offsets and lengths count CHARACTERS, not " +
+       "bytes (the zh-document contract shared with the oracle)") {
+    // 20 CJK chars (60 UTF-8 bytes) planted in two docs; minLen 20
+    // must find exactly the 20-CHAR window at char offsets
+    val dup = "数据重复检测前缀倍增排名类子串覆盖合并精"
+    assert(dup.length === 20)
+    val a = filler(51, 12) + dup + filler(52, 9)
+    val b = dup + filler(53, 30)
+    val out = spans(Seq((1L, a), (2L, b)), minLen = 20)
+    assert(out === Seq((1L, 12L, 32L, 1L), (2L, 0L, 20L, 1L)))
+  }
+
   test("docs shorter than minLen never participate") {
     val t = filler(31, 50)
     assert(spans(Seq((1L, t), (2L, t.take(20)), (3L, t.take(20))),
