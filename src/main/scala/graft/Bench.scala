@@ -53,11 +53,16 @@ object Bench {
     // batteries in docs/bench_history/ (refreshed by
     // scripts/refresh_budget.py); the battery FAILS LOUDLY when a
     // query's best-of-ALL-passes exceeds max(3× budget, budget + 2 s)
-    // — so a violation means EVERY pass blew the limit, and sub-second
-    // rows get absolute headroom a bare multiplier denies them. A
-    // future quadratic regression trips here instead of silently
-    // drifting the 300-query total. Queries not yet budgeted (new
-    // this round) are skipped until the next refresh.
+    // × the battery-level machine-speed factor (BenchBudget
+    // .machineFactor — limits scale together when the MEDIAN row runs
+    // 20%+ over its historical max, so a slow machine fails zero rows
+    // or many, never exactly one thin one; rounds 10–12 each went
+    // rc=1 on exactly one row). A violation means EVERY pass blew the
+    // limit, and sub-second rows get absolute headroom a bare
+    // multiplier denies them. A future quadratic regression trips
+    // here instead of silently drifting the 300-query total. Queries
+    // not yet budgeted (new this round) are skipped until the next
+    // refresh.
     val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET",
       "docs/bench_budget.tsv")
     val budget: Map[String, Double] =
