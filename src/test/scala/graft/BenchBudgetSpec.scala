@@ -81,7 +81,7 @@ class BenchBudgetSpec extends AnyFunSuite {
        "the committed budgets clean") {
     for (b <- Seq("bench_r13_close", "bench_r13_close2",
                   "bench_r13_close3", "bench_r13_close4",
-                  "bench_r13_close5")) {
+                  "bench_r13_close5", "bench_r13_close6")) {
       val r13 = queriesOf(s"docs/bench_history/$b.json")
       assert(r13.size > 330, b)
       assert(BenchBudget.violations(r13, committedBudget) === Nil, b)
