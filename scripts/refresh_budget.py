@@ -15,6 +15,14 @@ Usage:
 max -- use it when the query's plan changed this round and older
 recorded times describe a plan that no longer exists (round 10's
 t226 explode plan, for example).
+
+Batteries recorded with machine-speed normalization active
+(machine_factor > 1 in the bench JSON -- graft.BenchBudget
+.machineFactor scaled every limit because the battery medianed 20%+
+over its historical-max base) are SKIPPED: max-merging a normalized
+slow battery would permanently inflate budgets, compounding with the
+normalization itself (the round-13 ADVICE). Pass --allow-normalized
+to include one anyway (requires a written adjudication in the commit).
 """
 import json
 import sys
@@ -25,6 +33,7 @@ def main() -> None:
     rebase = {}
     runs = []
     out = None
+    allow_normalized = False
     i = 0
     while i < len(args):
         a = args[i]
@@ -32,6 +41,9 @@ def main() -> None:
             name, path = args[i + 1].split("=", 1)
             rebase[name] = path
             i += 2
+        elif a == "--allow-normalized":
+            allow_normalized = True
+            i += 1
         elif out is None:
             out = a
             i += 1
@@ -42,16 +54,26 @@ def main() -> None:
         sys.exit(__doc__)
 
     by_path = {}
-    for path in runs + list(rebase.values()):
+    for path in list(runs) + list(rebase.values()):
         with open(path) as f:
-            by_path[path] = json.load(f)["queries"]
+            rec = json.load(f)
+        mf = float(rec.get("machine_factor", 1.0))
+        if mf > 1.0 and not allow_normalized:
+            print(f"SKIPPING {path}: recorded with machine-speed "
+                  f"normalization active (machine_factor={mf:.3f}) -- "
+                  "a normalized battery must not enter the budget base "
+                  "(--allow-normalized overrides)", file=sys.stderr)
+            if path in runs:
+                runs.remove(path)
+            continue
+        by_path[path] = rec["queries"]
 
     budget = {}
     for path in runs:
         for k, v in by_path[path].items():
             budget[k] = max(budget.get(k, 0.0), float(v))
     for name, path in rebase.items():
-        if name in by_path[path]:
+        if path in by_path and name in by_path[path]:
             budget[name] = float(by_path[path][name])
 
     with open(out, "w") as f:

@@ -47,7 +47,21 @@ object BenchBudget {
     * handful of rows, so batteries with < 25 budgeted queries keep
     * the unscaled rule (and the small planted-regression spec cases
     * stay exact).
+    *
+    * The factor is CAPPED at [[MaxMachineFactor]] (round 14, the r13
+    * ADVICE): an unbounded auto-applied factor would let a machine —
+    * or a genuine uniform engine regression — arbitrarily slow pass
+    * the gate silently. Budgets are historical MAXIMA, so a battery
+    * whose median row needs > 3× its historical worst is no longer
+    * explainable as machine class; past the cap the battery fails
+    * loudly and a human adjudicates. Bench also RECORDS the active
+    * factor in bench.json (`machine_factor`) so
+    * scripts/refresh_budget.py can exclude normalized batteries from
+    * the budget base — normalization must not compound with the
+    * max-merge to inflate budgets permanently.
     */
+  val MaxMachineFactor = 3.0
+
   def machineFactor(best: collection.Map[String, Double],
                     budget: collection.Map[String, Double]): Double = {
     val ratios = best.keysIterator.flatMap { k =>
@@ -58,7 +72,7 @@ object BenchBudget {
       val mid = ratios.size / 2
       val med = if (ratios.size % 2 == 1) ratios(mid)
                 else (ratios(mid - 1) + ratios(mid)) / 2.0
-      if (med > 1.2) med else 1.0
+      if (med > 1.2) math.min(med, MaxMachineFactor) else 1.0
     }
   }
 
@@ -74,6 +88,48 @@ object BenchBudget {
     best.keys.filter { k =>
       budget.get(k).exists(b => best(k) > limit(b) * mf)
     }.toList.sorted
+  }
+
+  /** Second-chance adjudication of a SOLE budget violator (round 14,
+    * after the r13 rc=1 post-mortem — the FOURTH consecutive
+    * single-row battery failure): [[machineFactor]] handles a
+    * uniformly slow machine, but a GC/contention stall that brackets
+    * ONE query's both passes on an otherwise normal-median machine
+    * still yields exactly-one-trip rc=1 with no plan regression
+    * (the r13 t208_lorenz signature: driver 11.9 s vs builder
+    * 0.8–1.2 s, battery median ratio 0.95, 10× scale ratio 0.9).
+    *
+    * Rule: when the battery's violation list has EXACTLY one entry,
+    * re-time that query once more at battery end (the stall window
+    * has passed by then); the re-timed value merges into the query's
+    * best-of-passes and violations recompute. A transient stall
+    * re-times at normal speed and the battery passes; a REAL plan
+    * regression re-times slow and still trips. Two or more
+    * violations never get a second chance — by the machineFactor
+    * argument, multi-row failures are either a real regression or a
+    * machine problem, and both should fail.
+    *
+    * `retime` runs the named query once and returns its wall seconds
+    * (None when the re-run itself fails — the violation then
+    * stands). Returns the final violation list and the re-timed
+    * (query, seconds) when a second chance ran.
+    */
+  def withSecondChance(best: collection.Map[String, Double],
+                       budget: collection.Map[String, Double],
+                       retime: String => Option[Double])
+      : (List[String], Option[(String, Double)]) = {
+    val first = violations(best, budget)
+    first match {
+      case sole :: Nil =>
+        retime(sole) match {
+          case Some(t) =>
+            val merged = best.toMap +
+              (sole -> math.min(best(sole), t))
+            (violations(merged, budget), Some(sole -> t))
+          case None => (first, None)
+        }
+      case _ => (first, None)
+    }
   }
 
   /** Parse a budget tsv (name \t seconds; # comments). */

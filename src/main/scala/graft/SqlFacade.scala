@@ -90,7 +90,16 @@ object SqlFacade {
     *  - `rerank`             — the two-stage retrieve-then-rerank
     *    stack: t94's hybrid first stage re-scored by the
     *    deterministic cross-scorer (t270 composition; q69,
-    *    hash-exact).
+    *    hash-exact);
+    *  - `rolling_quantiles`  — 7-day rolling p50/p95 from mergeable
+    *    per-day KLL sketches (t99 composition at k=8192; q70,
+    *    hash-exact in the pre-compaction exact regime with a
+    *    fail-fast precondition — see rollingQuantilesExact);
+    *  - `weighted_quantiles` — exact weighted quartiles via pure
+    *    integer rank tests (t184 composition; q71, hash-exact);
+    *  - `langid_confusion`   — the trainable hashed-bigram
+    *    naive-Bayes language-ID's confusion matrix (t271
+    *    composition; q72, hash-exact).
     *
     * Views are lazy — each materializes only when a SQL statement
     * actually reads it — EXCEPT `near_dup_clusters` (the connected-
@@ -188,10 +197,33 @@ object SqlFacade {
           graft.queries.TrainingQueries.t88SnapshotDiff(spark, sfDir),
         "validate_suite" ->
           graft.queries.TrainingQueries.t87ValidateSuite(spark, sfDir),
+        // q67's hash-exactness rests on the lgK=12 sketch staying in
+        // its coupon-exact regime at VERIFY scale (measured exact at
+        // ≤ 150 distinct/window; off by 2 at a 1338-distinct sf0.1
+        // window). The precondition is ENFORCED by the Verify gate
+        // "t92 hll max_exact_window <= 512" — a named, fail-fast trip
+        // at the scale where exactness is claimed (r13 ADVICE); the
+        // view itself stays buildable at any scale, where the t92
+        // rel-err contract (≤ 5%) is the operative guarantee.
         "rolling_distinct" ->
           graft.queries.TrainingQueries.t91HllRolling(spark, sfDir),
         "substr_dup_spans" ->
           graft.queries.TrainingQueries.substrSpans(spark, sfDir),
+        // round 14: the two remaining sketch/rank families reach the
+        // SQL surface (q70 pins the KLL exact regime — see
+        // rollingQuantilesExact's scaladoc; q71 reuses t184's exact
+        // integer rank tests verbatim)
+        "rolling_quantiles" ->
+          graft.queries.TrainingQueries.rollingQuantilesExact(spark, sfDir),
+        "weighted_quantiles" ->
+          graft.queries.TrainingQueries.t184WeightedQuantiles(spark, sfDir),
+        // round 14: the trainable naive-Bayes langid's confusion
+        // matrix (t271 composition; q72, hash-exact — the full
+        // train-and-score replay lives in the t271 oracle). EAGER at
+        // construction: building the frame trains the model (two
+        // small collects), paid once per (session, sfDir) here.
+        "langid_confusion" ->
+          graft.queries.TrainingQueries.t271LangidNb(spark, sfDir),
         "rerank" ->
           graft.queries.TrainingQueries.t270Rerank(spark, sfDir))
     }

@@ -230,6 +230,16 @@ object Verify {
       "t92 hll min_approx > 0" -> rows("t92_hll_check").map(
         _.exists(r => r.getAs[String]("check") == "min_approx" &&
           r.getAs[Double]("value") > 0)),
+      // q67's hash-exact oracle PRECONDITION (r13 ADVICE): the
+      // exact-recount oracle is only valid while verify-scale windows
+      // stay deep inside the coupon-exact regime (measured exact at
+      // ≤ 150 distinct/window; off by 2 at 1338 at sf0.1). A testdata
+      // regen past 512 must fail HERE, by name, instead of surfacing
+      // as a q67 hash mismatch that reads like an engine bug.
+      "t92 hll max_exact_window <= 512 (q67 exact-regime precondition)" ->
+        rows("t92_hll_check").map(
+          _.exists(r => r.getAs[String]("check") == "max_exact_window" &&
+            r.getAs[Double]("value") <= 512)),
       // streaming sketch maintenance (t96): the stream-accreted HLL
       // must estimate IDENTICALLY to the batch build (register-max
       // union is order-independent — equality, not closeness)

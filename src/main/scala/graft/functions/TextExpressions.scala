@@ -673,6 +673,96 @@ object TextKernels {
       if (count == 0) 0.0 else sum / count))
   }
 
+  /** Kernel for [[CharBigramBucketsExpr]]: the hashed character-BIGRAM
+    * feature stream of the trainable language classifier
+    * (TextAnalysis.nbLangModel) — one Int bucket per consecutive
+    * code-point pair, in text order:
+    *
+    *   bucket(cp₁, cp₂) = (cp₁ + 2·cp₂) mod buckets
+    *
+    * Pure integer and engine-portable: code points are < 0x110000 so
+    * the weighted sum is < 2²² (no overflow, never negative), and the
+    * DuckDB oracle replays each bucket as
+    * `(unicode(substr(t,i,1)) + 2*unicode(substr(t,i+1,1))) % B`.
+    * The gram stream never materializes strings — used ONLY on the
+    * training side, where the exploded Int stream feeds a
+    * map-side-combinable (lang, bucket) count; inference goes through
+    * [[nbArgmax]] (no explode at all). Decoder identical to
+    * [[hashedBowStats]]'s.
+    */
+  def charBigramBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    val n = text.numBytes
+    val out = new Array[Int](math.max(text.numChars() - 1, 0))
+    var i = 0
+    var prev = -1
+    var w = 0
+    while (i < n) {
+      val b0 = text.getByte(i) & 0xff
+      var cp = b0
+      var step = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; step = 2 }
+        else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; step = 3 }
+        else { cp = b0 & 0x07; step = 4 }
+        var j = 1
+        while (j < step && i + j < n) {
+          cp = (cp << 6) | (text.getByte(i + j) & 0x3f)
+          j += 1
+        }
+      }
+      if (prev >= 0) { out(w) = (prev + 2 * cp) % buckets; w += 1 }
+      prev = cp
+      i += step
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Kernel for [[NbArgmaxExpr]]: one pass over the text scoring every
+    * language of the trained hashed-bigram naive-Bayes model —
+    * score(ℓ) = prior(ℓ) + Σ_grams weights(ℓ)(bucket) on exact BIGINT
+    * micro-log units — and returning the argmax index (ties take the
+    * LARGER index; languages are sorted ascending by the caller, so
+    * ties take the lexicographically later code, the langId
+    * convention). The model rides the generated code as reference
+    * objects, so codegen is constant-size in |langs|·buckets and the
+    * per-row cost is |langs| long-adds per gram — no explode, no
+    * join, no per-gram strings anywhere on the inference path.
+    */
+  def nbArgmax(text: UTF8String, weights: Array[Array[Long]],
+               priors: Array[Long], buckets: Int): Int = {
+    val nLangs = weights.length
+    val scores = java.util.Arrays.copyOf(priors, nLangs)
+    val n = text.numBytes
+    var i = 0
+    var prev = -1
+    while (i < n) {
+      val b0 = text.getByte(i) & 0xff
+      var cp = b0
+      var step = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; step = 2 }
+        else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; step = 3 }
+        else { cp = b0 & 0x07; step = 4 }
+        var j = 1
+        while (j < step && i + j < n) {
+          cp = (cp << 6) | (text.getByte(i + j) & 0x3f)
+          j += 1
+        }
+      }
+      if (prev >= 0) {
+        val b = (prev + 2 * cp) % buckets
+        var l = 0
+        while (l < nLangs) { scores(l) += weights(l)(b); l += 1 }
+      }
+      prev = cp
+      i += step
+    }
+    var best = 0
+    var l = 1
+    while (l < nLangs) { if (scores(l) >= scores(best)) best = l; l += 1 }
+    best
+  }
+
   /** Kernel for [[CompressionProfileExpr]]: DEFLATE the UTF-8 bytes at
     * the default level and report (n_bytes, n_deflated, roundtrip_ok)
     * where roundtrip_ok = INFLATE(DEFLATE(text)) reproduces the input
@@ -1359,6 +1449,55 @@ case class HashedBowScoreExpr(child: Expression, buckets: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Hashed character-bigram feature buckets (the trainable langid
+  * model's feature extractor) — see [[TextKernels.charBigramBuckets]].
+  */
+case class CharBigramBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.charBigramBuckets(v.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.charBigramBuckets($c, $buckets);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Naive-Bayes argmax over a FIXED trained weight matrix — the
+  * langid inference expression (see [[TextKernels.nbArgmax]]). The
+  * constructor keeps Seqs (structural equals → semanticEquals and
+  * common-subexpression elimination work, the ArgmaxCellExpr
+  * convention); the kernel's primitive matrix materializes lazily,
+  * once per (de)serialized instance, and rides generated code as a
+  * reference object so codegen stays constant-size in the model.
+  */
+case class NbArgmaxExpr(child: Expression, weights: Seq[Seq[Long]],
+                        priors: Seq[Long], buckets: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(weights.nonEmpty && weights.length == priors.length,
+    s"need one weight row and one prior per language, got " +
+    s"${weights.length} rows / ${priors.length} priors")
+  require(weights.forall(_.length == buckets),
+    s"every weight row must have $buckets buckets")
+  override def dataType: DataType = IntegerType
+  override def inputTypes = Seq(StringType)
+  @transient private lazy val wMatrix: Array[Array[Long]] =
+    weights.map(_.toArray).toArray
+  @transient private lazy val pArr: Array[Long] = priors.toArray
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.nbArgmax(v.asInstanceOf[UTF8String], wMatrix, pArr, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("nbWeights", wMatrix, "long[][]")
+    val p = ctx.addReferenceObj("nbPriors", pArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.nbArgmax($c, $w, $p, $buckets);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextFunctions {
   import ColumnOps._
   def simhash64(featureHashes: Column): Column =
@@ -1384,6 +1523,11 @@ object TextFunctions {
     toColumn(WinnowingFps(toExpr(text), k, w))
   def nfc_normalize(text: Column): Column =
     toColumn(NfcNormalizeExpr(toExpr(text)))
+  def char_bigram_buckets(text: Column, buckets: Int): Column =
+    toColumn(CharBigramBucketsExpr(toExpr(text), buckets))
+  def nb_argmax(text: Column, weights: Seq[Seq[Long]],
+                priors: Seq[Long], buckets: Int): Column =
+    toColumn(NbArgmaxExpr(toExpr(text), weights, priors, buckets))
   def jaro_winkler(a: Column, b: Column): Column =
     toColumn(JaroWinklerSim(toExpr(a), toExpr(b)))
   def damerau_levenshtein(a: Column, b: Column): Column =

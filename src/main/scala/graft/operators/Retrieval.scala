@@ -177,6 +177,19 @@ object Retrieval {
       "the query key (pass the literal query-id column for a single " +
       "query); an unpartitioned window would be a single-task sort")
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    // withColumn silently OVERWRITES same-named caller columns: a
+    // candidate frame already carrying __s or rerank would have its
+    // data replaced (and a firstRankCol named either would read the
+    // operator's own columns back), corrupting first_rank/rank_shift.
+    // Fail loudly instead (r13 ADVICE).
+    Seq("__s", "rerank").foreach { reserved =>
+      require(!candidates.columns.contains(reserved),
+        s"candidates must not carry a column named '$reserved' — " +
+        "rerank writes it internally; rename the caller column")
+      require(firstRankCol != reserved,
+        s"firstRankCol must not be '$reserved' — it would read the " +
+        "rerank operator's own internal column")
+    }
     val qc = queryCols.map(col)
     val w = Window.partitionBy(qc: _*)
       .orderBy(col("__s").desc, col(idCol).asc)

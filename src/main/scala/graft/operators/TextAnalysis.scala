@@ -985,4 +985,107 @@ object TextAnalysis {
           / (varXN.cast("double") * varYN.cast("double"))), 6)
           .as("r2"))
   }
+
+  /** A trained hashed-character-bigram multinomial-naive-Bayes
+    * language model ([[nbLangTrain]]): `langs` sorted ascending,
+    * one micro-log BIGINT prior and one `buckets`-wide micro-log
+    * BIGINT weight row per language. Model size is |langs| × buckets
+    * longs — driver-bounded by construction (the centroid/codebook
+    * convention), and it rides inference codegen as a reference
+    * object ([[graft.functions.NbArgmaxExpr]]).
+    */
+  case class NbLangModel(langs: Seq[String], priors: Seq[Long],
+                         weights: Seq[Seq[Long]], buckets: Int)
+
+  /** Train the fastText-shaped LANGUAGE-ID classifier IN-ENGINE — the
+    * model-based upgrade of [[langId]]'s fixed heuristic: multinomial
+    * naive Bayes over hashed character bigrams
+    * (bucket = (cp₁ + 2·cp₂) mod buckets, the
+    * [[graft.functions.TextKernels.charBigramBuckets]] contract),
+    * Laplace-smoothed, all arithmetic on the micro-log BIGINT
+    * boundary so training and inference are hash-exact replayable:
+    *
+    *   w(ℓ,b)  = round(10⁶·ln((c(ℓ,b) + 1)/(t(ℓ) + buckets)))
+    *   prior ℓ = round(10⁶·ln(d(ℓ)/D))
+    *
+    * with c = training gram counts, t = Σ_b c, d = training docs of
+    * ℓ, D = total training docs. Unseen (ℓ,b) cells get the c = 0
+    * smoothed weight. Every ln runs through Spark's own `log`
+    * expression (the proven DuckDB-parity chain), never driver math.
+    *
+    * Scale shape: training is ONE kernel pass per row emitting Int
+    * buckets + a map-side-combinable (lang, bucket) count — the
+    * TF-IDF collapse shape, ≤ |langs|·buckets rows after combine —
+    * plus a |langs|-row doc count; the collected model is
+    * |langs| × buckets longs. Inference ([[nbLangPredict]]) is one
+    * codegen'd pass per row with NO explode, join, or per-gram
+    * allocation.
+    */
+  def nbLangTrain(train: DataFrame, textCol: String, langCol: String,
+                  buckets: Int = 4096): NbLangModel = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val g = train
+      .select(col(langCol).cast("string").as("__l"),
+        explode(TextFunctions.char_bigram_buckets(
+          coalesce(col(textCol), lit("")), buckets)).as("__b"))
+      .groupBy(col("__l"), col("__b")).agg(count(lit(1)).as("__c"))
+    val tot = g.groupBy(col("__l")).agg(sum(col("__c")).as("__t"))
+    val seenRows = g.join(tot, "__l")
+      .select(col("__l"), col("__b"),
+        round(lit(1e6) * log((col("__c") + 1.0) /
+          (col("__t") + buckets.toDouble)), 0).cast("long").as("__w"))
+      .collect()
+    val defaultRows = tot
+      .select(col("__l"),
+        round(lit(1e6) * log(lit(1.0) /
+          (col("__t") + buckets.toDouble)), 0).cast("long").as("__w0"))
+      .collect()
+    val docs = train
+      .groupBy(col(langCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__d"))
+    val priorRows = docs
+      .crossJoin(docs.agg(sum(col("__d")).as("__dd")))
+      .select(col("__l"),
+        round(lit(1e6) * log(col("__d").cast("double") /
+          col("__dd").cast("double")), 0).cast("long").as("__p"))
+      .collect()
+    // a language can appear with zero grams (all its training texts
+    // shorter than 2 chars): it still has a prior and an all-default
+    // weight row — ln(1/buckets) per unseen bucket with t = 0, which
+    // the frames above only emit for languages WITH grams. Align on
+    // the PRIOR language set (every training doc has a language).
+    val langs = priorRows.map(_.getString(0)).toSeq.sorted
+    require(langs.nonEmpty, "training set must be non-empty")
+    val defaults = defaultRows
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val zeroDefault = math.round(1e6 * math.log(1.0 / buckets.toDouble))
+    val seen = seenRows
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val priors = priorRows
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = langs.map { l =>
+      val d = defaults.getOrElse(l, zeroDefault)
+      (0 until buckets).map(b => seen.getOrElse((l, b), d))
+    }
+    NbLangModel(langs, langs.map(priors), weights, buckets)
+  }
+
+  /** Predicted-language column under a trained [[NbLangModel]]:
+    * argmax of the exact BIGINT micro-log scores, ties to the
+    * lexicographically LATER language code (the [[langId]]
+    * convention — model.langs is sorted ascending and the kernel
+    * breaks ties to the larger index). NULL text predicts NULL.
+    */
+  def nbLangPredict(text: Column, model: NbLangModel): Column = {
+    val langArr = array(model.langs.map(lit): _*)
+    // the explicit null branch matters: element_at over a
+    // containsNull=false literal array mis-computes nullability when
+    // only its INDEX is null, and the local-relation projection then
+    // NPEs copying the "non-null" string — route the null through
+    // CaseWhen instead of through element_at
+    when(text.isNotNull,
+      element_at(langArr,
+        TextFunctions.nb_argmax(text, model.weights, model.priors,
+          model.buckets) + 1))
+  }
 }

@@ -398,7 +398,15 @@ object Profiling {
     * Output: (groups…, n, k_trim, trimmed_mean 6dp).
     */
   def trimmedMean(df: DataFrame, groupCols: Seq[String],
-                  valueCol: Column, trimFrac: Double = 0.1): DataFrame = {
+                  valueCol: Column, trimFrac: Double = 0.1): DataFrame =
+    trimmedMeanFromCum(countCellsCum(df, groupCols, valueCol),
+      groupCols, trimFrac)
+
+  /** [[trimmedMean]] over a pre-built [[countCellsCum]] frame (the
+    * round-14 shared-census entry point — see [[medianCIFromCum]]).
+    */
+  def trimmedMeanFromCum(cum: DataFrame, groupCols: Seq[String],
+                         trimFrac: Double = 0.1): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(trimFrac >= 0 && trimFrac < 0.5,
       s"trimFrac must be in [0, 0.5), got $trimFrac")
@@ -406,11 +414,8 @@ object Profiling {
     val denom = math.round(1.0 / trimFrac).toLong
     require(trimFrac == 0 || math.abs(1.0 / denom - trimFrac) < 1e-12,
       s"trimFrac must be a unit fraction (1/m) for exact integer k, got $trimFrac")
-    val cells = df.filter(valueCol.isNotNull)
-      .groupBy(g :+ valueCol.cast("long").as("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
     val k = if (trimFrac == 0) lit(0L) else expr(s"__n div $denom")
-    val clipped = cumulativeCells(cells, groupCols, "__v", Seq("__c"))
+    val clipped = cum
       .withColumn("__bef", col("__c_cum") - col("__c"))
       .withColumn("__n", col("__c_tot"))
       .withColumn("__k", k)
@@ -564,6 +569,26 @@ object Profiling {
         sumCols.map(s => s"__cu_off_$s"): _*)
   }
 
+  /** The (group, value)-cell CUMULATIVE-COUNT frame shared by the
+    * whole robust-location family — [[medianCIFromCum]],
+    * [[trimmedMeanFromCum]], [[winsorizedMeanFromCum]] all consume
+    * exactly this schema: (groups…, __v BIGINT value, __c cell count,
+    * __c_cum cumulative count ≤ __v, __c_tot group total). One
+    * corpus-sized collapse + one [[cumulativeCells]] pass serves
+    * every downstream rank statistic; callers computing several over
+    * the same column should build this ONCE (checkpoint/cache it)
+    * and fan out.
+    */
+  def countCellsCum(df: DataFrame, groupCols: Seq[String],
+                    valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val cells = df.filter(valueCol.isNotNull)
+      .groupBy(g :+ valueCol.cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    cumulativeCells(cells, groupCols, "__v", Seq("__c"))
+  }
+
   /** Distribution-free MEDIAN with a 95% CONFIDENCE interval from
     * order statistics (the binomial/sign-test CI, normal-approximated
     * ranks) — the uncertainty-honest median the bootstrap family
@@ -587,13 +612,22 @@ object Profiling {
     * Output: (groups…, n, ci_lo, median, ci_hi).
     */
   def medianCI(df: DataFrame, groupCols: Seq[String],
-               valueCol: Column): DataFrame = {
+               valueCol: Column): DataFrame =
+    medianCIFromCum(countCellsCum(df, groupCols, valueCol), groupCols)
+
+  /** [[medianCI]] over a PRE-BUILT [[countCellsCum]] frame — the
+    * shared-census entry point (round 14): the t203/t206/t225 robust-
+    * location fixtures all re-derived the identical (group, value-
+    * cell) cumulative frame, so each paid the corpus collapse + the
+    * three sequential cumulativeCells jobs alone — precisely the
+    * latency-bound class that tripped the r13 driver battery. A
+    * caller building several robust statistics over the same
+    * (groups, value) now builds ONE cum frame and fans out; each
+    * statistic after that is a single cell-sized job.
+    */
+  def medianCIFromCum(cum: DataFrame, groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     val g = groupCols.map(col)
-    val cells = df.filter(valueCol.isNotNull)
-      .groupBy(g :+ valueCol.cast("long").as("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
-    val cum = cumulativeCells(cells, groupCols, "__v", Seq("__c"))
     val z = 1.959963984540054
     val n = col("__c_tot")
     val lo = floor((n - lit(z) * sqrt(n.cast("double"))) / 2.0).cast("long")
@@ -752,7 +786,15 @@ object Profiling {
     * Output: (groups…, n, k_winsor, winsorized_mean 6dp).
     */
   def winsorizedMean(df: DataFrame, groupCols: Seq[String],
-                     valueCol: Column, winsorFrac: Double = 0.1): DataFrame = {
+                     valueCol: Column, winsorFrac: Double = 0.1): DataFrame =
+    winsorizedMeanFromCum(countCellsCum(df, groupCols, valueCol),
+      groupCols, winsorFrac)
+
+  /** [[winsorizedMean]] over a pre-built [[countCellsCum]] frame (the
+    * round-14 shared-census entry point — see [[medianCIFromCum]]).
+    */
+  def winsorizedMeanFromCum(cum0: DataFrame, groupCols: Seq[String],
+                            winsorFrac: Double = 0.1): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(winsorFrac >= 0 && winsorFrac < 0.5,
       s"winsorFrac must be in [0, 0.5), got $winsorFrac")
@@ -760,11 +802,8 @@ object Profiling {
     val denom = math.round(1.0 / winsorFrac).toLong
     require(winsorFrac == 0 || math.abs(1.0 / denom - winsorFrac) < 1e-12,
       s"winsorFrac must be a unit fraction (1/m), got $winsorFrac")
-    val cells = df.filter(valueCol.isNotNull)
-      .groupBy(g :+ valueCol.cast("long").as("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
     val k = if (winsorFrac == 0) lit(0L) else expr(s"__n div $denom")
-    val cum = cumulativeCells(cells, groupCols, "__v", Seq("__c"))
+    val cum = cum0
       .withColumn("__bef", col("__c_cum") - col("__c"))
       .withColumn("__cw", col("__c_cum"))
       .withColumn("__n", col("__c_tot"))

@@ -8303,6 +8303,63 @@ object Oracle {
   // t239 resumes the t48 pipeline from a mid-chain checkpoint; the
   // resumed ledger must be EXACTLY the uninterrupted run's — one
   // oracle replay, two execution paths
+  // t271 / q72 share one oracle string (the q49/t239 pattern)
+  private val t271LangidSql: String =
+    """WITH d AS (
+          |  SELECT doc_id, lang, coalesce(text, '') ||
+          |    repeat(CASE lang WHEN 'de' THEN ' der die das und ist'
+          |                     WHEN 'es' THEN ' el la de que y'
+          |                     WHEN 'fr' THEN ' le la de et un'
+          |                     WHEN 'zh' THEN ' 的 是 在 了 不'
+          |                     ELSE ' the of and is a' END, 8) AS t
+          |  FROM documents
+          |), g AS (
+          |  SELECT d.doc_id, d.lang,
+          |    (unicode(substr(d.t, ii.i, 1)) +
+          |     2 * unicode(substr(d.t, ii.i + 1, 1))) % 4096 AS b
+          |  FROM d, LATERAL (SELECT unnest(range(1, length(d.t))) AS i) ii
+          |), trc AS (
+          |  SELECT lang, b, CAST(count(*) AS BIGINT) AS c
+          |  FROM g WHERE doc_id % 2 = 0 GROUP BY 1, 2
+          |), trt AS (
+          |  SELECT lang, CAST(sum(c) AS BIGINT) AS tt FROM trc GROUP BY 1
+          |), w AS (
+          |  SELECT trc.lang, trc.b,
+          |    CAST(round(1e6 * ln((trc.c + 1.0) / (trt.tt + 4096.0)))
+          |      AS BIGINT) AS w
+          |  FROM trc JOIN trt ON trt.lang = trc.lang
+          |), wdef AS (
+          |  SELECT lang,
+          |    CAST(round(1e6 * ln(1.0 / (tt + 4096.0))) AS BIGINT) AS w0
+          |  FROM trt
+          |), pri AS (
+          |  SELECT lang, CAST(round(1e6 * ln(CAST(count(*) AS DOUBLE) /
+          |      CAST((SELECT count(*) FROM d WHERE doc_id % 2 = 0)
+          |        AS DOUBLE))) AS BIGINT) AS p
+          |  FROM d WHERE doc_id % 2 = 0 GROUP BY 1
+          |), sc AS (
+          |  SELECT dd.doc_id, dd.lang AS lang_true, pri.lang AS lang_m,
+          |    pri.p + coalesce(sum(CASE WHEN g.doc_id IS NOT NULL THEN
+          |      coalesce(w.w, wdef.w0,
+          |        CAST(round(1e6 * ln(1.0 / 4096.0)) AS BIGINT))
+          |      ELSE 0 END), 0) AS score
+          |  FROM d dd
+          |  CROSS JOIN pri
+          |  LEFT JOIN wdef ON wdef.lang = pri.lang
+          |  LEFT JOIN g ON g.doc_id = dd.doc_id
+          |  LEFT JOIN w ON w.lang = pri.lang AND w.b = g.b
+          |  GROUP BY dd.doc_id, dd.lang, pri.lang, pri.p
+          |), pick AS (
+          |  SELECT lang_true, lang_m,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY score DESC, lang_m DESC) AS rn
+          |  FROM sc
+          |)
+          |SELECT lang_true AS lang, lang_m AS pred,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM pick WHERE rn = 1
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val sql: Map[String, String] =
     base + ("t239_pipeline_resume" -> base("t48_pipeline")) +
       // the SQL-surface views return the OPERATOR's exact output: each
@@ -8326,13 +8383,63 @@ object Oracle {
       ("q66_sql_validate" -> base("t87_validate_suite")) +
       // q67: the rolling-distinct view against an EXACT recount of
       // the same 7-day windows. Valid as a hash-exact oracle because
-      // at verify scale (<= 1500 distinct users per window) the
-      // lgK=12 HLL sketch is still in coupon mode — deterministic
-      // AND exact (t92 measured 0.0 relative error at sf0.01 and
-      // sf0.1); t92 remains the enforced error gate for scales past
-      // coupon promotion.
+      // at verify scale (<= 150 distinct users per window) the
+      // lgK=12 HLL sketch is deep inside its coupon-exact regime —
+      // deterministic AND exact (t92 measured 0.0 relative error at
+      // sf0.01; the regime demonstrably ends before 1338/window,
+      // where sf0.1 shows an off-by-2 coupon collision). The
+      // precondition is ENFORCED: the Verify gate "t92 hll
+      // max_exact_window <= 512" fails by name when a testdata regen
+      // leaves the regime; t92's rel-err contract stays the gate for
+      // approximate scales.
       ("q68_sql_substr_spans" -> base("t269_substr_dedup")) +
       ("q69_sql_rerank" -> base("t270_rerank")) +
+      // q70: the rolling-quantiles view against a rank-selection
+      // replay of the same 7-day windows. Valid as a hash-exact
+      // oracle because the view's KLL sketches (k=8192) hold every
+      // window's items uncompacted at verify scale, so getQuantile(p)
+      // is an exact order statistic: the SMALLEST value whose
+      // normalized inclusive rank cum/n ≥ p, with the comparison on
+      // IEEE doubles (pinned empirically: n=20, p=0.95 selects rank
+      // 19 because 19/20 rounds to the same double as the 0.95
+      // literal, while natural-rank forms ⌈0.95·20⌉ = 20 and
+      // round(0.95·20) = 19 disagree with other probes). The replay
+      // below computes the identical rn/n ≥ p double comparison. The
+      // view builder enforces the regime as a precondition
+      // (TrainingQueries.rollingQuantilesExact); t100 stays the
+      // enforced rank-error gate for the k=200 production contract.
+      ("q71_sql_weighted_quantiles" -> base("t184_weighted_quantiles")) +
+      // t271: full replay of the trainable naive-Bayes langid —
+      // training counts, Laplace micro-log weights, priors, scoring
+      // and argmax are ALL re-derived in DuckDB from the raw table.
+      // Bucket hash: (cp1 + 2·cp2) mod 4096 via unicode()/substr()
+      // (codepoint semantics match the engine kernel's UTF-8
+      // decoder); micro-log arithmetic on the identical IEEE chain
+      // (the t163 contract); argmax ties to the lexicographically
+      // LATER language (ORDER BY score DESC, lang DESC). Languages
+      // with no training grams keep a prior and the c=0 smoothed
+      // default weight ln(1/4096) — the coalesce below.
+      ("t271_langid_nb" -> t271LangidSql) +
+      ("q72_sql_langid" -> t271LangidSql) +
+      ("q70_sql_rolling_quantiles" ->
+        """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+          |w AS (
+          |  SELECT d.day, CAST(e.value AS DOUBLE) AS v
+          |  FROM days d JOIN events e
+          |    ON e.value IS NOT NULL
+          |   AND CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+          |), c AS (
+          |  SELECT day, v,
+          |    row_number() OVER (PARTITION BY day ORDER BY v) AS rn,
+          |    count(*) OVER (PARTITION BY day) AS n
+          |  FROM w
+          |)
+          |SELECT day, 7 AS window_days,
+          |  min(CASE WHEN CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) >= 0.5
+          |           THEN v END) AS p50,
+          |  min(CASE WHEN CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) >= 0.95
+          |           THEN v END) AS p95
+          |FROM c GROUP BY day ORDER BY day""".stripMargin) +
       ("q67_sql_rolling_distinct" ->
         """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
           |SELECT d.day, 7 AS window_days,

@@ -1077,4 +1077,45 @@ object RelationalQueries {
     graft.SqlFacade.sql(spark,
       "SELECT * FROM rerank ORDER BY rerank")
   }
+
+  /** q70_sql_rolling_quantiles — rolling 7-day p50/p95 from mergeable
+    * per-day KLL sketches through SQL text over the
+    * `rolling_quantiles` view; hash-exact against a DuckDB rank-
+    * selection replay because the view's sketches sit in KLL's
+    * pre-compaction exact regime at verify scale (precondition
+    * enforced in the view builder; t100 is the rank-error gate
+    * beyond the regime — see TrainingQueries.rollingQuantilesExact).
+    */
+  def q70SqlRollingQuantiles(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM rolling_quantiles ORDER BY day")
+  }
+
+  /** q71_sql_weighted_quantiles — exact quantity-weighted price
+    * quartiles (t184's pure-integer rank tests) through SQL text
+    * over the `weighted_quantiles` view; hash-exact against t184's
+    * oracle verbatim.
+    */
+  def q71SqlWeightedQuantiles(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM weighted_quantiles ORDER BY flag")
+  }
+
+  /** q72_sql_langid — the trainable naive-Bayes language-ID's
+    * confusion matrix (t271) through SQL text over the
+    * `langid_confusion` view; hash-exact against t271's full
+    * train-and-score DuckDB replay.
+    */
+  def q72SqlLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.SqlFacade.registerTables(spark, sfDir)
+    graft.SqlFacade.registerOperatorViews(spark, sfDir)
+    graft.SqlFacade.sql(spark,
+      "SELECT * FROM langid_confusion ORDER BY lang, pred")
+  }
 }

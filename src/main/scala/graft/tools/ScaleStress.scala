@@ -598,29 +598,48 @@ object ScaleStress {
     // boundary the Curation runner exists to swap in): ledger must
     // match the localCheckpoint form at both scales; the time delta is
     // the parquet write+read of each stage output
-    def curationRun(d: String, tag: String): (Long, Double, Double) = {
+    // round 14: the composite row also records a PER-STAGE breakdown
+    // (stage wall = that stage's compute + parquet write + read-back
+    // under the table-write materializer, plus the ledger's in/out
+    // counts) so inter-stage materialization cost at 10x is measured,
+    // not inferred from the per-operator rows.
+    def curationRun(d: String, tag: String)
+        : (Long, Double, Double, Seq[(Int, Double)], Seq[String]) = {
       val ckpt = timed {
         TrainingQueries.t48Pipeline(spark, d).collect()
       }
       val matDir = graft.io.TempDirs.create(s"graft_cur_$tag").toString
       var stage = 0
+      val stageTimes = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       val tbl = timed {
         TrainingQueries.t48PipelineMaterialized(spark, d, df => {
           stage += 1
           val p = s"$matDir/stage$stage"
-          df.write.mode("overwrite").parquet(p)
-          spark.read.parquet(p)
+          val (out, t) = timed {
+            df.write.mode("overwrite").parquet(p)
+            spark.read.parquet(p)
+          }
+          stageTimes += (stage -> t)
+          out
         }).collect()
       }
       require(ckpt._1.map(_.toString).toSeq == tbl._1.map(_.toString).toSeq,
         s"table-write ledger diverged from localCheckpoint ledger at $d")
-      (ckpt._1.length.toLong, ckpt._2, tbl._2)
+      val ledger = ckpt._1.map(r =>
+        s"${r.getAs[String]("stage")} ${r.getAs[Long]("docs_in")}->" +
+        s"${r.getAs[Long]("docs_out")}").toSeq
+      (ckpt._1.length.toLong, ckpt._2, tbl._2, stageTimes.toSeq, ledger)
     }
-    val (rowsS2, ckS, twS) = curationRun(base, "s")
-    val (rowsB2, ckB, twB) = curationRun(big, "b")
+    val (rowsS2, ckS, twS, stS, ledS) = curationRun(base, "s")
+    val (rowsB2, ckB, twB, stB, ledB) = curationRun(big, "b")
     println(f"| t48 curation ledger rows (ckpt == table-write) | $rowsS2 | $rowsB2 |")
     println(f"| t48 curation s (ckpt / table-write) | $ckS%.2f / $twS%.2f " +
       f"| $ckB%.2f / $twB%.2f |")
+    stS.zip(stB).zip(ledS.zip(ledB)).foreach {
+      case (((i, ts), (_, tb)), (ls, lb)) =>
+        println(f"| t48 stage $i table-write s | $ts%.2f ($ls) " +
+          f"| $tb%.2f ($lb) |")
+    }
     spark.stop()
   }
 }

@@ -88,6 +88,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("REPLAY: the round-13 DRIVER battery (the rc=1 record whose " +
+       "sole violation, t208_lorenz, was adjudicated a transient " +
+       "single-query stall on a normal-median machine — battery " +
+       "median ratio 0.95) passes the committed budgets after its " +
+       "max-merge into the base") {
+    val r13d = queriesOf("docs/bench_history/bench_r13_driver.json")
+    assert(r13d.size > 330)
+    assert(BenchBudget.violations(r13d, committedBudget) === Nil)
+  }
+
   test("machine-speed normalization: a uniformly 4x-slow machine " +
        "(the r12 driver battery, every row quadrupled — slower than " +
        "anything in the max-merged base) trips ZERO rows — but a real " +
@@ -127,6 +137,54 @@ class BenchBudgetSpec extends AnyFunSuite {
     val tiny = (1 to 10).map(i => s"q$i" -> 5.0).toMap
     val tinyBudget = (1 to 10).map(i => s"q$i" -> 1.0).toMap
     assert(BenchBudget.machineFactor(tiny, tinyBudget) === 1.0)
+  }
+
+  test("machine-speed normalization is CAPPED at 3x: a 10x-slow " +
+       "'machine' (indistinguishable from a uniform engine regression) " +
+       "fails loudly instead of auto-passing") {
+    val budget = (1 to 40).map(i => s"q$i" -> 2.0).toMap
+    val tenX = budget.view.mapValues(_ * 10.0).toMap
+    assert(BenchBudget.machineFactor(tenX, budget)
+      === BenchBudget.MaxMachineFactor)
+    // limit = 3x budget x cap 3 = 18 < 20 -> every row trips
+    assert(BenchBudget.violations(tenX, budget).size === 40)
+  }
+
+  test("SECOND CHANCE: a transient stall bracketing one query's both " +
+       "passes (the r13 t208 signature) re-times at normal speed and " +
+       "the battery passes; a real regression re-times slow and still " +
+       "trips; multi-row failures never get a second chance") {
+    val budget = (1 to 30).map(i => s"q$i" -> 2.0).toMap
+    val normal = budget.view.mapValues(_ * 0.8).toMap
+    // stall: q7 ran 6.5x budget in every pass, rest of battery normal
+    val stalled = normal + ("q7" -> 13.0)
+    var asked = List.empty[String]
+    val (v1, sc1) = BenchBudget.withSecondChance(stalled, budget, { k =>
+      asked ::= k; Some(1.7) // re-times at normal speed
+    })
+    assert(asked === List("q7") && v1 === Nil && sc1 === Some("q7" -> 1.7))
+    // real regression: the re-run is just as slow -> still trips
+    val (v2, sc2) =
+      BenchBudget.withSecondChance(stalled, budget, _ => Some(12.8))
+    assert(v2 === List("q7") && sc2 === Some("q7" -> 12.8))
+    // re-run itself fails -> the violation stands
+    val (v3, sc3) = BenchBudget.withSecondChance(stalled, budget, _ => None)
+    assert(v3 === List("q7") && sc3 === None)
+    // two violators -> no second chance at all
+    var asked2 = 0
+    val (v4, _) = BenchBudget.withSecondChance(
+      stalled + ("q9" -> 14.0), budget, { _ => asked2 += 1; Some(0.1) })
+    assert(v4 === List("q7", "q9") && asked2 === 0)
+  }
+
+  test("parseBenchQueries still finds the queries map with the " +
+       "round-14 machine_factor and second_chance fields present") {
+    val line = """{"metric":"total","value":9.9,"unit":"sec","passes":2,""" +
+      """"machine_factor":1.000,"second_chance":{"query":"t208_lorenz",""" +
+      """"retime":0.912},"failed":[],"budget_violations":[],""" +
+      """"queries":{"q1_agg":1.234,"t2_x":0.5},"sf":"d"}"""
+    assert(BenchBudget.parseBenchQueries(line)
+      === Map("q1_agg" -> 1.234, "t2_x" -> 0.5))
   }
 
   test("maxMerge takes the per-query max across recorded runs") {
