@@ -528,8 +528,12 @@ object ScaleStress {
     }
 
     // audit quantities: the bounded candidate/bucket counts behind the
-    // linear-ish growth (skipped on subset runs)
-    if (only.nonEmpty) { spark.stop(); return }
+    // linear-ish growth (skipped on subset runs); a subset NAMING t48
+    // still runs the composite-curation block below — the per-stage
+    // breakdown is its own evidence row and refreshing it must not
+    // cost a full-harness run
+    if (only.exists(names => !names("t48"))) { spark.stop(); return }
+    if (only.isEmpty) {
     println("\n| audit | sf0.1 | 10x |")
     println("|---|---|---|")
     def both(f: String => Long): (Long, Long) = (f(base), f(big))
@@ -594,6 +598,7 @@ object ScaleStress {
       s"| ${paB("scanned_rows").toLong} |")
     println(s"| t78 ivfpq scan fraction | ${paS("scan_fraction")} " +
       s"| ${paB("scan_fraction")} |")
+    }
     // t48 with a REAL table-write materializer (the warehouse stage
     // boundary the Curation runner exists to swap in): ledger must
     // match the localCheckpoint form at both scales; the time delta is

@@ -88,6 +88,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("REPLAY: both round-14 closing batteries (341 and 343 " +
+       "queries, rc=0 — the shared robust-stats censuses plus " +
+       "q70–q72/t271) pass the committed budgets clean") {
+    for (b <- Seq("bench_r14_close", "bench_r14_close2")) {
+      val r14 = queriesOf(s"docs/bench_history/$b.json")
+      assert(r14.size > 340, b)
+      assert(BenchBudget.violations(r14, committedBudget) === Nil, b)
+    }
+  }
+
   test("REPLAY: the round-13 DRIVER battery (the rc=1 record whose " +
        "sole violation, t208_lorenz, was adjudicated a transient " +
        "single-query stall on a normal-median machine — battery " +
