@@ -216,6 +216,28 @@ object Verify {
         rows("t85_margin_ann_clustered").map(
           _.exists(r => r.getAs[String]("check") == "choice_agreement" &&
             r.getAs[Double]("value") >= 0.85)),
+      // the cell-routed IVF-PQ candidate pass for bitext mining
+      // (t272): the same recall/agreement floors as t85's LSH gate
+      // (measured 1.0/1.0 at verify scale, 0.93 recall at sf0.1's
+      // denser clusters) PLUS the witness LSH cannot give — the ADC
+      // scan must actually prune to ~nprobe/nlist of the cross
+      // product (measured 0.502 at nprobe=8/nlist=16; > 0.55 means
+      // the prune broke, ~0 means the index scanned nothing)
+      "t272 ivfpq nn_recall >= 0.85" -> rows("t272_margin_ivfpq").map(
+        _.exists(r => r.getAs[String]("check") == "nn_recall" &&
+          r.getAs[Double]("value") >= 0.85)),
+      "t272 ivfpq choice agreement >= 0.85" ->
+        rows("t272_margin_ivfpq").map(
+          _.exists(r => r.getAs[String]("check") == "choice_agreement" &&
+            r.getAs[Double]("value") >= 0.85)),
+      "t272 ivfpq scan fraction in (0, 0.55]" ->
+        rows("t272_margin_ivfpq").map(
+          _.exists(r => r.getAs[String]("check") == "scan_fraction" &&
+            r.getAs[Double]("value") > 0 &&
+            r.getAs[Double]("value") <= 0.55)),
+      "t272 ivfpq n_src > 0" -> rows("t272_margin_ivfpq").map(
+        _.exists(r => r.getAs[String]("check") == "n_src" &&
+          r.getAs[Double]("value") > 0)),
       // mergeable-HLL rolling distinct (t91): the t92 audit recounts
       // the SAME windows exactly and pins the estimate error. lgK=12
       // standard error is ~1.6% (gate 0.05 gives headroom); below the

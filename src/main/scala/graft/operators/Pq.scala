@@ -194,13 +194,12 @@ object Pq {
                 k: Int, nlist: Int = 16, nprobe: Int = 4,
                 refineIters: Int = 0, m: Int = 8, ksub: Int = 16,
                 iters: Int = 1, rerank: Int = 1,
-                codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
-    val (cents, cb) = codebook match {
-      case Some(c) => (ivfPqTrainCentroids(corpus, vecCol, nlist,
-        refineIters), c)
-      case None => ivfPqTrain(corpus, vecCol, nlist, refineIters, m,
-        ksub, iters)
-    }
+                codebook: Option[Array[Array[Array[Double]]]] = None,
+                centroids: Option[Array[Seq[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      ivfPqTrainCentroids(corpus, vecCol, nlist, refineIters))
+    val cb = codebook.getOrElse(
+      trainCodebook(corpus.select(col(vecCol)), vecCol, m, ksub, iters))
     ivfPqServe(ivfPqIndex(corpus, idCol, vecCol, cents, cb),
       corpus, idCol, vecCol, queries, qidCol, qvecCol,
       k, nprobe, rerank, cents, cb)
@@ -321,6 +320,41 @@ object Pq {
     (corpus, idCol, vecCol, queries, qidCol, qvecCol, k) =>
       pqTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
         m, ksub, iters, rerank)
+
+  /** [[ivfPqTopK]] at fixed index parameters as a
+    * [[Similarity.TopKProvider]] — the CELL-ROUTED candidate pass for
+    * [[Similarity.marginMine]], i.e. production bitext mining's
+    * actual serving layout (CCMatrix mines LASER embeddings against
+    * FAISS IVF-PQ indexes): where [[pqProvider]] compresses the ADC
+    * scan but still touches every code row per query batch, this one
+    * multiplies it by nprobe/nlist (the t78-audited prune), which is
+    * what makes billion-pair mining tractable. Defaults are the
+    * t272-gated production setting on the clustered corpus —
+    * nlist=16, nprobe=8, ksub=256 (the FAISS-standard 8-bit
+    * codebook: the t272 sweep showed a 4-bit ksub=16 codebook
+    * cannot rank within DENSE near-tie clusters — same-cluster
+    * codes collapse to near-identical ADC scores and the shortlist
+    * goes arbitrary, recall 0.44 at sf0.1 — while 8-bit codes
+    * restore 0.93), rerank=8 (exact-cosine re-scoring of the 8k
+    * shortlist — bounded at |queries|*8k rows), one Lloyd round on
+    * the coarse centroids.
+    *
+    * Stays an EXPLICITLY-requested provider rather than the
+    * [[Similarity.DefaultTopK]]: each provider call trains and
+    * assigns a fresh index (two per mine — one per direction), the
+    * right trade only when the index amortizes over a large query
+    * side or persists via the roundtrip helpers below, while the
+    * training-free LSH default serves the one-shot call pattern the
+    * t85 gate pins. At index scale the caller holds a served index
+    * anyway and passes `ivfPqServe` partially applied.
+    */
+  def ivfPqProvider(nlist: Int = 16, nprobe: Int = 8, m: Int = 8,
+                    ksub: Int = 256, iters: Int = 1, rerank: Int = 8,
+                    refineIters: Int = 1): Similarity.TopKProvider =
+    (corpus, idCol, vecCol, queries, qidCol, qvecCol, k) =>
+      ivfPqTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
+        nlist = nlist, nprobe = nprobe, refineIters = refineIters,
+        m = m, ksub = ksub, iters = iters, rerank = rerank)
 
   // ---- index persistence ------------------------------------------------
   //

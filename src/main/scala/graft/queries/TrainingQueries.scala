@@ -1444,6 +1444,98 @@ object TrainingQueries {
     nnRecall.unionByName(agree).unionByName(nSrc).orderBy(col("check"))
   }
 
+  /** t272_margin_ivfpq — cross-lingual bitext mining's PRODUCTION-
+    * SCALE candidate pass: [[Similarity.marginMine]] driven by the
+    * cell-routed [[Pq.ivfPqProvider]] (the CCMatrix layout — LASER-
+    * style embeddings mined against a FAISS-shaped IVF-PQ index)
+    * at its gated defaults (nlist=16, nprobe=8, m=8, ksub=256 —
+    * the FAISS-standard 8-bit codebook; a 4-bit one cannot rank
+    * inside dense near-tie clusters — rerank=8) on the CLUSTERED
+    * corpus, t85's audit shape extended
+    * with the witness t85 cannot give: the SCAN FRACTION. LSH
+    * shortens candidate lists but still hashes every corpus row per
+    * table; the IVF prune is what caps the per-query ADC read at
+    * nprobe/nlist of the corpus, so the gate pins all three legs of
+    * the production claim at once —
+    *
+    *  - `nn_recall`: fraction of the exact forward top-4 pairs the
+    *    IVF-PQ provider surfaces (rerank=8 re-scores exact cosine on
+    *    the 8k shortlist; measured 1.0 at verify scale, 0.93 at
+    *    sf0.1's denser clusters);
+    *  - `choice_agreement`: fraction of sources whose argmax-margin
+    *    target matches brute-force mining's (margins recompute over
+    *    approximate NNk means exactly as production does);
+    *  - `scan_fraction`: [[Pq.ivfPqScanAudit]] at the same index
+    *    parameters — probed-cell ADC rows over the full cross
+    *    product, ≈ nprobe/nlist (the same audit t78 enforces, here
+    *    pinned on the corpus the mining gate actually runs on);
+    *  - `n_src`: denominator sanity.
+    *
+    * Audit corpus capped harder than t85 (≤ 500 vectors/side, not
+    * 1000): brute force is the comparison standard and an audit's
+    * cost must not scale quadratically — and the ADC leg's pair
+    * count (|queries| × probed rows) is the one cost the prune
+    * cannot remove from an all-queries audit, so the query side is
+    * capped too; the operator's own 10× evidence is the t77/t85
+    * BENCH_SF1 family. Rows-only (hash-derived buckets feed the
+    * k-means seeds); the enforced Verify gates are the contract.
+    */
+  def t272MarginIvfpq(spark: SparkSession, sfDir: String): DataFrame = {
+    val clustered = clusteredEmbeddings(spark, sfDir)
+      .filter(col("vec_id") < 1000)
+    val src = clustered.filter(col("vec_id") % 2 === 0)
+    val tgt = clustered.filter(col("vec_id") % 2 =!= 0)
+    val srcQ = src.select(col("vec_id").as("qid"),
+                          col("embedding").as("qvec"))
+    val bfNn = Similarity.bruteForceTopK(tgt, "vec_id", "embedding",
+        srcQ, "qid", "qvec", k = 4)
+      .select(col("qid"), col("id")).persist()
+    val nnDen = bfNn.count()
+    // one trained index per side, shared by every leg below (the
+    // production call pattern — an index amortizes; retraining it
+    // inside each of the audit's three serve legs would triple the
+    // driver-bounded training cost for identical cells/codes). The
+    // provider closure dispatches on the id column marginMine binds
+    // per direction: the backward leg is the only src-corpus serve.
+    val (centsT, cbT) = Pq.ivfPqTrain(tgt, "embedding", nlist = 16,
+      refineIters = 1, m = 8, ksub = 256, iters = 1)
+    val (centsS, cbS) = Pq.ivfPqTrain(src, "embedding", nlist = 16,
+      refineIters = 1, m = 8, ksub = 256, iters = 1)
+    val provider: Similarity.TopKProvider =
+      (corpus, idCol, vecCol, q, qidCol, qvecCol, k) => {
+        val (cents, cb) =
+          if (idCol == "src_id") (centsS, cbS) else (centsT, cbT)
+        Pq.ivfPqTopK(corpus, idCol, vecCol, q, qidCol, qvecCol, k,
+          nlist = 16, nprobe = 8, rerank = 8,
+          codebook = Some(cb), centroids = Some(cents))
+      }
+    val annNn = provider(tgt, "vec_id", "embedding", srcQ,
+        "qid", "qvec", 4)
+      .select(col("qid"), col("id"))
+    val nnRecall = annNn.join(bfNn, Seq("qid", "id"), "left_semi")
+      .agg(round(count(lit(1)).cast("double") / lit(nnDen), 6).as("value"))
+      .select(lit("nn_recall").as("check"), col("value"))
+    def mine(topK: Similarity.TopKProvider) =
+      Similarity.marginMine(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 4, threshold = 1.0, topK = topK)
+    val bf = mine(Similarity.bruteForceTopK)
+      .select(col("src_id"), col("tgt_id").as("bf_tgt"))
+    val ann = mine(provider)
+      .select(col("src_id"), col("tgt_id").as("ann_tgt"))
+    val joined = bf.join(ann, Seq("src_id")).localCheckpoint(true)
+    val agree = joined
+      .agg(round(sum(when(col("bf_tgt") === col("ann_tgt"), 1)
+          .otherwise(0)).cast("double") / count(lit(1)), 6).as("value"))
+      .select(lit("choice_agreement").as("check"), col("value"))
+    val nSrc = joined.agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("n_src").as("check"), col("value"))
+    val scanFrac = Pq.ivfPqScanAudit(tgt, "vec_id", "embedding",
+        srcQ, "qid", "qvec", nlist = 16, nprobe = 8, refineIters = 1)
+      .filter(col("check") === "scan_fraction")
+    nnRecall.unionByName(agree).unionByName(nSrc).unionByName(scanFrac)
+      .orderBy(col("check"))
+  }
+
   /** t79_pagerank_dangling — t64's domain-authority graph under the
     * dangling-mass-REDISTRIBUTING PageRank variant (the production
     * choice for crawl graphs, where most URLs have no out-links
