@@ -507,7 +507,20 @@ object ScaleStress {
       // scales with the corpus; the rerank leg stays k-bounded by
       // contract — 10× growth should land on the retrieval scan, not
       // the pair scoring
-      "t270_rerank" -> (TrainingQueries.t270Rerank _))
+      "t270_rerank" -> (TrainingQueries.t270Rerank _),
+      // the raw IVF-PQ provider (train + index + serve, uncached — the
+      // t272 fixture itself is a capped audit that deliberately does
+      // NOT scale): fixed 50-query side against the growing corpus;
+      // training is scan-shaped (Lloyd + codebook passes), the ADC
+      // read is nprobe/nlist of corpus×queries, the rerank leg stays
+      // |queries|·8k — wall should track the corpus scan rate
+      "t272_ivfpq_provider" -> ((s: SparkSession, d: String) => {
+        val emb = graft.Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.operators.Pq.ivfPqProvider()(
+          emb, "vec_id", "embedding", qs, "qid", "qvec", 4)
+      }))
 
     val selected = only.fold(queries)(names => queries.filter(q => names(q._1)))
     println("\n| query | sf0.1 s | sf0.1 rows | 10x s | 10x rows | time ratio |")
