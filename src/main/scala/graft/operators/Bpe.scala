@@ -18,9 +18,10 @@ import graft.functions.TextFunctions
   * pair is a 1-row distributed TakeOrdered collect (the bounded
   * driver state: one rule per round, like the k-means centroid
   * collects), and merge application is a per-row native kernel pass
-  * [[graft.functions.BpeMergeExpr]] with no shuffle. Each round
-  * materializes eagerly (bounded rounds, the t18 connected-components
-  * discipline), so round r never replays rounds 1..r−1's lineage.
+  * [[graft.functions.BpeMergeExpr]] with no shuffle. Each round's
+  * frame is cached (lazy persist, populated by the NEXT round's
+  * TakeOrdered action — one job per round), so round r never replays
+  * rounds 1..r−1's lineage; every cached frame unpersists on return.
   */
 object Bpe {
 
@@ -49,16 +50,19 @@ object Bpe {
       .select(col("freq"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"))
-      .localCheckpoint(true)
+      .persist()
+    val cached = scala.collection.mutable.ArrayBuffer(words)
     def pairsOf(s: org.apache.spark.sql.Column) =
       zip_with(slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
         (a, b) => struct(a.as("l"), b.as("r")))
-    // two actions per round (the TakeOrdered pair collect + the eager
-    // checkpoint, which AQE-coalesces the tiny vocab frame before the
-    // next round plans over it), plus a SINGLE end-of-run stats job
-    // unioning every round's audit aggregates over the cached round
-    // frames — a per-round stats action would add a third job of pure
-    // fixed overhead to this vocabulary-sized loop
+    // ONE action per round: each round's frame is a LAZY persist whose
+    // cache is populated by the next round's TakeOrdered pair collect
+    // (round r's top job computes round r−1's merge exactly once, into
+    // the cache), so the per-round eager-checkpoint job is gone —
+    // numMerges+2 jobs total instead of 2·numMerges+2. A SINGLE
+    // end-of-run stats job unions every round's audit aggregates over
+    // the cached round frames; every cached frame unpersists before
+    // return (the collected rule rows are the only state that leaves).
     val staged = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, DataFrame)]
     var step = 1
@@ -77,16 +81,19 @@ object Bpe {
         val merged = words
           .select(col("freq"), size(col("syms")).as("len0"),
             TextFunctions.bpe_merge(col("syms"), l, r).as("syms"))
-          .localCheckpoint(true)
+          .persist()
+        cached += merged
         staged += ((step, l, r, top(0).getLong(2), merged))
         words = merged.select(col("freq"), col("syms"))
         step += 1
       }
     }
-    if (staged.isEmpty)
+    if (staged.isEmpty) {
+      cached.foreach(_.unpersist())
       return Seq.empty[(Int, String, String, String, Long, Long, Long)]
         .toDF("step", "left", "right", "merged", "pair_count",
           "applied", "residual_pairs")
+    }
     val stats = staged.map { case (s, l, r, _, m) =>
       m.agg(
         sum(col("freq") * (col("len0") - size(col("syms")))).as("applied"),
@@ -98,6 +105,7 @@ object Bpe {
         .select(lit(s).as("step"), col("applied"), col("residual"))
     }.reduce(_ unionByName _).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    cached.foreach(_.unpersist())
     staged.toSeq.map { case (s, l, r, c, _) =>
       (s, l, r, l + r, c, stats(s)._1, stats(s)._2)
     }.toDF("step", "left", "right", "merged", "pair_count",

@@ -618,7 +618,11 @@ object CorpusStats {
     require(groupCols.nonEmpty, "need at least one group column")
     require(n >= 1, s"n must be >= 1, got $n")
     val g = groupCols.map(col)
-    val grams = docs.filter(col(textCol).isNotNull)
+    // shingle explode + per-gram digest is the heavy map work — spread
+    // an unsplittable-small scan across the cores first (identity at
+    // scale)
+    val grams = graft.util.Spread.ifTinyScan(
+        docs.filter(col(textCol).isNotNull))
       .select(g :+ explode(TextDedup.shingles(col(textCol), n))
         .as("__g"): _*)
       .select(g :+ graft.ops.SnapshotDiff.portableDigest(Seq(col("__g")))

@@ -244,12 +244,30 @@ object Graph {
     * coefficient.
     */
   def triangleStats(edges: DataFrame, aCol: String,
-                    bCol: String): DataFrame = {
-    val e0 = edges.filter(col(aCol) =!= col(bCol))
+                    bCol: String): DataFrame =
+    triangleStatsOnCollapsed(collapsedEdges(edges, aCol, bCol)
+      .localCheckpoint(true)) // feeds degree, orientation, and the count
+
+  /** The self-loop-dropped, (u, v)-canonicalized DISTINCT edge table
+    * every undirected-graph operator starts from — exposed so callers
+    * running SEVERAL of them on the same graph (triangle census +
+    * Doulion gate + assortativity on one co-purchase graph) can pay
+    * the input-sized collapse shuffle once and share one checkpoint
+    * (the shared-census convention). Lazy: the caller decides how to
+    * materialize.
+    */
+  def collapsedEdges(edges: DataFrame, aCol: String,
+                     bCol: String): DataFrame =
+    edges.filter(col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .distinct()
-      .localCheckpoint(true) // feeds degree, orientation, and the count
+
+  /** [[triangleStats]] on a pre-collapsed (and caller-materialized)
+    * [[collapsedEdges]] frame — the e0 contract: columns (u, v),
+    * u < v, distinct, no self-loops.
+    */
+  private[graft] def triangleStatsOnCollapsed(e0: DataFrame): DataFrame = {
     val deg = e0.select(col("u").as("node"))
       .unionAll(e0.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -306,20 +324,29 @@ object Graph {
     * graph; an edgeless graph yields the zero row with NULL cc.
     */
   def triangleStatsApprox(edges: DataFrame, aCol: String, bCol: String,
-                          p: Double, seed: String = "doulion"): DataFrame = {
+                          p: Double, seed: String = "doulion"): DataFrame =
+    triangleStatsApproxOnCollapsed(collapsedEdges(edges, aCol, bCol)
+        .localCheckpoint(true), // feeds exact counts AND thinned closure
+      p, seed)
+
+  /** [[triangleStatsApprox]] on a pre-collapsed (caller-materialized)
+    * [[collapsedEdges]] frame — same e0 contract as
+    * [[triangleStatsOnCollapsed]].
+    */
+  private[graft] def triangleStatsApproxOnCollapsed(e0: DataFrame,
+      p: Double, seed: String): DataFrame = {
     require(p > 0.0 && p <= 1.0, s"keep probability out of (0,1]: $p")
-    val e0 = edges.filter(col(aCol) =!= col(bCol))
-      .select(least(col(aCol), col(bCol)).as("u"),
-        greatest(col(aCol), col(bCol)).as("v"))
-      .distinct()
-      .localCheckpoint(true) // feeds exact counts AND the thinned closure
     // seeded uniform coin from the first 15 md5 hex digits (16^15 < 2^63):
     // deterministic per (u, v, seed), replayable by any engine with md5
     val coin = conv(substring(md5(concat_ws("|",
         col("u").cast("string"), col("v").cast("string"), lit(seed))),
       1, 15), 16, 10).cast("long")
     val threshold = math.floor(p * math.pow(16.0, 15)).toLong
-    val kept = e0.filter(coin < threshold).localCheckpoint(true)
+    // NOT re-checkpointed: kept is one codegen'd md5 filter over the
+    // already-materialized e0 — its three consumers (degree, oriented
+    // edges, sampled count) re-run the coin over cached partitions
+    // instead of paying another sequential materialization job
+    val kept = e0.filter(coin < threshold)
     val deg = kept.select(col("u").as("node"))
       .unionAll(kept.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -379,13 +406,17 @@ object Graph {
     * Output: ONE row (n_nodes, n_edges, assortativity 6dp).
     */
   def degreeAssortativity(edges: DataFrame, aCol: String,
-                          bCol: String): DataFrame = {
+                          bCol: String): DataFrame =
+    degreeAssortativityOnCollapsed(collapsedEdges(edges, aCol, bCol)
+      .localCheckpoint(true)) // feeds degree and both orientation scans
+
+  /** [[degreeAssortativity]] on a pre-collapsed (caller-materialized)
+    * [[collapsedEdges]] frame — same e0 contract as
+    * [[triangleStatsOnCollapsed]].
+    */
+  private[graft] def degreeAssortativityOnCollapsed(
+      e0: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val e0 = edges.filter(col(aCol) =!= col(bCol))
-      .select(least(col(aCol), col(bCol)).as("u"),
-        greatest(col(aCol), col(bCol)).as("v"))
-      .distinct()
-      .localCheckpoint(true) // feeds degree and both orientation scans
     val deg = e0.select(col("u").as("node"))
       .unionAll(e0.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

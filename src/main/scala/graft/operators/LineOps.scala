@@ -64,7 +64,9 @@ object LineOps {
         element_at(words, -1).isin(terminals: _*)
     }
     val kept = filter(lines, keep)
-    df.select(col(idCol),
+    // per-row line splitting/filtering is the whole cost — spread an
+    // unsplittable-small scan across the cores first (identity at scale)
+    graft.util.Spread.ifTinyScan(df).select(col(idCol),
         size(lines).as("n_lines"),
         size(kept).as("n_kept"),
         (size(kept) >= minKeptLines).as("doc_kept"),
@@ -86,7 +88,8 @@ object LineOps {
                           lineLen: Int): DataFrame = {
     val lines = lineArray(col(textCol), lineLen)
     val uniq = array_distinct(lines)
-    df.select(col(idCol),
+    // same spread rationale as [[c4LineFilter]]
+    graft.util.Spread.ifTinyScan(df).select(col(idCol),
       size(lines).as("n_lines"),
       size(uniq).as("n_unique"),
       array_join(uniq, " ").as("clean_text"))
@@ -112,7 +115,11 @@ object LineOps {
   def crossDocLineDedup(df: DataFrame, idCol: String, textCol: String,
                         lineLen: Int, maxDocs: Int): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
-    val lines = df
+    // line explode + hashing and the final regroup are map work on the
+    // scan's partitioning — spread an unsplittable-small scan first
+    // (identity at scale)
+    val spreadDf = graft.util.Spread.ifTinyScan(df)
+    val lines = spreadDf
       .select(col(idCol),
         posexplode(lineArray(col(textCol), lineLen)).as(Seq("line_no", "line")))
       .withColumn("h", xxhash64(col("line")))
@@ -139,7 +146,8 @@ object LineOps {
           transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
             s => s.getField("line")), " ").as("clean_text"))
 
-    df.select(col(idCol), size(lineArray(col(textCol), lineLen)).as("n_lines"))
+    spreadDf.select(col(idCol),
+        size(lineArray(col(textCol), lineLen)).as("n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),

@@ -223,8 +223,12 @@ object Pq {
                  refineIters: Int = 0, m: Int = 8, ksub: Int = 16,
                  iters: Int = 1)
       : (Array[Seq[Double]], Array[Array[Array[Double]]]) =
-    (ivfPqTrainCentroids(corpus, vecCol, nlist, refineIters),
-     trainCodebook(corpus.select(col(vecCol)), vecCol, m, ksub, iters))
+    // the two halves are INDEPENDENT chains of small driver-bounded
+    // jobs (seed collect + Lloyd collects each) — overlapped per
+    // guide §2.6 so the training wall is max(halves), not their sum
+    graft.util.Par.par2(
+      ivfPqTrainCentroids(corpus, vecCol, nlist, refineIters),
+      trainCodebook(corpus.select(col(vecCol)), vecCol, m, ksub, iters))
 
   /** (id, cell, codes) index rows for `corpus` under a FIXED index —
     * the build AND the APPEND path (the FAISS `add()` contract):
@@ -284,10 +288,15 @@ object Pq {
   def ivfPqScanAudit(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      nlist: Int = 16, nprobe: Int = 4,
-                     refineIters: Int = 0): DataFrame = {
-    val centroids = Similarity.trainCentroids(
-      corpus.select(col(vecCol).as("vec")), nlist, refineIters)
-    val cents = centroids.map(_.toIndexedSeq).toIndexedSeq
+                     refineIters: Int = 0,
+                     centroids: Option[Array[Seq[Double]]] = None)
+      : DataFrame = {
+    // centroid training is deterministic, so a caller that already
+    // trained the served index passes its centroid matrix and the
+    // audit skips the (bit-identical) retraining jobs
+    val cents0 = centroids.getOrElse(Similarity.trainCentroids(
+      corpus.select(col(vecCol).as("vec")), nlist, refineIters))
+    val cents = cents0.map(_.toIndexedSeq).toIndexedSeq
     val cellSizes = corpus
       .select(graft.functions.VectorFunctions.argmax_cell(col(vecCol), cents)
         .as("cell"))

@@ -566,6 +566,21 @@ object Similarity {
       lshTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol, k,
         bits, tables)
 
+  /** A [[TopKProvider]] that serves a PRECOMPUTED (qid, rank, id,
+    * cosine) top-k frame when asked for the direction whose corpus id
+    * column is `fwdIdCol`, delegating every other direction to
+    * `fallback`. The audit fixtures (t85/t272) need the SAME forward
+    * top-k twice — once as the nn-recall numerator, once as
+    * [[marginMine]]'s forward candidate pass — and the provider call
+    * is deterministic, so computing it once and serving the cached
+    * frame to both consumers changes nothing but the job count.
+    */
+  def precomputedTopK(fwd: DataFrame, fwdIdCol: String,
+                      fallback: TopKProvider): TopKProvider =
+    (corpus, idCol, vecCol, queries, qidCol, qvecCol, k) =>
+      if (idCol == fwdIdCol) fwd
+      else fallback(corpus, idCol, vecCol, queries, qidCol, qvecCol, k)
+
   /** The default [[marginMine]] candidate provider. SEMANTICS NOTE —
     * this default CHANGED in round 10 from [[bruteForceTopK]] (exact)
     * to the gated approximate LSH provider: identical call sites

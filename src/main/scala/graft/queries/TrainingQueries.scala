@@ -807,8 +807,25 @@ object TrainingQueries {
     * pins the exact rule sequence on a hand-computed corpus.
     */
   def t55Bpe(spark: SparkSession, sfDir: String): DataFrame =
-    Bpe.learnMerges(Tables.documents(spark, sfDir), "text", numMerges = 12)
-      .orderBy(col("step"))
+    bpeRules12(spark, sfDir).orderBy(col("step"))
+
+  /** The 12-rule BPE tokenizer trained ONCE per (session, sfDir) —
+    * t55, t68, and t250 all call `Bpe.learnMerges(documents, "text",
+    * 12)` with identical parameters on the identical corpus, and each
+    * used to pay the 12-round TakeOrdered training loop (~14
+    * sequential vocabulary-sized jobs) alone. The shared-census
+    * convention (clusteredEmbeddings / exactTriangleCensus): one
+    * cached relation per expensive frame with multiple fixture
+    * consumers. No checkpoint needed — learnMerges returns a
+    * driver-local rule table (one row per rule), already free of
+    * corpus lineage.
+    */
+  private val bpeRulesCache = new graft.SessionCache[DataFrame]
+  private def bpeRules12(spark: SparkSession, sfDir: String): DataFrame =
+    bpeRulesCache.getOrElseUpdate(spark, sfDir) {
+      Bpe.learnMerges(Tables.documents(spark, sfDir), "text",
+        numMerges = 12)
+    }
 
   /** t56_dense_ids — deterministic dense global sample ids in
     * length-curriculum order (n_chars desc, doc_id tiebreak) WITHOUT
@@ -870,17 +887,31 @@ object TrainingQueries {
     val emb = Tables.embeddings(spark, sfDir).persist()
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val nDistinct = emb.select(col("embedding")).distinct().count().toInt
-    val full = Pq.trainCodebook(emb, "embedding", m = 8,
-      ksub = nDistinct, iters = 0)
-    // eagerly materialized: the full-codebook encode is the audit's
-    // dominant cost (every distinct subvector is a codeword, so one
-    // pq_encode scan is |corpus| × |corpus| subvector distances) and
-    // BOTH contract legs read it — a lazy cache would let the legs
-    // race the population inside the one action and pay it twice
-    val encoded = Pq.encode(emb, "vec_id", "embedding", full)
-      .join(emb, Seq("vec_id"))
-      .localCheckpoint(true)
+    // three INDEPENDENT eager chains — the full-codebook train+encode,
+    // the brute-force recall baseline, and t57's own PQ training —
+    // overlapped per guide §2.6 (each is a ladder of small driver-
+    // bounded jobs; only the encode touches corpus-sized data)
+    val ((full, encoded), (exact, denom), t57) = graft.util.Par.par3(
+      {
+        val nDistinct = emb.select(col("embedding")).distinct().count().toInt
+        val fullCb = Pq.trainCodebook(emb, "embedding", m = 8,
+          ksub = nDistinct, iters = 0)
+        // eagerly materialized: the full-codebook encode is the audit's
+        // dominant cost (every distinct subvector is a codeword, so one
+        // pq_encode scan is |corpus| × |corpus| subvector distances) and
+        // BOTH contract legs read it — a lazy cache would let the legs
+        // race the population inside the one action and pay it twice
+        (fullCb, Pq.encode(emb, "vec_id", "embedding", fullCb)
+          .join(emb, Seq("vec_id"))
+          .localCheckpoint(true))
+      },
+      {
+        val e = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queries, "qid", "qvec", k = 5)
+          .select(col("qid"), col("id")).persist()
+        (e, e.count())
+      },
+      t57PqTopK(spark, sfDir))
     val roundtrip = encoded
       .filter(Pq.decode(col("codes"), full) =!=
         col("embedding").cast("array<double>"))
@@ -893,11 +924,7 @@ object TrainingQueries {
         graft.functions.VectorFunctions.cosine_sim(col("embedding"), col("qvec")))
       .agg(count(lit(1)).cast("double").as("value"))
       .select(lit("adc_mismatches").as("check"), col("value"))
-    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qvec", k = 5)
-      .select(col("qid"), col("id")).persist()
-    val denom = exact.count()
-    val recall = t57PqTopK(spark, sfDir)
+    val recall = t57
       .select(col("qid"), col("id"))
       .join(exact, Seq("qid", "id"), "left_semi")
       .agg(round(count(lit(1)).cast("double") / lit(denom), 6).as("value"))
@@ -1024,10 +1051,12 @@ object TrainingQueries {
       Similarity.marginMine(src, "vec_id", "embedding",
         tgt, "vec_id", "embedding", k = 4, threshold = 1.0, topK = topK)
     // each side feeds 2-3 comparisons: eager-pin so neither mining run
-    // recomputes per aggregate
-    val bf = mine(Similarity.bruteForceTopK).localCheckpoint(true)
-    val ann = mine(Similarity.lshProvider(bits = 2, tables = 32))
-      .localCheckpoint(true)
+    // recomputes per aggregate; the two pins are independent job
+    // chains, overlapped per guide §2.6
+    val (bf, ann) = graft.util.Par.par2(
+      mine(Similarity.bruteForceTopK).localCheckpoint(true),
+      mine(Similarity.lshProvider(bits = 2, tables = 32))
+        .localCheckpoint(true))
     val bfAcc = bf.filter(col("accepted"))
       .select(col("src_id"), col("tgt_id"))
     val annAcc = ann.filter(col("accepted"))
@@ -1415,25 +1444,34 @@ object TrainingQueries {
       .filter(col("vec_id") < 2000)
     val src = clustered.filter(col("vec_id") % 2 === 0)
     val tgt = clustered.filter(col("vec_id") % 2 =!= 0)
-    val bfNn = Similarity.bruteForceTopK(tgt, "vec_id", "embedding",
-        src.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-        "qid", "qvec", k = 4)
-      .select(col("qid"), col("id")).persist()
-    val nnDen = bfNn.count()
-    val annNn = Similarity.lshTopK(tgt, "vec_id", "embedding",
-        src.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-        "qid", "qvec", k = 4, bits = 10, tables = 4)
-      .select(col("qid"), col("id"))
-    val nnRecall = annNn.join(bfNn, Seq("qid", "id"), "left_semi")
-      .agg(round(count(lit(1)).cast("double") / lit(nnDen), 6).as("value"))
-      .select(lit("nn_recall").as("check"), col("value"))
     def mine(topK: Similarity.TopKProvider) =
       Similarity.marginMine(src, "vec_id", "embedding",
         tgt, "vec_id", "embedding", k = 4, threshold = 1.0, topK = topK)
-    val bf = mine(Similarity.bruteForceTopK)
-      .select(col("src_id"), col("tgt_id").as("bf_tgt"))
-    val ann = mine(Similarity.lshProvider(bits = 10, tables = 4))
-      .select(col("src_id"), col("tgt_id").as("ann_tgt"))
+    // each forward serve computed ONCE (it feeds both the nn-recall
+    // legs and the mining candidate passes — precomputedTopK), the
+    // two independent eager chains overlapped per guide §2.6
+    val srcQ = src.select(col("vec_id").as("qid"),
+                          col("embedding").as("qvec"))
+    val (bfFwd, annFwd) = graft.util.Par.par2(
+      Similarity.bruteForceTopK(tgt, "vec_id", "embedding",
+          srcQ, "qid", "qvec", k = 4)
+        .localCheckpoint(true),
+      Similarity.lshTopK(tgt, "vec_id", "embedding",
+          srcQ, "qid", "qvec", k = 4, bits = 10, tables = 4)
+        .localCheckpoint(true))
+    val nnDen = bfFwd.count()
+    val nnRecall = annFwd.select(col("qid"), col("id"))
+      .join(bfFwd.select(col("qid"), col("id")), Seq("qid", "id"),
+        "left_semi")
+      .agg(round(count(lit(1)).cast("double") / lit(nnDen), 6).as("value"))
+      .select(lit("nn_recall").as("check"), col("value"))
+    val (bf, ann) = graft.util.Par.par2(
+      mine(Similarity.precomputedTopK(bfFwd, "tgt_id",
+          Similarity.bruteForceTopK))
+        .select(col("src_id"), col("tgt_id").as("bf_tgt")),
+      mine(Similarity.precomputedTopK(annFwd, "tgt_id",
+          Similarity.lshProvider(bits = 10, tables = 4)))
+        .select(col("src_id"), col("tgt_id").as("ann_tgt")))
     val joined = bf.join(ann, Seq("src_id")).localCheckpoint(true)
     val agree = joined
       .agg(round(sum(when(col("bf_tgt") === col("ann_tgt"), 1)
@@ -1487,20 +1525,31 @@ object TrainingQueries {
     val tgt = clustered.filter(col("vec_id") % 2 =!= 0)
     val srcQ = src.select(col("vec_id").as("qid"),
                           col("embedding").as("qvec"))
-    val bfNn = Similarity.bruteForceTopK(tgt, "vec_id", "embedding",
-        srcQ, "qid", "qvec", k = 4)
-      .select(col("qid"), col("id")).persist()
-    val nnDen = bfNn.count()
+    def mine(topK: Similarity.TopKProvider) =
+      Similarity.marginMine(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 4, threshold = 1.0, topK = topK)
     // one trained index per side, shared by every leg below (the
     // production call pattern — an index amortizes; retraining it
     // inside each of the audit's three serve legs would triple the
     // driver-bounded training cost for identical cells/codes). The
     // provider closure dispatches on the id column marginMine binds
     // per direction: the backward leg is the only src-corpus serve.
-    val (centsT, cbT) = Pq.ivfPqTrain(tgt, "embedding", nlist = 16,
-      refineIters = 1, m = 8, ksub = 256, iters = 1)
-    val (centsS, cbS) = Pq.ivfPqTrain(src, "embedding", nlist = 16,
-      refineIters = 1, m = 8, ksub = 256, iters = 1)
+    // Eager chains overlap per guide §2.6, and EACH FORWARD SERVE IS
+    // COMPUTED ONCE: the brute-force forward top-k feeds both the
+    // nn-recall baseline and bf-mining's candidate pass, the IVF-PQ
+    // forward serve feeds both the nn-recall numerator and
+    // ann-mining's candidate pass (Similarity.precomputedTopK) — the
+    // profiled t272 spent ~6 of its 12 warm seconds re-running those
+    // two identical serves.
+    val (bfFwd, (centsT, cbT), (centsS, cbS)) =
+      graft.util.Par.par3(
+        Similarity.bruteForceTopK(tgt, "vec_id", "embedding",
+            srcQ, "qid", "qvec", k = 4)
+          .localCheckpoint(true),
+        Pq.ivfPqTrain(tgt, "embedding", nlist = 16,
+          refineIters = 1, m = 8, ksub = 256, iters = 1),
+        Pq.ivfPqTrain(src, "embedding", nlist = 16,
+          refineIters = 1, m = 8, ksub = 256, iters = 1))
     val provider: Similarity.TopKProvider =
       (corpus, idCol, vecCol, q, qidCol, qvecCol, k) => {
         val (cents, cb) =
@@ -1509,19 +1558,22 @@ object TrainingQueries {
           nlist = 16, nprobe = 8, rerank = 8,
           codebook = Some(cb), centroids = Some(cents))
       }
-    val annNn = provider(tgt, "vec_id", "embedding", srcQ,
+    // the IVF-PQ forward serve, once (eager — two consumers below)
+    val annFwd = provider(tgt, "vec_id", "embedding", srcQ,
         "qid", "qvec", 4)
-      .select(col("qid"), col("id"))
-    val nnRecall = annNn.join(bfNn, Seq("qid", "id"), "left_semi")
+      .localCheckpoint(true)
+    val nnDen = bfFwd.count()
+    val nnRecall = annFwd.select(col("qid"), col("id"))
+      .join(bfFwd.select(col("qid"), col("id")), Seq("qid", "id"),
+        "left_semi")
       .agg(round(count(lit(1)).cast("double") / lit(nnDen), 6).as("value"))
       .select(lit("nn_recall").as("check"), col("value"))
-    def mine(topK: Similarity.TopKProvider) =
-      Similarity.marginMine(src, "vec_id", "embedding",
-        tgt, "vec_id", "embedding", k = 4, threshold = 1.0, topK = topK)
-    val bf = mine(Similarity.bruteForceTopK)
-      .select(col("src_id"), col("tgt_id").as("bf_tgt"))
-    val ann = mine(provider)
-      .select(col("src_id"), col("tgt_id").as("ann_tgt"))
+    val (bf, ann) = graft.util.Par.par2(
+      mine(Similarity.precomputedTopK(bfFwd, "tgt_id",
+          Similarity.bruteForceTopK))
+        .select(col("src_id"), col("tgt_id").as("bf_tgt")),
+      mine(Similarity.precomputedTopK(annFwd, "tgt_id", provider))
+        .select(col("src_id"), col("tgt_id").as("ann_tgt")))
     val joined = bf.join(ann, Seq("src_id")).localCheckpoint(true)
     val agree = joined
       .agg(round(sum(when(col("bf_tgt") === col("ann_tgt"), 1)
@@ -1530,7 +1582,10 @@ object TrainingQueries {
     val nSrc = joined.agg(count(lit(1)).cast("double").as("value"))
       .select(lit("n_src").as("check"), col("value"))
     val scanFrac = Pq.ivfPqScanAudit(tgt, "vec_id", "embedding",
-        srcQ, "qid", "qvec", nlist = 16, nprobe = 8, refineIters = 1)
+        srcQ, "qid", "qvec", nlist = 16, nprobe = 8, refineIters = 1,
+        // the served index's own centroids — training is deterministic,
+        // so passing them skips a bit-identical retraining
+        centroids = Some(centsT))
       .filter(col("check") === "scan_fraction")
     nnRecall.unionByName(agree).unionByName(nSrc).unionByName(scanFrac)
       .orderBy(col("check"))
@@ -1759,7 +1814,7 @@ object TrainingQueries {
     */
   def t68BpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val rules = Bpe.learnMerges(docs, "text", numMerges = 12)
+    val rules = bpeRules12(spark, sfDir)
       .orderBy(col("step"))
       .select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
@@ -4550,14 +4605,11 @@ object TrainingQueries {
     * clustering coefficient. Exact oracle — DECIMAL(38,0)/HUGEINT
     * Pearson moments.
     */
-  def t200Assortativity(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
-    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
-    val edges = a.join(b, "ok").filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb"))
-    graft.operators.Graph.degreeAssortativity(edges, "pa", "pb")
-  }
+  def t200Assortativity(spark: SparkSession, sfDir: String): DataFrame =
+    // same graph, same collapse as the t192/t235/t236 family — starts
+    // from the shared coPurchaseCollapsed checkpoint
+    graft.operators.Graph.degreeAssortativityOnCollapsed(
+      coPurchaseCollapsed(spark, sfDir))
 
   /** t201_basket_rules — top-20 supplier association rules by lift
     * over order baskets (support/confidence/lift, min co-occurrence
@@ -5058,6 +5110,24 @@ object TrainingQueries {
       .select(col("pa"), col("pb"))
   }
 
+  /** The COLLAPSED co-purchase edge table (Graph.collapsedEdges over
+    * [[coPurchaseEdges]]), checkpointed ONCE per (session, sfDir):
+    * four fixtures start from this identical (u, v)-distinct frame —
+    * t192's exact census, t235's and t236's Doulion closures, and
+    * t200's assortativity — and each used to pay the input-sized
+    * lineitem self-join + distinct collapse alone (the most expensive
+    * stage of all four at bench scale). One shared checkpoint, every
+    * gate still enforces on the same graph.
+    */
+  private val coPurchaseE0Cache = new graft.SessionCache[DataFrame]
+  private def coPurchaseCollapsed(spark: SparkSession,
+                                  sfDir: String): DataFrame =
+    coPurchaseE0Cache.getOrElseUpdate(spark, sfDir) {
+      graft.operators.Graph.collapsedEdges(
+          coPurchaseEdges(spark, sfDir), "pa", "pb")
+        .localCheckpoint(true)
+    }
+
   /** The exact triangle census, computed ONCE per (session, sfDir) and
     * shared by t192 and its t236 approximation gate: t236 re-ran the
     * full O(m^1.5) closure beside t192's own run every battery
@@ -5073,8 +5143,8 @@ object TrainingQueries {
                                   sfDir: String): DataFrame =
     triangleCensusCache.getOrElseUpdate(
       s"${System.identityHashCode(spark)}:$sfDir",
-      graft.operators.Graph.triangleStats(
-          coPurchaseEdges(spark, sfDir), "pa", "pb")
+      graft.operators.Graph.triangleStatsOnCollapsed(
+          coPurchaseCollapsed(spark, sfDir))
         .localCheckpoint(true))
 
   /** t235_triangle_doulion — the 100×-scale member of the t192
@@ -5087,8 +5157,8 @@ object TrainingQueries {
     * structural gate pins the row's internal consistency.
     */
   def t235TriangleDoulion(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.Graph.triangleStatsApprox(
-      coPurchaseEdges(spark, sfDir), "pa", "pb", p = 0.2,
+    graft.operators.Graph.triangleStatsApproxOnCollapsed(
+      coPurchaseCollapsed(spark, sfDir), p = 0.2,
       seed = "doulion-t235")
 
   /** t236_triangle_approx_check — the enforced Doulion contract
@@ -5110,14 +5180,14 @@ object TrainingQueries {
     * contract is p-independent (the same 1/p³ unbiasedness).
     */
   def t236TriangleApproxCheck(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, sfDir)
     // the exact side comes from the SHARED census fixture (one
     // computation per battery serves t192 and this gate — both still
-    // enforce on the same graph)
+    // enforce on the same graph); the approx side starts from the
+    // shared collapsed-edge checkpoint for the same reason
     val exact = exactTriangleCensus(spark, sfDir)
       .select(col("n_triangles"))
-    val approx = graft.operators.Graph.triangleStatsApprox(
-      edges, "pa", "pb", p = 0.5, seed = "doulion-t236")
+    val approx = graft.operators.Graph.triangleStatsApproxOnCollapsed(
+      coPurchaseCollapsed(spark, sfDir), p = 0.5, seed = "doulion-t236")
     val j = exact.crossJoin(approx).localCheckpoint(true)
     val nEx = j.select(lit("n_triangles_exact").as("check"),
       col("n_triangles").cast("double").as("value"))
@@ -5475,8 +5545,9 @@ object TrainingQueries {
     val docs = Tables.documents(spark, sfDir)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_t250_" +
       s"${System.nanoTime}"
-    // BPE: save, validated load, both encodes
-    val rules = graft.operators.Bpe.learnMerges(docs, "text", numMerges = 12)
+    // BPE: save, validated load, both encodes (rules from the shared
+    // bpeRules12 census — identical training, see t55's scaladoc)
+    val rules = bpeRules12(spark, sfDir)
     graft.operators.Bpe.saveRules(rules, s"$dir/bpe_rules")
     val loadedRules = graft.operators.Bpe.loadRules(spark, s"$dir/bpe_rules")
     val freshRules = rules.orderBy(col("step"))
