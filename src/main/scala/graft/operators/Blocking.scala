@@ -47,11 +47,17 @@ object Blocking {
       .groupBy(col(textCol).as("__txt"))
       .agg(min(col(idCol)).as("id"))
     // engine-portable key: min 48-bit md5 digest over shingle STRINGS
-    // (the HexTerms12 oracle contract), so both engines sort the same
+    // (the HexTerms12 oracle contract), so both engines sort the same.
+    // Checkpointed BEFORE the rank: denseIds' range repartition samples
+    // its input and then materializes it — without the pin the
+    // shingle+digest scan (the SNM front-end's dominant compute) runs
+    // twice per call. The pinned frame is (id, 8-byte key) per distinct
+    // doc — far below corpus payload size at any scale.
     val keyed = reps.select(col("id"),
       array_min(transform(
         graft.functions.TextFunctions.shingle_strings(col("__txt"), shingleK),
         s => graft.ops.SnapshotDiff.portableDigest(Seq(s)))).as("__mkey"))
+      .localCheckpoint(true)
     val ranked = Ids.denseIds(keyed, "__rk",
       Seq(col("__mkey"), col("id"))).select(col("id"), col("__rk"))
     val probes = ranked.select(col("id").as("__ida"),

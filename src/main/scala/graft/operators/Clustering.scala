@@ -75,23 +75,22 @@ object Clustering {
     // run), and a union would re-run it once per branch
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
-    val und = e.select(explode(array(
+    // materialize (toRdd + persist) rather than a bare persist(): AQE
+    // sizes the distinct's output partitions from its BYTES, and the
+    // persisted InternalRow RDD keeps that sizing — a cached DataFrame
+    // is exempt from AQE re-partitioning
+    // (canChangeCachedPlanOutputPartitioning is off by default), so
+    // persist() pinned the un-coalesced shuffle width and every
+    // pointer-jumping round re-read cores× near-empty cache partitions
+    // (the measured local[32]-slower-than-local[8] pathology). At scale
+    // the same byte-targeted coalescing keeps real partitions.
+    val (und, releaseUnd) = materialize(e.select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")),
         struct(col("src"), col("src").as("dst")),
         struct(col("dst").as("src"), col("dst")))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
-      .distinct()
-      .persist()
-    // empty edge set: no nodes, so the fixpoint is the empty labeling
-    // (and the sum-based convergence probe below would NPE on the NULL
-    // sum of zero rows)
-    if (und.isEmpty) {
-      und.unpersist()
-      return edges.select(col(srcCol).cast("long").as("id"),
-                          col(srcCol).cast("long").as("component"))
-        .limit(0)
-    }
+      .distinct())
     // initial labels = round 0's propagate, for free: with label = id
     // the propagate aggregate is just min(src) per dst, and the
     // self-loops put every node in the dst column — one groupBy, same
@@ -106,6 +105,15 @@ object Clustering {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
+    // empty edge set ⟺ zero label rows ⟺ NULL initial sum: the
+    // fixpoint is the empty labeling. Folding the emptiness probe into
+    // the init sum saves the separate isEmpty action every caller paid.
+    if (prevSum == null) {
+      release(); releaseUnd()
+      return edges.select(col(srcCol).cast("long").as("id"),
+                          col(srcCol).cast("long").as("component"))
+        .limit(0)
+    }
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -143,7 +151,7 @@ object Clustering {
       prevSum = after
       round += 1
     }
-    und.unpersist()
+    releaseUnd()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds — " +

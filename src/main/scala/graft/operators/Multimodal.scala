@@ -635,23 +635,32 @@ object Multimodal {
       .distinct() // shingle SET: frame multiplicity must not widen buckets
     val cand = graft.operators.Buckets.pairs(
       posting, Seq("band_idx", "band_val"), maxBucket)
-    val fa = frameHashes.select(col("doc_id").as("id_a"),
-      col("frame_idx").as("fa"), col("fhash").as("ha"))
-    val fb = frameHashes.select(col("doc_id").as("id_b"),
-      col("frame_idx").as("fb"), col("fhash").as("hb"))
-    val j = cand.join(fa, "id_a").join(fb, "id_b")
-      .select(col("id_a"), col("id_b"), col("fa"), col("fb"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("ham"))
-    def direction(frameCol: String, nName: String, fracName: String) =
-      j.groupBy(col("id_a"), col("id_b"), col(frameCol))
-        .agg(min(col("ham")).as("mh"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as(nName),
-          avg(when(col("mh") <= maxHamming, 1.0).otherwise(0.0)).as(fracName))
-    direction("fa", "n_a", "frac_a")
-      .join(direction("fb", "n_b", "frac_b"), Seq("id_a", "id_b"))
+    // Per-pair ARRAY verify (one row per candidate pair) instead of the
+    // old (pair, frame_a, frame_b) row expansion + two directional
+    // re-groupings: that shape exploded to |cand| × frames² rows and —
+    // because the two directions are different groupings ReuseExchange
+    // cannot share — computed the whole expansion TWICE (the measured
+    // majority of the query). Here each video's frame hashes ride as
+    // one bounded array (frame_idx is unique per video, so the list
+    // length IS the frame count), both directional containments come
+    // from one codegen'd lambda pass per pair, and `exists` short-
+    // circuits on the first in-budget frame match. Same frames_a ×
+    // frames_b work bound per pair, no row storm, no second pass.
+    val fagg = frameHashes.groupBy(col("doc_id"))
+      .agg(collect_list(col("fhash")).as("hs"), count(lit(1)).as("nf"))
+    def frac(xs: org.apache.spark.sql.Column, ys: org.apache.spark.sql.Column) =
+      aggregate(xs, lit(0), (acc, x) =>
+          acc + when(exists(ys, y =>
+            bit_count(x.bitwiseXOR(y)) <= maxHamming), 1).otherwise(0))
+        .cast("double") / size(xs)
+    cand
+      .join(fagg.select(col("doc_id").as("id_a"), col("hs").as("__ha"),
+        col("nf").as("n_a")), "id_a")
+      .join(fagg.select(col("doc_id").as("id_b"), col("hs").as("__hb"),
+        col("nf").as("n_b")), "id_b")
       .withColumn("match_frac",
-        round(greatest(col("frac_a"), col("frac_b")), 6))
+        round(greatest(frac(col("__ha"), col("__hb")),
+                       frac(col("__hb"), col("__ha"))), 6))
       .filter(col("match_frac") >= minMatchFrac)
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
         col("match_frac"))

@@ -627,11 +627,18 @@ object Eval {
                xCol: Column, yCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     val g = groupCols.map(col)
+    // checkpointed: the cell table feeds several consumers (the pair/
+    // join legs and the marginal rank sides) whose planned subtrees
+    // differ after per-consumer projection pushdown, so ReuseExchange
+    // never fires and the corpus-wide aggregate was scanned once per
+    // consumer. The pin is the (group, x, y, count) cell table the
+    // downstream joins read anyway; one scan feeds them all.
     val cells = df
       .filter(xCol.isNotNull && yCol.isNotNull)
       .groupBy(g :+ xCol.cast("long").as("__x") :+
         yCol.cast("long").as("__y"): _*)
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     def marginal(vCol: String, rankAs: String): DataFrame = {
       val before = Window.partitionBy(g: _*).orderBy(col(vCol))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -762,11 +769,18 @@ object Eval {
                   xCol: Column, yCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     val g = groupCols.map(col)
+    // checkpointed: the cell table feeds several consumers (the pair/
+    // join legs and the marginal rank sides) whose planned subtrees
+    // differ after per-consumer projection pushdown, so ReuseExchange
+    // never fires and the corpus-wide aggregate was scanned once per
+    // consumer. The pin is the (group, x, y, count) cell table the
+    // downstream joins read anyway; one scan feeds them all.
     val cells = df
       .filter(xCol.isNotNull && yCol.isNotNull)
       .groupBy(g :+ xCol.cast("long").as("__x") :+
         yCol.cast("long").as("__y"): _*)
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val a = cells.select(g :+ col("__x").as("__x1") :+
       col("__y").as("__y1") :+ col("__c").as("__c1"): _*)
     val b = cells.select(g :+ col("__x").as("__x2") :+

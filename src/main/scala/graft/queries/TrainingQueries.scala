@@ -1088,7 +1088,13 @@ object TrainingQueries {
     // quadratic in the corpus — an audit's cost must never scale with
     // the data it samples (marginMine's own scaling is benched in
     // docs/BENCH_SF1.md). At sf0.1 the cap is a no-op (2000 vectors).
-    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 2000)
+    // Spread: the parquet scan is one split, so all four serve stages
+    // (fwd/bwd × bf/LSH — the audit's dominant compute, each a
+    // 0.7–2 s single-task scoring pass) ran on one core. Size-guarded,
+    // identity at scale (guide §2.5); one exchange of ≤ 2000 rows is
+    // reused by every branch of each leg's plan.
+    val emb = graft.util.Spread.ifTinyScan(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 2000))
     val src = emb.filter(col("vec_id") % 2 === 0)
     val tgt = emb.filter(col("vec_id") % 2 =!= 0)
     def mine(topK: Similarity.TopKProvider) =
@@ -4339,6 +4345,10 @@ object TrainingQueries {
       shingleK = 3, minJaccard = 0.5, maxDf = 10)
     TextDedup.editDistanceVerify(shortlist, reps, "text", "doc_id",
         minSim = 0.8)
+      // pinned before the sort — the range exchange samples its child;
+      // without the pin the Levenshtein DP over the shortlist ran twice
+      // (t194 rationale). Survivor-pair cardinality, candidate-bounded.
+      .localCheckpoint(true)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -4601,6 +4611,11 @@ object TrainingQueries {
       docs, "text", "doc_id", window = 3)
     graft.operators.TextDedup.jaroWinklerVerify(cands, reps,
         "text", "doc_id", minSim = 0.9)
+      // pinned before the sort: the range exchange SAMPLES its child,
+      // so without the pin the JW kernel over every candidate pair (the
+      // query's dominant compute) ran twice. The pinned frame is the
+      // candidate-bounded verify output (window·n rows).
+      .localCheckpoint(true)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -4631,6 +4646,10 @@ object TrainingQueries {
     graft.operators.Blocking.sortedNeighborhoodPairs(
         Tables.documents(spark, sfDir), "text", "doc_id",
         window = 3, minJaccard = 0.5)
+      // pinned before the sort — the range exchange samples its child;
+      // without the pin the Jaccard verify over the SNM window ran
+      // twice (t194 rationale). Survivor-pair cardinality.
+      .localCheckpoint(true)
       .orderBy(col("id_a"), col("id_b"))
 
   /** t197_cramers_v — association strength between return flag and
@@ -5150,6 +5169,10 @@ object TrainingQueries {
       .select(col("id_a"), col("id_b"))
     graft.operators.TextDedup.damerauVerify(shortlist, reps,
         "text", "doc_id", minSim = 0.8)
+      // pinned before the sort — the range exchange samples its child;
+      // without the pin the DL DP over the shortlist ran twice (t194
+      // rationale). Survivor-pair cardinality, bounded by candidates.
+      .localCheckpoint(true)
       .orderBy(col("id_a"), col("id_b"))
   }
 

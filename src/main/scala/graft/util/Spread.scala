@@ -29,7 +29,23 @@ import org.apache.spark.sql.DataFrame
   * results are unchanged.
   */
 object Spread {
-  def ifTinyScan(df: DataFrame): DataFrame = {
+
+  /** [[ifTinyScan]] with a CAP on the fan-out. The full
+    * defaultParallelism split is right when the per-row kernel swamps
+    * scheduling floors; for mid-weight kernels whose output feeds
+    * several more jobs (each re-reading the spread partitioning), a
+    * capped split keeps most of the compute win while holding every
+    * downstream stage's task count — and so its scheduling floor —
+    * down. Same data-size guard: identity at production scale.
+    */
+  def ifTinyScanTo(df: DataFrame, maxParts: Int): DataFrame =
+    spreadTo(df, math.min(maxParts,
+      df.sparkSession.sparkContext.defaultParallelism))
+
+  def ifTinyScan(df: DataFrame): DataFrame =
+    spreadTo(df, df.sparkSession.sparkContext.defaultParallelism)
+
+  private def spreadTo(df: DataFrame, parts: Int): DataFrame = {
     val spark = df.sparkSession
     val files =
       try df.inputFiles
@@ -47,8 +63,7 @@ object Spread {
     val bytes = sizes.sum
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    if (bytes < maxSplit)
-      df.repartition(spark.sparkContext.defaultParallelism)
+    if (bytes < maxSplit) df.repartition(parts)
     else df
   }
 }
