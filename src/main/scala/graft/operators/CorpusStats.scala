@@ -621,8 +621,8 @@ object CorpusStats {
     // shingle explode + per-gram digest is the heavy map work — spread
     // an unsplittable-small scan across the cores first (identity at
     // scale)
-    val grams = graft.util.Spread.ifTinyScan(
-        docs.filter(col(textCol).isNotNull))
+    val grams = graft.util.Spread.ifTinyScanTo(
+        docs.filter(col(textCol).isNotNull), 8)
       .select(g :+ explode(TextDedup.shingles(col(textCol), n))
         .as("__g"): _*)
       .select(g :+ graft.ops.SnapshotDiff.portableDigest(Seq(col("__g")))

@@ -66,7 +66,7 @@ object LineOps {
     val kept = filter(lines, keep)
     // per-row line splitting/filtering is the whole cost — spread an
     // unsplittable-small scan across the cores first (identity at scale)
-    graft.util.Spread.ifTinyScan(df).select(col(idCol),
+    graft.util.Spread.ifTinyScanTo(df, 8).select(col(idCol),
         size(lines).as("n_lines"),
         size(kept).as("n_kept"),
         (size(kept) >= minKeptLines).as("doc_kept"),
@@ -89,7 +89,7 @@ object LineOps {
     val lines = lineArray(col(textCol), lineLen)
     val uniq = array_distinct(lines)
     // same spread rationale as [[c4LineFilter]]
-    graft.util.Spread.ifTinyScan(df).select(col(idCol),
+    graft.util.Spread.ifTinyScanTo(df, 8).select(col(idCol),
       size(lines).as("n_lines"),
       size(uniq).as("n_unique"),
       array_join(uniq, " ").as("clean_text"))
@@ -118,7 +118,7 @@ object LineOps {
     // line explode + hashing and the final regroup are map work on the
     // scan's partitioning — spread an unsplittable-small scan first
     // (identity at scale)
-    val spreadDf = graft.util.Spread.ifTinyScan(df)
+    val spreadDf = graft.util.Spread.ifTinyScanTo(df, 8)
     val lines = spreadDf
       .select(col(idCol),
         posexplode(lineArray(col(textCol), lineLen)).as(Seq("line_no", "line")))

@@ -51,15 +51,13 @@ private[graft] object Sampling {
     * Callers whose key columns may contain the delimiter should
     * pre-encode (dpCounts base64s); integral ids need nothing.
     */
-  def md5Uniform(keyParts: Seq[Column], salt: String): Column = {
-    val h = md5(concat_ws("|", keyParts.map(_.cast("string")) :+
-      (lit(salt): Column): _*))
-    val u = (1 to 8).map { i =>
-      (instr(lit(HexDigits), substring(h, i, 1)) - 1).cast("double") /
-        math.pow(16.0, i)
-    }.reduce(_ + _)
-    least(greatest(u, lit(1e-9)), lit(1.0 - 1e-9))
-  }
+  def md5Uniform(keyParts: Seq[Column], salt: String): Column =
+    // one native kernel call per row — bit-identical to the old
+    // md5-hex + 8×(substring∘strpos) expression tree (which the oracle
+    // still replays); see graft.functions.Md5Uniform32
+    graft.functions.SeededUniform.md5_uniform32(
+      concat_ws("|", keyParts.map(_.cast("string")) :+
+        (lit(salt): Column): _*))
 
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
     * per group, the k rows with the smallest exponential key

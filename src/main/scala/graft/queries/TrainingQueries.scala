@@ -928,7 +928,13 @@ object TrainingQueries {
     *    rationale for why tight-param floors sit low here).
     */
   def t58PqCheck(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir).persist()
+    // spread before the persist: the single-split scan fed the audit's
+    // dominant compute — the full-codebook (ksub = |distinct|) encode
+    // and the ADC/roundtrip recheck scans — one task each. Size-guarded
+    // (identity at scale); capped at 8 so the training-collect ladder's
+    // tiny jobs don't inherit 32-task floors.
+    val emb = graft.util.Spread.ifTinyScanTo(
+      Tables.embeddings(spark, sfDir), 8).persist()
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     // three INDEPENDENT eager chains — the full-codebook train+encode,
@@ -1568,8 +1574,16 @@ object TrainingQueries {
     * k-means seeds); the enforced Verify gates are the contract.
     */
   def t272MarginIvfpq(spark: SparkSession, sfDir: String): DataFrame = {
+    // bounded audit corpus (≤ 1000 rows by the cap) behind a 1-2
+    // partition census checkpoint: the four serve/scoring legs below
+    // (ADC forward serve, both mines' backward serves, the brute-force
+    // baseline) are the query's dominant compute and each ran as ONE
+    // task. An 8-way round-robin of ≤ 1000 rows is O(1) and splits
+    // every leg; the training collects pay a few extra near-empty
+    // tasks, which the serve wins repay several times over.
     val clustered = clusteredEmbeddings(spark, sfDir)
       .filter(col("vec_id") < 1000)
+      .repartition(8)
     val src = clustered.filter(col("vec_id") % 2 === 0)
     val tgt = clustered.filter(col("vec_id") % 2 =!= 0)
     val srcQ = src.select(col("vec_id").as("qid"),

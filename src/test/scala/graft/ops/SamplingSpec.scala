@@ -116,4 +116,25 @@ class SamplingSpec extends SparkSpec {
       col("v"), budget = 10L).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("multi"))
   }
+
+  test("md5Uniform kernel is bit-identical to the strpos expression tree") {
+    // the old form, verbatim: Σ_{i=1..8} hexdigit_i(md5(key))/16^i,
+    // clamped — the arithmetic the DuckDB oracle still replays
+    def oldTree(keyParts: Seq[org.apache.spark.sql.Column], salt: String) = {
+      val h = md5(concat_ws("|", keyParts.map(_.cast("string")) :+
+        (lit(salt): org.apache.spark.sql.Column): _*))
+      val u = (1 to 8).map { i =>
+        (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1)
+          .cast("double") / math.pow(16.0, i)
+      }.reduce(_ + _)
+      least(greatest(u, lit(1e-9)), lit(1.0 - 1e-9))
+    }
+    val df = (0L until 5000L).toDF("id")
+      .withColumn("b", (col("id") % 97).cast("int"))
+    val mism = df.select(
+        Sampling.md5Uniform(Seq(col("id"), col("b")), "sx").as("k"),
+        oldTree(Seq(col("id"), col("b")), "sx").as("t"))
+      .filter(col("k") =!= col("t")).count()
+    assert(mism == 0L)
+  }
 }
